@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Session factory with the engine's required configuration. Centralized so
+ * Verify, Bench, tests, and user code all run with identical semantics.
+ *
+ * Scale posture (these matter at 1000 executors, set here so local runs
+ * exercise the same plans):
+ *  - AQE on: runtime shuffle-partition coalescing + skew-join splitting.
+ *  - shuffle.partitions sized to the machine locally; on a real cluster
+ *    AQE's coalescing makes the initial number far less sensitive.
+ *  - UTC session timezone: timestamp semantics must match the DuckDB
+ *    oracle and the reference's UTC-epoch handling.
+ *  - nanosAsLong: the testdata events table stores TIMESTAMP(NANOS),
+ *    which Spark only reads as a raw long (converted to a real timestamp
+ *    in Sources.events).
+ */
+object GraftSession {
+
+  def builder(cores: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = builder(cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,53 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import graft.queries.CoreQueries
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.q10DashboardJoin(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg"              -> (CoreQueries.q01Agg _),
+    "q02_latest_event"     -> (CoreQueries.q02LatestEvent _),
+    "q03_top_desc"         -> (CoreQueries.q03TopDesc _),
+    "q04_top_asc"          -> (CoreQueries.q04TopAsc _),
+    "q05_movers_union"     -> (CoreQueries.q05MoversUnion _),
+    "q06_global_sort"      -> (CoreQueries.q06GlobalSort _),
+    "q07_scalar_agg"       -> (CoreQueries.q07ScalarAgg _),
+    "q08_percent_of_total" -> (CoreQueries.q08PercentOfTotal _),
+    "q09_case_when"        -> (CoreQueries.q09CaseWhen _),
+    "q10_dashboard_join"   -> (CoreQueries.q10DashboardJoin _),
+    "q11_explode_words"    -> (CoreQueries.q11ExplodeWords _),
+    "q12_filter"           -> (CoreQueries.q12Filter _),
+    "q13_count"            -> (CoreQueries.q13Count _),
+    "q14_group_distinct"   -> (CoreQueries.q14GroupDistinct _),
+    "q15_semi_join"        -> (CoreQueries.q15Semi _),
+    "q16_anti_join"        -> (CoreQueries.q16Anti _),
+    "q17_from_unixtime"    -> (CoreQueries.q17FromUnixtime _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg"              -> CoreQueries.q01Sql,
+    "q02_latest_event"     -> CoreQueries.q02Sql,
+    "q03_top_desc"         -> CoreQueries.q03Sql,
+    "q04_top_asc"          -> CoreQueries.q04Sql,
+    "q05_movers_union"     -> CoreQueries.q05Sql,
+    "q06_global_sort"      -> CoreQueries.q06Sql,
+    "q07_scalar_agg"       -> CoreQueries.q07Sql,
+    "q08_percent_of_total" -> CoreQueries.q08Sql,
+    "q09_case_when"        -> CoreQueries.q09Sql,
+    "q10_dashboard_join"   -> CoreQueries.q10Sql,
+    "q11_explode_words"    -> CoreQueries.q11Sql,
+    "q12_filter"           -> CoreQueries.q12Sql,
+    "q13_count"            -> CoreQueries.q13Sql,
+    "q14_group_distinct"   -> CoreQueries.q14Sql,
+    "q15_semi_join"        -> CoreQueries.q15Sql,
+    "q16_anti_join"        -> CoreQueries.q16Sql,
+    "q17_from_unixtime"    -> CoreQueries.q17Sql,
+  )
 }
