@@ -5,7 +5,7 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val spark = GraftSession.local()
     // one warmup to amortize JVM/codegen startup out of per-query numbers
     SparkEntry.queries.get("q13_count").foreach(f => f(spark, sfDir).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -27,6 +27,21 @@ object SparkEntry {
     "q15_semi_join"        -> (CoreQueries.q15Semi _),
     "q16_anti_join"        -> (CoreQueries.q16Anti _),
     "q17_from_unixtime"    -> (CoreQueries.q17FromUnixtime _),
+    "q18_dedup_exact"      -> (PipelineQueries.q18DedupExact _),
+    "q19_minhash_lsh"      -> (PipelineQueries.q19MinHashLsh _),
+    "q20_ngram_jaccard"    -> (PipelineQueries.q20NgramJaccard _),
+    "q21_simhash"          -> (PipelineQueries.q21SimHash _),
+    "q22_cosine_topk"      -> (PipelineQueries.q22CosineTopK _),
+    "q23_ann_lsh"          -> (PipelineQueries.q23AnnLsh _),
+    "q24_lang_id"          -> (PipelineQueries.q24LangId _),
+    "q25_quality"          -> (PipelineQueries.q25Quality _),
+    "q26_token_count"      -> (PipelineQueries.q26TokenCount _),
+    "q27_fingerprint"      -> (PipelineQueries.q27Fingerprint _),
+    "q28_multimodal"       -> (PipelineQueries.q28Multimodal _),
+    "q29_window_funcs"     -> (PipelineQueries.q29WindowFuncs _),
+    "q30_rollup"           -> (PipelineQueries.q30Rollup _),
+    "q31_intersect"        -> (PipelineQueries.q31Intersect _),
+    "q32_except"           -> (PipelineQueries.q32Except _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +64,20 @@ object SparkEntry {
     "q15_semi_join"        -> CoreQueries.q15Sql,
     "q16_anti_join"        -> CoreQueries.q16Sql,
     "q17_from_unixtime"    -> CoreQueries.q17Sql,
+    "q18_dedup_exact"      -> PipelineQueries.q18Sql,
+    "q19_minhash_lsh"      -> PipelineQueries.q19Sql,
+    "q20_ngram_jaccard"    -> PipelineQueries.q20Sql,
+    "q21_simhash"          -> PipelineQueries.q21Sql,
+    "q22_cosine_topk"      -> PipelineQueries.q22Sql,
+    "q23_ann_lsh"          -> PipelineQueries.q23Sql,
+    "q24_lang_id"          -> PipelineQueries.q24Sql,
+    "q25_quality"          -> PipelineQueries.q25Sql,
+    "q26_token_count"      -> PipelineQueries.q26Sql,
+    "q27_fingerprint"      -> PipelineQueries.q27Sql,
+    "q28_multimodal"       -> PipelineQueries.q28Sql,
+    "q29_window_funcs"     -> PipelineQueries.q29Sql,
+    "q30_rollup"           -> PipelineQueries.q30Sql,
+    "q31_intersect"        -> PipelineQueries.q31Sql,
+    "q32_except"           -> PipelineQueries.q32Sql,
   )
 }

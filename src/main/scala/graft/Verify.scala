@@ -4,10 +4,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query names (dev iteration aid)
+    val only = args.lift(2).map(_.split(",").toSet)
+    val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // Write instants as TIMESTAMP_NTZ (session TZ is UTC, so values are

@@ -31,4 +31,17 @@ object LatestSnapshot {
       .filter(col("rn") === 1)
       .drop("rn")
   }
+
+  /** Generalized per-key top-K (row_number ≤ k) with explicit sort order —
+    * same WindowGroupLimit rewrite applies: each map task keeps at most k
+    * rows per key before the shuffle. */
+  def topK(df: DataFrame, keys: Seq[String], order: Column,
+           tiebreak: Seq[Column], k: Int): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(order +: tiebreak: _*)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
 }

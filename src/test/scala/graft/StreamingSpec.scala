@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.sources.{Landing, Sources}
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+
+  private val pollJson =
+    """{"data":[
+      |{"id":"bitcoin","rank":"1","symbol":"BTC","name":"Bitcoin",
+      | "supply":"19.0","maxSupply":"21.0","marketCapUsd":"100.0",
+      | "volumeUsd24Hr":"5.0","priceUsd":"10.0","changePercent24Hr":"1.5",
+      | "vwap24Hr":"10.1","explorer":"https://x","tokens":{"1":["0xa"]}},
+      |{"id":"ethereum","rank":"2","symbol":"ETH","name":"Ethereum",
+      | "supply":"120.0","maxSupply":null,"marketCapUsd":"50.0",
+      | "volumeUsd24Hr":"2.0","priceUsd":"5.0","changePercent24Hr":"-0.5",
+      | "vwap24Hr":"5.1","explorer":null,"tokens":{}}
+      |],"timestamp":1748056129137}""".stripMargin
+
+  test("streaming silver ingest produces identical content to batch") {
+    val landing = tmpDir("s-landing")
+    Landing.injectPoll(landing, pollJson, 1748056129137L)
+
+    val batch = graft.etl.BronzeToSilver(
+      Sources.rawPolls(spark, landing), "2025-01-01 00:00:00")
+
+    val silverPath = tmpDir("s-silver") + "/out"
+    Streaming.runSilverIngest(spark, landing, silverPath,
+      tmpDir("s-ckpt"), "2025-01-01 00:00:00")
+    val streamed = spark.read.parquet(silverPath)
+
+    assert(streamed.count() === 2)
+    val cols = batch.columns.sorted.map(col).toSeq
+    assert(streamed.select(cols: _*).except(batch.select(cols: _*)).isEmpty)
+    assert(batch.select(cols: _*).except(streamed.select(cols: _*)).isEmpty)
+  }
+
+  test("streaming ingest is exactly-once across restarts (checkpoint)") {
+    val landing = tmpDir("s2-landing")
+    val silverPath = tmpDir("s2-silver") + "/out"
+    val ckpt = tmpDir("s2-ckpt")
+    Landing.injectPoll(landing, pollJson, 1000L)
+    Streaming.runSilverIngest(spark, landing, silverPath, ckpt, "2025-01-01 00:00:00")
+    // second run, same checkpoint: old file must NOT be re-ingested
+    // (distinct epoch seconds → distinct landing file names)
+    Landing.injectPoll(landing, pollJson, 2000L)
+    Streaming.runSilverIngest(spark, landing, silverPath, ckpt, "2025-01-01 00:00:00")
+    assert(spark.read.parquet(silverPath).count() === 4) // 2 + 2, not 2 + 4
+  }
+
+  test("windowed aggregation matches batch window groupBy") {
+    val events = Sources.events(spark, "/root/testdata/sf0.001")
+    // batch semantics of the same windowed aggregation
+    val expected = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .count()
+    val streamedDef = Streaming.windowedEventCounts(events, "1 hour", "1 hour")
+    // windowedEventCounts is stream-agnostic: on a batch DF it runs directly
+    assert(streamedDef.count() === expected)
+    assert(streamedDef.columns.toSeq ===
+      Seq("window_start", "window_end", "event_type", "n", "total_value"))
+  }
+
+  test("mapGroupsWithState accumulates per-user counts") {
+    import spark.implicits._
+    val ds = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDS()
+    val out = Streaming.userActivity(ds).collect()
+      .map(s => s.user_id -> s).toMap
+    assert(out(1L).n_events === 2 && out(1L).last_seen_ms === 200L)
+    assert(out(2L).n_events === 1)
+    assert(!out(1L).expired)
+  }
+}
