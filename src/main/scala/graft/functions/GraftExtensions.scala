@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.functions.call_function
+
+/**
+ * Session extensions registering graft's native expressions with the
+ * function registry, so they're callable from SQL text and from the Column
+ * API. Installed by `GraftSession` (embedded) or via
+ * `spark.sql.extensions=graft.functions.GraftExtensions` (spark-submit).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[CosineSim].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double vectors"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float/double vectors"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}
+
+/** Column-API entry points for the registered vector functions. */
+object VectorFunctions {
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+}

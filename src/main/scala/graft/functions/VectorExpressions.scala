@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for vector similarity over `array<float>` /
+ * `array<double>` columns.
+ *
+ * Why custom expressions (SURVEY §7.3 extension surface): the built-in
+ * higher-order-function composition (`aggregate(zip_with(...))`) is
+ * interpreted per element through lambda closures and blocks whole-stage
+ * codegen. These expressions compile to a tight primitive loop inside the
+ * generated code — one pass computes dot product and both norms.
+ *
+ * Bit-compatibility contract: accumulation is a strict left-to-right double
+ * fold per accumulator — identical bits to the HOF formulation and to the
+ * DuckDB oracle's list_sum, so swapping implementations never changes
+ * results (asserted by VectorFunctionsSpec).
+ */
+trait VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  protected def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  protected def get(arr: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  /** Java accessor snippet for codegen. */
+  protected def getter(arr: String, i: String, isFloat: Boolean): String =
+    if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+}
+
+/** dot_product(a, b): Σ a_i·b_i over min(|a|,|b|) elements. */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += get(x, i, fx) * get(y, i, fy); i += 1 }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ${getter(a, i, elemIsFloat(left))} *
+         |          ${getter(b, i, elemIsFloat(right))};
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cosine_sim(a, b): dot/(‖a‖·‖b‖), one pass over both arrays. */
+case class CosineSim(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = get(x, i, fx); val yv = get(y, i, fy)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = ${getter(a, i, elemIsFloat(left))};
+         |  double $yv = ${getter(b, i, elemIsFloat(right))};
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

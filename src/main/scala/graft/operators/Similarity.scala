@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.functions.VectorFunctions
 
 /**
  * Similarity search over an embedding column (`array<float>`).
@@ -15,25 +16,29 @@ import org.apache.spark.sql.{Column, DataFrame}
  *    count is small.
  *  - `lshSignatures` / `annTopK`: random-hyperplane LSH — each vector maps
  *    to a compact bit signature; candidate generation is an equi-join on
- *    the signature (or banded sub-signatures), then exact cosine re-ranks
- *    candidates. Turns all-pairs O(n²) into hash-bucket joins; the scale
- *    path for vector-vs-corpus workloads.
+ *    the signature, then exact cosine re-ranks candidates. Turns all-pairs
+ *    O(n²) into hash-bucket joins; the scale path for vector-vs-corpus.
  *
- * All arithmetic is done in DOUBLE with a strict left-to-right fold
- * (`aggregate` over the array), so results are bit-reproducible and
- * oracle-comparable. Hyperplanes are derived from md5 — portable and
- * seedless, same trick as TextDedup.
+ * Vector math runs through graft's native Catalyst expressions
+ * (`cosine_sim`/`dot_product`, one codegen'd pass per pair) — the HOF
+ * formulation (`cosineHof`) is kept as the reference implementation and
+ * asserted bit-equal in VectorFunctionsSpec. Hyperplanes are md5-derived
+ * ±1 coefficients computed ONCE on the driver and embedded as literal
+ * arrays, so executors do zero hashing — portable (the DuckDB oracle
+ * derives the same planes) and cheap.
  */
 object Similarity {
 
-  /** Σ x_i·y_i as a strict sequential double fold (deterministic bits). */
-  def dot(a: Column, b: Column): Column =
+  /** Σ x_i·y_i as a strict sequential double fold via the higher-order
+    * functions — reference semantics for the native expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = VectorFunctions.cosineSim(a, b)
 
   /** Exact top-k most-similar vectors to a literal query vector.
     * `orderBy(desc).limit(k)` compiles to TakeOrderedAndProject. */
@@ -46,32 +51,32 @@ object Similarity {
       .limit(k)
   }
 
-  /** ±1 hyperplane coefficient for (plane p, dimension d), derived from
-    * md5 — the parity of the first hex nibble of md5("p_d"). Built from
-    * Column ops (not an expr string) so it composes with lambda variables. */
-  private def planeCoef(p: Column, d: Column): Column =
-    (conv(substring(md5(concat(p.cast(StringType), lit("_"), d.cast(StringType))),
-      1, 1), 16, 10).cast(IntegerType) % 2) * 2 - 1
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** ±1 hyperplane coefficients for plane p: parity of the first hex
+    * nibble of md5("p_d") per dimension — seedless and engine-portable. */
+  def hyperplane(p: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { d =>
+      ((Integer.parseInt(md5Hex(s"${p}_$d").substring(0, 1), 16) % 2) * 2 - 1).toDouble
+    }
 
   /**
-   * Random-hyperplane LSH signature (`nPlanes`-bit int): bit p = 1 iff the
-   * projection of the vector onto hyperplane p is positive. Computed as a
-   * strict fold per plane — narrow, codegen-friendly, no shuffle.
+   * Random-hyperplane LSH signature (`nPlanes`-bit long): bit p = 1 iff
+   * vec · plane_p > 0. One narrow projection — each plane is a literal
+   * coefficient array folded through the native dot_product, so the whole
+   * signature is a single codegen'd expression with no shuffle, no explode,
+   * and no per-row hashing.
    */
-  def lshSignatures(embeddings: DataFrame, idCol: String, vecCol: String,
-                    nPlanes: Int = 12): DataFrame = {
-    // sig = Σ_p (proj_p > 0) << p, where proj_p = Σ_d v[d] * coef(p, d)
-    val planes = embeddings.select(col(idCol), col(vecCol),
-        explode(sequence(lit(0), lit(nPlanes - 1))).as("p"))
-      .withColumn("d_idx", sequence(lit(0), size(col(vecCol)) - 1))
-      .withColumn("proj",
-        aggregate(
-          zip_with(col(vecCol), col("d_idx"),
-            (v, d) => v.cast(DoubleType) * planeCoef(col("p"), d)),
-          lit(0.0), (acc, x) => acc + x))
-    planes.groupBy(col(idCol))
-      .agg(sum(when(col("proj") > 0, expr("cast(shiftleft(1L, p) as bigint)"))
-        .otherwise(lit(0L))).as("lsh_sig"))
+  def lshSignatures(embeddings: DataFrame, vecCol: String,
+                    nPlanes: Int, dims: Int): DataFrame = {
+    val sig = (0 until nPlanes).map { p =>
+      val coefs = array(hyperplane(p, dims).map(lit): _*)
+      when(VectorFunctions.dotProduct(col(vecCol), coefs) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    embeddings.withColumn("lsh_sig", sig)
   }
 
   /**
@@ -81,9 +86,9 @@ object Similarity {
    * rate; recall is tunable via nPlanes (fewer planes → bigger buckets).
    */
   def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-              queryPred: Column, k: Int, nPlanes: Int = 12): DataFrame = {
-    val sigs = lshSignatures(embeddings, idCol, vecCol, nPlanes)
-    val withSig = embeddings.join(sigs, idCol)
+              queryPred: Column, k: Int, nPlanes: Int = 12,
+              dims: Int = 64): DataFrame = {
+    val withSig = lshSignatures(embeddings, vecCol, nPlanes, dims)
     val queries = withSig.filter(queryPred)
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("lsh_sig"))
     val cands = queries.join(

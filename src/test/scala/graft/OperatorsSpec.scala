@@ -120,7 +120,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("ANN LSH buckets colinear vectors together and finds them") {
     val out = Similarity.annTopK(vecs, "vec_id", "embedding",
-      $"vec_id" === 0, k = 5, nPlanes = 4)
+      $"vec_id" === 0, k = 5, nPlanes = 4, dims = 3)
     val hits = out.collect().map(_.getAs[Long]("c_id")).toSet
     assert(hits.contains(4L)) // identical vector always shares the bucket
     assert(!hits.contains(3L)) // opposite vector flips every plane bit
