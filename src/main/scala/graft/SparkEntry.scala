@@ -42,6 +42,9 @@ object SparkEntry {
     "q30_rollup"           -> (PipelineQueries.q30Rollup _),
     "q31_intersect"        -> (PipelineQueries.q31Intersect _),
     "q32_except"           -> (PipelineQueries.q32Except _),
+    "q33_approx_distinct"  -> (PipelineQueries.q33ApproxDistinct _),
+    "q34_pivot"            -> (PipelineQueries.q34Pivot _),
+    "q35_salted_join"      -> (PipelineQueries.q35SaltedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,5 +82,8 @@ object SparkEntry {
     "q30_rollup"           -> PipelineQueries.q30Sql,
     "q31_intersect"        -> PipelineQueries.q31Sql,
     "q32_except"           -> PipelineQueries.q32Sql,
+    // q33 omitted: HLL sketches differ across engines (rows-only check)
+    "q34_pivot"            -> PipelineQueries.q34Sql,
+    "q35_salted_join"      -> PipelineQueries.q35Sql,
   )
 }

@@ -356,4 +356,53 @@ object PipelineQueries {
       |EXCEPT
       |SELECT user_id FROM events WHERE event_type = 'error'
       |ORDER BY user_id""".stripMargin
+
+  /** q33: HLL approximate distinct alongside the exact count. No SQL
+    * oracle — HLL sketches are implementation-specific across engines
+    * (driver records the weaker rows-only check); ApproxDistinctSpec
+    * asserts the ±5% error bound against the exact count instead. */
+  def q33ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Sources.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** q34: pivot event types to columns (counts; absent combinations 0). */
+  def q34Pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Sources.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("user_id"))
+  }
+
+  val q34Sql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q35: salted skew join — provably identical results to the plain
+    * join, which is exactly what the oracle runs. */
+  def q35SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = Sources.orders(s, dir)
+    val cust = Sources.customer(s, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    graft.operators.SkewJoin.saltedInnerJoin(orders, cust, "o_custkey", n = 8)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("c_name"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q35Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, c_name
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
 }

@@ -32,4 +32,24 @@ object Sinks {
     appendHistory(df, historyPath)
     overwriteCurrent(df, currentPath, table, spark)
   }
+
+  /** Partitioned append — the 100 TB posture for history tables (SURVEY
+    * §4.3 notes the reference writes unpartitioned; at scale, partition
+    * pruning on the query key is the difference between scanning a day and
+    * scanning a decade). */
+  def appendPartitioned(df: DataFrame, path: String,
+                        partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed managed table: co-locates join/agg keys at write time so
+    * repeated joins on `keys` run with NO exchange on either side
+    * (asserted by PlanShapeSpec). The warehouse-side answer to "this join's
+    * shuffle is the bottleneck at 100 TB". */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }
