@@ -9,6 +9,10 @@ object Bench {
     // one warmup to amortize JVM/codegen startup out of per-query numbers
     SparkEntry.queries.get("q13_count").foreach(f => f(spark, sfDir).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // measure each query from a quiesced heap: accumulated broadcast /
+      // shuffle state from earlier queries otherwise taxes the later ones
+      // with GC pauses that aren't part of the query's own cost
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

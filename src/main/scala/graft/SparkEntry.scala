@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CoreQueries, PipelineQueries}
+import graft.queries.{CoreQueries, ExtrasQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -45,6 +45,9 @@ object SparkEntry {
     "q33_approx_distinct"  -> (PipelineQueries.q33ApproxDistinct _),
     "q34_pivot"            -> (PipelineQueries.q34Pivot _),
     "q35_salted_join"      -> (PipelineQueries.q35SaltedJoin _),
+    "q36_string_funcs"     -> (ExtrasQueries.q36StringFuncs _),
+    "q37_ranks"            -> (ExtrasQueries.q37Ranks _),
+    "q38_curation"         -> (ExtrasQueries.q38Curation _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,5 +88,8 @@ object SparkEntry {
     // q33 omitted: HLL sketches differ across engines (rows-only check)
     "q34_pivot"            -> PipelineQueries.q34Sql,
     "q35_salted_join"      -> PipelineQueries.q35Sql,
+    "q36_string_funcs"     -> ExtrasQueries.q36Sql,
+    "q37_ranks"            -> ExtrasQueries.q37Sql,
+    "q38_curation"         -> ExtrasQueries.q38Sql,
   )
 }

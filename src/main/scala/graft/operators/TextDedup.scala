@@ -31,7 +31,11 @@ object TextDedup {
   def shingles(docs: DataFrame, idCol: String, textCol: String,
                w: Int = 3): DataFrame = {
     val ws = split(col(textCol), " ")
-    docs.select(
+    // Spread documents across the cluster BEFORE the explode: a corpus read
+    // from few input splits would otherwise run the whole shingle+hash
+    // pipeline on as many cores as there are files. The 1-row-in → many-out
+    // Generate makes this cheap shuffle pay for itself immediately.
+    docs.repartition(col(idCol)).select(
         col(idCol),
         explode(array_distinct(
           when(size(ws) >= w,
@@ -64,7 +68,10 @@ object TextDedup {
   def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
     val a = bands.select(col(idCol).as("d1"), col("band"), col("bh"))
     val b = bands.select(col(idCol).as("d2"), col("band"), col("bh"))
-    a.join(b, Seq("band", "bh")).filter(col("d1") < col("d2"))
+    // shuffle_hash: never materialize the band table as a broadcast
+    // HashedRelation — both sides are |docs|×bands and partition cleanly
+    a.join(b.hint("shuffle_hash"), Seq("band", "bh"))
+      .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
   }
 
@@ -75,8 +82,9 @@ object TextDedup {
   private def candidateIntersections(sh: DataFrame, idCol: String,
                                      pairs: DataFrame): DataFrame =
     pairs
-      .join(sh.select(col(idCol).as("d1"), col("s")), "d1")
-      .join(sh.select(col(idCol).as("d2"), col("s")), Seq("d2", "s"))
+      .join(sh.select(col(idCol).as("d1"), col("s")).hint("shuffle_hash"), "d1")
+      .join(sh.select(col(idCol).as("d2"), col("s")).hint("shuffle_hash"),
+        Seq("d2", "s"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
 
   /** |A∩B| for EVERY pair sharing ≥1 shingle: a single inverted-index
@@ -86,7 +94,9 @@ object TextDedup {
     * upstream when Σ c_s² explodes. */
   def pairIntersections(sh: DataFrame, idCol: String): DataFrame =
     sh.select(col(idCol).as("d1"), col("s"))
-      .join(sh.select(col(idCol).as("d2"), col("s")), "s")
+      // the exploded shingle table must never be broadcast (it's the big
+      // side post-Generate; Spark's pre-explode size estimate says tiny)
+      .join(sh.select(col(idCol).as("d2"), col("s")).hint("shuffle_hash"), "s")
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
 

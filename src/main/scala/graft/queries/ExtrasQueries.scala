@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{TextAnalysis, TextDedup}
+import graft.sources.Sources
+
+/** Remaining function surface (SURVEY §2.9's imported-but-unused built-ins,
+  * ranking analytics) and the flagship curation composite. */
+object ExtrasQueries {
+
+  /** q36: sha2 / concat_ws / trim / upper — the template functions the
+    * reference imports but never calls (2-spark…py:9), exposed for real. */
+  def q36StringFuncs(s: SparkSession, dir: String): DataFrame =
+    Sources.customer(s, dir).select(
+      col("c_custkey"),
+      upper(trim(col("c_name"))).as("name_up"),
+      sha2(concat_ws("|", col("c_name"), col("c_mktsegment")), 256)
+        .as("row_hash"))
+    .orderBy(col("c_custkey"))
+
+  val q36Sql: String =
+    """SELECT c_custkey, upper(trim(c_name)) AS name_up,
+      |  sha256(concat_ws('|', c_name, c_mktsegment)) AS row_hash
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** q37: ranking analytics — rank / dense_rank / percent_rank per order
+    * priority (percent_rank = (rank-1)/(n-1), exact division). */
+  def q37Ranks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Sources.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q37Sql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  percent_rank() OVER w AS prnk
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /**
+   * q38: the curation pipeline composite — what this engine exists for at
+   * 100 TB: quality gate (length + alpha ratio) → language gate → near-dup
+   * removal (canonical = smallest doc_id of each ≥0.5-Jaccard pair
+   * survives, via left_anti join on the dup-pair d2 side). Every stage is
+   * an operator verified individually by q20/q24/q25; this proves they
+   * compose.
+   */
+  def q38Curation(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val feats = TextAnalysis.qualityScore(docs, "doc_id", "text")
+    val langs = TextAnalysis.languageId(docs, "doc_id", "text")
+    val dups = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        w = 3, threshold = 0.5)
+      .select(col("d2").as("doc_id")).distinct()
+    feats.join(langs, "doc_id")
+      .filter(col("n_words") >= 10 && col("alpha_ratio") > 0.5 &&
+        col("predicted_lang") =!= "und")
+      .join(dups, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("predicted_lang"), col("n_words"),
+        col("alpha_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q38Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |dups AS (SELECT DISTINCT i.d2 AS doc_id
+      |         FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
+      |                      JOIN sz s2 ON i.d2 = s2.doc_id
+      |         WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= 0.5),
+      |feats AS (SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_words,
+      |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |    / length(text) AS alpha_ratio,
+      |  list_distinct(string_split(text, ' ')) AS wset
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |  len(list_intersect(wset, ['the','and','of','to','in'])) AS en,
+      |  len(list_intersect(wset, ['el','la','de','que','los'])) AS es,
+      |  len(list_intersect(wset, ['le','la','et','les','des'])) AS fr,
+      |  len(list_intersect(wset, ['der','die','und','das','ist'])) AS de
+      |  FROM feats),
+      |langs AS (SELECT doc_id,
+      |  CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+      |       WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+      |       WHEN es >= fr AND es >= de THEN 'es'
+      |       WHEN fr >= de THEN 'fr'
+      |       ELSE 'de' END AS predicted_lang
+      |  FROM h)
+      |SELECT f.doc_id, l.predicted_lang, f.n_words, f.alpha_ratio
+      |FROM feats f
+      |JOIN langs l ON f.doc_id = l.doc_id
+      |WHERE f.n_words >= 10 AND f.alpha_ratio > 0.5
+      |  AND l.predicted_lang <> 'und'
+      |  AND f.doc_id NOT IN (SELECT doc_id FROM dups)
+      |ORDER BY f.doc_id""".stripMargin
+}
