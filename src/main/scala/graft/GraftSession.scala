@@ -27,6 +27,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // reference parity: the reference ran Spark 3.x (ANSI off) — its
+      // string→numeric casts turn malformed input into null, never errors
+      // (SURVEY §2.2 P2/P3). Spark 4 defaults ANSI on; pin it off.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")

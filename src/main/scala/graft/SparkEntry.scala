@@ -48,6 +48,8 @@ object SparkEntry {
     "q36_string_funcs"     -> (ExtrasQueries.q36StringFuncs _),
     "q37_ranks"            -> (ExtrasQueries.q37Ranks _),
     "q38_curation"         -> (ExtrasQueries.q38Curation _),
+    "q39_asof_join"        -> (ExtrasQueries.q39AsOfJoin _),
+    "q40_interval_join"    -> (ExtrasQueries.q40IntervalJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,5 +93,7 @@ object SparkEntry {
     "q36_string_funcs"     -> ExtrasQueries.q36Sql,
     "q37_ranks"            -> ExtrasQueries.q37Sql,
     "q38_curation"         -> ExtrasQueries.q38Sql,
+    "q39_asof_join"        -> ExtrasQueries.q39Sql,
+    "q40_interval_join"    -> ExtrasQueries.q40Sql,
   )
 }

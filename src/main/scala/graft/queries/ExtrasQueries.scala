@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{TextAnalysis, TextDedup}
+import graft.operators.{AsOfJoin, IntervalJoin, TextAnalysis, TextDedup}
 import graft.sources.Sources
 
 /** Remaining function surface (SURVEY §2.9's imported-but-unused built-ins,
@@ -112,4 +112,58 @@ object ExtrasQueries {
       |  AND l.predicted_lang <> 'und'
       |  AND f.doc_id NOT IN (SELECT doc_id FROM dups)
       |ORDER BY f.doc_id""".stripMargin
+
+  /** q39: as-of join — each view event gets the latest purchase (same
+    * user, purchase time ≤ view time). The operator Spark lacks natively;
+    * DuckDB's built-in ASOF JOIN is the oracle. */
+  def q39AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = Sources.events(s, dir)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_event_id"),
+        col("value").as("purchase_value"))
+    AsOfJoin(views, purchases, Seq("user_id"), "ts",
+        Seq("purchase_event_id", "purchase_value"),
+        rightOrder = col("purchase_event_id"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("purchase_event_id"), col("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q39Sql: String =
+    """WITH rdedup AS (
+      |  SELECT user_id, ts, max(event_id) AS purchase_event_id
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+      |r AS (SELECT d.user_id, d.ts, d.purchase_event_id,
+      |        e.value AS purchase_value
+      |      FROM rdedup d JOIN events e ON e.event_id = d.purchase_event_id)
+      |SELECT l.event_id, l.user_id, l.value,
+      |  r.purchase_event_id, r.purchase_value
+      |FROM events l
+      |ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |WHERE l.event_type = 'view'
+      |ORDER BY l.event_id""".stripMargin
+
+  /** q40: bucketized interval join — event pairs per user within 60 s
+    * (later ← earlier). Oracle is the plain inequality join. */
+  def q40IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    IntervalJoin(ev, ev, Seq("user_id"), "ts", maxDelayMicros = 60000000L)
+      .filter(col("l_event_id") =!= col("r_event_id"))
+      .select(col("l_event_id"), col("r_event_id"), col("user_id"),
+        col("l_event_type"), col("r_event_type"))
+      .orderBy(col("l_event_id"), col("r_event_id"))
+  }
+
+  val q40Sql: String =
+    """SELECT l.event_id AS l_event_id, r.event_id AS r_event_id,
+      |  l.user_id, l.event_type AS l_event_type, r.event_type AS r_event_type
+      |FROM events l JOIN events r
+      |  ON l.user_id = r.user_id
+      | AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 60 SECOND
+      | AND l.event_id <> r.event_id
+      |ORDER BY l_event_id, r_event_id""".stripMargin
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{IntervalJoin, TextDedup}
+
+/** Property-based invariants (ScalaCheck). Iteration counts are small —
+  * each case spins Spark jobs — but generators cover the nasty shapes:
+  * malformed numerics, null-heavy payloads, duplicate/empty texts. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic mini-forAll: 5 samples per property off a fixed seed
+    * (the scalatest-scalacheck bridge isn't in the offline cache). */
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    (0 until 5).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private val numericish: Gen[String] = Gen.oneOf(
+    Gen.choose(-1e12, 1e12).map(_.toString),
+    Gen.const("19868975.0000000000000000"),
+    Gen.const(""), Gen.const("not-a-number"), Gen.const("1e999"),
+    Gen.const("NaN"), Gen.const("null"))
+
+  test("ANSI-off cast parity: string→double never throws, malformed → null") {
+    forAll(Gen.listOfN(20, numericish)) { xs =>
+      val out = xs.toDF("s").select($"s".cast("double").as("d")).collect()
+      assert(out.length === xs.length) // no exception = reference semantics
+      out.zip(xs).foreach { case (r, s) =>
+        val expectNull = scala.util.Try(s.trim.toDouble).isFailure
+        if (!expectNull) assert(!r.isNullAt(0), s"'$s' should cast")
+      }
+    }
+  }
+
+  private val word: Gen[String] = Gen.oneOf(
+    "the", "spark", "scan", "join", "sort", "hash", "window", "batch")
+  private val text: Gen[String] =
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  test("shingle count is max(0, words - w + 1) capped by distinctness") {
+    forAll(Gen.listOfN(8, text)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val counts = TextDedup.shingles(docs, "doc_id", "text")
+        .groupBy("doc_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val n = t.split(" ").length
+        val expectedMax = math.max(0, n - 2)
+        val got = counts.getOrElse(i.toLong, 0L)
+        assert(got <= expectedMax)
+        if (n >= 3) assert(got >= 1)
+      }
+    }
+  }
+
+  test("jaccard is in (0,1], symmetric-canonical (d1<d2), and 1 for exact dups") {
+    forAll(Gen.listOfN(6, text.suchThat(_.split(" ").length >= 3))) { texts =>
+      val withDup = texts :+ texts.head // force one exact duplicate
+      val docs = withDup.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.0).collect()
+      pairs.foreach { r =>
+        assert(r.getLong(0) < r.getLong(1))
+        val j = r.getDouble(2)
+        assert(j > 0 && j <= 1.0)
+      }
+      val dupPair = pairs.find(r =>
+        r.getLong(0) == 0L && r.getLong(1) == withDup.length - 1L)
+      assert(dupPair.exists(_.getDouble(2) === 1.0))
+    }
+  }
+
+  test("simhash is deterministic and equal for equal texts") {
+    forAll(text.suchThat(_.nonEmpty)) { t =>
+      val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+      val sigs = TextDedup.simHash(docs, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sigs(1L) === sigs(2L))
+    }
+  }
+
+  test("interval join equals the naive inequality join") {
+    val ts0 = 1700000000000000L // epoch micros
+    val evGen = Gen.listOfN(25, for {
+      u <- Gen.choose(1, 3)
+      dt <- Gen.choose(0L, 300000000L) // 0–300 s spread
+    } yield (u.toLong, ts0 + dt))
+    forAll(evGen) { evs =>
+      val df = evs.zipWithIndex
+        .map { case ((u, t), i) => (i.toLong, u, t) }
+        .toDF("event_id", "user_id", "us")
+        .withColumn("ts", timestamp_micros($"us")).drop("us")
+      val fast = IntervalJoin(df, df, Seq("user_id"), "ts", 60000000L)
+        .filter($"l_event_id" =!= $"r_event_id")
+        .select($"l_event_id", $"r_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = (for {
+        ((u1, t1), i1) <- evs.zipWithIndex
+        ((u2, t2), i2) <- evs.zipWithIndex
+        if u1 == u2 && i1 != i2 && t1 - t2 >= 0 && t1 - t2 <= 60000000L
+      } yield (i1.toLong, i2.toLong)).toSet
+      assert(fast === naive)
+    }
+  }
+}
