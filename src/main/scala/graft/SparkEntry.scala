@@ -50,6 +50,7 @@ object SparkEntry {
     "q38_curation"         -> (ExtrasQueries.q38Curation _),
     "q39_asof_join"        -> (ExtrasQueries.q39AsOfJoin _),
     "q40_interval_join"    -> (ExtrasQueries.q40IntervalJoin _),
+    "q41_cosine_near_dup"  -> (ExtrasQueries.q41CosineNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -95,5 +96,6 @@ object SparkEntry {
     "q38_curation"         -> ExtrasQueries.q38Sql,
     "q39_asof_join"        -> ExtrasQueries.q39Sql,
     "q40_interval_join"    -> ExtrasQueries.q40Sql,
+    "q41_cosine_near_dup"  -> ExtrasQueries.q41Sql,
   )
 }

@@ -80,6 +80,25 @@ object Similarity {
   }
 
   /**
+   * Embedding-cosine near-duplicate pairs: all (d1 < d2) pairs with
+   * cosine ≥ threshold. Exact blocked self-join — one side broadcasts and
+   * the codegen'd cosine filters pairs inside the join loop, so nothing
+   * quadratic ever materializes. Exact all-pairs is the right tool up to
+   * ~10⁵ vectors per block; beyond that, bucket first with
+   * `lshSignatures` and run this within buckets (same contract as the
+   * text-side MinHash→verify split).
+   */
+  def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val a = embeddings.select(col(idCol).as("d1"), col(vecCol).as("v1"))
+    val b = embeddings.select(col(idCol).as("d2"), col(vecCol).as("v2"))
+    a.join(b, col("d1") < col("d2"))
+      .withColumn("cosine", round(cosine(col("v1"), col("v2")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("d1"), col("d2"), col("cosine"))
+  }
+
+  /**
    * ANN top-k: for each query vector (a subset of the corpus given by
    * `queryPred`), candidates = corpus vectors sharing the LSH signature
    * bucket, re-ranked by exact cosine. Bucket join scales as the collision

@@ -44,16 +44,26 @@ object TextDedup {
             .otherwise(array().cast(ArrayType(StringType))))).as("s"))
   }
 
-  /** MinHash signature in long form: (docId, i, sig) for i in 0..k-1 where
-    * sig_i = min over shingles of md5(i || '_' || shingle). Using the
-    * lexicographic min of a salted md5 hex string is a portable, seedless
-    * permutation family. */
+  /** First 8 hex chars of md5(salt ‖ input) as a 32-bit value in a long. */
+  private def md5Word32(salt: String, input: Column): Column =
+    conv(substring(md5(concat(lit(salt), input)), 1, 8), 16, 10).cast(LongType)
+
+  /** MinHash signatures in long form: (docId, i, sig) for i in 0..k-1.
+    * The k permutations are derived from TWO md5 words per shingle via the
+    * Kirsch–Mitzenmacher construction g_i = (h1 + i·h2) mod 2³² — one md5
+    * costs ~50× an integer multiply-add, so hashing drops from k to 2
+    * digests per shingle with the same (pairwise-independent) LSH
+    * guarantees. Both h-words and the mod arithmetic are engine-portable:
+    * the DuckDB oracle reproduces every signature exactly. */
   def minHashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame =
-    sh.select(col(idCol), explode(sequence(lit(0), lit(k - 1))).as("i"), col("s"))
+    sh.select(col(idCol),
+        md5Word32("a_", col("s")).as("h1"), md5Word32("b_", col("s")).as("h2"))
+      .select(col(idCol), explode(sequence(lit(0), lit(k - 1))).as("i"),
+        col("h1"), col("h2"))
       .select(col(idCol), col("i"),
-        md5(concat(col("i").cast(StringType), lit("_"), col("s"))).as("h"))
+        ((col("h1") + col("i") * col("h2")) % 4294967296L).as("g"))
       .groupBy(col(idCol), col("i"))
-      .agg(min(col("h")).as("sig"))
+      .agg(min(col("g")).as("sig"))
 
   /** LSH band hashes: (docId, band, bh) where band = i / r and bh hashes the
     * band's r signature values in i order. */
@@ -62,7 +72,7 @@ object TextDedup {
       .groupBy(col(idCol), col("band"))
       .agg(md5(concat_ws(",",
         transform(array_sort(collect_list(struct(col("i"), col("sig")))),
-          x => x.getField("sig")))).as("bh"))
+          x => x.getField("sig").cast(StringType)))).as("bh"))
 
   /** Candidate pairs (d1 < d2) sharing at least one LSH band. */
   def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, IntervalJoin, TextAnalysis, TextDedup}
+import graft.operators.{AsOfJoin, IntervalJoin, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Sources
 
 /** Remaining function surface (SURVEY §2.9's imported-but-unused built-ins,
@@ -166,4 +166,29 @@ object ExtrasQueries {
       | AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 60 SECOND
       | AND l.event_id <> r.event_id
       |ORDER BY l_event_id, r_event_id""".stripMargin
+
+  /** q41: embedding-cosine near-dup pairs (exact, cosine ≥ 0.45). */
+  def q41CosineNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(Sources.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.45)
+      .orderBy(col("d1"), col("d2"))
+
+  val q41Sql: String =
+    """SELECT a.vec_id AS d1, b.vec_id AS d2, round(
+      |  list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+      |  (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |     i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+      |   sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+      |     i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6)
+      |  AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(
+      |  list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+      |  (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |     i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+      |   sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+      |     i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) >= 0.45
+      |ORDER BY d1, d2""".stripMargin
 }

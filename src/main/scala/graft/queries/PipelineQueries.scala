@@ -59,10 +59,18 @@ object PipelineQueries {
       |         unnest(list_transform(range(1, len(w) - 1),
       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
       |       FROM ws WHERE len(w) >= 3),
-      |sig AS (SELECT doc_id, i, min(md5(i::VARCHAR || '_' || s)) AS sig
-      |        FROM sh CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
+      |hw AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h1,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h2
+      |       FROM sh),
+      |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+      |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
       |bands AS (SELECT doc_id, i // 4 AS band,
-      |            md5(string_agg(sig, ',' ORDER BY i)) AS bh
+      |            md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bh
       |          FROM sig GROUP BY doc_id, i // 4),
       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
