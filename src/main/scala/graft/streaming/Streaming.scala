@@ -58,6 +58,14 @@ object Streaming {
         col("window.end").as("window_end"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming dedup: drop repeated ids arriving within the watermark
+    * horizon (state is bounded by the watermark — the streaming analog of
+    * exact dedup, for at-least-once upstreams). */
+  def dedupedStream(events: DataFrame, idCols: Seq[String],
+                    watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   final case class SessionState(nEvents: Long, lastTs: Long)
   final case class UserSession(user_id: Long, n_events: Long,
                                last_seen_ms: Long, expired: Boolean)

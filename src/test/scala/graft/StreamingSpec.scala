@@ -64,6 +64,50 @@ class StreamingSpec extends SparkSpec {
       Seq("window_start", "window_end", "event_type", "n", "total_value"))
   }
 
+  test("windowed aggregation runs as a true stream and matches batch") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = Sources.events(spark, sf)
+    val expected = Streaming.windowedEventCounts(batch, "1 hour", "1 hour")
+      .collect().toSet
+
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    // file-stream source requires a directory: stage the table file into one
+    val streamDir = tmpDir("wec-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    val stream = spark.readStream.schema(raw.schema).parquet(streamDir)
+    val streamEvents = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => stream
+    }
+    val q = Streaming.windowedEventCounts(streamEvents, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("wec")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("wec").collect().toSet === expected)
+  }
+
+  test("streaming dedup drops repeats within the watermark") {
+    import spark.implicits._
+    val dir = tmpDir("dup-stream")
+    val rows = Seq((1L, "2024-01-01 00:00:01"), (2L, "2024-01-01 00:00:02"))
+      .toDF("event_id", "tss").withColumn("ts", col("tss").cast("timestamp"))
+      .drop("tss")
+    // two files with identical rows → in-stream duplicates
+    rows.coalesce(1).write.parquet(s"$dir/a")
+    rows.coalesce(1).write.parquet(s"$dir/b")
+    val stream = spark.readStream.schema(rows.schema).parquet(s"$dir/*/")
+    val q = Streaming.dedupedStream(stream, Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("dedup_stream").select("event_id").collect()
+      .map(_.getLong(0)).sorted === Array(1L, 2L))
+  }
+
   test("mapGroupsWithState accumulates per-user counts") {
     import spark.implicits._
     val ds = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDS()
