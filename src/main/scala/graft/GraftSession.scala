@@ -31,6 +31,11 @@ object GraftSession {
       // string→numeric casts turn malformed input into null, never errors
       // (SURVEY §2.2 P2/P3). Spark 4 defaults ANSI on; pin it off.
       .config("spark.sql.ansi.enabled", "false")
+      // shuffle/broadcast scratch on tmpfs: local-mode shuffle volume is
+      // small but disk-latency-sensitive; on a shared host, /tmp-on-disk
+      // periodically starves the shuffle-heavy pipelines (measured 10-60×
+      // inflation). On a real cluster this maps to fast local SSDs.
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
