@@ -126,13 +126,42 @@ object TextDedup {
   def jaccard(sh: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     jaccardFromInter(candidateIntersections(sh, idCol, pairs), sh, idCol)
 
+  /** Wide MinHash signatures: one row per doc with sig_0..sig_{k-1} —
+    * k `min` aggregates over the K-M permutations in a SINGLE groupBy
+    * (one shuffle of |shingle| rows, no ×k explode; identical values to
+    * the long form / oracle). */
+  def minHashSignaturesWide(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val withH = sh.select(col(idCol),
+      md5Word32("a_", col("s")).as("h1"), md5Word32("b_", col("s")).as("h2"))
+    val mins = (0 until k).map(i =>
+      min((col("h1") + lit(i) * col("h2")) % 4294967296L).as(s"sig_$i"))
+    withH.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH band rows from wide signatures: a pure projection (band hashes
+    * are concat+md5 of the band's sig columns) exploded to (doc, band,
+    * bh) — no aggregation, no extra shuffle. */
+  def lshBandsFromWide(sigs: DataFrame, idCol: String, k: Int,
+                       r: Int): DataFrame = {
+    val bandStructs = (0 until k / r).map { b =>
+      val cols = (b * r until (b + 1) * r)
+        .map(i => col(s"sig_$i").cast(StringType))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bh"))
+    }
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.bh").as("bh"))
+  }
+
   /** MinHash+LSH near-duplicate pairs verified with exact Jaccard ≥
-    * threshold. k hashes, bands of r rows → LSH threshold ≈ (1/b)^(1/r). */
+    * threshold. k hashes, bands of r rows → LSH threshold ≈ (1/b)^(1/r).
+    * Plan shape: shingles → 1 groupBy (wide sigs) → band projection →
+    * band self-join → pruned verification — three shuffles end to end. */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 16, r: Int = 2, w: Int = 3,
                       threshold: Double = 0.5): DataFrame = {
     val sh = shingles(docs, idCol, textCol, w)
-    val cand = lshCandidates(lshBands(minHashSignatures(sh, idCol, k), idCol, r), idCol)
+    val bands = lshBandsFromWide(minHashSignaturesWide(sh, idCol, k), idCol, k, r)
+    val cand = lshCandidates(bands, idCol)
     jaccard(sh, idCol, cand).filter(col("jaccard") >= threshold)
   }
 
