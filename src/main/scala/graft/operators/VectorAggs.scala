@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Distributed vector aggregation + IVF-style approximate nearest neighbor.
+ *
+ * Determinism contract (shared with the DuckDB oracle): every float
+ * component is widened to double, rounded to 6 dp, and summed as
+ * DECIMAL(38,6) — an exact, order-independent accumulation, so the mean is
+ * bit-identical regardless of partitioning. (A raw double sum would be
+ * partition-order dependent; a raw float→decimal cast diverges across
+ * engines in the 18th digit.) All cosine scores are rounded to 6 dp before
+ * any ranking, with id tiebreaks — the project-wide rule that makes top-k
+ * cuts reproducible.
+ *
+ * Scale shape:
+ *  - `centroids`: posexplode → groupBy(label, dim). One shuffle keyed on
+ *    (label, dim) — at 100 TB the fan-out is rows×dims but each post-shuffle
+ *    group is tiny and partial aggregation (map-side combine) reduces
+ *    traffic to n_labels×dims×n_partitions records.
+ *  - `ivfTopK`: the centroid table is n_list rows → broadcast everywhere;
+ *    assignment is a narrow map over the corpus (no shuffle of vectors);
+ *    probing touches only nprobe/n_list of the corpus — the IVF trade that
+ *    makes billion-vector search tractable. Here the coarse quantizer is
+ *    the label column (deterministic stand-in for trained k-means
+ *    centroids); swapping in trained centroids changes only the `cent`
+ *    input, not the dataflow.
+ */
+object VectorAggs {
+
+  /** Exact 6-dp component rounding → DECIMAL(38,6): the portable unit of
+    * order-independent vector accumulation. */
+  private def dec6(c: Column): Column =
+    round(c.cast(DoubleType), 6).cast(DecimalType(38, 6))
+
+  /** Per-(label, dim) mean component — long format (label, dim, centroid),
+    * dim 0-based, centroid rounded to 6 dp. */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(round(sum(dec6(col("x"))).cast(DoubleType) / count(lit(1)), 6)
+        .as("centroid"))
+
+  /** Centroid as an array column: (label, centroid_vec) — dims reassembled
+    * in order via sort of (dim, value) structs. */
+  def centroidVectors(df: DataFrame, labelCol: String,
+                      vecCol: String): DataFrame =
+    centroids(df, labelCol, vecCol)
+      .groupBy(col(labelCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid")).as("centroid_vec"))
+
+  /** Nearest centroid per vector (max 6-dp cosine, label-asc tiebreak).
+    * `cent` must be (labelCol, centroid_vec); it is broadcast. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                cent: DataFrame, labelCol: String): DataFrame = {
+    val scored = df.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        round(Similarity.cosine(col(vecCol), col("centroid_vec")), 6))
+    LatestSnapshot.topK(scored, Seq(idCol),
+        col("ccos").desc, Seq(col(labelCol).asc), 1)
+      .select(col(idCol), col(labelCol).as("cluster"), col(vecCol))
+  }
+
+  /**
+   * IVF ANN top-k: queries (rows matching `queryPred`) probe their
+   * `nprobe` nearest centroid buckets and are re-ranked by exact cosine
+   * against only the vectors assigned to those buckets.
+   */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+              queryPred: Column, k: Int, nprobe: Int): DataFrame = {
+    val cent = centroidVectors(df, labelCol, vecCol)
+    val assign = ivfAssign(df, idCol, vecCol, cent, labelCol)
+      .select(col(idCol).as("c_id"), col("cluster"),
+        col(vecCol).as("c_vec"))
+    val qScored = df.filter(queryPred)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        round(Similarity.cosine(col("q_vec"), col("centroid_vec")), 6))
+    val probes = LatestSnapshot.topK(qScored, Seq("q_id"),
+        col("ccos").desc, Seq(col(labelCol).asc), nprobe)
+      .select(col("q_id"), col("q_vec"), col(labelCol).as("cluster"))
+    val cands = probes.join(assign, "cluster")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        round(Similarity.cosine(col("q_vec"), col("c_vec")), 6))
+    LatestSnapshot.topK(cands, Seq("q_id"),
+        col("cosine").desc, Seq(col("c_id").asc), k)
+      .select(col("q_id"), col("c_id"), col("cosine"))
+  }
+}
