@@ -9,6 +9,7 @@ object Verify {
     val only = args.lift(2).map(_.split(",").toSet)
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -25,7 +26,8 @@ object Verify {
         out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +45,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest: every registered query + which ones threw, so a broken
+    // query is an explicit red row in the gate, not a silent omission.
+    val manifest = s"""{"registered": ${
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]")
+    }, "failed": ${failed.sorted.map(q).mkString("[", ",", "]")}}"""
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} FAILED: " +
+        failed.sorted.mkString(", "))
     spark.stop()
   }
 }

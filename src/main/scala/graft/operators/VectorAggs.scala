@@ -55,15 +55,19 @@ object VectorAggs {
         s => s.getField("centroid")).as("centroid_vec"))
 
   /** Nearest centroid per vector (max 6-dp cosine, label-asc tiebreak).
-    * `cent` must be (labelCol, centroid_vec); it is broadcast. */
+    * `cent` must be (labelCol, centroid_vec); it is broadcast. The centroid
+    * key is renamed to `cent_label` first — `df` typically carries the same
+    * label column (it fed `centroids`), and an unrenamed crossJoin would
+    * make every downstream col(labelCol) ambiguous. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 cent: DataFrame, labelCol: String): DataFrame = {
-    val scored = df.crossJoin(broadcast(cent))
+    val c = cent.select(col(labelCol).as("cent_label"), col("centroid_vec"))
+    val scored = df.crossJoin(broadcast(c))
       .withColumn("ccos",
         round(Similarity.cosine(col(vecCol), col("centroid_vec")), 6))
     LatestSnapshot.topK(scored, Seq(idCol),
-        col("ccos").desc, Seq(col(labelCol).asc), 1)
-      .select(col(idCol), col(labelCol).as("cluster"), col(vecCol))
+        col("ccos").desc, Seq(col("cent_label").asc), 1)
+      .select(col(idCol), col("cent_label").as("cluster"), col(vecCol))
   }
 
   /**
@@ -79,12 +83,13 @@ object VectorAggs {
         col(vecCol).as("c_vec"))
     val qScored = df.filter(queryPred)
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .crossJoin(broadcast(cent))
+      .crossJoin(broadcast(
+        cent.select(col(labelCol).as("cent_label"), col("centroid_vec"))))
       .withColumn("ccos",
         round(Similarity.cosine(col("q_vec"), col("centroid_vec")), 6))
     val probes = LatestSnapshot.topK(qScored, Seq("q_id"),
-        col("ccos").desc, Seq(col(labelCol).asc), nprobe)
-      .select(col("q_id"), col("q_vec"), col(labelCol).as("cluster"))
+        col("ccos").desc, Seq(col("cent_label").asc), nprobe)
+      .select(col("q_id"), col("q_vec"), col("cent_label").as("cluster"))
     val cands = probes.join(assign, "cluster")
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine",

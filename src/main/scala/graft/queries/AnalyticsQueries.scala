@@ -162,9 +162,14 @@ object AnalyticsQueries {
         gapSeconds = 1800, tiebreak = Seq(col("event_id")))
       .orderBy(col("user_id"), col("session_id"))
 
+  // Oracle notes: MIN/MAX(ts) over the TIMESTAMP(NANOS) parquet column
+  // yields DuckDB TIMESTAMP_NS — CAST to µs TIMESTAMP so the driver's
+  // hasher sees the same representation Spark writes. The running-sum
+  // window carries the event_id tiebreak of the lag window: with duplicate
+  // (user_id, ts) rows the numbering would otherwise be nondeterministic.
   val q46Sql: String =
     """WITH f AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, event_id,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
       |         THEN 1 ELSE 0 END AS nf
@@ -172,11 +177,12 @@ object AnalyticsQueries {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |ses AS (
       |  SELECT user_id, ts, SUM(nf) OVER (
-      |    PARTITION BY user_id ORDER BY ts
+      |    PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM f)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
-      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+      |  CAST(MAX(ts) AS TIMESTAMP) AS session_end
       |FROM ses GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
@@ -234,12 +240,17 @@ object AnalyticsQueries {
       .orderBy(col("event_type"))
   }
 
+  // Oracle notes: DuckDB SUM(BIGINT) returns HUGEINT — CAST back to BIGINT
+  // for the driver's hasher. n_consistent mirrors the two genuinely
+  // different extraction paths (string-path extraction + cast vs typed
+  // JSON extraction), matching the Spark get_json_object / from_json split.
   val q48Sql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-      |  SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
-      |    = CAST(json_extract_string(props, '$.k') AS BIGINT)
-      |    THEN 1 ELSE 0 END) AS n_consistent
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS BIGINT) AS sum_k,
+      |  CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |    = CAST(json_extract(props, '$.k') AS BIGINT)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ── q49: regexp extraction / counting / replacement ────────────────────
