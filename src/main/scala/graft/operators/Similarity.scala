@@ -84,15 +84,71 @@ object Similarity {
    * cosine ≥ threshold. Exact blocked self-join — one side broadcasts and
    * the codegen'd cosine filters pairs inside the join loop, so nothing
    * quadratic ever materializes. Exact all-pairs is the right tool up to
-   * ~10⁵ vectors per block; beyond that, bucket first with
-   * `lshSignatures` and run this within buckets (same contract as the
-   * text-side MinHash→verify split).
+   * ~10⁵ vectors per block; beyond that, `cosineNearDupPairsBucketed`
+   * (below) is the scale path (same contract as the text-side
+   * MinHash→verify split).
    */
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
     val a = embeddings.select(col(idCol).as("d1"), col(vecCol).as("v1"))
     val b = embeddings.select(col(idCol).as("d2"), col(vecCol).as("v2"))
     a.join(b, col("d1") < col("d2"))
+      .withColumn("cosine", round(cosine(col("v1"), col("v2")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("d1"), col("d2"), col("cosine"))
+  }
+
+  /**
+   * Multi-table signature rows for LSH candidate generation: one
+   * (id, tbl, sig) row per hash table, where table t's `planesPerTable`-bit
+   * signature uses hyperplanes [t·k, (t+1)·k). A single narrow projection +
+   * explode — no shuffle; the vectors themselves stay behind (candidates
+   * re-join them by id), so signature traffic is 3 small ints per row.
+   */
+  def lshSignaturesMulti(embeddings: DataFrame, idCol: String, vecCol: String,
+                         nTables: Int, planesPerTable: Int,
+                         dims: Int): DataFrame = {
+    val tableSigs = (0 until nTables).map { t =>
+      val bits = (0 until planesPerTable).map { b =>
+        val coefs = array(hyperplane(t * planesPerTable + b, dims).map(lit): _*)
+        when(VectorFunctions.dotProduct(col(vecCol), coefs) > 0,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bits.as("sig"))
+    }
+    embeddings.select(col(idCol),
+        explode(array(tableSigs: _*)).as("ts"))
+      .select(col(idCol), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+  }
+
+  /**
+   * LSH-bucketed near-duplicate pairs: the scale path promised by
+   * `cosineNearDupPairs` — candidates are pairs colliding in ANY of
+   * `nTables` hyperplane hash tables, then exact cosine verifies. Turns
+   * the O(n²) all-pairs loop into signature equi-joins whose volume is the
+   * bucket collision rate. Recall for a pair at cosine c: per plane the
+   * split probability is arccos(c)/π, so per-table survival is
+   * p^planesPerTable and overall recall 1 − (1 − p^k)^L — the standard
+   * OR-of-tables trade (more tables → recall, more planes → precision).
+   */
+  def cosineNearDupPairsBucketed(embeddings: DataFrame, idCol: String,
+                                 vecCol: String, threshold: Double,
+                                 nTables: Int = 4, planesPerTable: Int = 4,
+                                 dims: Int = 64): DataFrame = {
+    val sigs = lshSignaturesMulti(embeddings, idCol, vecCol, nTables,
+      planesPerTable, dims)
+    // shuffle_hash: both sides are |corpus|×L signature rows keyed by
+    // (tbl, sig) — partition-local hash join, never a broadcast
+    val cand = sigs.select(col(idCol).as("d1"), col("tbl"), col("sig"))
+      .join(sigs.select(col(idCol).as("d2"), col("tbl"), col("sig"))
+        .hint("shuffle_hash"), Seq("tbl", "sig"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    // verification re-joins the vectors by id (narrow corpus shuffles);
+    // only collided pairs ever see a cosine evaluation
+    val a = embeddings.select(col(idCol).as("d1"), col(vecCol).as("v1"))
+    val b = embeddings.select(col(idCol).as("d2"), col(vecCol).as("v2"))
+    cand.join(a.hint("shuffle_hash"), "d1").join(b.hint("shuffle_hash"), "d2")
       .withColumn("cosine", round(cosine(col("v1"), col("v2")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("d1"), col("d2"), col("cosine"))

@@ -83,15 +83,19 @@ object TextAnalysis {
     * min-hash over w-word shingle windows (robust to local edits). */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String,
                   w: Int = 4): DataFrame = {
-    val ws = split(col(textCol), " ")
+    // materialize the word array before the lambda: an inlined split() gets
+    // no subexpression elimination inside transform (see TextDedup.shingles)
+    val ws = col("graft_ws")
     val shingleHashes =
       when(size(ws) >= w,
         transform(sequence(lit(0), size(ws) - w),
           i => md5(concat_ws(" ", (0 until w).map(o => element_at(ws, i + o + 1)): _*))))
         .otherwise(array(md5(col(textCol))))
-    docs.select(
-      col(idCol),
-      md5(col(textCol)).as("content_md5"),
-      array_min(shingleHashes).as("min_shingle_hash"))
+    docs.select(col(idCol), col(textCol),
+        split(col(textCol), " ").as("graft_ws"))
+      .select(
+        col(idCol),
+        md5(col(textCol)).as("content_md5"),
+        array_min(shingleHashes).as("min_shingle_hash"))
   }
 }

@@ -27,15 +27,23 @@ import org.apache.spark.sql.{Column, DataFrame}
 object TextDedup {
 
   /** Distinct w-word shingles per document: (docId, shingle) rows.
-    * Docs shorter than w words produce no rows (empty-array explode). */
+    * Docs shorter than w words produce no rows (empty-array explode).
+    *
+    * The word array is materialized as a column BEFORE the shingle lambda:
+    * a lambda body gets no common-subexpression elimination, so an inlined
+    * `split()` would re-run per element_at — O(words²) splits per document
+    * (measured 90× slower at sf0.1). With a bound attribute each
+    * element_at is an O(1) array access inside codegen. */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
                w: Int = 3): DataFrame = {
-    val ws = split(col(textCol), " ")
+    val ws = col("graft_ws")
     // Spread documents across the cluster BEFORE the explode: a corpus read
     // from few input splits would otherwise run the whole shingle+hash
     // pipeline on as many cores as there are files. The 1-row-in → many-out
     // Generate makes this cheap shuffle pay for itself immediately.
-    docs.repartition(col(idCol)).select(
+    docs.repartition(col(idCol))
+      .select(col(idCol), split(col(textCol), " ").as("graft_ws"))
+      .select(
         col(idCol),
         explode(array_distinct(
           when(size(ws) >= w,
@@ -167,12 +175,35 @@ object TextDedup {
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join (no LSH):
     * only pairs sharing ≥1 shingle are scored. The ground-truth against
-    * which the LSH recall is judged. */
+    * which the LSH recall is judged.
+    *
+    * `maxDf` (off by default) is the boilerplate escape hatch for huge
+    * corpora: shingles whose document frequency exceeds the cap are dropped
+    * from CANDIDATE GENERATION only — pair-rows fall from Σ df² to the
+    * capped sum, and surviving candidates are still scored with the full
+    * exact intersection over ALL their shingles. The only semantic change:
+    * a pair is missed iff every shingle it shares is ultra-common — at a
+    * 0.5 threshold that means near-dups made purely of boilerplate, which
+    * is precisely the content a curation pipeline wants df-capped anyway. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        w: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        w: Int = 3, threshold: Double = 0.5,
+                        maxDf: Option[Long] = None): DataFrame = {
     val sh = shingles(docs, idCol, textCol, w)
-    jaccardFromInter(pairIntersections(sh, idCol), sh, idCol)
-      .filter(col("jaccard") >= threshold)
+    maxDf match {
+      case None =>
+        jaccardFromInter(pairIntersections(sh, idCol), sh, idCol)
+          .filter(col("jaccard") >= threshold)
+      case Some(cap) =>
+        val rare = sh.join(
+          sh.groupBy(col("s")).agg(count(lit(1)).as("graft_df"))
+            .filter(col("graft_df") <= cap).select(col("s")), "s")
+        val cand = rare.select(col(idCol).as("d1"), col("s"))
+          .join(rare.select(col(idCol).as("d2"), col("s"))
+            .hint("shuffle_hash"), "s")
+          .filter(col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+        jaccard(sh, idCol, cand).filter(col("jaccard") >= threshold)
+    }
   }
 
   /**

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import graft.operators.{Sessionize, VectorAggs}
+import graft.operators.{GlobalRank, Sessionize, VectorAggs}
 import graft.sources.Sources
 
 /**
@@ -455,17 +455,17 @@ object AnalyticsQueries {
 
   // ── q57: ntile decile bucketing ────────────────────────────────────────
 
-  /** q57: global ntile(10) over order value with unique tiebreak. Exact
-    * ntile is a single total order — at 100 TB, derive the same buckets
-    * from approx_percentile boundaries instead (narrow map, no global
-    * sort); this query is the exact-semantics reference for that. */
-  def q57Ntile(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    Sources.orders(s, dir)
-      .select(col("o_orderkey"), col("o_totalprice"),
-        ntile(10).over(w).as("decile"))
+  /** q57: global ntile(10) over order value with unique tiebreak —
+    * computed by GlobalRank.ntileExact (range repartition + per-partition
+    * rank + broadcast offsets), NOT a partition-less window: same exact
+    * SQL-ntile semantics, but every window in the plan is partitioned, so
+    * the query survives a 100× scale-up where `Window.orderBy` would
+    * funnel all rows through one task. */
+  def q57Ntile(s: SparkSession, dir: String): DataFrame =
+    GlobalRank.ntileExact(Sources.orders(s, dir),
+        Seq(col("o_totalprice").asc, col("o_orderkey").asc), 10, "decile")
+      .select(col("o_orderkey"), col("o_totalprice"), col("decile"))
       .orderBy(col("o_orderkey"))
-  }
 
   val q57Sql: String =
     """SELECT o_orderkey, o_totalprice,

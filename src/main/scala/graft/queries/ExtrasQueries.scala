@@ -53,15 +53,17 @@ object ExtrasQueries {
    * 100 TB: quality gate (length + alpha ratio) → language gate → near-dup
    * removal (canonical = smallest doc_id of each ≥0.5-Jaccard pair
    * survives, via left_anti join on the dup-pair d2 side). Every stage is
-   * an operator verified individually by q20/q24/q25; this proves they
-   * compose.
+   * an operator verified individually by q19/q24/q25; this proves they
+   * compose. Dedup goes through MinHash+LSH (the 100 TB plan — candidate
+   * volume bounded by band collisions, not Σ df² of the shingle index);
+   * the oracle reproduces the same banded pipeline, so the check is exact.
    */
   def q38Curation(s: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(s, dir)
     val feats = TextAnalysis.qualityScore(docs, "doc_id", "text")
     val langs = TextAnalysis.languageId(docs, "doc_id", "text")
-    val dups = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
-        w = 3, threshold = 0.5)
+    val dups = TextDedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 16, r = 4, w = 3, threshold = 0.5)
       .select(col("d2").as("doc_id")).distinct()
     feats.join(langs, "doc_id")
       .filter(col("n_words") >= 10 && col("alpha_ratio") > 0.5 &&
@@ -78,9 +80,27 @@ object ExtrasQueries {
       |         unnest(list_transform(range(1, len(w) - 1),
       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
       |       FROM ws WHERE len(w) >= 3),
-      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
+      |hw AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h1,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h2
+      |       FROM sh),
+      |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+      |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band,
+      |            md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bh
+      |          FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |         WHERE a.doc_id < b.doc_id),
+      |inter AS (SELECT c.d1, c.d2, count(*) AS inter
+      |          FROM cand c
+      |          JOIN sh a ON a.doc_id = c.d1
+      |          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+      |          GROUP BY c.d1, c.d2),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |dups AS (SELECT DISTINCT i.d2 AS doc_id
       |         FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
@@ -190,5 +210,44 @@ object ExtrasQueries {
       |     i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
       |   sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
       |     i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) >= 0.45
+      |ORDER BY d1, d2""".stripMargin
+
+  /** q58: LSH-bucketed cosine near-dup pairs (4 tables × 4 hyperplanes,
+    * exact-cosine verify ≥ 0.45) — q41's scale path; the oracle reproduces
+    * the same md5-derived hyperplane tables, so even the recall trade is
+    * hash-verified. */
+  def q58CosineDupBucketed(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairsBucketed(Sources.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.45,
+        nTables = 4, planesPerTable = 4, dims = 64)
+      .orderBy(col("d1"), col("d2"))
+
+  val q58Sql: String =
+    """WITH proj AS (
+      |  SELECT vec_id, p,
+      |    list_sum(list_transform(range(1, len(embedding) + 1),
+      |      d -> embedding[d]::DOUBLE *
+      |        ((strpos('0123456789abcdef',
+      |            substr(md5(p::VARCHAR || '_' || (d - 1)::VARCHAR), 1, 1)) - 1)
+      |          % 2 * 2 - 1))) AS proj
+      |  FROM embeddings CROSS JOIN range(0, 16) t(p)),
+      |sig AS (SELECT vec_id, p // 4 AS tbl,
+      |          CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << (p % 4))
+      |            ELSE 0 END) AS BIGINT) AS sig
+      |        FROM proj GROUP BY vec_id, p // 4),
+      |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      |         FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig
+      |         WHERE a.vec_id < b.vec_id),
+      |pairs AS (SELECT c.d1, c.d2, round(
+      |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+      |       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6)
+      |    AS cosine
+      |  FROM cand c JOIN embeddings a ON a.vec_id = c.d1
+      |              JOIN embeddings b ON b.vec_id = c.d2)
+      |SELECT d1, d2, cosine FROM pairs WHERE cosine >= 0.45
       |ORDER BY d1, d2""".stripMargin
 }

@@ -66,4 +66,42 @@ class PlanShapeSpec extends SparkSpec {
     // codegen'd operators print with a *(stageId) prefix
     assert(plan.contains("*(1) HashAggregate"), s"no codegen span:\n$plan")
   }
+
+  test("cube lattice is one Expand + one shuffle, not per-grouping rescans") {
+    val plan = physicalPlan(
+      graft.queries.AnalyticsQueries.q42Cube(spark, sf))
+    assert(plan.contains("Expand"), s"cube must use Expand:\n$plan")
+    // one aggregation pass: a single pair of partial/final HashAggregate
+    assert("HashAggregate".r.findAllIn(plan).size <= 2,
+      s"cube re-aggregates:\n$plan")
+  }
+
+  test("argmax is a single aggregation pass — no self-join, no window") {
+    val plan = physicalPlan(
+      graft.queries.AnalyticsQueries.q47Argmax(spark, sf))
+    assert(!plan.contains("Join"), s"max_by must not join:\n$plan")
+    assert(!plan.contains("Window"), s"max_by must not window:\n$plan")
+  }
+
+  test("distributed ntile: every window is partitioned (no single-partition funnel)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.queries.AnalyticsQueries.q57Ntile(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec => w.partitionSpec
+    }
+    assert(windows.nonEmpty, "expected the per-partition rank window")
+    windows.foreach(spec =>
+      assert(spec.nonEmpty, "found a partition-less window over data rows"))
+    // and the range shuffle that makes per-partition ranks globally valid
+    assert(physicalPlan(df).toLowerCase.contains("rangepartitioning"),
+      "missing range repartition")
+  }
+
+  test("bucketed cosine near-dup never falls back to a nested-loop join") {
+    val plan = physicalPlan(
+      graft.queries.ExtrasQueries.q58CosineDupBucketed(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"bucketed near-dup must stay equi-join:\n$plan")
+  }
 }
