@@ -209,23 +209,31 @@ object TextDedup {
   /**
    * 32-bit SimHash over a document's distinct words: bit b is set when the
    * word-count-weighted sum of (2·bit_b(md5(word)) − 1) is positive.
-   * One explode + one aggregation; the per-(doc,bit) partial sums combine
-   * map-side, so the shuffle is |docs| × 32 rows.
+   *
+   * Single-pass wide form (same trick as `minHashSignaturesWide`): each
+   * word row is hashed ONCE and projected to 32 ±1 contribution columns;
+   * one groupBy sums all 32 — no ×32 bit explode, and map-side partial
+   * aggregation reduces the shuffle to |docs| × 32 ints. Values are
+   * bit-identical to the per-(doc, bit) long form the oracle computes.
    */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = docs.select(col(idCol),
-      explode(array_distinct(split(col(textCol), " "))).as("w"))
-    words
-      .select(col(idCol), explode(sequence(lit(0), lit(31))).as("b"), col("w"))
-      // bit b lives in hex digit b div 4, at offset 3 - b%4 within the nibble
-      .withColumn("nib",
-        expr("cast(conv(substring(md5(w), (b div 4) + 1, 1), 16, 10) as int)"))
-      .withColumn("bit", expr("shiftright(nib, 3 - b % 4) & 1"))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(col("bit") * 2 - 1).as("bsum"))
+        explode(array_distinct(split(col(textCol), " "))).as("w"))
+      .select(col(idCol), md5(col("w")).as("h"))
+    // bit b lives in hex digit b div 4, at offset 3 - b%4 within the nibble
+    val contribs = (0 until 32).map { b =>
+      val nib = conv(substring(col("h"), b / 4 + 1, 1), 16, 10)
+        .cast(IntegerType)
+      (shiftright(nib, 3 - b % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"c_$b")
+    }
+    val sums = (0 until 32).map(b => sum(col(s"c_$b")).as(s"s_$b"))
+    words.select(col(idCol) +: contribs: _*)
       .groupBy(col(idCol))
-      .agg(sum(when(col("bsum") > 0, expr("cast(shiftleft(1L, b) as bigint)"))
-        .otherwise(lit(0L))).as("simhash"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        (0 until 32).map(b =>
+          when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Exact dedup: one survivor per distinct value of `keyCols` (smallest id
