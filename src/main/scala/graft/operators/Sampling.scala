@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Deterministic, engine-portable sampling/splitting for reproducible
+ * training-data holdouts.
+ *
+ * The randomness source is the first md5 byte of (salt ‖ key): seedless,
+ * stable under repartitioning and re-runs, identical in any engine with
+ * md5 — the properties `TABLESAMPLE`/`rand(seed)` lack (both are
+ * partitioning-dependent in Spark). A narrow codegen'd projection; no
+ * shuffle, no state.
+ */
+object Sampling {
+
+  /** 0..255 bucket for a row: first md5 byte of salt_key. */
+  def bucket(salt: String, key: Column): Column =
+    conv(substring(md5(concat_ws("_", lit(salt), key)), 1, 2), 16, 10)
+      .cast(IntegerType)
+
+  /**
+   * Adds `split` ∈ cuts' labels: row goes to the first (label, upperBound)
+   * whose bound exceeds its bucket — e.g. Seq(("train",204), ("val",230),
+   * ("test",256)) ≈ 80/10/10. Bounds are cumulative on the 0..255 scale;
+   * the last bound must be 256 so every row lands somewhere.
+   */
+  def deterministicSplit(df: DataFrame, keyCol: String, salt: String,
+                         cuts: Seq[(String, Int)],
+                         outCol: String = "split"): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 256,
+      "cuts must be cumulative with final bound 256")
+    val b = bucket(salt, col(keyCol))
+    val expr = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((label, bound), rest) => when(b < bound, lit(label)).otherwise(rest)
+    }
+    df.withColumn(outCol, expr)
+  }
+}

@@ -167,7 +167,14 @@ object TextDedup {
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 16, r: Int = 2, w: Int = 3,
                       threshold: Double = 0.5): DataFrame = {
+    // The shingle table feeds four branches (signatures, both sides of the
+    // verification join, set sizes) and Spark reuses none of them — the
+    // lineage would re-scan the corpus and re-shingle 4×. Persisted
+    // (memory, disk spill) it is computed once; eviction just falls back
+    // to recompute, so this is a pure work-avoidance hint, not a
+    // correctness dependency.
     val sh = shingles(docs, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = lshBandsFromWide(minHashSignaturesWide(sh, idCol, k), idCol, k, r)
     val cand = lshCandidates(bands, idCol)
     jaccard(sh, idCol, cand).filter(col("jaccard") >= threshold)
@@ -188,7 +195,9 @@ object TextDedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         w: Int = 3, threshold: Double = 0.5,
                         maxDf: Option[Long] = None): DataFrame = {
+    // persisted for the same multi-branch reuse as minHashLshPairs
     val sh = shingles(docs, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     maxDf match {
       case None =>
         jaccardFromInter(pairIntersections(sh, idCol), sh, idCol)

@@ -71,6 +71,37 @@ object VectorAggs {
   }
 
   /**
+   * Deterministic distributed spherical k-means: seeds are the k
+   * smallest-id vectors (no RNG — reproducible and oracle-checkable),
+   * then `iters` Lloyd rounds of assign-to-max-cosine-centroid (6-dp
+   * rounding, cluster-asc tiebreak) with exact-decimal mean updates
+   * between rounds. Cluster labels are the seed ids.
+   *
+   * Scale shape per round: centroids are k rows → broadcast; assignment
+   * is a narrow map over the corpus (k cosines/row, no vector shuffle);
+   * the mean update is the `centroids` aggregation (posexplode +
+   * map-side combine). Work is O(iters · n · k · dims) flops and
+   * O(iters) corpus scans — the standard distributed-k-means layout; a
+   * cluster emptied in round j simply drops out of round j+1 (both
+   * engines agree because the update only groups over assigned rows).
+   *
+   * Returns the final assignment: (idCol, cluster, vecCol).
+   */
+  def kMeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+             iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    val seeds = df.orderBy(col(idCol).asc).limit(k)
+      .select(col(idCol).as("cluster"), col(vecCol).as("centroid_vec"))
+    var cent = seeds
+    var assigned = ivfAssign(df, idCol, vecCol, cent, "cluster")
+    for (_ <- 1 until iters) {
+      cent = centroidVectors(assigned, "cluster", vecCol)
+      assigned = ivfAssign(df, idCol, vecCol, cent, "cluster")
+    }
+    assigned
+  }
+
+  /**
    * IVF ANN top-k: queries (rows matching `queryPred`) probe their
    * `nprobe` nearest centroid buckets and are re-ranked by exact cosine
    * against only the vectors assigned to those buckets.

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{LatestSnapshot, Sampling, TextAnalysis, VectorAggs}
+import graft.sources.Sources
+
+/** Round-3 training-pipeline widening: reproducible train/val/test
+  * splitting, per-language quality curation, and deterministic distributed
+  * k-means — each with a DuckDB oracle reproducing the md5/decimal
+  * arithmetic exactly. */
+object CurationQueries {
+
+  // ── q59: deterministic stratified-reporting train/val/test split ───────
+
+  /** q59: 80/10/10 split of the document corpus by md5 bucket (seedless,
+    * repartition-stable), with the language tag carried for stratified
+    * reporting — the reproducible-holdout primitive a training pipeline
+    * needs (TABLESAMPLE/rand() are partitioning-dependent in Spark). */
+  def q59Split(s: SparkSession, dir: String): DataFrame = {
+    val langs = TextAnalysis.languageId(Sources.documents(s, dir),
+      "doc_id", "text")
+    Sampling.deterministicSplit(langs, "doc_id", "split",
+        Seq(("train", 204), ("val", 230), ("test", 256)))
+      .select(col("doc_id"), col("predicted_lang"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q59Sql: String =
+    """WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+      |           FROM documents),
+      |h AS (SELECT doc_id,
+      |  len(list_intersect(ws, ['the','and','of','to','in'])) AS en,
+      |  len(list_intersect(ws, ['el','la','de','que','los'])) AS es,
+      |  len(list_intersect(ws, ['le','la','et','les','des'])) AS fr,
+      |  len(list_intersect(ws, ['der','die','und','das','ist'])) AS de
+      |FROM w),
+      |langs AS (SELECT doc_id,
+      |  CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+      |       WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+      |       WHEN es >= fr AND es >= de THEN 'es'
+      |       WHEN fr >= de THEN 'fr'
+      |       ELSE 'de' END AS predicted_lang
+      |FROM h),
+      |b AS (SELECT doc_id,
+      |  (strpos('0123456789abcdef',
+      |     substr(md5('split_' || doc_id), 1, 1)) - 1) * 16
+      |  + strpos('0123456789abcdef',
+      |     substr(md5('split_' || doc_id), 2, 1)) - 1 AS bucket
+      |  FROM documents)
+      |SELECT l.doc_id, l.predicted_lang,
+      |  CASE WHEN b.bucket < 204 THEN 'train'
+      |       WHEN b.bucket < 230 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM langs l JOIN b ON l.doc_id = b.doc_id
+      |ORDER BY l.doc_id""".stripMargin
+
+  // ── q60: per-language top-k quality curation ───────────────────────────
+
+  /** q60: the 5 highest-alpha-ratio documents per predicted language —
+    * the group-limit curation cut (pick the best K per stratum). Compiles
+    * to WindowGroupLimit: per-partition top-K heaps before the shuffle,
+    * so the sort never sees more than K·partitions rows per group. */
+  def q60TopQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val feats = TextAnalysis.qualityScore(docs, "doc_id", "text")
+    val langs = TextAnalysis.languageId(docs, "doc_id", "text")
+    LatestSnapshot.topK(feats.join(langs, "doc_id"), Seq("predicted_lang"),
+        col("alpha_ratio").desc, Seq(col("doc_id").asc), 5)
+      .select(col("predicted_lang"), col("doc_id"), col("alpha_ratio"))
+      .orderBy(col("predicted_lang"), col("doc_id"))
+  }
+
+  val q60Sql: String =
+    """WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+      |           FROM documents),
+      |h AS (SELECT doc_id,
+      |  len(list_intersect(ws, ['the','and','of','to','in'])) AS en,
+      |  len(list_intersect(ws, ['el','la','de','que','los'])) AS es,
+      |  len(list_intersect(ws, ['le','la','et','les','des'])) AS fr,
+      |  len(list_intersect(ws, ['der','die','und','das','ist'])) AS de
+      |FROM w),
+      |langs AS (SELECT doc_id,
+      |  CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+      |       WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+      |       WHEN es >= fr AND es >= de THEN 'es'
+      |       WHEN fr >= de THEN 'fr'
+      |       ELSE 'de' END AS predicted_lang
+      |FROM h),
+      |a AS (SELECT doc_id,
+      |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |    / length(text) AS alpha_ratio
+      |  FROM documents),
+      |r AS (SELECT l.predicted_lang, a.doc_id, a.alpha_ratio,
+      |        row_number() OVER (PARTITION BY l.predicted_lang
+      |          ORDER BY a.alpha_ratio DESC, a.doc_id ASC) AS rn
+      |      FROM a JOIN langs l ON a.doc_id = l.doc_id)
+      |SELECT predicted_lang, doc_id, alpha_ratio FROM r WHERE rn <= 5
+      |ORDER BY predicted_lang, doc_id""".stripMargin
+
+  // ── q61: deterministic distributed k-means (2 Lloyd rounds) ────────────
+
+  /** q61: spherical k-means over the embedding corpus (k=4 smallest-id
+    * seeds, 2 assignment rounds), summarized as per-cluster sizes and
+    * exact-decimal centroid components — the coarse-quantizer trainer for
+    * the IVF index (q55), itself distributed and oracle-checkable. */
+  def q61KMeans(s: SparkSession, dir: String): DataFrame = {
+    val assigned = VectorAggs.kMeans(Sources.embeddings(s, dir),
+      "vec_id", "embedding", k = 4, iters = 2)
+    val cent = VectorAggs.centroids(assigned, "cluster", "embedding")
+    val n = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    cent.join(broadcast(n), "cluster")
+      .select(col("cluster"), col("n_members"), col("dim"), col("centroid"))
+      .orderBy(col("cluster"), col("dim"))
+  }
+
+  private def cosSql(v1: String, v2: String): String =
+    s"""round(
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> $v1[i]::DOUBLE * $v2[i]::DOUBLE)) /
+       |    (sqrt(list_sum(list_transform(range(1, 65),
+       |       i -> $v1[i]::DOUBLE * $v1[i]::DOUBLE))) *
+       |     sqrt(list_sum(list_transform(range(1, 65),
+       |       i -> $v2[i]::DOUBLE * $v2[i]::DOUBLE)))), 6)""".stripMargin
+
+  val q61Sql: String =
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS cluster, embedding AS cv FROM embeddings
+       |  ORDER BY vec_id LIMIT 4),
+       |a1 AS (
+       |  SELECT vec_id, embedding, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, s.cluster, row_number() OVER (
+       |      PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "s.cv")}
+       |        DESC, s.cluster ASC) AS rn
+       |    FROM embeddings e CROSS JOIN seeds s) t WHERE rn = 1),
+       |c1 AS (
+       |  SELECT cluster, d, round(CAST(SUM(CAST(round(embedding[d]::DOUBLE, 6)
+       |      AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS c
+       |  FROM a1 CROSS JOIN range(1, 65) t(d) GROUP BY cluster, d),
+       |c1v AS (SELECT cluster, array_agg(c ORDER BY d) AS cv
+       |        FROM c1 GROUP BY cluster),
+       |a2 AS (
+       |  SELECT vec_id, embedding, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, v.cluster, row_number() OVER (
+       |      PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "v.cv")}
+       |        DESC, v.cluster ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c1v v) t WHERE rn = 1),
+       |c2 AS (
+       |  SELECT cluster, d, round(CAST(SUM(CAST(round(embedding[d]::DOUBLE, 6)
+       |      AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS centroid
+       |  FROM a2 CROSS JOIN range(1, 65) t(d) GROUP BY cluster, d),
+       |n AS (SELECT cluster, COUNT(*) AS n_members FROM a2 GROUP BY cluster)
+       |SELECT c2.cluster, n.n_members, c2.d - 1 AS dim, c2.centroid
+       |FROM c2 JOIN n ON c2.cluster = n.cluster
+       |ORDER BY c2.cluster, dim""".stripMargin
+}

@@ -1,65 +1,25 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 import graft.GraftSession
-import graft.sources.Sources
 
-/** Dev tool: A/B variants of the shingle expression (not library surface). */
+/** Dev tool: plan inspection scratchpad (not library surface). */
 object Profile3 {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = GraftSession.local()
-    def t[A](name: String)(f: => A): Unit = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s -> $r")
-    }
-    val docs = Sources.documents(spark, dir)
-    docs.count()
-    val w = 3
-
-    // v1: current — split() inlined into the lambda
-    {
-      val ws = split(col("text"), " ")
-      val df = docs.repartition(col("doc_id")).select(
-        col("doc_id"),
-        explode(array_distinct(
-          when(size(ws) >= w,
-            transform(sequence(lit(0), size(ws) - w),
-              i => concat_ws(" ", (0 until w).map(o => element_at(ws, i + o + 1)): _*)))
-            .otherwise(array().cast(ArrayType(StringType))))).as("s"))
-      t("v1 inline split")(df.count())
-    }
-
-    // v2: materialize ws first, element_at on bound column
-    {
-      val df = docs.repartition(col("doc_id"))
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(
-          col("doc_id"),
-          explode(array_distinct(
-            when(size(col("ws")) >= w,
-              transform(sequence(lit(0), size(col("ws")) - w),
-                i => concat_ws(" ",
-                  (0 until w).map(o => element_at(col("ws"), i + o + 1)): _*)))
-              .otherwise(array().cast(ArrayType(StringType))))).as("s"))
-      t("v2 materialized ws")(df.count())
-    }
-
-    // v3: materialized ws + slice/array_join
-    {
-      val df = docs.repartition(col("doc_id"))
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(
-          col("doc_id"),
-          explode(array_distinct(
-            when(size(col("ws")) >= w,
-              transform(sequence(lit(0), size(col("ws")) - w),
-                i => array_join(slice(col("ws"), i + 1, lit(w)), " ")))
-              .otherwise(array().cast(ArrayType(StringType))))).as("s"))
-      t("v3 slice+array_join")(df.count())
-    }
+    val q19 = graft.queries.PipelineQueries.q19MinHashLsh(spark, dir)
+    q19.count()
+    val plan = q19.queryExecution.executedPlan.toString
+    println(s"[plan] q19 ReusedExchange: ${"ReusedExchange".r.findAllIn(plan).size}")
+    println(s"[plan] q19 Exchange: ${"Exchange".r.findAllIn(plan).size}")
+    println(s"[plan] q19 scans of documents: ${"documents".r.findAllIn(plan).size}")
+    "(ShuffleQueryStage [0-9]+)".r.findAllIn(plan).toSeq.groupBy(identity)
+      .foreach { case (k, v) => println(s"[plan] q19 $k x${v.size}") }
+    val q38 = graft.queries.ExtrasQueries.q38Curation(spark, dir)
+    q38.count()
+    val p38 = q38.queryExecution.executedPlan.toString
+    println(s"[plan] q38 ReusedExchange: ${"ReusedExchange".r.findAllIn(p38).size}")
+    println(s"[plan] q38 Exchange: ${"Exchange".r.findAllIn(p38).size}")
     spark.stop()
   }
 }
