@@ -164,17 +164,17 @@ object TextDedup {
     * threshold. k hashes, bands of r rows → LSH threshold ≈ (1/b)^(1/r).
     * Plan shape: shingles → 1 groupBy (wide sigs) → band projection →
     * band self-join → pruned verification — three shuffles end to end. */
+  /* The shingle table feeds several branches (signatures, both sides of
+   * the verification join, set sizes) with no exchange reuse between
+   * them. Persisting it was measured NEUTRAL-TO-NEGATIVE at sf0.1 once
+   * shingle generation became sub-second: the columnar cache build costs
+   * more than the recompute it saves, and a cached relation blocks AQE's
+   * stage-level re-planning above it. At larger scale, callers that want
+   * reuse should checkpoint/persist the INPUT corpus slice instead. */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 16, r: Int = 2, w: Int = 3,
                       threshold: Double = 0.5): DataFrame = {
-    // The shingle table feeds four branches (signatures, both sides of the
-    // verification join, set sizes) and Spark reuses none of them — the
-    // lineage would re-scan the corpus and re-shingle 4×. Persisted
-    // (memory, disk spill) it is computed once; eviction just falls back
-    // to recompute, so this is a pure work-avoidance hint, not a
-    // correctness dependency.
     val sh = shingles(docs, idCol, textCol, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = lshBandsFromWide(minHashSignaturesWide(sh, idCol, k), idCol, k, r)
     val cand = lshCandidates(bands, idCol)
     jaccard(sh, idCol, cand).filter(col("jaccard") >= threshold)
@@ -195,9 +195,7 @@ object TextDedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         w: Int = 3, threshold: Double = 0.5,
                         maxDf: Option[Long] = None): DataFrame = {
-    // persisted for the same multi-branch reuse as minHashLshPairs
     val sh = shingles(docs, idCol, textCol, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     maxDf match {
       case None =>
         jaccardFromInter(pairIntersections(sh, idCol), sh, idCol)
