@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked JVM's stdout VERBATIM: sbt's default logger prefixes
+// every line with "[info] ", which breaks line-oriented JSON consumers of
+// `runMain graft.Bench` (the driver json-parses the bench line).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
