@@ -1,9 +1,10 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import graft.operators.{IntervalJoin, TextDedup}
+import graft.operators.{GlobalRank, IntervalJoin, Sampling, TextDedup}
 
 /** Property-based invariants (ScalaCheck). Iteration counts are small —
   * each case spins Spark jobs — but generators cover the nasty shapes:
@@ -81,6 +82,48 @@ class PropertySpec extends SparkSpec {
       val sigs = TextDedup.simHash(docs, "doc_id", "text").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(sigs(1L) === sigs(2L))
+    }
+  }
+
+  test("ntileExact equals window ntile for arbitrary sizes/buckets/dupes") {
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      b <- Gen.choose(1, 12)
+      vs <- Gen.listOfN(n, Gen.choose(0, 50)) // heavy duplicate keys
+    } yield (b, vs)
+    forAll(gen) { case (b, vs) =>
+      val df = vs.zipWithIndex.map { case (v, i) => (v, i) }.toDF("v", "id")
+        .repartition(7)
+      val viaOp = GlobalRank.ntileExact(df,
+          Seq($"v".asc, $"id".asc), b, "bkt")
+        .select("id", "bkt").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val viaWindow = df.withColumn("bkt",
+          ntile(b).over(Window.orderBy($"v".asc, $"id".asc)))
+        .select("id", "bkt").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(viaOp === viaWindow)
+    }
+  }
+
+  test("deterministicSplit is exhaustive and exactly partitioned by bucket") {
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      c1 <- Gen.choose(1, 254)
+      c2 <- Gen.choose(2, 255).suchThat(_ > 1)
+    } yield (n, c1 min c2, (c1 max c2) + 1)
+    forAll(gen) { case (n, c1, c2) =>
+      val df = (1 to n).map(_.toLong).toDF("id")
+      val out = Sampling.deterministicSplit(df, "id", "p",
+          Seq(("a", c1), ("b", c2), ("c", 256)))
+        .withColumn("bucket", Sampling.bucket("p", $"id"))
+        .select("split", "bucket").collect()
+      assert(out.length === n)
+      out.foreach { r =>
+        val (s, bkt) = (r.getString(0), r.getInt(1))
+        val expect = if (bkt < c1) "a" else if (bkt < c2) "b" else "c"
+        assert(s === expect, s"bucket $bkt cuts ($c1,$c2)")
+      }
     }
   }
 
