@@ -24,14 +24,13 @@ object TextAnalysis {
   private def profileHits(words: Column, profile: Seq[String]): Column =
     size(array_intersect(words, array(profile.map(lit): _*)))
 
-  /**
-   * Language ID: score = |distinct words ∩ profile| per language; predict
-   * the argmax (ties broken by profile order; no hits → "und"). One
-   * projection — the scores live in a struct array sorted with a portable
-   * comparator.
-   */
-  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = array_distinct(split(col(textCol), " "))
+  /** (predicted_lang, lang_score) as composable COLUMNS over a text
+    * column — the building block that lets curation pipelines stack
+    * language ID with other per-row features in ONE projection/scan
+    * instead of joining derived frames of the same corpus (a full-corpus
+    * self-join shuffle at scale). */
+  def languageIdCols(textCol: Column): (Column, Column) = {
+    val words = array_distinct(split(textCol, " "))
     val scored = langProfiles.zipWithIndex.map { case ((lang, profile), i) =>
       struct(profileHits(words, profile).as("hits"), lit(i).as("ord"),
         lit(lang).as("lang"))
@@ -43,31 +42,46 @@ object TextAnalysis {
         .when(l.getField("hits") < r.getField("hits"), 1)
         .when(l.getField("ord") < r.getField("ord"), -1)
         .otherwise(1))
-    docs.select(col(idCol),
-      when(element_at(best, 1).getField("hits") > 0,
-        element_at(best, 1).getField("lang")).otherwise(lit("und"))
-        .as("predicted_lang"),
-      element_at(best, 1).getField("hits").as("lang_score"))
+    (when(element_at(best, 1).getField("hits") > 0,
+      element_at(best, 1).getField("lang")).otherwise(lit("und")),
+      element_at(best, 1).getField("hits"))
+  }
+
+  /**
+   * Language ID: score = |distinct words ∩ profile| per language; predict
+   * the argmax (ties broken by profile order; no hits → "und"). One
+   * projection.
+   */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (lang, score) = languageIdCols(col(textCol))
+    docs.select(col(idCol), lang.as("predicted_lang"),
+      score.as("lang_score"))
+  }
+
+  /** Quality metric columns over a text column (same one-projection
+    * composability contract as `languageIdCols`). */
+  def qualityCols(textCol: Column,
+                  stopwords: Seq[String] = Seq("the", "and", "of", "a", "to", "in")): Seq[(String, Column)] = {
+    val words = split(textCol, " ")
+    val nWords = size(words)
+    val nChars = length(textCol)
+    val nStop = size(filter(words, w => w.isInCollection(stopwords)))
+    val nAlpha = length(regexp_replace(textCol, "[^a-zA-Z]", ""))
+    Seq(
+      "n_chars" -> nChars,
+      "n_words" -> nWords,
+      "mean_word_len" -> (nChars.cast(DoubleType) / nWords),
+      "stopword_ratio" -> (nStop.cast(DoubleType) / nWords),
+      "alpha_ratio" -> (nAlpha.cast(DoubleType) / nChars))
   }
 
   /** Quality metrics: char/word counts, mean word length, stopword ratio,
-    * alpha ratio — plus a composite score. All exact integer ratios
-    * (single double division each) → bit-reproducible. */
+    * alpha ratio. All exact integer ratios (single double division each)
+    * → bit-reproducible. */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String,
-                   stopwords: Seq[String] = Seq("the", "and", "of", "a", "to", "in")): DataFrame = {
-    val words = split(col(textCol), " ")
-    val nWords = size(words)
-    val nChars = length(col(textCol))
-    val nStop = size(filter(words, w => w.isInCollection(stopwords)))
-    val nAlpha = length(regexp_replace(col(textCol), "[^a-zA-Z]", ""))
-    docs.select(
-      col(idCol),
-      nChars.as("n_chars"),
-      nWords.as("n_words"),
-      (nChars.cast(DoubleType) / nWords).as("mean_word_len"),
-      (nStop.cast(DoubleType) / nWords).as("stopword_ratio"),
-      (nAlpha.cast(DoubleType) / nChars).as("alpha_ratio"))
-  }
+                   stopwords: Seq[String] = Seq("the", "and", "of", "a", "to", "in")): DataFrame =
+    docs.select(col(idCol) +:
+      qualityCols(col(textCol), stopwords).map { case (n, c) => c.as(n) }: _*)
 
   /** Token counts: whitespace tokens and a BPE-ish regex tokenization
     * (letter runs | digit runs | single non-alnum-non-space). */

@@ -62,10 +62,12 @@ object CurationQueries {
     * to WindowGroupLimit: per-partition top-K heaps before the shuffle,
     * so the sort never sees more than K·partitions rows per group. */
   def q60TopQuality(s: SparkSession, dir: String): DataFrame = {
-    val docs = Sources.documents(s, dir)
-    val feats = TextAnalysis.qualityScore(docs, "doc_id", "text")
-    val langs = TextAnalysis.languageId(docs, "doc_id", "text")
-    LatestSnapshot.topK(feats.join(langs, "doc_id"), Seq("predicted_lang"),
+    // one scan: language + quality as stacked projection columns
+    val (lang, _) = TextAnalysis.languageIdCols(col("text"))
+    val alpha = TextAnalysis.qualityCols(col("text")).toMap.apply("alpha_ratio")
+    val feats = Sources.documents(s, dir).select(col("doc_id"),
+      lang.as("predicted_lang"), alpha.as("alpha_ratio"))
+    LatestSnapshot.topK(feats, Seq("predicted_lang"),
         col("alpha_ratio").desc, Seq(col("doc_id").asc), 5)
       .select(col("predicted_lang"), col("doc_id"), col("alpha_ratio"))
       .orderBy(col("predicted_lang"), col("doc_id"))

@@ -60,12 +60,19 @@ object ExtrasQueries {
    */
   def q38Curation(s: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(s, dir)
-    val feats = TextAnalysis.qualityScore(docs, "doc_id", "text")
-    val langs = TextAnalysis.languageId(docs, "doc_id", "text")
+    // quality + language features stack in ONE projection over one scan
+    // (the column-level TextAnalysis API) — joining derived frames of the
+    // same corpus would be a full self-join shuffle at 100 TB
+    val (lang, _) = TextAnalysis.languageIdCols(col("text"))
+    val quality = TextAnalysis.qualityCols(col("text")).toMap
+    val feats = docs.select(col("doc_id"),
+      lang.as("predicted_lang"),
+      quality("n_words").as("n_words"),
+      quality("alpha_ratio").as("alpha_ratio"))
     val dups = TextDedup.minHashLshPairs(docs, "doc_id", "text",
         k = 16, r = 4, w = 3, threshold = 0.5)
       .select(col("d2").as("doc_id")).distinct()
-    feats.join(langs, "doc_id")
+    feats
       .filter(col("n_words") >= 10 && col("alpha_ratio") > 0.5 &&
         col("predicted_lang") =!= "und")
       .join(dups, Seq("doc_id"), "left_anti")

@@ -97,6 +97,15 @@ class PlanShapeSpec extends SparkSpec {
       "missing range repartition")
   }
 
+  test("per-language top-k stacks features in one scan — no self-join") {
+    val plan = physicalPlan(
+      graft.queries.CurationQueries.q60TopQuality(spark, sf))
+    assert(!plan.contains("Join"),
+      s"quality+language must be one projection, not a join:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size === 1,
+      s"expected exactly one corpus scan:\n$plan")
+  }
+
   test("bucketed cosine near-dup never falls back to a nested-loop join") {
     val plan = physicalPlan(
       graft.queries.ExtrasQueries.q58CosineDupBucketed(spark, sf))
