@@ -29,6 +29,32 @@ class SkewJoinSpec extends SparkSpec {
   }
 }
 
+/** Dedup under heavy duplication: an 8×-copied corpus multiplies every
+  * near-dup group, stressing the band buckets and the verification join.
+  * The expected pair count is exact: each of the `nShingled` docs forms a
+  * group of 8 identical copies (C(8,2)=28 jaccard-1.0 pairs), and every
+  * base near-dup pair (d1,d2) spawns 8×8 cross-group pairs — identical
+  * MinHash signatures guarantee the LSH candidates don't lose any. */
+class DedupScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("8x-duplicated corpus: LSH dedup finds exactly the predicted pairs") {
+    val docs = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val base = graft.operators.TextDedup
+      .minHashLshPairs(docs, "doc_id", "text", 16, 4, 3, 0.5).count()
+    val nShingled = docs
+      .filter(size(split($"text", " ")) >= 3).count()
+    val dup8 = (0 until 8).map(i =>
+      docs.select(($"doc_id" + i * 1000000L).as("doc_id"), $"text"))
+      .reduce(_ union _)
+    val found = graft.operators.TextDedup
+      .minHashLshPairs(dup8, "doc_id", "text", 16, 4, 3, 0.5).count()
+    assert(found === nShingled * 28 + base * 64,
+      s"base=$base nShingled=$nShingled found=$found")
+  }
+}
+
 class SinksSpec extends SparkSpec {
 
   test("partitioned append lays out partition directories and preserves rows") {
