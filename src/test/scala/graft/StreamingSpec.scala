@@ -90,6 +90,28 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("wec").collect().toSet === expected)
   }
 
+  test("curation feature columns run unchanged on a stream (stateless)") {
+    val sf = "/root/testdata/sf0.001"
+    import graft.operators.{Sampling, TextAnalysis}
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val (lang, _) = TextAnalysis.languageIdCols(col("text"))
+      Sampling.deterministicSplit(
+        df.select(col("doc_id"), lang.as("predicted_lang")),
+        "doc_id", "split", Seq(("train", 204), ("val", 230), ("test", 256)))
+    }
+    val batch = spark.read.parquet(s"$sf/documents.parquet")
+    val expected = curate(batch).collect().toSet
+    val streamDir = tmpDir("cur-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/documents.parquet"))
+    val q = curate(spark.readStream.schema(batch.schema).parquet(streamDir))
+      .writeStream.format("memory").queryName("cur")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("cur").collect().toSet === expected)
+  }
+
   test("streaming dedup drops repeats within the watermark") {
     import spark.implicits._
     val dir = tmpDir("dup-stream")
