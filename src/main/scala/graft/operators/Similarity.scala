@@ -40,6 +40,28 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = VectorFunctions.cosineSim(a, b)
 
+  /** L2 norm of a vector column (double). */
+  def l2Norm(v: Column): Column = sqrt(dotHof(v, v))
+
+  /** Adds `outCol` = the L2-normalized vector (components as double).
+    * Normalizing once up front turns every downstream cosine into a plain
+    * dot product — the standard preprocessing step for embedding indexes.
+    * Zero vectors pass through unchanged (no NaN poisoning).
+    *
+    * The norm is materialized as a column BEFORE the per-component lambda:
+    * lambda bodies get no common-subexpression elimination, so an inlined
+    * norm would be re-summed per component — O(dims²) per row (the same
+    * trap TextDedup.shingles documents). */
+  def withL2Normalized(df: DataFrame, vecCol: String,
+                       outCol: String = "unit_vec"): DataFrame = {
+    val n = col("graft_l2norm")
+    df.withColumn("graft_l2norm", l2Norm(col(vecCol)))
+      .withColumn(outCol,
+        when(n === 0.0, transform(col(vecCol), x => x.cast(DoubleType)))
+          .otherwise(transform(col(vecCol), x => x.cast(DoubleType) / n)))
+      .drop("graft_l2norm")
+  }
+
   /** Exact top-k most-similar vectors to a literal query vector.
     * `orderBy(desc).limit(k)` compiles to TakeOrderedAndProject. */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,

@@ -93,6 +93,25 @@ object TextAnalysis {
         lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("n_re_tokens"),
       length(col(textCol)).as("n_chars"))
 
+  /**
+   * PII-style pattern redaction: applies each (pattern → replacement)
+   * rule in order over the text, and counts total matches against the
+   * ORIGINAL text (rules whose matches overlap an earlier rule's
+   * replacement are counted per-rule, not post-substitution). A narrow
+   * codegen'd projection — patterns restricted to constructs with
+   * identical semantics under Java regex and RE2 keep it oracle-portable.
+   */
+  def redact(docs: DataFrame, idCol: String, textCol: String,
+             rules: Seq[(String, String)]): DataFrame = {
+    val redacted = rules.foldLeft(col(textCol)) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+    val nMatches = rules.map(r => regexp_count(col(textCol), lit(r._1)))
+      .reduce(_ + _)
+    docs.select(col(idCol), redacted.as("redacted_text"),
+      nMatches.as("n_redacted"))
+  }
+
   /** Document fingerprints: full-content md5 plus a winnowing-style
     * min-hash over w-word shingle windows (robust to local edits). */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{LatestSnapshot, Sampling, TextAnalysis, VectorAggs}
+import graft.operators.{LatestSnapshot, Sampling, Similarity, TextAnalysis, VectorAggs}
 import graft.sources.Sources
 
 /** Round-3 training-pipeline widening: reproducible train/val/test
@@ -115,6 +115,56 @@ object CurationQueries {
       .select(col("cluster"), col("n_members"), col("dim"), col("centroid"))
       .orderBy(col("cluster"), col("dim"))
   }
+
+  // ── q62: embedding L2 normalization (index preprocessing) ──────────────
+
+  /** q62: per-vector L2 norm plus checksums of the normalized vector
+    * (sequential-fold sums on both engines) — proves the unit-vector
+    * preprocessing (`Similarity.withL2Normalized`) component-exact without
+    * hashing a raw double array. */
+  def q62VectorNorm(s: SparkSession, dir: String): DataFrame =
+    Similarity.withL2Normalized(Sources.embeddings(s, dir), "embedding", "u")
+      .select(col("vec_id"),
+        round(Similarity.l2Norm(col("embedding")), 6).as("l2_norm"),
+        round(aggregate(col("u"), lit(0.0), (a, x) => a + x), 6).as("unit_sum"),
+        round(array_max(col("u")), 6).as("unit_max"))
+      .orderBy(col("vec_id"))
+
+  val q62Sql: String =
+    """WITH n AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+      |    AS nrm FROM embeddings)
+      |SELECT vec_id,
+      |  round(nrm, 6) AS l2_norm,
+      |  round(list_sum(list_transform(embedding, x -> x::DOUBLE / nrm)), 6)
+      |    AS unit_sum,
+      |  round(list_max(list_transform(embedding, x -> x::DOUBLE / nrm)), 6)
+      |    AS unit_max
+      |FROM n ORDER BY vec_id""".stripMargin
+
+  // ── q63: PII-style pattern redaction ───────────────────────────────────
+
+  /** q63: email + number redaction over the document corpus; the md5 of
+    * the redacted text proves content (not just count) parity. */
+  def q63Redact(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.redact(Sources.documents(s, dir), "doc_id", "text",
+        Seq("[a-z]+@[a-z]+\\.[a-z]+" -> "<EMAIL>", "[0-9]+" -> "<NUM>"))
+      .select(col("doc_id"), md5(col("redacted_text")).as("redacted_md5"),
+        length(col("redacted_text")).as("redacted_len"), col("n_redacted"))
+      .orderBy(col("doc_id"))
+
+  val q63Sql: String =
+    """WITH r AS (SELECT doc_id,
+      |  regexp_replace(regexp_replace(text,
+      |    '[a-z]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+      |    '[0-9]+', '<NUM>', 'g') AS rt,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+@[a-z]+\.[a-z]+')) AS BIGINT)
+      |  + CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+      |    AS n_redacted
+      |  FROM documents)
+      |SELECT doc_id, md5(rt) AS redacted_md5, length(rt) AS redacted_len,
+      |  n_redacted
+      |FROM r ORDER BY doc_id""".stripMargin
 
   private def cosSql(v1: String, v2: String): String =
     s"""round(

@@ -44,6 +44,40 @@ class SamplingSpec extends SparkSpec {
   }
 }
 
+class NormalizeAndRedactSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{Similarity, TextAnalysis}
+
+  test("withL2Normalized produces unit vectors; zero vector passes through") {
+    val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("id", "v")
+    val out = Similarity.withL2Normalized(df, "v", "u")
+      .select("id", "u").as[(Long, Seq[Double])].collect().toMap
+    assert(out(1L) === Seq(0.6, 0.8))
+    assert(out(2L) === Seq(0.0, 0.0))
+  }
+
+  test("normalized corpus: cosine equals plain dot product") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(-2.0f, 0.5f, 1.0f)))
+      .toDF("id", "v")
+    val u = Similarity.withL2Normalized(df, "v", "u")
+    val a = u.filter($"id" === 1L).select($"u".as("u1"))
+    val b = u.filter($"id" === 2L).select($"u".as("u2"))
+    val row = a.crossJoin(b).select(
+      round(Similarity.cosine($"u1", $"u2"), 9).as("cos"),
+      round(Similarity.dotHof($"u1", $"u2"), 9).as("dot")).head()
+    assert(row.getDouble(0) === row.getDouble(1))
+  }
+
+  test("redact replaces in rule order and counts against the original") {
+    val df = Seq((1L, "mail me at bob@example.com or call 555 1234")).toDF("doc_id", "text")
+    val out = TextAnalysis.redact(df, "doc_id", "text",
+      Seq("[a-z]+@[a-z]+\\.[a-z]+" -> "<EMAIL>", "[0-9]+" -> "<NUM>")).head()
+    assert(out.getString(1) === "mail me at <EMAIL> or call <NUM> <NUM>")
+    assert(out.getInt(2) === 3)
+  }
+}
+
 class KMeansSpec extends SparkSpec {
   import spark.implicits._
 
