@@ -113,4 +113,24 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       s"bucketed near-dup must stay equi-join:\n$plan")
   }
+
+  test("whole-surface audit: no unintended nested-loop/cartesian joins") {
+    // Every BroadcastNestedLoopJoin in the surface is a deliberate
+    // broadcast of a metadata-scale table (k centroids / 1-row total) or
+    // the documented exact all-pairs oracle path (q41, scale path = q58).
+    // Anything new showing up here is a silent O(n²) regression.
+    val allowedBnl = Set(
+      "q41_cosine_near_dup", "q55_ivf_ann", "q57_ntile", "q61_kmeans")
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.sparkPlan.toString
+        val bad =
+          (if (plan.contains("BroadcastNestedLoopJoin") && !allowedBnl(name))
+            Seq(s"$name:BNL") else Nil) ++
+          (if (plan.contains("CartesianProduct")) Seq(s"$name:CARTESIAN")
+           else Nil)
+        bad
+    }
+    assert(violations.isEmpty, violations.mkString(", "))
+  }
 }
