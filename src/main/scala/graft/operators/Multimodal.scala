@@ -84,4 +84,20 @@ object Multimodal {
   def sampleFrames(meta: DataFrame, idCol: String, stride: Int): DataFrame =
     meta.select(col(idCol), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Resize plan: fit (width, height) into a (maxW, maxH) box preserving
+    * aspect ratio, never upscaling — the exact-integer metadata arithmetic
+    * (floor of the min scale) a real pixel resampler plugs into. A narrow
+    * projection; the payload column is untouched and never shuffled. */
+  def resizePlan(meta: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW).cast("double") / col("width"),
+      lit(maxH).cast("double") / col("height"),
+      lit(1.0))
+    meta
+      .withColumn("out_width",
+        greatest(floor(col("width") * scale), lit(1L)).cast("int"))
+      .withColumn("out_height",
+        greatest(floor(col("height") * scale), lit(1L)).cast("int"))
+  }
 }

@@ -203,4 +203,20 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getAs[Int]("frame_idx"))
     assert(frames.sorted === Array(0, 2, 4, 6))
   }
+
+  test("resize plan fits the box, keeps aspect, never upscales") {
+    val meta = Seq(
+      (1L, 1000, 500),  // downscale: limited by width
+      (2L, 100, 400),   // downscale: limited by height
+      (3L, 50, 60),     // already fits: unchanged
+      (4L, 10000, 1)    // extreme aspect: height clamps to 1
+    ).toDF("media_id", "width", "height")
+    val out = Multimodal.resizePlan(meta, maxW = 200, maxH = 200)
+      .select("media_id", "out_width", "out_height").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) === ((200, 100)))
+    assert(out(2L) === ((50, 200)))
+    assert(out(3L) === ((50, 60)))
+    assert(out(4L) === ((200, 1)))
+  }
 }
