@@ -243,6 +243,58 @@ object TextDedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** LSH index tables for a corpus: (bands, shingles) — the persistent
+    * state `dedupAgainstIndex` joins new batches against. On a real
+    * deployment both are written bucketed on their join keys
+    * ((band, bh) / (docId, s)) so incremental runs shuffle only the new
+    * batch, never the indexed corpus. */
+  def lshIndex(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 16, r: Int = 4,
+               w: Int = 3): (DataFrame, DataFrame) = {
+    val sh = shingles(docs, idCol, textCol, w)
+    (lshBandsFromWide(minHashSignaturesWide(sh, idCol, k), idCol, k, r), sh)
+  }
+
+  /**
+   * Incremental near-dup detection: candidate pairs are NEW-batch band
+   * rows colliding with INDEX band rows (never index×index — the corpus
+   * was already deduped when indexed), verified at exact Jaccard between
+   * the new doc's shingles and the indexed doc's shingles.
+   *
+   * This is the shape that makes dedup tractable in production: a 100 TB
+   * corpus is indexed once, and each incoming batch costs
+   * O(|batch| + collisions), not a full-corpus self-join. Signatures are
+   * per-document (K–M md5), so incremental results are bit-identical to
+   * what a batch-global run would report for the same (new, old) pairs.
+   */
+  def dedupAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                        indexBands: DataFrame, indexShingles: DataFrame,
+                        k: Int = 16, r: Int = 4, w: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    val nsh = shingles(newDocs, idCol, textCol, w)
+    val nbands = lshBandsFromWide(minHashSignaturesWide(nsh, idCol, k),
+      idCol, k, r)
+    val cand = nbands.select(col(idCol).as("d_new"), col("band"), col("bh"))
+      .join(indexBands.select(col(idCol).as("d_old"), col("band"), col("bh"))
+        .hint("shuffle_hash"), Seq("band", "bh"))
+      .select("d_new", "d_old").distinct()
+    val inter = cand
+      .join(nsh.select(col(idCol).as("d_new"), col("s"))
+        .hint("shuffle_hash"), "d_new")
+      .join(indexShingles.select(col(idCol).as("d_old"), col("s"))
+        .hint("shuffle_hash"), Seq("d_old", "s"))
+      .groupBy("d_new", "d_old").agg(count(lit(1)).as("inter"))
+    val nsz = nsh.groupBy(col(idCol)).agg(count(lit(1)).as("n_new"))
+      .withColumnRenamed(idCol, "d_new")
+    val osz = indexShingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_old"))
+      .withColumnRenamed(idCol, "d_old")
+    inter.join(nsz, "d_new").join(osz, "d_old")
+      .select(col("d_new"), col("d_old"),
+        (col("inter") / (col("n_new") + col("n_old") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact dedup: one survivor per distinct value of `keyCols` (smallest id
     * wins — deterministic, unlike dropDuplicates), plus the duplicate
     * count. Hash-groupBy; partial aggregation keeps the shuffle at

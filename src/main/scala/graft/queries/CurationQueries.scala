@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{LatestSnapshot, Sampling, Similarity, TextAnalysis, VectorAggs}
+import graft.operators.{LatestSnapshot, Sampling, Similarity, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-3 training-pipeline widening: reproducible train/val/test
@@ -165,6 +165,58 @@ object CurationQueries {
       |SELECT doc_id, md5(rt) AS redacted_md5, length(rt) AS redacted_len,
       |  n_redacted
       |FROM r ORDER BY doc_id""".stripMargin
+
+  // ── q64: incremental dedup against a stored LSH index ──────────────────
+
+  /** q64: the production dedup shape — even-id documents stand in for the
+    * already-indexed corpus, odd-id documents for the incoming batch;
+    * candidates come ONLY from new×index band collisions (no corpus
+    * self-join), verified at exact Jaccard. Per-document K–M md5
+    * signatures make the incremental result bit-identical to the batch
+    * run's (new, old) pairs. */
+  def q64IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val (idxBands, idxShingles) = TextDedup.lshIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    TextDedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", idxBands, idxShingles, threshold = 0.5)
+      .orderBy(col("d_new"), col("d_old"))
+  }
+
+  val q64Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |hw AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h1,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h2
+      |       FROM sh),
+      |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+      |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band,
+      |            md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bh
+      |          FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT b.doc_id AS d_new, a.doc_id AS d_old
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |         WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.d_new, c.d_old, count(*) AS inter
+      |          FROM cand c
+      |          JOIN sh a ON a.doc_id = c.d_new
+      |          JOIN sh b ON b.doc_id = c.d_old AND b.s = a.s
+      |          GROUP BY c.d_new, c.d_old)
+      |SELECT i.d_new, i.d_old,
+      |  CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) AS jaccard
+      |FROM inter i JOIN sz s1 ON i.d_new = s1.doc_id
+      |             JOIN sz s2 ON i.d_old = s2.doc_id
+      |WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= 0.5
+      |ORDER BY d_new, d_old""".stripMargin
 
   private def cosSql(v1: String, v2: String): String =
     s"""round(

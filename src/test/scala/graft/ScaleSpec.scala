@@ -55,6 +55,32 @@ class DedupScaleSpec extends SparkSpec {
   }
 }
 
+/** Incremental dedup must agree with the batch-global run on the pairs it
+  * can see: per-document signatures make the two paths bit-identical. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental result == batch pairs restricted to new×index") {
+    val docs = graft.sources.Sources
+      .documents(spark, "/root/testdata/sf0.01").select($"doc_id", $"text")
+    val batchCross = graft.operators.TextDedup
+      .minHashLshPairs(docs, "doc_id", "text", 16, 4, 3, 0.5)
+      .filter($"d1" % 2 =!= $"d2" % 2)
+      .select(
+        when($"d1" % 2 === 1, $"d1").otherwise($"d2").as("d_new"),
+        when($"d1" % 2 === 1, $"d2").otherwise($"d1").as("d_old"))
+      .as[(Long, Long)].collect().toSet
+    val (idxBands, idxShingles) = graft.operators.TextDedup.lshIndex(
+      docs.filter($"doc_id" % 2 === 0), "doc_id", "text")
+    val incremental = graft.operators.TextDedup.dedupAgainstIndex(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text",
+        idxBands, idxShingles, threshold = 0.5)
+      .select("d_new", "d_old").as[(Long, Long)].collect().toSet
+    assert(incremental === batchCross)
+    assert(incremental.nonEmpty) // sf0.01 plants cross-parity near-dups
+  }
+}
+
 class SinksSpec extends SparkSpec {
 
   test("partitioned append lays out partition directories and preserves rows") {
