@@ -15,6 +15,10 @@ run / fork := true
 // every line with "[info] ", which breaks line-oriented JSON consumers of
 // `runMain graft.Bench` (the driver json-parses the bench line).
 run / outputStrategy := Some(StdoutOutput)
+// ... and sbt's own "[success] Total time: ..." trailer lands AFTER the
+// bench JSON line, so a consumer that parses the last stdout line (or a
+// bounded tail) sees sbt noise instead of the JSON. Silence it.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -29,12 +29,16 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // 3 decimal places: millisecond resolution is plenty, and the shorter
+    // line matters — the driver captures a bounded tail of stdout, and a
+    // full-precision 64-query line overflowed it in round 3 (parsed:null)
+    def sec(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>
       "\"" + k + "\":" + jstr(m.take(200)) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

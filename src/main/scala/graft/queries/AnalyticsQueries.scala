@@ -160,13 +160,21 @@ object AnalyticsQueries {
   def q46Sessionize(s: SparkSession, dir: String): DataFrame =
     Sessionize.sessions(Sources.events(s, dir), Seq("user_id"), "ts",
         gapSeconds = 1800, tiebreak = Seq(col("event_id")))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"))
       .orderBy(col("user_id"), col("session_id"))
 
-  // Oracle notes: MIN/MAX(ts) over the TIMESTAMP(NANOS) parquet column
-  // yields DuckDB TIMESTAMP_NS — CAST to µs TIMESTAMP so the driver's
-  // hasher sees the same representation Spark writes. The running-sum
-  // window carries the event_id tiebreak of the lag window: with duplicate
-  // (user_id, ts) rows the numbering would otherwise be nondeterministic.
+  // Oracle notes: the gate projection reports session bounds as epoch
+  // MICROSECOND BIGINTs, not timestamps. MIN/MAX(ts) over the parquet
+  // TIMESTAMP(NANOS) column is DuckDB TIMESTAMP_NS while Spark carries a
+  // µs timestamp — every textual-timestamp normalization we tried still
+  // stringified differently in the driver's hasher (r2 CAST fix did not
+  // green it in r3). int64 has exactly one representation everywhere.
+  // epoch_ns // 1000 floor-matches Spark's `ts DIV 1000` read conversion
+  // (positive epochs). The running-sum window carries the event_id
+  // tiebreak of the lag window: with duplicate (user_id, ts) rows the
+  // numbering would otherwise be nondeterministic.
   val q46Sql: String =
     """WITH f AS (
       |  SELECT user_id, ts, event_id,
@@ -181,8 +189,8 @@ object AnalyticsQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM f)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
-      |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
-      |  CAST(MAX(ts) AS TIMESTAMP) AS session_end
+      |  CAST(epoch_ns(MIN(ts)) // 1000 AS BIGINT) AS session_start_us,
+      |  CAST(epoch_ns(MAX(ts)) // 1000 AS BIGINT) AS session_end_us
       |FROM ses GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
