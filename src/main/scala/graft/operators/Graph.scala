@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed graph primitives for the dedup pipeline. Near-dup detection
+ * (MinHash LSH, SimHash, cosine buckets) yields PAIRS; turning pairs into
+ * dedup decisions needs the transitive closure — duplicate CLUSTERS — so a
+ * curation run can keep exactly one survivor per component.
+ *
+ * The algorithm is HashMin label propagation: every node starts as its own
+ * label, each round every node takes the min of its own and its neighbors'
+ * labels, converging in O(graph diameter) rounds. Each round is ONE shuffle
+ * (a groupBy on node id); the edge list is never collected and no state
+ * grows beyond (node, label). Near-dup graphs are almost-cliques of small
+ * diameter, so 3-5 rounds close them in practice. For adversarial
+ * long-chain graphs at 100 TB the round count is the bottleneck and the
+ * large-star/small-star algorithm (Kiveris et al., "Connected Components
+ * in MapReduce and Beyond", SoCC'14) halves the rounds; HashMin keeps the
+ * per-round plan simplest and is the standard first choice (GraphFrames
+ * ships the same loop shape).
+ */
+object Graph {
+
+  /**
+   * Connected components of the undirected graph given as an edge list.
+   * Returns (`node`, `component`) where `component` is the smallest node
+   * id reachable from `node`. Nodes are those appearing in ≥1 edge.
+   *
+   * The driver loop only ever pulls back ONE scalar per round (the changed
+   * count, for convergence detection) — the data path stays distributed.
+   * `localCheckpoint` truncates the plan lineage each round; without it the
+   * iterated plan nests `maxIters` self-joins and analysis cost explodes.
+   */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIters: Int = 25): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // symmetric closure: propagate labels in both directions
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val msgs = sym.join(labels, sym("b") === labels("node"))
+        .select(sym("a").as("node"), col("component"))
+      val next = labels.unionByName(msgs)
+        .groupBy("node").agg(min("component").as("component"))
+        .localCheckpoint()
+      val changed = next.join(
+          labels.withColumnRenamed("component", "prev"), "node")
+        .filter(col("component") < col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

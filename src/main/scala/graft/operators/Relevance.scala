@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/**
+ * Term-relevance scoring over the document corpus: TF-IDF feature
+ * extraction and BM25 retrieval — the text-side counterpart of the
+ * embedding similarity operators (Similarity/VectorAggs), and the
+ * classic quality signal a curation pipeline derives from an inverted
+ * index it already has to build for dedup.
+ *
+ * Everything is two hash aggregations (term frequency, document
+ * frequency) plus a join on the co-partitioned keys — all map-side
+ * combinable, nothing collected to the driver. Corpus-level scalars
+ * (N, avgdl) ride along as a broadcast single-row crossJoin, so the plan
+ * stays one pass over the exploded terms.
+ */
+object Relevance {
+
+  /** (id, term, tf): whitespace term frequencies, duplicates counted.
+    * The split array is bound to a column BEFORE explode — referencing
+    * `split(...)` twice would recompute it per element (no CSE inside
+    * generators). */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** (term, df): number of documents containing each term. Computed from
+    * the tf relation, so the (id, term) dedup is already done and the
+    * aggregation reuses the term-keyed exchange. */
+  def docFrequencies(tf: DataFrame, idCol: String): DataFrame =
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /**
+   * Top-`k` TF-IDF terms per document: tfidf = tf · ln((N+1)/(df+1)),
+   * rounded to 6 dp before ranking so the ordering is reproducible
+   * across engines; ties break on the term. The per-document cut
+   * compiles to WindowGroupLimit (per-partition top-K heaps before the
+   * shuffle), not a full sort.
+   */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dfc = docFrequencies(tf, idCol)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfc, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * F.log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+    LatestSnapshot.topK(scored, Seq(idCol), col("tfidf").desc,
+        Seq(col("term").asc), k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /**
+   * BM25 retrieval: the `k` best documents for a bag of query `terms`.
+   *
+   *   idf(t)  = ln(1 + (N − df + 0.5) / (df + 0.5))
+   *   s(d)    = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+   *
+   * The term filter is applied to the exploded words BEFORE any shuffle,
+   * so only query-term postings ever leave the scan — at 100 TB the
+   * aggregate state is |terms|·|matching docs|, not the corpus. Per-term
+   * contributions are rounded to 6 dp and summed as DECIMAL(18,6): double
+   * addition is order-dependent across partitionings, decimal addition is
+   * exact, so the score is bit-stable under any plan.
+   */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val words = docs.select(col(idCol), split(col(textCol), " ").as("w"))
+    val dl = words.select(col(idCol), size(col("w")).as("dl"))
+    val tf = words.select(col(idCol), explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val idf = F.log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfc), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("contrib", round(idf * tfNorm, 6).cast(DecimalType(18, 6)))
+      .groupBy(col(idCol))
+      .agg(sum(col("contrib")).cast(DoubleType).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -27,6 +27,24 @@ object Sampling {
    * ("test",256)) ≈ 80/10/10. Bounds are cumulative on the 0..255 scale;
    * the last bound must be 256 so every row lands somewhere.
    */
+  /**
+   * Per-stratum deterministic sampling: keep a row iff its md5 bucket
+   * falls below its stratum's bound (bound/256 ≈ the stratum's rate) —
+   * per-language corpus rebalancing with the same seedless, engine- and
+   * partitioning-stable randomness source as `bucket`. A narrow filter;
+   * the stratum→bound table compiles to a codegen'd CASE, no join.
+   */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       salt: String, bounds: Seq[(String, Int)],
+                       defaultBound: Int): DataFrame = {
+    val b = bucket(salt, col(keyCol))
+    val bound = bounds.foldRight(lit(defaultBound): Column) {
+      case ((stratum, bd), rest) =>
+        when(col(strataCol) === stratum, lit(bd)).otherwise(rest)
+    }
+    df.filter(b < bound)
+  }
+
   def deterministicSplit(df: DataFrame, keyCol: String, salt: String,
                          cuts: Seq[(String, Int)],
                          outCol: String = "split"): DataFrame = {

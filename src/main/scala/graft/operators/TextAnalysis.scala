@@ -112,6 +112,43 @@ object TextAnalysis {
       nMatches.as("n_redacted"))
   }
 
+  /**
+   * Gopher-style repetition/diversity signals per document: word count,
+   * distinct-word ratio, the dominant word and its mass fraction, and the
+   * fraction of duplicated 2-grams — the "is this page degenerate
+   * boilerplate" filters of Rae et al., "Scaling Language Models" (Gopher,
+   * arXiv:2112.11446), Appendix A1.1.
+   *
+   * Entirely narrow HOF projections over one bound word array — zero
+   * shuffles, unlike the explode+groupBy formulation whose (doc, word)
+   * exchange carries the whole corpus. The in-row distinct-count loop is
+   * O(|words|²) per document, the right trade below ~10⁴ words; truncate
+   * pathological documents (or fall back to `Relevance.termFrequencies`)
+   * beyond that.
+   */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = col("graft_w"); val dw = col("graft_dw")
+    val cnts = col("graft_cnts"); val bg = col("graft_bg")
+    val maxc = col("graft_maxc")
+    docs.select(col(idCol), split(col(textCol), " ").as("graft_w"))
+      .withColumn("graft_dw", array_sort(array_distinct(w)))
+      .withColumn("graft_cnts", transform(dw, x => size(filter(w, y => y === x))))
+      .withColumn("graft_maxc", array_max(cnts))
+      .withColumn("graft_bg", when(size(w) >= 2,
+          transform(sequence(lit(0), size(w) - 2),
+            i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array().cast(ArrayType(StringType))))
+      .select(col(idCol),
+        size(w).as("n_words"),
+        round(size(dw).cast(DoubleType) / size(w), 6).as("distinct_ratio"),
+        array_min(filter(dw, (x, i) => element_at(cnts, i + 1) === maxc))
+          .as("top_word"),
+        round(maxc.cast(DoubleType) / size(w), 6).as("top_word_frac"),
+        when(size(bg) === 0, lit(0.0)).otherwise(
+          round(lit(1.0) - size(array_distinct(bg)).cast(DoubleType) / size(bg), 6))
+          .as("dup_bigram_frac"))
+  }
+
   /** Document fingerprints: full-content md5 plus a winnowing-style
     * min-hash over w-word shingle windows (robust to local edits). */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String,

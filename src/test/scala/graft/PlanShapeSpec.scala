@@ -114,13 +114,22 @@ class PlanShapeSpec extends SparkSpec {
       s"bucketed near-dup must stay equi-join:\n$plan")
   }
 
+  test("repetition quality is a pure narrow projection (no shuffle)") {
+    val plan = physicalPlan(graft.operators.TextAnalysis.repetitionStats(
+      graft.sources.Sources.documents(spark, sf), "doc_id", "text"))
+    assert(!plan.contains("Exchange"),
+      s"repetition stats must not shuffle:\n$plan")
+  }
+
   test("whole-surface audit: no unintended nested-loop/cartesian joins") {
     // Every BroadcastNestedLoopJoin in the surface is a deliberate
     // broadcast of a metadata-scale table (k centroids / 1-row total) or
     // the documented exact all-pairs oracle path (q41, scale path = q58).
     // Anything new showing up here is a silent O(n²) regression.
     val allowedBnl = Set(
-      "q41_cosine_near_dup", "q55_ivf_ann", "q57_ntile", "q61_kmeans")
+      "q41_cosine_near_dup", "q55_ivf_ann", "q57_ntile", "q61_kmeans",
+      // 1-row corpus-stats broadcasts (N, avgdl) riding along the scan
+      "q66_tfidf", "q68_bm25")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

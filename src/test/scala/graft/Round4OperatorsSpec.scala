@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Relevance, Sampling, TextAnalysis}
+
+/** Targeted specs for the round-4 operators (dup clusters, TF-IDF, BM25,
+  * repetition quality, stratified sampling) — hand-computed expectations
+  * on crafted inputs, independent of the DuckDB gate. */
+class Round4OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── connected components ────────────────────────────────────────────────
+
+  test("connectedComponents closes a chain and keeps islands apart") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("d1", "d2")
+    val got = Graph.connectedComponents(edges, "d1", "d2")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents is direction-agnostic (min label via either end)") {
+    // edges point away from the min node: labels must still flow back
+    val edges = Seq((5L, 1L), (5L, 9L), (9L, 7L)).toDF("a", "b")
+    val got = Graph.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 5L -> 1L, 7L -> 1L, 9L -> 1L))
+  }
+
+  test("connectedComponents of an empty edge list is empty") {
+    val edges = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Graph.connectedComponents(edges, "d1", "d2").count() == 0)
+  }
+
+  // ── repetition quality ──────────────────────────────────────────────────
+
+  test("repetitionStats computes hand-checked signals") {
+    val docs = Seq(
+      (1L, "a a b c"),          // 4 words, 3 distinct, top a(2), no dup bigram
+      (2L, "x y x y x y")       // 6 words, 2 distinct, tie x/y(3) -> x
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Int, Double, String, Double, Double)].collect()
+    assert(got(0) == ((1L, 4, 0.75, "a", 0.5, 0.0)))
+    // bigrams of doc 2: xy yx xy yx xy -> 5 total, 2 distinct -> 0.6 dup
+    assert(got(1) == ((2L, 6, 0.333333, "x", 0.5, 0.6)))
+  }
+
+  // ── TF-IDF ──────────────────────────────────────────────────────────────
+
+  test("tfidfTopK matches a hand-computed corpus") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Relevance.tfidfTopK(docs, "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+      .as[(Long, String, Long, Long, Double)].collect()
+    val lnHalf3 = BigDecimal(2.0 * math.log(3.0 / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln3over2 = BigDecimal(math.log(3.0 / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // df(a)=1, df(b)=2, df(c)=1; N=2 -> idf(b)=ln(3/3)=0
+    assert(got.toSeq == Seq(
+      (1L, "a", 2L, 1L, lnHalf3),
+      (1L, "b", 1L, 2L, 0.0),
+      (2L, "c", 1L, 1L, ln3over2),
+      (2L, "b", 1L, 2L, 0.0)))
+  }
+
+  // ── BM25 ────────────────────────────────────────────────────────────────
+
+  test("bm25TopK ranks matching docs and drops non-matching ones") {
+    val docs = Seq(
+      (1L, "spark join vector spark"), // all three terms, spark twice
+      (2L, "spark row column value"),  // one term
+      (3L, "row column value table")   // no query terms
+    ).toDF("doc_id", "text")
+    val got = Relevance.bm25TopK(docs, "doc_id", "text",
+        Seq("vector", "join", "spark"), k = 10)
+      .as[(Long, Double, Long)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // 3 absent, 1 above 2
+    assert(got(0)._3 == 3L && got(1)._3 == 1L) // matched-term counts
+    assert(got(0)._2 > got(1)._2)
+  }
+
+  // ── stratified sampling ─────────────────────────────────────────────────
+
+  test("stratifiedSample applies per-stratum bounds and is repartition-stable") {
+    val rows = (0L until 512L).map(i =>
+      (i, if (i % 2 == 0) "en" else "zh")).toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(rows, "id", "lang", "s4",
+      Seq("en" -> 0, "zh" -> 256), defaultBound = 128)
+    // en bound 0 -> nothing; zh bound 256 -> everything
+    assert(kept.filter($"lang" === "en").count() == 0)
+    assert(kept.filter($"lang" === "zh").count() == 256)
+    val ids1 = kept.select("id").as[Long].collect().sorted.toSeq
+    val ids2 = Sampling.stratifiedSample(rows.repartition(7), "id", "lang",
+        "s4", Seq("en" -> 0, "zh" -> 256), defaultBound = 128)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
+  test("stratifiedSample default bound covers unlisted strata at ≈rate") {
+    val rows = (0L until 1024L).map(i => (i, "fr")).toDF("id", "lang")
+    val n = Sampling.stratifiedSample(rows, "id", "lang", "s4",
+      Seq("en" -> 0), defaultBound = 128).count()
+    assert(n > 400 && n < 624, s"expected ≈512 kept, got $n") // 128/256 = 50%
+  }
+}
