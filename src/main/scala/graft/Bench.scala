@@ -30,10 +30,14 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     // 3 decimal places: millisecond resolution is plenty, and the shorter
-    // line matters — the driver captures a bounded tail of stdout, and a
-    // full-precision 64-query line overflowed it in round 3 (parsed:null)
+    // line matters — the driver captures a bounded (~2000 char) tail of
+    // stdout, and a full-precision 64-query line overflowed it in round 3
+    // (parsed:null). Keys are the qNN prefix (the contract's own example
+    // shape, {"q1":sec,...}): full names would blow the window again as
+    // the surface grows.
     def sec(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }
+    val qs = results.map { case (k, v, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>
       "\"" + k + "\":" + jstr(m.take(200)) }.mkString("{", ",", "}")
