@@ -101,6 +101,41 @@ object VectorAggs {
     assigned
   }
 
+  /** Per-dimension corpus (min, max) as ONE row of two aligned arrays —
+    * the training pass of scalar quantization. posexplode + map-side
+    * combined min/max per dim, then a k-dims-row rollup: nothing driver-
+    * side, and the result is broadcastable metadata (2·dims doubles). */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x").cast(DoubleType)).as("mn"),
+        max(col("x").cast(DoubleType)).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+          s => s.getField("mn")).as("mins"),
+        transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          s => s.getField("mx")).as("maxs"))
+
+  /**
+   * SQ8 scalar quantization: each component mapped to an int code in
+   * 0..255 by its dimension's corpus (min, max) range — the 4×-8×
+   * index-compression preprocessing of FAISS-style `SQ8` storage. The
+   * stats row rides a 1-row broadcast crossJoin; quantization itself is a
+   * narrow codegen'd HOF over the vector, so the corpus is scanned twice
+   * (train, encode) and never shuffled. Constant dimensions (mx = mn)
+   * encode as 0.
+   */
+  def sq8Codes(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val mn = (i: Column) => element_at(col("mins"), i + 1)
+    val mx = (i: Column) => element_at(col("maxs"), i + 1)
+    df.crossJoin(broadcast(dimStats(df, vecCol)))
+      .withColumn("codes", transform(col(vecCol), (x, i) =>
+        when(mx(i) === mn(i), lit(0L)).otherwise(
+          floor((x.cast(DoubleType) - mn(i)) / (mx(i) - mn(i)) * lit(255.0))
+            .cast(LongType))))
+      .select(col(idCol), col("codes"))
+  }
+
   /**
    * IVF ANN top-k: queries (rows matching `queryPred`) probe their
    * `nprobe` nearest centroid buckets and are re-ranked by exact cosine

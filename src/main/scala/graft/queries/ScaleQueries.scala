@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Graph, Relevance, Sampling, TextAnalysis, TextDedup}
+import graft.operators.{Chunking, Graph, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-4 widening of the training-pipeline surface: duplicate CLUSTERS
@@ -160,4 +161,176 @@ object ScaleQueries {
       |WHERE bucket < CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 192
       |               ELSE 128 END
       |ORDER BY doc_id""".stripMargin
+
+  // ── q70: content-defined chunk dedup signals ───────────────────────────
+
+  /** q70: CDC chunk counts + corpus-shared chunk counts per document —
+    * the partial-overlap dedup signal (see `Chunking`). */
+  def q70CdcChunks(s: SparkSession, dir: String): DataFrame =
+    Chunking.sharedChunkStats(Sources.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q70Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |t AS (SELECT doc_id, unnest(w) AS word,
+      |        generate_subscripts(w, 1) AS pos FROM w),
+      |c AS (SELECT doc_id, pos, word,
+      |        COALESCE(SUM(CASE WHEN substr(md5(word), 1, 1) = '0'
+      |                     THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |          0) AS chunk_id
+      |      FROM t),
+      |ch AS (SELECT doc_id, chunk_id,
+      |         md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5
+      |       FROM c GROUP BY doc_id, chunk_id),
+      |freq AS (SELECT chunk_md5, count(DISTINCT doc_id) AS nd
+      |         FROM ch GROUP BY chunk_md5)
+      |SELECT ch.doc_id, count(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN freq.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_shared_chunks
+      |FROM ch JOIN freq USING (chunk_md5)
+      |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
+
+  // ── q71: SQ8 scalar quantization ───────────────────────────────────────
+
+  /** q71: int8 scalar-quantized embedding codes, proven by per-vector
+    * checksums (sum/min/max/md5 of the code list) rather than hashing a
+    * raw double array. */
+  def q71Sq8(s: SparkSession, dir: String): DataFrame =
+    VectorAggs.sq8Codes(Sources.embeddings(s, dir), "vec_id", "embedding")
+      .select(col("vec_id"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"),
+        md5(concat_ws(",", transform(col("codes"), c => c.cast(StringType))))
+          .as("codes_md5"))
+      .orderBy(col("vec_id"))
+
+  val q71Sql: String =
+    """WITH d AS (SELECT unnest(embedding) AS x,
+      |             generate_subscripts(embedding, 1) AS dim FROM embeddings),
+      |st AS (SELECT dim, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx
+      |       FROM d GROUP BY dim),
+      |arr AS (SELECT array_agg(mn ORDER BY dim) AS mins,
+      |               array_agg(mx ORDER BY dim) AS maxs FROM st),
+      |q AS (SELECT e.vec_id,
+      |        list_transform(e.embedding, (x, i) ->
+      |          CASE WHEN arr.maxs[i] = arr.mins[i] THEN 0
+      |               ELSE CAST(floor((x::DOUBLE - arr.mins[i])
+      |                 / (arr.maxs[i] - arr.mins[i]) * 255.0) AS BIGINT)
+      |          END) AS codes
+      |      FROM embeddings e CROSS JOIN arr)
+      |SELECT vec_id,
+      |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+      |  list_min(codes) AS code_min,
+      |  list_max(codes) AS code_max,
+      |  md5(array_to_string(codes, ',')) AS codes_md5
+      |FROM q ORDER BY vec_id""".stripMargin
+
+  // ── q72: end-to-end curation pipeline ──────────────────────────────────
+
+  /** q72: the full curation flow in one call — repetition + quality
+    * filters (narrow, raw-double comparisons mirrored exactly in the
+    * oracle), MinHash-LSH near-dup pairs over the SURVIVORS of the filter,
+    * duplicate clusters via connected components, min-id survivor per
+    * cluster, deterministic 80/10/10 split, rolled up to (lang, split)
+    * counts. Filter-first ordering matters at scale: dedup cost is
+    * quadratic-ish in candidate density, so cheap narrow filters run
+    * before any shuffle. */
+  def q72CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val w = col("graft_w")
+    val dr = size(array_distinct(w)).cast(DoubleType) / size(w)
+    val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      .cast(DoubleType) / length(col("text"))
+    val bg = transform(sequence(lit(0), size(w) - 2),
+      i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)))
+    val dupBg = lit(1.0) - size(array_distinct(bg)).cast(DoubleType) / size(bg)
+    val filtered = docs
+      .withColumn("graft_w", split(col("text"), " "))
+      .filter(dr >= 0.35 && alpha >= 0.8 && (size(w) < 2 || dupBg <= 0.1))
+      .select(col("doc_id"), col("text"), col("lang"))
+    val pairs = TextDedup.minHashLshPairs(filtered, "doc_id", "text",
+      k = 16, r = 4, w = 3, threshold = 0.5)
+    val comp = Graph.connectedComponents(pairs, "d1", "d2")
+    val drops = comp.filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    val survivors = filtered.join(drops, Seq("doc_id"), "left_anti")
+    Sampling.deterministicSplit(survivors, "doc_id", "split",
+        Seq(("train", 204), ("val", 230), ("test", 256)))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  /** The q19 MinHash chain parameterized on its source relation (must
+    * expose doc_id, text) — shared by the composite oracles. */
+  private def minhashPairsCtes(src: String): String =
+    s"""ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(w) - 1),
+       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       |       FROM ws WHERE len(w) >= 3),
+       |hw AS (SELECT doc_id,
+       |         CAST(list_sum(list_transform(range(1, 9), j ->
+       |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
+       |             * power(16, 8 - j))) AS BIGINT) AS h1,
+       |         CAST(list_sum(list_transform(range(1, 9), j ->
+       |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
+       |             * power(16, 8 - j))) AS BIGINT) AS h2
+       |       FROM sh),
+       |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+       |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 4 AS band,
+       |            md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bh
+       |          FROM sig GROUP BY doc_id, i // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+       |         WHERE a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.d1, c.d2, count(*) AS inter
+       |          FROM cand c
+       |          JOIN sh a ON a.doc_id = c.d1
+       |          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+       |          GROUP BY c.d1, c.d2),
+       |pairs AS (SELECT i.d1, i.d2
+       |          FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
+       |                       JOIN sz s2 ON i.d2 = s2.doc_id
+       |          WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter)
+       |            >= 0.5)""".stripMargin
+
+  val q72Sql: String =
+    s"""WITH RECURSIVE f0 AS (SELECT doc_id, text, lang,
+       |       string_split(text, ' ') AS w FROM documents),
+       |f AS (SELECT doc_id, text, lang FROM f0 WHERE
+       |  len(list_distinct(w))::DOUBLE / len(w) >= 0.35
+       |  AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+       |      / length(text) >= 0.8
+       |  AND (len(w) < 2 OR 1.0 - len(list_distinct(list_transform(
+       |         range(1, len(w)), i -> w[i] || ' ' || w[i+1])))::DOUBLE
+       |         / (len(w) - 1) <= 0.1)),
+       |${minhashPairsCtes("f")},
+       |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |      UNION SELECT d2 AS a, d1 AS b FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT DISTINCT a AS n, a AS m FROM e
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+       |comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n),
+       |drops AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+       |sur AS (SELECT doc_id, lang FROM f
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+       |sp AS (SELECT doc_id, lang,
+       |  (strpos('0123456789abcdef',
+       |     substr(md5('split_' || doc_id), 1, 1)) - 1) * 16
+       |  + strpos('0123456789abcdef',
+       |     substr(md5('split_' || doc_id), 2, 1)) - 1 AS bucket
+       |  FROM sur)
+       |SELECT lang,
+       |  CASE WHEN bucket < 204 THEN 'train'
+       |       WHEN bucket < 230 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  count(*) AS n_docs
+       |FROM sp GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 }

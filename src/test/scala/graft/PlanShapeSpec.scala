@@ -128,8 +128,9 @@ class PlanShapeSpec extends SparkSpec {
     // Anything new showing up here is a silent O(n²) regression.
     val allowedBnl = Set(
       "q41_cosine_near_dup", "q55_ivf_ann", "q57_ntile", "q61_kmeans",
-      // 1-row corpus-stats broadcasts (N, avgdl) riding along the scan
-      "q66_tfidf", "q68_bm25")
+      // 1-row corpus-stats broadcasts (N, avgdl, dim min/max) riding
+      // along the scan
+      "q66_tfidf", "q68_bm25", "q71_sq8")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Graph, Relevance, Sampling, TextAnalysis}
+import graft.operators.{Chunking, Graph, Relevance, Sampling, TextAnalysis, VectorAggs}
 
 /** Targeted specs for the round-4 operators (dup clusters, TF-IDF, BM25,
   * repetition quality, stratified sampling) — hand-computed expectations
@@ -98,6 +98,50 @@ class Round4OperatorsSpec extends SparkSpec {
         "s4", Seq("en" -> 0, "zh" -> 256), defaultBound = 128)
       .select("id").as[Long].collect().sorted.toSeq
     assert(ids1 == ids2)
+  }
+
+  // ── content-defined chunking ────────────────────────────────────────────
+
+  test("chunks splits after boundary words and is content-defined") {
+    // find a word whose md5 starts with '0' to use as a boundary
+    val boundary = Iterator.from(0).map(i => s"w$i").find { s =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(1).exists(b => (b & 0xf0) == 0)
+    }.get
+    val docs = Seq(
+      (1L, s"aa bb $boundary cc dd"),      // 2 chunks: [aa bb B], [cc dd]
+      (2L, s"zz aa bb $boundary cc dd")    // prefix insertion: 2nd chunk same
+    ).toDF("doc_id", "text")
+    val ch = Chunking.chunks(docs, "doc_id", "text")
+    val byDoc = ch.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(byDoc == Map(1L -> 2L, 2L -> 2L))
+    // the post-boundary chunk hash is identical across both docs (CDC
+    // robustness: a fixed-width window would have shifted)
+    val shared = ch.groupBy("chunk_md5")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" === 2).count()
+    assert(shared == 1)
+    val stats = Chunking.sharedChunkStats(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(stats.toSeq == Seq((1L, 2L, 1L), (2L, 2L, 1L)))
+  }
+
+  // ── SQ8 scalar quantization ─────────────────────────────────────────────
+
+  test("sq8Codes maps corpus min/max to 0/255 and constant dims to 0") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 2.0f, 7.0f)),
+      (2L, Array(1.0f, 2.0f, 3.0f)),
+      (3L, Array(0.5f, 2.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val got = VectorAggs.sq8Codes(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").as[(Long, Seq[Long])].collect()
+    // dim0 range [0,1]: 0->0, 1->255, 0.5->127 (floor); dim1 constant -> 0
+    // dim2 range [3,7]: 7->255, 3->0, 5->floor(127.5)=127
+    assert(got.toSeq == Seq(
+      (1L, Seq(0L, 0L, 255L)),
+      (2L, Seq(255L, 0L, 0L)),
+      (3L, Seq(127L, 0L, 127L))))
   }
 
   test("stratifiedSample default bound covers unlisted strata at ≈rate") {
