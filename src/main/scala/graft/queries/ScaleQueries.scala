@@ -1,9 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, StringType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Chunking, Graph, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{Chunking, Graph, Multimodal, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-4 widening of the training-pipeline surface: duplicate CLUSTERS
@@ -244,8 +244,18 @@ object ScaleQueries {
     val dr = size(array_distinct(w)).cast(DoubleType) / size(w)
     val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
       .cast(DoubleType) / length(col("text"))
-    val bg = transform(sequence(lit(0), size(w) - 2),
-      i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)))
+    // Filter predicates are pushed into the scan with column aliases
+    // INLINED (predicate pushdown substitutes unconditionally, unlike
+    // CollapseProject) — so this predicate must stay cheap with `w`
+    // expanded to split(text) at every reference. zip_with over two
+    // slices builds the bigrams with a lambda that touches only its own
+    // arguments: a transform-with-element_at(w, i) formulation re-runs
+    // the inlined split() PER ELEMENT — O(|words|²) per doc, ×every
+    // LSH/union branch that re-reads the filtered scan (measured 274 s
+    // vs ~7 s at sf0.1).
+    val bg = zip_with(
+      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => concat_ws(" ", a, b))
     val dupBg = lit(1.0) - size(array_distinct(bg)).cast(DoubleType) / size(bg)
     val filtered = docs
       .withColumn("graft_w", split(col("text"), " "))
@@ -263,6 +273,91 @@ object ScaleQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("split"))
   }
+
+  // ── q73: multimodal resize + frame-sampling plan ───────────────────────
+
+  /** q73: the full video-ish multimodal plan — stub decode (md5-derived
+    * dims), aspect-preserving resize into a 128×128 box, then every-4th
+    * frame index materialized as rows. The payload column is dropped
+    * before the explode, so only metadata rows fan out (the payload never
+    * shuffles or duplicates — the rule that keeps multimodal pipelines
+    * alive at 100 TB). */
+  def q73FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val payload = Sources.documents(s, dir)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+    val meta = Multimodal.decodeMetaColumns(payload, "payload")
+    val resized = Multimodal.resizePlan(meta, maxW = 128, maxH = 128)
+      .select(col("doc_id"), col("n_frames"),
+        col("out_width"), col("out_height"))
+    Multimodal.sampleFrames(resized, "doc_id", stride = 4)
+      .join(resized.select(col("doc_id"), col("out_width"),
+        col("out_height")), "doc_id")
+      .select(col("doc_id"), col("frame_idx"),
+        col("out_width"), col("out_height"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val q73Sql: String =
+    """WITH m AS (SELECT doc_id,
+      |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) + 1
+      |      AS width,
+      |    (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) + 1
+      |      AS height,
+      |    (strpos('0123456789abcdef', substr(md5(text), 5, 1)) - 1) + 1
+      |      AS n_frames
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_frames,
+      |    least(CAST(128 AS DOUBLE) / width, CAST(128 AS DOUBLE) / height,
+      |      1.0) AS sc, width, height FROM m),
+      |rs AS (SELECT doc_id, n_frames,
+      |    greatest(CAST(floor(width * sc) AS BIGINT), 1) AS out_width,
+      |    greatest(CAST(floor(height * sc) AS BIGINT), 1) AS out_height
+      |  FROM r)
+      |SELECT doc_id, unnest(range(0, n_frames, 4)) AS frame_idx,
+      |  out_width, out_height
+      |FROM rs ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ── q74: winsorized aggregation (outlier-robust rollup) ────────────────
+
+  /** q74: per-group winsorization — clamp prices into the group's exact
+    * [p05, p95] band, then aggregate. The 3-row percentile table rides a
+    * broadcast join; clamping is narrow; sums are decimal (order-
+    * independent). The outlier-robust cousin of q43's percentile rollup. */
+  def q74Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = Sources.lineitem(s, dir)
+    val bands = li.groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), lit(0.05)).as("lo"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("hi"))
+    li.join(broadcast(bands), "l_returnflag")
+      .withColumn("clamped",
+        least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("clamped"), 2).cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("winsorized_sum"),
+        sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L))
+          .as("n_clamped_low"),
+        sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
+          .as("n_clamped_high"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q74Sql: String =
+    """WITH b AS (SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.05) AS lo,
+      |    quantile_cont(l_extendedprice, 0.95) AS hi
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l.l_returnflag, count(*) AS n,
+      |  CAST(SUM(CAST(round(least(greatest(l.l_extendedprice, b.lo), b.hi), 2)
+      |    AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_sum,
+      |  CAST(SUM(CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_clamped_low,
+      |  CAST(SUM(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_clamped_high
+      |FROM lineitem l JOIN b USING (l_returnflag)
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
 
   /** The q19 MinHash chain parameterized on its source relation (must
     * expose doc_id, text) — shared by the composite oracles. */
