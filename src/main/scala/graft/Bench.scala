@@ -35,12 +35,20 @@ object Bench {
     // (parsed:null). Keys are the qNN prefix (the contract's own example
     // shape, {"q1":sec,...}): full names would blow the window again as
     // the surface grows.
-    def sec(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"" uses the JVM default locale — a comma-decimal
+    // locale (de_DE) would print 1,640 and break the JSON.
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def short(k: String): String = k.takeWhile(_ != '_')
+    // truncated keys must stay unique or a timing silently vanishes into
+    // a duplicate JSON key
+    require(results.map(r => short(r._1)).distinct.size == results.size,
+      "bench query keys collide after qNN truncation")
     val qs = results.map { case (k, v, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + sec(v) }
+      "\"" + short(k) + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>
-      "\"" + k + "\":" + jstr(m.take(200)) }.mkString("{", ",", "}")
+      "\"" + short(k) + "\":" + jstr(m.take(200)) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

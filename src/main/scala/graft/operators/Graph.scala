@@ -30,26 +30,46 @@ object Graph {
    *
    * The driver loop only ever pulls back ONE scalar per round (the changed
    * count, for convergence detection) — the data path stays distributed.
-   * `localCheckpoint` truncates the plan lineage each round; without it the
-   * iterated plan nests `maxIters` self-joins and analysis cost explodes.
+   * Lineage is truncated each round; without that the iterated plan nests
+   * `maxIters` self-joins and analysis cost explodes.
+   *
+   * Checkpointing mode: by default each round uses `localCheckpoint`,
+   * which stores blocks in EXECUTOR memory/disk — fast, but on a real
+   * cluster an executor loss mid-loop kills the job (blocks are not
+   * replicated to reliable storage). For long-running 100 TB jobs pass
+   * `reliable = true` after setting `spark.sparkContext.setCheckpointDir`
+   * to an HDFS/object-store path: every `checkpointInterval`-th round is
+   * then a reliable `checkpoint()` (survives executor loss at the cost of
+   * a write to the checkpoint dir), with `localCheckpoint` in between.
+   *
+   * Throws `IllegalStateException` if the loop exhausts `maxIters` before
+   * convergence — a partially-propagated labeling is WRONG (not an
+   * approximation: labels would still be moving), and must never ship as
+   * a green-looking answer. Size `maxIters` to the expected diameter.
    */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIters: Int = 25): DataFrame = {
+                          maxIters: Int = 25,
+                          reliable: Boolean = false,
+                          checkpointInterval: Int = 5): DataFrame = {
+    require(!reliable ||
+      edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true requires spark.sparkContext.setCheckpointDir(...)")
+    def save(df: DataFrame, round: Int): DataFrame =
+      if (reliable && round % checkpointInterval == 0) df.checkpoint()
+      else df.localCheckpoint()
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
     // symmetric closure: propagate labels in both directions
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint()
+    var labels = save(sym.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node")), 0)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
       val msgs = sym.join(labels, sym("b") === labels("node"))
         .select(sym("a").as("node"), col("component"))
-      val next = labels.unionByName(msgs)
-        .groupBy("node").agg(min("component").as("component"))
-        .localCheckpoint()
+      val next = save(labels.unionByName(msgs)
+        .groupBy("node").agg(min("component").as("component")), iter + 1)
       val changed = next.join(
           labels.withColumnRenamed("component", "prev"), "node")
         .filter(col("component") < col("prev")).count()
@@ -58,6 +78,10 @@ object Graph {
       iter += 1
     }
     sym.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds — " +
+      "labels were still propagating; raise maxIters (graph diameter " +
+      "exceeds the round budget)")
     labels
   }
 }

@@ -52,7 +52,16 @@ object Multimodal {
 
   /** Attach decoded metadata to a binary payload table via batched
     * per-partition processing. Iterator-to-iterator: no partition
-    * materialization, constant memory. */
+    * materialization, constant memory.
+    *
+    * This is the LOAD-BEARING CODEC SEAM, kept deliberately even though
+    * the gate queries (q28/q73) use the codegen-friendly
+    * [[decodeMetaColumns]]: a real image/audio codec is a JVM library
+    * call that cannot be expressed as Catalyst expressions, and this
+    * iterator shape (open codec once per partition, stream rows through
+    * it) is exactly where it plugs in. Use `decodeMetaColumns` whenever
+    * the "decode" is expressible columnarly — it keeps whole-stage
+    * codegen intact; fall back to this only for true native decodes. */
   def withDecodedMeta(df: DataFrame, idCol: String, payloadCol: String,
                       modalityCol: String): Dataset[MediaRecord] = {
     val enc = Encoders.product[MediaRecord]

@@ -286,7 +286,18 @@ object TextDedup {
       .groupBy("d_new", "d_old").agg(count(lit(1)).as("inter"))
     val nsz = nsh.groupBy(col(idCol)).agg(count(lit(1)).as("n_new"))
       .withColumnRenamed(idCol, "d_new")
-    val osz = indexShingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_old"))
+    // Old-doc shingle sizes are only needed for docs that actually
+    // collided: semi-filter the index by the (small, collision-bounded)
+    // candidate id set BEFORE aggregating. Without this the per-batch cost
+    // re-aggregates the WHOLE indexed corpus — O(corpus), not O(batch).
+    // Results are identical: inter's d_old ⊆ cand's d_old and the final
+    // join is inner. (cand is evaluated by both branches; it is
+    // batch-bounded, so the recompute is a constant factor on O(batch),
+    // never a corpus-sized cost.)
+    val osz = indexShingles
+      .join(broadcast(cand.select(col("d_old")).distinct()),
+        col(idCol) === col("d_old"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_old"))
       .withColumnRenamed(idCol, "d_old")
     inter.join(nsz, "d_new").join(osz, "d_old")
       .select(col("d_new"), col("d_old"),

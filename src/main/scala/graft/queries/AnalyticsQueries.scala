@@ -174,7 +174,9 @@ object AnalyticsQueries {
   // epoch_ns // 1000 floor-matches Spark's `ts DIV 1000` read conversion
   // (positive epochs). The running-sum window carries the event_id
   // tiebreak of the lag window: with duplicate (user_id, ts) rows the
-  // numbering would otherwise be nondeterministic.
+  // numbering would otherwise be nondeterministic. The window SUM must be
+  // CAST to BIGINT: DuckDB window SUM over INTEGER yields HUGEINT, whose
+  // Arrow export hashes differently from Spark's int64 session_id.
   val q46Sql: String =
     """WITH f AS (
       |  SELECT user_id, ts, event_id,
@@ -184,9 +186,9 @@ object AnalyticsQueries {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |ses AS (
-      |  SELECT user_id, ts, SUM(nf) OVER (
+      |  SELECT user_id, ts, CAST(SUM(nf) OVER (
       |    PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM f)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  CAST(epoch_ns(MIN(ts)) // 1000 AS BIGINT) AS session_start_us,

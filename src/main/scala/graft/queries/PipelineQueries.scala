@@ -365,16 +365,33 @@ object PipelineQueries {
       |SELECT user_id FROM events WHERE event_type = 'error'
       |ORDER BY user_id""".stripMargin
 
-  /** q33: HLL approximate distinct alongside the exact count. No SQL
-    * oracle — HLL sketches are implementation-specific across engines
-    * (driver records the weaker rows-only check); ApproxDistinctSpec
-    * asserts the ±5% error bound against the exact count instead. */
+  /** q33: HLL approximate distinct, gated against the exact count. The
+    * raw sketch estimate is implementation-specific across engines, so it
+    * can't be hashed directly; instead the output carries the EXACT
+    * distinct count plus `approx_within_5pct` — whether the HLL estimate
+    * landed within ±5% of exact — and the oracle asserts that flag is
+    * literally TRUE for every group. The hash then verifies everything
+    * except the sketch's private value, and a drifting sketch flips the
+    * flag and fails the gate. ApproxDistinctSpec asserts the same bound
+    * in-suite. */
   def q33ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Sources.events(s, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users")).cast(DoubleType)
+          / col("exact_users") <= 0.05).as("approx_within_5pct"))
       .orderBy(col("event_type"))
+
+  val q33Sql: String =
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  COUNT(*) AS n_events,
+      |  TRUE AS approx_within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** q34: pivot event types to columns (counts; absent combinations 0). */
   def q34Pivot(s: SparkSession, dir: String): DataFrame = {

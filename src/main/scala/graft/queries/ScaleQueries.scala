@@ -257,10 +257,18 @@ object ScaleQueries {
       slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
       (a, b) => concat_ws(" ", a, b))
     val dupBg = lit(1.0) - size(array_distinct(bg)).cast(DoubleType) / size(bg)
+    // The filtered slice feeds MinHash signatures, BOTH sides of the
+    // Jaccard verification join, the CC loop above it, and the left_anti
+    // survivors join — without persistence the regex+split filter scan
+    // re-executes on every branch and every CC iteration (62 s of a 115 s
+    // bench at sf0.1). TextDedup.minHashLshPairs's own contract says to
+    // persist the INPUT corpus slice (TextDedup.scala): localCheckpoint
+    // also truncates lineage so the CC loop's per-round plans stay flat.
     val filtered = docs
       .withColumn("graft_w", split(col("text"), " "))
       .filter(dr >= 0.35 && alpha >= 0.8 && (size(w) < 2 || dupBg <= 0.1))
       .select(col("doc_id"), col("text"), col("lang"))
+      .localCheckpoint()
     val pairs = TextDedup.minHashLshPairs(filtered, "doc_id", "text",
       k = 16, r = 4, w = 3, threshold = 0.5)
     val comp = Graph.connectedComponents(pairs, "d1", "d2")

@@ -12,9 +12,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  */
 object Sinks {
 
-  /** S4/S7: append-mode history sink. */
+  /** S4/S7: append-mode history sink. The reference appends with
+    * `mergeSchema=true` (3-spark_curated_analytics_full.py:89) so an
+    * analysis can grow a column without rewriting history; parquet append
+    * accepts heterogeneous file schemas natively — the merge happens at
+    * READ time via [[readHistory]]. */
   def appendHistory(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
+
+  /** Schema-evolution-aware history read: unions the schemas of every
+    * appended batch (old rows null-fill columns added later). Plain
+    * `spark.read.parquet` picks ONE footer's schema and would silently
+    * drop a newly added column depending on file order. */
+  def readHistory(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 
   /** S8: overwrite-mode "current" sink, registered as a temp view so the
     * dashboard SQL (§2.8 Q5) can address it by name, like BigQuery does. */

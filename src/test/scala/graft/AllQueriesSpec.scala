@@ -4,8 +4,8 @@ package graft
  * Executes EVERY registered SparkEntry query end-to-end at sf0.001 and
  * fails on throw — the guard that keeps a registered-but-broken query
  * (round 2's q55) from shipping invisibly. Also asserts the contract the
- * driver gate depends on: an oracle entry for every query (q33 excepted by
- * design) and no oracle for an unregistered query.
+ * driver gate depends on: an oracle entry for every query and no oracle
+ * for an unregistered query.
  */
 class AllQueriesSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
@@ -24,9 +24,9 @@ class AllQueriesSpec extends SparkSpec {
     }
   }
 
-  test("every query has an oracle (q33 rows-only by design)") {
+  test("every query has an oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q33_approx_distinct"), s"missing oracles: $noOracle")
+    assert(noOracle.isEmpty, s"missing oracles: $noOracle")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }

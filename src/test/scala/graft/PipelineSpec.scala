@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.sources.Landing
+import graft.sources.{Landing, Sinks}
 
 /** End-to-end medallion pipeline over CoinCap-shaped fixture polls:
   * Bronze JSON → Silver → four Gold analyses → dashboard SQL. */
@@ -119,5 +119,23 @@ class PipelineSpec extends SparkSpec {
     pipeline.bronzeToSilver(landing, "2025-05-24 05:00:00")
     val silver = spark.read.parquet(s"$warehouse/silver/assats_list")
     assert(silver.count() === 6) // 4 + 2, poll0 not re-read
+  }
+
+  test("history append with a widened schema: old rows null-fill new column") {
+    // S7 schema evolution (reference appends with mergeSchema=true,
+    // 3-spark_curated_analytics_full.py:89): a later batch adds a column;
+    // readHistory must surface it with nulls on pre-existing rows.
+    import spark.implicits._
+    val hist = tmpDir("gold_history_evo")
+    Sinks.appendHistory(
+      Seq(("btc", 1.0), ("eth", 2.0)).toDF("symbol", "price"), hist)
+    Sinks.appendHistory(
+      Seq(("btc", 3.0, 0.5)).toDF("symbol", "price", "dominance"), hist)
+    val got = Sinks.readHistory(spark, hist)
+    assert(got.columns.sorted.toSeq == Seq("dominance", "price", "symbol"))
+    assert(got.count() === 3)
+    assert(got.filter(col("dominance").isNull).count() === 2,
+      "pre-evolution rows must null-fill the added column")
+    assert(got.filter(col("dominance") === 0.5).count() === 1)
   }
 }

@@ -121,6 +121,70 @@ class PlanShapeSpec extends SparkSpec {
       s"repetition stats must not shuffle:\n$plan")
   }
 
+  test("bucketed LSH index: incremental dedup never shuffles the index side") {
+    // The 100 TB deployment claim made real: with the index tables written
+    // bucketed on their join keys (TextDedup.lshIndex's contract), an
+    // incremental run's plan contains NO Exchange above a bucketed scan —
+    // only the new batch shuffles; the indexed corpus is read in place.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.operators.TextDedup
+    import graft.sources.{Sinks, Sources}
+    for (t <- Seq("b_lsh_bands", "b_lsh_shingles")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val docs = Sources.documents(spark, sf)
+    val (bands, shingles) = TextDedup.lshIndex(docs, "doc_id", "text")
+    Sinks.writeBucketed(bands, "b_lsh_bands", Seq("band", "bh"), 8)
+    Sinks.writeBucketed(shingles, "b_lsh_shingles", Seq("doc_id", "s"), 8)
+    // new batch = re-submitted copies of indexed docs under fresh ids:
+    // every one must be caught as a jaccard-1.0 duplicate of its original
+    val newBatch = docs.limit(20)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val (prevAqe, prevBc) = (
+      spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      // plain plan tree (no AQE stage wrappers) + no broadcast: the index
+      // at real scale never fits in a broadcast, the bucketed read is the
+      // path under test
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dup = TextDedup.dedupAgainstIndex(newBatch, "doc_id", "text",
+        spark.table("b_lsh_bands"), spark.table("b_lsh_shingles"))
+      val hits = dup.filter(col("jaccard") >= 0.999).count()
+      assert(hits >= 20, s"expected every resubmitted doc caught, got $hits")
+      val plan = dup.queryExecution.executedPlan
+      assert(plan.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f
+      }.size >= 2, s"index tables must be read as bucketed scans:\n$plan")
+      // the forbidden shape: an Exchange whose input reaches a bucketed
+      // index scan WITHOUT crossing a join — i.e. raw index data being
+      // re-shuffled. Post-join shuffles are batch/collision-bounded and
+      // legitimate (candidate outputs, semi-filtered size aggs).
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec => J}
+      def rawBucketedReach(p: SparkPlan): Boolean = p match {
+        case _: J => false
+        case f: FileSourceScanExec => f.bucketedScan
+        case other => other.children.exists(rawBucketedReach)
+      }
+      plan.foreach {
+        case e: ShuffleExchangeExec =>
+          assert(!rawBucketedReach(e.child),
+            s"raw index data re-shuffled — bucketing not used:\n$plan")
+        case _ =>
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("whole-surface audit: no unintended nested-loop/cartesian joins") {
     // Every BroadcastNestedLoopJoin in the surface is a deliberate
     // broadcast of a metadata-scale table (k centroids / 1-row total) or

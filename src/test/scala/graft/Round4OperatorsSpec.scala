@@ -33,6 +33,42 @@ class Round4OperatorsSpec extends SparkSpec {
     assert(Graph.connectedComponents(edges, "d1", "d2").count() == 0)
   }
 
+  test("connectedComponents with reliable checkpointing matches local mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    try {
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+        .toDF("d1", "d2")
+      val got = Graph.connectedComponents(edges, "d1", "d2",
+          reliable = true, checkpointInterval = 1)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  test("connectedComponents refuses reliable mode without a checkpoint dir") {
+    // fresh session context may have a dir set by the previous test; only
+    // meaningful when unset — guard so suite order can't flake this.
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val edges = Seq((1L, 2L)).toDF("d1", "d2")
+      intercept[IllegalArgumentException] {
+        Graph.connectedComponents(edges, "d1", "d2", reliable = true)
+      }
+    }
+  }
+
+  test("connectedComponents throws instead of returning unconverged labels") {
+    // a 5-chain needs >1 round; maxIters=1 must fail loudly, not ship
+    // a partially-propagated labeling
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      Graph.connectedComponents(edges, "d1", "d2", maxIters = 1)
+    }
+  }
+
   // ── repetition quality ──────────────────────────────────────────────────
 
   test("repetitionStats computes hand-checked signals") {

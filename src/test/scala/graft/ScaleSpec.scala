@@ -144,4 +144,14 @@ class ApproxDistinctSpec extends SparkSpec {
       assert(math.abs(a - e) / e < 0.05, s"${r.getString(0)}: $a vs $e")
     }
   }
+
+  test("q33's gate flag is true for every group at both SFs") {
+    // the oracle emits literal TRUE — a false flag anywhere hash-fails the
+    // gate, so assert it here first at the gate SF and the smoke SF
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val bad = graft.queries.PipelineQueries.q33ApproxDistinct(spark, sf)
+        .filter(!col("approx_within_5pct")).collect()
+      assert(bad.isEmpty, s"$sf: sketch drifted past 5%: ${bad.mkString(",")}")
+    }
+  }
 }
