@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Sequence packing for LLM pretraining: documents are (logically)
+ * concatenated in a deterministic order and cut into fixed-length context
+ * chunks ("concat-and-chunk", the packing used by GPT-style pretraining
+ * pipelines). The plan computes, per document, where its tokens land in
+ * the packed token stream — which context chunks it occupies and whether
+ * a context boundary splits it — without materializing the stream.
+ *
+ * The core is an exact GLOBAL prefix sum of token counts under a total
+ * order. A bare `Window.orderBy` computes it through ONE task (the
+ * single-partition funnel); this uses the same distributed-exact
+ * construction as [[GlobalRank]]: range-shuffle on the order key,
+ * per-partition running sums in parallel, then per-partition offsets
+ * (a metadata-scale table, broadcast) added back. One range shuffle
+ * total; every window in the plan is partition-local.
+ */
+object Packing {
+
+  /**
+   * Packing plan: for each doc, `n_tokens` (whitespace tokens),
+   * `start_tok` (0-based position of its first token in the concatenated
+   * stream, ordered by `idCol`), `first_chunk`/`last_chunk` (0-based
+   * `ctxLen`-token context indices of its first/last token), and
+   * `n_chunks` spanned. `n_chunks > 1` means a context boundary splits
+   * the document — the fraction of such docs is the packing-quality
+   * signal that drives ctxLen/ordering choices.
+   */
+  def packPlan(docs: DataFrame, idCol: String, textCol: String,
+               ctxLen: Int): DataFrame = {
+    require(ctxLen > 0, "ctxLen must be positive")
+    val toks = docs.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val parted = toks.repartitionByRange(col(idCol))
+      .withColumn("graft_pid", spark_partition_id())
+    val w = Window.partitionBy(col("graft_pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("graft_lpre",
+      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    // per-partition token totals from the same lineage (last row's prefix
+    // + its own count), so AQE can't give the branches different
+    // partitionings
+    val counts = local.groupBy(col("graft_pid"))
+      .agg(max(col("graft_lpre") + col("n_tokens")).as("graft_n"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.graft_pid") < col("a.graft_pid"), "left")
+      .groupBy(col("a.graft_pid").as("graft_pid"))
+      .agg(coalesce(sum(col("b.graft_n")), lit(0L)).as("graft_off"))
+    val startTok = col("graft_lpre") + col("graft_off")
+    val endTok = startTok + greatest(col("n_tokens"), lit(1L)) - 1
+    local.join(broadcast(offsets), "graft_pid")
+      .select(col(idCol), col("n_tokens"),
+        startTok.as("start_tok"),
+        floor(startTok / ctxLen).as("first_chunk"),
+        floor(endTok / ctxLen).as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+  }
+}

@@ -94,4 +94,50 @@ object Relevance {
       .orderBy(col("bm25").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /**
+   * Batch BM25 retrieval: top-`k` documents PER QUERY for a whole query
+   * table at once — the shape that mines retrieval training pairs from a
+   * corpus (one pass for a million queries, not a million passes).
+   *
+   * `queries` is (queryIdCol, term) rows; it is metadata-scale next to the
+   * corpus, so it is BROADCAST twice: once as a distinct-term semi-filter
+   * on the exploded words (only query-term postings survive the scan —
+   * same pruning as [[bm25TopK]]), once to fan each posting out to the
+   * queries containing its term. df is computed over the FILTERED postings
+   * per distinct term (identical to bm25TopK's df: it counts docs
+   * containing the term). Scoring arithmetic is bm25TopK's, per query.
+   * The per-query cut uses the WindowGroupLimit rewrite (per-partition
+   * top-k heaps), never a global sort.
+   */
+  def bm25RetrieveAll(docs: DataFrame, idCol: String, textCol: String,
+                      queries: DataFrame, queryIdCol: String, k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val words = docs.select(col(idCol), split(col(textCol), " ").as("w"))
+    val dl = words.select(col(idCol), size(col("w")).as("dl"))
+    val qterms = queries.select(col(queryIdCol), col("term"))
+    val terms = qterms.select(col("term")).distinct()
+    val tf = words.select(col(idCol), explode(col("w")).as("term"))
+      .join(broadcast(terms), Seq("term"), "left_semi")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val idf = F.log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf.join(broadcast(dfc), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("contrib", round(idf * tfNorm, 6).cast(DecimalType(18, 6)))
+      .join(broadcast(qterms), "term")
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("contrib")).cast(DoubleType).as("bm25"),
+        count(lit(1)).as("n_terms"))
+    LatestSnapshot.topK(scored, Seq(queryIdCol), col("bm25").desc,
+        Seq(col(idCol).asc), k)
+      .select(col(queryIdCol), col(idCol), col("bm25"), col("n_terms"))
+  }
 }

@@ -56,4 +56,33 @@ object Sampling {
     }
     df.withColumn(outCol, expr)
   }
+
+  /**
+   * Data mixing toward a uniform source distribution: downsample each
+   * stratum so every stratum contributes (approximately) equally — the
+   * "rebalance the web-crawl vs books vs code mix" step of corpus
+   * assembly. A stratum with n_s ≤ N/k rows is kept whole (rates never
+   * upsample).
+   *
+   * Keep rule per row: `bucket · k · n_s < 256 · N` — the integer-exact
+   * form of bucket/256 < (N/k)/n_s, so the decision is pure int64
+   * arithmetic, bit-identical in any engine (no float rate to diverge
+   * on). Randomness is the same seedless md5 bucket as [[bucket]], so the
+   * kept set is stable under repartitioning and re-runs.
+   *
+   * Plan: one metadata-scale aggregation for (n_s, N) — broadcast back —
+   * then a narrow filter. The corpus itself is never shuffled.
+   */
+  def uniformMix(df: DataFrame, keyCol: String, strataCol: String,
+                 salt: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("graft_ns"))
+    val withTotals = counts
+      .crossJoin(broadcast(counts.agg(sum(col("graft_ns")).as("graft_n"),
+        count(lit(1)).as("graft_k"))))
+    df.join(broadcast(withTotals), strataCol)
+      .filter(bucket(salt, col(keyCol)).cast(LongType)
+        * col("graft_k") * col("graft_ns") < lit(256L) * col("graft_n"))
+      .drop("graft_ns", "graft_n", "graft_k")
+  }
 }

@@ -62,6 +62,26 @@ object Similarity {
       .drop("graft_l2norm")
   }
 
+  /**
+   * Matryoshka truncation quality: per vector, the L2 norm and the cosine
+   * between the full vector and its `dims`-prefix truncation — which
+   * equals ‖x₁..d‖/‖x‖, so it needs no second vector materialized. This
+   * is the signal that decides how far an MRL-style embedding
+   * (Kusupati et al., "Matryoshka Representation Learning", NeurIPS'22)
+   * can be cut for a cheaper ANN index before recall collapses. A narrow
+   * codegen'd projection: no shuffle, the vector column is read once.
+   */
+  def matryoshkaStats(df: DataFrame, idCol: String, vecCol: String,
+                      dims: Int): DataFrame = {
+    val v = col(vecCol)
+    df.select(col(idCol),
+      size(v).as("dim"),
+      round(l2Norm(v), 6).as("l2_norm"),
+      round(when(l2Norm(v) === 0.0, lit(0.0))
+        .otherwise(sqrt(dotHof(slice(v, 1, dims), slice(v, 1, dims)))
+          / l2Norm(v)), 6).as(s"cos_trunc"))
+  }
+
   /** Exact top-k most-similar vectors to a literal query vector.
     * `orderBy(desc).limit(k)` compiles to TakeOrderedAndProject. */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,

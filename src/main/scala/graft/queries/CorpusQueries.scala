@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Decontamination, Packing, Relevance, Sampling, Similarity}
+import graft.sources.Sources
+
+/** Round-5 corpus-assembly operators: benchmark decontamination, batch
+  * BM25 retrieval mining, sequence packing, source mixing, and matryoshka
+  * truncation quality — the steps between "deduped corpus" and "training
+  * batches", each with a DuckDB oracle reproducing the arithmetic
+  * exactly. */
+object CorpusQueries {
+
+  // ── q75: benchmark decontamination ─────────────────────────────────────
+
+  /** q75: train docs (doc_id % 13 ≠ 0) sharing ≥1 4-gram with the held-out
+    * benchmark slice (doc_id % 13 = 0) — the n-gram-overlap
+    * decontamination filter, eval side broadcast. */
+  def q75Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    Decontamination.contaminated(
+        docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0),
+        "doc_id", "text", w = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  val q75Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 2),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+      |           AS s
+      |       FROM ws WHERE len(w) >= 4)
+      |SELECT t.doc_id,
+      |  COUNT(DISTINCT t.s) AS n_shared_ngrams,
+      |  COUNT(DISTINCT e.doc_id) AS n_eval_docs_hit
+      |FROM sh t JOIN sh e ON t.s = e.s AND e.doc_id % 13 = 0
+      |WHERE t.doc_id % 13 <> 0
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  // ── q76: batch BM25 retrieval (query table → per-query top-k) ──────────
+
+  private val retrievalQueries: Seq[(Int, String)] = Seq(
+    1 -> "join", 1 -> "merge",
+    2 -> "scan", 2 -> "filter",
+    3 -> "stream", 3 -> "window", 3 -> "batch")
+
+  /** q76: top-5 documents per query for a 3-query batch under BM25
+    * (k1=1.5, b=0.75 — exactly binary-representable), one corpus pass for
+    * the whole query table. */
+  def q76Retrieve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = retrievalQueries.toDF("query_id", "term")
+    Relevance.bm25RetrieveAll(Sources.documents(s, dir), "doc_id", "text",
+        queries, "query_id", k = 5, k1 = 1.5, b = 0.75)
+      .orderBy(col("query_id"), col("bm25").desc, col("doc_id"))
+  }
+
+  val q76Sql: String = {
+    val values = retrievalQueries
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH qt AS (SELECT * FROM (VALUES $values) AS v(query_id, term)),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |dl AS (SELECT doc_id, len(w) AS dl FROM w),
+       |t AS (SELECT doc_id, unnest(w) AS term FROM w),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+       |       WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+       |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |corpus AS (SELECT count(*) AS n_docs,
+       |             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |sc AS (SELECT tf.doc_id, tf.term,
+       |    CAST(round(
+       |      ln(1.0 + CAST(c.n_docs - d.df + 0.5 AS DOUBLE)
+       |                 / CAST(d.df + 0.5 AS DOUBLE))
+       |      * (CAST(tf.tf AS DOUBLE) * 2.5)
+       |      / (CAST(tf.tf AS DOUBLE)
+       |         + 1.5 * (0.25 + 0.75 * l.dl / c.avgdl)), 6)
+       |      AS DECIMAL(18,6)) AS contrib
+       |  FROM tf JOIN dfc d USING (term) JOIN dl l USING (doc_id)
+       |  CROSS JOIN corpus c),
+       |qs AS (SELECT qt.query_id, sc.doc_id,
+       |         CAST(SUM(sc.contrib) AS DOUBLE) AS bm25,
+       |         count(*) AS n_terms
+       |       FROM sc JOIN qt USING (term) GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rn
+       |      FROM qs)
+       |SELECT query_id, doc_id, bm25, n_terms FROM r WHERE rn <= 5
+       |ORDER BY query_id, bm25 DESC, doc_id""".stripMargin
+  }
+
+  // ── q77: sequence packing (concat-and-chunk) ───────────────────────────
+
+  /** q77: packing plan at a 512-token context — per doc, its position in
+    * the concatenated token stream and the context chunks it spans, via a
+    * distributed exact prefix sum (no single-partition window). */
+  def q77Packing(s: SparkSession, dir: String): DataFrame =
+    Packing.packPlan(Sources.documents(s, dir), "doc_id", "text",
+        ctxLen = 512)
+      .orderBy(col("doc_id"))
+
+  // The window SUM is CAST to BIGINT (DuckDB window SUM over
+  // INTEGER/BIGINT yields HUGEINT — the q46 lesson).
+  val q77Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |p AS (SELECT doc_id, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS start_tok
+      |  FROM t)
+      |SELECT doc_id, n_tokens, start_tok,
+      |  start_tok // 512 AS first_chunk,
+      |  (start_tok + greatest(n_tokens, 1) - 1) // 512 AS last_chunk,
+      |  ((start_tok + greatest(n_tokens, 1) - 1) // 512)
+      |    - (start_tok // 512) + 1 AS n_chunks
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  // ── q78: data mixing toward a uniform language distribution ───────────
+
+  /** q78: per-language kept counts after deterministically downsampling
+    * every language to a uniform share (integer-exact keep rule, seedless
+    * md5 randomness). */
+  def q78UniformMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val kept = Sampling.uniformMix(docs, "doc_id", "lang", salt = "mix")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    totals.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val q78Sql: String =
+    """WITH c AS (SELECT lang, count(*) AS ns FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(SUM(ns) AS BIGINT) AS n, count(*) AS k FROM c),
+      |f AS (SELECT d.lang FROM documents d JOIN c USING (lang) CROSS JOIN t
+      |  WHERE ((strpos('0123456789abcdef',
+      |            substr(md5('mix_' || d.doc_id), 1, 1)) - 1) * 16
+      |         + strpos('0123456789abcdef',
+      |            substr(md5('mix_' || d.doc_id), 2, 1)) - 1)
+      |        * t.k * c.ns < 256 * t.n),
+      |kept AS (SELECT lang, count(*) AS n_kept FROM f GROUP BY lang)
+      |SELECT c.lang, c.ns AS n_docs,
+      |  COALESCE(kept.n_kept, 0) AS n_kept
+      |FROM c LEFT JOIN kept USING (lang) ORDER BY c.lang""".stripMargin
+
+  // ── q79: matryoshka truncation quality ─────────────────────────────────
+
+  /** q79: per vector, the L2 norm and the cosine retained when truncating
+    * the 64-dim embedding to its first 16 dims — the cut-depth signal for
+    * a cheaper ANN index. Narrow codegen'd projection, zero shuffle. */
+  def q79Matryoshka(s: SparkSession, dir: String): DataFrame =
+    Similarity.matryoshkaStats(Sources.embeddings(s, dir),
+        "vec_id", "embedding", dims = 16)
+      .orderBy(col("vec_id"))
+
+  val q79Sql: String =
+    """WITH n AS (SELECT vec_id, len(embedding) AS dim,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS nf,
+      |    sqrt(list_sum(list_transform(embedding[1:16],
+      |      x -> x::DOUBLE * x::DOUBLE))) AS np
+      |  FROM embeddings)
+      |SELECT vec_id, dim, round(nf, 6) AS l2_norm,
+      |  round(CASE WHEN nf = 0 THEN 0.0 ELSE np / nf END, 6) AS cos_trunc
+      |FROM n ORDER BY vec_id""".stripMargin
+}

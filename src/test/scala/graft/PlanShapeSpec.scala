@@ -121,6 +121,41 @@ class PlanShapeSpec extends SparkSpec {
       s"repetition stats must not shuffle:\n$plan")
   }
 
+  test("decontamination broadcasts the eval side (corpus never shuffles on n-gram)") {
+    val plan = physicalPlan(
+      graft.queries.CorpusQueries.q75Decontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval n-grams must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"benchmark-sized eval side must never sort-merge:\n$plan")
+  }
+
+  test("batch retrieval: per-query cut gets the group-limit rewrite") {
+    val plan = physicalPlan(graft.queries.CorpusQueries.q76Retrieve(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k must pre-prune:\n$plan")
+  }
+
+  test("packing prefix sum: no single-partition window, one range shuffle") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.queries.CorpusQueries.q77Packing(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec => w.partitionSpec
+    }
+    assert(windows.nonEmpty, "expected the per-partition prefix-sum window")
+    windows.foreach(spec =>
+      assert(spec.nonEmpty, "found a partition-less window over data rows"))
+    assert(physicalPlan(df).toLowerCase.contains("rangepartitioning"),
+      "missing range repartition")
+  }
+
+  test("matryoshka stats are a pure narrow projection (no shuffle)") {
+    val plan = physicalPlan(graft.operators.Similarity.matryoshkaStats(
+      graft.sources.Sources.embeddings(spark, sf), "vec_id", "embedding", 16))
+    assert(!plan.contains("Exchange"),
+      s"matryoshka stats must not shuffle:\n$plan")
+  }
+
   test("bucketed LSH index: incremental dedup never shuffles the index side") {
     // The 100 TB deployment claim made real: with the index tables written
     // bucketed on their join keys (TextDedup.lshIndex's contract), an
@@ -194,7 +229,11 @@ class PlanShapeSpec extends SparkSpec {
       "q41_cosine_near_dup", "q55_ivf_ann", "q57_ntile", "q61_kmeans",
       // 1-row corpus-stats broadcasts (N, avgdl, dim min/max) riding
       // along the scan
-      "q66_tfidf", "q68_bm25", "q71_sq8")
+      "q66_tfidf", "q68_bm25", "q71_sq8",
+      // q76: 1-row (N, avgdl) broadcast; q77: n_partitions-row offsets
+      // table (the GlobalRank `<` join, metadata-scale, same as q57);
+      // q78: 1-row (N, k) totals broadcast
+      "q76_retrieve", "q77_packing", "q78_uniform_mix")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

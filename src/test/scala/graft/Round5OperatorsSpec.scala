@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Decontamination, Packing, Relevance, Sampling, Similarity}
+
+/** Targeted specs for the round-5 corpus-assembly operators
+  * (decontamination, batch retrieval, sequence packing, uniform mixing,
+  * matryoshka stats) — hand-computed expectations on crafted inputs,
+  * independent of the DuckDB gate. */
+class Round5OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── decontamination ─────────────────────────────────────────────────────
+
+  test("contaminated flags exactly the docs sharing a w-gram with eval") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "the quick brown fox"
+      (2L, "totally unrelated words here"),
+      (3L, "quick brown fox jumps high")   // shares "quick brown fox jumps"
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "the quick brown fox sleeps"),
+      (101L, "a quick brown fox jumps")
+    ).toDF("doc_id", "text")
+    val got = Decontamination.contaminated(train, eval_, "doc_id", "text",
+        w = 4)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    // doc 1: "the quick brown fox" (hits 100) and "quick brown fox jumps"
+    // (hits 101) → 2 shared 4-grams, 2 eval docs
+    // doc 3: "quick brown fox jumps" (hits 101) → 1 and 1
+    assert(got.toSeq == Seq((1L, 2L, 2L), (3L, 1L, 1L)))
+  }
+
+  test("short docs (< w words) never collide") {
+    val train = Seq((1L, "quick brown fox")).toDF("doc_id", "text")
+    val eval_ = Seq((2L, "quick brown fox")).toDF("doc_id", "text")
+    assert(Decontamination.contaminated(train, eval_, "doc_id", "text",
+      w = 4).count() == 0)
+  }
+
+  // ── batch BM25 retrieval ────────────────────────────────────────────────
+
+  test("bm25RetrieveAll matches bm25TopK per query") {
+    val docs = Seq(
+      (1L, "spark join spark"), (2L, "join merge join"),
+      (3L, "scan filter scan"), (4L, "spark scan merge filter")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1, "spark"), (1, "join"), (2, "scan"))
+      .toDF("query_id", "term")
+    val all = Relevance.bm25RetrieveAll(docs, "doc_id", "text",
+        queries, "query_id", k = 10, k1 = 1.5, b = 0.75)
+      .orderBy("query_id", "doc_id")
+      .select("query_id", "doc_id", "bm25").as[(Int, Long, Double)].collect()
+    val single1 = Relevance.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "join"), k = 10, k1 = 1.5, b = 0.75)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    val single2 = Relevance.bm25TopK(docs, "doc_id", "text",
+        Seq("scan"), k = 10, k1 = 1.5, b = 0.75)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    all.foreach { case (q, d, s) =>
+      val expect = if (q == 1) single1(d) else single2(d)
+      assert(s == expect, s"q$q d$d: $s != $expect")
+    }
+    assert(all.count(_._1 == 1) == single1.size)
+    assert(all.count(_._1 == 2) == single2.size)
+  }
+
+  test("bm25RetrieveAll keeps only top-k per query with doc tiebreak") {
+    val docs = (1L to 6L).map(i => (i, "term")).toDF("doc_id", "text")
+    val queries = Seq((1, "term")).toDF("query_id", "term")
+    // all six docs tie exactly → k=3 keeps the smallest doc_ids
+    val got = Relevance.bm25RetrieveAll(docs, "doc_id", "text",
+        queries, "query_id", k = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  // ── sequence packing ────────────────────────────────────────────────────
+
+  test("packPlan computes exact global token offsets and chunk spans") {
+    val docs = Seq(
+      (1L, "a b c"),          // 3 toks: 0..2   chunk 0
+      (2L, "d e f g"),        // 4 toks: 3..6   chunks 0-1 (boundary at 4)
+      (3L, "h"),              // 1 tok : 7      chunk 1
+      (4L, "i j k l m n")     // 6 toks: 8..13  chunks 2-3 (boundary at 12)
+    ).toDF("doc_id", "text")
+    val got = Packing.packPlan(docs, "doc_id", "text", ctxLen = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 3L, 0L, 0L, 0L, 1L),
+      (2L, 4L, 3L, 0L, 1L, 2L),
+      (3L, 1L, 7L, 1L, 1L, 1L),
+      (4L, 6L, 8L, 2L, 3L, 2L)))
+  }
+
+  test("packPlan offsets are independent of input partitioning") {
+    val docs = (1L to 100L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("w")
+      .mkString(" "))).toDF("doc_id", "text")
+    val a = Packing.packPlan(docs, "doc_id", "text", 16)
+      .orderBy("doc_id").collect()
+    val b = Packing.packPlan(docs.repartition(13), "doc_id", "text", 16)
+      .orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+    // last doc's end must equal the total token count
+    val total = (1L to 100L).map(i => i % 7 + 1).sum
+    val last = a.last
+    assert(last.getAs[Long]("start_tok") + last.getAs[Long]("n_tokens")
+      == total)
+  }
+
+  // ── uniform mixing ──────────────────────────────────────────────────────
+
+  test("uniformMix keeps small strata whole and downsamples large ones") {
+    // stratum A: 300 rows, B: 50, C: 50 → N=400, k=3, fair share 133.3
+    val df = ((1L to 300L).map(i => (i, "A")) ++
+      (301L to 350L).map(i => (i, "B")) ++
+      (351L to 400L).map(i => (i, "C"))).toDF("id", "s")
+    val kept = Sampling.uniformMix(df, "id", "s", "t")
+      .groupBy("s").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // keep rule for B/C: bucket·3·50 < 256·400 ⟺ bucket < 682 — always
+    assert(kept("B") == 50 && kept("C") == 50)
+    // A: bucket·3·300 < 256·400 ⟺ bucket < 113.8 → rate 114/256 ≈ 0.445
+    assert(kept("A") < 300 * 6 / 10 && kept("A") > 300 * 3 / 10,
+      s"A kept ${kept("A")}, expected ≈ 300·0.445")
+    // deterministic: same salt → same kept set
+    val again = Sampling.uniformMix(df.repartition(7), "id", "s", "t")
+      .agg(count(lit(1))).as[Long].head()
+    assert(again == kept.values.sum)
+  }
+
+  // ── matryoshka stats ────────────────────────────────────────────────────
+
+  test("matryoshkaStats: norm and truncation cosine are exact") {
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f, 0.0f, 0.0f)),   // norm 5, prefix-2 norm 5 → cos 1
+      (2L, Seq(0.0f, 0.0f, 3.0f, 4.0f)),   // prefix-2 norm 0 → cos 0
+      (3L, Seq(1.0f, 1.0f, 1.0f, 1.0f)),   // cos = sqrt(2)/2
+      (4L, Seq(0.0f, 0.0f, 0.0f, 0.0f))    // zero vector → cos 0 (guard)
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.matryoshkaStats(df, "vec_id", "embedding", dims = 2)
+      .orderBy("vec_id").as[(Long, Int, Double, Double)].collect()
+    assert(got(0) == ((1L, 4, 5.0, 1.0)))
+    assert(got(1) == ((2L, 4, 5.0, 0.0)))
+    assert(got(2) == ((3L, 4, 2.0, 0.707107)))
+    assert(got(3) == ((4L, 4, 0.0, 0.0)))
+  }
+}
