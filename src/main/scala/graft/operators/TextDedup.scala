@@ -247,12 +247,21 @@ object TextDedup {
     * state `dedupAgainstIndex` joins new batches against. On a real
     * deployment both are written bucketed on their join keys
     * ((band, bh) / (docId, s)) so incremental runs shuffle only the new
-    * batch, never the indexed corpus. */
+    * batch, never the indexed corpus.
+    *
+    * Each shingle row carries `n_old`, the owning doc's total shingle
+    * count, computed ONCE at index-build time (one window pass, amortized
+    * over every future batch). That lets `dedupAgainstIndex` read the old
+    * doc's set size off the collision rows themselves — no per-batch
+    * corpus-sized aggregation, no second pass over the candidate join. */
   def lshIndex(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 16, r: Int = 4,
                w: Int = 3): (DataFrame, DataFrame) = {
     val sh = shingles(docs, idCol, textCol, w)
-    (lshBandsFromWide(minHashSignaturesWide(sh, idCol, k), idCol, k, r), sh)
+    val withN = sh.withColumn("n_old", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+    (lshBandsFromWide(minHashSignaturesWide(sh, idCol, k), idCol, k, r),
+      withN)
   }
 
   /**
@@ -278,28 +287,37 @@ object TextDedup {
       .join(indexBands.select(col(idCol).as("d_old"), col("band"), col("bh"))
         .hint("shuffle_hash"), Seq("band", "bh"))
       .select("d_new", "d_old").distinct()
+    // Old-doc set sizes: read off the index's precomputed `n_old` column
+    // when present (lshIndex stores it at build time) — the size lookup
+    // then rides the collision join itself: no per-batch corpus
+    // aggregation, and the candidate join is evaluated exactly once.
+    // For index tables built without the column, fall back to aggregating
+    // the index semi-filtered by the (batch-bounded) candidate ids —
+    // never the whole corpus.
+    val hasN = indexShingles.columns.contains("n_old")
+    val ishCols = Seq(col(idCol).as("d_old"), col("s")) ++
+      (if (hasN) Seq(col("n_old")) else Nil)
+    val interAggs = Seq(count(lit(1)).as("inter")) ++
+      (if (hasN) Seq(min(col("n_old")).as("n_old")) else Nil)
     val inter = cand
       .join(nsh.select(col(idCol).as("d_new"), col("s"))
         .hint("shuffle_hash"), "d_new")
-      .join(indexShingles.select(col(idCol).as("d_old"), col("s"))
-        .hint("shuffle_hash"), Seq("d_old", "s"))
-      .groupBy("d_new", "d_old").agg(count(lit(1)).as("inter"))
+      .join(indexShingles.select(ishCols: _*).hint("shuffle_hash"),
+        Seq("d_old", "s"))
+      .groupBy("d_new", "d_old").agg(interAggs.head, interAggs.tail: _*)
     val nsz = nsh.groupBy(col(idCol)).agg(count(lit(1)).as("n_new"))
       .withColumnRenamed(idCol, "d_new")
-    // Old-doc shingle sizes are only needed for docs that actually
-    // collided: semi-filter the index by the (small, collision-bounded)
-    // candidate id set BEFORE aggregating. Without this the per-batch cost
-    // re-aggregates the WHOLE indexed corpus — O(corpus), not O(batch).
-    // Results are identical: inter's d_old ⊆ cand's d_old and the final
-    // join is inner. (cand is evaluated by both branches; it is
-    // batch-bounded, so the recompute is a constant factor on O(batch),
-    // never a corpus-sized cost.)
-    val osz = indexShingles
-      .join(broadcast(cand.select(col("d_old")).distinct()),
-        col(idCol) === col("d_old"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_old"))
-      .withColumnRenamed(idCol, "d_old")
-    inter.join(nsz, "d_new").join(osz, "d_old")
+    val withOld =
+      if (hasN) inter
+      else {
+        val osz = indexShingles
+          .join(broadcast(cand.select(col("d_old")).distinct()),
+            col(idCol) === col("d_old"), "left_semi")
+          .groupBy(col(idCol)).agg(count(lit(1)).as("n_old"))
+          .withColumnRenamed(idCol, "d_old")
+        inter.join(osz, "d_old")
+      }
+    withOld.join(nsz, "d_new")
       .select(col("d_new"), col("d_old"),
         (col("inter") / (col("n_new") + col("n_old") - col("inter")))
           .as("jaccard"))
