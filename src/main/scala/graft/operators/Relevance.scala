@@ -96,6 +96,42 @@ object Relevance {
   }
 
   /**
+   * Unigram language-model quality score: each document's mean token
+   * log-probability under the corpus's OWN unigram distribution —
+   * logp(t) = ln(c_t / N) with c_t the corpus count of t and N the total
+   * token count. Documents of improbable tokens (noise, boilerplate IDs,
+   * wrong-language fragments) score low; this is the cheap
+   * "perplexity-ish" filter a curation pipeline runs when no trained LM
+   * is available (the signal behind CCNet's LM filtering, computable
+   * from counts the dedup index already materializes).
+   *
+   * Determinism: the per-term log-prob is rounded to 6 dp and multiplied
+   * into DECIMAL as `tf · round(ln(c_t/N), 6)`, then summed exactly —
+   * order-independent under any partitioning, matching the DuckDB oracle
+   * bit for bit (the [[bm25TopK]] contract).
+   *
+   * Scale shape: the tf aggregation's term-keyed exchange is reused for
+   * the corpus-count aggregation; the join back to postings is on term
+   * (inverted-index co-partitioning); N rides a 1-row broadcast. Nothing
+   * driver-side, no vocabulary collected.
+   */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val ct = tf.groupBy(col("term")).agg(sum(col("tf")).as("ct"))
+    val n = ct.agg(sum(col("ct")).as("n_total"))
+    tf.join(ct, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("contrib",
+        round(F.log(col("ct").cast(DoubleType) / col("n_total")), 6)
+          .cast(DecimalType(18, 6)) * col("tf"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("contrib")).cast(DoubleType) / sum(col("tf")), 6)
+          .as("avg_logp"))
+  }
+
+  /**
    * Batch BM25 retrieval: top-`k` documents PER QUERY for a whole query
    * table at once — the shape that mines retrieval training pairs from a
    * corpus (one pass for a million queries, not a million passes).

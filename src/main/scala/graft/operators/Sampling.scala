@@ -85,4 +85,43 @@ object Sampling {
         * col("graft_k") * col("graft_ns") < lit(256L) * col("graft_n"))
       .drop("graft_ns", "graft_n", "graft_k")
   }
+
+  /**
+   * Temperature-flattened source mixing: downsample stratum s at rate
+   * r_s = (n_min / n_s)^(1−α), so kept counts follow the n_s^α profile
+   * LLM training mixes use ("sampling with temperature"): the smallest
+   * stratum is kept whole, larger strata are compressed toward it. α=1
+   * keeps everything; α→0 is [[uniformMix]]'s everyone-equal target.
+   *
+   * The exponent is supplied as the rational 1−α = p/q so the keep rule
+   * stays INTEGER-exact — raising both sides of
+   * `bucket/256 < (n_min/n_s)^(p/q)` to the q-th power gives
+   *
+   *   bucket^q · n_s^p  <  256^q · n_min^p
+   *
+   * pure int64 arithmetic (no pow/log/float to diverge between engines).
+   * With the default α=½ (p=1, q=2) the left side is ≤ 255²·n_s, so any
+   * stratum below ~1.4·10¹⁴ rows is overflow-safe; `require` guards the
+   * general bound. Randomness is the same seedless md5 bucket as
+   * [[bucket]]: stable under repartitioning, re-runs, and engines.
+   *
+   * Plan: one metadata-scale aggregation for (n_s, n_min) — broadcast
+   * back — then a narrow filter; the corpus is never shuffled.
+   */
+  def temperatureMix(df: DataFrame, keyCol: String, strataCol: String,
+                     salt: String, p: Int = 1, q: Int = 2): DataFrame = {
+    require(p >= 0 && q >= 1 && p <= q, "need 0 <= p/q <= 1 (= 1 - alpha)")
+    require(q <= 7, s"256^q must fit int64; q=$q too large")
+    def ipow(c: Column, e: Int): Column =
+      if (e == 0) lit(1L) else Seq.fill(e)(c).reduce(_ * _)
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("graft_ns"))
+    val withMin = counts
+      .crossJoin(broadcast(counts.agg(min(col("graft_ns")).as("graft_nmin"))))
+    df.join(broadcast(withMin), strataCol)
+      .filter(ipow(bucket(salt, col(keyCol)).cast(LongType), q)
+          * ipow(col("graft_ns"), p)
+        < ipow(lit(256L), q) * ipow(col("graft_nmin"), p))
+      .drop("graft_ns", "graft_nmin")
+  }
 }

@@ -150,6 +150,66 @@ object CorpusQueries {
       |  COALESCE(kept.n_kept, 0) AS n_kept
       |FROM c LEFT JOIN kept USING (lang) ORDER BY c.lang""".stripMargin
 
+  // ── q80: temperature-flattened language mixing ─────────────────────────
+
+  /** q80: per-language kept counts after temperature sampling with α=½
+    * (p/q = 1/2): kept counts follow √n_lang, the smallest language is
+    * kept whole. Integer-exact keep rule — `bucket²·n_s < 256²·n_min` —
+    * so the oracle reproduces the decision in pure int arithmetic. */
+  def q80TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val kept = Sampling.temperatureMix(docs, "doc_id", "lang",
+        salt = "temp", p = 1, q = 2)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    totals.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val q80Sql: String =
+    """WITH c AS (SELECT lang, count(*) AS ns FROM documents GROUP BY lang),
+      |m AS (SELECT MIN(ns) AS nmin FROM c),
+      |b AS (SELECT lang,
+      |    CAST((strpos('0123456789abcdef',
+      |            substr(md5('temp_' || doc_id), 1, 1)) - 1) * 16
+      |         + strpos('0123456789abcdef',
+      |            substr(md5('temp_' || doc_id), 2, 1)) - 1 AS BIGINT)
+      |      AS bk
+      |  FROM documents),
+      |f AS (SELECT b.lang FROM b JOIN c USING (lang) CROSS JOIN m
+      |  WHERE b.bk * b.bk * c.ns < 65536 * m.nmin),
+      |kept AS (SELECT lang, count(*) AS n_kept FROM f GROUP BY lang)
+      |SELECT c.lang, c.ns AS n_docs,
+      |  COALESCE(kept.n_kept, 0) AS n_kept
+      |FROM c LEFT JOIN kept USING (lang) ORDER BY c.lang""".stripMargin
+
+  // ── q81: unigram-LM quality score ──────────────────────────────────────
+
+  /** q81: mean token log-probability per document under the corpus's own
+    * unigram distribution — the trained-LM-free perplexity proxy. Exact
+    * decimal contribution sums (6-dp rounded per term), so the score is
+    * partitioning- and engine-stable. */
+  def q81UnigramLogProb(s: SparkSession, dir: String): DataFrame =
+    Relevance.unigramLogProb(Sources.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q81Sql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |       FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      |ct AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ct FROM tf GROUP BY term),
+      |n AS (SELECT CAST(SUM(ct) AS DOUBLE) AS n_total FROM ct),
+      |sc AS (SELECT tf.doc_id, tf.tf,
+      |         CAST(round(ln(CAST(ct.ct AS DOUBLE) / n.n_total), 6)
+      |           AS DECIMAL(18,6)) * tf.tf AS contrib
+      |       FROM tf JOIN ct USING (term) CROSS JOIN n)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |  round(CAST(SUM(contrib) AS DOUBLE) / CAST(SUM(tf) AS BIGINT), 6)
+      |    AS avg_logp
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ── q79: matryoshka truncation quality ─────────────────────────────────
 
   /** q79: per vector, the L2 norm and the cosine retained when truncating

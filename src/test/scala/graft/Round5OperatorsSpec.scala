@@ -130,6 +130,52 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(again == kept.values.sum)
   }
 
+  // ── temperature mixing ──────────────────────────────────────────────────
+
+  test("temperatureMix keeps the smallest stratum whole, √-samples the rest") {
+    // A: 400 rows, B: 100 → n_min=100. α=½: B rate 1 (bucket² < 65536
+    // always), A rate: bucket² · 400 < 65536 · 100 ⟺ bucket < 128 → ~1/2,
+    // target √(n_min·n_A) = 200.
+    val df = ((1L to 400L).map(i => (i, "A")) ++
+      (401L to 500L).map(i => (i, "B"))).toDF("id", "s")
+    val kept = Sampling.temperatureMix(df, "id", "s", "t2")
+      .groupBy("s").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(kept("B") == 100)
+    assert(kept("A") > 140 && kept("A") < 260,
+      s"A kept ${kept("A")}, expected ≈ 200")
+    // p=0 (α=1) keeps everything
+    assert(Sampling.temperatureMix(df, "id", "s", "t2", p = 0).count() == 500)
+    // deterministic under repartitioning
+    val again = Sampling.temperatureMix(df.repartition(7), "id", "s", "t2")
+      .agg(count(lit(1))).as[Long].head()
+    assert(again == kept.values.sum)
+  }
+
+  // ── unigram LM quality ──────────────────────────────────────────────────
+
+  test("unigramLogProb scores docs by corpus unigram log-probability") {
+    // corpus: a×3, b×2, N=5 → logp(a)=round(ln(3/5),6)=-0.510826,
+    // logp(b)=round(ln(2/5),6)=-0.916291
+    val docs = Seq((1L, "a a a b"), (2L, "b")).toDF("doc_id", "text")
+    val got = Relevance.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    // d1: (3·(-0.510826) + (-0.916291)) / 4 = -0.61219225 → -0.612192
+    assert(got(0) == ((1L, 4L, -0.612192)))
+    assert(got(1) == ((2L, 1L, -0.916291)))
+  }
+
+  test("unigramLogProb is partitioning-independent (exact decimal sums)") {
+    val docs = (1L to 200L).map(i =>
+      (i, Seq.tabulate((i % 9 + 1).toInt)(j => s"w${(i + j) % 23}")
+        .mkString(" "))).toDF("doc_id", "text")
+    val a = Relevance.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val b = Relevance.unigramLogProb(docs.repartition(17), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   // ── matryoshka stats ────────────────────────────────────────────────────
 
   test("matryoshkaStats: norm and truncation cosine are exact") {
