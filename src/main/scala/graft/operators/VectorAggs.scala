@@ -101,6 +101,40 @@ object VectorAggs {
     assigned
   }
 
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
+   * efficient learning at web-scale through semantic deduplication",
+   * 2023): given a clustered corpus (`assigned` = idCol, clusterCol,
+   * vecCol — typically [[kMeans]] output), mark as duplicate every vector
+   * with a smaller-id same-cluster neighbor at 6-dp cosine ≥ `threshold`.
+   * Returns every input row as (idCol, clusterCol, dup_of): dup_of is the
+   * smallest such neighbor id, NULL for survivors — the min-id survivor
+   * rule shared with TextDedup.exactDedup.
+   *
+   * Scale shape: the pairwise test is an equi-join on the cluster id,
+   * never a corpus-wide cross join. SemDeDup's own contract is that k
+   * grows with n (per-cluster population n/k stays bounded), so the
+   * pairwise volume Σ|c|² ≈ n·(n/k); a skewed cluster splits under AQE
+   * skew-join because both sides are shuffle-hash partitioned on the same
+   * key. Callers should persist/checkpoint the assignment first — it is
+   * consumed three times (both join sides + the final restitch).
+   */
+  def semDedup(assigned: DataFrame, idCol: String, clusterCol: String,
+               vecCol: String, threshold: Double): DataFrame = {
+    val a = assigned.select(col(clusterCol), col(idCol).as("d1"),
+      col(vecCol).as("v1"))
+    val b = assigned.select(col(clusterCol), col(idCol).as("d2"),
+      col(vecCol).as("v2"))
+    val dups = a.join(b.hint("shuffle_hash"), Seq(clusterCol))
+      .filter(col("d2") < col("d1"))
+      .filter(round(Similarity.cosine(col("v1"), col("v2")), 6)
+        >= threshold)
+      .groupBy(col("d1"))
+      .agg(min(col("d2")).as("dup_of"))
+    assigned.select(col(idCol), col(clusterCol))
+      .join(dups.withColumnRenamed("d1", idCol), Seq(idCol), "left")
+  }
+
   /** Per-dimension corpus (min, max) as ONE row of two aligned arrays —
     * the training pass of scalar quantization. posexplode + map-side
     * combined min/max per dim, then a k-dims-row rollup: nothing driver-

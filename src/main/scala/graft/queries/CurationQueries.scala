@@ -227,8 +227,11 @@ object CurationQueries {
        |     sqrt(list_sum(list_transform(range(1, 65),
        |       i -> $v2[i]::DOUBLE * $v2[i]::DOUBLE)))), 6)""".stripMargin
 
-  val q61Sql: String =
-    s"""WITH seeds AS (
+  /** CTE chain reproducing `VectorAggs.kMeans(k=4, iters=2)`: seeds → assign
+    * (a1) → exact-decimal means (c1/c1v) → final assignment
+    * `a2(vec_id, embedding, cluster)`. Shared by the q61 and q82 oracles. */
+  private def kmeansA2Ctes: String =
+    s"""seeds AS (
        |  SELECT vec_id AS cluster, embedding AS cv FROM embeddings
        |  ORDER BY vec_id LIMIT 4),
        |a1 AS (
@@ -248,7 +251,10 @@ object CurationQueries {
        |    SELECT e.vec_id, e.embedding, v.cluster, row_number() OVER (
        |      PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "v.cv")}
        |        DESC, v.cluster ASC) AS rn
-       |    FROM embeddings e CROSS JOIN c1v v) t WHERE rn = 1),
+       |    FROM embeddings e CROSS JOIN c1v v) t WHERE rn = 1)""".stripMargin
+
+  val q61Sql: String =
+    s"""WITH $kmeansA2Ctes,
        |c2 AS (
        |  SELECT cluster, d, round(CAST(SUM(CAST(round(embedding[d]::DOUBLE, 6)
        |      AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS centroid
@@ -257,4 +263,31 @@ object CurationQueries {
        |SELECT c2.cluster, n.n_members, c2.d - 1 AS dim, c2.centroid
        |FROM c2 JOIN n ON c2.cluster = n.cluster
        |ORDER BY c2.cluster, dim""".stripMargin
+
+  // ── q82: SemDeDup — semantic dedup inside k-means clusters ─────────────
+
+  /** q82: SemDeDup over the embedding corpus — k-means (k=4, 2 rounds)
+    * clustering, then every vector with a smaller-id same-cluster
+    * neighbor at cosine ≥ 0.4 is marked with its survivor (`dup_of`
+    * NULL = kept). The pairwise test never leaves a cluster: an equi-join
+    * on the cluster id, not all-pairs. The assignment is localCheckpointed
+    * — it feeds both join sides and the final restitch. */
+  def q82SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val assigned = VectorAggs.kMeans(Sources.embeddings(s, dir),
+      "vec_id", "embedding", k = 4, iters = 2).localCheckpoint()
+    VectorAggs.semDedup(assigned, "vec_id", "cluster", "embedding",
+        threshold = 0.4)
+      .orderBy(col("vec_id"))
+  }
+
+  val q82Sql: String =
+    s"""WITH $kmeansA2Ctes,
+       |d AS (SELECT x.vec_id, MIN(y.vec_id) AS dup_of
+       |      FROM a2 x JOIN a2 y ON x.cluster = y.cluster
+       |        AND y.vec_id < x.vec_id
+       |        AND ${cosSql("x.embedding", "y.embedding")} >= 0.4
+       |      GROUP BY x.vec_id)
+       |SELECT a.vec_id, a.cluster, d.dup_of
+       |FROM a2 a LEFT JOIN d USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, StringType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Chunking, Graph, Multimodal, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{Chunking, Graph, LatestSnapshot, Multimodal, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-4 widening of the training-pipeline surface: duplicate CLUSTERS
@@ -48,6 +48,60 @@ object ScaleQueries {
        |SELECT c.doc_id, c.component, s.n_members
        |FROM comp c JOIN csz s ON c.component = s.component
        |ORDER BY c.doc_id""".stripMargin
+
+  // ── q83: keep-best-quality survivor per duplicate cluster ──────────────
+
+  /** q83: the curation decision q65 builds toward — per duplicate cluster,
+    * keep the member with the best quality signal (6-dp alpha ratio,
+    * doc-id tiebreak) instead of exactDedup's arbitrary min-id. Reuses
+    * q65's LSH pairs + HashMin components; the argmax is a WindowGroupLimit
+    * top-1 per component and the size rollup shares the same `component`
+    * exchange. */
+  def q83KeepBestSurvivor(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val pairs = TextDedup.minHashLshPairs(docs, "doc_id", "text",
+      k = 16, r = 4, w = 3, threshold = 0.5)
+    val comp = Graph.connectedComponents(pairs, "d1", "d2")
+    val alpha = TextAnalysis.qualityCols(col("text")).toMap.apply("alpha_ratio")
+    val quality = docs.select(col("doc_id"), round(alpha, 6).as("alpha_ratio"))
+    val scored = comp.join(quality, comp("node") === quality("doc_id"))
+      .select(col("component"), col("doc_id"), col("alpha_ratio"))
+    val best = LatestSnapshot.topK(scored, Seq("component"),
+      col("alpha_ratio").desc, Seq(col("doc_id").asc), 1)
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    best.join(sizes, "component")
+      .select(col("component"), col("n_members"),
+        col("doc_id").as("survivor_id"), col("alpha_ratio").as("best_alpha"))
+      .orderBy(col("component"))
+  }
+
+  val q83Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT d1, d2 FROM (
+       |${PipelineQueries.q19Sql}
+       |  )),
+       |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |      UNION SELECT d2 AS a, d1 AS b FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT DISTINCT a AS n, a AS m FROM e
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+       |comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n),
+       |csz AS (SELECT component, COUNT(*) AS n_members
+       |        FROM comp GROUP BY component),
+       |q AS (SELECT doc_id,
+       |        round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+       |          AS DOUBLE) / length(text), 6) AS alpha_ratio
+       |      FROM documents),
+       |r AS (SELECT c.component, c.doc_id, q.alpha_ratio, row_number() OVER (
+       |        PARTITION BY c.component
+       |        ORDER BY q.alpha_ratio DESC, c.doc_id ASC) AS rn
+       |      FROM comp c JOIN q USING (doc_id))
+       |SELECT r.component, s.n_members, r.doc_id AS survivor_id,
+       |  r.alpha_ratio AS best_alpha
+       |FROM r JOIN csz s USING (component) WHERE rn = 1
+       |ORDER BY r.component""".stripMargin
 
   // ── q66: TF-IDF top terms per document ─────────────────────────────────
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Decontamination, Packing, Relevance, Sampling, Similarity}
+import graft.operators.{Decontamination, Packing, Relevance, Sampling, Similarity, VectorAggs}
 
 /** Targeted specs for the round-5 corpus-assembly operators
   * (decontamination, batch retrieval, sequence packing, uniform mixing,
@@ -174,6 +174,42 @@ class Round5OperatorsSpec extends SparkSpec {
     val b = Relevance.unigramLogProb(docs.repartition(17), "doc_id", "text")
       .orderBy("doc_id").collect()
     assert(a.toSeq == b.toSeq)
+  }
+
+  // ── SemDeDup ────────────────────────────────────────────────────────────
+
+  test("semDedup marks smaller-id same-cluster neighbors above threshold") {
+    // cluster 10: vecs 1,2,3 — v1∥v2 (cos 1), v3 orthogonal.
+    // cluster 20: vecs 4,5 — parallel.
+    val assigned = Seq(
+      (1L, 10L, Seq(1.0f, 0.0f)),
+      (2L, 10L, Seq(2.0f, 0.0f)),
+      (3L, 10L, Seq(0.0f, 1.0f)),
+      (4L, 20L, Seq(1.0f, 1.0f)),
+      (5L, 20L, Seq(3.0f, 3.0f))
+    ).toDF("vec_id", "cluster", "embedding")
+    val got = VectorAggs.semDedup(assigned, "vec_id", "cluster", "embedding",
+        threshold = 0.9)
+      .orderBy("vec_id")
+      .as[(Long, Long, Option[Long])].collect()
+    assert(got.toSeq == Seq(
+      (1L, 10L, None),       // survivor (no smaller id)
+      (2L, 10L, Some(1L)),   // dup of 1
+      (3L, 10L, None),       // orthogonal — kept
+      (4L, 20L, None),
+      (5L, 20L, Some(4L))))
+  }
+
+  test("semDedup never pairs across clusters") {
+    // identical vectors in different clusters stay independent survivors
+    val assigned = Seq(
+      (1L, 10L, Seq(1.0f, 0.0f)),
+      (2L, 20L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "cluster", "embedding")
+    val got = VectorAggs.semDedup(assigned, "vec_id", "cluster", "embedding",
+        threshold = 0.5)
+      .filter(col("dup_of").isNotNull).count()
+    assert(got == 0)
   }
 
   // ── matryoshka stats ────────────────────────────────────────────────────
