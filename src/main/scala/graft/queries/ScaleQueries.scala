@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, StringType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Chunking, Graph, LatestSnapshot, Multimodal, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{Chunking, Graph, LatestSnapshot, Layout, Multimodal, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-4 widening of the training-pipeline surface: duplicate CLUSTERS
@@ -102,6 +102,47 @@ object ScaleQueries {
        |  r.alpha_ratio AS best_alpha
        |FROM r JOIN csz s USING (component) WHERE rn = 1
        |ORDER BY r.component""".stripMargin
+
+  // ── q84: z-order layout for min/max data skipping ──────────────────────
+
+  /** q84: the write-side clustering decision at 100 TB — Morton z-values
+    * over (user_id, event time), summarized per top-6-bit bucket as count
+    * plus BOTH dimensions' min/max. Tight per-bucket rectangles in both
+    * columns are exactly what parquet row-group skipping consumes; a
+    * lexicographic sort would leave the time ranges domain-wide. Integer-
+    * exact ranks (int64 `div`, no float rounding) make the curve
+    * oracle-reproducible. */
+  def q84ZOrderLayout(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+    Layout.withZValue(ev, "user_id", "tus", bits = 16)
+      .withColumn("bucket", shiftright(col("zv"), 26))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
+        min(col("tus")).as("min_t"), max(col("tus")).as("max_t"))
+      .orderBy(col("bucket"))
+  }
+
+  val q84Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+      |s AS (SELECT MIN(user_id) AS amn, MAX(user_id) AS amx,
+      |             MIN(tus) AS bmn, MAX(tus) AS bmx FROM e),
+      |r AS (SELECT user_id, tus,
+      |        CASE WHEN s.amx = s.amn THEN 0
+      |          ELSE ((user_id - s.amn) * 65535) // (s.amx - s.amn) END AS ra,
+      |        CASE WHEN s.bmx = s.bmn THEN 0
+      |          ELSE ((tus - s.bmn) * 65535) // (s.bmx - s.bmn) END AS rb
+      |      FROM e CROSS JOIN s),
+      |z AS (SELECT user_id, tus,
+      |        CAST(list_sum(list_transform(range(0, 16), i ->
+      |          (((ra >> i) & 1) << (2 * i))
+      |            + (((rb >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zv
+      |      FROM r)
+      |SELECT zv >> 26 AS bucket, COUNT(*) AS n_events,
+      |  MIN(user_id) AS min_u, MAX(user_id) AS max_u,
+      |  MIN(tus) AS min_t, MAX(tus) AS max_t
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ── q66: TF-IDF top terms per document ─────────────────────────────────
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Decontamination, Packing, Relevance, Sampling, Similarity, VectorAggs}
+import graft.operators.{Decontamination, Layout, Packing, Relevance, Sampling, Similarity, VectorAggs}
 
 /** Targeted specs for the round-5 corpus-assembly operators
   * (decontamination, batch retrieval, sequence packing, uniform mixing,
@@ -174,6 +174,52 @@ class Round5OperatorsSpec extends SparkSpec {
     val b = Relevance.unigramLogProb(docs.repartition(17), "doc_id", "text")
       .orderBy("doc_id").collect()
     assert(a.toSeq == b.toSeq)
+  }
+
+  // ── z-order layout ──────────────────────────────────────────────────────
+
+  test("zValue interleaves bits: a at even positions, b at odd") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L))
+      .toDF("a", "b")
+    val got = df.select(Layout.zValue(col("a"), col("b"), bits = 4).as("z"))
+      .as[Long].collect()
+    // (3,5): a=0011→bits 0,2 set→z 0b00000101=5; b=0101→bits 1,5 set→
+    // z 0b00100010=34; total 39
+    assert(got.toSeq == Seq(0L, 1L, 2L, 3L, 39L))
+  }
+
+  test("rank is an exact integer quantization, stable past 2^53") {
+    val df = Seq((0L, 0L, 1L << 45), (1L << 44, 0L, 1L << 45),
+      (1L << 45, 0L, 1L << 45)).toDF("v", "mn", "mx")
+    val got = df.select(
+      Layout.rank(col("v"), col("mn"), col("mx"), bits = 16).as("r"))
+      .as[Long].collect()
+    // (2^44 · 65535) / 2^45 = 32767.5 → 32767; the numerator (≈1.2e18)
+    // is past double's 2^53 mantissa, so a floor(/) formulation would
+    // mis-rank — `div` is exact int64
+    assert(got.toSeq == Seq(0L, 32767L, 65535L))
+  }
+
+  test("clusterByZOrder bounds BOTH dimensions per output file") {
+    // 64×64 grid — under a lexicographic sort by a, every file's b-range
+    // would span the whole domain; z-order bounds both.
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a, b))
+      .toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.clusterByZOrder(grid, "a", "b", bits = 6, numPartitions = 16)
+      .write.mode("overwrite").parquet(dir)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max("a") - min("a")).as("aSpan"), (max("b") - min("b")).as("bSpan"),
+        count(lit(1)).as("n"))
+      .as[(String, Int, Int, Long)].collect()
+    assert(perFile.length >= 8)
+    // every file covers ≤ half the domain in EACH dimension (z-order
+    // guarantees √(n/files)-ish rectangles; 64/√16-per-dim ⇒ span ≤ 32)
+    perFile.foreach { case (f, aSpan, bSpan, n) =>
+      assert(aSpan <= 32 && bSpan <= 32,
+        s"file $f: aSpan=$aSpan bSpan=$bSpan over $n rows")
+    }
   }
 
   // ── SemDeDup ────────────────────────────────────────────────────────────
