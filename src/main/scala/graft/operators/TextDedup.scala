@@ -214,6 +214,42 @@ object TextDedup {
   }
 
   /**
+   * Asymmetric n-gram CONTAINMENT near-dup pairs: containment =
+   * |A∩B| / min(|A|, |B|) — the subsumption detector symmetric Jaccard
+   * misses. A short document quoted whole inside a long one scores
+   * Jaccard ≈ |A|/|B| (tiny) but containment 1.0; curation pipelines cut
+   * on containment to catch quote-inclusion, boilerplate wrappers, and
+   * truncated re-crawls. Same inverted-index candidate generation and
+   * `maxDf` boilerplate cap as [[ngramJaccardPairs]]; emits (d1 < d2,
+   * inter, n1, n2, containment).
+   */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            w: Int = 3, threshold: Double = 0.8,
+                            maxDf: Option[Long] = None): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, w)
+    val inter = maxDf match {
+      case None => pairIntersections(sh, idCol)
+      case Some(cap) =>
+        val rare = sh.join(
+          sh.groupBy(col("s")).agg(count(lit(1)).as("graft_df"))
+            .filter(col("graft_df") <= cap).select(col("s")), "s")
+        val cand = rare.select(col(idCol).as("d1"), col("s"))
+          .join(rare.select(col(idCol).as("d2"), col("s"))
+            .hint("shuffle_hash"), "s")
+          .filter(col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+        candidateIntersections(sh, idCol, cand)
+    }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        (col("inter") / least(col("n1"), col("n2"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /**
    * 32-bit SimHash over a document's distinct words: bit b is set when the
    * word-count-weighted sum of (2·bit_b(md5(word)) − 1) is positive.
    *

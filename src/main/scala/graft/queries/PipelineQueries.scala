@@ -115,6 +115,29 @@ object PipelineQueries {
       |WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= 0.5
       |ORDER BY d1, d2""".stripMargin
 
+  /** q85: asymmetric containment pairs — |A∩B| / min(|A|,|B|) ≥ 0.6 —
+    * the subsumption/quote-inclusion detector Jaccard misses. */
+  def q85NgramContainment(s: SparkSession, dir: String): DataFrame =
+    TextDedup.ngramContainmentPairs(docs(s, dir), "doc_id", "text",
+        w = 3, threshold = 0.6)
+      .orderBy(col("d1"), col("d2"))
+
+  val q85Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT i.d1, i.d2, i.inter, s1.n AS n1, s2.n AS n2,
+      |  CAST(i.inter AS DOUBLE) / least(s1.n, s2.n) AS containment
+      |FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id JOIN sz s2 ON i.d2 = s2.doc_id
+      |WHERE CAST(i.inter AS DOUBLE) / least(s1.n, s2.n) >= 0.6
+      |ORDER BY d1, d2""".stripMargin
+
   // ── SimHash signatures ─────────────────────────────────────────────────
 
   /** q21: 32-bit SimHash per document. */

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Decontamination, Layout, Packing, Relevance, Sampling, Similarity, VectorAggs}
+import graft.operators.{Decontamination, Layout, Packing, Relevance, Sampling, Similarity, TextDedup, VectorAggs}
 
 /** Targeted specs for the round-5 corpus-assembly operators
   * (decontamination, batch retrieval, sequence packing, uniform mixing,
@@ -174,6 +174,34 @@ class Round5OperatorsSpec extends SparkSpec {
     val b = Relevance.unigramLogProb(docs.repartition(17), "doc_id", "text")
       .orderBy("doc_id").collect()
     assert(a.toSeq == b.toSeq)
+  }
+
+  // ── containment dedup ───────────────────────────────────────────────────
+
+  test("ngramContainmentPairs catches subsumption Jaccard misses") {
+    val docsDf = Seq(
+      (1L, "a b c d e"),                  // 3 shingles, all inside doc 2
+      (2L, "a b c d e f g h i j"),        // 8 shingles
+      (3L, "x y z w")                     // disjoint
+    ).toDF("doc_id", "text")
+    val got = TextDedup.ngramContainmentPairs(docsDf, "doc_id", "text",
+        w = 3, threshold = 0.8)
+      .select("d1", "d2", "inter", "n1", "n2", "containment")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // containment = 3/min(3,8) = 1.0; Jaccard would be 3/8 = 0.375
+    assert(got.toSeq == Seq((1L, 2L, 3L, 3L, 8L, 1.0)))
+    assert(TextDedup.ngramJaccardPairs(docsDf, "doc_id", "text",
+      w = 3, threshold = 0.5).count() == 0)
+  }
+
+  test("ngramContainmentPairs maxDf cap drops boilerplate-only candidates") {
+    // the shared shingle "p q r" appears in 3 docs → df 3 > cap 2:
+    // candidate generation skips it, so no pair survives
+    val docsDf = Seq(
+      (1L, "p q r a b"), (2L, "p q r c d"), (3L, "p q r e f")
+    ).toDF("doc_id", "text")
+    assert(TextDedup.ngramContainmentPairs(docsDf, "doc_id", "text",
+      w = 3, threshold = 0.3, maxDf = Some(2L)).count() == 0)
   }
 
   // ── z-order layout ──────────────────────────────────────────────────────
