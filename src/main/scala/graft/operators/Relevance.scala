@@ -132,6 +132,42 @@ object Relevance {
   }
 
   /**
+   * Vocabulary coverage curve: for each cutoff V, the share of the
+   * corpus's token mass covered by the top-V most frequent terms — the
+   * signal that sizes a tokenizer vocabulary (BPE prep: pick V where the
+   * curve flattens; everything past it becomes subword/byte fallback).
+   *
+   * Scale shape: term counts are one hash agg; the global frequency rank
+   * is [[GlobalRank.globalRowNumber]] (range repartition + broadcast
+   * offsets — NEVER a single-partition window, the vocabulary is 10⁸+
+   * types at 100 TB); each cutoff's coverage is a conditional sum over
+   * the ranked vocab against a broadcast cutoffs table, so the curve
+   * costs one pass regardless of how many cutoffs are asked for.
+   */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    cutoffs: Seq[Int]): DataFrame = {
+    require(cutoffs.nonEmpty, "need at least one cutoff")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ct = docs.select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("ct"))
+    val ranked = GlobalRank.globalRowNumber(ct,
+      Seq(col("ct").desc, col("term").asc), "rank")
+    val total = ct.agg(sum(col("ct")).as("n_total"),
+      count(lit(1)).as("n_types"))
+    val cuts = cutoffs.toDF("cutoff")
+    ranked.crossJoin(broadcast(cuts))
+      .groupBy(col("cutoff"))
+      .agg(sum(when(col("rank") <= col("cutoff"), col("ct"))
+        .otherwise(lit(0L))).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("cutoff"), col("covered_tokens"), col("n_types"),
+        col("n_total"),
+        (col("covered_tokens").cast(DoubleType) / col("n_total"))
+          .as("coverage"))
+  }
+
+  /**
    * Batch BM25 retrieval: top-`k` documents PER QUERY for a whole query
    * table at once — the shape that mines retrieval training pairs from a
    * corpus (one pass for a million queries, not a million passes).

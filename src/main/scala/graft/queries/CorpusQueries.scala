@@ -210,6 +210,34 @@ object CorpusQueries {
       |    AS avg_logp
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ── q86: vocabulary coverage curve (tokenizer sizing) ──────────────────
+
+  /** q86: token-mass coverage of the top-{10,100,1000} most frequent
+    * terms — the BPE-vocab sizing curve, ranked distributed (range
+    * repartition + offsets, no 1-partition window over the vocab). */
+  def q86VocabCoverage(s: SparkSession, dir: String): DataFrame =
+    Relevance.vocabCoverage(Sources.documents(s, dir), "text",
+        cutoffs = Seq(10, 100, 1000))
+      .orderBy(col("cutoff"))
+
+  val q86Sql: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+      |       FROM documents),
+      |ct AS (SELECT term, count(*) AS ct FROM t GROUP BY term),
+      |r AS (SELECT term, ct,
+      |        row_number() OVER (ORDER BY ct DESC, term ASC) AS rank
+      |      FROM ct),
+      |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS n_total,
+      |               count(*) AS n_types FROM ct),
+      |cuts AS (SELECT * FROM (VALUES (10), (100), (1000)) c(cutoff)),
+      |cov AS (SELECT c.cutoff,
+      |          CAST(SUM(CASE WHEN r.rank <= c.cutoff THEN r.ct ELSE 0 END)
+      |            AS BIGINT) AS covered_tokens
+      |        FROM r CROSS JOIN cuts c GROUP BY c.cutoff)
+      |SELECT cov.cutoff, cov.covered_tokens, tot.n_types, tot.n_total,
+      |  CAST(cov.covered_tokens AS DOUBLE) / tot.n_total AS coverage
+      |FROM cov CROSS JOIN tot ORDER BY cov.cutoff""".stripMargin
+
   // ── q79: matryoshka truncation quality ─────────────────────────────────
 
   /** q79: per vector, the L2 norm and the cosine retained when truncating

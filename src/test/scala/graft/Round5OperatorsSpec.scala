@@ -176,6 +176,22 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  // ── vocabulary coverage ─────────────────────────────────────────────────
+
+  test("vocabCoverage ranks by frequency and sums covered token mass") {
+    // counts: a×5, b×3, c×2, d×1, e×1 → N=12, rank a,b,c,d,e (term ties
+    // break lexicographically: d before e)
+    val docs = Seq((1L, "a a a b b c"), (2L, "a a b c d e"))
+      .toDF("doc_id", "text")
+    val got = Relevance.vocabCoverage(docs, "text", Seq(1, 2, 4))
+      .orderBy("cutoff")
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      (1, 5L, 5L, 12L, 5.0 / 12),
+      (2, 8L, 5L, 12L, 8.0 / 12),
+      (4, 11L, 5L, 12L, 11.0 / 12)))
+  }
+
   // ── containment dedup ───────────────────────────────────────────────────
 
   test("ngramContainmentPairs catches subsumption Jaccard misses") {
