@@ -160,6 +160,43 @@ object TextDedup {
       .select(col(idCol), col("bs.band").as("band"), col("bs.bh").as("bh"))
   }
 
+  /**
+   * Per-ROW LSH band rows: identical (id, band, bh) values to
+   * `lshBandsFromWide(minHashSignaturesWide(shingles(...)))`, computed as
+   * one narrow projection per document — no explode, no groupBy, no
+   * shuffle. This is the STREAMING form: banding is per-row, so a
+   * document stream can be banded and stream-static-joined against a
+   * stored index with zero stateful aggregation
+   * (`Streaming.nearDupCandidates`). Batch pipelines should keep the
+   * wide-agg form — its map-side combine wins once shingle rows shuffle
+   * anyway for the verification join.
+   *
+   * The K–M hash arrays are materialized as columns BEFORE the k sig
+   * lambdas (no CSE inside lambda bodies — inlining md5 would hash the
+   * shingle array k× per row, the `shingles` trap). Docs with no
+   * shingles (< w words) emit no bands, matching the explode form.
+   */
+  def bandsPerRow(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 16, r: Int = 4, w: Int = 3): DataFrame = {
+    val ws = col("graft_ws")
+    val sh = col("graft_sh")
+    val withSh = docs
+      .withColumn("graft_ws", split(col(textCol), " "))
+      .withColumn("graft_sh", array_distinct(
+        when(size(ws) >= w,
+          transform(sequence(lit(0), size(ws) - w),
+            i => concat_ws(" ", (0 until w).map(o => element_at(ws, i + o + 1)): _*)))
+          .otherwise(array().cast(ArrayType(StringType)))))
+      .filter(size(sh) > 0)
+    val withH = withSh
+      .withColumn("graft_h1", transform(sh, s => md5Word32("a_", s)))
+      .withColumn("graft_h2", transform(sh, s => md5Word32("b_", s)))
+    val sigs = (0 until k).map(i =>
+      array_min(zip_with(col("graft_h1"), col("graft_h2"),
+        (a, b) => (a + lit(i.toLong) * b) % 4294967296L)).as(s"sig_$i"))
+    lshBandsFromWide(withH.select(col(idCol) +: sigs: _*), idCol, k, r)
+  }
+
   /** MinHash+LSH near-duplicate pairs verified with exact Jaccard ≥
     * threshold. k hashes, bands of r rows → LSH threshold ≈ (1/b)^(1/r).
     * Plan shape: shingles → 1 groupBy (wide sigs) → band projection →

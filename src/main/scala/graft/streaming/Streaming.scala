@@ -66,6 +66,30 @@ object Streaming {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /**
+   * Streaming incremental near-dup detection: the stream-side half of
+   * `TextDedup.dedupAgainstIndex` — incoming documents are MinHash-banded
+   * PER ROW (`TextDedup.bandsPerRow`: a narrow projection, no stateful
+   * aggregation) and stream-static joined against the stored index bands.
+   * Emits (idCol, band, bh, d_old), one row per band collision.
+   *
+   * Collisions are CANDIDATES: a doc colliding with `d_old` in several
+   * bands appears several times (a streaming distinct would need state;
+   * append mode keeps this operator stateless and watermark-free), and
+   * Jaccard verification needs the indexed shingle sets — both belong to
+   * the downstream micro-batch (`foreachBatch` running
+   * `dedupAgainstIndex` on the flagged ids), which pays O(collisions),
+   * not O(stream). The index side is a plain DataFrame: Spark broadcasts
+   * or re-reads it per micro-batch, and a bucketed index table
+   * (`Sinks.writeBucketed`) joins without re-shuffling.
+   */
+  def nearDupCandidates(docStream: DataFrame, idCol: String, textCol: String,
+                        indexBands: DataFrame, k: Int = 16, r: Int = 4,
+                        w: Int = 3): DataFrame =
+    graft.operators.TextDedup.bandsPerRow(docStream, idCol, textCol, k, r, w)
+      .join(indexBands.select(col(idCol).as("d_old"), col("band"), col("bh")),
+        Seq("band", "bh"))
+
   final case class SessionState(nEvents: Long, lastTs: Long)
   final case class UserSession(user_id: Long, n_events: Long,
                                last_seen_ms: Long, expired: Boolean)

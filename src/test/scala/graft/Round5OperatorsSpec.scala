@@ -176,6 +176,23 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  // ── per-row banding ─────────────────────────────────────────────────────
+
+  test("bandsPerRow is bit-identical to the explode-groupBy band pipeline") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val wide = TextDedup.lshBandsFromWide(
+      TextDedup.minHashSignaturesWide(
+        TextDedup.shingles(docs, "doc_id", "text", w = 3), "doc_id", 16),
+      "doc_id", 16, 4)
+    val perRow = TextDedup.bandsPerRow(docs, "doc_id", "text",
+      k = 16, r = 4, w = 3)
+    assert(perRow.collect().toSet == wide.collect().toSet)
+    // short docs emit no bands in either form
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(TextDedup.bandsPerRow(short, "doc_id", "text").count() == 0)
+  }
+
   // ── vocabulary coverage ─────────────────────────────────────────────────
 
   test("vocabCoverage ranks by frequency and sums covered token mass") {

@@ -130,6 +130,31 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).sorted === Array(1L, 2L))
   }
 
+  test("streaming near-dup candidates match the batch index collisions") {
+    val sf = "/root/testdata/sf0.001"
+    import graft.operators.TextDedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // index the even half (the "already-deduped corpus"), stream the odd
+    val (indexBands, _) = TextDedup.lshIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    val expected = TextDedup.bandsPerRow(newDocs, "doc_id", "text")
+      .join(indexBands.select(col("doc_id").as("d_old"),
+        col("band"), col("bh")), Seq("band", "bh"))
+      .select("doc_id", "d_old").distinct().collect().toSet
+    assert(expected.nonEmpty, "fixture should produce ≥1 collision")
+    val streamDir = tmpDir("neardup-src")
+    newDocs.write.parquet(s"$streamDir/docs")
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(s"$streamDir/docs")
+    val q = Streaming.nearDupCandidates(stream, "doc_id", "text", indexBands)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("neardup").select("doc_id", "d_old")
+      .distinct().collect().toSet === expected)
+  }
+
   test("mapGroupsWithState accumulates per-user counts") {
     import spark.implicits._
     val ds = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDS()
