@@ -220,6 +220,40 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("z-order values are computed inside whole-stage codegen, pruned scan") {
+    val df = graft.queries.ScaleQueries.q84ZOrderLayout(spark, sf)
+    df.collect() // AQE hides codegen spans until the final plan exists
+    val plan = physicalPlan(df)
+    // the interleave projection must carry a codegen *(n) prefix
+    assert(plan.split("\n").exists(l =>
+      l.contains("*(") && l.contains("shiftleft")), s"no codegen span:\n$plan")
+    // only the two layout dimensions are read from the events scan
+    assert(plan.contains("ReadSchema: struct<ts:"),
+      s"scan must read just (ts, user_id):\n$plan")
+    assert(!plan.contains("event_type"), s"scan reads too much:\n$plan")
+  }
+
+  test("vocab coverage: every window is partitioned (distributed rank)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.queries.CorpusQueries.q86VocabCoverage(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec => w.partitionSpec
+    }
+    assert(windows.nonEmpty, "expected the GlobalRank per-partition window")
+    windows.foreach(spec =>
+      assert(spec.nonEmpty, "found a partition-less window over the vocab"))
+  }
+
+  test("semDedup joins on the cluster key — no cartesian pairing") {
+    val assigned = Seq((1L, 10L, Seq(1.0f, 0.0f)), (2L, 10L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "cluster", "embedding")
+    val plan = physicalPlan(graft.operators.VectorAggs.semDedup(
+      assigned, "vec_id", "cluster", "embedding", 0.9))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pairwise test must be a cluster equi-join:\n$plan")
+  }
+
   test("whole-surface audit: no unintended nested-loop/cartesian joins") {
     // Every BroadcastNestedLoopJoin in the surface is a deliberate
     // broadcast of a metadata-scale table (k centroids / 1-row total) or
@@ -233,7 +267,13 @@ class PlanShapeSpec extends SparkSpec {
       // q76: 1-row (N, avgdl) broadcast; q77: n_partitions-row offsets
       // table (the GlobalRank `<` join, metadata-scale, same as q57);
       // q78: 1-row (N, k) totals broadcast
-      "q76_retrieve", "q77_packing", "q78_uniform_mix")
+      "q76_retrieve", "q77_packing", "q78_uniform_mix",
+      // q80: 1-row n_min broadcast onto the strata counts; q81: 1-row
+      // total-token broadcast; q82: k-centroid broadcast (kMeans, as
+      // q61); q84: 1-row min/max stats broadcast; q86: GlobalRank
+      // offsets `<` join + 1-row totals + cutoffs-table broadcasts
+      "q80_temperature_mix", "q81_unigram_logprob", "q82_semdedup",
+      "q84_zorder_layout", "q86_vocab_coverage")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
