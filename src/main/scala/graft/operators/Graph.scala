@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * Distributed graph primitives for the dedup pipeline. Near-dup detection
@@ -28,8 +29,9 @@ object Graph {
    * Returns (`node`, `component`) where `component` is the smallest node
    * id reachable from `node`. Nodes are those appearing in ≥1 edge.
    *
-   * The driver loop only ever pulls back ONE scalar per round (the changed
-   * count, for convergence detection) — the data path stays distributed.
+   * The driver loop only ever pulls back ONE scalar per round (the exact
+   * label sum, for convergence detection) — the data path stays
+   * distributed.
    * Lineage is truncated each round; without that the iterated plan nests
    * `maxIters` self-joins and analysis cost explodes.
    *
@@ -63,6 +65,17 @@ object Graph {
       .distinct().persist()
     var labels = save(sym.select(col("a").as("node")).distinct()
       .withColumn("component", col("node")), 0)
+    // Convergence scalar: HashMin labels only ever DECREASE, so the label
+    // set changed iff Σ component changed — one exact-decimal aggregate
+    // per round instead of a join against the previous labels (saves a
+    // |nodes|-sized join + filter per round; DECIMAL(38,0) cannot
+    // overflow on int64 labels at any node count below 10^19).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("component").cast(DecimalType(38, 0))))
+        .head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty node set
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -70,11 +83,10 @@ object Graph {
         .select(sym("a").as("node"), col("component"))
       val next = save(labels.unionByName(msgs)
         .groupBy("node").agg(min("component").as("component")), iter + 1)
-      val changed = next.join(
-          labels.withColumnRenamed("component", "prev"), "node")
-        .filter(col("component") < col("prev")).count()
+      val s = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     sym.unpersist()
