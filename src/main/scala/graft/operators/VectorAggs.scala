@@ -135,6 +135,46 @@ object VectorAggs {
       .join(dups.withColumnRenamed("d1", idCol), Seq(idCol), "left")
   }
 
+  /**
+   * Per-dimension whitening (z-score normalization): each component is
+   * rescaled by its dimension's corpus mean and standard deviation — the
+   * preprocessing that equalizes dimension scales before quantization or
+   * distance computations (the full-covariance cousin is PCA whitening;
+   * per-dim is the standard cheap variant). Constant dimensions (sd = 0)
+   * map to 0.
+   *
+   * Determinism contract: mean and mean-square are exact-decimal sums of
+   * 6-dp-rounded components (the [[centroids]] rule), sd =
+   * round(√max(msq − mean², 0), 6) — so the stats row is bit-identical
+   * across partitionings and engines. Scale shape: one posexplode +
+   * map-side-combined groupBy(dim), rolled into a single stats row that
+   * rides a broadcast crossJoin; whitening itself is a narrow codegen'd
+   * HOF — the corpus is scanned twice (train, apply), never shuffled.
+   */
+  def whiten(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val x = col("x").cast(DoubleType)
+    val stats = df.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(
+        round(sum(dec6(x)).cast(DoubleType) / count(lit(1)), 6).as("mean"),
+        round(sum(dec6(x * x)).cast(DoubleType) / count(lit(1)), 6).as("msq"))
+      .withColumn("sd",
+        round(sqrt(greatest(col("msq") - col("mean") * col("mean"),
+          lit(0.0))), 6))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          s => s.getField("mean")).as("graft_means"),
+        transform(array_sort(collect_list(struct(col("dim"), col("sd")))),
+          s => s.getField("sd")).as("graft_sds"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("whitened", transform(col(vecCol), (v, i) => {
+        val m = element_at(col("graft_means"), i + 1)
+        val s = element_at(col("graft_sds"), i + 1)
+        when(s === 0.0, lit(0.0)).otherwise((v.cast(DoubleType) - m) / s)
+      }))
+      .drop("graft_means", "graft_sds")
+  }
+
   /** Per-dimension corpus (min, max) as ONE row of two aligned arrays —
     * the training pass of scalar quantization. posexplode + map-side
     * combined min/max per dim, then a k-dims-row rollup: nothing driver-

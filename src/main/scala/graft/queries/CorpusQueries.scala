@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Decontamination, Packing, Relevance, Sampling, Similarity}
+import graft.operators.{Decontamination, Packing, Relevance, Sampling, Similarity, VectorAggs}
 import graft.sources.Sources
 
 /** Round-5 corpus-assembly operators: benchmark decontamination, batch
@@ -237,6 +237,45 @@ object CorpusQueries {
       |SELECT cov.cutoff, cov.covered_tokens, tot.n_types, tot.n_total,
       |  CAST(cov.covered_tokens AS DOUBLE) / tot.n_total AS coverage
       |FROM cov CROSS JOIN tot ORDER BY cov.cutoff""".stripMargin
+
+  // ── q87: per-dimension embedding whitening ─────────────────────────────
+
+  /** q87: z-score whitening of the embedding corpus, summarized per
+    * vector as sequential-fold sum / min / max of the whitened components
+    * (the q62 checksum pattern — proves component-exactness without
+    * hashing raw double arrays). Stats are one broadcast row; whitening
+    * is a narrow codegen'd HOF. */
+  def q87Whiten(s: SparkSession, dir: String): DataFrame =
+    VectorAggs.whiten(Sources.embeddings(s, dir), "vec_id", "embedding")
+      .select(col("vec_id"),
+        round(aggregate(col("whitened"), lit(0.0), (a, x) => a + x), 6)
+          .as("white_sum"),
+        round(array_min(col("whitened")), 6).as("white_min"),
+        round(array_max(col("whitened")), 6).as("white_max"))
+      .orderBy(col("vec_id"))
+
+  val q87Sql: String =
+    """WITH x AS (SELECT vec_id, d, embedding[d]::DOUBLE AS x
+      |       FROM embeddings CROSS JOIN range(1, 65) t(d)),
+      |st AS (SELECT d,
+      |    round(CAST(SUM(CAST(round(x, 6) AS DECIMAL(38,6))) AS DOUBLE)
+      |      / COUNT(*), 6) AS mean,
+      |    round(CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE)
+      |      / COUNT(*), 6) AS msq
+      |  FROM x GROUP BY d),
+      |sd AS (SELECT d, mean,
+      |         round(sqrt(greatest(msq - mean * mean, 0)), 6) AS sd
+      |       FROM st),
+      |w AS (SELECT x.vec_id, x.d,
+      |        CASE WHEN s.sd = 0 THEN 0.0
+      |             ELSE (x.x - s.mean) / s.sd END AS w
+      |      FROM x JOIN sd s USING (d)),
+      |v AS (SELECT vec_id, array_agg(w ORDER BY d) AS wv
+      |      FROM w GROUP BY vec_id)
+      |SELECT vec_id, round(list_sum(wv), 6) AS white_sum,
+      |  round(list_min(wv), 6) AS white_min,
+      |  round(list_max(wv), 6) AS white_max
+      |FROM v ORDER BY vec_id""".stripMargin
 
   // ── q79: matryoshka truncation quality ─────────────────────────────────
 

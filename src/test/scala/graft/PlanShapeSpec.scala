@@ -273,7 +273,9 @@ class PlanShapeSpec extends SparkSpec {
       // q61); q84: 1-row min/max stats broadcast; q86: GlobalRank
       // offsets `<` join + 1-row totals + cutoffs-table broadcasts
       "q80_temperature_mix", "q81_unigram_logprob", "q82_semdedup",
-      "q84_zorder_layout", "q86_vocab_coverage")
+      "q84_zorder_layout", "q86_vocab_coverage",
+      // q87: 1-row whitening-stats (means, sds) broadcast
+      "q87_whiten")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

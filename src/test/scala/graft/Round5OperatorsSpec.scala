@@ -319,6 +319,30 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(got == 0)
   }
 
+  // ── whitening ───────────────────────────────────────────────────────────
+
+  test("whiten z-scores per dimension; constant dims map to zero") {
+    // dim0: {1,3} → mean 2, msq 5, sd 1 → whitened {-1, 1}
+    // dim1: {2,2} → sd 0 → whitened 0
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorAggs.whiten(df, "vec_id", "embedding")
+      .orderBy("vec_id").select("whitened")
+      .as[Seq[Double]].collect()
+    assert(got(0) == Seq(-1.0, 0.0) && got(1) == Seq(1.0, 0.0))
+  }
+
+  test("whiten stats are partitioning-independent (exact decimal sums)") {
+    val df = (1L to 300L).map(i =>
+      (i, Seq.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat / 3)))
+      .toDF("vec_id", "embedding")
+    val a = VectorAggs.whiten(df, "vec_id", "embedding")
+      .orderBy("vec_id").select("whitened").collect()
+    val b = VectorAggs.whiten(df.repartition(17), "vec_id", "embedding")
+      .orderBy("vec_id").select("whitened").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   // ── matryoshka stats ────────────────────────────────────────────────────
 
   test("matryoshkaStats: norm and truncation cosine are exact") {
