@@ -43,6 +43,47 @@ object Chunking {
         count(lit(1)).as("n_words"))
   }
 
+  /**
+   * Sliding-window chunks with overlap — the RAG/embedding chunker:
+   * fixed `chunkLen`-token windows advancing by `stride` tokens
+   * (overlap = chunkLen − stride), the shape retrieval corpora are cut
+   * into before embedding. Emits (id, chunk_idx, start_tok, n_chunk_
+   * tokens, chunk_md5); the md5 stands in for the chunk text so results
+   * stay narrow and hash-checkable (callers embedding the chunks slice
+   * the text the same way).
+   *
+   * Everything is a single narrow projection + explode of a
+   * per-row-computed index sequence: no shuffle, no window function, no
+   * state — chunk arithmetic is pure int math on the token count, so a
+   * document's chunks are independent of every other document (unlike
+   * [[Packing.packPlan]], whose global offsets need the corpus prefix
+   * sum). The word array is bound to a column before the explode
+   * (generators get no CSE — an inlined split would re-run per chunk).
+   */
+  def slidingChunks(docs: DataFrame, idCol: String, textCol: String,
+                    chunkLen: Int, stride: Int): DataFrame = {
+    require(chunkLen >= 1 && stride >= 1 && stride <= chunkLen,
+      s"need 1 <= stride <= chunkLen, got chunkLen=$chunkLen stride=$stride")
+    val ws = col("graft_ws")
+    val n = size(ws).cast("long")
+    // ceil((n - chunkLen) / stride) + 1 in exact int math, min 1 chunk
+    val nChunks = when(n <= chunkLen, lit(1L))
+      .otherwise(call_function("div",
+        n - chunkLen + stride - 1, lit(stride.toLong)) + 1)
+    docs.select(col(idCol), split(col(textCol), " ").as("graft_ws"))
+      .select(col(idCol), ws,
+        explode(sequence(lit(0L), nChunks.cast("long") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(col("chunk_idx") * stride + chunkLen, size(ws).cast("long"))
+          .minus(col("chunk_idx") * stride).as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(ws,
+          (col("chunk_idx") * stride + 1).cast("int"),
+          least(col("chunk_idx") * stride + chunkLen, size(ws).cast("long"))
+            .minus(col("chunk_idx") * stride).cast("int"))))
+          .as("chunk_md5"))
+  }
+
   /** Per-document chunk-sharing stats: total chunks and how many of them
     * also occur in at least one OTHER document — the partial-overlap
     * signal. */

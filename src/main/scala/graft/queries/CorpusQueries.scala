@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Decontamination, Packing, Relevance, Sampling, Similarity, VectorAggs}
+import graft.operators.{Chunking, Decontamination, Packing, Relevance, Sampling, Similarity, VectorAggs}
 import graft.sources.Sources
 
 /** Round-5 corpus-assembly operators: benchmark decontamination, batch
@@ -276,6 +276,33 @@ object CorpusQueries {
       |  round(list_min(wv), 6) AS white_min,
       |  round(list_max(wv), 6) AS white_max
       |FROM v ORDER BY vec_id""".stripMargin
+
+  // ── q88: sliding-window RAG chunking ───────────────────────────────────
+
+  /** q88: 64-token windows at stride 48 (16-token overlap) per document —
+    * the retrieval-corpus chunker. Pure per-row int math + one explode:
+    * no shuffle, no window function; chunk content is carried as md5 so
+    * the gate hash-checks the exact slices. */
+  def q88SlidingChunks(s: SparkSession, dir: String): DataFrame =
+    Chunking.slidingChunks(Sources.documents(s, dir), "doc_id", "text",
+        chunkLen = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val q88Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |n AS (SELECT doc_id, w, len(w) AS n FROM ws),
+      |c AS (SELECT doc_id, w, n,
+      |        unnest(range(0, CASE WHEN n <= 64 THEN 1
+      |                             ELSE (n - 64 + 47) // 48 + 1 END))
+      |          AS chunk_idx
+      |      FROM n)
+      |SELECT doc_id, chunk_idx,
+      |  chunk_idx * 48 AS start_tok,
+      |  least(chunk_idx * 48 + 64, n) - chunk_idx * 48 AS n_chunk_tokens,
+      |  md5(array_to_string(
+      |    w[chunk_idx * 48 + 1 : least(chunk_idx * 48 + 64, n)], ' '))
+      |    AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
   // ── q79: matryoshka truncation quality ─────────────────────────────────
 

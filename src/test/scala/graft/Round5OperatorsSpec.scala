@@ -319,6 +319,40 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(got == 0)
   }
 
+  // ── sliding-window chunking ─────────────────────────────────────────────
+
+  test("slidingChunks: overlapping windows with exact boundaries") {
+    import graft.operators.Chunking
+    // 10 tokens, chunkLen 4, stride 3 → chunks [0,4) [3,7) [6,10)
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val got = Chunking.slidingChunks(docs, "doc_id", "text",
+        chunkLen = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "start_tok", "n_chunk_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L),
+      (2L, 0L, 0L, 2L)))
+    // chunk content md5 matches the hand-sliced text
+    val md5s = Chunking.slidingChunks(docs, "doc_id", "text", 4, 3)
+      .filter(col("doc_id") === 1 && col("chunk_idx") === 1)
+      .select("chunk_md5").as[String].head()
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("t3 t4 t5 t6".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5s == expected)
+  }
+
+  test("slidingChunks: a short trailing window is emitted, never dropped") {
+    import graft.operators.Chunking
+    // 5 tokens, len 2, stride 2 → [0,2) [2,4) [4,5)
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val got = Chunking.slidingChunks(docs, "doc_id", "text", 2, 2)
+      .orderBy("chunk_idx").select("start_tok", "n_chunk_tokens")
+      .as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((0L, 2L), (2L, 2L), (4L, 1L)))
+  }
+
   // ── whitening ───────────────────────────────────────────────────────────
 
   test("whiten z-scores per dimension; constant dims map to zero") {
