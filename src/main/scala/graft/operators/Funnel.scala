@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Ordered funnel analysis — "how many users did s1, THEN s2, THEN s3" —
+ * the product-analytics staple the events table exists for.
+ *
+ * A user completes the funnel iff events of each step type exist in
+ * strictly increasing timestamp order. The computation is greedy
+ * earliest-completion, which is exact: choosing the EARLIEST valid
+ * timestamp for step i can only widen the choices for step i+1, so a
+ * user is dropped iff no valid ordering exists.
+ *
+ * Scale shape: one user-keyed aggregation per step, and every join and
+ * groupBy is keyed on the same user column — the per-step steps reuse
+ * one hash-partitioning end to end (no exchange between steps under
+ * ENSURE_REQUIREMENTS reuse). No per-user event arrays are collected,
+ * no window over the event log is taken: state per user is just the k
+ * completion timestamps. k steps cost k passes over the (step-filtered)
+ * events — each pass's input is pre-filtered to ONE event type, so the
+ * scan feeding each aggregation is a pushed-down predicate slice, not
+ * the whole log.
+ */
+object Funnel {
+
+  /** One row per user completing ALL `steps` in order: (userCol,
+    * t1 … tk) with t1 < t2 < … < tk, each ti the earliest feasible
+    * timestamp of step i given t(i−1). */
+  def earliestCompletion(events: DataFrame, userCol: String, typeCol: String,
+                         tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var reached = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    for (i <- 1 until steps.length) {
+      // earlier completion times are constant per user — min() just
+      // carries them through the aggregate
+      val carry = (1 to i).map(j => min(col(s"t$j")).as(s"t$j"))
+      val aggs = carry :+ min(col(tsCol)).as(s"t${i + 1}")
+      reached = events.filter(col(typeCol) === steps(i))
+        .join(reached, userCol)
+        .filter(col(tsCol) > col(s"t$i"))
+        .groupBy(col(userCol))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    reached
+  }
+
+  /** Funnel summary: (step_idx, step, n_users) — how many users reach
+    * each prefix of the funnel. Step i's count re-derives steps 1..i
+    * (k²/2 step-filtered aggregations total — fine for the handful of
+    * steps funnels have; persist `events` upstream for long funnels). */
+  def stepCounts(events: DataFrame, userCol: String, typeCol: String,
+                 tsCol: String, steps: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    steps.indices.map { i =>
+      val n = earliestCompletion(events, userCol, typeCol, tsCol,
+        steps.take(i + 1)).count()
+      (i + 1, steps(i), n)
+    }.toDF("step_idx", "step", "n_users")
+  }
+}

@@ -153,6 +153,30 @@ object AnalyticsQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ── q89: ordered funnel (view → click → purchase) ──────────────────────
+
+  /** q89: users completing the view→click→purchase funnel in timestamp
+    * order, with earliest-completion times — k user-keyed aggregations
+    * sharing one hash-partitioning, no per-user event collection. */
+  def q89Funnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.earliestCompletion(Sources.events(s, dir),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .orderBy(col("user_id"))
+
+  val q89Sql: String =
+    """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(s1.t1) AS t1, MIN(e.ts) AS t2
+      |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |       GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(s2.t1) AS t1, MIN(s2.t2) AS t2,
+      |              MIN(e.ts) AS t3
+      |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |       GROUP BY e.user_id)
+      |SELECT user_id, t1, t2, t3 FROM s3 ORDER BY user_id""".stripMargin
+
   // ── q46: gap-based sessionization ──────────────────────────────────────
 
   /** q46: 30-minute-gap sessions per user (lag flag + running sum), rolled

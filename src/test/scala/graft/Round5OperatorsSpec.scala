@@ -319,6 +319,42 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(got == 0)
   }
 
+  // ── funnel ──────────────────────────────────────────────────────────────
+
+  test("funnel requires strict timestamp order across steps") {
+    import graft.operators.Funnel
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1 completes A→B→C in order
+      (1L, "A", ts("2024-01-01 10:00:00")),
+      (1L, "B", ts("2024-01-01 11:00:00")),
+      (1L, "C", ts("2024-01-01 12:00:00")),
+      // user 2 has all three but C precedes B → no completion
+      (2L, "A", ts("2024-01-01 10:00:00")),
+      (2L, "C", ts("2024-01-01 10:30:00")),
+      (2L, "B", ts("2024-01-01 11:00:00")),
+      // user 3: B-then-A first, but a SECOND B after A saves the funnel
+      (3L, "B", ts("2024-01-01 09:00:00")),
+      (3L, "A", ts("2024-01-01 10:00:00")),
+      (3L, "B", ts("2024-01-01 10:30:00")),
+      (3L, "C", ts("2024-01-01 10:45:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.earliestCompletion(events, "user_id", "event_type",
+        "ts", Seq("A", "B", "C"))
+      .orderBy("user_id")
+      .select("user_id", "t1", "t2", "t3")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 3L))
+    assert(got(1) == ((3L, ts("2024-01-01 10:00:00"),
+      ts("2024-01-01 10:30:00"), ts("2024-01-01 10:45:00"))))
+    val counts = Funnel.stepCounts(events, "user_id", "event_type", "ts",
+        Seq("A", "B", "C")).orderBy("step_idx")
+      .as[(Int, String, Long)].collect()
+    // user 2 reaches A→B (B at 11:00 follows A) but not C (C precedes t2)
+    assert(counts.toSeq == Seq((1, "A", 3L), (2, "B", 3L), (3, "C", 2L)))
+  }
+
   // ── sliding-window chunking ─────────────────────────────────────────────
 
   test("slidingChunks: overlapping windows with exact boundaries") {
