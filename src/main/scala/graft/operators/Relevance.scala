@@ -168,6 +168,50 @@ object Relevance {
   }
 
   /**
+   * Top-k adjacent-bigram merge candidates with PMI — the counting
+   * primitive of a BPE/WordPiece merge step: the most frequent adjacent
+   * pair is what the tokenizer merges next, and PMI
+   * (ln p(x,y)/(p(x)p(y))) separates "frequent because collocated" from
+   * "frequent because both words are common". Pairs are counted across
+   * ALL occurrences (no per-doc dedup — merge decisions are token-mass
+   * decisions).
+   *
+   * Scale shape: one explode over adjacent pairs (zip_with of the two
+   * shifted slices — the word array is bound once), two hash aggs
+   * (pair counts, unigram counts), two joins keyed on the terms, totals
+   * as a 1-row broadcast, and a TakeOrderedAndProject for the cut. PMI
+   * arithmetic is written in one fixed association so the double result
+   * is bit-identical in the oracle.
+   */
+  def bigramPmiTopK(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val ws = col("graft_ws")
+    val pairs = docs.select(split(col(textCol), " ").as("graft_ws"))
+      .select(explode(when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("x"), b.as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>")))
+        .as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val cxy = pairs.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("c_xy"))
+    val terms = docs.select(explode(split(col(textCol), " ")).as("term"))
+    val cx = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totals = cx.agg(sum(col("c")).as("n_tok"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_pair")))
+    cxy
+      .join(cx.select(col("term").as("x"), col("c").as("c_x")), "x")
+      .join(cx.select(col("term").as("y"), col("c").as("c_y")), "y")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(F.log(
+        (col("c_xy").cast(DoubleType) * col("n_tok") * col("n_tok"))
+          / (col("n_pair").cast(DoubleType) * col("c_x") * col("c_y"))), 6))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        col("pmi"))
+      .orderBy(col("c_xy").desc, col("x").asc, col("y").asc)
+      .limit(k)
+  }
+
+  /**
    * Batch BM25 retrieval: top-`k` documents PER QUERY for a whole query
    * table at once — the shape that mines retrieval training pairs from a
    * corpus (one pass for a million queries, not a million passes).

@@ -304,6 +304,33 @@ object CorpusQueries {
       |    AS chunk_md5
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ── q90: BPE merge-candidate mining (bigram counts + PMI) ──────────────
+
+  /** q90: the 20 most frequent adjacent token pairs with their PMI — the
+    * counting step a BPE/WordPiece trainer iterates. All-occurrence
+    * counts (no per-doc dedup), fixed-association PMI arithmetic, top-k
+    * via TakeOrderedAndProject. */
+  def q90BigramPmi(s: SparkSession, dir: String): DataFrame =
+    Relevance.bigramPmiTopK(Sources.documents(s, dir), "text", k = 20)
+
+  val q90Sql: String =
+    """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |p AS (SELECT unnest(list_transform(range(1, len(w)),
+      |         i -> {'x': w[i], 'y': w[i+1]})) AS p
+      |      FROM ws WHERE len(w) >= 2),
+      |cxy AS (SELECT p.x AS x, p.y AS y, count(*) AS c_xy FROM p
+      |        GROUP BY 1, 2),
+      |t AS (SELECT unnest(w) AS term FROM ws),
+      |cx AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM cx),
+      |np AS (SELECT count(*) AS n_pair FROM p)
+      |SELECT cxy.x, cxy.y, cxy.c_xy, a.c AS c_x, b.c AS c_y,
+      |  round(ln((CAST(cxy.c_xy AS DOUBLE) * tot.n_tok * tot.n_tok)
+      |    / (CAST(np.n_pair AS DOUBLE) * a.c * b.c)), 6) AS pmi
+      |FROM cxy JOIN cx a ON cxy.x = a.term JOIN cx b ON cxy.y = b.term
+      |CROSS JOIN tot CROSS JOIN np
+      |ORDER BY cxy.c_xy DESC, cxy.x, cxy.y LIMIT 20""".stripMargin
+
   // ── q79: matryoshka truncation quality ─────────────────────────────────
 
   /** q79: per vector, the L2 norm and the cosine retained when truncating

@@ -193,6 +193,20 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(TextDedup.bandsPerRow(short, "doc_id", "text").count() == 0)
   }
 
+  // ── bigram PMI (BPE merge mining) ───────────────────────────────────────
+
+  test("bigramPmiTopK counts all adjacent occurrences and scores PMI") {
+    // "a b a b": pairs (a,b)×2, (b,a)×1; unigrams a:2 b:2, N=4, Npair=3
+    // PMI(a,b) = ln(2·4·4 / (3·2·2)) = ln(8/3) → 0.980829
+    // PMI(b,a) = ln(1·4·4 / (3·2·2)) = ln(4/3) → 0.287682
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val got = Relevance.bigramPmiTopK(docs, "text", k = 5)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      ("a", "b", 2L, 2L, 2L, 0.980829),
+      ("b", "a", 1L, 2L, 2L, 0.287682)))
+  }
+
   // ── vocabulary coverage ─────────────────────────────────────────────────
 
   test("vocabCoverage ranks by frequency and sums covered token mass") {
