@@ -127,6 +127,79 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("temperatureMix: kept ⊆ input, smallest stratum whole, monotone rates") {
+    val strata: Gen[List[(Long, String)]] = for {
+      sizes <- Gen.listOfN(3, Gen.choose(5, 120))
+    } yield sizes.zipWithIndex.flatMap { case (n, s) =>
+      (1 to n).map(i => ((s * 1000 + i).toLong, s"s$s"))
+    }
+    forAll(strata) { rows =>
+      val df = rows.toDF("id", "s")
+      val kept = graft.operators.Sampling
+        .temperatureMix(df, "id", "s", "prop")
+        .select("id", "s").collect().map(r => r.getLong(0) -> r.getString(1))
+      // kept is a subset of the input
+      val input = rows.toSet
+      assert(kept.forall(input.contains))
+      // the smallest stratum is kept whole (its keep rate is 1)
+      val bySize = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val minStratum = bySize.minBy { case (s, n) => (n, s) }._1
+      val keptBy = kept.groupBy(_._2).view.mapValues(_.length).toMap
+      assert(keptBy.getOrElse(minStratum, 0) == bySize(minStratum),
+        s"smallest stratum $minStratum must be kept whole")
+    }
+  }
+
+  test("slidingChunks tile each document: stride-spaced, full coverage") {
+    forAll(Gen.listOfN(6, text.suchThat(_.nonEmpty))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val (len, stride) = (4, 3)
+      val chunks = graft.operators.Chunking
+        .slidingChunks(docs, "doc_id", "text", len, stride)
+        .select("doc_id", "chunk_idx", "start_tok", "n_chunk_tokens")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val n = t.split(" ").length
+        val cs = chunks(i.toLong).sortBy(_._2)
+        // starts advance by exactly `stride`; first chunk starts at 0
+        assert(cs.head._3 == 0)
+        cs.sliding(2).foreach {
+          case Array(a, b) => assert(b._3 - a._3 == stride)
+          case _ =>
+        }
+        // the last chunk reaches the end of the document exactly
+        val last = cs.last
+        assert(last._3 + last._4 == n,
+          s"doc $i: coverage ends at ${last._3 + last._4}, n=$n")
+        // every chunk is nonempty and at most `len` tokens
+        assert(cs.forall(c => c._4 >= 1 && c._4 <= len))
+      }
+    }
+  }
+
+  test("funnel completions are a subset under step-prefix monotonicity") {
+    import graft.operators.Funnel
+    val ev: Gen[List[(Long, String, Int)]] = Gen.listOfN(40, for {
+      u <- Gen.choose(1L, 6L)
+      t <- Gen.oneOf("A", "B", "C")
+      s <- Gen.choose(0, 1000)
+    } yield (u, t, s))
+    forAll(ev) { rows =>
+      val df = rows.toDF("user_id", "event_type", "off")
+        .withColumn("ts", expr("timestamp_micros(cast(off as long) * 1000000)"))
+      def users(steps: Seq[String]) = Funnel
+        .earliestCompletion(df, "user_id", "event_type", "ts", steps)
+        .select("user_id").as[Long].collect().toSet
+      val a = users(Seq("A")); val ab = users(Seq("A", "B"))
+      val abc = users(Seq("A", "B", "C"))
+      assert(ab.subsetOf(a) && abc.subsetOf(ab),
+        s"funnel must shrink: |A|=${a.size} |AB|=${ab.size} |ABC|=${abc.size}")
+    }
+  }
+
   test("interval join equals the naive inequality join") {
     val ts0 = 1700000000000000L // epoch micros
     val evGen = Gen.listOfN(25, for {
