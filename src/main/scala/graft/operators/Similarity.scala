@@ -197,6 +197,41 @@ object Similarity {
   }
 
   /**
+   * ANN quality evaluation: recall@k of [[annTopK]] against the exact
+   * brute-force top-k, per query — the measurement that tunes nPlanes
+   * (recall) against bucket size (cost) before an index ships. Returns
+   * (q_id, n_exact, n_hits, recall).
+   *
+   * Scale shape: the query set is a bounded evaluation SAMPLE, broadcast
+   * against one corpus scan for the exact side (per-query
+   * WindowGroupLimit heaps — O(corpus·|queries|) flops, an eval-time
+   * cost, not a production path); the ANN side is the operator under
+   * test. The overlap join is per-(query, candidate) — k·|queries| rows.
+   */
+  def annRecallAtK(embeddings: DataFrame, idCol: String, vecCol: String,
+                   queryPred: Column, k: Int, nPlanes: Int = 12,
+                   dims: Int = 64): DataFrame = {
+    val queries = embeddings.filter(queryPred)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val scored = embeddings.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))
+    val exact = LatestSnapshot.topK(scored, Seq("q_id"),
+        col("cosine").desc, Seq(col("c_id").asc), k)
+      .select(col("q_id"), col("c_id"))
+    val ann = annTopK(embeddings, idCol, vecCol, queryPred, k, nPlanes, dims)
+      .select(col("q_id"), col("c_id"), lit(1L).as("graft_hit"))
+    exact.join(ann, Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("graft_hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_exact"), col("n_hits"),
+        round(col("n_hits").cast(DoubleType) / col("n_exact"), 6)
+          .as("recall"))
+  }
+
+  /**
    * ANN top-k: for each query vector (a subset of the corpus given by
    * `queryPred`), candidates = corpus vectors sharing the LSH signature
    * bucket, re-ranked by exact cosine. Bucket join scales as the collision

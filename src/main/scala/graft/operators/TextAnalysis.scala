@@ -83,6 +83,28 @@ object TextAnalysis {
     docs.select(col(idCol) +:
       qualityCols(col(textCol), stopwords).map { case (n, c) => c.as(n) }: _*)
 
+  /**
+   * Per-stratum quantile normalization of a quality signal: each row's
+   * score becomes its percent-rank WITHIN its stratum (source, language,
+   * crawl snapshot…) — the calibration step before a single global
+   * quality cut, since raw scores aren't comparable across sources (one
+   * crawl's 0.8 is another's 0.5). percent_rank = (rank−1)/(n−1),
+   * rounded to 6 dp; single-row strata normalize to 0.
+   *
+   * Scale shape: ONE window partitioned by the stratum column — state
+   * per task is a partition of one stratum, never the corpus; there is
+   * no global sort and no single-partition funnel. Score ties get equal
+   * percent-ranks (rank semantics), so the result is deterministic
+   * without a tiebreak column.
+   */
+  def quantileNormalize(df: org.apache.spark.sql.DataFrame,
+                        strataCol: String, scoreCol: String,
+                        outCol: String = "q_norm"): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col(scoreCol))
+    df.withColumn(outCol, round(percent_rank().over(w), 6))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish regex tokenization
     * (letter runs | digit runs | single non-alnum-non-space). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =

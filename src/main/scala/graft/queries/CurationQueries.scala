@@ -100,6 +100,30 @@ object CurationQueries {
       |SELECT predicted_lang, doc_id, alpha_ratio FROM r WHERE rn <= 5
       |ORDER BY predicted_lang, doc_id""".stripMargin
 
+  // ── q91: per-source quantile normalization of quality ──────────────────
+
+  /** q91: alpha-ratio quality calibrated to a percent-rank WITHIN each
+    * source — the cross-source score-comparability step before a global
+    * quality cut. One window partitioned by source; no global sort. */
+  def q91QuantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    val alpha = TextAnalysis.qualityCols(col("text")).toMap.apply("alpha_ratio")
+    val scored = Sources.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        round(alpha, 6).as("alpha_ratio"))
+    TextAnalysis.quantileNormalize(scored, "source", "alpha_ratio")
+      .orderBy(col("doc_id"))
+  }
+
+  val q91Sql: String =
+    """WITH q AS (SELECT doc_id, source,
+      |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+      |      AS DOUBLE) / length(text), 6) AS alpha_ratio
+      |  FROM documents)
+      |SELECT doc_id, source, alpha_ratio,
+      |  round(percent_rank() OVER (
+      |    PARTITION BY source ORDER BY alpha_ratio), 6) AS q_norm
+      |FROM q ORDER BY doc_id""".stripMargin
+
   // ── q61: deterministic distributed k-means (2 Lloyd rounds) ────────────
 
   /** q61: spherical k-means over the embedding corpus (k=4 smallest-id

@@ -192,8 +192,10 @@ object PipelineQueries {
         col("vec_id") < 5, k = 5, nPlanes = 8)
       .orderBy(col("q_id"), col("c_id"))
 
-  val q23Sql: String =
-    """WITH proj AS (
+  /** Shared CTE chain for the ANN oracles (q23/q92): hyperplane
+    * signatures, query/corpus sides, bucket-joined candidate cosines. */
+  private val annCosCtes: String =
+    """proj AS (
       |  SELECT vec_id, p,
       |    list_sum(list_transform(range(1, len(embedding) + 1),
       |      d -> embedding[d]::DOUBLE *
@@ -217,11 +219,49 @@ object PipelineQueries {
       |       i -> q_vec[i]::DOUBLE * q_vec[i]::DOUBLE))) *
       |     sqrt(list_sum(list_transform(range(1, len(c_vec) + 1),
       |       i -> c_vec[i]::DOUBLE * c_vec[i]::DOUBLE)))), 6) AS cosine
-      |  FROM q JOIN c USING (lsh_sig) WHERE q_id <> c_id),
-      |ranked AS (SELECT q_id, c_id, cosine, row_number() OVER (
-      |    PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rn FROM cos)
-      |SELECT q_id, c_id, cosine FROM ranked WHERE rn <= 5
-      |ORDER BY q_id, c_id""".stripMargin
+      |  FROM q JOIN c USING (lsh_sig) WHERE q_id <> c_id)""".stripMargin
+
+  val q23Sql: String =
+    s"""WITH $annCosCtes,
+       |ranked AS (SELECT q_id, c_id, cosine, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rn FROM cos)
+       |SELECT q_id, c_id, cosine FROM ranked WHERE rn <= 5
+       |ORDER BY q_id, c_id""".stripMargin
+
+  /** q92: recall@5 of the LSH(8) ANN against the exact brute-force top-5
+    * for the same query set — the measurement that tunes the
+    * planes-vs-bucket-size trade before an index ships. */
+  def q92AnnRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity.annRecallAtK(embs(s, dir), "vec_id", "embedding",
+        col("vec_id") < 5, k = 5, nPlanes = 8)
+      .orderBy(col("q_id"))
+
+  val q92Sql: String =
+    s"""WITH $annCosCtes,
+       |ann AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rn
+       |    FROM cos) t WHERE rn <= 5),
+       |ac AS (SELECT q.q_id, e.vec_id AS c_id, round(
+       |    list_sum(list_transform(range(1, len(q.q_vec) + 1),
+       |      i -> q.q_vec[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+       |    (sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+       |       i -> q.q_vec[i]::DOUBLE * q.q_vec[i]::DOUBLE))) *
+       |     sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |       i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6)
+       |    AS cosine
+       |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+       |exact AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rn
+       |    FROM ac) t WHERE rn <= 5)
+       |SELECT x.q_id, COUNT(*) AS n_exact,
+       |  CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  round(CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 6) AS recall
+       |FROM exact x LEFT JOIN ann a ON x.q_id = a.q_id AND x.c_id = a.c_id
+       |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin
 
   // ── Text analysis ──────────────────────────────────────────────────────
 

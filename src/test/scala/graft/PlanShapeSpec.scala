@@ -275,8 +275,9 @@ class PlanShapeSpec extends SparkSpec {
       "q80_temperature_mix", "q81_unigram_logprob", "q82_semdedup",
       "q84_zorder_layout", "q86_vocab_coverage",
       // q87: 1-row whitening-stats (means, sds) broadcast; q90: 1-row
-      // (n_tok, n_pair) totals broadcast
-      "q87_whiten", "q90_bigram_pmi")
+      // (n_tok, n_pair) totals broadcast; q92: bounded eval-query-sample
+      // broadcast for the exact-recall baseline
+      "q87_whiten", "q90_bigram_pmi", "q92_ann_recall")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

@@ -193,6 +193,37 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(TextDedup.bandsPerRow(short, "doc_id", "text").count() == 0)
   }
 
+  // ── quantile normalization ──────────────────────────────────────────────
+
+  test("quantileNormalize: percent-rank within stratum, ties share rank") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      ("A", 0.1), ("A", 0.2), ("A", 0.2), ("A", 0.4), // pr: 0, ⅓, ⅓, 1
+      ("B", 9.9)                                      // singleton → 0
+    ).zipWithIndex.map { case ((s, v), i) => (i.toLong, s, v) }
+      .toDF("id", "src", "score")
+    val got = TextAnalysis.quantileNormalize(df, "src", "score")
+      .orderBy("id").select("q_norm").as[Double].collect()
+    assert(got.toSeq == Seq(0.0, 0.333333, 0.333333, 1.0, 0.0))
+  }
+
+  // ── ANN recall ──────────────────────────────────────────────────────────
+
+  test("annRecallAtK is 1.0 when buckets contain the true neighbors") {
+    // all vectors near-parallel → same LSH bucket → ANN = exact
+    val df = (0L until 12L).map(i =>
+      (i, Seq(1.0f, 0.001f * i, 0.5f, 0.25f))).toDF("vec_id", "embedding")
+    val got = Similarity.annRecallAtK(df, "vec_id", "embedding",
+        col("vec_id") < 2, k = 3, nPlanes = 4, dims = 4)
+      .orderBy("q_id")
+      .select("q_id", "n_exact", "n_hits", "recall")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 2)
+    got.foreach { case (q, ne, nh, r) =>
+      assert(ne == 3 && nh == 3 && r == 1.0, s"q$q: $ne/$nh/$r")
+    }
+  }
+
   // ── bigram PMI (BPE merge mining) ───────────────────────────────────────
 
   test("bigramPmiTopK counts all adjacent occurrences and scores PMI") {
