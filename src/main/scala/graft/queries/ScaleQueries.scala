@@ -103,6 +103,46 @@ object ScaleQueries {
        |FROM r JOIN csz s USING (component) WHERE rn = 1
        |ORDER BY r.component""".stripMargin
 
+  // ── q93: cross-source duplication matrix ───────────────────────────────
+
+  /** q93: near-dup pair counts and mean similarity per UNORDERED source
+    * pair — the "which crawls overlap, and how hard" report that decides
+    * source-level dedup ordering before any per-document work. Reuses
+    * q19's LSH pairs; the source lookup is a doc-keyed join and the
+    * matrix rollup groups on least/greatest of the two source tags.
+    * Mean jaccard goes through 6-dp DECIMAL per pair so the average is
+    * partitioning-independent. */
+  def q93CrossSourceDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val pairs = TextDedup.minHashLshPairs(docs, "doc_id", "text",
+      k = 16, r = 4, w = 3, threshold = 0.5)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("d1"), col("source").as("src1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("src2")), "d2")
+      .groupBy(least(col("src1"), col("src2")).as("src_a"),
+        greatest(col("src1"), col("src2")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(round(col("jaccard"), 6).cast(DecimalType(18, 6)))
+          .cast(DoubleType) / count(lit(1)), 6).as("avg_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q93Sql: String =
+    s"""WITH pairs AS (
+       |  SELECT d1, d2, jaccard FROM (
+       |${PipelineQueries.q19Sql}
+       |  )),
+       |src AS (SELECT doc_id, source FROM documents),
+       |j AS (SELECT least(a.source, b.source) AS src_a,
+       |        greatest(a.source, b.source) AS src_b,
+       |        CAST(round(p.jaccard, 6) AS DECIMAL(18,6)) AS jd
+       |      FROM pairs p JOIN src a ON p.d1 = a.doc_id
+       |                   JOIN src b ON p.d2 = b.doc_id)
+       |SELECT src_a, src_b, COUNT(*) AS n_pairs,
+       |  round(CAST(SUM(jd) AS DOUBLE) / COUNT(*), 6) AS avg_jaccard
+       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ── q84: z-order layout for min/max data skipping ──────────────────────
 
   /** q84: the write-side clustering decision at 100 TB — Morton z-values
