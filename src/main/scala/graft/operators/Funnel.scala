@@ -47,6 +47,29 @@ object Funnel {
     reached
   }
 
+  /**
+   * Cohort retention matrix: users are grouped by their first-seen date
+   * (the cohort), and each (cohort, day_offset) cell counts users active
+   * exactly `day_offset` days after their cohort date — the
+   * retention-curve input of product analytics.
+   *
+   * Scale shape: one user-keyed aggregation for first-seen, one distinct
+   * over (user, day) — both map-side combinable — and a user-keyed join
+   * that reuses the first agg's partitioning; the matrix rollup groups
+   * on (cohort, offset), whose cardinality is days², metadata-scale.
+   */
+  def retentionMatrix(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val first = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("cohort"))
+    val active = events.select(col(userCol), to_date(col(tsCol)).as("day"))
+      .distinct()
+    active.join(first, userCol)
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort"))
+        .as("day_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
   /** Funnel summary: (step_idx, step, n_users) — how many users reach
     * each prefix of the funnel. Step i's count re-derives steps 1..i
     * (k²/2 step-filtered aggregations total — fine for the handful of

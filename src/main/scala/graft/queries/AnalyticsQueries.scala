@@ -177,6 +177,26 @@ object AnalyticsQueries {
       |       GROUP BY e.user_id)
       |SELECT user_id, t1, t2, t3 FROM s3 ORDER BY user_id""".stripMargin
 
+  // ── q94: cohort retention matrix ───────────────────────────────────────
+
+  /** q94: users bucketed by first-seen date, counted per day-offset of
+    * later activity — the retention curve. Two map-side-combinable aggs
+    * and a user-keyed join; the matrix itself is days², metadata-scale. */
+  def q94Retention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.retentionMatrix(Sources.events(s, dir),
+        "user_id", "ts")
+      .orderBy(col("cohort"), col("day_offset"))
+
+  val q94Sql: String =
+    """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+      |           FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT f.cohort,
+      |  CAST(datediff('day', f.cohort, a.day) AS INTEGER) AS day_offset,
+      |  COUNT(DISTINCT a.user_id) AS n_users
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ── q46: gap-based sessionization ──────────────────────────────────────
 
   /** q46: 30-minute-gap sessions per user (lag flag + running sum), rolled

@@ -400,6 +400,27 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(counts.toSeq == Seq((1, "A", 3L), (2, "B", 3L), (3, "C", 2L)))
   }
 
+  // ── retention ───────────────────────────────────────────────────────────
+
+  test("retentionMatrix buckets users by first-seen and offsets activity") {
+    import graft.operators.Funnel
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 23:00:00")),
+      (1L, ts("2024-01-03 09:00:00")),   // user 1: cohort 1/1, offsets 0, 2
+      (2L, ts("2024-01-01 08:00:00")),   // user 2: cohort 1/1, offset 0
+      (3L, ts("2024-01-02 12:00:00")),
+      (3L, ts("2024-01-03 12:00:00"))    // user 3: cohort 1/2, offsets 0, 1
+    ).toDF("user_id", "ts")
+    val got = Funnel.retentionMatrix(events, "user_id", "ts")
+      .orderBy("cohort", "day_offset")
+      .select(col("cohort").cast("string"), col("day_offset"), col("n_users"))
+      .as[(String, Int, Long)].collect()
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L),
+      ("2024-01-02", 0, 1L), ("2024-01-02", 1, 1L)))
+  }
+
   // ── sliding-window chunking ─────────────────────────────────────────────
 
   test("slidingChunks: overlapping windows with exact boundaries") {
