@@ -254,6 +254,38 @@ class PlanShapeSpec extends SparkSpec {
       s"pairwise test must be a cluster equi-join:\n$plan")
   }
 
+  test("AQE splits a skewed shuffle join at runtime (100 TB posture)") {
+    // The LSH/semDedup equi-joins rely on AQE skew splitting when one
+    // bucket (boilerplate band / giant cluster) dominates. Reproduce at
+    // toy scale by lowering the skew thresholds: one hot key holding
+    // ~90% of the left side must be marked `isSkew` in the final plan.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val left = (1 to 60000).map(i =>
+        (if (i % 10 == 0) i.toLong else 7L, s"payload_$i%-64s")).toDF("k", "v")
+      val right = (1L to 200L).map(i => (i, s"dim_$i")).toDF("k", "d")
+      val joined = left.hint("shuffle_hash").join(right, "k")
+      // collect() (not count()) so THIS queryExecution reaches its final
+      // adaptive plan — count() would execute a different one
+      assert(joined.collect().nonEmpty)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isSkew=true") || plan.contains("skew=true"),
+        s"expected AQE skew-split markers in final plan:\n${plan.take(4000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("whole-surface audit: no unintended nested-loop/cartesian joins") {
     // Every BroadcastNestedLoopJoin in the surface is a deliberate
     // broadcast of a metadata-scale table (k centroids / 1-row total) or
