@@ -108,6 +108,22 @@ object Sampling {
    * Plan: one metadata-scale aggregation for (n_s, n_min) — broadcast
    * back — then a narrow filter; the corpus is never shuffled.
    */
+  /**
+   * Exactly-N-per-stratum deterministic sample: rows rank within their
+   * stratum by the full md5 hex of (salt ‖ key) — a seedless uniform
+   * order — and the first `n` survive. Unlike the rate-based samplers
+   * ([[stratifiedSample]]/[[uniformMix]]) the output size is EXACT:
+   * min(n, |stratum|) rows per stratum, the contract an eval-set builder
+   * needs. Compiles to WindowGroupLimit (per-partition top-N heaps
+   * before the shuffle), so stratum size never concentrates in one task;
+   * md5 hex is ASCII so the ordering is collation-independent.
+   */
+  def exactNPerStratum(df: DataFrame, keyCol: String, strataCol: String,
+                       salt: String, n: Int): DataFrame =
+    LatestSnapshot.topK(df, Seq(strataCol),
+      md5(concat_ws("_", lit(salt), col(keyCol))).asc,
+      Seq(col(keyCol).asc), n)
+
   def temperatureMix(df: DataFrame, keyCol: String, strataCol: String,
                      salt: String, p: Int = 1, q: Int = 2): DataFrame = {
     require(p >= 0 && q >= 1 && p <= q, "need 0 <= p/q <= 1 (= 1 - alpha)")

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Chunking, Decontamination, Packing, Relevance, Sampling, Similarity, VectorAggs}
+import graft.operators.{Chunking, Decontamination, MergeableStats, Packing, Relevance, Sampling, Similarity, VectorAggs}
 import graft.sources.Sources
 
 /** Round-5 corpus-assembly operators: benchmark decontamination, batch
@@ -330,6 +330,48 @@ object CorpusQueries {
       |FROM cxy JOIN cx a ON cxy.x = a.term JOIN cx b ON cxy.y = b.term
       |CROSS JOIN tot CROSS JOIN np
       |ORDER BY cxy.c_xy DESC, cxy.x, cxy.y LIMIT 20""".stripMargin
+
+  // ── q95: mergeable per-language stats (incremental maintenance) ────────
+
+  /** q95: token stats computed on two disjoint halves and MERGED — the
+    * gate compares against the oracle's direct full-corpus computation,
+    * so the semigroup law `merge(stats(A), stats(B)) = stats(A∪B)` is
+    * hash-verified, not just spec-asserted. */
+  def q95MergeableStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val halves = Seq(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+      .map(MergeableStats.tokenStats(_, "lang", "text"))
+    MergeableStats.withDerived(MergeableStats.merge(halves))
+      .orderBy(col("lang"))
+  }
+
+  val q95Sql: String =
+    """WITH t AS (SELECT lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |  MIN(nt) AS min_toks, MAX(nt) AS max_toks,
+      |  round(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS mean_toks
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ── q96: exactly-N-per-stratum deterministic sample ────────────────────
+
+  /** q96: exactly 5 documents per language, chosen by seedless md5 order
+    * — the exact-size eval-set cut (rate-based samplers can't promise a
+    * count). WindowGroupLimit keeps per-stratum state at N per task. */
+  def q96ExactNSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.exactNPerStratum(Sources.documents(s, dir), "doc_id", "lang",
+        salt = "ex", n = 5)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val q96Sql: String =
+    """WITH r AS (SELECT doc_id, lang, row_number() OVER (
+      |    PARTITION BY lang ORDER BY md5('ex_' || doc_id), doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, lang FROM r WHERE rn <= 5 ORDER BY doc_id""".stripMargin
 
   // ── q79: matryoshka truncation quality ─────────────────────────────────
 

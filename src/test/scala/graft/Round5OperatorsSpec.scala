@@ -400,6 +400,42 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(counts.toSeq == Seq((1, "A", 3L), (2, "B", 3L), (3, "C", 2L)))
   }
 
+  // ── mergeable stats ─────────────────────────────────────────────────────
+
+  test("mergeable stats: merge of arbitrary splits equals direct compute") {
+    import graft.operators.MergeableStats
+    val docs = (1L to 120L).map(i =>
+      (i, s"s${i % 3}", Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val direct = MergeableStats.tokenStats(docs, "lang", "text")
+      .orderBy("lang").collect().toSeq
+    // three-way split with uneven pieces
+    val parts = Seq(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 === 1),
+      docs.filter(col("doc_id") % 5 > 1))
+      .map(MergeableStats.tokenStats(_, "lang", "text"))
+    val merged = MergeableStats.merge(parts).orderBy("lang").collect().toSeq
+    assert(merged == direct)
+  }
+
+  // ── exact-N sampling ────────────────────────────────────────────────────
+
+  test("exactNPerStratum returns exactly min(n, |stratum|) rows, stably") {
+    val df = ((1L to 40L).map(i => (i, "A")) ++ (41L to 43L).map(i => (i, "B")))
+      .toDF("id", "s")
+    val got = Sampling.exactNPerStratum(df, "id", "s", "t", n = 5)
+      .groupBy("s").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got("A") == 5 && got("B") == 3)
+    // deterministic under repartitioning
+    val a = Sampling.exactNPerStratum(df, "id", "s", "t", 5)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.exactNPerStratum(df.repartition(7), "id", "s", "t", 5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   // ── retention ───────────────────────────────────────────────────────────
 
   test("retentionMatrix buckets users by first-seen and offsets activity") {
