@@ -132,6 +132,45 @@ object Relevance {
   }
 
   /**
+   * Unigram distribution drift between two document batches, per stratum:
+   * the smoothed KL divergence KL(P_A ‖ P_B) over the joint vocabulary
+   * (add-one smoothing, so unseen-in-B terms contribute finitely) — the
+   * monitoring signal that catches a crawl snapshot, scraper regression,
+   * or source drifting away from the distribution the last model was
+   * trained on. Reported in micro-nats: per-term contributions are
+   * scaled ×10⁶ then 6-dp rounded into exact decimals (the BM25 rule),
+   * keeping tiny probabilities above the rounding floor while staying
+   * order- and engine-stable.
+   *
+   * Scale shape: two term-count aggregations (map-side combined), a full
+   * outer join on (stratum, term) for the joint vocabulary, per-stratum
+   * totals as a broadcast, and one final hash agg — everything keyed on
+   * the term/stratum, nothing driver-side.
+   */
+  def unigramDrift(batchA: DataFrame, batchB: DataFrame, strataCol: String,
+                   textCol: String): DataFrame = {
+    def counts(df: DataFrame, cn: String) =
+      df.select(col(strataCol), explode(split(col(textCol), " ")).as("term"))
+        .groupBy(col(strataCol), col("term"))
+        .agg(count(lit(1)).as(cn))
+    val joint = counts(batchA, "ca")
+      .join(counts(batchB, "cb"), Seq(strataCol, "term"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+    val totals = joint.groupBy(col(strataCol))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        count(lit(1)).as("vocab"))
+    val pa = (col("ca") + 1).cast(DoubleType) / (col("n_a") + col("vocab"))
+    val pb = (col("cb") + 1).cast(DoubleType) / (col("n_b") + col("vocab"))
+    joint.join(broadcast(totals), strataCol)
+      .withColumn("contrib",
+        round(lit(1e6) * pa * F.log(pa / pb), 6).cast(DecimalType(28, 6)))
+      .groupBy(col(strataCol))
+      .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
+        min(col("vocab")).as("vocab"),
+        round(sum(col("contrib")).cast(DoubleType), 6).as("kl_micro_nats"))
+  }
+
+  /**
    * Vocabulary coverage curve: for each cutoff V, the share of the
    * corpus's token mass covered by the top-V most frequent terms — the
    * signal that sizes a tokenizer vocabulary (BPE prep: pick V where the

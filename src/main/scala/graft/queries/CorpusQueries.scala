@@ -373,6 +373,47 @@ object CorpusQueries {
       |  FROM documents)
       |SELECT doc_id, lang FROM r WHERE rn <= 5 ORDER BY doc_id""".stripMargin
 
+  // ── q97: unigram distribution drift (batch monitoring) ─────────────────
+
+  /** q97: smoothed KL divergence of even-id vs odd-id documents' unigram
+    * distributions per language — the batch-vs-batch drift monitor. */
+  def q97UnigramDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    Relevance.unigramDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "lang", "text")
+      .orderBy(col("lang"))
+  }
+
+  val q97Sql: String =
+    """WITH ta AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+      |       FROM documents WHERE doc_id % 2 = 0),
+      |tb AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+      |       FROM documents WHERE doc_id % 2 = 1),
+      |ca AS (SELECT lang, term, count(*) AS ca FROM ta GROUP BY 1, 2),
+      |cb AS (SELECT lang, term, count(*) AS cb FROM tb GROUP BY 1, 2),
+      |j AS (SELECT COALESCE(ca.lang, cb.lang) AS lang,
+      |        COALESCE(ca.term, cb.term) AS term,
+      |        COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+      |      FROM ca FULL OUTER JOIN cb
+      |        ON ca.lang = cb.lang AND ca.term = cb.term),
+      |tot AS (SELECT lang, CAST(SUM(ca) AS BIGINT) AS n_a,
+      |          CAST(SUM(cb) AS BIGINT) AS n_b, count(*) AS vocab
+      |        FROM j GROUP BY lang),
+      |sc AS (SELECT j.lang,
+      |    CAST(round(1e6
+      |        * (CAST(j.ca + 1 AS DOUBLE) / (t.n_a + t.vocab))
+      |        * ln((CAST(j.ca + 1 AS DOUBLE) / (t.n_a + t.vocab))
+      |           / (CAST(j.cb + 1 AS DOUBLE) / (t.n_b + t.vocab))), 6)
+      |      AS DECIMAL(28,6)) AS contrib
+      |  FROM j JOIN tot t ON j.lang = t.lang)
+      |SELECT sc.lang, t.n_a, t.n_b, t.vocab,
+      |  round(CAST(SUM(sc.contrib) AS DOUBLE), 6) AS kl_micro_nats
+      |FROM sc JOIN tot t ON sc.lang = t.lang
+      |GROUP BY sc.lang, t.n_a, t.n_b, t.vocab
+      |ORDER BY sc.lang""".stripMargin
+
   // ── q79: matryoshka truncation quality ─────────────────────────────────
 
   /** q79: per vector, the L2 norm and the cosine retained when truncating

@@ -400,6 +400,23 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(counts.toSeq == Seq((1, "A", 3L), (2, "B", 3L), (3, "C", 2L)))
   }
 
+  // ── distribution drift ──────────────────────────────────────────────────
+
+  test("unigramDrift: zero for identical batches, exact KL for disjoint") {
+    val a = Seq((1L, "en", "x x x")).toDF("doc_id", "lang", "text")
+    val b = Seq((2L, "en", "y y y")).toDF("doc_id", "lang", "text")
+    val same = Relevance.unigramDrift(a, a, "lang", "text")
+      .select("kl_micro_nats").as[Double].head()
+    assert(same == 0.0)
+    // V=2, N=3 each side: pa(x)=0.8, pb(x)=0.2, pa(y)=0.2, pb(y)=0.8
+    // KL = 0.8·ln4 + 0.2·ln(1/4) = 0.6·ln4 → micro-nats contribs
+    // round6(1109035.488896) + round6(-277258.872224) = 831776.616672
+    val disj = Relevance.unigramDrift(a, b, "lang", "text")
+      .select("n_a", "n_b", "vocab", "kl_micro_nats")
+      .as[(Long, Long, Long, Double)].head()
+    assert(disj == ((3L, 3L, 2L, 831776.616672)))
+  }
+
   // ── mergeable stats ─────────────────────────────────────────────────────
 
   test("mergeable stats: merge of arbitrary splits equals direct compute") {
