@@ -287,6 +287,55 @@ object TextDedup {
   }
 
   /**
+   * Exact repeated-substring SPANS: for each document, the maximal token
+   * ranges whose every `w`-gram also appears in at least one OTHER
+   * document — the per-document output of exact-substring dedup (the
+   * signal behind Lee et al., "Deduplicating Training Data Makes
+   * Language Models Better", ACL'22, there computed with a suffix
+   * array). Long shared passages (licenses, templates, quoted articles)
+   * surface as one span each, ready to be cut out of the training text.
+   *
+   * Distributed shape instead of a suffix array: positional w-grams
+   * (one explode), document frequency over the gram hash (hash agg +
+   * inverted-index join back), then adjacent shared positions merge via
+   * the gap-run trick — `run = running Σ of (pos − lag(pos) ≠ 1)` —
+   * one doc-keyed window pass (the Sessionize pattern on positions).
+   * Everything shuffles on gram or doc id; nothing is quadratic.
+   *
+   * Returns (idCol, span_start, span_end, n_grams): token range
+   * [span_start, span_end] inclusive, covering n_grams shared w-grams.
+   */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    w: Int = 5): DataFrame = {
+    val ws = col("graft_ws")
+    // positional grams: NO array_distinct — positions matter here
+    val grams = docs.repartition(col(idCol))
+      .select(col(idCol), split(col(textCol), " ").as("graft_ws"))
+      .filter(size(ws) >= w)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(ws) - w),
+          i => concat_ws(" ", (0 until w).map(o => element_at(ws, i + o + 1)): _*)))
+        .as(Seq("pos", "s")))
+    val shared = grams.join(
+      grams.groupBy(col("s"))
+        .agg(countDistinct(col(idCol)).as("graft_nd"))
+        .filter(col("graft_nd") > 1).select(col("s")), "s")
+    val winOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val newRun = when(col("pos") - lag(col("pos"), 1).over(winOrd) === 1, 0L)
+      .otherwise(1L)
+    shared
+      .withColumn("graft_run", sum(newRun).over(
+        winOrd.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("graft_run"))
+      .agg(min(col("pos")).cast(LongType).as("span_start"),
+        (max(col("pos")) + w - 1).cast(LongType).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("graft_run")
+  }
+
+  /**
    * 32-bit SimHash over a document's distinct words: bit b is set when the
    * word-count-weighted sum of (2·bit_b(md5(word)) − 1) is positive.
    *

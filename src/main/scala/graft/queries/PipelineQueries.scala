@@ -138,6 +138,38 @@ object PipelineQueries {
       |WHERE CAST(i.inter AS DOUBLE) / least(s1.n, s2.n) >= 0.6
       |ORDER BY d1, d2""".stripMargin
 
+  /** q98: maximal repeated-substring spans (every 5-gram shared with
+    * another doc), merged per document — the exact-substring dedup cut
+    * list. */
+  def q98RepeatedSpans(s: SparkSession, dir: String): DataFrame =
+    TextDedup.repeatedSpans(docs(s, dir), "doc_id", "text", w = 5)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  val q98Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |gu AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, len(w) - 3),
+      |          j -> {'pos': j - 1, 's': array_to_string(w[j:j+4], ' ')}))
+      |          AS u
+      |      FROM ws WHERE len(w) >= 5),
+      |g AS (SELECT doc_id, u.pos AS pos, u.s AS s FROM gu),
+      |dfc AS (SELECT s, count(DISTINCT doc_id) AS nd FROM g GROUP BY s),
+      |sh AS (SELECT g.doc_id, g.pos FROM g JOIN dfc USING (s)
+      |       WHERE dfc.nd > 1),
+      |flags AS (SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+      |         THEN 0 ELSE 1 END AS nf
+      |  FROM sh),
+      |runs AS (SELECT doc_id, pos,
+      |    CAST(SUM(nf) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS run_id
+      |  FROM flags)
+      |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+      |  COUNT(*) AS n_grams
+      |FROM runs GROUP BY doc_id, run_id
+      |ORDER BY doc_id, span_start""".stripMargin
+
   // ── SimHash signatures ─────────────────────────────────────────────────
 
   /** q21: 32-bit SimHash per document. */

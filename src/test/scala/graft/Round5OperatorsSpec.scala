@@ -400,6 +400,35 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(counts.toSeq == Seq((1, "A", 3L), (2, "B", 3L), (3, "C", 2L)))
   }
 
+  // ── repeated spans ──────────────────────────────────────────────────────
+
+  test("repeatedSpans merges adjacent cross-doc shared grams into one span") {
+    val docsDf = Seq(
+      (1L, "a b c d e f g h"),   // shares grams at pos 0,1 with doc 2
+      (2L, "a b c d e f x y"),
+      (3L, "z z z z z z")        // within-doc repeats only → no span
+    ).toDF("doc_id", "text")
+    val got = TextDedup.repeatedSpans(docsDf, "doc_id", "text", w = 5)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect()
+    // spans cover tokens [0, 5] (grams at positions 0 and 1, w=5)
+    assert(got.toSeq == Seq((1L, 0L, 5L, 2L), (2L, 0L, 5L, 2L)))
+  }
+
+  test("repeatedSpans splits non-adjacent shared regions into spans") {
+    // doc 1 shares its head (pos 0) and tail (pos 4) 3-grams with docs
+    // 2/3, but the middle is unique → two separate spans
+    val docsDf = Seq(
+      (1L, "p q r m n o t u v"),
+      (2L, "p q r x x x x"),
+      (3L, "y y y y t u v")
+    ).toDF("doc_id", "text")
+    val spans1 = TextDedup.repeatedSpans(docsDf, "doc_id", "text", w = 3)
+      .filter(col("doc_id") === 1).orderBy("span_start")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(spans1.toSeq == Seq((1L, 0L, 2L, 1L), (1L, 6L, 8L, 1L)))
+  }
+
   // ── distribution drift ──────────────────────────────────────────────────
 
   test("unigramDrift: zero for identical batches, exact KL for disjoint") {
