@@ -254,6 +254,24 @@ class PlanShapeSpec extends SparkSpec {
       s"pairwise test must be a cluster equi-join:\n$plan")
   }
 
+  test("exact-N sampling rides WindowGroupLimit (per-partition top-N heaps)") {
+    val df = Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("id", "s")
+    val plan = physicalPlan(
+      graft.operators.Sampling.exactNPerStratum(df, "id", "s", "t", 2))
+    assert(plan.contains("WindowGroupLimit"), s"missing rewrite in:\n$plan")
+  }
+
+  test("repeated spans: every window is doc-partitioned (no global funnel)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.queries.PipelineQueries.q98RepeatedSpans(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec => w.partitionSpec
+    }
+    assert(windows.nonEmpty, "expected the gap-run windows")
+    windows.foreach(spec =>
+      assert(spec.nonEmpty, "found a partition-less window over gram rows"))
+  }
+
   test("AQE splits a skewed shuffle join at runtime (100 TB posture)") {
     // The LSH/semDedup equi-joins rely on AQE skew splitting when one
     // bucket (boilerplate band / giant cluster) dominates. Reproduce at
