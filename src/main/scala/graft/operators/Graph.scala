@@ -25,6 +25,33 @@ import org.apache.spark.sql.types.DecimalType
 object Graph {
 
   /**
+   * Degree-cap a weighted similarity graph: keep an edge iff it ranks in
+   * EITHER endpoint's top-`j` by (weight desc, neighbor asc) — the
+   * kNN-graph symmetrization (keep-if-either preserves connectivity;
+   * keep-if-both can shatter genuine clusters). This is the guard that
+   * bounds [[connectedComponents]] fan-in when boilerplate turns a dedup
+   * graph into near-cliques: a doc with 10⁵ near-dups contributes j
+   * edges, not 10⁵, so per-round shuffle volume stays O(j·|nodes|).
+   * Compiles to WindowGroupLimit over the symmetrized edge list (per-
+   * partition top-j heaps); the final cut is a semi-join back to the
+   * original pairs, so output rows keep their original columns.
+   */
+  def pruneDegree(pairs: DataFrame, srcCol: String, dstCol: String,
+                  weightCol: String, j: Int): DataFrame = {
+    require(j >= 1, "degree cap must be >= 1")
+    val sym = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"),
+        col(weightCol).as("w"))
+      .unionByName(pairs.select(col(dstCol).as("a"), col(srcCol).as("b"),
+        col(weightCol).as("w")))
+    val kept = LatestSnapshot.topK(sym, Seq("a"), col("w").desc,
+        Seq(col("b").asc), j)
+      .select(least(col("a"), col("b")).as(srcCol),
+        greatest(col("a"), col("b")).as(dstCol))
+      .distinct()
+    pairs.join(kept, Seq(srcCol, dstCol), "left_semi")
+  }
+
+  /**
    * Connected components of the undirected graph given as an edge list.
    * Returns (`node`, `component`) where `component` is the smallest node
    * id reachable from `node`. Nodes are those appearing in ≥1 edge.

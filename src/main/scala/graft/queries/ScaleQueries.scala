@@ -143,6 +143,65 @@ object ScaleQueries {
        |  round(CAST(SUM(jd) AS DOUBLE) / COUNT(*), 6) AS avg_jaccard
        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ── q99: degree-capped dedup graph ─────────────────────────────────────
+
+  /** q99: q19's near-dup pairs with each document capped at its top-2
+    * strongest edges (keep-if-either symmetrization) — the clique guard
+    * that bounds connected-components fan-in under boilerplate. */
+  def q99DegreeCap(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextDedup.minHashLshPairs(Sources.documents(s, dir),
+      "doc_id", "text", k = 16, r = 4, w = 3, threshold = 0.5)
+    Graph.pruneDegree(pairs, "d1", "d2", "jaccard", j = 2)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val q99Sql: String =
+    s"""WITH pairs AS (
+       |  SELECT d1, d2, jaccard FROM (
+       |${PipelineQueries.q19Sql}
+       |  )),
+       |sym AS (SELECT d1 AS a, d2 AS b, jaccard FROM pairs
+       |        UNION ALL SELECT d2 AS a, d1 AS b, jaccard FROM pairs),
+       |r AS (SELECT a, b, row_number() OVER (
+       |        PARTITION BY a ORDER BY jaccard DESC, b ASC) AS rn FROM sym),
+       |kept AS (SELECT DISTINCT least(a, b) AS d1, greatest(a, b) AS d2
+       |         FROM r WHERE rn <= 2)
+       |SELECT p.d1, p.d2, p.jaccard FROM pairs p JOIN kept USING (d1, d2)
+       |ORDER BY p.d1, p.d2""".stripMargin
+
+  // ── q100: token-budget corpus selection ────────────────────────────────
+
+  /** q100: the final curation cut — highest-alpha-quality documents
+    * greedily admitted under a 10k-token budget, with the exclusive
+    * running total attached. The global prefix sum uses the GlobalRank
+    * construction: no single-partition window. */
+  def q100BudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val alpha = TextAnalysis.qualityCols(col("text")).toMap.apply("alpha_ratio")
+    val scored = Sources.documents(s, dir).select(col("doc_id"),
+      round(alpha, 6).as("alpha_ratio"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.operators.Selection.underBudget(scored, "n_tokens",
+        Seq(col("alpha_ratio").desc, col("doc_id").asc), budget = 10000L)
+      .select(col("doc_id"), col("alpha_ratio"), col("n_tokens"),
+        col("cum_before"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q100Sql: String =
+    """WITH q AS (SELECT doc_id,
+      |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+      |      AS DOUBLE) / length(text), 6) AS alpha_ratio,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+      |        ORDER BY alpha_ratio DESC, doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum_before
+      |  FROM q)
+      |SELECT doc_id, alpha_ratio, n_tokens, cum_before FROM o
+      |WHERE cum_before + n_tokens <= 10000
+      |ORDER BY doc_id""".stripMargin
+
   // ── q84: z-order layout for min/max data skipping ──────────────────────
 
   /** q84: the write-side clustering decision at 100 TB — Morton z-values

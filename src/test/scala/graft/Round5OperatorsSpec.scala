@@ -400,6 +400,41 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(counts.toSeq == Seq((1, "A", 3L), (2, "B", 3L), (3, "C", 2L)))
   }
 
+  // ── degree-capped graph ─────────────────────────────────────────────────
+
+  test("pruneDegree keeps an edge in either endpoint's top-j") {
+    import graft.operators.Graph
+    val pairs = Seq(
+      (1L, 2L, 0.9), (1L, 3L, 0.8), (1L, 4L, 0.7), (2L, 3L, 0.6)
+    ).toDF("d1", "d2", "jaccard")
+    val kept = Graph.pruneDegree(pairs, "d1", "d2", "jaccard", j = 1)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // node 1's top-1 is (1,2); but (1,3) survives via node 3's top-1 and
+    // (1,4) via node 4's — while (2,3) is in NEITHER endpoint's top-1
+    assert(kept == Set((1L, 2L), (1L, 3L), (1L, 4L)))
+  }
+
+  // ── budget selection ────────────────────────────────────────────────────
+
+  test("underBudget admits the greedy prefix exactly") {
+    import graft.operators.Selection
+    val df = Seq(
+      (1L, 5.0, 3L), (2L, 4.0, 4L), (3L, 3.0, 5L), (4L, 2.0, 2L)
+    ).toDF("id", "quality", "w")
+    val got = Selection.underBudget(df, "w",
+        Seq(col("quality").desc, col("id").asc), budget = 9L)
+      .orderBy("id").select("id", "cum_before")
+      .as[(Long, Long)].collect()
+    // 3 + 4 = 7 fits; the 5-token doc would reach 12 and everything
+    // after it is excluded too (cum_before is monotone over the order)
+    assert(got.toSeq == Seq((1L, 0L), (2L, 3L)))
+    // stable under repartitioning
+    val again = Selection.underBudget(df.repartition(5), "w",
+        Seq(col("quality").desc, col("id").asc), 9L)
+      .orderBy("id").select("id", "cum_before").as[(Long, Long)].collect()
+    assert(again.toSeq == got.toSeq)
+  }
+
   // ── repeated spans ──────────────────────────────────────────────────────
 
   test("repeatedSpans merges adjacent cross-doc shared grams into one span") {
