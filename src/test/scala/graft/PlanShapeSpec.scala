@@ -326,8 +326,11 @@ class PlanShapeSpec extends SparkSpec {
       "q84_zorder_layout", "q86_vocab_coverage",
       // q87: 1-row whitening-stats (means, sds) broadcast; q90: 1-row
       // (n_tok, n_pair) totals broadcast; q92: bounded eval-query-sample
-      // broadcast for the exact-recall baseline
-      "q87_whiten", "q90_bigram_pmi", "q92_ann_recall")
+      // broadcast for the exact-recall baseline; q100: n_partitions-row
+      // offsets `<` join (the GlobalRank/Packing prefix-sum construction,
+      // metadata-scale, same as q57/q77)
+      "q87_whiten", "q90_bigram_pmi", "q92_ann_recall",
+      "q100_budget_select")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
