@@ -45,10 +45,15 @@ object Graph {
         col(weightCol).as("w")))
     val kept = LatestSnapshot.topK(sym, Seq("a"), col("w").desc,
         Seq(col("b").asc), j)
-      .select(least(col("a"), col("b")).as(srcCol),
-        greatest(col("a"), col("b")).as(dstCol))
+      .select(least(col("a"), col("b")).as("graft_ka"),
+        greatest(col("a"), col("b")).as("graft_kb"))
       .distinct()
-    pairs.join(kept, Seq(srcCol, dstCol), "left_semi")
+    // the semi-join probes on the CANONICALIZED endpoints, so callers may
+    // pass edges in either orientation (a (5, 3) row matches kept (3, 5))
+    pairs.join(kept,
+        least(col(srcCol), col(dstCol)) === col("graft_ka") &&
+          greatest(col(srcCol), col(dstCol)) === col("graft_kb"),
+        "left_semi")
   }
 
   /**
@@ -65,11 +70,16 @@ object Graph {
    * Checkpointing mode: by default each round uses `localCheckpoint`,
    * which stores blocks in EXECUTOR memory/disk — fast, but on a real
    * cluster an executor loss mid-loop kills the job (blocks are not
-   * replicated to reliable storage). For long-running 100 TB jobs pass
-   * `reliable = true` after setting `spark.sparkContext.setCheckpointDir`
-   * to an HDFS/object-store path: every `checkpointInterval`-th round is
-   * then a reliable `checkpoint()` (survives executor loss at the cost of
-   * a write to the checkpoint dir), with `localCheckpoint` in between.
+   * replicated to reliable storage). Passing `reliable = true` (after
+   * `spark.sparkContext.setCheckpointDir` to an HDFS/object-store path)
+   * makes every `checkpointInterval`-th round a reliable `checkpoint()`.
+   * NOTE the honest contract: intermediate rounds still live in
+   * executor-local blocks, and Spark does NOT auto-resume from the last
+   * reliable checkpoint — an executor loss during an intermediate round
+   * still fails the JOB; what the reliable snapshots buy is a cheap
+   * restart point for the CALLER's retry (re-run from the saved labels
+   * instead of round 0). Only `checkpointInterval = 1` removes the
+   * in-job failure window, at a checkpoint-dir write per round.
    *
    * Throws `IllegalStateException` if the loop exhausts `maxIters` before
    * convergence — a partially-propagated labeling is WRONG (not an

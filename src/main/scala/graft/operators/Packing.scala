@@ -53,11 +53,13 @@ object Packing {
       .agg(coalesce(sum(col("b.graft_n")), lit(0L)).as("graft_off"))
     val startTok = col("graft_lpre") + col("graft_off")
     val endTok = startTok + greatest(col("n_tokens"), lit(1L)) - 1
+    // `div` (IntegralDivide), not floor(/): double division would round
+    // startTok past 2^53 tokens and mis-chunk — the Layout.rank rule
     local.join(broadcast(offsets), "graft_pid")
       .select(col(idCol), col("n_tokens"),
         startTok.as("start_tok"),
-        floor(startTok / ctxLen).as("first_chunk"),
-        floor(endTok / ctxLen).as("last_chunk"))
+        call_function("div", startTok, lit(ctxLen.toLong)).as("first_chunk"),
+        call_function("div", endTok, lit(ctxLen.toLong)).as("last_chunk"))
       .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
   }
 }

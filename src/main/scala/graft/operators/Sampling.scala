@@ -100,14 +100,43 @@ object Sampling {
    *   bucket^q · n_s^p  <  256^q · n_min^p
    *
    * pure int64 arithmetic (no pow/log/float to diverge between engines).
-   * With the default α=½ (p=1, q=2) the left side is ≤ 255²·n_s, so any
-   * stratum below ~1.4·10¹⁴ rows is overflow-safe; `require` guards the
-   * general bound. Randomness is the same seedless md5 bucket as
+   * Overflow is checked AGAINST THE DATA, not just q: the worst case
+   * either side sees, 256^q · max(n_s)^p, must fit int64 — verified
+   * eagerly from the (metadata-scale) stratum counts; with ANSI off a wrapped
+   * multiply would silently corrupt the mix, so the guard throws
+   * instead. With the default α=½ (p=1, q=2) strata up to ~1.4·10¹⁴
+   * rows pass. Randomness is the same seedless md5 bucket as
    * [[bucket]]: stable under repartitioning, re-runs, and engines.
    *
    * Plan: one metadata-scale aggregation for (n_s, n_min) — broadcast
-   * back — then a narrow filter; the corpus is never shuffled.
+   * back (and eagerly range-checked) — then a narrow filter; the corpus
+   * is never shuffled.
    */
+  def temperatureMix(df: DataFrame, keyCol: String, strataCol: String,
+                     salt: String, p: Int = 1, q: Int = 2): DataFrame = {
+    require(p >= 0 && q >= 1 && p <= q, "need 0 <= p/q <= 1 (= 1 - alpha)")
+    require(q <= 7, s"256^q must fit int64; q=$q too large")
+    def ipow(c: Column, e: Int): Column =
+      if (e == 0) lit(1L) else Seq.fill(e)(c).reduce(_ * _)
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("graft_ns"))
+    // eager overflow check on the stratum counts (strata-cardinality
+    // rows — metadata-scale): 256^q · max(n_s)^p bounds both sides of
+    // the keep rule's int64 arithmetic
+    val maxNs = counts.agg(max(col("graft_ns"))).head.getLong(0)
+    val worst = BigInt(256).pow(q) * BigInt(maxNs).pow(p)
+    require(worst <= Long.MaxValue,
+      s"temperatureMix keep rule overflows int64: 256^$q * $maxNs^$p = " +
+        s"$worst; lower p/q or pre-split giant strata")
+    val withMin = counts
+      .crossJoin(broadcast(counts.agg(min(col("graft_ns")).as("graft_nmin"))))
+    df.join(broadcast(withMin), strataCol)
+      .filter(ipow(bucket(salt, col(keyCol)).cast(LongType), q)
+          * ipow(col("graft_ns"), p)
+        < ipow(lit(256L), q) * ipow(col("graft_nmin"), p))
+      .drop("graft_ns", "graft_nmin")
+  }
+
   /**
    * Exactly-N-per-stratum deterministic sample: rows rank within their
    * stratum by the full md5 hex of (salt ‖ key) — a seedless uniform
@@ -123,21 +152,4 @@ object Sampling {
     LatestSnapshot.topK(df, Seq(strataCol),
       md5(concat_ws("_", lit(salt), col(keyCol))).asc,
       Seq(col(keyCol).asc), n)
-
-  def temperatureMix(df: DataFrame, keyCol: String, strataCol: String,
-                     salt: String, p: Int = 1, q: Int = 2): DataFrame = {
-    require(p >= 0 && q >= 1 && p <= q, "need 0 <= p/q <= 1 (= 1 - alpha)")
-    require(q <= 7, s"256^q must fit int64; q=$q too large")
-    def ipow(c: Column, e: Int): Column =
-      if (e == 0) lit(1L) else Seq.fill(e)(c).reduce(_ * _)
-    val counts = df.groupBy(col(strataCol))
-      .agg(count(lit(1)).as("graft_ns"))
-    val withMin = counts
-      .crossJoin(broadcast(counts.agg(min(col("graft_ns")).as("graft_nmin"))))
-    df.join(broadcast(withMin), strataCol)
-      .filter(ipow(bucket(salt, col(keyCol)).cast(LongType), q)
-          * ipow(col("graft_ns"), p)
-        < ipow(lit(256L), q) * ipow(col("graft_nmin"), p))
-      .drop("graft_ns", "graft_nmin")
-  }
 }

@@ -28,21 +28,31 @@ object Selection {
   def underBudget(df: DataFrame, weightCol: String, orderCols: Seq[Column],
                   budget: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
+    // Weights must be non-negative: the partition totals are derived as
+    // max(prefix + weight), which is only the true total when the
+    // running prefix is monotone. A negative weight would corrupt every
+    // later partition's offset SILENTLY, so it raises instead — the
+    // check rides the weight expression itself (can't be pruned).
+    val wChecked = when(col(weightCol) >= 0, col(weightCol))
+      .otherwise(raise_error(concat(
+        lit("underBudget requires non-negative weights, got "),
+        col(weightCol))).cast("long"))
     val parted = df.repartitionByRange(orderCols: _*)
+      .withColumn("graft_w", wChecked)
       .withColumn("graft_pid", spark_partition_id())
     val w = Window.partitionBy(col("graft_pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = parted.withColumn("graft_lpre",
-      coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      coalesce(sum(col("graft_w")).over(w), lit(0L)))
     val counts = local.groupBy(col("graft_pid"))
-      .agg(max(col("graft_lpre") + col(weightCol)).as("graft_n"))
+      .agg(max(col("graft_lpre") + col("graft_w")).as("graft_n"))
     val offsets = counts.as("a")
       .join(counts.as("b"), col("b.graft_pid") < col("a.graft_pid"), "left")
       .groupBy(col("a.graft_pid").as("graft_pid"))
       .agg(coalesce(sum(col("b.graft_n")), lit(0L)).as("graft_off"))
     local.join(broadcast(offsets), "graft_pid")
       .withColumn("cum_before", col("graft_lpre") + col("graft_off"))
-      .filter(col("cum_before") + col(weightCol) <= budget)
-      .drop("graft_pid", "graft_lpre", "graft_off")
+      .filter(col("cum_before") + col("graft_w") <= budget)
+      .drop("graft_pid", "graft_lpre", "graft_off", "graft_w")
   }
 }

@@ -229,14 +229,14 @@ object TextDedup {
     * a pair is missed iff every shingle it shares is ultra-common — at a
     * 0.5 threshold that means near-dups made purely of boilerplate, which
     * is precisely the content a curation pipeline wants df-capped anyway. */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        w: Int = 3, threshold: Double = 0.5,
-                        maxDf: Option[Long] = None): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, w)
+  /** (d1 < d2, inter) for every pair sharing ≥1 shingle, with the
+    * optional `maxDf` cap applied to CANDIDATE GENERATION only (surviving
+    * pairs are still scored on ALL their shingles) — the shared engine of
+    * [[ngramJaccardPairs]] and [[ngramContainmentPairs]]. */
+  private def cappedIntersections(sh: DataFrame, idCol: String,
+                                  maxDf: Option[Long]): DataFrame =
     maxDf match {
-      case None =>
-        jaccardFromInter(pairIntersections(sh, idCol), sh, idCol)
-          .filter(col("jaccard") >= threshold)
+      case None => pairIntersections(sh, idCol)
       case Some(cap) =>
         val rare = sh.join(
           sh.groupBy(col("s")).agg(count(lit(1)).as("graft_df"))
@@ -246,8 +246,15 @@ object TextDedup {
             .hint("shuffle_hash"), "s")
           .filter(col("d1") < col("d2"))
           .select("d1", "d2").distinct()
-        jaccard(sh, idCol, cand).filter(col("jaccard") >= threshold)
+        candidateIntersections(sh, idCol, cand)
     }
+
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        w: Int = 3, threshold: Double = 0.5,
+                        maxDf: Option[Long] = None): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, w)
+    jaccardFromInter(cappedIntersections(sh, idCol, maxDf), sh, idCol)
+      .filter(col("jaccard") >= threshold)
   }
 
   /**
@@ -264,19 +271,7 @@ object TextDedup {
                             w: Int = 3, threshold: Double = 0.8,
                             maxDf: Option[Long] = None): DataFrame = {
     val sh = shingles(docs, idCol, textCol, w)
-    val inter = maxDf match {
-      case None => pairIntersections(sh, idCol)
-      case Some(cap) =>
-        val rare = sh.join(
-          sh.groupBy(col("s")).agg(count(lit(1)).as("graft_df"))
-            .filter(col("graft_df") <= cap).select(col("s")), "s")
-        val cand = rare.select(col(idCol).as("d1"), col("s"))
-          .join(rare.select(col(idCol).as("d2"), col("s"))
-            .hint("shuffle_hash"), "s")
-          .filter(col("d1") < col("d2"))
-          .select("d1", "d2").distinct()
-        candidateIntersections(sh, idCol, cand)
-    }
+    val inter = cappedIntersections(sh, idCol, maxDf)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     inter
       .join(sizes.select(col(idCol).as("d1"), col("n").as("n1")), "d1")

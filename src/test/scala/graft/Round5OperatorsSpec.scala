@@ -414,6 +414,17 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(kept == Set((1L, 2L), (1L, 3L), (1L, 4L)))
   }
 
+  test("pruneDegree accepts edges in either orientation") {
+    import graft.operators.Graph
+    // same graph with some rows flipped (src > dst): results must match
+    val pairs = Seq(
+      (2L, 1L, 0.9), (1L, 3L, 0.8), (4L, 1L, 0.7), (3L, 2L, 0.6)
+    ).toDF("d1", "d2", "jaccard")
+    val kept = Graph.pruneDegree(pairs, "d1", "d2", "jaccard", j = 1)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(kept == Set((2L, 1L), (1L, 3L), (4L, 1L)))
+  }
+
   // ── budget selection ────────────────────────────────────────────────────
 
   test("underBudget admits the greedy prefix exactly") {
