@@ -282,6 +282,42 @@ object TextDedup {
   }
 
   /**
+   * MinHash estimator calibration: for every exact near-dup pair
+   * (ground truth = [[ngramJaccardPairs]]), the fraction of the k
+   * MinHash signature slots that agree — an unbiased estimator of
+   * Jaccard (E[agree/k] = J, Broder 1997) — alongside the exact value
+   * and the estimation error. This is the measurement that sizes k:
+   * σ = √(J(1−J)/k), so the observed error spread directly answers
+   * "are 16 hashes enough at my threshold", the same way
+   * `Similarity.annRecallAtK` sizes nPlanes.
+   *
+   * Scale shape: the ground-truth pair list is the bounded output of the
+   * exact path; signatures attach via two doc-keyed joins of the wide
+   * sig table (k columns, no explode), and agreement is one codegen'd
+   * k-term sum per pair.
+   */
+  def minHashCalibration(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 16, w: Int = 3,
+                         threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, w, threshold)
+    val sigs = minHashSignaturesWide(shingles(docs, idCol, textCol, w),
+      idCol, k)
+    val a = sigs.select(col(idCol).as("d1") +:
+      (0 until k).map(i => col(s"sig_$i").as(s"graft_a$i")): _*)
+    val b = sigs.select(col(idCol).as("d2") +:
+      (0 until k).map(i => col(s"sig_$i").as(s"graft_b$i")): _*)
+    val nAgree = (0 until k).map(i =>
+      when(col(s"graft_a$i") === col(s"graft_b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs.join(a, "d1").join(b, "d2")
+      .withColumn("n_agree", nAgree)
+      .select(col("d1"), col("d2"), col("jaccard"), col("n_agree"),
+        round(col("n_agree").cast(DoubleType) / k, 6).as("est_jaccard"),
+        round(col("n_agree").cast(DoubleType) / k - col("jaccard"), 6)
+          .as("est_error"))
+  }
+
+  /**
    * Exact repeated-substring SPANS: for each document, the maximal token
    * ranges whose every `w`-gram also appears in at least one OTHER
    * document — the per-document output of exact-substring dedup (the

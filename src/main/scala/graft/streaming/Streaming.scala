@@ -90,6 +90,36 @@ object Streaming {
       .join(indexBands.select(col(idCol).as("d_old"), col("band"), col("bh")),
         Seq("band", "bh"))
 
+  /**
+   * Watermarked stream-STREAM inner join: each view event pairs with the
+   * click events of the same user arriving within `horizon` AFTER it —
+   * the attribution join computed online. Both sides carry watermarks
+   * and the join condition bounds event time on both ends, so the state
+   * store provably evicts: a buffered view can only match clicks up to
+   * `horizon` past its timestamp, and rows older than watermark+horizon
+   * drop. Without the time bound (or the watermarks) state grows
+   * forever — Spark rejects the unbounded form in append mode.
+   *
+   * Inputs must both carry `user_id`, `ts`, `event_id` (the
+   * events-table shape filtered by type).
+   */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame,
+                    watermark: String = "10 minutes",
+                    horizon: String = "10 minutes"): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+        col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("c_user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    v.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"interval $horizon"))
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   final case class SessionState(nEvents: Long, lastTs: Long)
   final case class UserSession(user_id: Long, n_events: Long,
                                last_seen_ms: Long, expired: Boolean)

@@ -400,6 +400,18 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(counts.toSeq == Seq((1, "A", 3L), (2, "B", 3L), (3, "C", 2L)))
   }
 
+  // ── MinHash calibration ─────────────────────────────────────────────────
+
+  test("minHashCalibration: exact duplicates estimate at exactly 1.0") {
+    val docsDf = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"),  // identical → J = 1
+      (3L, "x y z w v u")                        // disjoint
+    ).toDF("doc_id", "text")
+    val got = TextDedup.minHashCalibration(docsDf, "doc_id", "text")
+      .as[(Long, Long, Double, Long, Double, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0, 16L, 1.0, 0.0)))
+  }
+
   // ── degree-capped graph ─────────────────────────────────────────────────
 
   test("pruneDegree keeps an edge in either endpoint's top-j") {

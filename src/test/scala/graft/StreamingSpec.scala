@@ -155,6 +155,28 @@ class StreamingSpec extends SparkSpec {
       .distinct().collect().toSet === expected)
   }
 
+  test("stream-stream view-click join matches the batch interval join") {
+    val sf = "/root/testdata/sf0.001"
+    val events = Sources.events(spark, sf)
+    val views = events.filter(col("event_type") === "view")
+    val clicks = events.filter(col("event_type") === "click")
+    // batch semantics of the same bounded join
+    val expected = Streaming.viewClickJoin(views, clicks)
+      .select("view_id", "click_id").collect().toSet
+    assert(expected.nonEmpty, "fixture should produce ≥1 pair")
+    val dir = tmpDir("ssj")
+    views.write.parquet(s"$dir/views")
+    clicks.write.parquet(s"$dir/clicks")
+    val q = Streaming.viewClickJoin(
+        spark.readStream.schema(views.schema).parquet(s"$dir/views"),
+        spark.readStream.schema(clicks.schema).parquet(s"$dir/clicks"))
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("ssj").select("view_id", "click_id")
+      .collect().toSet === expected)
+  }
+
   test("mapGroupsWithState accumulates per-user counts") {
     import spark.implicits._
     val ds = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDS()
