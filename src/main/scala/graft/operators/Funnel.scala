@@ -70,6 +70,26 @@ object Funnel {
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 
+  /**
+   * Event-type transition matrix: counts of consecutive (from → to)
+   * event pairs per user's timeline — the Markov-chain view of user
+   * behavior that feeds next-action models and anomaly detection. One
+   * user-keyed window (lag) and one global count aggregation; ties at
+   * equal timestamps break on `tiebreakCol` so the sequence (and the
+   * matrix) is deterministic.
+   */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, tiebreakCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tiebreakCol))
+    events
+      .withColumn("graft_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("graft_prev").isNotNull)
+      .groupBy(col("graft_prev").as("from_type"),
+        col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Funnel summary: (step_idx, step, n_users) — how many users reach
     * each prefix of the funnel. Step i's count re-derives steps 1..i
     * (k²/2 step-filtered aggregations total — fine for the handful of

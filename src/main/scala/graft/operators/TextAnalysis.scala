@@ -116,6 +116,28 @@ object TextAnalysis {
       length(col(textCol)).as("n_chars"))
 
   /**
+   * Canonical text normalization — lowercase, strip non-alphanumerics to
+   * spaces, collapse runs, trim — the preprocessing applied before exact
+   * dedup so that case/punctuation variants hash identically (raw-text
+   * md5 dedup misses "Hello, World!" vs "hello world"). A narrow
+   * codegen'd projection; the regex constructs used ([^a-z0-9 ], ` +`)
+   * behave identically under Java regex and RE2, keeping it
+   * oracle-portable.
+   */
+  def normalized(textCol: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(textCol), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Adds `norm_md5`/`n_chars_norm` for the normalized form of
+    * `textCol` — the join key for normalization-aware exact dedup. */
+  def withNormalized(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val n = normalized(col(textCol))
+    docs.withColumn("norm_md5", md5(n))
+      .withColumn("n_chars_norm", length(n))
+  }
+
+  /**
    * PII-style pattern redaction: applies each (pattern → replacement)
    * rule in order over the text, and counts total matches against the
    * ORIGINAL text (rules whose matches overlap an earlier rule's

@@ -197,6 +197,45 @@ object AnalyticsQueries {
       |FROM a JOIN f ON a.user_id = f.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ── q102: normalization-aware exact dedup keys ─────────────────────────
+
+  /** q102: canonical-form hash per document (lowercase, punctuation →
+    * space, collapsed) plus the normalized length — the dedup key that
+    * catches case/punctuation variants raw-text hashing misses. */
+  def q102Normalize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.withNormalized(
+        Sources.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("norm_md5"), col("n_chars_norm"))
+      .orderBy(col("doc_id"))
+
+  val q102Sql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+      |  length(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS n_chars_norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ── q103: event-type transition matrix ─────────────────────────────────
+
+  /** q103: Markov transition counts over each user's event sequence
+    * (event-id tiebreak at equal timestamps) — one user-keyed lag window
+    * + one global count. */
+  def q103Transitions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.transitionMatrix(Sources.events(s, dir),
+        "user_id", "event_type", "ts", "event_id")
+      .orderBy(col("from_type"), col("to_type"))
+
+  val q103Sql: String =
+    """WITH seq AS (SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type AS from_type, event_type AS to_type,
+      |  COUNT(*) AS n
+      |FROM seq WHERE prev_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ── q46: gap-based sessionization ──────────────────────────────────────
 
   /** q46: 30-minute-gap sessions per user (lag flag + running sum), rolled

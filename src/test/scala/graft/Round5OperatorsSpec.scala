@@ -400,6 +400,43 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(counts.toSeq == Seq((1, "A", 3L), (2, "B", 3L), (3, "C", 2L)))
   }
 
+  // ── normalization ───────────────────────────────────────────────────────
+
+  test("withNormalized: case/punct variants share one dedup key") {
+    import graft.operators.TextAnalysis
+    val docsDf = Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"), (3L, "different text")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withNormalized(docsDf, "doc_id", "text")
+      .select("doc_id", "norm_md5", "n_chars_norm")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(got(0)._2 == got(1)._2, "variants must share the key")
+    assert(got(0)._3 == 11 && got(1)._3 == 11)
+    assert(got(2)._2 != got(0)._2)
+  }
+
+  // ── transition matrix ───────────────────────────────────────────────────
+
+  test("transitionMatrix counts consecutive per-user type pairs") {
+    import graft.operators.Funnel
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, 10L, "A", ts("2024-01-01 10:00:00")),
+      (1L, 11L, "B", ts("2024-01-01 11:00:00")),
+      (1L, 12L, "A", ts("2024-01-01 12:00:00")),
+      (2L, 20L, "A", ts("2024-01-01 10:00:00")),
+      (2L, 21L, "B", ts("2024-01-01 11:00:00")),
+      // equal timestamps → event_id tiebreak: C before D
+      (3L, 30L, "C", ts("2024-01-01 09:00:00")),
+      (3L, 31L, "D", ts("2024-01-01 09:00:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Funnel.transitionMatrix(events, "user_id", "event_type",
+        "ts", "event_id")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long)].collect()
+    assert(got.toSeq == Seq(("A", "B", 2L), ("B", "A", 1L), ("C", "D", 1L)))
+  }
+
   // ── MinHash calibration ─────────────────────────────────────────────────
 
   test("minHashCalibration: exact duplicates estimate at exactly 1.0") {
