@@ -24,6 +24,12 @@ import org.apache.spark.sql.types._
 trait VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  // Pure deterministic functions of their inputs: declaring foldability
+  // lets ConstantFolding collapse literal-argument calls (e.g. the dot
+  // product of two literal hyperplanes) at optimization time instead of
+  // per row. BinaryExpression does not inherit this by default.
+  override def foldable: Boolean = children.forall(_.foldable)
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
       case ArrayType(FloatType | DoubleType, _) => true

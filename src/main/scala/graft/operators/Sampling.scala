@@ -138,6 +138,22 @@ object Sampling {
   }
 
   /**
+   * Quality-weighted deterministic sampling: each row survives with
+   * probability equal to its own (0..1) score — `bucket/256 < score` —
+   * so high-quality documents are kept preferentially without a hard
+   * cutoff (the soft alternative to a threshold filter, preserving some
+   * tail diversity). The comparison is double-exact and engine-portable
+   * as long as `scoreCol` itself is reproducibly derived (round it to
+   * 6 dp, the project rule); randomness is the seedless md5 bucket, so
+   * the kept set is stable under repartitioning and re-runs. A narrow
+   * codegen'd filter — no aggregation, no shuffle, no state at all.
+   */
+  def weightedSample(df: DataFrame, keyCol: String, scoreCol: String,
+                     salt: String): DataFrame =
+    df.filter(bucket(salt, col(keyCol)).cast(DoubleType)
+      < col(scoreCol) * 256.0)
+
+  /**
    * Exactly-N-per-stratum deterministic sample: rows rank within their
    * stratum by the full md5 hex of (salt ‖ key) — a seedless uniform
    * order — and the first `n` survive. Unlike the rate-based samplers

@@ -414,6 +414,43 @@ object CorpusQueries {
       |GROUP BY sc.lang, t.n_a, t.n_b, t.vocab
       |ORDER BY sc.lang""".stripMargin
 
+  // ── q104: quality-weighted sampling ────────────────────────────────────
+
+  /** q104: per-language kept counts under score-proportional sampling
+    * (keep probability = 6-dp alpha ratio) — the soft quality cut that
+    * preserves tail diversity. */
+  def q104WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val alpha = TextAnalysis.qualityCols(col("text")).toMap.apply("alpha_ratio")
+    val docs = Sources.documents(s, dir)
+      .select(col("doc_id"), col("lang"), round(alpha, 6).as("alpha_ratio"))
+    val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val kept = Sampling.weightedSample(docs, "doc_id", "alpha_ratio",
+        salt = "wq")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    totals.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val q104Sql: String =
+    """WITH q AS (SELECT doc_id, lang,
+      |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+      |      AS DOUBLE) / length(text), 6) AS alpha_ratio
+      |  FROM documents),
+      |b AS (SELECT doc_id, lang, alpha_ratio,
+      |    CAST((strpos('0123456789abcdef',
+      |            substr(md5('wq_' || doc_id), 1, 1)) - 1) * 16
+      |         + strpos('0123456789abcdef',
+      |            substr(md5('wq_' || doc_id), 2, 1)) - 1 AS DOUBLE) AS bk
+      |  FROM q),
+      |kept AS (SELECT lang, count(*) AS n_kept FROM b
+      |         WHERE bk < alpha_ratio * 256.0 GROUP BY lang),
+      |tot AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+      |SELECT tot.lang, tot.n_docs, COALESCE(kept.n_kept, 0) AS n_kept
+      |FROM tot LEFT JOIN kept USING (lang) ORDER BY tot.lang""".stripMargin
+
   // ── q79: matryoshka truncation quality ─────────────────────────────────
 
   /** q79: per vector, the L2 norm and the cosine retained when truncating

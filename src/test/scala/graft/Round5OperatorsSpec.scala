@@ -400,6 +400,38 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(counts.toSeq == Seq((1, "A", 3L), (2, "B", 3L), (3, "C", 2L)))
   }
 
+  // ── weighted sampling ───────────────────────────────────────────────────
+
+  test("weightedSample keeps score-1 rows always and score-0 rows never") {
+    val df = ((1L to 50L).map(i => (i, 1.0)) ++
+      (51L to 100L).map(i => (i, 0.0)) ++
+      (101L to 400L).map(i => (i, 0.5))).toDF("id", "score")
+    val kept = Sampling.weightedSample(df, "id", "score", "ws")
+      .select("id").as[Long].collect().toSet
+    assert((1L to 50L).forall(kept.contains), "score 1.0 must always keep")
+    assert((51L to 100L).forall(!kept.contains(_)), "score 0.0 never keeps")
+    val mid = (101L to 400L).count(kept.contains)
+    assert(mid > 100 && mid < 200, s"score 0.5 kept $mid of 300, ≈150")
+    // deterministic under repartitioning
+    val again = Sampling.weightedSample(df.repartition(7), "id", "score", "ws")
+      .select("id").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
+  // ── constant folding ────────────────────────────────────────────────────
+
+  test("literal-argument vector expressions constant-fold at optimization") {
+    import graft.functions.VectorFunctions
+    val lit3 = array(lit(1.0), lit(2.0))
+    val df = spark.range(1).select(
+      VectorFunctions.dotProduct(lit3, lit3).as("d"))
+    // folded: the optimized plan carries the literal 5.0, no function call
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("5.0") && !optimized.contains("dot_product"),
+      s"expected constant-folded literal in:\n$optimized")
+    assert(df.as[Double].head() == 5.0)
+  }
+
   // ── normalization ───────────────────────────────────────────────────────
 
   test("withNormalized: case/punct variants share one dedup key") {
