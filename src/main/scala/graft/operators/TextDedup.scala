@@ -282,6 +282,37 @@ object TextDedup {
   }
 
   /**
+   * Edit-distance-verified near-dup pairs: LSH band collisions generate
+   * candidates (the usual collision-rate-bounded join), then full-text
+   * Levenshtein ≤ `maxDist` verifies — the character-level notion of
+   * "near duplicate" that shingle Jaccard approximates from above
+   * (k edits can destroy up to k·w shingles but word-reorderings that
+   * Jaccard forgives cost edits here). Levenshtein is O(|a|·|b|) per
+   * pair, which is exactly why it only ever runs on collided candidates,
+   * never all-pairs; both engines implement the classic DP, so the
+   * distance is oracle-exact.
+   */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, k: Int = 16, r: Int = 4,
+                        w: Int = 3): DataFrame = {
+    val bands = lshBandsFromWide(
+      minHashSignaturesWide(shingles(docs, idCol, textCol, w), idCol, k),
+      idCol, k, r)
+    val cand = bands.select(col(idCol).as("d1"), col("band"), col("bh"))
+      .join(bands.select(col(idCol).as("d2"), col("band"), col("bh"))
+        .hint("shuffle_hash"), Seq("band", "bh"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val t = docs.select(col(idCol), col(textCol))
+    cand
+      .join(t.select(col(idCol).as("d1"), col(textCol).as("graft_t1")), "d1")
+      .join(t.select(col(idCol).as("d2"), col(textCol).as("graft_t2")), "d2")
+      .withColumn("edit_dist", levenshtein(col("graft_t1"), col("graft_t2")))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("d1"), col("d2"), col("edit_dist"))
+  }
+
+  /**
    * MinHash estimator calibration: for every exact near-dup pair
    * (ground truth = [[ngramJaccardPairs]]), the fraction of the k
    * MinHash signature slots that agree — an unbiased estimator of

@@ -236,6 +236,40 @@ object AnalyticsQueries {
       |FROM seq WHERE prev_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ── q105: trailing-hour RANGE-frame window ─────────────────────────────
+
+  /** q105: per event, the user's trailing-1-hour event count and value
+    * sum via a RANGE frame over epoch seconds — the event-time sliding
+    * feature rows-frames can't express (ties at one timestamp share one
+    * frame, so no tiebreak is needed for determinism). */
+  def q105TrailingWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
+      .rangeBetween(-3599, 0)
+    Sources.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("ts").cast("long").as("tsec"))
+      .withColumn("n_trailing_1h", count(lit(1)).over(w))
+      .withColumn("sum_trailing_1h",
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType))
+      .select(col("event_id"), col("user_id"), col("tsec"),
+        col("n_trailing_1h"), col("sum_trailing_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  val q105Sql: String =
+    """WITH e AS (SELECT event_id, user_id, value,
+      |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS tsec FROM events)
+      |SELECT event_id, user_id, tsec,
+      |  COUNT(*) OVER w AS n_trailing_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    AS sum_trailing_1h
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+      |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   // ── q46: gap-based sessionization ──────────────────────────────────────
 
   /** q46: 30-minute-gap sessions per user (lag flag + running sum), rolled

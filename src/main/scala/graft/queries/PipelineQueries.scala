@@ -187,6 +187,42 @@ object PipelineQueries {
       |FROM jac p JOIN ag g ON p.d1 = g.d1 AND p.d2 = g.d2
       |ORDER BY p.d1, p.d2""".stripMargin
 
+  /** q106: edit-distance-verified near-dups — LSH candidates cut at
+    * Levenshtein ≤ 60, the character-level dedup notion. */
+  def q106EditDistance(s: SparkSession, dir: String): DataFrame =
+    TextDedup.editDistancePairs(docs(s, dir), "doc_id", "text",
+        maxDist = 60)
+      .orderBy(col("d1"), col("d2"))
+
+  val q106Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |hw AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h1,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h2
+      |       FROM sh),
+      |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+      |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band,
+      |            md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bh
+      |          FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |         WHERE a.doc_id < b.doc_id)
+      |SELECT c.d1, c.d2,
+      |  levenshtein(t1.text, t2.text) AS edit_dist
+      |FROM cand c JOIN documents t1 ON c.d1 = t1.doc_id
+      |            JOIN documents t2 ON c.d2 = t2.doc_id
+      |WHERE levenshtein(t1.text, t2.text) <= 60
+      |ORDER BY c.d1, c.d2""".stripMargin
+
   /** q98: maximal repeated-substring spans (every 5-gram shared with
     * another doc), merged per document — the exact-substring dedup cut
     * list. */

@@ -469,6 +469,22 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("A", "B", 2L), ("B", "A", 1L), ("C", "D", 1L)))
   }
 
+  // ── edit-distance verification ──────────────────────────────────────────
+
+  test("editDistancePairs verifies LSH candidates at character level") {
+    // two docs sharing most shingles (collide) but 4 edits apart; one far
+    val docsDf = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy cat today"),
+      (3L, "completely different content with other words here now")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.editDistancePairs(docsDf, "doc_id", "text",
+        maxDist = 10)
+      .as[(Long, Long, Int)].collect()
+    // dog → cat is 3 substitutions; doc 3 never collides
+    assert(got.toSeq == Seq((1L, 2L, 3)))
+  }
+
   // ── MinHash calibration ─────────────────────────────────────────────────
 
   test("minHashCalibration: exact duplicates estimate at exactly 1.0") {
