@@ -55,4 +55,37 @@ object Selection {
       .filter(col("cum_before") + col("graft_w") <= budget)
       .drop("graft_pid", "graft_lpre", "graft_off", "graft_w")
   }
+
+  /**
+   * Per-stratum budget caps — source quotas: within each stratum, rows
+   * are admitted in `orderCols` order while the stratum's running weight
+   * stays within ITS budget ("no source exceeds X tokens", the quota
+   * form of corpus mixing). Unlike [[underBudget]]'s global cut, the
+   * prefix sum here is naturally partitioned: ONE window keyed on the
+   * stratum column, so state per task is a stratum's rows and no global
+   * construction is needed. `budgets` maps stratum → cap; strata absent
+   * from the map get `defaultBudget`.
+   */
+  def underBudgetPerStratum(df: DataFrame, weightCol: String,
+                            strataCol: String, orderCols: Seq[Column],
+                            budgets: Map[String, Long],
+                            defaultBudget: Long): DataFrame = {
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      "budgets must be non-negative")
+    val wChecked = when(col(weightCol) >= 0, col(weightCol))
+      .otherwise(raise_error(concat(
+        lit("underBudgetPerStratum requires non-negative weights, got "),
+        col(weightCol))).cast("long"))
+    val cap = budgets.foldRight(lit(defaultBudget): Column) {
+      case ((stratum, b), rest) =>
+        when(col(strataCol) === stratum, lit(b)).otherwise(rest)
+    }
+    val w = Window.partitionBy(col(strataCol)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("graft_w", wChecked)
+      .withColumn("cum_before",
+        coalesce(sum(col("graft_w")).over(w), lit(0L)))
+      .filter(col("cum_before") + col("graft_w") <= cap)
+      .drop("graft_w")
+  }
 }

@@ -451,6 +451,41 @@ object CorpusQueries {
       |SELECT tot.lang, tot.n_docs, COALESCE(kept.n_kept, 0) AS n_kept
       |FROM tot LEFT JOIN kept USING (lang) ORDER BY tot.lang""".stripMargin
 
+  // ── q107: per-language token quotas ────────────────────────────────────
+
+  /** q107: best documents per language admitted under a 2 000-token
+    * per-language quota (en gets 4 000) — the quota form of corpus
+    * mixing. One stratum-partitioned window; no global machinery. */
+  def q107SourceQuota(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Selection, TextAnalysis}
+    val alpha = TextAnalysis.qualityCols(col("text")).toMap.apply("alpha_ratio")
+    val scored = Sources.documents(s, dir).select(col("doc_id"), col("lang"),
+      round(alpha, 6).as("alpha_ratio"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    Selection.underBudgetPerStratum(scored, "n_tokens", "lang",
+        Seq(col("alpha_ratio").desc, col("doc_id").asc),
+        budgets = Map("en" -> 4000L), defaultBudget = 2000L)
+      .select(col("doc_id"), col("lang"), col("alpha_ratio"),
+        col("n_tokens"), col("cum_before"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q107Sql: String =
+    """WITH q AS (SELECT doc_id, lang,
+      |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+      |      AS DOUBLE) / length(text), 6) AS alpha_ratio,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+      |        PARTITION BY lang ORDER BY alpha_ratio DESC, doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum_before
+      |  FROM q)
+      |SELECT doc_id, lang, alpha_ratio, n_tokens, cum_before FROM o
+      |WHERE cum_before + n_tokens
+      |      <= CASE WHEN lang = 'en' THEN 4000 ELSE 2000 END
+      |ORDER BY doc_id""".stripMargin
+
   // ── q79: matryoshka truncation quality ─────────────────────────────────
 
   /** q79: per vector, the L2 norm and the cosine retained when truncating

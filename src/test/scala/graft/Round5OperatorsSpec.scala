@@ -469,6 +469,24 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("A", "B", 2L), ("B", "A", 1L), ("C", "D", 1L)))
   }
 
+  // ── per-stratum quotas ──────────────────────────────────────────────────
+
+  test("underBudgetPerStratum enforces each stratum's own cap") {
+    import graft.operators.Selection
+    val df = Seq(
+      (1L, "A", 9.0, 3L), (2L, "A", 8.0, 3L), (3L, "A", 7.0, 3L),
+      (4L, "B", 9.0, 4L), (5L, "B", 8.0, 4L)
+    ).toDF("id", "s", "quality", "w")
+    val got = Selection.underBudgetPerStratum(df, "w", "s",
+        Seq(col("quality").desc, col("id").asc),
+        budgets = Map("A" -> 6L), defaultBudget = 4L)
+      .orderBy("id").select("id", "cum_before")
+      .as[(Long, Long)].collect()
+    // A cap 6: ids 1 (0+3) and 2 (3+3) fit, 3 would reach 9 → out
+    // B default 4: id 4 (0+4) fits, 5 would reach 8 → out
+    assert(got.toSeq == Seq((1L, 0L), (2L, 3L), (4L, 0L)))
+  }
+
   // ── edit-distance verification ──────────────────────────────────────────
 
   test("editDistancePairs verifies LSH candidates at character level") {
