@@ -139,19 +139,27 @@ object Sampling {
 
   /**
    * Quality-weighted deterministic sampling: each row survives with
-   * probability equal to its own (0..1) score — `bucket/256 < score` —
-   * so high-quality documents are kept preferentially without a hard
-   * cutoff (the soft alternative to a threshold filter, preserving some
-   * tail diversity). The comparison is double-exact and engine-portable
-   * as long as `scoreCol` itself is reproducibly derived (round it to
-   * 6 dp, the project rule); randomness is the seedless md5 bucket, so
-   * the kept set is stable under repartitioning and re-runs. A narrow
-   * codegen'd filter — no aggregation, no shuffle, no state at all.
+   * probability (approximately) equal to its own (0..1) score —
+   * `bucket16/65536 < score` — so high-quality documents are kept
+   * preferentially without a hard cutoff (the soft alternative to a
+   * threshold filter, preserving some tail diversity). The randomness
+   * source is the first FOUR md5 hex chars (16 bits): the effective keep
+   * probability is ceil(65536·s)/65536, a quantization of at most
+   * 1/65536 ≈ 1.5·10⁻⁵ — an 8-bit bucket would keep score-10⁻⁶ rows at
+   * 0.39%, thousands of times the intended rate, exactly the tail this
+   * operator exists to suppress. The comparison is double-exact and
+   * engine-portable as long as `scoreCol` itself is reproducibly derived
+   * (round it to 6 dp, the project rule); the kept set is stable under
+   * repartitioning and re-runs. A narrow codegen'd filter — no
+   * aggregation, no shuffle, no state at all.
    */
   def weightedSample(df: DataFrame, keyCol: String, scoreCol: String,
-                     salt: String): DataFrame =
-    df.filter(bucket(salt, col(keyCol)).cast(DoubleType)
-      < col(scoreCol) * 256.0)
+                     salt: String): DataFrame = {
+    val bucket16 = conv(
+      substring(md5(concat_ws("_", lit(salt), col(keyCol))), 1, 4), 16, 10)
+      .cast(LongType)
+    df.filter(bucket16.cast(DoubleType) < col(scoreCol) * 65536.0)
+  }
 
   /**
    * Exactly-N-per-stratum deterministic sample: rows rank within their

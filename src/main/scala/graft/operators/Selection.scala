@@ -60,11 +60,18 @@ object Selection {
    * Per-stratum budget caps — source quotas: within each stratum, rows
    * are admitted in `orderCols` order while the stratum's running weight
    * stays within ITS budget ("no source exceeds X tokens", the quota
-   * form of corpus mixing). Unlike [[underBudget]]'s global cut, the
-   * prefix sum here is naturally partitioned: ONE window keyed on the
-   * stratum column, so state per task is a stratum's rows and no global
-   * construction is needed. `budgets` maps stratum → cap; strata absent
+   * form of corpus mixing). `budgets` maps stratum → cap; strata absent
    * from the map get `defaultBudget`.
+   *
+   * A bare `Window.partitionBy(stratum)` would funnel each ENTIRE
+   * stratum through one task — at corpus scale the dominant source IS
+   * most of the data, so that is the single-partition trap with a
+   * stratum-shaped hat. Instead the [[underBudget]] construction runs
+   * keyed within strata: range-shuffle on (stratum, order) puts every
+   * stratum into contiguous partitions, per-(partition, stratum) local
+   * prefix sums stay parallel, and the broadcast offsets join matches on
+   * partition AND stratum, so no task ever holds more than one
+   * partition's slice of a stratum.
    */
   def underBudgetPerStratum(df: DataFrame, weightCol: String,
                             strataCol: String, orderCols: Seq[Column],
@@ -80,12 +87,26 @@ object Selection {
       case ((stratum, b), rest) =>
         when(col(strataCol) === stratum, lit(b)).otherwise(rest)
     }
-    val w = Window.partitionBy(col(strataCol)).orderBy(orderCols: _*)
+    val parted = df.repartitionByRange(col(strataCol) +: orderCols: _*)
+      .withColumn("graft_w", wChecked)
+      .withColumn("graft_pid", spark_partition_id())
+    val w = Window.partitionBy(col("graft_pid"), col(strataCol))
+      .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("graft_w", wChecked)
-      .withColumn("cum_before",
-        coalesce(sum(col("graft_w")).over(w), lit(0L)))
+    val local = parted.withColumn("graft_lpre",
+      coalesce(sum(col("graft_w")).over(w), lit(0L)))
+    val counts = local.groupBy(col("graft_pid"), col(strataCol))
+      .agg(max(col("graft_lpre") + col("graft_w")).as("graft_n"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"),
+        col("b.graft_pid") < col("a.graft_pid") &&
+          col(s"b.$strataCol") === col(s"a.$strataCol"), "left")
+      .groupBy(col("a.graft_pid").as("graft_pid"),
+        col(s"a.$strataCol").as(strataCol))
+      .agg(coalesce(sum(col("b.graft_n")), lit(0L)).as("graft_off"))
+    local.join(broadcast(offsets), Seq("graft_pid", strataCol))
+      .withColumn("cum_before", col("graft_lpre") + col("graft_off"))
       .filter(col("cum_before") + col("graft_w") <= cap)
-      .drop("graft_w")
+      .drop("graft_pid", "graft_lpre", "graft_off", "graft_w")
   }
 }

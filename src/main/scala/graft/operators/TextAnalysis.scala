@@ -130,8 +130,7 @@ object TextAnalysis {
 
   /** Adds `norm_md5`/`n_chars_norm` for the normalized form of
     * `textCol` — the join key for normalization-aware exact dedup. */
-  def withNormalized(docs: DataFrame, idCol: String,
-                     textCol: String): DataFrame = {
+  def withNormalized(docs: DataFrame, textCol: String): DataFrame = {
     val n = normalized(col(textCol))
     docs.withColumn("norm_md5", md5(n))
       .withColumn("n_chars_norm", length(n))

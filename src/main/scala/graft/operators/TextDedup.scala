@@ -298,11 +298,7 @@ object TextDedup {
     val bands = lshBandsFromWide(
       minHashSignaturesWide(shingles(docs, idCol, textCol, w), idCol, k),
       idCol, k, r)
-    val cand = bands.select(col(idCol).as("d1"), col("band"), col("bh"))
-      .join(bands.select(col(idCol).as("d2"), col("band"), col("bh"))
-        .hint("shuffle_hash"), Seq("band", "bh"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+    val cand = lshCandidates(bands, idCol)
     val t = docs.select(col(idCol), col(textCol))
     cand
       .join(t.select(col(idCol).as("d1"), col(textCol).as("graft_t1")), "d1")

@@ -204,7 +204,7 @@ object AnalyticsQueries {
     * catches case/punctuation variants raw-text hashing misses. */
   def q102Normalize(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.withNormalized(
-        Sources.documents(s, dir), "doc_id", "text")
+        Sources.documents(s, dir), "text")
       .select(col("doc_id"), col("norm_md5"), col("n_chars_norm"))
       .orderBy(col("doc_id"))
 

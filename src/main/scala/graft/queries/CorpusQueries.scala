@@ -440,13 +440,13 @@ object CorpusQueries {
       |      AS DOUBLE) / length(text), 6) AS alpha_ratio
       |  FROM documents),
       |b AS (SELECT doc_id, lang, alpha_ratio,
-      |    CAST((strpos('0123456789abcdef',
-      |            substr(md5('wq_' || doc_id), 1, 1)) - 1) * 16
-      |         + strpos('0123456789abcdef',
-      |            substr(md5('wq_' || doc_id), 2, 1)) - 1 AS DOUBLE) AS bk
+      |    CAST(list_sum(list_transform(range(1, 5), j ->
+      |      (strpos('0123456789abcdef',
+      |         substr(md5('wq_' || doc_id), j, 1)) - 1)
+      |        * power(16, 4 - j))) AS DOUBLE) AS bk
       |  FROM q),
       |kept AS (SELECT lang, count(*) AS n_kept FROM b
-      |         WHERE bk < alpha_ratio * 256.0 GROUP BY lang),
+      |         WHERE bk < alpha_ratio * 65536.0 GROUP BY lang),
       |tot AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
       |SELECT tot.lang, tot.n_docs, COALESCE(kept.n_kept, 0) AS n_kept
       |FROM tot LEFT JOIN kept USING (lang) ORDER BY tot.lang""".stripMargin

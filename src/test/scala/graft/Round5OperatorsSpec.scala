@@ -439,7 +439,7 @@ class Round5OperatorsSpec extends SparkSpec {
     val docsDf = Seq(
       (1L, "Hello,  World!"), (2L, "hello world"), (3L, "different text")
     ).toDF("doc_id", "text")
-    val got = TextAnalysis.withNormalized(docsDf, "doc_id", "text")
+    val got = TextAnalysis.withNormalized(docsDf, "text")
       .select("doc_id", "norm_md5", "n_chars_norm")
       .as[(Long, String, Int)].collect().sortBy(_._1)
     assert(got(0)._2 == got(1)._2, "variants must share the key")
@@ -490,7 +490,7 @@ class Round5OperatorsSpec extends SparkSpec {
   // ── edit-distance verification ──────────────────────────────────────────
 
   test("editDistancePairs verifies LSH candidates at character level") {
-    // two docs sharing most shingles (collide) but 4 edits apart; one far
+    // two docs sharing most shingles (collide) but 3 edits apart; one far
     val docsDf = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
       (2L, "the quick brown fox jumps over the lazy cat today"),
