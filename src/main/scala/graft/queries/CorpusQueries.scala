@@ -486,6 +486,35 @@ object CorpusQueries {
       |      <= CASE WHEN lang = 'en' THEN 4000 ELSE 2000 END
       |ORDER BY doc_id""".stripMargin
 
+  // ── q108: snapshot diff (incremental refresh work list) ────────────────
+
+  /** q108: per-document diff between a simulated re-crawl (doc_id % 11
+    * rows dropped, doc_id % 7 texts edited) and the original corpus —
+    * the added/removed/changed work list an incremental refresh
+    * re-embeds and re-dedups instead of the whole corpus. */
+  def q108SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshot
+    val a = Sources.documents(s, dir)
+    val b = a.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" refreshed"))).otherwise(col("text")))
+    Snapshot.diff(a, b, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val q108Sql: String =
+    """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+      |b AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0
+      |          THEN text || ' refreshed' ELSE text END) AS hb
+      |      FROM documents WHERE doc_id % 11 <> 0)
+      |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |  CASE WHEN a.ha IS NULL THEN 'added'
+      |       WHEN b.hb IS NULL THEN 'removed'
+      |       WHEN a.ha <> b.hb THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ── q79: matryoshka truncation quality ─────────────────────────────────
 
   /** q79: per vector, the L2 norm and the cosine retained when truncating

@@ -469,6 +469,24 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("A", "B", 2L), ("B", "A", 1L), ("C", "D", 1L)))
   }
 
+  // ── snapshot diff ───────────────────────────────────────────────────────
+
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    import graft.operators.Snapshot
+    val a = Seq((1L, "same"), (2L, "old"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "same"), (2L, "new"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = Snapshot.diff(a, b, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(got.toSeq == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+    val counts = Snapshot.diffCounts(a, b, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
   // ── per-stratum quotas ──────────────────────────────────────────────────
 
   test("underBudgetPerStratum enforces each stratum's own cap") {
