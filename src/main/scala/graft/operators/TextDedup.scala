@@ -309,6 +309,45 @@ object TextDedup {
   }
 
   /**
+   * Hamming-distance near-dup pairs over a packed bit-hash column
+   * (SimHash, image pHash, any bit signature): all pairs within
+   * `maxDist` differing bits. Candidate generation is pigeonhole
+   * banding — the hash splits into `bands` disjoint bit slices, and a
+   * pair differing in at most bands−1 bits MUST agree on some slice, so
+   * for `maxDist ≤ bands − 1` recall is EXACT, not probabilistic
+   * (Manku et al., "Detecting near-duplicates for web crawling",
+   * WWW'07 — simhash dedup at crawl scale). Collisions are equi-joins
+   * on (slice, value); verification is one codegen'd bit_count(xor) per
+   * candidate — no pairwise scan anywhere.
+   */
+  def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
+                   bits: Int, bands: Int, maxDist: Int): DataFrame = {
+    require(bands >= 2 && bits % bands == 0,
+      s"bits=$bits must split evenly into bands=$bands")
+    require(maxDist <= bands - 1,
+      s"pigeonhole recall needs maxDist <= bands-1 (= ${bands - 1})")
+    val sliceBits = bits / bands
+    val mask = (1L << sliceBits) - 1
+    val slices = (0 until bands).map(b => struct(lit(b).as("sl"),
+      shiftright(col(hashCol), b * sliceBits).bitwiseAND(lit(mask)).as("sv")))
+    val sl = df.select(col(idCol), col(hashCol),
+        explode(array(slices: _*)).as("s"))
+      .select(col(idCol), col(hashCol),
+        col("s.sl").as("sl"), col("s.sv").as("sv"))
+    val cand = sl.select(col(idCol).as("d1"), col(hashCol).as("graft_h1"),
+        col("sl"), col("sv"))
+      .join(sl.select(col(idCol).as("d2"), col(hashCol).as("graft_h2"),
+        col("sl"), col("sv")).hint("shuffle_hash"), Seq("sl", "sv"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2", "graft_h1", "graft_h2").distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("graft_h1").bitwiseXOR(col("graft_h2"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  /**
    * MinHash estimator calibration: for every exact near-dup pair
    * (ground truth = [[ngramJaccardPairs]]), the fraction of the k
    * MinHash signature slots that agree — an unbiased estimator of

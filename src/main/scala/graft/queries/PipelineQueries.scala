@@ -277,6 +277,41 @@ object PipelineQueries {
       |    AS simhash
       |FROM bsum GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q109: SimHash near-dups by exact-recall Hamming search — pigeonhole
+    * banding (4×8-bit slices of the 32-bit hash) guarantees every pair
+    * within 3 bits collides on some slice; bit_count(xor) verifies. */
+  def q109HammingPairs(s: SparkSession, dir: String): DataFrame =
+    TextDedup.hammingPairs(
+        TextDedup.simHash(docs(s, dir), "doc_id", "text"),
+        "doc_id", "simhash", bits = 32, bands = 4, maxDist = 3)
+      .orderBy(col("d1"), col("d2"))
+
+  val q109Sql: String =
+    """WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |               FROM documents),
+      |bits AS (SELECT doc_id, b,
+      |           (strpos('0123456789abcdef',
+      |              substr(md5(w), (b // 4) + 1, 1)) - 1) AS nib
+      |         FROM words CROSS JOIN range(0, 32) t(b)),
+      |bsum AS (SELECT doc_id, b,
+      |           sum(((nib >> (3 - (b % 4))) & 1) * 2 - 1) AS bsum
+      |         FROM bits GROUP BY doc_id, b),
+      |sh AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN bsum > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+      |    AS simhash
+      |  FROM bsum GROUP BY doc_id),
+      |sl AS (SELECT doc_id, simhash, t.sl,
+      |         (simhash >> (t.sl * 8)) & 255 AS sv
+      |       FROM sh CROSS JOIN range(0, 4) t(sl)),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |           a.simhash AS h1, b.simhash AS h2
+      |         FROM sl a JOIN sl b ON a.sl = b.sl AND a.sv = b.sv
+      |         WHERE a.doc_id < b.doc_id)
+      |SELECT d1, d2,
+      |  CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+      |ORDER BY d1, d2""".stripMargin
+
   // ── Similarity search ──────────────────────────────────────────────────
 
   /** q22: brute-force cosine top-10 to vec 0 (exact baseline; the scan is

@@ -469,6 +469,26 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("A", "B", 2L), ("B", "A", 1L), ("C", "D", 1L)))
   }
 
+  // ── hamming search ──────────────────────────────────────────────────────
+
+  test("hammingPairs: pigeonhole recall is exact within bands-1 bits") {
+    // h2 = h1 with 3 bits flipped in ONE slice; h3 differs in all slices
+    val h1 = 0x12345678L
+    val h2 = h1 ^ 0x7L          // 3 low bits → slice 0 differs, 1-3 agree
+    val h3 = h1 ^ 0x01010101L   // 1 bit per slice → no slice agrees
+    val df = Seq((1L, h1), (2L, h2), (3L, h3)).toDF("id", "h")
+    val got = TextDedup.hammingPairs(df, "id", "h",
+        bits = 32, bands = 4, maxDist = 3)
+      .orderBy("d1", "d2").as[(Long, Long, Int)].collect()
+    // (1,2) found at distance 3; (1,3) is 4 bits apart (beyond maxDist,
+    // AND invisible to banding — consistent); (2,3) is 7 apart
+    assert(got.toSeq == Seq((1L, 2L, 3)))
+    // sanity: distance 0 (exact dup) always collides on every slice
+    val dup = Seq((1L, h1), (2L, h1)).toDF("id", "h")
+    assert(TextDedup.hammingPairs(dup, "id", "h", 32, 4, 3)
+      .as[(Long, Long, Int)].head() == ((1L, 2L, 0)))
+  }
+
   // ── snapshot diff ───────────────────────────────────────────────────────
 
   test("snapshot diff classifies added/removed/changed/unchanged") {
