@@ -177,6 +177,42 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet === expected)
   }
 
+  test("end-to-end streaming curation: dedupAgainstIndex per micro-batch") {
+    // The full "index once, stream forever" loop: incoming docs are
+    // verified against the stored LSH index inside foreachBatch, so each
+    // micro-batch pays O(batch + collisions) and results accumulate
+    // exactly as the batch run would produce them.
+    val sf = "/root/testdata/sf0.001"
+    import graft.operators.TextDedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (indexBands, indexShingles) = TextDedup.lshIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    val expected = TextDedup.dedupAgainstIndex(newDocs, "doc_id", "text",
+        indexBands, indexShingles)
+      .select("d_new", "d_old").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture should produce ≥1 verified pair")
+    val dir = tmpDir("e2e-curation")
+    // two files → at least the chance of multiple micro-batches
+    newDocs.filter(col("doc_id") < 250).write.parquet(s"$dir/in/a")
+    newDocs.filter(col("doc_id") >= 250).write.parquet(s"$dir/in/b")
+    val outDir = s"$dir/out"
+    val q = spark.readStream.schema(docs.schema).parquet(s"$dir/in/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextDedup.dedupAgainstIndex(batch, "doc_id", "text",
+            indexBands, indexShingles)
+          .select("d_new", "d_old")
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+  }
+
   test("mapGroupsWithState accumulates per-user counts") {
     import spark.implicits._
     val ds = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDS()
