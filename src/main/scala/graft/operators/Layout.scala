@@ -52,21 +52,33 @@ object Layout {
   }
 
   /** Adds `zv` = the z-value of (`aCol`, `bCol`) ranked against their
-    * global min/max. The min/max aggregate is one metadata-scale row
-    * broadcast back; the z-value itself is a narrow codegen'd
-    * projection. */
+    * global min/max. The min/max aggregate is one metadata-scale row,
+    * collected eagerly so [[rank]]'s int64 domain bound can be verified
+    * AGAINST THE DATA before the projection is built — with ANSI off a
+    * domain wider than 2^(63−bits) would silently wrap the rank multiply
+    * and corrupt every z-value (DuckDB errors on the same overflow), so
+    * the guard throws instead. The min/max then inline as literals; the
+    * z-value itself stays a narrow codegen'd projection. */
   def withZValue(df: DataFrame, aCol: String, bCol: String,
                  bits: Int = 16): DataFrame = {
-    val stats = df.agg(
-      min(col(aCol).cast(LongType)).as("graft_amn"),
-      max(col(aCol).cast(LongType)).as("graft_amx"),
-      min(col(bCol).cast(LongType)).as("graft_bmn"),
-      max(col(bCol).cast(LongType)).as("graft_bmx"))
-    df.crossJoin(broadcast(stats))
-      .withColumn("zv", zValue(
-        rank(col(aCol), col("graft_amn"), col("graft_amx"), bits),
-        rank(col(bCol), col("graft_bmn"), col("graft_bmx"), bits), bits))
-      .drop("graft_amn", "graft_amx", "graft_bmn", "graft_bmx")
+    val row = df.agg(
+      min(col(aCol).cast(LongType)), max(col(aCol).cast(LongType)),
+      min(col(bCol).cast(LongType)), max(col(bCol).cast(LongType))).head()
+    val top = (1L << bits) - 1
+    def checked(name: String, i: Int): (Long, Long) = {
+      if (row.isNullAt(i)) return (0L, 0L) // empty input: nothing to rank
+      val (mn, mx) = (row.getLong(i), row.getLong(i + 1))
+      val worst = (BigInt(mx) - BigInt(mn)) * top
+      require(worst <= Long.MaxValue,
+        s"withZValue rank overflows int64 on $name: ($mx - $mn) * $top = " +
+          s"$worst; pre-scale the column (e.g. micros -> millis) or lower bits")
+      (mn, mx)
+    }
+    val (amn, amx) = checked(aCol, 0)
+    val (bmn, bmx) = checked(bCol, 2)
+    df.withColumn("zv", zValue(
+      rank(col(aCol), lit(amn), lit(amx), bits),
+      rank(col(bCol), lit(bmn), lit(bmx), bits), bits))
   }
 
   /**

@@ -158,7 +158,15 @@ object Sampling {
     val bucket16 = conv(
       substring(md5(concat_ws("_", lit(salt), col(keyCol))), 1, 4), 16, 10)
       .cast(LongType)
-    df.filter(bucket16.cast(DoubleType) < col(scoreCol) * 65536.0)
+    // A NULL score (e.g. a quality ratio over empty text, where Spark's
+    // division yields NULL) would make the comparison NULL and drop the
+    // row with no signal — silent under-sampling. Raise instead; the
+    // check rides the score expression itself (can't be pruned).
+    val sChecked = when(col(scoreCol).isNotNull, col(scoreCol))
+      .otherwise(raise_error(concat(
+        lit(s"weightedSample requires non-null $scoreCol, got NULL at "),
+        col(keyCol).cast(StringType))).cast(DoubleType))
+    df.filter(bucket16.cast(DoubleType) < sChecked * 65536.0)
   }
 
   /**

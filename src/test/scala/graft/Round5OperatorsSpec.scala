@@ -328,6 +328,20 @@ class Round5OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("withZValue rejects a domain too wide for the int64 rank multiply") {
+    // span 2^50 at bits=16: (mx−mn)·65535 ≈ 7.4e19 > Long.MaxValue — with
+    // ANSI off the multiply would wrap silently, so the guard must throw
+    val wide = Seq((0L, 0L), (1L << 50, 1L)).toDF("a", "b")
+    val err = intercept[IllegalArgumentException] {
+      Layout.withZValue(wide, "a", "b", bits = 16)
+    }
+    assert(err.getMessage.contains("overflows int64"))
+    // the same span pre-scaled (micros → millis style) passes
+    val ok = Layout.withZValue(
+      Seq((0L, 0L), ((1L << 50) / 1000L, 1L)).toDF("a", "b"), "a", "b", 16)
+    assert(ok.count() == 2)
+  }
+
   // ── SemDeDup ────────────────────────────────────────────────────────────
 
   test("semDedup marks smaller-id same-cluster neighbors above threshold") {
@@ -416,6 +430,17 @@ class Round5OperatorsSpec extends SparkSpec {
     val again = Sampling.weightedSample(df.repartition(7), "id", "score", "ws")
       .select("id").as[Long].collect().toSet
     assert(again == kept)
+  }
+
+  test("weightedSample raises on NULL scores instead of dropping silently") {
+    val df = Seq((1L, Some(0.5)), (2L, None)).toDF("id", "score")
+    val err = intercept[Exception] {
+      Sampling.weightedSample(df, "id", "score", "ws").count()
+    }
+    val messages = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+    assert(messages.exists(_.contains("non-null score")),
+      s"expected the NULL-score raise, got: ${err.getMessage}")
   }
 
   // ── constant folding ────────────────────────────────────────────────────
