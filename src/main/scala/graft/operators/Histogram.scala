@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{DataFrame}
+
+/**
+ * Histogram-quantized percentiles — the scalable percentile path.
+ *
+ * Exact percentiles need a global sort (or `GlobalRank`'s range exchange);
+ * `approx_percentile` sketches are engine-specific and not
+ * oracle-reproducible. The middle road used by every warehouse's ANALYZE:
+ * quantize the value into `2^bits` equi-width integer buckets against the
+ * global min/max (integer-exact — [[Layout.rank]] is the shared
+ * quantizer), count per bucket, and read percentiles off the cumulative
+ * counts. Error is bounded by one bucket width, the output is
+ * deterministic and engine-portable, and the whole thing costs one corpus
+ * pass + one metadata-scale aggregation (≤ 2^bits · strata rows) — no
+ * global sort, ever.
+ *
+ * The threshold test is integer-exact: bucket b is the p-th percentile
+ * bucket iff it is the first with `100·cum ≥ p·n` (no float `ceil`
+ * to diverge on). Bucket bounds are dequantized with the same int64 `div`
+ * the forward rank uses.
+ */
+object Histogram {
+
+  /**
+   * Per-stratum percentile summary of a LONG column. Output one row per
+   * (stratum, pct): the quantized bucket that crosses the percentile,
+   * its dequantized [lo, hi) bounds, the cumulative count at the bucket,
+   * and the stratum total.
+   *
+   * Global (not per-stratum) min/max anchor the buckets so bounds are
+   * comparable across strata. The min/max aggregate is collected eagerly
+   * and [[Layout.rank]]'s int64 domain bound is verified against the data
+   * before the projection is built (same guard as [[Layout.withZValue]]).
+   */
+  def quantizedPercentiles(df: DataFrame, valueCol: String,
+                           strataCol: String, bits: Int = 12,
+                           pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be within [1, 100]: $pcts")
+    val row = df.agg(min(col(valueCol).cast(LongType)),
+      max(col(valueCol).cast(LongType))).head()
+    if (row.isNullAt(0)) return df.sparkSession.emptyDataFrame
+    val (mn, mx) = (row.getLong(0), row.getLong(1))
+    val top = (1L << bits) - 1
+    require((BigInt(mx) - BigInt(mn)) * top <= Long.MaxValue,
+      s"quantizedPercentiles overflows int64: ($mx - $mn) * $top; " +
+        "pre-scale the column or lower bits")
+
+    val counts = df
+      .select(col(strataCol),
+        Layout.rank(col(valueCol), lit(mn), lit(mx), bits).as("bucket"))
+      .groupBy(col(strataCol), col("bucket"))
+      .agg(count(lit(1)).as("graft_cnt"))
+    val wCum = Window.partitionBy(col(strataCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col(strataCol))
+    val cum = counts
+      .withColumn("n_le", sum(col("graft_cnt")).over(wCum))
+      .withColumn("n", sum(col("graft_cnt")).over(wTot))
+    // crossing bucket per pct: first with 100*cum >= p*n, i.e. the
+    // predecessor cumulative (cum - cnt) is still short of the threshold
+    val pctsDf = df.sparkSession.createDataFrame(
+      pcts.map(Tuple1(_))).toDF("pct")
+    def dequant(b: org.apache.spark.sql.Column) =
+      lit(mn) + call_function("div", b * (mx - mn), lit(top))
+    cum.crossJoin(broadcast(pctsDf))
+      .filter(lit(100L) * col("n_le") >= col("pct").cast(LongType) * col("n") &&
+        lit(100L) * (col("n_le") - col("graft_cnt")) <
+          col("pct").cast(LongType) * col("n"))
+      .select(col(strataCol), col("pct"), col("bucket"),
+        dequant(col("bucket")).as("lo"),
+        dequant(col("bucket") + 1).as("hi"),
+        col("n_le"), col("n"))
+  }
+}

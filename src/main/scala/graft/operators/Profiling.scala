@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Column-level table profiling — the ANALYZE / data-card step every corpus
+ * ingest runs before anything else: row/null/distinct counts and min/max
+ * per column, rendered canonically so the profile itself is
+ * engine-portable and diffable across snapshots.
+ *
+ * Scale shape: the naive implementation scans the table once PER COLUMN
+ * (k aggregate jobs unioned); at 100 TB each extra pass is the whole cost.
+ * Here the table is melted ONCE — each input row explodes into one
+ * (col_name, repr, numeric) row per profiled column via a single `inline`
+ * projection — and everything aggregates in one pass. Partial (map-side)
+ * aggregation applies, and the distinct count shuffles on
+ * (col_name, repr), so no single column's values concentrate in one task.
+ *
+ * Canonical rendering (shared with the DuckDB oracle): integers verbatim,
+ * floating-point as 6-dp DECIMAL(18,6) strings (the project-wide float
+ * determinism rule), strings as-is. Numeric min/max come from typed
+ * carrier columns, not the rendered string (lexicographic "10" < "9"
+ * would corrupt them); distinct counts are over the canonical repr and
+ * exclude NULLs (documented, matches `COUNT(DISTINCT)`).
+ */
+object Profiling {
+
+  /** One output row per profiled column:
+    * (col_name, n_rows, n_null, n_distinct, min_repr, max_repr). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val byName = df.schema.fields.map(f => f.name -> f).toMap
+    val missing = cols.filterNot(byName.contains)
+    require(missing.isEmpty, s"profile: columns not in schema: $missing")
+    val fields = cols.map(byName)
+
+    def repr(f: StructField): Column = f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(f.name).cast(StringType)
+      case DoubleType | FloatType =>
+        round(col(f.name).cast(DoubleType), 6)
+          .cast(DecimalType(18, 6)).cast(StringType)
+      case StringType => col(f.name)
+      case _ => col(f.name).cast(StringType)
+    }
+    // typed carriers for numeric min/max: int64 stays exact past 2^53
+    def longOrNull(f: StructField): Column = f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(f.name).cast(LongType)
+      case _ => lit(null).cast(LongType)
+    }
+    def dblOrNull(f: StructField): Column = f.dataType match {
+      case DoubleType | FloatType => col(f.name).cast(DoubleType)
+      case _ => lit(null).cast(DoubleType)
+    }
+    def kind(f: StructField): Int = f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => 1
+      case DoubleType | FloatType => 2
+      case _ => 0
+    }
+
+    val melted = df.select(inline(array(fields.map { f =>
+      struct(
+        lit(f.name).as("col_name"),
+        repr(f).as("graft_repr"),
+        longOrNull(f).as("graft_l"),
+        dblOrNull(f).as("graft_d"),
+        lit(kind(f)).as("graft_kind"))
+    }: _*)))
+
+    def render(l: Column, d: Column, s: Column): Column =
+      when(col("graft_kind") === 1, l.cast(StringType))
+        .when(col("graft_kind") === 2,
+          round(d, 6).cast(DecimalType(18, 6)).cast(StringType))
+        .otherwise(s)
+
+    melted.groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("graft_repr").isNull, 1L).otherwise(0L)).as("n_null"),
+        count_distinct(col("graft_repr")).as("n_distinct"),
+        min(col("graft_l")).as("graft_lmn"), max(col("graft_l")).as("graft_lmx"),
+        min(col("graft_d")).as("graft_dmn"), max(col("graft_d")).as("graft_dmx"),
+        min(col("graft_repr")).as("graft_smn"),
+        max(col("graft_repr")).as("graft_smx"),
+        first(col("graft_kind")).as("graft_kind"))
+      .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
+        render(col("graft_lmn"), col("graft_dmn"), col("graft_smn"))
+          .as("min_repr"),
+        render(col("graft_lmx"), col("graft_dmx"), col("graft_smx"))
+          .as("max_repr"))
+  }
+}

@@ -109,4 +109,36 @@ object Selection {
       .filter(col("cum_before") + col("graft_w") <= cap)
       .drop("graft_pid", "graft_lpre", "graft_off", "graft_w")
   }
+
+  /**
+   * Pareto frontier (skyline) on two larger-is-better dimensions: keep
+   * exactly the rows no other row strictly dominates (x' ≥ x, y' ≥ y,
+   * at least one strict). The 2-D data-selection primitive — "no doc
+   * both higher-quality AND longer exists" — without scoring the two
+   * axes into one number first.
+   *
+   * Shape: collapse to one row per distinct x level (max y per level),
+   * run ONE running-max window over the levels ordered by x desc, keep
+   * levels whose max-y beats everything strictly above, and broadcast
+   * the (tiny) frontier back onto the corpus as an equi-join. The window
+   * is over LEVELS, not rows: with the project's 6-dp score quantization
+   * the level count is bounded by 10⁶+1 — metadata scale — so the
+   * single-partition window never sees corpus-sized input. The corpus
+   * itself is touched by one hash-agg and one broadcast join.
+   */
+  def paretoFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val levels = df.groupBy(col(xCol)).agg(max(col(yCol)).as("graft_ymax"))
+    val wAbove = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = levels
+      .withColumn("graft_yabove", max(col("graft_ymax")).over(wAbove))
+      // strictly-higher-x levels all have smaller max-y (or none exist)
+      .filter(col("graft_yabove").isNull ||
+        col("graft_ymax") > col("graft_yabove"))
+      .select(col(xCol), col("graft_ymax"))
+    df.join(broadcast(frontier), Seq(xCol))
+      // within the level, only the max-y rows are undominated
+      .filter(col(yCol) === col("graft_ymax"))
+      .drop("graft_ymax")
+  }
 }

@@ -93,6 +93,36 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Hard-negative mining for contrastive training: for each anchor
+   * vector, the k most-similar corpus vectors carrying a DIFFERENT
+   * label — the "confusable but wrong" examples a contrastive or
+   * reranker objective needs (random negatives are trivially easy;
+   * same-label neighbors are positives, not negatives).
+   *
+   * Shape: the anchor set is bounded (an explicit predicate picks it) and
+   * broadcast; the corpus is scanned ONCE for all anchors; similarity is
+   * the codegen'd native `cosine_sim`; per-anchor top-k rides
+   * [[LatestSnapshot.topK]]'s WindowGroupLimit (each map task keeps ≤ k
+   * rows per anchor before the shuffle). Ranking uses the 6-dp-rounded
+   * cosine so ordering is engine-portable at ties.
+   */
+  def hardNegatives(embeddings: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, anchorPred: Column, k: Int): DataFrame = {
+    val anchors = embeddings.filter(anchorPred)
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("graft_qv"),
+        col(labelCol).as("anchor_label"))
+    val scored = embeddings
+      .crossJoin(broadcast(anchors))
+      .filter(col(labelCol) =!= col("anchor_label") &&
+        col(idCol) =!= col("anchor_id"))
+      .select(col("anchor_id"), col("anchor_label"),
+        col(idCol).as("neg_id"), col(labelCol).as("neg_label"),
+        round(cosine(col(vecCol), col("graft_qv")), 6).as("cosine"))
+    LatestSnapshot.topK(scored, Seq("anchor_id"),
+      col("cosine").desc, Seq(col("neg_id").asc), k)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -105,6 +105,39 @@ object TextAnalysis {
     df.withColumn(outCol, round(percent_rank().over(w), 6))
   }
 
+  /**
+   * Per-document unigram (word) Shannon entropy in nats plus the
+   * type-token ratio inputs — the information-density quality signal:
+   * near-zero entropy flags boilerplate/repeated-token documents that
+   * length and punctuation ratios miss, and it is the cheap proxy for
+   * the compression-ratio filter (H ≈ bits/token an ideal coder needs).
+   *
+   * entropy = Σ_w (c_w/n)·ln(n/c_w), each term rounded to 6 dp and
+   * accumulated as DECIMAL(18,6) so the sum is order-independent and
+   * engine-portable (the BM25/tfidf determinism pattern).
+   *
+   * Shape: one explode + one (doc, word) hash-agg (map-side combinable)
+   * + one doc-partitioned window for n + one doc hash-agg. No global
+   * state, no corpus-wide shuffle beyond the (doc, word) keys.
+   */
+  def wordEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("graft_w"))
+      .groupBy(col(idCol), col("graft_w"))
+      .agg(count(lit(1)).as("graft_c"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    counts
+      .withColumn("graft_n", sum(col("graft_c")).over(wDoc))
+      .withColumn("graft_term",
+        round((col("graft_c").cast(DoubleType) / col("graft_n")) *
+          log(col("graft_n").cast(DoubleType) / col("graft_c")), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy(col(idCol))
+      .agg(max(col("graft_n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("graft_term")).as("entropy_nats"))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish regex tokenization
     * (letter runs | digit runs | single non-alnum-non-space). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -330,7 +330,12 @@ class PlanShapeSpec extends SparkSpec {
       // offsets `<` join (the GlobalRank/Packing prefix-sum construction,
       // metadata-scale, same as q57/q77)
       "q87_whiten", "q90_bigram_pmi", "q92_ann_recall",
-      "q100_budget_select")
+      "q100_budget_select",
+      // q111: 3-row percentile-targets broadcast onto the (strata ×
+      // bucket) counts — metadata scale; q113: 1-row max-ts broadcast
+      // riding the scan; q116: bounded anchor-set broadcast vs one
+      // corpus pass (the q92 eval-sample shape)
+      "q111_quantized_pct", "q113_decayed", "q116_hard_negatives")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

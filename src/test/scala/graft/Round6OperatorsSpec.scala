@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Decay, Histogram, Profiling, Selection, Similarity, TextAnalysis}
+
+/** Targeted specs for the round-6 diagnostics/selection operators
+  * (table profiling, quantized percentiles, Pareto frontier, half-life
+  * decay, word entropy, hard negatives) — hand-computed expectations on
+  * crafted inputs, independent of the DuckDB gate. */
+class Round6OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── table profiling ─────────────────────────────────────────────────────
+
+  test("profile counts rows/nulls/distincts and renders min/max canonically") {
+    val df = Seq(
+      (1L, Some(1.25), Some("b")),
+      (2L, Some(1.25), Some("a")),
+      (3L, None, Some("c")),
+      (10L, Some(-0.5), None)
+    ).toDF("id", "score", "tag")
+    val got = Profiling.profile(df, Seq("id", "score", "tag"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, String, String)].collect()
+    assert(got.toSeq == Seq(
+      // int64 min/max render verbatim (NOT lexicographic "10" < "9")
+      ("id", 4L, 0L, 4L, "1", "10"),
+      // doubles render as 6-dp decimals; NULL excluded from distinct
+      ("score", 4L, 1L, 2L, "-0.500000", "1.250000"),
+      ("tag", 4L, 1L, 3L, "a", "c")))
+  }
+
+  test("profile melts once: a single scan of the input, not one per column") {
+    val df = Seq((1L, 2.0), (3L, 4.0)).toDF("a", "b")
+    val profiled = Profiling.profile(df, Seq("a", "b"))
+    val scans = profiled.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.length == 1, s"expected 1 scan, got ${scans.length}")
+  }
+
+  // ── quantized percentiles ───────────────────────────────────────────────
+
+  test("quantizedPercentiles finds the exact crossing bucket per stratum") {
+    // values 1..100 in one stratum: with bits high enough each value is
+    // its own bucket, so pct p lands exactly on value p
+    val df = (1L to 100L).map(v => ("s", v)).toDF("g", "v")
+    val got = Histogram.quantizedPercentiles(df, "v", "g", bits = 12,
+        pcts = Seq(50, 90, 99))
+      .orderBy("pct")
+      .select("g", "pct", "lo", "hi", "n_le", "n")
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+    // bucket of v: ((v-1)*4095) div 99 — injective at this domain size,
+    // so the crossing bucket holds exactly value p and n_le counts v ≤ p;
+    // the dequantized [lo, hi) bounds bracket it within one bucket width
+    assert(got.map(_._2).toSeq == Seq(50, 90, 99))
+    got.foreach { case (_, p, lo, hi, nLe, n) =>
+      assert(n == 100L)
+      assert(nLe == p.toLong, s"pct $p: n_le $nLe")
+      assert(lo <= p.toLong && p.toLong <= hi, s"pct $p: [$lo, $hi)")
+    }
+  }
+
+  test("quantizedPercentiles rejects an int64-overflowing domain") {
+    val wide = Seq(("s", 0L), ("s", 1L << 52)).toDF("g", "v")
+    val err = intercept[IllegalArgumentException] {
+      Histogram.quantizedPercentiles(wide, "v", "g", bits = 12)
+    }
+    assert(err.getMessage.contains("overflows int64"))
+  }
+
+  // ── Pareto frontier ─────────────────────────────────────────────────────
+
+  test("paretoFrontier keeps exactly the undominated points") {
+    val pts = Seq(
+      (1L, 1.0, 100L), // frontier: nothing has both higher x and >= y
+      (2L, 2.0, 90L),  // frontier
+      (3L, 3.0, 50L),  // frontier
+      (4L, 2.5, 50L),  // dominated by (3.0, 50): x strictly higher, y equal
+      (5L, 1.5, 90L),  // dominated by (2.0, 90)
+      (6L, 3.0, 40L),  // dominated by same-level (3.0, 50)
+      (7L, 2.0, 90L)   // tie of (2.0, 90): both kept (neither dominates)
+    ).toDF("id", "x", "y")
+    val got = Selection.paretoFrontier(pts, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 7L))
+  }
+
+  // ── half-life decay ─────────────────────────────────────────────────────
+
+  test("halfLifeSum weights exact half-lives as powers of two") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-08 00:00:00"), 8.0),  // newest: weight 1
+      (1L, ts("2024-01-01 00:00:00"), 8.0),  // 7 days = 1 half-life: 0.5
+      (2L, ts("2023-12-25 00:00:00"), 8.0)   // 14 days = 2 half-lives: 0.25
+    ).toDF("user_id", "ts", "value")
+    val got = Decay.halfLifeSum(events, "ts", "value", Seq("user_id"),
+        halfLifeDays = 7.0)
+      .orderBy("user_id")
+      .select(col("user_id"), col("n_events"),
+        col("decayed_sum").cast("double"))
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 12.0), (2L, 1L, 2.0)))
+  }
+
+  test("halfLifeSum rejects a non-positive half-life") {
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    intercept[IllegalArgumentException] {
+      Decay.halfLifeSum(df, "ts", "value", Seq("user_id"), halfLifeDays = 0.0)
+    }
+  }
+
+  // ── word entropy ────────────────────────────────────────────────────────
+
+  test("wordEntropy: uniform two-word doc is ln 2, constant doc is 0") {
+    val docs = Seq(
+      (1L, "a b a b"),     // p = (1/2, 1/2) → H = ln 2
+      (2L, "x x x x x"),   // single type → H = 0
+      (3L, "a b c d")      // uniform over 4 → H = ln 4
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.wordEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("entropy_nats").cast("double"))
+      .as[(Long, Long, Long, Double)].collect()
+    // terms are 6-dp-rounded BEFORE the decimal sum, so the expectation
+    // is k · round(term, 6), not round(k · term, 6)
+    def term(p: Double) = BigDecimal(p * math.log(1.0 / p))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(got(0) == ((1L, 4L, 2L, (term(0.5) * 2).toDouble)))
+    assert(got(1) == ((2L, 5L, 1L, 0.0)))
+    assert(got(2) == ((3L, 4L, 4L, (term(0.25) * 4).toDouble)))
+  }
+
+  // ── hard negatives ──────────────────────────────────────────────────────
+
+  test("hardNegatives excludes same-label vectors and ranks by cosine") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),   // anchor, label 1
+      (1L, Seq(1.0f, 0.0f), 1),   // same label — never a negative
+      (2L, Seq(1.0f, 0.1f), 2),   // closest different-label
+      (3L, Seq(1.0f, 1.0f), 2),   // second
+      (4L, Seq(0.0f, 1.0f), 3),   // orthogonal — third
+      (5L, Seq(-1.0f, 0.0f), 2)   // opposite — beyond k=3
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs, "vec_id", "embedding", "label",
+        col("vec_id") === 0, k = 3)
+      .orderBy(col("cosine").desc, col("neg_id"))
+      .select("anchor_id", "neg_id", "neg_label")
+      .as[(Long, Long, Int)].collect()
+    assert(got.toSeq == Seq((0L, 2L, 2), (0L, 3L, 2), (0L, 4L, 3)))
+  }
+}
