@@ -104,4 +104,40 @@ object Funnel {
       (i + 1, steps(i), n)
     }.toDF("step_idx", "step", "n_users")
   }
+
+  /**
+   * Last-touch attribution: each conversion event is credited to the
+   * user's most recent preceding `sourceType` event within
+   * `windowSec` seconds — the marketing-analytics primitive ("which
+   * click gets the purchase"). Conversions with no in-window source stay
+   * unattributed (NULL id / gap).
+   *
+   * One user-partitioned window pass with `last(..., ignoreNulls)` over
+   * the running event log — no self-join of the event table on an
+   * inequality, which is the O(n·m)-per-user trap. Ordering is
+   * (ts, event id): a total order, so ties are deterministic.
+   */
+  def lastTouch(events: DataFrame, userCol: String, typeCol: String,
+                tsCol: String, idCol: String, sourceType: String,
+                convType: String, windowSec: Long): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive: $windowSec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val tsSec = unix_micros(col(tsCol))
+    val lastId = last(when(col(typeCol) === sourceType, col(idCol)),
+      ignoreNulls = true).over(w)
+    val lastTs = last(when(col(typeCol) === sourceType, tsSec),
+      ignoreNulls = true).over(w)
+    events
+      .withColumn("graft_src_id", lastId)
+      .withColumn("graft_gap",
+        (tsSec - lastTs).cast(org.apache.spark.sql.types.LongType))
+      .filter(col(typeCol) === convType)
+      .select(col(idCol), col(userCol),
+        when(col("graft_gap") <= windowSec * 1000000L, col("graft_src_id"))
+          .as("attributed_id"),
+        when(col("graft_gap") <= windowSec * 1000000L,
+          call_function("div", col("graft_gap"), lit(1000000L)))
+          .as("gap_s"))
+  }
 }

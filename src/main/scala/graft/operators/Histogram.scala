@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
 
 /**
  * Histogram-quantized percentiles — the scalable percentile path.
@@ -77,5 +77,38 @@ object Histogram {
         dequant(col("bucket")).as("lo"),
         dequant(col("bucket") + 1).as("hi"),
         col("n_le"), col("n"))
+  }
+
+  /**
+   * Equi-width bucket counts against an EXPLICIT domain — the mergeable
+   * histogram building block. Fixing [mn, mx] up front (rather than
+   * deriving it from the data) is what makes partial histograms from
+   * different batches/sources/days addable: every producer quantizes
+   * identically, so merging is plain per-bucket count addition
+   * ([[mergeBucketCounts]]) — the semigroup law the gate verifies on
+   * q117. Out-of-domain values land in out-of-range buckets
+   * deterministically rather than clamping (callers choose the domain).
+   */
+  def bucketCounts(df: DataFrame, valueCol: String, bits: Int,
+                   mn: Long, mx: Long): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
+    require(mx > mn, s"need mx > mn: [$mn, $mx]")
+    val top = (1L << bits) - 1
+    require((BigInt(mx) - BigInt(mn)) * top <= Long.MaxValue,
+      s"bucketCounts overflows int64: ($mx - $mn) * $top")
+    df.select(Layout.rank(col(valueCol).cast(LongType), lit(mn), lit(mx),
+        bits).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge partial histograms from [[bucketCounts]] (same domain/bits):
+    * per-bucket count addition — associative and commutative, so batches
+    * can merge in any order and incrementally. */
+  def mergeBucketCounts(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "mergeBucketCounts: no partial histograms")
+    parts.reduce(_ unionByName _)
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n"))
   }
 }

@@ -184,4 +184,50 @@ object Sampling {
     LatestSnapshot.topK(df, Seq(strataCol),
       md5(concat_ws("_", lit(salt), col(keyCol))).asc,
       Seq(col(keyCol).asc), n)
+
+  /**
+   * Exact-total proportional stratified sample: allocate `totalN` slots
+   * across strata by the largest-remainder (Hamilton) method — quota_s =
+   * ⌊N·n_s/n⌋ plus one extra for the strata with the largest remainders
+   * until exactly N slots are assigned — then fill each quota with the
+   * stratum's md5-first rows ([[exactNPerStratum]]'s order). The output
+   * size is EXACTLY `totalN` (when every stratum can fill its quota) and
+   * the per-stratum mix matches the corpus proportions as closely as
+   * integers allow — the eval-set contract "give me 10 000 docs with the
+   * corpus's language mix".
+   *
+   * Everything is integer-exact (int64 `div`/`%`; remainder ties break
+   * by stratum name). The allocation windows run over STRATUM rows —
+   * metadata scale — and the corpus sees one count agg, one broadcast
+   * quota join, and the WindowGroupLimit rank filter.
+   */
+  def proportionalQuota(df: DataFrame, keyCol: String, strataCol: String,
+                        salt: String, totalN: Long): DataFrame = {
+    require(totalN >= 0, s"totalN must be non-negative: $totalN")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("graft_ns"))
+    val tot = counts.agg(sum(col("graft_ns")).as("graft_n"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy(col("graft_rem").desc, col(strataCol).asc)
+    val quota = counts.crossJoin(broadcast(tot))
+      .withColumn("graft_base",
+        call_function("div", lit(totalN) * col("graft_ns"), col("graft_n")))
+      .withColumn("graft_rem",
+        (lit(totalN) * col("graft_ns")) % col("graft_n"))
+      .withColumn("graft_rk", row_number().over(wAll))
+      .withColumn("graft_slots",
+        lit(totalN) - sum(col("graft_base")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("graft_quota",
+        col("graft_base") +
+          when(col("graft_rk") <= col("graft_slots"), 1L).otherwise(0L))
+      .select(col(strataCol), col("graft_quota"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(concat_ws("_", lit(salt), col(keyCol))).asc,
+        col(keyCol).asc)
+    df.join(broadcast(quota), Seq(strataCol))
+      .withColumn("graft_rn", row_number().over(wRank))
+      .filter(col("graft_rn") <= col("graft_quota"))
+      .drop("graft_rn", "graft_quota")
+  }
 }

@@ -38,4 +38,56 @@ object Snapshot {
                  contentCol: String): DataFrame =
     diff(a, b, idCol, contentCol)
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
+
+  /**
+   * Incremental maintenance of a per-stratum materialized aggregate
+   * (count + sum): `base` is agg(a) as already materialized; the result
+   * equals agg(b), computed as base + a delta derived ONLY from rows
+   * whose content identity differs between the snapshots. This is the
+   * materialized-view update that costs O(diff), not O(corpus): at
+   * 100 TB the nightly refresh re-aggregates the changed rows, never
+   * rescans the snapshot.
+   *
+   * `contentCol` must cover every input the aggregate reads (stratum and
+   * weight included) — a weight change invisible to the content hash
+   * would silently skip its delta. Removed/changed rows subtract their
+   * OLD (stratum, weight); added/changed rows add their NEW ones, so
+   * rows migrating across strata maintain both sides. Strata whose
+   * count reaches zero drop out, matching a direct re-aggregation.
+   *
+   * `base` columns: (strataCol, n_docs, w_sum).
+   */
+  def maintainAgg(base: DataFrame, a: DataFrame, b: DataFrame,
+                  idCol: String, contentCol: String, strataCol: String,
+                  weightCol: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val ha = a.select(col(idCol), md5(col(contentCol)).as("graft_ha"),
+      col(strataCol).as("graft_sa"),
+      col(weightCol).cast(LongType).as("graft_wa"))
+    val hb = b.select(col(idCol), md5(col(contentCol)).as("graft_hb"),
+      col(strataCol).as("graft_sb"),
+      col(weightCol).cast(LongType).as("graft_wb"))
+    val j = ha.join(hb, Seq(idCol), "full_outer")
+    val minus = j
+      .filter(col("graft_ha").isNotNull &&
+        (col("graft_hb").isNull || col("graft_ha") =!= col("graft_hb")))
+      .select(col("graft_sa").as(strataCol), lit(-1L).as("graft_dn"),
+        (-col("graft_wa")).as("graft_dw"))
+    val plus = j
+      .filter(col("graft_hb").isNotNull &&
+        (col("graft_ha").isNull || col("graft_ha") =!= col("graft_hb")))
+      .select(col("graft_sb").as(strataCol), lit(1L).as("graft_dn"),
+        col("graft_wb").as("graft_dw"))
+    val delta = minus.unionByName(plus)
+      .groupBy(col(strataCol))
+      .agg(sum(col("graft_dn")).as("graft_dn"),
+        sum(col("graft_dw")).as("graft_dw"))
+    base.join(delta, Seq(strataCol), "full_outer")
+      .select(col(strataCol),
+        (coalesce(col("n_docs"), lit(0L)) +
+          coalesce(col("graft_dn"), lit(0L))).as("n_docs"),
+        (coalesce(col("w_sum"), lit(0L)) +
+          coalesce(col("graft_dw"), lit(0L))).as("w_sum"))
+      .filter(col("n_docs") > 0)
+  }
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Per-stratum z-score standardization and outlier flagging — the feature
+ * normalization / anomaly-gate step: each value is re-expressed in
+ * standard deviations from its stratum's mean, and |z| ≥ σ flags the
+ * rows a quality pipeline quarantines.
+ *
+ * Determinism: the stratum moments come from 6-dp-decimal sums of the
+ * value and its square (order-independent, engine-portable — the
+ * project's float-sum rule), population variance = E[x²] − E[x]², and
+ * the final z is rounded to 6 dp. Every arithmetic step is written
+ * identically in the DuckDB oracle.
+ *
+ * Shape: one metadata-scale per-stratum moments aggregate broadcast back
+ * onto the scan, then a narrow codegen'd projection. The corpus is never
+ * shuffled.
+ */
+object Standardize {
+
+  /** Appends `mean`, `std` (population), `z` (6 dp) and `is_outlier`
+    * (|z| ≥ sigma) per row, computed within `strataCol`. */
+  def zScores(df: DataFrame, valueCol: String, strataCol: String,
+              sigma: Double = 3.0): DataFrame = {
+    require(sigma > 0, s"sigma must be positive: $sigma")
+    val v = col(valueCol).cast(DoubleType)
+    val stats = df.groupBy(col(strataCol)).agg(
+      count(lit(1)).as("graft_n"),
+      sum(round(v, 6).cast(DecimalType(18, 6))).as("graft_s1"),
+      sum(round(v * v, 6).cast(DecimalType(28, 6))).as("graft_s2"))
+    val mean = col("graft_s1").cast(DoubleType) / col("graft_n")
+    val variance = col("graft_s2").cast(DoubleType) / col("graft_n") -
+      mean * mean
+    df.join(broadcast(stats), Seq(strataCol))
+      .withColumn("mean", round(mean, 6))
+      .withColumn("std", round(sqrt(variance), 6))
+      .withColumn("z", round((v - mean) / sqrt(variance), 6))
+      .withColumn("is_outlier", abs(col("z")) >= sigma)
+      .drop("graft_n", "graft_s1", "graft_s2")
+  }
+}

@@ -348,6 +348,30 @@ object TextDedup {
   }
 
   /**
+   * Prefix-blocking dedup groups: documents sharing their first `k`
+   * tokens, keyed by the md5 of that prefix. The cheap blocking pass for
+   * truncated-scrape and re-crawl artifacts (the duplicate family where
+   * one copy is a cut-off prefix of another): full-content hashing
+   * misses them, shingle LSH finds them but at shingle cost — a prefix
+   * hash is one narrow projection plus one hash-agg.
+   *
+   * Output: one row per group with >1 member (prefix_hash, n_docs,
+   * min_doc, max_doc) — min_doc is the survivor by the min-id rule.
+   */
+  def prefixClusters(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    docs
+      .select(col(idCol),
+        md5(array_join(slice(split(col(textCol), " "), 1, k), " "))
+          .as("prefix_hash"))
+      .groupBy(col("prefix_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
+      .filter(col("n_docs") > 1)
+  }
+
+  /**
    * MinHash estimator calibration: for every exact near-dup pair
    * (ground truth = [[ngramJaccardPairs]]), the fraction of the k
    * MinHash signature slots that agree — an unbiased estimator of

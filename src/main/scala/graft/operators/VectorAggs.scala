@@ -211,6 +211,30 @@ object VectorAggs {
   }
 
   /**
+   * Binary (sign-bit) vector quantization: bit i of the code is set iff
+   * dimension i is positive — 64 dims collapse into ONE int64, a 256×
+   * compression of a float64[64] that still preserves enough angular
+   * structure for Hamming-distance candidate generation (pair it with
+   * [[TextDedup.hammingPairs]]'s pigeonhole bands for exact-recall
+   * search over the codes). A narrow codegen'd HOF projection — no
+   * shuffle, no stats pass (unlike [[sq8Codes]], the sign threshold
+   * needs no training).
+   *
+   * Dimension 63 lands on the int64 sign bit (Java `1L << 63` =
+   * Long.MinValue) — the oracle reproduces that two's-complement wrap
+   * explicitly.
+   */
+  def signCodes(df: DataFrame, idCol: String, vecCol: String,
+                dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 64, s"dims=$dims must fit one int64")
+    val terms = transform(col(vecCol), (x, i) =>
+      when(x > lit(0.0f), call_function("shiftleft", lit(1L), i))
+        .otherwise(lit(0L)))
+    df.select(col(idCol),
+      aggregate(terms, lit(0L), (acc, t) => acc + t).as("code"))
+  }
+
+  /**
    * IVF ANN top-k: queries (rows matching `queryPred`) probe their
    * `nprobe` nearest centroid buckets and are re-ranked by exact cosine
    * against only the vectors assigned to those buckets.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Decay, Histogram, Profiling, Sampling, Selection, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Decay, Funnel, Histogram, Profiling, Sampling, Selection, Similarity, Snapshot, Standardize, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-6 corpus-diagnostics and selection operators: table profiling
@@ -271,4 +271,192 @@ object DiagnosticsQueries {
       |SELECT anchor_id, anchor_label, neg_id, neg_label, cosine
       |FROM rk WHERE rn <= 3
       |ORDER BY anchor_id, cosine DESC, neg_id""".stripMargin
+
+  // ── q117: mergeable equi-width histogram ───────────────────────────────
+
+  /** q117: length histogram computed on two disjoint halves against a
+    * FIXED domain and MERGED by bucket-count addition — the gate compares
+    * against a direct full-corpus histogram, so the merge law is
+    * hash-verified (the q95 pattern for histograms). */
+  def q117HistMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val halves = Seq(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+      .map(Histogram.bucketCounts(_, "n_chars", bits = 8, mn = 0L, mx = 5000L))
+    Histogram.mergeBucketCounts(halves).orderBy(col("bucket"))
+  }
+
+  val q117Sql: String =
+    """SELECT (n_chars * 255) // 5000 AS bucket, COUNT(*) AS n
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ── q118: prefix-blocking dedup groups ─────────────────────────────────
+
+  /** q118: documents sharing their first 10 tokens, grouped by prefix
+    * hash — the cheap blocking pass for truncated-scrape duplicates that
+    * full-content hashing misses. */
+  def q118PrefixClusters(s: SparkSession, dir: String): DataFrame =
+    TextDedup.prefixClusters(Sources.documents(s, dir), "doc_id", "text",
+        k = 10)
+      .orderBy(col("prefix_hash"))
+
+  val q118Sql: String =
+    """WITH p AS (SELECT doc_id,
+      |    md5(array_to_string((string_split(text, ' '))[1:10], ' '))
+      |      AS prefix_hash
+      |  FROM documents)
+      |SELECT prefix_hash, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM p GROUP BY 1 HAVING COUNT(*) > 1
+      |ORDER BY prefix_hash""".stripMargin
+
+  // ── q119: per-stratum z-score outliers ─────────────────────────────────
+
+  /** q119: event values standardized within their event type (population
+    * moments from decimal-exact sums), |z| ≥ 3 flagged — the anomaly
+    * gate of a quality pipeline. */
+  def q119ZScores(s: SparkSession, dir: String): DataFrame =
+    Standardize.zScores(Sources.events(s, dir), "value", "event_type",
+        sigma = 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"),
+        col("is_outlier"))
+      .orderBy(col("event_id"))
+
+  val q119Sql: String =
+    """WITH st AS (SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS s1,
+      |    SUM(CAST(round(value * value, 6) AS DECIMAL(28,6))) AS s2
+      |  FROM events GROUP BY event_type),
+      |m AS (SELECT event_type,
+      |    CAST(s1 AS DOUBLE) / n AS mean,
+      |    CAST(s2 AS DOUBLE) / n
+      |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS var
+      |  FROM st),
+      |z AS (SELECT e.event_id, e.event_type, e.value,
+      |    round((e.value - m.mean) / sqrt(m.var), 6) AS z
+      |  FROM events e JOIN m USING (event_type))
+      |SELECT event_id, event_type, value, z, abs(z) >= 3.0 AS is_outlier
+      |FROM z ORDER BY event_id""".stripMargin
+
+  // ── q120: exact-total proportional sample ──────────────────────────────
+
+  /** q120: exactly 100 documents allocated across languages by the
+    * largest-remainder method and filled md5-first — the eval-set
+    * contract "N docs with the corpus's language mix", integer-exact. */
+  def q120ProportionalSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.proportionalQuota(
+        Sources.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", salt = "ps", totalN = 100L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val q120Sql: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS ns FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(SUM(ns) AS BIGINT) AS n FROM c),
+      |al AS (SELECT lang, ns, (100 * ns) // t.n AS base,
+      |         (100 * ns) % t.n AS rem
+      |       FROM c CROSS JOIN t),
+      |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+      |         CAST(SUM(base) OVER () AS BIGINT) AS basesum FROM al),
+      |q AS (SELECT lang,
+      |        base + CASE WHEN rk <= 100 - basesum THEN 1 ELSE 0 END AS quota
+      |      FROM rk),
+      |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+      |        ORDER BY md5('ps_' || doc_id), doc_id) AS rn
+      |      FROM documents)
+      |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+      |WHERE rn <= quota ORDER BY doc_id""".stripMargin
+
+  // ── q121: last-touch attribution ───────────────────────────────────────
+
+  /** q121: each purchase credited to the user's most recent click within
+    * one hour — one user-partitioned window pass, no event-log self-join
+    * on an inequality. */
+  def q121Attribution(s: SparkSession, dir: String): DataFrame =
+    Funnel.lastTouch(Sources.events(s, dir), "user_id", "event_type",
+        "ts", "event_id", sourceType = "click", convType = "purchase",
+        windowSec = 3600L)
+      .orderBy(col("event_id"))
+
+  val q121Sql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS tus FROM events),
+      |w AS (SELECT event_id, user_id, event_type, tus,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+      |        IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS src_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN tus END
+      |        IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS src_tus
+      |  FROM e)
+      |SELECT event_id, user_id,
+      |  CASE WHEN tus - src_tus <= 3600000000 THEN src_id END
+      |    AS attributed_id,
+      |  CASE WHEN tus - src_tus <= 3600000000
+      |    THEN (tus - src_tus) // 1000000 END AS gap_s
+      |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  // ── q122: binary sign-bit vector quantization ──────────────────────────
+
+  /** q122: 64-dim embeddings collapsed to one int64 sign code plus its
+    * popcount — the 256× compression that feeds Hamming candidate
+    * generation (q109's pigeonhole search runs unchanged over these
+    * codes; composition is spec-tested). */
+  def q122SignCodes(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    VectorAggs.signCodes(emb, "vec_id", "embedding", dims = 64)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("code"), bit_count(col("code")).as("n_pos"),
+        col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q122Sql: String =
+    """WITH c AS (SELECT vec_id, label,
+      |    CAST(list_sum(list_transform(range(0, 64), i ->
+      |      CASE WHEN embedding[i + 1] > 0 THEN
+      |        CASE WHEN i = 63 THEN -9223372036854775807 - 1
+      |             ELSE 1::BIGINT << i END
+      |      ELSE 0 END)) AS BIGINT) AS code
+      |  FROM embeddings)
+      |SELECT vec_id, code, bit_count(code) AS n_pos, label
+      |FROM c ORDER BY vec_id""".stripMargin
+
+  // ── q123: incremental aggregate maintenance (IVM) ──────────────────────
+
+  /** q123: a per-language (count, chars) materialized aggregate updated
+    * from a snapshot diff — removed docs subtract, added docs add,
+    * changed docs do both — and gate-compared against the oracle's
+    * DIRECT aggregation of the new snapshot: the O(diff)-refresh law,
+    * hash-verified. */
+  def q123Ivm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    def withKey(d: DataFrame): DataFrame =
+      d.withColumn("graft_ck",
+        concat_ws("|", col("text"), col("n_chars")))
+    val a = withKey(docs)
+    val changed = docs.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" refreshed"))).otherwise(col("text")))
+      .withColumn("n_chars", when(col("doc_id") % 7 === 0,
+        col("n_chars") + 10).otherwise(col("n_chars")))
+    val added = docs.filter(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val b = withKey(changed.unionByName(added))
+    val base = a.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("w_sum"))
+    Snapshot.maintainAgg(base, a, b, "doc_id", "graft_ck", "lang", "n_chars")
+      .orderBy(col("lang"))
+  }
+
+  val q123Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id % 7 = 0 AND doc_id % 11 <> 0
+      |    THEN n_chars + 10 ELSE n_chars END) AS BIGINT) AS w_sum
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -334,8 +334,10 @@ class PlanShapeSpec extends SparkSpec {
       // q111: 3-row percentile-targets broadcast onto the (strata ×
       // bucket) counts — metadata scale; q113: 1-row max-ts broadcast
       // riding the scan; q116: bounded anchor-set broadcast vs one
-      // corpus pass (the q92 eval-sample shape)
-      "q111_quantized_pct", "q113_decayed", "q116_hard_negatives")
+      // corpus pass (the q92 eval-sample shape); q120: 1-row corpus
+      // total broadcast onto the strata counts (the q80 n_min shape)
+      "q111_quantized_pct", "q113_decayed", "q116_hard_negatives",
+      "q120_proportional_sample")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Decay, Histogram, Profiling, Selection, Similarity, TextAnalysis}
+import graft.operators.{Decay, Funnel, Histogram, Profiling, Sampling, Selection, Similarity, Snapshot, Standardize, TextAnalysis, TextDedup, VectorAggs}
 
 /** Targeted specs for the round-6 diagnostics/selection operators
   * (table profiling, quantized percentiles, Pareto frontier, half-life
@@ -133,6 +133,141 @@ class Round6OperatorsSpec extends SparkSpec {
     assert(got(0) == ((1L, 4L, 2L, (term(0.5) * 2).toDouble)))
     assert(got(1) == ((2L, 5L, 1L, 0.0)))
     assert(got(2) == ((3L, 4L, 4L, (term(0.25) * 4).toDouble)))
+  }
+
+  // ── mergeable histograms ────────────────────────────────────────────────
+
+  test("bucketCounts merge over any batch split equals the direct histogram") {
+    val vals = (1L to 200L).map(v => Tuple1(v * 7 % 97)).toDF("v")
+    val direct = Histogram.bucketCounts(vals, "v", bits = 4, mn = 0L,
+        mx = 100L)
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    val parts = Seq(
+      vals.filter(col("v") % 3 === 0), vals.filter(col("v") % 3 === 1),
+      vals.filter(col("v") % 3 === 2))
+      .map(Histogram.bucketCounts(_, "v", bits = 4, mn = 0L, mx = 100L))
+    val merged = Histogram.mergeBucketCounts(parts)
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(merged == direct)
+  }
+
+  // ── prefix clusters ─────────────────────────────────────────────────────
+
+  test("prefixClusters groups docs by first-k tokens only") {
+    val docs = Seq(
+      (1L, "a b c d e suffix one"),
+      (2L, "a b c d e totally different tail"),
+      (3L, "a b c d e"),            // exactly k tokens — same group
+      (4L, "a b c d X e"),          // 5th token differs — own group
+      (5L, "unrelated words entirely here now")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.prefixClusters(docs, "doc_id", "text", k = 5)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length == 1)
+    assert(got(0)._2 == 3L && got(0)._3 == 1L && got(0)._4 == 3L)
+  }
+
+  // ── z-scores ────────────────────────────────────────────────────────────
+
+  test("zScores standardizes within stratum with population moments") {
+    val df = Seq(
+      ("a", 0.0), ("a", 10.0),           // mean 5, pop std 5 → z = ∓1
+      ("b", 2.0), ("b", 2.0), ("b", 2.0) // constant: var 0 → z NaN
+    ).toDF("g", "v")
+    val got = Standardize.zScores(df, "v", "g", sigma = 1.0)
+      .filter(col("g") === "a").orderBy(col("v"))
+      .select(col("mean"), col("std"), col("z"), col("is_outlier"))
+      .as[(Double, Double, Double, Boolean)].collect()
+    assert(got.toSeq == Seq((5.0, 5.0, -1.0, true), (5.0, 5.0, 1.0, true)))
+  }
+
+  // ── proportional quota ──────────────────────────────────────────────────
+
+  test("proportionalQuota allocates largest remainders to an exact total") {
+    // strata 50/30/21 of 101, N=10: bases 4/2/2, remainders 96/98/8 →
+    // the two extra slots go to s30 (98) then s50 (96): quotas 5/3/2
+    val rows = (1L to 50L).map(i => (i, "s50")) ++
+      (51L to 80L).map(i => (i, "s30")) ++ (81L to 101L).map(i => (i, "s21"))
+    val df = rows.toDF("id", "g")
+    val got = Sampling.proportionalQuota(df, "id", "g", "pq", totalN = 10L)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(got == Map("s50" -> 5L, "s30" -> 3L, "s21" -> 2L))
+    // deterministic under repartitioning
+    val again = Sampling.proportionalQuota(df.repartition(7), "id", "g",
+        "pq", totalN = 10L)
+      .select("id").as[Long].collect().toSet
+    val first = Sampling.proportionalQuota(df, "id", "g", "pq", totalN = 10L)
+      .select("id").as[Long].collect().toSet
+    assert(again == first)
+  }
+
+  // ── last-touch attribution ──────────────────────────────────────────────
+
+  test("lastTouch credits the most recent in-window source or nothing") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: click 10:00, click 10:30, purchase 10:40 → credit 2nd click
+      (1L, 1L, "click", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "click", ts("2024-01-01 10:30:00")),
+      (3L, 1L, "purchase", ts("2024-01-01 10:40:00")),
+      // user 2: click 08:00, purchase 10:00 → 2 h gap, out of window
+      (4L, 2L, "click", ts("2024-01-01 08:00:00")),
+      (5L, 2L, "purchase", ts("2024-01-01 10:00:00")),
+      // user 3: purchase with no click at all
+      (6L, 3L, "purchase", ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Funnel.lastTouch(events, "user_id", "event_type", "ts",
+        "event_id", "click", "purchase", windowSec = 3600L)
+      .orderBy("event_id")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+    assert(got.toSeq == Seq(
+      (3L, 1L, Some(2L), Some(600L)),
+      (5L, 2L, None, None),
+      (6L, 3L, None, None)))
+  }
+
+  // ── sign codes ──────────────────────────────────────────────────────────
+
+  test("signCodes packs sign bits incl. the int64 sign bit, and feeds " +
+      "Hamming search") {
+    val vecs = Seq(
+      (1L, (0 until 64).map(i => if (i == 0 || i == 63) 1.0f else -1.0f)),
+      (2L, (0 until 64).map(i => if (i == 0) 1.0f else -1.0f)),
+      (3L, (0 until 64).map(_ => -1.0f))
+    ).toDF("vec_id", "embedding")
+    val codes = VectorAggs.signCodes(vecs, "vec_id", "embedding", dims = 64)
+    val byId = codes.as[(Long, Long)].collect().toMap
+    assert(byId(1L) == (1L | Long.MinValue))
+    assert(byId(2L) == 1L)
+    assert(byId(3L) == 0L)
+    // composition: pigeonhole Hamming search runs unchanged over codes
+    val pairs = TextDedup.hammingPairs(codes, "vec_id", "code",
+        bits = 64, bands = 8, maxDist = 2)
+      .orderBy("d1", "d2").as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 1)))
+  }
+
+  // ── incremental aggregate maintenance ───────────────────────────────────
+
+  test("maintainAgg over add/remove/change/migrate equals direct agg") {
+    val a = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "fr", 30L), (4L, "de", 40L))
+      .toDF("id", "lang", "w")
+    val b = Seq(
+      (1L, "en", 10L),  // unchanged
+      // 2 removed
+      (3L, "fr", 35L),  // weight changed
+      (4L, "fr", 40L),  // migrated de → fr (de drops to zero and is gone)
+      (5L, "en", 50L))  // added
+      .toDF("id", "lang", "w")
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("ck", concat_ws("|", col("lang"), col("w")))
+    val base = a.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("w_sum"))
+    val got = Snapshot.maintainAgg(base, key(a), key(b), "id", "ck",
+        "lang", "w")
+      .orderBy("lang").as[(String, Long, Long)].collect()
+    assert(got.toSeq == Seq(("en", 2L, 60L), ("fr", 2L, 75L)))
   }
 
   // ── hard negatives ──────────────────────────────────────────────────────
