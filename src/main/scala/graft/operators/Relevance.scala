@@ -222,6 +222,38 @@ object Relevance {
    * arithmetic is written in one fixed association so the double result
    * is bit-identical in the oracle.
    */
+  /**
+   * Skip-gram co-occurrence counts — word2vec-style context mining: every
+   * unordered word pair within `window` positions of each other, counted
+   * corpus-wide, top-`k` by count. The counting step of embedding /
+   * collocation training-data prep (the ±1 special case is
+   * [[bigramPmiTopK]]'s adjacency).
+   *
+   * Scale shape: per distance d the pairs come from ONE `zip_with` of the
+   * word array against its d-shifted self — no self-join of an exploded
+   * token table on positions, no window function, zero shuffle before
+   * the pair-count hash agg (map-side combinable). The cut is a
+   * TakeOrderedAndProject.
+   */
+  def skipgramPairs(docs: DataFrame, textCol: String, window: Int,
+                    k: Int): DataFrame = {
+    require(window >= 1, s"window=$window must be positive")
+    val ws = col("graft_ws")
+    val perDist = (1 to window).map { d =>
+      when(size(ws) > d,
+        zip_with(slice(ws, lit(1), size(ws) - d),
+          slice(ws, lit(d + 1), size(ws) - d),
+          (a, b) => struct(least(a, b).as("x"), greatest(a, b).as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>"))
+    }
+    docs.select(split(col(textCol), " ").as("graft_ws"))
+      .select(explode(concat(perDist: _*)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("x").asc, col("y").asc)
+      .limit(k)
+  }
+
   def bigramPmiTopK(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val ws = col("graft_ws")
     val pairs = docs.select(split(col(textCol), " ").as("graft_ws"))

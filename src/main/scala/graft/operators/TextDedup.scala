@@ -348,6 +348,34 @@ object TextDedup {
   }
 
   /**
+   * Per-document novelty score: 1 − max Jaccard against ANY LSH
+   * near-dup candidate — the graded companion to the binary dup/not-dup
+   * cut. Curation mixes rank by novelty ("prefer documents unlike
+   * anything already kept") instead of thresholding; documents with no
+   * candidate at all score a full 1.0.
+   *
+   * Shape: the same banded LSH pipeline as [[minHashLshPairs]] with the
+   * threshold removed (candidates are still collision-driven, never
+   * all-pairs), one symmetric union of the pair list, one max-agg, and a
+   * left join back onto the corpus ids.
+   */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 16, r: Int = 4, w: Int = 3): DataFrame = {
+    val pairs = minHashLshPairs(docs, idCol, textCol, k, r, w,
+      threshold = 0.0)
+    val sym = pairs.select(col("d1").as(idCol), col("jaccard"))
+      .unionByName(pairs.select(col("d2").as(idCol), col("jaccard")))
+    val agg = sym.groupBy(col(idCol))
+      .agg(max(col("jaccard")).as("graft_mj"),
+        count(lit(1)).as("n_candidates"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        round(lit(1.0) - coalesce(col("graft_mj"), lit(0.0)), 6)
+          .as("novelty"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+  }
+
+  /**
    * Prefix-blocking dedup groups: documents sharing their first `k`
    * tokens, keyed by the md5 of that prefix. The cheap blocking pass for
    * truncated-scrape and re-crawl artifacts (the duplicate family where

@@ -459,4 +459,76 @@ object DiagnosticsQueries {
       |  CAST(SUM(CASE WHEN doc_id % 7 = 0 AND doc_id % 11 <> 0
       |    THEN n_chars + 10 ELSE n_chars END) AS BIGINT) AS w_sum
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ── q124: skip-gram co-occurrence mining ───────────────────────────────
+
+  /** q124: top-20 unordered word pairs within ±2 positions — word2vec
+    * context counting off shifted-slice zips, zero shuffle before the
+    * pair-count agg. */
+  def q124Skipgram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relevance.skipgramPairs(Sources.documents(s, dir),
+        "text", window = 2, k = 20)
+
+  val q124Sql: String =
+    """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |p1 AS (SELECT unnest(list_transform(range(1, len(w)), j ->
+      |         {'x': least(w[j], w[j+1]), 'y': greatest(w[j], w[j+1])})) AS u
+      |       FROM ws WHERE len(w) >= 2),
+      |p2 AS (SELECT unnest(list_transform(range(1, len(w) - 1), j ->
+      |         {'x': least(w[j], w[j+2]), 'y': greatest(w[j], w[j+2])})) AS u
+      |       FROM ws WHERE len(w) >= 3),
+      |pr AS (SELECT u.x AS x, u.y AS y FROM p1
+      |       UNION ALL SELECT u.x, u.y FROM p2)
+      |SELECT x, y, COUNT(*) AS n FROM pr GROUP BY x, y
+      |ORDER BY n DESC, x, y LIMIT 20""".stripMargin
+
+  // ── q125: near-dup novelty scores ──────────────────────────────────────
+
+  /** q125: per-document novelty (1 − max candidate Jaccard) over the
+    * LSH candidate set — the graded dedup signal curation ranks by,
+    * candidates collision-driven, never all-pairs. */
+  def q125Novelty(s: SparkSession, dir: String): DataFrame =
+    TextDedup.noveltyScores(Sources.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q125Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |hw AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h1,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h2
+      |       FROM sh),
+      |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+      |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band,
+      |            md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bh
+      |          FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |         WHERE a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.d1, c.d2, count(*) AS inter
+      |          FROM cand c
+      |          JOIN sh a ON a.doc_id = c.d1
+      |          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+      |          GROUP BY c.d1, c.d2),
+      |pairs AS (SELECT i.d1, i.d2,
+      |    CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) AS j
+      |  FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
+      |  JOIN sz s2 ON i.d2 = s2.doc_id),
+      |sym AS (SELECT d1 AS doc_id, j FROM pairs
+      |        UNION ALL SELECT d2, j FROM pairs),
+      |ag AS (SELECT doc_id, MAX(j) AS mj, COUNT(*) AS n_candidates
+      |       FROM sym GROUP BY doc_id)
+      |SELECT d.doc_id, round(1.0 - COALESCE(ag.mj, 0.0), 6) AS novelty,
+      |  COALESCE(ag.n_candidates, 0) AS n_candidates
+      |FROM documents d LEFT JOIN ag USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 }

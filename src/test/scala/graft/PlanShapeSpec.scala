@@ -220,6 +220,48 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("bucketed snapshot diff joins without any exchange") {
+    // Snapshot.diff's scaladoc claim made real: with both snapshots
+    // stored bucketed on the id, the full-outer hash-compare join reads
+    // both sides in place — the nightly 100 TB diff costs two bucketed
+    // scans, zero shuffle.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.operators.Snapshot
+    import graft.sources.{Sinks, Sources}
+    for (t <- Seq("b_snap_a", "b_snap_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val docs = Sources.documents(spark, sf)
+    Sinks.writeBucketed(docs, "b_snap_a", Seq("doc_id"), 8)
+    Sinks.writeBucketed(docs.filter(col("doc_id") % 11 =!= 0),
+      "b_snap_b", Seq("doc_id"), 8)
+    val (prevAqe, prevBc) = (
+      spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val d = Snapshot.diff(spark.table("b_snap_a"),
+        spark.table("b_snap_b"), "doc_id", "text")
+      assert(d.filter(col("status") === "removed").count() > 0)
+      val plan = d.queryExecution.executedPlan
+      assert(plan.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f
+      }.size == 2, s"both snapshots must be read as bucketed scans:\n$plan")
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"bucketed diff must be exchange-free:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("z-order values are computed inside whole-stage codegen, pruned scan") {
     val df = graft.queries.ScaleQueries.q84ZOrderLayout(spark, sf)
     df.collect() // AQE hides codegen spans until the final plan exists

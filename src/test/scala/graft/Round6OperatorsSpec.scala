@@ -247,6 +247,41 @@ class Round6OperatorsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 1)))
   }
 
+  // ── skip-gram co-occurrence ─────────────────────────────────────────────
+
+  test("skipgramPairs counts unordered pairs within the window only") {
+    val docs = Seq(Tuple1("a b c d")).toDF("text")
+    val got = graft.operators.Relevance.skipgramPairs(docs, "text",
+        window = 2, k = 100)
+      .orderBy("x", "y").as[(String, String, Long)].collect()
+    // distance 1: (a,b)(b,c)(c,d); distance 2: (a,c)(b,d); never (a,d)
+    assert(got.toSeq == Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L),
+      ("b", "d", 1L), ("c", "d", 1L)))
+  }
+
+  test("skipgramPairs canonicalizes pair order and merges both directions") {
+    // "b a" and "a b" are the same unordered pair → count 2
+    val docs = Seq(Tuple1("b a"), Tuple1("a b")).toDF("text")
+    val got = graft.operators.Relevance.skipgramPairs(docs, "text",
+        window = 2, k = 10)
+      .as[(String, String, Long)].collect()
+    assert(got.toSeq == Seq(("a", "b", 2L)))
+  }
+
+  // ── novelty scores ──────────────────────────────────────────────────────
+
+  test("noveltyScores: exact dup scores 0, unrelated doc scores 1") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"), // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta")  // no shared shingle
+    ).toDF("doc_id", "text")
+    val got = TextDedup.noveltyScores(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Double, Long)].collect()
+    assert(got.toSeq == Seq((1L, 0.0, 1L), (2L, 0.0, 1L), (3L, 1.0, 0L)))
+  }
+
   // ── incremental aggregate maintenance ───────────────────────────────────
 
   test("maintainAgg over add/remove/change/migrate equals direct agg") {

@@ -213,6 +213,38 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
   }
 
+  test("streaming histogram maintenance merges partials to the batch result") {
+    // Histogram.bucketCounts' fixed domain is what makes micro-batch
+    // partials addable: each batch histograms independently and
+    // mergeBucketCounts folds them into the running corpus histogram —
+    // the streaming ANALYZE that never rescans history.
+    import graft.operators.Histogram
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = tmpDir("hist-stream")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/a")
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.parquet(s"$dir/b")
+    val expected = Histogram.bucketCounts(docs, "n_chars", 8, 0L, 5000L)
+      .orderBy("bucket").collect().toSeq
+    var running: Option[org.apache.spark.sql.DataFrame] = None
+    var batches = 0
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        val part = Histogram.bucketCounts(batch, "n_chars", 8, 0L, 5000L)
+          .localCheckpoint()
+        running = Some(running
+          .map(r => Histogram.mergeBucketCounts(Seq(r, part)).localCheckpoint())
+          .getOrElse(part))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 2, s"expected >=2 micro-batches, got $batches")
+    assert(running.get.orderBy("bucket").collect().toSeq == expected)
+  }
+
   test("mapGroupsWithState accumulates per-user counts") {
     import spark.implicits._
     val ds = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDS()
