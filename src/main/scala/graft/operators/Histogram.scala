@@ -43,16 +43,23 @@ object Histogram {
     require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be within [1, 100]: $pcts")
-    val row = df.agg(min(col(valueCol).cast(LongType)),
+    // NULL values carry no rank information and would bucket as NULL —
+    // sorted FIRST by Spark's window but LAST by most other engines,
+    // shifting every cumulative count. Excluded up front (documented:
+    // percentiles are over non-NULL values, as in SQL aggregates).
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val row = nonNull.agg(min(col(valueCol).cast(LongType)),
       max(col(valueCol).cast(LongType))).head()
-    if (row.isNullAt(0)) return df.sparkSession.emptyDataFrame
-    val (mn, mx) = (row.getLong(0), row.getLong(1))
+    // empty input: any literal domain gives the correctly-shaped empty
+    // result (counts below are empty either way)
+    val (mn, mx) =
+      if (row.isNullAt(0)) (0L, 1L) else (row.getLong(0), row.getLong(1))
     val top = (1L << bits) - 1
     require((BigInt(mx) - BigInt(mn)) * top <= Long.MaxValue,
       s"quantizedPercentiles overflows int64: ($mx - $mn) * $top; " +
         "pre-scale the column or lower bits")
 
-    val counts = df
+    val counts = nonNull
       .select(col(strataCol),
         Layout.rank(col(valueCol), lit(mn), lit(mx), bits).as("bucket"))
       .groupBy(col(strataCol), col("bucket"))
@@ -86,8 +93,10 @@ object Histogram {
    * different batches/sources/days addable: every producer quantizes
    * identically, so merging is plain per-bucket count addition
    * ([[mergeBucketCounts]]) — the semigroup law the gate verifies on
-   * q117. Out-of-domain values land in out-of-range buckets
-   * deterministically rather than clamping (callers choose the domain).
+   * q117. Out-of-domain values CLAMP to the edge buckets (0 and 2^bits−1):
+   * letting them run through the rank arithmetic raw would bucket
+   * negative numerators differently across engines (int64 `div` truncates
+   * toward zero, DuckDB `//` floors) and risk overflow far above mx.
    */
   def bucketCounts(df: DataFrame, valueCol: String, bits: Int,
                    mn: Long, mx: Long): DataFrame = {
@@ -96,8 +105,9 @@ object Histogram {
     val top = (1L << bits) - 1
     require((BigInt(mx) - BigInt(mn)) * top <= Long.MaxValue,
       s"bucketCounts overflows int64: ($mx - $mn) * $top")
-    df.select(Layout.rank(col(valueCol).cast(LongType), lit(mn), lit(mx),
-        bits).as("bucket"))
+    val clamped = least(greatest(col(valueCol).cast(LongType), lit(mn)),
+      lit(mx))
+    df.select(Layout.rank(clamped, lit(mn), lit(mx), bits).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
   }

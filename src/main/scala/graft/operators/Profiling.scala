@@ -38,25 +38,28 @@ object Profiling {
     def repr(f: StructField): Column = f.dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
         col(f.name).cast(StringType)
-      case DoubleType | FloatType =>
+      case DoubleType | FloatType | _: DecimalType =>
         round(col(f.name).cast(DoubleType), 6)
           .cast(DecimalType(18, 6)).cast(StringType)
       case StringType => col(f.name)
       case _ => col(f.name).cast(StringType)
     }
-    // typed carriers for numeric min/max: int64 stays exact past 2^53
+    // typed carriers for numeric min/max: int64 stays exact past 2^53;
+    // decimals ride the double carrier (lexicographic "10" < "9" on the
+    // string repr is exactly what the carriers exist to prevent)
     def longOrNull(f: StructField): Column = f.dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
         col(f.name).cast(LongType)
       case _ => lit(null).cast(LongType)
     }
     def dblOrNull(f: StructField): Column = f.dataType match {
-      case DoubleType | FloatType => col(f.name).cast(DoubleType)
+      case DoubleType | FloatType | _: DecimalType =>
+        col(f.name).cast(DoubleType)
       case _ => lit(null).cast(DoubleType)
     }
     def kind(f: StructField): Int = f.dataType match {
       case ByteType | ShortType | IntegerType | LongType => 1
-      case DoubleType | FloatType => 2
+      case DoubleType | FloatType | _: DecimalType => 2
       case _ => 0
     }
 

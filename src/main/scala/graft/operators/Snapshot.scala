@@ -67,21 +67,25 @@ object Snapshot {
     val hb = b.select(col(idCol), md5(col(contentCol)).as("graft_hb"),
       col(strataCol).as("graft_sb"),
       col(weightCol).cast(LongType).as("graft_wb"))
+    // one pass over the joined snapshots: keep only rows whose content
+    // identity differs, then EXPLODE each into its signed contributions
+    // (subtract the old side, add the new) — two filtered re-reads of
+    // the join would run the corpus-scale full-outer join twice
     val j = ha.join(hb, Seq(idCol), "full_outer")
-    val minus = j
-      .filter(col("graft_ha").isNotNull &&
-        (col("graft_hb").isNull || col("graft_ha") =!= col("graft_hb")))
-      .select(col("graft_sa").as(strataCol), lit(-1L).as("graft_dn"),
-        (-col("graft_wa")).as("graft_dw"))
-    val plus = j
-      .filter(col("graft_hb").isNotNull &&
-        (col("graft_ha").isNull || col("graft_ha") =!= col("graft_hb")))
-      .select(col("graft_sb").as(strataCol), lit(1L).as("graft_dn"),
-        col("graft_wb").as("graft_dw"))
-    val delta = minus.unionByName(plus)
-      .groupBy(col(strataCol))
-      .agg(sum(col("graft_dn")).as("graft_dn"),
-        sum(col("graft_dw")).as("graft_dw"))
+      .filter(col("graft_ha").isNull || col("graft_hb").isNull ||
+        col("graft_ha") =!= col("graft_hb"))
+    val delta = j
+      .select(explode(array(
+        struct(col("graft_sa").as("s"), lit(-1L).as("dn"),
+          (-col("graft_wa")).as("dw"),
+          col("graft_ha").isNotNull.as("keep")),
+        struct(col("graft_sb").as("s"), lit(1L).as("dn"),
+          col("graft_wb").as("dw"),
+          col("graft_hb").isNotNull.as("keep")))).as("c"))
+      .filter(col("c.keep"))
+      .groupBy(col("c.s").as(strataCol))
+      .agg(sum(col("c.dn")).as("graft_dn"),
+        sum(col("c.dw")).as("graft_dw"))
     base.join(delta, Seq(strataCol), "full_outer")
       .select(col(strataCol),
         (coalesce(col("n_docs"), lit(0L)) +

@@ -33,8 +33,14 @@ object Standardize {
       sum(round(v, 6).cast(DecimalType(18, 6))).as("graft_s1"),
       sum(round(v * v, 6).cast(DecimalType(28, 6))).as("graft_s2"))
     val mean = col("graft_s1").cast(DoubleType) / col("graft_n")
-    val variance = col("graft_s2").cast(DoubleType) / col("graft_n") -
-      mean * mean
+    // clamp at zero: the 6-dp-rounded square sums can push E[x²]−E[x]²
+    // marginally negative for near-constant small-magnitude strata, and
+    // sqrt of a negative is NaN here but an ERROR in DuckDB — the clamp
+    // keeps both engines on the zero-variance path (z = NULL, from
+    // double division by zero) instead
+    val variance = greatest(
+      col("graft_s2").cast(DoubleType) / col("graft_n") - mean * mean,
+      lit(0.0))
     df.join(broadcast(stats), Seq(strataCol))
       .withColumn("mean", round(mean, 6))
       .withColumn("std", round(sqrt(variance), 6))

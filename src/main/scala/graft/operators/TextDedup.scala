@@ -363,8 +363,13 @@ object TextDedup {
                     k: Int = 16, r: Int = 4, w: Int = 3): DataFrame = {
     val pairs = minHashLshPairs(docs, idCol, textCol, k, r, w,
       threshold = 0.0)
-    val sym = pairs.select(col("d1").as(idCol), col("jaccard"))
-      .unionByName(pairs.select(col("d2").as(idCol), col("jaccard")))
+    // symmetrize by exploding each pair into both endpoints — a
+    // two-branch union would evaluate the whole LSH pipeline twice
+    val sym = pairs
+      .select(explode(array(
+        struct(col("d1").as("id"), col("jaccard")),
+        struct(col("d2").as("id"), col("jaccard")))).as("c"))
+      .select(col("c.id").as(idCol), col("c.jaccard").as("jaccard"))
     val agg = sym.groupBy(col(idCol))
       .agg(max(col("jaccard")).as("graft_mj"),
         count(lit(1)).as("n_candidates"))

@@ -227,7 +227,9 @@ object VectorAggs {
   def signCodes(df: DataFrame, idCol: String, vecCol: String,
                 dims: Int): DataFrame = {
     require(dims >= 1 && dims <= 64, s"dims=$dims must fit one int64")
-    val terms = transform(col(vecCol), (x, i) =>
+    // slice to dims: extra dimensions must not set extra bits (a 64+-dim
+    // vector would otherwise alias bits via Java's shift-count mod 64)
+    val terms = transform(slice(col(vecCol), 1, dims), (x, i) =>
       when(x > lit(0.0f), call_function("shiftleft", lit(1L), i))
         .otherwise(lit(0L)))
     df.select(col(idCol),

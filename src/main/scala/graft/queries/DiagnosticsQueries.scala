@@ -154,7 +154,8 @@ object DiagnosticsQueries {
     val splits = Sampling.deterministicSplit(docs.select(col("doc_id")),
       "doc_id", "split",
       Seq(("train", 204), ("val", 230), ("test", 256)))
-    val pairs = TextDedup.minHashLshPairs(docs, "doc_id", "text")
+    val pairs = TextDedup.minHashLshPairs(docs, "doc_id", "text",
+      k = 16, r = 4, w = 3, threshold = 0.5)
     pairs
       .join(splits.select(col("doc_id").as("d1"), col("split").as("split1")),
         Seq("d1"))
@@ -288,7 +289,8 @@ object DiagnosticsQueries {
   }
 
   val q117Sql: String =
-    """SELECT (n_chars * 255) // 5000 AS bucket, COUNT(*) AS n
+    """SELECT (LEAST(GREATEST(n_chars, 0), 5000) * 255) // 5000 AS bucket,
+      |  COUNT(*) AS n
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ── q118: prefix-blocking dedup groups ─────────────────────────────────
@@ -330,8 +332,9 @@ object DiagnosticsQueries {
       |  FROM events GROUP BY event_type),
       |m AS (SELECT event_type,
       |    CAST(s1 AS DOUBLE) / n AS mean,
-      |    CAST(s2 AS DOUBLE) / n
-      |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS var
+      |    greatest(CAST(s2 AS DOUBLE) / n
+      |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+      |      0.0) AS var
       |  FROM st),
       |z AS (SELECT e.event_id, e.event_type, e.value,
       |    round((e.value - m.mean) / sqrt(m.var), 6) AS z

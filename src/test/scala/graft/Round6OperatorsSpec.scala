@@ -151,6 +151,14 @@ class Round6OperatorsSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("bucketCounts clamps out-of-domain values to the edge buckets") {
+    val df = Seq(-50L, 0L, 50L, 100L, 999L).toDF("v")
+    val got = Histogram.bucketCounts(df, "v", bits = 2, mn = 0L, mx = 100L)
+      .orderBy("bucket").as[(Long, Long)].collect()
+    // -50 clamps to bucket 0; 999 clamps to bucket 3 (= 2^2 − 1)
+    assert(got.toSeq == Seq((0L, 2L), (1L, 1L), (3L, 2L)))
+  }
+
   // ── prefix clusters ─────────────────────────────────────────────────────
 
   test("prefixClusters groups docs by first-k tokens only") {
@@ -240,6 +248,10 @@ class Round6OperatorsSpec extends SparkSpec {
     assert(byId(1L) == (1L | Long.MinValue))
     assert(byId(2L) == 1L)
     assert(byId(3L) == 0L)
+    // dims slices the vector: dimensions past dims never set bits
+    val truncated = VectorAggs.signCodes(vecs, "vec_id", "embedding",
+        dims = 32).as[(Long, Long)].collect().toMap
+    assert(truncated(1L) == 1L, "bit 63 must be dropped at dims=32")
     // composition: pigeonhole Hamming search runs unchanged over codes
     val pairs = TextDedup.hammingPairs(codes, "vec_id", "code",
         bits = 64, bands = 8, maxDist = 2)
