@@ -40,6 +40,35 @@ object Snapshot {
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
 
   /**
+   * SCD type-2 intervalization: collapse a change log into validity
+   * intervals — one row per (key, attribute run) with
+   * [valid_from, valid_to) bounds and an is-current flag. The
+   * slowly-changing-dimension build every warehouse runs on entity
+   * change streams; downstream point-in-time joins ride [[AsOfJoin]].
+   *
+   * Consecutive repeats of the same attribute value are collapsed first
+   * (lag), then each surviving change row takes the NEXT change's
+   * timestamp as its exclusive upper bound (lead) — two passes over one
+   * key-partitioned ordering, so the plan is one shuffle and two window
+   * evaluations sharing that exchange. Timestamps are surfaced as epoch
+   * micros (engine-portable; NULL upper bound = current).
+   */
+  def scd2(df: DataFrame, keyCol: String, attrCol: String, tsCol: String,
+           idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val changes = df
+      .withColumn("graft_prev", lag(col(attrCol), 1).over(w))
+      .filter(col("graft_prev").isNull || col("graft_prev") =!= col(attrCol))
+    changes
+      .withColumn("graft_to", lead(unix_micros(col(tsCol)), 1).over(w))
+      .select(col(keyCol), col(idCol), col(attrCol),
+        unix_micros(col(tsCol)).as("valid_from_us"),
+        col("graft_to").as("valid_to_us"),
+        col("graft_to").isNull.as("is_current"))
+  }
+
+  /**
    * Incremental maintenance of a per-stratum materialized aggregate
    * (count + sum): `base` is agg(a) as already materialized; the result
    * equals agg(b), computed as base + a delta derived ONLY from rows

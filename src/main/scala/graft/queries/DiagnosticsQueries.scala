@@ -534,4 +534,27 @@ object DiagnosticsQueries {
       |  COALESCE(ag.n_candidates, 0) AS n_candidates
       |FROM documents d LEFT JOIN ag USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  // ── q126: SCD type-2 intervalization ───────────────────────────────────
+
+  /** q126: each user's event-type change log collapsed into validity
+    * intervals with an is-current flag — the slowly-changing-dimension
+    * build; one shuffle, two windows sharing the exchange. */
+  def q126Scd2(s: SparkSession, dir: String): DataFrame =
+    Snapshot.scd2(Sources.events(s, dir), "user_id", "event_type", "ts",
+        "event_id")
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+
+  val q126Sql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS tus FROM events),
+      |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY tus, event_id) AS prev FROM e),
+      |ch AS (SELECT event_id, user_id, event_type, tus FROM c
+      |       WHERE prev IS NULL OR prev <> event_type),
+      |iv AS (SELECT *, lead(tus) OVER (PARTITION BY user_id
+      |         ORDER BY tus, event_id) AS vto FROM ch)
+      |SELECT user_id, event_id, event_type, tus AS valid_from_us,
+      |  vto AS valid_to_us, vto IS NULL AS is_current
+      |FROM iv ORDER BY user_id, valid_from_us, event_id""".stripMargin
 }

@@ -259,6 +259,33 @@ class Round6OperatorsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 1)))
   }
 
+  // ── SCD type-2 intervalization ──────────────────────────────────────────
+
+  test("scd2 collapses repeats and chains validity intervals per key") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      // user 1: A, A (repeat collapses), B, A again (new interval)
+      (1L, 1L, "A", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "A", ts("2024-01-01 11:00:00")),
+      (3L, 1L, "B", ts("2024-01-01 12:00:00")),
+      (4L, 1L, "A", ts("2024-01-01 13:00:00")),
+      // user 2: single value → one open interval
+      (5L, 2L, "X", ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "attr", "ts")
+    def us(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000L
+    val got = graft.operators.Snapshot.scd2(log, "user_id", "attr", "ts",
+        "event_id")
+      .orderBy("user_id", "valid_from_us")
+      .as[(Long, Long, String, Long, Option[Long], Boolean)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 1L, "A", us("2024-01-01 10:00:00"),
+        Some(us("2024-01-01 12:00:00")), false),
+      (1L, 3L, "B", us("2024-01-01 12:00:00"),
+        Some(us("2024-01-01 13:00:00")), false),
+      (1L, 4L, "A", us("2024-01-01 13:00:00"), None, true),
+      (2L, 5L, "X", us("2024-01-01 09:00:00"), None, true)))
+  }
+
   // ── skip-gram co-occurrence ─────────────────────────────────────────────
 
   test("skipgramPairs counts unordered pairs within the window only") {

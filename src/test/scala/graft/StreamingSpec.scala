@@ -90,6 +90,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("wec").collect().toSet === expected)
   }
 
+  test("session windows close on the watermark and match batch sessions") {
+    // native gap-based session_window in a true stream: sessions are
+    // watermark-closed state, emitted once complete — the streaming form
+    // of the Sessionize rollup
+    val sf = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    def sessions(df: org.apache.spark.sql.DataFrame) = {
+      val events = df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case _ => df
+      }
+      events.withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("s"),
+          col("session_window.end").as("e"), col("n_events"))
+    }
+    val expected = sessions(raw).collect().toSet
+    assert(expected.nonEmpty)
+    val streamDir = tmpDir("sess-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    val q = sessions(spark.readStream.schema(raw.schema).parquet(streamDir))
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("sess").collect().toSet === expected)
+  }
+
   test("curation feature columns run unchanged on a stream (stateless)") {
     val sf = "/root/testdata/sf0.001"
     import graft.operators.{Sampling, TextAnalysis}
