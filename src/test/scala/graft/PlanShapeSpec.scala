@@ -220,6 +220,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("partitioned history reads prune partitions at planning time") {
+    // Sinks.appendPartitioned's 100 TB claim made real: a filter on the
+    // partition key must become a PartitionFilter (directory pruning at
+    // planning time), not a post-scan Filter over every file.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.sources.{Sinks, Sources}
+    val dir = java.nio.file.Files.createTempDirectory("part-hist").toString
+    Sinks.appendPartitioned(Sources.documents(spark, sf), dir, Seq("lang"))
+    val read = spark.read.parquet(dir).filter(col("lang") === "en")
+    assert(read.count() > 0)
+    val scans = read.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pruned = scans.head
+    assert(pruned.partitionFilters.exists(_.toString.contains("lang")),
+      s"lang predicate must be a partition filter:\n${pruned.partitionFilters}")
+    // only the en/ directory is selected — not one per language
+    assert(pruned.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, got " +
+        s"${pruned.selectedPartitions.partitionCount}")
+  }
+
   test("bucketed snapshot diff joins without any exchange") {
     // Snapshot.diff's scaladoc claim made real: with both snapshots
     // stored bucketed on the id, the full-outer hash-compare join reads
