@@ -37,9 +37,21 @@ object Histogram {
    * and [[Layout.rank]]'s int64 domain bound is verified against the data
    * before the projection is built (same guard as [[Layout.withZValue]]).
    */
+  /** [[quantizedPercentiles]] with every row counted `weightCol` times —
+    * token-weighted length percentiles and the like ("the median BYTE is
+    * in a document of length…", not "the median document"). Same
+    * integer-exact crossing test over cumulative weight. */
+  def weightedQuantizedPercentiles(df: DataFrame, valueCol: String,
+                                   weightCol: String, strataCol: String,
+                                   bits: Int = 12,
+                                   pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    quantizedPercentiles(df, valueCol, strataCol, bits, pcts,
+      weightCol = Some(weightCol))
+
   def quantizedPercentiles(df: DataFrame, valueCol: String,
                            strataCol: String, bits: Int = 12,
-                           pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+                           pcts: Seq[Int] = Seq(50, 90, 99),
+                           weightCol: Option[String] = None): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be within [1, 100]: $pcts")
@@ -61,9 +73,10 @@ object Histogram {
 
     val counts = nonNull
       .select(col(strataCol),
-        Layout.rank(col(valueCol), lit(mn), lit(mx), bits).as("bucket"))
+        Layout.rank(col(valueCol), lit(mn), lit(mx), bits).as("bucket"),
+        weightCol.map(col).getOrElse(lit(1L)).as("graft_w"))
       .groupBy(col(strataCol), col("bucket"))
-      .agg(count(lit(1)).as("graft_cnt"))
+      .agg(sum(col("graft_w").cast(LongType)).as("graft_cnt"))
     val wCum = Window.partitionBy(col(strataCol)).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy(col(strataCol))

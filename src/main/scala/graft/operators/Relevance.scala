@@ -223,6 +223,78 @@ object Relevance {
    * is bit-identical in the oracle.
    */
   /**
+   * Reciprocal-rank fusion — the standard hybrid-retrieval combiner:
+   * each input ranking contributes `1/(kRrf + rank)` per document, summed
+   * across lists (Cormack et al.'s RRF; the default way to fuse a
+   * lexical BM25 list with a dense-embedding list without score
+   * calibration). Contributions are 6-dp decimals so the fused score is
+   * order-independent and engine-portable; documents missing from a list
+   * simply contribute nothing.
+   *
+   * Each input is an already-cut top-k list — metadata scale — so the
+   * union + hash-agg here is negligible next to the retrieval passes
+   * that produced them.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              kRrf: Int = 60, topN: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings")
+    require(kRrf >= 1, s"kRrf=$kRrf must be positive")
+    val contribs = rankings.map(_.select(col(idCol),
+      round(lit(1.0) / (lit(kRrf) + col(rankCol)), 6)
+        .cast(DecimalType(18, 6)).as("graft_c")))
+    contribs.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("graft_c")).as("graft_s"), count(lit(1)).as("n_lists"))
+      .select(col(idCol),
+        round(col("graft_s").cast(DoubleType), 6).as("rrf"),
+        col("n_lists"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(topN)
+  }
+
+  /**
+   * Bigram language-model quality score: per document, the mean add-one-
+   * smoothed corpus-bigram log-probability
+   * `mean over positions of ln((c(x,y)+1)/(c(x)+V))` — the next-word-
+   * predictability signal that separates natural prose from shuffled or
+   * templated token soup better than unigram frequency
+   * ([[unigramLogProb]]) can. Per-term values are 6-dp decimals summed
+   * exactly.
+   *
+   * Shape: adjacent pairs come from ONE zip_with per doc (no positional
+   * join), then two corpus-wide hash-aggs (bigram counts, unigram
+   * counts), a vocab-size 1-row broadcast, and the per-doc rollup. Every
+   * join is keyed on the terms.
+   */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = col("graft_ws")
+    val pairs = docs.select(col(idCol), split(col(textCol), " ").as("graft_ws"))
+      .select(col(idCol), explode(when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("x"), b.as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>")))
+        .as("p"))
+      .select(col(idCol), col("p.x").as("x"), col("p.y").as("y"))
+    val cxy = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+    val cx = docs.select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c_x"))
+    val vocab = cx.agg(count(lit(1)).as("graft_v"))
+    pairs
+      .join(cxy, Seq("x", "y"))
+      .join(cx.select(col("term").as("x"), col("c_x")), Seq("x"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("graft_term",
+        round(F.log((col("c_xy") + lit(1)).cast(DoubleType) /
+          (col("c_x") + col("graft_v")).cast(DoubleType)), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round((sum(col("graft_term")).cast(DoubleType) / count(lit(1))), 6)
+          .as("avg_logp"))
+  }
+
+  /**
    * Skip-gram co-occurrence counts — word2vec-style context mining: every
    * unordered word pair within `window` positions of each other, counted
    * corpus-wide, top-`k` by count. The counting step of embedding /

@@ -48,4 +48,41 @@ object Standardize {
       .withColumn("is_outlier", abs(col("z")) >= sigma)
       .drop("graft_n", "graft_s1", "graft_s2")
   }
+
+  /**
+   * Per-stratum simple linear regression (OLS): slope and intercept of
+   * y on x within each stratum — the per-group trend line ("does quality
+   * fall with length, per language?"). The sufficient statistics
+   * (n, Σx, Σy, Σxy, Σx²) are 6-dp-decimal sums — order-independent,
+   * engine-portable, and mergeable across batches like every semigroup
+   * aggregate here — and the closed forms are evaluated in one fixed
+   * association. The intercept is derived from the ROUNDED slope so both
+   * engines agree bit-for-bit. A degenerate stratum (zero x-variance)
+   * yields NULL slope/intercept via double division by zero, same in
+   * both engines.
+   *
+   * Shape: ONE map-side-combinable hash-agg over the corpus; the closed
+   * forms run on strata rows (metadata scale).
+   */
+  def groupOls(df: DataFrame, xCol: String, yCol: String,
+               strataCol: String): DataFrame = {
+    val x = col(xCol).cast(DoubleType)
+    val y = col(yCol).cast(DoubleType)
+    val stats = df.groupBy(col(strataCol)).agg(
+      count(lit(1)).as("n"),
+      sum(round(x, 6).cast(DecimalType(28, 6))).as("graft_sx"),
+      sum(round(y, 6).cast(DecimalType(28, 6))).as("graft_sy"),
+      sum(round(x * y, 6).cast(DecimalType(28, 6))).as("graft_sxy"),
+      sum(round(x * x, 6).cast(DecimalType(28, 6))).as("graft_sxx"))
+    val n = col("n").cast(DoubleType)
+    val sx = col("graft_sx").cast(DoubleType)
+    val sy = col("graft_sy").cast(DoubleType)
+    val sxy = col("graft_sxy").cast(DoubleType)
+    val sxx = col("graft_sxx").cast(DoubleType)
+    stats
+      .withColumn("slope",
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6))
+      .withColumn("intercept", round((sy - col("slope") * sx) / n, 6))
+      .select(col(strataCol), col("n"), col("slope"), col("intercept"))
+  }
 }

@@ -211,6 +211,44 @@ object VectorAggs {
   }
 
   /**
+   * kNN label propagation: rows matching `queryPred` get a predicted
+   * label by majority vote of their `k` nearest (cosine) neighbors among
+   * the REMAINING (labeled) rows — the semi-supervised labeling /
+   * weak-supervision step of dataset construction, and (run on held-out
+   * rows whose true label is known, as q131 does) the standard
+   * label-quality audit.
+   *
+   * Shape: the bounded query set is broadcast; the labeled corpus is
+   * scanned ONCE for all queries; top-k rides WindowGroupLimit on the
+   * 6-dp cosine (deterministic at ties via the neighbor id); the vote
+   * and the argmax are per-query aggregations over ≤ k rows. Majority
+   * ties break by smaller label.
+   */
+  def knnPredict(df: DataFrame, idCol: String, vecCol: String,
+                 labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    val queries = df.filter(queryPred)
+      .select(col(idCol).as("q_id"), col(vecCol).as("graft_qv"),
+        col(labelCol).as("true_label"))
+    val scored = df.filter(!queryPred)
+      .crossJoin(broadcast(queries))
+      .select(col("q_id"), col("true_label"), col(idCol).as("graft_nid"),
+        col(labelCol).as("graft_nlabel"),
+        round(Similarity.cosine(col(vecCol), col("graft_qv")), 6)
+          .as("graft_cos"))
+    val nearest = LatestSnapshot.topK(scored, Seq("q_id"),
+      col("graft_cos").desc, Seq(col("graft_nid").asc), k)
+    val votes = nearest.groupBy(col("q_id"), col("true_label"),
+        col("graft_nlabel"))
+      .agg(count(lit(1)).as("n_votes"))
+    LatestSnapshot.topK(votes, Seq("q_id"),
+        col("n_votes").desc, Seq(col("graft_nlabel").asc), 1)
+      .select(col("q_id").as(idCol),
+        col("graft_nlabel").as("predicted_label"),
+        col("n_votes"), col("true_label"))
+  }
+
+  /**
    * Binary (sign-bit) vector quantization: bit i of the code is set iff
    * dimension i is positive — 64 dims collapse into ONE int64, a 256×
    * compression of a float64[64] that still preserves enough angular

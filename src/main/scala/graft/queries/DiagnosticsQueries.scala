@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Decay, Funnel, Histogram, Profiling, Sampling, Selection, Similarity, Snapshot, Standardize, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{Decay, Funnel, Histogram, Profiling, Relevance, Sampling, Selection, Similarity, Snapshot, Standardize, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-6 corpus-diagnostics and selection operators: table profiling
@@ -557,4 +557,217 @@ object DiagnosticsQueries {
       |SELECT user_id, event_id, event_type, tus AS valid_from_us,
       |  vto AS valid_to_us, vto IS NULL AS is_current
       |FROM iv ORDER BY user_id, valid_from_us, event_id""".stripMargin
+
+  // ── q127: per-stratum OLS trend lines ──────────────────────────────────
+
+  /** q127: slope/intercept of quality (alpha ratio) on length per
+    * language — per-group regression from mergeable decimal sufficient
+    * statistics, one corpus hash-agg. */
+  def q127GroupOls(s: SparkSession, dir: String): DataFrame = {
+    val alpha = TextAnalysis.qualityCols(col("text")).toMap.apply("alpha_ratio")
+    val docs = Sources.documents(s, dir)
+      .select(col("lang"), col("n_chars"), round(alpha, 6).as("alpha_ratio"))
+    Standardize.groupOls(docs, "n_chars", "alpha_ratio", "lang")
+      .orderBy(col("lang"))
+  }
+
+  val q127Sql: String =
+    """WITH q AS (SELECT lang, n_chars,
+      |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+      |      AS DOUBLE) / length(text), 6) AS ar
+      |  FROM documents),
+      |st AS (SELECT lang, COUNT(*) AS n,
+      |    SUM(CAST(round(CAST(n_chars AS DOUBLE), 6) AS DECIMAL(28,6))) AS sx,
+      |    SUM(CAST(round(ar, 6) AS DECIMAL(28,6))) AS sy,
+      |    SUM(CAST(round(CAST(n_chars AS DOUBLE) * ar, 6)
+      |      AS DECIMAL(28,6))) AS sxy,
+      |    SUM(CAST(round(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE), 6)
+      |      AS DECIMAL(28,6))) AS sxx
+      |  FROM q GROUP BY lang),
+      |sl AS (SELECT lang, n, sx, sy,
+      |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
+      |  FROM st)
+      |SELECT lang, n, slope,
+      |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE), 6) AS intercept
+      |FROM sl ORDER BY lang""".stripMargin
+
+  // ── q128: token-weighted percentiles ───────────────────────────────────
+
+  /** q128: per-language token-weighted length percentiles — "the median
+    * TOKEN lives in a document of length…", the corpus-budget view of
+    * length, same integer-exact crossing test over cumulative weight. */
+  def q128WeightedPct(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+      .select(col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("graft_w"))
+    Histogram.weightedQuantizedPercentiles(docs, "n_chars", "graft_w",
+        "lang", bits = 12, pcts = Seq(50, 90, 99))
+      .orderBy(col("lang"), col("pct"))
+  }
+
+  val q128Sql: String =
+    """WITH s AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx
+      |           FROM documents),
+      |b AS (SELECT lang, len(string_split(text, ' ')) AS wgt,
+      |        CASE WHEN s.mx = s.mn THEN 0
+      |          ELSE ((n_chars - s.mn) * 4095) // (s.mx - s.mn) END AS bucket
+      |      FROM documents CROSS JOIN s),
+      |c AS (SELECT lang, bucket, CAST(SUM(wgt) AS BIGINT) AS cnt
+      |      FROM b GROUP BY 1, 2),
+      |cum AS (SELECT lang, bucket, cnt,
+      |         CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS n_le,
+      |         CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+      |       FROM c),
+      |p AS (SELECT * FROM (VALUES (50), (90), (99)) v(pct))
+      |SELECT cum.lang, p.pct, cum.bucket,
+      |  s.mn + (cum.bucket * (s.mx - s.mn)) // 4095 AS lo,
+      |  s.mn + ((cum.bucket + 1) * (s.mx - s.mn)) // 4095 AS hi,
+      |  cum.n_le, cum.n
+      |FROM cum CROSS JOIN p CROSS JOIN s
+      |WHERE 100 * cum.n_le >= p.pct * cum.n
+      |  AND 100 * (cum.n_le - cum.cnt) < p.pct * cum.n
+      |ORDER BY cum.lang, p.pct""".stripMargin
+
+  // ── q129: reciprocal-rank fusion (hybrid retrieval) ────────────────────
+
+  /** q129: BM25 lexical top-50 fused with dense cosine top-50 by RRF —
+    * hybrid search's standard calibration-free combiner; both input
+    * lists are already-cut top-k, so the fusion is metadata-scale. */
+  def q129Rrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Sources.documents(s, dir)
+    val queries = Seq((1, "stream"), (1, "window"), (1, "batch"))
+      .toDF("query_id", "term")
+    val bm = Relevance.bm25RetrieveAll(docs, "doc_id", "text", queries,
+      "query_id", k = 50, k1 = 1.5, b = 0.75)
+    // rank windows run over the ALREADY-CUT top-50 lists (metadata scale)
+    val wA = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val rankA = bm.select(col("doc_id"), row_number().over(wA).as("rank"))
+    val e = Sources.embeddings(s, dir)
+    val q0 = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+    val cosAll = e.select(col("vec_id").as("doc_id"),
+      round(Similarity.cosine(col("embedding"),
+        array(q0.map(lit): _*)), 6).as("cosine"))
+    val top50 = cosAll.orderBy(col("cosine").desc, col("doc_id")).limit(50)
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cosine").desc, col("doc_id"))
+    val rankB = top50.select(col("doc_id"), row_number().over(wB).as("rank"))
+    Relevance.rrfFuse(Seq(rankA, rankB), "doc_id", "rank",
+      kRrf = 60, topN = 20)
+  }
+
+  val q129Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dl AS (SELECT doc_id, len(w) AS dl FROM w),
+      |t AS (SELECT doc_id, unnest(w) AS term FROM w),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+      |       WHERE term IN ('stream', 'window', 'batch') GROUP BY 1, 2),
+      |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |corpus AS (SELECT count(*) AS n_docs,
+      |             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |sc AS (SELECT tf.doc_id,
+      |    CAST(round(
+      |      ln(1.0 + CAST(c.n_docs - d.df + 0.5 AS DOUBLE)
+      |                 / CAST(d.df + 0.5 AS DOUBLE))
+      |      * (CAST(tf.tf AS DOUBLE) * 2.5)
+      |      / (CAST(tf.tf AS DOUBLE)
+      |         + 1.5 * (0.25 + 0.75 * l.dl / c.avgdl)), 6)
+      |      AS DECIMAL(18,6)) AS contrib
+      |  FROM tf JOIN dfc d USING (term) JOIN dl l USING (doc_id)
+      |  CROSS JOIN corpus c),
+      |qs AS (SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS bm25
+      |       FROM sc GROUP BY 1),
+      |ra AS (SELECT doc_id, row_number() OVER (
+      |         ORDER BY bm25 DESC, doc_id) AS rnk FROM qs),
+      |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |cs AS (SELECT vec_id AS doc_id, round(
+      |    list_sum(list_transform(range(1, len(embedding) + 1),
+      |      i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+      |       i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))), 6) AS cosine
+      |  FROM embeddings, qv),
+      |rb AS (SELECT doc_id, row_number() OVER (
+      |         ORDER BY cosine DESC, doc_id) AS rnk FROM cs),
+      |co AS (SELECT doc_id, CAST(round(1.0 / (60 + rnk), 6)
+      |         AS DECIMAL(18,6)) AS c
+      |       FROM ra WHERE rnk <= 50
+      |       UNION ALL
+      |       SELECT doc_id, CAST(round(1.0 / (60 + rnk), 6)
+      |         AS DECIMAL(18,6))
+      |       FROM rb WHERE rnk <= 50)
+      |SELECT doc_id, round(CAST(SUM(c) AS DOUBLE), 6) AS rrf,
+      |  COUNT(*) AS n_lists
+      |FROM co GROUP BY doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
+  // ── q130: bigram language-model quality ────────────────────────────────
+
+  /** q130: mean add-one-smoothed corpus-bigram log-probability per doc —
+    * the next-word-predictability quality signal; pairs from one
+    * zip_with, term-keyed joins, decimal-exact sums. */
+  def q130BigramLm(s: SparkSession, dir: String): DataFrame =
+    Relevance.bigramLogProb(Sources.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q130Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pr AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), j ->
+      |         {'x': w[j], 'y': w[j+1]})) AS u
+      |       FROM ws WHERE len(w) >= 2),
+      |p AS (SELECT doc_id, u.x AS x, u.y AS y FROM pr),
+      |cxy AS (SELECT x, y, count(*) AS c_xy FROM p GROUP BY 1, 2),
+      |tt AS (SELECT unnest(string_split(text, ' ')) AS x FROM documents),
+      |cx AS (SELECT x, count(*) AS c_x FROM tt GROUP BY 1),
+      |v AS (SELECT count(*) AS v FROM cx),
+      |tm AS (SELECT p.doc_id,
+      |    CAST(round(ln(CAST(c.c_xy + 1 AS DOUBLE)
+      |      / CAST(u.c_x + v.v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
+      |  FROM p JOIN cxy c USING (x, y) JOIN cx u USING (x) CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  round(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+      |FROM tm GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ── q131: kNN label propagation audit ──────────────────────────────────
+
+  /** q131: every 10th vector's label re-predicted by 5-NN majority vote
+    * among the rest — the weak-supervision labeler and, on held-out
+    * labeled rows, the standard label-quality audit. */
+  def q131KnnLabels(s: SparkSession, dir: String): DataFrame =
+    VectorAggs.knnPredict(Sources.embeddings(s, dir), "vec_id",
+        "embedding", "label", col("vec_id") % 10 === 0, k = 5)
+      .withColumn("is_correct", col("predicted_label") === col("true_label"))
+      .orderBy(col("vec_id"))
+
+  val q131Sql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS true_label
+      |           FROM embeddings WHERE vec_id % 10 = 0),
+      |sc AS (SELECT q.q_id, q.true_label, e.vec_id AS nid,
+      |         e.label AS nlabel,
+      |         round(
+      |           list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |             i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) /
+      |           (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |              i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+      |            sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |              i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))), 6) AS c
+      |       FROM embeddings e CROSS JOIN q WHERE e.vec_id % 10 <> 0),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |         ORDER BY c DESC, nid) AS rn FROM sc),
+      |vt AS (SELECT q_id, true_label, nlabel, COUNT(*) AS n_votes
+      |       FROM rk WHERE rn <= 5 GROUP BY 1, 2, 3),
+      |mj AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |         ORDER BY n_votes DESC, nlabel) AS mr FROM vt)
+      |SELECT q_id AS vec_id, nlabel AS predicted_label, n_votes,
+      |  true_label, nlabel = true_label AS is_correct
+      |FROM mj WHERE mr = 1 ORDER BY vec_id""".stripMargin
 }

@@ -402,7 +402,13 @@ class PlanShapeSpec extends SparkSpec {
       // corpus pass (the q92 eval-sample shape); q120: 1-row corpus
       // total broadcast onto the strata counts (the q80 n_min shape)
       "q111_quantized_pct", "q113_decayed", "q116_hard_negatives",
-      "q120_proportional_sample")
+      "q120_proportional_sample",
+      // q128: 3-row percentile-targets broadcast (as q111); q129: 1-row
+      // BM25 corpus-stats broadcast (as q68/q76); q130: 1-row vocab-size
+      // broadcast (as q81); q131: bounded query-set broadcast vs one
+      // corpus pass (the q92/q116 shape)
+      "q128_weighted_pct", "q129_rrf_fusion", "q130_bigram_lm",
+      "q131_knn_labels")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

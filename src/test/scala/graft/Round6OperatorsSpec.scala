@@ -344,6 +344,90 @@ class Round6OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("en", 2L, 60L), ("fr", 2L, 75L)))
   }
 
+  // ── grouped OLS ─────────────────────────────────────────────────────────
+
+  test("groupOls recovers an exact line per stratum") {
+    // stratum a: y = 2x + 1 exactly; stratum b: y = -0.5x + 3
+    val pts = (1 to 10).map(x => ("a", x.toDouble, 2.0 * x + 1)) ++
+      (1 to 10).map(x => ("b", x.toDouble, -0.5 * x + 3))
+    val got = Standardize.groupOls(pts.toDF("g", "x", "y"), "x", "y", "g")
+      .orderBy("g").as[(String, Long, Double, Double)].collect()
+    assert(got.toSeq == Seq(("a", 10L, 2.0, 1.0), ("b", 10L, -0.5, 3.0)))
+  }
+
+  // ── weighted percentiles ────────────────────────────────────────────────
+
+  test("weightedQuantizedPercentiles crosses on cumulative weight") {
+    // values 1..9 weight 1 each, value 10 weight 91: the median unit of
+    // weight sits in value 10's bucket even though the median VALUE is 5
+    val rows = (1L to 9L).map(v => ("s", v, 1L)) :+ (("s", 10L, 91L))
+    val df = rows.toDF("g", "v", "w")
+    val got = Histogram.weightedQuantizedPercentiles(df, "v", "w", "g",
+        bits = 8, pcts = Seq(50))
+      .select("lo", "hi", "n_le", "n").as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (lo, hi, nLe, n) = got(0)
+    assert(n == 100L && nLe == 100L)
+    assert(lo <= 10L && 10L <= hi, s"crossing bucket [$lo,$hi) must hold 10")
+    // unweighted for contrast: the median row is value 5
+    val un = Histogram.quantizedPercentiles(df, "v", "g", bits = 8,
+        pcts = Seq(50)).select("lo", "hi").as[(Long, Long)].collect()(0)
+    assert(un._1 <= 5L && 5L <= un._2)
+  }
+
+  // ── reciprocal-rank fusion ──────────────────────────────────────────────
+
+  test("rrfFuse sums reciprocal ranks across lists, missing ranks add 0") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (10L, 2)).toDF("id", "rank")
+    val got = graft.operators.Relevance.rrfFuse(Seq(a, b), "id", "rank",
+        kRrf = 60, topN = 10)
+      .as[(Long, Double, Long)].collect()
+    def r(k: Int) = BigDecimal(1.0 / (60 + k))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // 10: 1/61 + 1/62; 20: 1/62 + 1/61 (tie, id breaks); 30: 1/63 alone
+    assert(got.map(_._1).toSeq == Seq(10L, 20L, 30L))
+    assert(got(0)._2 == (r(1) + r(2)).toDouble && got(0)._3 == 2L)
+    assert(got(2)._2 == r(3).toDouble && got(2)._3 == 1L)
+  }
+
+  // ── bigram language model ───────────────────────────────────────────────
+
+  test("bigramLogProb computes add-one-smoothed corpus probabilities") {
+    // corpus: "a b" x2 and "a c": c(a,b)=2, c(a,c)=1, c_a=3, V=3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Relevance
+      .bigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    def lp(cxy: Long, cx: Long) = BigDecimal(
+      math.log((cxy + 1).toDouble / (cx + 3).toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      (1L, 1L, lp(2, 3)), (2L, 1L, lp(2, 3)), (3L, 1L, lp(1, 3))))
+  }
+
+  // ── kNN label propagation ───────────────────────────────────────────────
+
+  test("knnPredict votes among the k nearest labeled neighbors only") {
+    // query (0) is closest to three label-7 vectors; two label-8 vectors
+    // are nearer than nothing but outvoted 3-2 at k=5; the far label-9
+    // vector is outside k
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 99),    // query; its stored label is "true"
+      (1L, Seq(1.0f, 0.01f), 7),
+      (2L, Seq(1.0f, 0.02f), 7),
+      (3L, Seq(1.0f, 0.03f), 7),
+      (4L, Seq(1.0f, 0.5f), 8),
+      (5L, Seq(1.0f, 0.6f), 8),
+      (6L, Seq(0.0f, 1.0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorAggs.knnPredict(vecs, "vec_id", "embedding", "label",
+        col("vec_id") === 0, k = 5)
+      .as[(Long, Int, Long, Int)].collect()
+    assert(got.toSeq == Seq((0L, 7, 3L, 99)))
+  }
+
   // ── hard negatives ──────────────────────────────────────────────────────
 
   test("hardNegatives excludes same-label vectors and ranks by cosine") {
