@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Decay, Funnel, Histogram, Profiling, Relevance, Sampling, Selection, Similarity, Snapshot, Standardize, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{Decay, EntityResolution, Funnel, Histogram, Profiling, Relevance, Sampling, Selection, Similarity, Snapshot, Standardize, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-6 corpus-diagnostics and selection operators: table profiling
@@ -770,4 +770,161 @@ object DiagnosticsQueries {
       |SELECT q_id AS vec_id, nlabel AS predicted_label, n_votes,
       |  true_label, nlabel = true_label AS is_correct
       |FROM mj WHERE mr = 1 ORDER BY vec_id""".stripMargin
+
+  // ── q132: leakage-cleaned eval split ───────────────────────────────────
+
+  /** q132: the test split with every document near-dupping a TRAIN
+    * document removed — the fix for what q114 reports; an eval set that
+    * exact per-split dedup would silently leave contaminated. */
+  def q132CleanSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val splits = Sampling.deterministicSplit(docs.select(col("doc_id")),
+      "doc_id", "split",
+      Seq(("train", 204), ("val", 230), ("test", 256)))
+    val pairs = TextDedup.minHashLshPairs(docs, "doc_id", "text",
+      k = 16, r = 4, w = 3, threshold = 0.5)
+    val sym = pairs.select(explode(array(
+        struct(col("d1").as("id"), col("d2").as("other")),
+        struct(col("d2").as("id"), col("d1").as("other")))).as("c"))
+      .select(col("c.id").as("doc_id"), col("c.other").as("other"))
+    val leaky = sym
+      .join(splits, Seq("doc_id"))
+      .filter(col("split") === "test")
+      .join(splits.select(col("doc_id").as("other"),
+        col("split").as("graft_osplit")), Seq("other"))
+      .filter(col("graft_osplit") === "train")
+      .select(col("doc_id")).distinct()
+    splits.filter(col("split") === "test")
+      .join(leaky, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q132Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |hw AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h1,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h2
+      |       FROM sh),
+      |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+      |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band,
+      |            md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bh
+      |          FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |         WHERE a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.d1, c.d2, count(*) AS inter
+      |          FROM cand c
+      |          JOIN sh a ON a.doc_id = c.d1
+      |          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+      |          GROUP BY c.d1, c.d2),
+      |pairs AS (SELECT i.d1, i.d2
+      |  FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
+      |  JOIN sz s2 ON i.d2 = s2.doc_id
+      |  WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= 0.5),
+      |sp AS (SELECT doc_id,
+      |  CASE WHEN bucket < 204 THEN 'train'
+      |       WHEN bucket < 230 THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |    (strpos('0123456789abcdef',
+      |       substr(md5('split_' || doc_id), 1, 1)) - 1) * 16
+      |    + strpos('0123456789abcdef',
+      |       substr(md5('split_' || doc_id), 2, 1)) - 1 AS bucket
+      |    FROM documents)),
+      |sym AS (SELECT d1 AS id, d2 AS other FROM pairs
+      |        UNION ALL SELECT d2, d1 FROM pairs),
+      |leak AS (SELECT DISTINCT sym.id AS doc_id FROM sym
+      |         JOIN sp a ON sym.id = a.doc_id AND a.split = 'test'
+      |         JOIN sp b ON sym.other = b.doc_id AND b.split = 'train')
+      |SELECT sp.doc_id FROM sp
+      |WHERE sp.split = 'test'
+      |  AND sp.doc_id NOT IN (SELECT doc_id FROM leak)
+      |ORDER BY sp.doc_id""".stripMargin
+
+  // ── q133: entity-resolution blocking ───────────────────────────────────
+
+  /** q133: user pairs sharing ≥2 distinct (event_type, 6-dp value)
+    * behavioral fingerprints (fingerprints seen by ≤10 users) — the
+    * alias-detection blocking pass; inverted-index join, never all-pairs
+    * users. */
+  def q133EntityPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, StringType}
+    val fp = Sources.events(s, dir)
+      .select(col("user_id"), concat_ws("|", col("event_type"),
+        round(col("value"), 6).cast(DecimalType(18, 6)).cast(StringType))
+        .as("fp"))
+    EntityResolution.sharedFingerprintPairs(fp, "user_id", "fp",
+        minShared = 2, maxDf = 10)
+      .orderBy(col("e1"), col("e2"))
+  }
+
+  val q133Sql: String =
+    """WITH p AS (SELECT DISTINCT user_id,
+      |    event_type || '|' ||
+      |      CAST(CAST(round(value, 6) AS DECIMAL(18,6)) AS VARCHAR) AS fp
+      |  FROM events),
+      |d AS (SELECT fp FROM p GROUP BY fp
+      |      HAVING count(*) >= 2 AND count(*) <= 10),
+      |f AS (SELECT p.user_id, p.fp FROM p JOIN d USING (fp)),
+      |pr AS (SELECT a.user_id AS e1, b.user_id AS e2, count(*) AS n_shared
+      |       FROM f a JOIN f b ON a.fp = b.fp AND a.user_id < b.user_id
+      |       GROUP BY 1, 2)
+      |SELECT e1, e2, n_shared FROM pr WHERE n_shared >= 2
+      |ORDER BY e1, e2""".stripMargin
+
+  // ── q134: session-quality rollup ───────────────────────────────────────
+
+  /** q134: per-user session metrics — session count, bounce (single-
+    * event) sessions and rate, total in-session dwell — the engagement
+    * rollup over the Sessionize assignment; one window pass + two
+    * aggs. */
+  def q134SessionMetrics(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sessionize
+    val sess = Sessionize.sessions(Sources.events(s, dir), Seq("user_id"),
+      "ts", gapSeconds = 1800L, tiebreak = Seq(col("event_id")))
+    sess.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        round(sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1)), 6).as("bounce_rate"),
+        sum(unix_micros(col("session_end")) -
+          unix_micros(col("session_start"))).as("total_dur_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val q134Sql: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS tus FROM events),
+      |f AS (SELECT *, CASE WHEN
+      |        lag(tus) OVER (PARTITION BY user_id
+      |          ORDER BY tus, event_id) IS NULL
+      |        OR tus - lag(tus) OVER (PARTITION BY user_id
+      |          ORDER BY tus, event_id) > 1800000000
+      |      THEN 1 ELSE 0 END AS nf FROM e),
+      |ses AS (SELECT user_id, tus,
+      |    CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS sid
+      |  FROM f),
+      |sr AS (SELECT user_id, sid, COUNT(*) AS n_events,
+      |         MIN(tus) AS st, MAX(tus) AS en
+      |       FROM ses GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bounce,
+      |  round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS bounce_rate,
+      |  CAST(SUM(en - st) AS BIGINT) AS total_dur_us
+      |FROM sr GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -15,7 +15,10 @@ class AllQueriesSpec extends SparkSpec {
   private val mayBeEmpty = Set(
     "q16_anti_join", "q19_minhash_lsh", "q20_ngram_jaccard", "q23_ann_lsh",
     "q32_except", "q38_curation", "q40_interval_join", "q41_cosine_near_dup",
-    "q55_ivf_ann", "q58_cosine_dup_bucketed", "q64_incremental_dedup")
+    "q55_ivf_ann", "q58_cosine_dup_bucketed", "q64_incremental_dedup",
+    // q133: at sf0.001 no user pair shares >=2 capped fingerprints —
+    // the threshold legitimately empties on tiny data (47 pairs at sf0.01)
+    "q133_entity_pairs")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {

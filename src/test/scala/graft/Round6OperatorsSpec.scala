@@ -321,6 +321,21 @@ class Round6OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0.0, 1L), (2L, 0.0, 1L), (3L, 1.0, 0L)))
   }
 
+  // ── entity-resolution blocking ──────────────────────────────────────────
+
+  test("sharedFingerprintPairs counts distinct shared prints, caps df") {
+    val df = Seq(
+      (1L, "fa"), (1L, "fb"), (1L, "fa"),   // duplicate posting collapses
+      (2L, "fa"), (2L, "fb"),               // shares fa+fb with 1 → pair
+      (3L, "fa"),                           // shares only fa → below min 2
+      (1L, "hot"), (2L, "hot"), (3L, "hot"), (4L, "hot") // df 4 > cap 3
+    ).toDF("e", "fp")
+    val got = graft.operators.EntityResolution
+      .sharedFingerprintPairs(df, "e", "fp", minShared = 2, maxDf = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 2L)))
+  }
+
   // ── incremental aggregate maintenance ───────────────────────────────────
 
   test("maintainAgg over add/remove/change/migrate equals direct agg") {
