@@ -36,6 +36,48 @@ object Graph {
    * partition top-j heaps); the final cut is a semi-join back to the
    * original pairs, so output rows keep their original columns.
    */
+  /**
+   * Per-node triangle counts and local clustering coefficients over an
+   * id-oriented edge list (src < dst, the dedup-pair convention) — the
+   * cohesion metrics of a duplicate graph: a near-dup CLUSTER (template
+   * family) is triangle-dense, a near-dup CHAIN (drifting revisions) is
+   * triangle-free, and the clustering coefficient separates the two
+   * failure modes before choosing a survivor policy.
+   *
+   * Triangles enumerate once each via the oriented 2-path join
+   * (a<b<c ⇒ edges ab·bc·ac): two equi-joins on node ids, never an
+   * all-pairs expansion. (At web scale, re-orienting edges by degree —
+   * Cohen's trick — bounds the join fan-out by the max out-degree ≈ √m;
+   * with id orientation a low-id hub pays its degree², acceptable here
+   * because dedup graphs are degree-capped upstream by [[pruneDegree]].)
+   * Coefficient = 2T / (d·(d−1)), NULL for degree-1 nodes.
+   */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("graft_u"), col(dstCol).as("graft_v"))
+      .distinct()
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.graft_v") === col("bc.graft_u"))
+      .join(e.as("ac"),
+        col("ac.graft_u") === col("ab.graft_u") &&
+          col("ac.graft_v") === col("bc.graft_v"))
+      .select(col("ab.graft_u").as("a"), col("ab.graft_v").as("b"),
+        col("bc.graft_v").as("c"))
+    val triPerNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    val degrees = e
+      .select(explode(array(col("graft_u"), col("graft_v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    degrees.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 6))
+          .as("clustering_coeff"))
+  }
+
   def pruneDegree(pairs: DataFrame, srcCol: String, dstCol: String,
                   weightCol: String, j: Int): DataFrame = {
     require(j >= 1, "degree cap must be >= 1")

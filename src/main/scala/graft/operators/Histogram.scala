@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.sql.DataFrame
 
 /**
@@ -133,5 +133,46 @@ object Histogram {
     parts.reduce(_ unionByName _)
       .groupBy(col("bucket"))
       .agg(sum(col("n")).as("n"))
+  }
+
+  /**
+   * Otsu's method over the quantized histogram: the bucket threshold
+   * maximizing between-class variance — the data-driven "where do I cut
+   * quality scores?" answer, instead of a hand-picked 0.5. Class 0 is
+   * buckets ≤ t; between-class variance ∝ (s0·w1 − s1·w0)² / (w0·w1)
+   * with w = class counts and s = class Σ(bucket·count) — all int64
+   * until one final double division, so the argmax is engine-exact
+   * (ties break toward the smaller threshold).
+   *
+   * Shape: one corpus pass for the histogram ([[bucketCounts]]), then
+   * cumulative windows and the argmax over ≤ 2^bits rows — metadata
+   * scale, single partition by construction. Int64 bound: the cross
+   * products need (2^bits−1)·n² to fit — at bits=8, corpora to ~2×10⁸
+   * rows; shift to DECIMAL sums beyond that.
+   */
+  def otsuThreshold(df: DataFrame, valueCol: String, bits: Int,
+                    mn: Long, mx: Long): DataFrame = {
+    val counts = bucketCounts(df, valueCol, bits, mn, mx)
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val d = (col("s0") * col("w1") - col("s1") * col("w0")).cast(DoubleType)
+    val scored = counts
+      .withColumn("w0", sum(col("n")).over(wCum))
+      .withColumn("s0", sum(col("bucket") * col("n")).over(wCum))
+      .withColumn("w1", sum(col("n")).over(wAll) - col("w0"))
+      .withColumn("s1", sum(col("bucket") * col("n")).over(wAll) - col("s0"))
+      .filter(col("w0") > 0 && col("w1") > 0)
+      .withColumn("between_var",
+        round(d * d / (col("w0") * col("w1")).cast(DoubleType), 6))
+    scored
+      .withColumn("graft_rk", row_number().over(
+        Window.orderBy(col("between_var").desc, col("bucket").asc)))
+      .filter(col("graft_rk") === 1)
+      .select(col("bucket").as("threshold_bucket"),
+        (lit(mn) + call_function("div",
+          (col("bucket") + 1) * (mx - mn), lit((1L << bits) - 1)))
+          .as("threshold_value"),
+        col("between_var"), col("w0"), col("w1"))
   }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * K-minimum-values (KMV) distinct-count sketch — the DETERMINISTIC,
+ * engine-portable alternative to HLL (q33's `approx_count_distinct` is
+ * engine-specific, so its estimate can never be oracle-checked; KMV's
+ * estimate is a pure function of md5, so the gate hashes it directly).
+ *
+ * Keep the k smallest 32-bit md5-derived hash values of the distinct
+ * keys; if the k-th smallest normalized hash is u_k, the Bar-Yossef et
+ * al. estimator is (k−1)/u_k — here written integer-first as
+ * (k−1)·2³² / h_k with one final double division, bit-identical across
+ * engines.
+ *
+ * Mergeability is structural: the k smallest of a union equal the k
+ * smallest of the per-part minima's union, so per-source sketches
+ * (k rows each) union and re-cut to a global sketch WITHOUT touching
+ * the corpus again — [[kmvMerge]]; q135's gate verifies the merged
+ * global estimate against the oracle's direct computation.
+ *
+ * Shape: one distinct (strata, hash) agg, then WindowGroupLimit keeps
+ * ≤ k rows per stratum before the shuffle — sketch state is k·strata
+ * rows, metadata scale.
+ */
+object Sketches {
+
+  /** 32-bit integer hash of a key: first 8 hex chars of md5 — the
+    * project-wide md5-derived randomness source. */
+  def hash32(key: Column): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast(LongType)
+
+  /** Per-stratum KMV sketch: the ≤ k smallest distinct hashes, as rows
+    * (strataCol, h). This is the mergeable state. */
+  def kmvSketch(df: DataFrame, keyCol: String, strataCol: String,
+                k: Int): DataFrame = {
+    require(k >= 2, s"k=$k: the estimator needs k >= 2")
+    val hashes = df.select(col(strataCol), hash32(col(keyCol)).as("h"))
+      .distinct()
+    LatestSnapshot.topK(hashes, Seq(strataCol), col("h").asc, Nil, k)
+  }
+
+  /** Merge per-part sketches (same k): union + re-cut to the k smallest
+    * per stratum. Exact by the structural argument above. */
+  def kmvMerge(parts: Seq[DataFrame], strataCol: String, k: Int): DataFrame = {
+    require(parts.nonEmpty, "kmvMerge: no sketches")
+    LatestSnapshot.topK(parts.reduce(_ unionByName _).distinct(),
+      Seq(strataCol), col("h").asc, Nil, k)
+  }
+
+  /** Estimate from a sketch: one row per stratum with the k-th smallest
+    * hash and est = round((k−1)·2³² / h_k, 6). Strata holding fewer than
+    * k distinct hashes report their EXACT count (n_kept) and a NULL
+    * estimate — the sketch saw everything, no estimation needed. */
+  def kmvEstimate(sketch: DataFrame, strataCol: String, k: Int): DataFrame =
+    sketch.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
+      .select(col(strataCol), col("n_kept"),
+        when(col("n_kept") === k, col("h_k")).as("h_k"),
+        when(col("n_kept") === k,
+          round(lit((k - 1).toDouble * 4294967296.0) /
+            col("h_k").cast(DoubleType), 6)).as("est_distinct"))
+}

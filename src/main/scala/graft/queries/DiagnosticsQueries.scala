@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Decay, EntityResolution, Funnel, Histogram, Profiling, Relevance, Sampling, Selection, Similarity, Snapshot, Standardize, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{Decay, EntityResolution, Funnel, Histogram, Profiling, Relevance, Sketches, Sampling, Selection, Similarity, Snapshot, Standardize, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-6 corpus-diagnostics and selection operators: table profiling
@@ -927,4 +927,156 @@ object DiagnosticsQueries {
       |    / COUNT(*), 6) AS bounce_rate,
       |  CAST(SUM(en - st) AS BIGINT) AS total_dur_us
       |FROM sr GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ── q135: KMV distinct-count sketch ────────────────────────────────────
+
+  /** q135: per-source KMV(16) distinct-text estimates plus a global
+    * estimate computed from the MERGED per-source sketches (never
+    * rescanning the corpus) — the deterministic, oracle-checkable
+    * cardinality sketch q33's HLL can't be; exact counts ride along as
+    * the gate companion. */
+  def q135KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val docs = Sources.documents(s, dir).select(col("source"), col("text"))
+    val perSource = Sketches.kmvSketch(docs, "text", "source", k)
+    val global = Sketches.kmvMerge(
+      Seq(perSource.withColumn("source", lit("ALL"))), "source", k)
+    val est = Sketches.kmvEstimate(perSource.unionByName(global), "source", k)
+    val exact = docs.groupBy(col("source"))
+      .agg(count_distinct(col("text")).as("n_exact"))
+      .unionByName(docs.agg(count_distinct(col("text")).as("n_exact"))
+        .withColumn("source", lit("ALL"))
+        .select(col("source"), col("n_exact")))
+    exact.join(est, Seq("source"))
+      .select(col("source"), col("n_exact"), col("n_kept"), col("h_k"),
+        col("est_distinct"))
+      .orderBy(col("source"))
+  }
+
+  val q135Sql: String =
+    """WITH h AS (SELECT DISTINCT source,
+      |    CAST(list_sum(list_transform(range(1, 9), j ->
+      |      (strpos('0123456789abcdef', substr(md5(text), j, 1)) - 1)
+      |        * power(16, 8 - j))) AS BIGINT) AS h
+      |  FROM documents),
+      |hd AS (SELECT DISTINCT source, h FROM
+      |       (SELECT source, h FROM h UNION ALL SELECT 'ALL', h FROM h)),
+      |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source
+      |         ORDER BY h) AS rn FROM hd),
+      |sk AS (SELECT source, count(*) AS n_kept, max(h) AS h_k
+      |       FROM rk WHERE rn <= 16 GROUP BY source),
+      |ex AS (SELECT source, count(DISTINCT text) AS n_exact
+      |       FROM documents GROUP BY source
+      |       UNION ALL
+      |       SELECT 'ALL', count(DISTINCT text) FROM documents)
+      |SELECT sk.source, ex.n_exact, sk.n_kept,
+      |  CASE WHEN sk.n_kept = 16 THEN sk.h_k END AS h_k,
+      |  CASE WHEN sk.n_kept = 16
+      |    THEN round(64424509440.0 / sk.h_k, 6) END AS est_distinct
+      |FROM sk JOIN ex USING (source) ORDER BY sk.source""".stripMargin
+
+  // ── q136: dedup-graph triangles / clustering coefficients ──────────────
+
+  /** q136: per-document triangle counts and clustering coefficients over
+    * the LSH near-dup graph — template families are triangle-dense,
+    * revision chains triangle-free; the cohesion signal that picks the
+    * survivor policy. */
+  def q136Triangles(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextDedup.minHashLshPairs(Sources.documents(s, dir),
+      "doc_id", "text", k = 16, r = 4, w = 3, threshold = 0.5)
+    graft.operators.Graph.triangleCounts(pairs, "d1", "d2")
+      .orderBy(col("node"))
+  }
+
+  val q136Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |hw AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h1,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h2
+      |       FROM sh),
+      |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+      |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band,
+      |            md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bh
+      |          FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |         WHERE a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.d1, c.d2, count(*) AS inter
+      |          FROM cand c
+      |          JOIN sh a ON a.doc_id = c.d1
+      |          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+      |          GROUP BY c.d1, c.d2),
+      |pairs AS (SELECT i.d1, i.d2
+      |  FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
+      |  JOIN sz s2 ON i.d2 = s2.doc_id
+      |  WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= 0.5),
+      |tri AS (SELECT ab.d1 AS a, ab.d2 AS b, bc.d2 AS c
+      |        FROM pairs ab JOIN pairs bc ON ab.d2 = bc.d1
+      |        JOIN pairs ac ON ac.d1 = ab.d1 AND ac.d2 = bc.d2),
+      |tn AS (SELECT x AS node, count(*) AS n_triangles FROM (
+      |         SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+      |         UNION ALL SELECT c FROM tri) GROUP BY 1),
+      |dg AS (SELECT x AS node, count(*) AS degree FROM (
+      |         SELECT d1 AS x FROM pairs UNION ALL SELECT d2 FROM pairs)
+      |       GROUP BY 1)
+      |SELECT dg.node, dg.degree,
+      |  COALESCE(tn.n_triangles, 0) AS n_triangles,
+      |  CASE WHEN dg.degree >= 2 THEN
+      |    round(2.0 * COALESCE(tn.n_triangles, 0)
+      |      / (dg.degree * (dg.degree - 1)), 6) END AS clustering_coeff
+      |FROM dg LEFT JOIN tn USING (node) ORDER BY dg.node""".stripMargin
+
+  // ── q137: Otsu auto-threshold on quality ───────────────────────────────
+
+  /** q137: the quality-score cut maximizing between-class variance over
+    * the 8-bit score histogram — the data-driven threshold for curation
+    * filters; one corpus pass, metadata-scale argmax, integer-exact up
+    * to one final division. */
+  def q137Otsu(s: SparkSession, dir: String): DataFrame = {
+    val alpha = TextAnalysis.qualityCols(col("text")).toMap.apply("alpha_ratio")
+    val docs = Sources.documents(s, dir)
+      .select(round(alpha * 1000000.0, 0).cast("long").as("q"))
+    Histogram.otsuThreshold(docs, "q", bits = 8, mn = 0L, mx = 1000000L)
+      .orderBy(col("threshold_bucket"))
+  }
+
+  val q137Sql: String =
+    """WITH q AS (SELECT CAST(round(
+      |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |      / length(text) * 1000000.0, 0) AS BIGINT) AS v
+      |  FROM documents),
+      |c AS (SELECT (LEAST(GREATEST(v, 0), 1000000) * 255) // 1000000
+      |        AS bucket, COUNT(*) AS n
+      |      FROM q GROUP BY 1),
+      |cm AS (SELECT bucket, n,
+      |    CAST(SUM(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS w0,
+      |    CAST(SUM(bucket * n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS s0,
+      |    CAST(SUM(n) OVER () AS BIGINT) AS wt,
+      |    CAST(SUM(bucket * n) OVER () AS BIGINT) AS st
+      |  FROM c),
+      |sc AS (SELECT bucket, w0, wt - w0 AS w1, s0, st - s0 AS s1
+      |       FROM cm WHERE w0 > 0 AND wt - w0 > 0),
+      |bv AS (SELECT bucket, w0, w1,
+      |    round(CAST(s0 * w1 - s1 * w0 AS DOUBLE)
+      |      * CAST(s0 * w1 - s1 * w0 AS DOUBLE)
+      |      / CAST(w0 * w1 AS DOUBLE), 6) AS between_var
+      |  FROM sc),
+      |rk AS (SELECT *, row_number() OVER (
+      |         ORDER BY between_var DESC, bucket) AS r FROM bv)
+      |SELECT bucket AS threshold_bucket,
+      |  ((bucket + 1) * 1000000) // 255 AS threshold_value,
+      |  between_var, w0, w1
+      |FROM rk WHERE r = 1 ORDER BY threshold_bucket""".stripMargin
 }

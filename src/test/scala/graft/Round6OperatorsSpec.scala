@@ -321,6 +321,67 @@ class Round6OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0.0, 1L), (2L, 0.0, 1L), (3L, 1.0, 0L)))
   }
 
+  // ── KMV distinct sketch ─────────────────────────────────────────────────
+
+  test("kmv sketches merge exactly and estimate within the k-bound error") {
+    import graft.operators.Sketches
+    val keys = (1L to 2000L).map(i => ("s", s"key_$i")).toDF("g", "key")
+    val direct = Sketches.kmvSketch(keys, "key", "g", 64)
+    // merge law: sketches of 3 disjoint parts re-cut to the direct sketch
+    val parts = Seq(0, 1, 2).map(r =>
+      Sketches.kmvSketch(keys.filter(length(col("key")) % 3 === r),
+        "key", "g", 64))
+    val merged = graft.operators.Sketches.kmvMerge(parts, "g", 64)
+    assert(merged.orderBy("h").collect().toSeq ==
+      direct.orderBy("h").collect().toSeq)
+    // estimator sanity: k=64 → relative error ~1/√k ≈ 12%; allow 3σ
+    val est = Sketches.kmvEstimate(direct, "g", 64)
+      .select("est_distinct").as[Double].head()
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.4, s"estimate $est vs 2000")
+  }
+
+  test("kmv reports exact counts (no estimate) below k distinct") {
+    import graft.operators.Sketches
+    val keys = (1L to 5L).map(i => ("s", s"k$i")).toDF("g", "key")
+    val got = Sketches.kmvEstimate(Sketches.kmvSketch(keys, "key", "g", 16),
+        "g", 16)
+      .as[(String, Long, Option[Long], Option[Double])].collect()
+    assert(got.toSeq == Seq(("s", 5L, None, None)))
+  }
+
+  // ── dedup-graph triangles ───────────────────────────────────────────────
+
+  test("triangleCounts finds oriented triangles and coefficients") {
+    // triangle 1-2-3 plus a chain 3-4-5 (no triangle)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("d1", "d2")
+    val got = graft.operators.Graph.triangleCounts(edges, "d1", "d2")
+      .orderBy("node")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, Some(1.0)),       // deg 2, 1 triangle → coeff 1
+      (2L, 2L, 1L, Some(1.0)),
+      (3L, 3L, 1L, Some(0.333333)),  // deg 3: 1 of 3 possible pairs (6 dp)
+      (4L, 2L, 0L, Some(0.0)),
+      (5L, 1L, 0L, None)))           // degree 1: coefficient undefined
+  }
+
+  // ── Otsu threshold ──────────────────────────────────────────────────────
+
+  test("otsuThreshold cuts a bimodal distribution between the modes") {
+    // modes at 10 and 90 on [0, 100]: the maximizing cut separates them
+    val vals = (Seq.fill(50)(10L) ++ Seq.fill(50)(90L)).map(Tuple1(_))
+      .toDF("v")
+    val got = Histogram.otsuThreshold(vals, "v", bits = 4, mn = 0L,
+        mx = 100L)
+      .select("threshold_value", "w0", "w1")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (cut, w0, w1) = got(0)
+    assert(w0 == 50L && w1 == 50L, s"classes must split at the modes: $got")
+    assert(cut > 10L && cut <= 90L, s"cut $cut must separate 10 from 90")
+  }
+
   // ── entity-resolution blocking ──────────────────────────────────────────
 
   test("sharedFingerprintPairs counts distinct shared prints, caps df") {
