@@ -140,4 +140,72 @@ object Funnel {
           call_function("div", col("graft_gap"), lit(1000000L)))
           .as("gap_s"))
   }
+
+  /**
+   * Per-user activity streaks (gaps-and-islands over active DAYS): the
+   * engagement summary behind "longest daily streak" features and
+   * churn-risk signals. A streak is a maximal run of consecutive UTC
+   * days on which the user produced at least one event; the classic
+   * islands trick — `day − row_number(day)` is constant exactly within
+   * a consecutive run — turns run detection into a plain groupBy, no
+   * self-join on day±1.
+   *
+   * Scale shape: one distinct over (user, day) — map-side combinable,
+   * collapsing the event log to at most users·days rows — then two
+   * user-keyed aggregations that REUSE the same hash partitioning; the
+   * only window is per-user over active days (bounded by days, not
+   * events). Day = epoch-micros div 86400e6 (integer-exact, UTC).
+   */
+  def activityStreaks(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val day = call_function("div", unix_micros(col(tsCol)),
+      lit(86400000000L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("graft_day"))
+    events.select(col(userCol), day.as("graft_day")).distinct()
+      .withColumn("graft_island",
+        col("graft_day") - row_number().over(w))
+      .groupBy(col(userCol), col("graft_island"))
+      .agg(count(lit(1)).as("graft_len"), min(col("graft_day")).as("graft_st"))
+      .groupBy(col(userCol))
+      .agg(sum(col("graft_len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("graft_len")).as("max_streak"),
+        // argmax via int64 encode (len, start-day both < 10^9): picks the
+        // longest streak, latest start on ties — engine-portable, no
+        // struct-ordering semantics to match
+        max(col("graft_len") * lit(1000000000L) + col("graft_st"))
+          .as("graft_best"))
+      .select(col(userCol), col("n_active_days"), col("n_streaks"),
+        col("max_streak"),
+        pmod(col("graft_best"), lit(1000000000L)).as("best_streak_start_day"))
+  }
+
+  /**
+   * Deterministic ingestion rate limiting: keep at most `k` events per
+   * (`userCol`, fixed `bucketUs`-microsecond time bucket), earliest
+   * first — the abuse-throttling / spam-capping primitive that bounds
+   * any single producer's contribution to a training corpus.
+   *
+   * Order within a bucket is (ts, id) — a total order, so the kept set
+   * is deterministic under ties. The `row_number ≤ k` filter compiles
+   * to WindowGroupLimit: per-partition top-k heaps cut the stream
+   * BEFORE the shuffle, so a hot key's flood dies map-side instead of
+   * travelling the wire.
+   */
+  def rateLimit(events: DataFrame, userCol: String, idCol: String,
+                tsCol: String, bucketUs: Long, k: Int): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive: $bucketUs")
+    require(k >= 1, s"k must be >= 1: $k")
+    val tus = unix_micros(col(tsCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col("rl_bucket"))
+      .orderBy(col("graft_tus"), col(idCol))
+    events
+      .withColumn("graft_tus", tus)
+      .withColumn("rl_bucket", call_function("div", tus, lit(bucketUs)))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") <= k)
+      .drop("graft_rn", "graft_tus")
+  }
 }

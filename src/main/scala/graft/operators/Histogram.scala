@@ -125,6 +125,42 @@ object Histogram {
       .agg(count(lit(1)).as("n"))
   }
 
+  /**
+   * Calibration bins (reliability diagram): quantize an integer score
+   * into `2^bits` equi-width bins over the EXPLICIT domain [mn, mx]
+   * (same clamp + rank as [[bucketCounts]], so bins are mergeable and
+   * engine-exact) and report, per bin, the count, the positive count,
+   * the empirical positive rate, and the mean score — "when the model
+   * says 0.8, is it right 80% of the time?", the diagnostic every
+   * classifier-based quality filter needs before its scores become
+   * keep/drop decisions.
+   *
+   * `posCol` must be 0/1 int; `scoreQCol` a LONG (quantize floats
+   * upstream via round(x·10^6) — the project float rule). Sums stay
+   * int64-exact; the only doubles are the two final divisions, each
+   * exactly-representable-int over int, deterministic across engines.
+   */
+  def calibrationBins(df: DataFrame, scoreQCol: String, posCol: String,
+                      bits: Int, mn: Long, mx: Long): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
+    require(mx > mn, s"need mx > mn: [$mn, $mx]")
+    val top = (1L << bits) - 1
+    require((BigInt(mx) - BigInt(mn)) * top <= Long.MaxValue,
+      s"calibrationBins overflows int64: ($mx - $mn) * $top")
+    val clamped = least(greatest(col(scoreQCol).cast(LongType), lit(mn)),
+      lit(mx))
+    df.select(Layout.rank(clamped, lit(mn), lit(mx), bits).as("bucket"),
+        clamped.as("graft_q"), col(posCol).cast(LongType).as("graft_pos"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("graft_pos")).as("n_pos"),
+        sum(col("graft_q")).as("graft_sq"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos").cast(DoubleType) / col("n"), 6).as("pos_rate"),
+        round(col("graft_sq").cast(DoubleType) / col("n"), 6)
+          .as("mean_score_q"))
+  }
+
   /** Merge partial histograms from [[bucketCounts]] (same domain/bits):
     * per-bucket count addition — associative and commutative, so batches
     * can merge in any order and incrementally. */

@@ -94,4 +94,29 @@ object Profiling {
         render(col("graft_lmx"), col("graft_dmx"), col("graft_smx"))
           .as("max_repr"))
   }
+
+  /**
+   * Functional-dependency audit: groups violating the rule "`lhsCols`
+   * determines `rhsCol`" — the data-quality constraint check behind
+   * "every order has one status" / "a document's source implies its
+   * language". Output one row per violating LHS group with its row
+   * count, the number of distinct RHS values observed (> 1 = violation),
+   * and the min/max RHS as witnesses of the conflict.
+   *
+   * Scale shape: ONE hash aggregation keyed on the LHS; the distinct
+   * count shuffles two-phase on (lhs, rhs) with map-side partials, so a
+   * hot LHS group never concentrates its raw rows in one task. NULL RHS
+   * values are excluded from the distinct (COUNT DISTINCT semantics);
+   * an all-NULL group therefore never reports as a violation.
+   */
+  def fdViolations(df: DataFrame, lhsCols: Seq[String],
+                   rhsCol: String): DataFrame = {
+    require(lhsCols.nonEmpty, "fdViolations: empty LHS")
+    df.groupBy(lhsCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col(rhsCol)).as("n_distinct_rhs"),
+        min(col(rhsCol)).as("rhs_min"),
+        max(col(rhsCol)).as("rhs_max"))
+      .filter(col("n_distinct_rhs") > 1)
+  }
 }

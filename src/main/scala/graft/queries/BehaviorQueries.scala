@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Funnel, Histogram, Profiling}
+import graft.sources.Sources
+
+/** Round-6 behavioral-analytics and data-quality operators: activity
+  * streaks (gaps-and-islands), functional-dependency audits, deterministic
+  * ingestion rate limiting, and classifier calibration bins — the
+  * observe-the-producers layer over the events/documents/embeddings
+  * tables, each with a DuckDB oracle reproducing the arithmetic exactly. */
+object BehaviorQueries {
+
+  // ── q138: per-user activity streaks ────────────────────────────────────
+
+  /** q138: longest/total daily-activity streaks per user — the
+    * gaps-and-islands engagement summary; one distinct + two user-keyed
+    * aggs sharing a partitioning, window bounded by active days. */
+  def q138Streaks(s: SparkSession, dir: String): DataFrame =
+    Funnel.activityStreaks(Sources.events(s, dir), "user_id", "ts")
+      .orderBy(col("user_id"))
+
+  val q138Sql: String =
+    """WITH d AS (SELECT DISTINCT user_id,
+      |    CAST(epoch_ns(ts) // 1000 AS BIGINT) // 86400000000 AS day
+      |  FROM events),
+      |i AS (SELECT user_id, day,
+      |        day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |          AS island
+      |      FROM d),
+      |r AS (SELECT user_id, island, count(*) AS len, min(day) AS st
+      |      FROM i GROUP BY 1, 2)
+      |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |  COUNT(*) AS n_streaks, MAX(len) AS max_streak,
+      |  MAX(len * 1000000000 + st) % 1000000000 AS best_streak_start_day
+      |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ── q139: functional-dependency audit ──────────────────────────────────
+
+  /** q139: sources violating "source determines lang" — the
+    * data-quality constraint audit, one hash agg with two-phase
+    * distinct; min/max langs ride along as conflict witnesses. */
+  def q139FdAudit(s: SparkSession, dir: String): DataFrame =
+    Profiling.fdViolations(Sources.documents(s, dir), Seq("source"), "lang")
+      .orderBy(col("source"))
+
+  val q139Sql: String =
+    """SELECT source, count(*) AS n_rows,
+      |  count(DISTINCT lang) AS n_distinct_rhs,
+      |  min(lang) AS rhs_min, max(lang) AS rhs_max
+      |FROM documents GROUP BY source
+      |HAVING count(DISTINCT lang) > 1
+      |ORDER BY source""".stripMargin
+
+  // ── q140: deterministic rate limiting ──────────────────────────────────
+
+  /** q140: at most 3 events kept per (user, UTC hour), earliest first —
+    * the producer-capping primitive; WindowGroupLimit cuts floods
+    * map-side before the shuffle. */
+  def q140RateLimit(s: SparkSession, dir: String): DataFrame =
+    Funnel.rateLimit(Sources.events(s, dir), "user_id", "event_id", "ts",
+        bucketUs = 3600000000L, k = 3)
+      .select(col("event_id"), col("user_id"),
+        col("rl_bucket").as("hour_bucket"))
+      .orderBy(col("event_id"))
+
+  val q140Sql: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS tus FROM events)
+      |SELECT event_id, user_id, tus // 3600000000 AS hour_bucket
+      |FROM e
+      |QUALIFY row_number() OVER (PARTITION BY user_id, tus // 3600000000
+      |  ORDER BY tus, event_id) <= 3
+      |ORDER BY event_id""".stripMargin
+
+  // ── q141: calibration bins (reliability diagram) ───────────────────────
+
+  /** q141: 16-bin reliability diagram of a score (first embedding
+    * component, quantized to 10^-6) against a binary label — per bin:
+    * count, positives, empirical rate, mean score; int64-exact sums,
+    * fixed [-1e6, 1e6] domain so partial diagrams merge. */
+  def q141Calibration(s: SparkSession, dir: String): DataFrame = {
+    val e = Sources.embeddings(s, dir).select(
+      round(element_at(col("embedding"), 1).cast(DoubleType) * 1000000.0, 0)
+        .cast(LongType).as("q"),
+      when(col("label") <= 4, 1L).otherwise(0L).as("pos"))
+    Histogram.calibrationBins(e, "q", "pos", bits = 4,
+        mn = -1000000L, mx = 1000000L)
+      .orderBy(col("bucket"))
+  }
+
+  val q141Sql: String =
+    """WITH q AS (SELECT
+      |    CAST(round(embedding[1]::DOUBLE * 1000000.0, 0) AS BIGINT) AS q,
+      |    CASE WHEN label <= 4 THEN 1 ELSE 0 END AS pos
+      |  FROM embeddings),
+      |c AS (SELECT LEAST(GREATEST(q, -1000000), 1000000) AS cq, pos FROM q),
+      |b AS (SELECT ((cq + 1000000) * 15) // 2000000 AS bucket, cq, pos
+      |      FROM c)
+      |SELECT bucket, count(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |  round(CAST(SUM(pos) AS DOUBLE) / count(*), 6) AS pos_rate,
+      |  round(CAST(SUM(cq) AS DOUBLE) / count(*), 6) AS mean_score_q
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+}

@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Funnel, Histogram, Profiling}
+
+/** Targeted specs for the round-6 behavioral/data-quality operators
+  * (activity streaks, FD audit, rate limiting, calibration bins) —
+  * hand-computed expectations on crafted inputs, independent of the
+  * DuckDB gate. */
+class BehaviorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, sec: Int = 0): Timestamp =
+    new Timestamp(day * 86400000L + sec * 1000L)
+
+  // ── activity streaks ────────────────────────────────────────────────────
+
+  test("activityStreaks finds islands of consecutive days") {
+    // u1 active days {1,2,3, 7, 9,10}: streaks 3,1,2 → max 3, start day 1
+    // u2 active day {5} twice (two events, one day): one streak of 1
+    val events = Seq(
+      (1L, ts(1)), (1L, ts(2, 60)), (1L, ts(3)), (1L, ts(7)),
+      (1L, ts(9)), (1L, ts(10)), (1L, ts(2)), // day 2 twice: distinct'd
+      (2L, ts(5)), (2L, ts(5, 3600))
+    ).toDF("user_id", "ts")
+    val got = Funnel.activityStreaks(events, "user_id", "ts")
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 6L, 3L, 3L, 1L),
+      (2L, 1L, 1L, 1L, 5L)))
+  }
+
+  test("activityStreaks argmax picks the longest streak's start day") {
+    // two streaks of equal max length 2: {3,4} and {8,9} → ties break to
+    // the LATER start (max int64 encode), documented behavior
+    val events = Seq((9L, ts(3)), (9L, ts(4)), (9L, ts(8)), (9L, ts(9)))
+      .toDF("user_id", "ts")
+    val got = Funnel.activityStreaks(events, "user_id", "ts")
+      .select("best_streak_start_day").as[Long].head()
+    assert(got == 8L)
+  }
+
+  // ── FD audit ────────────────────────────────────────────────────────────
+
+  test("fdViolations reports only groups with >1 distinct RHS") {
+    val df = Seq(
+      ("a", "x"), ("a", "x"),          // clean: 1 distinct
+      ("b", "x"), ("b", "y"), ("b", "y"), // violation: 2 distinct
+      ("c", null.asInstanceOf[String]) // all-NULL: not a violation
+    ).toDF("k", "v")
+    val got = Profiling.fdViolations(df, Seq("k"), "v")
+      .as[(String, Long, Long, String, String)].collect().toSeq
+    assert(got == Seq(("b", 3L, 2L, "x", "y")))
+  }
+
+  // ── rate limiting ───────────────────────────────────────────────────────
+
+  test("rateLimit keeps the earliest k per (user, bucket), ties by id") {
+    // one user, one bucket (all within the same 1000s window):
+    // 4 events, k=2 → keep the two earliest; tie at t=100 broken by id
+    val events = Seq(
+      (10L, 1L, ts(0, 100)), (11L, 1L, ts(0, 100)),
+      (12L, 1L, ts(0, 50)), (13L, 1L, ts(0, 900)),
+      (20L, 2L, ts(0, 10)) // other user: kept
+    ).toDF("event_id", "user_id", "ts")
+    val kept = Funnel.rateLimit(events, "user_id", "event_id", "ts",
+        bucketUs = 1000L * 1000000L, k = 2)
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 10L, 20L))
+  }
+
+  test("rateLimit buckets are fixed windows, not sessions") {
+    // same user, events in two adjacent 60s buckets → k applies per bucket
+    val events = Seq(
+      (1L, 1L, ts(0, 10)), (2L, 1L, ts(0, 20)),
+      (3L, 1L, ts(0, 70)), (4L, 1L, ts(0, 80))
+    ).toDF("event_id", "user_id", "ts")
+    val kept = Funnel.rateLimit(events, "user_id", "event_id", "ts",
+        bucketUs = 60L * 1000000L, k = 1)
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  // ── calibration bins ────────────────────────────────────────────────────
+
+  test("calibrationBins quantizes against the fixed domain and rates exactly") {
+    // domain [0, 100], bits=2 → rank = (q*3) div 100:
+    // 0,10 → bucket 0; 50 → 1; 90 → 2; 100 → 3; 150 clamps to 100 → 3
+    val df = Seq((0L, 0L), (10L, 1L), (50L, 1L), (90L, 0L), (100L, 1L),
+      (150L, 1L)).toDF("q", "pos")
+    val got = Histogram.calibrationBins(df, "q", "pos", bits = 2,
+        mn = 0L, mx = 100L)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 1L, 0.5, 5.0),    // qs {0,10}: mean 5, 1 of 2 positive
+      (1L, 1L, 1L, 1.0, 50.0),
+      (2L, 1L, 0L, 0.0, 90.0),
+      (3L, 2L, 2L, 1.0, 100.0))) // q=100 and clamped 150
+  }
+
+  test("calibrationBins rejects an overflowing domain") {
+    val df = Seq((0L, 0L)).toDF("q", "pos")
+    val err = intercept[IllegalArgumentException] {
+      Histogram.calibrationBins(df, "q", "pos", bits = 31,
+        mn = 0L, mx = 1L << 40)
+    }
+    assert(err.getMessage.contains("overflows int64"))
+  }
+}
