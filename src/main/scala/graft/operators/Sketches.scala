@@ -64,4 +64,61 @@ object Sketches {
         when(col("n_kept") === k,
           round(lit((k - 1).toDouble * 4294967296.0) /
             col("h_k").cast(DoubleType), 6)).as("est_distinct"))
+
+  // ── Count-Min sketch ─────────────────────────────────────────────────
+
+  /** Row-r CMS bucket of a key: md5("cms{r}_" ‖ key) as a 32-bit value,
+    * mod `width` — d independent hash rows from the one md5 source. */
+  private def cmsBucket(key: Column, r: Column, width: Int): Column =
+    pmod(hash32(concat(lit("cms"), r.cast(org.apache.spark.sql.types
+      .StringType), lit("_"), key)), lit(width.toLong))
+
+  /**
+   * Count-Min sketch (Cormode & Muthukrishnan 2005) of a key column's
+   * frequency distribution: state is d·width counters — row r counts
+   * keys by bucket h_r(key) — answering "how often does key x occur?"
+   * in O(d) with one-sided error (estimate ≥ truth, over by at most
+   * n/width w.h.p.). The fixed-size frequency summary that heavy-hitter
+   * monitoring ships around instead of a full count table.
+   *
+   * Mergeable by construction: same (d, width) sketches add per-cell
+   * ([[cmsMerge]] — counters are a semigroup, so per-partition /
+   * per-batch / per-day partials combine in any order). Everything is
+   * md5-derived and integer, so estimates are engine-exact and
+   * oracle-checkable — unlike an opaque native sketch.
+   *
+   * Scale shape: one explode(d) + one hash agg with map-side combine;
+   * state is d·width rows, metadata-scale, independent of corpus size.
+   */
+  def cmsSketch(df: DataFrame, keyCol: String, d: Int, width: Int): DataFrame = {
+    require(d >= 1 && d <= 16, s"d=$d out of range")
+    require(width >= 2, s"width=$width out of range")
+    df.select(col(keyCol).as("graft_k"),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .select(col("r"), cmsBucket(col("graft_k"), col("r"), width).as("bucket"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge same-shape CMS sketches: per-(row, bucket) counter addition —
+    * associative and commutative. */
+  def cmsMerge(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "cmsMerge: no sketches")
+    parts.reduce(_ unionByName _)
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Point-query the sketch for each row of `probes`: est_n = min over
+    * the d rows of the probed counter (absent counter = 0). Estimates
+    * never undercount; `probes` is a bounded query set (broadcast side). */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+                  d: Int, width: Int): DataFrame =
+    probes.select(col(keyCol),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .select(col(keyCol), col("r"),
+        cmsBucket(col(keyCol), col("r"), width).as("bucket"))
+      .join(sketch, Seq("r", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
 }

@@ -282,6 +282,102 @@ object TextDedup {
   }
 
   /**
+   * Prefix-filtered candidate pairs — the LOSSLESS candidate generator of
+   * the set-similarity-join family (SSJoin, Chaudhuri et al. ICDE'06;
+   * All-Pairs, Bayardo et al. WWW'07; PPJoin): order each document's
+   * shingles by ascending global document frequency (rarest first, ties
+   * by shingle text) and index only the first n − ⌈t·n⌉ + 1 of them.
+   * Any pair with Jaccard ≥ t = tNum/tDen MUST share its first-in-order
+   * common shingle inside BOTH prefixes (if it didn't, every common
+   * shingle would sit in a suffix of ⌈t·n⌉ − 1 slots — too few to reach
+   * the ⌈t·n⌉ overlap that J ≥ t forces), so joining prefix×prefix loses
+   * nothing. Unlike the `maxDf` cap this PRUNES boilerplate join rows
+   * with a guarantee: ultra-common shingles land at the end of the df
+   * order and never enter anyone's prefix, so Σdf² collapses without any
+   * recall caveat. ⌈t·n⌉ is computed integer-exactly from the rational
+   * threshold ((n·tNum + tDen − 1) div tDen) — no float boundary to
+   * diverge on.
+   *
+   * Scale shape: one df agg + one shingle-keyed join to attach dfs, one
+   * doc-keyed window for (position, size), then the prefix×prefix
+   * equi-join — every stage keyed, no all-pairs, no driver state.
+   */
+  def prefixCandidates(sh: DataFrame, idCol: String,
+                       tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold $tNum/$tDen outside (0, 1]")
+    val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("graft_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("graft_df"), col("s"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    val ceilTn = call_function("div",
+      col("graft_n") * tNum + (tDen - 1), lit(tDen.toLong))
+    val prefix = sh.join(dfs.hint("shuffle_hash"), "s")
+      .withColumn("graft_pos", row_number().over(w))
+      .withColumn("graft_n", count(lit(1)).over(wAll))
+      .filter(col("graft_pos") <= col("graft_n") - ceilTn + 1)
+      .select(col(idCol), col("s"))
+    prefix.select(col(idCol).as("d1"), col("s"))
+      .join(prefix.select(col(idCol).as("d2"), col("s"))
+        .hint("shuffle_hash"), "s")
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Exact Jaccard ≥ tNum/tDen via [[prefixCandidates]] — identical
+    * output to un-capped [[ngramJaccardPairs]] at the same threshold
+    * (the prefix filter is lossless), with candidate volume driven by
+    * RARE-shingle collisions only. */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         w: Int = 3, tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, w)
+    val cand = prefixCandidates(sh, idCol, tNum, tDen)
+    jaccardFromInter(candidateIntersections(sh, idCol, cand), sh, idCol)
+      .filter(col("jaccard") >= lit(tNum.toDouble / tDen))
+  }
+
+  /**
+   * Sorted-neighborhood near-dup pairs (Hernández & Stolfo 1995): sort
+   * the corpus by a cheap blocking key — here the first `keyLen` chars
+   * of the lowercased, alphanumeric-only text — and compare each record
+   * only with its `window − 1` successors in that order, verifying
+   * candidates with full-text Levenshtein ≤ `maxDist`. The classic
+   * entity-resolution alternative to LSH blocking: O(n·window)
+   * comparisons, catches near-dups whose edits cluster AFTER the key
+   * prefix (and misses those that edit the prefix — that asymmetry is
+   * the documented trade; run both and union for recall).
+   *
+   * Scale shape: the global sort order comes from
+   * [[GlobalRank.globalRowNumber]] (range exchange + broadcast offsets,
+   * no single-partition window); the "next w−1 neighbors" inequality is
+   * expressed as a w−1-way equi-join fan-out (rank + δ for δ in
+   * 1..w−1), never a rank-range theta-join. The O(|a|·|b|) DP runs only
+   * on the n·(w−1) neighbor pairs.
+   */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+                              textCol: String, window: Int, maxDist: Int,
+                              keyLen: Int = 24): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    val key = substring(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""), 1, keyLen)
+    val ranked = GlobalRank.globalRowNumber(
+      docs.select(col(idCol), col(textCol), key.as("graft_key")),
+      Seq(col("graft_key"), col(idCol)), "graft_rn")
+    val left = ranked
+      .withColumn("graft_delta",
+        explode(sequence(lit(1), lit(window - 1))))
+      .select(col(idCol).as("graft_i1"), col(textCol).as("graft_t1"),
+        (col("graft_rn") + col("graft_delta")).as("graft_rn"))
+    left.join(ranked.select(col(idCol).as("graft_i2"),
+        col(textCol).as("graft_t2"), col("graft_rn")), "graft_rn")
+      .select(least(col("graft_i1"), col("graft_i2")).as("d1"),
+        greatest(col("graft_i1"), col("graft_i2")).as("d2"),
+        levenshtein(col("graft_t1"), col("graft_t2")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
+  /**
    * Edit-distance-verified near-dup pairs: LSH band collisions generate
    * candidates (the usual collision-rate-bounded join), then full-text
    * Levenshtein ≤ `maxDist` verifies — the character-level notion of

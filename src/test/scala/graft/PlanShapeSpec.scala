@@ -408,7 +408,10 @@ class PlanShapeSpec extends SparkSpec {
       // broadcast (as q81); q131: bounded query-set broadcast vs one
       // corpus pass (the q92/q116 shape)
       "q128_weighted_pct", "q129_rrf_fusion", "q130_bigram_lm",
-      "q131_knn_labels")
+      "q131_knn_labels",
+      // q143: n_partitions-row offsets `<` join (the GlobalRank
+      // construction, metadata-scale, same as q57/q77/q100)
+      "q143_sorted_neighbor")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
