@@ -175,4 +175,55 @@ object Graph {
       "exceeds the round budget)")
     labels
   }
+
+  /**
+   * PageRank over an undirected pair list (src < dst convention),
+   * `iters` power iterations at damping 17/20 (= 0.85) — the centrality
+   * score that picks CANONICAL survivors in a dedup graph: the doc most
+   * linked-into by near-dups is the template original, its satellites
+   * the copies.
+   *
+   * All arithmetic is INTEGER at scale 10^12 so every engine computes
+   * bit-identical ranks: pr₀ = S div N; each round sends pr div deg
+   * along every edge and sets pr' = (3·S) div (20·N) + (17·Σin) div 20
+   * (integral division throughout — the mass lost to flooring is ≤ N·20
+   * scale units per round, far below the 10^12 scale). Every node in a
+   * pair list has degree ≥ 1, so there is no dangling-mass term.
+   *
+   * Scale shape: per round, ONE shuffle — the src-keyed join of ranks
+   * onto the edge list plus a dst-keyed sum; rank state is (node, pr),
+   * never adjacency lists. The node count rides along as a 1-row
+   * broadcast. `iters` is a compile-time unroll (the caller picks a
+   * small fixed count; dedup graphs are near-cliques where ranks
+   * stabilize in a handful of rounds).
+   */
+  def pageRank(pairs: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters=$iters out of range")
+    val S = 1000000000000L
+    val e = pairs.select(col(srcCol).as("graft_s"), col(dstCol).as("graft_t"))
+      .distinct()
+    val sym = e.union(e.select(col("graft_t").as("graft_s"),
+      col("graft_s").as("graft_t")))
+    val deg = sym.groupBy(col("graft_s").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("graft_n"))
+    var pr = deg.crossJoin(broadcast(n))
+      .select(col("node"), col("deg"), col("graft_n"),
+        call_function("div", lit(S), col("graft_n")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = sym.join(pr, sym("graft_s") === pr("node"))
+        .select(col("graft_t").as("node"),
+          call_function("div", col("pr"), col("deg")).as("graft_c"))
+        .groupBy(col("node"))
+        .agg(sum(col("graft_c")).as("graft_in"))
+      pr = pr.drop("pr").join(contrib, Seq("node"), "left")
+        .select(col("node"), col("deg"), col("graft_n"),
+          (call_function("div", lit(3L * S), lit(20L) * col("graft_n")) +
+            call_function("div",
+              lit(17L) * coalesce(col("graft_in"), lit(0L)), lit(20L)))
+            .as("pr"))
+    }
+    pr.select(col("node"), col("deg"), col("pr").as("pr_scaled"))
+  }
 }

@@ -121,4 +121,64 @@ object Sketches {
       .join(sketch, Seq("r", "bucket"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
+
+  // ── Bloom-filter join pruning ────────────────────────────────────────
+
+  /** Bloom hash r of a key: md5("bf{r}_" ‖ key) as a 32-bit value mod
+    * `mBits` — the k independent bit positions, engine-portable. */
+  private def bloomPos(key: Column, r: Column, mBits: Int): Column =
+    pmod(hash32(concat(lit("bf"), r.cast(org.apache.spark.sql.types
+        .StringType), lit("_"),
+      key.cast(org.apache.spark.sql.types.StringType))), lit(mBits.toLong))
+
+  /** The SET bit positions of a Bloom filter over `df`'s keys: ≤ mBits
+    * rows (metadata scale, whatever the key count) — the shippable
+    * filter state. */
+  def bloomBits(df: DataFrame, keyCol: String, k: Int, mBits: Int): DataFrame = {
+    require(k >= 1 && k <= 8, s"k=$k out of range")
+    require(mBits >= 64 && mBits % 64 == 0 && mBits <= (1 << 24),
+      s"mBits=$mBits: need a multiple of 64 in [64, 2^24]")
+    df.select(col(keyCol).as("graft_k"),
+        explode(sequence(lit(0), lit(k - 1))).as("r"))
+      .select(bloomPos(col("graft_k"), col("r"), mBits).as("pos"))
+      .distinct()
+  }
+
+  /**
+   * Bloom-prune a fact table: keep only rows whose key tests positive in
+   * the filter built by [[bloomBits]] — the scan-side pruning that makes
+   * a selective join cheap at 100 TB: instead of shuffling every fact
+   * row to discover most have no match, a fixed-size bitmap rides to
+   * every task and kills non-matches IN THE SCAN PROJECTION.
+   *
+   * The bit set (≤ mBits bits — metadata scale BY CONSTRUCTION, the
+   * whole point of a Bloom filter) is collected and inlined as an
+   * array-of-longs literal, so the membership test is a NARROW
+   * codegen'd filter: k shift/mask probes per row, zero shuffle, no
+   * join operator at all. No false negatives ever (true matches always
+   * pass); false positives are fine because callers re-join the
+   * survivors against the real dimension anyway.
+   */
+  def bloomPrune(fact: DataFrame, keyCol: String, bits: DataFrame,
+                 k: Int, mBits: Int): DataFrame = {
+    require(k >= 1 && k <= 8, s"k=$k out of range")
+    val words = new Array[Long](mBits / 64)
+    bits.collect().foreach { row =>
+      val pos = row.getLong(0)
+      require(pos >= 0 && pos < mBits, s"bloom position $pos outside $mBits")
+      words(pos.toInt / 64) |= 1L << (pos.toInt % 64)
+    }
+    val bitmap = typedLit(words.toSeq)
+    val test = (0 until k).map { r =>
+      val pos = bloomPos(col(keyCol), lit(r), mBits)
+      // (word >> (pos%64)) & 1 — the sign-fill of an arithmetic shift
+      // only touches bits ABOVE the probed one, so the &1 is exact
+      call_function("shiftright",
+          element_at(bitmap, (call_function("div", pos, lit(64L)) + 1)
+            .cast(org.apache.spark.sql.types.IntegerType)),
+          pmod(pos, lit(64L)).cast(org.apache.spark.sql.types.IntegerType))
+        .bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _)
+    fact.filter(test)
+  }
 }

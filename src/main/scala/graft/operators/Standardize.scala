@@ -85,4 +85,109 @@ object Standardize {
       .withColumn("intercept", round((sy - col("slope") * sx) / n, 6))
       .select(col(strataCol), col("n"), col("slope"), col("intercept"))
   }
+
+  /**
+   * Two-sample Kolmogorov–Smirnov drift statistic of an INTEGER column,
+   * each group in `groups` against `baselineGroup`: D = max over the
+   * value domain of |F_g(x) − F_b(x)| — the distribution-shift alarm
+   * ("did this source's length distribution move vs the reference
+   * crawl?") that a mean/variance check can't raise.
+   *
+   * Integer-exact: D's argmax is taken over |c_g·n_b − c_b·n_g| (cum
+   * counts cross-multiplied — no float ECDFs to diverge on); the only
+   * double is the final round(D_num / (n_g·n_b), 6). The argmax value
+   * rides out through an int64 (dnum·2^20 + value) encode, so the
+   * reported crossing point is deterministic under ties (largest |diff|,
+   * then largest value). Int64 bound: n_g·n_b·2^20 must fit — beyond
+   * ~2×10²¹ pair-products, shift the encode out; `valueCol` must be
+   * nonnegative and < 2^20 (lengths, quantized scores — enforced).
+   *
+   * Scale shape: baseline rows fan out once per compared group via a
+   * literal-array explode (|groups| is metadata-scale), then ONE
+   * (group, value) hash-agg with map-side combine and per-GROUP windows
+   * over distinct values — no global window, no sort of raw rows.
+   */
+  def ksDrift(df: DataFrame, valueCol: String, groupCol: String,
+              baselineGroup: String, groups: Seq[String]): DataFrame = {
+    require(groups.nonEmpty, "ksDrift: no comparison groups")
+    require(!groups.contains(baselineGroup),
+      "ksDrift: baseline cannot be compared with itself")
+    val v = col(valueCol).cast(LongType)
+    val guarded = when(v >= 0 && v < lit(1L << 20), v)
+      .otherwise(raise_error(concat(lit(s"ksDrift: $valueCol out of "),
+        lit("[0, 2^20): "), v.cast(StringType))))
+    val target = df.filter(col(groupCol).isin(groups: _*))
+      .select(col(groupCol).as("g"), guarded.as("v"),
+        lit(1L).as("graft_kg"), lit(0L).as("graft_kb"))
+    val base = df.filter(col(groupCol) === baselineGroup)
+      .select(explode(array(groups.map(lit): _*)).as("g"), guarded.as("v"),
+        lit(0L).as("graft_kg"), lit(1L).as("graft_kb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val cum = target.unionByName(base)
+      .groupBy(col("g"), col("v"))
+      .agg(sum(col("graft_kg")).as("graft_kg"),
+        sum(col("graft_kb")).as("graft_kb"))
+      .withColumn("graft_cg", sum(col("graft_kg")).over(w))
+      .withColumn("graft_cb", sum(col("graft_kb")).over(w))
+      .withColumn("graft_ng", sum(col("graft_kg")).over(wAll))
+      .withColumn("graft_nb", sum(col("graft_kb")).over(wAll))
+    cum.select(col("g"), col("graft_ng"), col("graft_nb"),
+        (abs(col("graft_cg") * col("graft_nb") -
+          col("graft_cb") * col("graft_ng")) * lit(1L << 20) + col("v"))
+          .as("graft_enc"))
+      .groupBy(col("g"))
+      .agg(max(col("graft_enc")).as("graft_best"),
+        max(col("graft_ng")).as("n_g"), max(col("graft_nb")).as("n_b"))
+      .select(col("g"), col("n_g"), col("n_b"),
+        pmod(col("graft_best"), lit(1L << 20)).as("ks_at_value"),
+        round(call_function("div", col("graft_best"), lit(1L << 20))
+          .cast(DoubleType) / (col("n_g") * col("n_b")).cast(DoubleType), 6)
+          .as("ks_stat"))
+  }
+
+  /**
+   * Per-stratum ROC AUC of an integer score against a binary label, by
+   * the Mann–Whitney rank-sum identity with exact tie handling (average
+   * ranks) — "does the quality score actually separate English from
+   * non-English, per source?" evaluated without ever materializing an
+   * ROC curve.
+   *
+   * Integer-exact: over the per-(stratum, value) counts, with B(v) =
+   * items before v in score order, each positive at v has average rank
+   * B + (c+1)/2 — so 2·Σ_pos ranks = Σ_v npos(v)·(2B(v) + c(v) + 1),
+   * all int64, and AUC = (that − n₊(n₊+1)) / (2·n₊·n₋) with ONE final
+   * double division. Single-class strata yield NULL (AUC undefined).
+   *
+   * Scale shape: one (stratum, value) hash-agg with map-side combine,
+   * per-STRATUM windows over distinct values, one stratum rollup — no
+   * global sort, no per-row ranks.
+   */
+  def groupAuc(df: DataFrame, scoreQCol: String, posCol: String,
+               strataCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("graft_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val t2u = col("graft_t2u")
+    val nPos = col("n_pos")
+    val nNeg = col("n") - col("n_pos")
+    df.select(col(strataCol), col(scoreQCol).cast(LongType).as("graft_v"),
+        col(posCol).cast(LongType).as("graft_p"))
+      .groupBy(col(strataCol), col("graft_v"))
+      .agg(count(lit(1)).as("graft_n"), sum(col("graft_p")).as("graft_np"))
+      .withColumn("graft_b",
+        sum(col("graft_n")).over(w) - col("graft_n"))
+      .groupBy(col(strataCol))
+      .agg(sum(col("graft_np") *
+          (col("graft_b") * 2 + col("graft_n") + 1)).as("graft_t2u"),
+        sum(col("graft_n")).as("n"), sum(col("graft_np")).as("n_pos"))
+      .select(col(strataCol), col("n"), nPos.as("n_pos"),
+        when(nPos > 0 && nNeg > 0,
+          round((t2u - nPos * (nPos + 1)).cast(DoubleType) /
+            (nPos * nNeg * 2).cast(DoubleType), 6)).as("auc"))
+  }
 }

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.operators.{Graph, Sketches, Standardize, TextAnalysis, TextDedup}
+import graft.sources.Sources
+
+/** Round-6 graph/evaluation/join-pruning operators: PageRank survivor
+  * scoring over the dedup graph, two-sample KS distribution drift,
+  * Bloom-filter join pruning, and per-stratum ROC AUC — each with a
+  * DuckDB oracle reproducing the arithmetic exactly (q147's oracle is
+  * the PLAIN join, so the gate proves the Bloom filter admits no false
+  * negatives end-to-end). */
+object GraphEvalQueries {
+
+  /** The q136 LSH near-dup graph: MinHash(16) bands(4×4), Jaccard ≥ 0.5. */
+  private def dedupPairs(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minHashLshPairs(Sources.documents(s, dir),
+      "doc_id", "text", k = 16, r = 4, w = 3, threshold = 0.5)
+
+  /** The q136 oracle CTE chain reproducing [[dedupPairs]] — shared by
+    * the graph queries' oracles. Yields CTE `pairs(d1, d2)`. */
+  private val pairsCte: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |hw AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h1,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h2
+      |       FROM sh),
+      |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+      |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band,
+      |            md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bh
+      |          FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |         WHERE a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.d1, c.d2, count(*) AS inter
+      |          FROM cand c
+      |          JOIN sh a ON a.doc_id = c.d1
+      |          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+      |          GROUP BY c.d1, c.d2),
+      |pairs AS (SELECT i.d1, i.d2
+      |  FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
+      |  JOIN sz s2 ON i.d2 = s2.doc_id
+      |  WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= 0.5)""".stripMargin
+
+  // ── q145: PageRank over the dedup graph ────────────────────────────────
+
+  /** q145: 3-iteration integer-scaled PageRank over the LSH near-dup
+    * graph — the canonical-survivor centrality; one shuffle per round,
+    * rank state only, bit-identical across engines. */
+  def q145PageRank(s: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(dedupPairs(s, dir), "d1", "d2", iters = 3)
+      .orderBy(col("node"))
+
+  val q145Sql: String = pairsCte + """,
+      |e AS (SELECT d1 AS s, d2 AS t FROM pairs
+      |      UNION ALL SELECT d2, d1 FROM pairs),
+      |deg AS (SELECT s AS node, count(*) AS deg FROM e GROUP BY s),
+      |nn AS (SELECT count(*) AS n FROM deg),
+      |p0 AS (SELECT node, deg, 1000000000000 // nn.n AS pr
+      |       FROM deg CROSS JOIN nn),
+      |i1 AS (SELECT e.t AS node, CAST(SUM(p.pr // p.deg) AS BIGINT) AS sin
+      |       FROM e JOIN p0 p ON e.s = p.node GROUP BY e.t),
+      |p1 AS (SELECT p.node, p.deg,
+      |         3000000000000 // (20 * nn.n)
+      |           + (17 * COALESCE(i.sin, 0)) // 20 AS pr
+      |       FROM p0 p LEFT JOIN i1 i ON p.node = i.node CROSS JOIN nn),
+      |i2 AS (SELECT e.t AS node, CAST(SUM(p.pr // p.deg) AS BIGINT) AS sin
+      |       FROM e JOIN p1 p ON e.s = p.node GROUP BY e.t),
+      |p2 AS (SELECT p.node, p.deg,
+      |         3000000000000 // (20 * nn.n)
+      |           + (17 * COALESCE(i.sin, 0)) // 20 AS pr
+      |       FROM p1 p LEFT JOIN i2 i ON p.node = i.node CROSS JOIN nn),
+      |i3 AS (SELECT e.t AS node, CAST(SUM(p.pr // p.deg) AS BIGINT) AS sin
+      |       FROM e JOIN p2 p ON e.s = p.node GROUP BY e.t),
+      |p3 AS (SELECT p.node, p.deg,
+      |         3000000000000 // (20 * nn.n)
+      |           + (17 * COALESCE(i.sin, 0)) // 20 AS pr
+      |       FROM p2 p LEFT JOIN i3 i ON p.node = i.node CROSS JOIN nn)
+      |SELECT node, deg, pr AS pr_scaled FROM p3 ORDER BY node""".stripMargin
+
+  // ── q146: two-sample KS drift ──────────────────────────────────────────
+
+  /** q146: KS statistic of each non-English language's document-length
+    * distribution against the English baseline — integer-exact argmax
+    * over cumulative-count cross-products, per-group windows only. */
+  def q146KsDrift(s: SparkSession, dir: String): DataFrame =
+    Standardize.ksDrift(Sources.documents(s, dir), "n_chars", "lang",
+        baselineGroup = "en", groups = Seq("de", "es", "fr", "zh"))
+      .orderBy(col("g"))
+
+  val q146Sql: String =
+    """WITH t AS (SELECT lang AS g, n_chars AS v, 1 AS kg, 0 AS kb
+      |           FROM documents WHERE lang IN ('de', 'es', 'fr', 'zh')
+      |           UNION ALL
+      |           SELECT gg.g, n_chars, 0, 1
+      |           FROM documents
+      |           CROSS JOIN (SELECT unnest(['de','es','fr','zh']) AS g) gg
+      |           WHERE lang = 'en'),
+      |c AS (SELECT g, v, CAST(SUM(kg) AS BIGINT) AS kg,
+      |        CAST(SUM(kb) AS BIGINT) AS kb
+      |      FROM t GROUP BY g, v),
+      |w AS (SELECT g, v,
+      |        CAST(SUM(kg) OVER pw AS BIGINT) AS cg,
+      |        CAST(SUM(kb) OVER pw AS BIGINT) AS cb,
+      |        CAST(SUM(kg) OVER (PARTITION BY g) AS BIGINT) AS ng,
+      |        CAST(SUM(kb) OVER (PARTITION BY g) AS BIGINT) AS nb
+      |      FROM c
+      |      WINDOW pw AS (PARTITION BY g ORDER BY v
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s AS (SELECT g, MAX(ng) AS n_g, MAX(nb) AS n_b,
+      |        MAX(abs(cg * nb - cb * ng) * 1048576 + v) AS best
+      |      FROM w GROUP BY g)
+      |SELECT g, n_g, n_b, best % 1048576 AS ks_at_value,
+      |  round(CAST(best // 1048576 AS DOUBLE) / (n_g * n_b), 6) AS ks_stat
+      |FROM s ORDER BY g""".stripMargin
+
+  // ── q147: Bloom-filter join pruning ────────────────────────────────────
+
+  /** q147: revenue of high-value orders by priority, with the lineitem
+    * scan Bloom-pruned (k=3, 2^16 bits) before the join — the filter is
+    * a narrow codegen'd bitmap probe, zero extra shuffle; the oracle is
+    * the PLAIN join, so a hash match proves no false negatives. */
+  def q147BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val hi = Sources.orders(s, dir)
+      .filter(col("o_totalprice") > 490000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val bits = Sketches.bloomBits(hi, "o_orderkey", k = 3, mBits = 65536)
+    val pruned = Sketches.bloomPrune(Sources.lineitem(s, dir),
+      "l_orderkey", bits, k = 3, mBits = 65536)
+    pruned.join(broadcast(hi), pruned("l_orderkey") === hi("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q147Sql: String =
+    """SELECT o.o_orderpriority, count(*) AS n_items,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_totalprice > 490000.0
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
+  // ── q148: per-stratum ROC AUC ──────────────────────────────────────────
+
+  /** q148: per-source AUC of the alpha-ratio quality score for
+    * predicting English — Mann–Whitney rank-sum with exact tie
+    * handling, int64 until one final division. */
+  def q148GroupAuc(s: SparkSession, dir: String): DataFrame = {
+    val alpha = TextAnalysis.qualityCols(col("text")).toMap.apply("alpha_ratio")
+    val d = Sources.documents(s, dir).select(col("source"),
+      round(alpha * 1000000.0, 0).cast(LongType).as("q"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    Standardize.groupAuc(d, "q", "pos", "source")
+      .orderBy(col("source"))
+  }
+
+  val q148Sql: String =
+    """WITH d AS (SELECT source,
+      |    CAST(round(
+      |      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |        / length(text) * 1000000.0, 0) AS BIGINT) AS q,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM documents),
+      |c AS (SELECT source, q, count(*) AS n, CAST(SUM(pos) AS BIGINT) AS np
+      |      FROM d GROUP BY 1, 2),
+      |w AS (SELECT source, q, n, np,
+      |        CAST(SUM(n) OVER (PARTITION BY source ORDER BY q
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS BIGINT) - n AS b
+      |      FROM c),
+      |s AS (SELECT source,
+      |        CAST(SUM(np * (b * 2 + n + 1)) AS BIGINT) AS t2u,
+      |        CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(np) AS BIGINT) AS n_pos
+      |      FROM w GROUP BY source)
+      |SELECT source, n, n_pos,
+      |  CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+      |    round(CAST(t2u - n_pos * (n_pos + 1) AS DOUBLE)
+      |      / (n_pos * (n - n_pos) * 2), 6) END AS auc
+      |FROM s ORDER BY source""".stripMargin
+}

@@ -411,7 +411,10 @@ class PlanShapeSpec extends SparkSpec {
       "q131_knn_labels",
       // q143: n_partitions-row offsets `<` join (the GlobalRank
       // construction, metadata-scale, same as q57/q77/q100)
-      "q143_sorted_neighbor")
+      "q143_sorted_neighbor",
+      // q145: 1-row node-count broadcast riding the rank state (the
+      // q78/q81 totals shape)
+      "q145_pagerank")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
