@@ -208,4 +208,54 @@ object Funnel {
       .filter(col("graft_rn") <= k)
       .drop("graft_rn", "graft_tus")
   }
+
+  /**
+   * Per-user inter-event gap statistics and burstiness index
+   * B = (σ−μ)/(σ+μ) over inter-arrival times (Goh & Barabási 2008):
+   * B → −1 for metronome regularity, 0 for Poisson, → 1 for extreme
+   * bursts — the behavioral fingerprint separating organic users from
+   * schedulers and spam floods.
+   *
+   * Determinism: gaps are int64 microseconds (lag over the total
+   * (ts, id) order); Σgap stays int64, Σgap² goes through the 6-dp
+   * double-round → DECIMAL(38,6) sum (a gap² near 10²² needs the wide
+   * decimal; order-independent, engine-portable). Population variance
+   * is clamped at zero like [[Standardize.zScores]]; all-zero-gap users
+   * (every event at one instant) get NULL burstiness via the guard, not
+   * an engine-specific 0/0 NaN.
+   *
+   * Shape: one user-partitioned lag window + one map-side-combinable
+   * hash-agg — no self-join of the event log.
+   */
+  def burstiness(events: DataFrame, userCol: String, idCol: String,
+                 tsCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("graft_tus"), col(idCol))
+    val g = col("graft_gap").cast(DoubleType)
+    val gaps = events
+      .select(col(userCol), col(idCol), unix_micros(col(tsCol)).as("graft_tus"))
+      .withColumn("graft_gap",
+        col("graft_tus") - lag(col("graft_tus"), 1).over(w))
+      .filter(col("graft_gap").isNotNull)
+    val mean = col("graft_s1").cast(DoubleType) / col("n_gaps")
+    val variance = greatest(
+      col("graft_s2").cast(DoubleType) / col("n_gaps") - mean * mean,
+      lit(0.0))
+    val std = sqrt(variance)
+    // reported in SECONDS: a µs mean near 10¹⁰ would need ~17 significant
+    // digits for its 6th decimal — beyond double precision, so engines
+    // disagree on the phantom digits; at seconds scale the 6-dp digit is
+    // comfortably inside the mantissa. The dimensionless burstiness
+    // ratio uses the raw µs doubles (scale cancels).
+    gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("graft_gap")).as("graft_s1"),
+        sum(round(g * g, 6).cast(DecimalType(38, 6))).as("graft_s2"))
+      .select(col(userCol), col("n_gaps"),
+        round(mean / 1000000.0, 6).as("mean_gap_s"),
+        round(std / 1000000.0, 6).as("std_gap_s"),
+        when(std + mean > 0.0,
+          round((std - mean) / (std + mean), 6)).as("burstiness"))
+  }
 }

@@ -103,4 +103,37 @@ object BehaviorQueries {
       |  round(CAST(SUM(pos) AS DOUBLE) / count(*), 6) AS pos_rate,
       |  round(CAST(SUM(cq) AS DOUBLE) / count(*), 6) AS mean_score_q
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ── q149: inter-event burstiness ───────────────────────────────────────
+
+  /** q149: per-user inter-arrival gap stats and the Goh–Barabási
+    * burstiness index — one lag window + one hash-agg; Σgap² through
+    * the 6-dp-decimal sum rule. */
+  def q149Burstiness(s: SparkSession, dir: String): DataFrame =
+    Funnel.burstiness(Sources.events(s, dir), "user_id", "event_id", "ts")
+      .orderBy(col("user_id"))
+
+  val q149Sql: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS tus FROM events),
+      |g AS (SELECT user_id,
+      |        tus - lag(tus) OVER (PARTITION BY user_id
+      |          ORDER BY tus, event_id) AS gap
+      |      FROM e),
+      |s AS (SELECT user_id, count(*) AS n_gaps,
+      |        CAST(SUM(gap) AS BIGINT) AS s1,
+      |        SUM(CAST(round(CAST(gap AS DOUBLE) * gap, 6)
+      |          AS DECIMAL(38,6))) AS s2
+      |      FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+      |m AS (SELECT user_id, n_gaps,
+      |        CAST(s1 AS DOUBLE) / n_gaps AS mean,
+      |        sqrt(GREATEST(CAST(s2 AS DOUBLE) / n_gaps
+      |          - (CAST(s1 AS DOUBLE) / n_gaps)
+      |            * (CAST(s1 AS DOUBLE) / n_gaps), 0.0)) AS std
+      |      FROM s)
+      |SELECT user_id, n_gaps, round(mean / 1000000.0, 6) AS mean_gap_s,
+      |  round(std / 1000000.0, 6) AS std_gap_s,
+      |  CASE WHEN std + mean > 0.0
+      |    THEN round((std - mean) / (std + mean), 6) END AS burstiness
+      |FROM m ORDER BY user_id""".stripMargin
 }

@@ -193,4 +193,57 @@ object GraphEvalQueries {
       |    round(CAST(t2u - n_pos * (n_pos + 1) AS DOUBLE)
       |      / (n_pos * (n - n_pos) * 2), 6) END AS auc
       |FROM s ORDER BY source""".stripMargin
+
+  // ── q150: dedup-weighted effective token count ─────────────────────────
+
+  /** q150: per-source corpus size where each document counts
+    * tokens/cluster-size — the "effective data" metric after near-dup
+    * discounting (a 5-copy template family contributes one document's
+    * worth); composes LSH pairs → connected components → a doc-keyed
+    * join, then one rollup with 6-dp-decimal weight sums. */
+  def q150EffectiveTokens(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val docs = Sources.documents(s, dir)
+    val comp = Graph.connectedComponents(dedupPairs(s, dir), "d1", "d2")
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("graft_csz"))
+    val withSize = comp.join(sizes, "component")
+      .select(col("node").as("doc_id"), col("graft_csz"))
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("graft_tok"))
+      .join(withSize, Seq("doc_id"), "left")
+      .withColumn("graft_csz", coalesce(col("graft_csz"), lit(1L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("graft_tok")).as("total_tokens"),
+        sum(round(col("graft_tok").cast(DoubleType) / col("graft_csz"), 6)
+          .cast(DecimalType(18, 6))).cast(DoubleType).as("effective_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q150Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT d1, d2 FROM (
+       |${PipelineQueries.q19Sql}
+       |  )),
+       |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |      UNION SELECT d2 AS a, d1 AS b FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT DISTINCT a AS n, a AS m FROM e
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+       |comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n),
+       |csz AS (SELECT component, COUNT(*) AS graft_csz FROM comp
+       |        GROUP BY component),
+       |dsz AS (SELECT c.doc_id, s.graft_csz FROM comp c
+       |        JOIN csz s ON c.component = s.component),
+       |d AS (SELECT doc.source,
+       |        len(string_split(doc.text, ' ')) AS tok,
+       |        COALESCE(dsz.graft_csz, 1) AS csz
+       |      FROM documents doc LEFT JOIN dsz ON doc.doc_id = dsz.doc_id)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CAST(round(CAST(tok AS DOUBLE) / csz, 6)
+       |    AS DECIMAL(18,6))) AS DOUBLE) AS effective_tokens
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
 }

@@ -101,6 +101,26 @@ class BehaviorOpsSpec extends SparkSpec {
       (3L, 2L, 2L, 1.0, 100.0))) // q=100 and clamped 150
   }
 
+  // ── burstiness ──────────────────────────────────────────────────────────
+
+  test("burstiness: metronome is -1, hand-computed mixed gaps, all-zero NULL") {
+    val events = Seq(
+      // u1: gaps {10s, 10s} → std 0 → B = -1
+      (1L, 1L, ts(0, 0)), (2L, 1L, ts(0, 10)), (3L, 1L, ts(0, 20)),
+      // u2: gaps {10s, 30s} → mean 20s, std 10s → B = -10/30
+      (4L, 2L, ts(0, 0)), (5L, 2L, ts(0, 10)), (6L, 2L, ts(0, 40)),
+      // u3: three events at one instant → gaps {0,0} → B undefined
+      (7L, 3L, ts(0, 5)), (8L, 3L, ts(0, 5)), (9L, 3L, ts(0, 5))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Funnel.burstiness(events, "user_id", "event_id", "ts")
+      .orderBy("user_id")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 10.0, 0.0, Some(-1.0)),
+      (2L, 2L, 20.0, 10.0, Some(-0.333333)),
+      (3L, 2L, 0.0, 0.0, None)))
+  }
+
   test("calibrationBins rejects an overflowing domain") {
     val df = Seq((0L, 0L)).toDF("q", "pos")
     val err = intercept[IllegalArgumentException] {
