@@ -203,8 +203,14 @@ object Graph {
     val S = 1000000000000L
     val e = pairs.select(col(srcCol).as("graft_s"), col(dstCol).as("graft_t"))
       .distinct()
+    // the edge list feeds every iteration's join AND the degree/count
+    // aggregates — localCheckpoint materializes the (possibly expensive:
+    // LSH, verification) pair lineage ONCE instead of once per use, the
+    // same lineage cut connectedComponents applies (and with the same
+    // caveat: executor-memory-backed; use reliable checkpoints on a
+    // real cluster for long-running jobs)
     val sym = e.union(e.select(col("graft_t").as("graft_s"),
-      col("graft_s").as("graft_t")))
+      col("graft_s").as("graft_t"))).localCheckpoint()
     val deg = sym.groupBy(col("graft_s").as("node"))
       .agg(count(lit(1)).as("deg"))
     val n = deg.agg(count(lit(1)).as("graft_n"))

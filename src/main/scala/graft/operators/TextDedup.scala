@@ -331,6 +331,9 @@ object TextDedup {
     * RARE-shingle collisions only. */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          w: Int = 3, tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    // the shingle table feeds five consumers, but measurement matches
+    // the §shingles caching note: materializing it (localCheckpoint)
+    // buys nothing at sf0.1 — the joins dominate, recompute is cheap
     val sh = shingles(docs, idCol, textCol, w)
     val cand = prefixCandidates(sh, idCol, tNum, tDen)
     jaccardFromInter(candidateIntersections(sh, idCol, cand), sh, idCol)
@@ -371,10 +374,17 @@ object TextDedup {
         (col("graft_rn") + col("graft_delta")).as("graft_rn"))
     left.join(ranked.select(col(idCol).as("graft_i2"),
         col(textCol).as("graft_t2"), col("graft_rn")), "graft_rn")
+      // |len(a) − len(b)| lower-bounds the edit distance, so the length
+      // guard drops no qualifying pair — but it spares the DP on the
+      // bulk of neighbor pairs; the thresholded levenshtein banded DP
+      // (O(n·maxDist), −1 past the budget) handles the rest
+      .filter(abs(length(col("graft_t1")) - length(col("graft_t2")))
+        <= maxDist)
       .select(least(col("graft_i1"), col("graft_i2")).as("d1"),
         greatest(col("graft_i1"), col("graft_i2")).as("d2"),
-        levenshtein(col("graft_t1"), col("graft_t2")).as("edit_dist"))
-      .filter(col("edit_dist") <= maxDist)
+        levenshtein(col("graft_t1"), col("graft_t2"), maxDist)
+          .as("edit_dist"))
+      .filter(col("edit_dist").between(0, maxDist))
   }
 
   /**
