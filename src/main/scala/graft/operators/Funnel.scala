@@ -210,6 +210,36 @@ object Funnel {
   }
 
   /**
+   * Top event-type paths of length 3: the most common consecutive
+   * (A → B → C) behavior sequences across users — the path-mining step
+   * behind "what do users actually do", one order of depth beyond
+   * [[transitionMatrix]]'s bigrams.
+   *
+   * One user-partitioned window (two leads share it), one hash-agg with
+   * map-side combine over ≤ |event types|³ keys, and a
+   * TakeOrderedAndProject cut — no per-user sequence arrays, no
+   * self-joins. Ordering is the total (ts, id) order; paths never span
+   * users (leads are partition-bounded).
+   */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+               tsCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("graft_tus"), col(idCol))
+    events
+      .select(col(userCol), col(typeCol), col(idCol),
+        unix_micros(col(tsCol)).as("graft_tus"))
+      .withColumn("graft_t2", lead(col(typeCol), 1).over(w))
+      .withColumn("graft_t3", lead(col(typeCol), 2).over(w))
+      .filter(col("graft_t2").isNotNull && col("graft_t3").isNotNull)
+      .groupBy(concat_ws(">", col(typeCol), col("graft_t2"),
+        col("graft_t3")).as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
+  /**
    * Per-user inter-event gap statistics and burstiness index
    * B = (σ−μ)/(σ+μ) over inter-arrival times (Goh & Barabási 2008):
    * B → −1 for metronome regularity, 0 for Poisson, → 1 for extreme

@@ -177,6 +177,43 @@ object Graph {
   }
 
   /**
+   * Cluster medoid selection: for every duplicate cluster (connected
+   * component of the scored pair graph), the member with the highest
+   * total similarity to its in-cluster neighbors — the principled
+   * "which copy do we keep" answer (most-central survivor), replacing
+   * min-id/max-quality heuristics when the cluster mixes revisions.
+   *
+   * Scores sum through the 6-dp-decimal rule (order-independent,
+   * engine-portable); ties break to the smaller node id. Shape: the CC
+   * rounds, then one node-keyed incident-score agg, a component-keyed
+   * window top-1 (WindowGroupLimit heaps), and the sizes rollup sharing
+   * the component exchange.
+   */
+  def clusterMedoids(pairs: DataFrame, srcCol: String, dstCol: String,
+                     scoreCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, srcCol, dstCol)
+    val incident = pairs
+      .select(col(srcCol).as("node"), col(scoreCol).as("graft_j"))
+      .unionByName(pairs
+        .select(col(dstCol).as("node"), col(scoreCol).as("graft_j")))
+      .groupBy(col("node"))
+      .agg(sum(round(col("graft_j"), 6).cast(DecimalType(18, 6)))
+        .as("graft_sumj"))
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("graft_sumj").desc, col("node"))
+    comp.join(incident, "node")
+      .withColumn("graft_rk", row_number().over(w))
+      .filter(col("graft_rk") === 1)
+      .join(sizes, "component")
+      .select(col("component"), col("node").as("medoid"), col("n_members"),
+        col("graft_sumj")
+          .cast(org.apache.spark.sql.types.DoubleType).as("medoid_score"))
+  }
+
+  /**
    * PageRank over an undirected pair list (src < dst convention),
    * `iters` power iterations at damping 17/20 (= 0.85) — the centrality
    * score that picks CANONICAL survivors in a dedup graph: the doc most

@@ -136,4 +136,56 @@ object BehaviorQueries {
       |  CASE WHEN std + mean > 0.0
       |    THEN round((std - mean) / (std + mean), 6) END AS burstiness
       |FROM m ORDER BY user_id""".stripMargin
+
+  // ── q151: time-series resample + forward fill ──────────────────────────
+
+  /** q151: per-user DAILY state grid with the last observed `value`
+    * carried across gaps — the as-of-every-tick view; grid fan-out
+    * bounded by span/bucket, one entity-keyed window fill. */
+  def q151ForwardFill(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.forwardFill(Sources.events(s, dir), "user_id",
+        "event_id", "ts", "value", bucketUs = 86400000000L)
+      .orderBy(col("user_id"), col("bucket"))
+
+  val q151Sql: String =
+    """WITH e AS (SELECT event_id, user_id, value,
+      |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS tus FROM events),
+      |b AS (SELECT user_id, value, tus, event_id,
+      |        tus // 86400000000 AS bucket FROM e),
+      |obs AS (SELECT user_id, bucket, value AS obs FROM b
+      |        QUALIFY row_number() OVER (PARTITION BY user_id, bucket
+      |          ORDER BY tus DESC, event_id DESC) = 1),
+      |sp AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+      |       FROM b GROUP BY user_id),
+      |grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+      |         FROM sp)
+      |SELECT g.user_id, g.bucket,
+      |  last_value(o.obs IGNORE NULLS) OVER (PARTITION BY g.user_id
+      |    ORDER BY g.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+      |  o.obs IS NOT NULL AS is_observed
+      |FROM grid g LEFT JOIN obs o
+      |  ON g.user_id = o.user_id AND g.bucket = o.bucket
+      |ORDER BY g.user_id, g.bucket""".stripMargin
+
+  // ── q152: top behavior paths ───────────────────────────────────────────
+
+  /** q152: the 15 most common consecutive event-type trigrams
+    * (A→B→C paths) — one shared user window, one hash-agg, a
+    * TakeOrderedAndProject cut. */
+  def q152TopPaths(s: SparkSession, dir: String): DataFrame =
+    Funnel.topPaths(Sources.events(s, dir), "user_id", "event_type",
+        "ts", "event_id", k = 15)
+
+  val q152Sql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS tus FROM events),
+      |t AS (SELECT event_type AS t1,
+      |        lead(event_type, 1) OVER w AS t2,
+      |        lead(event_type, 2) OVER w AS t3
+      |      FROM e
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+      |SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+      |FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin
 }

@@ -246,4 +246,41 @@ object GraphEvalQueries {
        |  CAST(SUM(CAST(round(CAST(tok AS DOUBLE) / csz, 6)
        |    AS DECIMAL(18,6))) AS DOUBLE) AS effective_tokens
        |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  // ── q153: duplicate-cluster medoid survivors ───────────────────────────
+
+  /** q153: per dup cluster, the most-central member (highest summed
+    * in-cluster Jaccard, decimal-exact, min-id ties) — the survivor
+    * policy that keeps the canonical copy; WindowGroupLimit top-1
+    * sharing the component exchange. */
+  def q153Medoids(s: SparkSession, dir: String): DataFrame =
+    Graph.clusterMedoids(dedupPairs(s, dir), "d1", "d2", "jaccard")
+      .orderBy(col("component"))
+
+  val q153Sql: String =
+    s"""WITH RECURSIVE jpairs AS (
+       |  SELECT d1, d2, jaccard FROM (
+       |${PipelineQueries.q19Sql}
+       |  )),
+       |e AS (SELECT d1 AS a, d2 AS b FROM jpairs
+       |      UNION SELECT d2 AS a, d1 AS b FROM jpairs),
+       |reach(n, m) AS (
+       |  SELECT DISTINCT a AS n, a AS m FROM e
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+       |comp AS (SELECT n AS node, MIN(m) AS component FROM reach GROUP BY n),
+       |csz AS (SELECT component, COUNT(*) AS n_members FROM comp
+       |        GROUP BY component),
+       |inc AS (SELECT node, SUM(CAST(round(j, 6) AS DECIMAL(18,6))) AS sumj
+       |        FROM (SELECT d1 AS node, jaccard AS j FROM jpairs
+       |              UNION ALL SELECT d2, jaccard FROM jpairs)
+       |        GROUP BY node),
+       |rk AS (SELECT c.component, c.node, i.sumj,
+       |         row_number() OVER (PARTITION BY c.component
+       |           ORDER BY i.sumj DESC, c.node) AS r
+       |       FROM comp c JOIN inc i ON c.node = i.node)
+       |SELECT rk.component, rk.node AS medoid, csz.n_members,
+       |  CAST(rk.sumj AS DOUBLE) AS medoid_score
+       |FROM rk JOIN csz ON rk.component = csz.component
+       |WHERE rk.r = 1 ORDER BY rk.component""".stripMargin
 }

@@ -121,6 +121,39 @@ class BehaviorOpsSpec extends SparkSpec {
       (3L, 2L, 0.0, 0.0, None)))
   }
 
+  // ── forward fill ────────────────────────────────────────────────────────
+
+  test("forwardFill: dense grid, last-in-bucket wins, gaps carry forward") {
+    // day 0 has two events (later one wins), day 1 is a gap, day 2 observed
+    val events = Seq(
+      (1L, 1L, ts(0, 10), 1.0), (2L, 1L, ts(0, 20), 2.0),
+      (3L, 1L, ts(2, 0), 3.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = graft.operators.Resample.forwardFill(events, "user_id",
+        "event_id", "ts", "value", bucketUs = 86400000000L)
+      .orderBy("bucket")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 2.0, true),
+      (1L, 1L, 2.0, false),
+      (1L, 2L, 3.0, true)))
+  }
+
+  // ── top paths ───────────────────────────────────────────────────────────
+
+  test("topPaths counts consecutive trigrams per user, never across users") {
+    val events = Seq(
+      (1L, 1L, ts(0, 1), "a"), (2L, 1L, ts(0, 2), "b"),
+      (3L, 1L, ts(0, 3), "c"), (4L, 1L, ts(0, 4), "d"),
+      (5L, 2L, ts(0, 1), "a"), (6L, 2L, ts(0, 2), "b"),
+      (7L, 2L, ts(0, 3), "c")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Funnel.topPaths(events, "user_id", "event_type", "ts",
+        "event_id", k = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a>b>c", 2L), ("b>c>d", 1L)))
+  }
+
   test("calibrationBins rejects an overflowing domain") {
     val df = Seq((0L, 0L)).toDF("q", "pos")
     val err = intercept[IllegalArgumentException] {

@@ -38,6 +38,19 @@ class GraphEvalOpsSpec extends SparkSpec {
       s"mass $total drifted from 10^12")
   }
 
+  test("clusterMedoids picks the highest-summed-similarity member, min-id ties") {
+    // triangle: node 2 has incident 0.9+0.8 = 1.7 → medoid;
+    // isolated pair 10—11 ties at 0.6 → min id 10
+    val pairs = Seq(
+      (1L, 2L, 0.9), (2L, 3L, 0.8), (1L, 3L, 0.5),
+      (10L, 11L, 0.6)
+    ).toDF("d1", "d2", "jaccard")
+    val got = Graph.clusterMedoids(pairs, "d1", "d2", "jaccard")
+      .orderBy("component")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L, 1.7), (10L, 10L, 2L, 0.6)))
+  }
+
   // ── KS drift ────────────────────────────────────────────────────────────
 
   test("ksDrift computes the exact D and its crossing value") {
