@@ -277,6 +277,37 @@ class StreamingSpec extends SparkSpec {
     assert(running.get.orderBy("bucket").collect().toSeq == expected)
   }
 
+  test("streaming CMS maintenance merges partials to the batch sketch") {
+    // same shape as the histogram test: cmsSketch's fixed (d, width)
+    // makes micro-batch sketches addable, so frequency monitoring
+    // maintains d·width counters per source without rescanning history
+    import graft.operators.Sketches
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = tmpDir("cms-stream")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/a")
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.parquet(s"$dir/b")
+    val expected = Sketches.cmsSketch(docs, "lang", d = 4, width = 64)
+      .orderBy("r", "bucket").collect().toSeq
+    var running: Option[org.apache.spark.sql.DataFrame] = None
+    var batches = 0
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        val part = Sketches.cmsSketch(batch, "lang", d = 4, width = 64)
+          .localCheckpoint()
+        running = Some(running
+          .map(r => Sketches.cmsMerge(Seq(r, part)).localCheckpoint())
+          .getOrElse(part))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 2, s"expected >=2 micro-batches, got $batches")
+    assert(running.get.orderBy("r", "bucket").collect().toSeq == expected)
+  }
+
   test("mapGroupsWithState accumulates per-user counts") {
     import spark.implicits._
     val ds = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDS()
