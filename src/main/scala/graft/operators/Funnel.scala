@@ -231,7 +231,10 @@ object Funnel {
         unix_micros(col(tsCol)).as("graft_tus"))
       .withColumn("graft_t2", lead(col(typeCol), 1).over(w))
       .withColumn("graft_t3", lead(col(typeCol), 2).over(w))
-      .filter(col("graft_t2").isNotNull && col("graft_t3").isNotNull)
+      // the head type must be checked too: concat_ws would silently SKIP
+      // a NULL and count a malformed 2-segment "path"
+      .filter(col(typeCol).isNotNull &&
+        col("graft_t2").isNotNull && col("graft_t3").isNotNull)
       .groupBy(concat_ws(">", col(typeCol), col("graft_t2"),
         col("graft_t3")).as("path"))
       .agg(count(lit(1)).as("n"))

@@ -71,7 +71,12 @@ object Sketches {
     * mod `width` — d independent hash rows from the one md5 source. */
   private def cmsBucket(key: Column, r: Column, width: Int): Column =
     pmod(hash32(concat(lit("cms"), r.cast(org.apache.spark.sql.types
-      .StringType), lit("_"), key)), lit(width.toLong))
+        .StringType), lit("_"),
+      // explicit cast, same as bloomPos: implicit concat coercion would
+      // hash Spark's rendering of non-string keys, which an oracle
+      // can't reproduce
+      key.cast(org.apache.spark.sql.types.StringType))),
+      lit(width.toLong))
 
   /**
    * Count-Min sketch (Cormode & Muthukrishnan 2005) of a key column's

@@ -98,8 +98,11 @@ object Standardize {
    * double is the final round(D_num / (n_g·n_b), 6). The argmax value
    * rides out through an int64 (dnum·2^20 + value) encode, so the
    * reported crossing point is deterministic under ties (largest |diff|,
-   * then largest value). Int64 bound: n_g·n_b·2^20 must fit — beyond
-   * ~2×10²¹ pair-products, shift the encode out; `valueCol` must be
+   * then largest value). Int64 bound: dnum ≤ n_g·n_b, so n_g·n_b·2^20
+   * must fit — the encode is safe only to n_g·n_b ≤ 2^43 (≈8.8·10¹²,
+   * e.g. two ~3M-row groups); ENFORCED with an un-prunable raise_error
+   * at runtime (non-ANSI arithmetic would otherwise wrap silently).
+   * Beyond that, shift the value encode out. `valueCol` must be
    * nonnegative and < 2^20 (lengths, quantized scores — enforced).
    *
    * Scale shape: baseline rows fan out once per compared group via a
@@ -135,10 +138,15 @@ object Standardize {
       .withColumn("graft_cb", sum(col("graft_kb")).over(w))
       .withColumn("graft_ng", sum(col("graft_kg")).over(wAll))
       .withColumn("graft_nb", sum(col("graft_kb")).over(wAll))
+    val encGuarded = when(
+      col("graft_ng") * col("graft_nb") <= lit(1L << 43),
+      abs(col("graft_cg") * col("graft_nb") -
+        col("graft_cb") * col("graft_ng")) * lit(1L << 20) + col("v"))
+      .otherwise(raise_error(concat(
+        lit("ksDrift: n_g*n_b exceeds the 2^43 encode bound for group "),
+        col("g"))))
     cum.select(col("g"), col("graft_ng"), col("graft_nb"),
-        (abs(col("graft_cg") * col("graft_nb") -
-          col("graft_cb") * col("graft_ng")) * lit(1L << 20) + col("v"))
-          .as("graft_enc"))
+        encGuarded.as("graft_enc"))
       .groupBy(col("g"))
       .agg(max(col("graft_enc")).as("graft_best"),
         max(col("graft_ng")).as("n_g"), max(col("graft_nb")).as("n_b"))

@@ -19,40 +19,15 @@ object GraphEvalQueries {
     TextDedup.minHashLshPairs(Sources.documents(s, dir),
       "doc_id", "text", k = 16, r = 4, w = 3, threshold = 0.5)
 
-  /** The q136 oracle CTE chain reproducing [[dedupPairs]] — shared by
-    * the graph queries' oracles. Yields CTE `pairs(d1, d2)`. */
+  /** The dedup-pair CTE reproducing [[dedupPairs]] — wraps the ONE
+    * canonical LSH oracle chain (`PipelineQueries.q19Sql`) like
+    * q150/q153 do, so an LSH parameter change propagates to every
+    * dependent oracle from a single definition. */
   private val pairsCte: String =
-    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         unnest(list_transform(range(1, len(w) - 1),
-      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-      |       FROM ws WHERE len(w) >= 3),
-      |hw AS (SELECT doc_id,
-      |         CAST(list_sum(list_transform(range(1, 9), j ->
-      |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
-      |             * power(16, 8 - j))) AS BIGINT) AS h1,
-      |         CAST(list_sum(list_transform(range(1, 9), j ->
-      |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
-      |             * power(16, 8 - j))) AS BIGINT) AS h2
-      |       FROM sh),
-      |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
-      |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
-      |bands AS (SELECT doc_id, i // 4 AS band,
-      |            md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bh
-      |          FROM sig GROUP BY doc_id, i // 4),
-      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-      |         WHERE a.doc_id < b.doc_id),
-      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT c.d1, c.d2, count(*) AS inter
-      |          FROM cand c
-      |          JOIN sh a ON a.doc_id = c.d1
-      |          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
-      |          GROUP BY c.d1, c.d2),
-      |pairs AS (SELECT i.d1, i.d2
-      |  FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
-      |  JOIN sz s2 ON i.d2 = s2.doc_id
-      |  WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= 0.5)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT d1, d2 FROM (
+       |${PipelineQueries.q19Sql}
+       |  ))""".stripMargin
 
   // ── q145: PageRank over the dedup graph ────────────────────────────────
 

@@ -81,8 +81,12 @@ object MatchQueries {
     val words = Sources.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
     val sketch = Sketches.cmsSketch(words, "word", d = 4, width = 256)
+    // `top` feeds both the probe set and the final join — localCheckpoint
+    // the 10 rows so the corpus word-count aggregation runs once, not
+    // once per consumer (the pageRank lineage-cut pattern)
     val top = words.groupBy(col("word")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("word")).limit(10)
+      .localCheckpoint()
     Sketches.cmsEstimate(sketch, top, "word", d = 4, width = 256)
       .join(top, "word")
       .select(col("word"), col("exact_n"), col("est_n"))
