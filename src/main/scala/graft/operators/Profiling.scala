@@ -109,6 +109,33 @@ object Profiling {
    * values are excluded from the distinct (COUNT DISTINCT semantics);
    * an all-NULL group therefore never reports as a violation.
    */
+  /**
+   * Profile drift between two snapshots of the same table: the old and
+   * new [[profile]]s full-outer-joined per column with integer deltas —
+   * the schema/data-drift alarm an incremental pipeline checks before
+   * trusting a refresh ("did null-ness spike? did a column collapse to
+   * one value?"). Each side costs its one melted pass; the join is
+   * |cols| rows, metadata-scale. Integer-exact throughout (deltas of
+   * counts); min/max reprs ride along for eyeballing.
+   */
+  def profileDiff(oldDf: DataFrame, newDf: DataFrame,
+                  cols: Seq[String]): DataFrame = {
+    val o = profile(oldDf, cols).select(col("col_name"),
+      col("n_rows").as("old_rows"), col("n_null").as("old_null"),
+      col("n_distinct").as("old_distinct"))
+    val n = profile(newDf, cols).select(col("col_name"),
+      col("n_rows").as("new_rows"), col("n_null").as("new_null"),
+      col("n_distinct").as("new_distinct"))
+    o.join(n, Seq("col_name"), "full_outer")
+      .select(col("col_name"),
+        col("old_rows"), col("new_rows"),
+        (col("new_rows") - col("old_rows")).as("d_rows"),
+        col("old_null"), col("new_null"),
+        (col("new_null") - col("old_null")).as("d_null"),
+        col("old_distinct"), col("new_distinct"),
+        (col("new_distinct") - col("old_distinct")).as("d_distinct"))
+  }
+
   def fdViolations(df: DataFrame, lhsCols: Seq[String],
                    rhsCol: String): DataFrame = {
     require(lhsCols.nonEmpty, "fdViolations: empty LHS")

@@ -399,4 +399,28 @@ object Relevance {
         Seq(col(idCol).asc), k)
       .select(col(queryIdCol), col(idCol), col("bm25"), col("n_terms"))
   }
+
+  /**
+   * Boolean AND retrieval: documents containing EVERY query term — the
+   * filter primitive under keyword search, taboo-list screening, and
+   * "must mention all of X, Y, Z" corpus slicing; the conjunctive
+   * counterpart of [[bm25TopK]]'s ranked retrieval.
+   *
+   * Shape: the word explode is cut to the |terms| matching words BEFORE
+   * the aggregation (a pushed-down isin filter), so the doc-keyed
+   * count-distinct agg sees only candidate rows — corpus volume never
+   * reaches the shuffle. Matching is exact whole-word; distinct count
+   * per doc == |terms| is the AND.
+   */
+  def booleanRetrieve(docs: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "booleanRetrieve: terms must be non-empty and distinct")
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("graft_w"))
+      .filter(col("graft_w").isin(terms: _*))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("graft_w")).as("graft_hits"))
+      .filter(col("graft_hits") === terms.size)
+      .select(col(idCol))
+  }
 }

@@ -230,4 +230,63 @@ object Sampling {
       .filter(col("graft_rn") <= col("graft_quota"))
       .drop("graft_rn", "graft_quota")
   }
+
+  /**
+   * Distribution-matching resample: downsample so the kept corpus
+   * follows an ARBITRARY target mix (integer weights w_s, proportions
+   * w_s/Σw) at the largest total size the data supports — the general
+   * form of [[uniformMix]] (all-equal target) and the workhorse of "make
+   * the mix 40% web / 30% books / 30% code" corpus assembly. Strata
+   * outside `target` are dropped; no stratum upsamples.
+   *
+   * The binding stratum s* = argmin n_s/w_s (found by int64
+   * cross-multiplication over the metadata-scale counts — no float
+   * ratios) is kept whole; stratum s keeps m_s = w_s·n_{s*}/w_{s*} rows
+   * in expectation via the integer-exact keep rule
+   *
+   *   bucket · w_{s*} · n_s  <  256 · w_s · n_{s*}
+   *
+   * (both sides int64; overflow checked against the data eagerly, the
+   * [[temperatureMix]] pattern). Randomness is the seedless md5
+   * [[bucket]]: stable under repartitioning, re-runs, and engines.
+   *
+   * Plan: one metadata-scale count aggregation (collected eagerly for
+   * the argmin + guard, then inlined as literals in a codegen'd CASE) —
+   * the corpus itself sees ONE narrow filter, no join, no shuffle.
+   */
+  def matchDistribution(df: DataFrame, keyCol: String, strataCol: String,
+                        salt: String,
+                        target: Seq[(String, Long)]): DataFrame = {
+    require(target.nonEmpty, "matchDistribution: empty target")
+    require(target.map(_._1).distinct.size == target.size,
+      "matchDistribution: duplicate target strata")
+    require(target.forall(_._2 > 0),
+      s"matchDistribution: weights must be positive: $target")
+    val counts = df.filter(col(strataCol).isin(target.map(_._1): _*))
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    target.foreach { case (s, _) =>
+      require(counts.getOrElse(s, 0L) > 0L,
+        s"matchDistribution: target stratum '$s' has no rows")
+    }
+    // binding stratum: minimal n/w by exact cross-multiplication
+    // (ties break to the smaller stratum name)
+    val (sStar, wStar) = target.reduce[(String, Long)] {
+      case (a @ (sa, wa), b @ (sb, wb)) =>
+        val cmp = (BigInt(counts(sa)) * wb) compare (BigInt(counts(sb)) * wa)
+        if (cmp < 0 || (cmp == 0 && sa <= sb)) a else b
+    }
+    val nStar = counts(sStar)
+    target.foreach { case (s, w) =>
+      require(BigInt(255) * wStar * counts(s) <= Long.MaxValue &&
+        BigInt(256) * w * nStar <= Long.MaxValue,
+        s"matchDistribution: keep rule overflows int64 for stratum '$s'")
+    }
+    val b = bucket(salt, col(keyCol)).cast(LongType)
+    val keep = target.foldRight(lit(false): Column) { case ((s, w), rest) =>
+      when(col(strataCol) === s,
+        b * lit(wStar * counts(s)) < lit(256L * w * nStar)).otherwise(rest)
+    }
+    df.filter(keep)
+  }
 }

@@ -44,6 +44,47 @@ object VectorAggs {
       .agg(round(sum(dec6(col("x"))).cast(DoubleType) / count(lit(1)), 6)
         .as("centroid"))
 
+  /**
+   * Embedding drift per label: the cosine between the centroids of two
+   * halves of the data (`splitCol` = 0/1 — old/new snapshot, train/eval
+   * shard) — the cheap "did the representation move?" alarm run before
+   * an index rebuild or a re-embedding job is paid for. Cosine near 1:
+   * stable; drops signal drift for that label.
+   *
+   * Shape: ONE posexplode pass aggregated on (label, split, dim) with
+   * the exact-decimal centroid rule, then metadata-scale joins (labels ×
+   * dims rows); every product re-rounds to 6 dp and sums as decimal, so
+   * the final cosine is engine-exact.
+   */
+  def centroidDrift(df: DataFrame, labelCol: String, vecCol: String,
+                    splitCol: String): DataFrame = {
+    val c = df
+      .select(concat(col(labelCol).cast(StringType), lit("|"),
+        col(splitCol).cast(StringType)).as("graft_ls"),
+        col(vecCol))
+    val cents = centroids(c, "graft_ls", vecCol)
+      .select(split(col("graft_ls"), "\\|").getItem(0).as(labelCol),
+        split(col("graft_ls"), "\\|").getItem(1).as("graft_half"),
+        col("dim"), col("centroid"))
+    val a = cents.filter(col("graft_half") === "0")
+      .select(col(labelCol), col("dim"), col("centroid").as("graft_ca"))
+    val b = cents.filter(col("graft_half") === "1")
+      .select(col(labelCol), col("dim"), col("centroid").as("graft_cb"))
+    val ca = col("graft_ca")
+    val cb = col("graft_cb")
+    a.join(b, Seq(labelCol, "dim"))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(round(ca * cb, 6).cast(DecimalType(28, 6))).as("graft_sab"),
+        sum(round(ca * ca, 6).cast(DecimalType(28, 6))).as("graft_saa"),
+        sum(round(cb * cb, 6).cast(DecimalType(28, 6))).as("graft_sbb"))
+      .select(col(labelCol), col("n_dims"),
+        round(col("graft_sab").cast(DoubleType) /
+          (sqrt(col("graft_saa").cast(DoubleType)) *
+            sqrt(col("graft_sbb").cast(DoubleType))), 6)
+          .as("centroid_cos"))
+  }
+
   /** Centroid as an array column: (label, centroid_vec) — dims reassembled
     * in order via sort of (dim, value) structs. */
   def centroidVectors(df: DataFrame, labelCol: String,

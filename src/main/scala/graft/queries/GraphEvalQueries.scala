@@ -258,4 +258,77 @@ object GraphEvalQueries {
        |  CAST(rk.sumj AS DOUBLE) AS medoid_score
        |FROM rk JOIN csz ON rk.component = csz.component
        |WHERE rk.r = 1 ORDER BY rk.component""".stripMargin
+
+  // ── q156: profile drift between snapshots ──────────────────────────────
+
+  /** q156: column-level profile drift between the even- and odd-id
+    * halves of the documents table (stand-ins for old/new snapshots) —
+    * two melted one-pass profiles, metadata-scale join, integer deltas. */
+  def q156ProfileDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Sources.documents(s, dir)
+    graft.operators.Profiling.profileDiff(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1),
+        Seq("lang", "n_chars"))
+      .orderBy(col("col_name"))
+  }
+
+  val q156Sql: String =
+    """WITH o AS (
+      |  SELECT 'lang' AS col_name, count(*) AS old_rows,
+      |    count(*) - count(lang) AS old_null,
+      |    count(DISTINCT lang) AS old_distinct
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+      |    count(DISTINCT n_chars)
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |n AS (
+      |  SELECT 'lang' AS col_name, count(*) AS new_rows,
+      |    count(*) - count(lang) AS new_null,
+      |    count(DISTINCT lang) AS new_distinct
+      |  FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+      |    count(DISTINCT n_chars)
+      |  FROM documents WHERE doc_id % 2 = 1)
+      |SELECT o.col_name, o.old_rows, n.new_rows,
+      |  n.new_rows - o.old_rows AS d_rows,
+      |  o.old_null, n.new_null, n.new_null - o.old_null AS d_null,
+      |  o.old_distinct, n.new_distinct,
+      |  n.new_distinct - o.old_distinct AS d_distinct
+      |FROM o JOIN n USING (col_name)
+      |ORDER BY o.col_name""".stripMargin
+
+  // ── q157: embedding centroid drift ─────────────────────────────────────
+
+  /** q157: per-label cosine between the even- and odd-id halves'
+    * centroids — the representation-drift alarm; one posexplode pass,
+    * exact-decimal centroid sums, metadata-scale joins. */
+  def q157CentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.pmod
+    val e = Sources.embeddings(s, dir)
+      .withColumn("half", pmod(col("vec_id"), lit(2)))
+    graft.operators.VectorAggs.centroidDrift(e, "label", "embedding", "half")
+      .orderBy(col("label"))
+  }
+
+  val q157Sql: String =
+    """WITH dims AS (
+      |  SELECT label::VARCHAR AS label, vec_id % 2 AS half, d,
+      |    round(CAST(SUM(CAST(round(embedding[d]::DOUBLE, 6)
+      |        AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS c
+      |  FROM embeddings CROSS JOIN range(1, 65) t(d)
+      |  GROUP BY 1, 2, 3),
+      |a AS (SELECT label, d, c AS ca FROM dims WHERE half = 0),
+      |b AS (SELECT label, d, c AS cb FROM dims WHERE half = 1),
+      |j AS (SELECT a.label, a.ca, b.cb
+      |      FROM a JOIN b ON a.label = b.label AND a.d = b.d)
+      |SELECT label, count(*) AS n_dims,
+      |  round(CAST(SUM(CAST(round(ca * cb, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |    / (sqrt(CAST(SUM(CAST(round(ca * ca, 6) AS DECIMAL(28,6)))
+      |         AS DOUBLE))
+      |       * sqrt(CAST(SUM(CAST(round(cb * cb, 6) AS DECIMAL(28,6)))
+      |         AS DOUBLE))), 6) AS centroid_cos
+      |FROM j GROUP BY label ORDER BY label""".stripMargin
 }

@@ -117,4 +117,58 @@ object MatchQueries {
       |LEFT JOIN cnt c ON c.r = pr.r AND c.bucket = pr.bucket
       |GROUP BY t.word, t.exact_n
       |ORDER BY t.exact_n DESC, t.word""".stripMargin
+
+  // ── q154: boolean AND retrieval ────────────────────────────────────────
+
+  /** q154: documents containing ALL of {batch, scan, data} — conjunctive
+    * keyword retrieval; the isin cut runs before the doc-keyed agg, so
+    * corpus volume never reaches the shuffle. */
+  def q154BooleanRetrieve(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    graft.operators.Relevance.booleanRetrieve(docs, "doc_id", "text",
+        Seq("batch", "scan", "data"))
+      .join(docs.select(col("doc_id"), col("source"), col("lang")), "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val q154Sql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |           FROM documents),
+      |hit AS (SELECT doc_id FROM w WHERE word IN ('batch', 'scan', 'data')
+      |        GROUP BY doc_id HAVING count(DISTINCT word) = 3)
+      |SELECT h.doc_id, d.source, d.lang
+      |FROM hit h JOIN documents d USING (doc_id)
+      |ORDER BY h.doc_id""".stripMargin
+
+  // ── q155: distribution-matching resample ───────────────────────────────
+
+  /** q155: resample the corpus to a 4:2:2:1:1 en/de/es/fr/zh target mix
+    * at the largest size the data supports — integer-exact keep rule
+    * against the binding stratum, one narrow filter, no corpus shuffle.
+    * Kept-set membership is pinned by the per-lang id sum. */
+  def q155MatchDistribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.matchDistribution(Sources.documents(s, dir),
+        "doc_id", "lang", "mix6",
+        Seq("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L, "zh" -> 1L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+
+  val q155Sql: String =
+    """WITH t AS (SELECT * FROM (VALUES ('en', 4), ('de', 2), ('es', 2),
+      |             ('fr', 1), ('zh', 1)) v(lang, w)),
+      |c AS (SELECT d.lang, count(*) AS n, any_value(t.w) AS w
+      |      FROM documents d JOIN t ON d.lang = t.lang GROUP BY d.lang),
+      |star AS (SELECT n AS n_star, w AS w_star FROM c
+      |         ORDER BY CAST(n AS DOUBLE) / w, lang LIMIT 1),
+      |keep AS (SELECT d.doc_id, d.lang
+      |         FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN star
+      |         WHERE ((strpos('0123456789abcdef',
+      |             substr(md5('mix6_' || d.doc_id), 1, 1)) - 1) * 16
+      |           + strpos('0123456789abcdef',
+      |             substr(md5('mix6_' || d.doc_id), 2, 1)) - 1)
+      |           * star.w_star * c.n < 256 * c.w * star.n_star)
+      |SELECT lang, count(*) AS n_kept,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM keep GROUP BY lang ORDER BY lang""".stripMargin
 }

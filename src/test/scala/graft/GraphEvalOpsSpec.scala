@@ -97,6 +97,36 @@ class GraphEvalOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"bloom probe shuffled:\n$plan")
   }
 
+  // ── profile drift ───────────────────────────────────────────────────────
+
+  test("profileDiff reports integer deltas per column") {
+    val oldDf = Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
+      .toDF("id", "tag")
+    val newDf = Seq((4L, Some("a")), (5L, None), (6L, None), (7L, Some("c")))
+      .toDF("id", "tag")
+    val got = graft.operators.Profiling.profileDiff(oldDf, newDf, Seq("tag"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // tag: rows 3→4 (+1), nulls 1→2 (+1), distinct 2→2 (0)
+    assert(got == Seq(("tag", 3L, 4L, 1L, 1L, 2L, 1L, 2L, 2L, 0L)))
+  }
+
+  // ── centroid drift ──────────────────────────────────────────────────────
+
+  test("centroidDrift: identical halves cos 1, orthogonal halves cos 0") {
+    val vecs = Seq(
+      // label "s": both halves centroid (1, 0) → cos 1
+      (0L, 0, "s", Seq(1.0f, 0.0f)), (1L, 1, "s", Seq(1.0f, 0.0f)),
+      // label "o": half0 → (1, 0), half1 → (0, 1) → cos 0
+      (2L, 0, "o", Seq(1.0f, 0.0f)), (3L, 1, "o", Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "half", "label", "embedding")
+    val got = graft.operators.VectorAggs
+      .centroidDrift(vecs, "label", "embedding", "half")
+      .orderBy("label")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("o", 2L, 0.0), ("s", 2L, 1.0)))
+  }
+
   // ── grouped AUC ─────────────────────────────────────────────────────────
 
   test("groupAuc matches the hand-computed Mann–Whitney value with ties") {

@@ -91,6 +91,48 @@ class MatchOpsSpec extends SparkSpec {
     assert(est == exact)
   }
 
+  // ── boolean AND retrieval ───────────────────────────────────────────────
+
+  test("booleanRetrieve returns docs containing every term exactly once") {
+    val docs = Seq(
+      (1L, "a b c a"), (2L, "a c"), (3L, "c b a"), (4L, "b b b")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Relevance
+      .booleanRetrieve(docs, "doc_id", "text", Seq("a", "b"))
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  // ── distribution-matching resample ──────────────────────────────────────
+
+  test("matchDistribution keeps the binding stratum whole, others at rate") {
+    val df = ((1L to 100L).map(i => (i, "x")) ++
+      (101L to 150L).map(i => (i, "y"))).toDF("k", "g")
+    val kept = graft.operators.Sampling.matchDistribution(df, "k", "g",
+        "t6", Seq("x" -> 1L, "y" -> 1L))
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    // y (50 rows) binds a 1:1 target → kept whole; x downsamples to ~50
+    assert(kept("y") == 50L, s"binding stratum lost rows: $kept")
+    assert(kept("x") > 25L && kept("x") < 75L, s"x rate off: $kept")
+    // deterministic: same input → same kept set
+    val again = graft.operators.Sampling.matchDistribution(df, "k", "g",
+        "t6", Seq("x" -> 1L, "y" -> 1L))
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(again == kept)
+  }
+
+  test("matchDistribution rejects empty strata and bad weights") {
+    val df = Seq((1L, "x")).toDF("k", "g")
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.matchDistribution(df, "k", "g", "s",
+        Seq("x" -> 1L, "missing" -> 1L))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.matchDistribution(df, "k", "g", "s",
+        Seq("x" -> 0L))
+    }
+  }
+
   test("cmsMerge of partition sketches equals the whole-corpus sketch") {
     val part1 = Seq("a", "a", "b").toDF("k")
     val part2 = Seq("a", "c", "c").toDF("k")
