@@ -988,38 +988,13 @@ object DiagnosticsQueries {
       .orderBy(col("node"))
   }
 
+  // wraps the ONE canonical LSH oracle chain (q19Sql) — a parameter
+  // change there propagates here, instead of a drifting inline copy
   val q136Sql: String =
-    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         unnest(list_transform(range(1, len(w) - 1),
-      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-      |       FROM ws WHERE len(w) >= 3),
-      |hw AS (SELECT doc_id,
-      |         CAST(list_sum(list_transform(range(1, 9), j ->
-      |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
-      |             * power(16, 8 - j))) AS BIGINT) AS h1,
-      |         CAST(list_sum(list_transform(range(1, 9), j ->
-      |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
-      |             * power(16, 8 - j))) AS BIGINT) AS h2
-      |       FROM sh),
-      |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
-      |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
-      |bands AS (SELECT doc_id, i // 4 AS band,
-      |            md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bh
-      |          FROM sig GROUP BY doc_id, i // 4),
-      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-      |         WHERE a.doc_id < b.doc_id),
-      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT c.d1, c.d2, count(*) AS inter
-      |          FROM cand c
-      |          JOIN sh a ON a.doc_id = c.d1
-      |          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
-      |          GROUP BY c.d1, c.d2),
-      |pairs AS (SELECT i.d1, i.d2
-      |  FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
-      |  JOIN sz s2 ON i.d2 = s2.doc_id
-      |  WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= 0.5),
+    s"""WITH pairs AS (
+      |  SELECT d1, d2 FROM (
+      |${PipelineQueries.q19Sql}
+      |  )),
       |tri AS (SELECT ab.d1 AS a, ab.d2 AS b, bc.d2 AS c
       |        FROM pairs ab JOIN pairs bc ON ab.d2 = bc.d1
       |        JOIN pairs ac ON ac.d1 = ab.d1 AND ac.d2 = bc.d2),

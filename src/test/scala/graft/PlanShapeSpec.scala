@@ -37,6 +37,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")
   }
 
+  test("rate limiting rides WindowGroupLimit (floods die map-side)") {
+    val plan = physicalPlan(graft.operators.Funnel.rateLimit(
+      graft.sources.Sources.events(spark, sf), "user_id", "event_id", "ts",
+      bucketUs = 3600000000L, k = 3))
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("distribution-matching resample is one narrow filter over the scan") {
+    val kept = graft.operators.Sampling.matchDistribution(
+      graft.sources.Sources.documents(spark, sf), "doc_id", "lang", "mix6",
+      Seq("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L, "zh" -> 1L))
+    val plan = physicalPlan(kept)
+    // the stratum counts were collected eagerly and inlined as literals:
+    // the corpus-side plan must contain NO join and NO exchange
+    assert(!plan.contains("Join"), s"resample planned a join:\n$plan")
+    assert(!plan.contains("Exchange"), s"resample shuffled:\n$plan")
+  }
+
   test("dashboard join broadcasts the dimension sides") {
     val plan = physicalPlan(CoreQueries.q10DashboardJoin(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"got:\n$plan")
