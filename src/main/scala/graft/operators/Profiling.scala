@@ -136,6 +136,47 @@ object Profiling {
         (col("new_distinct") - col("old_distinct")).as("d_distinct"))
   }
 
+  /**
+   * Mutual information of two categorical columns, reported per X value:
+   * the conditional entropy H(Y|X=x) and the MI contribution
+   * Σ_y p(x,y)·ln(p(x,y)/(p(x)p(y))) — "how much does knowing the source
+   * tell you about the language?", the feature-relevance measure behind
+   * leakage hunts (a feature with MI ≈ H(Y) IS the label) and
+   * stratification choices. Σ over x of mi_contrib = I(X;Y).
+   *
+   * Determinism: every term is a round-6 double of integer-count ratios
+   * (libm ln — the [[TextAnalysis.wordEntropy]] idiom, gate-proven) and
+   * sums as DECIMAL(18,6), order-independent. Shape: ONE corpus
+   * hash-agg to the (x, y) contingency table; everything after runs on
+   * |X|·|Y| rows — metadata scale, where the single-partition totals
+   * window is free.
+   */
+  def mutualInformation(df: DataFrame, xCol: String,
+                        yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("graft_nxy"))
+    val nxy = col("graft_nxy").cast(DoubleType)
+    val nx = col("graft_nx").cast(DoubleType)
+    val ny = col("graft_ny").cast(DoubleType)
+    val n = col("graft_n").cast(DoubleType)
+    c.withColumn("graft_nx", sum(col("graft_nxy")).over(
+        Window.partitionBy(col(xCol))))
+      .withColumn("graft_ny", sum(col("graft_nxy")).over(
+        Window.partitionBy(col(yCol))))
+      .withColumn("graft_n", sum(col("graft_nxy")).over(
+        Window.partitionBy()))
+      .withColumn("graft_h",
+        round((nxy / nx) * log(nx / nxy), 6).cast(DecimalType(18, 6)))
+      .withColumn("graft_mi",
+        round((nxy / n) * log((nxy * n) / (nx * ny)), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy(col(xCol))
+      .agg(max(col("graft_nx")).as("n"),
+        count(lit(1)).as("n_y_values"),
+        sum(col("graft_h")).cast(DoubleType).as("h_y_given_x"),
+        sum(col("graft_mi")).cast(DoubleType).as("mi_contrib"))
+  }
+
   def fdViolations(df: DataFrame, lhsCols: Seq[String],
                    rhsCol: String): DataFrame = {
     require(lhsCols.nonEmpty, "fdViolations: empty LHS")

@@ -331,4 +331,35 @@ object GraphEvalQueries {
       |       * sqrt(CAST(SUM(CAST(round(cb * cb, 6) AS DECIMAL(28,6)))
       |         AS DOUBLE))), 6) AS centroid_cos
       |FROM j GROUP BY label ORDER BY label""".stripMargin
+
+  // ── q158: mutual information source ↔ lang ─────────────────────────────
+
+  /** q158: per-source conditional entropy H(lang|source) and MI
+    * contribution — the feature-relevance / leakage measure; one
+    * contingency-table agg, metadata-scale windows, decimal-exact
+    * term sums. */
+  def q158MutualInfo(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.mutualInformation(
+        Sources.documents(s, dir), "source", "lang")
+      .orderBy(col("source"))
+
+  val q158Sql: String =
+    """WITH c AS (SELECT source, lang, count(*) AS nxy
+      |           FROM documents GROUP BY 1, 2),
+      |w AS (SELECT source, lang, nxy,
+      |        CAST(SUM(nxy) OVER (PARTITION BY source) AS BIGINT) AS nx,
+      |        CAST(SUM(nxy) OVER (PARTITION BY lang) AS BIGINT) AS ny,
+      |        CAST(SUM(nxy) OVER () AS BIGINT) AS n
+      |      FROM c),
+      |t AS (SELECT source, nx,
+      |        CAST(round((CAST(nxy AS DOUBLE) / nx)
+      |          * ln(CAST(nx AS DOUBLE) / nxy), 6) AS DECIMAL(18,6)) AS h,
+      |        CAST(round((CAST(nxy AS DOUBLE) / n)
+      |          * ln((CAST(nxy AS DOUBLE) * n) / (CAST(nx AS DOUBLE) * ny)),
+      |          6) AS DECIMAL(18,6)) AS mi
+      |      FROM w)
+      |SELECT source, MAX(nx) AS n, COUNT(*) AS n_y_values,
+      |  CAST(SUM(h) AS DOUBLE) AS h_y_given_x,
+      |  CAST(SUM(mi) AS DOUBLE) AS mi_contrib
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
 }

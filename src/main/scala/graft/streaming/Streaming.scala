@@ -120,6 +120,40 @@ object Streaming {
         col("view_ts"), col("click_ts"))
   }
 
+  final case class RlEvent(event_id: Long, user_id: Long, tus: Long)
+  final case class RlState(nKept: Long)
+
+  /**
+   * Streaming rate limiter: at most `k` events pass per (user, fixed
+   * `bucketUs` time bucket), state = ONE counter per open bucket — the
+   * continuous form of `Funnel.rateLimit`. Within a micro-batch the
+   * group's rows are ordered by the total (tus, id) order; across
+   * micro-batches earlier-ARRIVING events win (the only causal option a
+   * stream has — matches the batch operator exactly when arrival order
+   * respects event time, e.g. append-only logs). State is bounded by
+   * open buckets per user; pair with a watermark-driven timeout in
+   * production to expire closed buckets.
+   */
+  def rateLimitedStream(events: Dataset[RlEvent], bucketUs: Long,
+                        k: Int): Dataset[RlEvent] = {
+    require(bucketUs > 0 && k >= 1, s"bad rate limit: $bucketUs, $k")
+    implicit val enc = Encoders.product[RlEvent]
+    implicit val stateEnc = Encoders.product[RlState]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.scalaLong)
+    events.groupByKey(e => (e.user_id, e.tus / bucketUs))
+      .flatMapGroupsWithState[RlState, RlEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[RlState]) =>
+          val kept = state.getOption.getOrElse(RlState(0L)).nKept
+          val budget = (k - kept).max(0L).toInt
+          val winners = rows.toSeq.sortBy(e => (e.tus, e.event_id))
+            .take(budget)
+          state.update(RlState(kept + winners.size))
+          winners.iterator
+      }
+  }
+
   final case class SessionState(nEvents: Long, lastTs: Long)
   final case class UserSession(user_id: Long, n_events: Long,
                                last_seen_ms: Long, expired: Boolean)

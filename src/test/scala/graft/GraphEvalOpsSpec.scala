@@ -111,6 +111,22 @@ class GraphEvalOpsSpec extends SparkSpec {
     assert(got == Seq(("tag", 3L, 4L, 1L, 1L, 2L, 1L, 2L, 2L, 0L)))
   }
 
+  test("mutualInformation: dependence is ln2 per x, independence is 0") {
+    // perfect dependence: knowing x pins y → H(Y|x) = 0 and each x
+    // contributes (1/2)·ln 2 = 0.346574 of MI
+    val dep = Seq(("a", 0), ("a", 0), ("b", 1), ("b", 1)).toDF("x", "y")
+    val gotDep = graft.operators.Profiling.mutualInformation(dep, "x", "y")
+      .orderBy("x").as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(gotDep == Seq(
+      ("a", 2L, 1L, 0.0, 0.346574), ("b", 2L, 1L, 0.0, 0.346574)))
+    // independence: H(Y|x) = ln 2 (two per-term-rounded halves), MI = 0
+    val ind = Seq(("a", 0), ("a", 1), ("b", 0), ("b", 1)).toDF("x", "y")
+    val gotInd = graft.operators.Profiling.mutualInformation(ind, "x", "y")
+      .orderBy("x").as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(gotInd == Seq(
+      ("a", 2L, 2L, 0.693148, 0.0), ("b", 2L, 2L, 0.693148, 0.0)))
+  }
+
   // ── centroid drift ──────────────────────────────────────────────────────
 
   test("centroidDrift: identical halves cos 1, orthogonal halves cos 0") {

@@ -308,6 +308,45 @@ class StreamingSpec extends SparkSpec {
     assert(running.get.orderBy("r", "bucket").collect().toSeq == expected)
   }
 
+  test("streaming rate limiter matches the batch operator under in-order arrival") {
+    import spark.implicits._
+    import graft.streaming.Streaming.RlEvent
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.sources.Sources.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"))
+    val bucketUs = 3600000000L
+    // expected = the batch operator's kept set
+    val expected = graft.operators.Funnel.rateLimit(
+        graft.sources.Sources.events(spark, sf), "user_id", "event_id",
+        "ts", bucketUs, k = 3)
+      .select("event_id").as[Long].collect().toSet
+    // two micro-batches split on event TIME, replayed in time order —
+    // the in-order-arrival regime where stream and batch must agree
+    val cut = events.agg(
+      org.apache.spark.sql.functions.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY tus)")
+        .cast("long")).head.getLong(0)
+    val dir = tmpDir("rl-stream")
+    events.filter(col("tus") <= cut).coalesce(1).write.parquet(s"$dir/a")
+    events.filter(col("tus") > cut).coalesce(1).write.parquet(s"$dir/b")
+    val kept = scala.collection.mutable.Set[Long]()
+    val q = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .as[RlEvent]
+      .transform(graft.streaming.Streaming.rateLimitedStream(_, bucketUs, 3))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[RlEvent], _: Long) =>
+        kept ++= batch.collect().map(_.event_id)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(kept.toSet == expected,
+      s"stream kept ${kept.size}, batch kept ${expected.size}")
+  }
+
   test("mapGroupsWithState accumulates per-user counts") {
     import spark.implicits._
     val ds = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDS()
