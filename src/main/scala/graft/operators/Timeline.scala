@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/**
+ * Timeline analytics over irregular event streams: time-weighted
+ * averages, interval-union coverage, and CUSUM change detection — the
+ * "what was the state, for how long, and when did it shift" layer that
+ * plain event-count aggregates can't answer because they ignore HOW LONG
+ * each observation was in force.
+ *
+ * All three are one-entity-keyed-window + one-hash-agg shapes: state per
+ * entity is O(1), nothing self-joins the event log, and every
+ * aggregation is map-side combinable, so the operators hold at
+ * 100 TB / 1000 executors exactly like [[Funnel]] and [[Sessionize]].
+ *
+ * Determinism contract (the DuckDB-gate rules): event order is the total
+ * (ts, id) order; durations are int64 microseconds; double sums go
+ * through the 6-dp-round → DECIMAL accumulate pattern; decimal-exact
+ * quantities exported as integers are scaled by 10⁶ rather than cast to
+ * double (no dependence on decimal→double rounding).
+ */
+object Timeline {
+
+  /**
+   * Per-entity time-weighted average (TWAP): each observation of
+   * `valueCol` is weighted by how long it remained current — the gap to
+   * the next event — so a metric sampled irregularly (the crypto-ticker
+   * shape of the reference's poll loop) averages by TIME IN FORCE, not
+   * by sample count. The last observation of an entity has no successor
+   * and carries zero weight; entities with a single event yield NULL
+   * twap (zero total weight), not a division error.
+   *
+   * Weights are seconds as doubles (gap_us/1e6 — both factors exact,
+   * IEEE division is correctly rounded, so engines agree bitwise);
+   * value·weight products round to 6 dp and accumulate as
+   * DECIMAL(38,6); the denominator Σgap stays int64 µs. One lead
+   * window + one hash-agg.
+   */
+  def twap(events: DataFrame, entityCol: String, idCol: String,
+           tsCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col("graft_tus"), col(idCol))
+    val gapUs = lead(col("graft_tus"), 1).over(w) - col("graft_tus")
+    val v = col(valueCol).cast(DoubleType)
+    val weighted = events
+      .select(col(entityCol), col(idCol), v.as("graft_v"),
+        unix_micros(col(tsCol)).as("graft_tus"))
+      .withColumn("graft_gap", gapUs)
+      .filter(col("graft_gap").isNotNull)
+    weighted.groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_weighted"),
+        sum(col("graft_gap")).cast(LongType).as("graft_sw_us"),
+        sum(round(col("graft_v") * (col("graft_gap").cast(DoubleType) /
+          lit(1000000.0)), 6).cast(DecimalType(38, 6))).as("graft_swv"))
+      .select(col(entityCol), col("n_weighted"),
+        round(col("graft_sw_us").cast(DoubleType) / lit(1000000.0), 6)
+          .as("span_s"),
+        round(col("graft_swv").cast(DoubleType) /
+          (col("graft_sw_us").cast(DoubleType) / lit(1000000.0)), 6)
+          .as("twap"))
+  }
+
+  /**
+   * Per-entity interval-union coverage: each event opens an interval
+   * [ts, ts + holdUs); overlapping and touching intervals merge, and the
+   * operator reports how much wall-clock each entity actually covered
+   * and in how many contiguous runs — the "active seconds" metric that
+   * naive Σduration double-counts whenever events overlap.
+   *
+   * The merge is the gaps-and-islands running-max trick: an interval
+   * starts a new island iff its start lies strictly beyond the max end
+   * seen so far (touching intervals — start == max end — merge, matching
+   * half-open semantics). One entity-keyed window (running max + running
+   * island count) and two entity-keyed aggs that reuse its partitioning.
+   * Everything is int64 µs — exact, no float rules needed.
+   */
+  def intervalCoverage(events: DataFrame, entityCol: String, idCol: String,
+                       tsCol: String, holdUs: Long): DataFrame = {
+    require(holdUs > 0, s"holdUs must be positive: $holdUs")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col("graft_tus"), col(idCol))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val opened = events
+      .select(col(entityCol), col(idCol),
+        unix_micros(col(tsCol)).as("graft_tus"))
+      .withColumn("graft_end", col("graft_tus") + lit(holdUs))
+      // strictly-greater: a start equal to the running max end touches
+      // the previous interval and must merge under half-open semantics
+      .withColumn("graft_new",
+        when(col("graft_tus") > coalesce(max(col("graft_end")).over(wPrev),
+          lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("graft_island", sum(col("graft_new")).over(wRun))
+    opened
+      .groupBy(col(entityCol), col("graft_island"))
+      .agg(min(col("graft_tus")).as("graft_st"),
+        max(col("graft_end")).as("graft_en"),
+        count(lit(1)).as("graft_n"))
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("graft_en") - col("graft_st")).cast(LongType)
+          .as("covered_us"),
+        max(col("graft_en") - col("graft_st")).as("max_island_us"),
+        sum(col("graft_n")).cast(LongType).as("n_events"))
+  }
+
+  /**
+   * Per-entity one-sided CUSUM change detection (Page 1954): the running
+   * statistic S_i = max(0, S_{i−1} + (x_i − (μ + slack·σ))) alarms when
+   * it exceeds h = `hSigma`·σ, flagging sustained upward drift that
+   * per-point outlier tests (z-scores) miss. μ, σ are the entity's own
+   * series statistics, so the operator is self-calibrating per key.
+   *
+   * The sequential-looking recurrence is windowable: with prefix sums
+   * P_i = Σ_{j≤i} d_j (P_0 = 0), S_i = P_i − min(0, min_{j≤i} P_j) —
+   * so ONE pass (running sum + running min) replaces the per-row loop,
+   * which is what makes the operator distributable at all.
+   *
+   * Exactness: deviations are DECIMAL(18,6) (6-dp-rounded values minus a
+   * 6-dp-rounded reference), prefix sums and mins stay decimal (order
+   * independent — associative decimal adds), the threshold compare is
+   * decimal-vs-decimal, and the exported peak statistic is scaled to an
+   * int64 micro-unit rather than cast to double. The μ/σ pass is the
+   * [[Standardize.zScores]] 6-dp-decimal moment pattern, joined back by
+   * entity key (an equi-join — no broadcast-nested-loop anywhere).
+   */
+  def cusum(events: DataFrame, entityCol: String, idCol: String,
+            tsCol: String, valueCol: String, slack: Double = 0.5,
+            hSigma: Double = 5.0): DataFrame = {
+    require(hSigma > 0, s"hSigma must be positive: $hSigma")
+    require(slack >= 0, s"slack must be nonnegative: $slack")
+    val v = col(valueCol).cast(DoubleType)
+    val base = events.select(col(entityCol), col(idCol),
+      unix_micros(col(tsCol)).as("graft_tus"),
+      round(v, 6).cast(DecimalType(18, 6)).as("graft_rv"))
+    val stats = base.groupBy(col(entityCol)).agg(
+      count(lit(1)).as("graft_n"),
+      sum(col("graft_rv")).as("graft_s1"),
+      sum(round(col("graft_rv").cast(DoubleType) *
+        col("graft_rv").cast(DoubleType), 6).cast(DecimalType(38, 6)))
+        .as("graft_s2"))
+    val mean = col("graft_s1").cast(DoubleType) / col("graft_n")
+    val variance = greatest(
+      col("graft_s2").cast(DoubleType) / col("graft_n") - mean * mean,
+      lit(0.0))
+    val withRef = base.join(
+      stats.select(col(entityCol),
+        round(mean + lit(slack) * sqrt(variance), 6)
+          .cast(DecimalType(18, 6)).as("graft_ref"),
+        round(lit(hSigma) * sqrt(variance), 6)
+          .cast(DecimalType(18, 6)).as("graft_h")),
+      Seq(entityCol))
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col("graft_tus"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = withRef
+      .withColumn("graft_p",
+        sum(col("graft_rv") - col("graft_ref")).over(w))
+      .withColumn("graft_s",
+        col("graft_p") - least(lit(BigDecimal(0).setScale(6)),
+          min(col("graft_p")).over(w)))
+      .withColumn("graft_alarm", col("graft_s") > col("graft_h"))
+    scored.groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("graft_alarm"), 1L).otherwise(0L)).cast(LongType)
+          .as("n_alarms"),
+        min(when(col("graft_alarm"), col("graft_tus"))).as("first_alarm_us"),
+        (max(col("graft_s")) * lit(1000000)).cast(LongType)
+          .as("peak_s_micros"))
+  }
+}
