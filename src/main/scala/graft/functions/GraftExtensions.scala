@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of two float/double vectors"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings"),
+      (children: Seq[Expression]) => JaroWinklerSim(children(0), children(1))))
   }
 }
 
@@ -32,4 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+}
+
+/** Column-API entry points for the registered string functions. */
+object StringFunctions {
+  def jaroWinkler(a: Column, b: Column): Column = call_function("jaro_winkler", a, b)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import org.apache.spark.sql.{DataFrame, functions => F}
 import org.apache.spark.sql.functions._
 
@@ -422,5 +422,56 @@ object Relevance {
       .agg(count_distinct(col("graft_w")).as("graft_hits"))
       .filter(col("graft_hits") === terms.size)
       .select(col(idCol))
+  }
+
+  /**
+   * NDCG@k per group (Järvelin & Kekäläinen 2002): the graded ranking
+   * metric — how close a scored ordering comes to the relevance-ideal
+   * ordering, with the log-position discount that makes the top of the
+   * list dominate. The eval layer for any retrieval/curation ranking
+   * this engine produces (BM25, cosine top-k, quality ordering).
+   *
+   * DCG = Σ_{pos≤k} (2^rel − 1)/ln(pos+1) over the (scoreCol desc,
+   * tieCol asc) order; IDCG re-ranks by (rel desc, tieCol asc). The
+   * discount is NATURAL log (the classic log2 scaled by the constant
+   * ln 2, which cancels in the NDCG ratio) because Spark `log` ↔
+   * DuckDB `ln` is the engine-agreement idiom every green query here
+   * uses. Groups with IDCG = 0 (no relevant items) yield NULL.
+   * Determinism: rel is integer, 2^rel exact, each term rounds to 6 dp
+   * and accumulates as DECIMAL(38,6) — order-independent — and the
+   * final ratio rounds to 6 dp; both rank orders are total via the tie
+   * column.
+   *
+   * Shape: two row_number windows sharing ONE group partitioning, a
+   * k-filter before any arithmetic, and one map-side-combinable agg —
+   * the log/pow terms run on ≤ k rows per group, not the corpus.
+   */
+  def ndcgAtK(df: DataFrame, groupCol: String, scoreCol: String,
+              tieCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val wScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(tieCol))
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("graft_rel").desc, col(tieCol))
+    def gain(posCol: org.apache.spark.sql.Column) =
+      round((pow(lit(2.0), col("graft_rel").cast(DoubleType)) - lit(1.0)) /
+        log(posCol.cast(DoubleType) + lit(1.0)), 6)
+        .cast(DecimalType(38, 6))
+    val ranked = df
+      .select(col(groupCol), col(relCol).cast(LongType).as("graft_rel"),
+        col(scoreCol), col(tieCol))
+      .withColumn("graft_pos", row_number().over(wScore))
+      .withColumn("graft_ipos", row_number().over(wIdeal))
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("graft_pos") <= k, gain(col("graft_pos")))
+          .otherwise(lit(BigDecimal(0).setScale(6)))).as("graft_dcg"),
+        sum(when(col("graft_ipos") <= k, gain(col("graft_ipos")))
+          .otherwise(lit(BigDecimal(0).setScale(6)))).as("graft_idcg"))
+      .select(col(groupCol), col("n_items"),
+        round(col("graft_dcg").cast(DoubleType), 6).as("dcg"),
+        when(col("graft_idcg") > 0,
+          round(col("graft_dcg").cast(DoubleType) /
+            col("graft_idcg").cast(DoubleType), 6)).as("ndcg"))
   }
 }

@@ -198,4 +198,54 @@ object Standardize {
           round((t2u - nPos * (nPos + 1)).cast(DoubleType) /
             (nPos * nNeg * 2).cast(DoubleType), 6)).as("auc"))
   }
+
+  /**
+   * Cohen's kappa per stratum (Cohen 1960): chance-corrected agreement
+   * between two categorical labelings — the standard "is this classifier
+   * actually better than its marginals" check for label pipelines and
+   * annotator QA. κ = (p_o − p_e)/(1 − p_e) with p_o the observed
+   * agreement rate and p_e = Σ_c marg_a(c)·marg_b(c)/n² the
+   * agreement expected from the marginal distributions alone.
+   *
+   * Everything up to the final ratio is int64-exact: agreement and
+   * marginal counts are hash-agg counts, p_e's numerator is
+   * Σ marginal products (int64 — safe while n² · classes < 2^63), and
+   * the two divisions + ratio are identical fixed-association double
+   * ops in any engine, rounded to 6 dp. Degenerate strata (p_e = 1:
+   * both labelings constant and equal) yield NULL, not 0/0.
+   *
+   * Shape: one (stratum, a, b) contingency agg — map-side combinable,
+   * cardinality ≤ strata·classes² — then marginal re-aggs and a
+   * metadata-scale equi-join per class; corpus rows are touched once.
+   */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String,
+                 strataCol: String): DataFrame = {
+    val cells = df.groupBy(col(strataCol), col(aCol).as("graft_a"),
+        col(bCol).as("graft_b"))
+      .agg(count(lit(1)).as("graft_n"))
+    val margA = cells.groupBy(col(strataCol), col("graft_a"))
+      .agg(sum(col("graft_n")).as("graft_na"))
+    val margB = cells.groupBy(col(strataCol), col("graft_b"))
+      .agg(sum(col("graft_n")).as("graft_nb"))
+    val totals = cells.groupBy(col(strataCol))
+      .agg(sum(col("graft_n")).cast(LongType).as("n"),
+        sum(when(col("graft_a") === col("graft_b"), col("graft_n"))
+          .otherwise(0L)).cast(LongType).as("graft_agree"))
+    val pe = margA.join(margB,
+        margA(strataCol) === margB(strataCol) &&
+          col("graft_a") === col("graft_b"))
+      .groupBy(margA(strataCol).as(strataCol))
+      .agg(sum(col("graft_na") * col("graft_nb")).cast(LongType)
+        .as("graft_pe_num"))
+    val po = col("graft_agree").cast(DoubleType) / col("n")
+    // left join + coalesce: a stratum whose two labelings share NO class
+    // has an EMPTY marginal-product join (p_e = 0), not a missing row
+    val peR = coalesce(col("graft_pe_num"), lit(0L)).cast(DoubleType) /
+      (col("n") * col("n")).cast(DoubleType)
+    totals.join(pe, Seq(strataCol), "left")
+      .select(col(strataCol), col("n"), col("graft_agree").as("n_agree"),
+        round(po, 6).as("po"), round(peR, 6).as("pe"),
+        when(peR < 1.0, round((po - peR) / (lit(1.0) - peR), 6))
+          .as("kappa"))
+  }
 }

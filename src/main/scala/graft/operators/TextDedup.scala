@@ -388,6 +388,48 @@ object TextDedup {
   }
 
   /**
+   * Jaro–Winkler-verified near-dup pairs over sorted-neighborhood
+   * candidates: the [[sortedNeighborhoodPairs]] O(n·w) candidate chain,
+   * re-scored with the native [[graft.functions.JaroWinklerSim]]
+   * codegen kernel on a bounded `prefixLen`-char slice — the
+   * record-linkage scorer that rewards shared prefixes where
+   * Levenshtein charges every transposition. Pairs at or above
+   * `minSim` (6-dp-rounded, so the threshold compare is
+   * engine-portable) survive.
+   *
+   * Same scale story as the Levenshtein variant: candidates are the
+   * n·(w−1) rank-adjacent pairs from one range-partitioned global
+   * ranking — never all-pairs — and the O(prefixLen·window) kernel runs
+   * only on them, inside whole-stage codegen.
+   */
+  def jaroWinklerPairs(docs: DataFrame, idCol: String, textCol: String,
+                       window: Int, minSim: Double, prefixLen: Int = 64,
+                       keyLen: Int = 24): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    require(minSim > 0 && minSim <= 1, s"minSim must be in (0,1]: $minSim")
+    require(prefixLen >= 1, s"prefixLen must be >= 1: $prefixLen")
+    val key = substring(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""), 1, keyLen)
+    val ranked = GlobalRank.globalRowNumber(
+      docs.select(col(idCol),
+        substring(col(textCol), 1, prefixLen).as("graft_t"),
+        key.as("graft_key")),
+      Seq(col("graft_key"), col(idCol)), "graft_rn")
+    val left = ranked
+      .withColumn("graft_delta",
+        explode(sequence(lit(1), lit(window - 1))))
+      .select(col(idCol).as("graft_i1"), col("graft_t").as("graft_t1"),
+        (col("graft_rn") + col("graft_delta")).as("graft_rn"))
+    left.join(ranked.select(col(idCol).as("graft_i2"),
+        col("graft_t").as("graft_t2"), col("graft_rn")), "graft_rn")
+      .select(least(col("graft_i1"), col("graft_i2")).as("d1"),
+        greatest(col("graft_i1"), col("graft_i2")).as("d2"),
+        round(graft.functions.StringFunctions.jaroWinkler(
+          col("graft_t1"), col("graft_t2")), 6).as("jw_sim"))
+      .filter(col("jw_sim") >= minSim)
+  }
+
+  /**
    * Edit-distance-verified near-dup pairs: LSH band collisions generate
    * candidates (the usual collision-rate-bounded join), then full-text
    * Levenshtein ≤ `maxDist` verifies — the character-level notion of

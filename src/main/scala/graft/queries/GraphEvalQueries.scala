@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import graft.operators.{Graph, Sketches, Standardize, TextAnalysis, TextDedup}
+import graft.operators.{Graph, Relevance, Sketches, Standardize, TextAnalysis, TextDedup}
 import graft.sources.Sources
 
 /** Round-6 graph/evaluation/join-pruning operators: PageRank survivor
@@ -362,4 +362,106 @@ object GraphEvalQueries {
       |  CAST(SUM(h) AS DOUBLE) AS h_y_given_x,
       |  CAST(SUM(mi) AS DOUBLE) AS mi_contrib
       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  // ── q163: NDCG@10 ranking quality ──────────────────────────────────────
+
+  /** q163: per-lang NDCG@10 of the length ranking (n_chars desc) against
+    * graded relevance = occurrences of 'the' capped at 3 — the graded
+    * ranking-metric layer for any ordering this engine produces; two
+    * row_number windows on one partitioning, decimal term sums. */
+  def q163Ndcg(s: SparkSession, dir: String): DataFrame = {
+    val d = Sources.documents(s, dir).select(col("lang"), col("doc_id"),
+      col("n_chars"),
+      least(lit(3), size(filter(split(col("text"), " "),
+        w => w === "the"))).cast(LongType).as("rel"))
+    Relevance.ndcgAtK(d, "lang", "n_chars", "doc_id", "rel", k = 10)
+      .orderBy(col("lang"))
+  }
+
+  val q163Sql: String =
+    """WITH d AS (SELECT lang, doc_id, n_chars,
+      |    LEAST(3, len(list_filter(string_split(text, ' '),
+      |      x -> x = 'the'))) AS rel
+      |  FROM documents),
+      |r AS (SELECT lang, rel,
+      |        row_number() OVER (PARTITION BY lang
+      |          ORDER BY n_chars DESC, doc_id) AS pos,
+      |        row_number() OVER (PARTITION BY lang
+      |          ORDER BY rel DESC, doc_id) AS ipos
+      |      FROM d),
+      |g AS (SELECT lang, count(*) AS n_items,
+      |        SUM(CASE WHEN pos <= 10 THEN
+      |          CAST(round((pow(2.0, rel) - 1.0)
+      |            / ln(CAST(pos AS DOUBLE) + 1.0), 6) AS DECIMAL(38,6))
+      |          ELSE CAST(0 AS DECIMAL(38,6)) END) AS dcgd,
+      |        SUM(CASE WHEN ipos <= 10 THEN
+      |          CAST(round((pow(2.0, rel) - 1.0)
+      |            / ln(CAST(ipos AS DOUBLE) + 1.0), 6) AS DECIMAL(38,6))
+      |          ELSE CAST(0 AS DECIMAL(38,6)) END) AS idcgd
+      |      FROM r GROUP BY lang)
+      |SELECT lang, n_items, round(CAST(dcgd AS DOUBLE), 6) AS dcg,
+      |  CASE WHEN idcgd > 0
+      |    THEN round(CAST(dcgd AS DOUBLE) / CAST(idcgd AS DOUBLE), 6)
+      |  END AS ndcg
+      |FROM g ORDER BY lang""".stripMargin
+
+  // ── q164: Cohen's kappa agreement ──────────────────────────────────────
+
+  /** q164: per-source chance-corrected agreement (Cohen's κ) between the
+    * q24 language-ID heuristic and the labeled lang column — "is the
+    * classifier beating its marginals, per slice"; int64-exact
+    * contingency/marginal counts, one fixed-association ratio. */
+  def q164Kappa(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val pred = TextAnalysis.languageId(docs, "doc_id", "text")
+    val labeled = docs.select(col("doc_id"), col("source"), col("lang"))
+      .join(pred.select(col("doc_id"), col("predicted_lang")), "doc_id")
+    Standardize.cohenKappa(labeled, "predicted_lang", "lang", "source")
+      .orderBy(col("source"))
+  }
+
+  val q164Sql: String =
+    """WITH w AS (SELECT doc_id, source, lang,
+      |    list_distinct(string_split(text, ' ')) AS ws FROM documents),
+      |h AS (SELECT doc_id, source, lang,
+      |  len(list_intersect(ws, ['the','and','of','to','in'])) AS en,
+      |  len(list_intersect(ws, ['el','la','de','que','los'])) AS es,
+      |  len(list_intersect(ws, ['le','la','et','les','des'])) AS fr,
+      |  len(list_intersect(ws, ['der','die','und','das','ist'])) AS de
+      |FROM w),
+      |p AS (SELECT source, lang,
+      |  CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+      |       WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+      |       WHEN es >= fr AND es >= de THEN 'es'
+      |       WHEN fr >= de THEN 'fr'
+      |       ELSE 'de' END AS pred
+      |FROM h),
+      |cells AS (SELECT source, pred, lang, count(*) AS cn
+      |          FROM p GROUP BY 1, 2, 3),
+      |ma AS (SELECT source, pred, CAST(SUM(cn) AS BIGINT) AS na
+      |       FROM cells GROUP BY 1, 2),
+      |mb AS (SELECT source, lang, CAST(SUM(cn) AS BIGINT) AS nb
+      |       FROM cells GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(SUM(cn) AS BIGINT) AS n,
+      |          CAST(SUM(CASE WHEN pred = lang THEN cn ELSE 0 END)
+      |            AS BIGINT) AS agree
+      |        FROM cells GROUP BY source),
+      |pe AS (SELECT ma.source,
+      |         CAST(SUM(ma.na * mb.nb) AS BIGINT) AS pe_num
+      |       FROM ma JOIN mb ON ma.source = mb.source AND ma.pred = mb.lang
+      |       GROUP BY ma.source)
+      |SELECT t.source, t.n, t.agree AS n_agree,
+      |  round(CAST(t.agree AS DOUBLE) / t.n, 6) AS po,
+      |  round(CAST(coalesce(pe.pe_num, 0) AS DOUBLE)
+      |    / CAST(t.n * t.n AS DOUBLE), 6) AS pe,
+      |  CASE WHEN CAST(coalesce(pe.pe_num, 0) AS DOUBLE)
+      |      / CAST(t.n * t.n AS DOUBLE) < 1.0
+      |    THEN round((CAST(t.agree AS DOUBLE) / t.n
+      |        - CAST(coalesce(pe.pe_num, 0) AS DOUBLE)
+      |          / CAST(t.n * t.n AS DOUBLE))
+      |      / (1.0 - CAST(coalesce(pe.pe_num, 0) AS DOUBLE)
+      |          / CAST(t.n * t.n AS DOUBLE)), 6)
+      |  END AS kappa
+      |FROM tot t LEFT JOIN pe ON t.source = pe.source
+      |ORDER BY t.source""".stripMargin
 }

@@ -171,4 +171,32 @@ object MatchQueries {
       |SELECT lang, count(*) AS n_kept,
       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
       |FROM keep GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ── q165: Jaro–Winkler verified pairs ──────────────────────────────────
+
+  /** q165: sorted-neighborhood candidates re-scored with the native
+    * jaro_winkler codegen kernel on a 64-char slice, keep sim ≥ 0.8 —
+    * the oracle recomputes with DuckDB's own jaro_winkler_similarity,
+    * so a green hash PROVES the custom Expression matches DuckDB's
+    * implementation of the metric (window clamp, transposition count,
+    * prefix boost) on every candidate pair, not just unit cases. */
+  def q165JaroWinkler(s: SparkSession, dir: String): DataFrame =
+    TextDedup.jaroWinklerPairs(Sources.documents(s, dir), "doc_id",
+        "text", window = 8, minSim = 0.8, prefixLen = 64)
+      .orderBy(col("d1"), col("d2"))
+
+  val q165Sql: String =
+    """WITH k AS (SELECT doc_id, substr(text, 1, 64) AS t,
+      |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24)
+      |      AS key
+      |  FROM documents),
+      |r AS (SELECT doc_id, t,
+      |        row_number() OVER (ORDER BY key, doc_id) AS rn
+      |      FROM k),
+      |sc AS (SELECT LEAST(a.doc_id, b.doc_id) AS d1,
+      |         GREATEST(a.doc_id, b.doc_id) AS d2,
+      |         round(jaro_winkler_similarity(a.t, b.t), 6) AS jw_sim
+      |       FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 7)
+      |SELECT d1, d2, jw_sim FROM sc WHERE jw_sim >= 0.8
+      |ORDER BY d1, d2""".stripMargin
 }

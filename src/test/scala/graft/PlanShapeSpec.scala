@@ -433,7 +433,10 @@ class PlanShapeSpec extends SparkSpec {
       "q143_sorted_neighbor",
       // q145: 1-row node-count broadcast riding the rank state (the
       // q78/q81 totals shape)
-      "q145_pagerank")
+      "q145_pagerank",
+      // q165: n_partitions-row offsets `<` join (the GlobalRank
+      // construction, metadata-scale — same as q143)
+      "q165_jaro_winkler")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
