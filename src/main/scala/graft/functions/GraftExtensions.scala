@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler"),
       info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings"),
       (children: Seq[Expression]) => JaroWinklerSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2_sq"),
+      info("l2_sq", "l2_sq(a, b) - squared Euclidean distance of two float/double vectors"),
+      (children: Seq[Expression]) => L2Sq(children(0), children(1))))
   }
 }
 
@@ -36,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+  def l2Sq(a: Column, b: Column): Column = call_function("l2_sq", a, b)
 }
 
 /** Column-API entry points for the registered string functions. */

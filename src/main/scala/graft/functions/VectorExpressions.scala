@@ -134,3 +134,49 @@ case class CosineSim(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** l2_sq(a, b): Σ (a_i − b_i)² over min(|a|,|b|) elements — squared
+  * Euclidean distance, the k-center / k-means workhorse. Same
+  * left-to-right fold contract as the other kernels (bit-identical to
+  * the DuckDB oracle's list_sum of per-element squares). */
+case class L2Sq(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def prettyName: String = "l2_sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = get(x, i, fx) - get(y, i, fy)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${getter(a, i, elemIsFloat(left))} -
+         |              ${getter(b, i, elemIsFloat(right))};
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /**
  * Histogram-quantized percentiles — the scalable percentile path.
@@ -210,5 +210,58 @@ object Histogram {
           (col("bucket") + 1) * (mx - mn), lit((1L << bits) - 1)))
           .as("threshold_value"),
         col("between_var"), col("w0"), col("w1"))
+  }
+
+  /**
+   * Isotonic calibration over score bins — pool-adjacent-violators via
+   * the MINIMAX identity: iso_i = max_{j≤i} min_{k≥i} wavg(j..k), the
+   * closed form of the PAV fit (Ayer et al. 1955; Robertson–Wright–
+   * Dykstra 1988 §1.2), which turns the sequential pooling loop into a
+   * data-parallel expression. The calibration-map producer behind
+   * "turn this quality score into an actual probability" — the natural
+   * consumer of [[calibrationBins]]' reliability diagram.
+   *
+   * The corpus never sees any of this: the bins relation is
+   * metadata-scale BY CONSTRUCTION (bounded bucket count), so one
+   * sort_array(collect_list(...)) gathers it into a single row and the
+   * whole O(B³) minimax runs inside one projection of nested
+   * higher-order functions — no joins, no window, no driver collect.
+   *
+   * Determinism: bin counts are int64; each weighted average is one
+   * int64-sum / int64-sum double division rounded to 6 dp; min/max over
+   * identical doubles are engine-exact. Output is monotone nondecreasing
+   * in the bucket order by construction.
+   */
+  def isotonicCalibration(bins: DataFrame, bucketCol: String, nCol: String,
+                          posCol: String): DataFrame = {
+    val one = bins.groupBy().agg(
+      sort_array(collect_list(struct(
+        col(bucketCol).cast(LongType).as("b"),
+        col(nCol).cast(LongType).as("n"),
+        col(posCol).cast(LongType).as("p")))).as("graft_rows"))
+    def fieldArr(f: String) =
+      transform(col("graft_rows"), r => r.getField(f))
+    def segSum(arr: Column, j: Column, k: Column): Column =
+      aggregate(slice(arr, j, k - j + 1), lit(0L), (acc, x) => acc + x)
+    def wavg(j: Column, k: Column): Column =
+      round(segSum(col("graft_ps"), j, k).cast(DoubleType) /
+        segSum(col("graft_ns"), j, k).cast(DoubleType), 6)
+    val m = size(col("graft_rows"))
+    val iso = transform(sequence(lit(1), m), i =>
+      array_max(transform(sequence(lit(1), i), j =>
+        array_min(transform(sequence(i, m), k => wavg(j, k))))))
+    one
+      .withColumn("graft_bk", fieldArr("b"))
+      .withColumn("graft_ns", fieldArr("n"))
+      .withColumn("graft_ps", fieldArr("p"))
+      .withColumn("graft_iso", iso)
+      .select(explode(arrays_zip(col("graft_bk"), col("graft_ns"),
+        col("graft_ps"), col("graft_iso"))).as("graft_z"))
+      .select(col("graft_z.graft_bk").as("bucket"),
+        col("graft_z.graft_ns").as("n"),
+        col("graft_z.graft_ps").as("n_pos"),
+        round(col("graft_z.graft_ps").cast(DoubleType) /
+          col("graft_z.graft_ns").cast(DoubleType), 6).as("raw_rate"),
+        col("graft_z.graft_iso").as("iso_rate"))
   }
 }

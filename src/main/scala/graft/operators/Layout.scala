@@ -96,4 +96,59 @@ object Layout {
       else withZ.repartitionByRange(col("zv"))
     parted.sortWithinPartitions(col("zv"))
   }
+
+  /**
+   * Rendezvous (highest-random-weight) shard assignment — Thaler &
+   * Ravishankar 1998, the consistent-placement scheme behind cache and
+   * serving-shard routing: each key independently hashes once PER SHARD
+   * and lands on the shard with the highest hash, so adding/removing a
+   * shard reassigns only ~1/n of the keys (no ring, no virtual nodes,
+   * deterministic everywhere — every worker computes the same placement
+   * with no coordination, which is the point at 1000 executors).
+   *
+   * Weight = first 48 bits of md5("rv<shard>_<key>") — the library's
+   * standard salted-md5 determinism scheme (engine-portable, oracle
+   * reproduces it digit-by-digit); argmax per key via one bounded
+   * n-shard fan-out + one row_number window keyed on the source row.
+   * The fan-out is n·rows but 3 narrow columns wide; at scale prefer
+   * `shardOf`'s single-projection form when n is a compile-time
+   * constant (greatest over n codegen'd terms — no fan-out, no window).
+   */
+  def rendezvousShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 256,
+      s"nShards must be in [1, 256]: $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("graft_h").desc, col("graft_shard"))
+    df.withColumn("graft_shard",
+        explode(sequence(lit(0), lit(nShards - 1))))
+      .withColumn("graft_h",
+        conv(substring(md5(concat(lit("rv"),
+          col("graft_shard").cast(org.apache.spark.sql.types.StringType),
+          lit("_"),
+          col(keyCol).cast(org.apache.spark.sql.types.StringType))), 1, 12),
+          16, 10).cast(LongType))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .withColumnRenamed("graft_shard", "shard")
+      .drop("graft_h", "graft_rn")
+  }
+
+  /** Single-projection rendezvous shard for a compile-time shard count:
+    * greatest over n (hash·n + shard) int64 encodes, decoded with pmod —
+    * no fan-out, no window, pure codegen. 48-bit hash · n ≤ 2^56 keeps
+    * the encode exact. */
+  def shardOf(key: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 256,
+      s"nShards must be in [1, 256]: $nShards")
+    // ties (equal 48-bit hashes) break to the SMALLER shard, matching
+    // rendezvousShards' (h desc, shard asc) order: encode the shard
+    // complement so the max picks it, then decode back
+    val encodes = (0 until nShards).map { sh =>
+      conv(substring(md5(concat(lit(s"rv$sh" + "_"),
+        key.cast(org.apache.spark.sql.types.StringType))), 1, 12),
+        16, 10).cast(LongType) * nShards + (nShards - 1 - sh)
+    }
+    lit(nShards - 1) - pmod(greatest(encodes: _*), lit(nShards))
+  }
 }

@@ -285,4 +285,51 @@ object Similarity {
         col("cosine").desc, Seq(col("c_id").asc), k)
       .select(col("q_id"), col("c_id"), col("cosine"))
   }
+
+  /**
+   * Farthest-point traversal (Gonzalez 1985): greedy k-center seeding —
+   * start from the minimum-id point, then repeatedly take the point
+   * farthest from everything selected so far. The classic 2-approximate
+   * k-center coreset: the diversity-maximizing sample that coverage-
+   * oriented curation wants where random sampling oversamples dense
+   * modes, and the standard seeding for the q61 k-means path.
+   *
+   * Each of the k−1 rounds is ONE narrow scan: the running min-distance
+   * column folds in the newest center via `least` (the l2_sq codegen
+   * kernel against a literal vector — no joins, no shuffle), and the
+   * argmax is a 1-row TakeOrderedAndProject. Driver state is k vectors
+   * — the same k-round driver-loop contract as k-means (q61), with the
+   * input localCheckpoint'd once so round i doesn't replay rounds < i.
+   *
+   * Determinism: distances round to 6 dp (both engines agree bitwise on
+   * the raw doubles — same fold order — and the round makes the argmax
+   * ORDER BY portable); ties break on vec id.
+   */
+  def farthestPoints(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast(LongType).as("graft_id"),
+      col(vecCol).as("graft_v")).localCheckpoint()
+    def litVec(v: Seq[Float]): Column = array(v.map(lit(_)): _*)
+    def distTo(v: Seq[Float]): Column =
+      round(VectorFunctions.l2Sq(col("graft_v"), litVec(v)), 6)
+    val first = base.orderBy(col("graft_id")).limit(1).head()
+    var centerVec = first.getSeq[Float](1)
+    val picked = scala.collection.mutable.ArrayBuffer(
+      (0L, first.getLong(0), Option.empty[Double]))
+    var cur = base.withColumn("graft_dm", distTo(centerVec))
+    for (i <- 1 until k) {
+      val row = cur.orderBy(col("graft_dm").desc, col("graft_id"))
+        .limit(1).head()
+      picked += ((i.toLong, row.getLong(0), Some(row.getDouble(2))))
+      if (i < k - 1) {
+        centerVec = row.getSeq[Float](1)
+        cur = cur.withColumn("graft_dm",
+          least(col("graft_dm"), distTo(centerVec)))
+      }
+    }
+    picked.toSeq.toDF("sel_idx", "vec_id", "dmin")
+  }
 }

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Histogram, Layout, Similarity}
+import graft.sources.Sources
+
+/** Round-7 placement/selection operators: rendezvous-hash shard
+  * assignment, isotonic (PAV) score calibration, and farthest-point
+  * coreset selection — each with a DuckDB oracle reproducing the
+  * arithmetic exactly (q168's oracle replays the greedy traversal as a
+  * chained-CTE program, so the gate proves every selection step). */
+object PlacementQueries {
+
+  // ── q166: rendezvous-hash sharding ─────────────────────────────────────
+
+  /** q166: documents routed to 8 serving shards by highest-random-weight
+    * hashing (one salted-md5 weight per shard, argmax), with per-shard
+    * balance stats — the coordination-free placement every worker
+    * computes identically; pure single projection, one metadata-scale
+    * agg. */
+  def q166Rendezvous(s: SparkSession, dir: String): DataFrame =
+    Sources.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        Layout.shardOf(col("doc_id"), 8).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+
+  val q166Sql: String =
+    """WITH f AS (SELECT doc_id, n_chars,
+      |    unnest(range(0, 8)) AS shard FROM documents),
+      |h AS (SELECT doc_id, n_chars, shard,
+      |        CAST(list_sum(list_transform(range(1, 13), j ->
+      |          (strpos('0123456789abcdef', substr(md5('rv'
+      |             || CAST(shard AS VARCHAR) || '_'
+      |             || CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+      |          * pow(16, 12 - j))) AS BIGINT) AS hv
+      |      FROM f),
+      |a AS (SELECT doc_id, n_chars, shard FROM h
+      |      QUALIFY row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY hv DESC, shard) = 1)
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+
+  // ── q167: isotonic calibration (PAV) ───────────────────────────────────
+
+  /** q167: the q141 reliability diagram pushed through pool-adjacent-
+    * violators via the minimax identity — per bin: raw empirical rate
+    * and the monotone isotonic fit; the O(B³) minimax runs in one
+    * nested-HOF projection over a single metadata-scale row. */
+  def q167Isotonic(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val e = Sources.embeddings(s, dir).select(
+      round(element_at(col("embedding"), 1).cast(DoubleType) * 1000000.0, 0)
+        .cast(LongType).as("q"),
+      when(col("label") <= 4, 1L).otherwise(0L).as("pos"))
+    val bins = Histogram.calibrationBins(e, "q", "pos", bits = 4,
+      mn = -1000000L, mx = 1000000L)
+    Histogram.isotonicCalibration(bins, "bucket", "n", "n_pos")
+      .orderBy(col("bucket"))
+  }
+
+  val q167Sql: String =
+    """WITH q AS (SELECT
+      |    CAST(round(embedding[1]::DOUBLE * 1000000.0, 0) AS BIGINT) AS q,
+      |    CASE WHEN label <= 4 THEN 1 ELSE 0 END AS pos
+      |  FROM embeddings),
+      |c AS (SELECT LEAST(GREATEST(q, -1000000), 1000000) AS cq, pos FROM q),
+      |b AS (SELECT ((cq + 1000000) * 15) // 2000000 AS bucket, pos FROM c),
+      |g AS (SELECT bucket, count(*) AS n, CAST(SUM(pos) AS BIGINT) AS np
+      |      FROM b GROUP BY bucket),
+      |arr AS (SELECT list(bucket ORDER BY bucket) AS bk,
+      |               list(n ORDER BY bucket) AS ns,
+      |               list(np ORDER BY bucket) AS ps,
+      |               count(*) AS m
+      |        FROM g),
+      |fit AS (SELECT bk, ns, ps,
+      |          list_transform(range(1, m + 1), i ->
+      |            list_max(list_transform(range(1, i + 1), j ->
+      |              list_min(list_transform(range(i, m + 1), k ->
+      |                round(CAST(list_sum(ps[j:k]) AS DOUBLE)
+      |                  / CAST(list_sum(ns[j:k]) AS DOUBLE), 6)))))) AS iso
+      |        FROM arr)
+      |SELECT unnest(bk) AS bucket, unnest(ns) AS n, unnest(ps) AS n_pos,
+      |  round(unnest(ps)::DOUBLE / unnest(ns), 6) AS raw_rate,
+      |  unnest(iso) AS iso_rate
+      |FROM fit ORDER BY bucket""".stripMargin
+
+  // ── q168: farthest-point coreset ───────────────────────────────────────
+
+  /** q168: greedy farthest-point traversal over the embeddings (k = 6,
+    * start at min vec_id) — the 2-approximate k-center coreset; the
+    * oracle replays the same greedy program as a chained-CTE pipeline,
+    * so the gate proves every selection step, not just the final set. */
+  def q168FarthestPoints(s: SparkSession, dir: String): DataFrame =
+    Similarity.farthestPoints(Sources.embeddings(s, dir), "vec_id",
+        "embedding", k = 6)
+      .orderBy(col("sel_idx"))
+
+  val q168Sql: String = {
+    val dist = (a: String, b: String) =>
+      s"round(list_sum(list_transform(range(1, 65), j -> " +
+        s"($a.v[j]::DOUBLE - $b.v[j]::DOUBLE) * " +
+        s"($a.v[j]::DOUBLE - $b.v[j]::DOUBLE))), 6)"
+    val stages = new StringBuilder(
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+         |d1 AS (SELECT e.vec_id, e.v, ${dist("e", "c")} AS dm
+         |       FROM e, c0 c),
+         |c1 AS (SELECT vec_id, v, dm FROM d1
+         |       ORDER BY dm DESC, vec_id LIMIT 1)""".stripMargin)
+    for (i <- 2 to 5) {
+      stages.append(
+        s""",
+           |d$i AS (SELECT d.vec_id, d.v,
+           |         LEAST(d.dm, ${dist("d", "c")}) AS dm
+           |       FROM d${i - 1} d, c${i - 1} c),
+           |c$i AS (SELECT vec_id, v, dm FROM d$i
+           |       ORDER BY dm DESC, vec_id LIMIT 1)""".stripMargin)
+    }
+    stages.append(
+      """
+        |SELECT CAST(0 AS BIGINT) AS sel_idx, vec_id,
+        |  CAST(NULL AS DOUBLE) AS dmin FROM c0
+        |""".stripMargin)
+    for (i <- 1 to 5)
+      stages.append(
+        s"UNION ALL SELECT CAST($i AS BIGINT), vec_id, dm FROM c$i\n")
+    stages.append("ORDER BY sel_idx")
+    stages.toString
+  }
+}
