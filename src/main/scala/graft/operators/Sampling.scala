@@ -170,6 +170,47 @@ object Sampling {
   }
 
   /**
+   * Weighted sample WITHOUT replacement, exactly k per stratum —
+   * Efraimidis–Spirakis (2006) A-ES: each row draws u ~ U(0,1) from its
+   * salted md5 (seedless, deterministic) and ranks by u^(1/w); the
+   * top k per stratum are a bona-fide weighted sample without
+   * replacement — the exact-size counterpart of [[weightedSample]]'s
+   * Bernoulli acceptance, and the standard one-pass distributed
+   * algorithm for "pick k docs per language proportional to token
+   * count".
+   *
+   * Ranking uses the monotone-equivalent key ln(u)/w (u ∈ (0,1), so
+   * ln u < 0 and the division ORDER-REVERSES per weight) — avoiding
+   * pow's engine differences; u = (h48+1)/2^48 from the first 12 md5
+   * hex digits is a dyadic rational, exact in a double, so both engines
+   * compute bit-identical keys (Spark log ↔ DuckDB ln, the proven
+   * idiom). Weights must be > 0: a NULL/≤0 weight raises (un-prunable,
+   * riding the key expression) rather than silently skewing the draw.
+   *
+   * Shape: one narrow projection + the rank-limit window
+   * (WindowGroupLimit: per-partition top-k heaps cut before the
+   * shuffle) — one pass, no per-stratum state beyond the heap.
+   */
+  def weightedTopKPerStratum(df: DataFrame, keyCol: String,
+                             weightCol: String, strataCol: String,
+                             salt: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val h48 = conv(
+      substring(md5(concat_ws("_", lit(salt), col(keyCol))), 1, 12), 16, 10)
+      .cast(LongType)
+    val u = (h48 + lit(1L)).cast(DoubleType) / lit(281474976710656.0)
+    val wChecked = when(col(weightCol).isNotNull &&
+        col(weightCol).cast(DoubleType) > 0.0, col(weightCol).cast(DoubleType))
+      .otherwise(raise_error(concat(
+        lit(s"weightedTopKPerStratum requires positive $weightCol at "),
+        col(keyCol).cast(StringType))).cast(DoubleType))
+    LatestSnapshot.topK(
+      df.withColumn("graft_aes_key", log(u) / wChecked),
+      Seq(strataCol), col("graft_aes_key").desc, Seq(col(keyCol).asc), k)
+      .drop("graft_aes_key")
+  }
+
+  /**
    * Exactly-N-per-stratum deterministic sample: rows rank within their
    * stratum by the full md5 hex of (salt ‖ key) — a seedless uniform
    * order — and the first `n` survive. Unlike the rate-based samplers

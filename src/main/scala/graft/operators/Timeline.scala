@@ -172,4 +172,87 @@ object Timeline {
         (max(col("graft_s")) * lit(1000000)).cast(LongType)
           .as("peak_s_micros"))
   }
+
+  /**
+   * Trailing-window distinct actives: for every UTC day, how many
+   * distinct entities were active in the trailing `windowDays` days —
+   * the rolling-DAU/WAU metric. Distinct-over-sliding-window does NOT
+   * decompose into per-day counts (a user active twice in the window
+   * must count once), and the textbook fix is this bounded fan-out: each
+   * distinct (entity, day) contributes itself to the `windowDays` target
+   * days it stays visible in, then one distinct-agg per target day.
+   *
+   * Shape: one (entity, day) distinct — map-side combinable, collapsing
+   * the event log — a ×windowDays explode (bounded by the parameter, not
+   * the data), and one count-distinct agg keyed by day. Target days past
+   * the corpus's last day are cut by a 1-row max-day broadcast
+   * (metadata-scale, the q113 decayed-score shape). Day arithmetic is
+   * int64-exact.
+   */
+  def slidingActive(events: DataFrame, entityCol: String, tsCol: String,
+                    windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val day = call_function("div", unix_micros(col(tsCol)),
+      lit(86400000000L))
+    val entityDays = events
+      .select(col(entityCol), day.as("graft_day")).distinct()
+    val maxDay = entityDays.agg(max(col("graft_day")).as("graft_mxd"))
+    entityDays
+      .select(col(entityCol), explode(sequence(col("graft_day"),
+        col("graft_day") + lit(windowDays - 1L))).as("day"))
+      .join(broadcast(maxDay))
+      .filter(col("day") <= col("graft_mxd"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col(entityCol)).as("n_active"))
+  }
+
+  /**
+   * Theil–Sen robust trend per entity (Theil 1950; Sen 1968): the
+   * LOWER MEDIAN of pairwise slopes between the entity's per-bucket
+   * mean values — the outlier-resistant alternative to OLS slope
+   * ([[Standardize.groupOls]]) with a 29% breakdown point; one wild
+   * day can't flip the trend sign.
+   *
+   * The pair fan-out is over BUCKETS (days), not events: an entity with
+   * a year of daily aggregates costs ~66k pairs regardless of event
+   * volume, and pairs join on the entity key (equi-join reusing the
+   * aggregate's partitioning — no theta-join). The lower median is an
+   * exact row_number selection at position ⌈n/2⌉ — no interpolation, so
+   * no (a+b)/2 association to match across engines. Bucket means are
+   * 6-dp-decimal sums / int64 counts; slopes divide those identical
+   * doubles by exact int64 day deltas; the selection order
+   * (slope, day pair) is total.
+   */
+  def theilSen(events: DataFrame, entityCol: String, tsCol: String,
+               valueCol: String, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive: $bucketUs")
+    val day = call_function("div", unix_micros(col(tsCol)), lit(bucketUs))
+    val daily = events
+      .select(col(entityCol), day.as("graft_day"),
+        round(col(valueCol).cast(DoubleType), 6)
+          .cast(DecimalType(18, 6)).as("graft_rv"))
+      .groupBy(col(entityCol), col("graft_day"))
+      .agg((sum(col("graft_rv")).cast(DoubleType) / count(lit(1)))
+        .as("graft_y"))
+    val a = daily.select(col(entityCol), col("graft_day").as("graft_d1"),
+      col("graft_y").as("graft_y1"))
+    val b = daily.select(col(entityCol), col("graft_day").as("graft_d2"),
+      col("graft_y").as("graft_y2"))
+    val pairs = a.join(b, Seq(entityCol))
+      .filter(col("graft_d2") > col("graft_d1"))
+      .withColumn("graft_slope",
+        (col("graft_y2") - col("graft_y1")) /
+          (col("graft_d2") - col("graft_d1")).cast(DoubleType))
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col("graft_slope"), col("graft_d1"), col("graft_d2"))
+    val counted = pairs
+      .withColumn("graft_rn", row_number().over(w))
+      .withColumn("graft_np",
+        count(lit(1)).over(Window.partitionBy(col(entityCol))))
+    counted
+      .filter(col("graft_rn") ===
+        call_function("div", col("graft_np") + 1, lit(2L)))
+      .select(col(entityCol), col("graft_np").as("n_pairs"),
+        round(col("graft_slope"), 6).as("slope_per_bucket"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Histogram, Layout, Similarity}
+import graft.operators.{Histogram, Layout, Sampling, Similarity}
 import graft.sources.Sources
 
 /** Round-7 placement/selection operators: rendezvous-hash shard
@@ -136,4 +136,31 @@ object PlacementQueries {
     stages.append("ORDER BY sel_idx")
     stages.toString
   }
+
+  // ── q169: weighted sample without replacement (A-ES) ───────────────────
+
+  /** q169: exactly 10 docs per lang, sampled WITHOUT replacement with
+    * probability proportional to length — Efraimidis–Spirakis keys from
+    * salted md5, one projection + a WindowGroupLimit rank cut. */
+  def q169WeightedTopK(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedTopKPerStratum(
+        Sources.documents(s, dir).select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        "doc_id", "n_chars", "lang", salt = "aes", k = 10)
+      .orderBy(col("lang"), col("doc_id"))
+
+  val q169Sql: String =
+    """WITH h AS (SELECT lang, doc_id, n_chars,
+      |    CAST(list_sum(list_transform(range(1, 13), j ->
+      |      (strpos('0123456789abcdef', substr(md5('aes_'
+      |         || CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+      |      * pow(16, 12 - j))) AS BIGINT) AS hv
+      |  FROM documents),
+      |k AS (SELECT lang, doc_id, n_chars,
+      |        ln((hv + 1) / 281474976710656.0) / n_chars AS key
+      |      FROM h)
+      |SELECT lang, doc_id, n_chars FROM k
+      |QUALIFY row_number() OVER (PARTITION BY lang
+      |  ORDER BY key DESC, doc_id) <= 10
+      |ORDER BY lang, doc_id""".stripMargin
 }

@@ -166,4 +166,55 @@ object TimelineQueries {
       |  min(CASE WHEN sv > h THEN tus END) AS first_alarm_us,
       |  CAST(max(sv) * 1000000 AS BIGINT) AS peak_s_micros
       |FROM sc GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ── q170: trailing-window distinct actives ─────────────────────────────
+
+  /** q170: rolling 7-day distinct active users per UTC day — the WAU
+    * curve; bounded ×7 fan-out of the (user, day) distinct set, one
+    * count-distinct per day, max-day bound broadcast. */
+  def q170SlidingActive(s: SparkSession, dir: String): DataFrame =
+    Timeline.slidingActive(Sources.events(s, dir), "user_id", "ts",
+        windowDays = 7)
+      .orderBy(col("day"))
+
+  val q170Sql: String =
+    """WITH d AS (SELECT DISTINCT user_id,
+      |    CAST(epoch_ns(ts) // 1000 AS BIGINT) // 86400000000 AS day
+      |  FROM events),
+      |mx AS (SELECT max(day) AS mxd FROM d),
+      |t AS (SELECT user_id,
+      |        unnest(generate_series(day, day + 6)) AS day2 FROM d)
+      |SELECT t.day2 AS day, count(DISTINCT t.user_id) AS n_active
+      |FROM t, mx WHERE t.day2 <= mx.mxd
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ── q171: Theil–Sen robust trend ───────────────────────────────────────
+
+  /** q171: per-user Theil–Sen slope over daily mean values — the lower
+    * median of pairwise day slopes (exact row_number selection, no
+    * interpolation); pair fan-out bounded by days², equi-joined on the
+    * user key. */
+  def q171TheilSen(s: SparkSession, dir: String): DataFrame =
+    Timeline.theilSen(Sources.events(s, dir), "user_id", "ts", "value",
+        bucketUs = 86400000000L)
+      .orderBy(col("user_id"))
+
+  val q171Sql: String =
+    """WITH e AS (SELECT user_id,
+      |    CAST(epoch_ns(ts) // 1000 AS BIGINT) // 86400000000 AS day,
+      |    CAST(round(value, 6) AS DECIMAL(18,6)) AS rv FROM events),
+      |g AS (SELECT user_id, day,
+      |        CAST(SUM(rv) AS DOUBLE) / count(*) AS y
+      |      FROM e GROUP BY 1, 2),
+      |p AS (SELECT a.user_id, a.day AS d1, b.day AS d2,
+      |        (b.y - a.y) / CAST(b.day - a.day AS DOUBLE) AS slope
+      |      FROM g a JOIN g b ON a.user_id = b.user_id AND b.day > a.day),
+      |r AS (SELECT user_id, slope,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY slope, d1, d2) AS rn,
+      |        count(*) OVER (PARTITION BY user_id) AS np
+      |      FROM p)
+      |SELECT user_id, CAST(np AS BIGINT) AS n_pairs,
+      |  round(slope, 6) AS slope_per_bucket
+      |FROM r WHERE rn = (np + 1) // 2 ORDER BY user_id""".stripMargin
 }

@@ -436,7 +436,10 @@ class PlanShapeSpec extends SparkSpec {
       "q145_pagerank",
       // q165: n_partitions-row offsets `<` join (the GlobalRank
       // construction, metadata-scale — same as q143)
-      "q165_jaro_winkler")
+      "q165_jaro_winkler",
+      // q170: 1-row max-day bound broadcast onto the fan-out (the q113
+      // max-ts shape)
+      "q170_sliding_active")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
