@@ -200,6 +200,53 @@ object Standardize {
   }
 
   /**
+   * MAD-based robust outliers per stratum over an INTEGER-valued column:
+   * median absolute deviation with the Hampel-style |x − med| > k·MAD
+   * flag — the robust quarantine gate where mean/σ z-scores
+   * ([[zScores]]) get dragged by the very outliers they hunt (MAD's
+   * breakdown point is 50% vs 0% for σ).
+   *
+   * Both medians are LOWER medians — exact row_number selections at
+   * position ⌈n/2⌉ in a total (value, id) order, no interpolation — so
+   * with an integer value column EVERY quantity here is int64-exact:
+   * no float rules, no rounding, engine-identical by construction.
+   *
+   * Shape: two stratum-keyed window passes (rank + count share one
+   * partitioning each) and two metadata-scale median joins back; one
+   * final hash-agg. No sort beyond the per-stratum windows.
+   */
+  def madOutliers(df: DataFrame, valueCol: String, idCol: String,
+                  strataCol: String, k: Long = 3L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val base = df.select(col(strataCol), col(idCol),
+      col(valueCol).cast(LongType).as("graft_x"))
+    def lowerMedian(in: DataFrame, vc: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(strataCol)).orderBy(col(vc), col(idCol))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(strataCol))
+      in.withColumn("graft_rn", row_number().over(w))
+        .withColumn("graft_np", count(lit(1)).over(wAll))
+        .filter(col("graft_rn") ===
+          call_function("div", col("graft_np") + 1, lit(2L)))
+        .select(col(strataCol), col(vc).as(out))
+    }
+    val med = lowerMedian(base, "graft_x", "graft_med")
+    val withDev = base.join(broadcast(med), Seq(strataCol))
+      .withColumn("graft_dev", abs(col("graft_x") - col("graft_med")))
+    val mad = lowerMedian(
+      withDev.select(col(strataCol), col(idCol), col("graft_dev")),
+      "graft_dev", "graft_mad")
+    withDev.join(broadcast(mad), Seq(strataCol))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("graft_med")).as("med"),
+        max(col("graft_mad")).as("mad"),
+        sum(when(col("graft_dev") > lit(k) * col("graft_mad"), 1L)
+          .otherwise(0L)).cast(LongType).as("n_outliers"))
+  }
+
+  /**
    * Cohen's kappa per stratum (Cohen 1960): chance-corrected agreement
    * between two categorical labelings — the standard "is this classifier
    * actually better than its marginals" check for label pipelines and

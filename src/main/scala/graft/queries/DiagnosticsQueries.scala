@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Decay, EntityResolution, Funnel, Histogram, Profiling, Relevance, Sketches, Sampling, Selection, Similarity, Snapshot, Standardize, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{Decay, EntityResolution, Funnel, Histogram, Itemsets, Profiling, Relevance, Sketches, Sampling, Selection, Similarity, Snapshot, Standardize, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-6 corpus-diagnostics and selection operators: table profiling
@@ -1054,4 +1054,67 @@ object DiagnosticsQueries {
       |  ((bucket + 1) * 1000000) // 255 AS threshold_value,
       |  between_var, w0, w1
       |FROM rk WHERE r = 1 ORDER BY threshold_bucket""".stripMargin
+
+  // ── q173: MAD robust outliers ──────────────────────────────────────────
+
+  /** q173: per-lang median-absolute-deviation outlier audit over doc
+    * length — lower medians are exact row_number selections, so with an
+    * integer column the whole operator is int64-exact (no float rules
+    * at all); two window passes + two metadata joins. */
+  def q173MadOutliers(s: SparkSession, dir: String): DataFrame =
+    Standardize.madOutliers(Sources.documents(s, dir), "n_chars",
+        "doc_id", "lang", k = 3L)
+      .orderBy(col("lang"))
+
+  val q173Sql: String =
+    """WITH b AS (SELECT lang, doc_id, n_chars AS x FROM documents),
+      |m AS (SELECT lang, x AS med FROM (
+      |        SELECT lang, x, doc_id,
+      |          row_number() OVER (PARTITION BY lang ORDER BY x, doc_id)
+      |            AS rn,
+      |          count(*) OVER (PARTITION BY lang) AS np
+      |        FROM b) WHERE rn = (np + 1) // 2),
+      |d AS (SELECT b.lang, b.doc_id, b.x, m.med, abs(b.x - m.med) AS dev
+      |      FROM b JOIN m USING (lang)),
+      |md AS (SELECT lang, dev AS mad FROM (
+      |         SELECT lang, dev, doc_id,
+      |           row_number() OVER (PARTITION BY lang ORDER BY dev, doc_id)
+      |             AS rn,
+      |           count(*) OVER (PARTITION BY lang) AS np
+      |         FROM d) WHERE rn = (np + 1) // 2)
+      |SELECT d.lang, count(*) AS n, max(d.med) AS med, max(md.mad) AS mad,
+      |  CAST(SUM(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM d JOIN md USING (lang) GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  // ── q174: frequent co-occurring pairs ──────────────────────────────────
+
+  /** q174: word pairs co-occurring in ≥ half of all documents, with
+    * lift over independence — level-2 Apriori: the pair fan-out runs
+    * over each doc's FREQUENT words only, support compares are integer
+    * cross-products, lift an int64-products ratio. */
+  def q174FrequentPairs(s: SparkSession, dir: String): DataFrame =
+    Itemsets.frequentPairs(Sources.documents(s, dir), "doc_id", "text",
+        supNum = 1, supDen = 2)
+      .orderBy(col("w1"), col("w2"))
+
+  val q174Sql: String =
+    """WITH dw AS (SELECT DISTINCT doc_id,
+      |    unnest(string_split(text, ' ')) AS w FROM documents),
+      |nd AS (SELECT count(*) AS n FROM documents),
+      |wc AS (SELECT w, count(*) AS wn FROM dw GROUP BY w),
+      |fw AS (SELECT w, wn FROM wc, nd WHERE wn * 2 >= n * 1),
+      |fdw AS (SELECT dw.doc_id, dw.w FROM dw JOIN fw ON dw.w = fw.w),
+      |p AS (SELECT a.w AS w1, b.w AS w2, count(*) AS n_both
+      |      FROM fdw a JOIN fdw b ON a.doc_id = b.doc_id AND a.w < b.w
+      |      GROUP BY 1, 2)
+      |SELECT p.w1, p.w2, CAST(p.n_both AS BIGINT) AS n_both,
+      |  round(CAST(p.n_both * nd.n AS DOUBLE)
+      |    / CAST(f1.wn * f2.wn AS DOUBLE), 6) AS lift
+      |FROM p
+      |JOIN fw f1 ON p.w1 = f1.w
+      |JOIN fw f2 ON p.w2 = f2.w
+      |CROSS JOIN nd
+      |WHERE p.n_both * 2 >= nd.n * 1
+      |ORDER BY p.w1, p.w2""".stripMargin
 }

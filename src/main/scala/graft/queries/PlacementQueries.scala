@@ -163,4 +163,50 @@ object PlacementQueries {
       |QUALIFY row_number() OVER (PARTITION BY lang
       |  ORDER BY key DESC, doc_id) <= 10
       |ORDER BY lang, doc_id""".stripMargin
+
+  // ── q172: shard-rebalance audit ────────────────────────────────────────
+
+  /** q172: what moves when the fleet grows 8 → 9 shards — per old shard:
+    * how many keys leave (all leavers land on the NEW shard under
+    * rendezvous hashing, ~1/9 of keys overall). The gate-checked proof
+    * of the minimal-movement property on real data; two codegen'd
+    * projections, one metadata-scale agg. */
+  def q172ShardMoves(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    Sources.documents(s, dir)
+      .select(col("doc_id"),
+        Layout.shardOf(col("doc_id"), 8).as("old_shard"),
+        Layout.shardOf(col("doc_id"), 9).as("graft_s9"))
+      .groupBy(col("old_shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("old_shard") =!= col("graft_s9"), 1L).otherwise(0L))
+          .cast(LongType).as("n_moved"))
+      .withColumn("moved_frac",
+        round(col("n_moved").cast(DoubleType) / col("n_docs"), 6))
+      .orderBy(col("old_shard"))
+  }
+
+  val q172Sql: String =
+    """WITH f AS (SELECT doc_id,
+      |    unnest(range(0, 9)) AS shard FROM documents),
+      |h AS (SELECT doc_id, shard,
+      |        CAST(list_sum(list_transform(range(1, 13), j ->
+      |          (strpos('0123456789abcdef', substr(md5('rv'
+      |             || CAST(shard AS VARCHAR) || '_'
+      |             || CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+      |          * pow(16, 12 - j))) AS BIGINT) AS hv
+      |      FROM f),
+      |a8 AS (SELECT doc_id, shard AS s8 FROM h WHERE shard < 8
+      |       QUALIFY row_number() OVER (PARTITION BY doc_id
+      |         ORDER BY hv DESC, shard) = 1),
+      |a9 AS (SELECT doc_id, shard AS s9 FROM h
+      |       QUALIFY row_number() OVER (PARTITION BY doc_id
+      |         ORDER BY hv DESC, shard) = 1)
+      |SELECT a8.s8 AS old_shard, count(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN a8.s8 <> a9.s9 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_moved,
+      |  round(CAST(SUM(CASE WHEN a8.s8 <> a9.s9 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS moved_frac
+      |FROM a8 JOIN a9 USING (doc_id)
+      |GROUP BY a8.s8 ORDER BY old_shard""".stripMargin
 }

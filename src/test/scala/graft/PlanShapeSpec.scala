@@ -439,7 +439,10 @@ class PlanShapeSpec extends SparkSpec {
       "q165_jaro_winkler",
       // q170: 1-row max-day bound broadcast onto the fan-out (the q113
       // max-ts shape)
-      "q170_sliding_active")
+      "q170_sliding_active",
+      // q174: 1-row corpus-count broadcast for the integer support
+      // compares (the q78/q81 totals shape)
+      "q174_frequent_pairs")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
