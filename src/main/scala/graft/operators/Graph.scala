@@ -269,4 +269,36 @@ object Graph {
     }
     pr.select(col("node"), col("deg"), col("pr").as("pr_scaled"))
   }
+
+  /**
+   * Two-hop neighborhood counts (friend-of-friend): for each node, how
+   * many DISTINCT nodes are reachable in exactly two hops but not one —
+   * the near-duplicate "cluster fringe" signal (a doc whose neighbors
+   * have many further neighbors sits inside a boilerplate family even
+   * if its own degree is low), and the candidate generator for
+   * recommend-style "related documents".
+   *
+   * Candidate volume is Σ deg² over the middle nodes — the standard
+   * two-hop bound; on skewed graphs cap degrees first ([[degreeCap]]
+   * via q99) exactly as documented there. All joins are key-partitioned
+   * equi-joins (edge lists symmetrized once); the "not one hop" subtraction
+   * is a left-anti join on the same edge partitioning; everything is
+   * int64 counts.
+   */
+  def twoHopCounts(pairs: DataFrame, srcCol: String,
+                   dstCol: String): DataFrame = {
+    val e = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(pairs.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+    val hop2 = e.select(col("a"), col("b").as("graft_mid"))
+      .join(e.select(col("a").as("graft_mid"), col("b").as("c")),
+        "graft_mid")
+      .filter(col("a") =!= col("c"))
+      .select(col("a"), col("c")).distinct()
+    hop2.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"),
+        "left_anti")
+      .groupBy(col("a"))
+      .agg(count(lit(1)).as("n_two_hop"))
+      .select(col("a").as("doc_id"), col("n_two_hop"))
+  }
 }

@@ -255,4 +255,86 @@ object Timeline {
       .select(col(entityCol), col("graft_np").as("n_pairs"),
         round(col("graft_slope"), 6).as("slope_per_bucket"))
   }
+
+  /** Per-(entity, bucket) closing value: the LAST observation in the
+    * bucket by the total (ts, id) order — the shared first stage of the
+    * return-based statistics below. */
+  private def bucketCloses(events: DataFrame, entityCol: String,
+                           idCol: String, tsCol: String, valueCol: String,
+                           bucketUs: Long): DataFrame = {
+    val bucket = call_function("div", unix_micros(col(tsCol)), lit(bucketUs))
+    val w = Window.partitionBy(col(entityCol), col("graft_bucket"))
+      .orderBy(unix_micros(col(tsCol)).desc, col(idCol).desc)
+    events
+      .withColumn("graft_bucket", bucket)
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .select(col(entityCol), col("graft_bucket"),
+        col(valueCol).cast(DoubleType).as("graft_close"))
+  }
+
+  /**
+   * Realized volatility per entity: the population standard deviation of
+   * log returns between consecutive observed bucket closes — the risk
+   * metric of the reference's crypto domain, next to [[twap]]'s level
+   * average. Returns are ln(close_t / close_{t−1}) over OBSERVED buckets
+   * (no gap filling — a missing day contributes one longer-horizon
+   * return, the standard convention for irregular series).
+   *
+   * Determinism: the ln of an identical IEEE ratio is the proven
+   * Spark-log ↔ DuckDB-ln idiom; each return and its square round to
+   * 6 dp and accumulate as decimals (order-free); the variance clamp at
+   * zero keeps both engines off NaN on constant series. Shape: one
+   * (entity, bucket) window for closes, one lag window, one hash-agg —
+   * all on one entity partitioning.
+   */
+  def volatility(events: DataFrame, entityCol: String, idCol: String,
+                 tsCol: String, valueCol: String,
+                 bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive: $bucketUs")
+    val closes = bucketCloses(events, entityCol, idCol, tsCol, valueCol,
+      bucketUs)
+    val wLag = Window.partitionBy(col(entityCol)).orderBy(col("graft_bucket"))
+    val r = col("graft_r")
+    val returns = closes
+      .withColumn("graft_prev", lag(col("graft_close"), 1).over(wLag))
+      .filter(col("graft_prev").isNotNull)
+      .withColumn("graft_r", log(col("graft_close") / col("graft_prev")))
+    val mean = col("graft_s1").cast(DoubleType) / col("n_returns")
+    val variance = greatest(
+      col("graft_s2").cast(DoubleType) / col("n_returns") - mean * mean,
+      lit(0.0))
+    returns.groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_returns"),
+        sum(round(r, 6).cast(DecimalType(18, 6))).as("graft_s1"),
+        sum(round(r * r, 6).cast(DecimalType(28, 6))).as("graft_s2"))
+      .select(col(entityCol), col("n_returns"),
+        round(mean, 6).as("mean_return"),
+        round(sqrt(variance), 6).as("volatility"))
+  }
+
+  /**
+   * Maximum drawdown per entity: the worst peak-to-trough loss fraction
+   * 1 − close/runmax over the bucket-close series — the other half of
+   * the risk picture ([[volatility]] measures wiggle, drawdown measures
+   * pain). One running-max window over the closes; drawdowns are
+   * identical IEEE ratios in both engines, rounded at the output.
+   */
+  def maxDrawdown(events: DataFrame, entityCol: String, idCol: String,
+                  tsCol: String, valueCol: String,
+                  bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive: $bucketUs")
+    val closes = bucketCloses(events, entityCol, idCol, tsCol, valueCol,
+      bucketUs)
+    val wRun = Window.partitionBy(col(entityCol)).orderBy(col("graft_bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    closes
+      .withColumn("graft_peak", max(col("graft_close")).over(wRun))
+      .withColumn("graft_dd",
+        lit(1.0) - col("graft_close") / col("graft_peak"))
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_buckets"),
+        round(max(col("graft_dd")), 6).as("max_drawdown"),
+        round(max(col("graft_close")), 6).as("peak_close"))
+  }
 }

@@ -464,4 +464,41 @@ object GraphEvalQueries {
       |  END AS kappa
       |FROM tot t LEFT JOIN pe ON t.source = pe.source
       |ORDER BY t.source""".stripMargin
+
+  // ── q175: two-hop neighborhoods ────────────────────────────────────────
+
+  /** q175: friend-of-friend counts over the sorted-neighborhood CHAIN
+    * graph (window 2, Levenshtein ≤ 220 — a union of path segments,
+    * where strict two-hop neighborhoods are non-trivial; the LSH dedup
+    * graph is all cliques, where they are empty by construction);
+    * Σdeg² candidate volume, all equi-joins on the symmetrized edges. */
+  def q175TwoHop(s: SparkSession, dir: String): DataFrame =
+    Graph.twoHopCounts(
+        TextDedup.sortedNeighborhoodPairs(Sources.documents(s, dir),
+          "doc_id", "text", window = 2, maxDist = 220),
+        "d1", "d2")
+      .orderBy(col("doc_id"))
+
+  val q175Sql: String =
+    """WITH k AS (SELECT doc_id, text,
+      |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24)
+      |      AS key
+      |  FROM documents),
+      |r AS (SELECT doc_id, text,
+      |        row_number() OVER (ORDER BY key, doc_id) AS rn
+      |      FROM k),
+      |p AS (SELECT LEAST(a.doc_id, b.doc_id) AS d1,
+      |        GREATEST(a.doc_id, b.doc_id) AS d2
+      |      FROM r a JOIN r b ON b.rn = a.rn + 1
+      |      WHERE levenshtein(a.text, b.text) <= 220),
+      |e AS (SELECT d1 AS a, d2 AS b FROM p
+      |      UNION SELECT d2 AS a, d1 AS b FROM p),
+      |h2 AS (SELECT DISTINCT e1.a AS a, e2.b AS c
+      |       FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |       WHERE e1.a <> e2.b),
+      |fof AS (SELECT h.a, h.c FROM h2 h
+      |        LEFT JOIN e ON h.a = e.a AND h.c = e.b
+      |        WHERE e.a IS NULL)
+      |SELECT a AS doc_id, count(*) AS n_two_hop
+      |FROM fof GROUP BY a ORDER BY doc_id""".stripMargin
 }

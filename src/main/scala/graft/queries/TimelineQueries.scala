@@ -217,4 +217,63 @@ object TimelineQueries {
       |SELECT user_id, CAST(np AS BIGINT) AS n_pairs,
       |  round(slope, 6) AS slope_per_bucket
       |FROM r WHERE rn = (np + 1) // 2 ORDER BY user_id""".stripMargin
+
+  // ── q176: realized volatility ──────────────────────────────────────────
+
+  /** q176: per-user realized volatility — population std of log returns
+    * between consecutive daily closes; decimal moment sums over
+    * 6-dp-rounded returns. */
+  def q176Volatility(s: SparkSession, dir: String): DataFrame =
+    Timeline.volatility(Sources.events(s, dir), "user_id", "event_id",
+        "ts", "value", bucketUs = 86400000000L)
+      .orderBy(col("user_id"))
+
+  val q176Sql: String =
+    """WITH e AS (SELECT user_id, event_id, value,
+      |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS tus FROM events),
+      |c AS (SELECT user_id, tus // 86400000000 AS bucket, value AS close
+      |      FROM e
+      |      QUALIFY row_number() OVER (PARTITION BY user_id,
+      |        tus // 86400000000 ORDER BY tus DESC, event_id DESC) = 1),
+      |p AS (SELECT user_id, close,
+      |        lag(close) OVER (PARTITION BY user_id ORDER BY bucket)
+      |          AS prev
+      |      FROM c),
+      |r AS (SELECT user_id, ln(close / prev) AS r FROM p
+      |      WHERE prev IS NOT NULL),
+      |s AS (SELECT user_id, count(*) AS n_returns,
+      |        SUM(CAST(round(r, 6) AS DECIMAL(18,6))) AS s1,
+      |        SUM(CAST(round(r * r, 6) AS DECIMAL(28,6))) AS s2
+      |      FROM r GROUP BY user_id)
+      |SELECT user_id, n_returns,
+      |  round(CAST(s1 AS DOUBLE) / n_returns, 6) AS mean_return,
+      |  round(sqrt(GREATEST(CAST(s2 AS DOUBLE) / n_returns
+      |    - (CAST(s1 AS DOUBLE) / n_returns)
+      |      * (CAST(s1 AS DOUBLE) / n_returns), 0.0)), 6) AS volatility
+      |FROM s ORDER BY user_id""".stripMargin
+
+  // ── q177: maximum drawdown ─────────────────────────────────────────────
+
+  /** q177: per-user worst peak-to-trough loss over daily closes — one
+    * running-max window; the pain metric next to q176's wiggle. */
+  def q177Drawdown(s: SparkSession, dir: String): DataFrame =
+    Timeline.maxDrawdown(Sources.events(s, dir), "user_id", "event_id",
+        "ts", "value", bucketUs = 86400000000L)
+      .orderBy(col("user_id"))
+
+  val q177Sql: String =
+    """WITH e AS (SELECT user_id, event_id, value,
+      |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS tus FROM events),
+      |c AS (SELECT user_id, tus // 86400000000 AS bucket, value AS close
+      |      FROM e
+      |      QUALIFY row_number() OVER (PARTITION BY user_id,
+      |        tus // 86400000000 ORDER BY tus DESC, event_id DESC) = 1),
+      |d AS (SELECT user_id, close,
+      |        max(close) OVER (PARTITION BY user_id ORDER BY bucket
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |      FROM c)
+      |SELECT user_id, count(*) AS n_buckets,
+      |  round(max(1.0 - close / peak), 6) AS max_drawdown,
+      |  round(max(close), 6) AS peak_close
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -154,6 +154,59 @@ object Streaming {
       }
   }
 
+  final case class WrDoc(doc_id: Long, stratum: String, weight: Double)
+  final case class WrState(keys: Seq[Double], ids: Seq[Long])
+  final case class WrSnapshot(stratum: String, doc_ids: Seq[Long])
+
+  /** The Efraimidis–Spirakis key of [[graft.operators.Sampling
+    * .weightedTopKPerStratum]], computed JVM-side: ln(u)/w with
+    * u = (first-48-md5-bits + 1)/2^48 of "salt_key" — bit-identical to
+    * the SQL expression (same md5 bytes, same dyadic u, same ln). */
+  def aesKey(salt: String, key: Long, weight: Double): Double = {
+    require(weight > 0, s"aesKey requires positive weight: $weight")
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${salt}_$key".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 6) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    math.log((h + 1).toDouble / 281474976710656.0) / weight
+  }
+
+  /**
+   * Streaming weighted reservoir: the continuous form of
+   * `Sampling.weightedTopKPerStratum` — per stratum, keep the k docs
+   * with the highest A-ES keys seen SO FAR, emitting the current
+   * reservoir snapshot every micro-batch. Because the A-ES top-k is a
+   * commutative idempotent monoid (max-k over a fixed per-doc key),
+   * the final snapshot equals the batch operator's selection under ANY
+   * arrival order — stronger than the rate limiter's in-order-only
+   * parity, and asserted in StreamingSpec. State is exactly k
+   * (key, id) pairs per stratum — O(k), watermark-free by design.
+   */
+  def weightedReservoirStream(docs: Dataset[WrDoc], salt: String,
+                              k: Int): Dataset[WrSnapshot] = {
+    require(k >= 1, s"k must be >= 1: $k")
+    implicit val outEnc = Encoders.product[WrSnapshot]
+    implicit val stateEnc = Encoders.product[WrState]
+    docs.groupByKey(_.stratum)(Encoders.STRING)
+      .mapGroupsWithState[WrState, WrSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        case (stratum, rows, state: GroupState[WrState]) =>
+          val prev = state.getOption.getOrElse(WrState(Nil, Nil))
+          var entries = prev.keys.zip(prev.ids)
+          for (r <- rows) {
+            val e = (aesKey(salt, r.doc_id, r.weight), r.doc_id)
+            // dedup on id (replays must be idempotent), then top-k by
+            // (key desc, id asc) — the batch operator's exact order
+            if (!entries.exists(_._2 == e._2))
+              entries = ((e +: entries)
+                .sortBy { case (key, id) => (-key, id) }).take(k)
+          }
+          state.update(WrState(entries.map(_._1), entries.map(_._2)))
+          WrSnapshot(stratum, entries.map(_._2).sorted)
+      }
+  }
+
   final case class SessionState(nEvents: Long, lastTs: Long)
   final case class UserSession(user_id: Long, n_events: Long,
                                last_seen_ms: Long, expired: Boolean)

@@ -442,7 +442,10 @@ class PlanShapeSpec extends SparkSpec {
       "q170_sliding_active",
       // q174: 1-row corpus-count broadcast for the integer support
       // compares (the q78/q81 totals shape)
-      "q174_frequent_pairs")
+      "q174_frequent_pairs",
+      // q175: n_partitions-row offsets `<` join from the GlobalRank
+      // ranking inside sortedNeighborhoodPairs (same as q143/q165)
+      "q175_two_hop")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

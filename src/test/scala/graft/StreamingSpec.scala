@@ -356,4 +356,44 @@ class StreamingSpec extends SparkSpec {
     assert(out(2L).n_events === 1)
     assert(!out(1L).expired)
   }
+
+  test("streaming weighted reservoir converges to the batch A-ES sample " +
+      "under arbitrary arrival order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.Streaming.{WrDoc, WrSnapshot}
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Sources.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val expected = graft.operators.Sampling.weightedTopKPerStratum(
+        docs, "doc_id", "n_chars", "lang", salt = "aes", k = 10)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // split on doc_id PARITY — an order totally unlike event time; the
+    // A-ES top-k is order-insensitive so the final snapshots must still
+    // match the batch selection exactly
+    val dir = tmpDir("wr-stream")
+    val typed = docs.select(col("doc_id"),
+      col("lang").as("stratum"), col("n_chars").cast("double").as("weight"))
+    typed.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$dir/a")
+    typed.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$dir/b")
+    val last = scala.collection.mutable.Map[String, Seq[Long]]()
+    val q = spark.readStream.schema(typed.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .as[WrDoc]
+      .transform(Streaming.weightedReservoirStream(_, salt = "aes", k = 10))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[WrSnapshot], _: Long) =>
+          batch.collect().foreach(s => last(s.stratum) = s.doc_ids)
+          ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(last.toMap == expected,
+      s"stream ${last.size} strata vs batch ${expected.size}")
+  }
 }
