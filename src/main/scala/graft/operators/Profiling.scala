@@ -187,4 +187,37 @@ object Profiling {
         max(col(rhsCol)).as("rhs_max"))
       .filter(col("n_distinct_rhs") > 1)
   }
+
+  /**
+   * Gini concentration per stratum over an integer-valued column: 0 =
+   * perfectly even, → 1 = one row holds everything — the inequality
+   * audit for "is one source/day/producer dominating the corpus", the
+   * scalar complement of [[Selection]]'s Pareto views.
+   *
+   * Uses the rank form Σ(2i − n − 1)·x_i / (n·Σx) over the ascending
+   * (x, id) order, decomposed as 2·Σ(i·x) − (n+1)·Σx so the aggregate
+   * needs no second pass for n — both sums are int64-exact for integer
+   * x (i·x ≤ rows·max(x): bound documented, far under 2^63 here), and
+   * the single closing division is one double ratio rounded to 6 dp.
+   * Shape: one stratum rank window + one map-side-combinable agg.
+   */
+  def giniConcentration(df: DataFrame, valueCol: String, idCol: String,
+                        strataCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("graft_x"), col(idCol))
+    val n = col("n")
+    val sx = col("graft_sx")
+    val six = col("graft_six")
+    df.select(col(strataCol), col(idCol),
+        col(valueCol).cast(LongType).as("graft_x"))
+      .withColumn("graft_i", row_number().over(w))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("graft_x")).cast(LongType).as("graft_sx"),
+        sum(col("graft_i") * col("graft_x")).cast(LongType).as("graft_six"))
+      .select(col(strataCol), n, sx.as("total"),
+        when(sx > 0, round(
+          (lit(2L) * six - (n + 1) * sx).cast(DoubleType) /
+            (n * sx).cast(DoubleType), 6)).as("gini"))
+  }
 }

@@ -446,6 +446,43 @@ object Relevance {
    * k-filter before any arithmetic, and one map-side-combinable agg —
    * the log/pow terms run on ≤ k rows per group, not the corpus.
    */
+  /**
+   * Average precision per group — the area under the precision-recall
+   * curve for a binary-relevance ranking: AP = (Σ_{k rel} P@k)/n_pos
+   * over the (scoreCol desc, tieCol asc) order. The PR-side companion
+   * of [[ndcgAtK]] (graded, log-discounted) and `Standardize.groupAuc`
+   * (ROC): AP is the one that ignores the easy negatives, which is why
+   * retrieval evals report it (MAP is its mean over groups).
+   *
+   * Determinism: P@k = cumrel/k is an int/int double, each kept term
+   * rounds to 6 dp into a decimal sum, the final /n_pos rounds to 6 dp;
+   * the rank order is total. Shape: one rank window (row_number +
+   * running sum share it) and one map-side-combinable agg.
+   */
+  def averagePrecision(df: DataFrame, groupCol: String, scoreCol: String,
+                       tieCol: String, relCol: String): DataFrame = {
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(tieCol))
+    val wCum = wRank.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ranked = df
+      .select(col(groupCol), col(relCol).cast(LongType).as("graft_rel"),
+        col(scoreCol), col(tieCol))
+      .withColumn("graft_rn", row_number().over(wRank))
+      .withColumn("graft_cum", sum(col("graft_rel")).over(wCum))
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("graft_rel")).cast(LongType).as("n_pos"),
+        sum(when(col("graft_rel") === 1L,
+          round(col("graft_cum").cast(DoubleType) /
+            col("graft_rn").cast(DoubleType), 6).cast(DecimalType(18, 6))))
+          .as("graft_apsum"))
+      .select(col(groupCol), col("n_items"), col("n_pos"),
+        when(col("n_pos") > 0,
+          round(col("graft_apsum").cast(DoubleType) / col("n_pos"), 6))
+          .as("avg_precision"))
+  }
+
   def ndcgAtK(df: DataFrame, groupCol: String, scoreCol: String,
               tieCol: String, relCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")

@@ -244,4 +244,64 @@ object TextAnalysis {
         md5(col(textCol)).as("content_md5"),
         array_min(shingleHashes).as("min_shingle_hash"))
   }
+
+  /**
+   * Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+   * MOSS algorithm): hash every `w`-gram, then in each window of
+   * `winnow` consecutive gram hashes keep the (leftmost) minimum — the
+   * selection with the GUARANTEE the q27 rolling hash lacks: any shared
+   * substring of length ≥ w + winnow − 1 contributes at least one
+   * COMMON fingerprint, while density stays ~2/(winnow+1). The
+   * plagiarism / near-dup localization primitive at corpus scale.
+   *
+   * One narrow projection builds positional grams (array HOFs, no
+   * self-join), one doc-keyed window takes the per-window min via an
+   * int64 (hash·2048 + pos) encode — 40-bit md5-derived hashes keep the
+   * encode exact — and a distinct collapses repeated picks (the same
+   * minimum wins consecutive windows). Everything md5-deterministic,
+   * oracle-reproducible digit by digit.
+   */
+  def winnowedPicks(docs: DataFrame, idCol: String, textCol: String,
+                    w: Int, winnow: Int): DataFrame = {
+    require(w >= 1, s"w must be >= 1: $w")
+    require(winnow >= 1, s"winnow must be >= 1: $winnow")
+    val words = split(col(textCol), " ")
+    val nGrams = size(words) - (w - 1)
+    // Spark's sequence(0, n−1) runs BACKWARDS when n−1 < 0 — guard the
+    // too-short-doc case to an empty gram list (posexplode drops it)
+    val grams = when(nGrams >= 1,
+      transform(sequence(lit(0), nGrams - 1),
+        i => array_join(slice(words, i + 1, lit(w)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val positioned = docs
+      .select(col(idCol), posexplode(grams).as(Seq("graft_pos", "graft_g")))
+    val h40 = conv(substring(md5(col("graft_g")), 1, 10), 16, 10)
+      .cast(LongType)
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("graft_pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        winnow - 1)
+    val wCount = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    positioned
+      .withColumn("graft_enc", h40 * lit(2048L) + col("graft_pos"))
+      .withColumn("graft_min", min(col("graft_enc")).over(wWin))
+      .withColumn("graft_n", count(lit(1)).over(wCount))
+      // only full windows select (starts 0 .. nGrams−winnow)
+      .filter(col("graft_pos") <= col("graft_n") - winnow)
+      .select(col(idCol), col("graft_min").as("fp_enc"),
+        call_function("div", col("graft_min"), lit(2048L)).as("fp_hash"))
+      .distinct()
+  }
+
+  /** Per-doc fingerprint summary over [[winnowedPicks]] — the gate
+    * surface (count + int64 checksum of the selected encodes). Dedup
+    * pipelines join [[winnowedPicks]] on `fp_hash` directly. */
+  def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                           w: Int, winnow: Int): DataFrame =
+    winnowedPicks(docs, idCol, textCol, w, winnow)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        sum(col("fp_enc")).cast(LongType).as("fp_sum"),
+        min(col("fp_enc")).as("fp_min"))
 }

@@ -1117,4 +1117,62 @@ object DiagnosticsQueries {
       |CROSS JOIN nd
       |WHERE p.n_both * 2 >= nd.n * 1
       |ORDER BY p.w1, p.w2""".stripMargin
+
+  // ── q178: winnowing fingerprints ───────────────────────────────────────
+
+  /** q178: MOSS winnowing over word 3-grams, window 4 — per doc: how
+    * many fingerprints the guarantee-bearing selection keeps (any shared
+    * run of ≥ 6 words leaves a common fingerprint); one positional
+    * window min + distinct, md5-deterministic. */
+  def q178Winnowing(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowedFingerprints(Sources.documents(s, dir), "doc_id",
+        "text", w = 3, winnow = 4)
+      .orderBy(col("doc_id"))
+
+  val q178Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(list_transform(range(0, len(ws) - 2), i ->
+      |          {'pos': i, 'g': array_to_string(ws[i+1:i+3], ' ')})) AS s
+      |      FROM t),
+      |p AS (SELECT doc_id, s.pos AS pos,
+      |        CAST(list_sum(list_transform(range(1, 11), j ->
+      |          (strpos('0123456789abcdef', substr(md5(s.g), j, 1)) - 1)
+      |          * pow(16, 10 - j))) AS BIGINT) * 2048 + s.pos AS enc
+      |      FROM g),
+      |m AS (SELECT doc_id, pos,
+      |        min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+      |        count(*) OVER (PARTITION BY doc_id) AS n
+      |      FROM p),
+      |d AS (SELECT DISTINCT doc_id, mn FROM m WHERE pos <= n - 4)
+      |SELECT doc_id, count(*) AS n_fingerprints,
+      |  CAST(SUM(mn) AS BIGINT) AS fp_sum, min(mn) AS fp_min
+      |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ── q180: Gini concentration ───────────────────────────────────────────
+
+  /** q180: per-source Gini coefficient over doc lengths — "is one
+    * producer dominating the bytes"; int64 rank-weighted sums, one
+    * closing ratio. */
+  def q180Gini(s: SparkSession, dir: String): DataFrame =
+    Profiling.giniConcentration(Sources.documents(s, dir), "n_chars",
+        "doc_id", "source")
+      .orderBy(col("source"))
+
+  val q180Sql: String =
+    """WITH r AS (SELECT source, n_chars AS x,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS i
+      |  FROM documents),
+      |a AS (SELECT source, count(*) AS n,
+      |        CAST(SUM(x) AS BIGINT) AS sx,
+      |        CAST(SUM(i * x) AS BIGINT) AS six
+      |      FROM r GROUP BY source)
+      |SELECT source, n, sx AS total,
+      |  CASE WHEN sx > 0 THEN round(
+      |    CAST(2 * six - (n + 1) * sx AS DOUBLE)
+      |      / CAST(n * sx AS DOUBLE), 6) END AS gini
+      |FROM a ORDER BY source""".stripMargin
 }

@@ -501,4 +501,43 @@ object GraphEvalQueries {
       |        WHERE e.a IS NULL)
       |SELECT a AS doc_id, count(*) AS n_two_hop
       |FROM fof GROUP BY a ORDER BY doc_id""".stripMargin
+
+  // ── q179: average precision ────────────────────────────────────────────
+
+  /** q179: per-lang average precision of the length ranking against
+    * binary contains-'the' relevance — the PR-curve eval next to q148's
+    * ROC AUC and q163's NDCG; one rank window, decimal P@k term sums. */
+  def q179AvgPrecision(s: SparkSession, dir: String): DataFrame = {
+    val d = Sources.documents(s, dir).select(col("lang"), col("doc_id"),
+      col("n_chars"),
+      when(size(filter(split(col("text"), " "),
+        w => w === "the")) >= 1, 1L).otherwise(0L).as("rel"))
+    Relevance.averagePrecision(d, "lang", "n_chars", "doc_id", "rel")
+      .orderBy(col("lang"))
+  }
+
+  val q179Sql: String =
+    """WITH d AS (SELECT lang, doc_id, n_chars,
+      |    CASE WHEN len(list_filter(string_split(text, ' '),
+      |      x -> x = 'the')) >= 1 THEN 1 ELSE 0 END AS rel
+      |  FROM documents),
+      |r AS (SELECT lang, rel,
+      |        row_number() OVER w AS rn,
+      |        CAST(SUM(rel) OVER (PARTITION BY lang
+      |          ORDER BY n_chars DESC, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS BIGINT) AS cum
+      |      FROM d
+      |      WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id)),
+      |a AS (SELECT lang, count(*) AS n_items,
+      |        CAST(SUM(rel) AS BIGINT) AS n_pos,
+      |        SUM(CASE WHEN rel = 1 THEN
+      |          CAST(round(CAST(cum AS DOUBLE) / CAST(rn AS DOUBLE), 6)
+      |            AS DECIMAL(18,6)) END) AS apsum
+      |      FROM r GROUP BY lang)
+      |SELECT lang, n_items, n_pos,
+      |  CASE WHEN n_pos > 0
+      |    THEN round(CAST(apsum AS DOUBLE) / n_pos, 6) END
+      |    AS avg_precision
+      |FROM a ORDER BY lang""".stripMargin
 }
