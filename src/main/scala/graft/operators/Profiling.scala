@@ -201,6 +201,90 @@ object Profiling {
    * the single closing division is one double ratio rounded to 6 dp.
    * Shape: one stratum rank window + one map-side-combinable agg.
    */
+  /** Poisson(1) inverse-CDF thresholds for the bootstrap's multinomial
+    * approximation — cumulative P(X ≤ k), k = 0..5; draws past the last
+    * threshold clamp to weight 6. The literals are written identically
+    * in the oracle SQL. */
+  val poissonCdf1: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+  /**
+   * Deterministic bootstrap confidence interval for the per-stratum mean
+   * of an INTEGER column (Efron 1979, Poissonized resampling): replica
+   * `b` re-weights each row by a Poisson(1) draw — the standard
+   * approximation to multinomial resampling that needs NO global
+   * coordination, which is what makes the bootstrap distributable —
+   * and the CI is an exact rank selection over the `nReplicas` replica
+   * means (2nd smallest / 2nd largest: a ~95% percentile interval at
+   * 40 replicas).
+   *
+   * Determinism: draws come from salted md5 (u dyadic, thresholds
+   * literal doubles, identical in the oracle); w·x products and their
+   * sums stay int64 (integer contract like [[giniConcentration]]);
+   * replica means are int/int double divisions; the rank selection
+   * orders by (mean, replica) — total. Shape: a ×nReplicas narrow
+   * fan-out, one (stratum, replica) agg, one metadata-scale window over
+   * nReplicas rows per stratum.
+   */
+  def bootstrapMeanCI(df: DataFrame, valueCol: String, idCol: String,
+                      strataCol: String, salt: String,
+                      nReplicas: Int = 40): DataFrame = {
+    require(nReplicas >= 4, s"nReplicas must be >= 4: $nReplicas")
+    val u = (conv(substring(md5(concat_ws("_",
+      concat(lit(salt), col("graft_b")), col(idCol))), 1, 12), 16, 10)
+      .cast(LongType) + 1L).cast(DoubleType) / lit(281474976710656.0)
+    val w = poissonCdf1.zipWithIndex.foldRight(lit(6L): Column) {
+      case ((t, k), acc) => when(u < t, k.toLong).otherwise(acc)
+    }
+    val replicas = df
+      .select(col(strataCol), col(idCol),
+        col(valueCol).cast(LongType).as("graft_x"))
+      .withColumn("graft_b",
+        explode(sequence(lit(0), lit(nReplicas - 1))))
+      .withColumn("graft_w", w)
+      .groupBy(col(strataCol), col("graft_b"))
+      .agg(sum(col("graft_w") * col("graft_x")).cast(LongType).as("graft_swx"),
+        sum(col("graft_w")).cast(LongType).as("graft_sw"))
+      .withColumn("graft_mean",
+        col("graft_swx").cast(DoubleType) / col("graft_sw"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("graft_mean"), col("graft_b"))
+    val point = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(LongType)).cast(LongType).as("graft_sx"))
+    replicas
+      .withColumn("graft_rn", row_number().over(wRank))
+      .groupBy(col(strataCol))
+      .agg(min(when(col("graft_rn") === 2, col("graft_mean"))).as("graft_lo"),
+        min(when(col("graft_rn") === nReplicas - 1, col("graft_mean")))
+          .as("graft_hi"))
+      .join(point, Seq(strataCol))
+      .select(col(strataCol), col("n"),
+        round(col("graft_sx").cast(DoubleType) / col("n"), 6).as("mean"),
+        round(col("graft_lo"), 6).as("ci_lo"),
+        round(col("graft_hi"), 6).as("ci_hi"))
+  }
+
+  /**
+   * k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+   * al. 2007): equivalence classes of the quasi-identifier columns with
+   * FEWER than `k` members — the re-identification risk report a corpus
+   * release runs before publishing — each with its l-diversity (distinct
+   * sensitive values; a small class with l = 1 also leaks the sensitive
+   * attribute outright). One hash-agg over the QI key; int64 counts.
+   */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String, k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2: $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("l_diversity"))
+      .filter(col("n") < k)
+  }
+
   def giniConcentration(df: DataFrame, valueCol: String, idCol: String,
                         strataCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -1175,4 +1175,74 @@ object DiagnosticsQueries {
       |    CAST(2 * six - (n + 1) * sx AS DOUBLE)
       |      / CAST(n * sx AS DOUBLE), 6) END AS gini
       |FROM a ORDER BY source""".stripMargin
+
+  // ── q182: bootstrap confidence interval ────────────────────────────────
+
+  /** q182: deterministic Poissonized-bootstrap 95% CI for mean doc
+    * length per lang — 40 md5-seeded replicas, int64 weighted sums,
+    * exact rank selection of the 2nd/39th replica means. */
+  def q182BootstrapCI(s: SparkSession, dir: String): DataFrame =
+    Profiling.bootstrapMeanCI(Sources.documents(s, dir), "n_chars",
+        "doc_id", "lang", salt = "bs", nReplicas = 40)
+      .orderBy(col("lang"))
+
+  val q182Sql: String =
+    """WITH r AS (SELECT lang, doc_id, n_chars,
+      |    unnest(range(0, 40)) AS b FROM documents),
+      |u AS (SELECT lang, doc_id, n_chars, b,
+      |        (CAST(list_sum(list_transform(range(1, 13), j ->
+      |          (strpos('0123456789abcdef', substr(md5('bs'
+      |             || CAST(b AS VARCHAR) || '_'
+      |             || CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+      |          * pow(16, 12 - j))) AS BIGINT) + 1)
+      |          / 281474976710656.0 AS uu
+      |      FROM r),
+      |w AS (SELECT lang, b, n_chars,
+      |        CASE WHEN uu < 0.36787944117144233 THEN 0
+      |             WHEN uu < 0.7357588823428847 THEN 1
+      |             WHEN uu < 0.9196986029286058 THEN 2
+      |             WHEN uu < 0.9810118431238462 THEN 3
+      |             WHEN uu < 0.9963401531726563 THEN 4
+      |             WHEN uu < 0.9994058151824183 THEN 5
+      |             ELSE 6 END AS w
+      |      FROM u),
+      |m AS (SELECT lang, b, CAST(SUM(w * n_chars) AS BIGINT) AS swx,
+      |        CAST(SUM(w) AS BIGINT) AS sw
+      |      FROM w GROUP BY 1, 2),
+      |mm AS (SELECT lang, b, CAST(swx AS DOUBLE) / sw AS mean FROM m),
+      |rk AS (SELECT lang, mean,
+      |         row_number() OVER (PARTITION BY lang ORDER BY mean, b)
+      |           AS rn
+      |       FROM mm),
+      |ci AS (SELECT lang, min(CASE WHEN rn = 2 THEN mean END) AS lo,
+      |         min(CASE WHEN rn = 39 THEN mean END) AS hi
+      |       FROM rk GROUP BY lang),
+      |pt AS (SELECT lang, count(*) AS n,
+      |         CAST(SUM(n_chars) AS BIGINT) AS sx
+      |       FROM documents GROUP BY lang)
+      |SELECT pt.lang, pt.n, round(CAST(pt.sx AS DOUBLE) / pt.n, 6) AS mean,
+      |  round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi
+      |FROM pt JOIN ci ON pt.lang = ci.lang ORDER BY pt.lang""".stripMargin
+
+  // ── q183: k-anonymity audit ────────────────────────────────────────────
+
+  /** q183: equivalence classes of (lang, source, length-bucket) with
+    * fewer than 5 members and their l-diversity — the
+    * re-identification risk report before a corpus release. */
+  def q183KAnonymity(s: SparkSession, dir: String): DataFrame =
+    Profiling.kAnonymityAudit(
+        Sources.documents(s, dir).withColumn("len_bucket",
+          call_function("div", col("n_chars"), lit(100L)))
+          .withColumn("graft_sv",
+            element_at(split(col("text"), " "), 1)),
+        Seq("lang", "source", "len_bucket"), "graft_sv", k = 5L)
+      .orderBy(col("lang"), col("source"), col("len_bucket"))
+
+  val q183Sql: String =
+    """WITH q AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+      |    string_split(text, ' ')[1] AS sv FROM documents)
+      |SELECT lang, source, len_bucket, count(*) AS n,
+      |  count(DISTINCT sv) AS l_diversity
+      |FROM q GROUP BY 1, 2, 3 HAVING count(*) < 5
+      |ORDER BY 1, 2, 3""".stripMargin
 }

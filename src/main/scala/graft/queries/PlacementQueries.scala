@@ -209,4 +209,62 @@ object PlacementQueries {
       |    AS DOUBLE) / count(*), 6) AS moved_frac
       |FROM a8 JOIN a9 USING (doc_id)
       |GROUP BY a8.s8 ORDER BY old_shard""".stripMargin
+
+  // ── q181: Hilbert-curve layout ─────────────────────────────────────────
+
+  /** q181: the q84 clustering layout on the HILBERT curve — strictly
+    * better locality than Morton order (consecutive cells always
+    * grid-adjacent, no Z-jumps); per 1024-cell bucket: row count and
+    * both dimensions' ranges. The 8-level rotation fold is unrolled at
+    * plan time into one codegen'd projection; the oracle replays the
+    * levels as chained CTEs. */
+  def q181HilbertLayout(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+    Layout.withHilbertValue(ev, "user_id", "tus", bits = 8)
+      .withColumn("bucket", call_function("div", col("hv"), lit(1024L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
+        min(col("tus")).as("min_t"), max(col("tus")).as("max_t"))
+      .orderBy(col("bucket"))
+  }
+
+  // the level recurrence runs as a RECURSIVE CTE (per-level
+  // materialization): inlining 8 levels as nested expressions would
+  // nest x/y twice per level — exponential tree, same hazard the Spark
+  // side avoids with its aggregate() fold
+  val q181Sql: String =
+    """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS tus
+      |                     FROM events),
+      |s AS (SELECT MIN(user_id) AS amn, MAX(user_id) AS amx,
+      |             MIN(tus) AS bmn, MAX(tus) AS bmx FROM e),
+      |g0 AS (SELECT user_id, tus,
+      |        CASE WHEN s.amx = s.amn THEN 0
+      |          ELSE ((user_id - s.amn) * 255) // (s.amx - s.amn)
+      |        END AS x,
+      |        CASE WHEN s.bmx = s.bmn THEN 0
+      |          ELSE ((tus - s.bmn) * 255) // (s.bmx - s.bmn)
+      |        END AS y,
+      |        CAST(0 AS BIGINT) AS d
+      |      FROM e CROSS JOIN s),
+      |hil(user_id, tus, x, y, d, lvl) AS (
+      |  SELECT user_id, tus, x, y, d, 7 FROM g0
+      |  UNION ALL
+      |  SELECT user_id, tus,
+      |    CASE WHEN (y & (1 << lvl)) > 0 THEN x
+      |         WHEN (x & (1 << lvl)) > 0 THEN (1 << lvl) - 1 - y
+      |         ELSE y END,
+      |    CASE WHEN (y & (1 << lvl)) > 0 THEN y
+      |         WHEN (x & (1 << lvl)) > 0 THEN (1 << lvl) - 1 - x
+      |         ELSE x END,
+      |    d + (1 << lvl) * (1 << lvl) * xor(
+      |      3 * (CASE WHEN (x & (1 << lvl)) > 0 THEN 1 ELSE 0 END),
+      |      CASE WHEN (y & (1 << lvl)) > 0 THEN 1 ELSE 0 END),
+      |    lvl - 1
+      |  FROM hil WHERE lvl >= 0)
+      |SELECT d // 1024 AS bucket, count(*) AS n_events,
+      |  min(user_id) AS min_u, max(user_id) AS max_u,
+      |  min(tus) AS min_t, max(tus) AS max_t
+      |FROM hil WHERE lvl = -1 GROUP BY 1 ORDER BY bucket""".stripMargin
 }
