@@ -243,6 +243,39 @@ object Funnel {
   }
 
   /**
+   * Sequence-pattern counting (the portable core of SQL MATCH_RECOGNIZE):
+   * each entity's event-type sequence is rendered as an ordered string
+   * of type initials and scanned with a regular expression — "how many
+   * times did view → (views/clicks)* → purchase actually happen, per
+   * user" — the behavioral-motif query that window functions alone
+   * can't express for variable-length patterns.
+   *
+   * Ordering is deterministic WITHOUT a window: events collect as
+   * (ts, id, initial) structs and array_sort's lexicographic struct
+   * order is exactly the total (ts, id) order — one hash-agg, map-side
+   * combinable, no WindowExec. Per-entity sequence length is bounded by
+   * the entity's own events (cap upstream with [[rateLimit]] for
+   * adversarial producers). The regex scan is leftmost, non-overlapping
+   * in both engines.
+   */
+  def sequencePatternCounts(events: DataFrame, userCol: String,
+                            typeCol: String, tsCol: String, idCol: String,
+                            pattern: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    events
+      .select(col(userCol), struct(
+        unix_micros(col(tsCol)).as("t"), col(idCol).as("i"),
+        substring(col(typeCol), 1, 1).as("c")).as("graft_e"))
+      .groupBy(col(userCol))
+      .agg(array_join(transform(array_sort(collect_list(col("graft_e"))),
+        e => e.getField("c")), "").as("graft_seq"))
+      .select(col(userCol),
+        length(col("graft_seq")).cast(LongType).as("n_events"),
+        size(regexp_extract_all(col("graft_seq"), lit(pattern), lit(0)))
+          .cast(LongType).as("n_matches"))
+  }
+
+  /**
    * Per-user inter-event gap statistics and burstiness index
    * B = (σ−μ)/(σ+μ) over inter-arrival times (Goh & Barabási 2008):
    * B → −1 for metronome regularity, 0 for Poisson, → 1 for extreme

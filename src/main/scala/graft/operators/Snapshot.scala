@@ -86,6 +86,48 @@ object Snapshot {
    *
    * `base` columns: (strataCol, n_docs, w_sum).
    */
+  /**
+   * MERGE-style upsert/delete application: the Delta/Iceberg `MERGE
+   * INTO` observable semantics without a table format — `changes`
+   * carries an op column ('U' upserts the row, 'D' deletes the key) and
+   * the result is the post-merge snapshot. Keys present in `changes`
+   * take the change's version (or vanish); everything else carries
+   * over. One key-partitioned anti-join + a union — no full rewrite of
+   * untouched partitions at scale when the snapshot is partitioned on
+   * the key's buckets.
+   *
+   * `changes` must have at most one row per key (the usual MERGE
+   * precondition); enforce upstream with [[LatestSnapshot]] when the
+   * changelog has history.
+   */
+  def mergeApply(current: DataFrame, changes: DataFrame, keyCol: String,
+                 opCol: String): DataFrame = {
+    val kept = current.join(changes.select(col(keyCol)), Seq(keyCol),
+      "left_anti")
+    kept.unionByName(
+      changes.filter(col(opCol) === "U").drop(opCol))
+  }
+
+  /**
+   * Incremental JOIN maintenance (insert-only deltas): the view delta
+   * of A ⋈ B under ΔA, ΔB is ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, so the new
+   * view is old ∪ delta — no recompute of A_old⋈B_old, which is the
+   * whole point when the old sides are 100 TB and the deltas are a
+   * day's partition. The q186 gate PROVES the algebra: the oracle
+   * computes the full new join from scratch and the hashes must agree.
+   *
+   * All three delta terms join on the same key — one partitioning,
+   * and the Δ sides are small (broadcast when they fit).
+   */
+  def maintainJoin(aOld: DataFrame, deltaA: DataFrame, bOld: DataFrame,
+                   deltaB: DataFrame, keyCol: String): DataFrame = {
+    val oldView = aOld.join(bOld, keyCol)
+    val delta = deltaA.join(bOld, keyCol)
+      .unionByName(aOld.join(deltaB, keyCol))
+      .unionByName(deltaA.join(deltaB, keyCol))
+    oldView.unionByName(delta)
+  }
+
   def maintainAgg(base: DataFrame, a: DataFrame, b: DataFrame,
                   idCol: String, contentCol: String, strataCol: String,
                   weightCol: String): DataFrame = {

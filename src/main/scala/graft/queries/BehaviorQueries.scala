@@ -188,4 +188,27 @@ object BehaviorQueries {
       |SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
       |FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin
+
+  // ── q185: sequence-pattern matching ────────────────────────────────────
+
+  /** q185: per-user count of view→(view|click)*→purchase motifs — the
+    * MATCH_RECOGNIZE-style variable-length pattern scan over the
+    * type-initial sequence; one hash-agg (struct array_sort gives the
+    * total order, no window), regex scan per entity. */
+  def q185PatternMatch(s: SparkSession, dir: String): DataFrame =
+    Funnel.sequencePatternCounts(Sources.events(s, dir), "user_id",
+        "event_type", "ts", "event_id", pattern = "v[vc]*p")
+      .orderBy(col("user_id"))
+
+  val q185Sql: String =
+    """WITH e AS (SELECT user_id, substr(event_type, 1, 1) AS c,
+      |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS tus, event_id
+      |  FROM events),
+      |s AS (SELECT user_id,
+      |        string_agg(c, '' ORDER BY tus, event_id) AS seq
+      |      FROM e GROUP BY user_id)
+      |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+      |  CAST(len(regexp_extract_all(seq, 'v[vc]*p')) AS BIGINT)
+      |    AS n_matches
+      |FROM s ORDER BY user_id""".stripMargin
 }

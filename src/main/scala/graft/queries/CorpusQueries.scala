@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Chunking, Decontamination, MergeableStats, Packing, Relevance, Sampling, Similarity, VectorAggs}
+import graft.operators.{Chunking, Decontamination, MergeableStats, Packing, Relevance, Sampling, Similarity, Snapshot, VectorAggs}
 import graft.sources.Sources
 
 /** Round-5 corpus-assembly operators: benchmark decontamination, batch
@@ -535,4 +535,99 @@ object CorpusQueries {
       |SELECT vec_id, dim, round(nf, 6) AS l2_norm,
       |  round(CASE WHEN nf = 0 THEN 0.0 ELSE np / nf END, 6) AS cos_trunc
       |FROM n ORDER BY vec_id""".stripMargin
+
+  // ── q184: MERGE-style upsert/delete application ────────────────────────
+
+  /** q184: the Delta-style MERGE INTO observable semantics over the
+    * per-user latest-state snapshot — derived upserts, deletes, and
+    * brand-new keys applied via one key-partitioned anti-join + union. */
+  def q184MergeApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val e = Sources.events(s, dir).select(col("user_id"), col("value"),
+      unix_micros(col("ts")).as("graft_tus"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("graft_tus").desc, col("event_id").desc)
+    val cur = e.withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .select(col("user_id"), col("value"))
+    val uid = col("user_id")
+    val ch = cur.filter(uid % 3 === 0 || uid % 7 === 0)
+      .select(uid,
+        when(uid % 7 === 0, lit(null).cast(DoubleType))
+          .otherwise(col("value") + 1000.0).as("value"),
+        when(uid % 7 === 0, "D").otherwise("U").as("op"))
+      .unionByName(cur.filter(uid % 10 === 0)
+        .select((uid + 10000L).as("user_id"),
+          (col("value") + 5000.0).as("value"), lit("U").as("op")))
+    Snapshot.mergeApply(cur, ch, "user_id", "op")
+      .select(col("user_id"), round(col("value"), 6).as("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q184Sql: String =
+    """WITH e AS (SELECT user_id, value,
+      |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS tus, event_id
+      |  FROM events),
+      |cur AS (SELECT user_id, value FROM e
+      |        QUALIFY row_number() OVER (PARTITION BY user_id
+      |          ORDER BY tus DESC, event_id DESC) = 1),
+      |ch AS (SELECT user_id,
+      |         CASE WHEN user_id % 7 = 0 THEN NULL
+      |              ELSE value + 1000.0 END AS value,
+      |         CASE WHEN user_id % 7 = 0 THEN 'D' ELSE 'U' END AS op
+      |       FROM cur WHERE user_id % 3 = 0 OR user_id % 7 = 0
+      |       UNION ALL
+      |       SELECT user_id + 10000, value + 5000.0, 'U'
+      |       FROM cur WHERE user_id % 10 = 0),
+      |m AS (SELECT c.user_id, c.value FROM cur c
+      |      LEFT JOIN ch ON c.user_id = ch.user_id
+      |      WHERE ch.user_id IS NULL
+      |      UNION ALL
+      |      SELECT user_id, value FROM ch WHERE op = 'U')
+      |SELECT user_id, round(value, 6) AS value
+      |FROM m ORDER BY user_id""".stripMargin
+
+  // ── q186: incremental join maintenance ─────────────────────────────────
+
+  /** q186: the orders⋈customer view maintained incrementally under
+    * insert-only deltas on BOTH sides (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) — the
+    * oracle recomputes the FULL new join from scratch, so a green hash
+    * PROVES the maintenance algebra, not just the code. */
+  def q186JoinIvm(s: SparkSession, dir: String): DataFrame = {
+    val aOld = Sources.orders(s, dir).select(col("o_orderkey"),
+      col("o_custkey").as("custkey"), col("o_totalprice"))
+    val bOld = Sources.customer(s, dir).select(
+      col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val deltaA = aOld.filter(col("o_orderkey") % 5 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        when(col("o_orderkey") % 10 === 0, col("custkey") + 10000L)
+          .otherwise(col("custkey")).as("custkey"),
+        (col("o_totalprice") + 1.5).as("o_totalprice"))
+    val deltaB = bOld.filter(col("custkey") % 4 === 0)
+      .select((col("custkey") + 10000L).as("custkey"),
+        col("c_mktsegment"))
+    Snapshot.maintainJoin(aOld, deltaA, bOld, deltaB, "custkey")
+      .select(col("o_orderkey"), col("custkey"), col("c_mktsegment"),
+        round(col("o_totalprice"), 6).as("totalprice"))
+      .orderBy(col("o_orderkey"), col("custkey"))
+  }
+
+  val q186Sql: String =
+    """WITH a0 AS (SELECT o_orderkey, o_custkey AS custkey, o_totalprice
+      |            FROM orders),
+      |b0 AS (SELECT c_custkey AS custkey, c_mktsegment FROM customer),
+      |da AS (SELECT o_orderkey + 10000000 AS o_orderkey,
+      |         CASE WHEN o_orderkey % 10 = 0 THEN custkey + 10000
+      |              ELSE custkey END AS custkey,
+      |         o_totalprice + 1.5 AS o_totalprice
+      |       FROM a0 WHERE o_orderkey % 5 = 0),
+      |db AS (SELECT custkey + 10000 AS custkey, c_mktsegment
+      |       FROM b0 WHERE custkey % 4 = 0),
+      |an AS (SELECT * FROM a0 UNION ALL SELECT * FROM da),
+      |bn AS (SELECT * FROM b0 UNION ALL SELECT * FROM db)
+      |SELECT an.o_orderkey, an.custkey, bn.c_mktsegment,
+      |  round(an.o_totalprice, 6) AS totalprice
+      |FROM an JOIN bn ON an.custkey = bn.custkey
+      |ORDER BY an.o_orderkey, an.custkey""".stripMargin
 }
