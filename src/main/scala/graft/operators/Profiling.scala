@@ -268,6 +268,75 @@ object Profiling {
   }
 
   /**
+   * Benford first-digit audit per stratum (Newcomb 1881; Benford 1938):
+   * observed vs expected counts of the leading significant digit, with
+   * per-digit χ² contributions — the classic fabricated-numbers /
+   * broken-ingestion tripwire for positive, scale-spanning amounts.
+   *
+   * The digit comes from the value's integer CENT representation
+   * (round(100·v) → int64 → first character), sidestepping any
+   * float-formatting differences between engines; expected counts are
+   * n·log10(1+1/d) — the 9 log literals agree across engines and the
+   * 6-dp output rounding absorbs the last-ulp — and a digit spine
+   * (strata × 1..9) keeps zero-observation digits in the report, where
+   * they are the loudest signal. One hash-agg + metadata-scale joins.
+   */
+  def benfordAudit(df: DataFrame, valueCol: String,
+                   strataCol: String): DataFrame = {
+    val cents = round(col(valueCol).cast(DoubleType) * 100.0, 0)
+      .cast(LongType)
+    val obs = df
+      .select(col(strataCol),
+        substring(cents.cast(StringType), 1, 1).cast(LongType).as("digit"))
+      .groupBy(col(strataCol), col("digit"))
+      .agg(count(lit(1)).as("graft_o"))
+    val totals = obs.groupBy(col(strataCol))
+      .agg(sum(col("graft_o")).cast(LongType).as("n"))
+    val spine = totals
+      .withColumn("digit", explode(sequence(lit(1L), lit(9L))))
+    val e = col("n").cast(DoubleType) *
+      log10(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType))
+    spine.join(obs, Seq(strataCol, "digit"), "left")
+      .withColumn("n_obs", coalesce(col("graft_o"), lit(0L)))
+      .select(col(strataCol), col("digit"), col("n"), col("n_obs"),
+        round(e, 6).as("n_expected"),
+        round((col("n_obs").cast(DoubleType) - e) *
+          (col("n_obs").cast(DoubleType) - e) / e, 6).as("chi2_term"))
+  }
+
+  /**
+   * χ² test of homogeneity per stratum (Pearson 1900): does the
+   * stratum's CATEGORICAL distribution match the corpus-wide one —
+   * the categorical counterpart of `Standardize.ksDrift`'s numeric
+   * two-sample test, for "did src7 suddenly stop sending German".
+   * Expected cell counts are n_s·n_c/n; the statistic sums 6-dp-rounded
+   * per-cell terms as decimals (order-free); zero-observation cells
+   * enter via the category spine (they carry e, the evidence). All
+   * counts int64; joins are metadata-scale.
+   */
+  def chiSquareDrift(df: DataFrame, strataCol: String,
+                     catCol: String): DataFrame = {
+    val cells = df.groupBy(col(strataCol), col(catCol))
+      .agg(count(lit(1)).as("graft_o"))
+    val strata = cells.groupBy(col(strataCol))
+      .agg(sum(col("graft_o")).cast(LongType).as("graft_ns"))
+    val cats = cells.groupBy(col(catCol))
+      .agg(sum(col("graft_o")).cast(LongType).as("graft_nc"))
+    val total = cells.agg(sum(col("graft_o")).cast(LongType).as("graft_n"))
+    val e = col("graft_ns").cast(DoubleType) * col("graft_nc") /
+      col("graft_n")
+    val o = coalesce(col("graft_o"), lit(0L)).cast(DoubleType)
+    strata.join(broadcast(cats)).join(broadcast(total))
+      .join(cells, Seq(strataCol, catCol), "left")
+      .withColumn("graft_term",
+        round((o - e) * (o - e) / e, 6).cast(DecimalType(18, 6)))
+      .groupBy(col(strataCol))
+      .agg(max(col("graft_ns")).as("n"),
+        (count(lit(1)) - 1).cast(LongType).as("dof"),
+        round(sum(col("graft_term")).cast(DoubleType), 6).as("chi2"))
+  }
+
+  /**
    * k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
    * al. 2007): equivalence classes of the quasi-identifier columns with
    * FEWER than `k` members — the re-identification risk report a corpus

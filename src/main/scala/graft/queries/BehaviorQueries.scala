@@ -211,4 +211,52 @@ object BehaviorQueries {
       |  CAST(len(regexp_extract_all(seq, 'v[vc]*p')) AS BIGINT)
       |    AS n_matches
       |FROM s ORDER BY user_id""".stripMargin
+
+  // ── q189: conversion latency by cohort ─────────────────────────────────
+
+  /** q189: lower-median signup→purchase latency per signup-day cohort
+    * — the funnel's earliest-completion times fed through the exact
+    * row-selection median (no interpolation); int64 microseconds end
+    * to end. */
+  def q189ConversionLatency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = Funnel.earliestCompletion(Sources.events(s, dir), "user_id",
+      "event_type", "ts", Seq("signup", "purchase"))
+    val lat = f.select(col("user_id"),
+      to_date(col("t1")).as("cohort_day"),
+      (unix_micros(col("t2")) - unix_micros(col("t1"))).as("graft_lat"))
+    val w = Window.partitionBy(col("cohort_day"))
+      .orderBy(col("graft_lat"), col("user_id"))
+    lat
+      .withColumn("graft_rn", row_number().over(w))
+      .withColumn("graft_np",
+        count(lit(1)).over(Window.partitionBy(col("cohort_day"))))
+      .filter(col("graft_rn") ===
+        call_function("div", col("graft_np") + 1, lit(2L)))
+      .select(col("cohort_day"), col("graft_np").as("n_converted"),
+        call_function("div", col("graft_lat"), lit(1000000L))
+          .as("median_latency_s"))
+      .orderBy(col("cohort_day"))
+  }
+
+  val q189Sql: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+      |       GROUP BY 1),
+      |c AS (SELECT s1.user_id,
+      |        CAST(s1.t1 AS DATE) AS cohort_day,
+      |        (epoch_ns(s2.t2) - epoch_ns(s1.t1)) // 1000 AS lat
+      |      FROM s1 JOIN s2 ON s1.user_id = s2.user_id),
+      |r AS (SELECT cohort_day, user_id, lat,
+      |        row_number() OVER (PARTITION BY cohort_day
+      |          ORDER BY lat, user_id) AS rn,
+      |        count(*) OVER (PARTITION BY cohort_day) AS np
+      |      FROM c)
+      |SELECT cohort_day, CAST(np AS BIGINT) AS n_converted,
+      |  lat // 1000000 AS median_latency_s
+      |FROM r WHERE rn = (np + 1) // 2
+      |ORDER BY cohort_day""".stripMargin
 }

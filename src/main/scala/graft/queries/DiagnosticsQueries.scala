@@ -1245,4 +1245,62 @@ object DiagnosticsQueries {
       |  count(DISTINCT sv) AS l_diversity
       |FROM q GROUP BY 1, 2, 3 HAVING count(*) < 5
       |ORDER BY 1, 2, 3""".stripMargin
+
+  // ── q187: Benford first-digit audit ────────────────────────────────────
+
+  /** q187: per-event-type Benford audit of `value` — observed vs
+    * expected leading-digit counts and per-digit χ² contributions;
+    * digits come from the integer cent representation (no float
+    * formatting), zero-observation digits ride the spine. */
+  def q187Benford(s: SparkSession, dir: String): DataFrame =
+    Profiling.benfordAudit(Sources.events(s, dir), "value", "event_type")
+      .orderBy(col("event_type"), col("digit"))
+
+  val q187Sql: String =
+    """WITH v AS (SELECT event_type,
+      |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents FROM events),
+      |o AS (SELECT event_type,
+      |        CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+      |          AS digit,
+      |        count(*) AS obs
+      |      FROM v GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS n
+      |      FROM o GROUP BY 1),
+      |sp AS (SELECT event_type, n, unnest(range(1, 10)) AS digit FROM t),
+      |j AS (SELECT sp.event_type, sp.digit, sp.n,
+      |        CAST(coalesce(o.obs, 0) AS BIGINT) AS n_obs,
+      |        CAST(sp.n AS DOUBLE) * log10(1.0 + 1.0 / sp.digit) AS e
+      |      FROM sp LEFT JOIN o ON sp.event_type = o.event_type
+      |        AND sp.digit = o.digit)
+      |SELECT event_type, digit, n, n_obs, round(e, 6) AS n_expected,
+      |  round((n_obs - e) * (n_obs - e) / e, 6) AS chi2_term
+      |FROM j ORDER BY event_type, digit""".stripMargin
+
+  // ── q188: χ² categorical drift ─────────────────────────────────────────
+
+  /** q188: per-source χ² homogeneity of the lang distribution against
+    * the corpus-wide one — the categorical sibling of q146's KS test;
+    * int64 counts, decimal term sums, zero cells on the spine. */
+  def q188Chi2Drift(s: SparkSession, dir: String): DataFrame =
+    Profiling.chiSquareDrift(Sources.documents(s, dir), "source", "lang")
+      .orderBy(col("source"))
+
+  val q188Sql: String =
+    """WITH c AS (SELECT source, lang, count(*) AS o
+      |           FROM documents GROUP BY 1, 2),
+      |s AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ns FROM c GROUP BY 1),
+      |l AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS nc FROM c GROUP BY 1),
+      |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+      |sp AS (SELECT s.source, s.ns, l.lang, l.nc, t.n
+      |       FROM s CROSS JOIN l CROSS JOIN t),
+      |j AS (SELECT sp.source, sp.ns,
+      |        CAST(sp.ns AS DOUBLE) * sp.nc / sp.n AS e,
+      |        CAST(coalesce(c.o, 0) AS DOUBLE) AS o
+      |      FROM sp LEFT JOIN c ON sp.source = c.source
+      |        AND sp.lang = c.lang)
+      |SELECT source, max(ns) AS n,
+      |  CAST(count(*) - 1 AS BIGINT) AS dof,
+      |  round(CAST(SUM(CAST(round((o - e) * (o - e) / e, 6)
+      |    AS DECIMAL(18,6))) AS DOUBLE), 6) AS chi2
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
 }

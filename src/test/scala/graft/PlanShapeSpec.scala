@@ -445,7 +445,10 @@ class PlanShapeSpec extends SparkSpec {
       "q174_frequent_pairs",
       // q175: n_partitions-row offsets `<` join from the GlobalRank
       // ranking inside sortedNeighborhoodPairs (same as q143/q165)
-      "q175_two_hop")
+      "q175_two_hop",
+      // q188: category-spine broadcasts (|cats|-row + 1-row total) onto
+      // the strata rows — metadata scale (the q111 targets shape)
+      "q188_chi2_drift")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
