@@ -247,9 +247,14 @@ object Histogram {
       round(segSum(col("graft_ps"), j, k).cast(DoubleType) /
         segSum(col("graft_ns"), j, k).cast(DoubleType), 6)
     val m = size(col("graft_rows"))
-    val iso = transform(sequence(lit(1), m), i =>
-      array_max(transform(sequence(lit(1), i), j =>
-        array_min(transform(sequence(i, m), k => wavg(j, k))))))
+    // guard the no-bins case: sequence(1, 0) runs BACKWARDS in Spark,
+    // which would fabricate a 2-element iso array and two null-padded
+    // rows out of the arrays_zip — empty in, empty out instead
+    val iso = when(m >= 1,
+      transform(sequence(lit(1), m), i =>
+        array_max(transform(sequence(lit(1), i), j =>
+          array_min(transform(sequence(i, m), k => wavg(j, k)))))))
+      .otherwise(array().cast("array<double>"))
     one
       .withColumn("graft_bk", fieldArr("b"))
       .withColumn("graft_ns", fieldArr("n"))

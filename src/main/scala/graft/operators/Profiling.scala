@@ -188,19 +188,6 @@ object Profiling {
       .filter(col("n_distinct_rhs") > 1)
   }
 
-  /**
-   * Gini concentration per stratum over an integer-valued column: 0 =
-   * perfectly even, → 1 = one row holds everything — the inequality
-   * audit for "is one source/day/producer dominating the corpus", the
-   * scalar complement of [[Selection]]'s Pareto views.
-   *
-   * Uses the rank form Σ(2i − n − 1)·x_i / (n·Σx) over the ascending
-   * (x, id) order, decomposed as 2·Σ(i·x) − (n+1)·Σx so the aggregate
-   * needs no second pass for n — both sums are int64-exact for integer
-   * x (i·x ≤ rows·max(x): bound documented, far under 2^63 here), and
-   * the single closing division is one double ratio rounded to 6 dp.
-   * Shape: one stratum rank window + one map-side-combinable agg.
-   */
   /** Poisson(1) inverse-CDF thresholds for the bootstrap's multinomial
     * approximation — cumulative P(X ≤ k), k = 0..5; draws past the last
     * threshold clamp to weight 6. The literals are written identically
@@ -246,6 +233,11 @@ object Profiling {
       .groupBy(col(strataCol), col("graft_b"))
       .agg(sum(col("graft_w") * col("graft_x")).cast(LongType).as("graft_swx"),
         sum(col("graft_w")).cast(LongType).as("graft_sw"))
+      // a replica can draw weight 0 for EVERY row of a tiny stratum
+      // (probability e^{−n}); its mean would be NULL, and NULL sorts
+      // FIRST in Spark's asc order but LAST in DuckDB's — drop such
+      // replicas on both sides so the rank selection stays aligned
+      .filter(col("graft_sw") > 0)
       .withColumn("graft_mean",
         col("graft_swx").cast(DoubleType) / col("graft_sw"))
     val wRank = org.apache.spark.sql.expressions.Window
@@ -283,11 +275,20 @@ object Profiling {
    */
   def benfordAudit(df: DataFrame, valueCol: String,
                    strataCol: String): DataFrame = {
-    val cents = round(col(valueCol).cast(DoubleType) * 100.0, 0)
+    // Benford's law is defined for nonzero magnitudes: take |v| and
+    // drop sub-cent/zero values BEFORE counting, so the digit-1..9
+    // spine and the per-stratum total n cover the SAME population
+    // (counting zeros into n but not the spine would bias every
+    // expected count upward; a negative cent string would crash the
+    // oracle's digit cast outright)
+    val cents = round(abs(col(valueCol).cast(DoubleType)) * 100.0, 0)
       .cast(LongType)
     val obs = df
+      .select(col(strataCol), cents.as("graft_cents"))
+      .filter(col("graft_cents") >= 1L)
       .select(col(strataCol),
-        substring(cents.cast(StringType), 1, 1).cast(LongType).as("digit"))
+        substring(col("graft_cents").cast(StringType), 1, 1)
+          .cast(LongType).as("digit"))
       .groupBy(col(strataCol), col("digit"))
       .agg(count(lit(1)).as("graft_o"))
     val totals = obs.groupBy(col(strataCol))
@@ -354,6 +355,19 @@ object Profiling {
       .filter(col("n") < k)
   }
 
+  /**
+   * Gini concentration per stratum over an integer-valued column: 0 =
+   * perfectly even, → 1 = one row holds everything — the inequality
+   * audit for "is one source/day/producer dominating the corpus", the
+   * scalar complement of [[Selection]]'s Pareto views.
+   *
+   * Uses the rank form Σ(2i − n − 1)·x_i / (n·Σx) over the ascending
+   * (x, id) order, decomposed as 2·Σ(i·x) − (n+1)·Σx so the aggregate
+   * needs no second pass for n — both sums are int64-exact for integer
+   * x (i·x ≤ rows·max(x): bound documented, far under 2^63 here), and
+   * the single closing division is one double ratio rounded to 6 dp.
+   * Shape: one stratum rank window + one map-side-combinable agg.
+   */
   def giniConcentration(df: DataFrame, valueCol: String, idCol: String,
                         strataCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -425,28 +425,6 @@ object Relevance {
   }
 
   /**
-   * NDCG@k per group (Järvelin & Kekäläinen 2002): the graded ranking
-   * metric — how close a scored ordering comes to the relevance-ideal
-   * ordering, with the log-position discount that makes the top of the
-   * list dominate. The eval layer for any retrieval/curation ranking
-   * this engine produces (BM25, cosine top-k, quality ordering).
-   *
-   * DCG = Σ_{pos≤k} (2^rel − 1)/ln(pos+1) over the (scoreCol desc,
-   * tieCol asc) order; IDCG re-ranks by (rel desc, tieCol asc). The
-   * discount is NATURAL log (the classic log2 scaled by the constant
-   * ln 2, which cancels in the NDCG ratio) because Spark `log` ↔
-   * DuckDB `ln` is the engine-agreement idiom every green query here
-   * uses. Groups with IDCG = 0 (no relevant items) yield NULL.
-   * Determinism: rel is integer, 2^rel exact, each term rounds to 6 dp
-   * and accumulates as DECIMAL(38,6) — order-independent — and the
-   * final ratio rounds to 6 dp; both rank orders are total via the tie
-   * column.
-   *
-   * Shape: two row_number windows sharing ONE group partitioning, a
-   * k-filter before any arithmetic, and one map-side-combinable agg —
-   * the log/pow terms run on ≤ k rows per group, not the corpus.
-   */
-  /**
    * Average precision per group — the area under the precision-recall
    * curve for a binary-relevance ranking: AP = (Σ_{k rel} P@k)/n_pos
    * over the (scoreCol desc, tieCol asc) order. The PR-side companion
@@ -483,6 +461,28 @@ object Relevance {
           .as("avg_precision"))
   }
 
+  /**
+   * NDCG@k per group (Järvelin & Kekäläinen 2002): the graded ranking
+   * metric — how close a scored ordering comes to the relevance-ideal
+   * ordering, with the log-position discount that makes the top of the
+   * list dominate. The eval layer for any retrieval/curation ranking
+   * this engine produces (BM25, cosine top-k, quality ordering).
+   *
+   * DCG = Σ_{pos≤k} (2^rel − 1)/ln(pos+1) over the (scoreCol desc,
+   * tieCol asc) order; IDCG re-ranks by (rel desc, tieCol asc). The
+   * discount is NATURAL log (the classic log2 scaled by the constant
+   * ln 2, which cancels in the NDCG ratio) because Spark `log` ↔
+   * DuckDB `ln` is the engine-agreement idiom every green query here
+   * uses. Groups with IDCG = 0 (no relevant items) yield NULL.
+   * Determinism: rel is integer, 2^rel exact, each term rounds to 6 dp
+   * and accumulates as DECIMAL(38,6) — order-independent — and the
+   * final ratio rounds to 6 dp; both rank orders are total via the tie
+   * column.
+   *
+   * Shape: two row_number windows sharing ONE group partitioning, a
+   * k-filter before any arithmetic, and one map-side-combinable agg —
+   * the log/pow terms run on ≤ k rows per group, not the corpus.
+   */
   def ndcgAtK(df: DataFrame, groupCol: String, scoreCol: String,
               tieCol: String, relCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")

@@ -320,14 +320,21 @@ object Similarity {
     val picked = scala.collection.mutable.ArrayBuffer(
       (0L, first.getLong(0), Option.empty[Double]))
     var cur = base.withColumn("graft_dm", distTo(centerVec))
-    for (i <- 1 until k) {
+    var exhausted = false
+    for (i <- 1 until k if !exhausted) {
       val row = cur.orderBy(col("graft_dm").desc, col("graft_id"))
         .limit(1).head()
-      picked += ((i.toLong, row.getLong(0), Some(row.getDouble(2))))
-      if (i < k - 1) {
-        centerVec = row.getSeq[Float](1)
-        cur = cur.withColumn("graft_dm",
-          least(col("graft_dm"), distTo(centerVec)))
+      // max remaining distance 0 ⇒ every unpicked point duplicates a
+      // selected one; stop rather than re-select an existing id (the
+      // oracle's `WHERE dm > 0` stage goes empty at the same moment)
+      if (row.getDouble(2) == 0.0) exhausted = true
+      else {
+        picked += ((i.toLong, row.getLong(0), Some(row.getDouble(2))))
+        if (i < k - 1) {
+          centerVec = row.getSeq[Float](1)
+          cur = cur.withColumn("graft_dm",
+            least(col("graft_dm"), distTo(centerVec)))
+        }
       }
     }
     picked.toSeq.toDF("sel_idx", "vec_id", "dmin")

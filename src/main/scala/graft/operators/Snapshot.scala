@@ -102,8 +102,17 @@ object Snapshot {
    */
   def mergeApply(current: DataFrame, changes: DataFrame, keyCol: String,
                  opCol: String): DataFrame = {
-    val kept = current.join(changes.select(col(keyCol)), Seq(keyCol),
-      "left_anti")
+    // an unrecognized op (a typo, a producer's 'I' dialect) must ERROR,
+    // not silently delete: the anti-join removes every changed key
+    // regardless of op, so only validated keys may enter it — the check
+    // rides the key column and cannot be pruned
+    val checkedKey = when(col(opCol).isin("U", "D"), col(keyCol))
+      .otherwise(raise_error(concat(
+        lit(s"mergeApply: op must be 'U' or 'D', got '"),
+        col(opCol), lit("' at key "),
+        col(keyCol).cast(org.apache.spark.sql.types.StringType))))
+    val kept = current.join(
+      changes.select(checkedKey.as(keyCol)), Seq(keyCol), "left_anti")
     kept.unionByName(
       changes.filter(col(opCol) === "U").drop(opCol))
   }

@@ -283,25 +283,35 @@ object TextAnalysis {
         winnow - 1)
     val wCount = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
+    // encode = hash·2^20 + pos: 40-bit hash + 20-bit position stays
+    // int64-exact up to 2^20 grams per doc; beyond that the position
+    // would bleed into the hash field and silently corrupt fp_hash, so
+    // the bound is ENFORCED (un-prunable, rides the encode)
+    val posChecked = when(col("graft_pos") < 1048576L, col("graft_pos"))
+      .otherwise(raise_error(concat(
+        lit("winnowedPicks supports at most 2^20 grams per doc, got pos "),
+        col("graft_pos").cast(StringType))).cast(LongType))
     positioned
-      .withColumn("graft_enc", h40 * lit(2048L) + col("graft_pos"))
+      .withColumn("graft_enc", h40 * lit(1048576L) + posChecked)
       .withColumn("graft_min", min(col("graft_enc")).over(wWin))
       .withColumn("graft_n", count(lit(1)).over(wCount))
       // only full windows select (starts 0 .. nGrams−winnow)
       .filter(col("graft_pos") <= col("graft_n") - winnow)
       .select(col(idCol), col("graft_min").as("fp_enc"),
-        call_function("div", col("graft_min"), lit(2048L)).as("fp_hash"))
+        call_function("div", col("graft_min"), lit(1048576L)).as("fp_hash"))
       .distinct()
   }
 
   /** Per-doc fingerprint summary over [[winnowedPicks]] — the gate
-    * surface (count + int64 checksum of the selected encodes). Dedup
+    * surface: pick count, an int64 checksum over the 40-bit HASHES
+    * (position-free, and safe from overflow where a sum of full
+    * 60-bit encodes would not be), and the minimum encode. Dedup
     * pipelines join [[winnowedPicks]] on `fp_hash` directly. */
   def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
                            w: Int, winnow: Int): DataFrame =
     winnowedPicks(docs, idCol, textCol, w, winnow)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_fingerprints"),
-        sum(col("fp_enc")).cast(LongType).as("fp_sum"),
+        sum(col("fp_hash")).cast(LongType).as("fp_sum"),
         min(col("fp_enc")).as("fp_min"))
 }

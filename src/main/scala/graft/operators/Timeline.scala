@@ -31,8 +31,11 @@ object Timeline {
    * the next event — so a metric sampled irregularly (the crypto-ticker
    * shape of the reference's poll loop) averages by TIME IN FORCE, not
    * by sample count. The last observation of an entity has no successor
-   * and carries zero weight; entities with a single event yield NULL
-   * twap (zero total weight), not a division error.
+   * and carries zero weight; single-event entities have no weighted
+   * rows and are ABSENT from the output; an entity whose events all
+   * share one timestamp (total weight 0) yields NULL twap via an
+   * explicit guard — Spark's 0/0 is NULL but DuckDB's is IEEE, so the
+   * guard is what keeps the engines aligned.
    *
    * Weights are seconds as doubles (gap_us/1e6 — both factors exact,
    * IEEE division is correctly rounded, so engines agree bitwise);
@@ -59,8 +62,9 @@ object Timeline {
       .select(col(entityCol), col("n_weighted"),
         round(col("graft_sw_us").cast(DoubleType) / lit(1000000.0), 6)
           .as("span_s"),
-        round(col("graft_swv").cast(DoubleType) /
-          (col("graft_sw_us").cast(DoubleType) / lit(1000000.0)), 6)
+        when(col("graft_sw_us") > 0,
+          round(col("graft_swv").cast(DoubleType) /
+            (col("graft_sw_us").cast(DoubleType) / lit(1000000.0)), 6))
           .as("twap"))
   }
 

@@ -1139,7 +1139,7 @@ object DiagnosticsQueries {
       |p AS (SELECT doc_id, s.pos AS pos,
       |        CAST(list_sum(list_transform(range(1, 11), j ->
       |          (strpos('0123456789abcdef', substr(md5(s.g), j, 1)) - 1)
-      |          * pow(16, 10 - j))) AS BIGINT) * 2048 + s.pos AS enc
+      |          * pow(16, 10 - j))) AS BIGINT) * 1048576 + s.pos AS enc
       |      FROM g),
       |m AS (SELECT doc_id, pos,
       |        min(enc) OVER (PARTITION BY doc_id ORDER BY pos
@@ -1148,7 +1148,7 @@ object DiagnosticsQueries {
       |      FROM p),
       |d AS (SELECT DISTINCT doc_id, mn FROM m WHERE pos <= n - 4)
       |SELECT doc_id, count(*) AS n_fingerprints,
-      |  CAST(SUM(mn) AS BIGINT) AS fp_sum, min(mn) AS fp_min
+      |  CAST(SUM(mn // 1048576) AS BIGINT) AS fp_sum, min(mn) AS fp_min
       |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ── q180: Gini concentration ───────────────────────────────────────────
@@ -1209,7 +1209,8 @@ object DiagnosticsQueries {
       |m AS (SELECT lang, b, CAST(SUM(w * n_chars) AS BIGINT) AS swx,
       |        CAST(SUM(w) AS BIGINT) AS sw
       |      FROM w GROUP BY 1, 2),
-      |mm AS (SELECT lang, b, CAST(swx AS DOUBLE) / sw AS mean FROM m),
+      |mm AS (SELECT lang, b, CAST(swx AS DOUBLE) / sw AS mean
+      |       FROM m WHERE sw > 0),
       |rk AS (SELECT lang, mean,
       |         row_number() OVER (PARTITION BY lang ORDER BY mean, b)
       |           AS rn
@@ -1258,12 +1259,13 @@ object DiagnosticsQueries {
 
   val q187Sql: String =
     """WITH v AS (SELECT event_type,
-      |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents FROM events),
+      |    CAST(round(abs(value) * 100.0, 0) AS BIGINT) AS cents
+      |  FROM events),
       |o AS (SELECT event_type,
       |        CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
       |          AS digit,
       |        count(*) AS obs
-      |      FROM v GROUP BY 1, 2),
+      |      FROM v WHERE cents >= 1 GROUP BY 1, 2),
       |t AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS n
       |      FROM o GROUP BY 1),
       |sp AS (SELECT event_type, n, unnest(range(1, 10)) AS digit FROM t),

@@ -114,7 +114,7 @@ object PlacementQueries {
          |c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
          |d1 AS (SELECT e.vec_id, e.v, ${dist("e", "c")} AS dm
          |       FROM e, c0 c),
-         |c1 AS (SELECT vec_id, v, dm FROM d1
+         |c1 AS (SELECT vec_id, v, dm FROM d1 WHERE dm > 0
          |       ORDER BY dm DESC, vec_id LIMIT 1)""".stripMargin)
     for (i <- 2 to 5) {
       stages.append(
@@ -122,7 +122,7 @@ object PlacementQueries {
            |d$i AS (SELECT d.vec_id, d.v,
            |         LEAST(d.dm, ${dist("d", "c")}) AS dm
            |       FROM d${i - 1} d, c${i - 1} c),
-           |c$i AS (SELECT vec_id, v, dm FROM d$i
+           |c$i AS (SELECT vec_id, v, dm FROM d$i WHERE dm > 0
            |       ORDER BY dm DESC, vec_id LIMIT 1)""".stripMargin)
     }
     stages.append(

@@ -79,8 +79,8 @@ object TimelineQueries {
       |      FROM g WHERE gap IS NOT NULL GROUP BY user_id)
       |SELECT user_id, n_weighted,
       |  round(CAST(sw AS DOUBLE) / 1000000.0, 6) AS span_s,
-      |  round(CAST(swv AS DOUBLE)
-      |    / (CAST(sw AS DOUBLE) / 1000000.0), 6) AS twap
+      |  CASE WHEN sw > 0 THEN round(CAST(swv AS DOUBLE)
+      |    / (CAST(sw AS DOUBLE) / 1000000.0), 6) END AS twap
       |FROM s ORDER BY user_id""".stripMargin
 
   // ── q161: interval-union coverage ──────────────────────────────────────

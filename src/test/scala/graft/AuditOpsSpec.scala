@@ -26,6 +26,18 @@ class AuditOpsSpec extends SparkSpec {
         7L -> 0L, 8L -> 0L, 9L -> 1L))
   }
 
+  test("benford: zero and negative values stay out of the population") {
+    // 0.0 has no leading digit; -1.23 audits as |v| → digit 1; totals
+    // must cover only the digit-bearing rows (n = 2, not 3)
+    val df = Seq(0.0, -1.23, 4.5).toDF("v").withColumn("g", lit("a"))
+    val got = Profiling.benfordAudit(df, "v", "g")
+      .orderBy("digit").select("digit", "n", "n_obs")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2).forall(_ == 2L))
+    assert(got.map(t => t._1 -> t._3).toMap.filter(_._2 > 0) ==
+      Map(1L -> 1L, 4L -> 1L))
+  }
+
   test("benford: expected counts follow log10(1 + 1/d)") {
     val df = Seq.fill(1000)(1.0).toDF("v").withColumn("g", lit("a"))
     val e1 = Profiling.benfordAudit(df, "v", "g")

@@ -23,6 +23,15 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(got == Seq((1L, "a"), (2L, "B"), (9L, "i")))
   }
 
+  test("mergeApply rejects unknown ops instead of silently deleting") {
+    val current = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((1L, "A", "I")).toDF("k", "v", "op")
+    val e = intercept[Exception] {
+      Snapshot.mergeApply(current, changes, "k", "op").collect()
+    }
+    assert(e.getMessage.contains("mergeApply") || e.getCause != null)
+  }
+
   // ── maintainJoin ────────────────────────────────────────────────────────
 
   test("maintainJoin equals the full recompute on the new snapshots") {

@@ -58,6 +58,12 @@ class PlacementOpsSpec extends SparkSpec {
     assert(got2 == Seq(0.1, 0.5, 0.9))
   }
 
+  test("isotonicCalibration: empty bins produce zero rows, not nulls") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("bucket", "n", "n_pos")
+    assert(Histogram.isotonicCalibration(empty, "bucket", "n", "n_pos")
+      .count() == 0)
+  }
+
   test("isotonicCalibration: global pooling when fully decreasing") {
     val bins = Seq((0L, 10L, 9L), (1L, 10L, 5L), (2L, 10L, 1L))
       .toDF("bucket", "n", "n_pos")
@@ -67,6 +73,16 @@ class PlacementOpsSpec extends SparkSpec {
   }
 
   // ── farthest points ─────────────────────────────────────────────────────
+
+  test("farthestPoints stops instead of re-selecting when points run out") {
+    // three identical vectors, k=3: after the first pick every distance
+    // is 0 — the traversal must stop at 1 row, not duplicate ids
+    val dup = Seq((0L, Seq(1f)), (1L, Seq(1f)), (2L, Seq(1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.farthestPoints(dup, "vec_id", "embedding", k = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(0L))
+  }
 
   test("farthestPoints walks the greedy k-center traversal") {
     // 1-D embeddings at 0, 1, 10, 11 (ids 0..3): start id 0;

@@ -54,6 +54,15 @@ class TimelineOpsSpec extends SparkSpec {
     assert(got == ((2L, 40.0, 8.0)))
   }
 
+  test("twap: zero total weight (all events at one instant) gives NULL") {
+    val events = Seq((1L, ts(5), 2.0), (2L, ts(5), 9.0))
+      .toDF("event_id", "ts", "value").withColumn("user_id", lit(1L))
+    val got = Timeline.twap(events, "user_id", "event_id", "ts", "value")
+      .select(col("span_s"), col("twap").isNull)
+      .as[(Double, Boolean)].head()
+    assert(got == ((0.0, true)))
+  }
+
   test("twap drops single-event entities (no gaps)") {
     val events = Seq((1L, ts(0), 5.0, 1L), (2L, ts(0), 5.0, 2L),
         (3L, ts(10), 7.0, 2L))
