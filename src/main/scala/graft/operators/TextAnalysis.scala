@@ -302,6 +302,30 @@ object TextAnalysis {
       .distinct()
   }
 
+  /**
+   * KWIC concordance (keyword-in-context): every occurrence of `term`
+   * with its ±`window`-word context — the search/linguistics primitive
+   * behind "show me how this token is actually used", and the manual-
+   * review surface for PII/redaction spot checks. One narrow projection:
+   * positions come from filtering an index sequence (no self-join, no
+   * explode of non-matches), the context is a bounded array slice.
+   * Positions are 1-based int64; strings are carried verbatim.
+   */
+  def concordance(docs: DataFrame, idCol: String, textCol: String,
+                  term: String, window: Int): DataFrame = {
+    require(window >= 0, s"window must be >= 0: $window")
+    val t = docs.select(col(idCol), split(col(textCol), " ").as("graft_ws"))
+    t.select(col(idCol), col("graft_ws"),
+        explode(filter(sequence(lit(1), size(col("graft_ws"))),
+          i => element_at(col("graft_ws"), i) === term)).as("graft_p"))
+      .select(col(idCol), col("graft_p").cast(LongType).as("pos"),
+        array_join(slice(col("graft_ws"),
+          greatest(col("graft_p") - window, lit(1)),
+          least(col("graft_p") + window, size(col("graft_ws"))) -
+            greatest(col("graft_p") - window, lit(1)) + 1), " ")
+          .as("context"))
+  }
+
   /** Per-doc fingerprint summary over [[winnowedPicks]] — the gate
     * surface: pick count, an int64 checksum over the 40-bit HASHES
     * (position-free, and safe from overflow where a sum of full

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Chunking, Decontamination, MergeableStats, Packing, Relevance, Sampling, Similarity, Snapshot, VectorAggs}
+import graft.operators.{Chunking, Decontamination, MergeableStats, Packing, Relevance, Sampling, Similarity, Snapshot, Standardize, TextAnalysis, VectorAggs}
 import graft.sources.Sources
 
 /** Round-5 corpus-assembly operators: benchmark decontamination, batch
@@ -630,4 +630,74 @@ object CorpusQueries {
       |  round(an.o_totalprice, 6) AS totalprice
       |FROM an JOIN bn ON an.custkey = bn.custkey
       |ORDER BY an.o_orderkey, an.custkey""".stripMargin
+
+  // ── q190: Zipf rank-frequency fit ──────────────────────────────────────
+
+  /** q190: per-lang Zipf fit — OLS slope of ln(count) on ln(rank) over
+    * the word frequency table (a healthy natural-language corpus slopes
+    * near −1; synthetic or templated text flattens) — one word-count
+    * agg, one per-lang rank window, the q127 decimal-moment OLS. */
+  def q190Zipf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val wc = Sources.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("w"))
+    val pts = wc.withColumn("graft_rnk", row_number().over(wRank))
+      .select(col("lang"),
+        log(col("graft_rnk").cast(DoubleType)).as("lx"),
+        log(col("cnt").cast(DoubleType)).as("ly"))
+    Standardize.groupOls(pts, "lx", "ly", "lang").orderBy(col("lang"))
+  }
+
+  val q190Sql: String =
+    """WITH wc AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |            FROM documents),
+      |c AS (SELECT lang, w, count(*) AS cnt FROM wc GROUP BY 1, 2),
+      |r AS (SELECT lang, cnt,
+      |        row_number() OVER (PARTITION BY lang
+      |          ORDER BY cnt DESC, w) AS rnk
+      |      FROM c),
+      |q AS (SELECT lang, ln(CAST(rnk AS DOUBLE)) AS lx,
+      |        ln(CAST(cnt AS DOUBLE)) AS ly FROM r),
+      |st AS (SELECT lang, COUNT(*) AS n,
+      |    SUM(CAST(round(lx, 6) AS DECIMAL(28,6))) AS sx,
+      |    SUM(CAST(round(ly, 6) AS DECIMAL(28,6))) AS sy,
+      |    SUM(CAST(round(lx * ly, 6) AS DECIMAL(28,6))) AS sxy,
+      |    SUM(CAST(round(lx * lx, 6) AS DECIMAL(28,6))) AS sxx
+      |  FROM q GROUP BY lang),
+      |sl AS (SELECT lang, n, sx, sy,
+      |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
+      |  FROM st)
+      |SELECT lang, n, slope,
+      |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE), 6) AS intercept
+      |FROM sl ORDER BY lang""".stripMargin
+
+  // ── q191: KWIC concordance ─────────────────────────────────────────────
+
+  /** q191: keyword-in-context lines for the term 'data' (±3 words) —
+    * the search/review primitive; positions filtered from an index
+    * sequence, bounded slices, no explode of non-matches. */
+  def q191Kwic(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.concordance(Sources.documents(s, dir), "doc_id", "text",
+        term = "data", window = 3)
+      .orderBy(col("doc_id"), col("pos"))
+
+  val q191Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |p AS (SELECT doc_id, ws,
+      |        unnest(list_filter(range(1, len(ws) + 1),
+      |          i -> ws[i] = 'data')) AS pos
+      |      FROM t)
+      |SELECT doc_id, pos,
+      |  array_to_string(ws[GREATEST(pos - 3, 1):LEAST(pos + 3, len(ws))],
+      |    ' ') AS context
+      |FROM p ORDER BY doc_id, pos""".stripMargin
 }

@@ -50,6 +50,23 @@ class CorpusMetricsOpsSpec extends SparkSpec {
     assert(got == Seq(2L))
   }
 
+  // ── concordance ─────────────────────────────────────────────────────────
+
+  test("concordance extracts every hit with a clamped window") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "data a b data c"),       // hits at pos 1 (left-clamped), 4
+      (2L, "x y z")                  // no hits
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.concordance(docs, "doc_id", "text", "data", 2)
+      .orderBy("doc_id", "pos")
+      .select("doc_id", "pos", "context")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, "data a b"),
+      (1L, 4L, "a b data c")))
+  }
+
   // ── averagePrecision ────────────────────────────────────────────────────
 
   test("averagePrecision: perfect and worst rankings") {
