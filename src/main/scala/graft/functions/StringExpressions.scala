@@ -23,12 +23,20 @@ import org.apache.spark.unsafe.types.UTF8String
  * O(|a|·window) time, two boolean scratch arrays — callers bound the
  * input (prefix slice) and candidate volume (blocked pairs), exactly as
  * with Levenshtein verification.
+ *
+ * Unit of comparison: Unicode CODE POINTS, not UTF-16 code units — a
+ * non-BMP character (emoji, rare CJK) counts as ONE symbol for lengths,
+ * the match window, and the prefix bonus, so the score is independent of
+ * the string's in-memory encoding. (Engines differ here: a byte- or
+ * code-unit-based implementation splits astral characters in two. The
+ * q165 bit-for-bit DuckDB parity contract is stated — and gate-verified —
+ * over ASCII keys, where every convention coincides.)
  */
 object JaroWinkler {
   /** Static entry point shared by interpreted eval and generated code. */
   def compute(a: UTF8String, b: UTF8String): Double = {
-    val s1 = a.toString
-    val s2 = b.toString
+    val s1 = a.toString.codePoints().toArray
+    val s2 = b.toString.codePoints().toArray
     val n1 = s1.length
     val n2 = s2.length
     if (n1 == 0 && n2 == 0) return 1.0
@@ -44,7 +52,7 @@ object JaroWinkler {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && s1(i) == s2(j)) {
           m1(i) = true
           m2(j) = true
           m += 1
@@ -61,7 +69,7 @@ object JaroWinkler {
     while (i < n1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (s1(i) != s2(k)) t += 1
         k += 1
       }
       i += 1
@@ -71,7 +79,7 @@ object JaroWinkler {
     if (jaro > 0.7) {
       val cap = math.min(4, math.min(n1, n2))
       var p = 0
-      while (p < cap && s1.charAt(p) == s2.charAt(p)) p += 1
+      while (p < cap && s1(p) == s2(p)) p += 1
       jaro + p * 0.1 * (1.0 - jaro)
     } else jaro
   }

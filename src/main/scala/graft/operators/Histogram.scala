@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 import org.apache.spark.sql.{Column, DataFrame}
 
 /**
@@ -67,14 +67,28 @@ object Histogram {
     val (mn, mx) =
       if (row.isNullAt(0)) (0L, 1L) else (row.getLong(0), row.getLong(1))
     val top = (1L << bits) - 1
-    require((BigInt(mx) - BigInt(mn)) * top <= Long.MaxValue,
-      s"quantizedPercentiles overflows int64: ($mx - $mn) * $top; " +
+    // (top + 1): the upper-bound dequantization computes (bucket+1)·(mx−mn)
+    // and the top bucket's upper edge uses bucket+1 = top+1
+    require((BigInt(mx) - BigInt(mn)) * (top + 1) <= Long.MaxValue,
+      s"quantizedPercentiles overflows int64: ($mx - $mn) * ${top + 1}; " +
         "pre-scale the column or lower bits")
 
+    // A NULL weight would silently drop the row from the cumulative sum
+    // and a non-positive weight makes cumulative weight non-monotone, so
+    // the crossing test could match zero or multiple buckets — raise
+    // instead, riding the weight expression so it can't be pruned (the
+    // same un-skippable guard as Sampling.weightedSample).
+    val guardedW = weightCol.map { wc =>
+      when(col(wc).isNotNull && col(wc) > 0, col(wc))
+        .otherwise(raise_error(concat(
+          lit(s"quantizedPercentiles requires positive non-null $wc, got "),
+          coalesce(col(wc).cast(StringType), lit("NULL"))))
+          .cast(LongType))
+    }.getOrElse(lit(1L))
     val counts = nonNull
       .select(col(strataCol),
         Layout.rank(col(valueCol), lit(mn), lit(mx), bits).as("bucket"),
-        weightCol.map(col).getOrElse(lit(1L)).as("graft_w"))
+        guardedW.as("graft_w"))
       .groupBy(col(strataCol), col("bucket"))
       .agg(sum(col("graft_w").cast(LongType)).as("graft_cnt"))
     val wCum = Window.partitionBy(col(strataCol)).orderBy(col("bucket"))
@@ -116,8 +130,11 @@ object Histogram {
     require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
     require(mx > mn, s"need mx > mn: [$mn, $mx]")
     val top = (1L << bits) - 1
-    require((BigInt(mx) - BigInt(mn)) * top <= Long.MaxValue,
-      s"bucketCounts overflows int64: ($mx - $mn) * $top")
+    // (top + 1) covers downstream dequantizations of the top bucket's
+    // UPPER edge ((bucket+1)·(mx−mn), e.g. otsuThreshold's
+    // threshold_value), not just the forward rank's top·(mx−mn)
+    require((BigInt(mx) - BigInt(mn)) * (top + 1) <= Long.MaxValue,
+      s"bucketCounts overflows int64: ($mx - $mn) * ${top + 1}")
     val clamped = least(greatest(col(valueCol).cast(LongType), lit(mn)),
       lit(mx))
     df.select(Layout.rank(clamped, lit(mn), lit(mx), bits).as("bucket"))

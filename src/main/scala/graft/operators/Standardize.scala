@@ -138,8 +138,11 @@ object Standardize {
       .withColumn("graft_cb", sum(col("graft_kb")).over(w))
       .withColumn("graft_ng", sum(col("graft_kg")).over(wAll))
       .withColumn("graft_nb", sum(col("graft_kb")).over(wAll))
+    // strict: the maximal |c_g·n_b − c_b·n_g| equals n_g·n_b itself, so
+    // allowing n_g·n_b == 2^43 would let the encode reach 2^63 exactly
+    // and wrap under non-ANSI arithmetic
     val encGuarded = when(
-      col("graft_ng") * col("graft_nb") <= lit(1L << 43),
+      col("graft_ng") * col("graft_nb") < lit(1L << 43),
       abs(col("graft_cg") * col("graft_nb") -
         col("graft_cb") * col("graft_ng")) * lit(1L << 20) + col("v"))
       .otherwise(raise_error(concat(
