@@ -50,7 +50,20 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) =>
       "\"" + short(k) + "\":" + jstr(m.take(200)) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The driver captures a BOUNDED tail of stdout; at 191 queries the
+    // per-query detail line alone outgrows that window (r6's
+    // parsed:null). So the headline is a COMPACT line that always fits,
+    // printed both FIRST (head-readers) and LAST (tail-readers — the
+    // final line of the stream is complete in any tail window bigger
+    // than itself); the full per-query map rides in between for humans
+    // and wide-window captures.
+    val nErr = results.count(_._3.isDefined)
+    val compact =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}"""
+    println(compact)
+    println(s"""{"metric":"detail","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(compact)
     spark.stop()
   }
 }

@@ -301,19 +301,43 @@ object TextDedup {
    * Scale shape: one df agg + one shingle-keyed join to attach dfs, one
    * doc-keyed window for (position, size), then the prefix×prefix
    * equi-join — every stage keyed, no all-pairs, no driver state.
+   *
+   * Skew in the df-attach join: a boilerplate shingle in 30% of the
+   * corpus concentrates one shuffle partition of the probe side.
+   * MEASURED (PlanShapeSpec hot-shingle fixture): Spark's AQE skew-split
+   * CANNOT rescue this join — `OptimizeSkewedJoin` only matches a join
+   * whose children are both bare shuffle stages, and here the build side
+   * is the df AGGREGATE evaluated in-stage above its exchange
+   * (`Join(stage, HashAgg(stage))`), so no split fires at any threshold
+   * (verified against a control join of the matching bare shape, where
+   * the same confs do produce `ShuffledHashJoin(skew=true)`). The fix is
+   * deterministic instead: df values for HEAVY keys (df ≥ docs/64)
+   * broadcast — there can only be Σdf/cutoff ≈ 64·avg-shingles-per-doc
+   * such keys regardless of corpus size, so the broadcast is bounded by
+   * construction — and the residual shuffle join carries only keys with
+   * df < docs/64, which caps any partition's hot-key mass and removes
+   * the skew WITHOUT relying on runtime re-planning. Costs one extra
+   * countDistinct pass over `sh`; callers that loop should pass a
+   * persisted slice (prefixJaccardPairs does).
    */
   def prefixCandidates(sh: DataFrame, idCol: String,
                        tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold $tNum/$tDen outside (0, 1]")
     val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("graft_df"))
+    val nDocs = sh.agg(countDistinct(col(idCol))).head.getLong(0)
+    val hotCutoff = math.max(2L, nDocs / 64L + 1L)
+    val hotDfs = dfs.filter(col("graft_df") >= hotCutoff)
+    val coldDfs = dfs.filter(col("graft_df") < hotCutoff)
+    val attached = sh.join(broadcast(hotDfs), "s")
+      .unionByName(sh.join(coldDfs.hint("shuffle_hash"), "s"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("graft_df"), col("s"))
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
     val ceilTn = call_function("div",
       col("graft_n") * tNum + (tDen - 1), lit(tDen.toLong))
-    val prefix = sh.join(dfs.hint("shuffle_hash"), "s")
+    val prefix = attached
       .withColumn("graft_pos", row_number().over(w))
       .withColumn("graft_n", count(lit(1)).over(wAll))
       .filter(col("graft_pos") <= col("graft_n") - ceilTn + 1)
@@ -328,13 +352,22 @@ object TextDedup {
   /** Exact Jaccard ≥ tNum/tDen via [[prefixCandidates]] — identical
     * output to un-capped [[ngramJaccardPairs]] at the same threshold
     * (the prefix filter is lossless), with candidate volume driven by
-    * RARE-shingle collisions only. */
+    * RARE-shingle collisions only.
+    *
+    * `persistShingles` localCheckpoints the shingle slice once instead of
+    * recomputing it for each of its consumers (df agg, prefix window,
+    * intersection attach, two size aggs). MEASURED A/B (q142 params,
+    * alternating reps, local[32]): sf0.01 recompute 1.85/1.98/1.80s vs
+    * persisted 1.99/1.43/1.54s — a wash inside noise; sf0.1 recompute
+    * 7.78/12.52/7.46s vs persisted 6.38/5.99/5.43s — persist wins ~25-50%
+    * and its times are visibly steadier. Default ON accordingly; turn off
+    * only when executor storage memory is the scarcer resource (the
+    * materialized slice is |docs|·(n−w+1) shingle rows). */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                         w: Int = 3, tNum: Int = 1, tDen: Int = 2): DataFrame = {
-    // the shingle table feeds five consumers, but measurement matches
-    // the §shingles caching note: materializing it (localCheckpoint)
-    // buys nothing at sf0.1 — the joins dominate, recompute is cheap
-    val sh = shingles(docs, idCol, textCol, w)
+                         w: Int = 3, tNum: Int = 1, tDen: Int = 2,
+                         persistShingles: Boolean = true): DataFrame = {
+    val sh0 = shingles(docs, idCol, textCol, w)
+    val sh = if (persistShingles) sh0.localCheckpoint() else sh0
     val cand = prefixCandidates(sh, idCol, tNum, tDen)
     jaccardFromInter(candidateIntersections(sh, idCol, cand), sh, idCol)
       .filter(col("jaccard") >= lit(tNum.toDouble / tDen))

@@ -12,20 +12,46 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  */
 object Sinks {
 
+  /**
+   * Runtime probe for Delta Lake: true iff the delta-spark jars are on
+   * the classpath (the `DeltaDataSource` entry point resolves). The
+   * reference writes `format("delta")` (2-spark_processed_assats_list
+   * .py:65); per SURVEY §1.4 this build substitutes parquet when the
+   * jars are absent, and this probe is the seam that flips the history
+   * sinks back to the real thing on a cluster that ships them — no
+   * recompile, same call sites.
+   */
+  lazy val deltaAvailable: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.delta.sources.DeltaDataSource")
+      true
+    } catch { case _: ClassNotFoundException => false }
+
+  /** The history-sink format this runtime supports: `delta` when the
+    * jars are present, else `parquet`. */
+  def historyFormat: String = if (deltaAvailable) "delta" else "parquet"
+
   /** S4/S7: append-mode history sink. The reference appends with
     * `mergeSchema=true` (3-spark_curated_analytics_full.py:89) so an
     * analysis can grow a column without rewriting history; parquet append
     * accepts heterogeneous file schemas natively — the merge happens at
-    * READ time via [[readHistory]]. */
+    * READ time via [[readHistory]]. With Delta on the classpath the
+    * append goes through the transaction log instead (and
+    * `mergeSchema=true` moves to write time, Delta's contract). */
   def appendHistory(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Append).parquet(path)
+    if (deltaAvailable)
+      df.write.mode(SaveMode.Append).option("mergeSchema", "true")
+        .format("delta").save(path)
+    else
+      df.write.mode(SaveMode.Append).parquet(path)
 
   /** Schema-evolution-aware history read: unions the schemas of every
     * appended batch (old rows null-fill columns added later). Plain
     * `spark.read.parquet` picks ONE footer's schema and would silently
-    * drop a newly added column depending on file order. */
+    * drop a newly added column depending on file order. (Delta reads the
+    * log's evolved schema — mergeSchema is a no-op there.) */
   def readHistory(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(path)
+    spark.read.option("mergeSchema", "true").format(historyFormat).load(path)
 
   /** S8: overwrite-mode "current" sink, registered as a temp view so the
     * dashboard SQL (§2.8 Q5) can address it by name, like BigQuery does. */

@@ -154,6 +154,83 @@ object Streaming {
       }
   }
 
+  final case class RlTsEvent(event_id: Long, user_id: Long, tus: Long,
+                             ts: java.sql.Timestamp)
+  final case class RlBufState(tus: Seq[Long], ids: Seq[Long])
+
+  /**
+   * Out-of-order streaming rate limiter: the event-time-correct form of
+   * [[rateLimitedStream]]. Instead of letting arrival order pick the
+   * winners, each (user, bucket) group BUFFERS candidates until the
+   * event-time watermark passes the bucket end, then emits the k
+   * earliest by (tus, event_id) — exactly the batch
+   * `Funnel.rateLimit` selection, under ANY arrival order in which
+   * events reach the stream before the watermark closes their bucket.
+   * Events arriving after their bucket closed are dropped (the standard
+   * append-mode watermark contract, same as windowed aggregation).
+   *
+   * State is O(k) per open bucket, NOT O(events): an event that is not
+   * among the k earliest seen so far can never enter the kept set, so
+   * the buffer holds at most k (tus, id) pairs, deduped for replay
+   * idempotence. Buckets close via EventTimeTimeout at the bucket-end
+   * timestamp and their state is removed — total state is bounded by
+   * (open buckets per user) × k, driven by the watermark delay, not by
+   * stream length. At 100 TB/day of events this is the only shape that
+   * survives: the in-order variant's counter is smaller but silently
+   * wrong under reordering; unbounded buffering is right but OOMs.
+   */
+  def rateLimitedStreamOoO(events: Dataset[RlEvent], bucketUs: Long, k: Int,
+                           watermarkDelay: String = "10 minutes"): Dataset[RlEvent] = {
+    require(bucketUs > 0 && k >= 1, s"bad rate limit: $bucketUs, $k")
+    implicit val enc = Encoders.product[RlEvent]
+    implicit val tsEnc = Encoders.product[RlTsEvent]
+    implicit val stateEnc = Encoders.product[RlBufState]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.scalaLong)
+    events
+      .withColumn("ts", timestamp_micros(col("tus")))
+      .withWatermark("ts", watermarkDelay)
+      .as[RlTsEvent]
+      .groupByKey(e => (e.user_id, e.tus / bucketUs))
+      .flatMapGroupsWithState[RlBufState, RlEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((user, bucket), rows, state: GroupState[RlBufState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the bucket end: the buffer is final
+            val s = state.get
+            state.remove()
+            s.tus.zip(s.ids).sorted.iterator
+              .map { case (t, id) => RlEvent(id, user, t) }
+          } else {
+            val bucketEndUs = (bucket + 1L) * bucketUs
+            // ceil to ms: the timeout must not fire while a same-ms
+            // event could still be on time
+            val bucketEndMs = Math.floorDiv(bucketEndUs - 1L, 1000L) + 1L
+            val prev = state.getOption.getOrElse(RlBufState(Nil, Nil))
+            val merged = (prev.tus.zip(prev.ids) ++
+                rows.map(e => (e.tus, e.event_id)))
+              .distinct.sorted.take(k)
+            if (state.getCurrentWatermarkMs() >= bucketEndMs) {
+              if (state.exists) {
+                // bucket closing in the same batch its last data arrived:
+                // fold the data in and finalize now (the timeout will not
+                // fire again — remove() clears it)
+                state.remove()
+                merged.iterator.map { case (t, id) => RlEvent(id, user, t) }
+              } else {
+                // no live state: the bucket already emitted (or never
+                // opened before its horizon passed) — late data, dropped
+                Iterator.empty
+              }
+            } else {
+              state.update(RlBufState(merged.map(_._1), merged.map(_._2)))
+              state.setTimeoutTimestamp(bucketEndMs)
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   final case class WrDoc(doc_id: Long, stratum: String, weight: Double)
   final case class WrState(keys: Seq[Double], ids: Seq[Long])
   final case class WrSnapshot(stratum: String, doc_ids: Seq[Long])

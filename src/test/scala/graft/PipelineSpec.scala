@@ -138,4 +138,34 @@ class PipelineSpec extends SparkSpec {
       "pre-evolution rows must null-fill the added column")
     assert(got.filter(col("dominance") === 0.5).count() === 1)
   }
+
+  test("delta probe: history sinks flip to delta iff the jars are present") {
+    // SURVEY §1.4's fallback rule made runtime-checked (reference writes
+    // format("delta"), 2-spark_processed_assats_list.py:65): the probe
+    // keys off DeltaDataSource resolving on the classpath. Both branches
+    // are covered: the active one end-to-end, the other as the skip
+    // message records.
+    import spark.implicits._
+    if (Sinks.deltaAvailable) {
+      assert(Sinks.historyFormat == "delta")
+      val hist = tmpDir("delta_history")
+      Sinks.appendHistory(Seq(("btc", 1.0)).toDF("symbol", "price"), hist)
+      assert(new java.io.File(s"$hist/_delta_log").exists(),
+        "delta append must create a transaction log")
+      assert(Sinks.readHistory(spark, hist).count() === 1)
+      info("delta jars present: parquet fallback branch not exercised here" +
+        " (covered by the schema-evolution test in parquet-only builds)")
+    } else {
+      assert(Sinks.historyFormat == "parquet")
+      // the parquet branch is fully exercised by the schema-evolution
+      // test above; pin that the fallback really engaged (no delta log)
+      val hist = tmpDir("delta_probe_fallback")
+      Sinks.appendHistory(Seq(("btc", 1.0)).toDF("symbol", "price"), hist)
+      assert(!new java.io.File(s"$hist/_delta_log").exists())
+      assert(Sinks.readHistory(spark, hist).count() === 1)
+      info("delta jars absent in this zero-egress build: delta branch " +
+        "verified down to the probe, exercised on clusters that ship " +
+        "delta-spark")
+    }
+  }
 }

@@ -461,4 +461,48 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(violations.isEmpty, violations.mkString(", "))
   }
+
+  test("prefix filter's df-attach: hot shingles broadcast, cold join skew-free") {
+    // q142's one skewable stage: attaching global document frequencies
+    // shuffles the shingle slice BY SHINGLE, so a boilerplate shingle
+    // shared by 30% of the corpus concentrates one partition. AQE's
+    // OptimizeSkewedJoin measurably does NOT rescue this shape — the
+    // build side evaluates the df aggregate in-stage above its shuffle
+    // (Join(stage, HashAgg(stage))), which the rule's bare
+    // Join(stage, stage) pattern never matches, at any threshold (a
+    // control join of the bare shape under identical confs does print
+    // ShuffledHashJoin(skew=true)). prefixCandidates therefore splits
+    // the attach DETERMINISTICALLY: df rows of heavy keys (df ≥ docs/64,
+    // a count bounded by 64·avg-shingles-per-doc regardless of corpus
+    // size) go through a broadcast join, and the residual shuffle join
+    // only carries keys with df < docs/64 — no partition can inherit a
+    // hot key's mass, no runtime re-planning needed. This pins both
+    // halves of that plan and the fixture's exact output.
+    import graft.operators.TextDedup
+    val hot = "aaa bbb ccc" // one shingle in 30% of docs
+    val base = (1 to 40000).map { i =>
+      (i.toLong,
+        if (i % 10 < 3) s"$hot u${i}x" else s"u${i}a u${i}b u${i}c")
+    }
+    // real near-dup pairs so the end-to-end result is non-empty (an
+    // all-empty result lets AQE collapse the tree to EmptyRelation)
+    val dups = (1 to 20).map(i =>
+      (100000L + i, s"d${i}a d${i}b d${i}c d${i}d d${i}e")) ++
+      (1 to 20).map(i =>
+        (200000L + i, s"d${i}a d${i}b d${i}c d${i}d d${i}e"))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val cand = TextDedup.prefixCandidates(
+      TextDedup.shingles(docs, "doc_id", "text", 3), "doc_id", 3, 5)
+    val got = cand.orderBy("d1", "d2").as[(Long, Long)].collect().toSeq
+    // candidates are EXACTLY the planted pairs: the hot shingle never
+    // enters a prefix (highest df sorts last) and unique shingles can't
+    // collide — boilerplate pruned with zero false candidates
+    assert(got == (1 to 20).map(i => (100000L + i, 200000L + i)),
+      s"unexpected candidate set: $got")
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot-df attach must be a broadcast join:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"cold-df attach must stay a shuffled hash join:\n$plan")
+  }
 }

@@ -347,6 +347,97 @@ class StreamingSpec extends SparkSpec {
       s"stream kept ${kept.size}, batch kept ${expected.size}")
   }
 
+  test("out-of-order rate limiter matches the batch operator under " +
+      "reversed-time arrival") {
+    import spark.implicits._
+    import graft.streaming.Streaming.RlEvent
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.sources.Sources.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"))
+    val bucketUs = 3600000000L
+    val expected = graft.operators.Funnel.rateLimit(
+        graft.sources.Sources.events(spark, sf), "user_id", "event_id",
+        "ts", bucketUs, k = 3)
+      .select("event_id").as[Long].collect().toSet
+    // ADVERSARIAL arrival: the LATER half of the events (by event time)
+    // arrives in micro-batch 1, the earlier half in micro-batch 2 — the
+    // regime where the in-order limiter provably picks the wrong
+    // winners. Two far-future sentinels then push the watermark past
+    // every real bucket end: sentinel 1's batch raises the watermark,
+    // sentinel 2's batch runs with it raised, firing every bucket's
+    // EventTimeTimeout. Watermark delay exceeds the data's full span so
+    // no real event is ever late.
+    val cut = events.agg(
+      org.apache.spark.sql.functions.expr(
+        "percentile_cont(0.5) WITHIN GROUP (ORDER BY tus)")
+        .cast("long")).head.getLong(0)
+    val maxTus = events.agg(max(col("tus"))).head.getLong(0)
+    val dir = tmpDir("rl-ooo-stream")
+    events.filter(col("tus") > cut).coalesce(1).write.parquet(s"$dir/a")
+    events.filter(col("tus") <= cut).coalesce(1).write.parquet(s"$dir/b")
+    val yearUs = 365L * 86400L * 1000000L
+    Seq((-1L, -1L, maxTus + 3 * yearUs)).toDF("event_id", "user_id", "tus")
+      .coalesce(1).write.parquet(s"$dir/c")
+    Seq((-2L, -1L, maxTus + 4 * yearUs)).toDF("event_id", "user_id", "tus")
+      .coalesce(1).write.parquet(s"$dir/d")
+    val kept = scala.collection.mutable.Set[Long]()
+    val q = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .as[RlEvent]
+      .transform(graft.streaming.Streaming.rateLimitedStreamOoO(
+        _, bucketUs, 3, watermarkDelay = "730 days"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[RlEvent], _: Long) =>
+        kept ++= batch.collect().map(_.event_id)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(kept.toSet == expected,
+      s"stream kept ${kept.size}, batch kept ${expected.size}; " +
+        s"missing=${(expected -- kept).take(5)}, " +
+        s"extra=${(kept.toSet -- expected).take(5)}")
+  }
+
+  test("out-of-order rate limiter drops data arriving after its bucket closed") {
+    import spark.implicits._
+    import graft.streaming.Streaming.RlEvent
+    val bucketUs = 1000000L // 1s buckets
+    val dir = tmpDir("rl-ooo-late")
+    // batch 1: two on-time events in bucket 0 and a watermark-driver far
+    // ahead; batch 2: another far driver fires bucket 0's timeout;
+    // batch 3: a late event for bucket 0 — its state is gone, so the
+    // event must be dropped, not re-emitted
+    Seq((1L, 7L, 100000L), (2L, 7L, 200000L), (-1L, -1L, 3600000000L))
+      .toDF("event_id", "user_id", "tus").coalesce(1).write.parquet(s"$dir/a")
+    Seq((-2L, -1L, 7200000000L))
+      .toDF("event_id", "user_id", "tus").coalesce(1).write.parquet(s"$dir/b")
+    Seq((3L, 7L, 300000L))
+      .toDF("event_id", "user_id", "tus").coalesce(1).write.parquet(s"$dir/c")
+    val kept = scala.collection.mutable.Set[Long]()
+    val q = spark.readStream
+      .schema("event_id LONG, user_id LONG, tus LONG")
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .as[RlEvent]
+      .transform(graft.streaming.Streaming.rateLimitedStreamOoO(
+        _, bucketUs, 5, watermarkDelay = "1 second"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[RlEvent], _: Long) =>
+        kept ++= batch.collect().map(_.event_id)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(kept.contains(1L) && kept.contains(2L),
+      s"on-time events must emit when the bucket closes: $kept")
+    assert(!kept.contains(3L),
+      s"late event 3 arrived after bucket 0 closed and must drop: $kept")
+  }
+
   test("mapGroupsWithState accumulates per-user counts") {
     import spark.implicits._
     val ds = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDS()
