@@ -5,24 +5,38 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Repetitions per query (args[0] or SPARK_GRAFT_BENCH_REPS, default
+    // 2): single-shot timings on a shared-JVM sequential run moved
+    // ±15-40% round-over-round with zero code changes (r7's phantom
+    // q145/q147/q181 "regressions") — min-of-N is the standard stable
+    // estimator (GC pauses and JIT races only ever ADD time). The first
+    // rep's time is still reported for continuity with earlier rounds.
+    val reps = args.headOption.orElse(sys.env.get("SPARK_GRAFT_BENCH_REPS"))
+      .map(_.trim.toInt).filter(_ >= 1).getOrElse(2)
     val spark = GraftSession.local()
     // one warmup to amortize JVM/codegen startup out of per-query numbers
     SparkEntry.queries.get("q13_count").foreach(f => f(spark, sfDir).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // measure each query from a quiesced heap: accumulated broadcast /
-      // shuffle state from earlier queries otherwise taxes the later ones
-      // with GC pauses that aren't part of the query's own cost
-      System.gc()
-      val t0 = System.nanoTime()
-      // a failing query must surface as an explicit error, never as a
-      // plausible-looking (tiny) timing — that is how a broken query
-      // shipped invisibly in round 2
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+      val times = (1 to reps).map { _ =>
+        // measure each query from a quiesced heap: accumulated broadcast /
+        // shuffle state from earlier queries otherwise taxes the later
+        // ones with GC pauses that aren't part of the query's own cost
+        System.gc()
+        val t0 = System.nanoTime()
+        // a failing query must surface as an explicit error, never as a
+        // plausible-looking (tiny) timing — that is how a broken query
+        // shipped invisibly in round 2
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+        ((System.nanoTime() - t0) / 1e9, err)
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      // headline continuity: first-rep seconds (what r≤7 measured);
+      // stability: min across reps
+      (name, times.head._1, times.map(_._1).min,
+        times.flatMap(_._2).headOption)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -44,26 +58,36 @@ object Bench {
     // a duplicate JSON key
     require(results.map(r => short(r._1)).distinct.size == results.size,
       "bench query keys collide after qNN truncation")
-    val qs = results.map { case (k, v, _) =>
+    val qs = results.map { case (k, v, _, _) =>
       "\"" + short(k) + "\":" + sec(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) =>
+    val qsMin = results.map { case (k, _, m, _) =>
+      "\"" + short(k) + "\":" + sec(m) }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(m)) =>
       "\"" + short(k) + "\":" + jstr(m.take(200)) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val totalMin = if (results.nonEmpty) results.map(_._3).sum else 0.0
     // The driver captures a BOUNDED tail of stdout; at 191 queries the
     // per-query detail line alone outgrows that window (r6's
     // parsed:null). So the headline is a COMPACT line that always fits,
     // printed both FIRST (head-readers) and LAST (tail-readers — the
     // final line of the stream is complete in any tail window bigger
     // than itself); the full per-query map rides in between for humans
-    // and wide-window captures.
-    val nErr = results.count(_._3.isDefined)
-    val compact =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
+    // and wide-window captures. The two copies carry DISTINCT metric
+    // names (total / total_tail) so a consumer that aggregates every
+    // line never double-counts the run; value semantics are identical.
+    val nErr = results.count(_._4.isDefined)
+    def compact(metric: String) =
+      s"""{"metric":"$metric","value":${sec(total)},"unit":"sec",""" +
+      s""""value_min":${sec(totalMin)},"reps":$reps,""" +
       s""""n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}"""
-    println(compact)
+    println(compact("total"))
     println(s"""{"metric":"detail","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    println(compact)
+    // min-of-reps per query on its own line (reps >= 2 is the default):
+    // the stable number regressions are judged against
+    println(s"""{"metric":"detail_min","reps":$reps,"queries":$qsMin,"sf":"$sfDir"}""")
+    println(compact("total_tail"))
     spark.stop()
   }
 }

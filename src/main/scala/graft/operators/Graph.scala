@@ -287,10 +287,14 @@ object Graph {
           .unionByName(withMin.filter(col("b") =!= col("graft_m"))
             .select(col("b").as("a"), col("graft_m").as("b")))
           .distinct(), iter + 1)
-      // exact fixpoint test: same cardinality + no row of next outside e
+      // exact fixpoint test: same cardinality + no row of next outside e.
+      // `next ⊆ e ∧ |next| = |e|` ⟺ set equality; the containment side is
+      // a left-anti probe on the (a,b) key of two already-materialized
+      // (localCheckpointed) sets — `except` here would distinct-shuffle
+      // BOTH operands every round even though both are distinct already.
       val n2 = next.count()
       converged = n2 == nEdges &&
-        next.except(e).limit(1).count() == 0L
+        next.join(e, Seq("a", "b"), "left_anti").isEmpty
       e = next
       nEdges = n2
       iter += 1
@@ -428,9 +432,13 @@ object Graph {
    */
   def twoHopCounts(pairs: DataFrame, srcCol: String,
                    dstCol: String): DataFrame = {
+    // the symmetrized edge list feeds THREE consumers (both sides of the
+    // hop-2 join and the anti-join probe); materialize it once instead of
+    // relying on ReusedExchange to fire across all three (the q153
+    // lineage-cut rule — same executor-memory caveat as pageRank)
     val e = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(pairs.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .distinct()
+      .distinct().localCheckpoint()
     val hop2 = e.select(col("a"), col("b").as("graft_mid"))
       .join(e.select(col("a").as("graft_mid"), col("b").as("c")),
         "graft_mid")

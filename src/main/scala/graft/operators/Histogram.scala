@@ -77,11 +77,23 @@ object Histogram {
     // and a non-positive weight makes cumulative weight non-monotone, so
     // the crossing test could match zero or multiple buckets — raise
     // instead, riding the weight expression so it can't be pruned (the
-    // same un-skippable guard as Sampling.weightedSample).
+    // same un-skippable guard as Sampling.weightedSample). The sum below
+    // accumulates through cast(LongType), so the guard must also reject
+    // FRACTIONAL weights: 0.4 would pass a `> 0` check and then truncate
+    // to 0 in the sum — exactly the non-monotone hazard again — and 1.5
+    // would silently count as 1. Weights are counts ("this row stands for
+    // w tokens"); require integral w >= 1 so the contract matches the
+    // arithmetic actually performed. (The cast-roundtrip equality is
+    // double-exact for any realistic count; int64-range weights past 2^53
+    // would overflow the cumulative sum long before the guard matters.)
     val guardedW = weightCol.map { wc =>
-      when(col(wc).isNotNull && col(wc) > 0, col(wc))
+      when(col(wc).isNotNull && col(wc) >= 1 &&
+          col(wc).cast(LongType).cast(DoubleType) ===
+            col(wc).cast(DoubleType),
+          col(wc))
         .otherwise(raise_error(concat(
-          lit(s"quantizedPercentiles requires positive non-null $wc, got "),
+          lit(s"quantizedPercentiles requires integral $wc >= 1 " +
+            "(non-null), got "),
           coalesce(col(wc).cast(StringType), lit("NULL"))))
           .cast(LongType))
     }.getOrElse(lit(1L))

@@ -302,6 +302,17 @@ object TextDedup {
    * doc-keyed window for (position, size), then the prefix×prefix
    * equi-join — every stage keyed, no all-pairs, no driver state.
    *
+   * On top of the prefix filter sits PPJoin's POSITIONAL filter (Xiao et
+   * al., "Efficient Similarity Joins for Near Duplicate Detection",
+   * WWW'08): each surviving pair's first-in-global-order common prefix
+   * shingle bounds the achievable overlap by 1 + min(n1−pos1, n2−pos2),
+   * and pairs whose bound cannot reach ⌈t·(n1+n2)/(1+t)⌉ are dropped at
+   * candidate-generation time — before the (much heavier) full
+   * intersection join. Still lossless (see the inline proof); what it
+   * buys is pruning the long tail of pairs that share exactly one rare
+   * shingle late in both prefixes, which dominate candidate volume on
+   * low-overlap corpora.
+   *
    * Skew in the df-attach join: a boilerplate shingle in 30% of the
    * corpus concentrates one shuffle partition of the probe side.
    * MEASURED (PlanShapeSpec hot-shingle fixture): Spark's AQE skew-split
@@ -321,12 +332,17 @@ object TextDedup {
    * persisted slice (prefixJaccardPairs does).
    */
   def prefixCandidates(sh: DataFrame, idCol: String,
-                       tNum: Int, tDen: Int): DataFrame = {
+                       tNum: Int, tDen: Int,
+                       nDocs: Option[Long] = None): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold $tNum/$tDen outside (0, 1]")
     val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("graft_df"))
-    val nDocs = sh.agg(countDistinct(col(idCol))).head.getLong(0)
-    val hotCutoff = math.max(2L, nDocs / 64L + 1L)
+    // `nDocs` drives only the hot/cold broadcast cutoff; callers that
+    // already know the doc count pass it so plan CONSTRUCTION stays free
+    // of Spark actions (otherwise this countDistinct is an eager job over
+    // the sh lineage — fine when sh is checkpointed, double work when not)
+    val nd = nDocs.getOrElse(sh.agg(countDistinct(col(idCol))).head.getLong(0))
+    val hotCutoff = math.max(2L, nd / 64L + 1L)
     val hotDfs = dfs.filter(col("graft_df") >= hotCutoff)
     val coldDfs = dfs.filter(col("graft_df") < hotCutoff)
     val attached = sh.join(broadcast(hotDfs), "s")
@@ -341,12 +357,43 @@ object TextDedup {
       .withColumn("graft_pos", row_number().over(w))
       .withColumn("graft_n", count(lit(1)).over(wAll))
       .filter(col("graft_pos") <= col("graft_n") - ceilTn + 1)
-      .select(col(idCol), col("s"))
-    prefix.select(col(idCol).as("d1"), col("s"))
-      .join(prefix.select(col(idCol).as("d2"), col("s"))
+      .select(col(idCol), col("s"), col("graft_pos"), col("graft_n"))
+    val matches = prefix
+      .select(col(idCol).as("d1"), col("s"),
+        col("graft_pos").as("graft_p1"), col("graft_n").as("graft_n1"))
+      .join(prefix
+        .select(col(idCol).as("d2"), col("s"),
+          col("graft_pos").as("graft_p2"), col("graft_n").as("graft_n2"))
         .hint("shuffle_hash"), "s")
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+    // POSITIONAL filter (PPJoin, Xiao et al. WWW'08): for a pair, look at
+    // its globally-FIRST common prefix shingle s* — within each doc the
+    // position order IS the global (df, s) order restricted to that doc,
+    // so s* is exactly the match with minimal graft_p1 (equivalently
+    // minimal graft_p2; min over the (p1, p2) struct picks it; p1 values
+    // are distinct per pair so the min is unique). Every common shingle
+    // of the pair sits at position ≥ p1(s*) in d1 and ≥ p2(s*) in d2,
+    // hence |A∩B| ≤ 1 + min(n1 − p1, n2 − p2). J ≥ t forces
+    // |A∩B| ≥ ⌈t·(n1+n2)/(1+t)⌉ (= ⌈tNum·(n1+n2)/(tNum+tDen)⌉, computed
+    // integer-exactly), so any pair whose bound can't reach that overlap
+    // is discarded BEFORE the full intersection join. Lossless: for a
+    // true pair s* lies inside BOTH prefixes (the prefix-filter theorem
+    // applied to the ⌈t·n⌉-overlap it must have), so the bound we test is
+    // the valid one — pairs pruned here can only be sub-threshold. The
+    // gate keeps proving this end-to-end: q142's oracle is the
+    // unfiltered all-pairs ground truth.
+    val minOverlap = call_function("div",
+      (col("graft_m.graft_n1") + col("graft_m.graft_n2")) * tNum +
+        (tNum + tDen - 1),
+      lit((tNum + tDen).toLong))
+    matches
+      .groupBy(col("d1"), col("d2"))
+      .agg(min(struct(col("graft_p1"), col("graft_p2"),
+        col("graft_n1"), col("graft_n2"))).as("graft_m"))
+      .filter(lit(1) +
+        least(col("graft_m.graft_n1") - col("graft_m.graft_p1"),
+          col("graft_m.graft_n2") - col("graft_m.graft_p2")) >= minOverlap)
+      .select("d1", "d2")
   }
 
   /** Exact Jaccard ≥ tNum/tDen via [[prefixCandidates]] — identical

@@ -25,11 +25,59 @@ object Sinks {
     try {
       Class.forName("org.apache.spark.sql.delta.sources.DeltaDataSource")
       true
-    } catch { case _: ClassNotFoundException => false }
+    } catch {
+      // ClassNotFoundException: jars absent. LinkageError (NoClassDef-
+      // FoundError and friends): the entry class resolves but a
+      // transitive dependency is missing — a partially-shipped classpath
+      // must fall back to parquet, not blow up at first write.
+      case _: ClassNotFoundException => false
+      case _: LinkageError           => false
+    }
 
   /** The history-sink format this runtime supports: `delta` when the
     * jars are present, else `parquet`. */
   def historyFormat: String = if (deltaAvailable) "delta" else "parquet"
+
+  /** What format is ALREADY at `path`: `Some("delta")` when a `_delta_log`
+    * directory exists, `Some("parquet")` when the dir holds data files but
+    * no log, `None` when the path is absent/empty (fresh sink). The
+    * history sinks key their format off this, never off the classpath
+    * alone: appending delta to a parquet-era dir would start a fresh
+    * `_delta_log` that references only the new files — every prior batch
+    * silently vanishes from reads — and reading a parquet-era dir as
+    * delta fails outright. */
+  def existingFormat(spark: SparkSession, path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else if (fs.exists(new org.apache.hadoop.fs.Path(p, "_delta_log")))
+      Some("delta")
+    else {
+      val hasData = fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (hasData) Some("parquet") else None
+    }
+  }
+
+  /** The format [[appendHistory]]/[[readHistory]] will actually use for
+    * `path`: the path's existing format when it has one (history must
+    * stay one format for its whole life), else what the runtime supports.
+    * Fails fast when the path was written as delta but this runtime
+    * cannot read delta — a parquet fallback there would read ORPHANED
+    * files the log has compacted away. */
+  private def resolveFormat(spark: SparkSession, path: String): String =
+    existingFormat(spark, path) match {
+      case Some("delta") if !deltaAvailable =>
+        throw new IllegalStateException(
+          s"history at $path was written as delta but the delta jars are " +
+          "not on this classpath — reading/appending it as parquet would " +
+          "see a wrong (log-unaware) file set; ship delta-spark or " +
+          "migrate the table")
+      case Some(f) => f
+      case None    => historyFormat
+    }
 
   /** S4/S7: append-mode history sink. The reference appends with
     * `mergeSchema=true` (3-spark_curated_analytics_full.py:89) so an
@@ -37,21 +85,27 @@ object Sinks {
     * accepts heterogeneous file schemas natively — the merge happens at
     * READ time via [[readHistory]]. With Delta on the classpath the
     * append goes through the transaction log instead (and
-    * `mergeSchema=true` moves to write time, Delta's contract). */
+    * `mergeSchema=true` moves to write time, Delta's contract). A dir
+    * that already holds history keeps its original format even when the
+    * classpath upgraded (see [[existingFormat]]). */
   def appendHistory(df: DataFrame, path: String): Unit =
-    if (deltaAvailable)
-      df.write.mode(SaveMode.Append).option("mergeSchema", "true")
-        .format("delta").save(path)
-    else
-      df.write.mode(SaveMode.Append).parquet(path)
+    resolveFormat(df.sparkSession, path) match {
+      case "delta" =>
+        df.write.mode(SaveMode.Append).option("mergeSchema", "true")
+          .format("delta").save(path)
+      case _ =>
+        df.write.mode(SaveMode.Append).parquet(path)
+    }
 
   /** Schema-evolution-aware history read: unions the schemas of every
     * appended batch (old rows null-fill columns added later). Plain
     * `spark.read.parquet` picks ONE footer's schema and would silently
     * drop a newly added column depending on file order. (Delta reads the
-    * log's evolved schema — mergeSchema is a no-op there.) */
+    * log's evolved schema — mergeSchema is a no-op there.) Format follows
+    * the path's own history, not the classpath (see [[existingFormat]]). */
   def readHistory(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("mergeSchema", "true").format(historyFormat).load(path)
+    spark.read.option("mergeSchema", "true")
+      .format(resolveFormat(spark, path)).load(path)
 
   /** S8: overwrite-mode "current" sink, registered as a temp view so the
     * dashboard SQL (§2.8 Q5) can address it by name, like BigQuery does. */

@@ -148,14 +148,38 @@ class Round7OperatorsSpec extends SparkSpec {
       Histogram.weightedQuantizedPercentiles(nullW, "v", "w", "s",
         bits = 4, pcts = Seq(50)).collect()
     }
-    assert(e1.getMessage.contains("positive non-null"))
+    assert(e1.getMessage.contains("integral"))
     val zeroW = Seq((1L, 2L), (2L, 0L)).toDF("v", "w")
       .withColumn("s", lit("x"))
     val e2 = intercept[Exception] {
       Histogram.weightedQuantizedPercentiles(zeroW, "v", "w", "s",
         bits = 4, pcts = Seq(50)).collect()
     }
-    assert(e2.getMessage.contains("positive non-null"))
+    assert(e2.getMessage.contains("integral"))
+    // a fractional weight in (0, 1) passes `> 0` but truncates to 0 in
+    // the Long-cast sum — the guard must reject it, not let it recreate
+    // the non-monotone hazard
+    val fracW = Seq((1L, 0.4), (2L, 1.0)).toDF("v", "w")
+      .withColumn("s", lit("x"))
+    val e3 = intercept[Exception] {
+      Histogram.weightedQuantizedPercentiles(fracW, "v", "w", "s",
+        bits = 4, pcts = Seq(50)).collect()
+    }
+    assert(e3.getMessage.contains("integral"))
+    // and 1.5 would silently count as 1 — rejected too
+    val mixW = Seq((1L, 1.5), (2L, 1.0)).toDF("v", "w")
+      .withColumn("s", lit("x"))
+    val e4 = intercept[Exception] {
+      Histogram.weightedQuantizedPercentiles(mixW, "v", "w", "s",
+        bits = 4, pcts = Seq(50)).collect()
+    }
+    assert(e4.getMessage.contains("integral"))
+    // integral DOUBLE weights are fine (the contract is integral, not
+    // integer-typed)
+    val dblOk = Seq((1L, 3.0), (9L, 1.0)).toDF("v", "w")
+      .withColumn("s", lit("x"))
+    assert(Histogram.weightedQuantizedPercentiles(dblOk, "v", "w", "s",
+      bits = 4, pcts = Seq(50)).count() == 1)
     // valid weights still work: weight-3 value 1 vs weight-1 value 9
     // → median is value 1's bucket
     val ok = Seq((1L, 3L), (9L, 1L)).toDF("v", "w")
