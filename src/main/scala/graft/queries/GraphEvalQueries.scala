@@ -540,4 +540,104 @@ object GraphEvalQueries {
       |    THEN round(CAST(apsum AS DOUBLE) / n_pos, 6) END
       |    AS avg_precision
       |FROM a ORDER BY lang""".stripMargin
+  // ── q192: degree-oriented triangles on a skewed projection ─────────────
+
+  /** q192: per-node triangle counts + clustering coefficients over the
+    * item-transition graph of the events stream, with
+    * `orientByDegree = true` (Cohen's re-orientation) — the gate entry
+    * for the skew-bounded triangle path (previously spec-only). The
+    * projection is DELIBERATELY Zipf-skewed: item = 100 div (k+1) over
+    * the 0..99 props key folds half the key space onto item 1, so the
+    * hub's fan-out is exactly what degree orientation exists to bound
+    * (id orientation would give a low-id hub its degree² in 2-path
+    * candidates; orientation caps out-degree at O(√m)). Edges are
+    * consecutive-item transitions per user in (ts, event_id) order; the
+    * oracle enumerates triangles with the PLAIN id orientation, so a
+    * hash match re-proves orientation-invariance of the counts on real
+    * data, not just the unit fixture. */
+  def q192OrientedTriangles(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val item = call_function("div", lit(100L),
+      regexp_extract(col("props"), "([0-9]+)", 1).cast(LongType) + 1L)
+    val trans = Sources.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), item.as("item"))
+      .withColumn("graft_prev", lag(col("item"), 1).over(w))
+      .filter(col("graft_prev").isNotNull &&
+        col("graft_prev") =!= col("item"))
+      .select(least(col("graft_prev"), col("item")).as("u"),
+        greatest(col("graft_prev"), col("item")).as("v"))
+      .distinct()
+    Graph.triangleCounts(trans, "u", "v", orientByDegree = true)
+      .orderBy(col("node"))
+  }
+
+  val q192Sql: String =
+    """WITH k AS (SELECT user_id, event_id,
+      |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS tus,
+      |    100 // (CAST(regexp_extract(props, '[0-9]+') AS BIGINT) + 1)
+      |      AS item
+      |  FROM events),
+      |s AS (SELECT item,
+      |        lag(item) OVER (PARTITION BY user_id
+      |          ORDER BY tus, event_id) AS prev
+      |      FROM k),
+      |e AS (SELECT DISTINCT LEAST(prev, item) AS u,
+      |        GREATEST(prev, item) AS v
+      |      FROM s WHERE prev IS NOT NULL AND prev <> item),
+      |deg AS (SELECT node, count(*) AS degree FROM
+      |        (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      |        GROUP BY node),
+      |tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      |        FROM e ab JOIN e bc ON ab.v = bc.u
+      |        JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+      |tpn AS (SELECT node, count(*) AS n_triangles FROM
+      |        (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |         UNION ALL SELECT c FROM tri) GROUP BY node)
+      |SELECT d.node, d.degree,
+      |  COALESCE(t.n_triangles, 0) AS n_triangles,
+      |  CASE WHEN d.degree >= 2 THEN
+      |    round(2.0 * COALESCE(t.n_triangles, 0)
+      |      / (d.degree * (d.degree - 1)), 6)
+      |  END AS clustering_coeff
+      |FROM deg d LEFT JOIN tpn t USING (node)
+      |ORDER BY d.node""".stripMargin
+
+  // ── q193: two-phase CC over long per-user event chains ─────────────────
+
+  /** q193: connected components with `algorithm = "two-phase"` (Kiveris
+    * et al. SoCC'14) over the consecutive-event chain graph — each
+    * user's events, ordered by (ts, event_id), linked into a path. The
+    * gate entry for the diameter-independent CC path (previously
+    * spec-only): per-user chains run to ~90 events even at sf0.001, so
+    * HashMin's default 25-round budget would THROW on this edge set
+    * (diameter ≈ chain length), while the alternating large-star/
+    * small-star rounds close it in O(log² n). The oracle is ground
+    * truth BY CONSTRUCTION rather than a recursive CTE: a user's chain
+    * is connected under any event ordering and chains of distinct
+    * users are disjoint (an event belongs to exactly one user), so
+    * component(node) = min event_id over the node's user — exact, and
+    * O(n) to compute. */
+  def q193ChainComponents(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = Sources.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("graft_prev", lag(col("event_id"), 1).over(w))
+      .filter(col("graft_prev").isNotNull)
+      .select(col("graft_prev").as("src"), col("event_id").as("dst"))
+    Graph.connectedComponents(edges, "src", "dst",
+        algorithm = "two-phase")
+      .orderBy(col("node"))
+  }
+
+  val q193Sql: String =
+    """WITH c AS (SELECT user_id, count(*) AS n FROM events
+      |           GROUP BY user_id),
+      |lbl AS (SELECT e.event_id AS node,
+      |          MIN(e.event_id) OVER (PARTITION BY e.user_id) AS component
+      |        FROM events e JOIN c ON e.user_id = c.user_id
+      |        WHERE c.n >= 2)
+      |SELECT node, component FROM lbl ORDER BY node""".stripMargin
+
 }
