@@ -124,18 +124,35 @@ object Streaming {
   final case class RlState(nKept: Long)
 
   /**
-   * Streaming rate limiter: at most `k` events pass per (user, fixed
-   * `bucketUs` time bucket), state = ONE counter per open bucket — the
-   * continuous form of `Funnel.rateLimit`. Within a micro-batch the
-   * group's rows are ordered by the total (tus, id) order; across
-   * micro-batches earlier-ARRIVING events win (the only causal option a
-   * stream has — matches the batch operator exactly when arrival order
-   * respects event time, e.g. append-only logs). State is bounded by
-   * open buckets per user; pair with a watermark-driven timeout in
-   * production to expire closed buckets.
+   * Streaming rate limiter — THE DEFAULT: delegates to
+   * [[rateLimitedStreamOoO]], the event-time-correct form that emits
+   * the batch `Funnel.rateLimit` selection under any pre-watermark
+   * arrival order. Use [[rateLimitedStreamInOrder]] only for sources
+   * that are append-only IN EVENT-TIME ORDER by construction, where
+   * its single-counter state (vs O(k) buffered pairs per open bucket)
+   * and zero emission latency (vs watermark-delayed) are worth the
+   * reordering fragility.
    */
-  def rateLimitedStream(events: Dataset[RlEvent], bucketUs: Long,
-                        k: Int): Dataset[RlEvent] = {
+  def rateLimitedStream(events: Dataset[RlEvent], bucketUs: Long, k: Int,
+                        watermarkDelay: String = "10 minutes"): Dataset[RlEvent] =
+    rateLimitedStreamOoO(events, bucketUs, k, watermarkDelay)
+
+  /**
+   * IN-ORDER streaming rate limiter: at most `k` events pass per (user,
+   * fixed `bucketUs` time bucket), state = ONE counter per open bucket.
+   * Within a micro-batch the group's rows are ordered by the total
+   * (tus, id) order; across micro-batches earlier-ARRIVING events win —
+   * which matches the batch operator ONLY when arrival order respects
+   * event time. Under reordering it silently keeps the wrong winners,
+   * which is why [[rateLimitedStream]] now routes to the
+   * watermark-buffered [[rateLimitedStreamOoO]] instead; this variant
+   * survives for strictly time-ordered append-only logs, where its
+   * smaller state and immediate emission are a real trade. State is
+   * bounded by open buckets per user; pair with a watermark-driven
+   * timeout in production to expire closed buckets.
+   */
+  def rateLimitedStreamInOrder(events: Dataset[RlEvent], bucketUs: Long,
+                               k: Int): Dataset[RlEvent] = {
     require(bucketUs > 0 && k >= 1, s"bad rate limit: $bucketUs, $k")
     implicit val enc = Encoders.product[RlEvent]
     implicit val stateEnc = Encoders.product[RlState]
@@ -159,8 +176,9 @@ object Streaming {
   final case class RlBufState(tus: Seq[Long], ids: Seq[Long])
 
   /**
-   * Out-of-order streaming rate limiter: the event-time-correct form of
-   * [[rateLimitedStream]]. Instead of letting arrival order pick the
+   * Out-of-order streaming rate limiter — what [[rateLimitedStream]]
+   * resolves to — the event-time-correct form of
+   * [[rateLimitedStreamInOrder]]. Instead of letting arrival order pick the
    * winners, each (user, bucket) group BUFFERS candidates until the
    * event-time watermark passes the bucket end, then emits the k
    * earliest by (tus, event_id) — exactly the batch

@@ -334,7 +334,7 @@ class StreamingSpec extends SparkSpec {
       .schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
       .as[RlEvent]
-      .transform(graft.streaming.Streaming.rateLimitedStream(_, bucketUs, 3))
+      .transform(graft.streaming.Streaming.rateLimitedStreamInOrder(_, bucketUs, 3))
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[RlEvent], _: Long) =>
@@ -387,6 +387,61 @@ class StreamingSpec extends SparkSpec {
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
       .as[RlEvent]
       .transform(graft.streaming.Streaming.rateLimitedStreamOoO(
+        _, bucketUs, 3, watermarkDelay = "730 days"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[RlEvent], _: Long) =>
+        kept ++= batch.collect().map(_.event_id)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(kept.toSet == expected,
+      s"stream kept ${kept.size}, batch kept ${expected.size}; " +
+        s"missing=${(expected -- kept).take(5)}, " +
+        s"extra=${(kept.toSet -- expected).take(5)}")
+  }
+
+  test("default rate limiter equals q140's batch output under shuffled arrival") {
+    import spark.implicits._
+    import graft.streaming.Streaming.RlEvent
+    // the gate-adjacent parity case: the EXACT event set and parameters
+    // of gate query q140 (full sf0.001 events, hour buckets, k=3),
+    // arrival order decorrelated from event time by splitting on
+    // md5(event_id) into three micro-batches — a "shuffled" permutation
+    // rather than the reversed-halves case above — driven through the
+    // DEFAULT rateLimitedStream entry point (which must resolve to the
+    // out-of-order variant; the in-order counter provably picks wrong
+    // winners on this input). Expected = Funnel.rateLimit, exactly.
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.sources.Sources.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"))
+    val bucketUs = 3600000000L
+    val expected = graft.operators.Funnel.rateLimit(
+        graft.sources.Sources.events(spark, sf), "user_id", "event_id",
+        "ts", bucketUs, k = 3)
+      .select("event_id").as[Long].collect().toSet
+    val maxTus = events.agg(max(col("tus"))).head.getLong(0)
+    val dir = tmpDir("rl-shuffled-stream")
+    val slice = conv(substring(md5(col("event_id").cast("string")), 1, 2),
+      16, 10).cast("long") % 3
+    (0 to 2).foreach { i =>
+      events.filter(slice === i).coalesce(1).write.parquet(s"$dir/s$i")
+    }
+    // two far-future sentinels: batch 1 raises the watermark past every
+    // real bucket end, batch 2 runs with it raised and fires the timeouts
+    val yearUs = 365L * 86400L * 1000000L
+    Seq((-1L, -1L, maxTus + 3 * yearUs)).toDF("event_id", "user_id", "tus")
+      .coalesce(1).write.parquet(s"$dir/w1")
+    Seq((-2L, -1L, maxTus + 4 * yearUs)).toDF("event_id", "user_id", "tus")
+      .coalesce(1).write.parquet(s"$dir/w2")
+    val kept = scala.collection.mutable.Set[Long]()
+    val q = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .as[RlEvent]
+      .transform(graft.streaming.Streaming.rateLimitedStream(
         _, bucketUs, 3, watermarkDelay = "730 days"))
       .writeStream
       .outputMode("append")
