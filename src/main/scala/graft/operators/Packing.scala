@@ -30,12 +30,21 @@ object Packing {
    * `n_chunks` spanned. `n_chunks > 1` means a context boundary splits
    * the document — the fraction of such docs is the packing-quality
    * signal that drives ctxLen/ordering choices.
+   *
+   * `tokenCount` is the tokenizer seam: pass an expression over the
+   * text column (e.g. a per-word fold of
+   * [[TextAnalysis.greedyTokenCountCol]] against a learned subword
+   * vocabulary) to budget in TOKENIZER tokens instead of whitespace
+   * tokens — real context windows are counted post-BPE, and whitespace
+   * counts mis-size them. Default keeps the whitespace semantics.
    */
   def packPlan(docs: DataFrame, idCol: String, textCol: String,
-               ctxLen: Int): DataFrame = {
+               ctxLen: Int,
+               tokenCount: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(ctxLen > 0, "ctxLen must be positive")
     val toks = docs.select(col(idCol),
-      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      tokenCount.getOrElse(size(split(col(textCol), " ")))
+        .cast("long").as("n_tokens"))
     val parted = toks.repartitionByRange(col(idCol))
       .withColumn("graft_pid", spark_partition_id())
     val w = Window.partitionBy(col("graft_pid")).orderBy(col(idCol))

@@ -330,4 +330,66 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /**
+   * DSIR-style importance log-weights (Xie et al., "Data Selection for
+   * Language Models via Importance Resampling", NeurIPS 2023): per
+   * document, the log-likelihood ratio of its words under hashed-unigram
+   * bag models of a TARGET slice vs the RAW corpus —
+   *   logw(doc) = Σ_w ln( p_target(b(w)) / p_raw(b(w)) ),
+   * where b(w) is the word's first-md5-byte feature bucket (0..255, the
+   * [[bucket]] source) and both models are add-one smoothed over the 256
+   * buckets. Documents resembling the target score high; resampling by
+   * these weights (see q195: deterministic Gumbel-top-k on md5 noise)
+   * shifts the raw corpus toward the target distribution — the paper's
+   * recipe with its hashed n-gram features at n = 1.
+   *
+   * Determinism: each bucket's log-ratio term is rounded to 6 dp and
+   * cast DECIMAL(18,6) BEFORE the per-doc sum (the BM25 pattern), so
+   * logw is order-independent and engine-portable. All counts stay
+   * int64; the ratio's factors stay < 2^53 (word counts × 256-bucket
+   * smoothing), so the double product is exact.
+   *
+   * Scale shape: feature space is FIXED at 256 buckets regardless of
+   * vocabulary (the paper's point: hashing bounds model state), so the
+   * bucket-stats table is metadata-scale — one raw agg + one target agg
+   * + a broadcast attach to the exploded words, one doc-keyed rollup.
+   * Nothing vocab-sized or corpus-sized leaves the executors.
+   *
+   * Returns (idCol, n_words, logw); documents whose text has no words
+   * (length ≥ 1) are absent. `isTarget` is any boolean expression over
+   * the doc row (a lang flag, a source flag, a quality cut).
+   */
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column, salt: String = "dsir"): DataFrame = {
+    val words = docs
+      .select(col(idCol), isTarget.as("graft_tgt"),
+        explode(split(col(textCol), " ")).as("graft_w"))
+      .filter(length(col("graft_w")) >= 1)
+      .withColumn("graft_b", bucket(salt, col("graft_w")).cast(LongType))
+    val raw = words.groupBy(col("graft_b"))
+      .agg(count(lit(1)).as("graft_r"))
+    val tgt = words.filter(col("graft_tgt"))
+      .groupBy(col("graft_b")).agg(count(lit(1)).as("graft_t"))
+    // full 0..255 bucket spine: buckets unseen in either slice still
+    // carry their add-one smoothing mass
+    val spine = docs.sparkSession.range(256).toDF("graft_b")
+    val stats = spine
+      .join(raw, Seq("graft_b"), "left")
+      .join(tgt, Seq("graft_b"), "left")
+      .select(col("graft_b"),
+        coalesce(col("graft_r"), lit(0L)).as("graft_r"),
+        coalesce(col("graft_t"), lit(0L)).as("graft_t"))
+    val tot = stats.agg(sum(col("graft_r")).as("graft_rr"),
+      sum(col("graft_t")).as("graft_tt"))
+    val term = stats.crossJoin(broadcast(tot))
+      .select(col("graft_b"),
+        round(log(((col("graft_t") + lit(1.0)) * (col("graft_rr") + lit(256L))) /
+            ((col("graft_r") + lit(1.0)) * (col("graft_tt") + lit(256L)))), 6)
+          .cast(DecimalType(18, 6)).as("graft_term"))
+    words.join(broadcast(term), "graft_b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("graft_term")).as("logw"))
+  }
 }

@@ -138,6 +138,86 @@ object TextAnalysis {
         sum(col("graft_term")).as("entropy_nats"))
   }
 
+  /**
+   * Learn a character-n-gram subword vocabulary from the corpus: the
+   * `k` most frequent character n-grams of lengths 2..4 across all
+   * words, weighted by word occurrence count, ties broken by n-gram
+   * text — a deterministic, data-driven stand-in for a learned BPE
+   * merges table (Sennrich et al. 2016: BPE's merge list is exactly a
+   * frequency-learned subword vocabulary; learning by direct n-gram
+   * frequency instead of iterative pair merging keeps both engines'
+   * replays trivially identical). Returns the vocabulary DRIVER-SIDE —
+   * it is metadata-scale by construction (≤ k strings of ≤ 4 chars),
+   * the same bounded-collect contract as the isotonic bins and Bloom
+   * bitmap — so [[greedyTokenCountCol]] can inline it as literals into
+   * one codegen'd projection (the stopword-list pattern, not a join).
+   *
+   * Scale shape: one word-frequency agg, one n-gram explode keyed agg,
+   * one top-k — all map-side combinable; nothing corpus-sized leaves
+   * the executors.
+   */
+  def learnCharNgramVocab(docs: DataFrame, textCol: String,
+                          k: Int = 20): Seq[String] = {
+    require(k >= 1, s"vocab size must be >= 1: $k")
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("graft_w"))
+      .filter(length(col("graft_w")) >= 1)
+      .groupBy(col("graft_w")).agg(count(lit(1)).as("graft_wc"))
+    val grams = (2 to 4).map { l =>
+      words.filter(length(col("graft_w")) >= l)
+        .select(explode(transform(
+          sequence(lit(1), length(col("graft_w")) - (l - 1)),
+          i => col("graft_w").substr(i, lit(l)))).as("ng"),
+          col("graft_wc"))
+    }.reduce(_ unionByName _)
+    grams.groupBy(col("ng")).agg(sum(col("graft_wc")).as("graft_cnt"))
+      .orderBy(col("graft_cnt").desc, col("ng"))
+      .limit(k)
+      .select("ng").collect().map(_.getString(0)).toSeq
+  }
+
+  /**
+   * Greedy longest-match subword token count of a word column against a
+   * fixed vocabulary (the WordPiece/BPE-apply decode loop, Sennrich et
+   * al. 2016): starting at position 1, repeatedly take the LONGEST
+   * vocabulary entry matching at the cursor (single character as the
+   * universal fallback) and advance past it; the count of takes is the
+   * subword token count. This is the number an actual LLM data pipeline
+   * budgets in — whitespace counts under-count CJK and over-count
+   * morphology-rich languages.
+   *
+   * Implementation: a runtime `aggregate` HOF folding over
+   * `sequence(1, length(w))` steps (state = cursor + count; steps after
+   * the cursor passes the end are no-ops), with the per-position
+   * longest-match resolved by a literal-array membership chain from
+   * longest vocab length down — all inside whole-stage codegen, no UDF,
+   * no join. Vocabulary entries must be 2..4 chars (1-char entries are
+   * the implicit fallback); empty words count 0 tokens (and the
+   * `length >= 1` guard also dodges the descending-`sequence` trap).
+   */
+  def greedyTokenCountCol(word: Column, vocab: Seq[String]): Column = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    require(vocab.forall(v => v.length >= 2 && v.length <= 4),
+      s"vocab entries must be 2..4 chars: ${vocab.filterNot(v => v.length >= 2 && v.length <= 4)}")
+    val byLen = (4 to 2 by -1)
+      .map(l => l -> vocab.filter(_.length == l)).filter(_._2.nonEmpty)
+    def step(pos: Column): Column =
+      byLen.foldLeft(when(lit(false), lit(1))) { case (acc, (l, vs)) =>
+        acc.when(
+          array_contains(array(vs.map(lit): _*), word.substr(pos, lit(l))),
+          lit(l))
+      }.otherwise(lit(1))
+    when(length(word) >= 1,
+      aggregate(sequence(lit(1), length(word)),
+        struct(lit(1).as("pos"), lit(0).as("cnt")),
+        (st, _) => when(st.getField("pos") > length(word), st)
+          .otherwise(struct(
+            (st.getField("pos") + step(st.getField("pos"))).as("pos"),
+            (st.getField("cnt") + 1).as("cnt"))),
+        st => st.getField("cnt")))
+      .otherwise(lit(0))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish regex tokenization
     * (letter runs | digit runs | single non-alnum-non-space). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Sampling, TextAnalysis}
+import graft.sources.Sources
+
+/** Round-8 tokenizer/selection operators: greedy subword tokenization
+  * against a corpus-learned vocabulary (the BPE-apply loop real LLM
+  * budgets are counted in) and DSIR-style importance resampling —
+  * each with a DuckDB oracle replaying the exact same greedy walk /
+  * hashed-model arithmetic. */
+object TokenQueries {
+
+  // ── q194: greedy subword tokenization (BPE-apply) ──────────────────────
+
+  /** q194: per-language whitespace-vs-subword token accounting under a
+    * corpus-learned 20-entry character-n-gram vocabulary — the greedy
+    * longest-match walk of [[TextAnalysis.greedyTokenCountCol]], with
+    * the vocabulary learned by [[TextAnalysis.learnCharNgramVocab]]
+    * (top char 2..4-grams by occurrence-weighted frequency, ties by
+    * text). The oracle re-learns the same vocabulary and replays the
+    * same walk as a recursive CTE over (word, cursor) states, so a
+    * hash match proves the codegen'd fold takes the IDENTICAL token
+    * boundaries at every position of every distinct word. Token counts
+    * shuffle only (lang, word) keys; the walk itself is one projection.
+    */
+  def q194BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val vocab = TextAnalysis.learnCharNgramVocab(docs, "text", k = 20)
+    val wf = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("graft_w"))
+      .filter(length(col("graft_w")) >= 1)
+      .groupBy(col("lang"), col("graft_w"))
+      .agg(count(lit(1)).as("graft_wc"))
+    wf.select(col("lang"), col("graft_wc"),
+        TextAnalysis.greedyTokenCountCol(col("graft_w"), vocab)
+          .cast(LongType).as("graft_ntok"))
+      .groupBy(col("lang"))
+      .agg(sum(col("graft_wc")).as("n_words"),
+        sum(col("graft_wc") * col("graft_ntok")).as("n_subword_tokens"))
+      .withColumn("tokens_per_word",
+        round(col("n_subword_tokens").cast(DoubleType) /
+          col("n_words"), 6))
+      .orderBy(col("lang"))
+  }
+
+  val q194Sql: String =
+    """WITH RECURSIVE w AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+      |           FROM documents),
+      |wf AS (SELECT lang, word, count(*) AS wc FROM w
+      |       WHERE length(word) >= 1 GROUP BY 1, 2),
+      |dw AS (SELECT word, CAST(SUM(wc) AS BIGINT) AS wc FROM wf
+      |       GROUP BY word),
+      |gr AS (
+      |  SELECT unnest(list_transform(range(1, length(word)),
+      |           i -> substr(word, i, 2))) AS ng, wc
+      |  FROM dw WHERE length(word) >= 2
+      |  UNION ALL
+      |  SELECT unnest(list_transform(range(1, length(word) - 1),
+      |           i -> substr(word, i, 3))), wc
+      |  FROM dw WHERE length(word) >= 3
+      |  UNION ALL
+      |  SELECT unnest(list_transform(range(1, length(word) - 2),
+      |           i -> substr(word, i, 4))), wc
+      |  FROM dw WHERE length(word) >= 4),
+      |top AS (SELECT ng FROM (
+      |          SELECT ng, CAST(SUM(wc) AS BIGINT) AS cnt FROM gr
+      |          GROUP BY ng ORDER BY cnt DESC, ng LIMIT 20)),
+      |pos0 AS (SELECT word, unnest(range(1, length(word) + 1)) AS pos
+      |         FROM dw),
+      |m AS (SELECT p.word, p.pos,
+      |        COALESCE(MAX(length(t.ng)), 1) AS step
+      |      FROM pos0 p LEFT JOIN top t
+      |        ON substr(p.word, p.pos, length(t.ng)) = t.ng
+      |      GROUP BY p.word, p.pos),
+      |r(word, pos, cnt) AS (
+      |  SELECT word, 1, 0 FROM dw
+      |  UNION ALL
+      |  SELECT r.word, r.pos + m.step, r.cnt + 1
+      |  FROM r JOIN m ON r.word = m.word AND r.pos = m.pos),
+      |tok AS (SELECT word, MAX(cnt) AS ntok FROM r GROUP BY word)
+      |SELECT f.lang, CAST(SUM(f.wc) AS BIGINT) AS n_words,
+      |  CAST(SUM(f.wc * t.ntok) AS BIGINT) AS n_subword_tokens,
+      |  round(CAST(SUM(f.wc * t.ntok) AS DOUBLE) / SUM(f.wc), 6)
+      |    AS tokens_per_word
+      |FROM wf f JOIN tok t ON f.word = t.word
+      |GROUP BY f.lang ORDER BY f.lang""".stripMargin
+
+  // ── q195: DSIR importance resampling ───────────────────────────────────
+
+  /** q195: the 20 documents DSIR selects toward an English target — log
+    * importance weights from [[Sampling.dsirLogWeights]] (hashed-unigram
+    * target/raw likelihood ratio, 256 md5 buckets, add-one smoothing,
+    * 6-dp-decimal term sums), resampled by deterministic Gumbel-top-k:
+    * key = logw + round(−ln(−ln(u)), 6) with u = (first-48-md5-bits +
+    * 0.5)/2^48 of "g195_doc_id" — the +0.5 keeps u strictly inside
+    * (0, 1) so the double Gumbel never hits ±∞ (the A-ES +1 convention
+    * would allow u = 1 here), and both addends are DECIMAL(18,6) so the
+    * rank cut is exact on both engines. Output is the selected set in
+    * doc_id order. */
+  def q195DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val lw = Sampling.dsirLogWeights(docs, "doc_id", "text",
+      col("lang") === "en")
+    val h48 = conv(substring(md5(concat(lit("g195_"),
+      col("doc_id").cast("string"))), 1, 12), 16, 10).cast(LongType)
+    val u = (h48.cast(DoubleType) + lit(0.5)) / lit(281474976710656.0)
+    val gumbel = round(-log(-log(u)), 6).cast(DecimalType(18, 6))
+    lw.join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .withColumn("graft_key", col("logw") + gumbel)
+      .orderBy(col("graft_key").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_words"),
+        col("logw").cast(DoubleType).as("logw"),
+        col("graft_key").cast(DoubleType).as("g_key"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q195Sql: String =
+    """WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      |           FROM documents),
+      |ww AS (SELECT doc_id, lang, word,
+      |        (strpos('0123456789abcdef',
+      |           substr(md5('dsir_' || word), 1, 1)) - 1) * 16
+      |        + strpos('0123456789abcdef',
+      |            substr(md5('dsir_' || word), 2, 1)) - 1 AS b
+      |       FROM w WHERE length(word) >= 1),
+      |rb AS (SELECT b, count(*) AS r FROM ww GROUP BY b),
+      |tb AS (SELECT b, count(*) AS t FROM ww WHERE lang = 'en' GROUP BY b),
+      |sp AS (SELECT unnest(range(0, 256)) AS b),
+      |st AS (SELECT sp.b, COALESCE(rb.r, 0) AS r, COALESCE(tb.t, 0) AS t
+      |       FROM sp LEFT JOIN rb USING (b) LEFT JOIN tb USING (b)),
+      |tot AS (SELECT CAST(SUM(r) AS BIGINT) AS rr,
+      |          CAST(SUM(t) AS BIGINT) AS tt FROM st),
+      |term AS (SELECT st.b,
+      |          CAST(round(ln(((st.t + 1.0) * (tot.rr + 256)) /
+      |            ((st.r + 1.0) * (tot.tt + 256))), 6)
+      |            AS DECIMAL(18,6)) AS term
+      |         FROM st CROSS JOIN tot),
+      |lw AS (SELECT ww.doc_id, count(*) AS n_words,
+      |         SUM(t.term) AS logw
+      |       FROM ww JOIN term t ON ww.b = t.b GROUP BY ww.doc_id),
+      |g AS (SELECT d.doc_id, d.lang, d.source, lw.n_words, lw.logw,
+      |        lw.logw + CAST(round(-ln(-ln(
+      |          (CAST(list_sum(list_transform(range(1, 13), j ->
+      |             (strpos('0123456789abcdef', substr(md5('g195_'
+      |                || CAST(d.doc_id AS VARCHAR)), j, 1)) - 1)
+      |             * pow(16, 12 - j))) AS BIGINT) + 0.5)
+      |          / 281474976710656.0)), 6) AS DECIMAL(18,6)) AS gkey
+      |      FROM documents d JOIN lw ON d.doc_id = lw.doc_id),
+      |sel AS (SELECT * FROM g ORDER BY gkey DESC, doc_id LIMIT 20)
+      |SELECT doc_id, lang, source, n_words,
+      |  CAST(logw AS DOUBLE) AS logw, CAST(gkey AS DOUBLE) AS g_key
+      |FROM sel ORDER BY doc_id""".stripMargin
+}

@@ -448,7 +448,11 @@ class PlanShapeSpec extends SparkSpec {
       "q175_two_hop",
       // q188: category-spine broadcasts (|cats|-row + 1-row total) onto
       // the strata rows — metadata scale (the q111 targets shape)
-      "q188_chi2_drift")
+      "q188_chi2_drift",
+      // q195: 1-row (raw-total, target-total) stats broadcast onto the
+      // 256-row bucket table — metadata scale by construction (DSIR's
+      // hashed feature space is fixed at 256 buckets)
+      "q195_dsir_select")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
