@@ -71,4 +71,38 @@ object Packing {
         call_function("div", endTok, lit(ctxLen.toLong)).as("last_chunk"))
       .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
   }
+
+  /**
+   * Curriculum interleave: the deterministic training order that consumes
+   * each group's best documents first while keeping every training window
+   * mixed across groups. Rank documents within each group (source,
+   * domain, shard) by `score` descending (id-asc tiebreak), then emit the
+   * round-robin order: all rank-1 docs (groups in name order), all
+   * rank-2 docs, … — the standard interleave for combining
+   * curriculum-style best-first ordering (Bengio et al., ICML'09) with
+   * cross-source mixing, so no context window sees a single-source run
+   * even when group sizes are wildly unequal (exhausted groups simply
+   * drop out of later rounds).
+   *
+   * Scale shape: the per-group rank is a partitioned window (shuffles on
+   * `groupCol`); the global position over the total order
+   * (rank, group) is [[GlobalRank.globalRowNumber]] — one range shuffle
+   * + a metadata-scale offsets broadcast, never a single-partition
+   * window.
+   *
+   * Returns (idCol, groupCol, rank_in_group, global_pos), 1-based ranks.
+   */
+  def curriculumInterleave(docs: DataFrame, idCol: String,
+                           groupCol: String,
+                           score: org.apache.spark.sql.Column): DataFrame = {
+    val rw = Window.partitionBy(col(groupCol))
+      .orderBy(score.desc, col(idCol).asc)
+    val ranked = docs
+      .withColumn("rank_in_group", row_number().over(rw))
+      .select(col(idCol), col(groupCol), col("rank_in_group"))
+    GlobalRank.globalRowNumber(ranked,
+        Seq(col("rank_in_group").asc, col(groupCol).asc), "global_pos")
+      .select(col(idCol), col(groupCol), col("rank_in_group"),
+        col("global_pos").cast("long").as("global_pos"))
+  }
 }

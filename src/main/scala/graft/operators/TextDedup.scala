@@ -718,6 +718,77 @@ object TextDedup {
   }
 
   /**
+   * Pairwise ALIGNED shared runs: for every document pair, each maximal
+   * run of consecutive tokens the two share verbatim — [[repeatedSpans]]
+   * says "this span of mine is duplicated somewhere"; this says "docs a
+   * and b share these exact `n_tokens` starting at a:start1 / b:start2",
+   * the pairwise output of exact-substring dedup (Lee et al., ACL'22,
+   * there via one giant suffix array) that drives cut-one-keep-one
+   * decisions and provenance audits.
+   *
+   * Distributed shape instead of a suffix array: positional `w`-grams
+   * (one explode), a gram-keyed self-join restricted to grams whose
+   * TOTAL occurrence count is ≤ `gramCap` (and that appear in ≥ 2 docs),
+   * then the diagonal trick from sequence alignment: a shared run of
+   * length L produces L−w+1 matched gram pairs at the SAME offset
+   * `pos1 − pos2`, at consecutive pos1 — so runs are gap-run merges
+   * (the [[repeatedSpans]] window pattern) keyed by (d1, d2, diagonal).
+   *
+   * `gramCap` bounds the join: a gram with c occurrences yields ≤ C(c,2)
+   * pairs, so per-gram fan-out is ≤ C(gramCap,2) and hot boilerplate
+   * grams (the skew risk at corpus scale) are excluded by a DETERMINISTIC
+   * rule both engines replay — runs made only of ultra-common grams are
+   * reported as absent, the documented precision/volume trade (the same
+   * df-conditioning exact-substring implementations apply before the
+   * suffix sort). Everything shuffles on the gram, then on the
+   * (d1, d2, diagonal) run key; nothing is quadratic in the corpus.
+   *
+   * Returns (d1, d2, start1, start2, n_tokens, n_grams), d1 < d2, runs
+   * of ≥ `minTokens` tokens; (start1, start2) are 0-based token offsets.
+   */
+  def alignedSharedRuns(docs: DataFrame, idCol: String, textCol: String,
+                        w: Int = 5, gramCap: Int = 64,
+                        minTokens: Int = 8): DataFrame = {
+    require(w >= 2, s"gram width must be >= 2: $w")
+    require(gramCap >= 2, s"gramCap must be >= 2: $gramCap")
+    require(minTokens >= w, s"minTokens must be >= w: $minTokens < $w")
+    val ws = col("graft_ws")
+    val grams = docs.repartition(col(idCol))
+      .select(col(idCol), split(col(textCol), " ").as("graft_ws"))
+      .filter(size(ws) >= w)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(ws) - w),
+          i => concat_ws(" ", (0 until w).map(o => element_at(ws, i + o + 1)): _*)))
+        .as(Seq("pos", "s")))
+    val keep = grams.groupBy(col("s"))
+      .agg(count(lit(1)).as("graft_c"),
+        countDistinct(col(idCol)).as("graft_nd"))
+      .filter(col("graft_c") <= gramCap && col("graft_nd") >= 2)
+      .select(col("s"))
+    val shared = grams.join(keep, "s")
+    val a = shared.select(col("s"), col(idCol).as("d1"), col("pos").as("p1"))
+    val b = shared.select(col("s"), col(idCol).as("d2"), col("pos").as("p2"))
+    val pairs = a.join(b, "s").filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("p1"), col("p2"),
+        (col("p1") - col("p2")).as("graft_diag"))
+    val winOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d1"), col("d2"), col("graft_diag")).orderBy(col("p1"))
+    val newRun = when(col("p1") - lag(col("p1"), 1).over(winOrd) === 1, 0L)
+      .otherwise(1L)
+    pairs
+      .withColumn("graft_run", sum(newRun).over(
+        winOrd.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy(col("d1"), col("d2"), col("graft_diag"), col("graft_run"))
+      .agg(min(col("p1")).cast(LongType).as("start1"),
+        min(col("p2")).cast(LongType).as("start2"),
+        (max(col("p1")) - min(col("p1")) + w).cast(LongType).as("n_tokens"),
+        count(lit(1)).as("n_grams"))
+      .filter(col("n_tokens") >= minTokens)
+      .drop("graft_diag", "graft_run")
+  }
+
+  /**
    * 32-bit SimHash over a document's distinct words: bit b is set when the
    * word-count-weighted sum of (2·bit_b(md5(word)) − 1) is positive.
    *

@@ -3,14 +3,14 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Sampling, TextAnalysis}
+import graft.operators.{Packing, Sampling, TextAnalysis, TextDedup}
 import graft.sources.Sources
 
-/** Round-8 tokenizer/selection operators: greedy subword tokenization
-  * against a corpus-learned vocabulary (the BPE-apply loop real LLM
-  * budgets are counted in) and DSIR-style importance resampling —
-  * each with a DuckDB oracle replaying the exact same greedy walk /
-  * hashed-model arithmetic. */
+/** Round-8 operators: greedy subword tokenization against a
+  * corpus-learned vocabulary (the BPE-apply loop real LLM budgets are
+  * counted in), DSIR-style importance resampling, pairwise aligned
+  * exact-substring runs, and the curriculum interleave training order —
+  * each with a DuckDB oracle replaying the exact same arithmetic. */
 object TokenQueries {
 
   // ── q194: greedy subword tokenization (BPE-apply) ──────────────────────
@@ -154,4 +154,75 @@ object TokenQueries {
       |SELECT doc_id, lang, source, n_words,
       |  CAST(logw AS DOUBLE) AS logw, CAST(gkey AS DOUBLE) AS g_key
       |FROM sel ORDER BY doc_id""".stripMargin
+
+  // ── q196: pairwise aligned exact-substring runs ────────────────────────
+
+  /** q196: every maximal verbatim run of ≥ 8 tokens shared between a
+    * document pair — [[TextDedup.alignedSharedRuns]]'s diagonal gap-run
+    * merge over positional 5-grams (total-occurrence cap 64, the
+    * deterministic hot-gram exclusion both engines replay). The oracle
+    * rebuilds the same positional grams, the same capped gram join, and
+    * the same (d1, d2, diagonal)-keyed run merge, so a hash match proves
+    * the alignment bookkeeping (offsets, run extents, token counts)
+    * end to end. */
+  def q196AlignedRuns(s: SparkSession, dir: String): DataFrame =
+    TextDedup.alignedSharedRuns(Sources.documents(s, dir), "doc_id", "text",
+        w = 5, gramCap = 64, minTokens = 8)
+      .orderBy(col("d1"), col("d2"), col("start1"), col("start2"))
+
+  val q196Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |gu AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, len(w) - 3),
+      |          j -> {'pos': j - 1, 's': array_to_string(w[j:j+4], ' ')}))
+      |          AS u
+      |      FROM ws WHERE len(w) >= 5),
+      |g AS (SELECT doc_id, u.pos AS pos, u.s AS s FROM gu),
+      |keep AS (SELECT s FROM g GROUP BY s
+      |         HAVING count(*) <= 64 AND count(DISTINCT doc_id) >= 2),
+      |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2,
+      |        a.pos - b.pos AS diag
+      |      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      WHERE a.s IN (SELECT s FROM keep)),
+      |flags AS (SELECT d1, d2, p1, p2, diag,
+      |    CASE WHEN p1 - lag(p1) OVER (PARTITION BY d1, d2, diag ORDER BY p1) = 1
+      |         THEN 0 ELSE 1 END AS nf
+      |  FROM p),
+      |runs AS (SELECT d1, d2, p1, p2, diag,
+      |    SUM(nf) OVER (PARTITION BY d1, d2, diag ORDER BY p1
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM flags)
+      |SELECT d1, d2, CAST(MIN(p1) AS BIGINT) AS start1,
+      |  CAST(MIN(p2) AS BIGINT) AS start2,
+      |  CAST(MAX(p1) - MIN(p1) + 5 AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_grams
+      |FROM runs GROUP BY d1, d2, diag, run
+      |HAVING MAX(p1) - MIN(p1) + 5 >= 8
+      |ORDER BY d1, d2, start1, start2""".stripMargin
+
+  // ── q197: curriculum interleave training order ─────────────────────────
+
+  /** q197: the curriculum-interleave training order over the document
+    * corpus — [[Packing.curriculumInterleave]] grouped by source, scored
+    * by n_chars (integer-exact, so both engines' orderings are trivially
+    * identical): best docs first within each source, round-robin across
+    * sources. The oracle replays both windows; a hash match proves the
+    * distributed global position (range shuffle + offsets broadcast)
+    * equals the single-window row_number to the last row. */
+  def q197Curriculum(s: SparkSession, dir: String): DataFrame =
+    Packing.curriculumInterleave(Sources.documents(s, dir), "doc_id",
+        "source", col("n_chars"))
+      .orderBy(col("global_pos"))
+
+  val q197Sql: String =
+    """WITH r AS (SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rank_in_group
+      |  FROM documents),
+      |g AS (SELECT doc_id, source, rank_in_group,
+      |    row_number() OVER (ORDER BY rank_in_group, source) AS global_pos
+      |  FROM r)
+      |SELECT doc_id, source, rank_in_group,
+      |  CAST(global_pos AS BIGINT) AS global_pos
+      |FROM g ORDER BY global_pos""".stripMargin
 }

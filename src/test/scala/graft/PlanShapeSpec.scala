@@ -452,7 +452,10 @@ class PlanShapeSpec extends SparkSpec {
       // q195: 1-row (raw-total, target-total) stats broadcast onto the
       // 256-row bucket table — metadata scale by construction (DSIR's
       // hashed feature space is fixed at 256 buckets)
-      "q195_dsir_select")
+      "q195_dsir_select",
+      // q197: n_partitions-row offsets `<` join from the GlobalRank
+      // global position inside curriculumInterleave (same as q143/q165)
+      "q197_curriculum")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

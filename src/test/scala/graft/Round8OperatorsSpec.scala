@@ -1,12 +1,13 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Packing, Sampling, TextAnalysis}
+import graft.operators.{Packing, Sampling, TextAnalysis, TextDedup}
 
 /** Round-8 operator specs: the greedy subword tokenizer (vocabulary
   * learning + longest-match walk), the DSIR importance-weight model,
-  * and the packing plan's tokenizer seam — hand-computed expectations,
-  * independent of the DuckDB gate. */
+  * the packing plan's tokenizer seam, pairwise aligned shared runs, and
+  * the curriculum interleave — hand-computed expectations, independent
+  * of the DuckDB gate. */
 class Round8OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -117,5 +118,70 @@ class Round8OperatorsSpec extends SparkSpec {
       .select("n_tokens", "start_tok", "n_chunks")
       .as[(Long, Long, Long)].collect().toSeq
     assert(dbl == Seq((6L, 0L, 2L), (4L, 6L, 2L), (2L, 10L, 1L)))
+  }
+
+  // ── aligned shared runs ─────────────────────────────────────────────────
+
+  test("alignedSharedRuns finds the maximal run at the right offsets") {
+    // docs 1 and 2 share "c d e f g h i j" (8 tokens) at offsets 2 / 0;
+    // doc 3 shares nothing 8 tokens long
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "c d e f g h i j x y"),
+      (3L, "c d e f g z z z z z")).toDF("doc_id", "text")
+    val runs = TextDedup.alignedSharedRuns(docs, "doc_id", "text",
+        w = 3, gramCap = 64, minTokens = 8)
+      .select("d1", "d2", "start1", "start2", "n_tokens", "n_grams")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(runs == Seq((1L, 2L, 2L, 0L, 8L, 6L)), s"got $runs")
+  }
+
+  test("alignedSharedRuns reports every alignment of a repeated block") {
+    // the shared block appears TWICE in doc 2 → two diagonals, two runs
+    val docs = Seq(
+      (1L, "p q r s t u"),
+      (2L, "p q r s t u z p q r s t u")).toDF("doc_id", "text")
+    val runs = TextDedup.alignedSharedRuns(docs, "doc_id", "text",
+        w = 3, gramCap = 64, minTokens = 6)
+      .select("start1", "start2", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(runs == Seq((0L, 0L, 6L), (0L, 7L, 6L)), s"got $runs")
+  }
+
+  test("alignedSharedRuns: hot grams past gramCap are excluded by rule") {
+    // the same 4-token text in 9 docs → every gram occurs 9 times; with
+    // gramCap = 8 all grams are excluded and no runs survive, with
+    // gramCap = 9 all C(9,2) pairs report the full 4-token run
+    val docs = (1L to 9L).map(i => (i, "m n o p")).toDF("doc_id", "text")
+    def n(cap: Int) = TextDedup.alignedSharedRuns(docs, "doc_id", "text",
+      w = 3, gramCap = cap, minTokens = 4).count()
+    assert(n(8) == 0L)
+    assert(n(9) == 36L)
+  }
+
+  // ── curriculum interleave ───────────────────────────────────────────────
+
+  test("curriculumInterleave is best-first within group, round-robin across") {
+    // src a: ids 1,2,3 scores 30,20,10; src b: ids 4,5 scores 25,5 →
+    // order: rank1 (a:1, b:4), rank2 (a:2, b:5), rank3 (a:3)
+    val docs = Seq(
+      (1L, "a", 30L), (2L, "a", 20L), (3L, "a", 10L),
+      (4L, "b", 25L), (5L, "b", 5L)).toDF("doc_id", "src", "score")
+    val got = Packing.curriculumInterleave(docs, "doc_id", "src", col("score"))
+      .orderBy("global_pos")
+      .select("doc_id", "rank_in_group", "global_pos")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == Seq((1L, 1, 1L), (4L, 1, 2L), (2L, 2, 3L),
+      (5L, 2, 4L), (3L, 3, 5L)), s"got $got")
+  }
+
+  test("curriculumInterleave breaks score ties by id, groups by name") {
+    val docs = Seq(
+      (2L, "b", 10L), (1L, "b", 10L), (3L, "a", 10L)).toDF("doc_id", "src", "score")
+    val got = Packing.curriculumInterleave(docs, "doc_id", "src", col("score"))
+      .orderBy("global_pos")
+      .select("doc_id").as[Long].collect().toSeq
+    // rank1: a:3 then b:1 (id-asc tie), rank2: b:2
+    assert(got == Seq(3L, 1L, 2L), s"got $got")
   }
 }
