@@ -174,8 +174,10 @@ object Graph {
    *     an edge-keyed groupBy + join rather than HashMin's node-keyed
    *     one; the set shrinks toward the star fixpoint where every edge
    *     is (member, component-min). Convergence is detected EXACTLY
-   *     (count equality + one-sided anti-join emptiness), two cheap
-   *     jobs per round on an always-shrinking set.
+   *     and EARLY: one role-count aggregate per round proves the set is
+   *     already a min-rooted star forest (the alternation's only
+   *     fixpoints, Kiveris §3) the round it forms — the set-equality
+   *     alternative needs the round AFTER to observe nothing moved.
    */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 25,
@@ -259,9 +261,29 @@ object Graph {
       .select(greatest(col("a"), col("b")).as("a"),
         least(col("a"), col("b")).as("b"))
       .distinct(), 0)
-    var nEdges = e.count()
+    // Exact fixpoint test, one job: the alternation's fixpoints are
+    // EXACTLY the min-rooted star forests (Kiveris et al. §3) — every
+    // child has ONE parent and no parent is itself a child. Both
+    // properties fall out of one role-count aggregate over the edge
+    // list (node appears as child > 1× → multi-parent; as both child
+    // and parent → a 3-level chain — either way another round would
+    // rewrite it). Detects the fixpoint the round it FORMS — the
+    // set-equality test (|next| = |e| ∧ anti-join empty) needs the
+    // round AFTER to prove nothing moved, paying one extra full round
+    // of shuffles plus two jobs per round instead of one.
+    def isStarForest(df: DataFrame): Boolean = df
+      .select(col("a").as("graft_nd"), lit(1L).as("graft_c"),
+        lit(0L).as("graft_p"))
+      .unionByName(df.select(col("b").as("graft_nd"), lit(0L).as("graft_c"),
+        lit(1L).as("graft_p")))
+      .groupBy(col("graft_nd"))
+      .agg(sum(col("graft_c")).as("graft_nc"),
+        sum(col("graft_p")).as("graft_np"))
+      .filter(col("graft_nc") > 1L ||
+        (col("graft_nc") >= 1L && col("graft_np") >= 1L))
+      .isEmpty
     var iter = 0
-    var converged = nEdges == 0L
+    var converged = isStarForest(e)
     while (iter < maxIters && !converged) {
       // LARGE-STAR: symmetrize, per node u take m = min(Γ(u) ∪ {u}),
       // re-hang every neighbor v > u as (v, m). Keeps a > b: v > u ≥ m.
@@ -271,11 +293,14 @@ object Graph {
         .agg(min(col("b")).as("graft_mn"))
         .select(col("graft_u"),
           least(col("graft_u"), col("graft_mn")).as("graft_m"))
+      // no distinct here: duplicate (v, m) rows collapse in mins2's
+      // map-side combine and in next's final distinct anyway — deduping
+      // them now would cost a full |e|-row shuffle per round for no
+      // volume bound (the pre-distinct row count is ≤ |e| already)
       val large = sym.filter(col("b") > col("a"))
         .join(mins, col("a") === col("graft_u"))
         .select(col("b").as("a"), col("graft_m").as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
       // SMALL-STAR: edges already point large→small; per node u the
       // below neighbors Γ⁻(u) all re-parent onto m = min(Γ⁻(u)), and u
       // itself hangs off m too. Both emissions keep a > b.
@@ -287,16 +312,8 @@ object Graph {
           .unionByName(withMin.filter(col("b") =!= col("graft_m"))
             .select(col("b").as("a"), col("graft_m").as("b")))
           .distinct(), iter + 1)
-      // exact fixpoint test: same cardinality + no row of next outside e.
-      // `next ⊆ e ∧ |next| = |e|` ⟺ set equality; the containment side is
-      // a left-anti probe on the (a,b) key of two already-materialized
-      // (localCheckpointed) sets — `except` here would distinct-shuffle
-      // BOTH operands every round even though both are distinct already.
-      val n2 = next.count()
-      converged = n2 == nEdges &&
-        next.join(e, Seq("a", "b"), "left_anti").isEmpty
+      converged = isStarForest(next)
       e = next
-      nEdges = n2
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
