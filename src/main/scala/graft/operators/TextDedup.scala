@@ -789,6 +789,52 @@ object TextDedup {
   }
 
   /**
+   * Duplication profile: per document, how many of its tokens sit inside
+   * at least one cross-document verbatim run — the coverage number that
+   * drives the cut-or-keep decision in exact-substring dedup (a doc 90%
+   * covered by runs is boilerplate; 5% is a quotation). Composes
+   * [[alignedSharedRuns]]: each run contributes its token interval to
+   * BOTH endpoints' profiles, intervals from different partners may
+   * overlap, so per-doc coverage is the measure of the interval UNION —
+   * the standard sweep (order by start, subtract what the running max
+   * end already covered), here as one doc-partitioned window over the
+   * distinct intervals (metadata-sized per doc: runs it participates
+   * in, not tokens).
+   *
+   * Returns every input document: (idCol, n_tokens, covered_tokens,
+   * dup_fraction) with dup_fraction = covered/total rounded to 6 dp —
+   * docs with no qualifying runs report 0.
+   */
+  def duplicationProfile(docs: DataFrame, idCol: String, textCol: String,
+                         w: Int = 5, gramCap: Int = 64,
+                         minTokens: Int = 8): DataFrame = {
+    val runs = alignedSharedRuns(docs, idCol, textCol, w, gramCap, minTokens)
+    val iv = runs.select(col("d1").as(idCol), col("start1").as("graft_s"),
+        (col("start1") + col("n_tokens") - 1).as("graft_e"))
+      .unionByName(runs.select(col("d2").as(idCol),
+        col("start2").as("graft_s"),
+        (col("start2") + col("n_tokens") - 1).as("graft_e")))
+      .distinct()
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("graft_s"), col("graft_e"))
+    val pme = coalesce(max(col("graft_e")).over(
+      wOrd.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)), lit(-1L))
+    val cov = iv
+      .withColumn("graft_add", greatest(lit(0L),
+        col("graft_e") - greatest(col("graft_s"), pme + 1L) + 1L))
+      .groupBy(col(idCol))
+      .agg(sum(col("graft_add")).as("graft_cov"))
+    docs.select(col(idCol),
+        size(split(col(textCol), " ")).cast(LongType).as("n_tokens"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("graft_cov"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("graft_cov"), lit(0L)).cast(DoubleType) /
+          col("n_tokens"), 6).as("dup_fraction"))
+  }
+
+  /**
    * 32-bit SimHash over a document's distinct words: bit b is set when the
    * word-count-weighted sum of (2·bit_b(md5(word)) − 1) is positive.
    *
