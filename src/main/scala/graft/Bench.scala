@@ -11,8 +11,16 @@ object Bench {
     // q145/q147/q181 "regressions") — min-of-N is the standard stable
     // estimator (GC pauses and JIT races only ever ADD time). The first
     // rep's time is still reported for continuity with earlier rounds.
+    // An EXPLICIT reps value must be a positive integer — a typo'd arg or
+    // an explicit 0 erroring loudly beats silently benchmarking at a
+    // different rep count than the caller believes.
     val reps = args.headOption.orElse(sys.env.get("SPARK_GRAFT_BENCH_REPS"))
-      .map(_.trim.toInt).filter(_ >= 1).getOrElse(2)
+      .map { s =>
+        val n = scala.util.Try(s.trim.toInt).getOrElse(
+          sys.error(s"bench reps must be an integer, got: '$s'"))
+        require(n >= 1, s"bench reps must be >= 1, got: $n")
+        n
+      }.getOrElse(2)
     val spark = GraftSession.local()
     // one warmup to amortize JVM/codegen startup out of per-query numbers
     SparkEntry.queries.get("q13_count").foreach(f => f(spark, sfDir).count())
@@ -34,8 +42,12 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       // headline continuity: first-rep seconds (what r≤7 measured);
-      // stability: min across reps
-      (name, times.head._1, times.map(_._1).min,
+      // stability: min across SUCCESSFUL reps — a fast-failing rep's
+      // tiny latency must not pose as the query's stable time. Only
+      // when every rep failed does the raw min (plus the error) stand.
+      val okTimes = times.collect { case (t, None) => t }
+      (name, times.head._1,
+        if (okTimes.nonEmpty) okTimes.min else times.map(_._1).min,
         times.flatMap(_._2).headOption)
     }
     def jstr(s: String): String =
@@ -74,20 +86,22 @@ object Bench {
     // printed both FIRST (head-readers) and LAST (tail-readers — the
     // final line of the stream is complete in any tail window bigger
     // than itself); the full per-query map rides in between for humans
-    // and wide-window captures. The two copies carry DISTINCT metric
-    // names (total / total_tail) so a consumer that aggregates every
-    // line never double-counts the run; value semantics are identical.
+    // and wide-window captures. BOTH copies keep "metric":"total" —
+    // tail-window readers were parsing that key on the final line long
+    // before the second copy existed, so renaming the tail copy would
+    // silently break them; a consumer that aggregates every line
+    // dedups on the extra "copy" discriminator instead.
     val nErr = results.count(_._4.isDefined)
-    def compact(metric: String) =
-      s"""{"metric":"$metric","value":${sec(total)},"unit":"sec",""" +
-      s""""value_min":${sec(totalMin)},"reps":$reps,""" +
+    def compact(copy: String) =
+      s"""{"metric":"total","copy":"$copy","value":${sec(total)},""" +
+      s""""unit":"sec","value_min":${sec(totalMin)},"reps":$reps,""" +
       s""""n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}"""
-    println(compact("total"))
+    println(compact("head"))
     println(s"""{"metric":"detail","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     // min-of-reps per query on its own line (reps >= 2 is the default):
     // the stable number regressions are judged against
     println(s"""{"metric":"detail_min","reps":$reps,"queries":$qsMin,"sf":"$sfDir"}""")
-    println(compact("total_tail"))
+    println(compact("tail"))
     spark.stop()
   }
 }

@@ -200,6 +200,67 @@ object TokenQueries {
       |HAVING MAX(p1) - MIN(p1) + 5 >= 8
       |ORDER BY d1, d2, start1, start2""".stripMargin
 
+  // ── q198: per-document duplication profile ─────────────────────────────
+
+  /** q198: per-document verbatim-duplication coverage —
+    * [[TextDedup.duplicationProfile]] over the q196 run set: every doc's
+    * token count, tokens inside ≥ 1 cross-document run (interval UNION —
+    * overlapping runs from different partners must not double-count),
+    * and the covered fraction. The oracle extends the q196 SQL with the
+    * same sweep (distinct intervals, running-max-end subtraction), so a
+    * hash match proves the union bookkeeping and the zero-fill for docs
+    * with no runs. */
+  def q198DupProfile(s: SparkSession, dir: String): DataFrame =
+    TextDedup.duplicationProfile(Sources.documents(s, dir), "doc_id",
+        "text", w = 5, gramCap = 64, minTokens = 8)
+      .orderBy(col("doc_id"))
+
+  val q198Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |gu AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, len(w) - 3),
+      |          j -> {'pos': j - 1, 's': array_to_string(w[j:j+4], ' ')}))
+      |          AS u
+      |      FROM ws WHERE len(w) >= 5),
+      |g AS (SELECT doc_id, u.pos AS pos, u.s AS s FROM gu),
+      |keep AS (SELECT s FROM g GROUP BY s
+      |         HAVING count(*) <= 64 AND count(DISTINCT doc_id) >= 2),
+      |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2,
+      |        a.pos - b.pos AS diag
+      |      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      WHERE a.s IN (SELECT s FROM keep)),
+      |flags AS (SELECT d1, d2, p1, p2, diag,
+      |    CASE WHEN p1 - lag(p1) OVER (PARTITION BY d1, d2, diag ORDER BY p1) = 1
+      |         THEN 0 ELSE 1 END AS nf
+      |  FROM p),
+      |runs AS (SELECT d1, d2, p1, p2, diag,
+      |    SUM(nf) OVER (PARTITION BY d1, d2, diag ORDER BY p1
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM flags),
+      |r2 AS (SELECT d1, d2, MIN(p1) AS s1, MIN(p2) AS s2,
+      |         MAX(p1) - MIN(p1) + 5 AS nt
+      |       FROM runs GROUP BY d1, d2, diag, run
+      |       HAVING MAX(p1) - MIN(p1) + 5 >= 8),
+      |iv AS (SELECT DISTINCT doc_id, s, e FROM (
+      |         SELECT d1 AS doc_id, s1 AS s, s1 + nt - 1 AS e FROM r2
+      |         UNION ALL
+      |         SELECT d2 AS doc_id, s2 AS s, s2 + nt - 1 AS e FROM r2) u),
+      |sw AS (SELECT doc_id, s, e,
+      |         COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |           AS pme
+      |       FROM iv),
+      |cov AS (SELECT doc_id,
+      |          SUM(GREATEST(0, e - GREATEST(s, pme + 1) + 1)) AS c
+      |        FROM sw GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(cov.c, 0) AS BIGINT) AS covered_tokens,
+      |  round(CAST(COALESCE(cov.c, 0) AS DOUBLE) /
+      |    len(string_split(d.text, ' ')), 6) AS dup_fraction
+      |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ── q197: curriculum interleave training order ─────────────────────────
 
   /** q197: the curriculum-interleave training order over the document

@@ -132,6 +132,16 @@ object Streaming {
    * its single-counter state (vs O(k) buffered pairs per open bucket)
    * and zero emission latency (vs watermark-delayed) are worth the
    * reordering fragility.
+   *
+   * @note MIGRATION (behavior change): this entry point previously ran
+   *       the in-order variant — output was immediate and every event
+   *       was counted in ARRIVAL order. It now (a) delays output until
+   *       the event's bucket passes the watermark and (b) DROPS events
+   *       arriving after their bucket's watermark close, in exchange
+   *       for exact event-time winners under reordering. Callers that
+   *       relied on immediate emission over an in-event-time-order
+   *       source opt back in explicitly via
+   *       [[rateLimitedStreamInOrder]].
    */
   def rateLimitedStream(events: Dataset[RlEvent], bucketUs: Long, k: Int,
                         watermarkDelay: String = "10 minutes"): Dataset[RlEvent] =
