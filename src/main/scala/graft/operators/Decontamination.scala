@@ -39,4 +39,41 @@ object Decontamination {
         countDistinct(col("s")).as("n_shared_ngrams"),
         countDistinct(col("graft_eval_id")).as("n_eval_docs_hit"))
   }
+
+  /**
+   * Semantic (embedding-space) decontamination: training vectors whose
+   * cosine similarity to ANY eval/benchmark vector reaches `tau` —
+   * the paraphrase-robust complement to [[contaminated]]'s verbatim
+   * n-gram filter (surface rewrites defeat n-grams but not embeddings;
+   * the eval-overlap analyses of Brown et al. 2020 app. C and the
+   * SemDeDup embedding-similarity criterion, Abbas et al. 2023, applied
+   * train→eval instead of train→train). Output per contaminated train
+   * id: `n_eval_hits` (eval vectors at/above tau) and `max_cosine`
+   * (rounded to 6 dp). Anti-join against the corpus for the survivors.
+   *
+   * Scale shape: the eval set is benchmark-sized, so it rides as ONE
+   * BROADCAST and the corpus is scanned in a single narrow pass —
+   * broadcast nested-loop with a codegen'd cosine, then a train-id
+   * hash-agg (map-side combinable; at most |eval| rows per train id
+   * pre-combine). The corpus never shuffles on vector contents. Per-row
+   * cost is |eval|·dims multiply-adds — the same budget [[Similarity
+   * .bruteForceTopK]] spends per query; if eval outgrows broadcast
+   * range, prefilter candidates with [[Similarity
+   * .cosineNearDupPairsBucketed]]'s LSH banding and verify only bucket
+   * collisions.
+   */
+  def semanticContaminated(train: DataFrame, evalVecs: DataFrame,
+                           idCol: String, vecCol: String,
+                           tau: Double): DataFrame = {
+    val ev = evalVecs.select(col(idCol).as("graft_eval_id"),
+      col(vecCol).as("graft_ev"))
+    train.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(ev))
+      .withColumn("graft_cos",
+        round(Similarity.cosine(col(vecCol), col("graft_ev")), 6))
+      .filter(col("graft_cos") >= tau)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(col("graft_cos")).as("max_cosine"))
+  }
 }

@@ -295,6 +295,71 @@ object Relevance {
   }
 
   /**
+   * Per-document perplexity under a Jelinek–Mercer interpolated corpus
+   * bigram LM: p(y|x) = λ·c(x,y)/c(x) + (1−λ)·c(y)/N (Jelinek & Mercer
+   * 1980; the smoothing Chen & Goodman 1999 benchmark as the baseline
+   * interpolation). This is THE classic "perplexity filter" shape used
+   * to score web text against a reference corpus (CCNet, Wenzek et al.
+   * 2020 — there with a trained KenLM; here the corpus itself is the
+   * model). Differs from [[bigramLogProb]] (add-one smoothing, avg logp
+   * only): unigram backoff never zeroes a seen word, and the doc-level
+   * output is perplexity = exp(−mean logp), the unit curation thresholds
+   * are quoted in. Positions scored: bigram slots 2..n; docs with <2
+   * words have no scored slots and drop out (same contract as
+   * [[bigramLogProb]]).
+   *
+   * Determinism: λ defaults to 0.75 (exactly representable), each term's
+   * ln is rounded to 6 dp and summed as DECIMAL(18,6) → order-independent,
+   * engine-portable. The doc-level outputs are the EXACT decimal
+   * `sum_logp` plus `ppl` = exp(−sum/n) rounded once at the end — a
+   * rounded MEAN column is deliberately absent: sum/n can land exactly
+   * on a 6-dp half (it did at sf0.001), where Spark's decimal-string
+   * HALF_UP and DuckDB's multiply-then-round disagree by one ulp of the
+   * last digit. The exact sum has no such boundary.
+   *
+   * Scale shape: bigrams from ONE zip_with (no position self-join); the
+   * model tables c(x,y), c(x), c(y) are word-keyed hash-aggs (map-side
+   * combinable); N and λ ride in a 1-row broadcast. The per-doc sum
+   * shuffles on doc id only.
+   */
+  def interpolatedPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                             lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda=$lambda must be in (0,1)")
+    val ws = col("graft_ws")
+    val pairs = docs.select(col(idCol), split(col(textCol), " ").as("graft_ws"))
+      .select(col(idCol), explode(when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("x"), b.as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>")))
+        .as("p"))
+      .select(col(idCol), col("p.x").as("x"), col("p.y").as("y"))
+    val cxy = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+    val unigrams = docs.select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("graft_cu"))
+    val totalN = unigrams.agg(sum(col("graft_cu")).as("graft_n"))
+    val p = lit(lambda) *
+      (col("c_xy").cast(DoubleType) / col("c_x").cast(DoubleType)) +
+      lit(1.0 - lambda) *
+        (col("c_y").cast(DoubleType) / col("graft_n").cast(DoubleType))
+    pairs
+      .join(cxy, Seq("x", "y"))
+      .join(unigrams.select(col("term").as("x"), col("graft_cu").as("c_x")),
+        Seq("x"))
+      .join(unigrams.select(col("term").as("y"), col("graft_cu").as("c_y")),
+        Seq("y"))
+      .crossJoin(broadcast(totalN))
+      .withColumn("graft_term",
+        round(F.log(p), 6).cast(DecimalType(18, 6)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("graft_term")).as("sum_logp"))
+      .withColumn("ppl",
+        round(exp(-(col("sum_logp").cast(DoubleType) /
+          col("n_scored").cast(DoubleType))), 6))
+  }
+
+  /**
    * Skip-gram co-occurrence counts — word2vec-style context mining: every
    * unordered word pair within `window` positions of each other, counted
    * corpus-wide, top-`k` by count. The counting step of embedding /

@@ -418,4 +418,76 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_fingerprints"),
         sum(col("fp_hash")).cast(LongType).as("fp_sum"),
         min(col("fp_enc")).as("fp_min"))
+
+  /**
+   * Multi-rule quality audit — the Gopher-style rule battery (Rae et al.
+   * 2021 §A1.1: word-count bounds, mean-word-length bounds, stopword
+   * presence) plus the repetition rules its successors added (C4 /
+   * RefinedWeb: type-token ratio, most-frequent-word share). Unlike the
+   * single composite score of [[qualityScore]], each rule is reported as
+   * its own boolean so a curation pipeline can tune or ablate rules
+   * individually, plus `n_failed` and the conjunctive `keep`.
+   *
+   * Rules (all bounds inclusive):
+   *   - `r_word_count`:   minWords <= n_words <= maxWords
+   *   - `r_mean_word_len`: minMeanLen <= mean word length <= maxMeanLen
+   *     (mean over word string lengths — NOT chars/words, which counts
+   *     separators)
+   *   - `r_stopwords`:    >= minStop DISTINCT stopwords present
+   *   - `r_ttr`:          type-token ratio (distinct/total words) >= minTtr
+   *   - `r_top_share`:    most-frequent word's share of tokens <= maxTopShare
+   *
+   * Scale shape: everything except `r_top_share` is one narrow codegen'd
+   * projection. The top-word share needs a per-(doc, word) count; that is
+   * an explode + hash-agg keyed by (doc, word) then doc — map-side
+   * combinable, state bounded by per-doc vocabulary, never corpus-global.
+   * (A higher-order-function variant would be shuffle-free but O(types ×
+   * tokens) per doc — quadratic in a 100k-token doc — so the doc-keyed
+   * shuffle is the scale-safe choice.) Ratios are single IEEE-double
+   * divisions of exact int counts → engine-portable comparisons.
+   */
+  def gopherRuleAudit(docs: DataFrame, idCol: String, textCol: String,
+                      stopwords: Seq[String] = Seq("the", "and", "of", "a", "to", "in"),
+                      minWords: Int = 30, maxWords: Int = 5000,
+                      minMeanLen: Double = 3.5, maxMeanLen: Double = 10.0,
+                      minStop: Int = 2, minTtr: Double = 0.5,
+                      maxTopShare: Double = 0.1): DataFrame = {
+    val topCnt = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("graft_w"))
+      .groupBy(col(idCol), col("graft_w"))
+      .agg(count(lit(1)).as("graft_c"))
+      .groupBy(col(idCol))
+      .agg(max(col("graft_c")).as("graft_top_cnt"))
+    val words = split(col(textCol), " ")
+    val nWords = size(words).cast(LongType)
+    val meanLen = aggregate(words, lit(0L),
+      (acc, w) => acc + length(w).cast(LongType)).cast(DoubleType) / nWords
+    val nStop = size(array_intersect(array_distinct(words),
+      array(stopwords.map(lit(_)): _*))).cast(LongType)
+    val ttr = size(array_distinct(words)).cast(DoubleType) / nWords
+    val base = docs.select(col(idCol),
+      nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      nStop.as("n_stopwords"),
+      round(ttr, 6).as("ttr"))
+    val rules = Seq(
+      "r_word_count" -> (col("n_words") >= minWords &&
+        col("n_words") <= maxWords),
+      "r_mean_word_len" -> (col("mean_word_len") >= minMeanLen &&
+        col("mean_word_len") <= maxMeanLen),
+      "r_stopwords" -> (col("n_stopwords") >= minStop),
+      "r_ttr" -> (col("ttr") >= minTtr),
+      "r_top_share" -> (col("top_share") <= maxTopShare))
+    val nFailed = rules.map { case (n, _) =>
+      when(col(n), 0).otherwise(1)
+    }.reduce(_ + _)
+    base.join(topCnt, Seq(idCol))
+      .withColumn("top_share",
+        round(col("graft_top_cnt").cast(DoubleType) / col("n_words"), 6))
+      .select((col(idCol) +: Seq("n_words", "mean_word_len", "n_stopwords",
+        "ttr", "top_share").map(col)) ++
+        rules.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("n_failed", nFailed.cast(LongType))
+      .withColumn("keep", col("n_failed") === 0)
+  }
 }

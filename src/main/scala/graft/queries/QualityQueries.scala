@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Decontamination, Relevance, TextAnalysis}
+import graft.sources.Sources
+
+/** Round-9 curation-quality operators: the Gopher-style multi-rule
+  * quality audit, Jelinek–Mercer interpolated perplexity scoring, and
+  * embedding-space (semantic) benchmark decontamination — each with a
+  * DuckDB oracle reproducing the arithmetic exactly. */
+object QualityQueries {
+
+  // ── q199: Gopher-style rule battery ────────────────────────────────────
+
+  /** q199: per-document multi-rule quality audit —
+    * [[TextAnalysis.gopherRuleAudit]] with per-rule booleans, failure
+    * count, and the conjunctive keep flag. Thresholds are picked so the
+    * synthetic corpus actually splits on every rule (word count ≥ 30
+    * fails the short tail; top-share ≤ 0.1 fails repetitive docs). */
+  def q199RuleAudit(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRuleAudit(Sources.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q199Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |base AS (SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+      |      / len(w), 6) AS mean_word_len,
+      |    CAST(len(list_filter(['the', 'and', 'of', 'a', 'to', 'in'],
+      |      s -> list_contains(w, s))) AS BIGINT) AS n_stopwords,
+      |    round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr
+      |  FROM ws),
+      |tc AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+      |    SELECT doc_id, x, COUNT(*) AS cnt
+      |    FROM (SELECT doc_id, unnest(w) AS x FROM ws) GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |j AS (SELECT b.*,
+      |    round(CAST(t.top_cnt AS DOUBLE) / b.n_words, 6) AS top_share
+      |  FROM base b JOIN tc t USING (doc_id)),
+      |r AS (SELECT doc_id, n_words, mean_word_len, n_stopwords, ttr,
+      |    top_share,
+      |    n_words BETWEEN 30 AND 5000 AS r_word_count,
+      |    mean_word_len BETWEEN 3.5 AND 10.0 AS r_mean_word_len,
+      |    n_stopwords >= 2 AS r_stopwords,
+      |    ttr >= 0.5 AS r_ttr,
+      |    top_share <= 0.1 AS r_top_share
+      |  FROM j)
+      |SELECT *,
+      |  CAST((NOT r_word_count)::INT + (NOT r_mean_word_len)::INT +
+      |    (NOT r_stopwords)::INT + (NOT r_ttr)::INT +
+      |    (NOT r_top_share)::INT AS BIGINT) AS n_failed,
+      |  (r_word_count AND r_mean_word_len AND r_stopwords AND r_ttr
+      |    AND r_top_share) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ── q200: interpolated-bigram perplexity ───────────────────────────────
+
+  /** q200: per-document perplexity under the Jelinek–Mercer interpolated
+    * corpus bigram LM (λ = 0.75) — [[Relevance.interpolatedPerplexity]];
+    * the CCNet-style perplexity quality filter with the corpus as its own
+    * reference model. */
+  def q200DocPerplexity(s: SparkSession, dir: String): DataFrame =
+    Relevance.interpolatedPerplexity(Sources.documents(s, dir), "doc_id",
+        "text", lambda = 0.75)
+      .orderBy(col("doc_id"))
+
+  val q200Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pr AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), j ->
+      |         {'x': w[j], 'y': w[j+1]})) AS u
+      |       FROM ws WHERE len(w) >= 2),
+      |p AS (SELECT doc_id, u.x AS x, u.y AS y FROM pr),
+      |cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM p GROUP BY 1, 2),
+      |tt AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |cu AS (SELECT t, COUNT(*) AS c FROM tt GROUP BY 1),
+      |n AS (SELECT SUM(c) AS n FROM cu),
+      |tm AS (SELECT p.doc_id,
+      |    CAST(round(ln(
+      |      0.75 * (CAST(c.c_xy AS DOUBLE) / CAST(ux.c AS DOUBLE)) +
+      |      0.25 * (CAST(uy.c AS DOUBLE) / CAST(n.n AS DOUBLE))), 6)
+      |      AS DECIMAL(18,6)) AS term
+      |  FROM p JOIN cxy c USING (x, y)
+      |  JOIN cu ux ON ux.t = p.x
+      |  JOIN cu uy ON uy.t = p.y
+      |  CROSS JOIN n)
+      |SELECT doc_id, COUNT(*) AS n_scored,
+      |  SUM(term) AS sum_logp,
+      |  round(exp(-(CAST(SUM(term) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE))), 6) AS ppl
+      |FROM tm GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ── q201: semantic decontamination ─────────────────────────────────────
+
+  /** q201: training vectors (vec_id % 13 ≠ 0) whose cosine to any
+    * benchmark vector (vec_id % 13 = 0) reaches τ = 0.375 (exactly
+    * representable) — [[Decontamination.semanticContaminated]], the
+    * paraphrase-robust complement to q75's verbatim n-gram filter. */
+  def q201EmbedDecontam(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    Decontamination.semanticContaminated(
+        emb.filter(col("vec_id") % 13 =!= 0),
+        emb.filter(col("vec_id") % 13 === 0),
+        "vec_id", "embedding", tau = 0.375)
+      .orderBy(col("vec_id"))
+  }
+
+  val q201Sql: String =
+    """WITH ev AS (SELECT vec_id AS eid, embedding AS evv
+      |            FROM embeddings WHERE vec_id % 13 = 0),
+      |cs AS (SELECT t.vec_id, ev.eid, round(
+      |    list_sum(list_transform(range(1, len(t.embedding) + 1),
+      |      i -> t.embedding[i]::DOUBLE * ev.evv[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, len(t.embedding) + 1),
+      |       i -> t.embedding[i]::DOUBLE * t.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, len(ev.evv) + 1),
+      |       i -> ev.evv[i]::DOUBLE * ev.evv[i]::DOUBLE)))), 6) AS c
+      |  FROM embeddings t CROSS JOIN ev WHERE t.vec_id % 13 <> 0)
+      |SELECT vec_id, COUNT(*) AS n_eval_hits, MAX(c) AS max_cosine
+      |FROM cs WHERE c >= 0.375 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+}

@@ -259,7 +259,7 @@ object TokenQueries {
       |  round(CAST(COALESCE(cov.c, 0) AS DOUBLE) /
       |    len(string_split(d.text, ' ')), 6) AS dup_fraction
       |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
-      |ORDER BY doc_id""".stripMargin
+      |ORDER BY d.doc_id""".stripMargin
 
   // ── q197: curriculum interleave training order ─────────────────────────
 

@@ -43,21 +43,34 @@ object Sources {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
-  /** The events table carries a parquet TIMESTAMP(NANOS) `ts`, which Spark
-    * reads only as a raw long (spark.sql.legacy.parquet.nanosAsLong=true —
-    * set in GraftSession). Convert to a microsecond timestamp here so every
-    * downstream operator sees a real timestamp column (the testdata has no
-    * sub-microsecond components). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = table(spark, dir, "events")
+  /** The events table's `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (Spark reads only as a raw long under
+    * spark.sql.legacy.parquet.nanosAsLong=true — set in GraftSession),
+    * TIMESTAMP(MICROS) without UTC adjustment (read as TIMESTAMP_NTZ),
+    * and UTC-adjusted TIMESTAMP. Normalize ALL of them to TimestampType
+    * here so every downstream operator (unix_micros, bigint casts,
+    * windows) sees one uniform timestamp column. The session timezone is
+    * UTC, so the NTZ→TZ cast is value-preserving. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(table(spark, dir, "events"))
+
+  /** Normalize an events-shaped frame's `ts` to TimestampType whatever
+    * the parquet generation produced (raw nanos long / NTZ micros /
+    * UTC-adjusted). Public because streaming readers built directly on
+    * the parquet file (readStream has no Sources.events path) need the
+    * identical normalization — watermarks reject TIMESTAMP_NTZ. */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

@@ -455,7 +455,13 @@ class PlanShapeSpec extends SparkSpec {
       "q195_dsir_select",
       // q197: n_partitions-row offsets `<` join from the GlobalRank
       // global position inside curriculumInterleave (same as q143/q165)
-      "q197_curriculum")
+      "q197_curriculum",
+      // q200: 1-row corpus-token-total broadcast (the q81/q130 shape)
+      "q200_doc_perplexity",
+      // q201: benchmark-sized eval-vector broadcast vs one corpus pass
+      // (the q92/q116/q131 eval-set shape; LSH-banded prefilter is the
+      // documented scale path if eval outgrows broadcast range)
+      "q201_embed_decontam")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

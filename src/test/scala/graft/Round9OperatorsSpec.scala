@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Decontamination, Relevance, TextAnalysis}
+
+/** Round-9 curation-quality specs: the Gopher-style rule battery,
+  * Jelinek–Mercer interpolated perplexity, and embedding-space
+  * decontamination — hand-computed expectations, independent of the
+  * DuckDB gate. */
+class Round9OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── gopherRuleAudit ─────────────────────────────────────────────────────
+
+  test("gopherRuleAudit computes per-rule flags, n_failed, and keep") {
+    // doc 1: 30 words, all rules pass except top_share ("the" 4/30 > 0.1)
+    //        and ttr (distinct 9/30 < 0.5) and... compute by hand below
+    val doc1 = (Seq.fill(4)("the") ++ Seq.fill(4)("and") ++
+      Seq("table", "query", "filter", "window", "stream", "column",
+        "partition", "shuffle", "whole", "stage", "codegen", "exchange",
+        "sortmerge", "broadcast", "hashagg", "project", "generate",
+        "expand", "sample", "union", "window2", "limit2")).mkString(" ")
+    // doc 2: 3 words — fails word count; no stopwords → fails stopwords
+    val doc2 = "alpha beta gamma"
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRuleAudit(docs, "doc_id", "text",
+      minWords = 10, maxWords = 5000, minMeanLen = 3.0, maxMeanLen = 10.0,
+      minStop = 2, minTtr = 0.5, maxTopShare = 0.1)
+      .orderBy("doc_id").collect()
+
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_words") == 30L)
+    // words: 4×"the"(3) + 4×"and"(3) + the 22 listed
+    assert(r1.getAs[Long]("n_stopwords") == 2L) // the, and
+    // distinct words: the, and + 22 distinct = 24 → ttr = 0.8
+    assert(r1.getAs[Double]("ttr") == 0.8)
+    // top word "the"/"and" count 4 → share 4/30 ≈ 0.133333 > 0.1 → fail
+    assert(r1.getAs[Double]("top_share") == 0.133333)
+    assert(r1.getAs[Boolean]("r_word_count"))
+    assert(r1.getAs[Boolean]("r_stopwords"))
+    assert(r1.getAs[Boolean]("r_ttr"))
+    assert(!r1.getAs[Boolean]("r_top_share"))
+    assert(r1.getAs[Long]("n_failed") == 1L)
+    assert(!r1.getAs[Boolean]("keep"))
+
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_words") == 3L)
+    assert(!r2.getAs[Boolean]("r_word_count"))
+    assert(!r2.getAs[Boolean]("r_stopwords"))
+    assert(r2.getAs[Boolean]("r_ttr"))   // 3/3 = 1.0
+    // top_share = 1/3 ≈ 0.333333 > 0.1 → fail; mean len 5+4+5=14/3≈4.67 ok
+    assert(!r2.getAs[Boolean]("r_top_share"))
+    assert(r2.getAs[Long]("n_failed") == 3L)
+    assert(!r2.getAs[Boolean]("keep"))
+  }
+
+  test("gopherRuleAudit mean word length is over word lengths, not chars/words") {
+    val docs = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRuleAudit(docs, "doc_id", "text",
+      minWords = 1).collect()
+    // 6 letter chars / 3 words = 2.0 (chars/words incl. spaces would be 8/3)
+    assert(out(0).getAs[Double]("mean_word_len") == 2.0)
+  }
+
+  // ── interpolatedPerplexity ──────────────────────────────────────────────
+
+  test("interpolatedPerplexity matches a hand-computed two-doc corpus") {
+    // corpus: "a b a b" (doc 1), "a b" (doc 2) → N = 6, c(a)=3, c(b)=3
+    // bigrams: (a,b)×3, (b,a)×1 → c(a,b)=3, c(b,a)=1
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Relevance.interpolatedPerplexity(docs, "doc_id", "text",
+      lambda = 0.75).orderBy("doc_id").collect()
+    // p(b|a) = 0.75·(3/3) + 0.25·(3/6) = 0.875 → ln = −0.133531
+    // p(a|b) = 0.75·(1/3) + 0.25·(3/6) = 0.375 → ln = −0.980829
+    // doc1: slots b,a,b → sum = −0.133531·2 − 0.980829 = −1.247891
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_scored") == 3L)
+    assert(d1.getAs[java.math.BigDecimal]("sum_logp")
+      .compareTo(new java.math.BigDecimal("-1.247891")) == 0)
+    assert(d1.getAs[Double]("ppl") ==
+      BigDecimal(math.exp(1.247891 / 3.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc2: one slot (a,b) → sum = −0.133531, ppl = e^0.133531
+    val d2 = out(1)
+    assert(d2.getAs[Long]("n_scored") == 1L)
+    assert(d2.getAs[java.math.BigDecimal]("sum_logp")
+      .compareTo(new java.math.BigDecimal("-0.133531")) == 0)
+  }
+
+  test("interpolatedPerplexity drops docs shorter than two words") {
+    val docs = Seq((1L, "solo"), (2L, "a a")).toDF("doc_id", "text")
+    val out = Relevance.interpolatedPerplexity(docs, "doc_id", "text")
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("interpolatedPerplexity rejects lambda outside (0,1)") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Relevance.interpolatedPerplexity(docs, "doc_id", "text", lambda = 1.0)
+    }
+  }
+
+  // ── semanticContaminated ────────────────────────────────────────────────
+
+  test("semanticContaminated flags cosine >= tau hits against the eval set") {
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f)),   // cos 1.0 to eval 100, 0.0 to eval 101
+      (2L, Array(1.0f, 1.0f)),   // cos ≈0.707107 to both
+      (3L, Array(-1.0f, 0.0f))   // cos −1 / 0 → no hits at τ=0.9
+    ).toDF("vec_id", "embedding")
+    val ev = Seq(
+      (100L, Array(1.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Decontamination.semanticContaminated(train, ev,
+        "vec_id", "embedding", tau = 0.9)
+      .orderBy("vec_id").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("vec_id") == 1L)
+    assert(out(0).getAs[Long]("n_eval_hits") == 1L)
+    assert(out(0).getAs[Double]("max_cosine") == 1.0)
+
+    val loose = Decontamination.semanticContaminated(train, ev,
+        "vec_id", "embedding", tau = 0.7)
+      .orderBy("vec_id").collect()
+    assert(loose.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L))
+    assert(loose(1).getAs[Long]("n_eval_hits") == 2L)
+    assert(loose(1).getAs[Double]("max_cosine") == 0.707107)
+  }
+
+  test("semanticContaminated eval side is broadcast (no corpus shuffle)") {
+    val train = (1L to 100L).map(i => (i, Array(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ev = Seq((1000L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val plan = Decontamination.semanticContaminated(train, ev,
+      "vec_id", "embedding", tau = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"expected broadcast in:\n$plan")
+  }
+}

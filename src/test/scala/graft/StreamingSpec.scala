@@ -77,11 +77,7 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       java.nio.file.Paths.get(s"$streamDir/events.parquet"))
     val stream = spark.readStream.schema(raw.schema).parquet(streamDir)
-    val streamEvents = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        stream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case _ => stream
-    }
+    val streamEvents = Sources.normalizeEventTs(stream)
     val q = Streaming.windowedEventCounts(streamEvents, "1 hour", "1 hour")
       .writeStream.format("memory").queryName("wec")
       .outputMode("complete")
@@ -97,11 +93,7 @@ class StreamingSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     val raw = spark.read.parquet(s"$sf/events.parquet")
     def sessions(df: org.apache.spark.sql.DataFrame) = {
-      val events = df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-        case _ => df
-      }
+      val events = Sources.normalizeEventTs(df)
       events.withWatermark("ts", "0 seconds")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"))
