@@ -952,4 +952,38 @@ object TextDedup {
   def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /**
+   * Cross-source near-duplication matrix: for every unordered pair of
+   * sources (crawls, dumps, vendors), how many verified near-dup pairs
+   * span them, and how similar the worst offender is — the
+   * which-of-my-corpora-overlap audit run before choosing mixture
+   * weights (double-counted content inflates a source's effective
+   * epochs). Pairs come from [[minHashLshPairs]] (same k/r/w/threshold
+   * semantics); each doc's source is attached and the pair is keyed by
+   * the CANONICAL (least, greatest) source pair so a↔b and b↔a
+   * accumulate together. Intra-source duplication appears on the
+   * diagonal (src_a = src_b).
+   *
+   * Scale shape: the dedup work is [[minHashLshPairs]]'s (banded,
+   * never all-pairs); the source attach is two joins keyed on doc id
+   * against an (id, source) projection — broadcast-eligible when the
+   * pair set is small, plain shuffle-hash otherwise, either way
+   * bounded by the verified-pair count, not the corpus. The final agg
+   * is |sources|² keys — metadata.
+   */
+  def crossSourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+                         sourceCol: String, k: Int = 16, r: Int = 2,
+                         w: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashLshPairs(docs, idCol, textCol, k, r, w, threshold)
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.select(col(idCol).as("d1"), col(sourceCol).as("graft_s1")), "d1")
+      .join(src.select(col(idCol).as("d2"), col(sourceCol).as("graft_s2")), "d2")
+      .groupBy(
+        least(col("graft_s1"), col("graft_s2")).as("src_a"),
+        greatest(col("graft_s1"), col("graft_s2")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("jaccard")).as("max_jaccard"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.functions.VectorFunctions
 
 /**
  * Distributed vector aggregation + IVF-style approximate nearest neighbor.
@@ -342,5 +343,54 @@ object VectorAggs {
     LatestSnapshot.topK(cands, Seq("q_id"),
         col("cosine").desc, Seq(col("c_id").asc), k)
       .select(col("q_id"), col("c_id"), col("cosine"))
+  }
+
+  /**
+   * Product-quantization encode (Jégou et al. TPAMI 2011): split each
+   * `dims`-dim vector into `m` contiguous subspaces of dims/m and assign
+   * every subvector to its nearest codeword (squared L2, ties → smallest
+   * code). The codebook here is the PQ SEEDING step — the first `k`
+   * vectors by id, exactly [[kMeans]]'s seed rule; refining each
+   * subspace's codebook with per-subspace k-means iterations composes
+   * from [[kMeans]] the same way q61 does. Output one row per
+   * (vector, subspace): the code and its quantization error — summing
+   * `l2_sq` over a vector's m rows gives the reconstruction error, and
+   * m × log₂k bits replace dims × 32.
+   *
+   * Scale shape: the codebook is k rows (metadata) — ONE broadcast
+   * against a single corpus pass; per row the work is k·dims
+   * multiply-adds through the codegen'd `l2_sq` kernel on array slices
+   * (no per-dim explode of the corpus). The subspace fan-out (×m) and
+   * candidate fan-out (×k) happen AFTER the broadcast join, inside the
+   * same stage, and collapse immediately in a (vec, subspace)-keyed
+   * min — map-side combinable, never more than m rows per vector leave
+   * the stage.
+   */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               dims: Int, m: Int, k: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    require(k >= 1, s"k=$k codewords required")
+    val sub = dims / m
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    // k-row table: window renumber is metadata-scale by construction
+    val codebook = df.orderBy(col(idCol)).limit(k)
+      .select((row_number().over(w) - 1).as("graft_code"),
+        col(vecCol).as("graft_cv"))
+    val perSub = (0 until m).map { j =>
+      struct(lit(j).as("subspace"),
+        round(VectorFunctions.l2Sq(
+          slice(col(vecCol), j * sub + 1, sub),
+          slice(col("graft_cv"), j * sub + 1, sub)), 6).as("dist"))
+    }
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(codebook))
+      .select(col(idCol), col("graft_code"),
+        explode(array(perSub: _*)).as("graft_sd"))
+      .groupBy(col(idCol), col("graft_sd.subspace").as("subspace"))
+      .agg(min(struct(col("graft_sd.dist").as("dist"),
+        col("graft_code").as("code"))).as("graft_best"))
+      .select(col(idCol), col("subspace"),
+        col("graft_best.code").as("code"),
+        col("graft_best.dist").as("l2_sq"))
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Decontamination, Relevance, TextAnalysis}
+import graft.operators.{Decontamination, Relevance, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-9 curation-quality operators: the Gopher-style multi-rule
@@ -119,4 +119,58 @@ object QualityQueries {
       |  FROM embeddings t CROSS JOIN ev WHERE t.vec_id % 13 <> 0)
       |SELECT vec_id, COUNT(*) AS n_eval_hits, MAX(c) AS max_cosine
       |FROM cs WHERE c >= 0.375 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // ── q202: product-quantization encode ──────────────────────────────────
+
+  /** q202: PQ encode of the embedding corpus — [[VectorAggs.pqEncode]]
+    * with 4 subspaces of 16 dims and a 16-codeword seeded codebook; one
+    * row per (vector, subspace) with the code and quantization error. */
+  def q202PqEncode(s: SparkSession, dir: String): DataFrame =
+    VectorAggs.pqEncode(Sources.embeddings(s, dir), "vec_id", "embedding",
+        dims = 64, m = 4, k = 16)
+      .orderBy(col("vec_id"), col("subspace"))
+
+  val q202Sql: String =
+    """WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+      |         embedding AS cv
+      |       FROM (SELECT vec_id, embedding FROM embeddings
+      |             ORDER BY vec_id LIMIT 16)),
+      |d AS (SELECT e.vec_id, t.j AS subspace, cb.code,
+      |        round(list_sum(list_transform(range(1, 17), i ->
+      |          (e.embedding[t.j * 16 + i]::DOUBLE -
+      |             cb.cv[t.j * 16 + i]::DOUBLE) *
+      |          (e.embedding[t.j * 16 + i]::DOUBLE -
+      |             cb.cv[t.j * 16 + i]::DOUBLE))), 6) AS dist
+      |      FROM embeddings e CROSS JOIN cb CROSS JOIN range(0, 4) t(j)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+      |        ORDER BY dist, code) AS rn FROM d)
+      |SELECT vec_id, CAST(subspace AS INT) AS subspace,
+      |  CAST(code AS INT) AS code, dist AS l2_sq
+      |FROM r WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
+
+  // ── q203: cross-source near-dup overlap matrix ─────────────────────────
+
+  /** q203: the source-pair near-duplication matrix over the verified
+    * MinHash-LSH pairs (q19 parameters) — [[TextDedup.crossSourceOverlap]];
+    * the audit run before mixture-weight selection. */
+  def q203SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    TextDedup.crossSourceOverlap(Sources.documents(s, dir), "doc_id",
+        "text", "source", k = 16, r = 4, w = 3, threshold = 0.5)
+      .orderBy(col("src_a"), col("src_b"))
+
+  // wraps the ONE canonical LSH oracle chain (q19Sql) — a parameter
+  // change there propagates here, instead of a drifting inline copy
+  val q203Sql: String =
+    s"""WITH pairs AS (
+      |  SELECT d1, d2, jaccard FROM (
+      |${PipelineQueries.q19Sql}
+      |  )),
+      |sp AS (SELECT p.jaccard,
+      |         LEAST(a.source, b.source) AS src_a,
+      |         GREATEST(a.source, b.source) AS src_b
+      |       FROM pairs p
+      |       JOIN documents a ON a.doc_id = p.d1
+      |       JOIN documents b ON b.doc_id = p.d2)
+      |SELECT src_a, src_b, COUNT(*) AS n_pairs, MAX(jaccard) AS max_jaccard
+      |FROM sp GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
 }

@@ -461,7 +461,9 @@ class PlanShapeSpec extends SparkSpec {
       // q201: benchmark-sized eval-vector broadcast vs one corpus pass
       // (the q92/q116/q131 eval-set shape; LSH-banded prefilter is the
       // documented scale path if eval outgrows broadcast range)
-      "q201_embed_decontam")
+      "q201_embed_decontam",
+      // q202: k-row PQ codebook broadcast (the q61/q82 centroid shape)
+      "q202_pq_encode")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

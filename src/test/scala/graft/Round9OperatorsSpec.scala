@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decontamination, Relevance, TextAnalysis}
+import graft.operators.{Decontamination, Relevance, TextAnalysis, TextDedup, VectorAggs}
 
 /** Round-9 curation-quality specs: the Gopher-style rule battery,
   * Jelinek–Mercer interpolated perplexity, and embedding-space
@@ -127,6 +127,59 @@ class Round9OperatorsSpec extends SparkSpec {
     assert(loose.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L))
     assert(loose(1).getAs[Long]("n_eval_hits") == 2L)
     assert(loose(1).getAs[Double]("max_cosine") == 0.707107)
+  }
+
+  // ── pqEncode ────────────────────────────────────────────────────────────
+
+  test("pqEncode assigns each subspace to its nearest codeword with tie-break") {
+    // dims=4, m=2 (sub=2), k=2 codewords: ids 1 and 2
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f, 10.0f, 10.0f)),  // codeword 0
+      (2L, Array(4.0f, 4.0f, 0.0f, 0.0f)),    // codeword 1
+      // subspace 0 nearer cw1 (dist 2 vs 18), subspace 1 nearer cw0
+      // (dist 2 vs 162)
+      (7L, Array(3.0f, 3.0f, 9.0f, 9.0f)),
+      // equidistant in subspace 0 from both codewords (dist 8) → code 0
+      (9L, Array(2.0f, 2.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = VectorAggs.pqEncode(vecs, "vec_id", "embedding",
+        dims = 4, m = 2, k = 2)
+      .orderBy("vec_id", "subspace").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("subspace"),
+        r.getAs[Int]("code"), r.getAs[Double]("l2_sq")))
+    assert(out.toSeq == Seq(
+      (1L, 0, 0, 0.0), (1L, 1, 0, 0.0),
+      (2L, 0, 1, 0.0), (2L, 1, 1, 0.0),
+      (7L, 0, 1, 2.0), (7L, 1, 0, 2.0),
+      (9L, 0, 0, 8.0), (9L, 1, 1, 0.0)))
+  }
+
+  test("pqEncode rejects a subspace count that does not divide dims") {
+    val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      VectorAggs.pqEncode(vecs, "vec_id", "embedding", dims = 3, m = 2, k = 1)
+    }
+  }
+
+  // ── crossSourceOverlap ──────────────────────────────────────────────────
+
+  test("crossSourceOverlap keys pairs by canonical source pair") {
+    // near-identical docs across sources; w=1 shingles for tiny text
+    val docs = Seq(
+      (1L, "x y z", "crawlB"),
+      (2L, "x y z", "crawlA"),   // dup of 1 across sources
+      (3L, "x y z", "crawlA"),   // dup of 1 (B,A) and of 2 (A,A diagonal)
+      (4L, "p q r", "crawlA")    // no dups
+    ).toDF("doc_id", "text", "source")
+    val out = TextDedup.crossSourceOverlap(docs, "doc_id", "text", "source",
+        k = 16, r = 4, w = 1, threshold = 0.5)
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("n_pairs"), r.getAs[Double]("max_jaccard")))
+    // pairs: (1,2) B-A, (1,3) B-A, (2,3) A-A — all jaccard 1.0
+    assert(out.toSeq == Seq(
+      ("crawlA", "crawlA", 1L, 1.0),
+      ("crawlA", "crawlB", 2L, 1.0)))
   }
 
   test("semanticContaminated eval side is broadcast (no corpus shuffle)") {
