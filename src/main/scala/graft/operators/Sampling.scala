@@ -392,4 +392,47 @@ object Sampling {
       .agg(count(lit(1)).as("n_words"),
         sum(col("graft_term")).as("logw"))
   }
+
+  /**
+   * Perplexity-weighted mixture planning: turn per-document LM scores
+   * (e.g. [[Relevance.interpolatedPerplexity]]'s output) into per-stratum
+   * sampling weights — the quality-aware refinement of proportional
+   * mixing that up-weights sources whose text the reference LM finds
+   * predictable (the CCNet bucketing signal, Wenzek et al. 2020, turned
+   * into mixture mass; DoReMi, Xie et al. 2023, learns these weights —
+   * this is the static excess-quality heuristic a pipeline starts from).
+   *
+   * mass_s = n_tokens_s / mean_ppl_s (token share deflated by mean
+   * perplexity), weight_s = mass_s / Σ mass — computed as
+   * (n_tokens·n_docs)/sum_ppl in one double expression with a fixed
+   * parenthesization, 6-dp-rounded into DECIMAL so the normalizing sum
+   * is order-independent and engine-portable. Only SCORED documents
+   * (≥ 2 words — the perplexity contract) contribute.
+   *
+   * Scale shape: one id-keyed join of the per-doc scores to the strata
+   * map, a |strata|-key hash-agg, and a 1-row totals broadcast — the
+   * corpus never shuffles beyond the doc-id join, and every division
+   * happens on metadata-scale rows.
+   */
+  def perplexityMixtureWeights(pplDf: DataFrame, idCol: String,
+                               strata: DataFrame,
+                               strataCol: String): DataFrame = {
+    val perStratum = pplDf
+      .join(strata.select(col(idCol), col(strataCol)), idCol)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_scored")).as("n_tokens"),
+        sum(col("ppl").cast(DecimalType(18, 6))).as("sum_ppl"))
+      .withColumn("mass",
+        round((col("n_tokens").cast(DoubleType) *
+          col("n_docs").cast(DoubleType)) /
+          col("sum_ppl").cast(DoubleType), 6)
+          .cast(DecimalType(18, 6)))
+    val total = perStratum.agg(sum(col("mass")).as("graft_total"))
+    perStratum.crossJoin(broadcast(total))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        col("sum_ppl"), col("mass").cast(DoubleType).as("mass"),
+        round(col("mass").cast(DoubleType) /
+          col("graft_total").cast(DoubleType), 6).as("weight"))
+  }
 }

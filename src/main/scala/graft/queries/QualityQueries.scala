@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Decontamination, Relevance, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{Decontamination, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-9 curation-quality operators: the Gopher-style multi-rule
@@ -173,4 +173,42 @@ object QualityQueries {
       |       JOIN documents b ON b.doc_id = p.d2)
       |SELECT src_a, src_b, COUNT(*) AS n_pairs, MAX(jaccard) AS max_jaccard
       |FROM sp GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
+
+  // ── q204: perplexity-weighted mixture planning ─────────────────────────
+
+  /** q204: per-source sampling weights from the interpolated-perplexity
+    * scores — [[Sampling.perplexityMixtureWeights]] over q200's per-doc
+    * output, strata = `source`; token share deflated by mean perplexity,
+    * normalized to Σ weight = 1. */
+  def q204MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    Sampling.perplexityMixtureWeights(
+        Relevance.interpolatedPerplexity(docs, "doc_id", "text",
+          lambda = 0.75),
+        "doc_id", docs, "source")
+      .orderBy(col("source"))
+  }
+
+  // wraps the canonical interpolated-perplexity chain (q200Sql) — a
+  // parameter change there propagates here, not a drifting inline copy
+  val q204Sql: String =
+    s"""WITH ppl AS (
+      |  SELECT doc_id, n_scored, ppl FROM (
+      |${q200Sql}
+      |  )),
+      |st AS (SELECT d.source, COUNT(*) AS n_docs,
+      |         CAST(SUM(p.n_scored) AS BIGINT) AS n_tokens,
+      |         SUM(CAST(p.ppl AS DECIMAL(18,6))) AS sum_ppl
+      |       FROM ppl p JOIN documents d USING (doc_id)
+      |       GROUP BY d.source),
+      |m AS (SELECT *, CAST(round(
+      |        (CAST(n_tokens AS DOUBLE) * CAST(n_docs AS DOUBLE)) /
+      |          CAST(sum_ppl AS DOUBLE), 6) AS DECIMAL(18,6)) AS mass
+      |      FROM st),
+      |tot AS (SELECT SUM(mass) AS total FROM m)
+      |SELECT m.source, m.n_docs, m.n_tokens, m.sum_ppl,
+      |  CAST(m.mass AS DOUBLE) AS mass,
+      |  round(CAST(m.mass AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
+      |    AS weight
+      |FROM m CROSS JOIN tot ORDER BY m.source""".stripMargin
 }

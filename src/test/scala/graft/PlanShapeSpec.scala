@@ -463,7 +463,10 @@ class PlanShapeSpec extends SparkSpec {
       // documented scale path if eval outgrows broadcast range)
       "q201_embed_decontam",
       // q202: k-row PQ codebook broadcast (the q61/q82 centroid shape)
-      "q202_pq_encode")
+      "q202_pq_encode",
+      // q204: q200's 1-row corpus-token-total broadcast + a 1-row
+      // mixture-mass-total broadcast onto |strata| rows — metadata scale
+      "q204_mixture_weights")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decontamination, Relevance, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{Decontamination, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
 
 /** Round-9 curation-quality specs: the Gopher-style rule battery,
   * Jelinek–Mercer interpolated perplexity, and embedding-space
@@ -180,6 +180,34 @@ class Round9OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("crawlA", "crawlA", 1L, 1.0),
       ("crawlA", "crawlB", 2L, 1.0)))
+  }
+
+  // ── perplexityMixtureWeights ────────────────────────────────────────────
+
+  test("perplexityMixtureWeights deflates token share by mean perplexity") {
+    // hand-built per-doc scores (the interpolatedPerplexity output shape)
+    val ppl = Seq(
+      (1L, 10L, java.math.BigDecimal.valueOf(-5.0), 2.0),
+      (2L, 10L, java.math.BigDecimal.valueOf(-5.0), 4.0),   // src A: 20 tok, mean ppl 3
+      (3L, 30L, java.math.BigDecimal.valueOf(-5.0), 6.0)    // src B: 30 tok, mean ppl 6
+    ).toDF("doc_id", "n_scored", "sum_logp", "ppl")
+    val strata = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"))
+      .toDF("doc_id", "source")   // doc 4 unscored → C absent from output
+    val out = Sampling.perplexityMixtureWeights(ppl, "doc_id",
+        strata, "source")
+      .orderBy("source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("mass"),
+        r.getAs[Double]("weight")))
+    // mass A = 20·2/6 = 6.666667, mass B = 30·1/6 = 5.0
+    // total = 11.666667 → wA = 0.571428, wB = 0.428572 (6-dp HALF_UP)
+    assert(out.length == 2)
+    assert(out(0) == ("A", 2L, 20L, 6.666667,
+      BigDecimal(6.666667 / 11.666667)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(out(1) == ("B", 1L, 30L, 5.0,
+      BigDecimal(5.0 / 11.666667)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 
   test("semanticContaminated eval side is broadcast (no corpus shuffle)") {
