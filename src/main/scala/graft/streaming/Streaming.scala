@@ -90,6 +90,61 @@ object Streaming {
       .join(indexBands.select(col(idCol).as("d_old"), col("band"), col("bh")),
         Seq("band", "bh"))
 
+  /** Output row of [[lshBucketClaimStream]]: one row per (document,
+    * band) with the bucket's current owner; `is_dup` marks band
+    * collisions with an earlier-owned bucket. */
+  case class BucketClaim(doc_id: Long, band: Int, bh: String,
+                         owner: Long, is_dup: Boolean)
+
+  /**
+   * Streaming SELF-dedup via first-wins LSH bucket claims — the
+   * stateful complement of [[nearDupCandidates]] (which checks a stream
+   * against a STATIC index): here the stream is its own index. Each
+   * incoming document is MinHash-banded per row ([[TextDedup
+   * .bandsPerRow]], stateless), then every (band, bh) bucket keeps ONE
+   * Long of state — the smallest document id seen (the owner). A
+   * document colliding with an already-owned bucket emits `is_dup =
+   * true` for that band; reducing a doc's band rows downstream (any
+   * band dup → candidate, to be Jaccard-verified in `foreachBatch`,
+   * exactly [[nearDupCandidates]]'s contract) gives the online dedup
+   * decision.
+   *
+   * Arrival-order semantics (documented, spec-asserted): ownership is
+   * first-wins ACROSS micro-batches and min-id WITHIN one — a smaller
+   * id arriving after a bucket was claimed takes ownership for FUTURE
+   * arrivals but does not retract the earlier non-dup emission, the
+   * standard online-dedup contract (the batch pass over the same data
+   * is the retroactive ground truth).
+   *
+   * Scale shape: state is one Long per DISTINCT band bucket — bounded
+   * by corpus bands (k/r per doc), not arrivals, and partitioned by
+   * bucket hash across executors; no watermark needed (dedup state is
+   * corpus-lifetime by design — at 100 TB run it on the RocksDB state
+   * store, or add TTL via timeouts when the index is epoch-scoped).
+   */
+  def lshBucketClaimStream(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 16, r: Int = 4,
+                           w: Int = 3): Dataset[BucketClaim] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = graft.operators.TextDedup
+      .bandsPerRow(docs, idCol, textCol, k, r, w)
+      .select(col(idCol).cast("long").as("doc_id"), col("band"), col("bh"))
+      .as[(Long, Int, String)]
+    bands.groupByKey { case (_, band, bh) => (band, bh) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), rows: Iterator[(Long, Int, String)],
+         state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toArray.sorted
+          val owner = math.min(state.getOption.getOrElse(Long.MaxValue),
+            ids.head)
+          state.update(owner)
+          ids.iterator.map(id =>
+            BucketClaim(id, key._1, key._2, owner, id != owner))
+      }
+  }
+
   /**
    * Watermarked stream-STREAM inner join: each view event pairs with the
    * click events of the same user arriving within `horizon` AFTER it —

@@ -179,6 +179,71 @@ class StreamingSpec extends SparkSpec {
       .distinct().collect().toSet === expected)
   }
 
+  test("LSH bucket-claim stream matches batch min-id ownership in one batch") {
+    import graft.operators.TextDedup
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // batch ground truth: owner of every bucket = min doc_id in it
+    val bands = TextDedup.bandsPerRow(docs, "doc_id", "text")
+      .select(col("doc_id"), col("band"), col("bh"))
+    val owners = bands.groupBy("band", "bh")
+      .agg(min(col("doc_id")).as("owner"))
+    val expected = bands.join(owners, Seq("band", "bh"))
+      .select(col("doc_id"), col("band"), col("bh"), col("owner"),
+        (col("doc_id") =!= col("owner")).as("is_dup"))
+      .collect().toSet
+    assert(expected.exists(_.getBoolean(4)), "fixture should have ≥1 dup")
+    val streamDir = tmpDir("claim-src")
+    docs.write.parquet(s"$streamDir/docs")
+    val q = Streaming.lshBucketClaimStream(
+        spark.readStream.schema(docs.schema).parquet(s"$streamDir/docs"),
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("claims")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("claims").collect().toSet === expected)
+  }
+
+  test("LSH bucket claims are first-wins across micro-batches (no retraction)") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val streamDir = tmpDir("claim2-src")
+    // batch 1: doc 10 claims the bucket; batch 2: doc 5 (smaller id, same
+    // text) takes ownership forward WITHOUT retracting doc 10's non-dup
+    // emission, and doc 12 is flagged against the new owner 5.
+    // maxFilesPerTrigger=1 + explicit mtimes force the batch order in ONE
+    // continuous query (the memory sink cannot recover a checkpoint).
+    Seq((10L, "x y z")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$streamDir/b1")
+    Seq((5L, "x y z"), (12L, "x y z")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$streamDir/b2")
+    def stamp(dir: String, epochSec: Long): Unit = {
+      val d = Paths.get(s"$streamDir/$dir")
+      Files.list(d).forEach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(epochSec * 1000)))
+    }
+    stamp("b1", 1000000000L)
+    stamp("b2", 1000000100L)
+    val schema = spark.read.parquet(s"$streamDir/b1").schema
+    val q = Streaming.lshBucketClaimStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/b*"),
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("claims2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val byDoc = spark.table("claims2")
+      .as[(Long, Int, String, Long, Boolean)].collect().toSeq.groupBy(_._1)
+    assert(byDoc.keySet == Set(5L, 10L, 12L))
+    // doc 10 owned its batch — its non-dup emission stands
+    assert(byDoc(10L).forall(r => r._4 == 10L && !r._5))
+    // doc 5 takes ownership forward (not retroactively dup)
+    assert(byDoc(5L).forall(r => r._4 == 5L && !r._5))
+    // doc 12 (same batch as 5) dups onto the new owner
+    assert(byDoc(12L).forall(r => r._4 == 5L && r._5))
+  }
+
   test("stream-stream view-click join matches the batch interval join") {
     val sf = "/root/testdata/sf0.001"
     val events = Sources.events(spark, sf)
