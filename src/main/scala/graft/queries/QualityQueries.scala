@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Decontamination, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{Decontamination, Packing, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-9 curation-quality operators: the Gopher-style multi-rule
@@ -211,4 +211,33 @@ object QualityQueries {
       |  round(CAST(m.mass AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
       |    AS weight
       |FROM m CROSS JOIN tot ORDER BY m.source""".stripMargin
+
+  // ── q205: length-grouped batch assembly ────────────────────────────────
+
+  /** q205: sorted-batching padding audit — [[Packing.lengthGroupedBatches]]
+    * over whitespace token counts, 32 docs per batch; one row per batch
+    * with its padding waste. */
+  def q205LengthBatching(s: SparkSession, dir: String): DataFrame =
+    Packing.lengthGroupedBatches(Sources.documents(s, dir), "doc_id",
+        size(split(col("text"), " ")), batchSize = 32)
+      .orderBy(col("batch_id"))
+
+  val q205Sql: String =
+    """WITH m AS (SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      |       FROM documents),
+      |r AS (SELECT len, (row_number() OVER (ORDER BY len DESC, doc_id) - 1)
+      |        // 32 AS batch_id
+      |      FROM m),
+      |b AS (SELECT batch_id, COUNT(*) AS n_docs, MAX(len) AS max_len,
+      |        CAST(SUM(len) AS BIGINT) AS total_tokens
+      |      FROM r GROUP BY batch_id)
+      |SELECT batch_id, n_docs, max_len, total_tokens,
+      |  n_docs * max_len AS padded_tokens,
+      |  n_docs * max_len - total_tokens AS padding_tokens,
+      |  CASE WHEN n_docs * max_len > 0 THEN
+      |    round(CAST(n_docs * max_len - total_tokens AS DOUBLE) /
+      |      CAST(n_docs * max_len AS DOUBLE), 6) ELSE 0.0 END
+      |    AS padding_frac
+      |FROM b ORDER BY batch_id""".stripMargin
 }

@@ -466,7 +466,10 @@ class PlanShapeSpec extends SparkSpec {
       "q202_pq_encode",
       // q204: q200's 1-row corpus-token-total broadcast + a 1-row
       // mixture-mass-total broadcast onto |strata| rows — metadata scale
-      "q204_mixture_weights")
+      "q204_mixture_weights",
+      // q205: n_partitions-row offsets `<` join from the GlobalRank
+      // construction (same as q143/q165/q197)
+      "q205_length_batching")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decontamination, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{Decontamination, Packing, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
 
 /** Round-9 curation-quality specs: the Gopher-style rule battery,
   * Jelinek–Mercer interpolated perplexity, and embedding-space
@@ -180,6 +180,26 @@ class Round9OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("crawlA", "crawlA", 1L, 1.0),
       ("crawlA", "crawlB", 2L, 1.0)))
+  }
+
+  // ── lengthGroupedBatches ────────────────────────────────────────────────
+
+  test("lengthGroupedBatches cuts the sorted order into padded batches") {
+    // lengths: ids 1..5 → 7, 3, 9, 3, 5; sorted desc with id tiebreak:
+    // [3(9), 1(7), 5(5), 2(3), 4(3)] → batches of 2: [3,1], [5,2], [4]
+    val docs = Seq((1L, 7L), (2L, 3L), (3L, 9L), (4L, 3L), (5L, 5L))
+      .toDF("doc_id", "n_tok")
+    val out = Packing.lengthGroupedBatches(docs, "doc_id", col("n_tok"),
+        batchSize = 2)
+      .orderBy("batch_id").collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("max_len"), r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("padding_tokens"), r.getAs[Double]("padding_frac")))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 9L, 16L, 2L, BigDecimal(2.0 / 18.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (1L, 2L, 5L, 8L, 2L, 0.2),
+      (2L, 1L, 3L, 3L, 0L, 0.0)))
   }
 
   // ── perplexityMixtureWeights ────────────────────────────────────────────
