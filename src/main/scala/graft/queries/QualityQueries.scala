@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Decontamination, Packing, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{Decontamination, Packing, Relevance, Sampling, Sketches, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-9 curation-quality operators: the Gopher-style multi-rule
@@ -240,4 +240,63 @@ object QualityQueries {
       |      CAST(n_docs * max_len AS DOUBLE), 6) ELSE 0.0 END
       |    AS padding_frac
       |FROM b ORDER BY batch_id""".stripMargin
+
+  // ── q206: KMV θ-intersection across sources ────────────────────────────
+
+  /** q206: estimated distinct-3-shingle intersection for every source
+    * pair from k=64 KMV sketches — [[Sketches.kmvIntersectPairs]]; the
+    * sketch-state answer to q203's exact audit (k·|sources| rows of
+    * state instead of per-pair corpus joins). */
+  def q206KmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    val sh = TextDedup.shingles(Sources.documents(s, dir), "source",
+      "text", w = 3)
+    Sketches.kmvIntersectPairs(
+        Sketches.kmvSketch(sh, "s", "source", k = 64), "source", k = 64)
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q206Sql: String =
+    """WITH ws AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT source,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |h AS (SELECT DISTINCT source, CAST(list_sum(list_transform(range(1, 9),
+      |        j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
+      |          * power(16, 8 - j))) AS BIGINT) AS h
+      |      FROM sh),
+      |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source
+      |         ORDER BY h) AS rn FROM h),
+      |sk AS (SELECT source, h FROM rk WHERE rn <= 64),
+      |st AS (SELECT source, COUNT(*) AS n, MAX(h) AS hk FROM sk
+      |       GROUP BY source),
+      |stc AS (SELECT source, CASE WHEN n = 64 THEN hk
+      |          ELSE 4294967296 END AS cut0 FROM st),
+      |p AS (SELECT a.source AS src_a, b.source AS src_b,
+      |        LEAST(a.cut0, b.cut0) AS cut
+      |      FROM stc a JOIN stc b ON a.source < b.source),
+      |cm AS (SELECT p.src_a, p.src_b, COUNT(*) AS nc
+      |       FROM p JOIN sk x ON x.source = p.src_a
+      |       JOIN sk y ON y.source = p.src_b AND y.h = x.h
+      |       WHERE x.h <= p.cut GROUP BY 1, 2),
+      |na AS (SELECT p.src_a, p.src_b, COUNT(*) AS n_a
+      |       FROM p JOIN sk x ON x.source = p.src_a
+      |       WHERE x.h <= p.cut GROUP BY 1, 2),
+      |nb AS (SELECT p.src_a, p.src_b, COUNT(*) AS n_b
+      |       FROM p JOIN sk y ON y.source = p.src_b
+      |       WHERE y.h <= p.cut GROUP BY 1, 2)
+      |SELECT p.src_a, p.src_b,
+      |  COALESCE(cm.nc, 0) AS n_common,
+      |  CASE WHEN p.cut > 0 THEN
+      |    round((CAST(COALESCE(cm.nc, 0) AS DOUBLE) * 4294967296.0) /
+      |      CAST(p.cut AS DOUBLE), 6) END AS est_intersection,
+      |  CASE WHEN COALESCE(na.n_a, 0) + COALESCE(nb.n_b, 0)
+      |         - COALESCE(cm.nc, 0) > 0 THEN
+      |    round(CAST(COALESCE(cm.nc, 0) AS DOUBLE) /
+      |      CAST(COALESCE(na.n_a, 0) + COALESCE(nb.n_b, 0)
+      |        - COALESCE(cm.nc, 0) AS DOUBLE), 6) END AS est_jaccard
+      |FROM p LEFT JOIN cm USING (src_a, src_b)
+      |LEFT JOIN na USING (src_a, src_b)
+      |LEFT JOIN nb USING (src_a, src_b)
+      |ORDER BY src_a, src_b""".stripMargin
 }

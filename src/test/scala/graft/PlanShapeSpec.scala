@@ -469,7 +469,10 @@ class PlanShapeSpec extends SparkSpec {
       "q204_mixture_weights",
       // q205: n_partitions-row offsets `<` join from the GlobalRank
       // construction (same as q143/q165/q197)
-      "q205_length_batching")
+      "q205_length_batching",
+      // q206: |sources|-row sketch-stats `<` self-join (the pair frame)
+      // — sketch state only, metadata scale by construction
+      "q206_kmv_intersect")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

@@ -182,6 +182,31 @@ class Round9OperatorsSpec extends SparkSpec {
       ("crawlA", "crawlB", 2L, 1.0)))
   }
 
+  // ── kmvIntersectPairs ───────────────────────────────────────────────────
+
+  test("kmvIntersectPairs estimates pairwise overlap with exact-stratum cuts") {
+    import graft.operators.Sketches
+    // X kept {1,2,3} (full, n=k → cut 3); Y kept {2,3,100} (cut 100);
+    // Z holds ONE hash (n < k → exact, cut = 2^32)
+    val sketch = Seq(("X", 1L), ("X", 2L), ("X", 3L),
+        ("Y", 2L), ("Y", 3L), ("Y", 100L), ("Z", 5L))
+      .toDF("source", "h")
+    val out = Sketches.kmvIntersectPairs(sketch, "source", k = 3)
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("n_common"), r.getAs[java.lang.Double]("est_intersection"),
+        r.getAs[java.lang.Double]("est_jaccard")))
+    // (X,Y): cut 3; common {2,3} → est = 2·2³²/3; X'=3, Y'={2,3} → J=2/3
+    val estXY = BigDecimal(2.0 * 4294967296.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      ("X", "Y", 2L, Double.box(estXY), Double.box(0.666667)),
+      // (X,Z): cut 3; Z's hash 5 > 3 → nb=0; no common → 0s
+      ("X", "Z", 0L, Double.box(0.0), Double.box(0.0)),
+      // (Y,Z): cut 100; Y'=3, Z'={5} → no common → 0s
+      ("Y", "Z", 0L, Double.box(0.0), Double.box(0.0))))
+  }
+
   // ── lengthGroupedBatches ────────────────────────────────────────────────
 
   test("lengthGroupedBatches cuts the sorted order into padded batches") {
