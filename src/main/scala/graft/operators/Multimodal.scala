@@ -87,6 +87,35 @@ object Multimodal {
       .withColumn("n_frames",
         expr(s"cast(conv(substring(md5($payloadCol), 5, 1), 16, 10) as int) + 1"))
 
+  /**
+   * Perceptual hash (aHash) of a media payload over the stubbed decode:
+   * 32 deterministic fake "pixels" (bytes of two salted payload digests
+   * — the codec seam; a real decoder substitutes downsampled gray
+   * pixels), hash bit i set iff pixel_i exceeds the pixel mean. The
+   * mean compare is INTEGER-exact (pixel·32 > Σ pixels — no division),
+   * so the hash is engine-portable; near-dup detection composes with
+   * [[TextDedup.hammingPairs]] exactly like SimHash (same 32-bit,
+   * banded-pigeonhole shape). This is the standard image near-dup
+   * pipeline (aHash/pHash family) with the pixel source stubbed.
+   *
+   * Scale shape: ONE codegen'd projection per row — the payload is
+   * read, hashed, and DROPPED before anything wide; only (id, phash)
+   * longs ever shuffle.
+   */
+  def perceptualHash(df: DataFrame, idCol: String,
+                     payloadCol: String): DataFrame = {
+    val pixels = (0 until 32).map { i =>
+      val (b, j) = (i / 16, i % 16)
+      expr(s"cast(conv(substring(md5(concat($payloadCol, " +
+        s"cast('_px$b' as binary))), ${2 * j + 1}, 2), 16, 10) as bigint)")
+    }
+    val total = pixels.reduce(_ + _)
+    val bits = pixels.zipWithIndex.map { case (p, i) =>
+      when(p * 32 > total, lit(1L << i)).otherwise(lit(0L))
+    }
+    df.select(col(idCol), bits.reduce(_ + _).as("phash"))
+  }
+
   /** Frame sampling plan for video-like media: every `stride`-th frame
     * index up to n_frames — an explode over a sequence, the row-generation
     * pattern a real frame extractor plugs into. */

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Decontamination, Packing, Relevance, Sampling, Sketches, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{Decontamination, Multimodal, Packing, Relevance, Sampling, Sketches, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-9 curation-quality operators: the Gopher-style multi-rule
@@ -299,4 +299,49 @@ object QualityQueries {
       |LEFT JOIN na USING (src_a, src_b)
       |LEFT JOIN nb USING (src_a, src_b)
       |ORDER BY src_a, src_b""".stripMargin
+
+  // ── q207: perceptual-hash near-dup over media payloads ─────────────────
+
+  /** q207: aHash near-dup pairs over binary payloads —
+    * [[Multimodal.perceptualHash]] + the SimHash banded Hamming join
+    * (bands = 4, maxDist = 3). The corpus is unioned with an id-shifted
+    * copy of itself (the q18 device) so every payload has one exact
+    * twin: the gate then proves identical payloads collide at Hamming 0
+    * through the full banding path, alongside any accidental near-misses. */
+  def q207PhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Sources.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val doubled = payloads.union(
+      payloads.select(col("doc_id") + 10000, col("payload")))
+    TextDedup.hammingPairs(
+        Multimodal.perceptualHash(doubled, "doc_id", "payload"),
+        "doc_id", "phash", bits = 32, bands = 4, maxDist = 3)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val q207Sql: String =
+    """WITH u AS (SELECT doc_id, text FROM documents
+      |           UNION ALL SELECT doc_id + 10000, text FROM documents),
+      |px AS (SELECT doc_id, i,
+      |    (strpos('0123456789abcdef', substr(CASE WHEN i < 16
+      |       THEN md5(text || '_px0') ELSE md5(text || '_px1') END,
+      |       2 * (i % 16) + 1, 1)) - 1) * 16 +
+      |    (strpos('0123456789abcdef', substr(CASE WHEN i < 16
+      |       THEN md5(text || '_px0') ELSE md5(text || '_px1') END,
+      |       2 * (i % 16) + 2, 1)) - 1) AS v
+      |  FROM u CROSS JOIN range(0, 32) t(i)),
+      |ps AS (SELECT doc_id, SUM(v) AS s FROM px GROUP BY doc_id),
+      |ph AS (SELECT px.doc_id,
+      |    CAST(SUM(CASE WHEN px.v * 32 > ps.s THEN (1::BIGINT << px.i)
+      |      ELSE 0 END) AS BIGINT) AS phash
+      |  FROM px JOIN ps USING (doc_id) GROUP BY px.doc_id),
+      |sl AS (SELECT doc_id, phash, t.sl, (phash >> (t.sl * 8)) & 255 AS sv
+      |       FROM ph CROSS JOIN range(0, 4) t(sl)),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |           a.phash AS h1, b.phash AS h2
+      |         FROM sl a JOIN sl b ON a.sl = b.sl AND a.sv = b.sv
+      |         WHERE a.doc_id < b.doc_id)
+      |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+      |ORDER BY d1, d2""".stripMargin
 }

@@ -182,6 +182,39 @@ class Round9OperatorsSpec extends SparkSpec {
       ("crawlA", "crawlB", 2L, 1.0)))
   }
 
+  // ── perceptualHash ──────────────────────────────────────────────────────
+
+  test("perceptualHash matches a JVM replay and is payload-deterministic") {
+    import graft.operators.{Multimodal, TextDedup}
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = Multimodal.perceptualHash(docs, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("phash")))
+    // identical payloads → identical hashes
+    assert(out(0)._2 == out(1)._2)
+    // JVM replay of the stub decode + integer-mean aHash
+    def replay(text: String): Long = {
+      val px = (0 until 32).map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest((text + s"_px${i / 16}").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(2 * (i % 16), 2 * (i % 16) + 2), 16)
+      }
+      val s = px.sum
+      px.zipWithIndex.map { case (p, i) => if (p * 32 > s) 1L << i else 0L }.sum
+    }
+    assert(out(0)._2 == replay("hello world"))
+    assert(out(2)._2 == replay("other"))
+    // exact twins survive the banded Hamming join at distance 0
+    val pairs = TextDedup.hammingPairs(
+        Multimodal.perceptualHash(docs, "doc_id", "payload"),
+        "doc_id", "phash", bits = 32, bands = 4, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+  }
+
   // ── kmvIntersectPairs ───────────────────────────────────────────────────
 
   test("kmvIntersectPairs estimates pairwise overlap with exact-stratum cuts") {
