@@ -954,6 +954,41 @@ object TextDedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
   /**
+   * Per-document boilerplate audit: the fraction of a document's
+   * distinct `w`-shingles that are CORPUS-HEAVY (document frequency ≥
+   * `minDf`) — headers, footers, navigation chrome, license blocks. The
+   * signal curation uses to route documents to boilerplate-stripping
+   * (high fraction) versus leaving them alone, and the df-side
+   * diagnostic for [[ngramJaccardPairs]]'s `maxDf` escape hatch.
+   *
+   * Scale shape: one shingle pass + a shingle-keyed df agg (map-side
+   * combinable), then a semi-join-shaped attach of the heavy flag back
+   * onto the shingle rows and a doc-keyed count — shuffles are keyed by
+   * shingle then doc id, both bounded; nothing corpus-quadratic. The
+   * heavy-shingle table is df-filtered BEFORE the join, so the attach
+   * streams the corpus against a small build side.
+   */
+  def boilerplateProfile(docs: DataFrame, idCol: String, textCol: String,
+                         w: Int = 3, minDf: Long = 10): DataFrame = {
+    require(minDf >= 2, s"minDf=$minDf: a boilerplate shingle needs df >= 2")
+    val sh = shingles(docs, idCol, textCol, w)
+    val heavy = sh.groupBy(col("s"))
+      .agg(countDistinct(col(idCol)).as("graft_df"))
+      .filter(col("graft_df") >= minDf)
+      .select(col("s"))
+    val perDoc = sh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val boiler = sh.join(heavy, "s")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_boilerplate"))
+    perDoc.join(boiler, Seq(idCol), "left")
+      .withColumn("n_boilerplate", coalesce(col("n_boilerplate"), lit(0L)))
+      .withColumn("boiler_frac",
+        round(col("n_boilerplate").cast(DoubleType) /
+          col("n_shingles").cast(DoubleType), 6))
+  }
+
+  /**
    * Cross-source near-duplication matrix: for every unordered pair of
    * sources (crawls, dumps, vendors), how many verified near-dup pairs
    * span them, and how similar the worst offender is — the

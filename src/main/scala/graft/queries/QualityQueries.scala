@@ -344,4 +344,32 @@ object QualityQueries {
       |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
       |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
       |ORDER BY d1, d2""".stripMargin
+
+  // ── q208: boilerplate n-gram audit ─────────────────────────────────────
+
+  /** q208: per-document boilerplate fraction —
+    * [[TextDedup.boilerplateProfile]] with 3-shingles and df ≥ 3; the
+    * router for boilerplate-stripping and the df-side diagnostic for the
+    * `maxDf` candidate cap. */
+  def q208Boilerplate(s: SparkSession, dir: String): DataFrame =
+    TextDedup.boilerplateProfile(Sources.documents(s, dir), "doc_id",
+        "text", w = 3, minDf = 3)
+      .orderBy(col("doc_id"))
+
+  val q208Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |hv AS (SELECT s FROM sh GROUP BY s
+      |       HAVING COUNT(DISTINCT doc_id) >= 3),
+      |pd AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+      |bl AS (SELECT sh.doc_id, COUNT(*) AS n_boilerplate
+      |       FROM sh JOIN hv USING (s) GROUP BY sh.doc_id)
+      |SELECT pd.doc_id, pd.n_shingles,
+      |  COALESCE(bl.n_boilerplate, 0) AS n_boilerplate,
+      |  round(CAST(COALESCE(bl.n_boilerplate, 0) AS DOUBLE) /
+      |    CAST(pd.n_shingles AS DOUBLE), 6) AS boiler_frac
+      |FROM pd LEFT JOIN bl USING (doc_id) ORDER BY pd.doc_id""".stripMargin
 }

@@ -182,6 +182,29 @@ class Round9OperatorsSpec extends SparkSpec {
       ("crawlA", "crawlB", 2L, 1.0)))
   }
 
+  // ── boilerplateProfile ──────────────────────────────────────────────────
+
+  test("boilerplateProfile flags corpus-heavy shingles per doc") {
+    // shingle "a b c" appears in docs 1,2,3 (df 3 ≥ minDf 3) — boilerplate;
+    // everything else is df 1
+    val docs = Seq(
+      (1L, "a b c x y"),     // shingles: [a b c][b c x][c x y] → 1/3 boiler
+      (2L, "q a b c"),       // [q a b][a b c] → 1/2
+      (3L, "a b c"),         // [a b c] → 1/1
+      (4L, "z z z z")        // [z z z] (df 1) → 0/1... (distinct → one shingle)
+    ).toDF("doc_id", "text")
+    val out = TextDedup.boilerplateProfile(docs, "doc_id", "text",
+        w = 3, minDf = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_boilerplate"), r.getAs[Double]("boiler_frac")))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 0.333333),
+      (2L, 2L, 1L, 0.5),
+      (3L, 1L, 1L, 1.0),
+      (4L, 1L, 0L, 0.0)))
+  }
+
   // ── perceptualHash ──────────────────────────────────────────────────────
 
   test("perceptualHash matches a JVM replay and is payload-deterministic") {
