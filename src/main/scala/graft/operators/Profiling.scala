@@ -387,4 +387,48 @@ object Profiling {
           (lit(2L) * six - (n + 1) * sx).cast(DoubleType) /
             (n * sx).cast(DoubleType), 6)).as("gini"))
   }
+
+  /**
+   * Per-source data card — the datasheet row a corpus release publishes
+   * for every source (Datasheets for Datasets, Gebru et al. 2021, §composition;
+   * the per-dump tables of the Pile / RefinedWeb / Dolma reports): doc
+   * and token counts, language spread, exact-duplicate rate inside the
+   * source, and the token-length distribution (median via exact
+   * interpolated percentile — engine-portable on integer inputs since
+   * rank arithmetic is rational and the interpolated value is at worst
+   * a .5, exact in a double).
+   *
+   * Scale shape: ONE hash-agg keyed by source for everything except the
+   * median, which rides Spark's `percentile` (two-phase, map-side
+   * partials of per-source sorted sketches → exact merge). Distinct
+   * counts shuffle on (source, value) with partial aggregation — no
+   * hot-source concentration.
+   */
+  def sourceDataCard(docs: DataFrame, sourceCol: String, langCol: String,
+                     textCol: String): DataFrame = {
+    val nTok = size(split(col(textCol), " ")).cast(LongType)
+    docs
+      .select(col(sourceCol), col(langCol), col(textCol),
+        nTok.as("graft_ntok"), md5(col(textCol)).as("graft_h"))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("graft_ntok")).as("n_tokens"),
+        count_distinct(col(langCol)).as("n_langs"),
+        sum(when(col(langCol) === "en", 1L).otherwise(0L)).as("n_en"),
+        count_distinct(col("graft_h")).as("n_distinct_texts"),
+        min(col("graft_ntok")).as("min_tokens"),
+        expr("percentile(graft_ntok, 0.5)").as("graft_med"),
+        max(col("graft_ntok")).as("max_tokens"))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("n_langs"),
+        round(col("n_en").cast(DoubleType) /
+          col("n_docs").cast(DoubleType), 6).as("en_frac"),
+        col("n_distinct_texts"),
+        round(lit(1.0) - col("n_distinct_texts").cast(DoubleType) /
+          col("n_docs").cast(DoubleType), 6).as("exact_dup_frac"),
+        col("min_tokens"),
+        round(col("graft_med"), 6).as("median_tokens"),
+        col("max_tokens"))
+  }
 }

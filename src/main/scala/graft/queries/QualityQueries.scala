@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Decontamination, Multimodal, Packing, Relevance, Sampling, Sketches, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{Decontamination, Multimodal, Packing, Profiling, Relevance, Sampling, Sketches, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-9 curation-quality operators: the Gopher-style multi-rule
@@ -372,4 +372,32 @@ object QualityQueries {
       |  round(CAST(COALESCE(bl.n_boilerplate, 0) AS DOUBLE) /
       |    CAST(pd.n_shingles AS DOUBLE), 6) AS boiler_frac
       |FROM pd LEFT JOIN bl USING (doc_id) ORDER BY pd.doc_id""".stripMargin
+
+  // ── q209: per-source data card ─────────────────────────────────────────
+
+  /** q209: the per-source datasheet row — [[Profiling.sourceDataCard]]:
+    * doc/token counts, language spread, exact-dup rate, token-length
+    * spread with exact interpolated median. */
+  def q209DataCard(s: SparkSession, dir: String): DataFrame =
+    Profiling.sourceDataCard(Sources.documents(s, dir), "source", "lang",
+        "text")
+      .orderBy(col("source"))
+
+  val q209Sql: String =
+    """WITH m AS (SELECT source, lang, md5(text) AS h,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |       FROM documents)
+      |SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS en_frac,
+      |  COUNT(DISTINCT h) AS n_distinct_texts,
+      |  round(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS exact_dup_frac,
+      |  MIN(ntok) AS min_tokens,
+      |  round(quantile_cont(ntok, 0.5), 6) AS median_tokens,
+      |  MAX(ntok) AS max_tokens
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
 }

@@ -182,6 +182,34 @@ class Round9OperatorsSpec extends SparkSpec {
       ("crawlA", "crawlB", 2L, 1.0)))
   }
 
+  // ── sourceDataCard ──────────────────────────────────────────────────────
+
+  test("sourceDataCard reports counts, dup rate, and exact median") {
+    import graft.operators.Profiling
+    val docs = Seq(
+      (1L, "A", "en", "a b c"),        // 3 tokens
+      (2L, "A", "en", "a b c"),        // exact dup of 1
+      (3L, "A", "fr", "x y z w q"),    // 5 tokens
+      (4L, "B", "de", "solo")          // 1 token
+    ).toDF("doc_id", "source", "lang", "text")
+    val out = Profiling.sourceDataCard(docs, "source", "lang", "text")
+      .orderBy("source").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("n_docs") == 3L)
+    assert(a.getAs[Long]("n_tokens") == 11L)
+    assert(a.getAs[Long]("n_langs") == 2L)
+    assert(a.getAs[Double]("en_frac") == 0.666667)
+    assert(a.getAs[Long]("n_distinct_texts") == 2L)
+    assert(a.getAs[Double]("exact_dup_frac") == 0.333333)
+    // token counts {3,3,5} → exact interpolated median = 3.0
+    assert(a.getAs[Double]("median_tokens") == 3.0)
+    assert(a.getAs[Long]("max_tokens") == 5L)
+    val b = out(1)
+    assert(b.getAs[Long]("n_docs") == 1L)
+    assert(b.getAs[Double]("exact_dup_frac") == 0.0)
+    assert(b.getAs[Double]("median_tokens") == 1.0)
+  }
+
   // ── boilerplateProfile ──────────────────────────────────────────────────
 
   test("boilerplateProfile flags corpus-heavy shingles per doc") {
