@@ -389,6 +389,44 @@ object Profiling {
   }
 
   /**
+   * Join/shuffle-key skew audit: the top-`k` hottest values of a key
+   * column with their row share and cumulative share, plus the global
+   * key stats as constant columns — the measurement behind every
+   * salting / broadcast / AQE-threshold decision ([[SkewJoin]]'s input:
+   * a key owning >1/shuffle-partitions of the rows WILL bottleneck one
+   * task). Cumulative share reads directly as "the 3 hottest keys carry
+   * 40% of the table".
+   *
+   * Scale shape: one key-count hash-agg (map-side combinable), a 1-row
+   * totals broadcast, and a TakeOrderedAndProject top-k — the cumulative
+   * window then runs on k rows (metadata). Deterministic: ties rank by
+   * key value.
+   */
+  def keySkewAudit(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("graft_rows"),
+      count(lit(1)).as("n_keys"))
+    val topk = counts
+      .orderBy(col("n").desc, col(keyCol).asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col(keyCol).asc)
+    topk
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_n", sum(col("n")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .crossJoin(broadcast(totals))
+      .select(col("rank"), col(keyCol), col("n"),
+        round(col("n").cast(DoubleType) /
+          col("graft_rows").cast(DoubleType), 6).as("share"),
+        round(col("cum_n").cast(DoubleType) /
+          col("graft_rows").cast(DoubleType), 6).as("cum_share"),
+        col("n_keys"), col("graft_rows").as("n_rows"))
+  }
+
+  /**
    * Per-source data card — the datasheet row a corpus release publishes
    * for every source (Datasheets for Datasets, Gebru et al. 2021, §composition;
    * the per-dump tables of the Pile / RefinedWeb / Dolma reports): doc

@@ -400,4 +400,31 @@ object QualityQueries {
       |  round(quantile_cont(ntok, 0.5), 6) AS median_tokens,
       |  MAX(ntok) AS max_tokens
       |FROM m GROUP BY source ORDER BY source""".stripMargin
+
+  // ── q210: join-key skew audit ──────────────────────────────────────────
+
+  /** q210: the top-10 hottest lineitem part keys with row/cumulative
+    * shares — [[Profiling.keySkewAudit]]; the measurement behind
+    * salting / broadcast / AQE-threshold choices. */
+  def q210SkewAudit(s: SparkSession, dir: String): DataFrame =
+    Profiling.keySkewAudit(Sources.lineitem(s, dir), "l_partkey", k = 10)
+      .orderBy(col("rank"))
+
+  val q210Sql: String =
+    """WITH c AS (SELECT l_partkey, COUNT(*) AS n FROM lineitem
+      |           GROUP BY l_partkey),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_keys
+      |      FROM c),
+      |r AS (SELECT l_partkey, n,
+      |        row_number() OVER (ORDER BY n DESC, l_partkey) AS rank
+      |      FROM c QUALIFY rank <= 10),
+      |cs AS (SELECT *, SUM(n) OVER (ORDER BY rank
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+      |       FROM r)
+      |SELECT cs.rank, cs.l_partkey, cs.n,
+      |  round(CAST(cs.n AS DOUBLE) / CAST(t.n_rows AS DOUBLE), 6) AS share,
+      |  round(CAST(cs.cum_n AS DOUBLE) / CAST(t.n_rows AS DOUBLE), 6)
+      |    AS cum_share,
+      |  t.n_keys, t.n_rows
+      |FROM cs CROSS JOIN t ORDER BY cs.rank""".stripMargin
 }

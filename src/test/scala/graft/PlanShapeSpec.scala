@@ -472,7 +472,9 @@ class PlanShapeSpec extends SparkSpec {
       "q205_length_batching",
       // q206: |sources|-row sketch-stats `<` self-join (the pair frame)
       // — sketch state only, metadata scale by construction
-      "q206_kmv_intersect")
+      "q206_kmv_intersect",
+      // q210: 1-row key-stats totals broadcast onto the k-row top list
+      "q210_skew_audit")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

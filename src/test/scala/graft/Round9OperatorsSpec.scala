@@ -182,6 +182,24 @@ class Round9OperatorsSpec extends SparkSpec {
       ("crawlA", "crawlB", 2L, 1.0)))
   }
 
+  // ── keySkewAudit ────────────────────────────────────────────────────────
+
+  test("keySkewAudit ranks hot keys with cumulative shares") {
+    import graft.operators.Profiling
+    // key counts: k1×5, k2×3, k3×2 → 10 rows, shares .5/.3/.2
+    val rows = (Seq.fill(5)("k1") ++ Seq.fill(3)("k2") ++ Seq.fill(2)("k3"))
+      .toDF("k")
+    val out = Profiling.keySkewAudit(rows, "k", k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("k"),
+        r.getAs[Long]("n"), r.getAs[Double]("share"),
+        r.getAs[Double]("cum_share"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("n_rows")))
+    assert(out.toSeq == Seq(
+      (1, "k1", 5L, 0.5, 0.5, 3L, 10L),
+      (2, "k2", 3L, 0.3, 0.8, 3L, 10L)))
+  }
+
   // ── sourceDataCard ──────────────────────────────────────────────────────
 
   test("sourceDataCard reports counts, dup rate, and exact median") {
