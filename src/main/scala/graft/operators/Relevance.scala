@@ -308,14 +308,22 @@ object Relevance {
    * words have no scored slots and drop out (same contract as
    * [[bigramLogProb]]).
    *
-   * Determinism: λ defaults to 0.75 (exactly representable), each term's
-   * ln is rounded to 6 dp and summed as DECIMAL(18,6) → order-independent,
-   * engine-portable. The doc-level outputs are the EXACT decimal
-   * `sum_logp` plus `ppl` = exp(−sum/n) rounded once at the end — a
-   * rounded MEAN column is deliberately absent: sum/n can land exactly
-   * on a 6-dp half (it did at sf0.001), where Spark's decimal-string
-   * HALF_UP and DuckDB's multiply-then-round disagree by one ulp of the
-   * last digit. The exact sum has no such boundary.
+   * Determinism: `sum_logp`/`ppl` are the CONSUMER-FACING scores and are
+   * NOT engine-portable — `ln`/`exp` are libm calls whose last bit is
+   * not pinned by IEEE 754, so their 6-dp roundings can differ by one
+   * final digit across engines (this flipped the round-9 oracle gate).
+   * The PORTABLE surface — what cross-engine verification must hash —
+   * is exact-integer by construction: `n_scored` and the per-doc sums
+   * of the model inputs (`sum_cxy`, `sum_cx`, `sum_cy`, all exact
+   * BIGINT), plus `sum_pq6` = Σ⌊10⁶·p⌋. Because λ is a finite decimal,
+   * each term's p = λ·c(x,y)/c(x) + (1−λ)·c(y)/N is an exact rational
+   * with denominator L·c(x)·N (L = λ's decimal scale), so ⌊10⁶·p⌋ is
+   * computed with DECIMAL(38,0) integer multiply + integral division —
+   * zero floating-point ops, bit-identical on any engine. `sum_pq6`
+   * preserves the filter's ordering signal (mean interpolated
+   * probability) at 1e-6 granularity; `sum_logp`/`ppl` remain for
+   * thresholding in λ-perplexity units but must stay off any
+   * cross-engine hash.
    *
    * Scale shape: bigrams from ONE zip_with (no position self-join); the
    * model tables c(x,y), c(x), c(y) are word-keyed hash-aggs (map-side
@@ -325,6 +333,15 @@ object Relevance {
   def interpolatedPerplexity(docs: DataFrame, idCol: String, textCol: String,
                              lambda: Double = 0.75): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0, s"lambda=$lambda must be in (0,1)")
+    // λ as the exact rational lamNum/lamDen of its shortest decimal form
+    // (0.75 → 75/100): the basis of the integer-exact sum_pq6 column
+    val lamDec = java.math.BigDecimal.valueOf(lambda)
+    require(lamDec.scale <= 9,
+      s"lambda=$lambda needs more than 9 decimal digits — the exact " +
+      "integer quantization would overflow DECIMAL(38,0) at corpus scale")
+    val lamNum = lamDec.unscaledValue().longValueExact()
+    val lamDen = java.math.BigDecimal.ONE.movePointRight(lamDec.scale)
+      .longValueExact()
     val ws = col("graft_ws")
     val pairs = docs.select(col(idCol), split(col(textCol), " ").as("graft_ws"))
       .select(col(idCol), explode(when(size(ws) >= 2,
@@ -342,6 +359,11 @@ object Relevance {
       (col("c_xy").cast(DoubleType) / col("c_x").cast(DoubleType)) +
       lit(1.0 - lambda) *
         (col("c_y").cast(DoubleType) / col("graft_n").cast(DoubleType))
+    // ⌊10⁶·p⌋ in exact integer arithmetic: p = (lamNum·c_xy·N +
+    // (lamDen−lamNum)·c_y·c_x) / (lamDen·c_x·N); `div` (IntegralDivide)
+    // on DECIMAL(38,0) truncates the exact rational — no libm, no
+    // double rounding, portable across engines by construction
+    val big = DecimalType(38, 0)
     pairs
       .join(cxy, Seq("x", "y"))
       .join(unigrams.select(col("term").as("x"), col("graft_cu").as("c_x")),
@@ -351,8 +373,22 @@ object Relevance {
       .crossJoin(broadcast(totalN))
       .withColumn("graft_term",
         round(F.log(p), 6).cast(DecimalType(18, 6)))
+      .withColumn("graft_pnum",
+        lit(1000000L).cast(big) *
+          (lit(lamNum).cast(big) * col("c_xy").cast(big) *
+            col("graft_n").cast(big) +
+           lit(lamDen - lamNum).cast(big) * col("c_y").cast(big) *
+            col("c_x").cast(big)))
+      .withColumn("graft_pden",
+        lit(lamDen).cast(big) * col("c_x").cast(big) *
+          col("graft_n").cast(big))
+      .withColumn("graft_pq6", expr("graft_pnum div graft_pden"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_scored"),
+        sum(col("c_xy")).as("sum_cxy"),
+        sum(col("c_x")).as("sum_cx"),
+        sum(col("c_y")).as("sum_cy"),
+        sum(col("graft_pq6")).as("sum_pq6"),
         sum(col("graft_term")).as("sum_logp"))
       .withColumn("ppl",
         round(exp(-(col("sum_logp").cast(DoubleType) /

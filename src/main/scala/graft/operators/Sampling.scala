@@ -406,8 +406,19 @@ object Sampling {
    * perplexity), weight_s = mass_s / Σ mass — computed as
    * (n_tokens·n_docs)/sum_ppl in one double expression with a fixed
    * parenthesization, 6-dp-rounded into DECIMAL so the normalizing sum
-   * is order-independent and engine-portable. Only SCORED documents
-   * (≥ 2 words — the perplexity contract) contribute.
+   * is order-independent. Only SCORED documents (≥ 2 words — the
+   * perplexity contract) contribute.
+   *
+   * Portability: `sum_ppl`/`mass`/`weight` inherit the upstream `ppl`
+   * column's libm non-portability (see
+   * [[Relevance.interpolatedPerplexity]]) and must stay off any
+   * cross-engine hash. The PORTABLE surface is `n_docs`/`n_tokens`
+   * (exact) plus `mass_q` = Σ sum_pq6 — the stratum's total quantized
+   * predictability mass (each scored slot contributes its interpolated
+   * probability in ppm, so predictable sources accrue more mass per
+   * token — the same up-weighting direction as 1/ppl) — and
+   * `weight_ppm` = ⌊10⁶·mass_q/Σ mass_q⌋, both exact-integer by
+   * construction (DECIMAL(38,0) integral division, zero libm).
    *
    * Scale shape: one id-keyed join of the per-doc scores to the strata
    * map, a |strata|-key hash-agg, and a 1-row totals broadcast — the
@@ -417,20 +428,27 @@ object Sampling {
   def perplexityMixtureWeights(pplDf: DataFrame, idCol: String,
                                strata: DataFrame,
                                strataCol: String): DataFrame = {
+    val big = DecimalType(38, 0)
     val perStratum = pplDf
       .join(strata.select(col(idCol), col(strataCol)), idCol)
       .groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_scored")).as("n_tokens"),
+        sum(col("sum_pq6")).as("mass_q"),
         sum(col("ppl").cast(DecimalType(18, 6))).as("sum_ppl"))
       .withColumn("mass",
         round((col("n_tokens").cast(DoubleType) *
           col("n_docs").cast(DoubleType)) /
           col("sum_ppl").cast(DoubleType), 6)
           .cast(DecimalType(18, 6)))
-    val total = perStratum.agg(sum(col("mass")).as("graft_total"))
+    val total = perStratum.agg(sum(col("mass")).as("graft_total"),
+      sum(col("mass_q")).cast(big).as("graft_total_q"))
     perStratum.crossJoin(broadcast(total))
+      .withColumn("graft_wnum",
+        lit(1000000L).cast(big) * col("mass_q").cast(big))
       .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        col("mass_q"),
+        expr("graft_wnum div graft_total_q").as("weight_ppm"),
         col("sum_ppl"), col("mass").cast(DoubleType).as("mass"),
         round(col("mass").cast(DoubleType) /
           col("graft_total").cast(DoubleType), 6).as("weight"))

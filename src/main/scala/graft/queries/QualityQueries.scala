@@ -60,10 +60,17 @@ object QualityQueries {
   /** q200: per-document perplexity under the Jelinek–Mercer interpolated
     * corpus bigram LM (λ = 0.75) — [[Relevance.interpolatedPerplexity]];
     * the CCNet-style perplexity quality filter with the corpus as its own
-    * reference model. */
+    * reference model. The GATE hashes only the engine-portable surface —
+    * exact per-doc sums of the model inputs plus the integer-quantized
+    * probability sum ⌊10⁶·p⌋ (λ = 3/4 is rational, so it's computed with
+    * pure integer arithmetic in both engines); `sum_logp`/`ppl` stay in
+    * the operator's API output but off the hash because libm `ln`/`exp`
+    * digits are not portable (the round-9 q200/q204 red rows). */
   def q200DocPerplexity(s: SparkSession, dir: String): DataFrame =
     Relevance.interpolatedPerplexity(Sources.documents(s, dir), "doc_id",
         "text", lambda = 0.75)
+      .select(col("doc_id"), col("n_scored"), col("sum_cxy"),
+        col("sum_cx"), col("sum_cy"), col("sum_pq6"))
       .orderBy(col("doc_id"))
 
   val q200Sql: String =
@@ -76,19 +83,20 @@ object QualityQueries {
       |tt AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
       |cu AS (SELECT t, COUNT(*) AS c FROM tt GROUP BY 1),
       |n AS (SELECT SUM(c) AS n FROM cu),
-      |tm AS (SELECT p.doc_id,
-      |    CAST(round(ln(
-      |      0.75 * (CAST(c.c_xy AS DOUBLE) / CAST(ux.c AS DOUBLE)) +
-      |      0.25 * (CAST(uy.c AS DOUBLE) / CAST(n.n AS DOUBLE))), 6)
-      |      AS DECIMAL(18,6)) AS term
+      |tm AS (SELECT p.doc_id, c.c_xy, ux.c AS c_x, uy.c AS c_y,
+      |    (1000000::HUGEINT *
+      |      (75::HUGEINT * c.c_xy::HUGEINT * n.n::HUGEINT +
+      |       25::HUGEINT * uy.c::HUGEINT * ux.c::HUGEINT)) //
+      |    (100::HUGEINT * ux.c::HUGEINT * n.n::HUGEINT) AS pq6
       |  FROM p JOIN cxy c USING (x, y)
       |  JOIN cu ux ON ux.t = p.x
       |  JOIN cu uy ON uy.t = p.y
       |  CROSS JOIN n)
       |SELECT doc_id, COUNT(*) AS n_scored,
-      |  SUM(term) AS sum_logp,
-      |  round(exp(-(CAST(SUM(term) AS DOUBLE) /
-      |    CAST(COUNT(*) AS DOUBLE))), 6) AS ppl
+      |  CAST(SUM(c_xy) AS BIGINT) AS sum_cxy,
+      |  CAST(SUM(c_x) AS BIGINT) AS sum_cx,
+      |  CAST(SUM(c_y) AS BIGINT) AS sum_cy,
+      |  CAST(SUM(pq6) AS BIGINT) AS sum_pq6
       |FROM tm GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ── q201: semantic decontamination ─────────────────────────────────────
@@ -178,14 +186,20 @@ object QualityQueries {
 
   /** q204: per-source sampling weights from the interpolated-perplexity
     * scores — [[Sampling.perplexityMixtureWeights]] over q200's per-doc
-    * output, strata = `source`; token share deflated by mean perplexity,
-    * normalized to Σ weight = 1. */
+    * output, strata = `source`. The GATE hashes the portable surface
+    * only: exact doc/token counts, `mass_q` (Σ quantized probability —
+    * predictable sources accrue more mass per token, the same direction
+    * as the 1/ppl deflation), and the integer `weight_ppm`; the
+    * libm-derived `sum_ppl`/`mass`/`weight` stay API-only (q200's
+    * portability contract, inherited). */
   def q204MixtureWeights(s: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(s, dir)
     Sampling.perplexityMixtureWeights(
         Relevance.interpolatedPerplexity(docs, "doc_id", "text",
           lambda = 0.75),
         "doc_id", docs, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mass_q"), col("weight_ppm"))
       .orderBy(col("source"))
   }
 
@@ -193,24 +207,19 @@ object QualityQueries {
   // parameter change there propagates here, not a drifting inline copy
   val q204Sql: String =
     s"""WITH ppl AS (
-      |  SELECT doc_id, n_scored, ppl FROM (
+      |  SELECT doc_id, n_scored, sum_pq6 FROM (
       |${q200Sql}
       |  )),
       |st AS (SELECT d.source, COUNT(*) AS n_docs,
       |         CAST(SUM(p.n_scored) AS BIGINT) AS n_tokens,
-      |         SUM(CAST(p.ppl AS DECIMAL(18,6))) AS sum_ppl
+      |         CAST(SUM(p.sum_pq6) AS BIGINT) AS mass_q
       |       FROM ppl p JOIN documents d USING (doc_id)
       |       GROUP BY d.source),
-      |m AS (SELECT *, CAST(round(
-      |        (CAST(n_tokens AS DOUBLE) * CAST(n_docs AS DOUBLE)) /
-      |          CAST(sum_ppl AS DOUBLE), 6) AS DECIMAL(18,6)) AS mass
-      |      FROM st),
-      |tot AS (SELECT SUM(mass) AS total FROM m)
-      |SELECT m.source, m.n_docs, m.n_tokens, m.sum_ppl,
-      |  CAST(m.mass AS DOUBLE) AS mass,
-      |  round(CAST(m.mass AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
-      |    AS weight
-      |FROM m CROSS JOIN tot ORDER BY m.source""".stripMargin
+      |tot AS (SELECT SUM(mass_q)::HUGEINT AS total FROM st)
+      |SELECT st.source, st.n_docs, st.n_tokens, st.mass_q,
+      |  CAST((1000000::HUGEINT * st.mass_q::HUGEINT) // tot.total
+      |    AS BIGINT) AS weight_ppm
+      |FROM st CROSS JOIN tot ORDER BY st.source""".stripMargin
 
   // ── q205: length-grouped batch assembly ────────────────────────────────
 
@@ -307,12 +316,15 @@ object QualityQueries {
     * (bands = 4, maxDist = 3). The corpus is unioned with an id-shifted
     * copy of itself (the q18 device) so every payload has one exact
     * twin: the gate then proves identical payloads collide at Hamming 0
-    * through the full banding path, alongside any accidental near-misses. */
+    * through the full banding path, alongside any accidental near-misses.
+    * The twin lives at −doc_id − 1 — a disjoint id space at ANY corpus
+    * size (a fixed +10000 shift collided with real ids once the corpus
+    * reached 10000 documents). */
   def q207PhashPairs(s: SparkSession, dir: String): DataFrame = {
     val payloads = Sources.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     val doubled = payloads.union(
-      payloads.select(col("doc_id") + 10000, col("payload")))
+      payloads.select(-col("doc_id") - 1, col("payload")))
     TextDedup.hammingPairs(
         Multimodal.perceptualHash(doubled, "doc_id", "payload"),
         "doc_id", "phash", bits = 32, bands = 4, maxDist = 3)
@@ -321,7 +333,7 @@ object QualityQueries {
 
   val q207Sql: String =
     """WITH u AS (SELECT doc_id, text FROM documents
-      |           UNION ALL SELECT doc_id + 10000, text FROM documents),
+      |           UNION ALL SELECT -doc_id - 1, text FROM documents),
       |px AS (SELECT doc_id, i,
       |    (strpos('0123456789abcdef', substr(CASE WHEN i < 16
       |       THEN md5(text || '_px0') ELSE md5(text || '_px1') END,

@@ -110,11 +110,14 @@ object Streaming {
    * decision.
    *
    * Arrival-order semantics (documented, spec-asserted): ownership is
-   * first-wins ACROSS micro-batches and min-id WITHIN one — a smaller
-   * id arriving after a bucket was claimed takes ownership for FUTURE
-   * arrivals but does not retract the earlier non-dup emission, the
+   * first-wins ACROSS micro-batches and min-id WITHIN one — the stored
+   * claim is never displaced, so EVERY later arrival into an owned
+   * bucket (including a smaller id) emits `is_dup = true` against the
+   * original owner, and earlier emissions are never retracted — the
    * standard online-dedup contract (the batch pass over the same data
-   * is the retroactive ground truth).
+   * is the retroactive ground truth; it may canonicalize a different
+   * representative, which is exactly the arrival-order-vs-global-order
+   * difference between online and offline dedup).
    *
    * Scale shape: state is one Long per DISTINCT band bucket — bounded
    * by corpus bands (k/r per doc), not arrivals, and partitioned by
@@ -137,8 +140,10 @@ object Streaming {
         (key: (Int, String), rows: Iterator[(Long, Int, String)],
          state: GroupState[Long]) =>
           val ids = rows.map(_._1).toArray.sorted
-          val owner = math.min(state.getOption.getOrElse(Long.MaxValue),
-            ids.head)
+          // the STORED claim wins: min(stored, batch) would let a later,
+          // smaller id silently take ownership and pass the online
+          // filter un-flagged — both copies of the duplicate would ship
+          val owner = state.getOption.getOrElse(ids.head)
           state.update(owner)
           ids.iterator.map(id =>
             BucketClaim(id, key._1, key._2, owner, id != owner))

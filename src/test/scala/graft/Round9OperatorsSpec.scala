@@ -81,11 +81,19 @@ class Round9OperatorsSpec extends SparkSpec {
     assert(d1.getAs[Double]("ppl") ==
       BigDecimal(math.exp(1.247891 / 3.0))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // portable surface, doc1: slots (a,b),(b,a),(a,b) →
+    // sum_cxy = 3+1+3, sum_cx = c(a)+c(b)+c(a) = 9, sum_cy = 9,
+    // sum_pq6 = ⌊10⁶·0.875⌋·2 + ⌊10⁶·0.375⌋ = 2125000
+    assert(d1.getAs[Long]("sum_cxy") == 7L)
+    assert(d1.getAs[Long]("sum_cx") == 9L)
+    assert(d1.getAs[Long]("sum_cy") == 9L)
+    assert(d1.getAs[Long]("sum_pq6") == 2125000L)
     // doc2: one slot (a,b) → sum = −0.133531, ppl = e^0.133531
     val d2 = out(1)
     assert(d2.getAs[Long]("n_scored") == 1L)
     assert(d2.getAs[java.math.BigDecimal]("sum_logp")
       .compareTo(new java.math.BigDecimal("-0.133531")) == 0)
+    assert(d2.getAs[Long]("sum_pq6") == 875000L)
   }
 
   test("interpolatedPerplexity drops docs shorter than two words") {
@@ -334,10 +342,10 @@ class Round9OperatorsSpec extends SparkSpec {
   test("perplexityMixtureWeights deflates token share by mean perplexity") {
     // hand-built per-doc scores (the interpolatedPerplexity output shape)
     val ppl = Seq(
-      (1L, 10L, java.math.BigDecimal.valueOf(-5.0), 2.0),
-      (2L, 10L, java.math.BigDecimal.valueOf(-5.0), 4.0),   // src A: 20 tok, mean ppl 3
-      (3L, 30L, java.math.BigDecimal.valueOf(-5.0), 6.0)    // src B: 30 tok, mean ppl 6
-    ).toDF("doc_id", "n_scored", "sum_logp", "ppl")
+      (1L, 10L, 9000000L, java.math.BigDecimal.valueOf(-5.0), 2.0),
+      (2L, 10L, 5000000L, java.math.BigDecimal.valueOf(-5.0), 4.0),   // src A: 20 tok, mean ppl 3
+      (3L, 30L, 12000000L, java.math.BigDecimal.valueOf(-5.0), 6.0)   // src B: 30 tok, mean ppl 6
+    ).toDF("doc_id", "n_scored", "sum_pq6", "sum_logp", "ppl")
     val strata = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"))
       .toDF("doc_id", "source")   // doc 4 unscored → C absent from output
     val out = Sampling.perplexityMixtureWeights(ppl, "doc_id",
@@ -345,16 +353,21 @@ class Round9OperatorsSpec extends SparkSpec {
       .orderBy("source").collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
         r.getAs[Long]("n_tokens"), r.getAs[Double]("mass"),
-        r.getAs[Double]("weight")))
+        r.getAs[Double]("weight"), r.getAs[Long]("mass_q"),
+        r.getAs[Long]("weight_ppm")))
     // mass A = 20·2/6 = 6.666667, mass B = 30·1/6 = 5.0
     // total = 11.666667 → wA = 0.571428, wB = 0.428572 (6-dp HALF_UP)
+    // portable: mass_q A = 14e6, B = 12e6, total 26e6 →
+    // weight_ppm A = ⌊10⁶·14/26⌋ = 538461, B = ⌊10⁶·12/26⌋ = 461538
     assert(out.length == 2)
     assert(out(0) == ("A", 2L, 20L, 6.666667,
       BigDecimal(6.666667 / 11.666667)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      14000000L, 538461L))
     assert(out(1) == ("B", 1L, 30L, 5.0,
       BigDecimal(5.0 / 11.666667)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      12000000L, 461538L))
   }
 
   test("semanticContaminated eval side is broadcast (no corpus shuffle)") {

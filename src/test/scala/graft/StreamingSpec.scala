@@ -210,8 +210,9 @@ class StreamingSpec extends SparkSpec {
     import java.nio.file.attribute.FileTime
     val streamDir = tmpDir("claim2-src")
     // batch 1: doc 10 claims the bucket; batch 2: doc 5 (smaller id, same
-    // text) takes ownership forward WITHOUT retracting doc 10's non-dup
-    // emission, and doc 12 is flagged against the new owner 5.
+    // text) arrives AFTER the claim — the stored owner wins, so doc 5 is
+    // flagged as a dup of 10 (min-wins would let it pass un-flagged and
+    // ship both copies), as is doc 12.
     // maxFilesPerTrigger=1 + explicit mtimes force the batch order in ONE
     // continuous query (the memory sink cannot recover a checkpoint).
     Seq((10L, "x y z")).toDF("doc_id", "text")
@@ -236,12 +237,13 @@ class StreamingSpec extends SparkSpec {
     val byDoc = spark.table("claims2")
       .as[(Long, Int, String, Long, Boolean)].collect().toSeq.groupBy(_._1)
     assert(byDoc.keySet == Set(5L, 10L, 12L))
-    // doc 10 owned its batch — its non-dup emission stands
+    // doc 10 claimed first — its non-dup emission stands
     assert(byDoc(10L).forall(r => r._4 == 10L && !r._5))
-    // doc 5 takes ownership forward (not retroactively dup)
-    assert(byDoc(5L).forall(r => r._4 == 5L && !r._5))
-    // doc 12 (same batch as 5) dups onto the new owner
-    assert(byDoc(12L).forall(r => r._4 == 5L && r._5))
+    // doc 5 arrives after the claim: flagged against the stored owner
+    // despite its smaller id (first-wins, not min-wins)
+    assert(byDoc(5L).forall(r => r._4 == 10L && r._5))
+    // doc 12 (same batch as 5) dups onto the original owner too
+    assert(byDoc(12L).forall(r => r._4 == 10L && r._5))
   }
 
   test("stream-stream view-click join matches the batch interval join") {
