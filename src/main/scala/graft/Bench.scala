@@ -92,10 +92,19 @@ object Bench {
     // silently break them; a consumer that aggregates every line
     // dedups on the extra "copy" discriminator instead.
     val nErr = results.count(_._4.isDefined)
+    // machine-state fields: round-over-round totals drift ±16% with zero
+    // code changes on a shared host; recording the 1-min load average and
+    // heap ceiling in the SAME line lets the next reader attribute drift
+    // to ambient load instead of re-deriving it from plan diffs
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val env =
+      s""""load_avg":${sec(osBean.getSystemLoadAverage)},""" +
+      s""""n_cpus":${osBean.getAvailableProcessors},""" +
+      s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)}"""
     def compact(copy: String) =
       s"""{"metric":"total","copy":"$copy","value":${sec(total)},""" +
       s""""unit":"sec","value_min":${sec(totalMin)},"reps":$reps,""" +
-      s""""n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}"""
+      s""""n_queries":${results.size},"n_errors":$nErr,$env,"sf":"$sfDir"}"""
     println(compact("head"))
     println(s"""{"metric":"detail","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     // min-of-reps per query on its own line (reps >= 2 is the default):

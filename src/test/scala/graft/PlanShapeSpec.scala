@@ -531,4 +531,82 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"),
       s"cold-df attach must stay a shuffled hash join:\n$plan")
   }
+
+  // exchanges are inserted by EnsureRequirements, so they only exist in
+  // the executed plan — unwrap the AQE node to traverse them typed
+  private def withExchanges(df: DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
+  test("phash near-dup drops the media payload before any shuffle (q207)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.BinaryType
+    // at 100 TB the payload column IS the corpus — if it crosses even one
+    // Exchange the whole job ships the media bytes through the shuffle
+    // instead of the (id, phash) longs the banding needs
+    val df = graft.queries.QualityQueries.q207PhashPairs(spark, sf)
+    val exchanges = withExchanges(df).collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected shuffles in the banded join")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType == BinaryType),
+        s"binary payload crossed a shuffle:\n${e.treeString}")
+    }
+  }
+
+  test("length batching: one range shuffle, no single-partition window (q205)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    // the total order comes from GlobalRank's ONE range shuffle; a
+    // window-based row_number over the whole corpus would funnel every
+    // row through a single partition
+    val df = graft.operators.Packing.lengthGroupedBatches(
+      graft.sources.Sources.documents(spark, sf), "doc_id",
+      size(split(col("text"), " ")), batchSize = 32)
+    val plan = withExchanges(df)
+    val rangeShuffles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    // GlobalRank's lineage references the ranged input from three places
+    // (main side, counts, counts self-join); all three MUST canonicalize
+    // to the same exchange so AQE materializes the corpus shuffle once
+    // and the other two branches read it as ReusedExchange
+    assert(rangeShuffles.nonEmpty, s"expected the GlobalRank range shuffle")
+    assert(rangeShuffles.map(_.canonicalized).distinct.size == 1,
+      s"range shuffles are not reuse-identical:\n$plan")
+    df.queryExecution.sparkPlan.collect { case w: WindowExec => w }.foreach(w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"partition-less window over data rows:\n$plan"))
+    df.collect() // materialize THIS df's plan so AQE finalizes its stages
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange"),
+      s"corpus range shuffle was executed more than once:\n$finalPlan")
+  }
+
+  test("boilerplate audit df-filters the heavy side before the join (q208)") {
+    import org.apache.spark.sql.execution.FilterExec
+    // the df >= minDf cut must run UNDER the attach join (build-side
+    // prefilter): the corpus then streams against a table bounded by the
+    // number of genuinely heavy shingles, not the full shingle universe
+    val df = graft.queries.QualityQueries.q208Boilerplate(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    val joins = plan.collect { case j if j.children.size == 2 => j }
+    assert(joins.nonEmpty, "expected the heavy-shingle attach join")
+    val underJoin = joins.exists(_.children.exists(c =>
+      c.collect {
+        case f: FilterExec if f.condition.toString.contains("graft_df") => f
+      }.nonEmpty))
+    assert(underJoin, s"df filter did not stay below the join:\n$plan")
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate audit planned a quadratic join:\n$plan")
+  }
 }
