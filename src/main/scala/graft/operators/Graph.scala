@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -200,9 +201,13 @@ object Graph {
     require(!reliable ||
       edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "reliable=true requires spark.sparkContext.setCheckpointDir(...)")
+    // lazy localCheckpoint: every round's convergence probe (labelSum /
+    // isStarForest) is the first action on the saved frame, so it
+    // materializes the checkpoint in the SAME job — an eager checkpoint
+    // would pay one extra full-pipeline job launch per round
     def save(df: DataFrame, round: Int): DataFrame =
       if (reliable && round % checkpointInterval == 0) df.checkpoint()
-      else df.localCheckpoint()
+      else df.localCheckpoint(eager = false)
     if (algorithm == "two-phase")
       return twoPhase(edges, srcCol, dstCol, maxIters, save)
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
@@ -264,24 +269,42 @@ object Graph {
     // Exact fixpoint test, one job: the alternation's fixpoints are
     // EXACTLY the min-rooted star forests (Kiveris et al. §3) — every
     // child has ONE parent and no parent is itself a child. Both
-    // properties fall out of one role-count aggregate over the edge
-    // list (node appears as child > 1× → multi-parent; as both child
-    // and parent → a 3-level chain — either way another round would
-    // rewrite it). Detects the fixpoint the round it FORMS — the
+    // properties fall out of one role aggregate over the edge list
+    // (node with >1 DISTINCT parent → multi-parent; appearing as both
+    // child and parent → a 3-level chain — either way another round
+    // would rewrite it). Detects the fixpoint the round it FORMS — the
     // set-equality test (|next| = |e| ∧ anti-join empty) needs the
     // round AFTER to prove nothing moved, paying one extra full round
-    // of shuffles plus two jobs per round instead of one.
+    // of shuffles plus two jobs per round instead of one. The test is
+    // STRUCTURAL (distinct parents, not row counts) so the edge list
+    // may legally carry cross-group duplicate rows — the round loop
+    // exploits that to skip a global distinct per round.
+    // single consumption of df (explode, not a two-branch union): the
+    // round frames are LAZY localCheckpoints, and this probe is their
+    // materializing action — a union would schedule two racing passes
+    // over the un-materialized pipeline, paying the round twice
     def isStarForest(df: DataFrame): Boolean = df
-      .select(col("a").as("graft_nd"), lit(1L).as("graft_c"),
-        lit(0L).as("graft_p"))
-      .unionByName(df.select(col("b").as("graft_nd"), lit(0L).as("graft_c"),
-        lit(1L).as("graft_p")))
-      .groupBy(col("graft_nd"))
-      .agg(sum(col("graft_c")).as("graft_nc"),
-        sum(col("graft_p")).as("graft_np"))
-      .filter(col("graft_nc") > 1L ||
-        (col("graft_nc") >= 1L && col("graft_np") >= 1L))
+      .select(explode(array(
+          struct(col("a").as("nd"), col("b").as("par"), lit(1L).as("c")),
+          struct(col("b").as("nd"), col("b").as("par"), lit(0L).as("c"))))
+        .as("graft_r"))
+      .groupBy(col("graft_r.nd"))
+      .agg(countDistinct(when(col("graft_r.c") === 1L, col("graft_r.par")))
+          .as("graft_ncp"),
+        max(lit(1L) - col("graft_r.c")).as("graft_isp"))
+      .filter(col("graft_ncp") > 1L ||
+        (col("graft_ncp") >= 1L && col("graft_isp") === 1L))
       .isEmpty
+    // Each star attaches m = min over the node's neighbor group with ONE
+    // partitioned window (shuffle by the group key, then a per-group min
+    // over the whole frame) instead of a groupBy(min) + self-join — the
+    // join form paid an extra aggregate shuffle AND a full-volume join
+    // shuffle per star, which at bounded edge counts made every round
+    // two stages deeper for no volume gain. WindowExec buffers one
+    // group at a time and spills (ExternalAppendOnlyUnsafeRowArray), so
+    // a celebrity node degrades to disk, not OOM — the same posture the
+    // streaming SortMergeJoin had.
+    val byA = Window.partitionBy(col("a"))
     var iter = 0
     var converged = isStarForest(e)
     while (iter < maxIters && !converged) {
@@ -289,29 +312,50 @@ object Graph {
       // re-hang every neighbor v > u as (v, m). Keeps a > b: v > u ≥ m.
       val sym = e.unionByName(
         e.select(col("b").as("a"), col("a").as("b")))
-      val mins = sym.groupBy(col("a").as("graft_u"))
-        .agg(min(col("b")).as("graft_mn"))
-        .select(col("graft_u"),
-          least(col("graft_u"), col("graft_mn")).as("graft_m"))
-      // no distinct here: duplicate (v, m) rows collapse in mins2's
-      // map-side combine and in next's final distinct anyway — deduping
-      // them now would cost a full |e|-row shuffle per round for no
-      // volume bound (the pre-distinct row count is ≤ |e| already)
-      val large = sym.filter(col("b") > col("a"))
-        .join(mins, col("a") === col("graft_u"))
+      // no dedup of sym: duplicate (v, m) emissions collapse in the
+      // small-star stage's per-group dedup — deduping now would cost a
+      // full |e|-row shuffle per round for no volume bound
+      val large = sym
+        .withColumn("graft_m",
+          least(col("a"), min(col("b")).over(byA)))
+        .filter(col("b") > col("a"))
         .select(col("b").as("a"), col("graft_m").as("b"))
         .filter(col("a") =!= col("b"))
       // SMALL-STAR: edges already point large→small; per node u the
       // below neighbors Γ⁻(u) all re-parent onto m = min(Γ⁻(u)), and u
       // itself hangs off m too. Both emissions keep a > b.
-      val mins2 = large.groupBy(col("a").as("graft_u"))
-        .agg(min(col("b")).as("graft_m"))
-      val withMin = large.join(mins2, col("a") === col("graft_u"))
+      //
+      // Dedup is folded into this window stage instead of a global
+      // distinct: (u, m) is emitted once per group (rn = 1) and (b, m)
+      // once per DISTINCT b in the group (lag test), all under the one
+      // byA shuffle. Only CROSS-group duplicates of the same (b, m)
+      // pair survive — bounded by the round's multi-parent incidences
+      // (a structural count the alternation is actively shrinking), so
+      // the multiset can never compound round over round, while the
+      // former `.distinct()` cost a third full-volume shuffle of the
+      // edge set every round. The detector is duplicate-insensitive
+      // and the final labels are deduped once after convergence.
+      val byAOrd = byA.orderBy(col("b"))
+      val withMin = large
+        .withColumn("graft_m", min(col("b")).over(byA))
+        .withColumn("graft_rn", row_number().over(byAOrd))
+        .withColumn("graft_prev", lag(col("b"), 1).over(byAOrd))
+      // both emissions leave in ONE pass over the window output (a
+      // two-branch union would re-run the sort+window per branch):
+      // slot 1 carries (u, m) on the group's first row, slot 2 carries
+      // (b, m) on each first occurrence of a distinct b ≠ m
       val next = save(
-        withMin.select(col("a"), col("graft_m").as("b"))
-          .unionByName(withMin.filter(col("b") =!= col("graft_m"))
-            .select(col("b").as("a"), col("graft_m").as("b")))
-          .distinct(), iter + 1)
+        withMin.select(explode(array(
+            when(col("graft_rn") === 1,
+              struct(col("a"), col("graft_m").as("b"))),
+            when(col("b") =!= col("graft_m") &&
+                (col("graft_prev").isNull ||
+                  col("graft_prev") =!= col("b")),
+              struct(col("b").as("a"), col("graft_m").as("b")))))
+            .as("graft_e"))
+          .filter(col("graft_e").isNotNull)
+          .select(col("graft_e.a").as("a"), col("graft_e.b").as("b"))
+          , iter + 1)
       converged = isStarForest(next)
       e = next
       iter += 1
@@ -322,8 +366,10 @@ object Graph {
       "bound is O(log² n) alternating rounds)")
     // fixpoint is a union of stars rooted at each component's min id:
     // members label from their parent, roots (and self-loop-only nodes)
-    // label as themselves
+    // label as themselves; the ONE global dedup (cross-group duplicate
+    // rows are legal during the loop) happens here, after convergence
     val labels = e.select(col("a").as("node"), col("b").as("component"))
+      .distinct()
     (nodes.join(labels, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component")),
