@@ -490,4 +490,56 @@ object TextAnalysis {
       .withColumn("n_failed", nFailed.cast(LongType))
       .withColumn("keep", col("n_failed") === 0)
   }
+
+  /**
+   * Linear quality-classifier APPLY — the fastText shape (Joulin et al.
+   * 2016, "Bag of Tricks for Efficient Text Classification"): a
+   * bag-of-words logit z = b + Σ_t w(t)·tf(t) and label = z > 0, the
+   * learned complement to the rule battery above (the standard
+   * pretraining quality filter pairs a trained linear model with
+   * hand rules — GPT-3's LR filter, CCNet's fastText LID). Training
+   * happens offline; applying the model at corpus scale is the Spark
+   * problem, and this is that apply.
+   *
+   * Weights are INTEGER MILLI-UNITS (`term → w·1000`), so the logit is
+   * an exact BIGINT — deterministic, order-independent, engine-portable
+   * (the q200 lesson: never hash a libm digit; σ(z) stays a
+   * convenience column OFF any cross-engine gate). `prob` =
+   * round(σ(logit_milli/1000), 6) rides along for human thresholds,
+   * and `label`/`logit_milli` feed [[graft.operators.Sampling]]'s
+   * weighted selection exactly like any other per-doc score.
+   *
+   * Scale shape: one tokenize+explode projection, a BROADCAST join
+   * against the |vocab|-row weight table (model vocabularies are
+   * 10⁴-10⁶ rows — executor-memory scale by design), and ONE doc-keyed
+   * hash-agg (map-side combinable). The corpus shuffles once, by doc
+   * id; unmatched terms drop at the join (w = 0 contributes nothing),
+   * so the aggregated volume is hit terms only.
+   */
+  def linearQualityScore(docs: DataFrame, idCol: String, textCol: String,
+                         milliWeights: Map[String, Long],
+                         biasMilli: Long): DataFrame = {
+    require(milliWeights.nonEmpty, "empty weight table")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val weights = milliWeights.toSeq.toDF("graft_term", "graft_w")
+    val terms = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("graft_term"))
+    val hits = terms
+      .join(broadcast(weights), Seq("graft_term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(col("graft_w")).as("graft_zsum"))
+    docs.select(col(idCol),
+        size(split(col(textCol), " ")).cast(LongType).as("n_terms"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_terms"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("graft_zsum"), lit(0L)) + biasMilli)
+          .as("logit_milli"))
+      .withColumn("label", col("logit_milli") > 0L)
+      .withColumn("prob",
+        round(lit(1.0) / (lit(1.0) +
+          exp(-col("logit_milli").cast(DoubleType) / lit(1000.0))), 6))
+  }
 }

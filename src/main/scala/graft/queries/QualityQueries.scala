@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Decontamination, Multimodal, Packing, Profiling, Relevance, Sampling, Sketches, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{Decontamination, DomainDedup, Multimodal, Packing, Profiling, Relevance, Sampling, Sketches, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-9 curation-quality operators: the Gopher-style multi-rule
@@ -439,4 +439,121 @@ object QualityQueries {
       |    AS cum_share,
       |  t.n_keys, t.n_rows
       |FROM cs CROSS JOIN t ORDER BY cs.rank""".stripMargin
+
+  // ── q211: URL dedup + per-domain caps ──────────────────────────────────
+
+  /** q211: the RefinedWeb-style URL/domain curation stage
+    * ([[DomainDedup]]) — documents get a deterministic synthetic URL
+    * (with `www.` prefixes, ports-free hosts, trailing slashes, query
+    * strings, and `co.uk`-style multi-level suffixes, so the normalizer
+    * and public-suffix logic are genuinely exercised), then: exact
+    * first-wins dedup on the normalized URL, token caps per registrable
+    * domain (d1.com tightened, d2.co.uk loosened, 120 tokens default,
+    * admission by ascending doc_id), and a per-domain audit row. The
+    * oracle derives the same expectations ARITHMETICALLY from doc_id —
+    * an independent path that never runs the string machinery under
+    * test. All gated columns are exact integers. */
+  def q211DomainCaps(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+      .withColumn("url", concat(
+        lit("https://"),
+        when(col("doc_id") % 7 === 0, lit("www.")).otherwise(lit("")),
+        lit("d"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        lit("/p/"), (col("doc_id") % 100).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit("?utm="), (col("doc_id") % 5).cast("string")))
+          .otherwise(lit(""))))
+    val surv = DomainDedup.dedupByUrl(docs, "doc_id", "url")
+    val kept = DomainDedup.capPerDomain(surv, "doc_id", "url",
+      size(split(col("text"), " ")),
+      Map("d1.com" -> 60L, "d2.co.uk" -> 10000L), defaultBudget = 120L)
+    val perDomainSurv = surv
+      .withColumn("domain", DomainDedup.registrableDomain(col("url")))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        (sum(col("n_copies")) - count(lit(1))).as("n_url_dups"))
+    val perDomainKept = kept.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("n_tokens_kept"))
+    perDomainSurv.join(perDomainKept, Seq("domain"), "left")
+      .select(col("domain"), col("n_urls"), col("n_url_dups"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+      .orderBy(col("domain"))
+  }
+
+  // ── q212: linear quality-classifier apply ──────────────────────────────
+
+  /** The model: term → weight in milli-units, shared by the Spark query
+    * and the oracle SQL (the VALUES list is GENERATED from this seq, so
+    * the two sides cannot drift). Integer weights keep the logit exact. */
+  val q212MilliWeights: Seq[(String, Long)] = Seq(
+    "spark" -> 400L, "table" -> 250L, "query" -> 300L, "window" -> 200L,
+    "merge" -> 150L, "fast" -> 100L, "sort" -> 80L,
+    "slow" -> -300L, "scan" -> -120L, "the" -> -50L, "a" -> -40L)
+  val q212BiasMilli: Long = -100L
+
+  /** q212: fastText-style linear quality classifier applied at corpus
+    * scale — [[TextAnalysis.linearQualityScore]] with the
+    * [[q212MilliWeights]] model. The gate hashes only exact integers
+    * (term/hit counts, the milli-logit, the sign label); σ stays an
+    * API-only column (q200's portability rule). */
+  def q212QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.linearQualityScore(Sources.documents(s, dir), "doc_id",
+        "text", q212MilliWeights.toMap, q212BiasMilli)
+      .select(col("doc_id"), col("n_terms"), col("n_hits"),
+        col("logit_milli"), col("label"))
+      .orderBy(col("doc_id"))
+
+  val q212Sql: String = {
+    val values = q212MilliWeights
+      .map { case (t, w) => s"('$t', ${w}::BIGINT)" }.mkString(", ")
+    s"""WITH w(term, wm) AS (VALUES $values),
+      |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |      FROM documents),
+      |h AS (SELECT t.doc_id, COUNT(*) AS n_hits,
+      |        CAST(SUM(w.wm) AS BIGINT) AS zsum
+      |      FROM t JOIN w USING (term) GROUP BY t.doc_id),
+      |n AS (SELECT doc_id,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_terms
+      |      FROM documents)
+      |SELECT n.doc_id, n.n_terms,
+      |  COALESCE(h.n_hits, 0) AS n_hits,
+      |  CAST(COALESCE(h.zsum, 0) + ${q212BiasMilli} AS BIGINT)
+      |    AS logit_milli,
+      |  (COALESCE(h.zsum, 0) + ${q212BiasMilli}) > 0 AS label
+      |FROM n LEFT JOIN h ON n.doc_id = h.doc_id
+      |ORDER BY n.doc_id""".stripMargin
+  }
+
+  val q211Sql: String =
+    """WITH u AS (SELECT doc_id,
+      |    'd' || CAST(doc_id % 50 AS VARCHAR) ||
+      |      CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END
+      |      AS domain,
+      |    CAST(doc_id % 100 AS VARCHAR) AS path,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+      |  FROM documents),
+      |s AS (SELECT domain, path, MIN(doc_id) AS doc_id,
+      |        COUNT(*) AS n_copies
+      |      FROM u GROUP BY domain, path),
+      |sv AS (SELECT s.domain, s.doc_id, s.n_copies, u.w
+      |       FROM s JOIN u ON s.doc_id = u.doc_id),
+      |cum AS (SELECT domain, doc_id, n_copies, w,
+      |    COALESCE(SUM(w) OVER (PARTITION BY domain ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+      |    CASE WHEN domain = 'd1.com' THEN 60
+      |         WHEN domain = 'd2.co.uk' THEN 10000
+      |         ELSE 120 END AS cap
+      |  FROM sv)
+      |SELECT domain,
+      |  COUNT(*) AS n_urls,
+      |  CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_url_dups,
+      |  CAST(SUM(CASE WHEN pre + w <= cap THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(CASE WHEN pre + w <= cap THEN w ELSE 0 END) AS BIGINT)
+      |    AS n_tokens_kept
+      |FROM cum GROUP BY domain ORDER BY domain""".stripMargin
 }

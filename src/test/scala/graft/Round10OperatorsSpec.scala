@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DomainDedup, TextAnalysis}
+
+/** Round-10 operator specs: URL normalization / registrable-domain
+  * extraction, first-wins URL dedup, and per-domain token caps —
+  * hand-computed expectations, independent of the DuckDB gate. */
+class Round10OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── normalizeUrl / registrableDomain ────────────────────────────────────
+
+  test("normalizeUrl canonicalizes scheme, www, port, userinfo, query, slash") {
+    val cases = Seq(
+      ("HTTPS://WWW.Example.COM/Path/", "example.com/path"),
+      ("http://example.com:8080/a?q=1#frag", "example.com/a"),
+      ("https://user:pw@news.site.org/x/", "news.site.org/x"),
+      ("example.com/a///", "example.com/a"),
+      ("https://www.example.com", "example.com"))
+    val out = cases.map(_._1).toDF("url")
+      .select(DomainDedup.normalizeUrl(col("url")).as("n"))
+      .as[String].collect().toSeq
+    assert(out == cases.map(_._2))
+  }
+
+  test("registrableDomain is public-suffix-aware") {
+    val cases = Seq(
+      ("https://news.bbc.co.uk/story", "bbc.co.uk"),
+      ("https://a.b.example.com/", "example.com"),
+      ("https://example.com", "example.com"),
+      ("https://www.co.uk", "co.uk"),        // 2 labels after www strip
+      ("https://localhost/x", "localhost"))  // single label → itself
+    val out = cases.map(_._1).toDF("url")
+      .select(DomainDedup.registrableDomain(col("url")).as("d"))
+      .as[String].collect().toSeq
+    assert(out == cases.map(_._2))
+  }
+
+  // ── dedupByUrl ──────────────────────────────────────────────────────────
+
+  test("dedupByUrl keeps the smallest id per normalized URL with n_copies") {
+    val docs = Seq(
+      (3L, "https://www.site.com/a/", "x"),
+      (1L, "http://site.com/a?utm=9", "y"),   // same page as doc 3
+      (2L, "https://site.com/b", "z")
+    ).toDF("doc_id", "url", "text")
+    val out = DomainDedup.dedupByUrl(docs, "doc_id", "url")
+      .orderBy("doc_id")
+      .select("doc_id", "norm_url", "n_copies", "text")
+      .as[(Long, String, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "site.com/a", 2L, "y"),
+      (2L, "site.com/b", 1L, "z")))
+  }
+
+  // ── capPerDomain ────────────────────────────────────────────────────────
+
+  test("capPerDomain admits in id order until the domain budget is hit") {
+    // domain x.com: weights 50+50 admitted, 50 more would exceed 100;
+    // domain y.com: budget override 30 → only the first (id 10, w 30)
+    val docs = Seq(
+      (1L, "https://x.com/1", 50L),
+      (2L, "https://www.x.com/2", 50L),
+      (3L, "https://x.com/3", 50L),
+      (10L, "https://y.com/1", 30L),
+      (11L, "https://y.com/2", 1L)
+    ).toDF("doc_id", "url", "w")
+    val out = DomainDedup.capPerDomain(docs, "doc_id", "url", col("w"),
+        Map("y.com" -> 30L), defaultBudget = 100L)
+      .select("doc_id", "domain", "n_tokens")
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "x.com", 50L), (2L, "x.com", 50L), (10L, "y.com", 30L)))
+  }
+
+  test("capPerDomain admission is by id order, not weight order") {
+    // the big early doc exhausts the budget before the small late one
+    val docs = Seq(
+      (1L, "https://z.com/1", 90L),
+      (2L, "https://z.com/2", 20L),
+      (3L, "https://z.com/3", 5L)
+    ).toDF("doc_id", "url", "w")
+    val out = DomainDedup.capPerDomain(docs, "doc_id", "url", col("w"),
+        Map.empty, defaultBudget = 100L)
+      .select("doc_id").orderBy("doc_id").as[Long].collect().toSeq
+    // 90 admitted; doc 2 hits 110 > 100 → dropped; doc 3 is ALSO
+    // dropped (prefix-sum cut: its cum_before of 110 counts every
+    // earlier row, admitted or not — underBudget's documented contract,
+    // and the same rule the q211 oracle applies)
+    assert(out == Seq(1L))
+  }
+
+  // ── linearQualityScore ──────────────────────────────────────────────────
+
+  test("linearQualityScore computes exact milli-logits and the sign label") {
+    val docs = Seq(
+      (1L, "spark spark slow x"),   // 400·2 − 300 − 100 = 400 > 0
+      (2L, "slow slow y"),          // −300·2 − 100 = −700
+      (3L, "x y z")                 // no hits → bias only = −100
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.linearQualityScore(docs, "doc_id", "text",
+        Map("spark" -> 400L, "slow" -> -300L), biasMilli = -100L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_terms", "n_hits", "logit_milli", "label")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 3L, 400L, true),
+      (2L, 3L, 2L, -700L, false),
+      (3L, 3L, 0L, -100L, false)))
+  }
+
+  test("linearQualityScore prob is the sigmoid of the logit (API column)") {
+    val docs = Seq((1L, "spark")).toDF("doc_id", "text")
+    val p = TextAnalysis.linearQualityScore(docs, "doc_id", "text",
+        Map("spark" -> 1000L), biasMilli = 0L)
+      .select("prob").as[Double].head()
+    assert(p == BigDecimal(1.0 / (1.0 + math.exp(-1.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("linearQualityScore broadcasts the weight table (corpus never shuffles on term)") {
+    val docs = (1L to 50L).map(i => (i, s"spark t$i")).toDF("doc_id", "text")
+    val plan = TextAnalysis.linearQualityScore(docs, "doc_id", "text",
+        Map("spark" -> 1L), biasMilli = 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight attach must broadcast:\n$plan")
+  }
+}
