@@ -90,6 +90,51 @@ object Streaming {
       .join(indexBands.select(col(idCol).as("d_old"), col("band"), col("bh")),
         Seq("band", "bh"))
 
+  /**
+   * Streaming semantic decontamination — the online half of
+   * [[graft.operators.Decontamination.semanticContaminated]]: every
+   * ARRIVING training vector is checked against the static eval/benchmark
+   * set the moment it enters the pipeline, so contaminated documents are
+   * flagged before they ever land in the corpus (batch decontamination
+   * re-scans the corpus after the fact; a curation pipeline wants both).
+   *
+   * Output matches the batch operator row-for-row: one append-mode row
+   * per CONTAMINATED arrival — (idCol, n_eval_hits, max_cosine), cosines
+   * 6-dp-rounded with the same native expression.
+   *
+   * Scale shape — stateless by construction (the [[nearDupCandidates]]
+   * stream-static pattern, taken one step further): the eval set is
+   * benchmark-sized by contract, so it rides as ONE static row holding
+   * every (id, vector) struct, equi-joined on a constant key (Spark
+   * broadcasts the single row per micro-batch and re-reads it when the
+   * backing table changes — eval refreshes need no restart). Each
+   * arriving row then computes its hit count and max cosine in ONE
+   * codegen'd projection over that array — no per-(train, eval) row
+   * blow-up, no streaming aggregation, no state store, no watermark.
+   * If the eval set outgrows a broadcast row, prefilter with the LSH
+   * banding index ([[nearDupCandidates]]) and verify only collisions —
+   * same contract as the batch operator's scale note.
+   */
+  def decontaminationStream(docStream: DataFrame, evalVecs: DataFrame,
+                            idCol: String, vecCol: String,
+                            tau: Double): DataFrame = {
+    val evalRow = evalVecs
+      .agg(collect_list(struct(col(vecCol).as("graft_ev"))).as("graft_evs"))
+      .withColumn("graft_k", lit(1))
+    docStream.withColumn("graft_k", lit(1))
+      .join(evalRow, Seq("graft_k"))
+      .withColumn("graft_cos",
+        transform(col("graft_evs"),
+          e => round(graft.operators.Similarity
+            .cosine(col(vecCol), e("graft_ev")), 6)))
+      .withColumn("graft_hits",
+        filter(col("graft_cos"), c => c >= lit(tau)))
+      .filter(size(col("graft_hits")) > 0)
+      .select(col(idCol),
+        size(col("graft_hits")).cast("long").as("n_eval_hits"),
+        array_max(col("graft_hits")).as("max_cosine"))
+  }
+
   /** Output row of [[lshBucketClaimStream]]: one row per (document,
     * band) with the bucket's current owner; `is_dup` marks band
     * collisions with an earlier-owned bucket. */

@@ -179,6 +179,49 @@ class StreamingSpec extends SparkSpec {
       .distinct().collect().toSet === expected)
   }
 
+  test("streaming decontamination matches the batch semantic filter") {
+    import graft.operators.Decontamination
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val train = emb.filter(col("vec_id") % 13 =!= 0)
+    val evalVecs = emb.filter(col("vec_id") % 13 === 0)
+    // batch ground truth: q201's operator on the same split
+    val expected = Decontamination.semanticContaminated(
+        train, evalVecs, "vec_id", "embedding", tau = 0.375)
+      .collect().toSet
+    assert(expected.nonEmpty, "fixture should have ≥1 contaminated vector")
+    val streamDir = tmpDir("decontam-src")
+    train.write.parquet(s"$streamDir/train")
+    val q = Streaming.decontaminationStream(
+        spark.readStream.schema(train.schema).parquet(s"$streamDir/train"),
+        evalVecs, "vec_id", "embedding", tau = 0.375)
+      .writeStream.format("memory").queryName("decontam")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("decontam").collect().toSet === expected)
+  }
+
+  test("streaming decontamination is stateless (no state store operator)") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val streamDir = tmpDir("decontam2-src")
+    emb.limit(10).write.parquet(s"$streamDir/t")
+    val df = Streaming.decontaminationStream(
+      spark.readStream.schema(emb.schema).parquet(s"$streamDir/t"),
+      emb.limit(5), "vec_id", "embedding", tau = 0.5)
+    // the check runs per-row against the broadcast eval array, so a
+    // state store (and its watermark bookkeeping) would be pure
+    // overhead at scale — the progress report must show NO stateful
+    // operators
+    assert(df.isStreaming)
+    val q = df.writeStream.format("memory").queryName("decontam2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val prog = q.lastProgress
+    assert(prog == null || prog.stateOperators.isEmpty,
+      s"expected no state operators, got ${prog.stateOperators.length}")
+  }
+
   test("LSH bucket-claim stream matches batch min-id ownership in one batch") {
     import graft.operators.TextDedup
     val sf = "/root/testdata/sf0.001"
