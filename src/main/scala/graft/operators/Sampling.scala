@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -452,5 +453,79 @@ object Sampling {
         col("sum_ppl"), col("mass").cast(DoubleType).as("mass"),
         round(col("mass").cast(DoubleType) /
           col("graft_total").cast(DoubleType), 6).as("weight"))
+  }
+
+  /**
+   * Epoch allocation under a token budget with a repetition cap — the
+   * data-constrained scaling recipe (Muennighoff et al. 2023, "Scaling
+   * Data-Constrained Language Models": repeating data beyond ~4 epochs
+   * stops buying loss): split training budget `budgetTokens` equally
+   * across strata, but no stratum may be consumed for more than
+   * `maxEpochs` passes; budget a saturated (small) stratum cannot absorb
+   * flows to the unsaturated ones. That is exact water-filling, and with
+   * strata sorted by size ascending it has the classic closed form —
+   * saturate a PREFIX, split the remainder equally — so the whole
+   * computation is cumulative sums and one comparison per stratum, no
+   * fixed-point loop:
+   *
+   *   saturated(j) ⟺ B − R·cum(j−1) ≥ R·tokens(j)·(n−j+1)
+   *
+   * (monotone along the ascending order, so the saturated set is the
+   * prefix where it holds). All arithmetic is exact DECIMAL(38,0)
+   * integer — allocations in whole tokens (floor), epochs in
+   * milli-epochs via IntegralDivide — engine-portable by construction.
+   *
+   * Scale shape: the corpus collapses to |strata| rows BEFORE this
+   * operator (callers aggregate token counts per source); the ordered
+   * window here runs over that metadata-scale table — the
+   * [[Selection.paretoFrontier]] precedent: a partition-less window is
+   * fine when its input can never be corpus-sized. If all strata
+   * saturate, leftover budget is reported unused (`alloc_tokens` sums
+   * below B: the corpus is exhausted at R epochs — the paper's signal
+   * to go get more data).
+   *
+   * Output per stratum: n_tokens, saturated, alloc_tokens,
+   * epochs_milli (= ⌊1000·alloc/tokens⌋, capped at 1000·R).
+   */
+  def epochAllocation(tokensPerStratum: DataFrame, strataCol: String,
+                      tokensCol: String, budgetTokens: Long,
+                      maxEpochs: Int = 4): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens=$budgetTokens must be >= 0")
+    require(maxEpochs >= 1, s"maxEpochs=$maxEpochs must be >= 1")
+    val big = DecimalType(38, 0)
+    val ord = Window.orderBy(col(tokensCol).asc, col(strataCol).asc)
+    val n = Window.partitionBy(lit(1))
+    val base = tokensPerStratum
+      .select(col(strataCol), col(tokensCol).cast("long").as(tokensCol))
+      .withColumn("graft_j", row_number().over(ord))
+      .withColumn("graft_cum", sum(col(tokensCol)).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("graft_n", count(lit(1)).over(n))
+      .withColumn("saturated",
+        lit(budgetTokens).cast(big) -
+          lit(maxEpochs).cast(big) *
+            (col("graft_cum") - col(tokensCol)).cast(big) >=
+          lit(maxEpochs).cast(big) * col(tokensCol).cast(big) *
+            (col("graft_n") - col("graft_j") + 1).cast(big))
+    // J = |saturated prefix|, usedJ = R·Σ tokens over it — two scalars
+    // from the same metadata-scale frame, broadcast back
+    val totals = base.agg(
+      sum(when(col("saturated"), 1L).otherwise(0L)).as("graft_satn"),
+      coalesce(sum(when(col("saturated"), col(tokensCol))), lit(0L))
+        .as("graft_sattok"))
+    base.crossJoin(broadcast(totals))
+      .withColumn("graft_rem",
+        lit(budgetTokens).cast(big) -
+          lit(maxEpochs).cast(big) * col("graft_sattok").cast(big))
+      .withColumn("alloc_tokens",
+        when(col("saturated"),
+          lit(maxEpochs).cast(big) * col(tokensCol).cast(big))
+          .otherwise(expr("graft_rem div (graft_n - graft_satn)")
+            .cast(big))
+          .cast("long"))
+      .withColumn("epochs_milli",
+        expr(s"(1000 * alloc_tokens) div $tokensCol"))
+      .select(col(strataCol), col(tokensCol).as("n_tokens"),
+        col("saturated"), col("alloc_tokens"), col("epochs_milli"))
   }
 }

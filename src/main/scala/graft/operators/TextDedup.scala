@@ -989,6 +989,43 @@ object TextDedup {
   }
 
   /**
+   * Per-document NOVELTY profile — the first-occurrence yield signal: a
+   * document's distinct `w`-shingles split into those it introduces to
+   * the corpus (it is the smallest-id document containing them) versus
+   * those already seen. Processing order = ascending id (the crawl-order
+   * convention the rest of the dedup surface uses). This is the
+   * per-document resolution of a dedup YIELD curve: Σ n_novel over a
+   * prefix of ids is exactly the distinct-shingle count of that prefix,
+   * so curation can read "how much new text does each additional slice
+   * of this source buy" straight off the output (the marginal-utility
+   * question behind dedup-rate audits in Lee et al. ACL'22 §4 and
+   * RefinedWeb's dedup accounting, Penedo 2023 §3.3).
+   *
+   * `novelty_ppm` = ⌊10⁶ · n_novel / n_shingles⌋ is exact-integer
+   * (IntegralDivide — the engine-portable quantization convention).
+   *
+   * Scale shape: one shingle pass, a shingle-keyed min aggregate
+   * (map-side combinable), and ONE shingle-keyed attach join back —
+   * the q208 boilerplate shape; nothing corpus-quadratic. A boilerplate
+   * mega-shingle concentrates its attach partition exactly like q208's
+   * df join — at that scale route the attach through the q142 hot-key
+   * broadcast split ([[prefixCandidates]]'s device).
+   */
+  def noveltyProfile(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int = 3): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, w)
+    val firstOwner = sh.groupBy(col("s"))
+      .agg(min(col(idCol)).as("graft_fd"))
+    sh.join(firstOwner, "s")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("graft_fd") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ppm",
+        expr("(1000000 * n_novel) div n_shingles"))
+  }
+
+  /**
    * Cross-source near-duplication matrix: for every unordered pair of
    * sources (crawls, dumps, vendors), how many verified near-dup pairs
    * span them, and how similar the worst offender is — the

@@ -484,6 +484,88 @@ object QualityQueries {
       .orderBy(col("domain"))
   }
 
+  // ── q213: first-occurrence novelty profile ─────────────────────────────
+
+  /** q213: per-document novelty — [[TextDedup.noveltyProfile]] with
+    * 3-shingles: how many of a doc's distinct shingles it introduces to
+    * the corpus in ascending-id order (the dedup-yield signal; Σ n_novel
+    * over an id prefix = that prefix's distinct-shingle count). Gate
+    * columns are exact integers incl. the ⌊10⁶·frac⌋ quantization. */
+  def q213NoveltyProfile(s: SparkSession, dir: String): DataFrame =
+    TextDedup.noveltyProfile(Sources.documents(s, dir), "doc_id", "text",
+        w = 3)
+      .orderBy(col("doc_id"))
+
+  val q213Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |o AS (SELECT s, MIN(doc_id) AS fd FROM sh GROUP BY s)
+      |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN o.fd = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST((1000000::HUGEINT *
+      |      CAST(SUM(CASE WHEN o.fd = sh.doc_id THEN 1 ELSE 0 END)
+      |        AS HUGEINT)) // CAST(COUNT(*) AS HUGEINT) AS BIGINT)
+      |    AS novelty_ppm
+      |FROM sh JOIN o USING (s)
+      |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
+  // ── q214: epoch allocation under a token budget ────────────────────────
+
+  /** q214: data-constrained epoch planning (Muennighoff 2023) —
+    * [[Sampling.epochAllocation]] over per-source token counts with a
+    * 3-epoch repetition cap and budget = ⌊16·total/5⌋ (3.2 corpus
+    * passes, computed FROM the data so both engines derive it
+    * identically): small sources saturate at 3 epochs, the freed budget
+    * water-fills into the large ones. All gated columns exact
+    * integers. */
+  def q214EpochAllocation(s: SparkSession, dir: String): DataFrame = {
+    val tk = Sources.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val total = tk.agg(sum(col("n_tokens"))).head.getLong(0)
+    Sampling.epochAllocation(tk, "source", "n_tokens",
+        budgetTokens = 16L * total / 5L, maxEpochs = 3)
+      .orderBy(col("source"))
+  }
+
+  val q214Sql: String =
+    """WITH tk AS (SELECT source,
+      |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+      |           AS n_tokens
+      |       FROM documents GROUP BY source),
+      |b AS (SELECT (16::HUGEINT * CAST(SUM(n_tokens) AS HUGEINT)) // 5
+      |        AS bt, COUNT(*) AS n
+      |      FROM tk),
+      |o AS (SELECT source, n_tokens,
+      |        row_number() OVER (ORDER BY n_tokens, source) AS j,
+      |        SUM(n_tokens) OVER (ORDER BY n_tokens, source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM tk),
+      |s AS (SELECT o.*, b.bt, b.n,
+      |        (b.bt - 3::HUGEINT * (o.cum - o.n_tokens)::HUGEINT) >=
+      |          (3::HUGEINT * o.n_tokens::HUGEINT *
+      |            (b.n - o.j + 1)::HUGEINT) AS saturated
+      |      FROM o CROSS JOIN b),
+      |t2 AS (SELECT CAST(SUM(CASE WHEN saturated THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS satn,
+      |         CAST(COALESCE(SUM(CASE WHEN saturated THEN n_tokens END), 0)
+      |           AS HUGEINT) AS sattok
+      |       FROM s),
+      |a AS (SELECT s.source, s.n_tokens, s.saturated,
+      |        CASE WHEN s.saturated THEN 3::HUGEINT * s.n_tokens::HUGEINT
+      |             ELSE (s.bt - 3::HUGEINT * t2.sattok) //
+      |               (s.n - t2.satn)::HUGEINT END AS alloc
+      |      FROM s CROSS JOIN t2)
+      |SELECT source, n_tokens, saturated,
+      |  CAST(alloc AS BIGINT) AS alloc_tokens,
+      |  CAST((1000::HUGEINT * alloc) // n_tokens::HUGEINT AS BIGINT)
+      |    AS epochs_milli
+      |FROM a ORDER BY source""".stripMargin
+
   // ── q212: linear quality-classifier apply ──────────────────────────────
 
   /** The model: term → weight in milli-units, shared by the Spark query

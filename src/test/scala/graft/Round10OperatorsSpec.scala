@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DomainDedup, TextAnalysis}
+import graft.operators.{DomainDedup, Sampling, TextAnalysis, TextDedup}
 
 /** Round-10 operator specs: URL normalization / registrable-domain
   * extraction, first-wins URL dedup, and per-domain token caps —
@@ -119,6 +119,76 @@ class Round10OperatorsSpec extends SparkSpec {
       .select("prob").as[Double].head()
     assert(p == BigDecimal(1.0 / (1.0 + math.exp(-1.0)))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  // ── noveltyProfile ──────────────────────────────────────────────────────
+
+  test("noveltyProfile splits a doc's shingles into first-seen vs repeated") {
+    // doc 1 introduces "a b c","b c d"; doc 2 repeats "a b c" and adds
+    // "c x y"... build with w=2 for compact hand math
+    val docs = Seq(
+      (1L, "a b c"),       // shingles: "a b","b c" — both novel
+      (2L, "a b z"),       // "a b" repeated, "b z" novel
+      (3L, "b c a b")      // "b c","c a","a b" — all repeated except "c a"
+    ).toDF("doc_id", "text")
+    val out = TextDedup.noveltyProfile(docs, "doc_id", "text", w = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_novel", "novelty_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, 1000000L),
+      (2L, 2L, 1L, 500000L),
+      (3L, 3L, 1L, 333333L)))
+  }
+
+  test("noveltyProfile prefix sums equal distinct-shingle counts (yield curve)") {
+    val docs = Seq((1L, "a b c d"), (2L, "b c d e"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val prof = TextDedup.noveltyProfile(docs, "doc_id", "text", w = 3)
+    val novelTotal = prof.agg(sum("n_novel")).as[Long].head()
+    val distinctTotal = TextDedup.shingles(docs, "doc_id", "text", 3)
+      .select("s").distinct().count()
+    assert(novelTotal == distinctTotal)
+  }
+
+  // ── epochAllocation ─────────────────────────────────────────────────────
+
+  test("epochAllocation saturates small strata and water-fills the rest") {
+    // A=10, B=20, C=100 tokens; R=2, budget=100. Sorted A,B,C:
+    //   A: 100 − 0 ≥ 2·10·3 = 60 ✓  B: 100−20=80 ≥ 2·20·2=80 ✓ (boundary)
+    //   C: 100−60=40 ≥ 2·100·1=200 ✗
+    // → A,B saturated (20, 40 tokens), C gets the remaining 40.
+    val tk = Seq(("A", 10L), ("B", 20L), ("C", 100L))
+      .toDF("source", "n_tokens")
+    val out = Sampling.epochAllocation(tk, "source", "n_tokens",
+        budgetTokens = 100L, maxEpochs = 2)
+      .orderBy("source")
+      .select("source", "saturated", "alloc_tokens", "epochs_milli")
+      .as[(String, Boolean, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("A", true, 20L, 2000L),
+      ("B", true, 40L, 2000L),
+      ("C", false, 40L, 400L)))
+  }
+
+  test("epochAllocation reports unused budget when every stratum saturates") {
+    val tk = Seq(("A", 10L), ("B", 20L)).toDF("source", "n_tokens")
+    val out = Sampling.epochAllocation(tk, "source", "n_tokens",
+        budgetTokens = 1000L, maxEpochs = 2)
+      .select("alloc_tokens", "epochs_milli")
+      .as[(Long, Long)].collect().toSeq.sorted
+    // 2 epochs each — 60 of the 1000 consumed, the rest reported unused
+    assert(out == Seq((20L, 2000L), (40L, 2000L)))
+  }
+
+  test("epochAllocation under-budget splits equally with nobody saturated") {
+    val tk = Seq(("A", 100L), ("B", 100L)).toDF("source", "n_tokens")
+    val out = Sampling.epochAllocation(tk, "source", "n_tokens",
+        budgetTokens = 100L, maxEpochs = 4)
+      .select("source", "saturated", "alloc_tokens", "epochs_milli")
+      .orderBy("source")
+      .as[(String, Boolean, Long, Long)].collect().toSeq
+    assert(out == Seq(("A", false, 50L, 500L), ("B", false, 50L, 500L)))
   }
 
   test("linearQualityScore broadcasts the weight table (corpus never shuffles on term)") {
