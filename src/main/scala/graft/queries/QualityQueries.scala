@@ -566,6 +566,68 @@ object QualityQueries {
       |    AS epochs_milli
       |FROM a ORDER BY source""".stripMargin
 
+  // ── q215: PQ-ADC top-k recall audit ────────────────────────────────────
+
+  /** q215: asymmetric-distance top-10 over the q202 PQ index, graded by
+    * recall against the exact ℓ² scan — [[VectorAggs.pqAdcRecall]] with
+    * the q202 parameters (64 dims, 4×16 codebook) and every 67th vector
+    * as the query set. ADC distances are exact DECIMAL sums of 6-dp
+    * subspace entries, so the top-k and the integer recall columns are
+    * engine-portable. */
+  def q215PqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    VectorAggs.pqAdcRecall(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 67 === 0), "vec_id",
+        dims = 64, m = 4, k = 16, topK = 10)
+      .orderBy(col("qid"))
+  }
+
+  // wraps the canonical PQ-encode chain (q202Sql) — parameter changes
+  // there propagate here, not a drifting inline copy
+  val q215Sql: String =
+    s"""WITH codes AS (SELECT vec_id, subspace, code FROM (
+      |${q202Sql}
+      |  )),
+      |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |       WHERE vec_id % 67 = 0),
+      |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+      |         embedding AS cv
+      |       FROM (SELECT vec_id, embedding FROM embeddings
+      |             ORDER BY vec_id LIMIT 16)),
+      |lut AS (SELECT qs.qid, t.j AS subspace, cb.code,
+      |        CAST(round(list_sum(list_transform(range(1, 17), i ->
+      |          (qs.qv[t.j * 16 + i]::DOUBLE - cb.cv[t.j * 16 + i]::DOUBLE) *
+      |          (qs.qv[t.j * 16 + i]::DOUBLE - cb.cv[t.j * 16 + i]::DOUBLE)
+      |          )), 6) AS DECIMAL(18,6)) AS d
+      |      FROM qs CROSS JOIN cb CROSS JOIN range(0, 4) t(j)),
+      |adc AS (SELECT l.qid, c.vec_id, SUM(l.d) AS ad
+      |        FROM codes c
+      |        JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+      |        GROUP BY l.qid, c.vec_id),
+      |ap AS (SELECT qid, vec_id FROM (
+      |         SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |           ORDER BY ad, vec_id) AS rn FROM adc)
+      |       WHERE rn <= 10),
+      |ex AS (SELECT qid, vec_id FROM (
+      |         SELECT qs.qid, e.vec_id, row_number() OVER (
+      |           PARTITION BY qs.qid ORDER BY
+      |             round(list_sum(list_transform(range(1, 65), i ->
+      |               (e.embedding[i]::DOUBLE - qs.qv[i]::DOUBLE) *
+      |               (e.embedding[i]::DOUBLE - qs.qv[i]::DOUBLE))), 6),
+      |             e.vec_id) AS rn
+      |         FROM embeddings e CROSS JOIN qs)
+      |       WHERE rn <= 10),
+      |r AS (SELECT ex.qid, COUNT(*) AS n_exact,
+      |        CAST(COALESCE(SUM(CASE WHEN ap.vec_id IS NOT NULL
+      |          THEN 1 END), 0) AS BIGINT) AS n_overlap
+      |      FROM ex LEFT JOIN ap
+      |        ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
+      |      GROUP BY ex.qid)
+      |SELECT qid, n_exact, n_overlap,
+      |  CAST((1000000::HUGEINT * n_overlap::HUGEINT) // n_exact::HUGEINT
+      |    AS BIGINT) AS recall_ppm
+      |FROM r ORDER BY qid""".stripMargin
+
   // ── q212: linear quality-classifier apply ──────────────────────────────
 
   /** The model: term → weight in milli-units, shared by the Spark query

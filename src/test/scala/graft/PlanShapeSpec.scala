@@ -402,6 +402,10 @@ class PlanShapeSpec extends SparkSpec {
       // table (the GlobalRank `<` join, metadata-scale, same as q57);
       // q78: 1-row (N, k) totals broadcast
       "q76_retrieve", "q77_packing", "q78_uniform_mix",
+      // q214: 1-row (J, saturated-tokens) totals broadcast onto the
+      // |strata|-row table; q215: benchmark-sized query-set broadcast
+      // for the documented exact grading scan (ADC itself equi-joins)
+      "q214_epoch_allocation", "q215_pq_recall",
       // q80: 1-row n_min broadcast onto the strata counts; q81: 1-row
       // total-token broadcast; q82: k-centroid broadcast (kMeans, as
       // q61); q84: 1-row min/max stats broadcast; q86: GlobalRank

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DomainDedup, Sampling, TextAnalysis, TextDedup}
+import graft.operators.{DomainDedup, Sampling, TextAnalysis, TextDedup, VectorAggs}
 
 /** Round-10 operator specs: URL normalization / registrable-domain
   * extraction, first-wins URL dedup, and per-domain token caps —
@@ -189,6 +189,41 @@ class Round10OperatorsSpec extends SparkSpec {
       .orderBy("source")
       .as[(String, Boolean, Long, Long)].collect().toSeq
     assert(out == Seq(("A", false, 50L, 500L), ("B", false, 50L, 500L)))
+  }
+
+  // ── pqAdcRecall ─────────────────────────────────────────────────────────
+
+  test("pqAdcRecall is perfect when the codebook holds every vector") {
+    // k = n: every vector PQ-encodes to itself with zero error, so ADC
+    // distances equal exact distances and recall@k is 1000000 ppm
+    val vecs = (0L until 8L).map { i =>
+      (i, Array.tabulate(8)(d => (i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = VectorAggs.pqAdcRecall(vecs, "vec_id", "embedding",
+        vecs.filter(col("vec_id") === 0), "vec_id",
+        dims = 8, m = 2, k = 8, topK = 3)
+      .select("qid", "n_exact", "n_overlap", "recall_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 3L, 3L, 1000000L)))
+  }
+
+  test("pqAdcRecall with a lossy codebook still finds the self-match") {
+    // k = 2 codewords over 8 well-separated vectors: quantization is
+    // lossy, but the query's own code cell keeps it in BOTH top-k sets,
+    // so overlap >= 1 and the audit columns stay in range
+    val vecs = (0L until 8L).map { i =>
+      (i, Array.tabulate(8)(d => (i * 100 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = VectorAggs.pqAdcRecall(vecs, "vec_id", "embedding",
+        vecs.filter(col("vec_id") === 7), "vec_id",
+        dims = 8, m = 2, k = 2, topK = 4)
+      .select("qid", "n_exact", "n_overlap", "recall_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.length == 1)
+    val (qid, nExact, nOverlap, ppm) = out.head
+    assert(qid == 7L && nExact == 4L)
+    assert(nOverlap >= 1L && nOverlap <= 4L)
+    assert(ppm == 1000000L * nOverlap / 4L)
   }
 
   test("linearQualityScore broadcasts the weight table (corpus never shuffles on term)") {
