@@ -469,4 +469,145 @@ object VectorAggs {
       .withColumn("recall_ppm",
         expr("(1000000 * n_overlap) div n_exact"))
   }
+
+  /** Corpus rows exploded to per-subspace subvectors: (idCol, subspace,
+    * graft_sv) — the unit both PQ training and encoding operate on. */
+  private def subvectors(df: DataFrame, idCol: String, vecCol: String,
+                         sub: Int, m: Int): DataFrame =
+    df.select(col(idCol), explode(array((0 until m).map { j =>
+        struct(lit(j).as("subspace"),
+          slice(col(vecCol), j * sub + 1, sub).as("graft_sv"))
+      }: _*)).as("graft_s"))
+      .select(col(idCol), col("graft_s.subspace").as("subspace"),
+        col("graft_s.graft_sv").as("graft_sv"))
+
+  /** Seeded PQ codebook in SUBVECTOR form: (subspace, code, graft_cv) —
+    * the k smallest-id vectors' slices, the same deterministic seeding
+    * [[pqEncode]] uses (and the Lloyd start of [[pqTrain]]). */
+  def pqCodebookSeeded(df: DataFrame, idCol: String, vecCol: String,
+                       dims: Int, m: Int, k: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val sub = dims / m
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    subvectors(
+        df.orderBy(col(idCol)).limit(k)
+          .select((row_number().over(w) - 1).as("graft_code"), col(vecCol)),
+        "graft_code", vecCol, sub, m)
+      .select(col("subspace"), col("graft_code").as("code"), col("graft_sv")
+        .as("graft_cv"))
+  }
+
+  /** PQ encode against an EXPLICIT subvector codebook (trained or
+    * seeded): per (vector, subspace) the nearest codeword by 6-dp ℓ²,
+    * code-asc tiebreak — identical tie semantics to [[pqEncode]].
+    * Codebook is m·k rows → broadcast; the corpus never shuffles raw
+    * vectors (the per-(id, subspace) min is a map-side-combinable agg). */
+  def pqEncodeWith(df: DataFrame, idCol: String, vecCol: String,
+                   codebook: DataFrame, dims: Int, m: Int): DataFrame = {
+    val sub = dims / m
+    subvectors(df, idCol, vecCol, sub, m)
+      .join(broadcast(codebook), Seq("subspace"))
+      .withColumn("graft_d",
+        round(VectorFunctions.l2Sq(col("graft_sv"), col("graft_cv")), 6))
+      .groupBy(col(idCol), col("subspace"))
+      .agg(min(struct(col("graft_d").as("dist"), col("code").as("code")))
+        .as("graft_best"))
+      .select(col(idCol), col("subspace"),
+        col("graft_best.code").as("code"),
+        col("graft_best.dist").as("l2_sq"))
+  }
+
+  /**
+   * TRAIN the PQ codebook — per-subspace Lloyd k-means on the subvector
+   * slices (the actual Jégou 2011 §III recipe; [[pqEncode]]'s seeded
+   * codebook is the zero-iteration special case). All m subspaces train
+   * in ONE pass per round: assignment is the broadcast codebook join
+   * keyed by subspace, the update is the exact-decimal centroid rule
+   * ([[centroids]] — 6-dp component rounding into DECIMAL(38,6), so the
+   * means are order-independent and engine-portable), and codewords
+   * keep their identity across rounds (an emptied cell drops out, the
+   * q61 k-means contract). Returns (subspace, code, graft_cv).
+   *
+   * Scale shape per round: one corpus pass (broadcast join + min
+   * struct agg keyed (id, subspace)) + one metadata-scale centroid agg
+   * keyed (subspace, code, dim) — m·k·sub rows. Raw vectors never
+   * cross a shuffle; the per-round frames are localCheckpointed so the
+   * iterated lineage stays flat.
+   */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+              dims: Int, m: Int, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val sub = dims / m
+    val sv = subvectors(df, idCol, vecCol, sub, m).localCheckpoint()
+    var cb = pqCodebookSeeded(df, idCol, vecCol, dims, m, k)
+    for (_ <- 1 to iters) {
+      val assigned = sv
+        .join(broadcast(cb), Seq("subspace"))
+        .withColumn("graft_d",
+          round(VectorFunctions.l2Sq(col("graft_sv"), col("graft_cv")), 6))
+        .groupBy(col(idCol), col("subspace"))
+        .agg(min(struct(col("graft_d").as("dist"), col("code").as("code")))
+          .as("graft_best"),
+          // every fanned-out row of the (id, subspace) group carries the
+          // SAME subvector, so first() is value-deterministic here
+          first(col("graft_sv")).as("graft_sv"))
+        .select(col("subspace"), col("graft_best.code").as("code"),
+          col("graft_sv"))
+      cb = centroidVectors(
+          assigned.select(
+            concat(col("subspace").cast(StringType), lit("|"),
+              col("code").cast(StringType)).as("graft_sc"),
+            col("graft_sv")),
+          "graft_sc", "graft_sv")
+        .select(
+          split(col("graft_sc"), "\\|").getItem(0).cast("int")
+            .as("subspace"),
+          split(col("graft_sc"), "\\|").getItem(1).cast("int").as("code"),
+          col("centroid_vec").as("graft_cv"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** [[pqAdcRecall]] against an EXPLICIT (trained) subvector codebook:
+    * same LUT/ADC/exact-grading machinery, same engine-portable decimal
+    * distances and exact-integer recall columns. */
+  def pqAdcRecallWith(df: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, qidCol: String,
+                      codebook: DataFrame, dims: Int, m: Int,
+                      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK=$topK must be positive")
+    val sub = dims / m
+    val codes = pqEncodeWith(df, idCol, vecCol, codebook, dims, m)
+    val lut = subvectors(
+        queries.select(col(qidCol).as("qid"), col(vecCol)),
+        "qid", vecCol, sub, m)
+      .join(broadcast(codebook), Seq("subspace"))
+      .select(col("qid"), col("subspace"), col("code"),
+        round(VectorFunctions.l2Sq(col("graft_sv"), col("graft_cv")), 6)
+          .cast(DecimalType(18, 6)).as("graft_d"))
+    val adc = codes
+      .join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("graft_d")).as("graft_adc"))
+    val approx = LatestSnapshot.topK(adc, Seq("qid"),
+        col("graft_adc").asc, Seq(col(idCol).asc), topK)
+      .select(col("qid"), col(idCol))
+    val exact = LatestSnapshot.topK(
+        df.select(col(idCol), col(vecCol))
+          .crossJoin(broadcast(queries.select(col(qidCol).as("qid"),
+            col(vecCol).as("graft_qv"))))
+          .select(col("qid"), col(idCol),
+            round(VectorFunctions.l2Sq(col(vecCol), col("graft_qv")), 6)
+              .as("graft_ed")),
+        Seq("qid"), col("graft_ed").asc, Seq(col(idCol).asc), topK)
+      .select(col("qid"), col(idCol))
+    exact.join(approx.withColumn("graft_hit", lit(1L)),
+        Seq("qid", idCol), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("graft_hit")), lit(0L)).as("n_overlap"))
+      .withColumn("recall_ppm",
+        expr("(1000000 * n_overlap) div n_exact"))
+  }
 }

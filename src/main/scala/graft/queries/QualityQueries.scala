@@ -628,6 +628,95 @@ object QualityQueries {
       |    AS BIGINT) AS recall_ppm
       |FROM r ORDER BY qid""".stripMargin
 
+  // ── q216: trained-PQ recall audit ──────────────────────────────────────
+
+  /** q216: the q215 recall audit with a TRAINED codebook — one
+    * per-subspace Lloyd round ([[VectorAggs.pqTrain]], Jégou §III)
+    * instead of raw seeds; same queries, same k/m/topK, so the q215→q216
+    * delta IS the value of training the quantizer. Exact-decimal
+    * centroid means (the q61 rule) keep the whole chain
+    * engine-portable. */
+  def q216TrainedPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    val cb = VectorAggs.pqTrain(emb, "vec_id", "embedding",
+      dims = 64, m = 4, k = 16, iters = 1)
+    VectorAggs.pqAdcRecallWith(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 67 === 0), "vec_id",
+        cb, dims = 64, m = 4, topK = 10)
+      .orderBy(col("qid"))
+  }
+
+  private val q216SubL2 =
+    """round(list_sum(list_transform(range(1, 17), i ->
+      |             (s.v[i]::DOUBLE - c.cv[i]::DOUBLE) *
+      |             (s.v[i]::DOUBLE - c.cv[i]::DOUBLE))), 6)""".stripMargin
+
+  val q216Sql: String =
+    s"""WITH sv AS (SELECT vec_id, t.j AS subspace,
+      |         embedding[t.j * 16 + 1 : t.j * 16 + 16] AS v
+      |       FROM embeddings CROSS JOIN range(0, 4) t(j)),
+      |sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+      |         embedding
+      |       FROM (SELECT vec_id, embedding FROM embeddings
+      |             ORDER BY vec_id LIMIT 16)),
+      |cb0 AS (SELECT t.j AS subspace, sd.code,
+      |          sd.embedding[t.j * 16 + 1 : t.j * 16 + 16] AS cv
+      |        FROM sd CROSS JOIN range(0, 4) t(j)),
+      |a1 AS (SELECT subspace, code, vec_id, v FROM (
+      |         SELECT s.vec_id, s.subspace, s.v, c.code, row_number()
+      |           OVER (PARTITION BY s.vec_id, s.subspace ORDER BY
+      |             ${q216SubL2}, c.code) AS rn
+      |         FROM sv s JOIN cb0 c ON c.subspace = s.subspace) t
+      |       WHERE rn = 1),
+      |m1 AS (SELECT subspace, code, d,
+      |         round(CAST(SUM(CAST(round(v[d]::DOUBLE, 6)
+      |             AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS c
+      |       FROM a1 CROSS JOIN range(1, 17) t(d)
+      |       GROUP BY subspace, code, d),
+      |cb1 AS (SELECT subspace, code, array_agg(c ORDER BY d) AS cv
+      |        FROM m1 GROUP BY subspace, code),
+      |codes AS (SELECT vec_id, subspace, code FROM (
+      |         SELECT s.vec_id, s.subspace, c.code, row_number()
+      |           OVER (PARTITION BY s.vec_id, s.subspace ORDER BY
+      |             ${q216SubL2}, c.code) AS rn
+      |         FROM sv s JOIN cb1 c ON c.subspace = s.subspace) t
+      |       WHERE rn = 1),
+      |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |       WHERE vec_id % 67 = 0),
+      |lut AS (SELECT q.qid, c.subspace, c.code,
+      |         CAST(round(list_sum(list_transform(range(1, 17), i ->
+      |           (q.qv[c.subspace * 16 + i]::DOUBLE - c.cv[i]::DOUBLE) *
+      |           (q.qv[c.subspace * 16 + i]::DOUBLE - c.cv[i]::DOUBLE)
+      |           )), 6) AS DECIMAL(18,6)) AS d
+      |       FROM qs q CROSS JOIN cb1 c),
+      |adc AS (SELECT l.qid, c.vec_id, SUM(l.d) AS ad
+      |        FROM codes c
+      |        JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+      |        GROUP BY l.qid, c.vec_id),
+      |ap AS (SELECT qid, vec_id FROM (
+      |         SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |           ORDER BY ad, vec_id) AS rn FROM adc)
+      |       WHERE rn <= 10),
+      |ex AS (SELECT qid, vec_id FROM (
+      |         SELECT qs.qid, e.vec_id, row_number() OVER (
+      |           PARTITION BY qs.qid ORDER BY
+      |             round(list_sum(list_transform(range(1, 65), i ->
+      |               (e.embedding[i]::DOUBLE - qs.qv[i]::DOUBLE) *
+      |               (e.embedding[i]::DOUBLE - qs.qv[i]::DOUBLE))), 6),
+      |             e.vec_id) AS rn
+      |         FROM embeddings e CROSS JOIN qs)
+      |       WHERE rn <= 10),
+      |r AS (SELECT ex.qid, COUNT(*) AS n_exact,
+      |        CAST(COALESCE(SUM(CASE WHEN ap.vec_id IS NOT NULL
+      |          THEN 1 END), 0) AS BIGINT) AS n_overlap
+      |      FROM ex LEFT JOIN ap
+      |        ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
+      |      GROUP BY ex.qid)
+      |SELECT qid, n_exact, n_overlap,
+      |  CAST((1000000::HUGEINT * n_overlap::HUGEINT) // n_exact::HUGEINT
+      |    AS BIGINT) AS recall_ppm
+      |FROM r ORDER BY qid""".stripMargin
+
   // ── q212: linear quality-classifier apply ──────────────────────────────
 
   /** The model: term → weight in milli-units, shared by the Spark query

@@ -403,9 +403,10 @@ class PlanShapeSpec extends SparkSpec {
       // q78: 1-row (N, k) totals broadcast
       "q76_retrieve", "q77_packing", "q78_uniform_mix",
       // q214: 1-row (J, saturated-tokens) totals broadcast onto the
-      // |strata|-row table; q215: benchmark-sized query-set broadcast
-      // for the documented exact grading scan (ADC itself equi-joins)
-      "q214_epoch_allocation", "q215_pq_recall",
+      // |strata|-row table; q215/q216: benchmark-sized query-set
+      // broadcast for the documented exact grading scan (ADC itself
+      // equi-joins)
+      "q214_epoch_allocation", "q215_pq_recall", "q216_trained_pq_recall",
       // q80: 1-row n_min broadcast onto the strata counts; q81: 1-row
       // total-token broadcast; q82: k-centroid broadcast (kMeans, as
       // q61); q84: 1-row min/max stats broadcast; q86: GlobalRank
@@ -592,6 +593,24 @@ class PlanShapeSpec extends SparkSpec {
     val finalPlan = df.queryExecution.executedPlan.toString
     assert(finalPlan.contains("ReusedExchange"),
       s"corpus range shuffle was executed more than once:\n$finalPlan")
+  }
+
+  test("PQ-ADC recall: no vector column ever crosses a shuffle (q215)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    // the point of PQ: queries/codebook ride broadcasts, codes are m
+    // longs per vector, and every aggregation/top-k shuffles only
+    // (qid, id, distance) rows — if an embedding array crosses an
+    // Exchange the compression bought nothing
+    val df = graft.queries.QualityQueries.q215PqRecall(spark, sf)
+    val exchanges = withExchanges(df).collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected shuffles in the ADC/top-k path")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"vector array crossed a shuffle:\n${e.treeString}")
+    }
   }
 
   test("boilerplate audit df-filters the heavy side before the join (q208)") {

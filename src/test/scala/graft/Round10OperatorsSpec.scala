@@ -226,6 +226,56 @@ class Round10OperatorsSpec extends SparkSpec {
     assert(ppm == 1000000L * nOverlap / 4L)
   }
 
+  // ── pqTrain / pqEncodeWith ──────────────────────────────────────────────
+
+  test("pqEncodeWith on the seeded codebook reproduces pqEncode") {
+    val vecs = (0L until 12L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11).toFloat))
+    }.toDF("vec_id", "embedding")
+    val direct = VectorAggs.pqEncode(vecs, "vec_id", "embedding",
+        dims = 8, m = 2, k = 4)
+      .orderBy("vec_id", "subspace")
+      .as[(Long, Int, Int, Double)].collect().toSeq
+    val viaCb = VectorAggs.pqEncodeWith(vecs, "vec_id", "embedding",
+        VectorAggs.pqCodebookSeeded(vecs, "vec_id", "embedding", 8, 2, 4),
+        dims = 8, m = 2)
+      .orderBy("vec_id", "subspace")
+      .as[(Long, Int, Int, Double)].collect().toSeq
+    assert(viaCb == direct)
+  }
+
+  test("one Lloyd round never increases total quantization error") {
+    val vecs = (0L until 16L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 13 + d * 5) % 17).toFloat))
+    }.toDF("vec_id", "embedding")
+    def totalErr(cb: org.apache.spark.sql.DataFrame): Double =
+      VectorAggs.pqEncodeWith(vecs, "vec_id", "embedding", cb,
+          dims = 8, m = 2)
+        .agg(sum("l2_sq")).as[Double].head()
+    val seeded = totalErr(
+      VectorAggs.pqCodebookSeeded(vecs, "vec_id", "embedding", 8, 2, 4))
+    val trained = totalErr(
+      VectorAggs.pqTrain(vecs, "vec_id", "embedding", 8, 2, 4, iters = 1))
+    assert(trained <= seeded,
+      s"Lloyd round worsened the codebook: $seeded -> $trained")
+  }
+
+  test("pqAdcRecallWith is perfect when every vector is its own codeword") {
+    // k = n and one Lloyd round: each subvector sits alone in its cell,
+    // so the mean is itself and ADC distances stay exact
+    val vecs = (0L until 8L).map { i =>
+      (i, Array.tabulate(8)(d => (i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cb = VectorAggs.pqTrain(vecs, "vec_id", "embedding", 8, 2, 8,
+      iters = 1)
+    val out = VectorAggs.pqAdcRecallWith(vecs, "vec_id", "embedding",
+        vecs.filter(col("vec_id") === 3), "vec_id", cb,
+        dims = 8, m = 2, topK = 3)
+      .select("qid", "n_exact", "n_overlap", "recall_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((3L, 3L, 3L, 1000000L)))
+  }
+
   test("linearQualityScore broadcasts the weight table (corpus never shuffles on term)") {
     val docs = (1L to 50L).map(i => (i, s"spark t$i")).toDF("doc_id", "text")
     val plan = TextAnalysis.linearQualityScore(docs, "doc_id", "text",
