@@ -516,6 +516,34 @@ object TextAnalysis {
    * id; unmatched terms drop at the join (w = 0 contributes nothing),
    * so the aggregated volume is hit terms only.
    */
+  /**
+   * [[linearQualityScore]] as COMPOSABLE COLUMNS over a text column —
+   * (n_terms, n_hits, logit_milli, label): the weight table rides as a
+   * LITERAL map and the logit is one codegen'd fold over the split
+   * words, so the scoring is a pure narrow projection — no join, no
+   * aggregation, no shuffle, no state. That makes it directly usable on
+   * a STREAM (stateless append mode) and lets batch curation stack it
+   * with other per-row features in one scan. Use the DataFrame operator
+   * when the vocabulary outgrows a literal plan (10⁵+ terms): the
+   * broadcast-join form handles any vocab size.
+   */
+  def linearQualityScoreCols(textCol: Column,
+                             milliWeights: Map[String, Long],
+                             biasMilli: Long)
+      : (Column, Column, Column, Column) = {
+    require(milliWeights.nonEmpty, "empty weight table")
+    val m = map(milliWeights.toSeq.flatMap {
+      case (t, wv) => Seq(lit(t), lit(wv))
+    }: _*)
+    val words = split(textCol, " ")
+    val nTerms = size(words).cast(LongType)
+    val nHits = aggregate(words, lit(0L),
+      (acc, wd) => acc + when(element_at(m, wd).isNotNull, 1L).otherwise(0L))
+    val logit = aggregate(words, lit(biasMilli),
+      (acc, wd) => acc + coalesce(element_at(m, wd), lit(0L)))
+    (nTerms, nHits, logit, logit > 0L)
+  }
+
   def linearQualityScore(docs: DataFrame, idCol: String, textCol: String,
                          milliWeights: Map[String, Long],
                          biasMilli: Long): DataFrame = {

@@ -222,6 +222,32 @@ class StreamingSpec extends SparkSpec {
       s"expected no state operators, got ${prog.stateOperators.length}")
   }
 
+  test("quality classifier runs statelessly on a stream and matches batch") {
+    import graft.operators.TextAnalysis
+    import graft.queries.QualityQueries
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // batch ground truth: the q212 operator (broadcast-join form)
+    val expected = TextAnalysis.linearQualityScore(docs, "doc_id", "text",
+        QualityQueries.q212MilliWeights.toMap,
+        QualityQueries.q212BiasMilli)
+      .select("doc_id", "n_terms", "n_hits", "logit_milli", "label")
+      .collect().toSet
+    val streamDir = tmpDir("qclass-src")
+    docs.write.parquet(s"$streamDir/docs")
+    // the column form is a pure projection → stateless append stream
+    val (nt, nh, lg, lb) = TextAnalysis.linearQualityScoreCols(col("text"),
+      QualityQueries.q212MilliWeights.toMap, QualityQueries.q212BiasMilli)
+    val q = spark.readStream.schema(docs.schema)
+      .parquet(s"$streamDir/docs")
+      .select(col("doc_id"), nt.as("n_terms"), nh.as("n_hits"),
+        lg.as("logit_milli"), lb.as("label"))
+      .writeStream.format("memory").queryName("qclass")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("qclass").collect().toSet === expected)
+  }
+
   test("LSH bucket-claim stream matches batch min-id ownership in one batch") {
     import graft.operators.TextDedup
     val sf = "/root/testdata/sf0.001"
