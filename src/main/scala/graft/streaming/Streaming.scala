@@ -141,6 +141,50 @@ object Streaming {
   case class BucketClaim(doc_id: Long, band: Int, bh: String,
                          owner: Long, is_dup: Boolean)
 
+  /** Output row of [[urlClaimStream]]: the arriving document, its
+    * normalized URL, the URL's owner, and the online dedup flag. */
+  case class UrlClaim(doc_id: Long, norm_url: String, owner: Long,
+                      is_dup: Boolean)
+
+  /**
+   * Streaming first-wins URL dedup — the online half of
+   * [[graft.operators.DomainDedup.dedupByUrl]] (RefinedWeb-style URL
+   * dedup applied at INGEST, so a re-crawled page is dropped the moment
+   * it arrives instead of in the next batch sweep). Each arriving
+   * document is keyed by its NORMALIZED URL
+   * ([[graft.operators.DomainDedup.normalizeUrl]], the same codegen'd
+   * canonicalization as batch); the first claim on a URL is stored and
+   * never displaced ([[lshBucketClaimStream]]'s contract: min-id within
+   * a micro-batch, stored-claim-wins across them), so every later
+   * arrival — including a smaller id — emits `is_dup = true` against
+   * the original owner and earlier emissions are never retracted.
+   *
+   * Scale shape: state is ONE Long per DISTINCT normalized URL,
+   * partitioned by URL hash — corpus-lifetime by design (at 100 TB run
+   * the RocksDB state store, or epoch-scope the index via timeouts);
+   * the projection side is stateless and narrow.
+   */
+  def urlClaimStream(docStream: DataFrame, idCol: String,
+                     urlCol: String): Dataset[UrlClaim] = {
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    val keyed = docStream
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.operators.DomainDedup.normalizeUrl(col(urlCol))
+          .as("norm_url"))
+      .as[(Long, String)]
+    keyed.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (url: String, rows: Iterator[(Long, String)],
+         state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toArray.sorted
+          val owner = state.getOption.getOrElse(ids.head)
+          state.update(owner)
+          ids.iterator.map(id => UrlClaim(id, url, owner, id != owner))
+      }
+  }
+
   /**
    * Streaming SELF-dedup via first-wins LSH bucket claims — the
    * stateful complement of [[nearDupCandidates]] (which checks a stream

@@ -315,6 +315,61 @@ class StreamingSpec extends SparkSpec {
     assert(byDoc(12L).forall(r => r._4 == 10L && r._5))
   }
 
+  test("URL claim stream matches batch dedupByUrl ownership in one batch") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "https://www.site.com/a/"),
+      (1L, "http://site.com/a?utm=9"),   // same page as doc 3
+      (2L, "https://site.com/b"),
+      (7L, "https://site.com/b#frag")    // same page as doc 2
+    ).toDF("doc_id", "url")
+    val streamDir = tmpDir("urlclaim-src")
+    docs.write.parquet(s"$streamDir/docs")
+    val q = Streaming.urlClaimStream(
+        spark.readStream.schema(docs.schema).parquet(s"$streamDir/docs"),
+        "doc_id", "url")
+      .writeStream.format("memory").queryName("urlclaims")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("urlclaims")
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    // one batch → min-id ownership, the batch dedupByUrl winners
+    assert(got == Set(
+      (1L, "site.com/a", 1L, false), (3L, "site.com/a", 1L, true),
+      (2L, "site.com/b", 2L, false), (7L, "site.com/b", 2L, true)))
+  }
+
+  test("URL claims are first-wins across micro-batches (stored claim holds)") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val streamDir = tmpDir("urlclaim2-src")
+    Seq((10L, "https://x.com/p")).toDF("doc_id", "url")
+      .coalesce(1).write.parquet(s"$streamDir/b1")
+    Seq((5L, "https://www.x.com/p/")).toDF("doc_id", "url")
+      .coalesce(1).write.parquet(s"$streamDir/b2")
+    def stamp(dir: String, epochSec: Long): Unit = {
+      val d = Paths.get(s"$streamDir/$dir")
+      Files.list(d).forEach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(epochSec * 1000)))
+    }
+    stamp("b1", 1000000000L)
+    stamp("b2", 1000000100L)
+    val schema = spark.read.parquet(s"$streamDir/b1").schema
+    val q = Streaming.urlClaimStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/b*"),
+        "doc_id", "url")
+      .writeStream.format("memory").queryName("urlclaims2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("urlclaims2")
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    // doc 5 arrives after doc 10's claim: flagged despite the smaller id
+    assert(got == Set(
+      (10L, "x.com/p", 10L, false), (5L, "x.com/p", 10L, true)))
+  }
+
   test("stream-stream view-click join matches the batch interval join") {
     val sf = "/root/testdata/sf0.001"
     val events = Sources.events(spark, sf)
