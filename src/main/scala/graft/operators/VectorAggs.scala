@@ -610,4 +610,84 @@ object VectorAggs {
       .withColumn("recall_ppm",
         expr("(1000000 * n_overlap) div n_exact"))
   }
+
+  /**
+   * IVF+PQ combined query path with recall audit — the full
+   * billion-scale ANN serving layout (Jégou 2011 §V: a coarse inverted
+   * file prunes WHICH vectors are scored, PQ compresses HOW they are
+   * scored): queries probe their `nprobe` nearest coarse cells (the
+   * [[kMeans]] clustering, ranked by 6-dp cosine to the final-assignment
+   * centroids — the q61-gated surface), and ADC runs ONLY over the
+   * vectors living in probed cells, against the [[pqTrain]]-trained
+   * codebook. The audit grades the whole stack: recall@k vs the exact
+   * scan now reflects BOTH losses (cell pruning + quantization) — the
+   * two knobs (nprobe, k·m) a deployment tunes against each other.
+   *
+   * Scale shape: the corpus is touched by the coarse assignment
+   * (broadcast centroids, narrow), the PQ encode (broadcast codebook),
+   * and ONE candidate join keyed by cluster — expected candidate volume
+   * |Q|·n·nprobe/coarseK, the IVF point; the ADC sum shuffles only
+   * (qid, id, decimal) rows. Determinism: every ranking is 6-dp-rounded
+   * with id/cluster tiebreaks; ADC distances are order-independent
+   * DECIMAL sums; the audit columns are exact integers.
+   */
+  def ivfPqRecall(df: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, qidCol: String,
+                  dims: Int, m: Int, k: Int,
+                  coarseK: Int, coarseIters: Int, nprobe: Int,
+                  topK: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarseK,
+      s"nprobe=$nprobe must be in [1, coarseK=$coarseK]")
+    val assigned = kMeans(df, idCol, vecCol, coarseK, coarseIters)
+      .localCheckpoint()
+    val probeCents = centroidVectors(assigned, "cluster", vecCol)
+    val probes = LatestSnapshot.topK(
+        queries.select(col(qidCol).as("qid"), col(vecCol).as("graft_qv"))
+          .crossJoin(broadcast(probeCents))
+          .withColumn("graft_pc",
+            round(Similarity.cosine(col("graft_qv"), col("centroid_vec")),
+              6)),
+        Seq("qid"), col("graft_pc").desc, Seq(col("cluster").asc), nprobe)
+      .select(col("qid"), col("cluster"))
+    val cb = pqTrain(df, idCol, vecCol, dims, m, k, iters = 1)
+    val codes = pqEncodeWith(df, idCol, vecCol, cb, dims, m)
+      .localCheckpoint()
+    val sub = dims / m
+    val lut = subvectors(
+        queries.select(col(qidCol).as("qid"), col(vecCol)),
+        "qid", vecCol, sub, m)
+      .join(broadcast(cb), Seq("subspace"))
+      .select(col("qid"), col("subspace"), col("code"),
+        round(VectorFunctions.l2Sq(col("graft_sv"), col("graft_cv")), 6)
+          .cast(DecimalType(18, 6)).as("graft_d"))
+    // candidates: vectors in the probed cells — the cluster-keyed join
+    // that replaces the full scan
+    val cand = assigned.select(col(idCol), col("cluster"))
+      .join(probes, Seq("cluster"))
+      .select(col("qid"), col(idCol))
+    val adc = cand
+      .join(codes, Seq(idCol))
+      .join(broadcast(lut), Seq("qid", "subspace", "code"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("graft_d")).as("graft_adc"))
+    val approx = LatestSnapshot.topK(adc, Seq("qid"),
+        col("graft_adc").asc, Seq(col(idCol).asc), topK)
+      .select(col("qid"), col(idCol))
+    val exact = LatestSnapshot.topK(
+        df.select(col(idCol), col(vecCol))
+          .crossJoin(broadcast(queries.select(col(qidCol).as("qid"),
+            col(vecCol).as("graft_qv"))))
+          .select(col("qid"), col(idCol),
+            round(VectorFunctions.l2Sq(col(vecCol), col("graft_qv")), 6)
+              .as("graft_ed")),
+        Seq("qid"), col("graft_ed").asc, Seq(col(idCol).asc), topK)
+      .select(col("qid"), col(idCol))
+    exact.join(approx.withColumn("graft_hit", lit(1L)),
+        Seq("qid", idCol), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("graft_hit")), lit(0L)).as("n_overlap"))
+      .withColumn("recall_ppm",
+        expr("(1000000 * n_overlap) div n_exact"))
+  }
 }

@@ -242,7 +242,7 @@ object CurationQueries {
       |WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= 0.5
       |ORDER BY d_new, d_old""".stripMargin
 
-  private def cosSql(v1: String, v2: String): String =
+  private[queries] def cosSql(v1: String, v2: String): String =
     s"""round(
        |    list_sum(list_transform(range(1, 65),
        |      i -> $v1[i]::DOUBLE * $v2[i]::DOUBLE)) /
@@ -254,7 +254,7 @@ object CurationQueries {
   /** CTE chain reproducing `VectorAggs.kMeans(k=4, iters=2)`: seeds → assign
     * (a1) → exact-decimal means (c1/c1v) → final assignment
     * `a2(vec_id, embedding, cluster)`. Shared by the q61 and q82 oracles. */
-  private def kmeansA2Ctes: String =
+  private[queries] def kmeansA2Ctes: String =
     s"""seeds AS (
        |  SELECT vec_id AS cluster, embedding AS cv FROM embeddings
        |  ORDER BY vec_id LIMIT 4),

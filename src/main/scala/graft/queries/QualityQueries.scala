@@ -717,6 +717,116 @@ object QualityQueries {
       |    AS BIGINT) AS recall_ppm
       |FROM r ORDER BY qid""".stripMargin
 
+  // ── q217: IVF+PQ combined query path ───────────────────────────────────
+
+  /** q217: the full billion-scale ANN serving stack graded end-to-end —
+    * [[VectorAggs.ivfPqRecall]]: coarse k-means cells (the q61 surface,
+    * k=4, 2 rounds), nprobe=2 cell probing, trained-PQ ADC (the q216
+    * chain) over probed cells only, recall@10 vs the exact scan. The
+    * q216→q217 recall delta is the price of cell pruning; the scan
+    * volume drop is what it buys. */
+  def q217IvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    VectorAggs.ivfPqRecall(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 67 === 0), "vec_id",
+        dims = 64, m = 4, k = 16,
+        coarseK = 4, coarseIters = 2, nprobe = 2, topK = 10)
+      .orderBy(col("qid"))
+  }
+
+  // composes the TWO canonical oracle chains — coarse k-means
+  // (CurationQueries.kmeansA2Ctes, the q61/q82 CTEs) and trained PQ
+  // (the q216 CTEs, pq_-prefixed to avoid name collisions)
+  val q217Sql: String = {
+    val cos = CurationQueries.cosSql _
+    s"""WITH ${CurationQueries.kmeansA2Ctes},
+      |c2 AS (
+      |  SELECT cluster, d, round(CAST(SUM(CAST(round(embedding[d]::DOUBLE, 6)
+      |      AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS c
+      |  FROM a2 CROSS JOIN range(1, 65) t(d) GROUP BY cluster, d),
+      |c2v AS (SELECT cluster, array_agg(c ORDER BY d) AS cv
+      |        FROM c2 GROUP BY cluster),
+      |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |       WHERE vec_id % 67 = 0),
+      |pr AS (SELECT qid, cluster FROM (
+      |         SELECT q.qid, v.cluster, row_number() OVER (
+      |           PARTITION BY q.qid ORDER BY ${cos("q.qv", "v.cv")}
+      |             DESC, v.cluster ASC) AS rn
+      |         FROM qs q CROSS JOIN c2v v) t WHERE rn <= 2),
+      |pq_sv AS (SELECT vec_id, t.j AS subspace,
+      |         embedding[t.j * 16 + 1 : t.j * 16 + 16] AS v
+      |       FROM embeddings CROSS JOIN range(0, 4) t(j)),
+      |pq_sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+      |         embedding
+      |       FROM (SELECT vec_id, embedding FROM embeddings
+      |             ORDER BY vec_id LIMIT 16)),
+      |pq_cb0 AS (SELECT t.j AS subspace, pq_sd.code,
+      |          pq_sd.embedding[t.j * 16 + 1 : t.j * 16 + 16] AS cv
+      |        FROM pq_sd CROSS JOIN range(0, 4) t(j)),
+      |pq_a1 AS (SELECT subspace, code, vec_id, v FROM (
+      |         SELECT s.vec_id, s.subspace, s.v, c.code, row_number()
+      |           OVER (PARTITION BY s.vec_id, s.subspace ORDER BY
+      |             round(list_sum(list_transform(range(1, 17), i ->
+      |               (s.v[i]::DOUBLE - c.cv[i]::DOUBLE) *
+      |               (s.v[i]::DOUBLE - c.cv[i]::DOUBLE))), 6),
+      |             c.code) AS rn
+      |         FROM pq_sv s JOIN pq_cb0 c ON c.subspace = s.subspace) t
+      |       WHERE rn = 1),
+      |pq_m1 AS (SELECT subspace, code, d,
+      |         round(CAST(SUM(CAST(round(v[d]::DOUBLE, 6)
+      |             AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS c
+      |       FROM pq_a1 CROSS JOIN range(1, 17) t(d)
+      |       GROUP BY subspace, code, d),
+      |pq_cb1 AS (SELECT subspace, code, array_agg(c ORDER BY d) AS cv
+      |        FROM pq_m1 GROUP BY subspace, code),
+      |pq_codes AS (SELECT vec_id, subspace, code FROM (
+      |         SELECT s.vec_id, s.subspace, c.code, row_number()
+      |           OVER (PARTITION BY s.vec_id, s.subspace ORDER BY
+      |             round(list_sum(list_transform(range(1, 17), i ->
+      |               (s.v[i]::DOUBLE - c.cv[i]::DOUBLE) *
+      |               (s.v[i]::DOUBLE - c.cv[i]::DOUBLE))), 6),
+      |             c.code) AS rn
+      |         FROM pq_sv s JOIN pq_cb1 c ON c.subspace = s.subspace) t
+      |       WHERE rn = 1),
+      |cand AS (SELECT pr.qid, a2.vec_id
+      |         FROM a2 JOIN pr ON a2.cluster = pr.cluster),
+      |lut AS (SELECT q.qid, c.subspace, c.code,
+      |         CAST(round(list_sum(list_transform(range(1, 17), i ->
+      |           (q.qv[c.subspace * 16 + i]::DOUBLE - c.cv[i]::DOUBLE) *
+      |           (q.qv[c.subspace * 16 + i]::DOUBLE - c.cv[i]::DOUBLE)
+      |           )), 6) AS DECIMAL(18,6)) AS d
+      |       FROM qs q CROSS JOIN pq_cb1 c),
+      |adc AS (SELECT cd.qid, cd.vec_id, SUM(l.d) AS ad
+      |        FROM cand cd
+      |        JOIN pq_codes c ON c.vec_id = cd.vec_id
+      |        JOIN lut l ON l.qid = cd.qid AND l.subspace = c.subspace
+      |          AND l.code = c.code
+      |        GROUP BY cd.qid, cd.vec_id),
+      |ap AS (SELECT qid, vec_id FROM (
+      |         SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |           ORDER BY ad, vec_id) AS rn FROM adc)
+      |       WHERE rn <= 10),
+      |ex AS (SELECT qid, vec_id FROM (
+      |         SELECT qs.qid, e.vec_id, row_number() OVER (
+      |           PARTITION BY qs.qid ORDER BY
+      |             round(list_sum(list_transform(range(1, 65), i ->
+      |               (e.embedding[i]::DOUBLE - qs.qv[i]::DOUBLE) *
+      |               (e.embedding[i]::DOUBLE - qs.qv[i]::DOUBLE))), 6),
+      |             e.vec_id) AS rn
+      |         FROM embeddings e CROSS JOIN qs)
+      |       WHERE rn <= 10),
+      |r AS (SELECT ex.qid, COUNT(*) AS n_exact,
+      |        CAST(COALESCE(SUM(CASE WHEN ap.vec_id IS NOT NULL
+      |          THEN 1 END), 0) AS BIGINT) AS n_overlap
+      |      FROM ex LEFT JOIN ap
+      |        ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
+      |      GROUP BY ex.qid)
+      |SELECT qid, n_exact, n_overlap,
+      |  CAST((1000000::HUGEINT * n_overlap::HUGEINT) // n_exact::HUGEINT
+      |    AS BIGINT) AS recall_ppm
+      |FROM r ORDER BY qid""".stripMargin
+  }
+
   // ── q212: linear quality-classifier apply ──────────────────────────────
 
   /** The model: term → weight in milli-units, shared by the Spark query

@@ -407,6 +407,9 @@ class PlanShapeSpec extends SparkSpec {
       // broadcast for the documented exact grading scan (ADC itself
       // equi-joins)
       "q214_epoch_allocation", "q215_pq_recall", "q216_trained_pq_recall",
+      // q217: coarseK-row probe-centroid broadcast + the same grading
+      // scan; the candidate path itself is a cluster-keyed equi-join
+      "q217_ivf_pq_recall",
       // q80: 1-row n_min broadcast onto the strata counts; q81: 1-row
       // total-token broadcast; q82: k-centroid broadcast (kMeans, as
       // q61); q84: 1-row min/max stats broadcast; q86: GlobalRank

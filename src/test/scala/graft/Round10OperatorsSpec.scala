@@ -276,6 +276,37 @@ class Round10OperatorsSpec extends SparkSpec {
     assert(out == Seq((3L, 3L, 3L, 1000000L)))
   }
 
+  test("ivfPqRecall is exact when probing all cells with a lossless codebook") {
+    // nprobe = coarseK (no cell pruned) + k = n (no quantization loss)
+    // → the full stack degenerates to the exact scan: recall 10⁶ ppm
+    val vecs = (0L until 8L).map { i =>
+      (i, Array.tabulate(8)(d => (i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = VectorAggs.ivfPqRecall(vecs, "vec_id", "embedding",
+        vecs.filter(col("vec_id") === 5), "vec_id",
+        dims = 8, m = 2, k = 8,
+        coarseK = 2, coarseIters = 1, nprobe = 2, topK = 3)
+      .select("qid", "n_exact", "n_overlap", "recall_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((5L, 3L, 3L, 1000000L)))
+  }
+
+  test("ivfPqRecall cell pruning can only lose candidates, never invent them") {
+    val vecs = (0L until 12L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 23).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = VectorAggs.ivfPqRecall(vecs, "vec_id", "embedding",
+        vecs.filter(col("vec_id") % 5 === 0), "vec_id",
+        dims = 8, m = 2, k = 4,
+        coarseK = 3, coarseIters = 1, nprobe = 1, topK = 4)
+      .select("n_exact", "n_overlap")
+      .as[(Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (ne, no) =>
+      assert(ne == 4L && no >= 0L && no <= 4L)
+    }
+  }
+
   test("linearQualityScore broadcasts the weight table (corpus never shuffles on term)") {
     val docs = (1L to 50L).map(i => (i, s"spark t$i")).toDF("doc_id", "text")
     val plan = TextAnalysis.linearQualityScore(docs, "doc_id", "text",
