@@ -616,6 +616,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("domain caps ride the range-shuffled quota scan (q211)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    // the per-domain budget cut must use underBudgetPerStratum's
+    // construction: a (domain, order) range shuffle + per-(partition,
+    // domain) windows — a bare Window.partitionBy(domain) would funnel
+    // the dominant domain (the case this stage exists for) into one task
+    val df = graft.queries.QualityQueries.q211DomainCaps(spark, sf)
+    val rangeShuffles = withExchanges(df).collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    assert(rangeShuffles.nonEmpty, "expected the quota range shuffle")
+    df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      .foreach { w =>
+        assert(w.partitionSpec.size >= 2,
+          s"quota window not keyed by (partition, domain):\n$w")
+      }
+  }
+
   test("boilerplate audit df-filters the heavy side before the join (q208)") {
     import org.apache.spark.sql.execution.FilterExec
     // the df >= minDf cut must run UNDER the attach join (build-side
