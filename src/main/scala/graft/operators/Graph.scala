@@ -513,4 +513,65 @@ object Graph {
       .agg(count(lit(1)).as("n_two_hop"))
       .select(col("a").as("doc_id"), col("n_two_hop"))
   }
+
+  /**
+   * Incremental connected-components maintenance: fold a batch of NEW
+   * edges into an existing min-id labeling withOUT re-running CC over
+   * the full graph — the production shape for a continuously-growing
+   * dedup graph, where each day's near-dup pairs must update
+   * yesterday's duplicate clusters and a full [[connectedComponents]]
+   * over the accumulated corpus would cost O(total) per day instead of
+   * O(delta).
+   *
+   * The algebra: map each new edge's endpoints to their current labels
+   * (an unseen node is its own singleton label), CONTRACT — each
+   * distinct (labelA ≠ labelB) pair is one edge between old components
+   * — and run CC on the contracted graph only. Because every existing
+   * label is the min node id of its component, the contracted CC's
+   * min-label components give the final labels directly: new label =
+   * min over merged old components = global min id. Labels of
+   * untouched components never enter the computation.
+   *
+   * Scale shape: one key-partitioned lookup join of the delta's
+   * endpoints against the label table, a distinct on contracted pairs
+   * (bounded by the delta, not the graph), CC on that contracted edge
+   * set (components-touched scale), then ONE remap join back over the
+   * label table — the remap side is bounded by the merged components
+   * and broadcasts. The full edge history is never read.
+   *
+   * `prior` is (nodeCol, compCol); `newEdges` is (srcCol, dstCol).
+   * Returns the updated labeling (nodeCol, compCol) covering prior
+   * nodes plus the delta's endpoints.
+   */
+  def incrementalComponents(prior: DataFrame, nodeCol: String, compCol: String,
+                            newEdges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame = {
+    val labels = prior.select(col(nodeCol).as("graft_n"),
+      col(compCol).as("graft_c"))
+    def endpoint(c: String): DataFrame =
+      newEdges.select(col(c).as("graft_n")).distinct()
+        .join(labels, Seq("graft_n"), "left")
+        .select(col("graft_n").as(c),
+          coalesce(col("graft_c"), col("graft_n")).as(s"graft_l_$c"))
+    val contracted = newEdges
+      .join(endpoint(srcCol), srcCol)
+      .join(endpoint(dstCol), dstCol)
+      .filter(col(s"graft_l_$srcCol") =!= col(s"graft_l_$dstCol"))
+      .select(col(s"graft_l_$srcCol").as("graft_ca"),
+        col(s"graft_l_$dstCol").as("graft_cb"))
+      .distinct()
+    val remap = connectedComponents(contracted, "graft_ca", "graft_cb")
+      .select(col("node").as("graft_c"), col("component").as("graft_c2"))
+      // identity rows carry no information; dropping them keeps the
+      // broadcast side at merged-components size
+      .filter(col("graft_c") =!= col("graft_c2"))
+    val newNodes = newEdges.select(col(srcCol).as("graft_n"))
+      .union(newEdges.select(col(dstCol).as("graft_n"))).distinct()
+      .join(labels, Seq("graft_n"), "left_anti")
+      .select(col("graft_n"), col("graft_n").as("graft_c"))
+    labels.unionByName(newNodes)
+      .join(broadcast(remap), Seq("graft_c"), "left")
+      .select(col("graft_n").as(nodeCol),
+        coalesce(col("graft_c2"), col("graft_c")).as(compCol))
+  }
 }

@@ -339,4 +339,73 @@ object Similarity {
     }
     picked.toSeq.toDF("sel_idx", "vec_id", "dmin")
   }
+
+  /**
+   * Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+   * SIGIR 1998): per query, greedily select k results balancing
+   * relevance against redundancy — step i picks the candidate
+   * maximizing λ·rel(q, d) − (1−λ)·max_{s∈selected} sim(d, s). The
+   * standard diversification pass over a retriever's top-N — a plain
+   * cosine top-k returns near-duplicates of one passage; MMR spends
+   * the k slots on distinct content.
+   *
+   * Determinism: λ = lambdaNum/lambdaDen is never divided — the argmax
+   * is taken over the SCALED score lambdaNum·rel − (lambdaDen−
+   * lambdaNum)·maxSim (same ordering), a product of exact ints with
+   * 6-dp-rounded cosines, bit-identical across engines; ties break on
+   * the candidate id.
+   *
+   * Scale shape: the candidate pool is the retriever's per-query top-N
+   * (`candN`, a WindowGroupLimit cut of ONE corpus pass with the
+   * queries broadcast — vectors shuffle once, into the |Q|·candN
+   * pool), localCheckpointed once; the k greedy rounds then run on
+   * pool rows only — each round one per-query top-1 cut plus one
+   * |Q|-row broadcast join to fold the new pick into the running
+   * maxSim column. The corpus is never touched again; all queries
+   * advance in parallel.
+   *
+   * Returns (qidCol, sel_idx, idCol, rel, max_sim_prev) — max_sim_prev
+   * is the pick's similarity ceiling against the PRIOR selection (NULL
+   * for the first pick).
+   */
+  def mmrRerank(queries: DataFrame, qidCol: String, corpus: DataFrame,
+                idCol: String, vecCol: String, k: Int, candN: Int,
+                lambdaNum: Int, lambdaDen: Int): DataFrame = {
+    require(k >= 1 && candN >= k, s"need 1 <= k <= candN, got k=$k candN=$candN")
+    require(lambdaDen >= 1 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"lambda $lambdaNum/$lambdaDen outside [0, 1]")
+    val q = queries.select(col(qidCol), col(vecCol).as("graft_qv"))
+    val pool0 = LatestSnapshot.topK(
+      corpus.select(col(idCol), col(vecCol).as("graft_v"))
+        .crossJoin(broadcast(q))
+        .select(col(qidCol), col(idCol), col("graft_v"),
+          round(cosine(col("graft_v"), col("graft_qv")), 6).as("rel")),
+      Seq(qidCol), col("rel").desc, Seq(col(idCol).asc), candN)
+    var pool = pool0
+      .withColumn("graft_ms", lit(null).cast("double")).localCheckpoint()
+    val negW = lambdaDen - lambdaNum
+    var picked = LatestSnapshot.topK(pool, Seq(qidCol),
+        col("rel").desc, Seq(col(idCol).asc), 1)
+      .withColumn("sel_idx", lit(0L)).localCheckpoint()
+    for (i <- 1 until k) {
+      val last = picked.filter(col("sel_idx") === (i - 1))
+        .select(col(qidCol), col(idCol).as("graft_pid"),
+          col("graft_v").as("graft_pv"))
+      pool = pool
+        .join(broadcast(last), qidCol)
+        .filter(col(idCol) =!= col("graft_pid"))
+        .select(col(qidCol), col(idCol), col("graft_v"), col("rel"),
+          greatest(coalesce(col("graft_ms"), lit(-2.0)),
+            round(cosine(col("graft_v"), col("graft_pv")), 6))
+            .as("graft_ms"))
+        .localCheckpoint()
+      val next = LatestSnapshot.topK(pool, Seq(qidCol),
+          (col("rel") * lambdaNum - col("graft_ms") * negW).desc,
+          Seq(col(idCol).asc), 1)
+        .withColumn("sel_idx", lit(i.toLong))
+      picked = picked.unionByName(next).localCheckpoint()
+    }
+    picked.select(col(qidCol), col("sel_idx"), col(idCol), col("rel"),
+      when(col("sel_idx") > 0, col("graft_ms")).as("max_sim_prev"))
+  }
 }

@@ -690,4 +690,49 @@ object VectorAggs {
       .withColumn("recall_ppm",
         expr("(1000000 * n_overlap) div n_exact"))
   }
+
+  /**
+   * Prototypicality-based data pruning (Sorscher et al. 2022, "Beyond
+   * neural scaling laws" — the SSL-prototypes metric; the second half
+   * of D4 after [[semDedup]]): a vector's difficulty is its cosine to
+   * its cluster's centroid — the MOST prototypical (highest-cosine)
+   * examples carry the least training signal, so inside each cluster
+   * the top `pruneNum/pruneDen` fraction by prototypicality is marked
+   * pruned and the hard tail kept.
+   *
+   * Takes a clustered corpus (`assigned` = idCol, clusterCol, vecCol —
+   * typically [[kMeans]] output). The prune rule is integer-exact:
+   * rank r (1 = most prototypical, 6-dp cosine desc, id-asc tiebreak)
+   * is pruned iff r·pruneDen ≤ pruneNum·n_cluster — exactly
+   * r ≤ ⌊pruneNum·n/pruneDen⌋ without float thresholds.
+   *
+   * Scale shape: centroids are k rows → broadcast join, the cosine is
+   * one codegen'd pass per row; the rank is a per-cluster window under
+   * SemDeDup's own contract that k grows with n (per-cluster population
+   * n/k bounded, so no partition outgrows a task; a pathological
+   * mega-cluster is the caller's clustering problem, not the prune's).
+   *
+   * Returns (idCol, clusterCol, n_cluster, proto_rank, proto_cos,
+   * pruned).
+   */
+  def prototypePrune(assigned: DataFrame, idCol: String, clusterCol: String,
+                     vecCol: String, pruneNum: Int, pruneDen: Int): DataFrame = {
+    require(pruneDen >= 1 && pruneNum >= 0 && pruneNum <= pruneDen,
+      s"prune fraction $pruneNum/$pruneDen outside [0, 1]")
+    val cent = centroidVectors(assigned, clusterCol, vecCol)
+      .select(col(clusterCol), col("centroid_vec"))
+    val scored = assigned.join(broadcast(cent), Seq(clusterCol))
+      .withColumn("proto_cos",
+        round(Similarity.cosine(col(vecCol), col("centroid_vec")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol))
+    scored
+      .withColumn("proto_rank", row_number().over(
+        w.orderBy(col("proto_cos").desc, col(idCol).asc)))
+      .withColumn("n_cluster", count(lit(1)).over(w))
+      .select(col(idCol), col(clusterCol), col("n_cluster"),
+        col("proto_rank").cast(LongType).as("proto_rank"), col("proto_cos"),
+        (col("proto_rank") * pruneDen <= lit(pruneNum) * col("n_cluster"))
+          .as("pruned"))
+  }
 }

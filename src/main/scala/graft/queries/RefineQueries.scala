@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Graph, Similarity, TextDedup, VectorAggs}
+import graft.sources.Sources
+
+/**
+ * Round-10 refinement operators: sub-document dedup with reconstruction,
+ * cluster-based data pruning, diversified retrieval, and incremental
+ * dedup-graph maintenance. Each query gates a [[graft.operators]]
+ * component against an independent DuckDB derivation.
+ */
+object RefineQueries {
+
+  // ── q218: CCNet-style paragraph-level dedup + reconstruction ───────────
+
+  /** q218: corpus-wide first-wins paragraph dedup
+    * ([[TextDedup.paragraphDedup]], 12-word paragraphs) — every
+    * paragraph survives exactly once at its first (doc, position)
+    * occurrence and documents are REASSEMBLED from their surviving
+    * paragraphs; the removal stage q208's boilerplate audit only
+    * reports. Gate = per-doc paragraph counts plus the md5/length of
+    * the reconstructed text (content parity, not just counts). */
+  def q218ParagraphDedup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.paragraphDedup(Sources.documents(s, dir), "doc_id", "text",
+        pWords = 12)
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        md5(col("cleaned_text")).as("cleaned_md5"),
+        length(col("cleaned_text")).cast("long").as("cleaned_len"))
+      .orderBy(col("doc_id"))
+
+  val q218Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |p AS (SELECT doc_id, unnest(range(0, (len(w) + 11) // 12)) AS pos, w
+      |      FROM w),
+      |p2 AS (SELECT doc_id, pos,
+      |         array_to_string(list_slice(w, CAST(pos * 12 + 1 AS INT),
+      |           CAST(pos * 12 + 12 AS INT)), ' ') AS pt
+      |       FROM p),
+      |o1 AS (SELECT md5(pt) AS ph, MIN(doc_id) AS fd FROM p2 GROUP BY 1),
+      |o2 AS (SELECT o1.ph, o1.fd, MIN(p2.pos) AS fp
+      |       FROM p2 JOIN o1 ON md5(p2.pt) = o1.ph AND p2.doc_id = o1.fd
+      |       GROUP BY o1.ph, o1.fd),
+      |k AS (SELECT p2.doc_id, p2.pos, p2.pt
+      |      FROM p2 JOIN o2 ON md5(p2.pt) = o2.ph
+      |        AND p2.doc_id = o2.fd AND p2.pos = o2.fp),
+      |r AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |        string_agg(pt, ' ' ORDER BY pos) AS ct
+      |      FROM k GROUP BY doc_id)
+      |SELECT w.doc_id, CAST((len(w.w) + 11) // 12 AS BIGINT) AS n_paras,
+      |  COALESCE(r.n_kept, 0) AS n_kept,
+      |  md5(COALESCE(r.ct, '')) AS cleaned_md5,
+      |  CAST(length(COALESCE(r.ct, '')) AS BIGINT) AS cleaned_len
+      |FROM w LEFT JOIN r USING (doc_id) ORDER BY w.doc_id""".stripMargin
+
+  // ── q219: prototypicality pruning (Sorscher 2022 / D4) ─────────────────
+
+  /** q219: SSL-prototypes data pruning over the clustered embedding
+    * corpus ([[VectorAggs.prototypePrune]] on the gated q61 k-means,
+    * prune fraction 1/4) — inside each cluster the quarter closest to
+    * the centroid (the easy, redundant examples) is marked pruned, the
+    * hard tail kept. Ranks/counts/flags are exact integers; the 6-dp
+    * prototype cosine rides along under the q62 round-6 precedent. */
+  def q219PrototypePrune(s: SparkSession, dir: String): DataFrame = {
+    val assigned = VectorAggs.kMeans(Sources.embeddings(s, dir),
+      "vec_id", "embedding", k = 4, iters = 2).localCheckpoint()
+    VectorAggs.prototypePrune(assigned, "vec_id", "cluster", "embedding",
+        pruneNum = 1, pruneDen = 4)
+      .orderBy(col("vec_id"))
+  }
+
+  val q219Sql: String =
+    s"""WITH ${CurationQueries.kmeansA2Ctes},
+       |c2 AS (
+       |  SELECT cluster, d, round(CAST(SUM(CAST(round(embedding[d]::DOUBLE, 6)
+       |      AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS c
+       |  FROM a2 CROSS JOIN range(1, 65) t(d) GROUP BY cluster, d),
+       |c2v AS (SELECT cluster, array_agg(c ORDER BY d) AS cv
+       |        FROM c2 GROUP BY cluster),
+       |sc AS (SELECT a2.vec_id, a2.cluster,
+       |         ${CurationQueries.cosSql("a2.embedding", "c2v.cv")} AS pc
+       |       FROM a2 JOIN c2v USING (cluster)),
+       |r AS (SELECT vec_id, cluster, pc,
+       |        row_number() OVER (PARTITION BY cluster
+       |          ORDER BY pc DESC, vec_id) AS pr,
+       |        COUNT(*) OVER (PARTITION BY cluster) AS nc
+       |      FROM sc)
+       |SELECT vec_id, cluster, CAST(nc AS BIGINT) AS n_cluster,
+       |  CAST(pr AS BIGINT) AS proto_rank, pc AS proto_cos,
+       |  (pr * 4 <= 1 * nc) AS pruned
+       |FROM r ORDER BY vec_id""".stripMargin
+
+  // ── q220: MMR diversified re-ranking (Carbonell & Goldstein 1998) ──────
+
+  private val MmrK = 4
+  private val MmrCandN = 10
+  private val MmrLamNum = 7
+  private val MmrLamDen = 10
+
+  /** q220: maximal-marginal-relevance re-ranking
+    * ([[Similarity.mmrRerank]]) — 3 query vectors against the rest of
+    * the embedding corpus, top-10 cosine candidates per query, then 4
+    * greedy MMR picks at λ = 0.7. The oracle replays the greedy
+    * unrolled step by step (one CTE pair per round), with the scaled
+    * integer-weight score so no division touches the argmax. */
+  def q220MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 3)
+    Similarity.mmrRerank(qs, "qid", corpus, "vec_id", "embedding",
+        k = MmrK, candN = MmrCandN,
+        lambdaNum = MmrLamNum, lambdaDen = MmrLamDen)
+      .orderBy(col("qid"), col("sel_idx"))
+  }
+
+  val q220Sql: String = {
+    val cos = CurationQueries.cosSql _
+    val negW = MmrLamDen - MmrLamNum
+    val steps = (1 until MmrK).map { i =>
+      s"""m$i AS (SELECT m.qid, m.vec_id, m.embedding, m.rel,
+         |  ${if (i == 1) cos("m.embedding", "s.embedding")
+            else s"greatest(m.ms, ${cos("m.embedding", "s.embedding")})"} AS ms
+         |  FROM ${if (i == 1) "cd" else s"m${i - 1}"} m
+         |  JOIN s${i - 1} s USING (qid) WHERE m.vec_id <> s.vec_id),
+         |s$i AS (SELECT qid, vec_id, embedding, rel, ms FROM (
+         |  SELECT m$i.*, row_number() OVER (PARTITION BY qid
+         |    ORDER BY rel * $MmrLamNum - ms * $negW DESC, vec_id) AS rn
+         |  FROM m$i) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until MmrK).map { i =>
+      s"""SELECT qid, CAST($i AS BIGINT) AS sel_idx, vec_id, rel,
+         |  ${if (i == 0) "CAST(NULL AS DOUBLE)" else "ms"} AS max_sim_prev
+         |FROM s$i""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qv
+       |  FROM embeddings WHERE vec_id < 3),
+       |cd AS (SELECT qid, vec_id, embedding, rel FROM (
+       |  SELECT q.qid, e.vec_id, e.embedding,
+       |    ${cos("e.embedding", "q.qv")} AS rel,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cos("e.embedding", "q.qv")} DESC, e.vec_id) AS rn
+       |  FROM embeddings e CROSS JOIN qs q WHERE e.vec_id >= 3) t
+       |  WHERE rn <= $MmrCandN),
+       |s0 AS (SELECT qid, vec_id, embedding, rel, CAST(NULL AS DOUBLE) AS ms
+       |  FROM (SELECT cd.*, row_number() OVER (PARTITION BY qid
+       |    ORDER BY rel DESC, vec_id) AS rn FROM cd) t WHERE rn = 1),
+       |$steps
+       |$out
+       |ORDER BY qid, sel_idx""".stripMargin
+  }
+
+  // ── q221: incremental connected-components maintenance ─────────────────
+
+  /** q221: fold a delta of near-dup edges into an existing component
+    * labeling ([[Graph.incrementalComponents]]) — even-id documents'
+    * LSH pairs stand in for yesterday's indexed graph (labeled by a
+    * full CC run), pairs involving odd-id documents for today's delta.
+    * The oracle computes components of the UNION graph from scratch
+    * (recursive closure), so the gate PROVES the incremental algebra:
+    * contracted-graph CC + one remap join ≡ full recomputation. */
+  def q221IncrementalCC(s: SparkSession, dir: String): DataFrame = {
+    val all = TextDedup.minHashLshPairs(Sources.documents(s, dir),
+      "doc_id", "text", k = 16, r = 4, w = 3, threshold = 0.5)
+      .localCheckpoint()
+    val oldPairs = all.filter(col("d1") % 2 === 0 && col("d2") % 2 === 0)
+    val delta = all.filter(col("d1") % 2 === 1 || col("d2") % 2 === 1)
+    val prior = Graph.connectedComponents(oldPairs, "d1", "d2")
+    Graph.incrementalComponents(prior, "node", "component", delta, "d1", "d2")
+      .select(col("node").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q221Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT d1, d2 FROM (
+       |${PipelineQueries.q19Sql}
+       |  )),
+       |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |      UNION SELECT d2 AS a, d1 AS b FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT DISTINCT a AS n, a AS m FROM e
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)
+       |SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n
+       |ORDER BY doc_id""".stripMargin
+}
