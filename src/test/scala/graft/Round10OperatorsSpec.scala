@@ -315,4 +315,102 @@ class Round10OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"weight attach must broadcast:\n$plan")
   }
+
+  // ── paragraphDedup ──────────────────────────────────────────────────────
+
+  test("paragraphDedup keeps each paragraph at its first (doc, pos) occurrence and rebuilds docs") {
+    val docs = Seq(
+      (1L, "a b c d a b"),  // paras: "a b"@0, "c d"@1, "a b"@2 (within-doc dup)
+      (2L, "c d e"),        // "c d"@0 lost to doc 1, "e"@1 kept
+      (3L, "a b")           // fully duplicated → empty reconstruction
+    ).toDF("doc_id", "text")
+    val out = TextDedup.paragraphDedup(docs, "doc_id", "text", pWords = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, "a b c d"),
+      (2L, 2L, 1L, "e"),
+      (3L, 1L, 0L, "")))
+  }
+
+  // ── prototypePrune ──────────────────────────────────────────────────────
+
+  test("prototypePrune marks the most-prototypical fraction per cluster, id tiebreak") {
+    val assigned = Seq(
+      (1L, 0L, Array(1f, 0f)),   // cos to centroid (.75,.5): 0.832051
+      (2L, 0L, Array(1f, 0f)),   // same — tie with id 1, loses on id
+      (3L, 0L, Array(0f, 1f)),   // 0.554700 — least prototypical
+      (4L, 0L, Array(1f, 1f)),   // 0.980581 — most prototypical
+      (5L, 1L, Array(0f, 1f)),   // cluster 1 centroid (0,1.5): cos = 1 both
+      (6L, 1L, Array(0f, 2f))
+    ).toDF("vec_id", "cluster", "embedding")
+    // prune 1/2: cluster 0 (n=4) prunes ranks 1-2 = ids 4, 1;
+    // cluster 1 (n=2) prunes rank 1 = id 5 (cos tie, id asc)
+    val out = VectorAggs.prototypePrune(assigned, "vec_id", "cluster",
+        "embedding", pruneNum = 1, pruneDen = 2)
+      .orderBy("vec_id")
+      .select("vec_id", "n_cluster", "proto_rank", "pruned")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 2L, true), (2L, 4L, 3L, false), (3L, 4L, 4L, false),
+      (4L, 4L, 1L, true), (5L, 2L, 1L, true), (6L, 2L, 2L, false)))
+  }
+
+  test("prototypePrune broadcasts the centroid table") {
+    val assigned = (1L to 40L)
+      .map(i => (i, i % 2, Array(i.toFloat, 1f)))
+      .toDF("vec_id", "cluster", "embedding")
+    val plan = VectorAggs.prototypePrune(assigned, "vec_id", "cluster",
+        "embedding", 1, 4).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid attach must broadcast:\n$plan")
+  }
+
+  // ── mmrRerank ───────────────────────────────────────────────────────────
+
+  test("mmrRerank trades relevance for diversity at the MMR score, id tiebreak") {
+    val qs = Seq((100L, Array(1f, 0f))).toDF("qid", "embedding")
+    val corpus = Seq(
+      (1L, Array(1f, 0f)),   // rel 1.0
+      (2L, Array(1f, 0f)),   // exact duplicate of 1 — rel 1.0
+      (3L, Array(0f, 1f))    // rel 0.0 but orthogonal to the picks
+    ).toDF("vec_id", "embedding")
+    // λ = 2/5: after picking 1, doc 2 scores 2·1 − 3·1 = −1,
+    // doc 3 scores 2·0 − 3·0 = 0 → diversity wins despite zero relevance
+    val out = graft.operators.Similarity.mmrRerank(qs, "qid", corpus,
+        "vec_id", "embedding", k = 3, candN = 3,
+        lambdaNum = 2, lambdaDen = 5)
+      .orderBy("sel_idx")
+      .select("sel_idx", "vec_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L), (1L, 3L), (2L, 2L)))
+  }
+
+  // ── incrementalComponents ───────────────────────────────────────────────
+
+  test("incrementalComponents folds a delta into prior labels: merges, new nodes, untouched comps") {
+    val prior = Seq((1L, 1L), (2L, 1L), (3L, 3L), (5L, 5L))
+      .toDF("node", "component")
+    val delta = Seq((2L, 3L), (6L, 7L), (8L, 5L)).toDF("d1", "d2")
+    val out = graft.operators.Graph.incrementalComponents(
+        prior, "node", "component", delta, "d1", "d2")
+      .orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L),
+      (6L, 6L), (7L, 6L), (8L, 5L)))
+  }
+
+  test("incrementalComponents matches a full recompute on the union graph") {
+    val oldEdges = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    val delta = Seq((2L, 3L), (4L, 20L), (21L, 22L)).toDF("d1", "d2")
+    val prior = graft.operators.Graph.connectedComponents(oldEdges, "d1", "d2")
+    val inc = graft.operators.Graph.incrementalComponents(
+        prior, "node", "component", delta, "d1", "d2")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val full = graft.operators.Graph.connectedComponents(
+        oldEdges.union(delta), "d1", "d2")
+      .select(col("node"), col("component"))
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(inc == full)
+  }
 }
