@@ -570,4 +570,51 @@ object TextAnalysis {
         round(lit(1.0) / (lit(1.0) +
           exp(-col("logit_milli").cast(DoubleType) / lit(1000.0))), 6))
   }
+
+  /**
+   * Canary / secret-string audit (Carlini et al. 2019, "The Secret
+   * Sharer"): scan the corpus for a fixed list of exact marker strings
+   * — injected canaries whose post-training extractability measures
+   * memorization, or known secrets/benchmark strings that must NOT be
+   * in the training set. Reports, per canary, how many documents
+   * contain it, the total occurrence count, and the first containing
+   * doc id (NULL when absent — absence rows are part of the contract:
+   * "canary not found" is the result the audit usually wants).
+   *
+   * Occurrences are counted exactly via the length-difference identity
+   * (len(text) − len(replace(text, c, ''))) / len(c) — integer
+   * arithmetic, no regex (canaries are literals; a regex would need
+   * escaping and costs more).
+   *
+   * Scale shape: ONE corpus pass — the canary list is metadata
+   * (broadcast nested-loop with a codegen'd `contains` filter, |C|
+   * substring tests per row map-side); only (canary, id, count) rows
+   * for actual HITS reach the |C|-key aggregation. Nothing
+   * corpus-sized shuffles.
+   */
+  def canaryScan(docs: DataFrame, idCol: String, textCol: String,
+                 canaries: Seq[String]): DataFrame = {
+    require(canaries.nonEmpty, "canaryScan: empty canary list")
+    require(canaries.forall(_.nonEmpty), "canaryScan: empty-string canary")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cs = canaries.toDF("canary")
+    val hits = docs.crossJoin(broadcast(cs))
+      .filter(col(textCol).contains(col("canary")))
+      .select(col("canary"), col(idCol),
+        call_function("div",
+          (length(col(textCol)) -
+            length(call_function("replace", col(textCol), col("canary"),
+              lit("")))).cast(LongType),
+          length(col("canary")).cast(LongType)).as("graft_occ"))
+      .groupBy(col("canary"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("graft_occ")).as("n_occurrences"),
+        min(col(idCol)).as("first_doc_id"))
+    cs.join(hits, Seq("canary"), "left")
+      .select(col("canary"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"),
+        col("first_doc_id"))
+  }
 }

@@ -692,6 +692,96 @@ object VectorAggs {
   }
 
   /**
+   * IVFADC with RESIDUAL encoding — the exact Jégou 2011 §V layout:
+   * [[ivfPqRecall]] PQ-encodes raw vectors, but the paper quantizes the
+   * residual x − c(cell(x)), because residuals concentrate near the
+   * origin where a small codebook spends its codewords far better than
+   * on the full-space spread (the reason production IVFADC indexes are
+   * residual-based). The query side mirrors it: for each PROBED cell
+   * the query's residual against that cell's centroid drives the LUT,
+   * so the LUT key grows to (qid, cell, subspace, code) —
+   * |Q|·nprobe·m·k rows, still broadcast-scale.
+   *
+   * Scale shape: identical to [[ivfPqRecall]] plus one broadcast
+   * centroid join to form residuals (narrow zip_with projection; raw
+   * vectors still never cross a shuffle). ADC remains an
+   * order-independent DECIMAL sum; the audit columns stay
+   * exact-integer. With a lossless codebook and full probing, residual
+   * ADC is EXACT (‖(q−c) − (x−c)‖ = ‖q−x‖) — spec-asserted, the
+   * property raw-vector encoding shares only trivially.
+   */
+  def ivfPqResidualRecall(df: DataFrame, idCol: String, vecCol: String,
+                          queries: DataFrame, qidCol: String,
+                          dims: Int, m: Int, k: Int,
+                          coarseK: Int, coarseIters: Int, nprobe: Int,
+                          topK: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarseK,
+      s"nprobe=$nprobe must be in [1, coarseK=$coarseK]")
+    val sub = dims / m
+    val assigned = kMeans(df, idCol, vecCol, coarseK, coarseIters)
+      .localCheckpoint()
+    val cents = centroidVectors(assigned, "cluster", vecCol)
+    val resid = assigned.join(broadcast(cents), Seq("cluster"))
+      .select(col(idCol), col("cluster"),
+        zip_with(col(vecCol), col("centroid_vec"),
+          (a, b) => a.cast(DoubleType) - b).as("graft_rv"))
+      .localCheckpoint()
+    val cb = pqTrain(resid, idCol, "graft_rv", dims, m, k, iters = 1)
+    val codes = pqEncodeWith(resid, idCol, "graft_rv", cb, dims, m)
+      .localCheckpoint()
+    val probes = LatestSnapshot.topK(
+        queries.select(col(qidCol).as("qid"), col(vecCol).as("graft_qv"))
+          .crossJoin(broadcast(cents))
+          .withColumn("graft_pc",
+            round(Similarity.cosine(col("graft_qv"), col("centroid_vec")),
+              6)),
+        Seq("qid"), col("graft_pc").desc, Seq(col("cluster").asc), nprobe)
+    val qres = probes.select(col("qid"), col("cluster"),
+      zip_with(col("graft_qv"), col("centroid_vec"),
+        (a, b) => a.cast(DoubleType) - b).as("graft_qr"))
+    val lut = qres
+      .select(col("qid"), col("cluster"),
+        explode(array((0 until m).map { j =>
+          struct(lit(j).as("subspace"),
+            slice(col("graft_qr"), j * sub + 1, sub).as("graft_sv"))
+        }: _*)).as("graft_s"))
+      .select(col("qid"), col("cluster"),
+        col("graft_s.subspace").as("subspace"),
+        col("graft_s.graft_sv").as("graft_sv"))
+      .join(broadcast(cb), Seq("subspace"))
+      .select(col("qid"), col("cluster"), col("subspace"), col("code"),
+        round(VectorFunctions.l2Sq(col("graft_sv"), col("graft_cv")), 6)
+          .cast(DecimalType(18, 6)).as("graft_d"))
+    val cand = assigned.select(col(idCol), col("cluster"))
+      .join(probes.select(col("qid"), col("cluster")), Seq("cluster"))
+    val adc = cand
+      .join(codes.select(col(idCol), col("subspace"), col("code")),
+        Seq(idCol))
+      .join(broadcast(lut), Seq("qid", "cluster", "subspace", "code"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("graft_d")).as("graft_adc"))
+    val approx = LatestSnapshot.topK(adc, Seq("qid"),
+        col("graft_adc").asc, Seq(col(idCol).asc), topK)
+      .select(col("qid"), col(idCol))
+    val exact = LatestSnapshot.topK(
+        df.select(col(idCol), col(vecCol))
+          .crossJoin(broadcast(queries.select(col(qidCol).as("qid"),
+            col(vecCol).as("graft_qv"))))
+          .select(col("qid"), col(idCol),
+            round(VectorFunctions.l2Sq(col(vecCol), col("graft_qv")), 6)
+              .as("graft_ed")),
+        Seq("qid"), col("graft_ed").asc, Seq(col(idCol).asc), topK)
+      .select(col("qid"), col(idCol))
+    exact.join(approx.withColumn("graft_hit", lit(1L)),
+        Seq("qid", idCol), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("graft_hit")), lit(0L)).as("n_overlap"))
+      .withColumn("recall_ppm",
+        expr("(1000000 * n_overlap) div n_exact"))
+  }
+
+  /**
    * Prototypicality-based data pruning (Sorscher et al. 2022, "Beyond
    * neural scaling laws" — the SSL-prototypes metric; the second half
    * of D4 after [[semDedup]]): a vector's difficulty is its cosine to

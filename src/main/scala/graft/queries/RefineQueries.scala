@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Graph, Similarity, TextDedup, VectorAggs}
+import graft.operators.{Graph, Similarity, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /**
@@ -186,4 +186,149 @@ object RefineQueries {
        |  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)
        |SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n
        |ORDER BY doc_id""".stripMargin
+
+  // ── q222: IVFADC with residual encoding (Jégou 2011 §V proper) ─────────
+
+  /** q222: the residual-encoding IVFADC serving path
+    * ([[VectorAggs.ivfPqResidualRecall]]) — same layout as q217 (coarse
+    * k=4 cells, nprobe=2, trained PQ m=4 k=16, recall@10) but the PQ
+    * quantizes x − c(cell(x)) and the query LUT is per probed cell, as
+    * the paper specifies. The q217→q222 recall delta is the value of
+    * residual encoding at equal code budget. */
+  def q222IvfResidualRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    VectorAggs.ivfPqResidualRecall(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 67 === 0), "vec_id",
+        dims = 64, m = 4, k = 16,
+        coarseK = 4, coarseIters = 2, nprobe = 2, topK = 10)
+      .orderBy(col("qid"))
+  }
+
+  // q217's oracle chain with the PQ stages rebased onto residuals and a
+  // cell-keyed query LUT
+  val q222Sql: String = {
+    val cos = CurationQueries.cosSql _
+    s"""WITH ${CurationQueries.kmeansA2Ctes},
+      |c2 AS (
+      |  SELECT cluster, d, round(CAST(SUM(CAST(round(embedding[d]::DOUBLE, 6)
+      |      AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS c
+      |  FROM a2 CROSS JOIN range(1, 65) t(d) GROUP BY cluster, d),
+      |c2v AS (SELECT cluster, array_agg(c ORDER BY d) AS cv
+      |        FROM c2 GROUP BY cluster),
+      |rv AS (SELECT a2.vec_id, a2.cluster,
+      |         list_transform(range(1, 65),
+      |           i -> a2.embedding[i]::DOUBLE - v.cv[i]) AS rv
+      |       FROM a2 JOIN c2v v USING (cluster)),
+      |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |       WHERE vec_id % 67 = 0),
+      |pr AS (SELECT qid, cluster FROM (
+      |         SELECT q.qid, v.cluster, row_number() OVER (
+      |           PARTITION BY q.qid ORDER BY ${cos("q.qv", "v.cv")}
+      |             DESC, v.cluster ASC) AS rn
+      |         FROM qs q CROSS JOIN c2v v) t WHERE rn <= 2),
+      |pq_sv AS (SELECT vec_id, t.j AS subspace,
+      |         rv[t.j * 16 + 1 : t.j * 16 + 16] AS v
+      |       FROM rv CROSS JOIN range(0, 4) t(j)),
+      |pq_sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv
+      |       FROM (SELECT vec_id, rv FROM rv ORDER BY vec_id LIMIT 16)),
+      |pq_cb0 AS (SELECT t.j AS subspace, pq_sd.code,
+      |          pq_sd.rv[t.j * 16 + 1 : t.j * 16 + 16] AS cv
+      |        FROM pq_sd CROSS JOIN range(0, 4) t(j)),
+      |pq_a1 AS (SELECT subspace, code, vec_id, v FROM (
+      |         SELECT s.vec_id, s.subspace, s.v, c.code, row_number()
+      |           OVER (PARTITION BY s.vec_id, s.subspace ORDER BY
+      |             round(list_sum(list_transform(range(1, 17), i ->
+      |               (s.v[i] - c.cv[i]) * (s.v[i] - c.cv[i]))), 6),
+      |             c.code) AS rn
+      |         FROM pq_sv s JOIN pq_cb0 c ON c.subspace = s.subspace) t
+      |       WHERE rn = 1),
+      |pq_m1 AS (SELECT subspace, code, d,
+      |         round(CAST(SUM(CAST(round(v[d], 6)
+      |             AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS c
+      |       FROM pq_a1 CROSS JOIN range(1, 17) t(d)
+      |       GROUP BY subspace, code, d),
+      |pq_cb1 AS (SELECT subspace, code, array_agg(c ORDER BY d) AS cv
+      |        FROM pq_m1 GROUP BY subspace, code),
+      |pq_codes AS (SELECT vec_id, subspace, code FROM (
+      |         SELECT s.vec_id, s.subspace, c.code, row_number()
+      |           OVER (PARTITION BY s.vec_id, s.subspace ORDER BY
+      |             round(list_sum(list_transform(range(1, 17), i ->
+      |               (s.v[i] - c.cv[i]) * (s.v[i] - c.cv[i]))), 6),
+      |             c.code) AS rn
+      |         FROM pq_sv s JOIN pq_cb1 c ON c.subspace = s.subspace) t
+      |       WHERE rn = 1),
+      |qr AS (SELECT pr.qid, pr.cluster,
+      |         list_transform(range(1, 65),
+      |           i -> q.qv[i]::DOUBLE - v.cv[i]) AS qr
+      |       FROM pr JOIN qs q USING (qid) JOIN c2v v USING (cluster)),
+      |lut AS (SELECT qr.qid, qr.cluster, c.subspace, c.code,
+      |         CAST(round(list_sum(list_transform(range(1, 17), i ->
+      |           (qr.qr[c.subspace * 16 + i] - c.cv[i]) *
+      |           (qr.qr[c.subspace * 16 + i] - c.cv[i]))), 6)
+      |           AS DECIMAL(18,6)) AS d
+      |       FROM qr CROSS JOIN pq_cb1 c),
+      |cand AS (SELECT pr.qid, a2.vec_id, a2.cluster
+      |         FROM a2 JOIN pr ON a2.cluster = pr.cluster),
+      |adc AS (SELECT cd.qid, cd.vec_id, SUM(l.d) AS ad
+      |        FROM cand cd
+      |        JOIN pq_codes c ON c.vec_id = cd.vec_id
+      |        JOIN lut l ON l.qid = cd.qid AND l.cluster = cd.cluster
+      |          AND l.subspace = c.subspace AND l.code = c.code
+      |        GROUP BY cd.qid, cd.vec_id),
+      |ap AS (SELECT qid, vec_id FROM (
+      |         SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |           ORDER BY ad, vec_id) AS rn FROM adc)
+      |       WHERE rn <= 10),
+      |ex AS (SELECT qid, vec_id FROM (
+      |         SELECT qs.qid, e.vec_id, row_number() OVER (
+      |           PARTITION BY qs.qid ORDER BY
+      |             round(list_sum(list_transform(range(1, 65), i ->
+      |               (e.embedding[i]::DOUBLE - qs.qv[i]::DOUBLE) *
+      |               (e.embedding[i]::DOUBLE - qs.qv[i]::DOUBLE))), 6),
+      |             e.vec_id) AS rn
+      |         FROM embeddings e CROSS JOIN qs)
+      |       WHERE rn <= 10),
+      |r AS (SELECT ex.qid, COUNT(*) AS n_exact,
+      |        CAST(COALESCE(SUM(CASE WHEN ap.vec_id IS NOT NULL
+      |          THEN 1 END), 0) AS BIGINT) AS n_overlap
+      |      FROM ex LEFT JOIN ap
+      |        ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
+      |      GROUP BY ex.qid)
+      |SELECT qid, n_exact, n_overlap,
+      |  CAST((1000000::HUGEINT * n_overlap::HUGEINT) // n_exact::HUGEINT
+      |    AS BIGINT) AS recall_ppm
+      |FROM r ORDER BY qid""".stripMargin
+  }
+
+  // ── q223: canary / secret-string memorization audit ────────────────────
+
+  private val Canaries = Seq(
+    "key agg row", "window spark", "graft canary 1787", "value table part")
+
+  /** q223: exact canary-string audit ([[TextAnalysis.canaryScan]],
+    * Carlini 2019 "Secret Sharer") — three strings that occur in the
+    * corpus plus one injected marker that must NOT (its zero row with
+    * NULL first_doc_id is the finding). Counts are length-difference
+    * integer arithmetic — exact on both engines. */
+  def q223CanaryScan(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.canaryScan(Sources.documents(s, dir), "doc_id", "text",
+        Canaries)
+      .orderBy(col("canary"))
+
+  val q223Sql: String = {
+    val list = Canaries.map(c => s"'$c'").mkString(", ")
+    s"""WITH cs AS (SELECT unnest([$list]) AS canary),
+       |h AS (SELECT cs.canary, d.doc_id,
+       |        (length(d.text) - length(replace(d.text, cs.canary, '')))
+       |          // length(cs.canary) AS occ
+       |      FROM documents d CROSS JOIN cs
+       |      WHERE strpos(d.text, cs.canary) > 0),
+       |a AS (SELECT canary, COUNT(*) AS n_docs,
+       |        CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+       |        MIN(doc_id) AS first_doc_id
+       |      FROM h GROUP BY canary)
+       |SELECT cs.canary, COALESCE(a.n_docs, 0) AS n_docs,
+       |  COALESCE(a.n_occurrences, 0) AS n_occurrences, a.first_doc_id
+       |FROM cs LEFT JOIN a USING (canary) ORDER BY cs.canary""".stripMargin
+  }
 }

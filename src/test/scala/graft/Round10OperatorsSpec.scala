@@ -400,6 +400,35 @@ class Round10OperatorsSpec extends SparkSpec {
       (6L, 6L), (7L, 6L), (8L, 5L)))
   }
 
+  test("ivfPqResidualRecall is exact with full probing and a lossless codebook") {
+    // 12 vectors, codebook k = 12 (every residual its own codeword),
+    // nprobe = coarseK: ‖(q−c) − (x−c)‖ = ‖q−x‖, so recall must be 10⁶
+    val vecs = (1L to 12L)
+      .map(i => (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = VectorAggs.ivfPqResidualRecall(vecs, "vec_id", "embedding",
+        vecs.filter(col("vec_id") % 5 === 0), "vec_id",
+        dims = 8, m = 2, k = 12,
+        coarseK = 3, coarseIters = 1, nprobe = 3, topK = 4)
+      .select("recall_ppm").as[Long].collect().toSeq
+    assert(out.nonEmpty && out.forall(_ == 1000000L))
+  }
+
+  test("canaryScan counts exact substring occurrences, absence rows included") {
+    val docs = Seq(
+      (1L, "the secret token xyzzy and again xyzzy here"),
+      (2L, "no markers at all"),
+      (3L, "xyzzy once")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.canaryScan(docs, "doc_id", "text",
+        Seq("xyzzy", "absent-canary"))
+      .orderBy("canary")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(out == Seq(
+      ("absent-canary", 0L, 0L, None),
+      ("xyzzy", 2L, 3L, Some(1L))))
+  }
+
   test("incrementalComponents matches a full recompute on the union graph") {
     val oldEdges = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
     val delta = Seq((2L, 3L), (4L, 20L), (21L, 22L)).toDF("d1", "d2")
