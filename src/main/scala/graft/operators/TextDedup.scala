@@ -1092,13 +1092,17 @@ object TextDedup {
    * copy of a paragraph can own it), and the reassembled text (empty
    * string when every paragraph lost its claim).
    */
-  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
-                     pWords: Int): DataFrame = {
+  /** The paragraph-occurrence projection shared by [[paragraphDedup]]
+    * and the streaming claim path: one row per (doc, paragraph
+    * position) with the paragraph text and its md5 — a narrow codegen'd
+    * sequence/explode/slice chain, batch- and stream-safe. */
+  def paragraphOccurrences(docs: DataFrame, idCol: String, textCol: String,
+                           pWords: Int): DataFrame = {
     require(pWords >= 1, s"pWords=$pWords: need at least 1 word per paragraph")
     val ws = col("graft_ws")
     val nParas = call_function("div",
       size(ws).cast(LongType) + (pWords - 1), lit(pWords.toLong))
-    val occ = docs
+    docs
       .select(col(idCol), split(col(textCol), " ").as("graft_ws"))
       .select(col(idCol), ws,
         explode(sequence(lit(0L), nParas - 1)).as("pos"))
@@ -1107,6 +1111,11 @@ object TextDedup {
           lit(pWords))).as("graft_pt"))
       .select(col(idCol), col("pos"), col("graft_pt"),
         md5(col("graft_pt")).as("graft_ph"))
+  }
+
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     pWords: Int): DataFrame = {
+    val occ = paragraphOccurrences(docs, idCol, textCol, pWords)
     val owners = occ
       .groupBy(col("graft_ph"))
       .agg(min(struct(col(idCol), col("pos"))).as("graft_own"))

@@ -239,6 +239,65 @@ object Streaming {
       }
   }
 
+  /** Output row of [[paragraphClaimStream]]: one row per arriving
+    * (document, paragraph position); `is_dup` marks paragraphs whose
+    * content was already claimed — by an earlier batch, an earlier doc
+    * in this batch, or an earlier position in the same doc. */
+  case class ParagraphClaim(doc_id: Long, pos: Long, ph: String,
+                            owner_doc: Long, is_dup: Boolean)
+
+  /**
+   * Streaming paragraph-level first-wins dedup — the online half of
+   * [[graft.operators.TextDedup.paragraphDedup]] (CCNet's paragraph
+   * dedup applied at INGEST): each arriving document is sliced into
+   * paragraphs by the SAME narrow projection as batch
+   * ([[graft.operators.TextDedup.paragraphOccurrences]], stateless),
+   * and every distinct paragraph md5 keeps ONE Long of state — the doc
+   * that first claimed it. A document can then be reassembled
+   * downstream from its `is_dup = false` rows, exactly the batch
+   * reconstruction.
+   *
+   * Claim semantics (the [[lshBucketClaimStream]] contract): within a
+   * micro-batch the smallest (doc, pos) occurrence claims; across
+   * micro-batches the STORED claim is never displaced, so every later
+   * arrival — any doc, any position, including the owner doc seeing
+   * its own paragraph again — emits `is_dup = true` and nothing is
+   * retracted. When documents arrive in ascending-id order the kept
+   * set is bit-identical to batch [[graft.operators.TextDedup
+   * .paragraphDedup]] (spec-asserted); out-of-order arrival keeps the
+   * online contract (first claim wins) with batch as the retroactive
+   * ground truth.
+   *
+   * Scale shape: the slicing side is stateless and narrow; state is
+   * ONE Long per DISTINCT paragraph hash, partitioned by hash —
+   * corpus-lifetime by design (RocksDB state store / epoch-scoped
+   * timeouts at 100 TB, the [[urlClaimStream]] note).
+   */
+  def paragraphClaimStream(docStream: DataFrame, idCol: String,
+                           textCol: String,
+                           pWords: Int): Dataset[ParagraphClaim] = {
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    val occ = graft.operators.TextDedup
+      .paragraphOccurrences(docStream, idCol, textCol, pWords)
+      .select(col(idCol).cast("long").as("doc_id"), col("pos"),
+        col("graft_ph"))
+      .as[(Long, Long, String)]
+    occ.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (ph: String, rows: Iterator[(Long, Long, String)],
+         state: GroupState[Long]) =>
+          val rs = rows.toArray.sortBy(r => (r._1, r._2))
+          val fresh = !state.exists
+          val owner = state.getOption.getOrElse(rs.head._1)
+          state.update(owner)
+          rs.iterator.zipWithIndex.map { case ((d, p, _), i) =>
+            ParagraphClaim(d, p, ph, owner, !(fresh && i == 0))
+          }
+      }
+  }
+
   /**
    * Watermarked stream-STREAM inner join: each view event pairs with the
    * click events of the same user arriving within `horizon` AFTER it —

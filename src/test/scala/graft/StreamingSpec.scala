@@ -370,6 +370,61 @@ class StreamingSpec extends SparkSpec {
       (10L, "x.com/p", 10L, false), (5L, "x.com/p", 10L, true)))
   }
 
+  test("paragraph claims match batch paragraphDedup kept-sets (in-order arrival)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d a b"),
+      (2L, "c d e"),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    val dir = tmpDir("pclaim-src")
+    docs.coalesce(1).write.parquet(s"$dir/docs")
+    val q = Streaming.paragraphClaimStream(
+        spark.readStream.schema(docs.schema).parquet(s"$dir/docs"),
+        "doc_id", "text", pWords = 2)
+      .writeStream.format("memory").queryName("pclaims")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.table("pclaims").filter(!col("is_dup"))
+      .groupBy(col("doc_id")).count()
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.operators.TextDedup
+      .paragraphDedup(docs, "doc_id", "text", pWords = 2)
+      .filter(col("n_kept") > 0)
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toMap
+    assert(kept == batch)   // (1 -> 2, 2 -> 1; doc 3 fully dup)
+    assert(batch == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("paragraph claims are first-wins across micro-batches (stored claim holds)") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = tmpDir("pclaim2-src")
+    Seq((10L, "x y")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    Seq((5L, "x y")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/b2")
+    def stamp(sub: String, epochSec: Long): Unit =
+      Files.list(Paths.get(s"$dir/$sub")).forEach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(epochSec * 1000)))
+    stamp("b1", 1000000000L)
+    stamp("b2", 1000000100L)
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = Streaming.paragraphClaimStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*"),
+        "doc_id", "text", pWords = 2)
+      .writeStream.format("memory").queryName("pclaims2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("pclaims2")
+      .select("doc_id", "owner_doc", "is_dup")
+      .as[(Long, Long, Boolean)].collect().toSet
+    // doc 5 arrives after doc 10's claim: flagged despite the smaller id
+    assert(got == Set((10L, 10L, false), (5L, 10L, true)))
+  }
+
   test("stream-stream view-click join matches the batch interval join") {
     val sf = "/root/testdata/sf0.001"
     val events = Sources.events(spark, sf)
