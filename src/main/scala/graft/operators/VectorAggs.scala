@@ -729,16 +729,24 @@ object VectorAggs {
     val cb = pqTrain(resid, idCol, "graft_rv", dims, m, k, iters = 1)
     val codes = pqEncodeWith(resid, idCol, "graft_rv", cb, dims, m)
       .localCheckpoint()
+    // cut to (qid, cluster) BEFORE the per-query window so the probe
+    // exchange carries no vector columns; the query/centroid arrays are
+    // re-attached afterwards via broadcasts (both metadata-scale)
     val probes = LatestSnapshot.topK(
         queries.select(col(qidCol).as("qid"), col(vecCol).as("graft_qv"))
           .crossJoin(broadcast(cents))
-          .withColumn("graft_pc",
+          .select(col("qid"), col("cluster"),
             round(Similarity.cosine(col("graft_qv"), col("centroid_vec")),
-              6)),
+              6).as("graft_pc")),
         Seq("qid"), col("graft_pc").desc, Seq(col("cluster").asc), nprobe)
-    val qres = probes.select(col("qid"), col("cluster"),
-      zip_with(col("graft_qv"), col("centroid_vec"),
-        (a, b) => a.cast(DoubleType) - b).as("graft_qr"))
+      .select(col("qid"), col("cluster"))
+    val qres = probes
+      .join(broadcast(queries.select(col(qidCol).as("qid"),
+        col(vecCol).as("graft_qv"))), Seq("qid"))
+      .join(broadcast(cents), Seq("cluster"))
+      .select(col("qid"), col("cluster"),
+        zip_with(col("graft_qv"), col("centroid_vec"),
+          (a, b) => a.cast(DoubleType) - b).as("graft_qr"))
     val lut = qres
       .select(col("qid"), col("cluster"),
         explode(array((0 until m).map { j =>

@@ -637,6 +637,54 @@ class PlanShapeSpec extends SparkSpec {
       }
   }
 
+  test("paragraph dedup: owner election is a map-side-combinable hash agg, text off its exchange (q218)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the owner election must shuffle (graft_ph, partial-min) rows only —
+    // at 100 TB the paragraph text column IS the corpus, and a window- or
+    // sort-based election would ship it; the only exchange allowed to
+    // carry text is the kept-occurrence side feeding doc reassembly
+    val df = graft.queries.RefineQueries.q218ParagraphDedup(spark, sf)
+    val plan = withExchanges(df)
+    assert(plan.toString.contains("partial_min"),
+      s"owner election lost its map-side combine:\n$plan")
+    val electionExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("graft_ph") &&
+            !e.output.exists(_.name.contains("graft_pt")) => e
+    }
+    assert(electionExchanges.nonEmpty,
+      s"no text-free md5-keyed election exchange found:\n$plan")
+  }
+
+  test("incremental CC: the remap join back over the label table broadcasts (q221)") {
+    // the remap side is bounded by components TOUCHED by the delta —
+    // broadcasting it means label maintenance never shuffles the full
+    // label table on the component key
+    val prior = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("node", "component")
+    val delta = Seq((2L, 3L)).toDF("d1", "d2")
+    val plan = physicalPlan(graft.operators.Graph.incrementalComponents(
+      prior, "node", "component", delta, "d1", "d2"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"remap join must broadcast:\n$plan")
+  }
+
+  test("residual IVFADC: no vector column crosses a shuffle (q222)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    // residual encoding adds a centroid join and per-cell LUTs, but the
+    // PQ contract is unchanged: raw vectors and residual arrays ride
+    // broadcasts and narrow projections only
+    val df = graft.queries.RefineQueries.q222IvfResidualRecall(spark, sf)
+    val exchanges = withExchanges(df).collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected shuffles in the ADC/top-k path")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"vector array crossed a shuffle:\n${e.treeString}")
+    }
+  }
+
   test("boilerplate audit df-filters the heavy side before the join (q208)") {
     import org.apache.spark.sql.execution.FilterExec
     // the df >= minDf cut must run UNDER the attach join (build-side
