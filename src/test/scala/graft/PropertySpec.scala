@@ -223,4 +223,44 @@ class PropertySpec extends SparkSpec {
       assert(fast === naive)
     }
   }
+
+  test("paragraph dedup conserves content: Σ n_kept = distinct paragraphs, n_kept ≤ n_paras") {
+    forAll(Gen.listOfN(8, text)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = TextDedup.paragraphDedup(docs, "doc_id", "text", pWords = 2)
+        .select("doc_id", "n_paras", "n_kept").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.length == texts.length)
+      out.foreach { case (_, np, nk) => assert(nk >= 0 && nk <= np) }
+      // every distinct paragraph survives exactly once, corpus-wide
+      val distinctParas = texts.zipWithIndex.flatMap { case (t, _) =>
+        t.split(" ").grouped(2).map(_.mkString(" "))
+      }.toSet.size
+      assert(out.map(_._3).sum == distinctParas)
+    }
+  }
+
+  private val edges: Gen[List[(Long, Long)]] =
+    Gen.listOfN(12, for {
+      a <- Gen.choose(0L, 9L); b0 <- Gen.choose(0L, 8L)
+    } yield (a, if (b0 >= a) b0 + 1 else b0))  // a != b by construction
+
+  test("incremental CC ≡ full recompute on random graphs and random deltas") {
+    forAll(Gen.zip(edges, edges)) { case (oldE, newE) =>
+      if (oldE.nonEmpty && newE.nonEmpty) {
+        val oldDf = oldE.toDF("d1", "d2")
+        val newDf = newE.toDF("d1", "d2")
+        val prior = graft.operators.Graph
+          .connectedComponents(oldDf, "d1", "d2")
+        val inc = graft.operators.Graph.incrementalComponents(
+            prior, "node", "component", newDf, "d1", "d2")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val full = graft.operators.Graph
+          .connectedComponents(oldDf.union(newDf), "d1", "d2")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(inc === full)
+      }
+    }
+  }
 }
