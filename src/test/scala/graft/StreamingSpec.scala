@@ -515,6 +515,46 @@ class StreamingSpec extends SparkSpec {
     assert(running.get.orderBy("bucket").collect().toSeq == expected)
   }
 
+  test("streaming dedup-graph label maintenance: each batch folds in via incremental CC") {
+    // the online duplicate-cluster registry: the first batch of near-dup
+    // edges is labeled by a full CC run, every later batch folds in via
+    // Graph.incrementalComponents — O(delta) per micro-batch, the full
+    // edge history never rescanned. Final labels must equal one CC run
+    // over everything.
+    import graft.operators.{Graph, TextDedup}
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = TextDedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 16, r = 4, w = 3, threshold = 0.5)
+      .select("d1", "d2").localCheckpoint()
+    assert(pairs.count() > 0, "fixture should produce >=1 near-dup pair")
+    val dir = tmpDir("inccc-stream")
+    pairs.filter(col("d1") % 2 === 0).coalesce(1).write.parquet(s"$dir/a")
+    pairs.filter(col("d1") % 2 =!= 0).coalesce(1).write.parquet(s"$dir/b")
+    val expected = Graph.connectedComponents(pairs, "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var labels: Option[org.apache.spark.sql.DataFrame] = None
+    var batches = 0
+    val q = spark.readStream.schema(pairs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        val b = batch.localCheckpoint()
+        labels = Some(labels
+          .map(l => Graph.incrementalComponents(l, "node", "component",
+            b, "d1", "d2").localCheckpoint())
+          .getOrElse(Graph.connectedComponents(b, "d1", "d2")
+            .localCheckpoint()))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 2, s"expected >=2 micro-batches, got $batches")
+    val got = labels.get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("streaming CMS maintenance merges partials to the batch sketch") {
     // same shape as the histogram test: cmsSketch's fixed (d, width)
     // makes micro-batch sketches addable, so frequency monitoring
