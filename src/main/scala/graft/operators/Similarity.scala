@@ -287,6 +287,63 @@ object Similarity {
   }
 
   /**
+   * Multi-probe LSH top-k (Lv et al., VLDB 2007): instead of buying
+   * recall with MORE hash tables (each one a full copy of the
+   * signature index), probe MORE buckets of the SAME table — the
+   * buckets most likely to hold near misses, i.e. those reached by
+   * flipping the signature bits whose hyperplane margin |q·plane| is
+   * smallest (the planes the query sits closest to, where a true
+   * neighbor most plausibly landed on the other side). This implements
+   * the standard 1-step perturbation set: the base bucket plus
+   * `nProbes` single-bit flips in ascending-margin order (Lv §4.2's
+   * multi-step sequences extend the same machinery).
+   *
+   * Candidates are a SUPERSET of the single-probe bucket's, so recall
+   * at equal index size can only improve (spec-asserted, and the
+   * top-k-membership argument makes per-query exact-hit counts
+   * monotone). The index side is untouched — one signature per vector,
+   * the whole point vs. adding tables.
+   *
+   * Scale shape: margins and probe signatures are one codegen'd
+   * projection over the QUERY side only (array_sort over nPlanes
+   * structs — constant size); the corpus side still stores/shuffles
+   * one long per vector; candidate volume is (1 + nProbes) bucket
+   * joins' worth, tunable. Determinism: margins round to 6 dp with
+   * plane-index tiebreaks; final ranking is the annTopK contract.
+   */
+  def multiProbeTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, k: Int, nPlanes: Int = 12,
+                     dims: Int = 64, nProbes: Int = 3): DataFrame = {
+    require(nProbes >= 1 && nProbes <= nPlanes,
+      s"nProbes=$nProbes must be in [1, nPlanes=$nPlanes]")
+    val withSig = lshSignatures(embeddings, vecCol, nPlanes, dims)
+    val margins = array((0 until nPlanes).map { p =>
+      val coefs = array(hyperplane(p, dims).map(lit): _*)
+      struct(
+        round(abs(VectorFunctions.dotProduct(col(vecCol), coefs)), 6)
+          .as("m"),
+        lit(p).as("p"))
+    }: _*)
+    val probes = withSig.filter(queryPred)
+      .withColumn("graft_flips", slice(array_sort(margins), 1, nProbes))
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        explode(concat(array(col("lsh_sig")),
+          transform(col("graft_flips"), s =>
+            col("lsh_sig").bitwiseXOR(
+              call_function("shiftleft", lit(1L), s("p"))))))
+          .as("probe_sig"))
+    val cands = probes.join(
+        withSig.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+          col("lsh_sig").as("probe_sig")),
+        "probe_sig")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))
+    LatestSnapshot.topK(cands, Seq("q_id"),
+        col("cosine").desc, Seq(col("c_id").asc), k)
+      .select(col("q_id"), col("c_id"), col("cosine"))
+  }
+
+  /**
    * Farthest-point traversal (Gonzalez 1985): greedy k-center seeding —
    * start from the minimum-id point, then repeatedly take the point
    * farthest from everything selected so far. The classic 2-approximate

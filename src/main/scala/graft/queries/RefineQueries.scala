@@ -331,4 +331,110 @@ object RefineQueries {
        |  COALESCE(a.n_occurrences, 0) AS n_occurrences, a.first_doc_id
        |FROM cs LEFT JOIN a USING (canary) ORDER BY cs.canary""".stripMargin
   }
+
+  // ── q224: multi-probe LSH recall audit (Lv 2007) ───────────────────────
+
+  /** q224: multi-probe vs single-probe LSH recall at EQUAL index size —
+    * [[Similarity.multiProbeTopK]] (8 planes, 3 lowest-margin single-bit
+    * probes) against [[Similarity.annTopK]] (same 8-plane table) and the
+    * exact top-5, for the q92 query set. hits_multi ≥ hits_single per
+    * query by the candidate-superset argument (spec-asserted); the gate
+    * hashes the exact-integer hit counts. */
+  def q224MultiProbeRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    val pred = col("vec_id") < 5
+    val queries = emb.filter(pred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val scored = emb
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        round(Similarity.cosine(col("q_vec"), col("c_vec")), 6))
+    val exact = graft.operators.LatestSnapshot.topK(scored, Seq("q_id"),
+        col("cosine").desc, Seq(col("c_id").asc), 5)
+      .select(col("q_id"), col("c_id"))
+    val single = Similarity.annTopK(emb, "vec_id", "embedding", pred,
+        k = 5, nPlanes = 8)
+      .select(col("q_id"), col("c_id"), lit(1L).as("graft_s"))
+    val multi = Similarity.multiProbeTopK(emb, "vec_id", "embedding", pred,
+        k = 5, nPlanes = 8, dims = 64, nProbes = 3)
+      .select(col("q_id"), col("c_id"), lit(1L).as("graft_m"))
+    exact
+      .join(single, Seq("q_id", "c_id"), "left")
+      .join(multi, Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("graft_s")), lit(0L)).as("hits_single"),
+        coalesce(sum(col("graft_m")), lit(0L)).as("hits_multi"))
+      .orderBy(col("q_id"))
+  }
+
+  val q224Sql: String =
+    """WITH proj AS (
+      |  SELECT vec_id, p,
+      |    list_sum(list_transform(range(1, len(embedding) + 1),
+      |      d -> embedding[d]::DOUBLE *
+      |        ((strpos('0123456789abcdef',
+      |            substr(md5(p::VARCHAR || '_' || (d - 1)::VARCHAR), 1, 1)) - 1)
+      |          % 2 * 2 - 1))) AS proj
+      |  FROM embeddings CROSS JOIN range(0, 8) t(p)),
+      |sig AS (SELECT vec_id,
+      |          CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
+      |            AS BIGINT) AS lsh_sig
+      |        FROM proj GROUP BY vec_id),
+      |q AS (SELECT e.vec_id AS q_id, e.embedding AS q_vec, s.lsh_sig
+      |      FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
+      |      WHERE e.vec_id < 5),
+      |c AS (SELECT e.vec_id AS c_id, e.embedding AS c_vec, s.lsh_sig
+      |      FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id),
+      |fl AS (SELECT vec_id, p FROM (
+      |        SELECT vec_id, p, row_number() OVER (PARTITION BY vec_id
+      |          ORDER BY round(abs(proj), 6), p) AS rn
+      |        FROM proj WHERE vec_id < 5) t WHERE rn <= 3),
+      |ps AS (SELECT q_id, q_vec, lsh_sig AS probe_sig, TRUE AS is_base
+      |       FROM q
+      |       UNION ALL
+      |       SELECT q.q_id, q.q_vec, xor(q.lsh_sig, (1::BIGINT << fl.p)),
+      |         FALSE
+      |       FROM q JOIN fl ON fl.vec_id = q.q_id),
+      |cosx AS (SELECT ps.q_id, c.c_id, round(
+      |    list_sum(list_transform(range(1, len(ps.q_vec) + 1),
+      |      i -> ps.q_vec[i]::DOUBLE * c.c_vec[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, len(ps.q_vec) + 1),
+      |       i -> ps.q_vec[i]::DOUBLE * ps.q_vec[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, len(c.c_vec) + 1),
+      |       i -> c.c_vec[i]::DOUBLE * c.c_vec[i]::DOUBLE)))), 6) AS cosine,
+      |    ps.is_base
+      |  FROM ps JOIN c ON c.lsh_sig = ps.probe_sig WHERE ps.q_id <> c.c_id),
+      |sann AS (SELECT q_id, c_id FROM (
+      |    SELECT q_id, c_id, row_number() OVER (
+      |      PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rn
+      |    FROM cosx WHERE is_base) t WHERE rn <= 5),
+      |mann AS (SELECT q_id, c_id FROM (
+      |    SELECT q_id, c_id, row_number() OVER (
+      |      PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rn
+      |    FROM cosx) t WHERE rn <= 5),
+      |ac AS (SELECT q.q_id, e.vec_id AS c_id, round(
+      |    list_sum(list_transform(range(1, len(q.q_vec) + 1),
+      |      i -> q.q_vec[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+      |       i -> q.q_vec[i]::DOUBLE * q.q_vec[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |       i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6)
+      |    AS cosine
+      |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+      |exact AS (SELECT q_id, c_id FROM (
+      |    SELECT q_id, c_id, row_number() OVER (
+      |      PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rn
+      |    FROM ac) t WHERE rn <= 5)
+      |SELECT x.q_id, COUNT(*) AS n_exact,
+      |  CAST(SUM(CASE WHEN s.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hits_single,
+      |  CAST(SUM(CASE WHEN m.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hits_multi
+      |FROM exact x
+      |LEFT JOIN sann s ON x.q_id = s.q_id AND x.c_id = s.c_id
+      |LEFT JOIN mann m ON x.q_id = m.q_id AND x.c_id = m.c_id
+      |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin
 }

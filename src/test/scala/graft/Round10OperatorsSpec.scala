@@ -429,6 +429,21 @@ class Round10OperatorsSpec extends SparkSpec {
       ("xyzzy", 2L, 3L, Some(1L))))
   }
 
+  test("multi-probe LSH never loses recall vs single-probe (candidate superset)") {
+    // exact-top-k membership is monotone in the candidate set, and the
+    // probe set contains the base bucket — so per-query hit counts can
+    // only go up. Run the full q224 audit on the small SF and check
+    // row-wise.
+    val out = graft.queries.RefineQueries
+      .q224MultiProbeRecall(spark, "/root/testdata/sf0.001")
+      .select("q_id", "hits_single", "hits_multi")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (q, s, m) =>
+      assert(m >= s, s"query $q: multi-probe hits $m < single-probe $s")
+    }
+  }
+
   test("incrementalComponents matches a full recompute on the union graph") {
     val oldEdges = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
     val delta = Seq((2L, 3L), (4L, 20L), (21L, 22L)).toDF("d1", "d2")
