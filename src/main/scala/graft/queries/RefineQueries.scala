@@ -437,4 +437,66 @@ object RefineQueries {
       |LEFT JOIN sann s ON x.q_id = s.q_id AND x.c_id = s.c_id
       |LEFT JOIN mann m ON x.q_id = m.q_id AND x.c_id = m.c_id
       |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin
+
+  // ── q225: D4 pipeline — SemDeDup then prototype pruning ────────────────
+
+  /** q225: the full D4 curation pipeline (Tirumala et al. 2023:
+    * "D4: Improving LLM Pretraining via Document De-Duplication and
+    * Diversification") — k-means clustering, SemDeDup drop (q82's
+    * gated stage), then prototypicality pruning of the SURVIVORS with
+    * centroids recomputed over the deduped set (the paper's order:
+    * dedup first so prototypes aren't dragged toward duplicate clumps).
+    * Every vector is labeled `dup` / `pruned` / `kept`; ranks ride
+    * along for the pruned stage. */
+  def q225D4Pipeline(s: SparkSession, dir: String): DataFrame = {
+    val assigned = VectorAggs.kMeans(Sources.embeddings(s, dir),
+      "vec_id", "embedding", k = 4, iters = 2).localCheckpoint()
+    val sd = VectorAggs.semDedup(assigned, "vec_id", "cluster", "embedding",
+      threshold = 0.4).localCheckpoint()
+    val survivors = assigned
+      .join(sd.filter(col("dup_of").isNull).select("vec_id"), Seq("vec_id"))
+    val pruned = VectorAggs.prototypePrune(survivors, "vec_id", "cluster",
+      "embedding", pruneNum = 1, pruneDen = 4)
+    sd.join(pruned.select(col("vec_id"), col("proto_rank"), col("pruned")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dup_of").isNotNull, lit("dup"))
+          .when(col("pruned"), lit("pruned"))
+          .otherwise(lit("kept")).as("stage"),
+        col("proto_rank"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q225Sql: String =
+    s"""WITH ${CurationQueries.kmeansA2Ctes},
+       |dup AS (SELECT x.vec_id, MIN(y.vec_id) AS dup_of
+       |      FROM a2 x JOIN a2 y ON x.cluster = y.cluster
+       |        AND y.vec_id < x.vec_id
+       |        AND ${CurationQueries.cosSql("x.embedding", "y.embedding")}
+       |          >= 0.4
+       |      GROUP BY x.vec_id),
+       |sv AS (SELECT a2.vec_id, a2.cluster, a2.embedding
+       |       FROM a2 LEFT JOIN dup USING (vec_id)
+       |       WHERE dup.dup_of IS NULL),
+       |c2 AS (
+       |  SELECT cluster, d, round(CAST(SUM(CAST(round(embedding[d]::DOUBLE, 6)
+       |      AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS c
+       |  FROM sv CROSS JOIN range(1, 65) t(d) GROUP BY cluster, d),
+       |c2v AS (SELECT cluster, array_agg(c ORDER BY d) AS cv
+       |        FROM c2 GROUP BY cluster),
+       |sc AS (SELECT sv.vec_id, sv.cluster,
+       |         ${CurationQueries.cosSql("sv.embedding", "c2v.cv")} AS pc
+       |       FROM sv JOIN c2v USING (cluster)),
+       |r AS (SELECT vec_id, pc,
+       |        row_number() OVER (PARTITION BY cluster
+       |          ORDER BY pc DESC, vec_id) AS pr,
+       |        COUNT(*) OVER (PARTITION BY cluster) AS nc
+       |      FROM sc)
+       |SELECT a2.vec_id, a2.cluster,
+       |  CASE WHEN dup.dup_of IS NOT NULL THEN 'dup'
+       |       WHEN r.pr * 4 <= r.nc THEN 'pruned'
+       |       ELSE 'kept' END AS stage,
+       |  CAST(r.pr AS BIGINT) AS proto_rank
+       |FROM a2 LEFT JOIN dup USING (vec_id) LEFT JOIN r USING (vec_id)
+       |ORDER BY a2.vec_id""".stripMargin
 }
