@@ -482,7 +482,22 @@ class PlanShapeSpec extends SparkSpec {
       // — sketch state only, metadata scale by construction
       "q206_kmv_intersect",
       // q210: 1-row key-stats totals broadcast onto the k-row top list
-      "q210_skew_audit")
+      "q210_skew_audit",
+      // q219/q225: k-centroid broadcast from the kMeans chain (the
+      // q61/q82 shape; q225 composes q82's dedup with the prune)
+      "q219_prototype_prune", "q225_d4_pipeline",
+      // q220: bounded query-set broadcast building the per-query
+      // candidate pool in ONE corpus pass (the q92/q116/q131 shape)
+      "q220_mmr_rerank",
+      // q222: coarseK-row centroid broadcast + the exact grading scan
+      // (same as q217); candidates stay a cluster-keyed equi-join
+      "q222_ivf_residual",
+      // q223: |canaries|-row broadcast with a codegen'd contains filter
+      // — the deliberate scan-side probe, nothing corpus-quadratic
+      "q223_canary_scan",
+      // q224: bounded query-set broadcast for the exact-recall baseline
+      // (the q92 shape); both probe paths are signature equi-joins
+      "q224_multiprobe_lsh")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
