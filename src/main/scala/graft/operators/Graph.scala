@@ -548,26 +548,31 @@ object Graph {
                             dstCol: String): DataFrame = {
     val labels = prior.select(col(nodeCol).as("graft_n"),
       col(compCol).as("graft_c"))
-    def endpoint(c: String): DataFrame =
-      newEdges.select(col(c).as("graft_n")).distinct()
-        .join(labels, Seq("graft_n"), "left")
-        .select(col("graft_n").as(c),
-          coalesce(col("graft_c"), col("graft_n")).as(s"graft_l_$c"))
+    // ONE delta-endpoint lookup against the label table (prior is big;
+    // scanning it once here + once in the final remap is the whole
+    // prior-side cost); `lk` is delta-sized and feeds both edge
+    // endpoints and the new-node rows — callers batching large deltas
+    // may localCheckpoint `newEdges` first (it is consumed three times)
+    val lk = newEdges.select(col(srcCol).as("graft_n"))
+      .union(newEdges.select(col(dstCol).as("graft_n"))).distinct()
+      .join(labels, Seq("graft_n"), "left")
+      .select(col("graft_n"), col("graft_c").isNull.as("graft_is_new"),
+        coalesce(col("graft_c"), col("graft_n")).as("graft_l"))
     val contracted = newEdges
-      .join(endpoint(srcCol), srcCol)
-      .join(endpoint(dstCol), dstCol)
-      .filter(col(s"graft_l_$srcCol") =!= col(s"graft_l_$dstCol"))
-      .select(col(s"graft_l_$srcCol").as("graft_ca"),
-        col(s"graft_l_$dstCol").as("graft_cb"))
+      .join(lk.select(col("graft_n").as(srcCol),
+        col("graft_l").as("graft_la")), srcCol)
+      .join(lk.select(col("graft_n").as(dstCol),
+        col("graft_l").as("graft_lb")), dstCol)
+      .filter(col("graft_la") =!= col("graft_lb"))
+      .select(col("graft_la").as("graft_ca"),
+        col("graft_lb").as("graft_cb"))
       .distinct()
     val remap = connectedComponents(contracted, "graft_ca", "graft_cb")
       .select(col("node").as("graft_c"), col("component").as("graft_c2"))
       // identity rows carry no information; dropping them keeps the
       // broadcast side at merged-components size
       .filter(col("graft_c") =!= col("graft_c2"))
-    val newNodes = newEdges.select(col(srcCol).as("graft_n"))
-      .union(newEdges.select(col(dstCol).as("graft_n"))).distinct()
-      .join(labels, Seq("graft_n"), "left_anti")
+    val newNodes = lk.filter(col("graft_is_new"))
       .select(col("graft_n"), col("graft_n").as("graft_c"))
     labels.unionByName(newNodes)
       .join(broadcast(remap), Seq("graft_c"), "left")
