@@ -499,4 +499,61 @@ object RefineQueries {
        |  CAST(r.pr AS BIGINT) AS proto_rank
        |FROM a2 LEFT JOIN dup USING (vec_id) LEFT JOIN r USING (vec_id)
        |ORDER BY a2.vec_id""".stripMargin
+
+  // ── q226: dedup-yield accounting per source ────────────────────────────
+
+  /** q226: what paragraph dedup buys, per source — token counts before
+    * and after [[TextDedup.paragraphDedup]] (q218's stage) grouped by
+    * source, with the removed-token ppm. The per-source removal rate is
+    * the mixture-planning input: a source whose tokens are mostly
+    * already-seen content contributes far less unique signal than its
+    * raw size suggests (RefinedWeb/FineWeb report exactly this table).
+    * All gated columns exact integers. */
+  def q226DedupYield(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val deduped = TextDedup.paragraphDedup(docs, "doc_id", "text",
+      pWords = 12)
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("graft_t0"))
+      .join(deduped.select(col("doc_id"),
+        when(col("cleaned_text") === "", lit(0L))
+          .otherwise(size(split(col("cleaned_text"), " ")).cast("long"))
+          .as("graft_t1")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("graft_t0")).as("tokens_before"),
+        sum(col("graft_t1")).as("tokens_after"))
+      .withColumn("removed_ppm",
+        expr("(1000000 * (tokens_before - tokens_after)) div tokens_before"))
+      .orderBy(col("source"))
+  }
+
+  val q226Sql: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+      |      FROM documents),
+      |p AS (SELECT doc_id, unnest(range(0, (len(w) + 11) // 12)) AS pos, w
+      |      FROM w),
+      |p2 AS (SELECT doc_id, pos,
+      |         array_to_string(list_slice(w, CAST(pos * 12 + 1 AS INT),
+      |           CAST(pos * 12 + 12 AS INT)), ' ') AS pt
+      |       FROM p),
+      |o1 AS (SELECT md5(pt) AS ph, MIN(doc_id) AS fd FROM p2 GROUP BY 1),
+      |o2 AS (SELECT o1.ph, o1.fd, MIN(p2.pos) AS fp
+      |       FROM p2 JOIN o1 ON md5(p2.pt) = o1.ph AND p2.doc_id = o1.fd
+      |       GROUP BY o1.ph, o1.fd),
+      |k AS (SELECT p2.doc_id, p2.pt
+      |      FROM p2 JOIN o2 ON md5(p2.pt) = o2.ph
+      |        AND p2.doc_id = o2.fd AND p2.pos = o2.fp),
+      |t1 AS (SELECT doc_id,
+      |         CAST(SUM(len(string_split(pt, ' '))) AS BIGINT) AS t1
+      |       FROM k GROUP BY doc_id),
+      |d AS (SELECT w.doc_id, w.source,
+      |        CAST(len(w.w) AS BIGINT) AS t0, COALESCE(t1.t1, 0) AS t1
+      |      FROM w LEFT JOIN t1 USING (doc_id))
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(t0) AS BIGINT) AS tokens_before,
+      |  CAST(SUM(t1) AS BIGINT) AS tokens_after,
+      |  CAST((1000000::HUGEINT * (SUM(t0) - SUM(t1))::HUGEINT)
+      |    // SUM(t0)::HUGEINT AS BIGINT) AS removed_ppm
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
 }
