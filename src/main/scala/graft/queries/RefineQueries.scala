@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Graph, Similarity, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{DomainDedup, Graph, Similarity, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /**
@@ -556,4 +556,115 @@ object RefineQueries {
       |  CAST((1000000::HUGEINT * (SUM(t0) - SUM(t1))::HUGEINT)
       |    // SUM(t0)::HUGEINT AS BIGINT) AS removed_ppm
       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  // ── q227: end-to-end web-curation funnel (FineWeb shape) ───────────────
+
+  /** q227: the FineWeb/RefinedWeb curation sequence end-to-end (Penedo
+    * 2023/2024): URL dedup (q211's stage) → language filter (q24's
+    * langID, keep `en`) → Gopher rule battery (q199, keep only passing
+    * docs) → corpus-wide paragraph dedup (q218) — reported as ONE
+    * funnel row of exact-integer stage counts plus the token yield of
+    * the final dedup. Every stage is the already-gated operator applied
+    * to the previous stage's survivors; the oracle recomputes the whole
+    * chain independently. Synthetic URLs use q211's arithmetic device
+    * so the oracle derives URL-dedup survivors from doc_id math. */
+  def q227CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+      .withColumn("url", concat(
+        lit("https://"),
+        when(col("doc_id") % 7 === 0, lit("www.")).otherwise(lit("")),
+        lit("d"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        lit("/p/"), (col("doc_id") % 100).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit("?utm="), (col("doc_id") % 5).cast("string")))
+          .otherwise(lit(""))))
+      .localCheckpoint()
+    val s1 = DomainDedup.dedupByUrl(docs, "doc_id", "url").localCheckpoint()
+    val s2 = s1.join(
+      TextAnalysis.languageId(s1, "doc_id", "text")
+        .filter(col("predicted_lang") === "en").select("doc_id"),
+      Seq("doc_id")).localCheckpoint()
+    val s3 = s2.join(
+      TextAnalysis.gopherRuleAudit(s2, "doc_id", "text")
+        .filter(col("keep")).select("doc_id"),
+      Seq("doc_id")).localCheckpoint()
+    val pd = TextDedup.paragraphDedup(s3, "doc_id", "text", pWords = 12)
+    docs.agg(count(lit(1)).as("n_input"))
+      .crossJoin(s1.agg(count(lit(1)).as("n_after_url")))
+      .crossJoin(s2.agg(count(lit(1)).as("n_after_lang")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_after_quality")))
+      .crossJoin(s3.agg(sum(size(split(col("text"), " ")).cast("long"))
+        .as("tokens_before")))
+      .crossJoin(pd.agg(sum(
+        when(col("cleaned_text") === "", lit(0L))
+          .otherwise(size(split(col("cleaned_text"), " ")).cast("long")))
+        .as("tokens_after")))
+  }
+
+  val q227Sql: String =
+    """WITH u AS (SELECT doc_id,
+      |    'd' || CAST(doc_id % 50 AS VARCHAR) ||
+      |      CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END
+      |      AS domain,
+      |    CAST(doc_id % 100 AS VARCHAR) AS path
+      |  FROM documents),
+      |s1 AS (SELECT domain, path, MIN(doc_id) AS doc_id
+      |       FROM u GROUP BY domain, path),
+      |d1 AS (SELECT d.doc_id, d.text FROM documents d
+      |       JOIN s1 ON s1.doc_id = d.doc_id),
+      |lw AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+      |       FROM d1),
+      |lh AS (SELECT doc_id,
+      |  len(list_intersect(ws, ['the','and','of','to','in'])) AS en,
+      |  len(list_intersect(ws, ['el','la','de','que','los'])) AS es,
+      |  len(list_intersect(ws, ['le','la','et','les','des'])) AS fr,
+      |  len(list_intersect(ws, ['der','die','und','das','ist'])) AS de
+      |FROM lw),
+      |d2 AS (SELECT d1.doc_id, d1.text FROM d1 JOIN lh USING (doc_id)
+      |       WHERE greatest(en, es, fr, de) > 0
+      |         AND en >= es AND en >= fr AND en >= de),
+      |gws AS (SELECT doc_id, string_split(text, ' ') AS w FROM d2),
+      |gbase AS (SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+      |      / len(w), 6) AS mean_word_len,
+      |    CAST(len(list_filter(['the', 'and', 'of', 'a', 'to', 'in'],
+      |      s -> list_contains(w, s))) AS BIGINT) AS n_stopwords,
+      |    round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr
+      |  FROM gws),
+      |gtc AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+      |    SELECT doc_id, x, COUNT(*) AS cnt
+      |    FROM (SELECT doc_id, unnest(w) AS x FROM gws) GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |d3 AS (SELECT d2.doc_id, d2.text
+      |       FROM d2 JOIN gbase USING (doc_id) JOIN gtc USING (doc_id)
+      |       WHERE gbase.n_words BETWEEN 30 AND 5000
+      |         AND gbase.mean_word_len BETWEEN 3.5 AND 10.0
+      |         AND gbase.n_stopwords >= 2 AND gbase.ttr >= 0.5
+      |         AND round(CAST(gtc.top_cnt AS DOUBLE) / gbase.n_words, 6)
+      |           <= 0.1),
+      |pw AS (SELECT doc_id, string_split(text, ' ') AS w FROM d3),
+      |p AS (SELECT doc_id, unnest(range(0, (len(w) + 11) // 12)) AS pos, w
+      |      FROM pw),
+      |p2 AS (SELECT doc_id, pos,
+      |         array_to_string(list_slice(w, CAST(pos * 12 + 1 AS INT),
+      |           CAST(pos * 12 + 12 AS INT)), ' ') AS pt
+      |       FROM p),
+      |o1 AS (SELECT md5(pt) AS ph, MIN(doc_id) AS fd FROM p2 GROUP BY 1),
+      |o2 AS (SELECT o1.ph, o1.fd, MIN(p2.pos) AS fp
+      |       FROM p2 JOIN o1 ON md5(p2.pt) = o1.ph AND p2.doc_id = o1.fd
+      |       GROUP BY o1.ph, o1.fd),
+      |k AS (SELECT p2.doc_id, p2.pt
+      |      FROM p2 JOIN o2 ON md5(p2.pt) = o2.ph
+      |        AND p2.doc_id = o2.fd AND p2.pos = o2.fp)
+      |SELECT
+      |  (SELECT COUNT(*) FROM documents) AS n_input,
+      |  (SELECT COUNT(*) FROM s1) AS n_after_url,
+      |  (SELECT COUNT(*) FROM d2) AS n_after_lang,
+      |  (SELECT COUNT(*) FROM d3) AS n_after_quality,
+      |  (SELECT CAST(SUM(len(w)) AS BIGINT) FROM pw) AS tokens_before,
+      |  (SELECT CAST(COALESCE(SUM(len(string_split(pt, ' '))), 0)
+      |     AS BIGINT) FROM k) AS tokens_after""".stripMargin
 }

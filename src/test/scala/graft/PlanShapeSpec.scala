@@ -497,7 +497,10 @@ class PlanShapeSpec extends SparkSpec {
       "q223_canary_scan",
       // q224: bounded query-set broadcast for the exact-recall baseline
       // (the q92 shape); both probe paths are signature equi-joins
-      "q224_multiprobe_lsh")
+      "q224_multiprobe_lsh",
+      // q227: the funnel report row is six 1-row stage aggregates
+      // crossJoined together — metadata scale by construction
+      "q227_curation_funnel")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
