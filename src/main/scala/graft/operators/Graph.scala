@@ -553,11 +553,16 @@ object Graph {
     // prior-side cost); `lk` is delta-sized and feeds both edge
     // endpoints and the new-node rows — callers batching large deltas
     // may localCheckpoint `newEdges` first (it is consumed three times)
+    // delta-sized; materialized once because it feeds THREE consumers
+    // (both contracted-edge endpoints + the new-node rows) — the q153
+    // lineage-cut rule, and it caps the prior-side cost at one lookup
+    // scan + the final remap scan
     val lk = newEdges.select(col(srcCol).as("graft_n"))
       .union(newEdges.select(col(dstCol).as("graft_n"))).distinct()
       .join(labels, Seq("graft_n"), "left")
       .select(col("graft_n"), col("graft_c").isNull.as("graft_is_new"),
         coalesce(col("graft_c"), col("graft_n")).as("graft_l"))
+      .localCheckpoint()
     val contracted = newEdges
       .join(lk.select(col("graft_n").as(srcCol),
         col("graft_l").as("graft_la")), srcCol)

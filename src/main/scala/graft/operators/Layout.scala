@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.{Column, DataFrame}
@@ -204,6 +205,52 @@ object Layout {
     * greatest over n (hash·n + shard) int64 encodes, decoded with pmod —
     * no fan-out, no window, pure codegen. 48-bit hash · n ≤ 2^56 keeps
     * the encode exact. */
+  /**
+   * Small-file compaction planning — the Delta/Iceberg OPTIMIZE
+   * bin-packing decision as a deterministic, distributed plan: files
+   * under `targetBytes` are packed into rewrite groups of ~target
+   * total size (ordered by (bytes, path), exclusive prefix sum,
+   * group = ⌊cum/target⌋ — the q77 concat-and-chunk rule applied to
+   * file metadata), files at/above target are left alone
+   * (`compacted = false`, NULL group). Compaction is THE lakehouse
+   * maintenance op at 100 TB: a million-file table read-amplifies
+   * every scan until someone plans exactly this rewrite.
+   *
+   * Scale shape: the input is the FILE LISTING (metadata — one row per
+   * file, not per record); the prefix sum still uses the range-shuffled
+   * GlobalRank construction (repartitionByRange + per-partition window
+   * + broadcast offsets) rather than a single-partition window, because
+   * at 10⁸ files metadata itself is data. Exact integer arithmetic
+   * throughout.
+   */
+  def compactionPlan(files: DataFrame, pathCol: String, sizeCol: String,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes=$targetBytes must be positive")
+    val bytes = col(sizeCol).cast("long")
+    val small = files.filter(bytes < targetBytes)
+    val large = files.filter(bytes >= targetBytes)
+    val orderCols = Seq(bytes.asc, col(pathCol).asc)
+    val parted = small.repartitionByRange(orderCols: _*)
+      .withColumn("graft_pid", spark_partition_id())
+    val w = Window.partitionBy(col("graft_pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("graft_lpre",
+      coalesce(sum(bytes).over(w), lit(0L)))
+    val counts = local.groupBy(col("graft_pid"))
+      .agg(max(col("graft_lpre") + bytes).as("graft_n"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.graft_pid") < col("a.graft_pid"), "left")
+      .groupBy(col("a.graft_pid").as("graft_pid"))
+      .agg(coalesce(sum(col("b.graft_n")), lit(0L)).as("graft_off"))
+    local.join(broadcast(offsets), "graft_pid")
+      .select(col(pathCol), bytes.as("bytes"), lit(true).as("compacted"),
+        call_function("div", col("graft_lpre") + col("graft_off"),
+          lit(targetBytes)).as("group_id"))
+      .unionByName(large.select(col(pathCol), bytes.as("bytes"),
+        lit(false).as("compacted"),
+        lit(null).cast("long").as("group_id")))
+  }
+
   def shardOf(key: Column, nShards: Int): Column = {
     require(nShards >= 1 && nShards <= 256,
       s"nShards must be in [1, 256]: $nShards")

@@ -667,4 +667,34 @@ object RefineQueries {
       |  (SELECT CAST(SUM(len(w)) AS BIGINT) FROM pw) AS tokens_before,
       |  (SELECT CAST(COALESCE(SUM(len(string_split(pt, ' '))), 0)
       |     AS BIGINT) FROM k) AS tokens_after""".stripMargin
+
+  // ── q228: small-file compaction plan (OPTIMIZE bin-packing) ────────────
+
+  /** q228: the lakehouse OPTIMIZE decision ([[Layout.compactionPlan]],
+    * target 500 bytes) over a synthetic file listing (one "file" per
+    * document, `n_chars` as its size): files under target are packed
+    * into ⌊cum/target⌋ rewrite groups in (bytes, path) order via the
+    * range-shuffled prefix sum, larger files left alone. Per-file
+    * assignment gated exact. */
+  def q228CompactionPlan(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.compactionPlan(
+        Sources.documents(s, dir).select(
+          concat(lit("f"), col("doc_id").cast("string")).as("path"),
+          col("n_chars")),
+        "path", "n_chars", targetBytes = 500L)
+      .orderBy(col("path"))
+
+  val q228Sql: String =
+    """WITH f AS (SELECT 'f' || CAST(doc_id AS VARCHAR) AS path,
+      |        CAST(n_chars AS BIGINT) AS bytes FROM documents),
+      |s AS (SELECT path, bytes,
+      |        COALESCE(SUM(bytes) OVER (ORDER BY bytes, path
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      |      FROM f WHERE bytes < 500)
+      |SELECT path, bytes, TRUE AS compacted,
+      |  CAST(c // 500 AS BIGINT) AS group_id
+      |FROM s
+      |UNION ALL
+      |SELECT path, bytes, FALSE, NULL FROM f WHERE bytes >= 500
+      |ORDER BY path""".stripMargin
 }

@@ -386,6 +386,44 @@ class Round10OperatorsSpec extends SparkSpec {
     assert(out == Seq((0L, 1L), (1L, 3L), (2L, 2L)))
   }
 
+  // ── compactionPlan ──────────────────────────────────────────────────────
+
+  test("compactionPlan packs small files into ~target groups, leaves large alone") {
+    val files = Seq(
+      ("a", 100L), ("b", 200L), ("c", 150L), ("d", 900L), ("e", 450L)
+    ).toDF("path", "bytes")
+    // small (< 300): a(100) c(150) b(200) in (bytes, path) order;
+    // exclusive cumsums 0/100/250 → all group 0; d(900), e(450) large
+    val out = graft.operators.Layout
+      .compactionPlan(files, "path", "bytes", targetBytes = 300L)
+      .orderBy("path")
+      .as[(String, Long, Boolean, Option[Long])].collect().toSeq
+    assert(out == Seq(
+      ("a", 100L, true, Some(0L)),
+      ("b", 200L, true, Some(0L)),
+      ("c", 150L, true, Some(0L)),
+      ("d", 900L, false, None),
+      ("e", 450L, false, None)))
+  }
+
+  test("compactionPlan groups never split a file and cover every small file once") {
+    val files = (1L to 200L).map(i => (s"f$i", 50L + i % 97))
+      .toDF("path", "bytes")
+    val out = graft.operators.Layout
+      .compactionPlan(files, "path", "bytes", targetBytes = 1000L)
+    assert(out.count() == 200L)
+    val sizes = out.filter(col("compacted"))
+      .groupBy("group_id").agg(sum(col("bytes")).as("gb"))
+      .as[(Long, Long)].collect().toMap
+    // every group except possibly the last reaches target before closing;
+    // no group exceeds target + max file size
+    val maxGroup = sizes.keys.max
+    sizes.foreach { case (g, b) =>
+      assert(b <= 1000L + 146L, s"group $g overflowed: $b")
+      if (g < maxGroup) assert(b >= 1000L - 146L, s"group $g underfull: $b")
+    }
+  }
+
   // ── incrementalComponents ───────────────────────────────────────────────
 
   test("incrementalComponents folds a delta into prior labels: merges, new nodes, untouched comps") {
