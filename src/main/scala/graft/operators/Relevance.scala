@@ -612,4 +612,46 @@ object Relevance {
           round(col("graft_dcg").cast(DoubleType) /
             col("graft_idcg").cast(DoubleType), 6)).as("ndcg"))
   }
+
+  /**
+   * BM25 hard-negative mining (the DPR recipe, Karpukhin et al. EMNLP
+   * 2020 §4.2: the strongest training negatives for a dense retriever
+   * are the top BM25 hits that are NOT labeled relevant). One
+   * [[bm25RetrieveAll]] pass retrieves a `poolK`-deep candidate pool per
+   * query, the gold (query, doc) pairs are anti-joined away, and the
+   * surviving non-relevant hits are re-ranked 1..n per query — the
+   * (query, hard-negative, rank) table a contrastive training job
+   * consumes directly.
+   *
+   * `poolK` must exceed `n` by at least the per-query gold count or
+   * queries whose gold docs dominate the pool come up short — callers
+   * size poolK = n + max gold per query.
+   *
+   * Scale shape: inherits bm25RetrieveAll's one-pass posture (query
+   * terms broadcast twice, WindowGroupLimit top-k — never a global
+   * sort); `gold` is labeled-pair metadata (human annotations — always
+   * tiny next to the corpus) so the anti-join is BROADCAST, and the
+   * re-rank window runs on ≤ poolK rows per query. Scores are sums of
+   * pre-rounded DECIMAL contributions (the bm25TopK portability
+   * contract), so ranks and scores are engine-exact.
+   */
+  def hardNegatives(docs: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, queryIdCol: String,
+                    gold: DataFrame, n: Int, poolK: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(n >= 1, s"n=$n out of range")
+    require(poolK >= n, s"poolK=$poolK must be >= n=$n")
+    val pool = bm25RetrieveAll(docs, idCol, textCol, queries, queryIdCol,
+      k = poolK, k1 = k1, b = b)
+    val negatives = pool.join(
+      broadcast(gold.select(col(queryIdCol), col(idCol))),
+      Seq(queryIdCol, idCol), "left_anti")
+    LatestSnapshot.topK(negatives, Seq(queryIdCol), col("bm25").desc,
+        Seq(col(idCol).asc), n)
+      .withColumn("neg_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(queryIdCol))
+          .orderBy(col("bm25").desc, col(idCol).asc)))
+      .select(col(queryIdCol), col(idCol), col("bm25"), col("n_terms"),
+        col("neg_rank").cast(LongType).as("neg_rank"))
+  }
 }

@@ -254,4 +254,108 @@ object Sketches {
     }.reduce(_ && _)
     fact.filter(test)
   }
+
+  // ── HyperLogLog registers ────────────────────────────────────────────
+
+  /**
+   * HyperLogLog register table (Flajolet, Fusy, Gandouet & Meunier,
+   * AofA 2007): bucket j = the top `p` bits of the 32-bit md5-derived
+   * hash, register M_j = max over the bucket's keys of ρ(rest) — the
+   * 1-based position of the leftmost set bit in the remaining
+   * w = 32−p bits (all-zero rest ⇒ w+1). Unlike q33's opaque
+   * `approx_count_distinct` (engine-specific HLL++ whose registers
+   * can't be inspected or oracle-checked), the registers HERE are a
+   * plain DataFrame of exact integers — a pure function of md5 — so
+   * the sketch state itself, its merge, and its estimate are all
+   * engine-portable and gate-checkable.
+   *
+   * ρ needs floor(log₂) of an integer, which is NOT computed with libm:
+   * ρ = w + 1 − length(bin(rest)) — `bin` is the minimal binary string
+   * (Long.toBinaryString; DuckDB's bin agrees for non-negatives), so
+   * the whole register pipeline is integer/string ops only.
+   *
+   * Scale shape: one narrow codegen'd projection (hash, shift, mask,
+   * bin-length) then ONE hash-agg keyed by (stratum, bucket) — map-side
+   * combinable (max is a semigroup), state ≤ 2^p rows per stratum
+   * regardless of corpus size. Duplicate keys need no pre-distinct:
+   * max makes registers insertion-idempotent, which is exactly why HLL
+   * merges across shards/days for free where exact count-distinct
+   * re-shuffles everything.
+   */
+  def hllRegisters(df: DataFrame, keyCol: String, strataCol: String,
+                   p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 12, s"p=$p out of range [4, 12]")
+    val w = 32 - p
+    val h = hash32(col(keyCol))
+    val rest = h.bitwiseAND(lit((1L << w) - 1))
+    val rho = when(rest === 0, lit(w + 1))
+      .otherwise(lit(w + 1) - length(bin(rest)))
+    df.select(col(strataCol), shiftright(h, w).as("bucket"),
+        rho.cast(LongType).as("r"))
+      .groupBy(col(strataCol), col("bucket"))
+      .agg(max(col("r")).as("r"))
+  }
+
+  /** Merge same-p register tables: per-(stratum, bucket) max —
+    * associative, commutative, idempotent, so per-source / per-day /
+    * per-shard partials combine in any order and any grouping. */
+  def hllMerge(parts: Seq[DataFrame], strataCol: String): DataFrame = {
+    require(parts.nonEmpty, "hllMerge: no sketches")
+    parts.reduce(_ unionByName _)
+      .groupBy(col(strataCol), col("bucket"))
+      .agg(max(col("r")).as("r"))
+  }
+
+  /**
+   * Estimate from a register table, integer-first: the raw HLL
+   * estimator E = α_m·m² / Σ_j 2^(−M_j) is rewritten over the common
+   * denominator 2^R (R = w+1, the max register value), making the
+   * harmonic sum the exact integer
+   * `harm_num` = Σ_set 2^(R−M_j) + (m − n_set)·2^R (absent buckets have
+   * M_j = 0). For m ≥ 128, α_m = 0.7213/(1 + 1.079/m) =
+   * 7213·m/(10000·m + 10790) is an exact rational, so
+   * `est_floor` = ⌊7213·m³·2^R / ((10000·m + 10790)·harm_num)⌋ is
+   * computed wholly in DECIMAL(38,0) integral division — zero libm,
+   * bit-identical on any engine (the q200 lesson applied to a sketch).
+   * `est_raw` (one double division) and `est_corrected` (Flajolet's
+   * linear-counting small-range correction, m·ln(m/V) when E ≤ 5m/2 and
+   * empty buckets remain — ln is libm) ride along as API-only columns
+   * that must stay OFF any cross-engine hash.
+   *
+   * Scale shape: one hash-agg over ≤ 2^p rows per stratum — metadata.
+   */
+  def hllEstimate(sketch: DataFrame, strataCol: String,
+                  p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 12,
+      s"p=$p: the rational alpha form needs m >= 128 (p >= 7)")
+    val w = 32 - p
+    val m = 1L << p
+    val rBits = w + 1
+    val estNum = BigInt(7213) * BigInt(m).pow(3) * BigInt(2).pow(rBits)
+    val alphaDen = 10000L * m + 10790L
+    val mDouble = m.toDouble
+    sketch.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_buckets_set"),
+        sum(col("r")).cast(LongType).as("sum_rho"),
+        sum(expr(s"shiftleft(1L, cast($rBits - r as int))"))
+          .cast(LongType).as("graft_hp"))
+      .withColumn("harm_num", col("graft_hp") +
+        (lit(m) - col("n_buckets_set")) * lit(1L << rBits))
+      .withColumn("est_floor",
+        expr(s"cast('$estNum' as decimal(38,0)) div " +
+          s"(cast($alphaDen as decimal(38,0)) * " +
+          "cast(harm_num as decimal(38,0)))").cast(LongType))
+      .withColumn("est_raw",
+        round(lit(estNum.toDouble) /
+          (lit(alphaDen.toDouble) * col("harm_num").cast(DoubleType)), 6))
+      .withColumn("est_corrected",
+        when(col("est_raw") <= lit(2.5 * mDouble) &&
+            col("n_buckets_set") < m,
+          round(lit(mDouble) * org.apache.spark.sql.functions.log(lit(mDouble) /
+            (lit(m) - col("n_buckets_set")).cast(DoubleType)), 6))
+          .otherwise(col("est_raw")))
+      .select(col(strataCol), col("n_buckets_set"), col("sum_rho"),
+        col("harm_num"), col("est_floor"), col("est_raw"),
+        col("est_corrected"))
+  }
 }

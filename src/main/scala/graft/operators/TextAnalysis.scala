@@ -617,4 +617,171 @@ object TextAnalysis {
         coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"),
         col("first_doc_id"))
   }
+
+  /**
+   * WITHIN-document repetition profile — the Gopher repetition battery
+   * (Rae et al. 2021, Table A1) the cross-document audits (q198's
+   * verbatim-run coverage, q208's corpus boilerplate) don't cover: a
+   * document that repeats ITSELF (scraper loops, chart-data dumps,
+   * keyword stuffing) is low-quality even when nothing else in the
+   * corpus shares its text. Per document:
+   *
+   *   - `n_words`, `n_paras` — exact sizes (paragraphs = `pWords`-word
+   *     slices, the q218 convention for newline-free corpora);
+   *   - `dup_para_ppm` — ⌊10⁶ · (occurrences of repeated paragraphs) /
+   *     n_paras⌋ (Gopher's duplicate-line fraction);
+   *   - `dup_para_char_ppm` — same, weighted by paragraph characters
+   *     over total slice characters (duplicate-line-CHARACTER fraction);
+   *   - `top2_share_ppm` / `top3_share_ppm` — ⌊10⁶ · n·(top n-gram
+   *     count) / n_words⌋ (most-frequent-n-gram share);
+   *   - `dup5_cover_ppm` — ⌊10⁶ · (words covered by ≥ 1 occurrence of a
+   *     REPEATED 5-gram) / n_words⌋, coverage = interval UNION over the
+   *     repeated grams' [pos, pos+4] spans (the q198 sweep, here
+   *     per-doc), so overlapping repeats never double-count.
+   *
+   * Every output is an exact integer (ppm via DECIMAL integral
+   * division) — fully gate-hashable, nothing libm.
+   *
+   * Scale shape: all aggs are keyed by (doc, gram/para) then doc —
+   * map-side combinable, state bounded by per-doc content, nothing
+   * corpus-global. The coverage windows partition by doc and run over
+   * repeated-gram POSITIONS only (a doc's repeated grams, not the
+   * corpus). One doc never funnels through one task beyond its own
+   * rows, exactly like the rest of the per-doc battery.
+   */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String,
+                        pWords: Int = 12, dupGramN: Int = 5): DataFrame = {
+    require(pWords >= 2, s"pWords=$pWords out of range")
+    require(dupGramN >= 2, s"dupGramN=$dupGramN out of range")
+    val ws = split(col(textCol), " ")
+    val base = docs.select(col(idCol), ws.as("graft_ws"))
+      .select(col(idCol), col("graft_ws"),
+        size(col("graft_ws")).cast(LongType).as("n_words"))
+      .localCheckpoint()
+
+    // duplicate-paragraph stats: slice into pWords-word paragraphs,
+    // count per (doc, text); repeated slices contribute all their
+    // occurrences and characters
+    val paras = base.select(col(idCol), col("n_words"),
+        explode(transform(
+          sequence(lit(0), ceil(size(col("graft_ws")).cast(DoubleType) /
+            pWords).cast(IntegerType) - 1),
+          i => concat_ws(" ", slice(col("graft_ws"), i * pWords + 1, lit(pWords)))))
+          .as("graft_pt"))
+    val paraStats = paras
+      .groupBy(col(idCol), col("graft_pt"))
+      .agg(count(lit(1)).as("graft_c"),
+        (count(lit(1)) * length(col("graft_pt")).cast(LongType))
+          .as("graft_chars"))
+      .groupBy(col(idCol))
+      .agg(sum(col("graft_c")).as("n_paras"),
+        sum(when(col("graft_c") >= 2, col("graft_c")).otherwise(0L))
+          .as("graft_dup_p"),
+        sum(col("graft_chars")).as("graft_all_ch"),
+        sum(when(col("graft_c") >= 2, col("graft_chars")).otherwise(0L))
+          .as("graft_dup_ch"))
+
+    // most-frequent n-gram share for n = 2, 3
+    def topShare(n: Int): DataFrame =
+      base.select(col(idCol),
+          explode(when(size(col("graft_ws")) >= n,
+            transform(sequence(lit(1), size(col("graft_ws")) - (n - 1)),
+              i => concat_ws(" ", slice(col("graft_ws"), i, lit(n)))))
+            .otherwise(array().cast("array<string>"))).as("graft_g"))
+        .groupBy(col(idCol), col("graft_g"))
+        .agg(count(lit(1)).as("graft_c"))
+        .groupBy(col(idCol))
+        .agg((max(col("graft_c")) * n).cast(LongType).as(s"graft_top$n"))
+
+    // repeated dupGramN-gram word coverage: positional grams, keep
+    // positions of grams occurring >= 2 times in the doc, sweep the
+    // interval union [pos, pos + n - 1]
+    val posGrams = base.select(col(idCol),
+        explode(when(size(col("graft_ws")) >= dupGramN,
+          transform(sequence(lit(1), size(col("graft_ws")) - (dupGramN - 1)),
+            i => struct(i.cast(LongType).as("p"),
+              concat_ws(" ", slice(col("graft_ws"), i, lit(dupGramN))).as("g"))))
+          .otherwise(array().cast("array<struct<p:bigint,g:string>>")))
+          .as("graft_pg"))
+      .select(col(idCol), col("graft_pg.p").as("graft_p"),
+        col("graft_pg.g").as("graft_g"))
+    val wGram = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("graft_g"))
+    val repeated = posGrams
+      .withColumn("graft_c", count(lit(1)).over(wGram))
+      .filter(col("graft_c") >= 2)
+      .select(col(idCol), col("graft_p").as("graft_s"),
+        (col("graft_p") + (dupGramN - 1)).as("graft_e"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("graft_s"), col("graft_e"))
+    val pme = coalesce(max(col("graft_e")).over(
+      wOrd.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)), lit(0L))
+    val cover = repeated
+      .withColumn("graft_add", greatest(lit(0L),
+        col("graft_e") - greatest(col("graft_s"), pme + 1L) + 1L))
+      .groupBy(col(idCol))
+      .agg(sum(col("graft_add")).as("graft_cov"))
+
+    base.select(col(idCol), col("n_words"))
+      .join(paraStats, Seq(idCol))
+      .join(topShare(2), Seq(idCol), "left")
+      .join(topShare(3), Seq(idCol), "left")
+      .join(cover, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"), col("n_paras"),
+        expr("cast(coalesce(graft_dup_p, 0) * 1000000 as decimal(38,0)) " +
+          "div cast(n_paras as decimal(38,0))").cast(LongType)
+          .as("dup_para_ppm"),
+        when(col("graft_all_ch") > 0,
+          expr("cast(coalesce(graft_dup_ch, 0) * 1000000 as decimal(38,0)) " +
+            "div cast(graft_all_ch as decimal(38,0))").cast(LongType))
+          .otherwise(0L).as("dup_para_char_ppm"),
+        expr("cast(coalesce(graft_top2, 0) * 1000000 as decimal(38,0)) " +
+          "div cast(n_words as decimal(38,0))").cast(LongType)
+          .as("top2_share_ppm"),
+        expr("cast(coalesce(graft_top3, 0) * 1000000 as decimal(38,0)) " +
+          "div cast(n_words as decimal(38,0))").cast(LongType)
+          .as("top3_share_ppm"),
+        expr("cast(coalesce(graft_cov, 0) * 1000000 as decimal(38,0)) " +
+          "div cast(n_words as decimal(38,0))").cast(LongType)
+          .as("dup5_cover_ppm"))
+  }
+
+  /**
+   * Tokenizer-coverage / OOV audit per stratum (source, language, …):
+   * fix the vocabulary to the corpus's `vocabSize` most frequent words
+   * (count desc, word asc — deterministic), then report per stratum the
+   * exact token count, out-of-vocabulary token count, distinct OOV type
+   * count, and `oov_ppm` = ⌊10⁶·n_oov/n_tokens⌋. The fertility-style
+   * audit run before committing to a tokenizer: a stratum whose OOV
+   * rate is an outlier will fragment into subwords (or <unk>) and train
+   * badly (Rust et al. ACL 2021 measure exactly this per-language).
+   *
+   * Scale shape: vocabulary selection is ONE word-count hash-agg
+   * (map-side combinable) + a TakeOrderedAndProject top-V cut —
+   * metadata-scale output broadcast back against the exploded tokens as
+   * a left-semi-style flag join; the per-stratum rollup is a
+   * |strata|-key agg. Exact integers end to end.
+   */
+  def oovAudit(docs: DataFrame, idCol: String, textCol: String,
+               strataCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize=$vocabSize out of range")
+    val words = docs.select(col(strataCol),
+      explode(split(col(textCol), " ")).as("graft_w"))
+    val vocab = words.groupBy(col("graft_w"))
+      .agg(count(lit(1)).as("graft_c"))
+      .orderBy(col("graft_c").desc, col("graft_w").asc)
+      .limit(vocabSize)
+      .select(col("graft_w"), lit(1).as("graft_in"))
+    words.join(broadcast(vocab), Seq("graft_w"), "left")
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("graft_in").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("graft_in").isNull, col("graft_w")))
+          .as("n_oov_types"))
+      .select(col(strataCol), col("n_tokens"), col("n_oov"),
+        col("n_oov_types"),
+        expr("cast(n_oov * 1000000 as decimal(38,0)) div " +
+          "cast(n_tokens as decimal(38,0))").cast(LongType).as("oov_ppm"))
+  }
 }

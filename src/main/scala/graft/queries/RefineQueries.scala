@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{DomainDedup, Graph, Similarity, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{DomainDedup, Graph, Relevance, Similarity, Sketches, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /**
@@ -697,4 +697,326 @@ object RefineQueries {
       |UNION ALL
       |SELECT path, bytes, FALSE, NULL FROM f WHERE bytes >= 500
       |ORDER BY path""".stripMargin
+
+  // ── q229: HyperLogLog distinct-count registers (Flajolet 2007) ─────────
+
+  /** q229: per-source HLL(p=8) register sketches plus a global estimate
+    * from the MERGED registers ([[graft.operators.Sketches.hllRegisters]]
+    * /`hllMerge`/`hllEstimate`) — the mergeable-register complement to
+    * q135's KMV: registers, harmonic numerator, and the floor estimate
+    * are pure md5/integer arithmetic (common-denominator 2^R rewrite +
+    * exact rational α_m), so unlike q33's opaque
+    * `approx_count_distinct`, the ESTIMATE itself is gate-hashed; the
+    * exact distinct count rides along as the accuracy companion. */
+  def q229HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir).select(col("source"), col("text"))
+    val per = Sketches.hllRegisters(docs, "text", "source", p = 8)
+    val all = Sketches.hllMerge(
+      Seq(per.withColumn("source", lit("ALL"))), "source")
+    val est = Sketches.hllEstimate(per.unionByName(all), "source", p = 8)
+    val exact = docs.groupBy(col("source"))
+      .agg(count_distinct(col("text")).as("n_exact"))
+      .unionByName(docs.agg(count_distinct(col("text")).as("n_exact"))
+        .withColumn("source", lit("ALL"))
+        .select(col("source"), col("n_exact")))
+    exact.join(est, Seq("source"))
+      .select(col("source"), col("n_exact"), col("n_buckets_set"),
+        col("sum_rho"), col("harm_num"), col("est_floor"))
+      .orderBy(col("source"))
+  }
+
+  val q229Sql: String =
+    """WITH h AS (SELECT source,
+      |    CAST(list_sum(list_transform(range(1, 9), j ->
+      |      (strpos('0123456789abcdef', substr(md5(text), j, 1)) - 1)
+      |        * power(16, 8 - j))) AS BIGINT) AS h
+      |  FROM documents),
+      |hh AS (SELECT source, h FROM h UNION ALL SELECT 'ALL', h FROM h),
+      |b AS (SELECT source, h >> 24 AS bucket, h & 16777215 AS rest
+      |      FROM hh),
+      |r AS (SELECT source, bucket,
+      |        MAX(CASE WHEN rest = 0 THEN 25
+      |            ELSE 25 - length(bin(rest)) END) AS r
+      |      FROM b GROUP BY 1, 2),
+      |st AS (SELECT source, COUNT(*) AS n_buckets_set,
+      |         CAST(SUM(r) AS BIGINT) AS sum_rho,
+      |         CAST(SUM(1::BIGINT << CAST(25 - r AS INT)) AS BIGINT) AS hp
+      |       FROM r GROUP BY 1),
+      |s2 AS (SELECT source, n_buckets_set, sum_rho,
+      |         hp + (256 - n_buckets_set) * 33554432 AS harm_num FROM st),
+      |ex AS (SELECT source, count(DISTINCT text) AS n_exact
+      |       FROM documents GROUP BY source
+      |       UNION ALL
+      |       SELECT 'ALL', count(DISTINCT text) FROM documents)
+      |SELECT s2.source, ex.n_exact, s2.n_buckets_set, s2.sum_rho,
+      |  s2.harm_num,
+      |  CAST((7213::HUGEINT * 16777216::HUGEINT * 33554432::HUGEINT) //
+      |    (2570790::HUGEINT * s2.harm_num::HUGEINT) AS BIGINT) AS est_floor
+      |FROM s2 JOIN ex USING (source) ORDER BY s2.source""".stripMargin
+
+  // ── q230: BM25 hard-negative mining (DPR, Karpukhin 2020) ──────────────
+
+  private val negQueries: Seq[(Int, String)] = Seq(
+    1 -> "join", 1 -> "index",
+    2 -> "stream", 2 -> "shuffle",
+    3 -> "cache", 3 -> "filter")
+
+  private val negGold: Seq[(Int, Long)] =
+    Seq(1 -> 5L, 1 -> 42L, 2 -> 7L, 3 -> 33L)
+
+  /** q230: contrastive hard negatives for retriever training
+    * ([[Relevance.hardNegatives]]): top-8 BM25 pool per query
+    * (k1=1.5, b=0.75 — binary-exact), labeled-gold pairs anti-joined
+    * away, survivors re-ranked 1..5. Scores are sums of pre-rounded
+    * decimal contributions (the q76 portability contract), so ranks
+    * and scores are gate-exact. */
+  def q230HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = negQueries.toDF("query_id", "term")
+    val gold = negGold.toDF("query_id", "doc_id")
+    Relevance.hardNegatives(Sources.documents(s, dir), "doc_id", "text",
+        queries, "query_id", gold, n = 5, poolK = 8, k1 = 1.5, b = 0.75)
+      .orderBy(col("query_id"), col("neg_rank"))
+  }
+
+  val q230Sql: String = {
+    val qv = negQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    val gv = negGold.map { case (q, d) => s"($q, $d)" }.mkString(", ")
+    s"""WITH qt AS (SELECT * FROM (VALUES $qv) AS v(query_id, term)),
+       |gold AS (SELECT * FROM (VALUES $gv) AS g(query_id, doc_id)),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |dl AS (SELECT doc_id, len(w) AS dl FROM w),
+       |t AS (SELECT doc_id, unnest(w) AS term FROM w),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+       |       WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+       |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |corpus AS (SELECT count(*) AS n_docs,
+       |             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |sc AS (SELECT tf.doc_id, tf.term,
+       |    CAST(round(
+       |      ln(1.0 + CAST(c.n_docs - d.df + 0.5 AS DOUBLE)
+       |                 / CAST(d.df + 0.5 AS DOUBLE))
+       |      * (CAST(tf.tf AS DOUBLE) * 2.5)
+       |      / (CAST(tf.tf AS DOUBLE)
+       |         + 1.5 * (0.25 + 0.75 * l.dl / c.avgdl)), 6)
+       |      AS DECIMAL(18,6)) AS contrib
+       |  FROM tf JOIN dfc d USING (term) JOIN dl l USING (doc_id)
+       |  CROSS JOIN corpus c),
+       |qs AS (SELECT qt.query_id, sc.doc_id,
+       |         CAST(SUM(sc.contrib) AS DOUBLE) AS bm25,
+       |         count(*) AS n_terms
+       |       FROM sc JOIN qt USING (term) GROUP BY 1, 2),
+       |pool AS (SELECT * FROM (SELECT qs.*, row_number() OVER (
+       |           PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC)
+       |           AS rn FROM qs) WHERE rn <= 8),
+       |neg AS (SELECT p.query_id, p.doc_id, p.bm25, p.n_terms
+       |        FROM pool p LEFT JOIN gold g
+       |          ON g.query_id = p.query_id AND g.doc_id = p.doc_id
+       |        WHERE g.doc_id IS NULL),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY bm25 DESC, doc_id ASC) AS neg_rank FROM neg)
+       |SELECT query_id, doc_id, bm25, n_terms,
+       |  CAST(neg_rank AS BIGINT) AS neg_rank
+       |FROM rr WHERE neg_rank <= 5
+       |ORDER BY query_id, neg_rank""".stripMargin
+  }
+
+  // ── q231: tokenizer-coverage / OOV audit ───────────────────────────────
+
+  /** q231: per-source OOV audit under the corpus's top-200 word
+    * vocabulary ([[TextAnalysis.oovAudit]]) — exact token counts, OOV
+    * token/type counts, and ⌊10⁶·oov/tokens⌋; the fertility-style check
+    * run before committing a tokenizer to a mixture (Rust et al. ACL
+    * 2021). Vocabulary selection is count-desc word-asc deterministic. */
+  def q231OovAudit(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovAudit(Sources.documents(s, dir), "doc_id", "text",
+        "source", vocabSize = 200)
+      .orderBy(col("source"))
+
+  val q231Sql: String =
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |           FROM documents),
+      |v AS (SELECT w FROM (SELECT w, count(*) AS c FROM t GROUP BY 1
+      |                     ORDER BY c DESC, w ASC LIMIT 200)),
+      |a AS (SELECT t.source, t.w, (v.w IS NOT NULL) AS iv
+      |      FROM t LEFT JOIN v ON t.w = v.w)
+      |SELECT source, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+      |  COUNT(DISTINCT CASE WHEN NOT iv THEN w END) AS n_oov_types,
+      |  CAST((SUM(CASE WHEN iv THEN 0 ELSE 1 END)::HUGEINT * 1000000) //
+      |    COUNT(*)::HUGEINT AS BIGINT) AS oov_ppm
+      |FROM a GROUP BY source ORDER BY source""".stripMargin
+
+  // ── q232: within-doc repetition profile (Gopher Table A1) ──────────────
+
+  /** q232: the WITHIN-document repetition battery
+    * ([[TextAnalysis.repetitionProfile]], 8-word paragraphs, repeated
+    * 5-gram coverage) — duplicate-paragraph occurrence and character
+    * fractions, top-2/3-gram shares, and the interval-union coverage of
+    * repeated 5-grams, all ⌊10⁶·x⌋ exact integers. The self-repetition
+    * complement to q198 (cross-doc runs) and q199 (word-level rules). */
+  def q232RepetitionProfile(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionProfile(Sources.documents(s, dir), "doc_id",
+        "text", pWords = 8, dupGramN = 5)
+      .orderBy(col("doc_id"))
+
+  val q232Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |nw AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM w),
+      |p AS (SELECT doc_id, unnest(range(0, (len(w) + 7) // 8)) AS pos, w
+      |      FROM w),
+      |p2 AS (SELECT doc_id,
+      |         array_to_string(list_slice(w, CAST(pos * 8 + 1 AS INT),
+      |           CAST(pos * 8 + 8 AS INT)), ' ') AS pt
+      |       FROM p),
+      |pc AS (SELECT doc_id, pt, COUNT(*) AS c,
+      |         COUNT(*) * length(pt) AS ch FROM p2 GROUP BY 1, 2),
+      |ps AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_paras,
+      |         SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_p,
+      |         SUM(ch) AS all_ch,
+      |         SUM(CASE WHEN c >= 2 THEN ch ELSE 0 END) AS dup_ch
+      |       FROM pc GROUP BY 1),
+      |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |         i -> w[i] || ' ' || w[i+1])) AS g
+      |       FROM w WHERE len(w) >= 2),
+      |t2 AS (SELECT doc_id, MAX(c) * 2 AS top2 FROM
+      |       (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
+      |       GROUP BY 1),
+      |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |       FROM w WHERE len(w) >= 3),
+      |t3 AS (SELECT doc_id, MAX(c) * 3 AS top3 FROM
+      |       (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2)
+      |       GROUP BY 1),
+      |g5 AS (SELECT doc_id, unnest(range(1, len(w) - 3)) AS i, w
+      |       FROM w WHERE len(w) >= 5),
+      |g5x AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+      |          w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] || ' ' ||
+      |          w[CAST(i + 2 AS INT)] || ' ' || w[CAST(i + 3 AS INT)] ||
+      |          ' ' || w[CAST(i + 4 AS INT)] AS g
+      |        FROM g5),
+      |r5 AS (SELECT doc_id, p, p + 4 AS e FROM
+      |       (SELECT doc_id, p, COUNT(*) OVER
+      |          (PARTITION BY doc_id, g) AS c FROM g5x)
+      |       WHERE c >= 2),
+      |sw AS (SELECT doc_id, GREATEST(0, e - GREATEST(p,
+      |         COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY p, e
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |         + 1) + 1) AS addl
+      |       FROM r5),
+      |cv AS (SELECT doc_id, SUM(addl) AS cov FROM sw GROUP BY 1)
+      |SELECT nw.doc_id, nw.n_words, ps.n_paras,
+      |  CAST((COALESCE(ps.dup_p, 0)::HUGEINT * 1000000) //
+      |    ps.n_paras::HUGEINT AS BIGINT) AS dup_para_ppm,
+      |  CASE WHEN ps.all_ch > 0 THEN
+      |    CAST((COALESCE(ps.dup_ch, 0)::HUGEINT * 1000000) //
+      |      ps.all_ch::HUGEINT AS BIGINT) ELSE 0 END AS dup_para_char_ppm,
+      |  CAST((COALESCE(t2.top2, 0)::HUGEINT * 1000000) //
+      |    nw.n_words::HUGEINT AS BIGINT) AS top2_share_ppm,
+      |  CAST((COALESCE(t3.top3, 0)::HUGEINT * 1000000) //
+      |    nw.n_words::HUGEINT AS BIGINT) AS top3_share_ppm,
+      |  CAST((COALESCE(cv.cov, 0)::HUGEINT * 1000000) //
+      |    nw.n_words::HUGEINT AS BIGINT) AS dup5_cover_ppm
+      |FROM nw JOIN ps USING (doc_id)
+      |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+      |LEFT JOIN cv USING (doc_id)
+      |ORDER BY nw.doc_id""".stripMargin
+
+  // ── q233: nearest-centroid (Rocchio) language classifier ───────────────
+
+  private val centroidLabels = Seq("de", "en", "es", "fr", "zh")
+
+  /** q233: the trained nearest-centroid classifier
+    * ([[graft.operators.Classify.nearestCentroid]]) on the `lang` label,
+    * resubstitution-evaluated — gate = the confusion matrix (true lang ×
+    * predicted, exact doc counts). Scores are exact-integer
+    * ⌊10¹²·dot/n_tokens_c⌋, so the argmax is engine-portable; the
+    * resubstitution protocol (train == apply corpus) is the audit shape,
+    * not a generalization claim. */
+  def q233CentroidClassify(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classify.nearestCentroid(Sources.documents(s, dir),
+        "doc_id", "text", "lang", centroidLabels)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+
+  val q233Sql: String = {
+    val lv = centroidLabels.map(l => s"'$l'").mkString(", ")
+    s"""WITH tf AS (SELECT doc_id, t AS term, COUNT(*) AS tf FROM
+       |       (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |        FROM documents) GROUP BY 1, 2),
+       |cent AS (SELECT tf.term, d.lang AS c, SUM(tf.tf) AS w
+       |         FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+       |ct AS (SELECT c, SUM(w) AS n FROM cent GROUP BY 1),
+       |dots AS (SELECT tf.doc_id, cent.c, SUM(tf.tf * cent.w) AS dot
+       |         FROM tf JOIN cent USING (term) GROUP BY 1, 2),
+       |lf AS (SELECT unnest([$lv]) AS c),
+       |ap AS (SELECT d.doc_id, d.lang, lf.c,
+       |         COALESCE(dt.dot, 0) AS dot, ct.n
+       |       FROM documents d CROSS JOIN lf
+       |       JOIN ct ON ct.c = lf.c
+       |       LEFT JOIN dots dt ON dt.doc_id = d.doc_id AND dt.c = lf.c),
+       |q AS (SELECT doc_id, lang, c,
+       |        (dot::HUGEINT * 1000000000000::HUGEINT) // n::HUGEINT AS q
+       |      FROM ap),
+       |pr AS (SELECT doc_id, lang, c AS predicted, row_number() OVER (
+       |         PARTITION BY doc_id ORDER BY q DESC, c ASC) AS rn FROM q)
+       |SELECT lang, predicted, COUNT(*) AS n_docs
+       |FROM pr WHERE rn = 1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ── q234: dedup-aware train/test split leakage audit ───────────────────
+
+  /** q234: near-duplicate pairs STRADDLING the deterministic
+    * train/val/test split (the Lee et al. ACL'22 finding that dup-driven
+    * train→test leakage inflates eval) — the q19 LSH pair set joined to
+    * each endpoint's md5-bucket split label, rolled up per
+    * (split, split) cell with the leak flag. The audit a curation
+    * pipeline runs BEFORE freezing an eval split. */
+  def q234SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val pairs = TextDedup.minHashLshPairs(docs, "doc_id", "text",
+      k = 16, r = 4, w = 3, threshold = 0.5)
+    val split = graft.operators.Sampling.deterministicSplit(
+      docs.select(col("doc_id")), "doc_id", "split",
+      Seq("train" -> 204, "val" -> 230, "test" -> 256))
+    pairs
+      .join(split.select(col("doc_id").as("d1"),
+        col("split").as("graft_sa")), "d1")
+      .join(split.select(col("doc_id").as("d2"),
+        col("split").as("graft_sb")), "d2")
+      .groupBy(least(col("graft_sa"), col("graft_sb")).as("split_lo"),
+        greatest(col("graft_sa"), col("graft_sb")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .withColumn("leaked", col("split_lo") =!= col("split_hi"))
+      .orderBy(col("split_lo"), col("split_hi"))
+  }
+
+  // wraps the ONE canonical LSH oracle chain (q19Sql) — a parameter
+  // change there propagates here, instead of a drifting inline copy
+  val q234Sql: String =
+    s"""WITH pairs AS (
+      |  SELECT d1, d2, jaccard FROM (
+      |${PipelineQueries.q19Sql}
+      |  )),
+      |b AS (SELECT doc_id,
+      |  (strpos('0123456789abcdef',
+      |     substr(md5('split_' || doc_id), 1, 1)) - 1) * 16
+      |  + strpos('0123456789abcdef',
+      |     substr(md5('split_' || doc_id), 2, 1)) - 1 AS bucket
+      |  FROM documents),
+      |sp AS (SELECT doc_id,
+      |  CASE WHEN bucket < 204 THEN 'train'
+      |       WHEN bucket < 230 THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM b),
+      |j AS (SELECT LEAST(a.split, c.split) AS split_lo,
+      |        GREATEST(a.split, c.split) AS split_hi, p.jaccard
+      |      FROM pairs p JOIN sp a ON a.doc_id = p.d1
+      |      JOIN sp c ON c.doc_id = p.d2)
+      |SELECT split_lo, split_hi, COUNT(*) AS n_pairs,
+      |  MAX(jaccard) AS max_jaccard,
+      |  (split_lo <> split_hi) AS leaked
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

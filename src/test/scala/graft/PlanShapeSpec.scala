@@ -500,7 +500,16 @@ class PlanShapeSpec extends SparkSpec {
       "q224_multiprobe_lsh",
       // q227: the funnel report row is six 1-row stage aggregates
       // crossJoined together — metadata scale by construction
-      "q227_curation_funnel")
+      "q227_curation_funnel",
+      // q228: n_partitions-row prefix-sum offsets `<` self-join from the
+      // same GlobalRank-style construction as q143/q165/q197/q205
+      "q228_compaction_plan",
+      // q230: bm25RetrieveAll's 1-row (N, avgdl) corpus-stats broadcast
+      // (the q68/q76 shape); the gold anti-join is a broadcast EQUI-join
+      "q230_hard_negatives",
+      // q233: the ≤64-row label-frame crossJoin that zero-fills the
+      // (doc, label) score grid — |labels| is bounded by require()
+      "q233_centroid_classify")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
