@@ -283,7 +283,17 @@ object Sketches {
    * re-shuffles everything.
    */
   def hllRegisters(df: DataFrame, keyCol: String, strataCol: String,
-                   p: Int = 8): DataFrame = {
+                   p: Int = 8): DataFrame =
+    hllRows(df, keyCol, strataCol, p)
+      .groupBy(col(strataCol), col("bucket"))
+      .agg(max(col("r")).as("r"))
+
+  /** Per-ROW (stratum, bucket, r) projection — the stateless half of
+    * [[hllRegisters]], shared with the streaming register maintainer
+    * ([[graft.streaming.Streaming.hllRegisterStream]]) so batch and
+    * online registers are identical by construction. */
+  def hllRows(df: DataFrame, keyCol: String, strataCol: String,
+              p: Int): DataFrame = {
     require(p >= 4 && p <= 12, s"p=$p out of range [4, 12]")
     val w = 32 - p
     val h = hash32(col(keyCol))
@@ -291,9 +301,7 @@ object Sketches {
     val rho = when(rest === 0, lit(w + 1))
       .otherwise(lit(w + 1) - length(bin(rest)))
     df.select(col(strataCol), shiftright(h, w).as("bucket"),
-        rho.cast(LongType).as("r"))
-      .groupBy(col(strataCol), col("bucket"))
-      .agg(max(col("r")).as("r"))
+      rho.cast(LongType).as("r"))
   }
 
   /** Merge same-p register tables: per-(stratum, bucket) max —

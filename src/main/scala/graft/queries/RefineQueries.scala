@@ -1019,4 +1019,135 @@ object RefineQueries {
       |  MAX(jaccard) AS max_jaccard,
       |  (split_lo <> split_hi) AS leaked
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ── q235: Bloom-prefiltered incremental snapshot dedup ─────────────────
+
+  /** q235: dedup a new crawl batch (doc_id % 3 = 0) against the prior
+    * snapshot (the rest) THE 100 TB WAY: a fixed-size Bloom filter over
+    * the snapshot keys rides to every scan task
+    * ([[graft.operators.Sketches.bloomBits]]/`bloomPrune`, k=4,
+    * m=4096) and kills definite-new rows in the projection — only
+    * bloom-POSITIVE candidates pay the exact confirm join. No false
+    * negatives ⇒ the final keep set EQUALS the exact anti-join
+    * (spec-asserted); the gate also hashes each delta row's
+    * `bloom_positive` flag, which the oracle reproduces bit-for-bit
+    * from the same md5 positions — the FP rate is audited, not
+    * guessed. */
+  def q235SnapshotDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val snap = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val bits = Sketches.bloomBits(snap.select(col("text")), "text",
+      k = 4, mBits = 4096)
+    val pos = Sketches.bloomPrune(delta.select(col("doc_id"), col("text")),
+        "text", bits, k = 4, mBits = 4096)
+      .select(col("doc_id"), lit(true).as("graft_bp"))
+    val dup = delta
+      .join(snap.select(col("text")).distinct(), Seq("text"), "left_semi")
+      .select(col("doc_id"), lit(true).as("graft_dup"))
+    delta.select(col("doc_id"))
+      .join(pos, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("graft_bp"), lit(false)).as("bloom_positive"),
+        coalesce(col("graft_dup"), lit(false)).as("is_dup"),
+        (!coalesce(col("graft_dup"), lit(false))).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def bloomPosSql(textExpr: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 9), j ->
+       |      (strpos('0123456789abcdef',
+       |         substr(md5('bf' || r.r || '_' || $textExpr), j, 1)) - 1)
+       |        * power(16, 8 - j))) AS BIGINT) % 4096""".stripMargin
+
+  val q235Sql: String =
+    s"""WITH snap AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+       |delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+       |sbits AS (SELECT DISTINCT ${bloomPosSql("snap.text")} AS p
+       |  FROM snap CROSS JOIN range(0, 4) r(r)),
+       |dpos AS (SELECT d.doc_id, ${bloomPosSql("d.text")} AS p
+       |  FROM delta d CROSS JOIN range(0, 4) r(r)),
+       |hits AS (SELECT dp.doc_id, COUNT(*) AS nh
+       |  FROM dpos dp JOIN sbits b ON b.p = dp.p GROUP BY 1),
+       |dups AS (SELECT DISTINCT d.doc_id
+       |  FROM delta d JOIN snap s ON s.text = d.text)
+       |SELECT d.doc_id,
+       |  COALESCE(h.nh, 0) = 4 AS bloom_positive,
+       |  (dup.doc_id IS NOT NULL) AS is_dup,
+       |  (dup.doc_id IS NULL) AS keep
+       |FROM delta d LEFT JOIN hits h USING (doc_id)
+       |LEFT JOIN dups dup USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ── q236: per-domain quality scorecard / blocklist candidates ──────────
+
+  /** q236: the UT1-style domain blocklist construction input — per
+    * registrable domain (same synthetic URL universe as q211), exact doc
+    * and token counts, the Gopher-battery keep count (q199's gated
+    * rules, default thresholds), ⌊10⁶·keep/docs⌋, and the blocklist
+    * flag (keep rate under 50%). The decision table a crawl pipeline
+    * feeds its domain filter. */
+  def q236DomainScorecard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+      .withColumn("url", concat(
+        lit("https://"),
+        when(col("doc_id") % 7 === 0, lit("www.")).otherwise(lit("")),
+        lit("d"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        lit("/p/"), (col("doc_id") % 100).cast("string")))
+    val audit = TextAnalysis.gopherRuleAudit(docs, "doc_id", "text")
+    docs.select(col("doc_id"),
+        DomainDedup.registrableDomain(col("url")).as("domain"),
+        size(split(col("text"), " ")).cast("long").as("graft_tok"))
+      .join(audit.select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(col("graft_tok")).as("n_tokens"))
+      .withColumn("keep_ppm",
+        expr("cast(n_keep * 1000000 as decimal(38,0)) div " +
+          "cast(n_docs as decimal(38,0))").cast("long"))
+      .withColumn("blocklisted", col("keep_ppm") < 500000L)
+      .orderBy(col("domain"))
+  }
+
+  val q236Sql: String =
+    """WITH u AS (SELECT doc_id,
+      |    'd' || CAST(doc_id % 50 AS VARCHAR) ||
+      |      CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END
+      |      AS domain,
+      |    text
+      |  FROM documents),
+      |gws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |gbase AS (SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+      |      / len(w), 6) AS mean_word_len,
+      |    CAST(len(list_filter(['the', 'and', 'of', 'a', 'to', 'in'],
+      |      s -> list_contains(w, s))) AS BIGINT) AS n_stopwords,
+      |    round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr
+      |  FROM gws),
+      |gtc AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+      |    SELECT doc_id, x, COUNT(*) AS cnt
+      |    FROM (SELECT doc_id, unnest(w) AS x FROM gws) GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |k AS (SELECT gbase.doc_id,
+      |    (gbase.n_words BETWEEN 30 AND 5000
+      |     AND gbase.mean_word_len BETWEEN 3.5 AND 10.0
+      |     AND gbase.n_stopwords >= 2 AND gbase.ttr >= 0.5
+      |     AND round(CAST(gtc.top_cnt AS DOUBLE) / gbase.n_words, 6)
+      |       <= 0.1) AS keep,
+      |    gbase.n_words
+      |  FROM gbase JOIN gtc USING (doc_id)),
+      |a AS (SELECT u.domain, k.keep, k.n_words
+      |      FROM u JOIN k USING (doc_id))
+      |SELECT domain, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+      |  CAST((SUM(CASE WHEN keep THEN 1 ELSE 0 END)::HUGEINT * 1000000) //
+      |    COUNT(*)::HUGEINT AS BIGINT) AS keep_ppm,
+      |  CAST((SUM(CASE WHEN keep THEN 1 ELSE 0 END)::HUGEINT * 1000000) //
+      |    COUNT(*)::HUGEINT AS BIGINT) < 500000 AS blocklisted
+      |FROM a GROUP BY domain ORDER BY domain""".stripMargin
 }

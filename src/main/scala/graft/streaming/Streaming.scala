@@ -298,6 +298,59 @@ object Streaming {
       }
   }
 
+  /** Output row of [[hllRegisterStream]]: the NEW value of a register
+    * after a micro-batch raised it (registers only ever grow; unchanged
+    * registers emit nothing). */
+  case class HllRegister(stratum: String, bucket: Long, r: Long)
+
+  /**
+   * Streaming HyperLogLog register maintenance — the online half of
+   * [[graft.operators.Sketches.hllRegisters]]: each arriving key goes
+   * through the SAME stateless (stratum, bucket, ρ) projection as batch
+   * ([[graft.operators.Sketches.hllRows]] — md5 bucket + bin-length ρ,
+   * no libm), and every (stratum, bucket) keeps ONE Long of state — the
+   * running register max. A micro-batch emits a row only when it RAISES
+   * a register (max is monotone), so the emitted stream is a
+   * change-log: max-folding all emissions (or just taking each
+   * register's latest) reproduces the batch register table exactly, and
+   * [[graft.operators.Sketches.hllEstimate]] over that fold gives the
+   * live distinct-count estimate at any point — the standard streaming
+   * cardinality dashboard.
+   *
+   * Parity is BY CONSTRUCTION (same projection, max is associative /
+   * commutative / idempotent — arrival order and batching can never
+   * change the final registers) and spec-asserted across multi-batch,
+   * duplicated, out-of-order arrival.
+   *
+   * Scale shape: state is ≤ 2^p Longs per stratum REGARDLESS of arrival
+   * count — the sketch bound itself; no watermark needed (a register
+   * table is corpus-lifetime by design, the [[urlClaimStream]] note).
+   */
+  def hllRegisterStream(docStream: DataFrame, keyCol: String,
+                        strataCol: String,
+                        p: Int = 8): Dataset[HllRegister] = {
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    val rows = graft.operators.Sketches
+      .hllRows(docStream, keyCol, strataCol, p)
+      .select(col(strataCol).cast("string").as("stratum"), col("bucket"),
+        col("r"))
+      .as[(String, Long, Long)]
+    rows.groupByKey { case (s, b, _) => (s, b) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), batch: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) =>
+          val batchMax = batch.map(_._3).max
+          val stored = state.getOption
+          if (stored.exists(_ >= batchMax)) Iterator.empty
+          else {
+            state.update(batchMax)
+            Iterator.single(HllRegister(key._1, key._2, batchMax))
+          }
+      }
+  }
+
   /**
    * Watermarked stream-STREAM inner join: each view event pairs with the
    * click events of the same user arriving within `horizon` AFTER it —

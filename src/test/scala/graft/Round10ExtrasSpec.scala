@@ -178,6 +178,39 @@ class Round10ExtrasSpec extends SparkSpec {
     }
   }
 
+  // ── Bloom-prefiltered snapshot dedup ────────────────────────────────────
+
+  test("bloom prefilter never loses a true duplicate (no false negatives)") {
+    val out = graft.queries.RefineQueries
+      .q235SnapshotDedup(spark, "/root/testdata/sf0.001")
+      .select("bloom_positive", "is_dup", "keep")
+      .as[(Boolean, Boolean, Boolean)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (bp, dup, keep) =>
+      assert(!dup || bp, "true duplicate slipped past the bloom filter")
+      assert(keep == !dup, "keep must equal the exact anti-join")
+    }
+  }
+
+  test("bloom-confirm pipeline equals the exact anti-join on a dup fixture") {
+    import graft.operators.Sketches
+    val snap = Seq("alpha beta", "gamma delta").toDF("text")
+    val delta = Seq((3L, "alpha beta"), (6L, "epsilon zeta"),
+      (9L, "gamma delta")).toDF("doc_id", "text")
+    val bits = Sketches.bloomBits(snap, "text", k = 4, mBits = 4096)
+    val survivors = Sketches.bloomPrune(delta, "text", bits, 4, 4096)
+      .join(snap, Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    val definiteNew = delta.join(
+        Sketches.bloomPrune(delta, "text", bits, 4, 4096),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    val kept = survivors ++ definiteNew
+    val exact = delta.join(snap, Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == exact && exact == Set(6L))
+  }
+
   test("repetitionProfile interval union never double-counts overlaps") {
     // "a a a a a a": every 2-gram "a a" repeats; intervals [1,2]..[5,6]
     // union to all 6 words → cover ppm = 10^6 (not 5·2/6 > 1)

@@ -820,4 +820,44 @@ class StreamingSpec extends SparkSpec {
     assert(last.toMap == expected,
       s"stream ${last.size} strata vs batch ${expected.size}")
   }
+
+  test("streaming HLL registers fold to the exact batch register table") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = tmpDir("hll-src")
+    // two batches with overlap and out-of-order keys — max-register
+    // parity must hold regardless
+    val b1 = (1 to 400).map(i => ("s", s"key_$i")).toDF("src", "k")
+    val b2 = (300 to 700).reverse.map(i => ("s", s"key_$i")).toDF("src", "k")
+    b1.coalesce(1).write.parquet(s"$dir/b1")
+    b2.coalesce(1).write.parquet(s"$dir/b2")
+    def stamp(sub: String, epochSec: Long): Unit =
+      Files.list(Paths.get(s"$dir/$sub")).forEach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(epochSec * 1000)))
+    stamp("b1", 1000000000L)
+    stamp("b2", 1000000100L)
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = Streaming.hllRegisterStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*"),
+        "k", "src", p = 8)
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // fold the change-log: max per register == batch registers over all
+    val folded = spark.table("hllregs")
+      .groupBy(col("stratum").as("src"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+    val batch = Sketches.hllRegisters(b1.union(b2), "k", "src", p = 8)
+    assert(folded.orderBy("bucket").collect().toSeq ==
+      batch.orderBy("bucket").collect().toSeq)
+    // and the live estimate equals the batch estimate
+    val se = Sketches.hllEstimate(folded, "src", p = 8)
+      .select("est_floor").as[Long].head()
+    val be = Sketches.hllEstimate(batch, "src", p = 8)
+      .select("est_floor").as[Long].head()
+    assert(se == be)
+  }
 }
