@@ -128,10 +128,30 @@ object Selection {
    */
   def paretoFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val levels = df.groupBy(col(xCol)).agg(max(col(yCol)).as("graft_ymax"))
-    val wAbove = Window.orderBy(col(xCol).desc)
+    // distributed staircase: |levels| = distinct x, which for a
+    // CONTINUOUS score is data-scale — an unpartitioned running-max
+    // window would funnel it through one task. Range-partition by x
+    // desc instead: strictly-above max = local window max ⊕ the max of
+    // every higher-x partition (the GlobalRank offsets pattern with max
+    // for sum — max is associative, so the split is exact). The `<`
+    // offsets join runs on n_partitions rows (metadata).
+    val parted = levels.repartitionByRange(col(xCol).desc)
+      .withColumn("graft_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("graft_pid"))
+      .orderBy(col(xCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = levels
-      .withColumn("graft_yabove", max(col("graft_ymax")).over(wAbove))
+    val local = parted.withColumn("graft_labove",
+      max(col("graft_ymax")).over(wLocal))
+    val counts = local.groupBy(col("graft_pid"))
+      .agg(max(col("graft_ymax")).as("graft_pmax"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.graft_pid") < col("a.graft_pid"), "left")
+      .groupBy(col("a.graft_pid").as("graft_pid"))
+      .agg(max(col("b.graft_pmax")).as("graft_off"))
+    val frontier = local.join(broadcast(offsets), Seq("graft_pid"))
+      // greatest() skips nulls: first level overall has both null
+      .withColumn("graft_yabove",
+        greatest(col("graft_labove"), col("graft_off")))
       // strictly-higher-x levels all have smaller max-y (or none exist)
       .filter(col("graft_yabove").isNull ||
         col("graft_ymax") > col("graft_yabove"))
@@ -140,5 +160,53 @@ object Selection {
       // within the level, only the max-y rows are undominated
       .filter(col(yCol) === col("graft_ymax"))
       .drop("graft_ymax")
+  }
+
+  /**
+   * Filter-threshold sweep: for each candidate cut `t`, how many
+   * documents and tokens survive `score >= t` — the calibration curve a
+   * curation pipeline computes BEFORE freezing a classifier threshold
+   * (every quality-filter paper publishes exactly this kept-fraction
+   * table; GPT-3's Appendix A document-filtering describes choosing the
+   * cut against retained volume). Output: one row per threshold with
+   * exact kept/total counts and ⌊10⁶·kept/total⌋ ppm shares.
+   *
+   * Scale shape: ONE hash aggregation over the corpus computes all
+   * |T| conditional sums simultaneously (map-side combinable — each
+   * task folds its rows into 2·|T|+2 counters); the explode that
+   * unpivots the 1-row result to |T| rows touches metadata only. No
+   * per-threshold rescans, no fan-out of the corpus.
+   */
+  def thresholdSweep(df: DataFrame, scoreCol: String, weightCol: String,
+                     thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.size <= 64,
+      s"thresholds size ${thresholds.size} out of range [1, 64]")
+    require(thresholds.distinct.size == thresholds.size,
+      "thresholds must be distinct")
+    val idx = thresholds.zipWithIndex
+    val aggCols = idx.flatMap { case (t, i) => Seq(
+      sum(when(col(scoreCol) >= t, 1L).otherwise(0L)).as(s"graft_d$i"),
+      sum(when(col(scoreCol) >= t, col(weightCol)).otherwise(0L))
+        .as(s"graft_w$i"))
+    } ++ Seq(count(lit(1)).as("graft_nd"),
+      sum(col(weightCol)).as("graft_nw"))
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
+    val rows = idx.map { case (t, i) =>
+      struct(lit(t).as("t"), col(s"graft_d$i").as("d"),
+        col(s"graft_w$i").as("w"))
+    }
+    one.select(explode(array(rows: _*)).as("graft_r"),
+        col("graft_nd"), col("graft_nw"))
+      .select(col("graft_r.t").as("threshold"),
+        col("graft_r.d").as("n_docs_kept"),
+        col("graft_r.w").cast("long").as("n_tokens_kept"),
+        col("graft_nd").as("n_docs_total"),
+        col("graft_nw").cast("long").as("n_tokens_total"),
+        expr("cast(graft_r.d * 1000000 as decimal(38,0)) div " +
+          "cast(graft_nd as decimal(38,0))").cast("long").as("docs_ppm"),
+        when(col("graft_nw") > 0,
+          expr("cast(graft_r.w * 1000000 as decimal(38,0)) div " +
+            "cast(graft_nw as decimal(38,0))").cast("long"))
+          .otherwise(0L).as("tokens_ppm"))
   }
 }

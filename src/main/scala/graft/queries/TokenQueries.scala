@@ -286,4 +286,133 @@ object TokenQueries {
       |SELECT doc_id, source, rank_in_group,
       |  CAST(global_pos AS BIGINT) AS global_pos
       |FROM g ORDER BY global_pos""".stripMargin
+
+  // ── q237: tokenizer-accurate sequence packing ──────────────────────────
+
+  /** q237: the q77 concat-and-chunk pack plan costed in LEARNED subword
+    * tokens instead of whitespace words — per-doc counts from the q194
+    * greedy walk ([[TextAnalysis.greedyTokenCountCol]] under the
+    * corpus-learned 20-entry vocabulary) folded in ONE codegen'd
+    * projection (transform + aggregate over the split array — no
+    * explode, no join), then [[Packing.packPlan]]'s distributed exact
+    * prefix sum into 512-token contexts. Budgets a training run in the
+    * units the tokenizer actually bills. */
+  def q237TokenPacking(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val vocab = TextAnalysis.learnCharNgramVocab(docs, "text", k = 20)
+    val tokCount = aggregate(
+      transform(filter(split(col("text"), " "), w => length(w) >= 1),
+        w => TextAnalysis.greedyTokenCountCol(w, vocab).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    Packing.packPlan(docs, "doc_id", "text", ctxLen = 512,
+        tokenCount = Some(tokCount))
+      .orderBy(col("doc_id"))
+  }
+
+  // reuses q194's recursive-CTE greedy walk verbatim (same vocabulary,
+  // same boundaries), then q77's prefix-sum chunk arithmetic
+  val q237Sql: String =
+    """WITH RECURSIVE w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |           FROM documents),
+      |wf AS (SELECT doc_id, word, count(*) AS wc FROM w
+      |       WHERE length(word) >= 1 GROUP BY 1, 2),
+      |dw AS (SELECT word, CAST(SUM(wc) AS BIGINT) AS wc FROM wf
+      |       GROUP BY word),
+      |gr AS (
+      |  SELECT unnest(list_transform(range(1, length(word)),
+      |           i -> substr(word, i, 2))) AS ng, wc
+      |  FROM dw WHERE length(word) >= 2
+      |  UNION ALL
+      |  SELECT unnest(list_transform(range(1, length(word) - 1),
+      |           i -> substr(word, i, 3))), wc
+      |  FROM dw WHERE length(word) >= 3
+      |  UNION ALL
+      |  SELECT unnest(list_transform(range(1, length(word) - 2),
+      |           i -> substr(word, i, 4))), wc
+      |  FROM dw WHERE length(word) >= 4),
+      |top AS (SELECT ng FROM (
+      |          SELECT ng, CAST(SUM(wc) AS BIGINT) AS cnt FROM gr
+      |          GROUP BY ng ORDER BY cnt DESC, ng LIMIT 20)),
+      |pos0 AS (SELECT word, unnest(range(1, length(word) + 1)) AS pos
+      |         FROM dw),
+      |m AS (SELECT p.word, p.pos,
+      |        COALESCE(MAX(length(t.ng)), 1) AS step
+      |      FROM pos0 p LEFT JOIN top t
+      |        ON substr(p.word, p.pos, length(t.ng)) = t.ng
+      |      GROUP BY p.word, p.pos),
+      |r(word, pos, cnt) AS (
+      |  SELECT word, 1, 0 FROM dw
+      |  UNION ALL
+      |  SELECT r.word, r.pos + m.step, r.cnt + 1
+      |  FROM r JOIN m ON r.word = m.word AND r.pos = m.pos),
+      |tok AS (SELECT word, MAX(cnt) AS ntok FROM r GROUP BY word),
+      |dt AS (SELECT f.doc_id, CAST(SUM(f.wc * t.ntok) AS BIGINT) AS nt
+      |       FROM wf f JOIN tok t ON f.word = t.word GROUP BY 1),
+      |t AS (SELECT d.doc_id, COALESCE(dt.nt, 0) AS n_tokens
+      |      FROM documents d LEFT JOIN dt USING (doc_id)),
+      |p AS (SELECT doc_id, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS start_tok
+      |  FROM t)
+      |SELECT doc_id, n_tokens, start_tok,
+      |  start_tok // 512 AS first_chunk,
+      |  (start_tok + greatest(n_tokens, 1) - 1) // 512 AS last_chunk,
+      |  ((start_tok + greatest(n_tokens, 1) - 1) // 512)
+      |    - (start_tok // 512) + 1 AS n_chunks
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  // ── q238: filter-threshold sweep (calibration curve) ───────────────────
+
+  private val sweepThresholds: Seq[Long] =
+    Seq(-600L, -400L, -200L, 0L, 200L, 400L, 600L, 800L)
+
+  /** q238: the kept-volume calibration curve for the q212 linear quality
+    * classifier — [[graft.operators.Selection.thresholdSweep]] over its
+    * milli-logits with token weights: one corpus pass computes every
+    * candidate cut's surviving docs/tokens (exact counts + ppm), the
+    * table a pipeline reads to pick the threshold that hits its token
+    * budget. */
+  def q238ThresholdSweep(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Selection.thresholdSweep(
+        TextAnalysis.linearQualityScore(Sources.documents(s, dir),
+          "doc_id", "text", QualityQueries.q212MilliWeights.toMap,
+          QualityQueries.q212BiasMilli),
+        "logit_milli", "n_terms", sweepThresholds)
+      .orderBy(col("threshold"))
+
+  val q238Sql: String = {
+    val values = QualityQueries.q212MilliWeights
+      .map { case (t, w) => s"('$t', ${w}::BIGINT)" }.mkString(", ")
+    val tvals = sweepThresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH w(term, wm) AS (VALUES $values),
+       |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |      FROM documents),
+       |h AS (SELECT t.doc_id, CAST(SUM(w.wm) AS BIGINT) AS zsum
+       |      FROM t JOIN w USING (term) GROUP BY t.doc_id),
+       |n AS (SELECT doc_id,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_terms
+       |      FROM documents),
+       |sc AS (SELECT n.doc_id, n.n_terms,
+       |         CAST(COALESCE(h.zsum, 0) +
+       |           ${QualityQueries.q212BiasMilli} AS BIGINT) AS lm
+       |       FROM n LEFT JOIN h ON n.doc_id = h.doc_id),
+       |th(t) AS (VALUES $tvals),
+       |tot AS (SELECT COUNT(*) AS nd, CAST(SUM(n_terms) AS BIGINT) AS nw
+       |        FROM sc)
+       |SELECT CAST(th.t AS BIGINT) AS threshold,
+       |  CAST(SUM(CASE WHEN sc.lm >= th.t THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_kept,
+       |  CAST(SUM(CASE WHEN sc.lm >= th.t THEN sc.n_terms ELSE 0 END)
+       |    AS BIGINT) AS n_tokens_kept,
+       |  CAST(tot.nd AS BIGINT) AS n_docs_total,
+       |  tot.nw AS n_tokens_total,
+       |  CAST((SUM(CASE WHEN sc.lm >= th.t THEN 1 ELSE 0 END)::HUGEINT
+       |    * 1000000) // tot.nd::HUGEINT AS BIGINT) AS docs_ppm,
+       |  CAST((SUM(CASE WHEN sc.lm >= th.t THEN sc.n_terms ELSE 0 END)
+       |    ::HUGEINT * 1000000) // tot.nw::HUGEINT AS BIGINT) AS tokens_ppm
+       |FROM sc CROSS JOIN th CROSS JOIN tot
+       |GROUP BY th.t, tot.nd, tot.nw ORDER BY threshold""".stripMargin
+  }
 }

@@ -351,6 +351,64 @@ object Streaming {
       }
   }
 
+  /** Output row of [[domainCapStream]]: one row per arriving document
+    * with its domain, weight, the domain's cumulative pre-arrival
+    * weight, and the admission decision. */
+  case class CapAdmission(doc_id: Long, domain: String, n_tokens: Long,
+                          cum_before: Long, admitted: Boolean)
+
+  /**
+   * Streaming per-domain token-budget admission — the online half of
+   * [[graft.operators.DomainDedup.capPerDomain]] (RefinedWeb §3.2's
+   * per-domain cap applied at INGEST, so a mega-domain stops consuming
+   * budget the moment it fills instead of in the next batch sweep).
+   * Each arriving document is keyed by its registrable domain (the same
+   * codegen'd projection as batch); every domain keeps ONE Long of
+   * state — the cumulative token weight of EVERYTHING that has arrived
+   * (admitted or not), because the batch rule is a prefix-sum threshold
+   * cut (`cum_before + w <= cap`, rejected rows still advance the
+   * prefix — [[graft.operators.Selection.underBudgetPerStratum]]'s
+   * documented semantics), not greedy best-fit. Within a micro-batch
+   * rows are processed in ascending id order (the batch order), so
+   * under in-order arrival the admitted set is bit-identical to batch
+   * capPerDomain over the union (spec-asserted); out-of-order arrival
+   * keeps the online contract — first-come admission against the live
+   * prefix, with batch as the retroactive ground truth.
+   *
+   * Scale shape: state is ONE Long per DISTINCT domain (web-scale:
+   * ~10⁸ domains ≪ docs), partitioned by domain hash; the projection
+   * side is stateless and narrow. No watermark — a budget ledger is
+   * corpus-lifetime by design (the [[urlClaimStream]] note).
+   */
+  def domainCapStream(docStream: DataFrame, idCol: String, urlCol: String,
+                      weight: org.apache.spark.sql.Column,
+                      budgets: Map[String, Long],
+                      defaultBudget: Long): Dataset[CapAdmission] = {
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    val keyed = docStream
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.operators.DomainDedup.registrableDomain(col(urlCol))
+          .as("domain"),
+        weight.cast("long").as("w"))
+      .as[(Long, String, Long)]
+    keyed.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (domain: String, rows: Iterator[(Long, String, Long)],
+         state: GroupState[Long]) =>
+          val cap = budgets.getOrElse(domain, defaultBudget)
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toArray.sortBy(_._1).map { case (id, _, w) =>
+            val row = CapAdmission(id, domain, w, cum, cum + w <= cap)
+            cum += w
+            row
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   /**
    * Watermarked stream-STREAM inner join: each view event pairs with the
    * click events of the same user arriving within `horizon` AFTER it —

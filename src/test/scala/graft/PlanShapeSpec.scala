@@ -509,7 +509,12 @@ class PlanShapeSpec extends SparkSpec {
       "q230_hard_negatives",
       // q233: the ≤64-row label-frame crossJoin that zero-fills the
       // (doc, label) score grid — |labels| is bounded by require()
-      "q233_centroid_classify")
+      "q233_centroid_classify",
+      // q112: n_partitions-row staircase-offsets `<` join from the
+      // distributed pareto running max (the GlobalRank pattern)
+      "q112_pareto",
+      // q237: packPlan's n_partitions-row offsets `<` join (same as q77)
+      "q237_token_packing")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
@@ -730,5 +735,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct") &&
       !s.contains("BroadcastNestedLoopJoin"),
       s"boilerplate audit planned a quadratic join:\n$plan")
+  }
+
+  test("whole-surface audit: every unpartitioned window is metadata-scale") {
+    // An unpartitioned WindowExec funnels its whole input through ONE
+    // task — fatal at 100 TB when the input is data-scale. The surface
+    // allows it ONLY where the windowed input is metadata by
+    // construction (cumulative sums over k top rows / |strata| rows /
+    // |batches| rows). Anything new flagged here is a single-task
+    // funnel regression.
+    val allowedGlobalWindow = Set(
+      // q120: remainder-allocation row_number + slots sum over the
+      // |strata|-row quota table (proportionalQuota — metadata)
+      "q120_proportional_sample",
+      // q129: rank windows over the ALREADY-CUT top-50 retrieval lists
+      // (documented at the call site — metadata)
+      "q129_rrf_fusion",
+      // q135: KMV estimate ranks over k·|strata| sketch rows (metadata
+      // BY the sketch bound)
+      "q135_kmv_distinct",
+      // q137: Otsu threshold sweep over the |bins|-row histogram
+      "q137_otsu",
+      // q158: MI terms over the |cells|-row contingency table
+      "q158_mutual_info",
+      // q202/q215: codebook / LUT construction ranks over the
+      // limit(k)-cut seed frame (k rows — metadata)
+      "q202_pq_encode", "q215_pq_recall",
+      // q210: cumulative share over the k-row top-keys list (top-k cut
+      // happens BEFORE the window — documented in keySkewAudit)
+      "q210_skew_audit",
+      // q214: closed-form water-filling — cumulative sums over the
+      // |strata|-row token table (metadata by construction)
+      "q214_epoch_allocation",
+      // q228: per-partition offsets aggregate to n_partitions rows; the
+      // offsets' own cumulative runs on that metadata table
+      "q228_compaction_plan")
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.sparkPlan
+        val bad = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window
+              .WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty && !allowedGlobalWindow(name)) Seq(name) else Nil
+    }
+    assert(violations.isEmpty,
+      s"unpartitioned windows outside the metadata allowlist: $violations")
   }
 }

@@ -178,6 +178,24 @@ class Round10ExtrasSpec extends SparkSpec {
     }
   }
 
+  // ── threshold sweep ─────────────────────────────────────────────────────
+
+  test("thresholdSweep computes every cut's kept volume in one pass") {
+    val scored = Seq(
+      (1L, -500L, 10L), (2L, 0L, 20L), (3L, 300L, 30L), (4L, 700L, 40L)
+    ).toDF("doc_id", "score", "w")
+    val out = graft.operators.Selection.thresholdSweep(scored, "score", "w",
+        Seq(-1000L, 0L, 500L))
+      .orderBy("threshold")
+      .select("threshold", "n_docs_kept", "n_tokens_kept", "docs_ppm",
+        "tokens_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (-1000L, 4L, 100L, 1000000L, 1000000L),
+      (0L, 3L, 90L, 750000L, 900000L),
+      (500L, 1L, 40L, 250000L, 400000L)))
+  }
+
   // ── Bloom-prefiltered snapshot dedup ────────────────────────────────────
 
   test("bloom prefilter never loses a true duplicate (no false negatives)") {

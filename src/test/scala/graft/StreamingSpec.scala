@@ -821,6 +821,51 @@ class StreamingSpec extends SparkSpec {
       s"stream ${last.size} strata vs batch ${expected.size}")
   }
 
+  test("streaming domain-cap admission matches batch capPerDomain in order") {
+    import spark.implicits._
+    import graft.operators.DomainDedup
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = tmpDir("capstream-src")
+    // two in-order batches over two domains; budgets force rejections in
+    // BOTH batches and a cross-batch carry (domain a's budget part-used
+    // by batch 1)
+    val rows = Seq(
+      (1L, "https://a.com/1", 40L), (2L, "https://b.com/1", 10L),
+      (3L, "https://a.com/2", 50L), (4L, "https://a.com/3", 30L),
+      (5L, "https://b.com/2", 200L), (6L, "https://a.com/4", 10L),
+      (7L, "https://b.com/3", 20L))
+    val (b1, b2) = rows.partition(_._1 <= 3)
+    b1.toDF("doc_id", "url", "w").coalesce(1).write.parquet(s"$dir/b1")
+    b2.toDF("doc_id", "url", "w").coalesce(1).write.parquet(s"$dir/b2")
+    def stamp(sub: String, epochSec: Long): Unit =
+      Files.list(Paths.get(s"$dir/$sub")).forEach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(epochSec * 1000)))
+    stamp("b1", 1000000000L)
+    stamp("b2", 1000000100L)
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = Streaming.domainCapStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*"),
+        "doc_id", "url", col("w"),
+        Map("a.com" -> 100L), defaultBudget = 50L)
+      .writeStream.format("memory").queryName("capadm")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val admitted = spark.table("capadm").filter(col("admitted"))
+      .select("doc_id").as[Long].collect().toSet
+    val batch = DomainDedup.capPerDomain(
+        rows.toDF("doc_id", "url", "w"), "doc_id", "url", col("w"),
+        Map("a.com" -> 100L), defaultBudget = 50L)
+      .select("doc_id").as[Long].collect().toSet
+    // a.com: 40+50=90 ok, +30 > 100 reject, +10 = 100... prefix after
+    // rejects is 120+10 > 100 → reject; b.com: 10 ok, 200 reject, 20:
+    // prefix 210+20 > 50 → reject — the prefix-cut (not best-fit) rule
+    assert(admitted == Set(1L, 2L, 3L))
+    assert(admitted == batch,
+      s"stream $admitted vs batch $batch")
+  }
+
   test("streaming HLL registers fold to the exact batch register table") {
     import spark.implicits._
     import graft.operators.Sketches
