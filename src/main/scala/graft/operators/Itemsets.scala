@@ -61,4 +61,60 @@ object Itemsets {
           (col("graft_n1") * col("graft_n2")).cast(DoubleType), 6)
           .as("lift"))
   }
+
+  /**
+   * PMI-ranked collocation extraction (Church & Hanks 1990): the top-k
+   * ADJACENT word pairs by pointwise mutual information, the classic
+   * collocation detector ("New York", "machine learning") that
+   * frequency alone misses. PMI = log p(x,y)/(p(x)p(y)) — but log is
+   * monotone, so ranking by the EXACT probability ratio
+   * c_xy·Nu²/(Nb·c_x·c_y) is the PMI ranking with zero libm: the gate
+   * hashes `ratio_q` = ⌊10⁶·ratio⌋ computed in DECIMAL(38,0) integral
+   * division (the q200 discipline applied to an association score).
+   * A `minCount` floor on c_xy applies the standard low-frequency
+   * guard (PMI is noise-dominated at c_xy = 1).
+   *
+   * Scale shape: bigrams from ONE zip_with projection (no position
+   * self-join); c_xy / c_x are map-side-combinable hash-aggs; Nu and Nb
+   * ride a 1-row broadcast; the k-cut is TakeOrderedAndProject over the
+   * minCount-filtered pair table — never a global sort.
+   */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 3L, k: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount=$minCount out of range")
+    require(k >= 1, s"k=$k out of range")
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ws = col("graft_ws")
+    val pairs = docs.select(split(col(textCol), " ").as("graft_ws"))
+      .select(explode(when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("x"), b.as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>")))
+        .as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val cxy = pairs.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uni = docs.select(explode(split(col(textCol), " ")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("graft_cu"))
+    val totals = uni.agg(sum(col("graft_cu")).as("graft_nu"))
+      .crossJoin(pairs.agg(count(lit(1)).as("graft_nb")))
+    cxy
+      .join(uni.select(col("t").as("x"), col("graft_cu").as("c_x")), "x")
+      .join(uni.select(col("t").as("y"), col("graft_cu").as("c_y")), "y")
+      .crossJoin(broadcast(totals))
+      .withColumn("graft_num",
+        lit(1000000L).cast(big) * col("c_xy").cast(big) *
+          col("graft_nu").cast(big) * col("graft_nu").cast(big))
+      .withColumn("graft_den",
+        col("graft_nb").cast(big) * col("c_x").cast(big) *
+          col("c_y").cast(big))
+      .withColumn("ratio_q",
+        expr("graft_num div graft_den").cast(LongType))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        col("ratio_q"))
+      .orderBy(col("ratio_q").desc, col("x").asc, col("y").asc)
+      .limit(k)
+  }
 }

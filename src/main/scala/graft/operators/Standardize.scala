@@ -298,4 +298,41 @@ object Standardize {
         when(peR < 1.0, round((po - peR) / (lit(1.0) - peR), 6))
           .as("kappa"))
   }
+
+  /**
+   * Spearman rank correlation between two numeric columns (Spearman
+   * 1904): ρ = 1 − 6·Σd²/(n(n²−1)) over the rank difference d of each
+   * row under the two orderings. The rank-agreement audit between two
+   * quality signals ("does the classifier order documents the way
+   * perplexity does?") that Pearson can't answer for non-linear
+   * monotone relations. Ties are broken by `idCol` (both orderings are
+   * total permutations — the deterministic tie-broken variant; with few
+   * ties it converges to the average-rank definition), so `n` and
+   * `sum_d2` are EXACT integers and the gate hashes them; ρ itself is
+   * one IEEE division of exact decimals, deterministic on both engines.
+   *
+   * Scale shape: both rankings are [[GlobalRank.globalRowNumber]] —
+   * range shuffle + metadata offsets, never a single-partition window;
+   * the join back is id-keyed; the moment agg is one row.
+   */
+  def spearmanRho(df: DataFrame, idCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val rx = GlobalRank.globalRowNumber(df.select(col(idCol), col(xCol)),
+        Seq(col(xCol).asc, col(idCol).asc), "graft_rx")
+      .select(col(idCol), col("graft_rx").cast(LongType).as("graft_rx"))
+    val ry = GlobalRank.globalRowNumber(df.select(col(idCol), col(yCol)),
+        Seq(col(yCol).asc, col(idCol).asc), "graft_ry")
+      .select(col(idCol), col("graft_ry").cast(LongType).as("graft_ry"))
+    rx.join(ry, Seq(idCol))
+      .select(((col("graft_rx") - col("graft_ry")) *
+        (col("graft_rx") - col("graft_ry"))).as("graft_d2"))
+      .agg(count(lit(1)).as("n"), sum(col("graft_d2")).as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        when(col("n") > 1, round(lit(1.0) -
+          (lit(6L).cast(big) * col("sum_d2").cast(big)).cast(DoubleType) /
+            (col("n").cast(big) *
+              (col("n").cast(big) * col("n").cast(big) - lit(1L).cast(big)))
+              .cast(DoubleType), 6)).as("rho"))
+  }
 }

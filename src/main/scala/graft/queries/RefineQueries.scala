@@ -1150,4 +1150,71 @@ object RefineQueries {
       |  CAST((SUM(CASE WHEN keep THEN 1 ELSE 0 END)::HUGEINT * 1000000) //
       |    COUNT(*)::HUGEINT AS BIGINT) < 500000 AS blocklisted
       |FROM a GROUP BY domain ORDER BY domain""".stripMargin
+
+  // ── q239: Spearman rank agreement between two signals ──────────────────
+
+  /** q239: Spearman ρ between the word-count and character-count
+    * orderings of the corpus ([[graft.operators.Standardize
+    * .spearmanRho]], id-tie-broken ranks via the distributed
+    * GlobalRank) — the monotone-agreement audit between two quality
+    * signals. Gate hashes exact (n, Σd²); ρ is one IEEE division of
+    * those integers. */
+  def q239SpearmanAgreement(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Standardize.spearmanRho(
+      Sources.documents(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        col("n_chars")),
+      "doc_id", "n_words", "n_chars")
+
+  val q239Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+      |    n_chars FROM documents),
+      |r AS (SELECT doc_id,
+      |        row_number() OVER (ORDER BY nw, doc_id) AS rx,
+      |        row_number() OVER (ORDER BY n_chars, doc_id) AS ry
+      |      FROM t),
+      |d AS (SELECT (rx - ry) * (rx - ry) AS d2 FROM r)
+      |SELECT COUNT(*) AS n, CAST(SUM(d2) AS BIGINT) AS sum_d2,
+      |  CASE WHEN COUNT(*) > 1 THEN
+      |    round(1.0 - CAST(6::HUGEINT * SUM(d2)::HUGEINT AS DOUBLE) /
+      |      CAST(COUNT(*)::HUGEINT *
+      |        (COUNT(*)::HUGEINT * COUNT(*)::HUGEINT - 1) AS DOUBLE), 6)
+      |  END AS rho
+      |FROM d""".stripMargin
+
+  // ── q240: PMI-ranked collocations (Church & Hanks 1990) ────────────────
+
+  /** q240: the 20 strongest adjacent-word collocations by pointwise
+    * mutual information ([[graft.operators.Itemsets.pmiCollocations]],
+    * c_xy ≥ 5) — ranked by the EXACT probability ratio
+    * ⌊10⁶·c_xy·Nu²/(Nb·c_x·c_y)⌋ (log-free: log is monotone, so the
+    * ratio ordering IS the PMI ordering), every gated column an exact
+    * integer. */
+  def q240PmiCollocations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Itemsets.pmiCollocations(Sources.documents(s, dir),
+        "doc_id", "text", minCount = 5L, k = 20)
+      .orderBy(col("ratio_q").desc, col("x").asc, col("y").asc)
+
+  val q240Sql: String =
+    """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |p AS (SELECT w[CAST(i AS INT)] AS x, w[CAST(i + 1 AS INT)] AS y
+      |      FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w
+      |            WHERE len(w) >= 2)),
+      |cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM p GROUP BY 1, 2
+      |        HAVING COUNT(*) >= 5),
+      |u AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |cu AS (SELECT t, COUNT(*) AS c FROM u GROUP BY 1),
+      |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM cu),
+      |nb AS (SELECT COUNT(*) AS nb FROM p),
+      |j AS (SELECT cxy.x, cxy.y, cxy.c_xy, ux.c AS c_x, uy.c AS c_y,
+      |        CAST((1000000::HUGEINT * cxy.c_xy::HUGEINT *
+      |            nu.nu::HUGEINT * nu.nu::HUGEINT) //
+      |          (nb.nb::HUGEINT * ux.c::HUGEINT * uy.c::HUGEINT)
+      |          AS BIGINT) AS ratio_q
+      |      FROM cxy JOIN cu ux ON ux.t = cxy.x
+      |      JOIN cu uy ON uy.t = cxy.y
+      |      CROSS JOIN nu CROSS JOIN nb)
+      |SELECT x, y, c_xy, c_x, c_y, ratio_q FROM j
+      |ORDER BY ratio_q DESC, x, y LIMIT 20""".stripMargin
 }

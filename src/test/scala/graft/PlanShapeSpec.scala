@@ -514,7 +514,13 @@ class PlanShapeSpec extends SparkSpec {
       // distributed pareto running max (the GlobalRank pattern)
       "q112_pareto",
       // q237: packPlan's n_partitions-row offsets `<` join (same as q77)
-      "q237_token_packing")
+      "q237_token_packing",
+      // q239: the two GlobalRank offsets `<` joins (n_partitions rows
+      // each — the q57/q143 construction, one per ranking)
+      "q239_spearman",
+      // q240: 1-row (Nu, Nb) corpus-totals broadcast (the q81/q130
+      // totals shape)
+      "q240_pmi_collocations")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

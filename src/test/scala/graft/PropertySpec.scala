@@ -263,4 +263,25 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("distributed pareto frontier equals the brute-force skyline") {
+    // guards the range-partitioned staircase rewrite: the undominated
+    // set must match the O(n²) definition on arbitrary (x, y) multisets,
+    // including duplicate levels and anti-sorted (all-frontier) shapes
+    val pt: Gen[(Long, Long)] = for {
+      x <- Gen.choose(0L, 12L); y <- Gen.choose(0L, 12L)
+    } yield (x, y)
+    forAll(Gen.listOfN(40, pt)) { pts =>
+      val df = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("id", "x", "y")
+        .repartition(7) // force the staircase across several partitions
+      val got = graft.operators.Selection.paretoFrontier(df, "x", "y")
+        .select("id").as[Long].collect().toSet
+      val brute = pts.zipWithIndex.collect {
+        case ((x, y), i) if !pts.exists { case (x2, y2) =>
+          (x2 >= x && y2 >= y) && (x2 > x || y2 > y) } => i.toLong
+      }.toSet
+      assert(got == brute, s"pts=$pts")
+    }
+  }
 }

@@ -178,6 +178,44 @@ class Round10ExtrasSpec extends SparkSpec {
     }
   }
 
+  // ── Spearman rank correlation ───────────────────────────────────────────
+
+  test("spearmanRho is 1 on agreement, -1 on reversal, exact in between") {
+    val up = Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L),
+      (4L, 40L, 400L)).toDF("id", "x", "y")
+    val r1 = graft.operators.Standardize.spearmanRho(up, "id", "x", "y")
+      .select("rho").as[Double].head()
+    assert(r1 == 1.0)
+    val down = Seq((1L, 10L, 400L), (2L, 20L, 300L), (3L, 30L, 200L),
+      (4L, 40L, 100L)).toDF("id", "x", "y")
+    val r2 = graft.operators.Standardize.spearmanRho(down, "id", "x", "y")
+      .select("rho").as[Double].head()
+    assert(r2 == -1.0)
+    // one swapped adjacent pair: d = (0,0,1,1) → Σd² = 2,
+    // ρ = 1 − 12/(4·15) = 0.8
+    val swap = Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 400L),
+      (4L, 40L, 300L)).toDF("id", "x", "y")
+    val out = graft.operators.Standardize.spearmanRho(swap, "id", "x", "y")
+      .select("n", "sum_d2", "rho").as[(Long, Long, Double)].head()
+    assert(out == ((4L, 2L, 0.8)))
+  }
+
+  // ── PMI collocations ────────────────────────────────────────────────────
+
+  test("pmiCollocations ranks exclusive adjacent pairs above promiscuous ones") {
+    // "new york" always adjacent and exclusive; "the" pairs with many
+    // words → low ratio despite high frequency
+    val docs = Seq(
+      (1L, "new york is the city the best the"),
+      (2L, "new york has the park the pond the"),
+      (3L, "new york and the zoo the gate the")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Itemsets.pmiCollocations(docs, "doc_id",
+        "text", minCount = 3L, k = 5)
+      .select("x", "y").as[(String, String)].collect().toSeq
+    assert(out.head == (("new", "york")))
+  }
+
   // ── threshold sweep ─────────────────────────────────────────────────────
 
   test("thresholdSweep computes every cut's kept volume in one pass") {
