@@ -54,6 +54,31 @@ object Classify {
    */
   def nearestCentroid(docs: DataFrame, idCol: String, textCol: String,
                       labelCol: String, labels: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_q").desc, col("candidate").asc)
+    centroidScores(docs, idCol, textCol, labelCol, labels)
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .select(col(idCol), col(labelCol),
+        col("candidate").as("predicted"),
+        col("score_q").as("norm_score_q"),
+        col("n_hit_terms"))
+  }
+
+  /**
+   * The full (document × candidate label) score grid behind
+   * [[nearestCentroid]] — one row per (doc, label) with the exact
+   * integer `score_q` = ⌊10¹²·dot/n_tokens_c⌋ and the matched-term
+   * count. Exposed so downstream selection can reason about the WHOLE
+   * score vector (uncertainty margins, rejection thresholds,
+   * second-choice analysis), not just the argmax.
+   *
+   * Scale shape: as [[nearestCentroid]] — the grid is |docs|·|labels|
+   * rows with |labels| bounded at 64, so it is a constant fan-out of
+   * the corpus, never quadratic.
+   */
+  def centroidScores(docs: DataFrame, idCol: String, textCol: String,
+                     labelCol: String, labels: Seq[String]): DataFrame = {
     require(labels.nonEmpty && labels.size <= 64,
       s"labels size ${labels.size} out of range [1, 64]")
     val big = DecimalType(38, 0)
@@ -64,36 +89,66 @@ object Classify {
     val labeled = docs.select(col(idCol), col(labelCol))
     // centroids: per-(term, label) summed tf + per-label token totals
     val cent = tf.join(labeled, Seq(idCol))
-      .groupBy(col("graft_t"), col(labelCol).as("graft_c"))
+      .groupBy(col("graft_t"), col(labelCol).as("candidate"))
       .agg(sum(col("graft_tf")).as("graft_w"))
-    val classTokens = cent.groupBy(col("graft_c"))
+    val classTokens = cent.groupBy(col("candidate"))
       .agg(sum(col("graft_w")).as("graft_n"))
     // dots: join doc terms to centroids BY TERM — inverted-index shape
     val dots = tf.join(cent, Seq("graft_t"))
-      .groupBy(col(idCol), col("graft_c"))
+      .groupBy(col(idCol), col("candidate"))
       .agg(sum(col("graft_tf") * col("graft_w")).as("graft_dot"),
         count(lit(1)).as("graft_hits"))
-    // every (doc, label) row, zero-filled, normalized, argmaxed
+    // every (doc, label) row, zero-filled, normalized
     val labelFrame = docs.sparkSession
-      .createDataFrame(labels.map(Tuple1(_))).toDF("graft_c")
-    val allPairs = docs.select(col(idCol), col(labelCol))
+      .createDataFrame(labels.map(Tuple1(_))).toDF("candidate")
+    docs.select(col(idCol), col(labelCol))
       .crossJoin(broadcast(labelFrame))
-      .join(dots, Seq(idCol, "graft_c"), "left")
-      .join(broadcast(classTokens), Seq("graft_c"))
+      .join(dots, Seq(idCol, "candidate"), "left")
+      .join(broadcast(classTokens), Seq("candidate"))
       .withColumn("graft_num",
         coalesce(col("graft_dot"), lit(0L)).cast(big) *
           lit(1000000000000L).cast(big))
       // IntegralDivide (`div`), NOT decimal `/` — a (38,0) cast of a
       // fractional quotient would HALF_UP round where the oracle floors
-      .withColumn("graft_q", expr("graft_num div cast(graft_n as decimal(38,0))"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("graft_q").desc, col("graft_c").asc)
-    allPairs
-      .withColumn("graft_rn", row_number().over(w))
-      .filter(col("graft_rn") === 1)
-      .select(col(idCol), col(labelCol),
-        col("graft_c").as("predicted"),
-        col("graft_q").cast(LongType).as("norm_score_q"),
+      .withColumn("score_q",
+        expr("graft_num div cast(graft_n as decimal(38,0))")
+          .cast(LongType))
+      .select(col(idCol), col(labelCol), col("candidate"), col("score_q"),
         coalesce(col("graft_hits"), lit(0L)).as("n_hit_terms"))
+  }
+
+  /**
+   * Margin-based uncertainty sampling (Lewis & Gale SIGIR'94; the
+   * smallest-margin active-learning criterion, Scheffer 2001): the `k`
+   * documents whose top-1 vs top-2 centroid scores are closest — the
+   * rows a labeling budget should be spent on, and the standard
+   * data-selection signal for boundary examples. Margin = score_q(1st)
+   * − score_q(2nd), exact integers from [[centroidScores]]; the k-cut
+   * is TakeOrderedAndProject on (margin asc, id asc).
+   *
+   * Needs ≥ 2 candidate labels (a margin is undefined otherwise).
+   */
+  def uncertaintyMargin(docs: DataFrame, idCol: String, textCol: String,
+                        labelCol: String, labels: Seq[String],
+                        k: Int): DataFrame = {
+    require(labels.size >= 2, "uncertaintyMargin needs >= 2 labels")
+    require(k >= 1, s"k=$k out of range")
+    val grid = centroidScores(docs, idCol, textCol, labelCol, labels)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_q").desc, col("candidate").asc)
+    val ranked = grid.withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") <= 2)
+    val top1 = ranked.filter(col("graft_rn") === 1)
+      .select(col(idCol), col(labelCol),
+        col("candidate").as("predicted"), col("score_q").as("graft_s1"))
+    val top2 = ranked.filter(col("graft_rn") === 2)
+      .select(col(idCol), col("candidate").as("runner_up"),
+        col("score_q").as("graft_s2"))
+    top1.join(top2, Seq(idCol))
+      .withColumn("margin_q", col("graft_s1") - col("graft_s2"))
+      .select(col(idCol), col(labelCol), col("predicted"),
+        col("runner_up"), col("margin_q"))
+      .orderBy(col("margin_q").asc, col(idCol).asc)
+      .limit(k)
   }
 }

@@ -469,4 +469,32 @@ object Profiling {
         round(col("graft_med"), 6).as("median_tokens"),
         col("max_tokens"))
   }
+
+  /**
+   * Classifier reliability audit (the calibration / reliability-diagram
+   * table, Niculescu-Mizil & Caruana ICML'05): bucket rows by score and
+   * report each bucket's exact positive rate — a well-calibrated score
+   * has positive rate rising monotonically with the bucket. Bucketing is
+   * floor(score / width): the division is exact at the integer bucket
+   * boundaries (the only places a ulp could flip the floor), so buckets
+   * are engine-portable without any modulo-sign pitfalls. Output one row
+   * per non-empty bucket: (bucket, n, n_pos, pos_ppm) — exact integers.
+   *
+   * Scale shape: ONE |buckets|-key hash agg (map-side combinable), a
+   * narrow bucket projection — the corpus is never re-shuffled per
+   * bucket.
+   */
+  def reliabilityBuckets(df: DataFrame, scoreCol: String, posCol: Column,
+                         bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth=$bucketWidth out of range")
+    df.select(
+        floor(col(scoreCol).cast(DoubleType) / bucketWidth.toDouble)
+          .cast(LongType).as("bucket"),
+        when(posCol, 1L).otherwise(0L).as("graft_pos"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("graft_pos")).as("n_pos"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("cast(n_pos * 1000000 as decimal(38,0)) div " +
+          "cast(n as decimal(38,0))").cast(LongType).as("pos_ppm"))
+  }
 }

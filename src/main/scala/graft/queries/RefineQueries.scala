@@ -1217,4 +1217,89 @@ object RefineQueries {
       |      CROSS JOIN nu CROSS JOIN nb)
       |SELECT x, y, c_xy, c_x, c_y, ratio_q FROM j
       |ORDER BY ratio_q DESC, x, y LIMIT 20""".stripMargin
+
+  // ── q241: margin-based uncertainty sampling ────────────────────────────
+
+  /** q241: the 25 documents the q233 centroid classifier is LEAST sure
+    * about ([[graft.operators.Classify.uncertaintyMargin]] — smallest
+    * top-1 vs top-2 score margin, Lewis & Gale 1994) — where a labeling
+    * budget goes. Margins are exact integer score differences; the cut
+    * is TakeOrdered on (margin, doc). */
+  def q241UncertaintySample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classify.uncertaintyMargin(Sources.documents(s, dir),
+        "doc_id", "text", "lang", centroidLabels, k = 25)
+      .orderBy(col("margin_q").asc, col("doc_id").asc)
+
+  // wraps the q233 score-grid chain: identical CTEs up to `q`, then the
+  // top-2 rank/margin cut instead of the argmax-confusion rollup
+  val q241Sql: String = {
+    val lv = centroidLabels.map(l => s"'$l'").mkString(", ")
+    s"""WITH tf AS (SELECT doc_id, t AS term, COUNT(*) AS tf FROM
+       |       (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |        FROM documents) GROUP BY 1, 2),
+       |cent AS (SELECT tf.term, d.lang AS c, SUM(tf.tf) AS w
+       |         FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+       |ct AS (SELECT c, SUM(w) AS n FROM cent GROUP BY 1),
+       |dots AS (SELECT tf.doc_id, cent.c, SUM(tf.tf * cent.w) AS dot
+       |         FROM tf JOIN cent USING (term) GROUP BY 1, 2),
+       |lf AS (SELECT unnest([$lv]) AS c),
+       |ap AS (SELECT d.doc_id, d.lang, lf.c,
+       |         COALESCE(dt.dot, 0) AS dot, ct.n
+       |       FROM documents d CROSS JOIN lf
+       |       JOIN ct ON ct.c = lf.c
+       |       LEFT JOIN dots dt ON dt.doc_id = d.doc_id AND dt.c = lf.c),
+       |q AS (SELECT doc_id, lang, c,
+       |        (dot::HUGEINT * 1000000000000::HUGEINT) // n::HUGEINT AS q
+       |      FROM ap),
+       |pr AS (SELECT doc_id, lang, c, q, row_number() OVER (
+       |         PARTITION BY doc_id ORDER BY q DESC, c ASC) AS rn FROM q),
+       |t1 AS (SELECT doc_id, lang, c AS predicted, q AS s1 FROM pr
+       |       WHERE rn = 1),
+       |t2 AS (SELECT doc_id, c AS runner_up, q AS s2 FROM pr WHERE rn = 2)
+       |SELECT t1.doc_id, t1.lang, t1.predicted, t2.runner_up,
+       |  CAST(t1.s1 - t2.s2 AS BIGINT) AS margin_q
+       |FROM t1 JOIN t2 USING (doc_id)
+       |ORDER BY margin_q ASC, t1.doc_id ASC LIMIT 25""".stripMargin
+  }
+
+  // ── q242: classifier reliability / calibration audit ───────────────────
+
+  /** q242: the reliability-diagram table for the q212 linear quality
+    * classifier against the English-language target
+    * ([[graft.operators.Profiling.reliabilityBuckets]], 200-milli logit
+    * buckets) — per bucket, exact doc counts and positive rate; a
+    * calibrated score shows pos_ppm rising with the bucket. */
+  def q242Reliability(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.linearQualityScore(
+      Sources.documents(s, dir), "doc_id", "text",
+      QualityQueries.q212MilliWeights.toMap, QualityQueries.q212BiasMilli)
+    val withLang = scored.join(
+      Sources.documents(s, dir).select(col("doc_id"), col("lang")),
+      Seq("doc_id"))
+    graft.operators.Profiling.reliabilityBuckets(withLang, "logit_milli",
+        col("lang") === "en", bucketWidth = 200L)
+      .orderBy(col("bucket"))
+  }
+
+  val q242Sql: String = {
+    val values = QualityQueries.q212MilliWeights
+      .map { case (t, w) => s"('$t', ${w}::BIGINT)" }.mkString(", ")
+    s"""WITH w(term, wm) AS (VALUES $values),
+       |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |      FROM documents),
+       |h AS (SELECT t.doc_id, CAST(SUM(w.wm) AS BIGINT) AS zsum
+       |      FROM t JOIN w USING (term) GROUP BY t.doc_id),
+       |sc AS (SELECT d.doc_id, d.lang,
+       |         CAST(COALESCE(h.zsum, 0) +
+       |           ${QualityQueries.q212BiasMilli} AS BIGINT) AS lm
+       |       FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id),
+       |b AS (SELECT CAST(FLOOR(lm::DOUBLE / 200.0) AS BIGINT) AS bucket,
+       |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |      FROM sc)
+       |SELECT bucket, COUNT(*) AS n,
+       |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |  CAST((SUM(pos)::HUGEINT * 1000000) // COUNT(*)::HUGEINT
+       |    AS BIGINT) AS pos_ppm
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
 }

@@ -520,7 +520,9 @@ class PlanShapeSpec extends SparkSpec {
       "q239_spearman",
       // q240: 1-row (Nu, Nb) corpus-totals broadcast (the q81/q130
       // totals shape)
-      "q240_pmi_collocations")
+      "q240_pmi_collocations",
+      // q241: q233's ≤64-row label-frame crossJoin (centroidScores)
+      "q241_uncertainty_sample")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

@@ -165,6 +165,40 @@ class Round10ExtrasSpec extends SparkSpec {
     assert(out._1 == "a" && out._2 > 0L && out._3 == 2L)
   }
 
+  // ── uncertainty margin ──────────────────────────────────────────────────
+
+  test("uncertaintyMargin surfaces the boundary doc first") {
+    val docs = Seq(
+      (1L, "cat cat cat cat", "pets"),       // firmly pets
+      (2L, "bond bond bond bond", "finance"), // firmly finance
+      (3L, "cat bond", "pets")               // the boundary example
+    ).toDF("doc_id", "text", "label")
+    val out = graft.operators.Classify.uncertaintyMargin(docs, "doc_id",
+        "text", "label", Seq("finance", "pets"), k = 3)
+      .select("doc_id", "margin_q").as[(Long, Long)].collect().toSeq
+    assert(out.head._1 == 3L, s"boundary doc not first: $out")
+    assert(out.forall(_._2 >= 0L), "margins must be non-negative")
+    assert(out.map(_._2) == out.map(_._2).sorted, "not margin-ordered")
+  }
+
+  // ── reliability buckets ─────────────────────────────────────────────────
+
+  test("reliabilityBuckets floors negative scores consistently") {
+    val scored = Seq(
+      (-401L, true), (-400L, false), (-1L, true), (0L, true),
+      (199L, false), (200L, true)
+    ).toDF("score", "pos")
+    val out = graft.operators.Profiling.reliabilityBuckets(scored, "score",
+        col("pos"), bucketWidth = 200L)
+      .orderBy("bucket")
+      .select("bucket", "n", "n_pos", "pos_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // floor semantics: -401 → -3, -400 → -2, -1 → -1, 0/199 → 0, 200 → 1
+    assert(out == Seq(
+      (-3L, 1L, 1L, 1000000L), (-2L, 1L, 0L, 0L), (-1L, 1L, 1L, 1000000L),
+      (0L, 2L, 1L, 500000L), (1L, 1L, 1L, 1000000L)))
+  }
+
   // ── split-leakage audit ─────────────────────────────────────────────────
 
   test("split leakage audit flags only cross-split near-dup pairs") {
