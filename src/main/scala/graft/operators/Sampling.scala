@@ -528,4 +528,54 @@ object Sampling {
       .select(col(strataCol), col(tokensCol).as("n_tokens"),
         col("saturated"), col("alloc_tokens"), col("epochs_milli"))
   }
+
+  /**
+   * Competence-based curriculum admission (Platanios et al. NAACL 2019,
+   * root pacing): with competence c(t) = √(c0² + t·(1−c0²)/T), a
+   * document at difficulty percentile p = rank/n enters training at the
+   * first step where c(t) ≥ p. The ASSIGNMENT needs no square root —
+   * inverting the pacing squares it away:
+   *
+   *   t_admit = ⌈T·(p² − c0²)/(1 − c0²)⌉
+   *           = ⌈T·(c0d²·r² − c0n²·n²) / ((c0d² − c0n²)·n²)⌉
+   *
+   * with c0 = c0n/c0d rational — EXACT DECIMAL(38,0) integer
+   * arithmetic end to end (ceil via (a+b−1) div b), zero libm, so
+   * every admit step is engine-portable and gate-hashable. Documents at
+   * or below the initial competence (c0d²·r² ≤ c0n²·n²) train from
+   * step 0.
+   *
+   * Scale shape: the difficulty rank is [[GlobalRank.globalRowNumber]]
+   * (range shuffle + metadata offsets — no single-task window); n rides
+   * a 1-row broadcast; the step arithmetic is one narrow codegen'd
+   * projection.
+   */
+  def curriculumAdmission(df: DataFrame, idCol: String,
+                          difficultyCol: String, totalSteps: Long,
+                          c0Num: Long, c0Den: Long): DataFrame = {
+    require(totalSteps >= 1, s"totalSteps=$totalSteps out of range")
+    require(c0Den >= 1 && c0Num >= 0 && c0Num < c0Den,
+      s"c0=$c0Num/$c0Den must lie in [0, 1)")
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ranked = GlobalRank.globalRowNumber(
+      df.select(col(idCol), col(difficultyCol)),
+      Seq(col(difficultyCol).asc, col(idCol).asc), "graft_r")
+    val n = ranked.agg(count(lit(1)).cast(big).as("graft_n"))
+    val r = col("graft_r").cast(big)
+    val c0n2 = lit(c0Num * c0Num).cast(big)
+    val c0d2 = lit(c0Den * c0Den).cast(big)
+    ranked.crossJoin(broadcast(n))
+      .withColumn("graft_lhs", c0d2 * r * r)
+      .withColumn("graft_rhs", c0n2 * col("graft_n") * col("graft_n"))
+      .withColumn("graft_a",
+        lit(totalSteps).cast(big) * (col("graft_lhs") - col("graft_rhs")))
+      .withColumn("graft_b",
+        (c0d2 - c0n2) * col("graft_n") * col("graft_n"))
+      .select(col(idCol),
+        col("graft_r").cast(org.apache.spark.sql.types.LongType)
+          .as("difficulty_rank"),
+        when(col("graft_lhs") <= col("graft_rhs"), 0L)
+          .otherwise(expr("(graft_a + graft_b - 1) div graft_b"))
+          .cast(org.apache.spark.sql.types.LongType).as("admit_step"))
+  }
 }

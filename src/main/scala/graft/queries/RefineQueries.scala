@@ -1302,4 +1302,35 @@ object RefineQueries {
        |    AS BIGINT) AS pos_ppm
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   }
+
+  // ── q243: competence-based curriculum admission (Platanios 2019) ───────
+
+  /** q243: root-pacing curriculum admission steps for the corpus
+    * ([[graft.operators.Sampling.curriculumAdmission]], difficulty =
+    * word count, T = 1000 steps, c0 = 1/10) — the inverse of the √
+    * pacing function computed wholly in exact integer arithmetic (the
+    * square cancels the root), so every per-doc admit step is
+    * gate-hashed. The training-scheduler input that decides WHEN each
+    * example first appears. */
+  def q243CurriculumAdmission(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.curriculumAdmission(
+        Sources.documents(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words")),
+        "doc_id", "n_words", totalSteps = 1000L, c0Num = 1L, c0Den = 10L)
+      .orderBy(col("doc_id"))
+
+  val q243Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+      |  FROM documents),
+      |r AS (SELECT doc_id,
+      |        row_number() OVER (ORDER BY nw, doc_id) AS r,
+      |        COUNT(*) OVER () AS n
+      |      FROM t)
+      |SELECT doc_id, CAST(r AS BIGINT) AS difficulty_rank,
+      |  CASE WHEN 100::HUGEINT * r * r <= 1::HUGEINT * n * n THEN 0
+      |    ELSE CAST((1000::HUGEINT * (100::HUGEINT * r * r - n * n)
+      |      + 99::HUGEINT * n * n - 1) // (99::HUGEINT * n * n) AS BIGINT)
+      |  END AS admit_step
+      |FROM r ORDER BY doc_id""".stripMargin
 }

@@ -522,7 +522,9 @@ class PlanShapeSpec extends SparkSpec {
       // totals shape)
       "q240_pmi_collocations",
       // q241: q233's ≤64-row label-frame crossJoin (centroidScores)
-      "q241_uncertainty_sample")
+      "q241_uncertainty_sample",
+      // q243: GlobalRank offsets `<` join + 1-row n broadcast
+      "q243_curriculum_pacing")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

@@ -199,6 +199,28 @@ class Round10ExtrasSpec extends SparkSpec {
       (0L, 2L, 1L, 500000L), (1L, 1L, 1L, 1000000L)))
   }
 
+  // ── curriculum admission ────────────────────────────────────────────────
+
+  test("curriculumAdmission inverts the root pacing exactly") {
+    // n = 10, T = 100, c0 = 1/2: p = r/10; admitted from 0 while
+    // p <= 1/2 (r <= 5); else t = ceil(100·(p² − 1/4)/(3/4))
+    //   = ceil((100·(4r² − 100)) / 300)
+    val docs = (1 to 10).map(i => (i.toLong, i.toLong * 10))
+      .toDF("id", "difficulty")
+    val out = graft.operators.Sampling.curriculumAdmission(docs, "id",
+        "difficulty", totalSteps = 100L, c0Num = 1L, c0Den = 2L)
+      .orderBy("id").select("difficulty_rank", "admit_step")
+      .as[(Long, Long)].collect().toSeq
+    def expect(r: Long): Long =
+      if (4 * r * r <= 100) 0L
+      else (100 * (4 * r * r - 100) + 299) / 300
+    assert(out == (1 to 10).map(r => (r.toLong, expect(r))))
+    // monotone: harder docs never admitted earlier
+    assert(out.map(_._2) == out.map(_._2).sorted)
+    // the last doc (p = 1) enters exactly at T
+    assert(out.last._2 == 100L)
+  }
+
   // ── split-leakage audit ─────────────────────────────────────────────────
 
   test("split leakage audit flags only cross-split near-dup pairs") {
