@@ -138,4 +138,37 @@ object Multimodal {
       .withColumn("out_height",
         greatest(floor(col("height") * scale), lit(1L)).cast("int"))
   }
+
+  /**
+   * Magic-byte integrity audit: does each binary payload's leading
+   * bytes match the signature its CLAIMED type promises (JPEG FF D8 FF,
+   * PNG 89 50 4E 47, …)? The corrupt-file / mislabeled-asset detector
+   * every media-ingest pipeline runs before spending decode time —
+   * truncated downloads, HTML error pages saved as .jpg, and
+   * extension-renamed files all fail here (libmagic's check, expressed
+   * columnar).
+   *
+   * `magics` maps claimed type → expected leading bytes. The check is
+   * one codegen'd projection: hex(substring(payload)) equality per
+   * claimed type — payload bytes never leave the scan task, no UDF.
+   * Claimed types absent from `magics` report NULL (unknown), never a
+   * false verdict.
+   */
+  def magicByteAudit(df: DataFrame, idCol: String, payloadCol: String,
+                     claimedCol: String,
+                     magics: Map[String, Array[Byte]]): DataFrame = {
+    require(magics.nonEmpty && magics.size <= 64,
+      s"magics size ${magics.size} out of range [1, 64]")
+    require(magics.values.forall(m => m.nonEmpty && m.length <= 16),
+      "magic signatures must be 1..16 bytes")
+    val ok = magics.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(true))) { case (acc, (t, m)) =>
+        acc.when(col(claimedCol) === t,
+          hex(substring(col(payloadCol), 1, m.length)) ===
+            lit(m.map("%02X".format(_)).mkString))
+      }
+      .otherwise(lit(null).cast("boolean"))
+    df.select(col(idCol), col(claimedCol), ok.as("magic_ok"),
+      length(col(payloadCol)).cast(LongType).as("byte_len"))
+  }
 }

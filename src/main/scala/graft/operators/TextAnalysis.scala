@@ -619,6 +619,33 @@ object TextAnalysis {
   }
 
   /**
+   * Code-switching / mixed-language audit: per document, the per-profile
+   * distinct-stopword hit counts, how many languages clear `minHits`,
+   * and the `mixed` flag — the CCNet-style check that drops documents
+   * whose text mixes languages (they poison both languages' corpora;
+   * Wenzek et al. 2020 filter on LID confidence for exactly this
+   * reason). Complements [[languageId]] (argmax only) by exposing the
+   * WHOLE hit vector, so thresholds can be tuned per profile.
+   *
+   * One codegen'd projection (array_intersect per profile over the
+   * distinct words) — zero shuffle, the [[qualityCols]] contract.
+   */
+  def codeSwitchAudit(docs: DataFrame, idCol: String, textCol: String,
+                      minHits: Int = 2): DataFrame = {
+    require(minHits >= 1, s"minHits=$minHits out of range")
+    val words = array_distinct(split(col(textCol), " "))
+    val hitCols = langProfiles.map { case (lang, profile) =>
+      lang -> profileHits(words, profile).cast(LongType)
+    }
+    val nLangs = hitCols.map { case (_, c) =>
+      when(c >= minHits, 1L).otherwise(0L)
+    }.reduce(_ + _)
+    docs.select(
+      (col(idCol) +: hitCols.map { case (l, c) => c.as(s"${l}_hits") }) ++
+        Seq(nLangs.as("n_langs"), (nLangs >= 2L).as("mixed")): _*)
+  }
+
+  /**
    * WITHIN-document repetition profile — the Gopher repetition battery
    * (Rae et al. 2021, Table A1) the cross-document audits (q198's
    * verbatim-run coverage, q208's corpus boilerplate) don't cover: a

@@ -1333,4 +1333,85 @@ object RefineQueries {
       |      + 99::HUGEINT * n * n - 1) // (99::HUGEINT * n * n) AS BIGINT)
       |  END AS admit_step
       |FROM r ORDER BY doc_id""".stripMargin
+
+  // ── q244: code-switching / mixed-language audit ────────────────────────
+
+  /** q244: per-document language-profile hit vectors and the mixed flag
+    * ([[TextAnalysis.codeSwitchAudit]], minHits = 2) — the CCNet-style
+    * mixed-language detector exposing the whole hit vector rather than
+    * q47's argmax alone. One codegen'd projection; every column an
+    * exact integer/boolean. */
+  def q244CodeSwitch(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.codeSwitchAudit(Sources.documents(s, dir), "doc_id",
+        "text", minHits = 2)
+      .orderBy(col("doc_id"))
+
+  val q244Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |         list_distinct(string_split(text, ' ')) AS ws
+      |       FROM documents),
+      |h AS (SELECT doc_id,
+      |  CAST(len(list_intersect(ws, ['the','and','of','to','in']))
+      |    AS BIGINT) AS en_hits,
+      |  CAST(len(list_intersect(ws, ['el','la','de','que','los']))
+      |    AS BIGINT) AS es_hits,
+      |  CAST(len(list_intersect(ws, ['le','la','et','les','des']))
+      |    AS BIGINT) AS fr_hits,
+      |  CAST(len(list_intersect(ws, ['der','die','und','das','ist']))
+      |    AS BIGINT) AS de_hits
+      |FROM w)
+      |SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+      |  CAST((CASE WHEN en_hits >= 2 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN es_hits >= 2 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN fr_hits >= 2 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN de_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_langs,
+      |  ((CASE WHEN en_hits >= 2 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN es_hits >= 2 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN fr_hits >= 2 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN de_hits >= 2 THEN 1 ELSE 0 END)) >= 2 AS mixed
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  // ── q245: payload magic-byte integrity audit ───────────────────────────
+
+  /** q245: corrupt-file detection over synthesized binary payloads —
+    * [[graft.operators.Multimodal.magicByteAudit]]: each doc claims a
+    * type by doc_id % 3 (jpg/png/pdf) and carries the matching printable
+    * signature prefix ONLY when doc_id % 2 = 0, so the gate proves the
+    * byte-prefix check flags exactly the unprefixed half. (Real magic
+    * bytes are non-printable; the operator takes arbitrary byte
+    * signatures — the printable stand-ins keep the oracle replayable at
+    * the string level.) */
+  def q245MagicAudit(s: SparkSession, dir: String): DataFrame = {
+    val magics = Map(
+      "jpg" -> "JPG!".getBytes("UTF-8"),
+      "png" -> "PNG#".getBytes("UTF-8"),
+      "pdf" -> "%PDF".getBytes("UTF-8"))
+    val claimed = when(col("doc_id") % 3 === 0, "jpg")
+      .when(col("doc_id") % 3 === 1, "png").otherwise("pdf")
+    val prefix = when(col("doc_id") % 3 === 0, "JPG!")
+      .when(col("doc_id") % 3 === 1, "PNG#").otherwise("%PDF")
+    val payload = when(col("doc_id") % 2 === 0,
+      concat(prefix, col("text"))).otherwise(col("text")).cast("binary")
+    graft.operators.Multimodal.magicByteAudit(
+        Sources.documents(s, dir).select(col("doc_id"),
+          claimed.as("claimed"), payload.as("payload")),
+        "doc_id", "payload", "claimed", magics)
+      .orderBy(col("doc_id"))
+  }
+
+  val q245Sql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'jpg'
+      |         WHEN doc_id % 3 = 1 THEN 'png' ELSE 'pdf' END AS claimed,
+      |    CASE WHEN doc_id % 2 = 0 THEN
+      |      (CASE WHEN doc_id % 3 = 0 THEN 'JPG!'
+      |            WHEN doc_id % 3 = 1 THEN 'PNG#' ELSE '%PDF' END) || text
+      |    ELSE text END AS payload
+      |  FROM documents)
+      |SELECT doc_id, claimed,
+      |  substr(payload, 1, 4) = (CASE WHEN claimed = 'jpg' THEN 'JPG!'
+      |    WHEN claimed = 'png' THEN 'PNG#' ELSE '%PDF' END) AS magic_ok,
+      |  CAST(length(payload) AS BIGINT) AS byte_len
+      |FROM p ORDER BY doc_id""".stripMargin
 }

@@ -199,6 +199,53 @@ class Round10ExtrasSpec extends SparkSpec {
       (0L, 2L, 1L, 500000L), (1L, 1L, 1L, 1000000L)))
   }
 
+  // ── code-switching audit ────────────────────────────────────────────────
+
+  test("codeSwitchAudit flags docs clearing two profiles, not one") {
+    val docs = Seq(
+      (1L, "the and of going home"),            // en only
+      (2L, "the and el la interesting mix"),    // en + es
+      (3L, "nothing matching here")             // none
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .codeSwitchAudit(docs, "doc_id", "text", minHits = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "en_hits", "es_hits", "n_langs", "mixed")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 0L, 1L, false),
+      (2L, 2L, 2L, 2L, true),
+      (3L, 0L, 0L, 0L, false)))
+  }
+
+  // ── magic-byte audit ────────────────────────────────────────────────────
+
+  test("magicByteAudit verifies real (non-printable) signatures") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 1, 2)
+    val corrupt = Array[Byte](0x3C, 0x68, 0x74, 0x6D, 0x6C) // "<html"
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 9)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("claimed", StringType), StructField("payload", BinaryType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "jpg", jpeg), Row(2L, "jpg", corrupt),
+        Row(3L, "png", png), Row(4L, "webp", png))), schema)
+    val out = graft.operators.Multimodal.magicByteAudit(df, "id",
+        "payload", "claimed",
+        Map("jpg" -> Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte),
+          "png" -> Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)))
+      .orderBy("id")
+      .select("id", "magic_ok")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toSeq
+    // 1: valid jpeg; 2: html saved as .jpg → false; 3: valid png;
+    // 4: claimed type not in the signature map → NULL, never a verdict
+    assert(out == Seq((1L, Some(true)), (2L, Some(false)),
+      (3L, Some(true)), (4L, None)))
+  }
+
   // ── curriculum admission ────────────────────────────────────────────────
 
   test("curriculumAdmission inverts the root pacing exactly") {
