@@ -635,6 +635,60 @@ object Relevance {
    * pre-rounded DECIMAL contributions (the bm25TopK portability
    * contract), so ranks and scores are engine-exact.
    */
+  /**
+   * CCNet-style head/middle/tail perplexity tiers (Wenzek et al. 2020,
+   * §4.3): within each group (CCNet: language), documents split into
+   * `tiers.size` equal-count tiers by descending predictability, so
+   * "head" holds the slice the reference LM finds most predictable
+   * (lowest perplexity) — the tier CCNet keeps outright, "middle" kept
+   * conditionally, "tail" dropped or down-sampled.
+   *
+   * The ordering key is the PORTABLE per-slot mean quantized
+   * interpolated probability `sum_pq6 div n_scored` from
+   * [[interpolatedPerplexity]] (exact BIGINT; descending predictability
+   * = ascending perplexity), so tier boundaries are engine-exact — raw
+   * libm `ppl` never enters the ordering (the q200 portability rule).
+   * Every document sharing a score level lands in the SAME tier
+   * (boundaries fall between distinct levels via the strictly-above
+   * cumulative count), so assignment needs no per-document tiebreak.
+   *
+   * Scale shape: the corpus collapses to a (group, score) distribution
+   * first — a map-side-combinable hash agg whose cardinality is bounded
+   * by |groups|·10⁶ quantized levels, metadata-scale. The cumulative
+   * window and the tier CASE run on THAT table only, and assignment
+   * returns to the corpus via a broadcast hash join on (group, score).
+   * The corpus itself never range-shuffles — this is the
+   * boundary-broadcast design, not a per-document ntile sort.
+   */
+  def perplexityTiers(scored: DataFrame, idCol: String, groupCol: String,
+                      tiers: Seq[String] = Seq("head", "middle", "tail"))
+      : DataFrame = {
+    require(tiers.nonEmpty, "tiers must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val k = tiers.size
+    val sc = scored.select(col(idCol), col(groupCol),
+      expr("cast(sum_pq6 as bigint) div n_scored").as("pq6_mean"))
+    val dist = sc.groupBy(col(groupCol), col("pq6_mean"))
+      .agg(count(lit(1)).as("graft_n"))
+    // docs at strictly MORE predictable levels — coalesce(0) for the top
+    val cumBefore = coalesce(sum(col("graft_n")).over(
+      Window.partitionBy(col(groupCol)).orderBy(col("pq6_mean").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val tot = sum(col("graft_n")).over(Window.partitionBy(col(groupCol)))
+    // tier i ⇔ cum0/tot < (i+1)/k, integer cross-multiplied (exact)
+    val tierCol = tiers.init.zipWithIndex.foldRight(lit(tiers.last)) {
+      case ((name, i), rest) =>
+        when(col("graft_cum0") * lit(k.toLong) <
+          col("graft_tot") * lit(i.toLong + 1L), lit(name)).otherwise(rest)
+    }
+    val bounds = dist
+      .withColumn("graft_cum0", cumBefore)
+      .withColumn("graft_tot", tot)
+      .select(col(groupCol), col("pq6_mean"), tierCol.as("tier"))
+    sc.join(broadcast(bounds), Seq(groupCol, "pq6_mean"))
+      .select(col(idCol), col(groupCol), col("pq6_mean"), col("tier"))
+  }
+
   def hardNegatives(docs: DataFrame, idCol: String, textCol: String,
                     queries: DataFrame, queryIdCol: String,
                     gold: DataFrame, n: Int, poolK: Int,

@@ -465,4 +465,69 @@ object Similarity {
     picked.select(col(qidCol), col("sel_idx"), col(idCol), col("rel"),
       when(col("sel_idx") > 0, col("graft_ms")).as("max_sim_prev"))
   }
+
+  /**
+   * Margin-based candidate-pair mining (Artetxe & Schwenk 2019 — the
+   * CCMatrix/LASER bitext-mining criterion): for every source vector x,
+   * score each target candidate y by the RATIO margin
+   * `m(x,y) = cos(x,y) / ((avgₖ cos(x→T) + avgₖ cos(y→S)) / 2)` and keep
+   * x's best-margin target when it clears `tau`. Normalizing by BOTH
+   * sides' k-NN neighborhood means cancels hubness: a target that is
+   * everyone's neighbor carries a large denominator and stops winning on
+   * raw cosine — the failure mode of absolute-threshold mining.
+   *
+   * Determinism: pair cosines are 6-dp DECIMAL (the q201-proven portable
+   * surface); k-NN membership breaks cosine ties on id; neighborhood
+   * sums are DECIMAL (order-independent); the margin is ONE fixed-shape
+   * double expression over those decimals (IEEE divide/add are exactly
+   * rounded — no libm), re-rounded to 6 dp, and the final argmax breaks
+   * margin ties on target id.
+   *
+   * Scale shape: this is the exact all-pairs baseline — |S|·|T| pair
+   * rows from one crossJoin pass, then three key shuffles of that table
+   * (src-side rank+sum windows share one Exchange, tgt-side likewise,
+   * argmax rides WindowGroupLimit). At corpus scale the identical margin
+   * runs over LSH/IVF candidate pairs ([[annTopK]]/[[multiProbeTopK]]
+   * generate them) — only the pair source shrinks, the math is unchanged.
+   */
+  def marginMining(src: DataFrame, tgt: DataFrame, idCol: String,
+                   vecCol: String, k: Int, tau: Double): DataFrame = {
+    require(k >= 1, s"k=$k out of range")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = src
+      .select(col(idCol).as("src_id"), col(vecCol).as("graft_sv"))
+      .crossJoin(tgt.select(col(idCol).as("tgt_id"),
+        col(vecCol).as("graft_tv")))
+      .select(col("src_id"), col("tgt_id"),
+        round(cosine(col("graft_sv"), col("graft_tv")), 6)
+          .cast(DecimalType(18, 6)).as("graft_c"))
+    val bySrc = Window.partitionBy(col("src_id"))
+    val byTgt = Window.partitionBy(col("tgt_id"))
+    val inA = row_number().over(
+      bySrc.orderBy(col("graft_c").desc, col("tgt_id").asc)) <= k
+    val scoredA = pairs
+      .withColumn("graft_ina", inA)
+      .withColumn("graft_sa",
+        sum(when(col("graft_ina"), col("graft_c"))).over(bySrc))
+      .withColumn("graft_ka",
+        sum(when(col("graft_ina"), 1L)).over(bySrc))
+    val inB = row_number().over(
+      byTgt.orderBy(col("graft_c").desc, col("src_id").asc)) <= k
+    val scoredB = scoredA
+      .withColumn("graft_inb", inB)
+      .withColumn("graft_sb",
+        sum(when(col("graft_inb"), col("graft_c"))).over(byTgt))
+      .withColumn("graft_kb",
+        sum(when(col("graft_inb"), 1L)).over(byTgt))
+    val margin = round(col("graft_c").cast(DoubleType) /
+      ((col("graft_sa").cast(DoubleType) / col("graft_ka").cast(DoubleType) +
+        col("graft_sb").cast(DoubleType) / col("graft_kb").cast(DoubleType))
+        / lit(2.0)), 6)
+    val best = LatestSnapshot.topK(
+      scoredB.withColumn("margin", margin), Seq("src_id"),
+      col("margin").desc, Seq(col("tgt_id").asc), 1)
+    best.filter(col("margin") >= tau)
+      .select(col("src_id"), col("tgt_id"),
+        col("graft_c").cast(DoubleType).as("cosine"), col("margin"))
+  }
 }

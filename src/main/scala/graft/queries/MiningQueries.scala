@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Relevance, Similarity}
+import graft.sources.Sources
+
+/**
+ * Round-10 mining/selection operators: CCNet perplexity tiering and
+ * margin-based cross-corpus pair mining. Each query gates a
+ * [[graft.operators]] component against an independent DuckDB
+ * derivation.
+ */
+object MiningQueries {
+
+  // ── q246: CCNet head/middle/tail perplexity tiers ──────────────────────
+
+  /** q246: per-language head/middle/tail tier assignment
+    * ([[Relevance.perplexityTiers]]) over the interpolated-perplexity
+    * scores of q200 — the CCNet corpus split (Wenzek 2020). The gate
+    * hashes every document's (lang, portable score, tier): boundaries
+    * derive from the exact BIGINT `sum_pq6 div n_scored`, so the whole
+    * assignment is engine-exact with no tolerance column. */
+  def q246CcnetTiers(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val scored = Relevance.interpolatedPerplexity(docs, "doc_id", "text",
+        lambda = 0.75)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    Relevance.perplexityTiers(scored, "doc_id", "lang")
+      .orderBy(col("doc_id"))
+  }
+
+  // wraps the canonical interpolated-perplexity chain (q200Sql) — a
+  // parameter change there propagates here, not a drifting inline copy
+  val q246Sql: String =
+    s"""WITH ppl AS (
+      |  SELECT doc_id, n_scored, sum_pq6 FROM (
+      |${QualityQueries.q200Sql}
+      |  )),
+      |sc AS (SELECT p.doc_id, d.lang,
+      |         CAST(p.sum_pq6 // p.n_scored AS BIGINT) AS pq6_mean
+      |       FROM ppl p JOIN documents d USING (doc_id)),
+      |dist AS (SELECT lang, pq6_mean, COUNT(*) AS n FROM sc GROUP BY 1, 2),
+      |cw AS (SELECT lang, pq6_mean,
+      |         COALESCE(SUM(n) OVER (PARTITION BY lang
+      |           ORDER BY pq6_mean DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS cum0,
+      |         SUM(n) OVER (PARTITION BY lang) AS tot
+      |       FROM dist),
+      |tier AS (SELECT lang, pq6_mean,
+      |         CASE WHEN 3 * cum0 < tot THEN 'head'
+      |              WHEN 3 * cum0 < 2 * tot THEN 'middle'
+      |              ELSE 'tail' END AS tier
+      |       FROM cw)
+      |SELECT sc.doc_id, sc.lang, sc.pq6_mean, t.tier
+      |FROM sc JOIN tier t USING (lang, pq6_mean)
+      |ORDER BY sc.doc_id""".stripMargin
+
+  // ── q247: margin-based cross-corpus pair mining ────────────────────────
+
+  /** q247: margin-mined best pairs between the even-id and odd-id halves
+    * of the embedding corpus — [[Similarity.marginMining]] with k = 4
+    * neighborhoods and ratio-margin threshold 1.05 (Artetxe & Schwenk
+    * 2019); the bitext/near-pair mining criterion that normalizes away
+    * hub vectors. Gate = each source's winning target with its cosine
+    * and margin. */
+  def q247MarginMining(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    Similarity.marginMining(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, tau = 1.05)
+      .orderBy(col("src_id"))
+  }
+
+  val q247Sql: String =
+    """WITH sv AS (SELECT vec_id AS src_id, embedding AS v
+      |            FROM embeddings WHERE vec_id % 2 = 0),
+      |tv AS (SELECT vec_id AS tgt_id, embedding AS v
+      |       FROM embeddings WHERE vec_id % 2 = 1),
+      |p AS (SELECT s.src_id, t.tgt_id,
+      |        CAST(round(list_sum(list_transform(range(1, len(s.v) + 1),
+      |            i -> s.v[i]::DOUBLE * t.v[i]::DOUBLE)) /
+      |          (sqrt(list_sum(list_transform(range(1, len(s.v) + 1),
+      |             i -> s.v[i]::DOUBLE * s.v[i]::DOUBLE))) *
+      |           sqrt(list_sum(list_transform(range(1, len(t.v) + 1),
+      |             i -> t.v[i]::DOUBLE * t.v[i]::DOUBLE)))), 6)
+      |          AS DECIMAL(18,6)) AS c
+      |      FROM sv s CROSS JOIN tv t),
+      |ra AS (SELECT *, row_number() OVER (PARTITION BY src_id
+      |         ORDER BY c DESC, tgt_id) AS rna FROM p),
+      |sa AS (SELECT src_id, SUM(c) AS sa, COUNT(*) AS ka
+      |       FROM ra WHERE rna <= 4 GROUP BY 1),
+      |rb AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+      |         ORDER BY c DESC, src_id) AS rnb FROM p),
+      |sb AS (SELECT tgt_id, SUM(c) AS sb, COUNT(*) AS kb
+      |       FROM rb WHERE rnb <= 4 GROUP BY 1),
+      |m AS (SELECT p.src_id, p.tgt_id, p.c,
+      |        round(CAST(p.c AS DOUBLE) /
+      |          ((CAST(sa.sa AS DOUBLE) / CAST(sa.ka AS DOUBLE) +
+      |            CAST(sb.sb AS DOUBLE) / CAST(sb.kb AS DOUBLE)) / 2), 6)
+      |          AS margin
+      |      FROM p JOIN sa USING (src_id) JOIN sb USING (tgt_id)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
+      |        ORDER BY margin DESC, tgt_id) AS rn FROM m)
+      |SELECT src_id, tgt_id, CAST(c AS DOUBLE) AS cosine, margin
+      |FROM r WHERE rn = 1 AND margin >= 1.05 ORDER BY src_id""".stripMargin
+}

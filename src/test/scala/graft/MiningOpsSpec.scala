@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relevance, Similarity}
+
+/** Round-10 third-wave specs: CCNet perplexity tiering and margin-based
+  * pair mining — hand-computed expectations, independent of the DuckDB
+  * gate. */
+class MiningOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── perplexityTiers ─────────────────────────────────────────────────────
+
+  private def scored(rows: (Long, String, Long)*) =
+    rows.map { case (id, g, score) => (id, g, score, 1L) }
+      .toDF("doc_id", "lang", "sum_pq6", "n_scored")
+
+  test("perplexityTiers splits distinct levels into equal-count tiers") {
+    // six distinct scores → exactly two docs per tier, head = most
+    // predictable (highest mean quantized probability)
+    val df = scored((1L, "en", 60L), (2L, "en", 50L), (3L, "en", 40L),
+      (4L, "en", 30L), (5L, "en", 20L), (6L, "en", 10L))
+    val out = Relevance.perplexityTiers(df, "doc_id", "lang")
+      .select("doc_id", "tier").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "head", 2L -> "head", 3L -> "middle",
+      4L -> "middle", 5L -> "tail", 6L -> "tail"))
+  }
+
+  test("perplexityTiers keeps a tied score level in ONE tier") {
+    // three docs share score 50; the boundary cannot split them, so the
+    // head tier overflows to 4 docs and middle is empty
+    val df = scored((1L, "en", 60L), (2L, "en", 50L), (3L, "en", 50L),
+      (4L, "en", 50L), (5L, "en", 20L), (6L, "en", 10L))
+    val out = Relevance.perplexityTiers(df, "doc_id", "lang")
+      .select("doc_id", "tier").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "head", 2L -> "head", 3L -> "head",
+      4L -> "head", 5L -> "tail", 6L -> "tail"))
+  }
+
+  test("perplexityTiers tiers each group independently") {
+    val df = scored((1L, "en", 60L), (2L, "en", 40L), (3L, "en", 20L),
+      (4L, "de", 9L), (5L, "de", 6L), (6L, "de", 3L))
+    val out = Relevance.perplexityTiers(df, "doc_id", "lang")
+      .select("doc_id", "tier").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "head", 2L -> "middle", 3L -> "tail",
+      4L -> "head", 5L -> "middle", 6L -> "tail"))
+    // mean quantization: score is sum_pq6 div n_scored, not sum_pq6
+    val uneven = Seq((1L, "en", 100L, 10L), (2L, "en", 30L, 1L),
+      (3L, "en", 5L, 1L))
+      .toDF("doc_id", "lang", "sum_pq6", "n_scored")
+    val tiers = Relevance.perplexityTiers(uneven, "doc_id", "lang")
+      .select("doc_id", "tier").as[(Long, String)].collect().toMap
+    // 100/10 = 10 ranks BELOW 30 → doc 2 is head, doc 1 middle
+    assert(tiers == Map(2L -> "head", 1L -> "middle", 3L -> "tail"))
+  }
+
+  // ── marginMining ────────────────────────────────────────────────────────
+
+  test("marginMining picks the best ratio-margin target per source") {
+    val src = Seq(
+      (0L, Array(1f, 0f)),
+      (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, Array(1f, 0f)),
+      (3L, Array(0.6f, 0.8f)),
+      (5L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.marginMining(src, tgt, "vec_id", "embedding",
+        k = 2, tau = 1.05)
+      .select("src_id", "tgt_id", "margin")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // hand computation (k=2 neighborhoods):
+    //   cos: (0,1)=1  (0,3)=.6  (0,5)=.707107  (2,1)=0  (2,3)=.8  (2,5)=.707107
+    //   avg2(0→T)=.853554  avg2(2→T)=.753554
+    //   avg2(1→S)=.5  avg2(3→S)=.7  avg2(5→S)=.707107
+    //   m(0,1)=1/((.853554+.5)/2)≈1.47760  → best for 0, clears 1.05
+    //   m(2,3)=.8/((.753554+.7)/2)≈1.10068 → best for 2, clears 1.05
+    assert(out.map(r => (r._1, r._2)) == Seq((0L, 1L), (2L, 3L)))
+    assert(math.abs(out(0)._3 - 1.47760) < 1e-4)
+    assert(math.abs(out(1)._3 - 1.10068) < 1e-4)
+  }
+
+  test("marginMining suppresses hub targets; tau filters sources") {
+    // t1 is a hub: near BOTH sources. For s0 the hub's inflated
+    // denominator makes the non-hub t3 win on margin even though the
+    // hub wins on raw cosine.
+    val src = Seq(
+      (0L, Array(1f, 0.1f)),
+      (2L, Array(0.1f, 1f))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, Array(1f, 1f)),     // hub: cos ≈ .778 to both sources
+      (3L, Array(1f, 0f)),     // matches s0 (cos ≈ .995)
+      (5L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.marginMining(src, tgt, "vec_id", "embedding",
+        k = 1, tau = 1.2)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSeq
+    // k=1: avg1(0→T)=cos(0,3)=.995037; avg1(3→S)=.995037 ⇒ m(0,3)=1.0
+    // avg1(1→S)=.778499 ⇒ m(0,1)=.778499/((.995037+.778499)/2)=.877963
+    // best for s0 is t3 at margin 1.0 < tau → filtered out entirely;
+    // s2: m(2,1)=.778499/((.778499+.778499)/2)=1.0 < tau → also out
+    assert(out.isEmpty)
+  }
+
+  test("marginMining keeps symmetric mutual best pairs at tau = 1") {
+    val src = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.marginMining(src, tgt, "vec_id", "embedding",
+        k = 1, tau = 1.0)
+      .select("src_id", "tgt_id", "cosine", "margin")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((0L, 1L, 1.0, 1.0)))
+  }
+}
