@@ -497,4 +497,123 @@ object Profiling {
         expr("cast(n_pos * 1000000 as decimal(38,0)) div " +
           "cast(n as decimal(38,0))").cast(LongType).as("pos_ppm"))
   }
+
+  /**
+   * Leave-one-source-out corpus impact — the cheap data-ablation audit
+   * run before committing to a mixture: for every source, what the
+   * corpus would look like WITHOUT it, from per-source sufficient
+   * statistics alone (no per-source recompute pass). Reports each
+   * source's token share, the corpus mean document length with and
+   * without the source (counterfactual mean from the complement sums),
+   * and its vocabulary contribution — words NO other source supplies
+   * (`vocab_excl`), the lexical diversity the corpus loses with the
+   * source (Gururangan et al. 2020's domain-vocabulary argument, turned
+   * into an exact audit).
+   *
+   * All ratios are ppm via DECIMAL(38,0) integral division of exact
+   * counts — numerators/denominators are strictly positive, so floor
+   * and truncation agree and the surface is engine-portable.
+   *
+   * Scale shape: ONE corpus pass for per-source (docs, tokens); one
+   * exploded (source, word) DISTINCT pass collapsing to a word-keyed
+   * agg (map-side combinable; cardinality = vocabulary, not corpus);
+   * 1-row totals broadcast to the |sources|-row result. A source with
+   * the whole corpus yields NULL counterfactual columns rather than a
+   * division by zero.
+   */
+  def leaveOneOutImpact(docs: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String): DataFrame = {
+    val big = "decimal(38,0)"
+    val per = docs
+      .select(col(sourceCol),
+        size(split(col(textCol), " ")).cast(LongType).as("graft_nw"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("graft_nw")).as("n_tokens"))
+    val srcWords = docs
+      .select(col(sourceCol),
+        explode(split(col(textCol), " ")).as("graft_w"))
+      .distinct()
+    val wordSpread = srcWords.groupBy(col("graft_w"))
+      .agg(count(lit(1)).as("graft_nsrc"), min(col(sourceCol)).as("graft_solo"))
+    val excl = wordSpread.filter(col("graft_nsrc") === 1)
+      .groupBy(col("graft_solo").as(sourceCol))
+      .agg(count(lit(1)).as("vocab_excl"))
+    val totals = per.agg(sum(col("n_docs")).as("graft_nn"),
+        sum(col("n_tokens")).as("graft_tt"))
+      .crossJoin(wordSpread.agg(count(lit(1)).as("graft_vv")))
+    per
+      .join(excl, Seq(sourceCol), "left")
+      .na.fill(0L, Seq("vocab_excl"))
+      .crossJoin(broadcast(totals))
+      .withColumn("token_share_ppm",
+        expr(s"cast(n_tokens * 1000000 as $big) div cast(graft_tt as $big)")
+          .cast(LongType))
+      .withColumn("mean_with_ppm",
+        expr(s"cast(graft_tt * 1000000 as $big) div cast(graft_nn as $big)")
+          .cast(LongType))
+      .withColumn("mean_wo_ppm",
+        when(col("graft_nn") > col("n_docs"),
+          expr(s"cast((graft_tt - n_tokens) * 1000000 as $big) div " +
+            s"cast(graft_nn - n_docs as $big)").cast(LongType)))
+      .withColumn("delta_mean_ppm", col("mean_wo_ppm") - col("mean_with_ppm"))
+      .withColumn("vocab_without", col("graft_vv") - col("vocab_excl"))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("token_share_ppm"), col("mean_with_ppm"), col("mean_wo_ppm"),
+        col("delta_mean_ppm"), col("vocab_excl"), col("vocab_without"))
+  }
+
+  /**
+   * One-dimensional Wasserstein-1 (earth-mover) drift of an integer
+   * metric between each stratum and the REST of the corpus — the
+   * integral-of-CDF-gap distance (W₁ = ∫|F_s − F_rest|, Ramdas et al.
+   * 2017) that distribution-shift audits use where the KS statistic
+   * ([[chiSquareDrift]]'s companion q146) only sees the single worst
+   * point. Computed EXACTLY: on the merged integer support,
+   * |F_s − F_rest| at level ℓ is |cum_s·n_r − cum_r·n_s| / (n_s·n_r),
+   * so Σ gap·|cross-difference| is integer arithmetic and only the final
+   * ppm scaling divides (DECIMAL(38,0) integral division; everything
+   * positive, so floor = truncate and the surface is engine-portable).
+   * `w1_ppm` is the distance in metric units × 10⁻⁶.
+   *
+   * Scale shape: the corpus collapses to a (stratum, value) count table
+   * in ONE map-side-combinable agg — every later step (support
+   * crossJoin, cumulative windows, per-stratum reduce) runs on that
+   * metadata-scale table (|strata| × |distinct values|), never on rows.
+   * A stratum covering the whole corpus reports NULL rather than
+   * dividing by an empty rest-side.
+   */
+  def w1StrataDrift(df: DataFrame, valueCol: String,
+                    strataCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sl = df.groupBy(col(strataCol),
+        col(valueCol).cast(LongType).as("graft_v"))
+      .agg(count(lit(1)).as("graft_c"))
+    val support = sl.groupBy(col("graft_v")).agg(sum(col("graft_c")).as("graft_call"))
+    val strata = sl.groupBy(col(strataCol)).agg(sum(col("graft_c")).as("graft_ns"))
+    val totals = support.agg(sum(col("graft_call")).as("graft_n"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("graft_v"))
+    val grid = strata.crossJoin(support)
+      .join(sl, Seq(strataCol, "graft_v"), "left")
+      .na.fill(0L, Seq("graft_c"))
+      .withColumn("graft_cums", sum(col("graft_c")).over(w))
+      .withColumn("graft_cumall", sum(col("graft_call")).over(w))
+      .withColumn("graft_gap",
+        coalesce(lead(col("graft_v"), 1).over(w) - col("graft_v"), lit(0L)))
+    val big = "decimal(38,0)"
+    grid.crossJoin(broadcast(totals))
+      .withColumn("graft_nr", col("graft_n") - col("graft_ns"))
+      .withColumn("graft_cumr", col("graft_cumall") - col("graft_cums"))
+      .withColumn("graft_contrib",
+        expr(s"cast(graft_gap as $big) * " +
+          s"abs(cast(graft_cums as $big) * cast(graft_nr as $big) - " +
+          s"cast(graft_cumr as $big) * cast(graft_ns as $big))"))
+      .groupBy(col(strataCol))
+      .agg(max(col("graft_ns")).as("n_docs"), max(col("graft_nr")).as("n_rest"),
+        sum(col("graft_contrib")).as("graft_w1raw"))
+      .withColumn("w1_ppm",
+        when(col("n_rest") > 0,
+          expr(s"cast(graft_w1raw * 1000000 as $big) div " +
+            s"(cast(n_docs as $big) * cast(n_rest as $big))").cast(LongType)))
+      .select(col(strataCol), col("n_docs"), col("n_rest"), col("w1_ppm"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relevance, Similarity}
+import graft.operators.{Profiling, Relevance, Similarity}
 import graft.sources.Sources
 
 /**
@@ -107,4 +107,93 @@ object MiningQueries {
       |        ORDER BY margin DESC, tgt_id) AS rn FROM m)
       |SELECT src_id, tgt_id, CAST(c AS DOUBLE) AS cosine, margin
       |FROM r WHERE rn = 1 AND margin >= 1.05 ORDER BY src_id""".stripMargin
+
+  // ── q248: leave-one-source-out corpus impact ───────────────────────────
+
+  /** q248: the per-source data-ablation audit
+    * ([[Profiling.leaveOneOutImpact]]): token share, counterfactual
+    * corpus mean length without the source, and exclusive-vocabulary
+    * contribution — every column an exact count or positive-ppm
+    * integral division. */
+  def q248LooImpact(s: SparkSession, dir: String): DataFrame =
+    Profiling.leaveOneOutImpact(Sources.documents(s, dir), "doc_id",
+        "text", "source")
+      .orderBy(col("source"))
+
+  val q248Sql: String =
+    """WITH per AS (SELECT source, COUNT(*) AS n_docs,
+      |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |       FROM documents GROUP BY source),
+      |sw AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+      |       FROM documents),
+      |spread AS (SELECT w, COUNT(*) AS nsrc, MIN(source) AS solo
+      |           FROM sw GROUP BY w),
+      |excl AS (SELECT solo AS source, COUNT(*) AS vocab_excl
+      |         FROM spread WHERE nsrc = 1 GROUP BY solo),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+      |          CAST(SUM(n_tokens) AS BIGINT) AS tt,
+      |          (SELECT COUNT(*) FROM spread) AS vv
+      |        FROM per)
+      |SELECT per.source, per.n_docs, per.n_tokens,
+      |  CAST((per.n_tokens::HUGEINT * 1000000) // tot.tt AS BIGINT)
+      |    AS token_share_ppm,
+      |  CAST((tot.tt::HUGEINT * 1000000) // tot.nn AS BIGINT)
+      |    AS mean_with_ppm,
+      |  CASE WHEN tot.nn > per.n_docs THEN
+      |    CAST(((tot.tt - per.n_tokens)::HUGEINT * 1000000) //
+      |      (tot.nn - per.n_docs) AS BIGINT) END AS mean_wo_ppm,
+      |  CASE WHEN tot.nn > per.n_docs THEN
+      |    CAST(((tot.tt - per.n_tokens)::HUGEINT * 1000000) //
+      |      (tot.nn - per.n_docs) AS BIGINT) -
+      |    CAST((tot.tt::HUGEINT * 1000000) // tot.nn AS BIGINT)
+      |    END AS delta_mean_ppm,
+      |  COALESCE(excl.vocab_excl, 0) AS vocab_excl,
+      |  tot.vv - COALESCE(excl.vocab_excl, 0) AS vocab_without
+      |FROM per LEFT JOIN excl USING (source) CROSS JOIN tot
+      |ORDER BY per.source""".stripMargin
+
+  // ── q249: Wasserstein-1 length-distribution drift ──────────────────────
+
+  /** q249: exact earth-mover distance between every source's document
+    * word-length distribution and the rest of the corpus
+    * ([[Profiling.w1StrataDrift]]) — the integral-CDF companion to
+    * q146's KS point statistic, entirely in integer arithmetic. */
+  def q249W1Drift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    Profiling.w1StrataDrift(
+        docs.select(col("source"),
+          size(split(col("text"), " ")).as("n_words")),
+        "n_words", "source")
+      .orderBy(col("source"))
+  }
+
+  val q249Sql: String =
+    """WITH sl AS (SELECT source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+      |         COUNT(*) AS c
+      |       FROM documents GROUP BY 1, 2),
+      |sup AS (SELECT v, SUM(c) AS call FROM sl GROUP BY v),
+      |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sl GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(call) AS BIGINT) AS n FROM sup),
+      |grid AS (SELECT st.source, st.ns, sup.v, sup.call,
+      |           COALESCE(sl.c, 0) AS c
+      |         FROM st CROSS JOIN sup
+      |         LEFT JOIN sl ON sl.source = st.source AND sl.v = sup.v),
+      |cum AS (SELECT source, ns, v,
+      |          SUM(c) OVER (PARTITION BY source ORDER BY v) AS cums,
+      |          SUM(call) OVER (PARTITION BY source ORDER BY v) AS cumall,
+      |          COALESCE(LEAD(v) OVER (PARTITION BY source ORDER BY v) - v,
+      |            0) AS gap
+      |        FROM grid),
+      |agg AS (SELECT c.source, MAX(c.ns) AS n_docs,
+      |          MAX(t.n - c.ns) AS n_rest,
+      |          SUM(c.gap::HUGEINT *
+      |            abs(c.cums::HUGEINT * (t.n - c.ns) -
+      |                (c.cumall - c.cums)::HUGEINT * c.ns)) AS w1raw
+      |        FROM cum c CROSS JOIN tot t GROUP BY c.source)
+      |SELECT source, n_docs, n_rest,
+      |  CASE WHEN n_rest > 0 THEN
+      |    CAST((w1raw * 1000000) // (n_docs::HUGEINT * n_rest) AS BIGINT)
+      |    END AS w1_ppm
+      |FROM agg ORDER BY source""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Relevance, Similarity}
+import graft.operators.{Profiling, Relevance, Similarity}
 
 /** Round-10 third-wave specs: CCNet perplexity tiering and margin-based
   * pair mining — hand-computed expectations, independent of the DuckDB
@@ -109,5 +109,57 @@ class MiningOpsSpec extends SparkSpec {
       .select("src_id", "tgt_id", "cosine", "margin")
       .as[(Long, Long, Double, Double)].collect().toSeq
     assert(out == Seq((0L, 1L, 1.0, 1.0)))
+  }
+
+  // ── leaveOneOutImpact ───────────────────────────────────────────────────
+
+  test("leaveOneOutImpact computes counterfactual means and vocab") {
+    val docs = Seq(
+      (1L, "x y z", "A"), (2L, "x q", "A"),
+      (3L, "x y", "B")).toDF("doc_id", "text", "source")
+    val out = Profiling.leaveOneOutImpact(docs, "doc_id", "text", "source")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long], Long, Long)]
+      .collect().toSeq
+    // corpus: 3 docs, 7 tokens, vocab {x,y,z,q}; A exclusively owns z,q
+    assert(out == Seq(
+      ("A", 2L, 5L, 714285L, 2333333L, Some(2000000L), Some(-333333L), 2L, 2L),
+      ("B", 1L, 2L, 285714L, 2333333L, Some(2500000L), Some(166667L), 0L, 4L)))
+  }
+
+  test("leaveOneOutImpact: a sole source yields NULL counterfactuals") {
+    val docs = Seq((1L, "x y", "A"), (2L, "z", "A"))
+      .toDF("doc_id", "text", "source")
+    val out = Profiling.leaveOneOutImpact(docs, "doc_id", "text", "source")
+      .select("mean_wo_ppm", "delta_mean_ppm", "vocab_excl", "vocab_without")
+      .as[(Option[Long], Option[Long], Long, Long)].collect().toSeq
+    assert(out == Seq((None, None, 3L, 0L)))
+  }
+
+  // ── w1StrataDrift ───────────────────────────────────────────────────────
+
+  test("w1StrataDrift equals the hand-computed earth-mover distance") {
+    // A = {1, 1, 3}, B = {2}: W1(A, rest) = |2/3-0|·1 + |2/3-1|·1 = 1.0
+    // and symmetrically W1(B, rest) = 1.0
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 3L), ("B", 2L))
+      .toDF("source", "v")
+    val out = Profiling.w1StrataDrift(df, "v", "source")
+      .orderBy("source")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(out == Seq(("A", 3L, 1L, Some(1000000L)),
+      ("B", 1L, 3L, Some(1000000L))))
+  }
+
+  test("w1StrataDrift: identical distributions have zero distance") {
+    val df = Seq(("A", 5L), ("A", 9L), ("B", 5L), ("B", 9L))
+      .toDF("source", "v")
+    val out = Profiling.w1StrataDrift(df, "v", "source")
+      .select("w1_ppm").as[Option[Long]].collect().toSeq
+    assert(out == Seq(Some(0L), Some(0L)))
+    // sole stratum → NULL, not a division by zero
+    val solo = Profiling.w1StrataDrift(
+        Seq(("A", 1L), ("A", 2L)).toDF("source", "v"), "v", "source")
+      .select("n_rest", "w1_ppm").as[(Long, Option[Long])].collect().toSeq
+    assert(solo == Seq((0L, None)))
   }
 }
