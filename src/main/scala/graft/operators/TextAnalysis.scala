@@ -811,4 +811,76 @@ object TextAnalysis {
         expr("cast(n_oov * 1000000 as decimal(38,0)) div " +
           "cast(n_tokens as decimal(38,0))").cast(LongType).as("oov_ppm"))
   }
+  /**
+   * Good–Turing missing-mass audit per stratum (Good 1953; Gale &
+   * Sampson 1995): the probability that the NEXT token drawn from the
+   * stratum is a word never seen in it, estimated by the hapax share
+   * n₁/N — the coverage planning number for "how much more vocabulary is
+   * out there" before committing a tokenizer or a sampling budget.
+   * Reports exact token/type counts, hapax (n₁) and dis-legomena (n₂)
+   * counts, and `missing_mass_ppm = ⌊10⁶·n₁/N⌋` — all integer
+   * arithmetic (DECIMAL(38,0) integral division, positive operands).
+   *
+   * Scale shape: ONE (stratum, word) count agg (map-side combinable,
+   * cardinality = per-stratum vocabulary), then a |strata|-key reduce
+   * over the count-of-counts — the corpus shuffles once, on word keys.
+   */
+  def missingMassAudit(docs: DataFrame, textCol: String,
+                       strataCol: String): DataFrame = {
+    val wc = docs
+      .select(col(strataCol), explode(split(col(textCol), " ")).as("graft_w"))
+      .groupBy(col(strataCol), col("graft_w"))
+      .agg(count(lit(1)).as("graft_c"))
+    wc.groupBy(col(strataCol))
+      .agg(sum(col("graft_c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("graft_c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("graft_c") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .withColumn("missing_mass_ppm",
+        expr("cast(n_hapax * 1000000 as decimal(38,0)) div " +
+          "cast(n_tokens as decimal(38,0))").cast(LongType))
+  }
+
+  /**
+   * Heaps-law vocabulary growth curve (Heaps 1978): cumulative distinct
+   * vocabulary after each equal-count document tranche, in document-id
+   * order — the empirical V(n) curve whose flattening says when more of
+   * the same source stops buying new vocabulary. Each word is attributed
+   * to the tranche of its FIRST containing document, so the cumulative
+   * sum over tranches IS the exact prefix vocabulary.
+   *
+   * Scale shape: a word-keyed min-doc agg (map-side combinable) gives
+   * first occurrences; tranche boundaries come from
+   * [[GlobalRank.ntileExact]] over doc ids (ONE range shuffle of the id
+   * column, never the text); the cumulative window runs on `buckets`
+   * rows. Nothing document-scale is sorted globally.
+   */
+  def vocabGrowthCurve(docs: DataFrame, idCol: String, textCol: String,
+                       buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets=$buckets out of range")
+    import org.apache.spark.sql.expressions.Window
+    val tranches = GlobalRank.ntileExact(
+      docs.select(col(idCol)), Seq(col(idCol).asc), buckets)
+    val firstDoc = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("graft_w"))
+      .groupBy(col("graft_w"))
+      .agg(min(col(idCol)).as(idCol))
+    val newWords = firstDoc.join(tranches, idCol)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_words"))
+    val tokens = docs
+      .select(col(idCol),
+        size(split(col(textCol), " ")).cast(LongType).as("graft_nw"))
+      .join(tranches, idCol)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("graft_nw")).as("n_tokens"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokens.join(newWords, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_words"))
+      .withColumn("cum_vocab", sum(col("new_words")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("bucket").cast(LongType).as("bucket"), col("n_docs"),
+        col("n_tokens"), col("new_words"), col("cum_vocab"),
+        col("cum_tokens"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Profiling, Relevance, Similarity}
+import graft.operators.{Profiling, Relevance, Similarity, TextAnalysis}
 import graft.sources.Sources
 
 /**
@@ -196,4 +196,57 @@ object MiningQueries {
       |    CAST((w1raw * 1000000) // (n_docs::HUGEINT * n_rest) AS BIGINT)
       |    END AS w1_ppm
       |FROM agg ORDER BY source""".stripMargin
+
+  // ── q250: Good–Turing missing-mass audit ───────────────────────────────
+
+  /** q250: per-source unseen-vocabulary probability mass
+    * ([[TextAnalysis.missingMassAudit]]) — the Good–Turing hapax share
+    * n₁/N with exact token/type/hapax/dis-legomena counts. */
+  def q250MissingMass(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.missingMassAudit(Sources.documents(s, dir), "text",
+        "source")
+      .orderBy(col("source"))
+
+  val q250Sql: String =
+    """WITH wc AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |            FROM documents),
+      |cc AS (SELECT source, w, COUNT(*) AS c FROM wc GROUP BY 1, 2)
+      |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_types,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+      |  CAST((SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::HUGEINT * 1000000) //
+      |    SUM(c)::HUGEINT AS BIGINT) AS missing_mass_ppm
+      |FROM cc GROUP BY source ORDER BY source""".stripMargin
+
+  // ── q251: Heaps-law vocabulary growth curve ────────────────────────────
+
+  /** q251: cumulative vocabulary after each doc-id-ordered decile of the
+    * corpus ([[TextAnalysis.vocabGrowthCurve]]) — each word counted in
+    * the tranche of its first containing document, so `cum_vocab` is the
+    * exact prefix vocabulary V(n). */
+  def q251VocabGrowth(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabGrowthCurve(Sources.documents(s, dir), "doc_id",
+        "text", buckets = 10)
+      .orderBy(col("bucket"))
+
+  val q251Sql: String =
+    """WITH tr AS (SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS bucket
+      |            FROM documents),
+      |fd AS (SELECT w, MIN(doc_id) AS doc_id FROM (
+      |         SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |         FROM documents) GROUP BY w),
+      |nw AS (SELECT tr.bucket, COUNT(*) AS new_words
+      |       FROM fd JOIN tr USING (doc_id) GROUP BY 1),
+      |tk AS (SELECT tr.bucket, COUNT(*) AS n_docs,
+      |         CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT)
+      |           AS n_tokens
+      |       FROM documents d JOIN tr USING (doc_id) GROUP BY 1)
+      |SELECT CAST(tk.bucket AS BIGINT) AS bucket, tk.n_docs, tk.n_tokens,
+      |  COALESCE(nw.new_words, 0) AS new_words,
+      |  CAST(SUM(COALESCE(nw.new_words, 0)) OVER (ORDER BY tk.bucket)
+      |    AS BIGINT) AS cum_vocab,
+      |  CAST(SUM(tk.n_tokens) OVER (ORDER BY tk.bucket) AS BIGINT)
+      |    AS cum_tokens
+      |FROM tk LEFT JOIN nw USING (bucket) ORDER BY bucket""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Profiling, Relevance, Similarity}
+import graft.operators.{Profiling, Relevance, Similarity, TextAnalysis}
 
 /** Round-10 third-wave specs: CCNet perplexity tiering and margin-based
   * pair mining — hand-computed expectations, independent of the DuckDB
@@ -161,5 +161,43 @@ class MiningOpsSpec extends SparkSpec {
         Seq(("A", 1L), ("A", 2L)).toDF("source", "v"), "v", "source")
       .select("n_rest", "w1_ppm").as[(Long, Option[Long])].collect().toSeq
     assert(solo == Seq((0L, None)))
+  }
+
+  // ── missingMassAudit ────────────────────────────────────────────────────
+
+  test("missingMassAudit counts hapax/dis-legomena and GT mass exactly") {
+    val docs = Seq((1L, "a b a", "A"), (2L, "x", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.missingMassAudit(docs, "text", "source")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // A: 3 tokens, types {a:2, b:1} → n1=1, n2=1, mass = ⌊10⁶/3⌋
+    // B: a single hapax → the whole mass is unseen
+    assert(out == Seq(("A", 3L, 2L, 1L, 1L, 333333L),
+      ("B", 1L, 1L, 1L, 0L, 1000000L)))
+  }
+
+  // ── vocabGrowthCurve ────────────────────────────────────────────────────
+
+  test("vocabGrowthCurve attributes words to their first tranche") {
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "c d"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowthCurve(docs, "doc_id", "text",
+        buckets = 2)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // tranche 1 = docs {1,2} introduces {a,b,c}; tranche 2 adds only d
+    assert(out == Seq((1L, 2L, 4L, 3L, 3L, 4L),
+      (2L, 2L, 3L, 1L, 4L, 7L)))
+  }
+
+  test("vocabGrowthCurve: a tranche with no new words reports zero") {
+    val docs = Seq((1L, "a"), (2L, "a")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowthCurve(docs, "doc_id", "text",
+        buckets = 2)
+      .orderBy("bucket")
+      .select("bucket", "new_words", "cum_vocab")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 1L), (2L, 0L, 1L)))
   }
 }
