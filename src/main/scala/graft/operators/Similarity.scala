@@ -530,4 +530,53 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"),
         col("graft_c").cast(DoubleType).as("cosine"), col("margin"))
   }
+
+  /**
+   * Johnson–Lindenstrauss distance-distortion audit under a Rademacher
+   * (±1) random projection (Achlioptas 2003's database-friendly JL
+   * matrix — the same md5-derived sign rows as [[hyperplane]], reused
+   * as projection rows instead of LSH thresholds): for each disjoint
+   * probe pair (even id, id+1), the squared L2 distance before and
+   * after projecting `dims` → `dOut`, and the preservation ratio
+   * `ratio_ppm = ⌊10⁶ · ‖Ry‖² / (dOut · ‖y‖²)⌋` whose concentration
+   * around 10⁶ is the JL guarantee — the go/no-go check before swapping
+   * full embeddings for cheap projections in dedup/ANN prefilters.
+   *
+   * Determinism: projections and distances are strict sequential double
+   * folds ([[dotHof]], the q23-proven oracle-matched shape); the ratio
+   * is one fixed-shape double expression (multiply/divide only — no
+   * libm) floored to an exact BIGINT. Identical vectors report NULL
+   * ratio rather than dividing by zero.
+   *
+   * Scale shape: the projection is a narrow per-row codegen'd
+   * expression (dOut literal-coefficient folds — no shuffle, no
+   * explode); pairing is ONE id-keyed self-join. The probe-pair audit
+   * shuffles only (id, 2·dOut doubles), never the raw vectors twice.
+   */
+  def jlDistortionPairs(df: DataFrame, idCol: String, vecCol: String,
+                        dims: Int, dOut: Int): DataFrame = {
+    require(dOut >= 1 && dims >= 1, s"dims=$dims dOut=$dOut out of range")
+    val proj = df.select(col(idCol),
+      col(vecCol).cast("array<double>").as("graft_x"))
+      .withColumn("graft_y", array((0 until dOut).map { p =>
+        dotHof(col("graft_x"), array(hyperplane(p, dims).map(lit): _*))
+      }: _*))
+    val a = proj.select(col(idCol).as("a_id"), col("graft_x").as("graft_xa"),
+      col("graft_y").as("graft_ya"))
+    val b = proj.select(col(idCol).as("b_id"), col("graft_x").as("graft_xb"),
+      col("graft_y").as("graft_yb"))
+    val dx = zip_with(col("graft_xa"), col("graft_xb"), (u, v) => u - v)
+    val dy = zip_with(col("graft_ya"), col("graft_yb"), (u, v) => u - v)
+    a.filter(col("a_id") % 2 === 0)
+      .join(b, col("b_id") === col("a_id") + 1)
+      .withColumn("graft_od2", dotHof(dx, dx))
+      .withColumn("graft_pd2", dotHof(dy, dy))
+      .select(col("a_id"), col("b_id"),
+        round(col("graft_od2"), 6).as("orig_d2"),
+        round(col("graft_pd2"), 6).as("proj_d2"),
+        when(col("graft_od2") > 0.0,
+          floor((lit(1000000.0) * col("graft_pd2")) /
+            (lit(dOut.toDouble) * col("graft_od2"))).cast(LongType))
+          .as("ratio_ppm"))
+  }
 }

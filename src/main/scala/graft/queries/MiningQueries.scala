@@ -249,4 +249,44 @@ object MiningQueries {
       |  CAST(SUM(tk.n_tokens) OVER (ORDER BY tk.bucket) AS BIGINT)
       |    AS cum_tokens
       |FROM tk LEFT JOIN nw USING (bucket) ORDER BY bucket""".stripMargin
+
+  // ── q252: Johnson–Lindenstrauss distortion audit ───────────────────────
+
+  /** q252: distance preservation of the 64 → 16 Rademacher JL projection
+    * over disjoint (even, +1) probe pairs
+    * ([[Similarity.jlDistortionPairs]]) — squared distances before and
+    * after, and the floored preservation ratio whose concentration near
+    * 10⁶ is the JL guarantee. The oracle re-derives the SAME md5 sign
+    * matrix (the q23 hyperplane scheme) and replays the sequential
+    * folds. */
+  def q252JlDistortion(s: SparkSession, dir: String): DataFrame =
+    Similarity.jlDistortionPairs(Sources.embeddings(s, dir), "vec_id",
+        "embedding", dims = 64, dOut = 16)
+      .orderBy(col("a_id"))
+
+  val q252Sql: String =
+    """WITH e AS (SELECT vec_id,
+      |         list_transform(embedding, v -> v::DOUBLE) AS x
+      |       FROM embeddings),
+      |pj AS (SELECT vec_id, p,
+      |         list_sum(list_transform(range(1, 65),
+      |           d -> x[d] * ((strpos('0123456789abcdef',
+      |               substr(md5(p::VARCHAR || '_' || (d - 1)::VARCHAR),
+      |                 1, 1)) - 1) % 2 * 2 - 1))) AS yp
+      |       FROM e CROSS JOIN range(0, 16) t(p)),
+      |y AS (SELECT vec_id, list(yp ORDER BY p) AS y FROM pj GROUP BY 1),
+      |pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |         list_sum(list_transform(range(1, 65),
+      |           d -> (a.x[d] - b.x[d]) * (a.x[d] - b.x[d]))) AS od2,
+      |         list_sum(list_transform(range(1, 17),
+      |           d -> (ya.y[d] - yb.y[d]) * (ya.y[d] - yb.y[d]))) AS pd2
+      |       FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      |       JOIN y ya ON ya.vec_id = a.vec_id
+      |       JOIN y yb ON yb.vec_id = b.vec_id
+      |       WHERE a.vec_id % 2 = 0)
+      |SELECT a_id, b_id, round(od2, 6) AS orig_d2, round(pd2, 6) AS proj_d2,
+      |  CASE WHEN od2 > 0 THEN
+      |    CAST(floor((1000000.0 * pd2) / (16.0 * od2)) AS BIGINT)
+      |    END AS ratio_ppm
+      |FROM pr ORDER BY a_id""".stripMargin
 }

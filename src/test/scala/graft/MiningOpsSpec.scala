@@ -200,4 +200,40 @@ class MiningOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 1L, 1L), (2L, 0L, 1L)))
   }
+
+  // ── jlDistortionPairs ───────────────────────────────────────────────────
+
+  test("jlDistortionPairs is exact for 1-d inputs and pairs (even, +1)") {
+    // dims = 1: every Rademacher row is ±1, so ‖Ry‖² = dOut·‖y‖² exactly
+    // and the ratio is precisely 10⁶ for every pair
+    val vecs = Seq((0L, Array(1f)), (1L, Array(4f)), (2L, Array(2f)),
+      (3L, Array(2f)), (4L, Array(9f)) /* no partner 5 */)
+      .toDF("vec_id", "embedding")
+    val out = Similarity.jlDistortionPairs(vecs, "vec_id", "embedding",
+        dims = 1, dOut = 8)
+      .orderBy("a_id")
+      .as[(Long, Long, Double, Double, Option[Long])].collect().toSeq
+    // (0,1): d²=9, proj d²=72, ratio exact; (2,3): identical → NULL ratio;
+    // 4 has no partner and odd ids never lead a pair
+    assert(out == Seq((0L, 1L, 9.0, 72.0, Some(1000000L)),
+      (2L, 3L, 0.0, 0.0, None)))
+  }
+
+  test("jlDistortionPairs ratio is scale-invariant and concentrates") {
+    val base = (0L until 20L).map(i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 16 + d + 1).toFloat)))
+    val scaled = base.map { case (i, v) => (i, v.map(_ * 4f)) }
+    val r1 = Similarity.jlDistortionPairs(base.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dims = 16, dOut = 8)
+      .select("a_id", "ratio_ppm").as[(Long, Option[Long])]
+      .collect().toMap
+    val r2 = Similarity.jlDistortionPairs(scaled.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dims = 16, dOut = 8)
+      .select("a_id", "ratio_ppm").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(r1 == r2 && r1.size == 10)
+    // JL concentration: ratios live in a broad band around 10⁶, and the
+    // projection never collapses a genuinely distinct pair to zero
+    assert(r1.values.forall(r => r.exists(v => v > 50000L && v < 20000000L)))
+  }
 }
