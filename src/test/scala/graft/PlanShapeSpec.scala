@@ -524,7 +524,21 @@ class PlanShapeSpec extends SparkSpec {
       // q241: q233's ≤64-row label-frame crossJoin (centroidScores)
       "q241_uncertainty_sample",
       // q243: GlobalRank offsets `<` join + 1-row n broadcast
-      "q243_curriculum_pacing")
+      "q243_curriculum_pacing",
+      // q246: interpolatedPerplexity's 1-row (N, λ) totals broadcast
+      // (the q200 shape); tier assignment itself is a broadcast
+      // EQUI-join on (lang, score)
+      "q246_ccnet_tiers",
+      // q247: the documented exact all-pairs mining baseline (the
+      // q41/q201 shape; scale path = LSH/IVF candidate pairs)
+      "q247_margin_mining",
+      // q248/q249: 1-row corpus-totals broadcasts plus q249's
+      // |strata|×|support| grid crossJoin — metadata scale by
+      // construction (both sides are post-aggregation count tables)
+      "q248_loo_impact", "q249_w1_drift",
+      // q251: ntileExact's n_partitions-row offsets `<` join + 1-row
+      // total broadcast (the q57/q77 GlobalRank construction)
+      "q251_vocab_growth")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
@@ -638,6 +652,30 @@ class PlanShapeSpec extends SparkSpec {
     val finalPlan = df.queryExecution.executedPlan.toString
     assert(finalPlan.contains("ReusedExchange"),
       s"corpus range shuffle was executed more than once:\n$finalPlan")
+  }
+
+  test("CCNet tiers: boundary broadcast, corpus never range-shuffles (q246)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    // the tier CASE runs on the (lang, score) distribution and comes
+    // back via a broadcast hash join — a per-document ntile would show
+    // up here as a RangePartitioning exchange of the corpus (the gate
+    // query's presentation orderBy is elided: IT legitimately ranges)
+    val docs = graft.sources.Sources.documents(spark, sf)
+    val scored = graft.operators.Relevance.interpolatedPerplexity(
+        docs, "doc_id", "text", lambda = 0.75)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val df = graft.operators.Relevance.perplexityTiers(scored, "doc_id", "lang")
+    val plan = withExchanges(df)
+    val rangeShuffles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    assert(rangeShuffles.isEmpty,
+      s"corpus range shuffle in the boundary-broadcast design:\n$plan")
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected the broadcast tier-assignment join:\n$plan")
   }
 
   test("PQ-ADC recall: no vector column ever crosses a shuffle (q215)") {
@@ -779,7 +817,10 @@ class PlanShapeSpec extends SparkSpec {
       "q214_epoch_allocation",
       // q228: per-partition offsets aggregate to n_partitions rows; the
       // offsets' own cumulative runs on that metadata table
-      "q228_compaction_plan")
+      "q228_compaction_plan",
+      // q251: cumulative vocabulary over the |buckets|-row tranche table
+      // (10 rows — the corpus collapsed via ntileExact + word-keyed agg)
+      "q251_vocab_growth")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan
