@@ -662,4 +662,91 @@ object Streaming {
           }
       }
   }
+
+  /** Output row of [[vocabNoveltyStream]]: one row per arriving document
+    * with its distinct-word count and how many of those words were new
+    * to the stratum's stream at arrival time. */
+  final case class NoveltyRow(doc_id: Long, stratum: String,
+                              n_distinct: Long, n_new: Long)
+
+  /** JVM replica of [[graft.operators.Sketches]]' Bloom position: first
+    * 8 hex chars of md5("bf{r}_" ‖ key) as a long, mod mBits —
+    * bit-identical to the SQL expression, shared with the spec replay. */
+  private[graft] def bloomPosJvm(key: String, r: Int, mBits: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"bf${r}_$key".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 4) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h % mBits).toInt
+  }
+
+  /**
+   * Streaming vocabulary-novelty monitor — the online counterpart of
+   * [[graft.operators.TextAnalysis.vocabGrowthCurve]] /
+   * [[graft.operators.TextAnalysis.missingMassAudit]]: per stratum, a
+   * Bloom filter of every word seen so far (the
+   * [[graft.operators.Sketches]] bf-hash family, replayed JVM-side)
+   * scores each arriving document's distinct words, emitting how many
+   * are NEW to the stream — the live "is this source still buying
+   * vocabulary" signal that batch Heaps curves report after the fact.
+   *
+   * Error contract (one-sided, the Bloom guarantee): a word counted as
+   * seen might be a false positive, so `n_new` can only UNDERcount —
+   * a word reported new is definitely new. Within a micro-batch,
+   * documents fold in ascending doc-id order and insertions are
+   * immediate, so the count is deterministic for any fixed file/batch
+   * split (spec-asserted against a sequential JVM replay).
+   *
+   * Scale shape: state is ONE fixed mBits-bit array per stratum
+   * (mBits/8 bytes — size chosen by expected vocabulary, NOT corpus
+   * size; the unbounded-exact-set alternative is precisely what a
+   * 100 TB stream cannot keep). The projection side is stateless and
+   * narrow; only (id, stratum, distinct words) reaches the state task.
+   * No watermark — a vocabulary ledger is corpus-lifetime by design
+   * (the [[urlClaimStream]] note).
+   */
+  def vocabNoveltyStream(docStream: DataFrame, idCol: String,
+                         textCol: String, strataCol: String,
+                         k: Int = 4, mBits: Int = 65536)
+      : Dataset[NoveltyRow] = {
+    require(k >= 1 && k <= 8, s"k=$k out of range")
+    require(mBits >= 64 && mBits % 64 == 0 && mBits <= (1 << 24),
+      s"mBits=$mBits: need a multiple of 64 in [64, 2^24]")
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    val rows = docStream.select(col(idCol).cast("long").as("doc_id"),
+        col(strataCol).cast("string").as("stratum"),
+        array_distinct(split(col(textCol), " ")).as("words"))
+      .as[(Long, String, Seq[String])]
+    rows.groupByKey(_._2)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (stratum: String, batch: Iterator[(Long, String, Seq[String])],
+         state: GroupState[Array[Long]]) =>
+          val bits = state.getOption.getOrElse(new Array[Long](mBits / 64))
+          val out = batch.toSeq.sortBy(_._1).map { case (id, _, words) =>
+            var nNew = 0L
+            words.foreach { w =>
+              var isNew = false
+              var r = 0
+              while (r < k) {
+                val p = bloomPosJvm(w, r, mBits)
+                if ((bits(p >> 6) >>> (p & 63) & 1L) == 0L) isNew = true
+                r += 1
+              }
+              if (isNew) nNew += 1
+              r = 0
+              while (r < k) {
+                val p = bloomPosJvm(w, r, mBits)
+                bits(p >> 6) |= 1L << (p & 63)
+                r += 1
+              }
+            }
+            NoveltyRow(id, stratum, words.size.toLong, nNew)
+          }
+          state.update(bits)
+          out.iterator
+      }
+  }
 }

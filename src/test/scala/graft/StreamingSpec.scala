@@ -905,4 +905,74 @@ class StreamingSpec extends SparkSpec {
       .select("est_floor").as[Long].head()
     assert(se == be)
   }
+
+  test("vocab novelty stream matches a sequential JVM replay (one batch)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val streamDir = tmpDir("novelty-src")
+    docs.write.parquet(s"$streamDir/docs")
+    val q = Streaming.vocabNoveltyStream(
+        spark.readStream.schema(docs.schema).parquet(s"$streamDir/docs"),
+        "doc_id", "text", "lang", k = 4, mBits = 65536)
+      .writeStream.format("memory").queryName("novelty")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("novelty")
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    // ground truth: replay the same Bloom fold sequentially per lang
+    val input = docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val bitsByLang = scala.collection.mutable.Map[String, Array[Long]]()
+    val expected = input.map { case (id, lang, text) =>
+      val bits = bitsByLang.getOrElseUpdate(lang, new Array[Long](65536 / 64))
+      val words = text.split(" ").distinct.toSeq
+      var nNew = 0L
+      words.foreach { w =>
+        val ps = (0 until 4).map(r => Streaming.bloomPosJvm(w, r, 65536))
+        if (ps.exists(p => (bits(p >> 6) >>> (p & 63) & 1L) == 0L)) nNew += 1
+        ps.foreach(p => bits(p >> 6) |= 1L << (p & 63))
+      }
+      (id, lang, words.size.toLong, nNew)
+    }
+    assert(got == expected)
+    // sanity: the fixture actually exercises both regimes
+    assert(got.exists(_._4 > 0) && got.exists(r => r._4 < r._3))
+  }
+
+  test("vocab novelty state persists across micro-batches (no re-novelty)") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val streamDir = tmpDir("novelty2-src")
+    Seq((1L, "en", "alpha beta"), (2L, "en", "gamma"))
+      .toDF("doc_id", "lang", "text")
+      .coalesce(1).write.parquet(s"$streamDir/b1")
+    // batch 2: alpha/gamma are old, delta is new; the de stratum is
+    // independent state, so its alpha IS new there
+    Seq((3L, "en", "alpha delta gamma"), (4L, "de", "alpha"))
+      .toDF("doc_id", "lang", "text")
+      .coalesce(1).write.parquet(s"$streamDir/b2")
+    def stamp(dir: String, epochSec: Long): Unit =
+      Files.list(Paths.get(s"$streamDir/$dir")).forEach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(epochSec * 1000)))
+    stamp("b1", 1000000000L)
+    stamp("b2", 1000000100L)
+    val schema = spark.read.parquet(s"$streamDir/b1").schema
+    val q = Streaming.vocabNoveltyStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/b*"),
+        "doc_id", "text", "lang", k = 4, mBits = 4096)
+      .writeStream.format("memory").queryName("novelty2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val byDoc = spark.table("novelty2")
+      .as[(Long, String, Long, Long)].collect().toSeq
+      .map(r => r._1 -> r).toMap
+    assert(byDoc(1L) == ((1L, "en", 2L, 2L)))
+    assert(byDoc(2L) == ((2L, "en", 1L, 1L)))
+    // only delta is new to en; alpha is new to the separate de state
+    assert(byDoc(3L) == ((3L, "en", 3L, 1L)))
+    assert(byDoc(4L) == ((4L, "de", 1L, 1L)))
+  }
 }
