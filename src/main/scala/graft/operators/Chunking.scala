@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /**
  * Content-defined chunking (CDC) over document text: chunk boundaries are
@@ -97,5 +97,60 @@ object Chunking {
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("n_docs_with_chunk") > 1, 1L).otherwise(0L))
           .as("n_shared_chunks"))
+  }
+
+  /**
+   * T5-style span-corruption mask planning (Raffel et al. 2020 §3.1.4):
+   * a deterministic per-document plan of which word spans a denoising
+   * objective masks. Instead of sequential greedy sampling (which can't
+   * run columnar), the document is cut into fixed `blockWords` blocks
+   * and each block masks ONE `spanWords` span at an md5-chosen offset —
+   * non-overlapping by construction, the mask ratio is spanWords /
+   * blockWords by design, and the whole plan is a single codegen'd
+   * projection (sequence + transform over the word count; the text
+   * itself is never exploded). The tail block masks a span only when it
+   * still fits. Offsets are hash32(salt‖doc‖block) mod the block's
+   * valid-start count — integer-exact and oracle-replayable.
+   *
+   * Scale shape: zero shuffle — per-row arithmetic on the word count and
+   * literal-salted hashes; `starts_md5` fingerprints the span-start list
+   * so the gate pins every offset without hashing an array column.
+   */
+  def spanMaskPlan(docs: DataFrame, idCol: String, textCol: String,
+                   blockWords: Int = 20, spanWords: Int = 3,
+                   salt: String = "mask"): DataFrame = {
+    require(spanWords >= 1 && blockWords > spanWords,
+      s"need blockWords=$blockWords > spanWords=$spanWords >= 1")
+    import org.apache.spark.sql.types.LongType
+    val b = blockWords.toLong
+    val l = spanWords.toLong
+    val withN = docs.select(col(idCol),
+      size(split(col(textCol), " ")).cast(LongType).as("graft_n"))
+    val offs = (blk: Column, mod: Column) =>
+      pmod(Sketches.hash32(concat(lit(s"${salt}_"),
+        col(idCol).cast("string"), lit("_"), blk.cast("string"))), mod)
+    val planned = withN
+      .withColumn("graft_nb", expr(s"graft_n div $b"))
+      .withColumn("graft_rem", col("graft_n") - col("graft_nb") * b)
+      .withColumn("graft_full",
+        when(col("graft_nb") > 0,
+          transform(sequence(lit(0L), col("graft_nb") - 1),
+            blk => blk * b + offs(blk, lit(b - l + 1))))
+          .otherwise(array().cast("array<bigint>")))
+      .withColumn("graft_tail",
+        when(col("graft_rem") >= l,
+          array(col("graft_nb") * b +
+            offs(lit("t"), col("graft_rem") - l + 1)))
+          .otherwise(array().cast("array<bigint>")))
+      .withColumn("graft_starts",
+        concat(col("graft_full"), col("graft_tail")))
+    planned.select(col(idCol), col("graft_n").as("n_words"),
+      size(col("graft_starts")).cast(LongType).as("n_spans"),
+      (size(col("graft_starts")) * l).cast(LongType).as("n_masked"),
+      expr(s"cast(size(graft_starts) * $l * 1000000 as decimal(38,0)) " +
+        "div cast(graft_n as decimal(38,0))").cast(LongType)
+        .as("masked_ppm"),
+      md5(array_join(transform(col("graft_starts"), _.cast("string")),
+        ",")).as("starts_md5"))
   }
 }

@@ -855,6 +855,43 @@ object TextAnalysis {
    * column, never the text); the cumulative window runs on `buckets`
    * rows. Nothing document-scale is sorted globally.
    */
+  /**
+   * Lexicon/topic tagging — the FlashText/UT1-blocklist pattern every
+   * web-curation pipeline runs (C4's bad-words filter, RefinedWeb's URL
+   * topic tags, taxonomy labeling for mixture reporting): count, per
+   * document, how many token n-grams hit each tag's phrase list. Phrases
+   * are 1 or 2 words; multi-tag phrases count once per carrying tag.
+   *
+   * Scale shape: the lexicon is a BROADCAST side (thousands of phrases —
+   * metadata); the corpus contributes ONE projection exploding unigrams
+   * plus adjacent bigrams (the [[Relevance.skipgramPairs]] zip_with
+   * shape, no position self-join), a broadcast hash join, and a
+   * (doc, tag) map-side-combinable count. Nothing corpus-sized shuffles
+   * except the matched hits keyed by doc.
+   */
+  def lexiconTag(docs: DataFrame, idCol: String, textCol: String,
+                 lexicon: Seq[(String, String)]): DataFrame = {
+    require(lexicon.nonEmpty, "lexicon must be non-empty")
+    require(lexicon.forall { case (_, p) =>
+      val n = p.split(" ").length; n >= 1 && n <= 2 },
+      "lexicon phrases must be 1 or 2 words")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = broadcast(lexicon.toDF("tag", "graft_gram"))
+    val ws = col("graft_ws")
+    val grams = docs
+      .select(col(idCol), split(col(textCol), " ").as("graft_ws"))
+      .select(col(idCol), explode(concat(ws,
+        when(size(ws) >= 2,
+          zip_with(slice(ws, lit(1), size(ws) - 1),
+            slice(ws, lit(2), size(ws) - 1),
+            (a, b) => concat_ws(" ", a, b)))
+          .otherwise(array().cast("array<string>")))).as("graft_gram"))
+    grams.join(lex, "graft_gram")
+      .groupBy(col(idCol), col("tag"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   def vocabGrowthCurve(docs: DataFrame, idCol: String, textCol: String,
                        buckets: Int = 10): DataFrame = {
     require(buckets >= 1, s"buckets=$buckets out of range")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Profiling, Relevance, Similarity, TextAnalysis}
+import graft.operators.{Chunking, LatestSnapshot, Profiling, Relevance, Similarity, TextAnalysis}
 import graft.sources.Sources
 
 /**
@@ -289,4 +289,102 @@ object MiningQueries {
       |    CAST(floor((1000000.0 * pd2) / (16.0 * od2)) AS BIGINT)
       |    END AS ratio_ppm
       |FROM pr ORDER BY a_id""".stripMargin
+
+  // ── q253: lexicon/topic tagging ────────────────────────────────────────
+
+  /** The tagging lexicon (tag, phrase) — 1/2-word phrases over the
+    * corpus vocabulary; the single constant both the Spark query and the
+    * oracle VALUES list derive from. */
+  private val tagLexicon: Seq[(String, String)] = Seq(
+    "storage" -> "table", "storage" -> "row", "storage" -> "column",
+    "storage" -> "part",
+    "exec" -> "scan", "exec" -> "filter", "exec" -> "hash value",
+    "exec" -> "merge",
+    "stream" -> "stream", "stream" -> "window", "stream" -> "batch",
+    "perf" -> "fast", "perf" -> "slow", "perf" -> "big table")
+
+  /** q253: dominant topic per document under the phrase lexicon
+    * ([[TextAnalysis.lexiconTag]]) — per-doc winning tag (most phrase
+    * hits, ties to the lexicographically first tag), its hit count, and
+    * the tag breadth; docs with zero hits drop out. */
+  def q253LexiconTag(s: SparkSession, dir: String): DataFrame = {
+    val hits = TextAnalysis.lexiconTag(Sources.documents(s, dir), "doc_id",
+      "text", tagLexicon)
+    val breadth = hits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tags"), sum(col("n_hits")).as("total_hits"))
+    LatestSnapshot.topK(hits, Seq("doc_id"), col("n_hits").desc,
+        Seq(col("tag").asc), 1)
+      .select(col("doc_id"), col("tag").as("top_tag"),
+        col("n_hits").as("top_hits"))
+      .join(breadth, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private val lexValues: String = tagLexicon
+    .map { case (t, p) => s"('$t', '$p')" }.mkString(", ")
+
+  val q253Sql: String =
+    s"""WITH lex(tag, gram) AS (VALUES $lexValues),
+      |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(w) AS gram FROM ws
+      |  UNION ALL
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |    i -> w[i] || ' ' || w[i+1]))
+      |  FROM ws WHERE len(w) >= 2),
+      |hits AS (SELECT g.doc_id, l.tag, COUNT(*) AS n_hits
+      |         FROM grams g JOIN lex l ON g.gram = l.gram
+      |         GROUP BY 1, 2),
+      |br AS (SELECT doc_id, COUNT(*) AS n_tags,
+      |         CAST(SUM(n_hits) AS BIGINT) AS total_hits
+      |       FROM hits GROUP BY 1),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY n_hits DESC, tag) AS rn FROM hits)
+      |SELECT r.doc_id, r.tag AS top_tag, r.n_hits AS top_hits,
+      |  br.n_tags, br.total_hits
+      |FROM r JOIN br USING (doc_id) WHERE r.rn = 1
+      |ORDER BY r.doc_id""".stripMargin
+
+  // ── q254: T5 span-corruption mask planning ─────────────────────────────
+
+  /** q254: the deterministic span-corruption plan
+    * ([[Chunking.spanMaskPlan]], 20-word blocks, 3-word spans) — per doc
+    * the span count, masked-token count and ppm, and the md5 fingerprint
+    * of every span start (so the gate pins each md5-chosen offset). */
+  def q254SpanMask(s: SparkSession, dir: String): DataFrame =
+    Chunking.spanMaskPlan(Sources.documents(s, dir), "doc_id", "text",
+        blockWords = 20, spanWords = 3, salt = "g254")
+      .orderBy(col("doc_id"))
+
+  val q254Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |       FROM documents),
+      |p AS (SELECT doc_id, n, n // 20 AS nb, n - (n // 20) * 20 AS rem
+      |      FROM d),
+      |st AS (SELECT doc_id, n,
+      |         list_concat(
+      |           CASE WHEN nb > 0 THEN
+      |             list_transform(range(0, nb), b -> b * 20 +
+      |               CAST(list_sum(list_transform(range(1, 9), j ->
+      |                 (strpos('0123456789abcdef', substr(
+      |                    md5('g254_' || doc_id || '_' || b), j, 1)) - 1)
+      |                   * power(16, 8 - j))) AS BIGINT) % 18)
+      |           ELSE [] END,
+      |           CASE WHEN rem >= 3 THEN
+      |             [nb * 20 +
+      |               CAST(list_sum(list_transform(range(1, 9), j ->
+      |                 (strpos('0123456789abcdef', substr(
+      |                    md5('g254_' || doc_id || '_t'), j, 1)) - 1)
+      |                   * power(16, 8 - j))) AS BIGINT) % (rem - 3 + 1)]
+      |           ELSE [] END) AS starts
+      |      FROM p)
+      |SELECT doc_id, n AS n_words,
+      |  CAST(len(starts) AS BIGINT) AS n_spans,
+      |  CAST(len(starts) * 3 AS BIGINT) AS n_masked,
+      |  CAST((len(starts)::HUGEINT * 3 * 1000000) // n AS BIGINT)
+      |    AS masked_ppm,
+      |  md5(array_to_string(list_transform(starts, x -> x::VARCHAR), ','))
+      |    AS starts_md5
+      |FROM st ORDER BY doc_id""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Profiling, Relevance, Similarity, TextAnalysis}
+import graft.operators.{Chunking, Profiling, Relevance, Similarity, TextAnalysis}
 
 /** Round-10 third-wave specs: CCNet perplexity tiering and margin-based
   * pair mining — hand-computed expectations, independent of the DuckDB
@@ -235,5 +235,66 @@ class MiningOpsSpec extends SparkSpec {
     // JL concentration: ratios live in a broad band around 10⁶, and the
     // projection never collapses a genuinely distinct pair to zero
     assert(r1.values.forall(r => r.exists(v => v > 50000L && v < 20000000L)))
+  }
+
+  // ── lexiconTag ──────────────────────────────────────────────────────────
+
+  test("lexiconTag counts unigram and bigram phrase hits per tag") {
+    val docs = Seq((1L, "table fast fast hash value"), (2L, "nothing here"))
+      .toDF("doc_id", "text")
+    val lex = Seq("storage" -> "table", "perf" -> "fast",
+      "exec" -> "hash value")
+    val out = TextAnalysis.lexiconTag(docs, "doc_id", "text", lex)
+      .orderBy("doc_id", "tag")
+      .as[(Long, String, Long)].collect().toSeq
+    // doc 2 has no hits at all and emits nothing
+    assert(out == Seq((1L, "exec", 1L), (1L, "perf", 2L),
+      (1L, "storage", 1L)))
+    // a phrase can carry several tags and counts once per tag
+    val multi = TextAnalysis.lexiconTag(docs, "doc_id", "text",
+        Seq("a" -> "table", "b" -> "table"))
+      .orderBy("tag").as[(Long, String, Long)].collect().toSeq
+    assert(multi == Seq((1L, "a", 1L), (1L, "b", 1L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.lexiconTag(docs, "doc_id", "text",
+        Seq("x" -> "one two three"))
+    }
+  }
+
+  // ── spanMaskPlan ────────────────────────────────────────────────────────
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("spanMaskPlan: block arithmetic, tail handling, and ppm are exact") {
+    // 10 words, 4-word blocks, 2-word spans: 2 full blocks + a 2-word
+    // tail that still fits → 3 spans, 6 masked, 600000 ppm
+    val docs = Seq((1L, Array.fill(10)("w").mkString(" ")),
+      (2L, "a b c"),      // 3 words < one block, tail fits → 1 span
+      (3L, "a")).toDF("doc_id", "text") // 1 word < span → no spans
+    val out = Chunking.spanMaskPlan(docs, "doc_id", "text",
+        blockWords = 4, spanWords = 2, salt = "t")
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "n_spans", "n_masked", "masked_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 10L, 3L, 6L, 600000L),
+      (2L, 3L, 1L, 2L, 666666L), (3L, 1L, 0L, 0L, 0L)))
+  }
+
+  test("spanMaskPlan: a span that exactly fills its slot starts at zero") {
+    // n = spanWords: the only valid start is 0, so the fingerprint is
+    // fully determined regardless of the hash draw
+    val docs = Seq((7L, "a b c d")).toDF("doc_id", "text")
+    val out = Chunking.spanMaskPlan(docs, "doc_id", "text",
+        blockWords = 10, spanWords = 4, salt = "t")
+      .select("n_spans", "masked_ppm", "starts_md5")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 1000000L, md5hex("0"))))
+    // and the empty plan fingerprints the empty string
+    val none = Chunking.spanMaskPlan(Seq((8L, "a")).toDF("doc_id", "text"),
+        "doc_id", "text", blockWords = 10, spanWords = 4, salt = "t")
+      .select("starts_md5").as[String].collect().toSeq
+    assert(none == Seq(md5hex("")))
   }
 }
