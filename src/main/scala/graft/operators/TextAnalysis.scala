@@ -892,6 +892,88 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /**
+   * word2phrase collocation merging (Mikolov et al. 2013 §4): rewrite
+   * the corpus joining adjacent word pairs whose phrase score
+   * `(c(x,y) − δ)·N / (c(x)·c(y))` clears `tauNum/tauDen` — the
+   * vocabulary-induction pass that turns "new york" into one token
+   * before counting/training. Word2vec's reference implementation
+   * merges greedily left-to-right (inherently sequential); here a
+   * bigram slot merges iff it's a LOCAL MAXIMUM among its overlapping
+   * neighbors (strictly beats the left slot, ties beat the right), a
+   * parallel-safe rule that provably never overlaps (adjacent slots
+   * can't both win) and is position-local, so the whole decision is one
+   * columnar expression. Scores never materialize as floats: every
+   * threshold/neighbor comparison is an exact integer cross-
+   * multiplication of (num, den) pairs (valid while num·den < 10³⁸ —
+   * c_max·N·c(x)·c(y) bounded, which holds for natural corpora where
+   * den ≤ 10²⁰ and num ≤ 10¹⁸; a one-word corpus would overflow first).
+   *
+   * Scale shape: the bigram/unigram model tables are word-keyed hash
+   * aggs (map-side combinable); slots join them on word keys and fold
+   * back per doc via ONE sorted-struct collect (the [[Chunking.chunks]]
+   * pattern); N rides a 1-row broadcast. The rewrite itself is a
+   * per-row HOF projection — no second corpus pass.
+   */
+  def collocationMerge(docs: DataFrame, idCol: String, textCol: String,
+                       delta: Long = 5L, tauNum: Long = 6L,
+                       tauDen: Long = 5L): DataFrame = {
+    require(delta >= 0 && tauNum > 0 && tauDen > 0,
+      s"bad parameters delta=$delta tau=$tauNum/$tauDen")
+    val ws = col("graft_ws")
+    val base = docs.select(col(idCol), split(col(textCol), " ").as("graft_ws"))
+    val slots = base.filter(size(ws) >= 2)
+      .select(col(idCol), posexplode(zip_with(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("x"), b.as("y")))).as(Seq("graft_i", "graft_p")))
+      .select(col(idCol), col("graft_i"),
+        col("graft_p.x").as("x"), col("graft_p.y").as("y"))
+    val cxy = slots.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+    val uni = docs.select(explode(split(col(textCol), " ")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("graft_cu"))
+    val totN = uni.agg(sum(col("graft_cu")).as("graft_n"))
+    val big = "decimal(38,0)"
+    val scored = slots
+      .join(cxy, Seq("x", "y"))
+      .join(uni.select(col("t").as("x"), col("graft_cu").as("c_x")), Seq("x"))
+      .join(uni.select(col("t").as("y"), col("graft_cu").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(totN))
+      .select(col(idCol), col("graft_i"),
+        expr(s"cast(c_xy - $delta as $big) * cast(graft_n as $big)")
+          .as("graft_num"),
+        expr(s"cast(c_x as $big) * cast(c_y as $big)").as("graft_den"))
+    val packed = scored.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("graft_i"), col("graft_num"),
+        col("graft_den")))).as("graft_s"))
+    base.join(packed, Seq(idCol), "left")
+      // slot i merges: eligible AND a local max among overlap neighbors
+      .withColumn("graft_m", expr(
+        s"""CASE WHEN graft_s IS NULL THEN array_repeat(true, 0)
+           |ELSE transform(sequence(0, size(graft_s) - 1), i ->
+           |  graft_s[i].graft_num * $tauDen >= $tauNum * graft_s[i].graft_den
+           |  AND (i = 0 OR graft_s[i].graft_num * graft_s[i-1].graft_den >
+           |       graft_s[i-1].graft_num * graft_s[i].graft_den)
+           |  AND (i = size(graft_s) - 1 OR
+           |       graft_s[i].graft_num * graft_s[i+1].graft_den >=
+           |       graft_s[i+1].graft_num * graft_s[i].graft_den)) END"""
+          .stripMargin))
+      // word i is absorbed by a merge at slot i-1; a merge at slot i
+      // replaces word i with the joined pair
+      .withColumn("graft_out", expr(
+        """filter(transform(graft_ws, (w, i) ->
+          |  CASE WHEN i > 0 AND i <= size(graft_m) AND graft_m[i-1]
+          |         THEN NULL
+          |       WHEN i < size(graft_m) AND graft_m[i]
+          |         THEN concat(w, '_', graft_ws[i+1])
+          |       ELSE w END), x -> x IS NOT NULL)""".stripMargin))
+      .select(col(idCol),
+        size(col("graft_ws")).cast(LongType).as("n_words"),
+        expr("size(filter(graft_m, x -> x))").cast(LongType).as("n_merges"),
+        (size(col("graft_ws")) - expr("size(filter(graft_m, x -> x))"))
+          .cast(LongType).as("n_tokens_after"),
+        md5(array_join(col("graft_out"), " ")).as("merged_md5"))
+  }
+
   def vocabGrowthCurve(docs: DataFrame, idCol: String, textCol: String,
                        buckets: Int = 10): DataFrame = {
     require(buckets >= 1, s"buckets=$buckets out of range")

@@ -387,4 +387,57 @@ object MiningQueries {
       |  md5(array_to_string(list_transform(starts, x -> x::VARCHAR), ','))
       |    AS starts_md5
       |FROM st ORDER BY doc_id""".stripMargin
+
+  // ── q255: word2phrase collocation merging ──────────────────────────────
+
+  /** q255: the corpus rewritten with collocations merged
+    * ([[TextAnalysis.collocationMerge]], δ = 5, τ = 6/5) — per doc the
+    * merge count, post-merge token count, and the md5 of the rewritten
+    * text, so the gate pins every merge decision AND the reassembly. */
+  def q255CollocationMerge(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocationMerge(Sources.documents(s, dir), "doc_id",
+        "text", delta = 5L, tauNum = 6L, tauDen = 5L)
+      .orderBy(col("doc_id"))
+
+  val q255Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sl AS (SELECT doc_id, i, w[i] AS x, w[i+1] AS y
+      |       FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+      |             FROM ws WHERE len(w) >= 2)),
+      |cxy AS (SELECT x, y, COUNT(*) AS c FROM sl GROUP BY 1, 2),
+      |cu AS (SELECT t, COUNT(*) AS c FROM (
+      |         SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      |       GROUP BY 1),
+      |n AS (SELECT SUM(c) AS n FROM cu),
+      |sc AS (SELECT sl.doc_id, sl.i,
+      |         (cxy.c - 5)::HUGEINT * n.n::HUGEINT AS num,
+      |         ux.c::HUGEINT * uy.c::HUGEINT AS den
+      |       FROM sl JOIN cxy USING (x, y)
+      |       JOIN cu ux ON ux.t = sl.x
+      |       JOIN cu uy ON uy.t = sl.y
+      |       CROSS JOIN n),
+      |pk AS (SELECT doc_id, list(num ORDER BY i) AS nums,
+      |         list(den ORDER BY i) AS dens
+      |       FROM sc GROUP BY doc_id),
+      |mg AS (SELECT ws.doc_id, ws.w,
+      |         CASE WHEN pk.nums IS NULL THEN []::BOOLEAN[]
+      |         ELSE list_transform(range(1, len(pk.nums) + 1), i ->
+      |           nums[i] * 5 >= 6 * dens[i]
+      |           AND (i = 1 OR nums[i] * dens[i-1] > nums[i-1] * dens[i])
+      |           AND (i = len(nums) OR
+      |                nums[i] * dens[i+1] >= nums[i+1] * dens[i]))
+      |         END AS m
+      |       FROM ws LEFT JOIN pk USING (doc_id)),
+      |rw AS (SELECT doc_id, w, m,
+      |         list_filter(list_transform(range(1, len(w) + 1), i ->
+      |           CASE WHEN i > 1 AND i - 1 <= len(m) AND m[i-1] THEN NULL
+      |                WHEN i <= len(m) AND m[i] THEN w[i] || '_' || w[i+1]
+      |                ELSE w[i] END), x -> x IS NOT NULL) AS out
+      |       FROM mg)
+      |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |  CAST(len(list_filter(m, x -> x)) AS BIGINT) AS n_merges,
+      |  CAST(len(w) - len(list_filter(m, x -> x)) AS BIGINT)
+      |    AS n_tokens_after,
+      |  md5(array_to_string(out, ' ')) AS merged_md5
+      |FROM rw ORDER BY doc_id""".stripMargin
 }

@@ -297,4 +297,36 @@ class MiningOpsSpec extends SparkSpec {
       .select("starts_md5").as[String].collect().toSeq
     assert(none == Seq(md5hex("")))
   }
+
+  // ── collocationMerge ────────────────────────────────────────────────────
+
+  test("collocationMerge merges local-maximum collocations, never overlaps") {
+    // N = 9; s(new,york) = 3·9/9 = 3, s(york,new) = 1, s(york,is) = 3,
+    // s(is,big) = 9, s(york,city) = 3. Doc 1 slots score [3,1,3,3,9]:
+    // local maxima at 0 (beats 1), 2 (beats 1, ties-left vs 3), 4 —
+    // adjacent slots can never both win by construction
+    val docs = Seq((1L, "new york new york is big"), (2L, "new york city"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocationMerge(docs, "doc_id", "text",
+        delta = 0L, tauNum = 1L, tauDen = 1L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 6L, 3L, 3L, md5hex("new_york new_york is_big")),
+      (2L, 3L, 1L, 2L, md5hex("new_york city"))))
+  }
+
+  test("collocationMerge: the discount suppresses rare pairs; 1-word docs") {
+    val docs = Seq((1L, "new york new york is big"), (2L, "new york city"),
+      (3L, "solo")).toDF("doc_id", "text")
+    // delta = 3 wipes every pair count (max c_xy = 3) → zero merges,
+    // text passes through verbatim; a 1-word doc has no slots at all
+    val out = TextAnalysis.collocationMerge(docs, "doc_id", "text",
+        delta = 3L, tauNum = 1L, tauDen = 1L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_merges", "merged_md5")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 0L, md5hex("new york new york is big")),
+      (2L, 0L, md5hex("new york city")), (3L, 0L, md5hex("solo"))))
+  }
 }
