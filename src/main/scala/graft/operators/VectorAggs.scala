@@ -144,6 +144,68 @@ object VectorAggs {
   }
 
   /**
+   * Geometric median per label via Weiszfeld iterations (Weiszfeld 1937;
+   * the robust-centroid estimator Cohen et al. 2016 made near-linear) —
+   * the L1-in-distance center that a few poisoned or outlier embeddings
+   * CANNOT drag the way they drag the mean ([[centroidVectors]]); the
+   * robust prototype for cluster cards, drift baselines, and
+   * contamination-resistant class centers. Starts from the component
+   * mean and applies `iters` rounds of
+   * `y ← Σ(xᵢ/dᵢ) / Σ(1/dᵢ)`, `dᵢ = ‖xᵢ − y‖`, with dᵢ floored at 1e-9
+   * (the standard singularity guard when a point coincides with the
+   * estimate — deterministic on both engines).
+   *
+   * Determinism: distances are the sequential-fold shape (zip_with diff
+   * + strict double fold, the q252-proven oracle match); every summed
+   * term is 6-dp DECIMAL so accumulation is order-independent; the
+   * per-round division is one exactly-rounded double op. Both engines
+   * replay the identical fixed number of rounds.
+   *
+   * Scale shape per round: estimates are |labels| rows → broadcast; the
+   * corpus is scanned twice (Σ1/d reduce + the posexploded Σx/d reduce,
+   * both map-side combinable, keyed by label / (label, dim)). No vector
+   * ever shuffles; work is O(iters · n · dims) flops.
+   */
+  def geometricMedian(df: DataFrame, labelCol: String, vecCol: String,
+                      iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    var est = centroidVectors(df, labelCol, vecCol)
+    for (_ <- 1 to iters) {
+      val joined = df.join(broadcast(
+        est.select(col(labelCol), col("centroid_vec"))), labelCol)
+      val diff = zip_with(col(vecCol).cast("array<double>"),
+        col("centroid_vec"), (a, b) => a - b)
+      val wd = greatest(sqrt(Similarity.dotHof(diff, diff)), lit(1e-9))
+      val invw = joined.withColumn("graft_wd", wd)
+        .groupBy(col(labelCol))
+        .agg(sum(round(lit(1.0) / col("graft_wd"), 6)
+          .cast(DecimalType(38, 6))).as("graft_sw"))
+      val sums = joined.withColumn("graft_wd", wd)
+        .select(col(labelCol), col("graft_wd"),
+          posexplode(col(vecCol).cast("array<double>"))
+            .as(Seq("dim", "graft_x")))
+        .groupBy(col(labelCol), col("dim"))
+        .agg(sum(round(col("graft_x") / col("graft_wd"), 6)
+          .cast(DecimalType(38, 6))).as("graft_sx"))
+      est = sums.join(invw, labelCol)
+        .select(col(labelCol), col("dim"),
+          round(col("graft_sx").cast(DoubleType) /
+            col("graft_sw").cast(DoubleType), 6).as("graft_c"))
+        .groupBy(col(labelCol))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("graft_c")))),
+          s => s.getField("graft_c")).as("centroid_vec"))
+    }
+    est
+      .select(col(labelCol),
+        posexplode(col("centroid_vec")).as(Seq("dim", "gmedian")))
+      .join(df.groupBy(col(labelCol)).agg(count(lit(1)).as("n_members")),
+        labelCol)
+      .select(col(labelCol), col("n_members"),
+        col("dim").cast(LongType).as("dim"), col("gmedian"))
+  }
+
+  /**
    * SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
    * efficient learning at web-scale through semantic deduplication",
    * 2023): given a clustered corpus (`assigned` = idCol, clusterCol,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Chunking, LatestSnapshot, Profiling, Relevance, Similarity, TextAnalysis}
+import graft.operators.{Chunking, LatestSnapshot, Profiling, Relevance, Similarity, TextAnalysis, VectorAggs}
 import graft.sources.Sources
 
 /**
@@ -440,4 +440,50 @@ object MiningQueries {
       |    AS n_tokens_after,
       |  md5(array_to_string(out, ' ')) AS merged_md5
       |FROM rw ORDER BY doc_id""".stripMargin
+
+  // ── q256: geometric median (Weiszfeld) robust centroid ─────────────────
+
+  /** q256: per-label geometric median of the embedding corpus
+    * ([[VectorAggs.geometricMedian]], 2 Weiszfeld rounds from the
+    * component mean) — the outlier-resistant class center; gate = every
+    * (label, dim) component of the final estimate. */
+  def q256GeometricMedian(s: SparkSession, dir: String): DataFrame =
+    VectorAggs.geometricMedian(Sources.embeddings(s, dir), "label",
+        "embedding", iters = 2)
+      .orderBy(col("label"), col("dim"))
+
+  val q256Sql: String = {
+    // one Weiszfeld round: points e + estimate v{i-1} → estimate v{i}
+    def round_(i: Int): String =
+      s"""w$i AS (SELECT e.label, e.x,
+         |  greatest(sqrt(list_sum(list_transform(range(1, 65), j ->
+         |    (e.x[j] - v.cv[j]) * (e.x[j] - v.cv[j])))), 1e-9) AS wd
+         |  FROM e JOIN v${i - 1} v USING (label)),
+         |s$i AS (SELECT label, d,
+         |    SUM(CAST(round(x[d] / wd, 6) AS DECIMAL(38,6))) AS sx
+         |  FROM w$i CROSS JOIN range(1, 65) t(d) GROUP BY label, d),
+         |iw$i AS (SELECT label,
+         |    SUM(CAST(round(1.0 / wd, 6) AS DECIMAL(38,6))) AS sw
+         |  FROM w$i GROUP BY label),
+         |e$i AS (SELECT s$i.label, s$i.d,
+         |    round(CAST(s$i.sx AS DOUBLE) / CAST(iw$i.sw AS DOUBLE), 6) AS c
+         |  FROM s$i JOIN iw$i USING (label)),
+         |v$i AS (SELECT label, array_agg(c ORDER BY d) AS cv
+         |  FROM e$i GROUP BY label)""".stripMargin
+    s"""WITH e AS (SELECT label,
+      |         list_transform(embedding, v -> v::DOUBLE) AS x
+      |       FROM embeddings),
+      |m0 AS (SELECT label, d, round(CAST(SUM(CAST(round(x[d], 6)
+      |           AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS c
+      |       FROM e CROSS JOIN range(1, 65) t(d) GROUP BY label, d),
+      |v0 AS (SELECT label, array_agg(c ORDER BY d) AS cv
+      |       FROM m0 GROUP BY label),
+      |${round_(1)},
+      |${round_(2)},
+      |n AS (SELECT label, COUNT(*) AS n_members FROM e GROUP BY label)
+      |SELECT e2.label, n.n_members, CAST(e2.d - 1 AS BIGINT) AS dim,
+      |  e2.c AS gmedian
+      |FROM e2 JOIN n USING (label)
+      |ORDER BY e2.label, dim""".stripMargin
+  }
 }

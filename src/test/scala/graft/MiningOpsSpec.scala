@@ -329,4 +329,28 @@ class MiningOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 0L, md5hex("new york new york is big")),
       (2L, 0L, md5hex("new york city")), (3L, 0L, md5hex("solo"))))
   }
+
+  // ── geometricMedian ─────────────────────────────────────────────────────
+
+  test("geometricMedian resists the outlier that drags the mean") {
+    import graft.operators.VectorAggs
+    // three points at the origin + one outlier at (100, 0): the mean
+    // lands at x = 25; two Weiszfeld rounds pull the estimate to
+    // x ≈ 3.57 (exact sequence 25 → 10 → 100/90 ÷ 0.311111)
+    val vecs = Seq(
+      (1, Array(0f, 0f)), (1, Array(0f, 0f)), (1, Array(0f, 0f)),
+      (1, Array(100f, 0f)),
+      (2, Array(7f, 7f))).toDF("label", "embedding")
+    val out = VectorAggs.geometricMedian(vecs, "label", "embedding",
+        iters = 2)
+      .orderBy("label", "dim")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    val byKey = out.map(r => (r._1, r._3) -> (r._2, r._4)).toMap
+    assert(byKey((1, 0L))._1 == 4L)
+    val x1 = byKey((1, 0L))._2
+    assert(x1 > 3.5 && x1 < 3.65, s"expected ~3.57, got $x1")
+    assert(byKey((1, 1L))._2 == 0.0)
+    // a singleton label is its own median (the d=0 guard fires)
+    assert(byKey((2, 0L))._2 == 7.0 && byKey((2, 1L))._2 == 7.0)
+  }
 }
