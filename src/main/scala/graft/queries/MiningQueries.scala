@@ -486,4 +486,69 @@ object MiningQueries {
       |FROM e2 JOIN n USING (label)
       |ORDER BY e2.label, dim""".stripMargin
   }
+
+  // ── q257: per-document quality-signals table (RedPajama-V2 shape) ──────
+
+  /** q257: the wide per-document signals table a curation run ships
+    * alongside the corpus (the RedPajama-V2 "quality signals" artifact,
+    * Together 2023): raw metadata + exact surface ratios (q25) +
+    * heuristic language ID (q24) + the Gopher rule verdict (q199) +
+    * self-repetition coverage (q232) + the CCNet perplexity tier (q246)
+    * — one row per document, every signal from an already-verified
+    * operator, so filters compose downstream as plain column predicates.
+    * Documents too short to score a perplexity tier carry NULL there
+    * (left join), never a fabricated value. */
+  def q257SignalsTable(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val qual = TextAnalysis.qualityScore(docs, "doc_id", "text")
+    val langId = TextAnalysis.languageId(docs, "doc_id", "text")
+    val gopher = TextAnalysis.gopherRuleAudit(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_failed").as("gopher_failed"),
+        col("keep").as("gopher_keep"))
+    val rep = TextAnalysis.repetitionProfile(docs, "doc_id", "text",
+        pWords = 8, dupGramN = 5)
+      .select(col("doc_id"), col("dup5_cover_ppm"))
+    val tier = Relevance.perplexityTiers(
+        Relevance.interpolatedPerplexity(docs, "doc_id", "text",
+          lambda = 0.75)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+        "doc_id", "lang")
+      .select(col("doc_id"), col("tier").as("ppl_tier"))
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .join(qual, "doc_id")
+      .join(langId, "doc_id")
+      .join(gopher, "doc_id")
+      .join(rep, "doc_id")
+      .join(tier, Seq("doc_id"), "left")
+      .orderBy(col("doc_id"))
+  }
+
+  // composes the verified oracle chains of q25/q24/q199/q232/q246 — a
+  // parameter change in any constituent propagates here automatically
+  val q257Sql: String =
+    s"""WITH s25 AS (SELECT * FROM (
+      |${PipelineQueries.q25Sql}
+      |)),
+      |s24 AS (SELECT * FROM (
+      |${PipelineQueries.q24Sql}
+      |)),
+      |gp AS (SELECT doc_id, n_failed AS gopher_failed,
+      |         keep AS gopher_keep FROM (
+      |${QualityQueries.q199Sql}
+      |)),
+      |rp AS (SELECT doc_id, dup5_cover_ppm FROM (
+      |${RefineQueries.q232Sql}
+      |)),
+      |tr AS (SELECT doc_id, tier AS ppl_tier FROM (
+      |${q246Sql}
+      |))
+      |SELECT d.doc_id, d.source, d.lang,
+      |  s25.n_chars, s25.n_words, s25.mean_word_len, s25.stopword_ratio,
+      |  s25.alpha_ratio, s24.predicted_lang, s24.lang_score,
+      |  gp.gopher_failed, gp.gopher_keep, rp.dup5_cover_ppm, tr.ppl_tier
+      |FROM documents d
+      |JOIN s25 USING (doc_id) JOIN s24 USING (doc_id)
+      |JOIN gp USING (doc_id) JOIN rp USING (doc_id)
+      |LEFT JOIN tr USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 }

@@ -353,4 +353,21 @@ class MiningOpsSpec extends SparkSpec {
     // a singleton label is its own median (the d=0 guard fires)
     assert(byKey((2, 0L))._2 == 7.0 && byKey((2, 1L))._2 == 7.0)
   }
+
+  // ── q257 signals table ──────────────────────────────────────────────────
+
+  test("signals table keeps every document; unscored tiers stay NULL") {
+    val out = graft.queries.MiningQueries.q257SignalsTable(spark,
+      "/root/testdata/sf0.001")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    // the composition is doc-preserving: inner joins on verified per-doc
+    // operators must not drop or duplicate rows
+    assert(out.count() == docs.count())
+    assert(out.select("doc_id").distinct().count() == docs.count())
+    // every short doc (< 2 words) has no perplexity tier, and no scored
+    // doc lost its tier through the left join
+    val short = docs.filter(size(split(col("text"), " ")) < 2).count()
+    assert(out.filter(col("ppl_tier").isNull).count() == short)
+  }
 }

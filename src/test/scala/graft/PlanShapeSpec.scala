@@ -538,7 +538,13 @@ class PlanShapeSpec extends SparkSpec {
       "q248_loo_impact", "q249_w1_drift",
       // q251: ntileExact's n_partitions-row offsets `<` join + 1-row
       // total broadcast (the q57/q77 GlobalRank construction)
-      "q251_vocab_growth")
+      "q251_vocab_growth",
+      // q255: 1-row corpus-token-total broadcast onto the scored slots
+      // (the q81/q130/q240 totals shape)
+      "q255_collocation_merge",
+      // q257: composes q246's perplexity-tier chain and inherits its
+      // 1-row (N, λ) totals broadcast — the q200/q246 shape
+      "q257_signals_table")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
