@@ -563,6 +563,53 @@ object Profiling {
   }
 
   /**
+   * Per-stratum Pearson correlation between two paired metrics — the
+   * linear-association companion to q239's Spearman rank agreement
+   * (Spearman sees monotone relationships; Pearson sees proportional
+   * ones, and their disagreement is itself a diagnostic). The pipeline
+   * use: sanity-correlating a cheap metadata signal against an expensive
+   * derived one (token count vs embedding norm, quality score vs
+   * classifier logit) per source before trusting the cheap one as a
+   * proxy.
+   *
+   * Determinism: x is exact integer, y is pre-rounded 6-dp DECIMAL, so
+   * every sufficient statistic (Σx, Σy, Σxy, Σx², Σy²) accumulates as
+   * exact DECIMAL — order-independent; r is ONE fixed-shape double
+   * expression over those exact sums (sqrt/divide — exactly-rounded
+   * IEEE, no libm), rounded to 6 dp. Degenerate strata (n < 2 or zero
+   * variance in either metric) report NULL, never a 0/0.
+   *
+   * Scale shape: ONE map-side-combinable agg keyed by stratum; nothing
+   * else touches the corpus.
+   */
+  def pearsonByStrata(df: DataFrame, xCol: String, yCol: String,
+                      strataCol: String): DataFrame = {
+    // 18,6 operands keep products at DECIMAL(36,12) — inside the 38-digit
+    // cap on BOTH engines (38,6 operands would overflow DuckDB's width)
+    val x = col(xCol).cast(DecimalType(18, 6))
+    val y = round(col(yCol).cast(DoubleType), 6).cast(DecimalType(18, 6))
+    val agg = df
+      .select(col(strataCol), x.as("graft_x"), y.as("graft_y"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("graft_x")).as("graft_sx"),
+        sum(col("graft_y")).as("graft_sy"),
+        sum(col("graft_x") * col("graft_y")).as("graft_sxy"),
+        sum(col("graft_x") * col("graft_x")).as("graft_sxx"),
+        sum(col("graft_y") * col("graft_y")).as("graft_syy"))
+    val nD = col("n").cast(DoubleType)
+    val num = nD * col("graft_sxy").cast(DoubleType) -
+      col("graft_sx").cast(DoubleType) * col("graft_sy").cast(DoubleType)
+    val vx = nD * col("graft_sxx").cast(DoubleType) -
+      col("graft_sx").cast(DoubleType) * col("graft_sx").cast(DoubleType)
+    val vy = nD * col("graft_syy").cast(DoubleType) -
+      col("graft_sy").cast(DoubleType) * col("graft_sy").cast(DoubleType)
+    agg.select(col(strataCol), col("n"),
+      when(col("n") >= 2 && vx > 0.0 && vy > 0.0,
+        round(num / (sqrt(vx) * sqrt(vy)), 6)).as("r_pearson"))
+  }
+
+  /**
    * One-dimensional Wasserstein-1 (earth-mover) drift of an integer
    * metric between each stratum and the REST of the corpus — the
    * integral-of-CDF-gap distance (W₁ = ∫|F_s − F_rest|, Ramdas et al.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Chunking, LatestSnapshot, Profiling, Relevance, Similarity, TextAnalysis, VectorAggs}
+import graft.operators.{Chunking, LatestSnapshot, Layout, Profiling, Relevance, Similarity, TextAnalysis, VectorAggs}
 import graft.sources.Sources
 
 /**
@@ -551,4 +551,112 @@ object MiningQueries {
       |JOIN gp USING (doc_id) JOIN rp USING (doc_id)
       |LEFT JOIN tr USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  // ── q258: column encoding-size planner ─────────────────────────────────
+
+  private val encCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "int", "l_partkey" -> "int", "l_linenumber" -> "int",
+    "l_returnflag" -> "str", "l_linestatus" -> "str")
+
+  /** q258: exact per-column encoded sizes (plain / zigzag-varint /
+    * dictionary) over five lineitem columns
+    * ([[Layout.encodingPlan]]) — the writer's encoding pick, integer-
+    * exact on both engines (bit lengths via `bin()`, never log2). */
+  def q258EncodingPlan(s: SparkSession, dir: String): DataFrame =
+    Layout.encodingPlan(Sources.lineitem(s, dir), encCols.map(_._1))
+      .orderBy(col("col_name"))
+
+  val q258Sql: String = {
+    def block(c: String, kind: String): String = kind match {
+      case "int" =>
+        s"""SELECT '$c' AS col_name, 'int' AS kind,
+           |  COUNT(*) AS n_values, COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(SUM((length(bin(CAST(CASE WHEN $c >= 0 THEN $c * 2
+           |    ELSE -$c * 2 - 1 END AS BIGINT))) + 6) // 7) AS BIGINT)
+           |    AS vb,
+           |  NULL::BIGINT AS sb, NULL::BIGINT AS dlen
+           |FROM lineitem""".stripMargin
+      case _ =>
+        s"""SELECT '$c' AS col_name, 'str' AS kind,
+           |  COUNT(*) AS n_values, COUNT(DISTINCT $c) AS n_distinct,
+           |  NULL::BIGINT AS vb,
+           |  CAST(SUM(length($c)) AS BIGINT) AS sb,
+           |  (SELECT CAST(SUM(length(x)) AS BIGINT)
+           |   FROM (SELECT DISTINCT $c AS x FROM lineitem)) AS dlen
+           |FROM lineitem""".stripMargin
+    }
+    s"""WITH per AS (
+      |${encCols.map { case (c, k) => block(c, k) }.mkString("\nUNION ALL\n")}
+      |),
+      |m AS (SELECT *,
+      |  CASE WHEN kind = 'int' THEN n_values * 8
+      |       ELSE sb + n_values * 4 END AS plain_bytes,
+      |  CASE WHEN kind = 'int' THEN vb END AS varint_bytes,
+      |  n_values * ((length(bin(n_distinct - 1)) + 7) // 8) +
+      |    CASE WHEN kind = 'int' THEN n_distinct * 8
+      |         ELSE dlen + n_distinct * 4 END AS dict_bytes
+      |FROM per),
+      |b AS (SELECT *,
+      |  CASE WHEN varint_bytes IS NOT NULL AND varint_bytes <= dict_bytes
+      |         AND varint_bytes <= plain_bytes THEN 'varint'
+      |       WHEN dict_bytes <= plain_bytes THEN 'dict'
+      |       ELSE 'plain' END AS best_encoding,
+      |  least(plain_bytes, dict_bytes,
+      |    COALESCE(varint_bytes, plain_bytes)) AS best_bytes
+      |FROM m)
+      |SELECT col_name, kind, n_values, n_distinct,
+      |  CAST(plain_bytes AS BIGINT) AS plain_bytes,
+      |  CAST(varint_bytes AS BIGINT) AS varint_bytes,
+      |  CAST(dict_bytes AS BIGINT) AS dict_bytes, best_encoding,
+      |  CAST(((plain_bytes - best_bytes)::HUGEINT * 1000000) //
+      |    plain_bytes::HUGEINT AS BIGINT) AS savings_ppm
+      |FROM b ORDER BY col_name""".stripMargin
+  }
+
+  // ── q259: Pearson proxy-signal correlation ─────────────────────────────
+
+  /** q259: per-source Pearson correlation between document word count
+    * and embedding L2 norm ([[Profiling.pearsonByStrata]]) — the
+    * cheap-metadata vs expensive-representation sanity check run before
+    * trusting the cheap signal as a filter proxy. */
+  def q259PearsonProxy(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val emb = Sources.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"),
+        sqrt(Similarity.dotHof(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"))).as("l2_norm"))
+    val paired = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_words"))
+      .join(emb, "doc_id")
+    Profiling.pearsonByStrata(paired, "n_words", "l2_norm", "source")
+      .orderBy(col("source"))
+  }
+
+  val q259Sql: String =
+    """WITH p AS (SELECT d.source,
+      |    CAST(len(string_split(d.text, ' ')) AS DECIMAL(18,6)) AS x,
+      |    CAST(round(sqrt(list_sum(list_transform(
+      |        range(1, len(e.embedding) + 1),
+      |        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))), 6)
+      |      AS DECIMAL(18,6)) AS y
+      |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+      |a AS (SELECT source, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM p GROUP BY source)
+      |SELECT source, n,
+      |  CASE WHEN n >= 2
+      |    AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |    AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      |  THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |  END AS r_pearson
+      |FROM a ORDER BY source""".stripMargin
 }

@@ -370,4 +370,44 @@ class MiningOpsSpec extends SparkSpec {
     val short = docs.filter(size(split(col("text"), " ")) < 2).count()
     assert(out.filter(col("ppl_tier").isNull).count() == short)
   }
+
+  // ── encodingPlan ────────────────────────────────────────────────────────
+
+  test("encodingPlan computes exact varint/dict/plain sizes and the pick") {
+    import graft.operators.Layout
+    val df = Seq((0L, "x"), (1L, "x"), (300L, "yy")).toDF("a", "b")
+    val out = Layout.encodingPlan(df, Seq("a", "b"))
+      .orderBy("col_name")
+      .as[(String, String, Long, Long, Long, Option[Long], Long, String, Long)]
+      .collect().toSeq
+    // a: zigzag varints 1+1+2 = 4 B vs plain 24 vs dict 3·1 + 3·8 = 27
+    // b: dict = 3 idx + (3 distinct chars + 2·4) = 14 B vs plain 16
+    assert(out == Seq(
+      ("a", "int", 3L, 3L, 24L, Some(4L), 27L, "varint", 833333L),
+      ("b", "str", 3L, 2L, 16L, None, 14L, "dict", 125000L)))
+    // zigzag keeps negatives small: -1 → 1 → one byte
+    val neg = Layout.encodingPlan(Seq((-1L, "z")).toDF("a", "b"), Seq("a"))
+      .select("varint_bytes").as[Option[Long]].head()
+    assert(neg.contains(1L))
+    intercept[IllegalArgumentException] {
+      Layout.encodingPlan(Seq((1.5, "z")).toDF("a", "b"), Seq("a"))
+    }
+  }
+
+  // ── pearsonByStrata ─────────────────────────────────────────────────────
+
+  test("pearsonByStrata: exact ±1 on linear data, NULL on degenerate") {
+    val df = Seq(
+      ("up", 1L, 2.0), ("up", 2L, 4.0), ("up", 3L, 6.0),
+      ("down", 1L, 3.0), ("down", 2L, 2.0), ("down", 3L, 1.0),
+      ("flat", 1L, 5.0), ("flat", 2L, 5.0),
+      ("solo", 9L, 9.0)).toDF("src", "x", "y")
+    val out = Profiling.pearsonByStrata(df, "x", "y", "src")
+      .as[(String, Long, Option[Double])].collect().toSeq
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("up") == ((3L, Some(1.0))))
+    assert(out("down") == ((3L, Some(-1.0))))
+    assert(out("flat") == ((2L, None)))   // zero variance in y
+    assert(out("solo") == ((1L, None)))   // n < 2
+  }
 }
