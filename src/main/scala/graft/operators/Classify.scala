@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /**
  * Trained text classification over the corpus — the learned-from-data
@@ -150,5 +150,115 @@ object Classify {
         col("runner_up"), col("margin_q"))
       .orderBy(col("margin_q").asc, col(idCol).asc)
       .limit(k)
+  }
+
+  /**
+   * Distributed linear-probe TRAINING by exact normal equations — the
+   * train half of [[TextAnalysis.linearQualityScore]]'s apply: fit the
+   * least-squares linear probability model
+   * `ŷ = β₀ + β₁x₁ + β₂x₂` (two integer features + intercept) with
+   * `β = (XᵀX)⁻¹Xᵀy`, solved in closed form by Cramer's rule. This is
+   * how a quality/language probe is actually fit at corpus scale: ONE
+   * pass aggregates the 9 sufficient statistics (all exact integer
+   * sums, map-side combinable), and the 3×3 solve is constant work on
+   * that single row. No SGD, no iterations, no shuffle beyond the agg.
+   *
+   * Determinism: every determinant is an exact DECIMAL(38,0) cofactor
+   * expansion of integer sums (exact while entry products stay under
+   * 10³⁸ — safe into the ~10¹²-doc range with bounded features; beyond
+   * that, center the features first and the magnitudes collapse);
+   * β and R² are fixed-shape double expressions over those exact
+   * integers, rounded to 6 dp. A singular XᵀX (constant feature,
+   * n < 3) yields NULL coefficients, never a 0/0.
+   *
+   * Returns ONE row: n, the exact determinant, β₀..β₂, and in-sample
+   * R² — computed from the same sufficient statistics
+   * (SSE = Σy² − βᵀXᵀy), so no second corpus pass.
+   */
+  def linearProbeTrain(df: DataFrame, yCol: String, x1Col: String,
+                       x2Col: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    def d(c: Column): Column = c.cast(big)
+    val stats = df.select(col(yCol).cast(LongType).as("graft_y"),
+        col(x1Col).cast(LongType).as("graft_x1"),
+        col(x2Col).cast(LongType).as("graft_x2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("graft_x1")).as("s1"), sum(col("graft_x2")).as("s2"),
+        sum(col("graft_x1") * col("graft_x1")).as("s11"),
+        sum(col("graft_x1") * col("graft_x2")).as("s12"),
+        sum(col("graft_x2") * col("graft_x2")).as("s22"),
+        sum(col("graft_y")).as("sy"),
+        sum(col("graft_x1") * col("graft_y")).as("s1y"),
+        sum(col("graft_x2") * col("graft_y")).as("s2y"),
+        sum(col("graft_y") * col("graft_y")).as("syy"))
+    val n = d(col("n")); val s1 = d(col("s1")); val s2 = d(col("s2"))
+    val s11 = d(col("s11")); val s12 = d(col("s12"))
+    val s22 = d(col("s22")); val sy = d(col("sy"))
+    val s1y = d(col("s1y")); val s2y = d(col("s2y"))
+    val det = n * (s11 * s22 - s12 * s12) -
+      s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) -
+      s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s12 * s2y) -
+      sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * (s11 * s2y - s1y * s12) -
+      s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
+    val withDet = stats
+      .withColumn("graft_det", det)
+      .withColumn("graft_d0", det0)
+      .withColumn("graft_d1", det1)
+      .withColumn("graft_d2", det2)
+    def beta(dc: String): Column =
+      when(col("graft_det") =!= 0,
+        round(col(dc).cast(DoubleType) /
+          col("graft_det").cast(DoubleType), 6))
+    val b0 = col("graft_d0").cast(DoubleType) / col("graft_det").cast(DoubleType)
+    val b1 = col("graft_d1").cast(DoubleType) / col("graft_det").cast(DoubleType)
+    val b2 = col("graft_d2").cast(DoubleType) / col("graft_det").cast(DoubleType)
+    val sse = col("syy").cast(DoubleType) -
+      (b0 * col("sy").cast(DoubleType) + b1 * col("s1y").cast(DoubleType) +
+        b2 * col("s2y").cast(DoubleType))
+    val sst = col("syy").cast(DoubleType) -
+      col("sy").cast(DoubleType) * col("sy").cast(DoubleType) /
+        col("n").cast(DoubleType)
+    withDet.select(col("n"),
+      col("graft_det").cast(DecimalType(38, 0)).as("det"),
+      beta("graft_d0").as("beta0"), beta("graft_d1").as("beta1"),
+      beta("graft_d2").as("beta2"),
+      when(col("graft_det") =!= 0 && sst > 0.0,
+        round(lit(1.0) - sse / sst, 6)).as("r2"))
+  }
+
+  /**
+   * Train-then-evaluate the [[linearProbeTrain]] probe in one pipeline:
+   * per stratum, the confusion matrix of `ŷ ≥ 0.5` against the true
+   * binary label — the per-source reliability read a probe gets before
+   * it's trusted as a filter. The trained β row (already 6-dp-rounded,
+   * so the decision boundary is engine-portable) broadcasts onto a
+   * second corpus pass; the confusion is ONE stratum-keyed map-side
+   * agg. Two corpus scans total (sufficient statistics + scoring) —
+   * the minimum for train-then-apply.
+   */
+  def linearProbeConfusion(df: DataFrame, yCol: String, x1Col: String,
+                           x2Col: String, strataCol: String): DataFrame = {
+    val model = linearProbeTrain(df, yCol, x1Col, x2Col)
+      .select(col("beta0"), col("beta1"), col("beta2"))
+    val pred = col("beta0") +
+      col("beta1") * col(x1Col).cast(DoubleType) +
+      col("beta2") * col(x2Col).cast(DoubleType)
+    df.crossJoin(broadcast(model))
+      .withColumn("graft_yhat",
+        when(pred >= 0.5, 1L).otherwise(0L))
+      .withColumn("graft_yv", col(yCol).cast(LongType))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("graft_yv") === 1 && col("graft_yhat") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("graft_yv") === 0 && col("graft_yhat") === 1, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("graft_yv") === 1 && col("graft_yhat") === 0, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("graft_yv") === 0 && col("graft_yhat") === 0, 1L)
+          .otherwise(0L)).as("tn"))
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Chunking, LatestSnapshot, Layout, Profiling, Relevance, Similarity, TextAnalysis, VectorAggs}
+import graft.operators.{Chunking, Classify, LatestSnapshot, Layout, Profiling, Relevance, Similarity, TextAnalysis, VectorAggs}
 import graft.sources.Sources
 
 /**
@@ -659,4 +659,107 @@ object MiningQueries {
       |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
       |  END AS r_pearson
       |FROM a ORDER BY source""".stripMargin
+
+  // ── q260/q261: linear-probe training by exact normal equations ─────────
+
+  private def probeFeatures(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Sources.documents(s, dir).select(col("doc_id"), col("source"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("is_en"),
+      size(filter(words, w => w.isInCollection(
+        Seq("the", "and", "of", "a", "to", "in")))).cast("long")
+        .as("n_stop"),
+      size(words).cast("long").as("n_words"))
+  }
+
+  // the same feature projection, shared by both oracle CTEs
+  private val probeFeatureSql: String =
+    """f AS (SELECT doc_id, source,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the', 'and', 'of', 'a', 'to', 'in'))) AS BIGINT)
+      |      AS x1,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x2
+      |  FROM documents),
+      |st AS (SELECT COUNT(*) AS n,
+      |    SUM(x1) AS s1, SUM(x2) AS s2, SUM(x1 * x1) AS s11,
+      |    SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22, SUM(y) AS sy,
+      |    SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y, SUM(y * y) AS syy
+      |  FROM f),
+      |dd AS (SELECT *,
+      |    n::HUGEINT * (s11::HUGEINT * s22 - s12::HUGEINT * s12) -
+      |    s1::HUGEINT * (s1::HUGEINT * s22 - s12::HUGEINT * s2) +
+      |    s2::HUGEINT * (s1::HUGEINT * s12 - s11::HUGEINT * s2) AS det,
+      |    sy::HUGEINT * (s11::HUGEINT * s22 - s12::HUGEINT * s12) -
+      |    s1::HUGEINT * (s1y::HUGEINT * s22 - s12::HUGEINT * s2y) +
+      |    s2::HUGEINT * (s1y::HUGEINT * s12 - s11::HUGEINT * s2y) AS d0,
+      |    n::HUGEINT * (s1y::HUGEINT * s22 - s12::HUGEINT * s2y) -
+      |    sy::HUGEINT * (s1::HUGEINT * s22 - s12::HUGEINT * s2) +
+      |    s2::HUGEINT * (s1::HUGEINT * s2y - s1y::HUGEINT * s2) AS d1,
+      |    n::HUGEINT * (s11::HUGEINT * s2y - s1y::HUGEINT * s12) -
+      |    s1::HUGEINT * (s1::HUGEINT * s2y - s1y::HUGEINT * s2) +
+      |    sy::HUGEINT * (s1::HUGEINT * s12 - s11::HUGEINT * s2) AS d2
+      |  FROM st),
+      |bb AS (SELECT *,
+      |    CASE WHEN det <> 0
+      |      THEN round(CAST(d0 AS DOUBLE) / CAST(det AS DOUBLE), 6)
+      |      END AS beta0,
+      |    CASE WHEN det <> 0
+      |      THEN round(CAST(d1 AS DOUBLE) / CAST(det AS DOUBLE), 6)
+      |      END AS beta1,
+      |    CASE WHEN det <> 0
+      |      THEN round(CAST(d2 AS DOUBLE) / CAST(det AS DOUBLE), 6)
+      |      END AS beta2
+      |  FROM dd)""".stripMargin
+
+  /** q260: the least-squares English-ness probe fit by exact normal
+    * equations ([[Classify.linearProbeTrain]]) — ŷ = β₀ + β₁·n_stop +
+    * β₂·n_words against is_en; one row with the exact determinant,
+    * 6-dp coefficients, and in-sample R². */
+  def q260ProbeTrain(s: SparkSession, dir: String): DataFrame =
+    Classify.linearProbeTrain(probeFeatures(s, dir), "is_en", "n_stop",
+      "n_words")
+
+  val q260Sql: String =
+    s"""WITH $probeFeatureSql
+      |SELECT n, det::DECIMAL(38,0) AS det, beta0, beta1, beta2,
+      |  CASE WHEN det <> 0 AND
+      |      CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |        / CAST(n AS DOUBLE) > 0
+      |    THEN round(1.0 - (CAST(syy AS DOUBLE) -
+      |      (CAST(d0 AS DOUBLE) / CAST(det AS DOUBLE) * CAST(sy AS DOUBLE)
+      |       + CAST(d1 AS DOUBLE) / CAST(det AS DOUBLE)
+      |         * CAST(s1y AS DOUBLE)
+      |       + CAST(d2 AS DOUBLE) / CAST(det AS DOUBLE)
+      |         * CAST(s2y AS DOUBLE))) /
+      |      (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |        / CAST(n AS DOUBLE)), 6)
+      |    END AS r2
+      |FROM bb""".stripMargin
+
+  /** q261: per-source confusion matrix of the trained probe at the 0.5
+    * decision boundary ([[Classify.linearProbeConfusion]]) — the
+    * reliability read before the probe is trusted as a filter. */
+  def q261ProbeConfusion(s: SparkSession, dir: String): DataFrame =
+    Classify.linearProbeConfusion(probeFeatures(s, dir), "is_en",
+        "n_stop", "n_words", "source")
+      .orderBy(col("source"))
+
+  val q261Sql: String =
+    s"""WITH $probeFeatureSql
+      |SELECT f.source, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN f.y = 1 AND
+      |    bb.beta0 + bb.beta1 * f.x1 + bb.beta2 * f.x2 >= 0.5
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |  CAST(SUM(CASE WHEN f.y = 0 AND
+      |    bb.beta0 + bb.beta1 * f.x1 + bb.beta2 * f.x2 >= 0.5
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |  CAST(SUM(CASE WHEN f.y = 1 AND NOT
+      |    (bb.beta0 + bb.beta1 * f.x1 + bb.beta2 * f.x2 >= 0.5)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |  CAST(SUM(CASE WHEN f.y = 0 AND NOT
+      |    (bb.beta0 + bb.beta1 * f.x1 + bb.beta2 * f.x2 >= 0.5)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |FROM f CROSS JOIN bb
+      |GROUP BY f.source ORDER BY f.source""".stripMargin
 }

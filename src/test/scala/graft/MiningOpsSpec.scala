@@ -410,4 +410,41 @@ class MiningOpsSpec extends SparkSpec {
     assert(out("flat") == ((2L, None)))   // zero variance in y
     assert(out("solo") == ((1L, None)))   // n < 2
   }
+  // ── linearProbeTrain / linearProbeConfusion ─────────────────────────────
+
+  test("linearProbeTrain recovers an exact linear relation") {
+    import graft.operators.Classify
+    // y = 2 + 3·x1 + x2 exactly → perfect fit, R² = 1
+    val df = Seq((2L, 0L, 0L), (5L, 1L, 0L), (3L, 0L, 1L), (6L, 1L, 1L))
+      .toDF("y", "x1", "x2")
+    val out = Classify.linearProbeTrain(df, "y", "x1", "x2")
+      .select("n", "beta0", "beta1", "beta2", "r2")
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].head()
+    assert(out == ((4L, Some(2.0), Some(3.0), Some(1.0), Some(1.0))))
+  }
+
+  test("linearProbeTrain: singular design yields NULL coefficients") {
+    import graft.operators.Classify
+    val df = Seq((1L, 1L, 0L), (0L, 1L, 1L), (1L, 1L, 2L))
+      .toDF("y", "x1", "x2") // x1 constant → X'X singular
+    val out = Classify.linearProbeTrain(df, "y", "x1", "x2")
+      .select("beta0", "beta1", "beta2", "r2")
+      .as[(Option[Double], Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(out == ((None, None, None, None)))
+  }
+
+  test("linearProbeConfusion scores a separable probe perfectly") {
+    import graft.operators.Classify
+    // y = x1 exactly (x2 is noise the fit zeroes out) → clean confusion
+    val df = Seq(("a", 1L, 1L, 0L), ("a", 1L, 1L, 1L),
+      ("b", 0L, 0L, 0L), ("b", 0L, 0L, 1L))
+      .toDF("src", "y", "x1", "x2")
+    val out = Classify.linearProbeConfusion(df, "y", "x1", "x2", "src")
+      .orderBy("src")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 2L, 2L, 0L, 0L, 0L),
+      ("b", 2L, 0L, 0L, 0L, 2L)))
+  }
 }

@@ -544,7 +544,10 @@ class PlanShapeSpec extends SparkSpec {
       "q255_collocation_merge",
       // q257: composes q246's perplexity-tier chain and inherits its
       // 1-row (N, λ) totals broadcast — the q200/q246 shape
-      "q257_signals_table")
+      "q257_signals_table",
+      // q260/q261: the 1-row sufficient-statistics / trained-β model
+      // broadcast (normal-equations train is a single aggregate row)
+      "q260_probe_train", "q261_probe_confusion")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
