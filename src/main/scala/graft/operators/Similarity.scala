@@ -532,6 +532,49 @@ object Similarity {
   }
 
   /**
+   * Late-interaction MaxSim retrieval (Khattab & Zaharia, ColBERT,
+   * SIGIR'20): score(q, d) = Σᵢ maxⱼ cos(qᵢ, dⱼ) over the two sides'
+   * sub-vector sets — every query part finds its best-matching document
+   * part, so partial matches score where single-vector cosine averages
+   * them away. Here the `m` sub-vectors are contiguous `dims/m` slices
+   * of the stored embedding (the PQ subspace convention, [[VectorAggs
+   * .pqEncode]]), making the operator a drop-in re-ranker over the same
+   * column the ANN index serves.
+   *
+   * Determinism: each of the m² slice cosines is the 6-dp DECIMAL
+   * q201-proven surface; max and Σ are exact on decimals; top-k breaks
+   * score ties on doc id.
+   *
+   * Scale shape: the bounded query set broadcasts (the q92/q116 eval
+   * shape); the corpus is scanned ONCE with a constant m² fan-out of
+   * codegen'd cosines per (query, doc) — no explode, no shuffle of
+   * vectors; the k-cut is per-query grouped top-k (WindowGroupLimit).
+   */
+  def maxSimTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, dims: Int, m: Int, k: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    require(k >= 1, s"k=$k out of range")
+    val sub = dims / m
+    def slices(c: Column): Seq[Column] =
+      (0 until m).map(i => slice(c, i * sub + 1, sub))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("graft_qv"))
+    val d = corpus.select(col(idCol).as("d_id"), col(vecCol).as("graft_dv"))
+    val qs = slices(col("graft_qv"))
+    val ds = slices(col("graft_dv"))
+    val score = qs.map { qi =>
+      val best = ds.map(dj =>
+        round(cosine(qi, dj), 6).cast(DecimalType(18, 6)))
+      if (best.size == 1) best.head else greatest(best: _*)
+    }.reduce(_ + _)
+    val scored = d.crossJoin(broadcast(q))
+      .select(col("q_id"), col("d_id"), score.as("maxsim"))
+    LatestSnapshot.topK(scored, Seq("q_id"), col("maxsim").desc,
+        Seq(col("d_id").asc), k)
+      .select(col("q_id"), col("d_id"),
+        col("maxsim").cast(DoubleType).as("maxsim"))
+  }
+
+  /**
    * Johnson–Lindenstrauss distance-distortion audit under a Rademacher
    * (±1) random projection (Achlioptas 2003's database-friendly JL
    * matrix — the same md5-derived sign rows as [[hyperplane]], reused

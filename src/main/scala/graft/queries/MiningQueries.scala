@@ -762,4 +762,49 @@ object MiningQueries {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS tn
       |FROM f CROSS JOIN bb
       |GROUP BY f.source ORDER BY f.source""".stripMargin
+
+  // ── q262: ColBERT-style MaxSim late-interaction retrieval ──────────────
+
+  /** q262: top-5 documents per query under the MaxSim late-interaction
+    * score ([[Similarity.maxSimTopK]], 4 sub-vectors of 16 dims) —
+    * queries are the `vec_id % 50 = 0` rows, corpus the rest; each
+    * query slice finds its best-matching document slice and the
+    * per-slice maxima sum. */
+  def q262MaxSim(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    Similarity.maxSimTopK(
+        emb.filter(col("vec_id") % 50 === 0),
+        emb.filter(col("vec_id") % 50 =!= 0),
+        "vec_id", "embedding", dims = 64, m = 4, k = 5)
+      .orderBy(col("q_id"), col("d_id"))
+  }
+
+  val q262Sql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS v
+      |           FROM embeddings WHERE vec_id % 50 = 0),
+      |d AS (SELECT vec_id AS d_id, embedding AS v
+      |      FROM embeddings WHERE vec_id % 50 <> 0),
+      |qs AS (SELECT q_id, i, list_transform(
+      |         list_slice(v, i * 16 + 1, i * 16 + 16), x -> x::DOUBLE)
+      |         AS sv
+      |       FROM q CROSS JOIN range(0, 4) t(i)),
+      |dsl AS (SELECT d_id, j, list_transform(
+      |          list_slice(v, j * 16 + 1, j * 16 + 16), x -> x::DOUBLE)
+      |          AS sv
+      |        FROM d CROSS JOIN range(0, 4) t(j)),
+      |pc AS (SELECT qs.q_id, dsl.d_id, qs.i,
+      |         MAX(CAST(round(
+      |           list_sum(list_transform(range(1, 17),
+      |             t -> qs.sv[t] * dsl.sv[t])) /
+      |           (sqrt(list_sum(list_transform(range(1, 17),
+      |              t -> qs.sv[t] * qs.sv[t]))) *
+      |            sqrt(list_sum(list_transform(range(1, 17),
+      |              t -> dsl.sv[t] * dsl.sv[t])))), 6)
+      |           AS DECIMAL(18,6))) AS best
+      |       FROM qs CROSS JOIN dsl GROUP BY 1, 2, 3),
+      |sc AS (SELECT q_id, d_id, SUM(best) AS maxsim FROM pc GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |        ORDER BY maxsim DESC, d_id) AS rn FROM sc)
+      |SELECT q_id, d_id, CAST(maxsim AS DOUBLE) AS maxsim
+      |FROM r WHERE rn <= 5 ORDER BY q_id, d_id""".stripMargin
 }

@@ -447,4 +447,32 @@ class MiningOpsSpec extends SparkSpec {
     assert(out == Seq(("a", 2L, 2L, 0L, 0L, 0L),
       ("b", 2L, 0L, 0L, 0L, 2L)))
   }
+  // ── maxSimTopK ──────────────────────────────────────────────────────────
+
+  test("maxSimTopK rewards per-slice partial matches plain cosine misses") {
+    val q = Seq((100L, Array(1f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val d = Seq(
+      (1L, Array(1f, 0f, 1f, 0f)),   // slice1 matches, slice2 doesn't → 1
+      (2L, Array(0f, 1f, 1f, 0f)),   // both q slices match SWAPPED d
+                                     // slices → 2 (plain cosine = 0!)
+      (3L, Array(-1f, 0f, 0f, -1f))) // anti-aligned → 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.maxSimTopK(q, d, "vec_id", "embedding",
+        dims = 4, m = 2, k = 2)
+      .orderBy(col("maxsim").desc)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((100L, 2L, 2.0), (100L, 1L, 1.0)))
+  }
+
+  test("maxSimTopK with m = 1 degenerates to whole-vector cosine top-k") {
+    val q = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val d = Seq((1L, Array(0.6f, 0.8f)), (2L, Array(1f, 0f)),
+      (3L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.maxSimTopK(q, d, "vec_id", "embedding",
+        dims = 2, m = 1, k = 3)
+      .orderBy(col("maxsim").desc, col("d_id"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(_._2) == Seq(2L, 1L, 3L))
+    assert(out.map(_._3) == Seq(1.0, 0.6, 0.0))
+  }
 }

@@ -547,7 +547,10 @@ class PlanShapeSpec extends SparkSpec {
       "q257_signals_table",
       // q260/q261: the 1-row sufficient-statistics / trained-β model
       // broadcast (normal-equations train is a single aggregate row)
-      "q260_probe_train", "q261_probe_confusion")
+      "q260_probe_train", "q261_probe_confusion",
+      // q262: bounded query-set broadcast vs one corpus pass (the
+      // q92/q116/q131 eval shape; MaxSim fan-out is a constant m²)
+      "q262_maxsim")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
