@@ -206,6 +206,66 @@ object VectorAggs {
   }
 
   /**
+   * Lightweight coreset sampling (Bachem, Lucic & Krause, KDD 2018):
+   * an importance-weighted subset that provably approximates k-means
+   * objectives on the full corpus — THE principled way to hand a
+   * clustering/summarization job 10⁵ points instead of 10¹⁰. Each
+   * point's sensitivity is `q(x) = ½·1/n + ½·d²(x, μ)/Σd²` (uniform
+   * mass + distance-to-mean mass, so both dense cores and far outliers
+   * are represented); `t` points are drawn ∝ q via deterministic A-ES
+   * keys (the [[Sampling.weightedTopKPerStratum]] machinery, md5-seeded
+   * — reproducible and oracle-replayable) and carry the unbiasing
+   * weight 1/(t·q).
+   *
+   * Hashed surface: ids, 6-dp d², and floor-ppm sensitivity/weight —
+   * divisions and floors of deterministic doubles only; the `ln` inside
+   * the selection KEY never lands in a hashed column (the q104/q195
+   * selection-only precedent). A zero-spread corpus (Σd² = 0) falls
+   * back to uniform sensitivities instead of dividing by zero.
+   *
+   * Scale shape: the 1-row (μ, Σd², n) statistics broadcast; scoring is
+   * a narrow projection; the t-cut rides WindowGroupLimit. Two corpus
+   * passes (mean + score), zero vector shuffles.
+   */
+  def lightweightCoreset(df: DataFrame, idCol: String, vecCol: String,
+                         t: Int, salt: String): DataFrame = {
+    require(t >= 1, s"t=$t out of range")
+    val base = df.select(col(idCol),
+      col(vecCol).cast("array<double>").as("graft_x"))
+    val meanVec = base
+      .select(posexplode(col("graft_x")).as(Seq("dim", "graft_v")))
+      .groupBy(col("dim"))
+      .agg(round(sum(dec6(col("graft_v"))).cast(DoubleType) /
+        count(lit(1)), 6).as("graft_c"))
+      .groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("graft_c")))),
+        s => s.getField("graft_c")).as("graft_mu"))
+    val diff = zip_with(col("graft_x"), col("graft_mu"), (a, b) => a - b)
+    val scored = base.crossJoin(broadcast(meanVec))
+      .withColumn("graft_d2",
+        round(Similarity.dotHof(diff, diff), 6)
+          .cast(DecimalType(18, 6)))
+    val tot = scored.agg(sum(col("graft_d2")).as("graft_s"),
+      count(lit(1)).as("graft_n"))
+    val q = when(col("graft_s").cast(DoubleType) > 0.0,
+      lit(0.5) / col("graft_n").cast(DoubleType) +
+        col("graft_d2").cast(DoubleType) /
+          (lit(2.0) * col("graft_s").cast(DoubleType)))
+      .otherwise(lit(1.0) / col("graft_n").cast(DoubleType))
+    val sens = scored.crossJoin(broadcast(tot))
+      .withColumn("graft_q", q)
+      .withColumn("graft_all", lit(1))
+    Sampling.weightedTopKPerStratum(sens, idCol, "graft_q", "graft_all",
+        salt, t)
+      .select(col(idCol),
+        col("graft_d2").cast(DoubleType).as("d2_mean"),
+        floor(col("graft_q") * 1000000.0).cast(LongType).as("sens_ppm"),
+        floor(lit(1000000.0) / (lit(t.toDouble) * col("graft_q")))
+          .cast(LongType).as("weight_ppm"))
+  }
+
+  /**
    * SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
    * efficient learning at web-scale through semantic deduplication",
    * 2023): given a clustered corpus (`assigned` = idCol, clusterCol,

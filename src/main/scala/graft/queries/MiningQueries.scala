@@ -807,4 +807,50 @@ object MiningQueries {
       |        ORDER BY maxsim DESC, d_id) AS rn FROM sc)
       |SELECT q_id, d_id, CAST(maxsim AS DOUBLE) AS maxsim
       |FROM r WHERE rn <= 5 ORDER BY q_id, d_id""".stripMargin
+
+  // ── q263: lightweight coreset sampling ─────────────────────────────────
+
+  /** q263: the 25-point importance-weighted coreset of the embedding
+    * corpus ([[VectorAggs.lightweightCoreset]], Bachem 2018) — ids with
+    * their distance-to-mean, floor-ppm sensitivity, and unbiasing
+    * weight; the md5-seeded A-ES draw is replayed exactly by the
+    * oracle. */
+  def q263Coreset(s: SparkSession, dir: String): DataFrame =
+    VectorAggs.lightweightCoreset(Sources.embeddings(s, dir), "vec_id",
+        "embedding", t = 25, salt = "g263")
+      .orderBy(col("vec_id"))
+
+  val q263Sql: String =
+    """WITH e AS (SELECT vec_id,
+      |         list_transform(embedding, v -> v::DOUBLE) AS x
+      |       FROM embeddings),
+      |m AS (SELECT d, round(CAST(SUM(CAST(round(x[d], 6)
+      |          AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS c
+      |      FROM e CROSS JOIN range(1, 65) t(d) GROUP BY d),
+      |mu AS (SELECT array_agg(c ORDER BY d) AS mu FROM m),
+      |sc AS (SELECT e.vec_id,
+      |         CAST(round(list_sum(list_transform(range(1, 65), j ->
+      |           (e.x[j] - mu.mu[j]) * (e.x[j] - mu.mu[j]))), 6)
+      |           AS DECIMAL(18,6)) AS d2
+      |       FROM e CROSS JOIN mu),
+      |tt AS (SELECT SUM(d2) AS s, COUNT(*) AS n FROM sc),
+      |qq AS (SELECT sc.vec_id, sc.d2,
+      |         CASE WHEN CAST(tt.s AS DOUBLE) > 0
+      |           THEN 0.5 / tt.n +
+      |             CAST(sc.d2 AS DOUBLE) / (2.0 * CAST(tt.s AS DOUBLE))
+      |           ELSE 1.0 / tt.n END AS q
+      |       FROM sc CROSS JOIN tt),
+      |k AS (SELECT *,
+      |        ln(CAST(CAST(list_sum(list_transform(range(1, 13), j ->
+      |          (strpos('0123456789abcdef',
+      |             substr(md5('g263_' || vec_id), j, 1)) - 1)
+      |            * power(16, 12 - j))) AS BIGINT) + 1 AS DOUBLE)
+      |          / 281474976710656.0) / q AS aes
+      |      FROM qq),
+      |r AS (SELECT *, row_number() OVER (ORDER BY aes DESC, vec_id) AS rn
+      |      FROM k)
+      |SELECT vec_id, CAST(d2 AS DOUBLE) AS d2_mean,
+      |  CAST(floor(q * 1000000.0) AS BIGINT) AS sens_ppm,
+      |  CAST(floor(1000000.0 / (25.0 * q)) AS BIGINT) AS weight_ppm
+      |FROM r WHERE rn <= 25 ORDER BY vec_id""".stripMargin
 }

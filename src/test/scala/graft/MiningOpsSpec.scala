@@ -475,4 +475,37 @@ class MiningOpsSpec extends SparkSpec {
     assert(out.map(_._2) == Seq(2L, 1L, 3L))
     assert(out.map(_._3) == Seq(1.0, 0.6, 0.0))
   }
+  // ── lightweightCoreset ──────────────────────────────────────────────────
+
+  test("lightweightCoreset: outliers carry high sensitivity, low weight") {
+    import graft.operators.VectorAggs
+    // mean = (2.5, 0); d² = 6.25 for the three origin points, 56.25 for
+    // the outlier; Σd² = 75 → q(origin) = 1/8 + 6.25/150 = 0.1666…,
+    // q(outlier) = 1/8 + 56.25/150 = 0.5 exactly
+    val vecs = Seq((1L, Array(0f, 0f)), (2L, Array(0f, 0f)),
+      (3L, Array(0f, 0f)), (4L, Array(10f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = VectorAggs.lightweightCoreset(vecs, "vec_id", "embedding",
+        t = 4, salt = "t")
+      .orderBy("vec_id")
+      .as[(Long, Double, Long, Long)].collect().toSeq
+    assert(out.size == 4)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(4L) == ((4L, 56.25, 500000L, 500000L)))
+    assert(byId(1L)._2 == 6.25 && byId(1L)._3 == 166666L)
+    // unbiasing: weight = 1/(t·q) → origin points get 1.5M ppm
+    assert(byId(1L)._4 == 1499999L || byId(1L)._4 == 1500000L)
+  }
+
+  test("lightweightCoreset: zero-spread corpus falls back to uniform") {
+    import graft.operators.VectorAggs
+    val vecs = (1L to 4L).map(i => (i, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = VectorAggs.lightweightCoreset(vecs, "vec_id", "embedding",
+        t = 2, salt = "t")
+      .as[(Long, Double, Long, Long)].collect().toSeq
+    assert(out.size == 2)
+    assert(out.forall(r => r._2 == 0.0 && r._3 == 250000L &&
+      r._4 == 2000000L))
+  }
 }

@@ -550,7 +550,10 @@ class PlanShapeSpec extends SparkSpec {
       "q260_probe_train", "q261_probe_confusion",
       // q262: bounded query-set broadcast vs one corpus pass (the
       // q92/q116/q131 eval shape; MaxSim fan-out is a constant m²)
-      "q262_maxsim")
+      "q262_maxsim",
+      // q263: 1-row mean-vector and (Σd², n) totals broadcasts (the
+      // q84/q87 corpus-stats shape)
+      "q263_coreset")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
@@ -830,6 +833,10 @@ class PlanShapeSpec extends SparkSpec {
       // q228: per-partition offsets aggregate to n_partitions rows; the
       // offsets' own cumulative runs on that metadata table
       "q228_compaction_plan",
+      // q263: GLOBAL top-t A-ES cut — WindowGroupLimit pre-prunes every
+      // partition to ≤ t rows map-side, so the final single-partition
+      // pass sees t·n_partitions rows (metadata), like TakeOrdered
+      "q263_coreset",
       // q251: cumulative vocabulary over the |buckets|-row tranche table
       // (10 rows — the corpus collapsed via ntileExact + word-keyed agg)
       "q251_vocab_growth")
