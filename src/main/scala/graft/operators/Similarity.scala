@@ -532,6 +532,47 @@ object Similarity {
   }
 
   /**
+   * Hubness audit (Radovanović et al., JMLR 2010): the k-occurrence
+   * N_k(x) — how many OTHER vectors count x among their k nearest
+   * neighbors. High-dimensional spaces concentrate: a few "hub" points
+   * appear in everyone's neighbor lists (N_k ≫ k) while "anti-hubs"
+   * appear in none, silently corrupting kNN labels, ANN recall
+   * measurements, and dedup thresholds. This is the measurement behind
+   * [[marginMining]]'s normalization — run it BEFORE trusting any
+   * kNN-derived signal on a new embedding space.
+   *
+   * Flags: `is_hub` at the standard N_k ≥ 2k cut, `is_antihub` at
+   * N_k = 0. Cosines are the 6-dp DECIMAL portable surface; kNN
+   * membership breaks ties on id.
+   *
+   * Scale shape: exact all-pairs baseline (the q41/q247 contract — at
+   * corpus scale the identical in-degree count runs over LSH/IVF
+   * candidate lists from [[annTopK]]); the per-source k-cut rides
+   * WindowGroupLimit and the in-degree is ONE map-side-combinable
+   * count keyed by target id.
+   */
+  def hubnessAudit(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 1, s"k=$k out of range")
+    val a = df.select(col(idCol).as("src_id"), col(vecCol).as("graft_av"))
+    val b = df.select(col(idCol).as("tgt_id"), col(vecCol).as("graft_bv"))
+    val pairs = a.crossJoin(b)
+      .filter(col("src_id") =!= col("tgt_id"))
+      .select(col("src_id"), col("tgt_id"),
+        round(cosine(col("graft_av"), col("graft_bv")), 6)
+          .cast(DecimalType(18, 6)).as("graft_c"))
+    val knn = LatestSnapshot.topK(pairs, Seq("src_id"),
+      col("graft_c").desc, Seq(col("tgt_id").asc), k)
+    val indeg = knn.groupBy(col("tgt_id")).agg(count(lit(1)).as("n_k"))
+    df.select(col(idCol).as("tgt_id"))
+      .join(indeg, Seq("tgt_id"), "left")
+      .na.fill(0L, Seq("n_k"))
+      .select(col("tgt_id").as(idCol), col("n_k"),
+        (col("n_k") >= 2L * k).as("is_hub"),
+        (col("n_k") === 0L).as("is_antihub"))
+  }
+
+  /**
    * Late-interaction MaxSim retrieval (Khattab & Zaharia, ColBERT,
    * SIGIR'20): score(q, d) = Σᵢ maxⱼ cos(qᵢ, dⱼ) over the two sides'
    * sub-vector sets — every query part finds its best-matching document

@@ -853,4 +853,38 @@ object MiningQueries {
       |  CAST(floor(q * 1000000.0) AS BIGINT) AS sens_ppm,
       |  CAST(floor(1000000.0 / (25.0 * q)) AS BIGINT) AS weight_ppm
       |FROM r WHERE rn <= 25 ORDER BY vec_id""".stripMargin
+
+  // ── q264: hubness audit ────────────────────────────────────────────────
+
+  /** q264: per-vector k-occurrence N₅ over the embedding corpus
+    * ([[Similarity.hubnessAudit]]) — the Radovanović 2010 hubness
+    * measurement with hub (N_k ≥ 2k) and anti-hub (N_k = 0) flags. */
+  def q264Hubness(s: SparkSession, dir: String): DataFrame =
+    Similarity.hubnessAudit(Sources.embeddings(s, dir), "vec_id",
+        "embedding", k = 5)
+      .orderBy(col("vec_id"))
+
+  val q264Sql: String =
+    """WITH p AS (SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+      |        CAST(round(list_sum(list_transform(
+      |            range(1, len(a.embedding) + 1),
+      |            i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+      |          (sqrt(list_sum(list_transform(
+      |             range(1, len(a.embedding) + 1),
+      |             i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+      |           sqrt(list_sum(list_transform(
+      |             range(1, len(b.embedding) + 1),
+      |             i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))),
+      |          6) AS DECIMAL(18,6)) AS c
+      |      FROM embeddings a CROSS JOIN embeddings b
+      |      WHERE a.vec_id <> b.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
+      |        ORDER BY c DESC, tgt_id) AS rn FROM p),
+      |ind AS (SELECT tgt_id, COUNT(*) AS n_k FROM r WHERE rn <= 5
+      |        GROUP BY tgt_id)
+      |SELECT e.vec_id, COALESCE(ind.n_k, 0) AS n_k,
+      |  COALESCE(ind.n_k, 0) >= 10 AS is_hub,
+      |  COALESCE(ind.n_k, 0) = 0 AS is_antihub
+      |FROM embeddings e LEFT JOIN ind ON ind.tgt_id = e.vec_id
+      |ORDER BY e.vec_id""".stripMargin
 }

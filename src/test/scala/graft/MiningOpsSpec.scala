@@ -508,4 +508,22 @@ class MiningOpsSpec extends SparkSpec {
     assert(out.forall(r => r._2 == 0.0 && r._3 == 250000L &&
       r._4 == 2000000L))
   }
+  // ── hubnessAudit ────────────────────────────────────────────────────────
+
+  test("hubnessAudit counts k-occurrence with hub and anti-hub flags") {
+    // c = (1,0) is everyone's neighbor among the cluster; the outlier
+    // p3 and the mirrored p2 appear in nobody's top-1 list
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),      // c: chosen by 1 and 2 → N₁ = 2 → hub
+      (1L, Array(0.9f, 0.1f)),  // chosen by 0 (tie-break) and 3 → hub
+      (2L, Array(0.9f, -0.1f)), // N₁ = 0 → anti-hub
+      (3L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.hubnessAudit(vecs, "vec_id", "embedding", k = 1)
+      .orderBy("vec_id")
+      .as[(Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(out == Seq((0L, 2L, true, false), (1L, 2L, true, false),
+      (2L, 0L, false, true), (3L, 0L, false, true)))
+    // conservation: in-degrees sum to n·k
+    assert(out.map(_._2).sum == 4L)
+  }
 }

@@ -553,7 +553,10 @@ class PlanShapeSpec extends SparkSpec {
       "q262_maxsim",
       // q263: 1-row mean-vector and (Σd², n) totals broadcasts (the
       // q84/q87 corpus-stats shape)
-      "q263_coreset")
+      "q263_coreset",
+      // q264: the documented exact all-pairs kNN baseline (q41/q247
+      // contract; scale path = LSH/IVF candidate lists)
+      "q264_hubness")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
