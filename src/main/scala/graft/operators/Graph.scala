@@ -584,4 +584,77 @@ object Graph {
       .select(col("graft_n").as(nodeCol),
         coalesce(col("graft_c2"), col("graft_c")).as(compCol))
   }
+
+  /**
+   * k-core peeling with onion layers (Seidman 1983 cores; the
+   * peeling-order "onion" refinement of Hébert-Dufresne et al. 2016):
+   * repeatedly delete EVERY node of degree < k — simultaneously, so a
+   * round is one degree-count + one filter, not a sequential queue —
+   * until the k-core (possibly empty) remains. Each deleted node is
+   * stamped with the round that removed it: `layer` 1 = peripheral
+   * from the start, higher = fell only after its support was stripped,
+   * NULL = survives in the k-core. On a dedup/kNN graph the layers
+   * grade how structurally embedded each document/vector is — the
+   * robustness signal behind graph-index pruning and community cores.
+   *
+   * Parallel-peel rounds are the scalable formulation: the sequential
+   * min-degree peel is inherently serial, while simultaneous deletion
+   * converges in at most O(peel depth) rounds, each a shuffle over the
+   * SHRINKING edge set. Per round the driver pulls ONE scalar (the
+   * weak-node count) for convergence; frames are localCheckpointed to
+   * truncate the iterated lineage (the CC contract). Throws if
+   * `maxRounds` is exhausted while nodes are still falling — a
+   * half-peeled layering must never ship as a green answer.
+   *
+   * Returns (node, layer, in_core) for every edge endpoint.
+   */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1 && maxRounds >= 1,
+      s"bad parameters k=$k maxRounds=$maxRounds")
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val sym = edges
+      .select(col(srcCol).cast(LongType).as("a"),
+        col(dstCol).cast(LongType).as("b"))
+      .filter(col("a") =!= col("b"))
+    var cur = sym.union(sym.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val nodes = cur.select(col("a").as("node")).distinct().localCheckpoint()
+    var layers = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", LongType),
+        org.apache.spark.sql.types.StructField("layer", IntegerType))))
+    var round = 1
+    var done = false
+    var live = nodes
+    while (!done) {
+      // degree over LIVE nodes: a node stripped of its last edge has
+      // degree 0 < k and MUST peel — counting only edge endpoints would
+      // leave it stranded as a phantom core member
+      val deg = cur.groupBy(col("a")).agg(count(lit(1)).as("graft_d"))
+      val weak = live
+        .join(deg.withColumnRenamed("a", "node"), Seq("node"), "left")
+        .filter(coalesce(col("graft_d"), lit(0L)) < k)
+        .select(col("node")).localCheckpoint()
+      if (weak.isEmpty) done = true
+      else {
+        if (round > maxRounds) throw new IllegalStateException(
+          s"kCorePeel still peeling after $maxRounds rounds")
+        layers = layers
+          .union(weak.withColumn("layer", lit(round)))
+          .localCheckpoint()
+        live = live.join(weak, Seq("node"), "left_anti").localCheckpoint()
+        cur = cur
+          .join(weak.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+          .join(weak.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+          .select(col("a"), col("b")).localCheckpoint()
+        round += 1
+      }
+    }
+    nodes.join(layers, Seq("node"), "left")
+      .select(col("node"), col("layer").cast(LongType).as("layer"),
+        col("layer").isNull.as("in_core"))
+  }
 }

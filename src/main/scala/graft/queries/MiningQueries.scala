@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Chunking, Classify, LatestSnapshot, Layout, Profiling, Relevance, Similarity, TextAnalysis, VectorAggs}
+import graft.operators.{Chunking, Classify, Graph, LatestSnapshot, Layout, Profiling, Relevance, Similarity, TextAnalysis, VectorAggs}
 import graft.sources.Sources
 
 /**
@@ -887,4 +887,78 @@ object MiningQueries {
       |  COALESCE(ind.n_k, 0) = 0 AS is_antihub
       |FROM embeddings e LEFT JOIN ind ON ind.tgt_id = e.vec_id
       |ORDER BY e.vec_id""".stripMargin
+
+  // ── q265: onion-layer k-core peeling of the kNN graph ──────────────────
+
+  /** q265: onion layers of the symmetrized 3-NN embedding graph under
+    * 4-core peeling ([[Graph.kCorePeel]]) — every vector stamped with
+    * the parallel-peel round that removed it (NULL = survives in the
+    * 4-core); the structural-embeddedness grade of each point in the
+    * ANN graph. */
+  def q265OnionLayers(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    val pairs = emb.select(col("vec_id").as("src_id"),
+        col("embedding").as("graft_av"))
+      .crossJoin(emb.select(col("vec_id").as("tgt_id"),
+        col("embedding").as("graft_bv")))
+      .filter(col("src_id") =!= col("tgt_id"))
+      .select(col("src_id"), col("tgt_id"),
+        round(Similarity.cosine(col("graft_av"), col("graft_bv")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          .as("graft_c"))
+    val knn = LatestSnapshot.topK(pairs, Seq("src_id"),
+        col("graft_c").desc, Seq(col("tgt_id").asc), 3)
+      .select(col("src_id").as("a"), col("tgt_id").as("b"))
+    Graph.kCorePeel(knn, "a", "b", k = 4)
+      .select(col("node").as("vec_id"), col("layer"), col("in_core"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q265Sql: String = {
+    // one simultaneous-peel round over LIVE nodes (a node stripped of
+    // its last edge has degree 0 and must peel): live l{i-1} + edges
+    // e{i-1} → weak w{i} → live v{i}, edges e{i}
+    def peel(i: Int): String =
+      s"""w$i AS MATERIALIZED (SELECT v.node FROM v${i - 1} v
+         |  LEFT JOIN (SELECT a, COUNT(*) AS d FROM e${i - 1} GROUP BY a) g
+         |    ON g.a = v.node
+         |  WHERE COALESCE(g.d, 0) < 4),
+         |l$i AS (SELECT node, $i AS layer FROM w$i),
+         |v$i AS MATERIALIZED (SELECT v.node FROM v${i - 1} v
+         |  LEFT JOIN w$i w ON w.node = v.node WHERE w.node IS NULL),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |  LEFT JOIN w$i wa ON wa.node = e.a
+         |  LEFT JOIN w$i wb ON wb.node = e.b
+         |  WHERE wa.node IS NULL AND wb.node IS NULL)""".stripMargin
+    val rounds = (1 to 10).map(peel).mkString(",\n")
+    val layerUnion = (1 to 10)
+      .map(i => s"SELECT * FROM l$i").mkString(" UNION ALL ")
+    s"""WITH p AS (SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+      |        CAST(round(list_sum(list_transform(
+      |            range(1, len(a.embedding) + 1),
+      |            i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+      |          (sqrt(list_sum(list_transform(
+      |             range(1, len(a.embedding) + 1),
+      |             i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+      |           sqrt(list_sum(list_transform(
+      |             range(1, len(b.embedding) + 1),
+      |             i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))),
+      |          6) AS DECIMAL(18,6)) AS c
+      |      FROM embeddings a CROSS JOIN embeddings b
+      |      WHERE a.vec_id <> b.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
+      |        ORDER BY c DESC, tgt_id) AS rn FROM p),
+      |d0 AS (SELECT src_id AS a, tgt_id AS b FROM r WHERE rn <= 3),
+      |e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+      |        SELECT a, b FROM d0 UNION ALL SELECT b, a FROM d0)
+      |       WHERE a <> b),
+      |v0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM e0),
+      |$rounds,
+      |ly AS ($layerUnion),
+      |nd AS (SELECT node FROM v0)
+      |SELECT nd.node AS vec_id, CAST(ly.layer AS BIGINT) AS layer,
+      |  ly.layer IS NULL AS in_core
+      |FROM nd LEFT JOIN ly USING (node)
+      |ORDER BY vec_id""".stripMargin
+  }
 }

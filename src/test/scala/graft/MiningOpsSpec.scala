@@ -526,4 +526,34 @@ class MiningOpsSpec extends SparkSpec {
     // conservation: in-degrees sum to n·k
     assert(out.map(_._2).sum == 4L)
   }
+  // ── kCorePeel ───────────────────────────────────────────────────────────
+
+  test("kCorePeel stamps onion layers and keeps the k-core unstamped") {
+    import graft.operators.Graph
+    // triangle {1,2,3} with a tail 3-4-5: under k = 2 the tail peels
+    // outside-in (5 falls first, then 4), the triangle survives
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val out = Graph.kCorePeel(edges, "a", "b", k = 2)
+      .orderBy("node")
+      .as[(Long, Option[Long], Boolean)].collect().toSeq
+    assert(out == Seq((1L, None, true), (2L, None, true), (3L, None, true),
+      (4L, Some(2L), false), (5L, Some(1L), false)))
+  }
+
+  test("kCorePeel: an empty core peels everything; maxRounds guards") {
+    import graft.operators.Graph
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Graph.kCorePeel(path, "a", "b", k = 2)
+      .orderBy("node")
+      .as[(Long, Option[Long], Boolean)].collect().toSeq
+    // round 1 removes both endpoints, round 2 the stranded middle
+    assert(out == Seq((1L, Some(1L), false), (2L, Some(2L), false),
+      (3L, Some(1L), false)))
+    val longPath = (1L to 6L).sliding(2).map(p => (p.head, p.last))
+      .toSeq.toDF("a", "b")
+    intercept[IllegalStateException] {
+      Graph.kCorePeel(longPath, "a", "b", k = 2, maxRounds = 2).collect()
+    }
+  }
 }

@@ -556,7 +556,9 @@ class PlanShapeSpec extends SparkSpec {
       "q263_coreset",
       // q264: the documented exact all-pairs kNN baseline (q41/q247
       // contract; scale path = LSH/IVF candidate lists)
-      "q264_hubness")
+      "q264_hubness",
+      // q265: kNN-graph construction is the same all-pairs baseline
+      "q265_onion_layers")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
