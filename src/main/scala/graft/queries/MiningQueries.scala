@@ -7,10 +7,16 @@ import graft.operators.{Chunking, Classify, Graph, LatestSnapshot, Layout, Profi
 import graft.sources.Sources
 
 /**
- * Round-10 mining/selection operators: CCNet perplexity tiering and
- * margin-based cross-corpus pair mining. Each query gates a
- * [[graft.operators]] component against an independent DuckDB
- * derivation.
+ * Round-10 mining/selection/measurement operators (q246–q265): CCNet
+ * perplexity tiering, margin-based pair mining, corpus ablation and
+ * drift audits (leave-one-source-out, exact Wasserstein-1), vocabulary
+ * statistics (Good–Turing missing mass, Heaps growth), JL projection
+ * distortion, lexicon tagging, span-corruption planning, word2phrase
+ * merging, robust centroids, the RedPajama-V2 signals table, storage
+ * encoding planning, Pearson proxy checks, normal-equations probe
+ * training, MaxSim retrieval, coreset sampling, hubness, and k-core
+ * onion layers. Each query gates a [[graft.operators]] component
+ * against an independent DuckDB derivation.
  */
 object MiningQueries {
 
