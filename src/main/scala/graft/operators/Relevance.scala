@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.functions._
 
 /**
@@ -687,6 +687,83 @@ object Relevance {
       .select(col(groupCol), col("pq6_mean"), tierCol.as("tier"))
     sc.join(broadcast(bounds), Seq(groupCol, "pq6_mean"))
       .select(col(idCol), col(groupCol), col("pq6_mean"), col("tier"))
+  }
+
+  /**
+   * Driver-side export of the interpolated-bigram model for SERVING:
+   * (bigram "x y" → count, word → count, N). The model is
+   * vocabulary-scale by construction — the KenLM/fastText serving
+   * contract is precisely that a scoring model fits in a broadcast,
+   * unlike the corpus it was trained on. `maxEntries` guards against
+   * accidentally collecting a corpus-sized table to the driver.
+   */
+  def bigramServingModel(docs: DataFrame, textCol: String,
+                         maxEntries: Int = 2000000)
+      : (Map[String, Long], Map[String, Long], Long) = {
+    val ws = col("graft_ws")
+    val cxy = docs.select(split(col(textCol), " ").as("graft_ws"))
+      .select(explode(when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>"))).as("graft_g"))
+      .groupBy(col("graft_g")).agg(count(lit(1)).as("graft_c"))
+    val cu = docs.select(explode(split(col(textCol), " ")).as("graft_t"))
+      .groupBy(col("graft_t")).agg(count(lit(1)).as("graft_c"))
+    val nBig = cxy.count(); val nUni = cu.count()
+    require(nBig <= maxEntries && nUni <= maxEntries,
+      s"model too large to serve broadcast: $nBig bigrams / $nUni words")
+    val cxyM = cxy.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cuM = cu.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (cxyM, cuM, cuM.values.sum)
+  }
+
+  /**
+   * STATELESS serving-side scoring columns for the interpolated bigram
+   * model: (n_scored, sum_pq6) computed per row from broadcast literal
+   * maps — the apply half of [[interpolatedPerplexity]], usable
+   * unchanged on a stream (no join, no aggregation, no state; the
+   * [[TextAnalysis.linearQualityScoreCols]] literal-model pattern).
+   * Identical integer arithmetic to the batch operator for every
+   * in-vocabulary slot; out-of-vocabulary context words (impossible
+   * in-corpus, expected on a live stream) back off to the unigram term
+   * (1−λ)·c(y)/N alone.
+   */
+  def pq6ServingCols(textCol: Column, cxy: Map[String, Long],
+                     cu: Map[String, Long], n: Long,
+                     lambda: Double = 0.75): (Column, Column) = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda=$lambda out of range")
+    val lamDec = java.math.BigDecimal.valueOf(lambda)
+    require(lamDec.scale <= 9, s"lambda=$lambda too fine")
+    val lamNum = lamDec.unscaledValue().longValueExact()
+    val lamDen = java.math.BigDecimal.ONE.movePointRight(lamDec.scale)
+      .longValueExact()
+    val big = DecimalType(38, 0)
+    val cxyM = typedLit(cxy)
+    val cuM = typedLit(cu)
+    val ws = split(textCol, " ")
+    val slots = when(size(ws) >= 2,
+      zip_with(slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("x"), b.as("y"))))
+      .otherwise(array().cast("array<struct<x:string,y:string>>"))
+    def pq6(x: Column, y: Column): Column = {
+      val c = coalesce(element_at(cxyM, concat(x, lit(" "), y)), lit(0L))
+      val cx = coalesce(element_at(cuM, x), lit(0L))
+      val cy = coalesce(element_at(cuM, y), lit(0L))
+      val num = lit(1000000L).cast(big) *
+        (lit(lamNum).cast(big) * c.cast(big) * lit(n).cast(big) +
+          lit(lamDen - lamNum).cast(big) * cy.cast(big) * cx.cast(big))
+      val den = lit(lamDen).cast(big) * cx.cast(big) * lit(n).cast(big)
+      val numBk = lit(1000000L).cast(big) *
+        lit(lamDen - lamNum).cast(big) * cy.cast(big)
+      val denBk = lit(lamDen).cast(big) * lit(n).cast(big)
+      when(cx > 0, call_function("div", num, den))
+        .otherwise(call_function("div", numBk, denBk))
+    }
+    val sumPq6 = aggregate(slots, lit(0L).cast(big),
+      (acc, s) => acc + pq6(s.getField("x"), s.getField("y")))
+    (size(slots).cast(LongType), sumPq6)
   }
 
   def hardNegatives(docs: DataFrame, idCol: String, textCol: String,

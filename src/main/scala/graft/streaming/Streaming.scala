@@ -682,6 +682,53 @@ object Streaming {
   }
 
   /**
+   * Batch-train / stream-serve for the CCNet perplexity-tier filter:
+   * assign every ARRIVING document its head/middle/tail tier using the
+   * model and tier cuts learned by a batch run
+   * ([[graft.operators.Relevance.interpolatedPerplexity]] +
+   * [[graft.operators.Relevance.perplexityTiers]]) — the standard
+   * production seam where the expensive corpus pass happens offline and
+   * ingest filters documents online with zero added latency state.
+   *
+   * STATELESS by construction: the bigram/unigram model and per-group
+   * tier cuts ride as broadcast literal maps
+   * ([[graft.operators.Relevance.pq6ServingCols]]), so the whole
+   * assignment is one narrow projection — no join, no aggregation, no
+   * state store, restart-trivial. Spec-asserted: identical tiers to the
+   * batch assignment when the training corpus itself is replayed.
+   * Documents with < 2 words (no scored slots) and groups absent from
+   * the cuts report NULL tier, exactly like batch.
+   */
+  def tierServeStream(docStream: DataFrame, idCol: String,
+                      textCol: String, groupCol: String,
+                      cxy: Map[String, Long], cu: Map[String, Long],
+                      n: Long, cuts: Map[String, (Long, Long)],
+                      lambda: Double = 0.75): DataFrame = {
+    val (nScored, sumPq6) =
+      graft.operators.Relevance.pq6ServingCols(col(textCol), cxy, cu, n,
+        lambda)
+    val headCut = typedLit(cuts.map { case (g, (h, _)) => g -> h })
+    val midCut = typedLit(cuts.map { case (g, (_, m)) => g -> m })
+    val score = call_function("div", sumPq6,
+      nScored.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    docStream
+      .withColumn("n_scored", nScored)
+      .withColumn("pq6_mean",
+        when(col("n_scored") > 0, score).cast("bigint"))
+      .withColumn("tier",
+        when(col("n_scored") === 0, lit(null).cast("string"))
+          .when(element_at(headCut, col(groupCol)).isNull,
+            lit(null).cast("string"))
+          .when(col("pq6_mean") >= element_at(headCut, col(groupCol)),
+            lit("head"))
+          .when(col("pq6_mean") >= element_at(midCut, col(groupCol)),
+            lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(groupCol), col("n_scored"),
+        col("pq6_mean"), col("tier"))
+  }
+
+  /**
    * Streaming vocabulary-novelty monitor — the online counterpart of
    * [[graft.operators.TextAnalysis.vocabGrowthCurve]] /
    * [[graft.operators.TextAnalysis.missingMassAudit]]: per stratum, a

@@ -906,6 +906,57 @@ class StreamingSpec extends SparkSpec {
     assert(se == be)
   }
 
+  test("tier serving stream reproduces the batch CCNet assignment") {
+    import spark.implicits._
+    import graft.operators.Relevance
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // batch train: model + tier assignment + per-lang cuts
+    val (cxy, cu, n) = Relevance.bigramServingModel(docs, "text")
+    val scored = Relevance.interpolatedPerplexity(docs, "doc_id", "text",
+        lambda = 0.75)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val batch = Relevance.perplexityTiers(scored, "doc_id", "lang")
+    val batchRows = batch.select("doc_id", "lang", "pq6_mean", "tier")
+      .as[(Long, String, Long, String)].collect().toSeq
+    val byLangTier = batchRows.groupBy(r => (r._2, r._4))
+      .map { case (k, rs) => k -> rs.map(_._3).min }
+    val cuts = batchRows.map(_._2).distinct.map { lang =>
+      val head = byLangTier((lang, "head"))
+      val mid = byLangTier.getOrElse((lang, "middle"), head)
+      lang -> (head, math.min(head, mid))
+    }.toMap
+    // serve: replay the SAME corpus as a stream, stateless assignment
+    val streamDir = tmpDir("tier-serve-src")
+    docs.write.parquet(s"$streamDir/docs")
+    val served = Streaming.tierServeStream(
+      spark.readStream.schema(docs.schema).parquet(s"$streamDir/docs"),
+      "doc_id", "text", "lang", cxy, cu, n, cuts)
+    assert(served.isStreaming)
+    val q = served.writeStream.format("memory").queryName("tierserve")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("tierserve")
+      .as[(Long, String, Long, Option[Long], Option[String])]
+      .collect().toSeq
+    assert(got.size == docs.count())
+    // every batch-scored doc: identical score AND identical tier
+    val gotById = got.map(r => r._1 -> r).toMap
+    batchRows.foreach { case (id, _, pq6, tier) =>
+      val r = gotById(id)
+      assert(r._4.contains(pq6) && r._5.contains(tier),
+        s"doc $id: batch ($pq6, $tier) vs stream (${r._4}, ${r._5})")
+    }
+    // unscored docs (< 2 words) report NULL tier, exactly like batch
+    val batchIds = batchRows.map(_._1).toSet
+    got.filterNot(r => batchIds(r._1)).foreach(r =>
+      assert(r._3 == 0L && r._5.isEmpty))
+    // stateless: no state store operator in the progress report
+    val prog = q.lastProgress
+    assert(prog == null || prog.stateOperators.isEmpty,
+      s"expected no state operators, got ${prog.stateOperators.length}")
+  }
+
   test("vocab novelty stream matches a sequential JVM replay (one batch)") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
