@@ -563,6 +563,38 @@ object Profiling {
   }
 
   /**
+   * Order-independent per-stratum content digest — the dataset-identity
+   * fingerprint for snapshot reconciliation: two copies of a corpus
+   * (different partitioning, different file layout, different row
+   * order) carry the same digest iff they hold the same multiset of
+   * rows. Each row hashes to a 64-bit value (md5 of the '|'-joined
+   * column reprs, split into two exact 32-bit halves — no 64-bit double
+   * parse, which would lose bits); the stratum digest is the SUM mod
+   * 2⁶⁴, a commutative monoid, so accumulation order and partitioning
+   * are irrelevant by construction — the property file checksums lack.
+   *
+   * Scale shape: one narrow hash projection + one stratum-keyed
+   * map-side-combinable sum. Nothing else.
+   */
+  def contentDigest(df: DataFrame, strataCol: String,
+                    cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "digest needs >= 1 column")
+    val big = DecimalType(38, 0)
+    val repr = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast(StringType), lit(" "))): _*)
+    val h = md5(repr)
+    val hi = conv(substring(h, 1, 8), 16, 10).cast(LongType)
+    val lo = conv(substring(h, 9, 8), 16, 10).cast(LongType)
+    val v = hi.cast(big) * lit(4294967296L).cast(big) + lo.cast(big)
+    df.select(col(strataCol), v.as("graft_h"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(col("graft_h")),
+          lit(new java.math.BigDecimal("18446744073709551616")).cast(big))
+          .cast(big).as("digest"))
+  }
+
+  /**
    * Per-stratum Pearson correlation between two paired metrics — the
    * linear-association companion to q239's Spearman rank agreement
    * (Spearman sees monotone relationships; Pearson sees proportional

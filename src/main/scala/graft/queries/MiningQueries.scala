@@ -967,4 +967,32 @@ object MiningQueries {
       |FROM nd LEFT JOIN ly USING (node)
       |ORDER BY vec_id""".stripMargin
   }
+
+  // ── q266: order-independent content digest ─────────────────────────────
+
+  /** q266: per-source multiset content digest of (doc_id, text, lang)
+    * ([[Profiling.contentDigest]]) — the layout/order-invariant dataset
+    * identity two snapshot copies must share row-for-row. */
+  def q266ContentDigest(s: SparkSession, dir: String): DataFrame =
+    Profiling.contentDigest(Sources.documents(s, dir), "source",
+        Seq("doc_id", "text", "lang"))
+      .orderBy(col("source"))
+
+  val q266Sql: String =
+    """WITH h AS (SELECT source,
+      |    md5(concat_ws('|', COALESCE(doc_id::VARCHAR, ' '),
+      |      COALESCE(text, ' '), COALESCE(lang, ' '))) AS m
+      |  FROM documents),
+      |v AS (SELECT source,
+      |    CAST(list_sum(list_transform(range(1, 9), j ->
+      |      (strpos('0123456789abcdef', substr(m, j, 1)) - 1)
+      |        * power(16, 8 - j))) AS HUGEINT) * 4294967296::HUGEINT +
+      |    CAST(list_sum(list_transform(range(1, 9), j ->
+      |      (strpos('0123456789abcdef', substr(m, j + 8, 1)) - 1)
+      |        * power(16, 8 - j))) AS HUGEINT) AS hv
+      |  FROM h)
+      |SELECT source, COUNT(*) AS n_rows,
+      |  CAST(SUM(hv) % 18446744073709551616::HUGEINT AS DECIMAL(38,0))
+      |    AS digest
+      |FROM v GROUP BY source ORDER BY source""".stripMargin
 }

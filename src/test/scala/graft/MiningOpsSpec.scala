@@ -556,4 +556,26 @@ class MiningOpsSpec extends SparkSpec {
       Graph.kCorePeel(longPath, "a", "b", k = 2, maxRounds = 2).collect()
     }
   }
+  // ── contentDigest ───────────────────────────────────────────────────────
+
+  test("contentDigest is layout-invariant, content- and count-sensitive") {
+    val a = Seq((1L, "x", "A"), (2L, "y", "A"), (3L, "z", "B"))
+      .toDF("doc_id", "text", "source")
+    def dig(df: org.apache.spark.sql.DataFrame) =
+      Profiling.contentDigest(df, "source", Seq("doc_id", "text"))
+        .orderBy("source")
+        .as[(String, Long, java.math.BigDecimal)].collect().toSeq
+        .map(r => (r._1, r._2, r._3.toBigInteger))
+    val base = dig(a)
+    // same multiset, different partitioning and row order → same digest
+    assert(dig(a.repartition(7).orderBy(col("doc_id").desc)) == base)
+    // one changed cell → different digest for that stratum only
+    val mut = dig(Seq((1L, "x!", "A"), (2L, "y", "A"), (3L, "z", "B"))
+      .toDF("doc_id", "text", "source"))
+    assert(mut.head != base.head && mut.last == base.last)
+    // a duplicated row changes the digest (multiset, not set, semantics)
+    val dup = dig(Seq((1L, "x", "A"), (1L, "x", "A"), (2L, "y", "A"),
+      (3L, "z", "B")).toDF("doc_id", "text", "source"))
+    assert(dup.head._2 == 3L && dup.head._3 != base.head._3)
+  }
 }
