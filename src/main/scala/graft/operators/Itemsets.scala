@@ -117,4 +117,53 @@ object Itemsets {
       .orderBy(col("ratio_q").desc, col("x").asc, col("y").asc)
       .limit(k)
   }
+
+  /**
+   * Apriori-pruned frequent trigram mining (Agrawal & Srikant, VLDB'94,
+   * applied to adjacent token sequences): find every 3-token sequence
+   * occurring ≥ `minSupport` times corpus-wide, generating candidates
+   * ONLY from frequent bigrams — the anti-monotone property (a frequent
+   * trigram's two constituent bigrams are at least as frequent) prunes
+   * the count space before the expensive pass, which is the whole
+   * Apriori idea and the template/boilerplate discovery step above
+   * [[frequentPairs]]' unordered pairs.
+   *
+   * Scale shape: bigram counts are ONE map-side-combinable agg; the
+   * candidate set is a self-join of the FREQUENT bigrams on the shared
+   * middle token (output bounded by Σ_y f_in(y)·f_out(y), frequent side
+   * only); corpus trigrams are semi-joined against candidates BEFORE
+   * the trigram agg, so aggregation state is candidate-bounded, not
+   * vocabulary³. Gate-friendly: exact counts, full set (no sampling).
+   */
+  def aprioriTrigrams(docs: DataFrame, textCol: String,
+                      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport=$minSupport out of range")
+    val ws = col("graft_ws")
+    val base = docs.select(split(col(textCol), " ").as("graft_ws"))
+    val bigrams = base.filter(size(ws) >= 2)
+      .select(explode(zip_with(slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("graft_p"))
+      .select(col("graft_p.x").as("x"), col("graft_p.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("graft_c"))
+    val b2 = bigrams.filter(col("graft_c") >= minSupport)
+      .localCheckpoint()
+    val cand = b2.select(col("x"), col("y"), col("graft_c").as("c_xy"))
+      .join(b2.select(col("x").as("y"), col("y").as("z"),
+        col("graft_c").as("c_yz")), Seq("y"))
+      .select(concat_ws(" ", col("x"), col("y"), col("z"))
+        .as("trigram"), col("c_xy"), col("c_yz"))
+    val tri = base.filter(size(ws) >= 3)
+      .select(explode(zip_with(
+        zip_with(slice(ws, lit(1), size(ws) - 2),
+          slice(ws, lit(2), size(ws) - 2),
+          (a, b) => concat_ws(" ", a, b)),
+        slice(ws, lit(3), size(ws) - 2),
+        (ab, c) => concat_ws(" ", ab, c))).as("trigram"))
+      .join(cand, Seq("trigram"), "left_semi")
+      .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+    tri.join(cand, Seq("trigram"))
+      .select(col("trigram"), col("n"), col("c_xy"), col("c_yz"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Chunking, Classify, Graph, LatestSnapshot, Layout, Profiling, Relevance, Similarity, TextAnalysis, VectorAggs}
+import graft.operators.{Chunking, Classify, Graph, Itemsets, LatestSnapshot, Layout, Profiling, Relevance, Similarity, TextAnalysis, VectorAggs}
 import graft.sources.Sources
 
 /**
@@ -995,4 +995,35 @@ object MiningQueries {
       |  CAST(SUM(hv) % 18446744073709551616::HUGEINT AS DECIMAL(38,0))
       |    AS digest
       |FROM v GROUP BY source ORDER BY source""".stripMargin
+
+  // ── q267: Apriori frequent trigram mining ──────────────────────────────
+
+  /** q267: every adjacent 3-token sequence with corpus support ≥ 6
+    * ([[Itemsets.aprioriTrigrams]]) — candidates generated only from
+    * frequent bigrams (the anti-monotone pruning), with constituent
+    * bigram supports alongside. */
+  def q267AprioriTrigrams(s: SparkSession, dir: String): DataFrame =
+    Itemsets.aprioriTrigrams(Sources.documents(s, dir), "text",
+        minSupport = 6L)
+      .orderBy(col("trigram"))
+
+  val q267Sql: String =
+    """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT w[i] AS x, w[i+1] AS y FROM (
+      |         SELECT w, unnest(range(1, len(w))) AS i
+      |         FROM ws WHERE len(w) >= 2)),
+      |b2 AS (SELECT x, y, COUNT(*) AS c FROM bg GROUP BY 1, 2
+      |       HAVING COUNT(*) >= 6),
+      |cand AS (SELECT l.x || ' ' || l.y || ' ' || r.y AS trigram,
+      |           l.c AS c_xy, r.c AS c_yz
+      |         FROM b2 l JOIN b2 r ON r.x = l.y),
+      |tg AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS trigram
+      |       FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i
+      |             FROM ws WHERE len(w) >= 3)),
+      |tc AS (SELECT tg.trigram, COUNT(*) AS n FROM tg
+      |       JOIN (SELECT DISTINCT trigram FROM cand) c USING (trigram)
+      |       GROUP BY tg.trigram HAVING COUNT(*) >= 6)
+      |SELECT tc.trigram, tc.n, cand.c_xy, cand.c_yz
+      |FROM tc JOIN cand USING (trigram)
+      |ORDER BY tc.trigram""".stripMargin
 }

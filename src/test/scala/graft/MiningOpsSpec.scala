@@ -578,4 +578,39 @@ class MiningOpsSpec extends SparkSpec {
       (3L, "z", "B")).toDF("doc_id", "text", "source"))
     assert(dup.head._2 == 3L && dup.head._3 != base.head._3)
   }
+  // ── aprioriTrigrams ─────────────────────────────────────────────────────
+
+  test("aprioriTrigrams counts candidates from frequent bigrams only") {
+    import graft.operators.Itemsets
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c"),
+      (4L, "b c b c")).toDF("doc_id", "text")
+    // bigrams: ab = 3, bc = 5, cb = 1 → frequent {ab, bc} at support 3;
+    // the only candidate is "a b c" (ab joined to bc), counted 3 times
+    val out = Itemsets.aprioriTrigrams(docs, "text", minSupport = 3L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("a b c", 3L, 3L, 5L)))
+  }
+
+  test("aprioriTrigrams drops candidates whose sequence never occurs") {
+    import graft.operators.Itemsets
+    // xy and yz are both frequent, but "x y z" is never adjacent — the
+    // candidate survives pruning and dies at the exact count
+    val docs = Seq((1L, "x y x y x y"), (2L, "y z y z y z"))
+      .toDF("doc_id", "text")
+    val out = Itemsets.aprioriTrigrams(docs, "text", minSupport = 3L)
+      .collect()
+    assert(out.isEmpty)
+  }
+
+  test("contentDigest is additive over disjoint unions (IVM property)") {
+    val a = Seq((1L, "x", "A"), (2L, "y", "A")).toDF("doc_id", "text", "source")
+    val b = Seq((3L, "z", "A")).toDF("doc_id", "text", "source")
+    def d(df: org.apache.spark.sql.DataFrame): BigInt =
+      BigInt(Profiling.contentDigest(df, "source", Seq("doc_id", "text"))
+        .select("digest").as[java.math.BigDecimal].head().toBigInteger)
+    // digest(A ∪ B) = digest(A) + digest(B) mod 2^64 — the monoid that
+    // makes snapshot digests incrementally maintainable
+    val mod = BigInt(2).pow(64)
+    assert(d(a.union(b)) == (d(a) + d(b)) % mod)
+  }
 }
