@@ -576,17 +576,23 @@ object Profiling {
    * Scale shape: one narrow hash projection + one stratum-keyed
    * map-side-combinable sum. Nothing else.
    */
-  def contentDigest(df: DataFrame, strataCol: String,
-                    cols: Seq[String]): DataFrame = {
+  /** The per-row 64-bit digest value behind [[contentDigest]], exposed
+    * so the streaming maintainer folds the IDENTICAL hash. */
+  private[graft] def rowDigest64(cols: Seq[String]): Column = {
     require(cols.nonEmpty, "digest needs >= 1 column")
     val big = DecimalType(38, 0)
     val repr = concat_ws("|",
-      cols.map(c => coalesce(col(c).cast(StringType), lit(" "))): _*)
+      cols.map(c => coalesce(col(c).cast(StringType), lit(" "))): _*)
     val h = md5(repr)
     val hi = conv(substring(h, 1, 8), 16, 10).cast(LongType)
     val lo = conv(substring(h, 9, 8), 16, 10).cast(LongType)
-    val v = hi.cast(big) * lit(4294967296L).cast(big) + lo.cast(big)
-    df.select(col(strataCol), v.as("graft_h"))
+    hi.cast(big) * lit(4294967296L).cast(big) + lo.cast(big)
+  }
+
+  def contentDigest(df: DataFrame, strataCol: String,
+                    cols: Seq[String]): DataFrame = {
+    val big = DecimalType(38, 0)
+    df.select(col(strataCol), rowDigest64(cols).as("graft_h"))
       .groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_rows"),
         pmod(sum(col("graft_h")),

@@ -728,6 +728,49 @@ object Streaming {
         col("pq6_mean"), col("tier"))
   }
 
+  /** Snapshot row of [[contentDigestStream]]: the running multiset
+    * digest (decimal string — exact 64-bit value) per stratum. */
+  final case class DigestSnapshot(stratum: String, n_rows: Long,
+                                  digest: String)
+
+  /**
+   * Streaming maintenance of [[graft.operators.Profiling.contentDigest]]
+   * — the incremental half the digest's sum-mod-2⁶⁴ monoid was chosen
+   * for: each arriving row folds its 64-bit hash into ONE running
+   * (count, digest) pair per stratum, so after any prefix of the stream
+   * the state equals the batch digest of everything ingested so far
+   * (spec-asserted). Snapshot reconciliation against a warehouse copy
+   * becomes a constant-size state comparison instead of a re-scan.
+   *
+   * State: one (Long, 20-char decimal string) per stratum — O(strata),
+   * watermark-free by design (an identity ledger is corpus-lifetime,
+   * the [[urlClaimStream]] note). The per-row hash is the IDENTICAL
+   * column expression batch uses ([[graft.operators.Profiling
+   * .rowDigest64]]), evaluated engine-side; only (stratum, value)
+   * strings reach the state task.
+   */
+  def contentDigestStream(docStream: DataFrame, strataCol: String,
+                          cols: Seq[String]): Dataset[DigestSnapshot] = {
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    val mod = BigInt(2).pow(64)
+    val rows = docStream.select(col(strataCol).cast("string").as("stratum"),
+        graft.operators.Profiling.rowDigest64(cols).cast("string").as("hv"))
+      .as[(String, String)]
+    rows.groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState[(Long, String), DigestSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (stratum: String, batch: Iterator[(String, String)],
+         state: GroupState[(Long, String)]) =>
+          val (n0, d0) = state.getOption.getOrElse((0L, "0"))
+          var n = n0
+          var d = BigInt(d0)
+          batch.foreach { case (_, hv) => n += 1; d = (d + BigInt(hv)) % mod }
+          state.update((n, d.toString))
+          DigestSnapshot(stratum, n, d.toString)
+      }
+  }
+
   /**
    * Streaming vocabulary-novelty monitor — the online counterpart of
    * [[graft.operators.TextAnalysis.vocabGrowthCurve]] /

@@ -957,6 +957,38 @@ class StreamingSpec extends SparkSpec {
       s"expected no state operators, got ${prog.stateOperators.length}")
   }
 
+  test("streaming content digest converges to the batch digest") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val expected = Profiling.contentDigest(docs, "source",
+        Seq("doc_id", "text"))
+      .as[(String, Long, java.math.BigDecimal)].collect()
+      .map(r => r._1 -> ((r._2, r._3.toBigInteger.toString))).toMap
+    // split the corpus into two micro-batches: the monoid must fold the
+    // second on top of the first and land exactly on the batch digest
+    val streamDir = tmpDir("digest-src")
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$streamDir/b1")
+    docs.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$streamDir/b2")
+    val last = scala.collection.mutable.Map[String, (Long, String)]()
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/b*")
+      .transform(s =>
+        Streaming.contentDigestStream(s, "source", Seq("doc_id", "text"))
+          .toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(String, Long, String)].collect()
+          .foreach(r => last(r._1) = (r._2, r._3))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(last.toMap == expected,
+      s"stream ${last.size} strata vs batch ${expected.size}")
+  }
+
   test("vocab novelty stream matches a sequential JVM replay (one batch)") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
