@@ -1026,4 +1026,63 @@ object MiningQueries {
       |SELECT tc.trigram, tc.n, cand.c_xy, cand.c_yz
       |FROM tc JOIN cand USING (trigram)
       |ORDER BY tc.trigram""".stripMargin
+
+  // ── q268: TextRank keyword extraction ──────────────────────────────────
+
+  /** q268: the corpus's top-20 TextRank keywords (Mihalcea & Tarau,
+    * EMNLP 2004) — integer-scaled PageRank ([[Graph.pageRank]], 3
+    * rounds) over the 150 strongest ±2-window co-occurrence edges
+    * ([[Relevance.skipgramPairs]]); the unsupervised keyword extractor
+    * built entirely from two already-verified operators. */
+  def q268TextRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = Relevance.skipgramPairs(Sources.documents(s, dir), "text",
+      window = 2, k = 150)
+    Graph.pageRank(edges, "x", "y", iters = 3)
+      .orderBy(col("pr_scaled").desc, col("node").asc)
+      .limit(20)
+      .select(col("node").as("keyword"), col("deg"), col("pr_scaled"))
+      .orderBy(col("keyword"))
+  }
+
+  val q268Sql: String =
+    """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |g1 AS (SELECT unnest(list_transform(range(1, len(w)), j ->
+      |         {'x': least(w[j], w[j+1]), 'y': greatest(w[j], w[j+1])})) AS u
+      |       FROM ws WHERE len(w) >= 2),
+      |g2 AS (SELECT unnest(list_transform(range(1, len(w) - 1), j ->
+      |         {'x': least(w[j], w[j+2]), 'y': greatest(w[j], w[j+2])})) AS u
+      |       FROM ws WHERE len(w) >= 3),
+      |gp AS (SELECT u.x AS x, u.y AS y FROM g1
+      |       UNION ALL SELECT u.x, u.y FROM g2),
+      |top AS (SELECT x, y FROM (
+      |          SELECT x, y, COUNT(*) AS n FROM gp GROUP BY x, y
+      |          ORDER BY n DESC, x, y LIMIT 150)),
+      |e AS (SELECT x AS s, y AS t FROM top
+      |      UNION ALL SELECT y, x FROM top),
+      |deg AS (SELECT s AS node, count(*) AS deg FROM e GROUP BY s),
+      |nn AS (SELECT count(*) AS n FROM deg),
+      |pr0 AS (SELECT node, deg, 1000000000000 // nn.n AS pr
+      |        FROM deg CROSS JOIN nn),
+      |it1 AS (SELECT e.t AS node, CAST(SUM(p.pr // p.deg) AS BIGINT) AS sin
+      |        FROM e JOIN pr0 p ON e.s = p.node GROUP BY e.t),
+      |pr1 AS (SELECT p.node, p.deg,
+      |          3000000000000 // (20 * nn.n)
+      |            + (17 * COALESCE(i.sin, 0)) // 20 AS pr
+      |        FROM pr0 p LEFT JOIN it1 i ON p.node = i.node CROSS JOIN nn),
+      |it2 AS (SELECT e.t AS node, CAST(SUM(p.pr // p.deg) AS BIGINT) AS sin
+      |        FROM e JOIN pr1 p ON e.s = p.node GROUP BY e.t),
+      |pr2 AS (SELECT p.node, p.deg,
+      |          3000000000000 // (20 * nn.n)
+      |            + (17 * COALESCE(i.sin, 0)) // 20 AS pr
+      |        FROM pr1 p LEFT JOIN it2 i ON p.node = i.node CROSS JOIN nn),
+      |it3 AS (SELECT e.t AS node, CAST(SUM(p.pr // p.deg) AS BIGINT) AS sin
+      |        FROM e JOIN pr2 p ON e.s = p.node GROUP BY e.t),
+      |pr3 AS (SELECT p.node, p.deg,
+      |          3000000000000 // (20 * nn.n)
+      |            + (17 * COALESCE(i.sin, 0)) // 20 AS pr
+      |        FROM pr2 p LEFT JOIN it3 i ON p.node = i.node CROSS JOIN nn)
+      |SELECT keyword, deg, pr_scaled FROM (
+      |  SELECT node AS keyword, deg, pr AS pr_scaled FROM pr3
+      |  ORDER BY pr DESC, node LIMIT 20)
+      |ORDER BY keyword""".stripMargin
 }

@@ -613,4 +613,20 @@ class MiningOpsSpec extends SparkSpec {
     val mod = BigInt(2).pow(64)
     assert(d(a.union(b)) == (d(a) + d(b)) % mod)
   }
+  // ── TextRank composition ────────────────────────────────────────────────
+
+  test("TextRank ranks the co-occurrence hub above peripheral words") {
+    import graft.operators.{Graph, Relevance}
+    // 'a' co-occurs with every other word; b..e only with 'a' (and the
+    // ±2 windows around it) — the hub must take the top rank
+    val docs = Seq((1L, "a b a c a d a e a b a c"))
+      .toDF("doc_id", "text")
+    val edges = Relevance.skipgramPairs(docs, "text", window = 2, k = 50)
+    val ranked = Graph.pageRank(edges, "x", "y", iters = 3)
+      .orderBy(col("pr_scaled").desc, col("node").asc)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(ranked.head._1 == "a")
+    // and the rank mass is conserved-ish: every node got a positive rank
+    assert(ranked.forall(_._3 > 0L))
+  }
 }
