@@ -1085,4 +1085,55 @@ object MiningQueries {
       |  SELECT node AS keyword, deg, pr AS pr_scaled FROM pr3
       |  ORDER BY pr DESC, node LIMIT 20)
       |ORDER BY keyword""".stripMargin
+
+  // ── q269: k-center coverage radius audit ───────────────────────────────
+
+  /** q269: the coverage report behind the 2-approximate k-center
+    * selection — every vector assigned to its nearest q168 center
+    * (min 6-dp L2², ties to the smaller center id), with per-center
+    * population, radius (max d²), and mean d²; the number that says
+    * whether k centers actually COVER the space, which the selection
+    * alone never shows. */
+  def q269KCenterCoverage(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val emb = Sources.embeddings(s, dir)
+    val cvec = Similarity.farthestPoints(emb, "vec_id", "embedding", k = 6)
+      .select(col("vec_id").as("center_id"))
+      .join(emb.select(col("vec_id").as("center_id"),
+        col("embedding").as("graft_cv")), "center_id")
+    val assigned = emb.crossJoin(broadcast(cvec))
+      .withColumn("graft_d2",
+        round(VectorFunctions.l2Sq(col("embedding"), col("graft_cv")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    LatestSnapshot.topK(assigned, Seq("vec_id"), col("graft_d2").asc,
+        Seq(col("center_id").asc), 1)
+      .groupBy(col("center_id"))
+      .agg(count(lit(1)).as("n_assigned"),
+        max(col("graft_d2")).cast("double").as("radius_d2"),
+        round(sum(col("graft_d2")).cast("double") / count(lit(1)), 6)
+          .as("mean_d2"))
+      .orderBy(col("center_id"))
+  }
+
+  // wraps the canonical greedy-selection chain (q168Sql), so the
+  // centers here are BY CONSTRUCTION the gate-verified q168 picks
+  val q269Sql: String =
+    s"""WITH cs AS (SELECT vec_id AS center_id FROM (
+      |${PlacementQueries.q168Sql}
+      |)),
+      |cv AS (SELECT cs.center_id, e.embedding AS v
+      |       FROM cs JOIN embeddings e ON e.vec_id = cs.center_id),
+      |a AS (SELECT e.vec_id, cv.center_id,
+      |        CAST(round(list_sum(list_transform(range(1, 65), j ->
+      |          (e.embedding[j]::DOUBLE - cv.v[j]::DOUBLE) *
+      |          (e.embedding[j]::DOUBLE - cv.v[j]::DOUBLE))), 6)
+      |          AS DECIMAL(18,6)) AS d2
+      |      FROM embeddings e CROSS JOIN cv),
+      |b AS (SELECT * FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY vec_id ORDER BY d2, center_id) AS rn FROM a)
+      |      WHERE rn = 1)
+      |SELECT center_id, COUNT(*) AS n_assigned,
+      |  CAST(MAX(d2) AS DOUBLE) AS radius_d2,
+      |  round(CAST(SUM(d2) AS DOUBLE) / COUNT(*), 6) AS mean_d2
+      |FROM b GROUP BY center_id ORDER BY center_id""".stripMargin
 }

@@ -629,4 +629,29 @@ class MiningOpsSpec extends SparkSpec {
     // and the rank mass is conserved-ish: every node got a positive rank
     assert(ranked.forall(_._3 > 0L))
   }
+  // ── k-center coverage ───────────────────────────────────────────────────
+
+  test("k-center coverage assigns points and reports exact radii") {
+    import graft.functions.VectorFunctions
+    import graft.operators.{LatestSnapshot, Similarity}
+    val emb = Seq((1L, Array(0f, 0f)), (2L, Array(0.1f, 0f)),
+      (3L, Array(10f, 0f)), (4L, Array(10.1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cvec = Similarity.farthestPoints(emb, "vec_id", "embedding", k = 2)
+      .select(col("vec_id").as("center_id"))
+      .join(emb.select(col("vec_id").as("center_id"),
+        col("embedding").as("cv")), "center_id")
+    val assigned = emb.crossJoin(broadcast(cvec))
+      .withColumn("d2", round(VectorFunctions.l2Sq(col("embedding"),
+        col("cv")), 6).cast("decimal(18,6)"))
+    val out = LatestSnapshot.topK(assigned, Seq("vec_id"),
+        col("d2").asc, Seq(col("center_id").asc), 1)
+      .groupBy("center_id")
+      .agg(count(lit(1)).as("n"), max(col("d2")).cast("double").as("r"))
+      .orderBy("center_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // greedy picks the min-id point then the farthest (10.1, 0); each
+    // center covers its own pair with radius 0.1² = 0.01
+    assert(out == Seq((1L, 2L, 0.01), (4L, 2L, 0.01)))
+  }
 }

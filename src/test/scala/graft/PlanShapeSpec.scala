@@ -558,7 +558,13 @@ class PlanShapeSpec extends SparkSpec {
       // contract; scale path = LSH/IVF candidate lists)
       "q264_hubness",
       // q265: kNN-graph construction is the same all-pairs baseline
-      "q265_onion_layers")
+      "q265_onion_layers",
+      // q268: pageRank's 1-row node-count broadcast (the q145 shape,
+      // already allowlisted there) over the bounded 150-edge word graph
+      "q268_textrank",
+      // q269: k-row center-set broadcast vs one corpus pass (the
+      // q61/q82 centroid-broadcast shape)
+      "q269_kcenter_coverage")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
