@@ -601,6 +601,31 @@ object Profiling {
   }
 
   /**
+   * Combined k-anonymity / l-diversity privacy audit (Sweeney 2002;
+   * Machanavajjhala et al., ICDE 2006): EVERY quasi-identifier group
+   * with its population, sensitive-attribute diversity, and both
+   * verdicts. [[kAnonymityAudit]] reports only the k-violating groups;
+   * release decisions need the full table — a group can be k-anonymous
+   * yet leak through homogeneity (all 50 members share one sensitive
+   * value: anyone matching the QIs learns it), which is exactly the
+   * attack l-diversity closes.
+   *
+   * Scale shape: ONE QI-keyed agg; the distinct count shuffles
+   * two-phase on (QI, sensitive) with map-side partials, so a hot
+   * group never concentrates raw rows in one task.
+   */
+  def privacyAudit(df: DataFrame, qiCols: Seq[String],
+                   sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2 && l >= 2, s"thresholds k=$k l=$l out of range")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .withColumn("k_anonymous", col("n") >= k)
+      .withColumn("l_diverse", col("l_distinct") >= l)
+  }
+
+  /**
    * Per-stratum Pearson correlation between two paired metrics — the
    * linear-association companion to q239's Spearman rank agreement
    * (Spearman sees monotone relationships; Pearson sees proportional

@@ -1136,4 +1136,26 @@ object MiningQueries {
       |  CAST(MAX(d2) AS DOUBLE) AS radius_d2,
       |  round(CAST(SUM(d2) AS DOUBLE) / COUNT(*), 6) AS mean_d2
       |FROM b GROUP BY center_id ORDER BY center_id""".stripMargin
+
+  // ── q270: k-anonymity / l-diversity privacy audit ──────────────────────
+
+  /** q270: the full privacy-release table over QI = (lang, 50-char
+    * length bucket) with sensitive attribute `source`
+    * ([[Profiling.privacyAudit]], k = 5, l = 3) — every group's
+    * population, sensitive diversity, and both verdicts; the
+    * homogeneity check k-anonymity alone misses. */
+  def q270PrivacyAudit(s: SparkSession, dir: String): DataFrame =
+    Profiling.privacyAudit(
+        Sources.documents(s, dir)
+          .withColumn("len_bucket", expr("n_chars div 50")),
+        Seq("lang", "len_bucket"), "source", k = 5L, l = 3L)
+      .orderBy(col("lang"), col("len_bucket"))
+
+  val q270Sql: String =
+    """SELECT lang, n_chars // 50 AS len_bucket, COUNT(*) AS n,
+      |  COUNT(DISTINCT source) AS l_distinct,
+      |  COUNT(*) >= 5 AS k_anonymous,
+      |  COUNT(DISTINCT source) >= 3 AS l_diverse
+      |FROM documents GROUP BY lang, n_chars // 50
+      |ORDER BY lang, len_bucket""".stripMargin
 }

@@ -654,4 +654,19 @@ class MiningOpsSpec extends SparkSpec {
     // center covers its own pair with radius 0.1² = 0.01
     assert(out == Seq((1L, 2L, 0.01), (4L, 2L, 0.01)))
   }
+  // ── privacyAudit ────────────────────────────────────────────────────────
+
+  test("privacyAudit flags homogeneous groups k-anonymity alone passes") {
+    // group (en, 0): 5 rows but ONE sensitive value — k-anonymous yet
+    // NOT l-diverse (the homogeneity attack); (de, 0): diverse but tiny
+    val df = (1 to 5).map(i => ("en", 0L, "src0")) ++
+      Seq(("de", 0L, "srcA"), ("de", 0L, "srcB"), ("de", 0L, "srcC"))
+    val out = Profiling.privacyAudit(
+        df.toDF("lang", "len_bucket", "source"),
+        Seq("lang", "len_bucket"), "source", k = 5L, l = 3L)
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(out == Seq(("de", 0L, 3L, 3L, false, true),
+      ("en", 0L, 5L, 1L, true, false)))
+  }
 }
