@@ -657,4 +657,67 @@ object Graph {
       .select(col("node"), col("layer").cast(LongType).as("layer"),
         col("layer").isNull.as("in_core"))
   }
+
+  /**
+   * Partition-mixing audit of an undirected graph against a given node
+   * labeling — the sufficient statistics of Newman modularity (Newman &
+   * Girvan 2004) per community, kept EXACT-INTEGER so the gate never
+   * hashes a signed division: for each label, the node count, internal
+   * edge count (both endpoints inside), cross edge count, and degree
+   * sum, plus the graph's total edge count on every row. On a dedup
+   * graph labeled by source this answers "do near-duplicates stay
+   * within sources or leak across them" structurally — modularity
+   * Q = Σ(Lᶜ/m − (Dᶜ/2m)²) follows from these columns by exact
+   * rational arithmetic in the consumer.
+   *
+   * Scale shape: ONE label attach per endpoint (id-keyed joins), one
+   * canonical-edge agg keyed by label pair collapsed to per-label sums,
+   * and a 1-row total broadcast. Nothing quadratic.
+   */
+  def partitionMixing(edges: DataFrame, srcCol: String, dstCol: String,
+                      labels: DataFrame, nodeCol: String,
+                      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
+        greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val lab = labels.select(col(nodeCol).cast(LongType).as("node"),
+      col(labelCol).as("graft_lab"))
+    val tagged = e
+      .join(lab.withColumnRenamed("node", "a")
+        .withColumnRenamed("graft_lab", "graft_la"), Seq("a"))
+      .join(lab.withColumnRenamed("node", "b")
+        .withColumnRenamed("graft_lab", "graft_lb"), Seq("b"))
+    val m = tagged.agg(count(lit(1)).as("graft_m"))
+    val perLabel = tagged
+      .select(explode(array(
+        struct(col("graft_la").as("graft_lab"),
+          (col("graft_la") === col("graft_lb")).as("graft_int")),
+        struct(col("graft_lb").as("graft_lab"),
+          (col("graft_la") === col("graft_lb")).as("graft_int"))))
+        .as("graft_s"))
+      .select(col("graft_s.graft_lab").as("graft_lab"),
+        col("graft_s.graft_int").as("graft_int"))
+      .groupBy(col("graft_lab"))
+      // an internal edge contributes 2 to the label's degree sum (both
+      // endpoint rows) but is ONE internal edge; cross edges appear
+      // once per side
+      .agg(count(lit(1)).as("degree_sum"),
+        (sum(when(col("graft_int"), 1L).otherwise(0L)) / 2)
+          .cast(LongType).as("internal_edges"),
+        sum(when(!col("graft_int"), 1L).otherwise(0L))
+          .as("cross_edges"))
+    val nodesPer = lab.join(
+        e.select(col("a").as("node"))
+          .union(e.select(col("b").as("node"))).distinct(),
+        Seq("node"), "left_semi")
+      .groupBy(col("graft_lab")).agg(count(lit(1)).as("n_nodes"))
+    perLabel.join(nodesPer, Seq("graft_lab"))
+      .crossJoin(broadcast(m))
+      .select(col("graft_lab").as(labelCol), col("n_nodes"),
+        col("internal_edges"), col("cross_edges"), col("degree_sum"),
+        col("graft_m").as("m_edges"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Chunking, Classify, Graph, Itemsets, LatestSnapshot, Layout, Profiling, Relevance, Similarity, TextAnalysis, VectorAggs}
+import graft.operators.{Chunking, Classify, Graph, Itemsets, LatestSnapshot, Layout, Profiling, Relevance, Similarity, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /**
@@ -1158,4 +1158,104 @@ object MiningQueries {
       |  COUNT(DISTINCT source) >= 3 AS l_diverse
       |FROM documents GROUP BY lang, n_chars // 50
       |ORDER BY lang, len_bucket""".stripMargin
+
+  // ── q271: dedup-graph mixing by source (modularity statistics) ─────────
+
+  private def dedupEdges(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minHashLshPairs(Sources.documents(s, dir), "doc_id", "text",
+      k = 16, r = 4, w = 3, threshold = 0.5)
+
+  /** q271: the Newman-modularity sufficient statistics of the LSH
+    * dedup graph under the SOURCE partition
+    * ([[Graph.partitionMixing]]) — per source the internal/cross edge
+    * counts and degree sums that say whether near-duplicates stay
+    * within sources or leak across them. */
+  def q271SourceMixing(s: SparkSession, dir: String): DataFrame =
+    Graph.partitionMixing(dedupEdges(s, dir), "d1", "d2",
+        Sources.documents(s, dir), "doc_id", "source")
+      .orderBy(col("source"))
+
+  // wraps the ONE canonical LSH oracle chain (q19Sql), like q203/q145
+  val q271Sql: String =
+    s"""WITH pairs AS (SELECT d1, d2 FROM (
+      |${PipelineQueries.q19Sql}
+      |)),
+      |e AS (SELECT DISTINCT least(d1, d2) AS a, greatest(d1, d2) AS b
+      |      FROM pairs WHERE d1 <> d2),
+      |t AS (SELECT e.a, e.b, da.source AS la, db.source AS lb
+      |      FROM e JOIN documents da ON da.doc_id = e.a
+      |      JOIN documents db ON db.doc_id = e.b),
+      |m AS (SELECT COUNT(*) AS m FROM t),
+      |sides AS (SELECT la AS lab, la = lb AS inter FROM t
+      |          UNION ALL SELECT lb, la = lb FROM t),
+      |pl AS (SELECT lab, COUNT(*) AS degree_sum,
+      |         CAST(SUM(CASE WHEN inter THEN 1 ELSE 0 END) // 2 AS BIGINT)
+      |           AS internal_edges,
+      |         CAST(SUM(CASE WHEN NOT inter THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS cross_edges
+      |       FROM sides GROUP BY lab),
+      |nd AS (SELECT d.source AS lab, COUNT(*) AS n_nodes
+      |       FROM documents d
+      |       WHERE d.doc_id IN (SELECT a FROM e UNION SELECT b FROM e)
+      |       GROUP BY d.source)
+      |SELECT pl.lab AS source, nd.n_nodes, pl.internal_edges,
+      |  pl.cross_edges, pl.degree_sum, m.m AS m_edges
+      |FROM pl JOIN nd USING (lab) CROSS JOIN m
+      |ORDER BY source""".stripMargin
+
+  // ── q272: degree assortativity of the dedup graph ──────────────────────
+
+  /** q272: the dedup graph's degree-assortativity coefficient (Newman
+    * 2002) — Pearson correlation of endpoint degrees over all directed
+    * edge instances, via [[Profiling.pearsonByStrata]]; disassortative
+    * graphs (hubs linking to leaves — the boilerplate-star shape) go
+    * negative. */
+  def q272Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val p = dedupEdges(s, dir)
+      .select(least(col("d1"), col("d2")).as("a"),
+        greatest(col("d1"), col("d2")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("graft_d"))
+    val joined = sym
+      .join(deg.select(col("node").as("a"), col("graft_d").as("deg_a")),
+        Seq("a"))
+      .join(deg.select(col("node").as("b"), col("graft_d").as("deg_b")),
+        Seq("b"))
+      .withColumn("graft_all", lit("all"))
+    Profiling.pearsonByStrata(joined, "deg_a", "deg_b", "graft_all")
+      .select(col("n").as("n_edge_ends"),
+        col("r_pearson").as("assortativity"))
+  }
+
+  val q272Sql: String =
+    s"""WITH pairs AS (SELECT d1, d2 FROM (
+      |${PipelineQueries.q19Sql}
+      |)),
+      |e AS (SELECT DISTINCT least(d1, d2) AS a, greatest(d1, d2) AS b
+      |      FROM pairs WHERE d1 <> d2),
+      |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT a AS node, COUNT(*) AS d FROM sym GROUP BY a),
+      |j AS (SELECT CAST(da.d AS DECIMAL(18,6)) AS x,
+      |        CAST(round(CAST(db.d AS DOUBLE), 6) AS DECIMAL(18,6)) AS y
+      |      FROM sym JOIN deg da ON da.node = sym.a
+      |      JOIN deg db ON db.node = sym.b),
+      |ag AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |       FROM j)
+      |SELECT n AS n_edge_ends,
+      |  CASE WHEN n >= 2
+      |    AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |    AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      |  THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |  END AS assortativity
+      |FROM ag""".stripMargin
 }

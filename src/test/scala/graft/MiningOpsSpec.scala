@@ -669,4 +669,35 @@ class MiningOpsSpec extends SparkSpec {
     assert(out == Seq(("de", 0L, 3L, 3L, false, true),
       ("en", 0L, 5L, 1L, true, false)))
   }
+  // ── partitionMixing / assortativity ─────────────────────────────────────
+
+  test("partitionMixing counts internal/cross edges and degree sums") {
+    import graft.operators.Graph
+    // path 1-2-3-4 with labels A,A,B,B: one internal edge per label and
+    // one shared cross edge
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "t")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("node", "lab")
+    val out = Graph.partitionMixing(edges, "s", "t", labels, "node", "lab")
+      .orderBy("lab")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("A", 2L, 1L, 1L, 3L, 3L),
+      ("B", 2L, 1L, 1L, 3L, 3L)))
+  }
+
+  test("degree assortativity of a star is exactly -1") {
+    import graft.operators.Profiling
+    val p = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+    val joined = sym
+      .join(deg.select(col("node").as("a"), col("d").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("deg_b")), Seq("b"))
+      .withColumn("g", lit("all"))
+    val out = Profiling.pearsonByStrata(joined, "deg_a", "deg_b", "g")
+      .as[(String, Long, Option[Double])].head()
+    // hubs connect only to leaves and vice versa — perfect
+    // disassortativity
+    assert(out == (("all", 6L, Some(-1.0))))
+  }
 }

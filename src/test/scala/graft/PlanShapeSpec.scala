@@ -564,7 +564,9 @@ class PlanShapeSpec extends SparkSpec {
       "q268_textrank",
       // q269: k-row center-set broadcast vs one corpus pass (the
       // q61/q82 centroid-broadcast shape)
-      "q269_kcenter_coverage")
+      "q269_kcenter_coverage",
+      // q271: 1-row total-edge-count broadcast onto the per-label rows
+      "q271_source_mixing")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
