@@ -974,6 +974,56 @@ object TextAnalysis {
         md5(array_join(col("graft_out"), " ")).as("merged_md5"))
   }
 
+  /**
+   * Cross-group vocabulary overlap matrix: exact Jaccard similarity of
+   * the word sets of every group pair (languages, sources, snapshots) —
+   * the shared-vocabulary audit behind contamination hunts ("why does
+   * the zh split share 40% of its types with en?") and multilingual
+   * tokenizer budgeting. Works for ANY bounded group list passed
+   * explicitly (metadata-scale by contract, like
+   * [[graft.operators.Classify.centroidScores]]' labels).
+   *
+   * Scale shape: ONE word-keyed agg computes each word's per-group
+   * presence flags (map-side combinable, cardinality = vocabulary);
+   * a single follow-up aggregate reduces the flag table to the
+   * |groups|² pair sums, and the matrix assembles from that ONE row —
+   * the corpus is never touched per pair. All counts exact; jaccard in
+   * floor-ppm via positive integral division.
+   */
+  def vocabOverlapMatrix(docs: DataFrame, textCol: String,
+                         groupCol: String,
+                         groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.size <= 32,
+      s"groups size ${groups.size} out of range [2, 32]")
+    val flags = docs
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("graft_w"))
+      .groupBy(col("graft_w"))
+      .agg(groups.head match { case h =>
+        max(when(col(groupCol) === h, 1L).otherwise(0L)).as(s"graft_f0")
+      }, groups.tail.zipWithIndex.map { case (g, i) =>
+        max(when(col(groupCol) === g, 1L).otherwise(0L))
+          .as(s"graft_f${i + 1}")
+      }: _*)
+    val sums = flags.agg(
+      sum(col("graft_f0")).as("graft_n0"),
+      (groups.indices.tail.map(i =>
+        sum(col(s"graft_f$i")).as(s"graft_n$i")) ++
+        (for {
+          i <- groups.indices; j <- groups.indices if i < j
+        } yield sum(col(s"graft_f$i") * col(s"graft_f$j"))
+          .as(s"graft_b${i}_$j"))): _*)
+    val rows = for {
+      i <- groups.indices; j <- groups.indices if i < j
+    } yield sums.select(
+      lit(groups(i)).as("group_a"), lit(groups(j)).as("group_b"),
+      col(s"graft_n$i").as("n_a"), col(s"graft_n$j").as("n_b"),
+      col(s"graft_b${i}_$j").as("n_both"),
+      expr(s"cast(graft_b${i}_$j * 1000000 as decimal(38,0)) div " +
+        s"cast(graft_n$i + graft_n$j - graft_b${i}_$j as decimal(38,0))")
+        .cast(LongType).as("jaccard_ppm"))
+    rows.reduce(_.unionByName(_))
+  }
+
   def vocabGrowthCurve(docs: DataFrame, idCol: String, textCol: String,
                        buckets: Int = 10): DataFrame = {
     require(buckets >= 1, s"buckets=$buckets out of range")

@@ -1258,4 +1258,40 @@ object MiningQueries {
       |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
       |  END AS assortativity
       |FROM ag""".stripMargin
+
+  // ── q273: cross-lingual vocabulary overlap matrix ──────────────────────
+
+  private val overlapLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** q273: exact Jaccard overlap of every language pair's vocabulary
+    * ([[TextAnalysis.vocabOverlapMatrix]]) — shared-type counts and
+    * floor-ppm similarity for all 10 pairs from one corpus pass. */
+  def q273VocabOverlap(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabOverlapMatrix(Sources.documents(s, dir), "text",
+        "lang", overlapLangs)
+      .orderBy(col("group_a"), col("group_b"))
+
+  val q273Sql: String = {
+    val flagCols = overlapLangs.zipWithIndex.map { case (l, i) =>
+      s"MAX(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS f$i"
+    }.mkString(", ")
+    val pairRows = (for {
+      i <- overlapLangs.indices; j <- overlapLangs.indices if i < j
+    } yield
+      s"""SELECT '${overlapLangs(i)}' AS group_a,
+         |  '${overlapLangs(j)}' AS group_b,
+         |  CAST(SUM(f$i) AS BIGINT) AS n_a,
+         |  CAST(SUM(f$j) AS BIGINT) AS n_b,
+         |  CAST(SUM(f$i * f$j) AS BIGINT) AS n_both,
+         |  CAST((SUM(f$i * f$j)::HUGEINT * 1000000) //
+         |    (SUM(f$i) + SUM(f$j) - SUM(f$i * f$j))::HUGEINT AS BIGINT)
+         |    AS jaccard_ppm
+         |FROM fl""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS t
+      |           FROM documents),
+      |fl AS (SELECT t, $flagCols FROM w GROUP BY t)
+      |SELECT * FROM (
+      |$pairRows
+      |) ORDER BY group_a, group_b""".stripMargin
+  }
 }

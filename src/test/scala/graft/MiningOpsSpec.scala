@@ -700,4 +700,20 @@ class MiningOpsSpec extends SparkSpec {
     // disassortativity
     assert(out == (("all", 6L, Some(-1.0))))
   }
+  // ── vocabOverlapMatrix ──────────────────────────────────────────────────
+
+  test("vocabOverlapMatrix computes exact pairwise Jaccard in one pass") {
+    // vocab: en = {a, b, c}, de = {b, c, d}, fr = {x}
+    val docs = Seq(("en", "a b c a"), ("de", "b c d"), ("fr", "x"))
+      .toDF("lang", "text")
+    val out = TextAnalysis.vocabOverlapMatrix(docs, "text", "lang",
+        Seq("de", "en", "fr"))
+      .orderBy("group_a", "group_b")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // en∩de = {b, c} → 2/4 = 500000 ppm; fr is disjoint from both
+    assert(out == Seq(
+      ("de", "en", 3L, 3L, 2L, 500000L),
+      ("de", "fr", 3L, 1L, 0L, 0L),
+      ("en", "fr", 3L, 1L, 0L, 0L)))
+  }
 }
