@@ -669,6 +669,47 @@ object TextDedup {
   }
 
   /**
+   * b-bit minwise calibration (Li & König, WWW 2010, b = 1): the
+   * storage-optimized MinHash — keep only the LOWEST BIT of each of the
+   * k signature values (k bits per document instead of 32k) and estimate
+   * Jaccard from the bit-agreement rate with the b = 1 correction
+   * Ĵ = 2·A/k − 1 (random bits agree half the time, so raw agreement
+   * overstates similarity; [[minHashCalibration]]'s full-width A/k needs
+   * no correction but 32× the index bytes). Estimates clamp at 0 — J is
+   * non-negative, and the clamp keeps the gate free of signed integral
+   * division. Run against exact Jaccard on the verified pair set, this
+   * is the measurement that says whether the 32× index shrink is safe
+   * at the pipeline's similarity threshold.
+   *
+   * Scale shape: as [[minHashCalibration]] — wide signatures in ONE
+   * projection, pair joins keyed by doc id, agreement as a codegen'd
+   * k-term sum. Exact integers everywhere (`est_ppm` by positive
+   * integral division).
+   */
+  def bBitMinwiseCalibration(docs: DataFrame, idCol: String,
+                             textCol: String, k: Int = 16, w: Int = 3,
+                             threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, w, threshold)
+    val sigs = minHashSignaturesWide(shingles(docs, idCol, textCol, w),
+      idCol, k)
+    val a = sigs.select(col(idCol).as("d1") +:
+      (0 until k).map(i => pmod(col(s"sig_$i"), lit(2L))
+        .as(s"graft_a$i")): _*)
+    val b = sigs.select(col(idCol).as("d2") +:
+      (0 until k).map(i => pmod(col(s"sig_$i"), lit(2L))
+        .as(s"graft_b$i")): _*)
+    val nAgree = (0 until k).map(i =>
+      when(col(s"graft_a$i") === col(s"graft_b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs.join(a, "d1").join(b, "d2")
+      .withColumn("n_agree", nAgree)
+      .select(col("d1"), col("d2"), col("jaccard"), col("n_agree"),
+        expr(s"cast(greatest(2 * n_agree - $k, 0) * 1000000 " +
+          s"as decimal(38,0)) div cast($k as decimal(38,0))")
+          .cast(LongType).as("est_ppm"))
+  }
+
+  /**
    * Exact repeated-substring SPANS: for each document, the maximal token
    * ranges whose every `w`-gram also appears in at least one OTHER
    * document — the per-document output of exact-substring dedup (the

@@ -1294,4 +1294,56 @@ object MiningQueries {
       |$pairRows
       |) ORDER BY group_a, group_b""".stripMargin
   }
+
+  // ── q274: b-bit minwise calibration (Li & König 2010) ──────────────────
+
+  /** q274: 1-bit minhash estimates vs exact Jaccard on the verified
+    * near-dup pairs ([[TextDedup.bBitMinwiseCalibration]], k = 16) —
+    * the audit that says whether the 32× signature-storage shrink is
+    * safe at the pipeline's similarity threshold. */
+  def q274BBitMinwise(s: SparkSession, dir: String): DataFrame =
+    TextDedup.bBitMinwiseCalibration(Sources.documents(s, dir), "doc_id",
+        "text", k = 16, w = 3, threshold = 0.5)
+      .orderBy(col("d1"), col("d2"))
+
+  val q274Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM sh a JOIN sh b ON a.s = b.s WHERE a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.d1, c.d2, count(*) AS inter
+      |          FROM cand c
+      |          JOIN sh a ON a.doc_id = c.d1
+      |          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+      |          GROUP BY c.d1, c.d2),
+      |jac AS (SELECT i.d1, i.d2,
+      |    CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) AS jaccard
+      |  FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
+      |               JOIN sz s2 ON i.d2 = s2.doc_id
+      |  WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= 0.5),
+      |hw AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h1,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h2
+      |       FROM sh),
+      |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) % 2 AS bit
+      |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
+      |ag AS (SELECT p.d1, p.d2,
+      |         CAST(SUM(CASE WHEN a.bit = b.bit THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_agree
+      |       FROM jac p JOIN sig a ON a.doc_id = p.d1
+      |                  JOIN sig b ON b.doc_id = p.d2 AND b.i = a.i
+      |       GROUP BY 1, 2)
+      |SELECT p.d1, p.d2, p.jaccard, g.n_agree,
+      |  CAST((greatest(2 * g.n_agree - 16, 0)::HUGEINT * 1000000) //
+      |    16::HUGEINT AS BIGINT) AS est_ppm
+      |FROM jac p JOIN ag g ON p.d1 = g.d1 AND p.d2 = g.d2
+      |ORDER BY p.d1, p.d2""".stripMargin
 }

