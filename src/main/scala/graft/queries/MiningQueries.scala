@@ -1346,4 +1346,79 @@ object MiningQueries {
       |    16::HUGEINT AS BIGINT) AS est_ppm
       |FROM jac p JOIN ag g ON p.d1 = g.d1 AND p.d2 = g.d2
       |ORDER BY p.d1, p.d2""".stripMargin
+
+  // ── q275: dedup-graph percolation sweep ────────────────────────────────
+
+  private val percThresholds = Seq(5, 10, 50)
+
+  /** q275: the percolation profile of the exact-Jaccard dedup graph —
+    * at each similarity threshold, the component structure
+    * ([[Graph.connectedComponents]]) collapses or fragments: node/edge
+    * counts, component count, and the giant-component share. The
+    * phase-transition read that picks a dedup threshold structurally
+    * (where the giant component dissolves) instead of by eyeballing
+    * pair counts. */
+  def q275Percolation(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    percThresholds.map { t =>
+      val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        w = 3, threshold = t / 100.0)
+      val comp = Graph.connectedComponents(pairs, "d1", "d2")
+      val sizes = comp.groupBy(col("component"))
+        .agg(count(lit(1)).as("graft_sz"))
+      val summary = sizes.agg(count(lit(1)).as("n_components"),
+        sum(col("graft_sz")).as("n_nodes"),
+        max(col("graft_sz")).as("giant_size"))
+      summary.crossJoin(broadcast(
+          pairs.agg(count(lit(1)).as("n_edges"))))
+        .select(lit(t.toLong).as("threshold_pct"), col("n_nodes"),
+          col("n_edges"), col("n_components"), col("giant_size"),
+          expr("cast(giant_size * 1000000 as decimal(38,0)) div " +
+            "cast(n_nodes as decimal(38,0))").cast("bigint")
+            .as("giant_ppm"))
+    }.reduce(_.unionByName(_)).orderBy(col("threshold_pct"))
+  }
+
+  val q275Sql: String = {
+    // per threshold: the exact-Jaccard pair set, its transitive closure
+    // (the q65 recursive-reachability pattern), and the summary row
+    def block(t: Int): String =
+      s"""p$t AS (SELECT i.d1, i.d2
+         |  FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
+         |               JOIN sz s2 ON i.d2 = s2.doc_id
+         |  WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter)
+         |    >= ${t / 100.0}),
+         |e$t AS (SELECT d1 AS a, d2 AS b FROM p$t
+         |        UNION SELECT d2, d1 FROM p$t),
+         |reach$t(n, m) AS (
+         |  SELECT DISTINCT a AS n, a AS m FROM e$t
+         |  UNION
+         |  SELECT r.n, e.b FROM reach$t r JOIN e$t e ON r.m = e.a),
+         |comp$t AS (SELECT n, MIN(m) AS c FROM reach$t GROUP BY n),
+         |cs$t AS (SELECT c, COUNT(*) AS sz FROM comp$t GROUP BY c),
+         |row$t AS (SELECT $t AS threshold_pct,
+         |    CAST(SUM(sz) AS BIGINT) AS n_nodes,
+         |    (SELECT COUNT(*) FROM p$t) AS n_edges,
+         |    COUNT(*) AS n_components,
+         |    CAST(MAX(sz) AS BIGINT) AS giant_size,
+         |    CAST((MAX(sz)::HUGEINT * 1000000) // SUM(sz)::HUGEINT
+         |      AS BIGINT) AS giant_ppm
+         |  FROM cs$t)""".stripMargin
+    s"""WITH RECURSIVE
+      |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |${percThresholds.map(block).mkString(",\n")}
+      |SELECT CAST(threshold_pct AS BIGINT) AS threshold_pct, n_nodes,
+      |  n_edges, n_components, giant_size, giant_ppm FROM (
+      |${percThresholds.map(t => s"SELECT * FROM row$t")
+        .mkString(" UNION ALL ")}
+      |) ORDER BY threshold_pct""".stripMargin
+  }
 }

@@ -739,4 +739,21 @@ class MiningOpsSpec extends SparkSpec {
     val est = (a: Long) => math.max(2 * a - 16, 0) * 1000000L / 16
     assert(est(8) == 0L && est(7) == 0L && est(12) == 500000L)
   }
+  // ── percolation sweep ───────────────────────────────────────────────────
+
+  test("percolation sweep is threshold-monotone and internally consistent") {
+    val rows = graft.queries.MiningQueries.q275Percolation(spark,
+        "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(rows.size == 3)
+    // raising the threshold can only remove edges and nodes
+    assert(rows.sliding(2).forall { case Seq(lo, hi) =>
+      hi._2 <= lo._2 && hi._3 <= lo._3 })
+    // components partition the nodes; the giant share is a valid ppm
+    rows.foreach { r =>
+      assert(r._5 <= r._2 && r._4 <= r._2)
+      assert(r._6 == r._5 * 1000000L / r._2)
+    }
+  }
 }

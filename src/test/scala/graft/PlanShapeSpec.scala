@@ -566,7 +566,10 @@ class PlanShapeSpec extends SparkSpec {
       // q61/q82 centroid-broadcast shape)
       "q269_kcenter_coverage",
       // q271: 1-row total-edge-count broadcast onto the per-label rows
-      "q271_source_mixing")
+      "q271_source_mixing",
+      // q275: three 1-row (summary × edge-count) broadcasts, one per
+      // swept threshold — metadata scale by construction
+      "q275_percolation")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
