@@ -1421,4 +1421,74 @@ object MiningQueries {
         .mkString(" UNION ALL ")}
       |) ORDER BY threshold_pct""".stripMargin
   }
+
+  // ── q276: filter yield matrix over the signals table ───────────────────
+
+  /** q276: the what-if yield of each candidate curation filter over the
+    * q257 signals table — per filter (and their conjunction), surviving
+    * document/token counts and token share; the one-pass ablation read
+    * a mixture decision starts from, computed WITHOUT materializing any
+    * filtered corpus. */
+  def q276FilterYield(s: SparkSession, dir: String): DataFrame = {
+    val sig = q257SignalsTable(s, dir)
+      .select(col("n_words").cast("long").as("graft_w"),
+        col("gopher_keep"), col("predicted_lang"), col("ppl_tier"),
+        col("dup5_cover_ppm"))
+    val filters: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "all" -> lit(true),
+      "gopher_keep" -> col("gopher_keep"),
+      "pred_en" -> (col("predicted_lang") === "en"),
+      "not_ppl_tail" ->
+        (col("ppl_tier").isNotNull && col("ppl_tier") =!= "tail"),
+      "low_repetition" -> (col("dup5_cover_ppm") < 200000L),
+      "conjunction" -> (col("gopher_keep") &&
+        (col("predicted_lang") === "en") &&
+        col("ppl_tier").isNotNull && (col("ppl_tier") =!= "tail") &&
+        (col("dup5_cover_ppm") < 200000L)))
+    val agg = sig.agg(
+      sum(col("graft_w")).as("graft_t"),
+      filters.flatMap { case (n, c) => Seq(
+        sum(when(c, 1L).otherwise(0L)).as(s"graft_d_$n"),
+        sum(when(c, col("graft_w")).otherwise(0L)).as(s"graft_w_$n"))
+      }: _*)
+    filters.map { case (n, _) =>
+      agg.select(lit(n).as("filter_name"),
+        col(s"graft_d_$n").as("n_docs"),
+        col(s"graft_w_$n").as("n_tokens"),
+        expr(s"cast(graft_w_$n * 1000000 as decimal(38,0)) div " +
+          "cast(graft_t as decimal(38,0))").cast("bigint")
+          .as("token_share_ppm"))
+    }.reduce(_.unionByName(_)).orderBy(col("filter_name"))
+  }
+
+  // wraps the composed q257 signals chain — filters evaluate on the
+  // SAME verified surface the signals gate hashes
+  val q276Sql: String =
+    s"""WITH sig AS (SELECT * FROM (
+      |${q257Sql}
+      |)),
+      |f AS (SELECT n_words,
+      |    TRUE AS c_all,
+      |    gopher_keep AS c_gopher_keep,
+      |    predicted_lang = 'en' AS c_pred_en,
+      |    ppl_tier IS NOT NULL AND ppl_tier <> 'tail' AS c_not_ppl_tail,
+      |    dup5_cover_ppm < 200000 AS c_low_repetition,
+      |    (gopher_keep AND predicted_lang = 'en' AND ppl_tier IS NOT NULL
+      |     AND ppl_tier <> 'tail' AND dup5_cover_ppm < 200000)
+      |      AS c_conjunction
+      |  FROM sig),
+      |t AS (SELECT CAST(SUM(n_words) AS HUGEINT) AS tt FROM f)
+      |SELECT filter_name, n_docs, n_tokens,
+      |  CAST((n_tokens::HUGEINT * 1000000) // t.tt AS BIGINT)
+      |    AS token_share_ppm
+      |FROM (
+      |${Seq("all", "gopher_keep", "pred_en", "not_ppl_tail",
+          "low_repetition", "conjunction").map(n =>
+        s"""SELECT '$n' AS filter_name,
+           |  CAST(SUM(CASE WHEN c_$n THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_docs,
+           |  CAST(SUM(CASE WHEN c_$n THEN n_words ELSE 0 END) AS BIGINT)
+           |    AS n_tokens
+           |FROM f""".stripMargin).mkString("\nUNION ALL\n")}
+      |) CROSS JOIN t ORDER BY filter_name""".stripMargin
 }

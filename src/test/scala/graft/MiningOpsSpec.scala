@@ -756,4 +756,21 @@ class MiningOpsSpec extends SparkSpec {
       assert(r._6 == r._5 * 1000000L / r._2)
     }
   }
+  // ── filter yield matrix ─────────────────────────────────────────────────
+
+  test("filter yield matrix: conjunction is the tightest filter") {
+    val rows = graft.queries.MiningQueries.q276FilterYield(spark,
+        "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long)].collect().toSeq
+      .map(r => r._1 -> r).toMap
+    val all = rows("all")
+    assert(all._4 == 1000000L)
+    // every single filter keeps at most everything; the conjunction
+    // keeps at most the minimum of its constituents
+    val singles = Seq("gopher_keep", "pred_en", "not_ppl_tail",
+      "low_repetition").map(rows)
+    singles.foreach(f => assert(f._2 <= all._2 && f._3 <= all._3))
+    val conj = rows("conjunction")
+    assert(singles.forall(f => conj._2 <= f._2 && conj._3 <= f._3))
+  }
 }

@@ -569,7 +569,10 @@ class PlanShapeSpec extends SparkSpec {
       "q271_source_mixing",
       // q275: three 1-row (summary × edge-count) broadcasts, one per
       // swept threshold — metadata scale by construction
-      "q275_percolation")
+      "q275_percolation",
+      // q276: composes q257's chain (inherits its 1-row broadcasts);
+      // the yield matrix itself assembles from ONE aggregate row
+      "q276_filter_yield")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
