@@ -153,4 +153,47 @@ object Chunking {
       md5(array_join(transform(col("graft_starts"), _.cast("string")),
         ",")).as("starts_md5"))
   }
+
+  /**
+   * Inverse-Cloze-Task pair generation (Lee, Chang & Toutanova, ACL
+   * 2019 — ORQA's retrieval pre-training): from each document, pull one
+   * pseudo-query span of `queryWords` words and pair it with the rest of
+   * the document as its pseudo-evidence context. ICT needs no labels —
+   * the extraction IS the supervision — which is why it's the standard
+   * way to mint billions of retrieval training pairs from a raw corpus.
+   *
+   * The span start is hash32(salt‖doc) mod (n − q + 1): deterministic,
+   * uniform over valid starts, oracle-replayable (the md5-integer
+   * convention every sampler in this repo uses). Documents shorter than
+   * `queryWords` + 1 words are skipped (no context would remain).
+   * Output: (id, n_words, q_start, query_text, context_text) — context
+   * is prefix ++ suffix with the span excised, matching the paper's
+   * setup where the query sentence is REMOVED from its context so the
+   * model can't string-match.
+   *
+   * Scale shape: zero shuffle — one projection computing word count,
+   * hashed offset, and two array slices per row; the corpus is never
+   * exploded or joined.
+   */
+  def ictPairs(docs: DataFrame, idCol: String, textCol: String,
+               queryWords: Int = 8, salt: String = "ict"): DataFrame = {
+    require(queryWords >= 1, s"queryWords=$queryWords must be positive")
+    import org.apache.spark.sql.types.LongType
+    val q = queryWords.toLong
+    val ws = col("graft_ws")
+    docs.select(col(idCol), split(col(textCol), " ").as("graft_ws"))
+      .withColumn("graft_n", size(ws).cast(LongType))
+      .filter(col("graft_n") >= q + 1)
+      .withColumn("q_start",
+        pmod(Sketches.hash32(concat(lit(s"${salt}_"),
+          col(idCol).cast("string"))), col("graft_n") - q + 1))
+      .select(col(idCol), col("graft_n").as("n_words"), col("q_start"),
+        concat_ws(" ", slice(ws, (col("q_start") + 1).cast("int"),
+          lit(queryWords))).as("query_text"),
+        concat_ws(" ", concat(
+          slice(ws, lit(1), col("q_start").cast("int")),
+          slice(ws, (col("q_start") + q + 1).cast("int"),
+            (col("graft_n") - col("q_start") - q).cast("int"))))
+          .as("context_text"))
+  }
 }

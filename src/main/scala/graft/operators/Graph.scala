@@ -720,4 +720,51 @@ object Graph {
         col("internal_edges"), col("cross_edges"), col("degree_sum"),
         col("graft_m").as("m_edges"))
   }
+
+  /**
+   * Synchronous label-propagation community detection (Raghavan, Albert
+   * & Kumara 2007): every node starts labeled with itself; each round a
+   * node adopts the label the PLURALITY of its neighbors carry, ties
+   * broken by the smallest label. Unlike [[connectedComponents]] (which
+   * answers "reachable at all"), LPA finds densely-knit groups inside a
+   * component — on a dedup graph it separates template families that a
+   * bridge edge would otherwise merge into one cluster.
+   *
+   * Runs a FIXED `rounds` count with fully deterministic tie-breaking
+   * (count desc, label asc via one max(struct(count, −label)) aggregate
+   * per node), so the output is reproducible and oracle-checkable —
+   * unlike the randomized asynchronous original. Synchronous LPA can
+   * oscillate on bipartite-ish structures instead of converging; fixed-R
+   * snapshots sidestep that (the classic practical fix, and R = 3–5
+   * captures the communities that matter on short-diameter dedup
+   * graphs).
+   *
+   * Scale shape: each round is ONE edge×label join (keyed on the
+   * neighbor endpoint) + one (node, label) count agg + one per-node max
+   * — all map-side combinable, state never exceeds (node, label), and
+   * per-round lineage is cut with the same lazy localCheckpoint
+   * discipline as [[connectedComponents]].
+   */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds=$rounds out of range")
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(eager = false)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val next = sym
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("graft_c"))
+        .groupBy(col("a"))
+        .agg(max(struct(col("graft_c"),
+          (-col("label")).as("graft_nl"))).as("graft_top"))
+        .select(col("a").as("node"),
+          (-col("graft_top.graft_nl")).as("label"))
+      labels = next.localCheckpoint(eager = false)
+    }
+    labels
+  }
 }

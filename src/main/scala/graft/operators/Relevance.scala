@@ -396,6 +396,81 @@ object Relevance {
   }
 
   /**
+   * Per-document score under an interpolated Kneser–Ney bigram LM — the
+   * smoothing Chen & Goodman 1999 found uniformly best, and the one
+   * production KenLM models (the CCNet filter's scorer, Wenzek et al.
+   * 2020) actually use. Differs from [[interpolatedPerplexity]]
+   * (Jelinek–Mercer) in both terms: the bigram part is absolute-
+   * discounted, max(c(x,y)−D, 0)/c(x·), and the backoff is the
+   * CONTINUATION unigram p_cont(y) = N1+(·y)/N1+(··) — how many distinct
+   * contexts y follows, not how often y occurs — which is what stops
+   * high-frequency-but-context-bound words ("Francisco") from absorbing
+   * backoff mass. With D = 3/4 and every scored slot an observed bigram
+   * (c(x,y) ≥ 1 by construction, so the max() never binds):
+   *
+   *   p(y|x) = (4·c(x,y) − 3)/(4·ctx(x))
+   *          + 3·n1x(x)·n1y(y) / (4·ctx(x)·B)
+   *          = ((4·c(x,y) − 3)·B + 3·n1x(x)·n1y(y)) / (4·ctx(x)·B)
+   *
+   * where ctx(x) = Σ_y c(x,y) (bigram slots starting at x), n1x(x) =
+   * N1+(x·) (distinct continuations of x), n1y(y) = N1+(·y) (distinct
+   * left contexts of y), B = N1+(··) (distinct bigram types). Every
+   * quantity is an exact integer, and p is an exact rational, so the
+   * whole output surface is engine-portable by construction: `sum_pq6` =
+   * Σ⌊10⁶·p⌋ is computed with DECIMAL(38,0) integer multiply + integral
+   * division — zero libm, the discipline q200's round-9 red row taught
+   * (see [[interpolatedPerplexity]]'s determinism note). No raw ln/exp
+   * digit appears anywhere in the output.
+   *
+   * Scale shape: bigrams from ONE zip_with (no position self-join);
+   * ctx/n1x are a SECOND aggregation of the bigram-type table (tiny —
+   * keyed by x), n1y likewise by y, and B rides in a 1-row broadcast.
+   * The corpus shuffles once to count bigram types and once per term
+   * join — all keyed, all map-side combinable.
+   */
+  def kneserNeyScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = col("graft_ws")
+    val pairs = docs.select(col(idCol), split(col(textCol), " ").as("graft_ws"))
+      .select(col(idCol), explode(when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("x"), b.as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>")))
+        .as("p"))
+      .select(col(idCol), col("p.x").as("x"), col("p.y").as("y"))
+    val cxy = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+    // context totals and distinct-continuation counts, both from the
+    // bigram-TYPE table (|types| rows, not |slots|) — reuses its exchange
+    val byX = cxy.groupBy(col("x"))
+      .agg(sum(col("c_xy")).as("ctx"), count(lit(1)).as("n1x"))
+    val byY = cxy.groupBy(col("y")).agg(count(lit(1)).as("n1y"))
+    val types = cxy.agg(count(lit(1)).as("graft_b"))
+    val big = DecimalType(38, 0)
+    pairs
+      .join(cxy, Seq("x", "y"))
+      .join(byX, Seq("x"))
+      .join(byY, Seq("y"))
+      .crossJoin(broadcast(types))
+      // ⌊10⁶·p⌋ exactly: p = ((4c−3)·B + 3·n1x·n1y)/(4·ctx·B); c ≥ 1 on
+      // every scored slot so the discount max() never binds
+      .withColumn("graft_pnum",
+        lit(1000000L).cast(big) *
+          ((lit(4L).cast(big) * col("c_xy").cast(big) - lit(3L).cast(big)) *
+            col("graft_b").cast(big) +
+           lit(3L).cast(big) * col("n1x").cast(big) * col("n1y").cast(big)))
+      .withColumn("graft_pden",
+        lit(4L).cast(big) * col("ctx").cast(big) * col("graft_b").cast(big))
+      .withColumn("graft_pq6", expr("graft_pnum div graft_pden"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("c_xy")).as("sum_cxy"),
+        sum(col("ctx")).as("sum_ctx"),
+        sum(col("n1x")).as("sum_n1x"),
+        sum(col("n1y")).as("sum_n1y"),
+        sum(col("graft_pq6")).as("sum_pq6"))
+  }
+
+  /**
    * Skip-gram co-occurrence counts — word2vec-style context mining: every
    * unordered word pair within `window` positions of each other, counted
    * corpus-wide, top-`k` by count. The counting step of embedding /

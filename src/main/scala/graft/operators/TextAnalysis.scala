@@ -1052,4 +1052,98 @@ object TextAnalysis {
         col("n_tokens"), col("new_words"), col("cum_vocab"),
         col("cum_tokens"))
   }
+
+  /**
+   * Distinct-n diversity per stratum (Li et al., NAACL 2016's distinct-1/
+   * distinct-2, the standard corpus-diversity metric; Zhu et al. 2018 use
+   * the same ratios inside Self-BLEU reporting): for n = 1..`maxN`, the
+   * number of DISTINCT word n-grams over the TOTAL n-gram slots in each
+   * stratum. Low distinct-n flags templated/mode-collapsed text a
+   * within-document repetition battery ([[repetitionProfile]]) cannot
+   * see — the repeats live ACROSS documents of the stratum. One wide row
+   * per stratum; `distinct{n}_ppm` = ⌊10⁶·distinct/total⌋, exact-integer
+   * end to end.
+   *
+   * Scale shape: per n, ONE zip_with-free transform/sequence projection
+   * explodes n-gram slots (no position self-join), then a
+   * (stratum, gram) hash-agg (map-side combinable) collapses repeats and
+   * a |strata|-key rollup counts types vs slots. Nothing is corpus-
+   * quadratic; the gram tables never join each other.
+   */
+  def distinctNgramDiversity(docs: DataFrame, textCol: String,
+                             strataCol: String, maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 5, s"maxN=$maxN out of range [1, 5]")
+    val ws = col("graft_ws")
+    val perN = (1 to maxN).map { n =>
+      docs.select(col(strataCol), split(col(textCol), " ").as("graft_ws"))
+        .select(col(strataCol),
+          explode(when(size(ws) >= n,
+            transform(sequence(lit(0), size(ws) - n),
+              i => concat_ws(" ",
+                (0 until n).map(o => element_at(ws, i + o + 1)): _*)))
+            .otherwise(array().cast(ArrayType(StringType)))).as("g"))
+        .groupBy(col(strataCol), col("g"))
+        .agg(count(lit(1)).as("graft_c"))
+        .groupBy(col(strataCol))
+        .agg(count(lit(1)).as(s"distinct$n"),
+          sum(col("graft_c")).as(s"total$n"))
+    }
+    perN.reduce((a, b) => a.join(b, strataCol))
+      .select(col(strataCol) +: (1 to maxN).flatMap(n => Seq(
+        col(s"distinct$n"), col(s"total$n"),
+        expr(s"cast(distinct$n * 1000000 as decimal(38,0)) div " +
+          s"cast(total$n as decimal(38,0))").cast(LongType)
+          .as(s"distinct${n}_ppm"))): _*)
+  }
+
+  /**
+   * χ² term keyness vs rest-of-corpus (the keyword-extraction statistic
+   * of corpus linguistics — Kilgarriff 2001's comparison battery; Dunning
+   * 1993's G² is the log-likelihood sibling, avoided here because ln is
+   * not engine-portable): for each term in the focus stratum, the 2×2
+   * contingency {focus, rest} × {term, ¬term} over TOKEN counts gives
+   * χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) — an exact RATIONAL in
+   * the integer cell counts, so the ranking and the quantized
+   * `chi2_milli` = ⌊10³·χ²⌋ are portable by construction (the libm-free
+   * discipline of the q200 fix). Keyness answers "which words make this
+   * source read differently from everything else" — the per-term drill-
+   * down behind [[vocabOverlapMatrix]]'s aggregate distances. Only
+   * over-represented terms (ad > bc) are keywords; top-`k` by (χ²,
+   * term) with the signed cut made on the exact cross products.
+   *
+   * Scale shape: one (term, stratum-flag) hash-agg over the exploded
+   * corpus (map-side combinable), a 1-row totals broadcast, then the
+   * per-term rational arithmetic in a single projection and a
+   * TakeOrderedAndProject top-k. No joins between data-scale tables.
+   */
+  def termKeyness(docs: DataFrame, textCol: String, strataCol: String,
+                  focus: String, k: Int = 50): DataFrame = {
+    val big = DecimalType(38, 0)
+    val counts = docs
+      .select(col(strataCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(sum(when(col(strataCol) === focus, 1L).otherwise(0L)).as("a"),
+        sum(when(col(strataCol) =!= focus, 1L).otherwise(0L)).as("b"))
+    val totals = counts.agg(sum(col("a")).as("graft_na"),
+      sum(col("b")).as("graft_nb"))
+    counts.crossJoin(broadcast(totals))
+      // contingency: a = focus·term, b = rest·term, c = focus·¬term,
+      // d = rest·¬term; N = na + nb
+      .withColumn("graft_c", (col("graft_na") - col("a")).cast(big))
+      .withColumn("graft_d", (col("graft_nb") - col("b")).cast(big))
+      .withColumn("graft_cross",
+        col("a").cast(big) * col("graft_d") -
+          col("b").cast(big) * col("graft_c"))
+      .filter(col("graft_cross") > 0) // over-represented in focus only
+      .withColumn("chi2_milli",
+        expr("cast(1000 as decimal(38,0)) * cast(graft_na + graft_nb as " +
+          "decimal(38,0)) * graft_cross * graft_cross div " +
+          "(cast(a + b as decimal(38,0)) * (graft_c + graft_d) * " +
+          "cast(graft_na as decimal(38,0)) * " +
+          "cast(graft_nb as decimal(38,0)))").cast(LongType))
+      .select(col("term"), col("a").as("tf_focus"), col("b").as("tf_rest"),
+        col("chi2_milli"))
+      .orderBy(col("chi2_milli").desc, col("term").asc)
+      .limit(k)
+  }
 }

@@ -281,6 +281,73 @@ object TextDedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** (id, shingle, tf): shingle BAG with multiplicities — the weighted
+    * sibling of [[shingles]] (which dedups). Same bound-array trick; the
+    * extra groupBy collapses the per-doc repeats so downstream joins see
+    * one row per (doc, shingle type). */
+  def shingleBags(docs: DataFrame, idCol: String, textCol: String,
+                  w: Int = 3): DataFrame = {
+    val ws = col("graft_ws")
+    docs.repartition(col(idCol))
+      .select(col(idCol), split(col(textCol), " ").as("graft_ws"))
+      .select(col(idCol),
+        explode(when(size(ws) >= w,
+          transform(sequence(lit(0), size(ws) - w),
+            i => concat_ws(" ", (0 until w).map(o => element_at(ws, i + o + 1)): _*)))
+          .otherwise(array().cast(ArrayType(StringType)))).as("s"))
+      .groupBy(col(idCol), col("s")).agg(count(lit(1)).as("tf"))
+  }
+
+  /**
+   * TF-weighted (multiset) Jaccard near-dup pairs:
+   * J_w = Σ_s min(tf_A, tf_B) / Σ_s max(tf_A, tf_B) — the bag-semantics
+   * resemblance (Ioffe, ICDM'10 motivates the weighted measure; here the
+   * weights are integer term frequencies, so the EXACT value is
+   * computable and no consistent-sampling sketch is needed). Set Jaccard
+   * saturates when two templated documents share the same shingle TYPES
+   * but repeat them differently (spam mills, log dumps); the weighted
+   * form keeps separating them. Σmax = Σtf_A + Σtf_B − Σmin, so one
+   * min-sum join over the candidate pairs suffices.
+   *
+   * Candidates come from the SAME distinct-shingle MinHash-LSH banding as
+   * [[minHashLshPairs]] (banding on types is the standard prefilter —
+   * weighted resemblance ≤ set resemblance never holds in general, but
+   * high-J_w pairs share types overwhelmingly, and the gate query scores
+   * ALL banded candidates rather than thresholding on the sketch). Exact
+   * integer surface: (w_inter, w_union, wj_ppm = ⌊10⁶·J_w⌋) — engine-
+   * portable by construction, no doubles hashed.
+   *
+   * Scale shape: banding bounds candidates exactly as q19; the scoring
+   * join flows only candidate-pair shingle rows (restricted BEFORE the
+   * agg), keyed on (d2, s); sizes attach from a |docs|-row agg.
+   */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 16, r: Int = 4, w: Int = 3,
+                           minPpm: Long = 0L): DataFrame = {
+    val bags = shingleBags(docs, idCol, textCol, w)
+    val bands = lshBandsFromWide(
+      minHashSignaturesWide(bags.select(col(idCol), col("s")), idCol, k),
+      idCol, k, r)
+    val cand = lshCandidates(bands, idCol)
+    val minSums = cand
+      .join(bags.select(col(idCol).as("d1"), col("s"), col("tf").as("tf1"))
+        .hint("shuffle_hash"), "d1")
+      .join(bags.select(col(idCol).as("d2"), col("s"), col("tf").as("tf2"))
+        .hint("shuffle_hash"), Seq("d2", "s"))
+      .groupBy("d1", "d2")
+      .agg(sum(least(col("tf1"), col("tf2"))).as("w_inter"))
+    val sizes = bags.groupBy(col(idCol)).agg(sum(col("tf")).as("graft_sz"))
+    minSums
+      .join(sizes.select(col(idCol).as("d1"), col("graft_sz").as("graft_s1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("graft_sz").as("graft_s2")), "d2")
+      .select(col("d1"), col("d2"), col("w_inter"),
+        (col("graft_s1") + col("graft_s2") - col("w_inter")).as("w_union"))
+      .withColumn("wj_ppm",
+        expr("cast(w_inter * 1000000 as decimal(38,0)) div " +
+          "cast(w_union as decimal(38,0))").cast(LongType))
+      .filter(col("wj_ppm") >= minPpm)
+  }
+
   /**
    * Prefix-filtered candidate pairs — the LOSSLESS candidate generator of
    * the set-similarity-join family (SSJoin, Chaudhuri et al. ICDE'06;
@@ -1177,5 +1244,46 @@ object TextDedup {
       .select(col(idCol), col("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  /**
+   * Soft deduplication: instead of DROPPING near-duplicates, down-weight
+   * every member of a near-dup cluster by its cluster size —
+   * weight = 1/|cluster| — so each distinct piece of content contributes
+   * one document's worth of training mass no matter how many times it
+   * was crawled (the reweight-don't-remove strategy: SoftDeDup, He et
+   * al. 2024, argues it beats hard removal; sampling-proportional-to-
+   * uniqueness is also how Dolma/RedPajama ablations re-admit dup tails).
+   * Clusters are the connected components of the verified MinHash-LSH
+   * pair graph ([[minHashLshPairs]] → [[Graph.connectedComponents]]);
+   * documents in no pair form singleton clusters with weight 1.
+   *
+   * Output per document: (id, n_words, cluster_size, weight_ppm =
+   * ⌊10⁶/|cluster|⌋) — exact integers end to end. Feed `weight_ppm`
+   * to the A-ES weighted samplers ([[Sampling]]) as-is.
+   *
+   * Scale shape: the pair graph is LSH-bounded (never all-pairs), CC is
+   * the diameter-safe HashMin/two-phase iteration, cluster sizes are a
+   * |components|-key agg, and the final attach is ONE left join of the
+   * corpus against |clustered-docs| rows. Nothing quadratic, nothing
+   * driver-side.
+   */
+  def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 16, r: Int = 4, w: Int = 3,
+                       threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashLshPairs(docs, idCol, textCol, k, r, w, threshold)
+    val comp = Graph.connectedComponents(pairs, "d1", "d2")
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("graft_sz"))
+    val clustered = comp.join(sizes, "component")
+      .select(col("node").as(idCol), col("graft_sz"))
+    docs.select(col(idCol),
+        size(split(col(textCol), " ")).cast(LongType).as("n_words"))
+      .join(clustered, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        coalesce(col("graft_sz"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_ppm",
+        expr("cast(1000000 as decimal(38,0)) div " +
+          "cast(cluster_size as decimal(38,0))").cast(LongType))
   }
 }

@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Chunking, Graph, Relevance, TextAnalysis, TextDedup}
+import graft.sources.Sources
+
+/**
+ * Round-10 continuation queries (q277+): Kneser–Ney LM scoring, weighted
+ * (multiset) Jaccard near-dup ranking, corpus distinct-n diversity, and
+ * χ² term keyness. Each query gates a [[graft.operators]] component
+ * against an independent DuckDB derivation on the exact-integer surface
+ * (the libm-free discipline of the q200 round-9 fix).
+ */
+object FrontierQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Sources.documents(s, dir)
+
+  // ── q277: interpolated Kneser–Ney bigram LM score ──────────────────────
+
+  /** q277: per-document interpolated Kneser–Ney bigram score
+    * ([[Relevance.kneserNeyScore]], D = 3/4) — the Chen & Goodman 1999
+    * best-in-class smoothing with continuation-count backoff; the whole
+    * hashed surface is exact integers (counts + ⌊10⁶·p⌋ sums), no libm. */
+  def q277KneserNey(s: SparkSession, dir: String): DataFrame =
+    Relevance.kneserNeyScore(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q277Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pr AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), j ->
+      |         {'x': w[j], 'y': w[j+1]})) AS u
+      |       FROM ws WHERE len(w) >= 2),
+      |p AS (SELECT doc_id, u.x AS x, u.y AS y FROM pr),
+      |cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM p GROUP BY 1, 2),
+      |bx AS (SELECT x, SUM(c_xy) AS ctx, COUNT(*) AS n1x FROM cxy GROUP BY 1),
+      |byy AS (SELECT y, COUNT(*) AS n1y FROM cxy GROUP BY 1),
+      |bt AS (SELECT COUNT(*) AS b FROM cxy),
+      |tm AS (SELECT p.doc_id, c.c_xy, bx.ctx, bx.n1x, byy.n1y,
+      |    (1000000::HUGEINT *
+      |      ((4::HUGEINT * c.c_xy::HUGEINT - 3::HUGEINT) * bt.b::HUGEINT +
+      |       3::HUGEINT * bx.n1x::HUGEINT * byy.n1y::HUGEINT)) //
+      |    (4::HUGEINT * bx.ctx::HUGEINT * bt.b::HUGEINT) AS pq6
+      |  FROM p JOIN cxy c USING (x, y)
+      |  JOIN bx ON bx.x = p.x
+      |  JOIN byy ON byy.y = p.y
+      |  CROSS JOIN bt)
+      |SELECT doc_id, COUNT(*) AS n_scored,
+      |  CAST(SUM(c_xy) AS BIGINT) AS sum_cxy,
+      |  CAST(SUM(ctx) AS BIGINT) AS sum_ctx,
+      |  CAST(SUM(n1x) AS BIGINT) AS sum_n1x,
+      |  CAST(SUM(n1y) AS BIGINT) AS sum_n1y,
+      |  CAST(SUM(pq6) AS BIGINT) AS sum_pq6
+      |FROM tm GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ── q278: tf-weighted (multiset) Jaccard over LSH candidates ───────────
+
+  /** q278: exact tf-weighted Jaccard on the q19-parameter LSH candidate
+    * pairs ([[TextDedup.weightedJaccardPairs]], k=16, r=4, w=3) — the
+    * bag-semantics resemblance that separates templated documents set
+    * Jaccard conflates. All banded candidates emitted (minPpm = 0);
+    * surface is exact integers (w_inter, w_union, ⌊10⁶·J_w⌋). */
+  def q278WeightedJaccard(s: SparkSession, dir: String): DataFrame =
+    TextDedup.weightedJaccardPairs(docs(s, dir), "doc_id", "text",
+        k = 16, r = 4, w = 3, minPpm = 0L)
+      .orderBy(col("d1"), col("d2"))
+
+  // same signature/banding chain as q19Sql, but scored on shingle BAGS
+  val q278Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |shb AS (SELECT doc_id, s, COUNT(*) AS tf FROM (
+      |          SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |          FROM ws WHERE len(w) >= 3)
+      |        GROUP BY doc_id, s),
+      |sh AS (SELECT doc_id, s FROM shb),
+      |hw AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h1,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h2
+      |       FROM sh),
+      |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+      |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band,
+      |            md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bh
+      |          FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |         WHERE a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, SUM(tf) AS n FROM shb GROUP BY doc_id),
+      |mins AS (SELECT c.d1, c.d2, SUM(LEAST(a.tf, b.tf)) AS w_inter
+      |         FROM cand c
+      |         JOIN shb a ON a.doc_id = c.d1
+      |         JOIN shb b ON b.doc_id = c.d2 AND b.s = a.s
+      |         GROUP BY c.d1, c.d2)
+      |SELECT m.d1, m.d2, CAST(m.w_inter AS BIGINT) AS w_inter,
+      |  CAST(s1.n + s2.n - m.w_inter AS BIGINT) AS w_union,
+      |  CAST((1000000::HUGEINT * m.w_inter::HUGEINT) //
+      |    (s1.n + s2.n - m.w_inter)::HUGEINT AS BIGINT) AS wj_ppm
+      |FROM mins m JOIN sz s1 ON m.d1 = s1.doc_id
+      |JOIN sz s2 ON m.d2 = s2.doc_id
+      |ORDER BY d1, d2""".stripMargin
+
+  // ── q279: distinct-n corpus diversity per language ─────────────────────
+
+  /** q279: distinct-1/2/3 n-gram diversity per language
+    * ([[TextAnalysis.distinctNgramDiversity]], Li et al. 2016) — the
+    * cross-document templating signal; exact type/slot counts + ppm. */
+  def q279DistinctNgrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.distinctNgramDiversity(docs(s, dir), "text", "lang",
+        maxN = 3)
+      .orderBy(col("lang"))
+
+  val q279Sql: String =
+    """WITH ws AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+      |g1 AS (SELECT lang, unnest(w) AS g FROM ws WHERE len(w) >= 1),
+      |g2 AS (SELECT lang, unnest(list_transform(range(1, len(w)), i ->
+      |         w[i] || ' ' || w[i+1])) AS g
+      |       FROM ws WHERE len(w) >= 2),
+      |g3 AS (SELECT lang, unnest(list_transform(range(1, len(w) - 1), i ->
+      |         w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |       FROM ws WHERE len(w) >= 3),
+      |a1 AS (SELECT lang, COUNT(DISTINCT g) AS d, COUNT(*) AS t
+      |       FROM g1 GROUP BY 1),
+      |a2 AS (SELECT lang, COUNT(DISTINCT g) AS d, COUNT(*) AS t
+      |       FROM g2 GROUP BY 1),
+      |a3 AS (SELECT lang, COUNT(DISTINCT g) AS d, COUNT(*) AS t
+      |       FROM g3 GROUP BY 1)
+      |SELECT a1.lang,
+      |  a1.d AS distinct1, a1.t AS total1,
+      |  CAST((1000000::HUGEINT * a1.d::HUGEINT) // a1.t::HUGEINT AS BIGINT)
+      |    AS distinct1_ppm,
+      |  a2.d AS distinct2, a2.t AS total2,
+      |  CAST((1000000::HUGEINT * a2.d::HUGEINT) // a2.t::HUGEINT AS BIGINT)
+      |    AS distinct2_ppm,
+      |  a3.d AS distinct3, a3.t AS total3,
+      |  CAST((1000000::HUGEINT * a3.d::HUGEINT) // a3.t::HUGEINT AS BIGINT)
+      |    AS distinct3_ppm
+      |FROM a1 JOIN a2 USING (lang) JOIN a3 USING (lang)
+      |ORDER BY lang""".stripMargin
+
+  // ── q280: χ² term keyness (focus = English) ────────────────────────────
+
+  /** q280: top-50 keywords of lang='en' vs rest by exact-rational χ²
+    * ([[TextAnalysis.termKeyness]], Kilgarriff 2001) — over-represented
+    * terms only, ranked on the integer-quantized ⌊10³·χ²⌋. */
+  def q280TermKeyness(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.termKeyness(docs(s, dir), "text", "lang", focus = "en",
+        k = 50)
+
+  val q280Sql: String =
+    """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |c AS (SELECT term,
+      |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a,
+      |        SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS b
+      |      FROM t GROUP BY 1),
+      |tot AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM c),
+      |k AS (SELECT term, a, b, tot.na, tot.nb,
+      |        (tot.na - a) AS cc, (tot.nb - b) AS dd,
+      |        a::HUGEINT * (tot.nb - b)::HUGEINT -
+      |          b::HUGEINT * (tot.na - a)::HUGEINT AS crs
+      |      FROM c CROSS JOIN tot)
+      |SELECT term, CAST(a AS BIGINT) AS tf_focus, CAST(b AS BIGINT) AS tf_rest,
+      |  CAST((1000::HUGEINT * (na + nb)::HUGEINT * crs * crs) //
+      |    ((a + b)::HUGEINT * (cc + dd)::HUGEINT * na::HUGEINT * nb::HUGEINT)
+      |    AS BIGINT) AS chi2_milli
+      |FROM k WHERE crs > 0
+      |ORDER BY chi2_milli DESC, term LIMIT 50""".stripMargin
+
+  // ── q281: soft-dedup cluster down-weighting ────────────────────────────
+
+  /** q281: per-document soft-dedup weights
+    * ([[TextDedup.softDedupWeights]], SoftDeDup reweight-don't-remove):
+    * LSH near-dup clusters (q19 parameters) → connected components →
+    * weight_ppm = ⌊10⁶/|cluster|⌋; singletons weigh 1. */
+  def q281SoftDedup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.softDedupWeights(docs(s, dir), "doc_id", "text",
+        k = 16, r = 4, w = 3, threshold = 0.5)
+      .orderBy(col("doc_id"))
+
+  // wraps the canonical LSH chain (q19Sql) + the recursive-reachability
+  // CC pattern (q275 precedent)
+  val q281Sql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM (
+      |${PipelineQueries.q19Sql}
+      |  )),
+      |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+      |      UNION SELECT d2, d1 FROM pairs),
+      |reach(n, m) AS (
+      |  SELECT DISTINCT a AS n, a AS m FROM e
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+      |comp AS (SELECT n, MIN(m) AS c FROM reach GROUP BY n),
+      |cs AS (SELECT c, COUNT(*) AS sz FROM comp GROUP BY c)
+      |SELECT d.doc_id,
+      |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(COALESCE(cs.sz, 1) AS BIGINT) AS cluster_size,
+      |  CAST(1000000 // COALESCE(cs.sz, 1) AS BIGINT) AS weight_ppm
+      |FROM documents d
+      |LEFT JOIN comp ON comp.n = d.doc_id
+      |LEFT JOIN cs ON cs.c = comp.c
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ── q282: label-propagation communities ────────────────────────────────
+
+  /** q282: synchronous deterministic label propagation
+    * ([[Graph.labelPropagation]], Raghavan 2007, R = 3, plurality label
+    * with min-label tie-break) on the exact-Jaccard ≥ 0.1 dedup graph —
+    * the community structure INSIDE connected components. */
+  def q282LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val edges = TextDedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+      w = 3, threshold = 0.1)
+    Graph.labelPropagation(edges, "d1", "d2", rounds = 3)
+      .orderBy(col("node"))
+  }
+
+  // three unrolled synchronous rounds, plurality + min-label ties
+  val q282Sql: String = {
+    def round(i: Int): String =
+      s"""n$i AS (SELECT e.a AS node, l.lbl, COUNT(*) AS c
+         |       FROM e JOIN l${i - 1} l ON l.node = e.b GROUP BY 1, 2),
+         |l$i AS (SELECT node, lbl FROM (
+         |         SELECT node, lbl, row_number() OVER (
+         |           PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         |         FROM n$i) WHERE rn = 1)""".stripMargin
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |p AS (SELECT i.d1, i.d2
+      |      FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
+      |                   JOIN sz s2 ON i.d2 = s2.doc_id
+      |      WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= 0.1),
+      |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+      |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
+      |${(1 to 3).map(round).mkString(",\n")}
+      |SELECT node, lbl AS label FROM l3 ORDER BY node""".stripMargin
+  }
+
+  // ── q283: inverse-Cloze-Task pair generation ───────────────────────────
+
+  /** q283: deterministic ICT pseudo-query/context pairs
+    * ([[Chunking.ictPairs]], Lee et al. 2019, q = 8 words, md5-derived
+    * span start) — billions of retrieval training pairs from a raw
+    * corpus, zero shuffle. */
+  def q283IctPairs(s: SparkSession, dir: String): DataFrame =
+    Chunking.ictPairs(docs(s, dir), "doc_id", "text", queryWords = 8,
+        salt = "ict")
+      .orderBy(col("doc_id"))
+
+  val q283Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |f AS (SELECT doc_id, w, len(w) AS n FROM ws WHERE len(w) >= 9),
+      |h AS (SELECT doc_id, w, n,
+      |        CAST(list_sum(list_transform(range(1, 9), j ->
+      |          (strpos('0123456789abcdef',
+      |             substr(md5('ict_' || doc_id), j, 1)) - 1)
+      |            * power(16, 8 - j))) AS BIGINT) % (n - 7) AS qs
+      |      FROM f)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+      |  CAST(qs AS BIGINT) AS q_start,
+      |  array_to_string(w[qs + 1 : qs + 8], ' ') AS query_text,
+      |  array_to_string(list_concat(w[1 : qs], w[qs + 9 : n]), ' ')
+      |    AS context_text
+      |FROM h ORDER BY doc_id""".stripMargin
+}

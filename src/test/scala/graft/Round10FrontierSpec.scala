@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Chunking, Graph, Relevance, TextAnalysis, TextDedup}
+
+/** Round-10 frontier specs: Kneser–Ney scoring, weighted (multiset)
+  * Jaccard, distinct-n diversity, and χ² keyness — hand-computed
+  * expectations, independent of the DuckDB gate. */
+class Round10FrontierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── Kneser–Ney ──────────────────────────────────────────────────────────
+
+  test("kneserNeyScore matches hand-computed D=3/4 interpolation") {
+    // corpus bigrams: (a,b)×2 from doc 1, (b,a)×1, (b,c)×1 → B = 3 types;
+    // ctx(a)=2 n1x(a)=1; ctx(b)=2 n1x(b)=2; n1y(a)=n1y(b)=n1y(c)=1
+    val docs = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Relevance.kneserNeyScore(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_scored", "sum_cxy", "sum_ctx", "sum_n1x",
+        "sum_n1y", "sum_pq6")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 1 slots: (a,b) p=((8−3)·3+3·1·1)/24=3/4; (b,a) p=(3+6)/24=3/8;
+    // (a,b) again → pq6 sum = 750000+375000+750000
+    assert(out == Seq(
+      (1L, 3L, 5L, 6L, 4L, 3L, 1875000L),
+      (2L, 1L, 1L, 2L, 2L, 1L, 375000L)))
+  }
+
+  test("kneserNey distribution is proper: observed p(·|b) mass sums to 1") {
+    // corpus {(b,a), (b,c)}: every continuation type follows b, so the
+    // two observed slots must carry ALL of p(·|b) — p(a|b) =
+    // ((4−3)·2 + 3·2·1)/(4·2·2) = 1/2 and p(c|b) = 1/2 exactly
+    val docs = Seq((9L, "b a"), (10L, "b c")).toDF("doc_id", "text")
+    val vals = Relevance.kneserNeyScore(docs, "doc_id", "text")
+      .orderBy("doc_id").select("sum_pq6").as[Long].collect().toSeq
+    assert(vals == Seq(500000L, 500000L))
+  }
+
+  // ── weighted Jaccard ────────────────────────────────────────────────────
+
+  test("weightedJaccardPairs separates same-types different-multiplicity") {
+    // A and B share the SAME 3 shingle types (so MinHash signatures are
+    // identical and banding MUST pair them) but different multiplicities:
+    // A: "a b c"×3, "b c a"×2, "c a b"×2 (7 slots); B: ×2, ×1, ×1 (4)
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "a b c a b c")).toDF("doc_id", "text")
+    val out = TextDedup.weightedJaccardPairs(docs, "doc_id", "text",
+        k = 16, r = 4, w = 3, minPpm = 0L)
+      .select("d1", "d2", "w_inter", "w_union", "wj_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // w_inter = 2+1+1 = 4; w_union = 7+4−4 = 7; ⌊4e6/7⌋ = 571428
+    assert(out == Seq((1L, 2L, 4L, 7L, 571428L)))
+  }
+
+  test("weightedJaccardPairs gives 1.0 for identical documents") {
+    val docs = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "p q r s t u v w")).toDF("doc_id", "text")
+    val out = TextDedup.weightedJaccardPairs(docs, "doc_id", "text")
+      .select("wj_ppm").as[Long].collect().toSeq
+    assert(out == Seq(1000000L))
+  }
+
+  // ── distinct-n diversity ────────────────────────────────────────────────
+
+  test("distinctNgramDiversity counts types vs slots per stratum") {
+    val docs = Seq(
+      ("en", "a b a"), ("en", "a b"),
+      ("fr", "x y z")).toDF("lang", "text")
+    val out = TextAnalysis.distinctNgramDiversity(docs, "text", "lang",
+        maxN = 3)
+      .orderBy("lang")
+      .select("lang", "distinct1", "total1", "distinct1_ppm",
+        "distinct2", "total2", "distinct2_ppm",
+        "distinct3", "total3", "distinct3_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // en 1-grams: {a,b} over 5 slots; 2-grams {a b, b a} over 3; 3-grams
+    // {a b a} over 1. fr: all unique.
+    assert(out == Seq(
+      ("en", 2L, 5L, 400000L, 2L, 3L, 666666L, 1L, 1L, 1000000L),
+      ("fr", 3L, 3L, 1000000L, 2L, 2L, 1000000L, 1L, 1L, 1000000L)))
+  }
+
+  test("distinctNgramDiversity drops strata with no maxN-gram (contract)") {
+    val docs = Seq(("en", "a b c"), ("fr", "x y")).toDF("lang", "text")
+    val langs = TextAnalysis.distinctNgramDiversity(docs, "text", "lang",
+        maxN = 3).select("lang").as[String].collect().toSeq
+    assert(langs == Seq("en"))
+  }
+
+  // ── χ² term keyness ─────────────────────────────────────────────────────
+
+  test("termKeyness ranks over-represented terms by exact χ²") {
+    val docs = Seq(
+      ("en", "a a b"), ("fr", "b c")).toDF("lang", "text")
+    val out = TextAnalysis.termKeyness(docs, "text", "lang", focus = "en",
+        k = 10)
+      .select("term", "tf_focus", "tf_rest", "chi2_milli")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // only 'a' is over-represented (cross = 2·2 − 0·1 = 4 > 0):
+    // χ² = 5·4²/(2·3·3·2) = 80/36 → ⌊10³·χ²⌋ = 2222; 'b' and 'c' have
+    // cross ≤ 0 and are filtered
+    assert(out == Seq(("a", 2L, 0L, 2222L)))
+  }
+
+  // ── soft-dedup weights ──────────────────────────────────────────────────
+
+  test("softDedupWeights halves duplicates, keeps singletons whole") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, txt), (2L, txt),
+      (3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.softDedupWeights(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "cluster_size", "weight_ppm")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 500000L), (2L, 2L, 500000L),
+      (3L, 1L, 1000000L)))
+  }
+
+  // ── label propagation ───────────────────────────────────────────────────
+
+  test("labelPropagation: triangle collapses, 2-cycle oscillates (R=3)") {
+    // hand-simulated synchronous rounds with min-label ties:
+    // triangle {1,2,3} reaches label 1 by round 2 and stays; the pendant
+    // pair {4,5} swaps labels every round (classic bipartite oscillation
+    // — the documented reason the operator runs a FIXED round count)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L))
+      .toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, "src", "dst", rounds = 3)
+      .orderBy("node").select("node", "label")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 5L), (5L, 4L)))
+  }
+
+  test("labelPropagation plurality beats min label") {
+    // star: node 10 has neighbors {20, 21, 22} all pre-labeled... after
+    // round 1 each leaf holds 10, center holds 20 (min of distinct);
+    // round 2: center sees {10,10,10} → plurality 10 even though its
+    // own round-1 label was 20
+    val edges = Seq((10L, 20L), (10L, 21L), (10L, 22L)).toDF("a", "b")
+    val out = Graph.labelPropagation(edges, "a", "b", rounds = 2)
+      .orderBy("node").select("node", "label")
+      .as[(Long, Long)].collect().toSeq
+    // round1: 10→20, 20→10, 21→10, 22→10; round2: 10 sees {10,10,10}→10,
+    // leaves see {20} → 20
+    assert(out == Seq((10L, 10L), (20L, 20L), (21L, 20L), (22L, 20L)))
+  }
+
+  // ── ICT pairs ───────────────────────────────────────────────────────────
+
+  test("ictPairs excises the query span and keeps the remainder") {
+    val words = (0 until 12).map(i => s"w$i")
+    val docs = Seq((7L, words.mkString(" ")),
+      (8L, "a b c d e f g h")).toDF("doc_id", "text") // 8 words: skipped
+    val out = Chunking.ictPairs(docs, "doc_id", "text", queryWords = 8)
+      .select("doc_id", "n_words", "q_start", "query_text", "context_text")
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+    assert(out.map(_._1) == Seq(7L))
+    val (_, n, qs, q, ctx) = out.head
+    assert(n == 12L && qs >= 0 && qs <= 4)
+    val s = qs.toInt
+    assert(q == words.slice(s, s + 8).mkString(" "))
+    assert(ctx == (words.take(s) ++ words.drop(s + 8)).mkString(" "))
+    // deterministic: same input → same span
+    val again = Chunking.ictPairs(docs, "doc_id", "text", queryWords = 8)
+      .select("q_start").as[Long].collect().head
+    assert(again == qs)
+  }
+
+  test("termKeyness is symmetric-safe: swapping focus flips the list") {
+    val docs = Seq(
+      ("en", "a a b"), ("fr", "b c c c")).toDF("lang", "text")
+    val en = TextAnalysis.termKeyness(docs, "text", "lang", "en", 10)
+      .select("term").as[String].collect().toSet
+    val fr = TextAnalysis.termKeyness(docs, "text", "lang", "fr", 10)
+      .select("term").as[String].collect().toSet
+    assert(en.contains("a") && !en.contains("c"))
+    assert(fr.contains("c") && !fr.contains("a"))
+  }
+}
