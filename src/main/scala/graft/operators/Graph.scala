@@ -767,4 +767,55 @@ object Graph {
     }
     labels
   }
+
+  /**
+   * Fixed-round k-truss peel (Cohen, "Trusses: cohesive subgraphs for
+   * social network analysis", 2008): a k-truss is the maximal subgraph
+   * where every edge sits in ≥ k−2 triangles OF THAT SUBGRAPH. Where
+   * [[kCorePeel]] grades NODES by degree embeddedness, the truss grades
+   * EDGES by triangle support — the sharper cohesion test for dedup
+   * graphs, because a bridge edge between two template families has
+   * high-degree endpoints (core-survivor) but zero triangles
+   * (truss-removed).
+   *
+   * Round i computes each surviving edge's support (common-neighbor
+   * count) on the CURRENT edge set, then drops edges with support <
+   * k−2. Runs a FIXED `rounds` count (deterministic, oracle-unrollable
+   * — the [[labelPropagation]] convention); the true truss is the
+   * fixpoint, and each round only removes, so round R is a sound
+   * over-approximation that equals the truss once no edge falls. Output
+   * is the surviving edge list with the support measured at the START
+   * of the last round (the values the final filter used).
+   *
+   * Scale shape: support is the standard wedge join — edges × adjacency
+   * joined on both endpoints, Σdeg² intermediate rows, keyed
+   * throughout; each round's result is lineage-cut with a lazy
+   * localCheckpoint. No driver-side state.
+   */
+  def trussPeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 2, s"k=$k out of range (need >= 2)")
+    require(rounds >= 1 && rounds <= 20, s"rounds=$rounds out of range")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(eager = false)
+    var supported: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val ac = sym.select(col("a"), col("b").as("c"))
+      val sup = e
+        .join(ac, "a")
+        .join(ac.select(col("a").as("b"), col("c")), Seq("b", "c"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("support"))
+      supported = e.join(sup, Seq("a", "b"), "left")
+        .na.fill(0L, Seq("support"))
+        .localCheckpoint(eager = false)
+      e = supported.filter(col("support") >= k - 2)
+        .select(col("a"), col("b")).localCheckpoint(eager = false)
+    }
+    supported.filter(col("support") >= k - 2)
+  }
 }

@@ -471,6 +471,68 @@ object Relevance {
   }
 
   /**
+   * Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+   * SIGIR 2001 — the LM retrieval scorer that, with BM25, anchors every
+   * IR baseline table): p(w|d) = (tf(w,d) + μ·cf(w)/N) / (|d| + μ),
+   * with the Dirichlet prior μ pulling short documents toward the
+   * corpus language model. Since μ, tf, cf, N, |d| are all integers,
+   * p = (tf·N + μ·cf) / (N·(|d| + μ)) is an exact rational — the HASHED
+   * score is `score_q6` = Σ_w∈q ⌊10⁶·p(w|d)⌋ over the query terms
+   * (DECIMAL(38,0) integer arithmetic, zero libm; the true log-QL
+   * ranking is monotone in each term's p, and the additive quantized
+   * mass is the engine-portable surrogate this repo gates retrieval on
+   * — the q200 discipline). Candidate docs are those containing ≥ 1
+   * query term; ABSENT query terms still contribute their smoothing
+   * mass μ·cf/(N·(|d|+μ)), which is exactly what distinguishes
+   * Dirichlet QL from a tf-only scorer.
+   *
+   * Scale shape: tf is one filtered explode + (doc, term) hash-agg
+   * (only query-term rows survive the filter); cf and N are |terms|-row
+   * and 1-row broadcasts; the candidate×terms grid is |candidates|×|q|
+   * rows. The final cut is a TakeOrderedAndProject.
+   */
+  def dirichletQueryLikelihood(docs: DataFrame, idCol: String,
+                               textCol: String, terms: Seq[String],
+                               mu: Long = 2000L, k: Int = 10): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "dirichletQueryLikelihood: terms must be non-empty and distinct")
+    require(mu >= 1L, s"mu=$mu must be positive")
+    val big = DecimalType(38, 0)
+    val words = docs.select(col(idCol), split(col(textCol), " ").as("graft_w"))
+    val dl = words.select(col(idCol),
+      size(col("graft_w")).cast(LongType).as("graft_dl"))
+    val toks = words.select(col(idCol), explode(col("graft_w")).as("term"))
+    val nTot = toks.agg(count(lit(1)).as("graft_n"))
+    val qToks = toks.filter(col("term").isin(terms: _*))
+    val cf = qToks.groupBy(col("term")).agg(count(lit(1)).as("graft_cf"))
+    val tf = qToks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("graft_tf"))
+    val termsDf = docs.sparkSession.range(1)
+      .select(explode(array(terms.map(lit): _*)).as("term"))
+    tf.select(col(idCol)).distinct()
+      .join(dl, idCol)
+      .crossJoin(broadcast(termsDf))
+      .join(tf, Seq(idCol, "term"), "left")
+      .na.fill(0L, Seq("graft_tf"))
+      .join(broadcast(cf), Seq("term"), "left")
+      .na.fill(0L, Seq("graft_cf"))
+      .crossJoin(broadcast(nTot))
+      // ⌊10⁶·p⌋ = (10⁶·(tf·N + μ·cf)) div (N·(dl+μ)) — exact integers
+      .withColumn("graft_pq6", expr(
+        s"(cast(1000000 as decimal(38,0)) * " +
+        s"(cast(graft_tf as decimal(38,0)) * cast(graft_n as decimal(38,0)) " +
+        s" + cast($mu as decimal(38,0)) * cast(graft_cf as decimal(38,0)))) " +
+        s"div (cast(graft_n as decimal(38,0)) * " +
+        s"cast(graft_dl + $mu as decimal(38,0)))"))
+      .groupBy(col(idCol))
+      .agg(first(col("graft_dl")).as("dl"),
+        sum(when(col("graft_tf") > 0, 1L).otherwise(0L)).as("n_hit_terms"),
+        sum(col("graft_pq6")).as("score_q6"))
+      .orderBy(col("score_q6").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
    * Skip-gram co-occurrence counts — word2vec-style context mining: every
    * unordered word pair within `window` positions of each other, counted
    * corpus-wide, top-`k` by count. The counting step of embedding /

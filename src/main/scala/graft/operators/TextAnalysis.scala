@@ -1146,4 +1146,62 @@ object TextAnalysis {
       .orderBy(col("chi2_milli").desc, col("term").asc)
       .limit(k)
   }
+
+  /**
+   * Term dispersion across strata — Gries' DP ("deviation of
+   * proportions", Gries 2008, the corpus-linguistics standard): for a
+   * term, DP = ½ Σ_i |v_i − s_i| where v_i is the share of the term's
+   * occurrences in stratum i and s_i is the stratum's share of all
+   * tokens. DP ≈ 0 means the term is spread as evenly as the corpus
+   * itself (function words); DP → 1 means it is concentrated in few
+   * strata (topical/boilerplate vocabulary). Frequency alone cannot
+   * distinguish the two — a million-count term may live in ONE crawl
+   * snapshot — which is why dispersion is the standard companion
+   * statistic to raw tf in corpus comparison.
+   *
+   * With common denominator TF·N: |v_i − s_i| = |tf_i·N − TF·sz_i| /
+   * (TF·N), and the strata where the term is ABSENT contribute
+   * Σ_absent sz_i/N = (N − Σ_present sz_i)/N, so the whole sum needs
+   * only the PRESENT (term, stratum) rows plus the 1-row totals —
+   * `dp_milli` = ⌊10³·(Σ_present|tf_i·N − TF·sz_i| + TF·(N −
+   * Σ_present sz_i)) / (2·TF·N)⌋, exact integers end to end.
+   * Emitted for the top-`k` terms by (corpus tf desc, term).
+   *
+   * Scale shape: one (stratum) size agg, one (term, stratum) hash-agg,
+   * a top-k term cut (TakeOrderedAndProject) that bounds everything
+   * downstream to k·|strata| rows, and a 1-row totals broadcast.
+   */
+  def termDispersion(docs: DataFrame, textCol: String, strataCol: String,
+                     k: Int = 20): DataFrame = {
+    val big = DecimalType(38, 0)
+    val toks = docs.select(col(strataCol),
+      explode(split(col(textCol), " ")).as("term"))
+    val sizes = toks.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("graft_sz"))
+    val total = sizes.agg(sum(col("graft_sz")).as("graft_n"))
+    val perTs = toks.groupBy(col("term"), col(strataCol))
+      .agg(count(lit(1)).as("graft_tf"))
+    val topTerms = perTs.groupBy(col("term"))
+      .agg(sum(col("graft_tf")).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(k)
+    perTs.join(broadcast(topTerms), "term")
+      .join(sizes, strataCol)
+      .crossJoin(broadcast(total))
+      .groupBy(col("term"))
+      .agg(first(col("tf")).as("tf"),
+        first(col("graft_n")).as("graft_n"),
+        sum(abs(col("graft_tf").cast(big) * col("graft_n").cast(big) -
+          col("tf").cast(big) * col("graft_sz").cast(big)))
+          .as("graft_present"),
+        sum(col("graft_sz")).as("graft_cov"))
+      .withColumn("dp_milli", expr(
+        "(cast(1000 as decimal(38,0)) * (graft_present + " +
+        "cast(tf as decimal(38,0)) * cast(graft_n - graft_cov as " +
+        "decimal(38,0)))) div (cast(2 as decimal(38,0)) * " +
+        "cast(tf as decimal(38,0)) * cast(graft_n as decimal(38,0)))")
+        .cast(LongType))
+      .select(col("term"), col("tf"), col("dp_milli"))
+      .orderBy(col("tf").desc, col("term").asc)
+  }
 }

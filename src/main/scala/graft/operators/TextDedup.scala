@@ -1286,4 +1286,51 @@ object TextDedup {
         expr("cast(1000000 as decimal(38,0)) div " +
           "cast(cluster_size as decimal(38,0))").cast(LongType))
   }
+
+  /**
+   * Blocking-quality audit — the two standard record-linkage metrics
+   * (Christen, "Data Matching", 2012 §7.3) applied to the MinHash-LSH
+   * blocking: PAIRS COMPLETENESS pc = |candidates ∩ truth| / |truth|
+   * (the blocking's recall of true near-dup pairs) and REDUCTION RATIO
+   * rr = 1 − |candidates| / C(n,2) (how much of the all-pairs work the
+   * blocking eliminated). Together they quantify the LSH banding
+   * trade-off that [[minHashCalibration]] measures at the estimator
+   * level: raise r and rr improves while pc decays. Ground truth is the
+   * exact n-gram Jaccard ≥ threshold pair set ([[ngramJaccardPairs]]'s
+   * path). One summary row, all exact integers (ppm ratios by integral
+   * division).
+   *
+   * Scale shape: candidates are band-join-bounded, truth is the
+   * inverted-index join (df-cap upstream at real scale), and the four
+   * inputs to the summary are 1-row aggregates crossJoined broadcast —
+   * nothing data-scale ever reaches the driver. The audit is meant for
+   * a SAMPLE at 100 TB (truth is quadratic in principle); the metrics
+   * are ratios, so a uniform doc sample estimates them unbiasedly.
+   */
+  def blockingQualityAudit(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 16, r: Int = 4, w: Int = 3,
+                           threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, w)
+    val cand = lshCandidates(
+      lshBandsFromWide(minHashSignaturesWide(sh, idCol, k), idCol, k, r),
+      idCol)
+    val truth = jaccardFromInter(pairIntersections(sh, idCol), sh, idCol)
+      .filter(col("jaccard") >= threshold).select("d1", "d2")
+    val nd = sh.agg(countDistinct(col(idCol)).as("n_docs"))
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val nt = truth.agg(count(lit(1)).as("n_true_pairs"))
+    val nf = truth.join(cand, Seq("d1", "d2"))
+      .agg(count(lit(1)).as("n_found"))
+    nd.crossJoin(broadcast(nc)).crossJoin(broadcast(nt))
+      .crossJoin(broadcast(nf))
+      .withColumn("total_pairs",
+        expr("n_docs * (n_docs - 1) div 2").cast(LongType))
+      .withColumn("pc_ppm",
+        expr("cast(n_found * 1000000 as decimal(38,0)) div " +
+          "cast(n_true_pairs as decimal(38,0))").cast(LongType))
+      .withColumn("rr_ppm",
+        expr("cast((total_pairs - n_candidates) * 1000000 as " +
+          "decimal(38,0)) div cast(total_pairs as decimal(38,0))")
+          .cast(LongType))
+  }
 }

@@ -274,4 +274,179 @@ object FrontierQueries {
       |  array_to_string(list_concat(w[1 : qs], w[qs + 9 : n]), ' ')
       |    AS context_text
       |FROM h ORDER BY doc_id""".stripMargin
+
+  // ── q284: Dirichlet query-likelihood retrieval ─────────────────────────
+
+  /** q284: top-15 documents for the 3-term query under Dirichlet-
+    * smoothed query likelihood ([[Relevance.dirichletQueryLikelihood]],
+    * Zhai & Lafferty 2001, μ = 2000) — same query as q154's boolean
+    * retrieval, ranked on the exact-rational quantized smoothed mass. */
+  def q284DirichletQl(s: SparkSession, dir: String): DataFrame =
+    Relevance.dirichletQueryLikelihood(docs(s, dir), "doc_id", "text",
+        Seq("batch", "scan", "data"), mu = 2000L, k = 15)
+
+  val q284Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dl AS (SELECT doc_id, len(w) AS dl FROM w),
+      |t AS (SELECT doc_id, unnest(w) AS term FROM w),
+      |n AS (SELECT COUNT(*) AS n FROM t),
+      |qt AS (SELECT * FROM (VALUES ('batch'), ('scan'), ('data'))
+      |       AS v(term)),
+      |cf AS (SELECT term, COUNT(*) AS cf FROM t
+      |       WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+      |       WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT doc_id FROM tf),
+      |grid AS (SELECT c.doc_id, q.term, COALESCE(tf.tf, 0) AS tf,
+      |           COALESCE(cf.cf, 0) AS cf, dl.dl
+      |         FROM cand c CROSS JOIN qt q
+      |         LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = q.term
+      |         LEFT JOIN cf ON cf.term = q.term
+      |         JOIN dl ON dl.doc_id = c.doc_id),
+      |sc AS (SELECT g.doc_id, g.dl,
+      |         SUM(CASE WHEN g.tf > 0 THEN 1 ELSE 0 END) AS n_hit_terms,
+      |         SUM((1000000::HUGEINT *
+      |           (g.tf::HUGEINT * n.n::HUGEINT +
+      |            2000::HUGEINT * g.cf::HUGEINT)) //
+      |           (n.n::HUGEINT * (g.dl + 2000)::HUGEINT)) AS score_q6
+      |       FROM grid g CROSS JOIN n GROUP BY 1, 2)
+      |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+      |  CAST(n_hit_terms AS BIGINT) AS n_hit_terms,
+      |  CAST(score_q6 AS BIGINT) AS score_q6
+      |FROM sc ORDER BY score_q6 DESC, doc_id LIMIT 15""".stripMargin
+
+  // ── q285: LSH blocking-quality audit (PC / RR) ─────────────────────────
+
+  /** q285: pairs completeness and reduction ratio of the q19 LSH
+    * blocking vs the exact Jaccard ≥ 0.5 ground truth
+    * ([[TextDedup.blockingQualityAudit]], Christen 2012) — one exact-
+    * integer summary row quantifying the banding trade-off. */
+  def q285BlockingQuality(s: SparkSession, dir: String): DataFrame =
+    TextDedup.blockingQualityAudit(docs(s, dir), "doc_id", "text",
+        k = 16, r = 4, w = 3, threshold = 0.5)
+
+  val q285Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |hw AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h1,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
+      |             * power(16, 8 - j))) AS BIGINT) AS h2
+      |       FROM sh),
+      |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+      |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band,
+      |            md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bh
+      |          FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |         WHERE a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |truth AS (SELECT i.d1, i.d2
+      |          FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
+      |                       JOIN sz s2 ON i.d2 = s2.doc_id
+      |          WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter)
+      |            >= 0.5),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM sz),
+      |nc AS (SELECT COUNT(*) AS n_candidates FROM cand),
+      |nt AS (SELECT COUNT(*) AS n_true_pairs FROM truth),
+      |nf AS (SELECT COUNT(*) AS n_found FROM truth t
+      |       JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2)
+      |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_candidates AS BIGINT) AS n_candidates,
+      |  CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+      |  CAST(n_found AS BIGINT) AS n_found,
+      |  CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS total_pairs,
+      |  CAST(CASE WHEN n_true_pairs = 0 THEN NULL
+      |    ELSE (n_found::HUGEINT * 1000000) // n_true_pairs::HUGEINT
+      |    END AS BIGINT) AS pc_ppm,
+      |  CAST(((n_docs * (n_docs - 1) // 2 - n_candidates)::HUGEINT
+      |    * 1000000) // (n_docs * (n_docs - 1) // 2)::HUGEINT AS BIGINT)
+      |    AS rr_ppm
+      |FROM nd CROSS JOIN nc CROSS JOIN nt CROSS JOIN nf""".stripMargin
+
+  // ── q286: term dispersion (Gries DP) ───────────────────────────────────
+
+  /** q286: Gries' deviation-of-proportions dispersion across sources for
+    * the top-20 corpus terms ([[TextAnalysis.termDispersion]]) — the
+    * spread-vs-concentration companion to raw frequency, exact-rational
+    * with absent-stratum mass folded in analytically. */
+  def q286TermDispersion(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.termDispersion(docs(s, dir), "text", "source", k = 20)
+
+  val q286Sql: String =
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |sz AS (SELECT source, COUNT(*) AS sz FROM t GROUP BY 1),
+      |n AS (SELECT SUM(sz) AS n FROM sz),
+      |ts AS (SELECT term, source, COUNT(*) AS tfi FROM t GROUP BY 1, 2),
+      |top AS (SELECT term, SUM(tfi) AS tf FROM ts GROUP BY 1
+      |        ORDER BY tf DESC, term LIMIT 20),
+      |j AS (SELECT ts.term, top.tf, ts.tfi, sz.sz
+      |      FROM ts JOIN top USING (term) JOIN sz USING (source)),
+      |agg AS (SELECT term, any_value(tf) AS tf,
+      |          SUM(ABS(tfi::HUGEINT * n.n::HUGEINT -
+      |            tf::HUGEINT * sz::HUGEINT)) AS pres,
+      |          SUM(sz) AS cov
+      |        FROM j CROSS JOIN n GROUP BY term)
+      |SELECT term, CAST(tf AS BIGINT) AS tf,
+      |  CAST((1000::HUGEINT * (pres + tf::HUGEINT * (n.n - cov)::HUGEINT))
+      |    // (2::HUGEINT * tf::HUGEINT * n.n::HUGEINT) AS BIGINT)
+      |    AS dp_milli
+      |FROM agg CROSS JOIN n ORDER BY tf DESC, term""".stripMargin
+
+  // ── q287: k-truss peel on the dedup graph ──────────────────────────────
+
+  /** q287: 3-truss edges of the exact-Jaccard ≥ 0.1 dedup graph after 3
+    * peel rounds ([[Graph.trussPeel]], Cohen 2008) — edges embedded in
+    * ≥ 1 triangle of the surviving subgraph; the edge-level cohesion
+    * test that strips bridge edges [[Graph.kCorePeel]] keeps. */
+  def q287TrussPeel(s: SparkSession, dir: String): DataFrame = {
+    val edges = TextDedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+      w = 3, threshold = 0.1)
+    Graph.trussPeel(edges, "d1", "d2", k = 3, rounds = 3)
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q287Sql: String = {
+    def round(i: Int): String =
+      s"""sym$i AS (SELECT a, b FROM e${i - 1}
+         |        UNION SELECT b, a FROM e${i - 1}),
+         |sup$i AS (SELECT e.a, e.b, COUNT(*) AS support
+         |         FROM e${i - 1} e
+         |         JOIN sym$i x ON x.a = e.a
+         |         JOIN sym$i y ON y.a = e.b AND y.b = x.b
+         |         GROUP BY 1, 2),
+         |s$i AS (SELECT e.a, e.b, COALESCE(p.support, 0) AS support
+         |       FROM e${i - 1} e LEFT JOIN sup$i p
+         |         ON p.a = e.a AND p.b = e.b),
+         |e$i AS (SELECT a, b FROM s$i WHERE support >= 1)""".stripMargin
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |p AS (SELECT i.d1, i.d2
+      |      FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
+      |                   JOIN sz s2 ON i.d2 = s2.doc_id
+      |      WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= 0.1),
+      |e0 AS (SELECT LEAST(d1, d2) AS a, GREATEST(d1, d2) AS b FROM p
+      |       GROUP BY 1, 2),
+      |${(1 to 3).map(round).mkString(",\n")}
+      |SELECT a, b, CAST(support AS BIGINT) AS support
+      |FROM s3 WHERE support >= 1 ORDER BY a, b""".stripMargin
+  }
 }

@@ -173,6 +173,94 @@ class Round10FrontierSpec extends SparkSpec {
     assert(again == qs)
   }
 
+  // ── Dirichlet query likelihood ──────────────────────────────────────────
+
+  test("dirichletQueryLikelihood matches hand-computed smoothed mass") {
+    // corpus: d1 = "q q x" (dl 3), d2 = "x y z" (dl 3); query {q}:
+    // N = 6, cf(q) = 2; with μ = 4: p(q|d1) = (2·6 + 4·2)/(6·(3+4))
+    // = 20/42 → ⌊10⁶·p⌋ = 476190. d2 has no query term → not a candidate
+    val docs = Seq((1L, "q q x"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = Relevance.dirichletQueryLikelihood(docs, "doc_id", "text",
+        Seq("q"), mu = 4L, k = 5)
+      .select("doc_id", "dl", "n_hit_terms", "score_q6")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 1L, 476190L)))
+  }
+
+  test("dirichletQueryLikelihood: absent query terms add smoothing mass") {
+    // query {q, y}: d1 contains q but not y — y still contributes
+    // μ·cf(y)/(N·(dl+μ)) = 4·1/(6·7) = 2/21 → 95238
+    val docs = Seq((1L, "q q x"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = Relevance.dirichletQueryLikelihood(docs, "doc_id", "text",
+        Seq("q", "y"), mu = 4L, k = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_hit_terms", "score_q6")
+      .as[(Long, Long, Long)].collect().toSeq
+    // d1 (1 hit term): 476190 (q) + 95238 (y absent) = 571428; d2
+    // (1 hit term): q absent gives 4·2/42 = 190476, y present gives
+    // (1·6+4·1)/42 = 238095 → 428571
+    assert(out == Seq((1L, 1L, 571428L), (2L, 1L, 428571L)))
+  }
+
+  // ── blocking quality ────────────────────────────────────────────────────
+
+  test("blockingQualityAudit: identical docs are found, PC/RR exact") {
+    val t1 = "a b c d e f g h"
+    val docs = Seq((1L, t1), (2L, t1),
+      (3L, "p q r s t u v w"), (4L, "k l m n o p q r"))
+      .toDF("doc_id", "text")
+    val row = TextDedup.blockingQualityAudit(docs, "doc_id", "text")
+      .select("n_docs", "n_true_pairs", "n_found", "total_pairs",
+        "pc_ppm")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // truth: only (1,2) with J = 1; identical sigs → must be a candidate
+    assert(row._1 == 4L && row._2 == 1L && row._3 == 1L)
+    assert(row._4 == 6L && row._5 == 1000000L)
+  }
+
+  // ── term dispersion ─────────────────────────────────────────────────────
+
+  test("termDispersion: even terms score 0, concentrated terms high") {
+    // strata sizes 4/4: 'u' appears twice in each (v = s exactly →
+    // DP = 0); 'z' appears only in src A: DP = ½(|2·8−2·4| + 2·4)/16
+    // = ½·16/16 → dp_milli = 500
+    val docs = Seq(
+      ("A", "u u z z"), ("B", "u u w w")).toDF("source", "text")
+    val out = TextAnalysis.termDispersion(docs, "text", "source", k = 10)
+      .select("term", "tf", "dp_milli")
+      .as[(String, Long, Long)].collect().toSeq
+    val m = out.map(t => t._1 -> t._3).toMap
+    assert(m("u") == 0L)
+    assert(m("z") == 500L && m("w") == 500L)
+  }
+
+  // ── k-truss ─────────────────────────────────────────────────────────────
+
+  test("trussPeel: bridge edges fall, triangle edges survive") {
+    // two triangles joined by a bridge: {1,2,3} — 4 — {5,6,7}? simpler:
+    // triangle {1,2,3} + bridge (3,4): bridge has support 0 → removed
+    // round 1; triangle edges keep support 1 (k=3 → need ≥ 1)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("s", "d")
+    val out = Graph.trussPeel(edges, "s", "d", k = 3, rounds = 3)
+      .orderBy("a", "b").select("a", "b", "support")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("trussPeel cascade: edge that loses its triangle falls next round") {
+    // diamond minus one edge: triangle {1,2,3} plus edges (2,4),(3,4):
+    // edge (2,4): common nbr of 2 and 4 is 3 → support 1; (3,4): common
+    // nbr 2 → support 1; all survive round 1 with k=3… use k=4
+    // (support ≥ 2): round 1 removes (2,4),(3,4) (support 1) AND the
+    // triangle edges (support 1 each except (2,3) which has nbrs {1,4}
+    // → support 2). Round 2: (2,3) alone → support 0 → gone. Empty.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "d")
+    val out = Graph.trussPeel(edges, "s", "d", k = 4, rounds = 3)
+    assert(out.count() == 0L)
+  }
+
   test("termKeyness is symmetric-safe: swapping focus flips the list") {
     val docs = Seq(
       ("en", "a a b"), ("fr", "b c c c")).toDF("lang", "text")
