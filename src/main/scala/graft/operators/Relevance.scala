@@ -533,6 +533,48 @@ object Relevance {
   }
 
   /**
+   * Rank-biased overlap between two rankings (Webber, Moffat & Zobel,
+   * TOIS 2010 — THE standard for comparing indefinite/top-weighted
+   * rankings, where Kendall/Spearman need full permutations): RBO_D =
+   * Σ_{d=1..D} (1−p)·p^(d−1)·|A_{1..d} ∩ B_{1..d}|/d. With p = 1/2 the
+   * weight is exactly 1/2^d, so each depth's term is the exact rational
+   * overlap_d/(d·2^d); the emitted `term_q9` = ⌊10⁹·overlap_d/(d·2^d)⌋
+   * and its running sum `rbo_q9` are integer-exact and engine-portable
+   * (quantization before summation — the q200 discipline; the ≤D·2⁻⁹
+   * floor error is far below any decision threshold). Use it to answer
+   * "do my two retrieval stacks agree where it matters" — the top-heavy
+   * p discounts disagreement deep in the tail.
+   *
+   * Inputs are (id, rank) frames (rank 1-based, from any top-k). Scale
+   * shape: both inputs are bounded top-k lists, the id join and the
+   * depth grid are |list|×D rows, and the running sum windows over D
+   * rows only — metadata scale by construction.
+   */
+  def rankBiasedOverlap(rankA: DataFrame, rankB: DataFrame, idCol: String,
+                        rankCol: String, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 40, s"depth=$depth out of range [1, 40]")
+    import org.apache.spark.sql.expressions.Window
+    val a = rankA.select(col(idCol), col(rankCol).cast(LongType).as("graft_ra"))
+    val b = rankB.select(col(idCol), col(rankCol).cast(LongType).as("graft_rb"))
+    val depths = rankA.sparkSession.range(1, depth + 1)
+      .select(col("id").as("d"))
+    val overlaps = a.join(b, idCol)
+      .crossJoin(broadcast(depths))
+      .filter(col("graft_ra") <= col("d") && col("graft_rb") <= col("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("overlap"))
+    depths.join(overlaps, Seq("d"), "left")
+      .na.fill(0L, Seq("overlap"))
+      .withColumn("term_q9", expr(
+        "cast(overlap * 1000000000 as decimal(38,0)) div " +
+        "cast(d * shiftleft(cast(1 as bigint), cast(d as int)) " +
+        "as decimal(38,0))").cast(LongType))
+      .withColumn("rbo_q9", sum(col("term_q9")).over(
+        Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("d"), col("overlap"), col("term_q9"), col("rbo_q9"))
+  }
+
+  /**
    * Skip-gram co-occurrence counts — word2vec-style context mining: every
    * unordered word pair within `window` positions of each other, counted
    * corpus-wide, top-`k` by count. The counting step of embedding /

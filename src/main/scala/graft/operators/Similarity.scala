@@ -663,4 +663,66 @@ object Similarity {
             (lit(dOut.toDouble) * col("graft_od2"))).cast(LongType))
           .as("ratio_ppm"))
   }
+
+  /**
+   * DBSCAN density clustering (Ester, Kriegel, Sander & Xu, KDD 1996)
+   * over the embedding corpus with a cosine ε-neighborhood: a point is
+   * CORE iff it has ≥ `minPts` neighbors at cosine ≥ `tau` (self
+   * excluded), clusters are the connected components of the core–core
+   * ε-graph, BORDER points attach to the smallest cluster id among
+   * their core neighbors (deterministic where the classic algorithm is
+   * order-dependent), and everything else is NOISE. Unlike k-means-
+   * style partitions (PQ codebooks, [[VectorAggs.prototypePrune]]'s
+   * centroids), DBSCAN needs no k, finds arbitrary-shape clusters, and
+   * leaves outliers OUT — which is exactly the semantics near-dup
+   * analysis wants: dense semantic families + untouched singletons.
+   *
+   * Output: (id, role ∈ core|border|noise, cluster) — cluster is the
+   * component's min member id, NULL for noise. Deterministic end to
+   * end; cosines are the 6-dp-rounded portable values of
+   * [[cosineNearDupPairs]].
+   *
+   * Scale shape: the ε-graph comes from the exact blocked self-join
+   * (swap in [[cosineNearDupPairsBucketed]] for 10⁶+ vectors — same
+   * contract); degrees/core flags are one keyed agg; CC is the
+   * diameter-safe iteration; border attach is one join of the sym
+   * edge list against the |core|-row cluster map. No driver state.
+   */
+  def dbscanClusters(embeddings: DataFrame, idCol: String, vecCol: String,
+                     tau: Double, minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts=$minPts out of range")
+    val pairs = cosineNearDupPairs(embeddings, idCol, vecCol, tau)
+      .select(col("d1"), col("d2"))
+    val sym = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    val degrees = sym.groupBy(col("d1")).agg(count(lit(1)).as("graft_deg"))
+    val core = degrees.filter(col("graft_deg") >= minPts)
+      .select(col("d1").as("graft_node"))
+    val coreEdges = pairs
+      .join(core.select(col("graft_node").as("d1")), "d1")
+      .join(core.select(col("graft_node").as("d2")), "d2")
+    // isolated cores (no core neighbor) miss from CC → own-id cluster
+    val comp = Graph.connectedComponents(coreEdges, "d1", "d2")
+    val coreClusters = core.join(
+        comp.select(col("node").as("graft_node"), col("component")),
+        Seq("graft_node"), "left")
+      .select(col("graft_node"),
+        coalesce(col("component"), col("graft_node")).as("cluster"))
+    val borderAssign = sym
+      .join(coreClusters.select(col("graft_node").as("d2"),
+        col("cluster")), "d2")
+      .join(core.select(col("graft_node").as("d1")), Seq("d1"), "left_anti")
+      .groupBy(col("d1"))
+      .agg(min(col("cluster")).as("cluster"))
+    val ids = embeddings.select(col(idCol))
+    ids
+      .join(coreClusters.select(col("graft_node").as(idCol),
+        col("cluster").as("graft_cc")), Seq(idCol), "left")
+      .join(borderAssign.select(col("d1").as(idCol),
+        col("cluster").as("graft_bc")), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("graft_cc").isNotNull, lit("core"))
+          .when(col("graft_bc").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("graft_cc"), col("graft_bc")).as("cluster"))
+  }
 }

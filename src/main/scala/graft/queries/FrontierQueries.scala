@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Chunking, Graph, Relevance, TextAnalysis, TextDedup}
+import graft.operators.{Chunking, Graph, Relevance, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Sources
 
 /**
@@ -285,13 +285,16 @@ object FrontierQueries {
     Relevance.dirichletQueryLikelihood(docs(s, dir), "doc_id", "text",
         Seq("batch", "scan", "data"), mu = 2000L, k = 15)
 
-  val q284Sql: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** Parameterized Dirichlet-QL oracle chain — shared by q284 and the
+    * q288 ranking-agreement wrapper so the scoring SQL cannot drift. */
+  private def dirichletSql(terms: Seq[String], mu: Long,
+                           limit: Int): String = {
+    val tv = terms.map(t => s"('$t')").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |dl AS (SELECT doc_id, len(w) AS dl FROM w),
       |t AS (SELECT doc_id, unnest(w) AS term FROM w),
       |n AS (SELECT COUNT(*) AS n FROM t),
-      |qt AS (SELECT * FROM (VALUES ('batch'), ('scan'), ('data'))
-      |       AS v(term)),
+      |qt AS (SELECT * FROM (VALUES $tv) AS v(term)),
       |cf AS (SELECT term, COUNT(*) AS cf FROM t
       |       WHERE term IN (SELECT term FROM qt) GROUP BY 1),
       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
@@ -307,13 +310,16 @@ object FrontierQueries {
       |         SUM(CASE WHEN g.tf > 0 THEN 1 ELSE 0 END) AS n_hit_terms,
       |         SUM((1000000::HUGEINT *
       |           (g.tf::HUGEINT * n.n::HUGEINT +
-      |            2000::HUGEINT * g.cf::HUGEINT)) //
-      |           (n.n::HUGEINT * (g.dl + 2000)::HUGEINT)) AS score_q6
+      |            $mu::HUGEINT * g.cf::HUGEINT)) //
+      |           (n.n::HUGEINT * (g.dl + $mu)::HUGEINT)) AS score_q6
       |       FROM grid g CROSS JOIN n GROUP BY 1, 2)
       |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
       |  CAST(n_hit_terms AS BIGINT) AS n_hit_terms,
       |  CAST(score_q6 AS BIGINT) AS score_q6
-      |FROM sc ORDER BY score_q6 DESC, doc_id LIMIT 15""".stripMargin
+      |FROM sc ORDER BY score_q6 DESC, doc_id LIMIT $limit""".stripMargin
+  }
+
+  val q284Sql: String = dirichletSql(Seq("batch", "scan", "data"), 2000L, 15)
 
   // ── q285: LSH blocking-quality audit (PC / RR) ─────────────────────────
 
@@ -449,4 +455,123 @@ object FrontierQueries {
       |SELECT a, b, CAST(support AS BIGINT) AS support
       |FROM s3 WHERE support >= 1 ORDER BY a, b""".stripMargin
   }
+
+  // ── q288: rank-biased overlap between BM25 and Dirichlet QL ────────────
+
+  /** q288: RBO (p = 1/2, depth 20) between the BM25 and Dirichlet-QL
+    * top-20 rankings for the same 3-term query
+    * ([[Relevance.rankBiasedOverlap]], Webber 2010) — the top-weighted
+    * agreement audit run before swapping retrieval scorers. */
+  def q288RboAgreement(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val terms = Seq("vector", "join", "spark")
+    // windows order 20-row top-k lists — bounded, not a data-scale sort
+    val ra = Relevance.bm25TopK(d, "doc_id", "text", terms, k = 20,
+        k1 = 1.5, b = 0.75)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)).as("rnk"))
+    val rb = Relevance.dirichletQueryLikelihood(d, "doc_id", "text", terms,
+        mu = 2000L, k = 20)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score_q6").desc, col("doc_id").asc)).as("rnk"))
+    Relevance.rankBiasedOverlap(ra, rb, "doc_id", "rnk", depth = 20)
+      .orderBy(col("d"))
+  }
+
+  // BM25 side mirrors q68Sql's scoring (k1 = 1.5, b = 0.75); Dirichlet
+  // side wraps the shared dirichletSql chain
+  val q288Sql: String =
+    s"""WITH bmtop AS (SELECT doc_id, bm25 FROM (
+      |  WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |  dl AS (SELECT doc_id, len(w) AS dl FROM w),
+      |  t AS (SELECT doc_id, unnest(w) AS term FROM w),
+      |  tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+      |         WHERE term IN ('vector', 'join', 'spark') GROUP BY 1, 2),
+      |  dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |  corpus AS (SELECT count(*) AS n_docs,
+      |               CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |  sc AS (SELECT tf.doc_id,
+      |      CAST(round(
+      |        ln(1.0 + CAST(c.n_docs - d.df + 0.5 AS DOUBLE)
+      |                   / CAST(d.df + 0.5 AS DOUBLE))
+      |        * (CAST(tf.tf AS DOUBLE) * 2.5)
+      |        / (CAST(tf.tf AS DOUBLE)
+      |           + 1.5 * (0.25 + 0.75 * l.dl / c.avgdl)), 6)
+      |        AS DECIMAL(18,6)) AS contrib
+      |    FROM tf JOIN dfc d USING (term) JOIN dl l USING (doc_id)
+      |    CROSS JOIN corpus c)
+      |  SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS bm25
+      |  FROM sc GROUP BY doc_id
+      |  ORDER BY bm25 DESC, doc_id LIMIT 20)),
+      |ra AS (SELECT doc_id, row_number() OVER (
+      |         ORDER BY bm25 DESC, doc_id) AS rnk FROM bmtop),
+      |dqtop AS (SELECT doc_id, score_q6 FROM (
+      |${dirichletSql(Seq("vector", "join", "spark"), 2000L, 20)}
+      |  )),
+      |rb AS (SELECT doc_id, row_number() OVER (
+      |         ORDER BY score_q6 DESC, doc_id) AS rnk FROM dqtop),
+      |dd AS (SELECT unnest(range(1, 21)) AS d),
+      |ov AS (SELECT dd.d, COUNT(*) AS overlap
+      |       FROM ra JOIN rb USING (doc_id) CROSS JOIN dd
+      |       WHERE ra.rnk <= dd.d AND rb.rnk <= dd.d GROUP BY dd.d),
+      |per AS (SELECT dd.d, COALESCE(ov.overlap, 0) AS overlap
+      |        FROM dd LEFT JOIN ov USING (d))
+      |SELECT CAST(d AS BIGINT) AS d, CAST(overlap AS BIGINT) AS overlap,
+      |  CAST((overlap * 1000000000) //
+      |    (d * (1::BIGINT << d)) AS BIGINT) AS term_q9,
+      |  CAST(SUM((overlap * 1000000000) // (d * (1::BIGINT << d)))
+      |    OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rbo_q9
+      |FROM per ORDER BY d""".stripMargin
+
+  // ── q289: DBSCAN density clustering on embeddings ──────────────────────
+
+  /** q289: DBSCAN over the embedding corpus
+    * ([[Similarity.dbscanClusters]], Ester 1996; ε = cosine ≥ 0.375,
+    * minPts = 3) — core/border/noise roles and min-id cluster labels,
+    * all deterministic. */
+  def q289Dbscan(s: SparkSession, dir: String): DataFrame =
+    Similarity.dbscanClusters(Sources.embeddings(s, dir), "vec_id",
+        "embedding", tau = 0.375, minPts = 3)
+      .orderBy(col("vec_id"))
+
+  val q289Sql: String =
+    """WITH RECURSIVE cs AS (
+      |  SELECT a.vec_id AS d1, b.vec_id AS d2
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE round(
+      |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+      |       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6)
+      |    >= 0.375),
+      |sym AS (SELECT d1 AS a, d2 AS b FROM cs
+      |        UNION ALL SELECT d2, d1 FROM cs),
+      |deg AS (SELECT a, COUNT(*) AS c FROM sym GROUP BY 1),
+      |core AS (SELECT a AS node FROM deg WHERE c >= 3),
+      |ce AS (SELECT d1, d2 FROM cs
+      |       WHERE d1 IN (SELECT node FROM core)
+      |         AND d2 IN (SELECT node FROM core)),
+      |e AS (SELECT d1 AS a, d2 AS b FROM ce UNION SELECT d2, d1 FROM ce),
+      |reach(n, m) AS (
+      |  SELECT DISTINCT a AS n, a AS m FROM e
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+      |comp AS (SELECT n, MIN(m) AS c FROM reach GROUP BY n),
+      |cc AS (SELECT core.node, COALESCE(comp.c, core.node) AS cluster
+      |       FROM core LEFT JOIN comp ON comp.n = core.node),
+      |ba AS (SELECT s.a AS node, MIN(cc.cluster) AS cluster
+      |       FROM sym s JOIN cc ON cc.node = s.b
+      |       WHERE s.a NOT IN (SELECT node FROM core) GROUP BY s.a)
+      |SELECT emb.vec_id,
+      |  CASE WHEN cc.node IS NOT NULL THEN 'core'
+      |       WHEN ba.node IS NOT NULL THEN 'border'
+      |       ELSE 'noise' END AS role,
+      |  CAST(COALESCE(cc.cluster, ba.cluster) AS BIGINT) AS cluster
+      |FROM embeddings emb
+      |LEFT JOIN cc ON cc.node = emb.vec_id
+      |LEFT JOIN ba ON ba.node = emb.vec_id
+      |ORDER BY emb.vec_id""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunking, Graph, Relevance, TextAnalysis, TextDedup}
+import graft.operators.{Chunking, Graph, Relevance, Similarity, TextAnalysis, TextDedup}
 
 /** Round-10 frontier specs: Kneser–Ney scoring, weighted (multiset)
   * Jaccard, distinct-n diversity, and χ² keyness — hand-computed
@@ -259,6 +259,51 @@ class Round10FrontierSpec extends SparkSpec {
       .toDF("s", "d")
     val out = Graph.trussPeel(edges, "s", "d", k = 4, rounds = 3)
     assert(out.count() == 0L)
+  }
+
+  // ── rank-biased overlap ─────────────────────────────────────────────────
+
+  test("rankBiasedOverlap matches hand-computed p=1/2 terms") {
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rnk")
+    val b = Seq((2L, 1L), (1L, 2L), (4L, 3L)).toDF("id", "rnk")
+    val out = Relevance.rankBiasedOverlap(a, b, "id", "rnk", depth = 3)
+      .orderBy("d").select("d", "overlap", "term_q9", "rbo_q9")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // d1: {1}∩{2}=0; d2: {1,2}∩{2,1}=2 → ⌊2e9/8⌋; d3: still 2 → ⌊2e9/24⌋
+    assert(out == Seq(
+      (1L, 0L, 0L, 0L),
+      (2L, 2L, 250000000L, 250000000L),
+      (3L, 2L, 83333333L, 333333333L)))
+  }
+
+  test("rankBiasedOverlap of identical rankings approaches 1 − 2^-D") {
+    val a = Seq((7L, 1L), (9L, 2L)).toDF("id", "rnk")
+    val out = Relevance.rankBiasedOverlap(a, a, "id", "rnk", depth = 2)
+      .orderBy("d").select("rbo_q9").as[Long].collect().toSeq
+    // Σ 1/2^d = 1 − 2^-D → 750000000 at D = 2
+    assert(out == Seq(500000000L, 750000000L))
+  }
+
+  // ── DBSCAN ──────────────────────────────────────────────────────────────
+
+  test("dbscanClusters assigns core / border / noise deterministically") {
+    val r2 = (math.sqrt(0.5)).toFloat
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)), (3L, Array(1f, 0f)),
+      (4L, Array(r2, r2)),   // bridges the (1,0) block to (0,1)
+      (5L, Array(0f, 1f)),   // one neighbor (4) → border
+      (6L, Array(-1f, 0f)))  // no neighbors → noise
+      .toDF("vec_id", "embedding")
+    val out = Similarity.dbscanClusters(emb, "vec_id", "embedding",
+        tau = 0.7, minPts = 3)
+      .orderBy("vec_id").select("vec_id", "role", "cluster")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    // degrees: 1,2,3 → {two twins, 4} = 3 → core; 4 → {1,2,3,5} = 4 →
+    // core; 5 → {4} → border of 4's cluster; 6 isolated → noise
+    assert(out == Seq(
+      (1L, "core", Some(1L)), (2L, "core", Some(1L)),
+      (3L, "core", Some(1L)), (4L, "core", Some(1L)),
+      (5L, "border", Some(1L)), (6L, "noise", None)))
   }
 
   test("termKeyness is symmetric-safe: swapping focus flips the list") {
