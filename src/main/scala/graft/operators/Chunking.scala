@@ -196,4 +196,52 @@ object Chunking {
             (col("graft_n") - col("q_start") - q).cast("int"))))
           .as("context_text"))
   }
+
+  /**
+   * Fill-in-the-middle split planning (Bavarian et al. 2022, "Efficient
+   * Training of Language Models to Fill in the Middle" — the FIM
+   * transform every code LLM's data pipeline applies to ~50% of
+   * documents): cut each document at two uniform positions into
+   * (prefix, middle, suffix), emit the document reordered PSM
+   * (prefix‖suffix‖middle) or SPM, so the model learns infilling from
+   * an autoregressive objective. Both cut points and the mode bit are
+   * md5-derived (the repo's seedless-randomness convention):
+   * c₁/c₂ = sorted(hash mod (n+1)) give P(uniform unordered cuts),
+   * matching the paper's character-level splitting done here at word
+   * level. Output: (id, n_words, cut1, cut2, mode, prefix/middle/
+   * suffix lengths, parts_md5) — `parts_md5` fingerprints the three
+   * parts joined with an out-of-alphabet separator, pinning the exact
+   * split content without hashing three long strings in the gate.
+   *
+   * Scale shape: zero shuffle — per-row hashes, two array slices, one
+   * md5; the corpus is never exploded or joined.
+   */
+  def fimSplitPlan(docs: DataFrame, idCol: String, textCol: String,
+                   salt: String = "fim"): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val ws = col("graft_ws")
+    val h = (tag: String, mod: Column) =>
+      pmod(Sketches.hash32(concat(lit(s"${salt}_${tag}_"),
+        col(idCol).cast("string"))), mod)
+    docs.select(col(idCol), split(col(textCol), " ").as("graft_ws"))
+      .withColumn("graft_n", size(ws).cast(LongType))
+      .withColumn("graft_h1", h("a", col("graft_n") + 1))
+      .withColumn("graft_h2", h("b", col("graft_n") + 1))
+      .withColumn("cut1", least(col("graft_h1"), col("graft_h2")))
+      .withColumn("cut2", greatest(col("graft_h1"), col("graft_h2")))
+      .withColumn("mode",
+        when(h("m", lit(2L)) === 0, lit("psm")).otherwise(lit("spm")))
+      .select(col(idCol), col("graft_n").as("n_words"),
+        col("cut1"), col("cut2"), col("mode"),
+        col("cut1").as("prefix_len"),
+        (col("cut2") - col("cut1")).as("middle_len"),
+        (col("graft_n") - col("cut2")).as("suffix_len"),
+        md5(concat_ws("|",
+          concat_ws(" ", slice(ws, lit(1), col("cut1").cast("int"))),
+          concat_ws(" ", slice(ws, (col("cut1") + 1).cast("int"),
+            (col("cut2") - col("cut1")).cast("int"))),
+          concat_ws(" ", slice(ws, (col("cut2") + 1).cast("int"),
+            (col("graft_n") - col("cut2")).cast("int")))))
+          .as("parts_md5"))
+  }
 }

@@ -1204,4 +1204,126 @@ object TextAnalysis {
       .select(col("term"), col("tf"), col("dp_milli"))
       .orderBy(col("tf").desc, col("term").asc)
   }
+
+  /**
+   * Term burstiness — the variance-to-mean ratio (index of dispersion /
+   * Fano factor) of a term's PER-DOCUMENT counts, the classic deviation-
+   * from-Poisson statistic of Church & Gale 1995 ("Poisson mixtures"):
+   * VMR = 1 for a Poisson word (occurrences scattered independently),
+   * VMR ≫ 1 for bursty content words that, once a document mentions
+   * them, recur in it. Complements [[termDispersion]] (spread ACROSS
+   * strata) with clumping WITHIN documents — together they separate
+   * function words, topical words, and boilerplate IDs by shape alone.
+   *
+   * With exact per-doc count stats (absent docs are zeros): VMR =
+   * (n·Σx² − (Σx)²)/(n·Σx), emitted as `vmr_milli` = ⌊10³·VMR⌋ via
+   * DECIMAL(38,0) — Σ over present docs only, the zero docs contribute
+   * nothing to either Σ, so no grid is materialized. Top-`k` terms by
+   * (corpus tf desc, term).
+   *
+   * Scale shape: one (doc, term) hash-agg, one term-keyed rollup of
+   * (Σx, Σx², docs-with), a 1-row corpus count broadcast, and a
+   * TakeOrderedAndProject cut. Nothing joins at data scale.
+   */
+  def termBurstiness(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 30): DataFrame = {
+    val big = DecimalType(38, 0)
+    val n = docs.agg(count(lit(1)).as("graft_nd"))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("graft_x"))
+      .groupBy(col("term"))
+      .agg(sum(col("graft_x")).as("tf"),
+        sum(col("graft_x") * col("graft_x")).as("graft_sx2"),
+        count(lit(1)).as("n_docs_with"))
+      .crossJoin(broadcast(n))
+      .withColumn("vmr_milli", expr(
+        "(cast(1000 as decimal(38,0)) * " +
+        "(cast(graft_nd as decimal(38,0)) * cast(graft_sx2 as " +
+        "decimal(38,0)) - cast(tf as decimal(38,0)) * " +
+        "cast(tf as decimal(38,0)))) div " +
+        "(cast(graft_nd as decimal(38,0)) * cast(tf as decimal(38,0)))")
+        .cast(LongType))
+      .select(col("term"), col("tf"), col("n_docs_with"), col("vmr_milli"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(k)
+  }
+
+  /**
+   * Burrows' Delta stylometric distance between strata (Burrows 2002,
+   * "'Delta': a measure of stylistic difference"; Evert et al. 2017
+   * confirm the z-score formulation used here): over the `m` most
+   * frequent corpus words, z-score each stratum's relative frequency
+   * against the across-strata distribution, then Delta(a,b) = mean_w
+   * |z_a(w) − z_b(w)|. Function-word z-profiles are the classic
+   * authorship/register fingerprint — on a training corpus the Delta
+   * matrix shows which sources write alike (near-duplicate REGISTERS,
+   * not documents), the signal source-mixing decisions want beyond
+   * vocabulary overlap ([[vocabOverlapMatrix]]).
+   *
+   * Determinism: relative frequencies are quantized to exact integers
+   * f = ⌊10⁹·tf/sz⌋ first; per word, z = (f·S − Σf)/√(S·Σf² − (Σf)²)
+   * has an exact-integer numerator and a √ of an exact integer — both
+   * √ and ÷ are IEEE correctly-rounded (unlike ln/exp), so
+   * round(z, 6) is engine-portable; it is then lifted to exact micro-
+   * integer units (×10⁶), the pairwise sum runs in int64
+   * (order-independent), and `delta_milli` = ⌊Σ_micro/(10³·m)⌋.
+   * Words with zero across-strata variance contribute z = 0.
+   *
+   * Scale shape: one (term, stratum) hash-agg; the top-m cut bounds
+   * everything after it to m·|strata| rows; the pair matrix is
+   * |strata|²·m rows of metadata. Nothing data-scale joins.
+   */
+  def burrowsDelta(docs: DataFrame, textCol: String, strataCol: String,
+                   m: Int = 20): DataFrame = {
+    val big = DecimalType(38, 0)
+    val toks = docs.select(col(strataCol),
+      explode(split(col(textCol), " ")).as("term"))
+    val sizes = toks.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("graft_sz"))
+    val perTs = toks.groupBy(col("term"), col(strataCol))
+      .agg(count(lit(1)).as("graft_tf"))
+    val topTerms = perTs.groupBy(col("term"))
+      .agg(sum(col("graft_tf")).as("graft_tt"))
+      .orderBy(col("graft_tt").desc, col("term").asc)
+      .limit(m).select(col("term"))
+    // full term×stratum grid (absent cells are true zeros in the profile)
+    val grid = sizes.crossJoin(broadcast(topTerms))
+      .join(perTs, Seq("term", strataCol), "left")
+      .na.fill(0L, Seq("graft_tf"))
+      .withColumn("graft_f", expr(
+        "cast(graft_tf * 1000000000 as decimal(38,0)) div " +
+        "cast(graft_sz as decimal(38,0))").cast(LongType))
+    val stats = grid.groupBy(col("term"))
+      .agg(count(lit(1)).as("graft_s"),
+        sum(col("graft_f")).as("graft_sf"),
+        sum(col("graft_f").cast(big) * col("graft_f").cast(big))
+          .as("graft_sf2"))
+      .withColumn("graft_var", expr(
+        "cast(graft_s as decimal(38,0)) * graft_sf2 - " +
+        "cast(graft_sf as decimal(38,0)) * cast(graft_sf as decimal(38,0))"))
+    // z in exact micro units: round(z, 6) is a multiple of 1e-6, so the
+    // DECIMAL(18,6)×10⁶ product is an exact integer — downstream sums
+    // and the final division stay in pure int64 on both engines
+    val z = grid.join(broadcast(stats), "term")
+      .withColumn("graft_zu",
+        when(col("graft_var") <= 0, lit(0L))
+          .otherwise((round(
+            (col("graft_f") * col("graft_s") - col("graft_sf"))
+              .cast(DoubleType) / sqrt(col("graft_var").cast(DoubleType)),
+            6).cast(DecimalType(18, 6)) * lit(1000000)).cast(LongType)))
+      .select(col("term"), col(strataCol), col("graft_zu"))
+    val a = z.select(col("term"), col(strataCol).as("src_a"),
+      col("graft_zu").as("graft_za"))
+    val b = z.select(col("term"), col(strataCol).as("src_b"),
+      col("graft_zu").as("graft_zb"))
+    a.join(b, Seq("term"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(abs(col("graft_za") - col("graft_zb"))).as("graft_sum"))
+      .withColumn("delta_milli", expr(
+        s"cast(graft_sum as decimal(38,0)) div " +
+        s"cast(${1000L * m} as decimal(38,0))").cast(LongType))
+      .select(col("src_a"), col("src_b"), col("delta_milli"))
+  }
 }

@@ -574,4 +574,107 @@ object FrontierQueries {
       |LEFT JOIN cc ON cc.node = emb.vec_id
       |LEFT JOIN ba ON ba.node = emb.vec_id
       |ORDER BY emb.vec_id""".stripMargin
+
+  // md5-word helper: DuckDB replica of Sketches.hash32
+  private def hash32Sql(arg: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 9), j ->
+       |  (strpos('0123456789abcdef', substr(md5($arg), j, 1)) - 1)
+       |    * power(16, 8 - j))) AS BIGINT)""".stripMargin
+
+  // ── q290: fill-in-the-middle split planning ────────────────────────────
+
+  /** q290: FIM (prefix, middle, suffix) split plan for every document
+    * ([[Chunking.fimSplitPlan]], Bavarian 2022) — md5-derived uniform
+    * cut points, PSM/SPM mode bit, and an md5 fingerprint pinning the
+    * exact split content. */
+  def q290FimPlan(s: SparkSession, dir: String): DataFrame =
+    Chunking.fimSplitPlan(docs(s, dir), "doc_id", "text", salt = "fim")
+      .orderBy(col("doc_id"))
+
+  val q290Sql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |f AS (SELECT doc_id, w, len(w) AS n FROM ws),
+      |h AS (SELECT doc_id, w, n,
+      |        ${hash32Sql("'fim_a_' || doc_id")} % (n + 1) AS h1,
+      |        ${hash32Sql("'fim_b_' || doc_id")} % (n + 1) AS h2,
+      |        ${hash32Sql("'fim_m_' || doc_id")} % 2 AS hm
+      |      FROM f),
+      |c AS (SELECT doc_id, w, n, LEAST(h1, h2) AS cut1,
+      |        GREATEST(h1, h2) AS cut2,
+      |        CASE WHEN hm = 0 THEN 'psm' ELSE 'spm' END AS mode
+      |      FROM h)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+      |  CAST(cut1 AS BIGINT) AS cut1, CAST(cut2 AS BIGINT) AS cut2, mode,
+      |  CAST(cut1 AS BIGINT) AS prefix_len,
+      |  CAST(cut2 - cut1 AS BIGINT) AS middle_len,
+      |  CAST(n - cut2 AS BIGINT) AS suffix_len,
+      |  md5(COALESCE(array_to_string(w[1 : cut1], ' '), '') || '|' ||
+      |      COALESCE(array_to_string(w[cut1 + 1 : cut2], ' '), '') || '|' ||
+      |      COALESCE(array_to_string(w[cut2 + 1 : n], ' '), ''))
+      |    AS parts_md5
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // ── q291: term burstiness (variance-to-mean ratio) ─────────────────────
+
+  /** q291: Fano-factor burstiness of the top-30 corpus terms
+    * ([[TextAnalysis.termBurstiness]], Church & Gale 1995) — exact
+    * integer VMR from per-document count sufficient statistics. */
+  def q291Burstiness(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.termBurstiness(docs(s, dir), "doc_id", "text", k = 30)
+
+  val q291Sql: String =
+    """WITH x AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |pc AS (SELECT doc_id, term, COUNT(*) AS x FROM x GROUP BY 1, 2),
+      |nd AS (SELECT COUNT(*) AS nd FROM documents),
+      |st AS (SELECT term, SUM(x) AS tf, SUM(x * x) AS sx2,
+      |         COUNT(*) AS n_docs_with
+      |       FROM pc GROUP BY 1)
+      |SELECT term, CAST(tf AS BIGINT) AS tf,
+      |  CAST(n_docs_with AS BIGINT) AS n_docs_with,
+      |  CAST((1000::HUGEINT * (nd.nd::HUGEINT * sx2::HUGEINT -
+      |    tf::HUGEINT * tf::HUGEINT)) //
+      |    (nd.nd::HUGEINT * tf::HUGEINT) AS BIGINT) AS vmr_milli
+      |FROM st CROSS JOIN nd
+      |ORDER BY tf DESC, term LIMIT 30""".stripMargin
+
+  // ── q292: Burrows' Delta stylometric distance ──────────────────────────
+
+  /** q292: pairwise Burrows' Delta between sources over the top-20
+    * corpus words ([[TextAnalysis.burrowsDelta]], Burrows 2002) —
+    * z-scored frequency profiles in exact micro-integer units; the
+    * register-similarity matrix behind source-mixing decisions. */
+  def q292BurrowsDelta(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.burrowsDelta(docs(s, dir), "text", "source", m = 20)
+      .orderBy(col("src_a"), col("src_b"))
+
+  val q292Sql: String =
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |sz AS (SELECT source, COUNT(*) AS sz FROM t GROUP BY 1),
+      |ts AS (SELECT term, source, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      |top AS (SELECT term FROM (
+      |          SELECT term, SUM(tf) AS tt FROM ts GROUP BY 1
+      |          ORDER BY tt DESC, term LIMIT 20)),
+      |grid AS (SELECT top.term, sz.source, sz.sz, COALESCE(ts.tf, 0) AS tf
+      |         FROM sz CROSS JOIN top
+      |         LEFT JOIN ts ON ts.term = top.term AND ts.source = sz.source),
+      |g2 AS (SELECT term, source,
+      |         (tf::HUGEINT * 1000000000) // sz::HUGEINT AS f FROM grid),
+      |st AS (SELECT term, COUNT(*) AS s, SUM(f) AS sf,
+      |         SUM(f::HUGEINT * f::HUGEINT) AS sf2
+      |       FROM g2 GROUP BY 1),
+      |v AS (SELECT term, s, sf,
+      |        s::HUGEINT * sf2::HUGEINT - sf::HUGEINT * sf::HUGEINT AS var
+      |      FROM st),
+      |z AS (SELECT g.term, g.source,
+      |        CASE WHEN v.var <= 0 THEN 0
+      |          ELSE CAST(round((g.f * v.s - v.sf)::DOUBLE /
+      |            sqrt(v.var::DOUBLE), 6)::DECIMAL(18,6) * 1000000
+      |            AS BIGINT) END AS zu
+      |      FROM g2 g JOIN v USING (term))
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  CAST(SUM(ABS(a.zu - b.zu)) // 20000 AS BIGINT) AS delta_milli
+      |FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -306,6 +306,61 @@ class Round10FrontierSpec extends SparkSpec {
       (5L, "border", Some(1L)), (6L, "noise", None)))
   }
 
+  // ── FIM split plan ──────────────────────────────────────────────────────
+
+  test("fimSplitPlan: cuts are ordered, lengths partition the doc") {
+    val words = (0 until 15).map(i => s"t$i")
+    val docs = Seq((3L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = Chunking.fimSplitPlan(docs, "doc_id", "text")
+      .select("n_words", "cut1", "cut2", "mode", "prefix_len",
+        "middle_len", "suffix_len", "parts_md5")
+      .as[(Long, Long, Long, String, Long, Long, Long, String)].head()
+    val (n, c1, c2, mode, pl, ml, sl, h) = out
+    assert(n == 15L && c1 >= 0 && c1 <= c2 && c2 <= 15)
+    assert(pl == c1 && ml == c2 - c1 && sl == n - c2)
+    assert(mode == "psm" || mode == "spm")
+    // fingerprint matches a hand-built reconstruction of the parts
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest((words.take(c1.toInt).mkString(" ") + "|" +
+        words.slice(c1.toInt, c2.toInt).mkString(" ") + "|" +
+        words.drop(c2.toInt).mkString(" ")).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(h == exp)
+  }
+
+  // ── burstiness ──────────────────────────────────────────────────────────
+
+  test("termBurstiness: Poisson-ish spread ≈ sub-1, clumped term high") {
+    // 'a' once in each of 4 docs: Σx=4, Σx²=4, n=4 → VMR =
+    // (4·4 − 16)/(4·4) = 0 (uniform). 'b' 4 times in ONE doc: Σx=4,
+    // Σx²=16 → (4·16 − 16)/16 = 3 → 3000 milli
+    val docs = Seq(
+      (1L, "a b b b b"), (2L, "a x"), (3L, "a y"), (4L, "a z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.termBurstiness(docs, "doc_id", "text", k = 10)
+      .select("term", "tf", "n_docs_with", "vmr_milli")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val m = out.map(t => t._1 -> t._4).toMap
+    assert(m("a") == 0L)
+    assert(m("b") == 3000L)
+  }
+
+  // ── Burrows' Delta ──────────────────────────────────────────────────────
+
+  test("burrowsDelta: identical registers score 0, opposite ones high") {
+    // A and B share the same frequency profile; C inverts it
+    val docs = Seq(
+      ("A", "x x x y"), ("B", "x x x y"), ("C", "y y y x"))
+      .toDF("source", "text")
+    val out = TextAnalysis.burrowsDelta(docs, "text", "source", m = 2)
+      .orderBy("src_a", "src_b")
+      .select("src_a", "src_b", "delta_milli")
+      .as[(String, String, Long)].collect().toSeq
+    val m = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m(("A", "B")) == 0L)
+    assert(m(("A", "C")) > 1000L && m(("A", "C")) == m(("B", "C")))
+  }
+
   test("termKeyness is symmetric-safe: swapping focus flips the list") {
     val docs = Seq(
       ("en", "a a b"), ("fr", "b c c c")).toDF("lang", "text")
