@@ -1211,10 +1211,15 @@ object MiningQueries {
     * graphs (hubs linking to leaves — the boilerplate-star shape) go
     * negative. */
   def q272Assortativity(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the canonical edge list feeds THREE consumers
+    // (both sides of the degree attach + the degree agg itself) — without
+    // the cut each branch re-runs the whole LSH pair chain (the q175
+    // symmetrized-edge precedent; measured ~2× on the sf0.1 bench)
     val p = dedupEdges(s, dir)
       .select(least(col("d1"), col("d2")).as("a"),
         greatest(col("d1"), col("d2")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(eager = false)
     val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("graft_d"))
@@ -1360,9 +1365,15 @@ object MiningQueries {
     * pair counts. */
   def q275Percolation(s: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(s, dir)
+    // ONE pass of the exact-Jaccard chain at the lowest threshold,
+    // lineage-cut; each sweep point is then a cheap filter of the saved
+    // pair list instead of a full inverted-index join re-run (3× chain
+    // + per-CC-round recompute before; measured the bench's #2 cost)
+    val base = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        w = 3, threshold = percThresholds.min / 100.0)
+      .localCheckpoint(eager = false)
     percThresholds.map { t =>
-      val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
-        w = 3, threshold = t / 100.0)
+      val pairs = base.filter(col("jaccard") >= t / 100.0)
       val comp = Graph.connectedComponents(pairs, "d1", "d2")
       val sizes = comp.groupBy(col("component"))
         .agg(count(lit(1)).as("graft_sz"))
