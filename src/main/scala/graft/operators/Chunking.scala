@@ -244,4 +244,61 @@ object Chunking {
             (col("graft_n") - col("cut2")).cast("int")))))
           .as("parts_md5"))
   }
+
+  /**
+   * Content-defined chunking (the LBFS rolling-hash cut rule,
+   * Muthitacharoen et al., SOSP 2001 — the boundary scheme behind every
+   * dedup store: rsync, restic, data-lake file CDC): a chunk boundary
+   * falls BEFORE word i wherever the hash of the local 2-word window
+   * (w[i−1], w[i]) is ≡ 0 mod 2^`maskBits`. Because the cut depends
+   * only on LOCAL content, an insertion early in a document shifts at
+   * most one chunk's boundaries — fixed-size chunking ([[chunks]])
+   * re-cuts everything downstream, which is why storage dedup uses CDC.
+   * Expected chunk length is 2^maskBits words; per-chunk `chunk_md5`
+   * makes cross-document shared storage measurable with one hash join.
+   *
+   * Output: one row per (doc, chunk) with 0-based `chunk_start`, `n_words`,
+   * and the chunk fingerprint. Deterministic: the window hash is the
+   * repo's md5-word convention, oracle-replayable.
+   *
+   * Scale shape: boundary detection is a single array expression
+   * (transform + filter over the word positions — no explode before
+   * the per-chunk rows), then ONE generator emits the chunk structs.
+   * Zero joins, zero shuffle.
+   */
+  def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,
+                           maskBits: Int = 4,
+                           salt: String = "cdc"): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 20,
+      s"maskBits=$maskBits out of range [1, 20]")
+    import org.apache.spark.sql.types.LongType
+    val mask = (1L << maskBits) - 1L
+    val ws = col("graft_ws")
+    val n = size(ws).cast(LongType)
+    // 0-based starts: 0 plus every i−1 (0-based) where the window
+    // (w[i−1], w[i]) (1-based) hashes to 0 under the mask, i in 2..n
+    val cutAt = (i: Column) => pmod(Sketches.hash32(concat(lit(s"${salt}_"),
+      element_at(ws, (i - 1).cast("int")), lit(" "),
+      element_at(ws, i.cast("int")))), lit(mask + 1)) === 0
+    docs.select(col(idCol), split(col(textCol), " ").as("graft_ws"))
+      .withColumn("graft_starts",
+        concat(array(lit(0L)),
+          when(n >= 2,
+            filter(transform(sequence(lit(2L), n),
+              i => when(cutAt(i), i - 1).otherwise(lit(-1L))),
+              x => x >= 0))
+            .otherwise(array().cast("array<bigint>"))))
+      .withColumn("graft_ends",
+        concat(slice(col("graft_starts"), lit(2),
+          size(col("graft_starts")) - 1),
+          array(n)))
+      .select(col(idCol),
+        posexplode(zip_with(col("graft_starts"), col("graft_ends"),
+          (s, e) => struct(s.as("s"), (e - s).as("l"),
+            concat_ws(" ", slice(col("graft_ws"), (s + 1).cast("int"),
+              (e - s).cast("int"))).as("t")))))
+      .select(col(idCol), col("pos").cast(LongType).as("chunk_idx"),
+        col("col.s").as("chunk_start"), col("col.l").as("n_words"),
+        md5(col("col.t")).as("chunk_md5"))
+  }
 }

@@ -681,6 +681,61 @@ object Relevance {
   }
 
   /**
+   * Pseudo-relevance-feedback query expansion (Rocchio 1971 applied as
+   * blind feedback — Buckley et al., TREC-3's classic recipe; the
+   * retrieval-side sibling of [[hardNegatives]]'s mining loop): run the
+   * seed query, treat the top-`fbK` documents as pseudo-relevant,
+   * score every non-seed term in them by feedback-tf × corpus idf,
+   * add the best `expK` terms to the query, and re-rank with BM25.
+   * PRF is the standard zero-supervision recall booster — vocabulary
+   * mismatch ("data"…"columnar") closes without any trained model.
+   *
+   * Determinism: idf = round(ln((N+1)/(df+1)), 6) cast DECIMAL and
+   * multiplied by the integer feedback tf — the [[tfidfTopK]] rounding
+   * contract — so expansion-term selection (score desc, term asc) and
+   * the final BM25 ranking replay bit-identically in the oracle.
+   *
+   * Scale shape: everything stays distributed — the feedback set is a
+   * bounded top-k, expansion candidates are one hash-agg over ONLY the
+   * feedback docs' words, corpus df attaches via a left-semi-pruned
+   * (id, term) dedup, and the expanded term set feeds
+   * [[bm25RetrieveAll]] as a DataFrame (no driver collect of terms).
+   */
+  def prfExpandedRetrieve(docs: DataFrame, idCol: String, textCol: String,
+                          seed: Seq[String], fbK: Int = 10, expK: Int = 5,
+                          k: Int = 10, k1: Double = 1.2,
+                          b: Double = 0.75): DataFrame = {
+    require(seed.nonEmpty && seed.distinct.size == seed.size,
+      "prfExpandedRetrieve: seed terms must be non-empty and distinct")
+    val fb = bm25TopK(docs, idCol, textCol, seed, fbK, k1, b)
+      .select(col(idCol))
+    val fbTf = docs.join(broadcast(fb), idCol)
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .filter(!col("term").isin(seed: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("graft_tfb"))
+    val dfc = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .join(broadcast(fbTf.select(col("term"))), Seq("term"), "left_semi")
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("graft_df"))
+    val n = docs.agg(count(lit(1)).as("graft_nd"))
+    val expTerms = fbTf.join(dfc, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("graft_score",
+        col("graft_tfb") *
+          round(F.log((col("graft_nd") + lit(1.0)) /
+            (col("graft_df") + lit(1.0))), 6).cast(DecimalType(18, 6)))
+      .orderBy(col("graft_score").desc, col("term").asc)
+      .limit(expK)
+      .select(col("term"))
+    val seedDf = docs.sparkSession.range(1)
+      .select(explode(array(seed.map(lit): _*)).as("term"))
+    val qterms = seedDf.unionByName(expTerms).withColumn("graft_q", lit(1L))
+    bm25RetrieveAll(docs, idCol, textCol, qterms, "graft_q", k, k1, b)
+      .select(col(idCol), col("bm25"), col("n_terms"))
+  }
+
+  /**
    * Boolean AND retrieval: documents containing EVERY query term — the
    * filter primitive under keyword search, taboo-list screening, and
    * "must mention all of X, Y, Z" corpus slicing; the conjunctive

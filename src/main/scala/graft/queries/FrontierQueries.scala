@@ -677,4 +677,103 @@ object FrontierQueries {
       |  CAST(SUM(ABS(a.zu - b.zu)) // 20000 AS BIGINT) AS delta_milli
       |FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ── q293: content-defined chunking ─────────────────────────────────────
+
+  /** q293: LBFS-style content-defined chunks for every document
+    * ([[Chunking.contentDefinedChunks]], Muthitacharoen 2001; 2-word
+    * window hash, mask 2⁴) — shift-resistant chunk boundaries with
+    * per-chunk fingerprints for storage-dedup accounting. */
+  def q293CdcChunks(s: SparkSession, dir: String): DataFrame =
+    Chunking.contentDefinedChunks(docs(s, dir), "doc_id", "text",
+        maskBits = 4, salt = "cdc")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val q293Sql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |f AS (SELECT doc_id, w, len(w) AS n FROM ws),
+      |c AS (SELECT doc_id, w, n,
+      |        list_concat(CAST([0] AS BIGINT[]), CASE WHEN n >= 2 THEN
+      |          list_filter(list_transform(range(2, n + 1), i ->
+      |            CASE WHEN (${hash32Sql("'cdc_' || w[i-1] || ' ' || w[i]")})
+      |                   % 16 = 0
+      |            THEN i - 1 ELSE -1 END), x -> x >= 0)
+      |          ELSE CAST([] AS BIGINT[]) END) AS st
+      |      FROM f),
+      |e AS (SELECT doc_id, w, n, st,
+      |        list_concat(st[2 : len(st)], CAST([n] AS BIGINT[])) AS en
+      |      FROM c),
+      |g AS (SELECT doc_id, unnest(range(1, len(st) + 1)) AS j, st, en, w
+      |      FROM e)
+      |SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_idx,
+      |  CAST(st[j] AS BIGINT) AS chunk_start,
+      |  CAST(en[j] - st[j] AS BIGINT) AS n_words,
+      |  md5(array_to_string(w[st[j] + 1 : en[j]], ' ')) AS chunk_md5
+      |FROM g ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ── q294: pseudo-relevance-feedback expanded retrieval ─────────────────
+
+  /** q294: Rocchio blind-feedback retrieval
+    * ([[Relevance.prfExpandedRetrieve]]): seed BM25 top-10 → top-5
+    * expansion terms by feedback-tf × 6-dp idf → expanded BM25 top-10;
+    * the zero-supervision recall booster, fully distributed. */
+  def q294PrfRetrieve(s: SparkSession, dir: String): DataFrame =
+    Relevance.prfExpandedRetrieve(docs(s, dir), "doc_id", "text",
+        seed = Seq("batch", "scan", "data"), fbK = 10, expK = 5, k = 10,
+        k1 = 1.5, b = 0.75)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+
+  val q294Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dl AS (SELECT doc_id, len(w) AS dl FROM w),
+      |t AS (SELECT doc_id, unnest(w) AS term FROM w),
+      |corpus AS (SELECT count(*) AS n_docs,
+      |             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |stf AS (SELECT doc_id, term, count(*) AS tf FROM t
+      |        WHERE term IN ('batch', 'scan', 'data') GROUP BY 1, 2),
+      |sdf AS (SELECT term, count(*) AS df FROM stf GROUP BY 1),
+      |ssc AS (SELECT stf.doc_id,
+      |          CAST(round(
+      |            ln(1.0 + CAST(c.n_docs - d.df + 0.5 AS DOUBLE)
+      |                       / CAST(d.df + 0.5 AS DOUBLE))
+      |            * (CAST(stf.tf AS DOUBLE) * 2.5)
+      |            / (CAST(stf.tf AS DOUBLE)
+      |               + 1.5 * (0.25 + 0.75 * l.dl / c.avgdl)), 6)
+      |            AS DECIMAL(18,6)) AS contrib
+      |        FROM stf JOIN sdf d USING (term) JOIN dl l USING (doc_id)
+      |        CROSS JOIN corpus c),
+      |fb AS (SELECT doc_id FROM (
+      |         SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS bm25
+      |         FROM ssc GROUP BY doc_id
+      |         ORDER BY bm25 DESC, doc_id LIMIT 10)),
+      |fbtf AS (SELECT t.term, COUNT(*) AS tfb
+      |         FROM t JOIN fb USING (doc_id)
+      |         WHERE t.term NOT IN ('batch', 'scan', 'data')
+      |         GROUP BY 1),
+      |cdf AS (SELECT term, COUNT(*) AS df FROM (
+      |          SELECT DISTINCT doc_id, term FROM t
+      |          WHERE term IN (SELECT term FROM fbtf)) GROUP BY 1),
+      |nd AS (SELECT COUNT(*) AS nd FROM documents),
+      |exp AS (SELECT f.term FROM fbtf f JOIN cdf USING (term) CROSS JOIN nd
+      |        ORDER BY f.tfb * CAST(round(ln((nd.nd + 1.0) / (cdf.df + 1)),
+      |          6) AS DECIMAL(18,6)) DESC, f.term ASC LIMIT 5),
+      |qt AS (SELECT 'batch' AS term UNION ALL SELECT 'scan'
+      |       UNION ALL SELECT 'data' UNION ALL SELECT term FROM exp),
+      |etf AS (SELECT doc_id, term, count(*) AS tf FROM t
+      |        WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+      |edf AS (SELECT term, count(*) AS df FROM etf GROUP BY 1),
+      |esc AS (SELECT etf.doc_id,
+      |          CAST(round(
+      |            ln(1.0 + CAST(c.n_docs - d.df + 0.5 AS DOUBLE)
+      |                       / CAST(d.df + 0.5 AS DOUBLE))
+      |            * (CAST(etf.tf AS DOUBLE) * 2.5)
+      |            / (CAST(etf.tf AS DOUBLE)
+      |               + 1.5 * (0.25 + 0.75 * l.dl / c.avgdl)), 6)
+      |            AS DECIMAL(18,6)) AS contrib
+      |        FROM etf JOIN edf d USING (term) JOIN dl l USING (doc_id)
+      |        CROSS JOIN corpus c)
+      |SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS bm25,
+      |  count(*) AS n_terms
+      |FROM esc GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 }

@@ -361,6 +361,55 @@ class Round10FrontierSpec extends SparkSpec {
     assert(m(("A", "C")) > 1000L && m(("A", "C")) == m(("B", "C")))
   }
 
+  // ── content-defined chunking ────────────────────────────────────────────
+
+  test("contentDefinedChunks: chunks partition the doc, boundaries local") {
+    val words = (0 until 40).map(i => s"w$i")
+    val docs = Seq((5L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = Chunking.contentDefinedChunks(docs, "doc_id", "text")
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_start", "n_words")
+      .as[(Long, Long, Long)].collect().toSeq
+    // partition invariants: first starts at 0, lengths tile n exactly
+    assert(out.head._2 == 0L)
+    assert(out.map(_._3).sum == 40L)
+    assert(out.sliding(2).forall {
+      case Seq(a, b) => b._2 == a._2 + a._3; case _ => true })
+    assert(out.forall(_._3 >= 1L))
+  }
+
+  test("contentDefinedChunks: early insertion shifts at most one boundary") {
+    // CDC's reason to exist: the suffix chunks of doc2 (one word
+    // prepended) must carry the SAME fingerprints as doc1's suffix
+    val words = (0 until 60).map(i => s"v$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, ("zzz " + words.mkString(" ")))).toDF("doc_id", "text")
+    val by = Chunking.contentDefinedChunks(docs, "doc_id", "text")
+      .select("doc_id", "chunk_md5").as[(Long, String)].collect()
+    val h1 = by.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = by.filter(_._1 == 2L).map(_._2).toSet
+    // all but the first (perturbed) chunk of doc1 reappear in doc2
+    assert((h1 -- h2).size <= 1, s"shifted fingerprints: ${(h1 -- h2).size}")
+  }
+
+  // ── PRF expansion ───────────────────────────────────────────────────────
+
+  test("prfExpandedRetrieve widens recall beyond the seed-term docs") {
+    // seed hits docs mentioning 'aa'; 'bb' dominates the feedback docs
+    // (tfb 6 · ln(6/4) ≈ 2.43 beats every hapax's 1 · ln(6/2) ≈ 1.10),
+    // so expansion must pull in the bb-only doc 4
+    val docs = Seq(
+      (1L, "aa bb bb bb x"), (2L, "aa bb bb bb y"), (3L, "aa cc r s"),
+      (4L, "bb bb t u"), (5L, "zz zz zz zz"))
+      .toDF("doc_id", "text")
+    val out = Relevance.prfExpandedRetrieve(docs, "doc_id", "text",
+        seed = Seq("aa"), fbK = 3, expK = 1, k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.contains(4L), s"expansion missed the bb-only doc: $out")
+    assert(!out.contains(5L))
+  }
+
   test("termKeyness is symmetric-safe: swapping focus flips the list") {
     val docs = Seq(
       ("en", "a a b"), ("fr", "b c c c")).toDF("lang", "text")
