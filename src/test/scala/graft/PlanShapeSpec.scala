@@ -572,7 +572,27 @@ class PlanShapeSpec extends SparkSpec {
       "q275_percolation",
       // q276: composes q257's chain (inherits its 1-row broadcasts);
       // the yield matrix itself assembles from ONE aggregate row
-      "q276_filter_yield")
+      "q276_filter_yield",
+      // q277: Kneser–Ney's 1-row bigram-type-count (B) broadcast —
+      // the q200 totals shape
+      "q277_kneser_ney",
+      // q280/q286/q291: 1-row corpus-totals broadcast onto term rows
+      // (the q81/q130 shape)
+      "q280_term_keyness", "q286_term_dispersion", "q291_burstiness",
+      // q284/q294: 1-row (N / corpus-stats) broadcast + the |q|-row
+      // query-term grid (the q68/q230 retrieval shape)
+      "q284_dirichlet_ql", "q294_prf_retrieve",
+      // q285: four 1-row count aggregates crossJoined into the single
+      // summary row — metadata by construction
+      "q285_blocking_quality",
+      // q288: the D-row depth grid broadcast onto two top-k lists
+      "q288_rbo_agreement",
+      // q289: DBSCAN's ε-graph uses the documented exact all-pairs
+      // cosine baseline (q41/q264 contract; scale path = bucketed LSH)
+      "q289_dbscan",
+      // q292: m-row top-word and m-row stats broadcasts onto the
+      // |strata| grid — metadata scale
+      "q292_burrows_delta")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
@@ -655,6 +675,39 @@ class PlanShapeSpec extends SparkSpec {
       assert(!e.output.exists(_.dataType == BinaryType),
         s"binary payload crossed a shuffle:\n${e.treeString}")
     }
+  }
+
+  test("ICT / FIM / CDC data-gen transforms are zero-shuffle (q283/q290/q293)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // these per-row projections claim "the corpus is never exploded or
+    // joined" — at 100 TB a stray shuffle would dominate the transform
+    val docs = graft.sources.Sources.documents(spark, sf)
+    val plans = Seq(
+      "ictPairs" -> graft.operators.Chunking.ictPairs(
+        docs, "doc_id", "text"),
+      "fimSplitPlan" -> graft.operators.Chunking.fimSplitPlan(
+        docs, "doc_id", "text"),
+      "contentDefinedChunks" -> graft.operators.Chunking
+        .contentDefinedChunks(docs, "doc_id", "text"))
+    plans.foreach { case (name, df) =>
+      val shuffles = withExchanges(df).collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"$name claims zero-shuffle but the plan exchanges:\n" +
+          shuffles.map(_.treeString).mkString)
+    }
+  }
+
+  test("Dirichlet QL top-k compiles to TakeOrderedAndProject (q284)") {
+    // the cut must be per-partition heaps + driver merge, not a global
+    // sort of every candidate document
+    val df = graft.operators.Relevance.dirichletQueryLikelihood(
+      graft.sources.Sources.documents(spark, sf), "doc_id", "text",
+      Seq("batch", "scan", "data"), mu = 2000L, k = 15)
+    val plan = physicalPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
   }
 
   test("length batching: one range shuffle, no single-partition window (q205)") {
@@ -858,7 +911,10 @@ class PlanShapeSpec extends SparkSpec {
       "q263_coreset",
       // q251: cumulative vocabulary over the |buckets|-row tranche table
       // (10 rows — the corpus collapsed via ntileExact + word-keyed agg)
-      "q251_vocab_growth")
+      "q251_vocab_growth",
+      // q288: rank windows over the two ALREADY-CUT top-20 lists plus
+      // the D-row RBO running sum (the q129 retrieval-list shape)
+      "q288_rbo_agreement")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan
