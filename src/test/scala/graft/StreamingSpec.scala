@@ -136,6 +136,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("cur").collect().toSet === expected)
   }
 
+  test("FIM / ICT data-gen transforms run statelessly on a stream") {
+    // the training-pair transforms are pure projections, so ingest can
+    // mint pairs online with zero state — parity with batch proves the
+    // md5-derived cuts don't depend on partitioning or arrival order
+    val sf = "/root/testdata/sf0.001"
+    import graft.operators.Chunking
+    val batch = spark.read.parquet(s"$sf/documents.parquet")
+    val expectedFim = Chunking.fimSplitPlan(batch, "doc_id", "text")
+      .collect().toSet
+    val expectedIct = Chunking.ictPairs(batch, "doc_id", "text")
+      .collect().toSet
+    val streamDir = tmpDir("fim-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/documents.parquet"))
+    val src = spark.readStream.schema(batch.schema).parquet(streamDir)
+    val q1 = Chunking.fimSplitPlan(src, "doc_id", "text")
+      .writeStream.format("memory").queryName("fimout")
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val q2 = Chunking.ictPairs(src, "doc_id", "text")
+      .writeStream.format("memory").queryName("ictout")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("fimout").collect().toSet === expectedFim)
+    assert(spark.table("ictout").collect().toSet === expectedIct)
+  }
+
   test("streaming dedup drops repeats within the watermark") {
     import spark.implicits._
     val dir = tmpDir("dup-stream")
