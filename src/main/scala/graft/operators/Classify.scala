@@ -261,4 +261,55 @@ object Classify {
         sum(when(col("graft_yv") === 0 && col("graft_yhat") === 0, 1L)
           .otherwise(0L)).as("tn"))
   }
+
+  /**
+   * Split-conformal lower threshold + coverage audit (Vovk's conformal
+   * prediction; Angelopoulos & Bates 2021 is the standard tutorial;
+   * Laxhammar & Falkman apply this one-sided form as conformal anomaly
+   * detection): from a held-out CALIBRATION split of scored rows,
+   * q̂ = the k-th smallest score with k = ⌈α·(n_cal + 1)⌉ — then
+   * flagging any test row with score < q̂ has false-alarm rate ≤ α
+   * under exchangeability, a finite-sample guarantee needing NO model
+   * assumptions. This is how a curation pipeline turns an arbitrary
+   * quality score into a calibrated "bottom-α" cut with a provable
+   * budget, instead of eyeballing a threshold.
+   *
+   * Everything is exact: scores must be integer-valued (the repo's
+   * quantized-logit contract), k is integral ceiling arithmetic, and
+   * the k-th order statistic comes from a total (score, id) order.
+   * One summary row: (n_cal, k_rank, q_hat, n_test, n_flagged,
+   * flagged_ppm). Requires α·(n_cal+1) ≤ n_cal (enough calibration
+   * rows for the rank to exist).
+   *
+   * Scale shape: the order statistic uses [[GlobalRank]]'s range-
+   * shuffle construction (no single-partition window over data rows);
+   * the 1-row (k, q̂) result broadcasts onto one test-side aggregate.
+   */
+  def conformalLowerThreshold(df: DataFrame, idCol: String,
+                              scoreCol: String, calFlagCol: String,
+                              aNum: Long, aDen: Long): DataFrame = {
+    require(aNum > 0 && aNum < aDen,
+      s"alpha=$aNum/$aDen must be in (0, 1)")
+    val cal = df.filter(col(calFlagCol)).select(col(idCol), col(scoreCol))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val qHat = GlobalRank.globalRowNumber(cal,
+        Seq(col(scoreCol).asc, col(idCol).asc), "graft_rn")
+      .crossJoin(broadcast(nCal))
+      .withColumn("graft_k",
+        expr(s"($aNum * (n_cal + 1) + $aDen - 1) div $aDen"))
+      .filter(col("graft_rn") === col("graft_k"))
+      .select(col("n_cal"), col("graft_k").as("k_rank"),
+        col(scoreCol).as("q_hat"))
+    df.filter(!col(calFlagCol))
+      .crossJoin(broadcast(qHat))
+      .agg(first(col("n_cal")).as("n_cal"),
+        first(col("k_rank")).as("k_rank"),
+        first(col("q_hat")).as("q_hat"),
+        count(lit(1)).as("n_test"),
+        sum(when(col(scoreCol) < col("q_hat"), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .withColumn("flagged_ppm",
+        expr("cast(n_flagged * 1000000 as decimal(38,0)) div " +
+          "cast(n_test as decimal(38,0))").cast(LongType))
+  }
 }

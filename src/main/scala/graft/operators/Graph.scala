@@ -479,6 +479,67 @@ object Graph {
   }
 
   /**
+   * Personalized PageRank (Haveliwala, WWW 2002's topic-sensitive
+   * restart; the seed-expansion primitive behind "find documents like
+   * these known-good ones"): identical power iteration to [[pageRank]]
+   * except ALL teleport mass returns to the SEED set — pr' =
+   * [node ∈ seeds]·(1−d)·S/|seeds| + d·Σin — so rank measures random-
+   * walk proximity TO THE SEEDS, not global centrality. On a dedup/
+   * similarity graph this ranks the corpus by relatedness to a
+   * curated seed list, the graph-native alternative to embedding
+   * kNN expansion.
+   *
+   * Same integer determinism contract as [[pageRank]]: scale 10^12,
+   * damping 17/20, integral division throughout — bit-identical on any
+   * engine. Seeds not present in the graph are ignored; at least one
+   * seed must be a graph node (the teleport denominator). Seed nodes
+   * start with S div |seeds|, everything else at 0.
+   *
+   * Scale shape: identical to [[pageRank]] (one keyed join + dst-sum
+   * per round); the seed set attaches as ONE broadcast flag join and
+   * |seeds∩graph| rides in a 1-row broadcast.
+   */
+  def personalizedPageRank(pairs: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedIdCol: String,
+                           iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters=$iters out of range")
+    val S = 1000000000000L
+    val e = pairs.select(col(srcCol).as("graft_s"), col(dstCol).as("graft_t"))
+      .distinct()
+    val sym = e.union(e.select(col("graft_t").as("graft_s"),
+      col("graft_s").as("graft_t"))).localCheckpoint()
+    val deg = sym.groupBy(col("graft_s").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val seedSet = seeds.select(col(seedIdCol).as("node")).distinct()
+      .withColumn("graft_seed", lit(1L))
+    val flagged = deg.join(broadcast(seedSet), Seq("node"), "left")
+      .na.fill(0L, Seq("graft_seed"))
+    val ns = flagged.agg(sum(col("graft_seed")).as("graft_ns"))
+    var pr = flagged.crossJoin(broadcast(ns))
+      .select(col("node"), col("deg"), col("graft_seed"), col("graft_ns"),
+        when(col("graft_seed") === 1L,
+          call_function("div", lit(S), col("graft_ns")))
+          .otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = sym.join(pr, sym("graft_s") === pr("node"))
+        .select(col("graft_t").as("node"),
+          call_function("div", col("pr"), col("deg")).as("graft_c"))
+        .groupBy(col("node"))
+        .agg(sum(col("graft_c")).as("graft_in"))
+      pr = pr.drop("pr").join(contrib, Seq("node"), "left")
+        .select(col("node"), col("deg"), col("graft_seed"), col("graft_ns"),
+          (when(col("graft_seed") === 1L,
+            call_function("div", lit(3L * S), lit(20L) * col("graft_ns")))
+            .otherwise(lit(0L)) +
+            call_function("div",
+              lit(17L) * coalesce(col("graft_in"), lit(0L)), lit(20L)))
+            .as("pr"))
+    }
+    pr.select(col("node"), col("deg"),
+      (col("graft_seed") === 1L).as("is_seed"), col("pr").as("ppr_scaled"))
+  }
+
+  /**
    * Two-hop neighborhood counts (friend-of-friend): for each node, how
    * many DISTINCT nodes are reachable in exactly two hops but not one —
    * the near-duplicate "cluster fringe" signal (a doc whose neighbors

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Chunking, Graph, Relevance, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Chunking, Classify, Graph, Relevance, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Sources
 
 /**
@@ -776,4 +776,108 @@ object FrontierQueries {
       |  count(*) AS n_terms
       |FROM esc GROUP BY doc_id
       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
+  // ── q295: personalized PageRank seed expansion ─────────────────────────
+
+  /** q295: seed-restart PageRank over the exact-Jaccard ≥ 0.1 dedup
+    * graph ([[Graph.personalizedPageRank]], Haveliwala 2002; seeds =
+    * doc_id ≡ 0 mod 5, 3 iterations) — random-walk proximity to a
+    * curated seed list, integer-exact at scale 10¹². */
+  def q295SeedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val edges = TextDedup.ngramJaccardPairs(d, "doc_id", "text",
+      w = 3, threshold = 0.1)
+    Graph.personalizedPageRank(edges, "d1", "d2",
+        d.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+        "doc_id", iters = 3)
+      .orderBy(col("node"))
+  }
+
+  val q295Sql: String = {
+    def round(i: Int): String =
+      s"""it$i AS (SELECT e.b AS node, CAST(SUM(p.pr // p.deg) AS BIGINT)
+         |          AS sin
+         |        FROM e JOIN pr${i - 1} p ON e.a = p.node GROUP BY e.b),
+         |pr$i AS (SELECT p.node, p.deg, p.seed, p.ns,
+         |          CASE WHEN p.seed = 1
+         |            THEN 3000000000000 // (20 * p.ns) ELSE 0 END
+         |            + (17 * COALESCE(i.sin, 0)) // 20 AS pr
+         |        FROM pr${i - 1} p LEFT JOIN it$i i
+         |          ON p.node = i.node)""".stripMargin
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |p0 AS (SELECT i.d1, i.d2
+      |       FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
+      |                    JOIN sz s2 ON i.d2 = s2.doc_id
+      |       WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= 0.1),
+      |e AS (SELECT d1 AS a, d2 AS b FROM p0 UNION SELECT d2, d1 FROM p0),
+      |deg AS (SELECT a AS node, COUNT(*) AS deg FROM e GROUP BY a),
+      |sd AS (SELECT node, deg,
+      |         CASE WHEN node % 5 = 0 THEN 1 ELSE 0 END AS seed
+      |       FROM deg),
+      |nsq AS (SELECT SUM(seed) AS ns FROM sd),
+      |pr0 AS (SELECT node, deg, seed, nsq.ns,
+      |          CASE WHEN seed = 1 THEN 1000000000000 // nsq.ns
+      |            ELSE 0 END AS pr
+      |        FROM sd CROSS JOIN nsq),
+      |${(1 to 3).map(round).mkString(",\n")}
+      |SELECT node, CAST(deg AS BIGINT) AS deg, seed = 1 AS is_seed,
+      |  CAST(pr AS BIGINT) AS ppr_scaled
+      |FROM pr3 ORDER BY node""".stripMargin
+  }
+
+  // ── q296: split-conformal threshold + coverage audit ───────────────────
+
+  /** q296: conformal bottom-α cut of the q212 quality-classifier logits
+    * ([[Classify.conformalLowerThreshold]], α = 1/10; calibration =
+    * the md5-even half) — the finite-sample-calibrated flagging budget,
+    * exact integer order statistics end to end. */
+  def q296Conformal(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.linearQualityScore(docs(s, dir), "doc_id",
+        "text", QualityQueries.q212MilliWeights.toMap,
+        QualityQueries.q212BiasMilli)
+      .select(col("doc_id"), col("logit_milli"))
+      .withColumn("is_cal",
+        pmod(graft.operators.Sketches.hash32(
+          concat(lit("conf_"), col("doc_id").cast("string"))), lit(2L))
+          === 0L)
+    Classify.conformalLowerThreshold(scored, "doc_id", "logit_milli",
+      "is_cal", aNum = 1L, aDen = 10L)
+  }
+
+  // wraps the q212 scoring chain; the calibration flag is the repo's
+  // md5-integer convention
+  val q296Sql: String =
+    s"""WITH sc AS (SELECT doc_id, logit_milli FROM (
+      |${QualityQueries.q212Sql}
+      |  )),
+      |f AS (SELECT doc_id, logit_milli,
+      |        (${hash32Sql("'conf_' || doc_id")}) % 2 = 0 AS is_cal
+      |      FROM sc),
+      |cal AS (SELECT doc_id, logit_milli FROM f WHERE is_cal),
+      |nc AS (SELECT COUNT(*) AS n_cal FROM cal),
+      |rk AS (SELECT logit_milli, row_number() OVER (
+      |         ORDER BY logit_milli, doc_id) AS rn FROM cal),
+      |qh AS (SELECT nc.n_cal,
+      |         (1 * (nc.n_cal + 1) + 9) // 10 AS k_rank,
+      |         (SELECT logit_milli FROM rk CROSS JOIN nc
+      |          WHERE rn = (1 * (nc.n_cal + 1) + 9) // 10) AS q_hat
+      |       FROM nc)
+      |SELECT qh.n_cal, CAST(qh.k_rank AS BIGINT) AS k_rank,
+      |  CAST(qh.q_hat AS BIGINT) AS q_hat,
+      |  COUNT(*) AS n_test,
+      |  CAST(SUM(CASE WHEN t.logit_milli < qh.q_hat THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_flagged,
+      |  CAST((SUM(CASE WHEN t.logit_milli < qh.q_hat THEN 1 ELSE 0 END)
+      |    ::HUGEINT * 1000000) // COUNT(*)::HUGEINT AS BIGINT)
+      |    AS flagged_ppm
+      |FROM f t CROSS JOIN qh WHERE NOT t.is_cal
+      |GROUP BY qh.n_cal, qh.k_rank, qh.q_hat""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunking, Graph, Relevance, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Chunking, Classify, Graph, Relevance, Similarity, TextAnalysis, TextDedup}
 
 /** Round-10 frontier specs: Kneser–Ney scoring, weighted (multiset)
   * Jaccard, distinct-n diversity, and χ² keyness — hand-computed
@@ -408,6 +408,50 @@ class Round10FrontierSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(out.contains(4L), s"expansion missed the bb-only doc: $out")
     assert(!out.contains(5L))
+  }
+
+  // ── personalized PageRank ───────────────────────────────────────────────
+
+  test("personalizedPageRank: teleport mass returns only to seeds") {
+    // path 1—2—3, seed {1}, S = 10¹², d = 17/20 — hand-unrolled:
+    // r1: (1.5e11, 8.5e11, 0); r2: (5.1125e11, 1.275e11, 3.6125e11)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val out = Graph.personalizedPageRank(edges, "s", "d", seeds, "id",
+        iters = 2)
+      .orderBy("node").select("node", "deg", "is_seed", "ppr_scaled")
+      .as[(Long, Long, Boolean, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, true, 511250000000L),
+      (2L, 2L, false, 127500000000L),
+      (3L, 1L, false, 361250000000L)))
+  }
+
+  test("personalizedPageRank ignores seeds absent from the graph") {
+    val edges = Seq((1L, 2L)).toDF("s", "d")
+    val seeds = Seq(1L, 99L).map(Tuple1(_)).toDF("id")
+    val out = Graph.personalizedPageRank(edges, "s", "d", seeds, "id",
+        iters = 1)
+      .orderBy("node").select("node", "ppr_scaled")
+      .as[(Long, Long)].collect().toSeq
+    // ns = 1 (only node 1 is in the graph): r1(1) = 3S/20,
+    // r1(2) = 17·S/20
+    assert(out == Seq((1L, 150000000000L), (2L, 850000000000L)))
+  }
+
+  // ── conformal threshold ─────────────────────────────────────────────────
+
+  test("conformalLowerThreshold: exact order-statistic cut and coverage") {
+    val rows = (1 to 10).map(i => (i.toLong, i * 10L, true)) ++
+      Seq((11L, 5L, false), (12L, 55L, false), (13L, 1000L, false))
+    val df = rows.toDF("id", "score", "is_cal")
+    val out = Classify.conformalLowerThreshold(df, "id", "score",
+        "is_cal", aNum = 2L, aDen = 10L)
+      .select("n_cal", "k_rank", "q_hat", "n_test", "n_flagged",
+        "flagged_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // k = ⌈2·11/10⌉ = 3 → q̂ = 30; only the score-5 test row is below
+    assert(out == ((10L, 3L, 30L, 3L, 1L, 333333L)))
   }
 
   test("termKeyness is symmetric-safe: swapping focus flips the list") {
