@@ -592,7 +592,12 @@ class PlanShapeSpec extends SparkSpec {
       "q289_dbscan",
       // q292: m-row top-word and m-row stats broadcasts onto the
       // |strata| grid — metadata scale
-      "q292_burrows_delta")
+      "q292_burrows_delta",
+      // q295: pageRank's 1-row seed-count broadcast (the q268 shape)
+      "q295_seed_pagerank",
+      // q296: 1-row (n_cal, k, q̂) threshold broadcast onto the test
+      // aggregate — metadata by construction
+      "q296_conformal")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
