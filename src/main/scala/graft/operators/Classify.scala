@@ -175,8 +175,13 @@ object Classify {
    * R² — computed from the same sufficient statistics
    * (SSE = Σy² − βᵀXᵀy), so no second corpus pass.
    */
-  def linearProbeTrain(df: DataFrame, yCol: String, x1Col: String,
-                       x2Col: String): DataFrame = {
+  /** The exact normal-equation sufficient statistics behind
+    * [[linearProbeTrain]]: ONE map-side-combinable agg to the 10 integer
+    * sums, plus the four DECIMAL(38,0) cofactor determinants
+    * (`graft_det`, `graft_d0..d2`). Shared by the double-surface and
+    * exact-integer-surface train variants. */
+  private def probeNormalEq(df: DataFrame, yCol: String, x1Col: String,
+                            x2Col: String): DataFrame = {
     val big = DecimalType(38, 0)
     def d(c: Column): Column = c.cast(big)
     val stats = df.select(col(yCol).cast(LongType).as("graft_y"),
@@ -203,11 +208,16 @@ object Classify {
       sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)
     val det2 = n * (s11 * s2y - s1y * s12) -
       s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
-    val withDet = stats
+    stats
       .withColumn("graft_det", det)
       .withColumn("graft_d0", det0)
       .withColumn("graft_d1", det1)
       .withColumn("graft_d2", det2)
+  }
+
+  def linearProbeTrain(df: DataFrame, yCol: String, x1Col: String,
+                       x2Col: String): DataFrame = {
+    val withDet = probeNormalEq(df, yCol, x1Col, x2Col)
     def beta(dc: String): Column =
       when(col("graft_det") =!= 0,
         round(col(dc).cast(DoubleType) /
@@ -227,6 +237,57 @@ object Classify {
       beta("graft_d2").as("beta2"),
       when(col("graft_det") =!= 0 && sst > 0.0,
         round(lit(1.0) - sse / sst, 6)).as("r2"))
+  }
+
+  /**
+   * [[linearProbeTrain]] with a fully engine-portable EXACT-INTEGER
+   * surface — the gate-hashable variant (the q200/q260 rule: no IEEE
+   * double ever reaches a hashed column). Same single-pass sufficient
+   * statistics and Cramer determinants; the reported model is
+   *
+   *  - `beta{i}_ppm` = sign · ⌊10⁶·|dᵢ| / |det|⌋ — the coefficient in
+   *    exact parts-per-million, via DECIMAL(38,0) integral division of
+   *    NON-NEGATIVE operands (so truncation is unambiguous floor in
+   *    every engine; the sign is reapplied explicitly, pinning
+   *    truncation-toward-zero without relying on either engine's
+   *    negative-division convention);
+   *  - `r2_num` / `r2_den` — in-sample R² as an exact integer rational:
+   *    R² = [n·(d₀·Sy + d₁·S1y + d₂·S2y) − det·Sy²] / [det·(n·Σy² − Sy²)],
+   *    the algebraic clearing of 1 − SSE/SST over the common
+   *    denominators det and n. No division is performed at all, so no
+   *    rounding boundary exists to diverge on.
+   *
+   * Singular XᵀX (det = 0) or zero label variance (SST ≤ 0) yields NULL
+   * coefficients / R², matching [[linearProbeTrain]]. Exactness bound:
+   * products stay inside DECIMAL(38,0) through ~10⁹ docs with bounded
+   * integer features (r2_den ~ n⁴·x⁴·y²); center features first beyond
+   * that.
+   */
+  def linearProbeTrainExact(df: DataFrame, yCol: String, x1Col: String,
+                            x2Col: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val withDet = probeNormalEq(df, yCol, x1Col, x2Col)
+    def d(c: String): Column = col(c).cast(big)
+    def ppm(dc: String): Column = {
+      val mag = expr(s"(cast(1000000 as decimal(38,0)) * abs($dc)) " +
+        "div abs(graft_det)").cast(big)
+      when(col("graft_det") =!= 0,
+        when((col(dc) < 0) =!= (col("graft_det") < 0), -mag)
+          .otherwise(mag))
+    }
+    val sstNum = d("n") * d("syy") - d("sy") * d("sy")
+    val r2num = d("n") *
+      (col("graft_d0") * d("sy") + col("graft_d1") * d("s1y") +
+        col("graft_d2") * d("s2y")) -
+      col("graft_det") * (d("sy") * d("sy"))
+    val r2den = col("graft_det") * sstNum
+    val ok = col("graft_det") =!= 0 && sstNum > 0
+    withDet.select(col("n"),
+      col("graft_det").cast(big).as("det"),
+      ppm("graft_d0").as("beta0_ppm"), ppm("graft_d1").as("beta1_ppm"),
+      ppm("graft_d2").as("beta2_ppm"),
+      when(ok, r2num.cast(big)).as("r2_num"),
+      when(ok, r2den.cast(big)).as("r2_den"))
   }
 
   /**
@@ -278,8 +339,11 @@ object Classify {
    * quantized-logit contract), k is integral ceiling arithmetic, and
    * the k-th order statistic comes from a total (score, id) order.
    * One summary row: (n_cal, k_rank, q_hat, n_test, n_flagged,
-   * flagged_ppm). Requires α·(n_cal+1) ≤ n_cal (enough calibration
-   * rows for the rank to exist).
+   * flagged_ppm). If the calibration split is too small for the rank
+   * to exist (k = ⌈α·(n_cal+1)⌉ > n_cal), the summary row still
+   * emits — with NULL q_hat and a zero flag count (a NULL threshold
+   * flags nothing), matching the oracle's scalar-subquery semantics —
+   * rather than silently vanishing.
    *
    * Scale shape: the order statistic uses [[GlobalRank]]'s range-
    * shuffle construction (no single-partition window over data rows);
@@ -292,14 +356,17 @@ object Classify {
       s"alpha=$aNum/$aDen must be in (0, 1)")
     val cal = df.filter(col(calFlagCol)).select(col(idCol), col(scoreCol))
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
-    val qHat = GlobalRank.globalRowNumber(cal,
+      .withColumn("k_rank",
+        expr(s"($aNum * (n_cal + 1) + $aDen - 1) div $aDen"))
+    val kth = GlobalRank.globalRowNumber(cal,
         Seq(col(scoreCol).asc, col(idCol).asc), "graft_rn")
       .crossJoin(broadcast(nCal))
-      .withColumn("graft_k",
-        expr(s"($aNum * (n_cal + 1) + $aDen - 1) div $aDen"))
-      .filter(col("graft_rn") === col("graft_k"))
-      .select(col("n_cal"), col("graft_k").as("k_rank"),
-        col(scoreCol).as("q_hat"))
+      .filter(col("graft_rn") === col("k_rank"))
+      .select(col("k_rank"), col(scoreCol).as("q_hat"))
+    // left join so the summary row survives k_rank > n_cal (empty kth):
+    // q_hat comes back NULL, exactly the oracle's scalar subquery
+    val qHat = nCal.join(broadcast(kth), Seq("k_rank"), "left")
+      .select(col("n_cal"), col("k_rank"), col("q_hat"))
     df.filter(!col(calFlagCol))
       .crossJoin(broadcast(qHat))
       .agg(first(col("n_cal")).as("n_cal"),

@@ -46,8 +46,10 @@ object GlobalRank {
       .join(counts.as("b"), col("b.graft_pid") < col("a.graft_pid"), "left")
       .groupBy(col("a.graft_pid").as("graft_pid"))
       .agg(coalesce(sum(col("b.graft_n")), lit(0L)).as("graft_off"))
+    // LongType: a rank column capped at 2^31 would silently cripple the
+    // 100 TB posture (a corpus-half calibration split overflows int)
     local.join(broadcast(offsets), "graft_pid")
-      .withColumn(outCol, (col("graft_lrn") + col("graft_off")).cast("int"))
+      .withColumn(outCol, (col("graft_lrn") + col("graft_off")).cast("long"))
       .drop("graft_pid", "graft_lrn", "graft_off")
   }
 
@@ -58,7 +60,7 @@ object GlobalRank {
                  outCol: String = "bucket"): DataFrame = {
     val ranked = globalRowNumber(df, sortCols, "graft_grn")
     // total row count as a 1-row broadcast, not a collected scalar
-    val total = ranked.agg(count(lit(1)).cast("int").as("graft_total"))
+    val total = ranked.agg(count(lit(1)).as("graft_total"))
     val r = col("graft_grn")
     // Spark's `/` on ints is double division — keep bucket arithmetic in
     // exact integer form via floor()

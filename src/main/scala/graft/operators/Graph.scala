@@ -792,9 +792,12 @@ object Graph {
    * bridge edge would otherwise merge into one cluster.
    *
    * Runs a FIXED `rounds` count with fully deterministic tie-breaking
-   * (count desc, label asc via one max(struct(count, −label)) aggregate
-   * per node), so the output is reproducible and oracle-checkable —
-   * unlike the randomized asynchronous original. Synchronous LPA can
+   * (count desc, then label asc — a per-node max-count window followed
+   * by min(label) among the tied plurality labels, so ANY orderable
+   * node-id type works: numeric, string, date; no numeric negation
+   * trick that would null-cast string ids), so the output is
+   * reproducible and oracle-checkable — unlike the randomized
+   * asynchronous original. Synchronous LPA can
    * oscillate on bipartite-ish structures instead of converging; fixed-R
    * snapshots sidestep that (the classic practical fix, and R = 3–5
    * captures the communities that matter on short-diameter dedup
@@ -819,11 +822,15 @@ object Graph {
         .join(labels.select(col("node").as("b"), col("label")), "b")
         .groupBy(col("a"), col("label"))
         .agg(count(lit(1)).as("graft_c"))
+        // plurality then min-label, type-generic: a max-count window over
+        // the (node, label) counts, then min(label) among the ties — no
+        // unary minus, which silently null-casts non-numeric ids
+        .withColumn("graft_cmax",
+          max(col("graft_c")).over(Window.partitionBy(col("a"))))
+        .filter(col("graft_c") === col("graft_cmax"))
         .groupBy(col("a"))
-        .agg(max(struct(col("graft_c"),
-          (-col("label")).as("graft_nl"))).as("graft_top"))
-        .select(col("a").as("node"),
-          (-col("graft_top.graft_nl")).as("label"))
+        .agg(min(col("label")).as("label"))
+        .select(col("a").as("node"), col("label"))
       labels = next.localCheckpoint(eager = false)
     }
     labels

@@ -1263,12 +1263,19 @@ object TextAnalysis {
    *
    * Determinism: relative frequencies are quantized to exact integers
    * f = ⌊10⁹·tf/sz⌋ first; per word, z = (f·S − Σf)/√(S·Σf² − (Σf)²)
-   * has an exact-integer numerator and a √ of an exact integer — both
-   * √ and ÷ are IEEE correctly-rounded (unlike ln/exp), so
-   * round(z, 6) is engine-portable; it is then lifted to exact micro-
-   * integer units (×10⁶), the pairwise sum runs in int64
-   * (order-independent), and `delta_milli` = ⌊Σ_micro/(10³·m)⌋.
-   * Words with zero across-strata variance contribute z = 0.
+   * has an exact-integer numerator and an exact-integer radicand. The
+   * micro-unit z is then computed WITHOUT any double in the hashed
+   * path: ⌊√var⌋ is pinned exactly (a correctly-rounded double sqrt
+   * seeds the value, then exact integer comparisons of (seed±k)² vs
+   * var select the true integer sqrt — identical in every engine by
+   * construction), and z_micro = sign·⌊10⁶·|num| / ⌊√var⌋⌋ is a pure
+   * integral division. No round(double, 6) survives into the surface
+   * (Spark rounds the shortest-decimal representation HALF_UP while
+   * other engines scale the binary double — representation-boundary
+   * values can differ; the r10 q260/q266 portability class). The
+   * pairwise sum runs in int64 (order-independent), and
+   * `delta_milli` = ⌊Σ_micro/(10³·m)⌋. Words with zero across-strata
+   * variance contribute z = 0.
    *
    * Scale shape: one (term, stratum) hash-agg; the top-m cut bounds
    * everything after it to m·|strata| rows; the pair matrix is
@@ -1302,16 +1309,27 @@ object TextAnalysis {
       .withColumn("graft_var", expr(
         "cast(graft_s as decimal(38,0)) * graft_sf2 - " +
         "cast(graft_sf as decimal(38,0)) * cast(graft_sf as decimal(38,0))"))
-    // z in exact micro units: round(z, 6) is a multiple of 1e-6, so the
-    // DECIMAL(18,6)×10⁶ product is an exact integer — downstream sums
-    // and the final division stay in pure int64 on both engines
+    // exact integer sqrt: the double sqrt only SEEDS the value (it is
+    // correctly rounded, so every engine computes the same seed); the
+    // exact (seed±k)² vs var comparisons then pin ⌊√var⌋ precisely.
+    // var ≤ S·(10⁹)² keeps the seed within ±2 of the true root.
+    val r0 = floor(sqrt(col("graft_var").cast(DoubleType))).cast(big)
+    def isqrtCand(k: Int): Column = {
+      val c = r0 + lit(k).cast(big)
+      when(c >= 0 && c * c <= col("graft_var"), c).otherwise(lit(0).cast(big))
+    }
+    val isq = greatest(isqrtCand(-2), isqrtCand(-1), isqrtCand(0),
+      isqrtCand(1), isqrtCand(2))
     val z = grid.join(broadcast(stats), "term")
+      .withColumn("graft_isq", isq)
+      .withColumn("graft_num",
+        (col("graft_f") * col("graft_s") - col("graft_sf")).cast(big))
       .withColumn("graft_zu",
         when(col("graft_var") <= 0, lit(0L))
-          .otherwise((round(
-            (col("graft_f") * col("graft_s") - col("graft_sf"))
-              .cast(DoubleType) / sqrt(col("graft_var").cast(DoubleType)),
-            6).cast(DecimalType(18, 6)) * lit(1000000)).cast(LongType)))
+          .otherwise(
+            when(col("graft_num") < 0, lit(-1L)).otherwise(lit(1L)) *
+              expr("(cast(1000000 as decimal(38,0)) * abs(graft_num)) " +
+                "div graft_isq").cast(LongType)))
       .select(col("term"), col(strataCol), col("graft_zu"))
     val a = z.select(col("term"), col(strataCol).as("src_a"),
       col("graft_zu").as("graft_za"))

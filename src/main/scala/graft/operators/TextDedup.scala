@@ -312,8 +312,12 @@ object TextDedup {
    * Candidates come from the SAME distinct-shingle MinHash-LSH banding as
    * [[minHashLshPairs]] (banding on types is the standard prefilter —
    * weighted resemblance ≤ set resemblance never holds in general, but
-   * high-J_w pairs share types overwhelmingly, and the gate query scores
-   * ALL banded candidates rather than thresholding on the sketch). Exact
+   * high-J_w pairs share types overwhelmingly). Scored pairs are the
+   * banded candidates that share ≥ 1 shingle TYPE (the scoring join is
+   * an inner join on shared shingles, so a banded hash-collision pair
+   * with zero common types is dropped rather than emitted with
+   * w_inter = 0 — such a pair has J_w = 0 and is never a dedup
+   * decision; the oracle mirrors the same inner join). Exact
    * integer surface: (w_inter, w_union, wj_ppm = ⌊10⁶·J_w⌋) — engine-
    * portable by construction, no doubles hashed.
    *

@@ -60,8 +60,9 @@ object FrontierQueries {
   /** q278: exact tf-weighted Jaccard on the q19-parameter LSH candidate
     * pairs ([[TextDedup.weightedJaccardPairs]], k=16, r=4, w=3) — the
     * bag-semantics resemblance that separates templated documents set
-    * Jaccard conflates. All banded candidates emitted (minPpm = 0);
-    * surface is exact integers (w_inter, w_union, ⌊10⁶·J_w⌋). */
+    * Jaccard conflates. No ppm threshold applied (minPpm = 0): every
+    * banded candidate sharing ≥ 1 shingle type is emitted; surface is
+    * exact integers (w_inter, w_union, ⌊10⁶·J_w⌋). */
   def q278WeightedJaccard(s: SparkSession, dir: String): DataFrame =
     TextDedup.weightedJaccardPairs(docs(s, dir), "doc_id", "text",
         k = 16, r = 4, w = 3, minPpm = 0L)
@@ -667,12 +668,26 @@ object FrontierQueries {
       |v AS (SELECT term, s, sf,
       |        s::HUGEINT * sf2::HUGEINT - sf::HUGEINT * sf::HUGEINT AS var
       |      FROM st),
+      |v0 AS (SELECT *, CASE WHEN var > 0
+      |         THEN floor(sqrt(var::DOUBLE))::HUGEINT ELSE 0::HUGEINT
+      |         END AS r0 FROM v),
+      |iq AS (SELECT term, s, sf, var, CASE WHEN var > 0 THEN greatest(
+      |         CASE WHEN r0 >= 2 AND (r0-2)*(r0-2) <= var
+      |           THEN r0-2 ELSE 0 END,
+      |         CASE WHEN r0 >= 1 AND (r0-1)*(r0-1) <= var
+      |           THEN r0-1 ELSE 0 END,
+      |         CASE WHEN r0*r0 <= var THEN r0 ELSE 0 END,
+      |         CASE WHEN (r0+1)*(r0+1) <= var THEN r0+1 ELSE 0 END,
+      |         CASE WHEN (r0+2)*(r0+2) <= var THEN r0+2 ELSE 0 END)
+      |       ELSE 0::HUGEINT END AS isq FROM v0),
       |z AS (SELECT g.term, g.source,
-      |        CASE WHEN v.var <= 0 THEN 0
-      |          ELSE CAST(round((g.f * v.s - v.sf)::DOUBLE /
-      |            sqrt(v.var::DOUBLE), 6)::DECIMAL(18,6) * 1000000
-      |            AS BIGINT) END AS zu
-      |      FROM g2 g JOIN v USING (term))
+      |        CASE WHEN i.var <= 0 THEN 0::HUGEINT
+      |          ELSE (CASE WHEN g.f * i.s - i.sf < 0 THEN -1
+      |                ELSE 1 END)::HUGEINT *
+      |            ((1000000::HUGEINT * abs((g.f * i.s - i.sf)::HUGEINT))
+      |              // i.isq)
+      |        END AS zu
+      |      FROM g2 g JOIN iq i USING (term))
       |SELECT a.source AS src_a, b.source AS src_b,
       |  CAST(SUM(ABS(a.zu - b.zu)) // 20000 AS BIGINT) AS delta_milli
       |FROM z a JOIN z b ON a.term = b.term AND a.source < b.source

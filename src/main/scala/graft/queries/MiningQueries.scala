@@ -719,29 +719,39 @@ object MiningQueries {
       |  FROM dd)""".stripMargin
 
   /** q260: the least-squares English-ness probe fit by exact normal
-    * equations ([[Classify.linearProbeTrain]]) — ŷ = β₀ + β₁·n_stop +
-    * β₂·n_words against is_en; one row with the exact determinant,
-    * 6-dp coefficients, and in-sample R². */
+    * equations ([[Classify.linearProbeTrainExact]]) — ŷ = β₀ + β₁·n_stop
+    * + β₂·n_words against is_en; one row with the exact determinant,
+    * exact-ppm coefficients, and in-sample R² as an exact integer
+    * rational. The hashed surface is all-integer (the portable variant;
+    * r10's red row hashed 6-dp double quotients, which round
+    * differently across DuckDB libm builds). */
   def q260ProbeTrain(s: SparkSession, dir: String): DataFrame =
-    Classify.linearProbeTrain(probeFeatures(s, dir), "is_en", "n_stop",
-      "n_words")
+    Classify.linearProbeTrainExact(probeFeatures(s, dir), "is_en",
+      "n_stop", "n_words")
 
   val q260Sql: String =
     s"""WITH $probeFeatureSql
-      |SELECT n, det::DECIMAL(38,0) AS det, beta0, beta1, beta2,
-      |  CASE WHEN det <> 0 AND
-      |      CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
-      |        / CAST(n AS DOUBLE) > 0
-      |    THEN round(1.0 - (CAST(syy AS DOUBLE) -
-      |      (CAST(d0 AS DOUBLE) / CAST(det AS DOUBLE) * CAST(sy AS DOUBLE)
-      |       + CAST(d1 AS DOUBLE) / CAST(det AS DOUBLE)
-      |         * CAST(s1y AS DOUBLE)
-      |       + CAST(d2 AS DOUBLE) / CAST(det AS DOUBLE)
-      |         * CAST(s2y AS DOUBLE))) /
-      |      (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
-      |        / CAST(n AS DOUBLE)), 6)
-      |    END AS r2
-      |FROM bb""".stripMargin
+      |SELECT n, det::DECIMAL(38,0) AS det,
+      |  CASE WHEN det <> 0 THEN
+      |    (CASE WHEN (d0 < 0) <> (det < 0) THEN -1 ELSE 1 END)::HUGEINT
+      |      * ((1000000::HUGEINT * abs(d0)) // abs(det))
+      |    END::DECIMAL(38,0) AS beta0_ppm,
+      |  CASE WHEN det <> 0 THEN
+      |    (CASE WHEN (d1 < 0) <> (det < 0) THEN -1 ELSE 1 END)::HUGEINT
+      |      * ((1000000::HUGEINT * abs(d1)) // abs(det))
+      |    END::DECIMAL(38,0) AS beta1_ppm,
+      |  CASE WHEN det <> 0 THEN
+      |    (CASE WHEN (d2 < 0) <> (det < 0) THEN -1 ELSE 1 END)::HUGEINT
+      |      * ((1000000::HUGEINT * abs(d2)) // abs(det))
+      |    END::DECIMAL(38,0) AS beta2_ppm,
+      |  CASE WHEN det <> 0 AND n::HUGEINT * syy - sy::HUGEINT * sy > 0
+      |    THEN n::HUGEINT * (d0 * sy::HUGEINT + d1 * s1y::HUGEINT
+      |        + d2 * s2y::HUGEINT) - det * (sy::HUGEINT * sy)
+      |    END::DECIMAL(38,0) AS r2_num,
+      |  CASE WHEN det <> 0 AND n::HUGEINT * syy - sy::HUGEINT * sy > 0
+      |    THEN det * (n::HUGEINT * syy - sy::HUGEINT * sy)
+      |    END::DECIMAL(38,0) AS r2_den
+      |FROM dd""".stripMargin
 
   /** q261: per-source confusion matrix of the trained probe at the 0.5
     * decision boundary ([[Classify.linearProbeConfusion]]) — the
@@ -978,18 +988,26 @@ object MiningQueries {
         Seq("doc_id", "text", "lang"))
       .orderBy(col("source"))
 
+  /** Exact integer decode of 8 hex chars of md5 column `m` starting at
+    * 1-based offset `off+1` — per-nibble value times an exact 16^k
+    * integer literal, summed as HUGEINTs. No `power(16, …)`: that is
+    * double libm arithmetic inside a hashed surface, the exact
+    * portability class that made q266 red in r10 (bit-identical on
+    * DuckDB 1.0.0, divergent on the driver's build). */
+  private def hex8Sql(off: Int): String =
+    (1 to 8).map { j =>
+      s"(strpos('0123456789abcdef', substr(m, ${off + j}, 1)) - 1)" +
+        s"::HUGEINT * ${BigInt(16).pow(8 - j)}::HUGEINT"
+    }.mkString(" + ")
+
   val q266Sql: String =
-    """WITH h AS (SELECT source,
+    s"""WITH h AS (SELECT source,
       |    md5(concat_ws('|', COALESCE(doc_id::VARCHAR, ' '),
       |      COALESCE(text, ' '), COALESCE(lang, ' '))) AS m
       |  FROM documents),
       |v AS (SELECT source,
-      |    CAST(list_sum(list_transform(range(1, 9), j ->
-      |      (strpos('0123456789abcdef', substr(m, j, 1)) - 1)
-      |        * power(16, 8 - j))) AS HUGEINT) * 4294967296::HUGEINT +
-      |    CAST(list_sum(list_transform(range(1, 9), j ->
-      |      (strpos('0123456789abcdef', substr(m, j + 8, 1)) - 1)
-      |        * power(16, 8 - j))) AS HUGEINT) AS hv
+      |    (${hex8Sql(0)}) * 4294967296::HUGEINT +
+      |    (${hex8Sql(8)}) AS hv
       |  FROM h)
       |SELECT source, COUNT(*) AS n_rows,
       |  CAST(SUM(hv) % 18446744073709551616::HUGEINT AS DECIMAL(38,0))
