@@ -22,9 +22,15 @@ object Bench {
         n
       }.getOrElse(2)
     val spark = GraftSession.local()
+    // dev iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run
+    // (the driver never sets it — full surface by default)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // one warmup to amortize JVM/codegen startup out of per-query numbers
     SparkEntry.queries.get("q13_count").foreach(f => f(spark, sfDir).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         // measure each query from a quiesced heap: accumulated broadcast /
         // shuffle state from earlier queries otherwise taxes the later

@@ -660,12 +660,17 @@ object Graph {
    *
    * Parallel-peel rounds are the scalable formulation: the sequential
    * min-degree peel is inherently serial, while simultaneous deletion
-   * converges in at most O(peel depth) rounds, each a shuffle over the
-   * SHRINKING edge set. Per round the driver pulls ONE scalar (the
-   * weak-node count) for convergence; frames are localCheckpointed to
-   * truncate the iterated lineage (the CC contract). Throws if
-   * `maxRounds` is exhausted while nodes are still falling — a
-   * half-peeled layering must never ship as a green answer.
+   * converges in at most O(peel depth) rounds. Degrees are counted in
+   * full ONCE and then maintained DECREMENTALLY: each round aggregates
+   * only the edges incident to that round's peeled nodes (the classic
+   * Δ-maintenance — total degree work across ALL rounds is O(E), not
+   * O(rounds·E), because every edge is counted once at start and
+   * decremented at most once when it dies). Per round the driver pulls
+   * ONE scalar (the weak-node count) for convergence; frames are
+   * localCheckpointed to truncate the iterated lineage (the CC
+   * contract). Throws if `maxRounds` is exhausted while nodes are
+   * still falling — a half-peeled layering must never ship as a green
+   * answer.
    *
    * Returns (node, layer, in_core) for every edge endpoint.
    */
@@ -689,28 +694,42 @@ object Graph {
         org.apache.spark.sql.types.StructField("layer", IntegerType))))
     var round = 1
     var done = false
-    var live = nodes
+    // degree counted in full exactly once; every LIVE node keeps a row
+    // (a node stripped of its last edge carries graft_d = 0 < k and
+    // MUST peel — dropping zero rows would strand phantom core members)
+    var deg = cur.groupBy(col("a")).agg(count(lit(1)).as("graft_d"))
+      .withColumnRenamed("a", "node").localCheckpoint()
     while (!done) {
-      // degree over LIVE nodes: a node stripped of its last edge has
-      // degree 0 < k and MUST peel — counting only edge endpoints would
-      // leave it stranded as a phantom core member
-      val deg = cur.groupBy(col("a")).agg(count(lit(1)).as("graft_d"))
-      val weak = live
-        .join(deg.withColumnRenamed("a", "node"), Seq("node"), "left")
-        .filter(coalesce(col("graft_d"), lit(0L)) < k)
+      val weak = deg.filter(col("graft_d") < k)
         .select(col("node")).localCheckpoint()
       if (weak.isEmpty) done = true
       else {
         if (round > maxRounds) throw new IllegalStateException(
           s"kCorePeel still peeling after $maxRounds rounds")
+        // layers is union-of-checkpointed-weaks — a depth-`rounds` union
+        // tree of already-materialized frames, safe to leave lazy (one
+        // job at the final read instead of one per round)
         layers = layers
           .union(weak.withColumn("layer", lit(round)))
-          .localCheckpoint()
-        live = live.join(weak, Seq("node"), "left_anti").localCheckpoint()
+          .localCheckpoint(eager = false)
+        // Δ-maintenance: each dying edge (survivor a, peeled b) costs
+        // its survivor one degree — aggregate ONLY the incident slice
+        val dec = cur
+          .join(weak.withColumnRenamed("node", "b"), Seq("b"))
+          .join(weak.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+          .groupBy(col("a")).agg(count(lit(1)).as("graft_dec"))
+          .withColumnRenamed("a", "node")
         cur = cur
           .join(weak.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
           .join(weak.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
           .select(col("a"), col("b")).localCheckpoint()
+        deg = deg
+          .join(weak, Seq("node"), "left_anti")
+          .join(dec, Seq("node"), "left")
+          .select(col("node"),
+            (col("graft_d") - coalesce(col("graft_dec"), lit(0L)))
+              .as("graft_d"))
+          .localCheckpoint()
         round += 1
       }
     }

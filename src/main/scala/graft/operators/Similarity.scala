@@ -483,24 +483,38 @@ object Similarity {
    * rounded — no libm), re-rounded to 6 dp, and the final argmax breaks
    * margin ties on target id.
    *
-   * Scale shape: this is the exact all-pairs baseline — |S|·|T| pair
-   * rows from one crossJoin pass, then three key shuffles of that table
+   * Scale shape: the pair source is a PARAMETER ([[marginMiningFrom]]):
+   * this entry point feeds it the exact |S|·|T| crossJoin (the oracle
+   * baseline — right for bounded eval sets); at corpus scale call
+   * [[marginMiningFrom]] with LSH candidate pairs
+   * ([[crossCorpusCandidates]] / [[annTopK]] / [[multiProbeTopK]]
+   * generate them) — only the pair source shrinks, the margin math is
+   * unchanged. Either way: three key shuffles of the pair table
    * (src-side rank+sum windows share one Exchange, tgt-side likewise,
-   * argmax rides WindowGroupLimit). At corpus scale the identical margin
-   * runs over LSH/IVF candidate pairs ([[annTopK]]/[[multiProbeTopK]]
-   * generate them) — only the pair source shrinks, the math is unchanged.
+   * argmax rides WindowGroupLimit).
    */
   def marginMining(src: DataFrame, tgt: DataFrame, idCol: String,
-                   vecCol: String, k: Int, tau: Double): DataFrame = {
-    require(k >= 1, s"k=$k out of range")
-    import org.apache.spark.sql.expressions.Window
-    val pairs = src
+                   vecCol: String, k: Int, tau: Double): DataFrame =
+    marginMiningFrom(src
       .select(col(idCol).as("src_id"), col(vecCol).as("graft_sv"))
       .crossJoin(tgt.select(col(idCol).as("tgt_id"),
         col(vecCol).as("graft_tv")))
       .select(col("src_id"), col("tgt_id"),
         round(cosine(col("graft_sv"), col("graft_tv")), 6)
-          .cast(DecimalType(18, 6)).as("graft_c"))
+          .cast(DecimalType(18, 6)).as("graft_c")), k, tau)
+
+  /**
+   * [[marginMining]] over a caller-supplied candidate-pair frame:
+   * `pairs` holds (src_id, tgt_id, graft_c) with the 6-dp DECIMAL
+   * cosine, one row per scored candidate. The k-NN neighborhood means
+   * normalize over the CANDIDATE set (the standard mining practice:
+   * with an ANN candidate pool the neighborhood statistics come from
+   * the pool, which contains each vector's near neighbors — exactly the
+   * vectors that dominate the true k-NN mean).
+   */
+  def marginMiningFrom(pairs: DataFrame, k: Int, tau: Double): DataFrame = {
+    require(k >= 1, s"k=$k out of range")
+    import org.apache.spark.sql.expressions.Window
     val bySrc = Window.partitionBy(col("src_id"))
     val byTgt = Window.partitionBy(col("tgt_id"))
     val inA = row_number().over(
@@ -529,6 +543,39 @@ object Similarity {
     best.filter(col("margin") >= tau)
       .select(col("src_id"), col("tgt_id"),
         col("graft_c").cast(DoubleType).as("cosine"), col("margin"))
+  }
+
+  /**
+   * LSH-bucketed cross-corpus candidate pairs — the scale-path pair
+   * source for [[marginMiningFrom]]: src×tgt pairs colliding in ANY of
+   * `nTables` hyperplane hash tables (the cross-corpus sibling of
+   * [[cosineNearDupPairsBucketed]]; both corpora hash with the SAME
+   * seedless hyperplanes, so collision means angular proximity), scored
+   * with the exact 6-dp DECIMAL cosine. Replaces the |S|·|T| crossJoin
+   * with signature equi-joins whose volume is the collision rate; the
+   * plan contains no cartesian/broadcast-nested-loop join
+   * (plan-asserted in PlanShapeSpec).
+   */
+  def crossCorpusCandidates(src: DataFrame, tgt: DataFrame, idCol: String,
+                            vecCol: String, nTables: Int = 4,
+                            planesPerTable: Int = 4,
+                            dims: Int = 64): DataFrame = {
+    val ss = lshSignaturesMulti(src, idCol, vecCol, nTables,
+      planesPerTable, dims).select(col(idCol).as("src_id"), col("tbl"),
+      col("sig"))
+    val ts = lshSignaturesMulti(tgt, idCol, vecCol, nTables,
+      planesPerTable, dims).select(col(idCol).as("tgt_id"), col("tbl"),
+      col("sig"))
+    val cand = ss.join(ts.hint("shuffle_hash"), Seq("tbl", "sig"))
+      .select("src_id", "tgt_id").distinct()
+    cand
+      .join(src.select(col(idCol).as("src_id"), col(vecCol).as("graft_sv"))
+        .hint("shuffle_hash"), "src_id")
+      .join(tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("graft_tv"))
+        .hint("shuffle_hash"), "tgt_id")
+      .select(col("src_id"), col("tgt_id"),
+        round(cosine(col("graft_sv"), col("graft_tv")), 6)
+          .cast(DecimalType(18, 6)).as("graft_c"))
   }
 
   /**
@@ -682,17 +729,38 @@ object Similarity {
    * end; cosines are the 6-dp-rounded portable values of
    * [[cosineNearDupPairs]].
    *
-   * Scale shape: the ε-graph comes from the exact blocked self-join
-   * (swap in [[cosineNearDupPairsBucketed]] for 10⁶+ vectors — same
-   * contract); degrees/core flags are one keyed agg; CC is the
-   * diameter-safe iteration; border attach is one join of the sym
-   * edge list against the |core|-row cluster map. No driver state.
+   * Scale shape: the ε-graph source is a PARAMETER
+   * ([[dbscanClustersFrom]]): this entry point feeds it the exact
+   * blocked self-join (the oracle baseline, O(n²) compute — right up to
+   * ~10⁵ vectors); at corpus scale call [[dbscanClustersFrom]] with
+   * [[cosineNearDupPairsBucketed]]'s output (LSH equi-join candidates,
+   * no cartesian anywhere — plan-asserted in PlanShapeSpec) — the
+   * roles/CC/border machinery is identical either way. Degrees/core
+   * flags are one keyed agg; CC is the diameter-safe iteration; border
+   * attach is one join of the sym edge list against the |core|-row
+   * cluster map. No driver state.
    */
   def dbscanClusters(embeddings: DataFrame, idCol: String, vecCol: String,
-                     tau: Double, minPts: Int): DataFrame = {
+                     tau: Double, minPts: Int): DataFrame =
+    dbscanClustersFrom(
+      cosineNearDupPairs(embeddings, idCol, vecCol, tau)
+        .select(col("d1"), col("d2")),
+      embeddings.select(col(idCol)), idCol, minPts)
+
+  /**
+   * [[dbscanClusters]] over a caller-supplied ε-graph: `epsPairs` must
+   * hold one (d1, d2) row per unordered neighbor pair (d1 < d2, each
+   * pair once) — any generator with the ε-neighborhood contract plugs
+   * in (exact all-pairs, [[cosineNearDupPairsBucketed]], a pre-built
+   * index). `points` is the full id universe (noise rows must emit).
+   * The pair frame is lineage-cut once (lazy localCheckpoint), because
+   * the clustering consumes it from four branches — without the cut an
+   * expensive generator would re-run per branch.
+   */
+  def dbscanClustersFrom(epsPairs: DataFrame, points: DataFrame,
+                         idCol: String, minPts: Int): DataFrame = {
     require(minPts >= 1, s"minPts=$minPts out of range")
-    val pairs = cosineNearDupPairs(embeddings, idCol, vecCol, tau)
-      .select(col("d1"), col("d2"))
+    val pairs = epsPairs.localCheckpoint(eager = false)
     val sym = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
     val degrees = sym.groupBy(col("d1")).agg(count(lit(1)).as("graft_deg"))
     val core = degrees.filter(col("graft_deg") >= minPts)
@@ -713,7 +781,7 @@ object Similarity {
       .join(core.select(col("graft_node").as("d1")), Seq("d1"), "left_anti")
       .groupBy(col("d1"))
       .agg(min(col("cluster")).as("cluster"))
-    val ids = embeddings.select(col(idCol))
+    val ids = points.select(col(idCol))
     ids
       .join(coreClusters.select(col("graft_node").as(idCol),
         col("cluster").as("graft_cc")), Seq(idCol), "left")

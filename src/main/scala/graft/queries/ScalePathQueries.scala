@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Similarity
+import graft.sources.Sources
+
+/**
+ * Round-11 scale-path twin gates (q297+): the operators whose round-10
+ * gate ran on an exact all-pairs baseline get a SECOND gate over their
+ * LSH-bucketed candidate path — same clustering/mining machinery, a pair
+ * source whose plan contains no cartesian or broadcast-nested-loop join
+ * (plan-asserted in PlanShapeSpec). This is the q41→q58 precedent applied
+ * to DBSCAN and margin mining: the exact gate stays as the oracle
+ * baseline; the twin proves the 100 TB code path bit-exactly against its
+ * own DuckDB derivation.
+ */
+object ScalePathQueries {
+
+  // q58's signature machinery: 16 seedless md5-parity hyperplanes,
+  // 4 tables × 4 planes, over the 64-dim embeddings
+  private val sigSql: String =
+    """proj AS (
+      |  SELECT vec_id, p,
+      |    list_sum(list_transform(range(1, len(embedding) + 1),
+      |      d -> embedding[d]::DOUBLE *
+      |        ((strpos('0123456789abcdef',
+      |            substr(md5(p::VARCHAR || '_' || (d - 1)::VARCHAR), 1, 1)) - 1)
+      |          % 2 * 2 - 1))) AS proj
+      |  FROM embeddings CROSS JOIN range(0, 16) t(p)),
+      |sig AS (SELECT vec_id, p // 4 AS tbl,
+      |          CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << (p % 4))
+      |            ELSE 0 END) AS BIGINT) AS sig
+      |        FROM proj GROUP BY vec_id, p // 4)""".stripMargin
+
+  private val cosSql: String =
+    """round(
+      |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+      |       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6)""".stripMargin
+
+  // ── q297: DBSCAN over the LSH-bucketed ε-graph ─────────────────────────
+
+  /** q297: [[Similarity.dbscanClustersFrom]] with the ε-graph from
+    * [[Similarity.cosineNearDupPairsBucketed]] (4 tables × 4 planes,
+    * cosine ≥ 0.375, minPts = 3) — q289's clustering machinery on the
+    * candidate path that survives 10⁶+ vectors. Roles/clusters follow
+    * the BUCKETED neighborhood (a recall-bounded subgraph of q289's
+    * exact ε-graph), and the oracle reproduces the identical candidate
+    * generation, so the gate is bit-exact, not approximate. */
+  def q297DbscanBucketed(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    Similarity.dbscanClustersFrom(
+        Similarity.cosineNearDupPairsBucketed(emb, "vec_id", "embedding",
+            threshold = 0.375, nTables = 4, planesPerTable = 4, dims = 64)
+          .select(col("d1"), col("d2")),
+        emb.select(col("vec_id")), "vec_id", minPts = 3)
+      .orderBy(col("vec_id"))
+  }
+
+  val q297Sql: String =
+    s"""WITH RECURSIVE $sigSql,
+      |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      |         FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig
+      |         WHERE a.vec_id < b.vec_id),
+      |cs AS (SELECT c.d1, c.d2
+      |       FROM cand c JOIN embeddings a ON a.vec_id = c.d1
+      |                   JOIN embeddings b ON b.vec_id = c.d2
+      |       WHERE $cosSql >= 0.375),
+      |sym AS (SELECT d1 AS a, d2 AS b FROM cs
+      |        UNION ALL SELECT d2, d1 FROM cs),
+      |deg AS (SELECT a, COUNT(*) AS c FROM sym GROUP BY 1),
+      |core AS (SELECT a AS node FROM deg WHERE c >= 3),
+      |ce AS (SELECT d1, d2 FROM cs
+      |       WHERE d1 IN (SELECT node FROM core)
+      |         AND d2 IN (SELECT node FROM core)),
+      |e AS (SELECT d1 AS a, d2 AS b FROM ce UNION SELECT d2, d1 FROM ce),
+      |reach(n, m) AS (
+      |  SELECT DISTINCT a AS n, a AS m FROM e
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+      |comp AS (SELECT n, MIN(m) AS c FROM reach GROUP BY n),
+      |cc AS (SELECT core.node, COALESCE(comp.c, core.node) AS cluster
+      |       FROM core LEFT JOIN comp ON comp.n = core.node),
+      |ba AS (SELECT s.a AS node, MIN(cc.cluster) AS cluster
+      |       FROM sym s JOIN cc ON cc.node = s.b
+      |       WHERE s.a NOT IN (SELECT node FROM core) GROUP BY s.a)
+      |SELECT emb.vec_id,
+      |  CASE WHEN cc.node IS NOT NULL THEN 'core'
+      |       WHEN ba.node IS NOT NULL THEN 'border'
+      |       ELSE 'noise' END AS role,
+      |  CAST(COALESCE(cc.cluster, ba.cluster) AS BIGINT) AS cluster
+      |FROM embeddings emb
+      |LEFT JOIN cc ON cc.node = emb.vec_id
+      |LEFT JOIN ba ON ba.node = emb.vec_id
+      |ORDER BY emb.vec_id""".stripMargin
+
+  // ── q298: margin mining over LSH cross-corpus candidates ───────────────
+
+  /** q298: [[Similarity.marginMiningFrom]] over
+    * [[Similarity.crossCorpusCandidates]] (even→odd halves, 4 tables ×
+    * 4 planes, k = 4, τ = 1.05) — q247's ratio-margin criterion with
+    * the candidate pool a real index would supply; neighborhood means
+    * normalize over the pool (the CCMatrix practice). No cartesian in
+    * the plan (PlanShapeSpec-asserted). */
+  def q298MarginBucketed(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    Similarity.marginMiningFrom(
+        Similarity.crossCorpusCandidates(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", nTables = 4, planesPerTable = 4,
+          dims = 64),
+        k = 4, tau = 1.05)
+      .orderBy(col("src_id"))
+  }
+
+  val q298Sql: String =
+    s"""WITH $sigSql,
+      |cand AS (SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS tgt_id
+      |         FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig
+      |         WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+      |p AS (SELECT c.src_id, c.tgt_id,
+      |        CAST($cosSql AS DECIMAL(18,6)) AS c
+      |      FROM cand c JOIN embeddings a ON a.vec_id = c.src_id
+      |                  JOIN embeddings b ON b.vec_id = c.tgt_id),
+      |ra AS (SELECT *, row_number() OVER (PARTITION BY src_id
+      |         ORDER BY c DESC, tgt_id) AS rna FROM p),
+      |sa AS (SELECT src_id, SUM(c) AS sa, COUNT(*) AS ka
+      |       FROM ra WHERE rna <= 4 GROUP BY 1),
+      |rb AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+      |         ORDER BY c DESC, src_id) AS rnb FROM p),
+      |sb AS (SELECT tgt_id, SUM(c) AS sb, COUNT(*) AS kb
+      |       FROM rb WHERE rnb <= 4 GROUP BY 1),
+      |m AS (SELECT p.src_id, p.tgt_id, p.c,
+      |        round(CAST(p.c AS DOUBLE) /
+      |          ((CAST(sa.sa AS DOUBLE) / CAST(sa.ka AS DOUBLE) +
+      |            CAST(sb.sb AS DOUBLE) / CAST(sb.kb AS DOUBLE)) / 2), 6)
+      |          AS margin
+      |      FROM p JOIN sa USING (src_id) JOIN sb USING (tgt_id)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
+      |        ORDER BY margin DESC, tgt_id) AS rn FROM m)
+      |SELECT src_id, tgt_id, CAST(c AS DOUBLE) AS cosine, margin
+      |FROM r WHERE rn = 1 AND margin >= 1.05 ORDER BY src_id""".stripMargin
+}

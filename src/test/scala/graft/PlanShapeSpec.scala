@@ -133,6 +133,29 @@ class PlanShapeSpec extends SparkSpec {
       s"bucketed near-dup must stay equi-join:\n$plan")
   }
 
+  test("bucketed DBSCAN's whole plan is cartesian-free (the scale path)") {
+    // q297 = dbscanClustersFrom over cosineNearDupPairsBucketed: the
+    // ε-graph, CC, degree, and border stages must ALL be equi-joins —
+    // the exact-path q289 keeps its documented all-pairs oracle join,
+    // but the scale path must never nest-loop anywhere
+    val plan = physicalPlan(
+      graft.queries.ScalePathQueries.q297DbscanBucketed(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"bucketed DBSCAN must stay equi-join end to end:\n$plan")
+  }
+
+  test("bucketed margin mining's whole plan is cartesian-free") {
+    // q298 = marginMiningFrom over crossCorpusCandidates: signature
+    // equi-joins + window stages only; the |S|·|T| crossJoin exists
+    // solely in the exact-path baseline (q247)
+    val plan = physicalPlan(
+      graft.queries.ScalePathQueries.q298MarginBucketed(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"bucketed margin mining must stay equi-join end to end:\n$plan")
+  }
+
   test("repetition quality is a pure narrow projection (no shuffle)") {
     val plan = physicalPlan(graft.operators.TextAnalysis.repetitionStats(
       graft.sources.Sources.documents(spark, sf), "doc_id", "text"))
