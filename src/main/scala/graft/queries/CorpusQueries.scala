@@ -443,7 +443,7 @@ object CorpusQueries {
       |    CAST(list_sum(list_transform(range(1, 5), j ->
       |      (strpos('0123456789abcdef',
       |         substr(md5('wq_' || doc_id), j, 1)) - 1)
-      |        * power(16, 4 - j))) AS DOUBLE) AS bk
+      |        * (1::BIGINT << (4 * (4 - j))))) AS DOUBLE) AS bk
       |  FROM q),
       |kept AS (SELECT lang, count(*) AS n_kept FROM b
       |         WHERE bk < alpha_ratio * 65536.0 GROUP BY lang),

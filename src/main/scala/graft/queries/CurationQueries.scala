@@ -216,10 +216,10 @@ object CurationQueries {
       |hw AS (SELECT doc_id,
       |         CAST(list_sum(list_transform(range(1, 9), j ->
       |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
-      |             * power(16, 8 - j))) AS BIGINT) AS h1,
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h1,
       |         CAST(list_sum(list_transform(range(1, 9), j ->
       |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
-      |             * power(16, 8 - j))) AS BIGINT) AS h2
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h2
       |       FROM sh),
       |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
       |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),

@@ -80,10 +80,10 @@ object FrontierQueries {
       |hw AS (SELECT doc_id,
       |         CAST(list_sum(list_transform(range(1, 9), j ->
       |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
-      |             * power(16, 8 - j))) AS BIGINT) AS h1,
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h1,
       |         CAST(list_sum(list_transform(range(1, 9), j ->
       |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
-      |             * power(16, 8 - j))) AS BIGINT) AS h2
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h2
       |       FROM sh),
       |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
       |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
@@ -267,7 +267,7 @@ object FrontierQueries {
       |        CAST(list_sum(list_transform(range(1, 9), j ->
       |          (strpos('0123456789abcdef',
       |             substr(md5('ict_' || doc_id), j, 1)) - 1)
-      |            * power(16, 8 - j))) AS BIGINT) % (n - 7) AS qs
+      |            * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) % (n - 7) AS qs
       |      FROM f)
       |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
       |  CAST(qs AS BIGINT) AS q_start,
@@ -341,10 +341,10 @@ object FrontierQueries {
       |hw AS (SELECT doc_id,
       |         CAST(list_sum(list_transform(range(1, 9), j ->
       |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
-      |             * power(16, 8 - j))) AS BIGINT) AS h1,
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h1,
       |         CAST(list_sum(list_transform(range(1, 9), j ->
       |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
-      |             * power(16, 8 - j))) AS BIGINT) AS h2
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h2
       |       FROM sh),
       |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
       |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
@@ -580,7 +580,7 @@ object FrontierQueries {
   private def hash32Sql(arg: String): String =
     s"""CAST(list_sum(list_transform(range(1, 9), j ->
        |  (strpos('0123456789abcdef', substr(md5($arg), j, 1)) - 1)
-       |    * power(16, 8 - j))) AS BIGINT)""".stripMargin
+       |    * (1::BIGINT << (4 * (8 - j))))) AS BIGINT)""".stripMargin
 
   // ── q290: fill-in-the-middle split planning ────────────────────────────
 

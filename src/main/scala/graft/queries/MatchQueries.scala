@@ -103,14 +103,14 @@ object MatchQueries {
       |        CAST(list_sum(list_transform(range(1, 9), j ->
       |          (strpos('0123456789abcdef',
       |             substr(md5('cms' || r || '_' || word), j, 1)) - 1)
-      |            * power(16, 8 - j))) AS BIGINT) % 256 AS bucket
+      |            * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) % 256 AS bucket
       |      FROM w CROSS JOIN range(0, 4) t(r)),
       |cnt AS (SELECT r, bucket, count(*) AS cnt FROM b GROUP BY r, bucket),
       |pr AS (SELECT t.word, s.r,
       |         CAST(list_sum(list_transform(range(1, 9), j ->
       |           (strpos('0123456789abcdef',
       |              substr(md5('cms' || s.r || '_' || t.word), j, 1)) - 1)
-      |             * power(16, 8 - j))) AS BIGINT) % 256 AS bucket
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) % 256 AS bucket
       |       FROM top t CROSS JOIN range(0, 4) s(r))
       |SELECT t.word, t.exact_n, MIN(COALESCE(c.cnt, 0)) AS est_n
       |FROM pr JOIN top t USING (word)

@@ -375,14 +375,14 @@ object MiningQueries {
       |               CAST(list_sum(list_transform(range(1, 9), j ->
       |                 (strpos('0123456789abcdef', substr(
       |                    md5('g254_' || doc_id || '_' || b), j, 1)) - 1)
-      |                   * power(16, 8 - j))) AS BIGINT) % 18)
+      |                   * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) % 18)
       |           ELSE [] END,
       |           CASE WHEN rem >= 3 THEN
       |             [nb * 20 +
       |               CAST(list_sum(list_transform(range(1, 9), j ->
       |                 (strpos('0123456789abcdef', substr(
       |                    md5('g254_' || doc_id || '_t'), j, 1)) - 1)
-      |                   * power(16, 8 - j))) AS BIGINT) % (rem - 3 + 1)]
+      |                   * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) % (rem - 3 + 1)]
       |           ELSE [] END) AS starts
       |      FROM p)
       |SELECT doc_id, n AS n_words,
@@ -860,7 +860,7 @@ object MiningQueries {
       |        ln(CAST(CAST(list_sum(list_transform(range(1, 13), j ->
       |          (strpos('0123456789abcdef',
       |             substr(md5('g263_' || vec_id), j, 1)) - 1)
-      |            * power(16, 12 - j))) AS BIGINT) + 1 AS DOUBLE)
+      |            * (1::BIGINT << (4 * (12 - j))))) AS BIGINT) + 1 AS DOUBLE)
       |          / 281474976710656.0) / q AS aes
       |      FROM qq),
       |r AS (SELECT *, row_number() OVER (ORDER BY aes DESC, vec_id) AS rn
@@ -1351,10 +1351,10 @@ object MiningQueries {
       |hw AS (SELECT doc_id,
       |         CAST(list_sum(list_transform(range(1, 9), j ->
       |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
-      |             * power(16, 8 - j))) AS BIGINT) AS h1,
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h1,
       |         CAST(list_sum(list_transform(range(1, 9), j ->
       |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
-      |             * power(16, 8 - j))) AS BIGINT) AS h2
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h2
       |       FROM sh),
       |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) % 2 AS bit
       |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),

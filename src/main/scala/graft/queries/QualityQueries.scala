@@ -272,7 +272,7 @@ object QualityQueries {
       |       FROM ws WHERE len(w) >= 3),
       |h AS (SELECT DISTINCT source, CAST(list_sum(list_transform(range(1, 9),
       |        j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
-      |          * power(16, 8 - j))) AS BIGINT) AS h
+      |          * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h
       |      FROM sh),
       |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source
       |         ORDER BY h) AS rn FROM h),

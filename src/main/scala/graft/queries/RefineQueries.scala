@@ -729,7 +729,7 @@ object RefineQueries {
     """WITH h AS (SELECT source,
       |    CAST(list_sum(list_transform(range(1, 9), j ->
       |      (strpos('0123456789abcdef', substr(md5(text), j, 1)) - 1)
-      |        * power(16, 8 - j))) AS BIGINT) AS h
+      |        * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h
       |  FROM documents),
       |hh AS (SELECT source, h FROM h UNION ALL SELECT 'ALL', h FROM h),
       |b AS (SELECT source, h >> 24 AS bucket, h & 16777215 AS rest
@@ -1059,7 +1059,7 @@ object RefineQueries {
     s"""CAST(list_sum(list_transform(range(1, 9), j ->
        |      (strpos('0123456789abcdef',
        |         substr(md5('bf' || r.r || '_' || $textExpr), j, 1)) - 1)
-       |        * power(16, 8 - j))) AS BIGINT) % 4096""".stripMargin
+       |        * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) % 4096""".stripMargin
 
   val q235Sql: String =
     s"""WITH snap AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
