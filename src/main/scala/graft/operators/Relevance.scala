@@ -826,7 +826,9 @@ object Relevance {
     val wIdeal = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("graft_rel").desc, col(tieCol))
     def gain(posCol: org.apache.spark.sql.Column) =
-      round((pow(lit(2.0), col("graft_rel").cast(DoubleType)) - lit(1.0)) /
+      round((call_function("shiftleft", lit(1L), col("graft_rel").cast("int"))
+          - lit(1L))
+        .cast(DoubleType) /
         log(posCol.cast(DoubleType) + lit(1.0)), 6)
         .cast(DecimalType(38, 6))
     val ranked = df

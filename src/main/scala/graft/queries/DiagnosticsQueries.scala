@@ -1139,7 +1139,7 @@ object DiagnosticsQueries {
       |p AS (SELECT doc_id, s.pos AS pos,
       |        CAST(list_sum(list_transform(range(1, 11), j ->
       |          (strpos('0123456789abcdef', substr(md5(s.g), j, 1)) - 1)
-      |          * pow(16, 10 - j))) AS BIGINT) * 1048576 + s.pos AS enc
+      |          * (1::BIGINT << (4 * (10 - j))))) AS BIGINT) * 1048576 + s.pos AS enc
       |      FROM g),
       |m AS (SELECT doc_id, pos,
       |        min(enc) OVER (PARTITION BY doc_id ORDER BY pos
@@ -1194,7 +1194,7 @@ object DiagnosticsQueries {
       |          (strpos('0123456789abcdef', substr(md5('bs'
       |             || CAST(b AS VARCHAR) || '_'
       |             || CAST(doc_id AS VARCHAR)), j, 1)) - 1)
-      |          * pow(16, 12 - j))) AS BIGINT) + 1)
+      |          * (1::BIGINT << (4 * (12 - j))))) AS BIGINT) + 1)
       |          / 281474976710656.0 AS uu
       |      FROM r),
       |w AS (SELECT lang, b, n_chars,

@@ -391,11 +391,11 @@ object GraphEvalQueries {
       |      FROM d),
       |g AS (SELECT lang, count(*) AS n_items,
       |        SUM(CASE WHEN pos <= 10 THEN
-      |          CAST(round((pow(2.0, rel) - 1.0)
+      |          CAST(round(CAST((1::BIGINT << rel) - 1 AS DOUBLE)
       |            / ln(CAST(pos AS DOUBLE) + 1.0), 6) AS DECIMAL(38,6))
       |          ELSE CAST(0 AS DECIMAL(38,6)) END) AS dcgd,
       |        SUM(CASE WHEN ipos <= 10 THEN
-      |          CAST(round((pow(2.0, rel) - 1.0)
+      |          CAST(round(CAST((1::BIGINT << rel) - 1 AS DOUBLE)
       |            / ln(CAST(ipos AS DOUBLE) + 1.0), 6) AS DECIMAL(38,6))
       |          ELSE CAST(0 AS DECIMAL(38,6)) END) AS idcgd
       |      FROM r GROUP BY lang)

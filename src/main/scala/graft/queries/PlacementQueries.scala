@@ -39,7 +39,7 @@ object PlacementQueries {
       |          (strpos('0123456789abcdef', substr(md5('rv'
       |             || CAST(shard AS VARCHAR) || '_'
       |             || CAST(doc_id AS VARCHAR)), j, 1)) - 1)
-      |          * pow(16, 12 - j))) AS BIGINT) AS hv
+      |          * (1::BIGINT << (4 * (12 - j))))) AS BIGINT) AS hv
       |      FROM f),
       |a AS (SELECT doc_id, n_chars, shard FROM h
       |      QUALIFY row_number() OVER (PARTITION BY doc_id
@@ -154,7 +154,7 @@ object PlacementQueries {
       |    CAST(list_sum(list_transform(range(1, 13), j ->
       |      (strpos('0123456789abcdef', substr(md5('aes_'
       |         || CAST(doc_id AS VARCHAR)), j, 1)) - 1)
-      |      * pow(16, 12 - j))) AS BIGINT) AS hv
+      |      * (1::BIGINT << (4 * (12 - j))))) AS BIGINT) AS hv
       |  FROM documents),
       |k AS (SELECT lang, doc_id, n_chars,
       |        ln((hv + 1) / 281474976710656.0) / n_chars AS key
@@ -194,7 +194,7 @@ object PlacementQueries {
       |          (strpos('0123456789abcdef', substr(md5('rv'
       |             || CAST(shard AS VARCHAR) || '_'
       |             || CAST(doc_id AS VARCHAR)), j, 1)) - 1)
-      |          * pow(16, 12 - j))) AS BIGINT) AS hv
+      |          * (1::BIGINT << (4 * (12 - j))))) AS BIGINT) AS hv
       |      FROM f),
       |a8 AS (SELECT doc_id, shard AS s8 FROM h WHERE shard < 8
       |       QUALIFY row_number() OVER (PARTITION BY doc_id

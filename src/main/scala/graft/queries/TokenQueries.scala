@@ -147,7 +147,7 @@ object TokenQueries {
       |          (CAST(list_sum(list_transform(range(1, 13), j ->
       |             (strpos('0123456789abcdef', substr(md5('g195_'
       |                || CAST(d.doc_id AS VARCHAR)), j, 1)) - 1)
-      |             * pow(16, 12 - j))) AS BIGINT) + 0.5)
+      |             * (1::BIGINT << (4 * (12 - j))))) AS BIGINT) + 0.5)
       |          / 281474976710656.0)), 6) AS DECIMAL(18,6)) AS gkey
       |      FROM documents d JOIN lw ON d.doc_id = lw.doc_id),
       |sel AS (SELECT * FROM g ORDER BY gkey DESC, doc_id LIMIT 20)
