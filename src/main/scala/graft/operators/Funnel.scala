@@ -309,17 +309,21 @@ object Funnel {
       col("graft_s2").cast(DoubleType) / col("n_gaps") - mean * mean,
       lit(0.0))
     val std = sqrt(variance)
-    // reported in SECONDS: a µs mean near 10¹⁰ would need ~17 significant
-    // digits for its 6th decimal — beyond double precision, so engines
-    // disagree on the phantom digits; at seconds scale the 6-dp digit is
-    // comfortably inside the mantissa. The dimensionless burstiness
-    // ratio uses the raw µs doubles (scale cancels).
+    // mean gap is reported in exact integer MICROSECONDS (= micro-units
+    // of seconds): Σgap/n is an exact rational whose 6-dp double
+    // rounding can land on engine-divergent half-boundary ties, so it
+    // goes through ExactRound instead. std stays a seconds double: its
+    // sqrt is irrational (never on a rounding boundary) and
+    // division/sqrt are correctly rounded in both engines. The
+    // dimensionless burstiness ratio uses the raw µs doubles (scale
+    // cancels).
     gaps.groupBy(col(userCol))
       .agg(count(lit(1)).as("n_gaps"),
         sum(col("graft_gap")).as("graft_s1"),
         sum(round(g * g, 6).cast(DecimalType(38, 6))).as("graft_s2"))
       .select(col(userCol), col("n_gaps"),
-        round(mean / 1000000.0, 6).as("mean_gap_s"),
+        ExactRound.halfAwayDiv(col("graft_s1"), col("n_gaps"))
+          .as("mean_gap_us"),
         round(std / 1000000.0, 6).as("std_gap_s"),
         when(std + mean > 0.0,
           round((std - mean) / (std + mean), 6)).as("burstiness"))

@@ -127,8 +127,8 @@ object Relevance {
           .cast(DecimalType(18, 6)) * col("tf"))
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"),
-        round(sum(col("contrib")).cast(DoubleType) / sum(col("tf")), 6)
-          .as("avg_logp"))
+        ExactRound.microOfRatio(sum(col("contrib")), sum(col("tf")))
+          .as("avg_logp_micro"))
   }
 
   /**
@@ -290,8 +290,8 @@ object Relevance {
           .cast(DecimalType(18, 6)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        round((sum(col("graft_term")).cast(DoubleType) / count(lit(1))), 6)
-          .as("avg_logp"))
+        ExactRound.microOfRatio(sum(col("graft_term")), count(lit(1)))
+          .as("avg_logp_micro"))
   }
 
   /**

@@ -89,7 +89,9 @@ object TextAnalysis {
    * crawl snapshot…) — the calibration step before a single global
    * quality cut, since raw scores aren't comparable across sources (one
    * crawl's 0.8 is another's 0.5). percent_rank = (rank−1)/(n−1),
-   * rounded to 6 dp; single-row strata normalize to 0.
+   * emitted in exact ppm units (half-away integer rounding of
+   * 10⁶·(rank−1)/(n−1) — [[ExactRound]], engine-portable); single-row
+   * strata normalize to 0.
    *
    * Scale shape: ONE window partitioned by the stratum column — state
    * per task is a partition of one stratum, never the corpus; there is
@@ -99,10 +101,17 @@ object TextAnalysis {
    */
   def quantileNormalize(df: org.apache.spark.sql.DataFrame,
                         strataCol: String, scoreCol: String,
-                        outCol: String = "q_norm"): org.apache.spark.sql.DataFrame = {
+                        outCol: String = "q_norm_ppm"): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(col(scoreCol))
-    df.withColumn(outCol, round(percent_rank().over(w), 6))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+    df.withColumn(outCol,
+      when(count(lit(1)).over(wAll) > 1,
+        ExactRound.halfAwayDiv(
+          (rank().over(w) - lit(1)).cast("long") * lit(1000000L),
+          count(lit(1)).over(wAll).cast("long") - lit(1L)))
+        .otherwise(lit(0L)))
   }
 
   /**

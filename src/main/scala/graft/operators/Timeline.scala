@@ -236,17 +236,27 @@ object Timeline {
         round(col(valueCol).cast(DoubleType), 6)
           .cast(DecimalType(18, 6)).as("graft_rv"))
       .groupBy(col(entityCol), col("graft_day"))
-      .agg((sum(col("graft_rv")).cast(DoubleType) / count(lit(1)))
-        .as("graft_y"))
+      .agg(sum(col("graft_rv")).as("graft_sy"),
+        count(lit(1)).as("graft_c"))
     val a = daily.select(col(entityCol), col("graft_day").as("graft_d1"),
-      col("graft_y").as("graft_y1"))
+      col("graft_sy").as("graft_sy1"), col("graft_c").as("graft_c1"))
     val b = daily.select(col(entityCol), col("graft_day").as("graft_d2"),
-      col("graft_y").as("graft_y2"))
+      col("graft_sy").as("graft_sy2"), col("graft_c").as("graft_c2"))
+    // Each pair slope (ȳ2−ȳ1)/(d2−d1) is carried as the exact rational
+    // num/den (num DECIMAL-scale-6, den positive int): the double form
+    // orders the pairs (correctly-rounded division — engine-identical),
+    // and the selected median is emitted via ExactRound in micro-units,
+    // so the hashed value can never sit on a half-boundary tie.
     val pairs = a.join(b, Seq(entityCol))
       .filter(col("graft_d2") > col("graft_d1"))
+      .withColumn("graft_num",
+        col("graft_sy2") * col("graft_c1") - col("graft_sy1") * col("graft_c2"))
+      .withColumn("graft_den",
+        col("graft_c1") * col("graft_c2") *
+          (col("graft_d2") - col("graft_d1")))
       .withColumn("graft_slope",
-        (col("graft_y2") - col("graft_y1")) /
-          (col("graft_d2") - col("graft_d1")).cast(DoubleType))
+        (col("graft_num") * lit(1000000L)).cast(LongType).cast(DoubleType) /
+          col("graft_den").cast(DoubleType))
     val w = Window.partitionBy(col(entityCol))
       .orderBy(col("graft_slope"), col("graft_d1"), col("graft_d2"))
     val counted = pairs
@@ -257,7 +267,8 @@ object Timeline {
       .filter(col("graft_rn") ===
         call_function("div", col("graft_np") + 1, lit(2L)))
       .select(col(entityCol), col("graft_np").as("n_pairs"),
-        round(col("graft_slope"), 6).as("slope_per_bucket"))
+        ExactRound.microOfRatio(col("graft_num"), col("graft_den"))
+          .as("slope_micro"))
   }
 
   /** Per-(entity, bucket) closing value: the LAST observation in the
@@ -308,12 +319,16 @@ object Timeline {
     val variance = greatest(
       col("graft_s2").cast(DoubleType) / col("n_returns") - mean * mean,
       lit(0.0))
+    // mean return: Σr̂/n is an exact rational (r̂ 6-dp decimals) →
+    // ExactRound micro-units, never a half-boundary tie. volatility's
+    // sqrt is irrational and correctly rounded — safe as a double.
     returns.groupBy(col(entityCol))
       .agg(count(lit(1)).as("n_returns"),
         sum(round(r, 6).cast(DecimalType(18, 6))).as("graft_s1"),
         sum(round(r * r, 6).cast(DecimalType(28, 6))).as("graft_s2"))
       .select(col(entityCol), col("n_returns"),
-        round(mean, 6).as("mean_return"),
+        ExactRound.microOfRatio(col("graft_s1"), col("n_returns"))
+          .as("mean_return_micro"),
         round(sqrt(variance), 6).as("volatility"))
   }
 

@@ -45,6 +45,19 @@ object VectorAggs {
       .agg(round(sum(dec6(col("x"))).cast(DoubleType) / count(lit(1)), 6)
         .as("centroid"))
 
+  /** [[centroids]] with an engine-portable hashed surface: the mean
+    * component in exact micro-units (half-away integer rounding of
+    * 10⁶·Σx/n — [[ExactRound]]). The decimal sum is exact, so the
+    * quotient is an exact rational: `round(double, 6)` of it can land on
+    * a half-boundary tie that engines break differently; the integer
+    * form cannot. */
+  def centroidsMicro(df: DataFrame, labelCol: String,
+                     vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(ExactRound.microOfRatio(sum(dec6(col("x"))), count(lit(1)))
+        .as("centroid_micro"))
+
   /**
    * Embedding drift per label: the cosine between the centroids of two
    * halves of the data (`splitCol` = 0/1 — old/new snapshot, train/eval

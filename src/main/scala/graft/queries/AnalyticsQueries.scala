@@ -494,17 +494,26 @@ object AnalyticsQueries {
   // ── q54: vector centroids (exact distributed mean per dimension) ───────
 
   /** q54: per-label embedding centroid, long format — posexplode +
-    * (label, dim) aggregation with exact decimal accumulation. */
+    * (label, dim) aggregation with exact decimal accumulation; the mean
+    * is hashed in exact micro-units (ExactRound — the decimal-sum/count
+    * quotient is an exact rational, so a rounded double would sit on
+    * engine-divergent half-boundary ties). */
   def q54VectorCentroid(s: SparkSession, dir: String): DataFrame =
-    VectorAggs.centroids(Sources.embeddings(s, dir), "label", "embedding")
+    VectorAggs.centroidsMicro(Sources.embeddings(s, dir), "label",
+        "embedding")
       .orderBy(col("label"), col("dim"))
 
   val q54Sql: String =
-    """SELECT label, d - 1 AS dim,
-      |  round(CAST(SUM(CAST(round(embedding[d]::DOUBLE, 6)
-      |    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS centroid
-      |FROM embeddings CROSS JOIN range(1, 65) t(d)
-      |GROUP BY label, d ORDER BY label, dim""".stripMargin
+    """WITH s AS (SELECT label, d - 1 AS dim,
+      |    CAST(SUM(CAST(round(embedding[d]::DOUBLE, 6)
+      |      AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sm,
+      |    COUNT(*) AS n
+      |  FROM embeddings CROSS JOIN range(1, 65) t(d)
+      |  GROUP BY label, d)
+      |SELECT label, dim,
+      |  CASE WHEN sm < 0 THEN -((2 * (-sm) + n) // (2 * n))
+      |       ELSE (2 * sm + n) // (2 * n) END AS centroid_micro
+      |FROM s ORDER BY label, dim""".stripMargin
 
   // ── q55: IVF approximate nearest neighbor ──────────────────────────────
 

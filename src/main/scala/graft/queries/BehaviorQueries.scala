@@ -125,13 +125,14 @@ object BehaviorQueries {
       |        SUM(CAST(round(CAST(gap AS DOUBLE) * gap, 6)
       |          AS DECIMAL(38,6))) AS s2
       |      FROM g WHERE gap IS NOT NULL GROUP BY user_id),
-      |m AS (SELECT user_id, n_gaps,
+      |m AS (SELECT user_id, n_gaps, s1,
       |        CAST(s1 AS DOUBLE) / n_gaps AS mean,
       |        sqrt(GREATEST(CAST(s2 AS DOUBLE) / n_gaps
       |          - (CAST(s1 AS DOUBLE) / n_gaps)
       |            * (CAST(s1 AS DOUBLE) / n_gaps), 0.0)) AS std
       |      FROM s)
-      |SELECT user_id, n_gaps, round(mean / 1000000.0, 6) AS mean_gap_s,
+      |SELECT user_id, n_gaps,
+      |  (2 * s1 + n_gaps) // (2 * n_gaps) AS mean_gap_us,
       |  round(std / 1000000.0, 6) AS std_gap_s,
       |  CASE WHEN std + mean > 0.0
       |    THEN round((std - mean) / (std + mean), 6) END AS burstiness

@@ -204,11 +204,14 @@ object CorpusQueries {
       |sc AS (SELECT tf.doc_id, tf.tf,
       |         CAST(round(ln(CAST(ct.ct AS DOUBLE) / n.n_total), 6)
       |           AS DECIMAL(18,6)) * tf.tf AS contrib
-      |       FROM tf JOIN ct USING (term) CROSS JOIN n)
-      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-      |  round(CAST(SUM(contrib) AS DOUBLE) / CAST(SUM(tf) AS BIGINT), 6)
-      |    AS avg_logp
-      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |       FROM tf JOIN ct USING (term) CROSS JOIN n),
+      |agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |          CAST(SUM(contrib) * 1000000 AS BIGINT) AS sm
+      |        FROM sc GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  CASE WHEN sm < 0 THEN -((2 * (-sm) + n_tokens) // (2 * n_tokens))
+      |       ELSE (2 * sm + n_tokens) // (2 * n_tokens) END AS avg_logp_micro
+      |FROM agg ORDER BY doc_id""".stripMargin
 
   // ── q86: vocabulary coverage curve (tokenizer sizing) ──────────────────
 
@@ -457,31 +460,33 @@ object CorpusQueries {
     * per-language quota (en gets 4 000) — the quota form of corpus
     * mixing. One stratum-partitioned window; no global machinery. */
   def q107SourceQuota(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{Selection, TextAnalysis}
-    val alpha = TextAnalysis.qualityCols(col("text")).toMap.apply("alpha_ratio")
+    import graft.operators.{ExactRound, Selection}
     val scored = Sources.documents(s, dir).select(col("doc_id"), col("lang"),
-      round(alpha, 6).as("alpha_ratio"),
+      ExactRound.halfAwayDiv(
+        length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+          .cast("long") * lit(1000000L),
+        length(col("text")).cast("long")).as("alpha_ppm"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
     Selection.underBudgetPerStratum(scored, "n_tokens", "lang",
-        Seq(col("alpha_ratio").desc, col("doc_id").asc),
+        Seq(col("alpha_ppm").desc, col("doc_id").asc),
         budgets = Map("en" -> 4000L), defaultBudget = 2000L)
-      .select(col("doc_id"), col("lang"), col("alpha_ratio"),
+      .select(col("doc_id"), col("lang"), col("alpha_ppm"),
         col("n_tokens"), col("cum_before"))
       .orderBy(col("doc_id"))
   }
 
   val q107Sql: String =
     """WITH q AS (SELECT doc_id, lang,
-      |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-      |      AS DOUBLE) / length(text), 6) AS alpha_ratio,
+      |    (2 * 1000000 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+      |      + length(text)) // (2 * length(text)) AS alpha_ppm,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM documents),
       |o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
-      |        PARTITION BY lang ORDER BY alpha_ratio DESC, doc_id
+      |        PARTITION BY lang ORDER BY alpha_ppm DESC, doc_id
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       |      AS BIGINT) AS cum_before
       |  FROM q)
-      |SELECT doc_id, lang, alpha_ratio, n_tokens, cum_before FROM o
+      |SELECT doc_id, lang, alpha_ppm, n_tokens, cum_before FROM o
       |WHERE cum_before + n_tokens
       |      <= CASE WHEN lang = 'en' THEN 4000 ELSE 2000 END
       |ORDER BY doc_id""".stripMargin

@@ -106,23 +106,30 @@ object CurationQueries {
     * source — the cross-source score-comparability step before a global
     * quality cut. One window partitioned by source; no global sort. */
   def q91QuantileNormalize(s: SparkSession, dir: String): DataFrame = {
-    val alpha = TextAnalysis.qualityCols(col("text")).toMap.apply("alpha_ratio")
-    val scored = Sources.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-        round(alpha, 6).as("alpha_ratio"))
-    TextAnalysis.quantileNormalize(scored, "source", "alpha_ratio")
+    val docs = Sources.documents(s, dir)
+    val scored = docs.select(col("doc_id"), col("source"),
+      graft.operators.ExactRound.halfAwayDiv(
+        length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+          .cast("long") * lit(1000000L),
+        length(col("text")).cast("long")).as("alpha_ppm"))
+    TextAnalysis.quantileNormalize(scored, "source", "alpha_ppm")
       .orderBy(col("doc_id"))
   }
 
   val q91Sql: String =
     """WITH q AS (SELECT doc_id, source,
-      |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-      |      AS DOUBLE) / length(text), 6) AS alpha_ratio
-      |  FROM documents)
-      |SELECT doc_id, source, alpha_ratio,
-      |  round(percent_rank() OVER (
-      |    PARTITION BY source ORDER BY alpha_ratio), 6) AS q_norm
-      |FROM q ORDER BY doc_id""".stripMargin
+      |    (2 * 1000000 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+      |      + length(text)) // (2 * length(text)) AS alpha_ppm
+      |  FROM documents),
+      |r AS (SELECT doc_id, source, alpha_ppm,
+      |        rank() OVER (PARTITION BY source ORDER BY alpha_ppm) AS rk,
+      |        count(*) OVER (PARTITION BY source) AS np
+      |      FROM q)
+      |SELECT doc_id, source, alpha_ppm,
+      |  CASE WHEN np > 1
+      |    THEN (2 * 1000000 * (rk - 1) + (np - 1)) // (2 * (np - 1))
+      |    ELSE 0 END AS q_norm_ppm
+      |FROM r ORDER BY doc_id""".stripMargin
 
   // ── q61: deterministic distributed k-means (2 Lloyd rounds) ────────────
 

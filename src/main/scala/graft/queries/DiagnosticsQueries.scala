@@ -732,10 +732,15 @@ object DiagnosticsQueries {
       |tm AS (SELECT p.doc_id,
       |    CAST(round(ln(CAST(c.c_xy + 1 AS DOUBLE)
       |      / CAST(u.c_x + v.v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
-      |  FROM p JOIN cxy c USING (x, y) JOIN cx u USING (x) CROSS JOIN v)
-      |SELECT doc_id, COUNT(*) AS n_bigrams,
-      |  round(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_logp
-      |FROM tm GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |  FROM p JOIN cxy c USING (x, y) JOIN cx u USING (x) CROSS JOIN v),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |          CAST(SUM(term) * 1000000 AS BIGINT) AS sm
+      |        FROM tm GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  CASE WHEN sm < 0 THEN -((2 * (-sm) + n_bigrams) // (2 * n_bigrams))
+      |       ELSE (2 * sm + n_bigrams) // (2 * n_bigrams)
+      |  END AS avg_logp_micro
+      |FROM agg ORDER BY doc_id""".stripMargin
 
   // ── q131: kNN label propagation audit ──────────────────────────────────
 

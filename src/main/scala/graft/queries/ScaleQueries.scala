@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, StringType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Chunking, Graph, LatestSnapshot, Layout, Multimodal, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{Chunking, ExactRound => Exact, Graph, LatestSnapshot, Layout, Multimodal, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-4 widening of the training-pipeline surface: duplicate CLUSTERS
@@ -62,17 +62,20 @@ object ScaleQueries {
     val pairs = TextDedup.minHashLshPairs(docs, "doc_id", "text",
       k = 16, r = 4, w = 3, threshold = 0.5)
     val comp = Graph.connectedComponents(pairs, "d1", "d2")
-    val alpha = TextAnalysis.qualityCols(col("text")).toMap.apply("alpha_ratio")
-    val quality = docs.select(col("doc_id"), round(alpha, 6).as("alpha_ratio"))
+    val quality = docs.select(col("doc_id"),
+      Exact.halfAwayDiv(
+        length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+          .cast("long") * lit(1000000L),
+        length(col("text")).cast("long")).as("alpha_ppm"))
     val scored = comp.join(quality, comp("node") === quality("doc_id"))
-      .select(col("component"), col("doc_id"), col("alpha_ratio"))
+      .select(col("component"), col("doc_id"), col("alpha_ppm"))
     val best = LatestSnapshot.topK(scored, Seq("component"),
-      col("alpha_ratio").desc, Seq(col("doc_id").asc), 1)
+      col("alpha_ppm").desc, Seq(col("doc_id").asc), 1)
     val sizes = comp.groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"))
     best.join(sizes, "component")
       .select(col("component"), col("n_members"),
-        col("doc_id").as("survivor_id"), col("alpha_ratio").as("best_alpha"))
+        col("doc_id").as("survivor_id"), col("alpha_ppm").as("best_alpha_ppm"))
       .orderBy(col("component"))
   }
 
@@ -91,15 +94,15 @@ object ScaleQueries {
        |csz AS (SELECT component, COUNT(*) AS n_members
        |        FROM comp GROUP BY component),
        |q AS (SELECT doc_id,
-       |        round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-       |          AS DOUBLE) / length(text), 6) AS alpha_ratio
+       |        (2 * 1000000 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+       |          + length(text)) // (2 * length(text)) AS alpha_ppm
        |      FROM documents),
-       |r AS (SELECT c.component, c.doc_id, q.alpha_ratio, row_number() OVER (
+       |r AS (SELECT c.component, c.doc_id, q.alpha_ppm, row_number() OVER (
        |        PARTITION BY c.component
-       |        ORDER BY q.alpha_ratio DESC, c.doc_id ASC) AS rn
+       |        ORDER BY q.alpha_ppm DESC, c.doc_id ASC) AS rn
        |      FROM comp c JOIN q USING (doc_id))
        |SELECT r.component, s.n_members, r.doc_id AS survivor_id,
-       |  r.alpha_ratio AS best_alpha
+       |  r.alpha_ppm AS best_alpha_ppm
        |FROM r JOIN csz s USING (component) WHERE rn = 1
        |ORDER BY r.component""".stripMargin
 
@@ -123,8 +126,9 @@ object ScaleQueries {
       .groupBy(least(col("src1"), col("src2")).as("src_a"),
         greatest(col("src1"), col("src2")).as("src_b"))
       .agg(count(lit(1)).as("n_pairs"),
-        round(sum(round(col("jaccard"), 6).cast(DecimalType(18, 6)))
-          .cast(DoubleType) / count(lit(1)), 6).as("avg_jaccard"))
+        Exact.microOfRatio(
+          sum(round(col("jaccard"), 6).cast(DecimalType(18, 6))),
+          count(lit(1))).as("avg_jaccard_micro"))
       .orderBy(col("src_a"), col("src_b"))
   }
 
@@ -140,7 +144,8 @@ object ScaleQueries {
        |      FROM pairs p JOIN src a ON p.d1 = a.doc_id
        |                   JOIN src b ON p.d2 = b.doc_id)
        |SELECT src_a, src_b, COUNT(*) AS n_pairs,
-       |  round(CAST(SUM(jd) AS DOUBLE) / COUNT(*), 6) AS avg_jaccard
+       |  (2 * CAST(SUM(jd) * 1000000 AS BIGINT) + COUNT(*))
+       |    // (2 * COUNT(*)) AS avg_jaccard_micro
        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ── q99: degree-capped dedup graph ─────────────────────────────────────
@@ -523,43 +528,90 @@ object ScaleQueries {
 
   // ── q74: winsorized aggregation (outlier-robust rollup) ────────────────
 
-  /** q74: per-group winsorization — clamp prices into the group's exact
-    * [p05, p95] band, then aggregate. The 3-row percentile table rides a
-    * broadcast join; clamping is narrow; sums are decimal (order-
-    * independent). The outlier-robust cousin of q43's percentile rollup. */
+  /** q74: per-group winsorization — clamp prices into the group's
+    * [p05, p95] band, then aggregate. The percentile band is computed as
+    * an EXACT decimal order statistic (linear interpolation with the
+    * integer remainder r = p·(n−1) mod 100, all values ×100 so no
+    * division ever happens): an interpolated double percentile can land
+    * within an ulp of a cent midpoint, flipping `round(clamped, 2)` for
+    * every clamped row at once across engines. All hashed values are
+    * exact decimals/integers. The band rides a broadcast join; sums are
+    * decimal (order-independent). */
   def q74Winsorize(s: SparkSession, dir: String): DataFrame = {
     val li = Sources.lineitem(s, dir)
-    val bands = li.groupBy(col("l_returnflag"))
-      .agg(percentile(col("l_extendedprice"), lit(0.05)).as("lo"),
-        percentile(col("l_extendedprice"), lit(0.95)).as("hi"))
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice"), 2).cast(DecimalType(18, 2)).as("pd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("pd"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+    val ranked = li
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+    def bandCols(p: Int, pfx: String) = {
+      val i0 = call_function("div", lit(p) * (col("n") - 1), lit(100L)) + 1
+      val r = (lit(p) * (col("n") - 1)) % 100
+      Seq(
+        max(when(col("rn") === i0, col("pd"))).as(s"${pfx}1"),
+        max(when(col("rn") === i0 + 1, col("pd"))).as(s"${pfx}2"),
+        max(r).as(s"${pfx}r"))
+    }
+    val bands = ranked.groupBy(col("l_returnflag"))
+      .agg((bandCols(5, "lo") ++ bandCols(95, "hi")).head,
+        (bandCols(5, "lo") ++ bandCols(95, "hi")).tail: _*)
+      .select(col("l_returnflag"),
+        ((lit(100) - col("lor")) * col("lo1") +
+          col("lor") * coalesce(col("lo2"), col("lo1"))).as("lo100"),
+        ((lit(100) - col("hir")) * col("hi1") +
+          col("hir") * coalesce(col("hi2"), col("hi1"))).as("hi100"))
     li.join(broadcast(bands), "l_returnflag")
-      .withColumn("clamped",
-        least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+      .withColumn("p100", (col("pd") * lit(100)).cast(DecimalType(24, 2)))
+      .withColumn("clamped100",
+        least(greatest(col("p100"), col("lo100").cast(DecimalType(24, 2))),
+          col("hi100").cast(DecimalType(24, 2))))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        sum(round(col("clamped"), 2).cast(DecimalType(18, 2)))
-          .cast(DoubleType).as("winsorized_sum"),
-        sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L))
+        sum(col("clamped100")).cast(DecimalType(38, 2))
+          .as("winsorized_sum_e4"),
+        sum(when(col("p100") < col("lo100"), 1L).otherwise(0L))
           .as("n_clamped_low"),
-        sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
+        sum(when(col("p100") > col("hi100"), 1L).otherwise(0L))
           .as("n_clamped_high"))
       .orderBy(col("l_returnflag"))
   }
 
   val q74Sql: String =
-    """WITH b AS (SELECT l_returnflag,
-      |    quantile_cont(l_extendedprice, 0.05) AS lo,
-      |    quantile_cont(l_extendedprice, 0.95) AS hi
-      |  FROM lineitem GROUP BY l_returnflag)
-      |SELECT l.l_returnflag, count(*) AS n,
-      |  CAST(SUM(CAST(round(least(greatest(l.l_extendedprice, b.lo), b.hi), 2)
-      |    AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_sum,
-      |  CAST(SUM(CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0 END)
-      |    AS BIGINT) AS n_clamped_low,
-      |  CAST(SUM(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END)
-      |    AS BIGINT) AS n_clamped_high
-      |FROM lineitem l JOIN b USING (l_returnflag)
-      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+    """WITH p AS (SELECT l_returnflag,
+      |    CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS pd
+      |  FROM lineitem),
+      |r AS (SELECT l_returnflag, pd,
+      |        row_number() OVER (PARTITION BY l_returnflag ORDER BY pd)
+      |          AS rn,
+      |        count(*) OVER (PARTITION BY l_returnflag) AS n
+      |      FROM p),
+      |b AS (SELECT l_returnflag,
+      |        MAX(CASE WHEN rn = (5*(n-1))//100 + 1 THEN pd END) AS lo1,
+      |        MAX(CASE WHEN rn = (5*(n-1))//100 + 2 THEN pd END) AS lo2,
+      |        MAX((5*(n-1)) % 100) AS lor,
+      |        MAX(CASE WHEN rn = (95*(n-1))//100 + 1 THEN pd END) AS hi1,
+      |        MAX(CASE WHEN rn = (95*(n-1))//100 + 2 THEN pd END) AS hi2,
+      |        MAX((95*(n-1)) % 100) AS hir
+      |      FROM r GROUP BY l_returnflag),
+      |bb AS (SELECT l_returnflag,
+      |         CAST((100-lor)*lo1 + lor*COALESCE(lo2, lo1)
+      |           AS DECIMAL(24,2)) AS lo100,
+      |         CAST((100-hir)*hi1 + hir*COALESCE(hi2, hi1)
+      |           AS DECIMAL(24,2)) AS hi100
+      |       FROM b)
+      |SELECT p.l_returnflag, count(*) AS n,
+      |  CAST(SUM(least(greatest(CAST(p.pd * 100 AS DECIMAL(24,2)),
+      |    bb.lo100), bb.hi100)) AS DECIMAL(38,2)) AS winsorized_sum_e4,
+      |  CAST(SUM(CASE WHEN CAST(p.pd * 100 AS DECIMAL(24,2)) < bb.lo100
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+      |  CAST(SUM(CASE WHEN CAST(p.pd * 100 AS DECIMAL(24,2)) > bb.hi100
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high
+      |FROM p JOIN bb USING (l_returnflag)
+      |GROUP BY p.l_returnflag ORDER BY p.l_returnflag""".stripMargin
 
   /** The q19 MinHash chain parameterized on its source relation (must
     * expose doc_id, text) — shared by the composite oracles. */

@@ -203,19 +203,21 @@ object TimelineQueries {
     """WITH e AS (SELECT user_id,
       |    CAST(epoch_ns(ts) // 1000 AS BIGINT) // 86400000000 AS day,
       |    CAST(round(value, 6) AS DECIMAL(18,6)) AS rv FROM events),
-      |g AS (SELECT user_id, day,
-      |        CAST(SUM(rv) AS DOUBLE) / count(*) AS y
+      |g AS (SELECT user_id, day, SUM(rv) AS sy, count(*) AS c
       |      FROM e GROUP BY 1, 2),
       |p AS (SELECT a.user_id, a.day AS d1, b.day AS d2,
-      |        (b.y - a.y) / CAST(b.day - a.day AS DOUBLE) AS slope
+      |        CAST((b.sy * a.c - a.sy * b.c) * 1000000 AS BIGINT) AS num,
+      |        a.c * b.c * (b.day - a.day) AS den
       |      FROM g a JOIN g b ON a.user_id = b.user_id AND b.day > a.day),
-      |r AS (SELECT user_id, slope,
+      |r AS (SELECT user_id, num, den,
       |        row_number() OVER (PARTITION BY user_id
-      |          ORDER BY slope, d1, d2) AS rn,
+      |          ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE), d1, d2)
+      |          AS rn,
       |        count(*) OVER (PARTITION BY user_id) AS np
       |      FROM p)
       |SELECT user_id, CAST(np AS BIGINT) AS n_pairs,
-      |  round(slope, 6) AS slope_per_bucket
+      |  CASE WHEN num < 0 THEN -((2 * (-num) + den) // (2 * den))
+      |       ELSE (2 * num + den) // (2 * den) END AS slope_micro
       |FROM r WHERE rn = (np + 1) // 2 ORDER BY user_id""".stripMargin
 
   // ── q176: realized volatility ──────────────────────────────────────────
@@ -244,13 +246,18 @@ object TimelineQueries {
       |s AS (SELECT user_id, count(*) AS n_returns,
       |        SUM(CAST(round(r, 6) AS DECIMAL(18,6))) AS s1,
       |        SUM(CAST(round(r * r, 6) AS DECIMAL(28,6))) AS s2
-      |      FROM r GROUP BY user_id)
+      |      FROM r GROUP BY user_id),
+      |t AS (SELECT user_id, n_returns,
+      |        CAST(s1 * 1000000 AS BIGINT) AS sm, s1, s2
+      |      FROM s)
       |SELECT user_id, n_returns,
-      |  round(CAST(s1 AS DOUBLE) / n_returns, 6) AS mean_return,
+      |  CASE WHEN sm < 0 THEN -((2 * (-sm) + n_returns) // (2 * n_returns))
+      |       ELSE (2 * sm + n_returns) // (2 * n_returns)
+      |  END AS mean_return_micro,
       |  round(sqrt(GREATEST(CAST(s2 AS DOUBLE) / n_returns
       |    - (CAST(s1 AS DOUBLE) / n_returns)
       |      * (CAST(s1 AS DOUBLE) / n_returns), 0.0)), 6) AS volatility
-      |FROM s ORDER BY user_id""".stripMargin
+      |FROM t ORDER BY user_id""".stripMargin
 
   // ── q177: maximum drawdown ─────────────────────────────────────────────
 

@@ -114,11 +114,11 @@ class BehaviorOpsSpec extends SparkSpec {
     ).toDF("event_id", "user_id", "ts")
     val got = Funnel.burstiness(events, "user_id", "event_id", "ts")
       .orderBy("user_id")
-      .as[(Long, Long, Double, Double, Option[Double])].collect().toSeq
+      .as[(Long, Long, Long, Double, Option[Double])].collect().toSeq
     assert(got == Seq(
-      (1L, 2L, 10.0, 0.0, Some(-1.0)),
-      (2L, 2L, 20.0, 10.0, Some(-0.333333)),
-      (3L, 2L, 0.0, 0.0, None)))
+      (1L, 2L, 10000000L, 0.0, Some(-1.0)),
+      (2L, 2L, 20000000L, 10.0, Some(-0.333333)),
+      (3L, 2L, 0L, 0.0, None)))
   }
 
   // ── forward fill ────────────────────────────────────────────────────────

@@ -50,10 +50,10 @@ class RiskGraphOpsSpec extends SparkSpec {
     val got = Timeline.volatility(events, "user_id", "event_id", "ts",
         "value", bucketUs = 86400000000L)
       .orderBy("user_id")
-      .select("n_returns", "mean_return", "volatility")
-      .as[(Long, Double, Double)].collect().toSeq
-    assert(got.head == ((2L, 0.0, 0.0)))
-    assert(got(1)._2 == 0.693147 && got(1)._3 < 0.001)
+      .select("n_returns", "mean_return_micro", "volatility")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.head == ((2L, 0L, 0.0)))
+    assert(got(1)._2 == 693147L && got(1)._3 < 0.001)
   }
 
   test("volatility uses the LAST event of each bucket as the close") {
@@ -63,8 +63,8 @@ class RiskGraphOpsSpec extends SparkSpec {
     ).toDF("event_id", "ts", "value", "user_id")
     val got = Timeline.volatility(events, "user_id", "event_id", "ts",
         "value", bucketUs = 86400000000L)
-      .select("n_returns", "mean_return").as[(Long, Double)].head()
-    assert(got == ((1L, 0.693147)))
+      .select("n_returns", "mean_return_micro").as[(Long, Long)].head()
+    assert(got == ((1L, 693147L)))
   }
 
   // ── maxDrawdown ─────────────────────────────────────────────────────────

@@ -108,10 +108,11 @@ class GlobalRankSpec extends SparkSpec {
       .repartition(13)
     val viaOp = GlobalRank.globalRowNumber(df,
         Seq(col("v").asc, col("id").asc), "rn")
-      .select("id", "rn").as[(Int, Int)].collect().toMap
+      .select("id", "rn").as[(Int, Long)].collect().toMap
     val viaWindow = df.withColumn("rn",
-        row_number().over(Window.orderBy(col("v").asc, col("id").asc)))
-      .select("id", "rn").as[(Int, Int)].collect().toMap
+        row_number().over(Window.orderBy(col("v").asc, col("id").asc))
+          .cast("long"))
+      .select("id", "rn").as[(Int, Long)].collect().toMap
     assert(viaOp === viaWindow)
   }
 

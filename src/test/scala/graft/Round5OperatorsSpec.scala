@@ -159,10 +159,10 @@ class Round5OperatorsSpec extends SparkSpec {
     // logp(b)=round(ln(2/5),6)=-0.916291
     val docs = Seq((1L, "a a a b"), (2L, "b")).toDF("doc_id", "text")
     val got = Relevance.unigramLogProb(docs, "doc_id", "text")
-      .orderBy("doc_id").as[(Long, Long, Double)].collect()
-    // d1: (3·(-0.510826) + (-0.916291)) / 4 = -0.61219225 → -0.612192
-    assert(got(0) == ((1L, 4L, -0.612192)))
-    assert(got(1) == ((2L, 1L, -0.916291)))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    // d1: (3·(-0.510826) + (-0.916291)) / 4 = -0.61219225 → -612192 µ
+    assert(got(0) == ((1L, 4L, -612192L)))
+    assert(got(1) == ((2L, 1L, -916291L)))
   }
 
   test("unigramLogProb is partitioning-independent (exact decimal sums)") {
@@ -203,8 +203,8 @@ class Round5OperatorsSpec extends SparkSpec {
     ).zipWithIndex.map { case ((s, v), i) => (i.toLong, s, v) }
       .toDF("id", "src", "score")
     val got = TextAnalysis.quantileNormalize(df, "src", "score")
-      .orderBy("id").select("q_norm").as[Double].collect()
-    assert(got.toSeq == Seq(0.0, 0.333333, 0.333333, 1.0, 0.0))
+      .orderBy("id").select("q_norm_ppm").as[Long].collect()
+    assert(got.toSeq == Seq(0L, 333333L, 333333L, 1000000L, 0L))
   }
 
   // ── ANN recall ──────────────────────────────────────────────────────────

@@ -475,10 +475,10 @@ class Round6OperatorsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val got = graft.operators.Relevance
       .bigramLogProb(docs, "doc_id", "text")
-      .orderBy("doc_id").as[(Long, Long, Double)].collect()
-    def lp(cxy: Long, cx: Long) = BigDecimal(
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    def lp(cxy: Long, cx: Long) = (BigDecimal(
       math.log((cxy + 1).toDouble / (cx + 3).toDouble))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLong
     assert(got.toSeq == Seq(
       (1L, 1L, lp(2, 3)), (2L, 1L, lp(2, 3)), (3L, 1L, lp(1, 3))))
   }

@@ -77,8 +77,8 @@ class SamplingTrendOpsSpec extends SparkSpec {
       .toDF("user_id", "ts", "value")
     val got = Timeline.theilSen(events, "user_id", "ts", "value",
         bucketUs = 86400000000L)
-      .select("n_pairs", "slope_per_bucket").as[(Long, Double)].head()
-    assert(got == ((6L, 2.0)))
+      .select("n_pairs", "slope_micro").as[(Long, Long)].head()
+    assert(got == ((6L, 2000000L)))
   }
 
   test("theilSen shrugs off a single outlier day") {
@@ -89,8 +89,8 @@ class SamplingTrendOpsSpec extends SparkSpec {
       .toDF("user_id", "ts", "value")
     val got = Timeline.theilSen(events, "user_id", "ts", "value",
         bucketUs = 86400000000L)
-      .select("slope_per_bucket").as[Double].head()
-    assert(got == 1.0)
+      .select("slope_micro").as[Long].head()
+    assert(got == 1000000L)
   }
 
   test("theilSen averages within-day values before pairing") {
@@ -100,7 +100,7 @@ class SamplingTrendOpsSpec extends SparkSpec {
       .toDF("user_id", "ts", "value")
     val got = Timeline.theilSen(events, "user_id", "ts", "value",
         bucketUs = 86400000000L)
-      .select("n_pairs", "slope_per_bucket").as[(Long, Double)].head()
-    assert(got == ((1L, 3.0)))
+      .select("n_pairs", "slope_micro").as[(Long, Long)].head()
+    assert(got == ((1L, 3000000L)))
   }
 }
