@@ -37,6 +37,14 @@ object GraftSession {
       // inflation). On a real cluster this maps to fast local SSDs.
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TypedImperativeAggregates (collect_top_k, percentile, …) run in
+      // ObjectHashAggregateExec, which falls back to SORT-based
+      // aggregation after 128 distinct groups per task by default —
+      // silently re-introducing the full sort the aggregate exists to
+      // avoid. Group states here are O(k) (bounded priority queues), so
+      // a large in-memory group count is safe.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 

@@ -33,6 +33,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_sq"),
       info("l2_sq", "l2_sq(a, b) - squared Euclidean distance of two float/double vectors"),
       (children: Seq[Expression]) => L2Sq(children(0), children(1))))
+    // Spark's internal bounded-priority-queue top-k collector (the
+    // engine behind pandas-API nsmallest/nlargest), surfaced as a SQL
+    // function: exact per-group top-k with O(k) state — map-side
+    // combinable, so a grouped top-k shuffles k rows per group instead
+    // of sorting the whole group under a window (see operators.TopK).
+    ext.injectFunction((
+      FunctionIdentifier("collect_top_k"),
+      info("collect_top_k",
+        "collect_top_k(expr, k, reverse) - k largest (reverse=false) or smallest (reverse=true) values of expr per group, sorted"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .GraftCollectTopK(children(0), children(1), children(2))))
   }
 }
 

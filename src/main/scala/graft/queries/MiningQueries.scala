@@ -922,8 +922,14 @@ object MiningQueries {
         round(Similarity.cosine(col("graft_av"), col("graft_bv")), 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 6))
           .as("graft_c"))
-    val knn = LatestSnapshot.topK(pairs, Seq("src_id"),
-        col("graft_c").desc, Seq(col("tgt_id").asc), 3)
+    // exact 3-NN via the bounded-priority-queue aggregate: (−cos, tgt)
+    // ascending ≡ (cos desc, tgt asc) — same selection as a window
+    // top-k, but O(k) state per src and a k·|src| shuffle instead of
+    // shuffling + sorting the full |src|² candidate fan-out
+    // (operators.TopK: the map-side combine emits ≤k rows per src per
+    // task, so the wire carries the RESULT, not the candidates).
+    val knn = graft.operators.TopK.kSmallest(pairs, Seq(col("src_id")),
+        Seq("nc" -> (-col("graft_c")), "tgt_id" -> col("tgt_id")), 3)
       .select(col("src_id").as("a"), col("tgt_id").as("b"))
     Graph.kCorePeel(knn, "a", "b", k = 4)
       .select(col("node").as("vec_id"), col("layer"), col("in_core"))
