@@ -1021,4 +1021,72 @@ object Relevance {
       .select(col(queryIdCol), col(idCol), col("bm25"), col("n_terms"),
         col("neg_rank").cast(LongType).as("neg_rank"))
   }
+
+  /**
+   * Expected Reciprocal Rank at k (Chapelle et al. CIKM 2009) — the
+   * cascade-model ranking metric: a user scans down the list and stops
+   * at rank r with probability R_r·Π_{i<r}(1−R_i), contributing 1/r;
+   * R_r = (2^rel − 1)/2^g for graded relevance rel ∈ [0, g]. Unlike
+   * NDCG's position discount, ERR models that a highly relevant early
+   * hit SATISFIES the user — redundant later hits stop counting.
+   *
+   * ERR is a sum of rationals whose denominators divide
+   * D = lcm(1..k)·2^(g·k), so the WHOLE metric is computed as one exact
+   * integer numerator over the constant D (for k = 10, g = 4:
+   * D = 2520·2^40 — inside int64, every partial term too). The hashed
+   * surface is `err_num`, `err_den`, and the half-away micro rounding —
+   * zero floating point anywhere (the PORTABILITY.md discipline; 2^x
+   * via shiftleft).
+   *
+   * Shape: per-group top-k selection via the bounded-priority-queue
+   * collector ([[TopK]]) — O(k) state per group, map-side combined —
+   * then one fold over each group's ≤ k-element array. Corpus rows are
+   * touched once; nothing is globally sorted.
+   */
+  def errAtK(df: DataFrame, groupCol: String, scoreCol: String,
+             tieCol: String, relCol: String, k: Int,
+             gradeBits: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 10, s"k=$k out of range (1..10)")
+    require(gradeBits >= 1 && gradeBits <= 5,
+      s"gradeBits=$gradeBits out of range (1..5)")
+    val lcmK = (1 to k).foldLeft(1L)((a, b) =>
+      a / BigInt(a).gcd(BigInt(b)).toLong * b)
+    val g = gradeBits
+    val sel = TopK.kSmallest(
+      df.select(col(groupCol), col(scoreCol), col(tieCol),
+        col(relCol).cast(LongType).as("graft_rel")),
+      Seq(col(groupCol)),
+      Seq("ns" -> -col(scoreCol), "tie" -> col(tieCol),
+        "rel" -> col("graft_rel")), k)
+    // fold in rank order over the (already rank-sorted) per-group array:
+    // acc = (num, prod, r); term_r = (L/r)·2^(g·(k−r))·(2^rel−1)·prod
+    val folded = sel
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"),
+        sort_array(collect_list(struct(col("ns"), col("tie"), col("rel"))))
+          .as("graft_ranked"))
+      .withColumn("graft_acc", aggregate(
+        col("graft_ranked"),
+        struct(lit(0L).as("num"), lit(1L).as("prod"), lit(1L).as("r")),
+        (acc, e) => {
+          val rel = e.getField("rel")
+          def p2(x: Column): Column =
+            call_function("shiftleft", lit(1L), x.cast("int"))
+          val term = call_function("div", lit(lcmK), acc.getField("r")) *
+            p2(lit(g) * (lit(k) - acc.getField("r"))) *
+            (p2(rel) - lit(1L)) * acc.getField("prod")
+          struct(
+            (acc.getField("num") + term).as("num"),
+            (acc.getField("prod") *
+              (p2(lit(g)) - p2(rel) + lit(1L))).as("prod"),
+            (acc.getField("r") + lit(1L)).as("r"))
+        }))
+      .select(col(groupCol), col("n_items"),
+        col("graft_acc.num").as("err_num"),
+        lit(lcmK * (1L << (g * k))).as("err_den"))
+    folded.withColumn("err_micro",
+      ExactRound.halfAwayDiv(
+        col("err_num").cast(DecimalType(38, 0)) * lit(1000000L),
+        col("err_den")))
+  }
 }

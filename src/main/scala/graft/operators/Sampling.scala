@@ -578,4 +578,60 @@ object Sampling {
           .otherwise(expr("(graft_a + graft_b - 1) div graft_b"))
           .cast(org.apache.spark.sql.types.LongType).as("admit_step"))
   }
+
+  /**
+   * Priority sampling (Duffield, Lund & Thorup, JACM 2007): each item
+   * draws a seedless uniform u from a 48-bit salted hash and gets
+   * priority q = w/u; the k highest-priority items form the sample and
+   * τ — the (k+1)-th priority — prices every kept item at its
+   * Horvitz–Thompson weight ŵ = max(w, τ), making Σŵ an unbiased
+   * subset-sum estimator with near-optimal variance (their Thm 1).
+   * The weighted-sampling twin of [[weightedSample]]'s A-ES: same
+   * deterministic-hash trick, but with a per-item price that supports
+   * unbiased downstream aggregation.
+   *
+   * Portability: priorities are ordered by the double w·2^48/(h+1)
+   * (identical correctly-rounded ops both engines, id tiebreak), but
+   * every HASHED value is exact — w, the τ comparison by integer
+   * cross-multiplication, ŵ as the exact rational (ht_num, ht_den),
+   * and its half-away micro rounding ([[ExactRound]]).
+   *
+   * Shape: one narrow projection + a global top-(k+1) (TakeOrdered —
+   * per-partition heaps, k is small) + a ≤(k+1)-row local window; τ
+   * rides a 1-row broadcast. No driver collect.
+   */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+                     salt: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val h48 = conv(
+      substring(md5(concat_ws("_", lit(salt), col(keyCol))), 1, 12), 16, 10)
+      .cast(LongType)
+    val base = df.select(col(keyCol), col(weightCol).cast(LongType).as("w"),
+        h48.as("graft_h"))
+      .withColumn("graft_qn", col("w") * lit(281474976710656L))
+      .withColumn("graft_qd", col("graft_h") + lit(1L))
+      .withColumn("graft_q", col("graft_qn").cast(DoubleType) /
+        col("graft_qd").cast(DoubleType))
+    val top = base.orderBy(col("graft_q").desc, col(keyCol).asc)
+      .limit(k + 1)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("graft_q").desc, col(keyCol).asc)).cast(LongType))
+      .localCheckpoint(eager = false)
+    val tau = top.filter(col("rn") === (k + 1))
+      .select(col("graft_qn").as("graft_tn"), col("graft_qd").as("graft_td"))
+    val kept = top.filter(col("rn") <= k)
+      .join(broadcast(tau), lit(true), "left")
+    val big = DecimalType(38, 0)
+    val htNum = when(col("graft_tn").isNull ||
+        col("w") * col("graft_td") >= col("graft_tn"), col("w"))
+      .otherwise(col("graft_tn"))
+    val htDen = when(col("graft_tn").isNull ||
+        col("w") * col("graft_td") >= col("graft_tn"), lit(1L))
+      .otherwise(col("graft_td"))
+    kept.select(col(keyCol), col("w"), col("rn"),
+      htNum.as("ht_num"), htDen.as("ht_den"),
+      ExactRound.halfAwayDiv(
+        htNum.cast(big) * lit(1000000L), htDen).as("ht_micro"))
+  }
 }

@@ -335,4 +335,61 @@ object Standardize {
               (col("n").cast(big) * col("n").cast(big) - lit(1L).cast(big)))
               .cast(DoubleType), 6)).as("rho"))
   }
+
+  /**
+   * Krippendorff's alpha, nominal data, complete ratings (Krippendorff
+   * 1970; the content-analysis reliability standard that generalizes
+   * Cohen's kappa to any number of raters): with n units, r raters per
+   * unit, N = n·r total values, n_uc the count of category c inside
+   * unit u and n_c the global category count,
+   *
+   *   D_o = 1 − Σ_u Σ_c n_uc(n_uc−1) / (n·r·(r−1))   (observed)
+   *   D_e = 1 − Σ_c n_c(n_c−1) / (N(N−1))            (expected)
+   *   α   = 1 − D_o/D_e = (b·c − a·d) / (b·c)
+   *
+   * with D_o = a/b, D_e = c/d as exact integer rationals — the hashed
+   * surface is the exact numerator/denominator pair plus the half-away
+   * micro rounding ([[ExactRound]]); no floating point anywhere.
+   * Perfect expected agreement (D_e = 0: one global category) yields
+   * NULL alpha, not 0/0.
+   *
+   * Shape: one (unit, category) hash-agg, one category re-agg, two
+   * scalar 1-row frames cross-joined back — corpus rows touched once,
+   * everything map-side combinable. Requires every unit to carry the
+   * same rater count r (complete block design); r is taken from the
+   * data and asserted per unit via a MAX=MIN check column.
+   */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+                        labelCol: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val uc = df.groupBy(col(unitCol), col(labelCol).as("graft_c"))
+      .agg(count(lit(1)).as("graft_nuc"))
+    val perUnit = uc.groupBy(col(unitCol))
+      .agg(sum(col("graft_nuc")).as("graft_r"),
+        sum(col("graft_nuc") * (col("graft_nuc") - 1)).as("graft_do_u"))
+    val doAgg = perUnit.agg(
+      count(lit(1)).as("n_units"),
+      min(col("graft_r")).as("graft_rmin"),
+      max(col("graft_r")).as("graft_rmax"),
+      sum(col("graft_do_u")).as("graft_do_num0"))
+    val cat = uc.groupBy(col("graft_c"))
+      .agg(sum(col("graft_nuc")).as("graft_nc"))
+    val deAgg = cat.agg(
+      sum(col("graft_nc")).as("graft_nn"),
+      sum(col("graft_nc") * (col("graft_nc") - 1)).as("graft_de_num0"))
+    val r = col("graft_rmin")
+    val b = col("n_units") * r * (r - 1)                // D_o denominator
+    val d = col("graft_nn") * (col("graft_nn") - 1)     // D_e denominator
+    val a = b - col("graft_do_num0")                    // D_o numerator
+    val c = d - col("graft_de_num0")                    // D_e numerator
+    doAgg.crossJoin(deAgg)
+      .select(col("n_units"), r.as("n_raters"),
+        (col("graft_rmax") === col("graft_rmin")).as("complete"),
+        a.cast(big).as("do_num"), b.cast(big).as("do_den"),
+        c.cast(big).as("de_num"), d.cast(big).as("de_den"),
+        when(c =!= 0, ExactRound.halfAwayDiv(
+          ((b.cast(big) * c.cast(big) - a.cast(big) * d.cast(big)) *
+            lit(1000000L)).cast(big),
+          (b.cast(big) * c.cast(big)).cast(big))).as("alpha_micro"))
+  }
 }

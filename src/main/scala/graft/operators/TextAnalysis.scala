@@ -1353,4 +1353,80 @@ object TextAnalysis {
         s"cast(${1000L * m} as decimal(38,0))").cast(LongType))
       .select(col("src_a"), col("src_b"), col("delta_milli"))
   }
+
+  /**
+   * BPE merge-rule TRAINING (Sennrich, Haddow & Birch, ACL 2016 — the
+   * byte-pair-encoding subword algorithm): starting from characters,
+   * repeatedly find the globally most frequent adjacent symbol pair
+   * (weighted by word frequency) and fuse it into one symbol. Returns
+   * the learned merge table (rank, left, right, pair_count) — the
+   * artifact a tokenizer trainer ships; deterministic tiebreak
+   * (count desc, left asc, right asc) so the gate is exact.
+   *
+   * Scale shape: training runs on the WORD-FREQUENCY DICTIONARY, not
+   * the corpus — one corpus pass builds (word, freq), every iteration
+   * after that touches vocabulary-scale rows only (the standard BPE
+   * trainer shape). Each round is one pair-count hash-agg plus a 1-row
+   * argmax collected to the driver (the A2 scalar round-trip pattern)
+   * and one literal string surgery over the dictionary; rounds are
+   * lineage-cut. Merge application is left-to-right non-overlapping
+   * (`replace` semantics — identical in Spark and DuckDB).
+   */
+  def learnBpeMerges(docs: DataFrame, textCol: String,
+                     nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 10,
+      s"nMerges=$nMerges out of range (1..10)")
+    val spark = docs.sparkSession
+    var words = docs
+      .select(explode(split(col(textCol), " ")).as("graft_w"))
+      .filter(length(col("graft_w")) > 0)
+      .groupBy(col("graft_w")).agg(count(lit(1)).as("graft_f"))
+      .select(concat_ws(" ", split(col("graft_w"), "")).as("graft_s"),
+        col("graft_f"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    for (i <- 1 to nMerges) {
+      val pairCounts = words
+        .select(col("graft_f"), split(col("graft_s"), " ").as("graft_a"))
+        .select(col("graft_f"), explode(expr(
+          "CASE WHEN size(graft_a) >= 2 THEN " +
+            "transform(sequence(1, size(graft_a) - 1), " +
+            "j -> struct(graft_a[j - 1] AS l, graft_a[j] AS r)) " +
+            "ELSE array() END")).as("graft_p"))
+        .groupBy(col("graft_p.l").as("graft_l"),
+          col("graft_p.r").as("graft_r"))
+        .agg(sum(col("graft_f")).as("graft_cnt"))
+      val top = pairCounts
+        .orderBy(col("graft_cnt").desc, col("graft_l").asc,
+          col("graft_r").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((i, l, r, c))
+        // merge application: pad to DOUBLE-space separators so one
+        // literal left-to-right replace fuses every non-overlapping
+        // occurrence ("a a a a" -> "aa aa", not "aa a a" - the space
+        // sentinel would otherwise be consumed between matches), then
+        // collapse back; all replaces literal, hence engine-portable.
+        def rep(c: org.apache.spark.sql.Column,
+                search: org.apache.spark.sql.Column,
+                to: org.apache.spark.sql.Column) =
+          org.apache.spark.sql.functions.replace(c, search, to)
+        words = words
+          .select(trim(rep(rep(
+            concat(lit(" "),
+              rep(col("graft_s"), lit(" "), lit("  ")), lit(" ")),
+            lit(" " + l + "  " + r + " "), lit(" " + l + r + " ")),
+            lit("  "), lit(" ")))
+            .as("graft_s"), col("graft_f"))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+      .select(col("rank").cast(LongType).as("rank"), col("left"),
+        col("right"), col("pair_count"))
+  }
 }

@@ -968,4 +968,72 @@ object VectorAggs {
         (col("proto_rank") * pruneDen <= lit(pruneNum) * col("n_cluster"))
           .as("pruned"))
   }
+
+  /**
+   * Facility-location greedy subset selection (Lin & Bilmes, ACL 2011 —
+   * THE submodular objective for training-data subset selection):
+   * greedily pick k candidates maximizing F(S) = Σ_v max_{s∈S} sim(v,s),
+   * i.e. each pick adds the candidate with the largest total coverage
+   * GAIN over the whole ground set. The classic lazy-greedy guarantee
+   * (1 − 1/e) holds for plain greedy too.
+   *
+   * Determinism/portability: similarities are 6-dp decimals (the q41
+   * cosine rule), cover and gains stay DECIMAL — the argmax compares
+   * exact decimals with an id tiebreak, and the hashed `gain` is exact.
+   *
+   * Scale shape: ONE corpus×candidate similarity table (bounded by the
+   * candidate pool, never corpus²), then k rounds of one hash-agg
+   * (gain per candidate), a 1-row broadcast argmax — no driver
+   * collect — and one cover update keyed on the ground-set id; cover
+   * is checkpointed per round.
+   */
+  def facilityLocationGreedy(df: DataFrame, idCol: String, vecCol: String,
+                             candPred: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 16, s"k=$k out of range (1..16)")
+    val corpus = df.select(col(idCol).as("graft_v"),
+      col(vecCol).as("graft_vv"))
+    val cands = df.filter(candPred).select(col(idCol).as("graft_c"),
+      col(vecCol).as("graft_cv"))
+    val sims = corpus.crossJoin(broadcast(cands))
+      .select(col("graft_v"), col("graft_c"),
+        round(Similarity.cosine(col("graft_vv"), col("graft_cv")), 6)
+          .cast(DecimalType(18, 6)).as("graft_sim"))
+      .localCheckpoint(eager = false)
+    var cover = corpus.select(col("graft_v"),
+      lit(BigDecimal(0).setScale(6)).cast(DecimalType(18, 6))
+        .as("graft_cov"))
+    var picked = df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sel_rank",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("graft_c",
+          cands.schema("graft_c").dataType),
+        org.apache.spark.sql.types.StructField("gain",
+          DecimalType(38, 6)))))
+    for (r <- 1 to k) {
+      val gains = sims
+        .join(picked.select(col("graft_c")), Seq("graft_c"), "left_anti")
+        .join(cover, Seq("graft_v"))
+        .groupBy(col("graft_c"))
+        .agg(sum(greatest(col("graft_sim") - col("graft_cov"),
+          lit(BigDecimal(0).setScale(6)).cast(DecimalType(18, 6))))
+          .cast(DecimalType(38, 6)).as("gain"))
+      val chosen = gains.orderBy(col("gain").desc, col("graft_c").asc)
+        .limit(1)
+        .select(lit(r.toLong).as("sel_rank"), col("graft_c"), col("gain"))
+        .localCheckpoint()
+      picked = picked.union(chosen).localCheckpoint(eager = false)
+      cover = cover
+        .join(sims.join(broadcast(chosen.select(col("graft_c"))),
+          Seq("graft_c")).select(col("graft_v"),
+          col("graft_sim").as("graft_new")), Seq("graft_v"), "left")
+        .select(col("graft_v"),
+          greatest(col("graft_cov"), coalesce(col("graft_new"),
+            lit(BigDecimal(0).setScale(6)).cast(DecimalType(18, 6))))
+            .as("graft_cov"))
+        .localCheckpoint()
+    }
+    picked.select(col("sel_rank"), col("graft_c").as(idCol), col("gain"))
+  }
 }

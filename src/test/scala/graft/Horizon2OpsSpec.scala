@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, TextAnalysis, VectorAggs}
+
+class Horizon2OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── BPE merge training ──────────────────────────────────────────────────
+
+  test("learnBpeMerges: frequency-weighted argmax, then exhaustion") {
+    // words: "aa"×2, "ab"×1 → pair (a,a) count 2 wins, then (a,b);
+    // after both merges no adjacent pairs remain → only 2 rules emitted
+    val docs = Seq((1L, "aa ab"), (2L, "aa")).toDF("doc_id", "text")
+    val got = TextAnalysis.learnBpeMerges(docs, "text", nMerges = 5)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", "a", 2L), (2L, "a", "b", 1L)))
+  }
+
+  test("learnBpeMerges: left-to-right non-overlapping merge application") {
+    // "aaaa" → pairs (a,a)×3 → merge (a,a) → "aa aa" → next round the
+    // top pair is (aa,aa) with count 1
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.learnBpeMerges(docs, "text", nMerges = 2)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+  }
+
+  // ── priority sampling ───────────────────────────────────────────────────
+
+  test("prioritySample: n <= k keeps everything at its own weight") {
+    val df = (1L to 5L).map(i => (i, i * 100L)).toDF("id", "wt")
+    val got = Sampling.prioritySample(df, "id", "wt", "s", k = 10)
+      .select("id", "w", "ht_num", "ht_den", "ht_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 5)
+    got.foreach { case (_, w, hn, hd, hm) =>
+      assert(hn == w && hd == 1L && hm == w * 1000000L)
+    }
+  }
+
+  test("prioritySample: HT weight is max(w, tau) — never below w") {
+    val df = (1L to 200L).map(i => (i, 1L + i % 7)).toDF("id", "wt")
+    val got = Sampling.prioritySample(df, "id", "wt", "salt", k = 20)
+      .select("rn", "w", "ht_num", "ht_den")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 20)
+    assert(got.map(_._1).sorted.toSeq == (1L to 20L))
+    got.foreach { case (_, w, hn, hd) =>
+      // ht = hn/hd >= w, exact cross-multiplied
+      assert(BigInt(hn) >= BigInt(w) * hd)
+      // and if ht > w it must equal tau (same rational for all such rows)
+    }
+    val taus = got.filter { case (_, w, hn, hd) =>
+      BigInt(hn) != BigInt(w) * hd
+    }.map { case (_, _, hn, hd) => (hn, hd) }.distinct
+    assert(taus.length <= 1)
+  }
+
+  // ── facility-location greedy ────────────────────────────────────────────
+
+  test("facilityLocationGreedy: hand-computed 2-candidate coverage") {
+    // candidates v0=(1,0), v1=(0,1); corpus adds v2=(0.6,0.8), v3=(1,0)
+    // round 1: gain(v0)=1+0+0.6+1=2.6 beats gain(v1)=1.8 → pick v0
+    // round 2: gain(v1)=0+1+0.2+0=1.2 → pick v1
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.6f, 0.8f)), (3L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = VectorAggs.facilityLocationGreedy(df, "vec_id", "embedding",
+        col("vec_id") < 2, k = 2)
+      .orderBy("sel_rank")
+      .select(col("sel_rank"), col("vec_id"),
+        col("gain").cast("string"))
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 0L, "2.600000"), (2L, 1L, "1.200000")))
+  }
+
+  test("facilityLocationGreedy: second pick ignores already-covered mass") {
+    // one candidate dominates; picking it twice is impossible (anti-join)
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = VectorAggs.facilityLocationGreedy(df, "vec_id", "embedding",
+        col("vec_id") < 2, k = 2)
+      .orderBy("sel_rank").select("sel_rank", "vec_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 1L)))
+  }
+}

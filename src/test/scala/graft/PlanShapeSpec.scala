@@ -620,7 +620,13 @@ class PlanShapeSpec extends SparkSpec {
       "q295_seed_pagerank",
       // q296: 1-row (n_cal, k, q̂) threshold broadcast onto the test
       // aggregate — metadata by construction
-      "q296_conformal")
+      "q296_conformal",
+      // q301: two 1-row aggregates (D_o stats × D_e stats) crossJoined
+      // into the single alpha summary row — the q285 shape
+      "q301_krippendorff",
+      // q304: the 0-or-1-row τ-threshold broadcast left-joined onto the
+      // ≤k-row sample — metadata by construction (the q296 shape)
+      "q304_priority_sample")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
