@@ -839,4 +839,36 @@ object Streaming {
           out.iterator
       }
   }
+
+  /**
+   * Streaming priority sample (Duffield–Lund–Thorup 2007, the batch
+   * [[graft.operators.Sampling.prioritySample]]): the global top-(k+1)
+   * priority set maintained as ONE bounded aggregate row — the
+   * `collect_top_k` bounded-priority-queue aggregate holds O(k) state
+   * in the state store and merges map-side partials, so an unbounded
+   * stream is sampled with constant memory and no per-key state.
+   * Output mode: complete (a single always-current row); the item set
+   * of the first k entries equals the batch sample over the rows seen
+   * so far, and entry k+1 prices τ (StreamingSpec parity).
+   */
+  def prioritySampleStream(docStream: DataFrame, keyCol: String,
+                           weightCol: String, salt: String,
+                           k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    require(k >= 1, s"k must be >= 1: $k")
+    val h48 = conv(
+      substring(md5(concat_ws("_", lit(salt), col(keyCol))), 1, 12), 16, 10)
+      .cast(LongType)
+    val item = docStream
+      .select(col(keyCol).as("graft_key"),
+        col(weightCol).cast(LongType).as("graft_w"), h48.as("graft_h"))
+      .select(struct(
+        (-(col("graft_w") * lit(281474976710656L)).cast(DoubleType) /
+          (col("graft_h") + lit(1L)).cast(DoubleType)).as("nq"),
+        col("graft_key").as("key"), col("graft_w").as("w"),
+        (col("graft_w") * lit(281474976710656L)).as("qn"),
+        (col("graft_h") + lit(1L)).as("qd")).as("graft_item"))
+    item.agg(call_function("collect_top_k",
+      col("graft_item"), lit(k + 1), lit(true)).as("topk"))
+  }
 }

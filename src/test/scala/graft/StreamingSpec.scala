@@ -934,6 +934,40 @@ class StreamingSpec extends SparkSpec {
     assert(se == be)
   }
 
+  test("streaming priority sample: bounded top-(k+1) state equals batch") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = tmpDir("psample-src")
+    val rows = (1L to 300L).map(i => (i, 10L + (i * 13) % 97))
+    val (b1, b2) = rows.splitAt(150)
+    b1.toDF("id", "wt").coalesce(1).write.parquet(s"$dir/b1")
+    b2.toDF("id", "wt").coalesce(1).write.parquet(s"$dir/b2")
+    def stamp(sub: String, epochSec: Long): Unit =
+      Files.list(Paths.get(s"$dir/$sub")).forEach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(epochSec * 1000)))
+    stamp("b1", 1000000000L)
+    stamp("b2", 1000000100L)
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = Streaming.prioritySampleStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*"),
+        "id", "wt", salt = "sps", k = 20)
+      .writeStream.format("memory").queryName("psample")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // final state row: first 20 items = the batch sample, in rank order
+    val streamed = spark.table("psample")
+      .select(explode(col("topk")).as("e"))
+      .select(col("e.key"), col("e.w")).as[(Long, Long)].collect().toSeq
+    val batch = Sampling.prioritySample(rows.toDF("id", "wt"),
+        "id", "wt", salt = "sps", k = 20)
+      .orderBy("rn").select("id", "w").as[(Long, Long)].collect().toSeq
+    assert(streamed.length == 21)
+    assert(streamed.take(20) == batch)
+  }
+
   test("tier serving stream reproduces the batch CCNet assignment") {
     import spark.implicits._
     import graft.operators.Relevance
