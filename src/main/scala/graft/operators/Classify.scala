@@ -379,4 +379,52 @@ object Classify {
         expr("cast(n_flagged * 1000000 as decimal(38,0)) div " +
           "cast(n_test as decimal(38,0))").cast(LongType))
   }
+
+  /**
+   * Confident-learning joint estimation (Northcutt, Jiang & Chuang,
+   * JMLR 2021 "Confident Learning: Estimating Uncertainty in Dataset
+   * Labels"): count the matrix C[ỹ=i][y*=j] of examples whose noisy
+   * label is i but whose self-confidence for class j clears that
+   * class's threshold t_j — the per-class MEAN score of examples
+   * labeled j. Off-diagonal mass estimates label errors; the paper's
+   * key insight is that per-class mean thresholds make the estimate
+   * robust to miscalibrated scores, which is exactly why the exact
+   * integer [[centroidScores]] surface (no probabilities needed)
+   * works here.
+   *
+   * Portability: t_j stays the exact rational (Σ score_q, n_j); the
+   * qualification test is integer cross-multiplication in
+   * DECIMAL(38,0); the argmax among qualifying classes ties to the
+   * alphabetically first label. Every hashed value is an exact count.
+   * Examples clearing NO threshold are dropped (the paper's rule) but
+   * accounted in `n_labeled` so the dropped mass is visible.
+   *
+   * Scale shape: [[centroidScores]]'s inverted-index passes, a
+   * |labels|-row threshold broadcast, one per-doc window over ≤
+   * |labels| rows, one (i, j) count agg — nothing new shuffles the
+   * corpus.
+   */
+  def confidentJoint(docs: DataFrame, idCol: String, textCol: String,
+                     labelCol: String, labels: Seq[String]): DataFrame = {
+    val big = DecimalType(38, 0)
+    val scores = centroidScores(docs, idCol, textCol, labelCol, labels)
+    val thr = scores.filter(col(labelCol) === col("candidate"))
+      .groupBy(col("candidate"))
+      .agg(sum(col("score_q")).as("graft_tnum"),
+        count(lit(1)).as("graft_tden"))
+    val nLabeled = docs.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_labeled"))
+    val qual = scores.join(broadcast(thr), Seq("candidate"))
+      .filter(col("score_q").cast(big) * col("graft_tden").cast(big) >=
+        col("graft_tnum").cast(big))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_q").desc, col("candidate").asc)
+    val best = qual.withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+    best.groupBy(col(labelCol), col("candidate").as("predicted"))
+      .agg(count(lit(1)).as("n_confident"))
+      .join(nLabeled, Seq(labelCol))
+      .select(col(labelCol), col("predicted"), col("n_confident"),
+        col("n_labeled"))
+  }
 }

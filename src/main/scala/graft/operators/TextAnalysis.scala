@@ -1429,4 +1429,50 @@ object TextAnalysis {
       .select(col("rank").cast(LongType).as("rank"), col("left"),
         col("right"), col("pair_count"))
   }
+
+  /**
+   * Subword fertility per stratum under the learned BPE merges — the
+   * tokenizer-quality number reported per language (Rust et al. ACL'21
+   * call high fertility the signature of an under-trained vocabulary):
+   * fertility = subword tokens per word after applying the first
+   * `nMerges` [[learnBpeMerges]] rules. Languages the merge table
+   * under-serves segment into more pieces.
+   *
+   * Scale shape: training as [[learnBpeMerges]]; application folds the
+   * ≤ nMerges merge rules (a metadata-scale driver list — the A2
+   * scalar-round-trip pattern) over the per-stratum WORD DICTIONARY
+   * (one corpus pass, then vocab-scale rows); the rollup is one
+   * stratum-keyed agg. Hashed surface: exact integer token counts and
+   * the half-away fertility micro ([[ExactRound]]).
+   */
+  def bpeFertility(docs: DataFrame, textCol: String, strataCol: String,
+                   nMerges: Int): DataFrame = {
+    val mergeRows = learnBpeMerges(docs, textCol, nMerges)
+      .orderBy(col("rank")).select(col("left"), col("right"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    def rep(c: org.apache.spark.sql.Column,
+            search: org.apache.spark.sql.Column,
+            to: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.replace(c, search, to)
+    val lw = docs
+      .select(col(strataCol), explode(split(col(textCol), " ")).as("graft_w"))
+      .filter(length(col("graft_w")) > 0)
+      .groupBy(col(strataCol), col("graft_w"))
+      .agg(count(lit(1)).as("graft_f"))
+      .withColumn("graft_s", concat_ws(" ", split(col("graft_w"), "")))
+    val applied = mergeRows.foldLeft(lw) { case (d, (l, r)) =>
+      d.withColumn("graft_s", trim(rep(rep(
+        concat(lit(" "), rep(col("graft_s"), lit(" "), lit("  ")),
+          lit(" ")),
+        lit(" " + l + "  " + r + " "), lit(" " + l + r + " ")),
+        lit("  "), lit(" "))))
+    }
+    applied
+      .withColumn("graft_nsub", size(split(col("graft_s"), " ")).cast("long"))
+      .groupBy(col(strataCol))
+      .agg(sum(col("graft_f")).as("n_words"),
+        sum(col("graft_f") * col("graft_nsub")).as("n_subwords"))
+      .withColumn("fertility_micro", ExactRound.halfAwayDiv(
+        col("n_subwords") * lit(1000000L), col("n_words")))
+  }
 }

@@ -66,8 +66,11 @@ object HorizonQueries {
     * 2001; Boldi & Vigna 2014) — multi-source BFS to depth 6, hashed as
     * the exact Σ⌊10⁶/d⌋ integer. */
   def q300Harmonic(s: SparkSession, dir: String): DataFrame = {
+    // the LSH chain feeds three consumers (edges, node set, seed cut) —
+    // cut its lineage ONCE so the chain runs once, not per consumer
     val pairs = TextDedup.minHashLshPairs(Sources.documents(s, dir),
       "doc_id", "text", k = 16, r = 4, w = 3, threshold = 0.5)
+      .localCheckpoint()
     val nodes = pairs.select(col("d1").as("node"))
       .union(pairs.select(col("d2").as("node"))).distinct()
     val seeds = nodes.orderBy(col("node")).limit(5)
@@ -312,7 +315,10 @@ object HorizonQueries {
         Sources.documents(s, dir), "text", nMerges = 5)
       .orderBy(col("rank"))
 
-  val q305Sql: String = {
+  /** The shared BPE-trainer CTE chain (wf, w0, p/m/w 1..5) — q305 reads
+    * the merge table off it, q307 re-applies the same merges to the
+    * per-language dictionary. One canonical copy, no drift. */
+  private def bpeStagesSql: String = {
     val stages = (1 to 5).map { i =>
       s"""p$i AS (SELECT u.l AS l, u.r AS r,
          |  CAST(SUM(f) AS BIGINT) AS cnt FROM (
@@ -329,18 +335,109 @@ object HorizonQueries {
          |    ' ' || m.l || m.r || ' '), '  ', ' ')) AS s, f
          |  FROM w${i - 1} CROSS JOIN m$i m)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to 5).map(i =>
-      s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left", r AS "right",
-         |  cnt AS pair_count FROM m$i""".stripMargin)
-      .mkString("\nUNION ALL ")
-    s"""WITH wf AS (SELECT w, count(*) AS f FROM
+    s"""wf AS (SELECT w, count(*) AS f FROM
        |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
        |  WHERE length(w) > 0 GROUP BY w),
        |w0 AS (SELECT array_to_string(list_transform(
        |    range(1, length(w) + 1), i -> substr(w, i, 1)), ' ') AS s, f
        |  FROM wf),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  val q305Sql: String = {
+    val out = (1 to 5).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left", r AS "right",
+         |  cnt AS pair_count FROM m$i""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeStagesSql
        |$out
        |ORDER BY rank""".stripMargin
+  }
+
+  // ── q306: confident-learning label-noise joint ─────────────────────────
+
+  private val clLabels = Seq("de", "en", "es", "fr", "zh")
+
+  /** q306: the confident joint C[noisy][predicted]
+    * ([[graft.operators.Classify.confidentJoint]], Northcutt 2021) of
+    * the lang labels under the q233 Rocchio scores — off-diagonal cells
+    * estimate label errors; thresholds are exact per-class score-mean
+    * rationals, qualification by integer cross-multiplication. */
+  def q306ConfidentJoint(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classify.confidentJoint(Sources.documents(s, dir),
+        "doc_id", "text", "lang", clLabels)
+      .orderBy(col("lang"), col("predicted"))
+
+  val q306Sql: String = {
+    val lv = clLabels.map(l => s"'$l'").mkString(", ")
+    s"""WITH tf AS (SELECT doc_id, t AS term, COUNT(*) AS tf FROM
+       |       (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |        FROM documents) GROUP BY 1, 2),
+       |cent AS (SELECT tf.term, d.lang AS c, SUM(tf.tf) AS w
+       |         FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+       |ct AS (SELECT c, SUM(w) AS n FROM cent GROUP BY 1),
+       |dots AS (SELECT tf.doc_id, cent.c, SUM(tf.tf * cent.w) AS dot
+       |         FROM tf JOIN cent USING (term) GROUP BY 1, 2),
+       |lf AS (SELECT unnest([$lv]) AS c),
+       |ap AS (SELECT d.doc_id, d.lang, lf.c,
+       |         COALESCE(dt.dot, 0) AS dot, ct.n
+       |       FROM documents d CROSS JOIN lf
+       |       JOIN ct ON ct.c = lf.c
+       |       LEFT JOIN dots dt ON dt.doc_id = d.doc_id AND dt.c = lf.c),
+       |q AS (SELECT doc_id, lang, c,
+       |        (dot::HUGEINT * 1000000000000::HUGEINT) // n::HUGEINT AS q
+       |      FROM ap),
+       |thr AS (SELECT c, CAST(SUM(q) AS BIGINT) AS tnum,
+       |          COUNT(*) AS tden
+       |        FROM q WHERE lang = c GROUP BY c),
+       |nl AS (SELECT lang, COUNT(*) AS n_labeled FROM documents
+       |       GROUP BY lang),
+       |qual AS (SELECT q.doc_id, q.lang, q.c, q.q FROM q
+       |         JOIN thr ON thr.c = q.c
+       |         WHERE q.q::HUGEINT * thr.tden::HUGEINT
+       |               >= thr.tnum::HUGEINT),
+       |best AS (SELECT doc_id, lang, c AS predicted, row_number() OVER (
+       |           PARTITION BY doc_id ORDER BY q DESC, c ASC) AS rn
+       |         FROM qual)
+       |SELECT b.lang, b.predicted, COUNT(*) AS n_confident, nl.n_labeled
+       |FROM best b JOIN nl ON nl.lang = b.lang WHERE rn = 1
+       |GROUP BY b.lang, b.predicted, nl.n_labeled
+       |ORDER BY b.lang, b.predicted""".stripMargin
+  }
+
+  // ── q307: BPE subword fertility per language ───────────────────────────
+
+  /** q307: tokens-per-word fertility per language under the q305 merge
+    * table ([[graft.operators.TextAnalysis.bpeFertility]], Rust 2021's
+    * tokenizer-quality lens) — which languages the learned vocabulary
+    * under-serves; exact integer counts + half-away fertility micro. */
+  def q307BpeFertility(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.bpeFertility(Sources.documents(s, dir),
+        "text", "lang", nMerges = 5)
+      .orderBy(col("lang"))
+
+  val q307Sql: String = {
+    val applies = (1 to 5).map { i =>
+      s"""lw$i AS (SELECT lang, trim(replace(replace(
+         |    ' ' || replace(lw${i - 1}.s, ' ', '  ') || ' ',
+         |    ' ' || m.l || '  ' || m.r || ' ',
+         |    ' ' || m.l || m.r || ' '), '  ', ' ')) AS s, f
+         |  FROM lw${i - 1} CROSS JOIN m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeStagesSql,
+       |lwf AS (SELECT lang, w, count(*) AS f FROM
+       |    (SELECT lang, unnest(string_split(text, ' ')) AS w
+       |     FROM documents) t
+       |  WHERE length(w) > 0 GROUP BY lang, w),
+       |lw0 AS (SELECT lang, array_to_string(list_transform(
+       |    range(1, length(w) + 1), i -> substr(w, i, 1)), ' ') AS s, f
+       |  FROM lwf),
+       |$applies
+       |SELECT lang, CAST(SUM(f) AS BIGINT) AS n_words,
+       |  CAST(SUM(f * len(string_split(s, ' '))) AS BIGINT) AS n_subwords,
+       |  (2 * CAST(SUM(f * len(string_split(s, ' '))) AS BIGINT) * 1000000
+       |    + CAST(SUM(f) AS BIGINT)) // (2 * CAST(SUM(f) AS BIGINT))
+       |    AS fertility_micro
+       |FROM lw5 GROUP BY lang ORDER BY lang""".stripMargin
   }
 }

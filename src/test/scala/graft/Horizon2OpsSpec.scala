@@ -87,4 +87,38 @@ class Horizon2OpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 0L), (2L, 1L)))
   }
+
+  // ── confident-learning joint ────────────────────────────────────────────
+
+  test("confidentJoint: mislabeled doc lands in the off-diagonal cell") {
+    import graft.operators.Classify
+    // two clean A docs, two clean B docs, one B-looking doc labeled A:
+    // t_A = mean(2e12, 2e12, 1e12); t_B = 3e12 → the mislabeled doc
+    // qualifies only for B → C[A][B] = 1
+    val docs = Seq(
+      (1L, "x x x", "A"), (2L, "x x x", "A"), (3L, "y y y", "A"),
+      (4L, "y y y", "B"), (5L, "y y y", "B")
+    ).toDF("doc_id", "text", "lang")
+    val got = Classify.confidentJoint(docs, "doc_id", "text", "lang",
+        Seq("A", "B"))
+      .orderBy("lang", "predicted")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", "A", 2L, 3L), ("A", "B", 1L, 3L),
+      ("B", "B", 2L, 2L)))
+  }
+
+  // ── BPE fertility ───────────────────────────────────────────────────────
+
+  test("bpeFertility: unserved language segments into more pieces") {
+    import graft.operators.TextAnalysis
+    // merge budget 1: (a,b) count 3 wins; lang bb's "cd" stays split
+    val docs = Seq(
+      (1L, "ab ab ab", "aa"), (2L, "cd", "bb")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.bpeFertility(docs, "text", "lang", nMerges = 1)
+      .orderBy("lang")
+      .select("lang", "n_words", "n_subwords", "fertility_micro")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("aa", 3L, 3L, 1000000L), ("bb", 1L, 2L, 2000000L)))
+  }
 }

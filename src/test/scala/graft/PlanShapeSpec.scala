@@ -626,7 +626,10 @@ class PlanShapeSpec extends SparkSpec {
       "q301_krippendorff",
       // q304: the 0-or-1-row τ-threshold broadcast left-joined onto the
       // ≤k-row sample — metadata by construction (the q296 shape)
-      "q304_priority_sample")
+      "q304_priority_sample",
+      // q306: centroidScores' |labels|-row (≤64) candidate-grid
+      // broadcast — the q233 classifier shape
+      "q306_confident_joint")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
