@@ -634,4 +634,55 @@ object Sampling {
       ExactRound.halfAwayDiv(
         htNum.cast(big) * lit(1000000L), htDen).as("ht_micro"))
   }
+
+  /**
+   * Iterative proportional fitting / raking (Deming & Stephan 1940; the
+   * survey-statistics standard for matching a sample to target
+   * marginals): reweight the (rowVar, colVar) contingency table so that
+   * BOTH marginal weighted sums hit uniform targets — here the corpus
+   * balancing step "equal mass per language AND per source" that a
+   * single-axis mixer ([[uniformMix]]) cannot do.
+   *
+   * Fixed-point determinism: weights live in exact integer ppm; each
+   * half-round rescales by the exact rational factor
+   * N·10⁶ / (|axis|·S_axis) through [[ExactRound.halfAwayDiv]]
+   * (DECIMAL(38,0)) — no floats, so the gate hashes exact integers and
+   * both engines agree bit-for-bit after any number of rounds.
+   *
+   * Scale shape: ONE corpus pass builds the |rows|×|cols| contingency
+   * table (map-side combinable); every IPF round then runs on that
+   * metadata-scale table (axis aggs + a broadcast factor join). The
+   * final per-cell weight joins back to data BY KEY when a caller
+   * materializes the reweighted corpus.
+   */
+  def ipfRake(df: DataFrame, rowVar: String, colVar: String,
+              sweeps: Int): DataFrame = {
+    require(sweeps >= 1 && sweeps <= 8, s"sweeps=$sweeps out of range")
+    val big = DecimalType(38, 0)
+    var cells = df.groupBy(col(rowVar), col(colVar))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_ppm", lit(1000000L))
+      .localCheckpoint(eager = false)
+    val totals = cells.agg(sum(col("n_docs")).as("graft_nn"),
+      countDistinct(col(rowVar)).as("graft_nr"),
+      countDistinct(col(colVar)).as("graft_nc"))
+    def halfRound(cur: DataFrame, axis: String, axisSize: Column) = {
+      val sums = cur.groupBy(col(axis))
+        .agg(sum(col("n_docs").cast(big) * col("w_ppm").cast(big))
+          .as("graft_s"))
+      cur.join(broadcast(sums), Seq(axis))
+        .crossJoin(broadcast(totals))
+        .select(col(rowVar), col(colVar), col("n_docs"),
+          ExactRound.halfAwayDiv(
+            col("w_ppm").cast(big) * col("graft_nn").cast(big) *
+              lit(1000000L).cast(big),
+            (axisSize.cast(big) * col("graft_s")).cast(big)).as("w_ppm"))
+        .localCheckpoint(eager = false)
+    }
+    for (_ <- 1 to sweeps) {
+      cells = halfRound(cells, rowVar, col("graft_nr"))
+      cells = halfRound(cells, colVar, col("graft_nc"))
+    }
+    cells.orderBy(col(rowVar), col(colVar))
+  }
 }

@@ -366,4 +366,54 @@ object Sketches {
         col("harm_num"), col("est_floor"), col("est_raw"),
         col("est_corrected"))
   }
+
+  /**
+   * AMS / tug-of-war second-moment (F₂) sketch (Alon, Matias & Szegedy,
+   * STOC 1996 — the Gödel-prize sketch): k independent estimators
+   * Z_j = Σ_t s_j(t)·c_t with seedless ±1 signs from md5; each Z_j² is
+   * an unbiased F₂ estimate. F₂ = Σ c_t² is the SELF-JOIN SIZE — the
+   * quantity a join planner wants without materializing the join, and
+   * the skew summary (F₂/n²) of any key column.
+   *
+   * Everything is exact integer arithmetic: Z_j is an int64 sum, Z_j²
+   * exact, and the k-estimator mean is carried as the rational
+   * (est_sum, k) plus its half-away micro. The exact F₂ from the
+   * counts rides along, so the gate also PINS the estimator's observed
+   * relative error on this data.
+   *
+   * Scale shape: one (stratum, key) count agg, a ×k sign fan-out of
+   * the VOCABULARY rows (never the corpus), one (stratum, j) sum, one
+   * stratum rollup — all map-side combinable; sketches from disjoint
+   * shards merge by adding Z_j (the linear-sketch property).
+   */
+  def amsF2(df: DataFrame, strataCol: String, keyCol: String,
+            k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k=$k out of range (1..64)")
+    val big = DecimalType(38, 0)
+    val counts = df.groupBy(col(strataCol), col(keyCol).as("graft_k"))
+      .agg(count(lit(1)).as("graft_c"))
+    val exact = counts.groupBy(col(strataCol))
+      .agg(sum(col("graft_c").cast(big) * col("graft_c").cast(big))
+        .cast(big).as("f2_exact"),
+        sum(col("graft_c")).as("n_rows"))
+    val signed = counts
+      .select(col(strataCol), col("graft_k"), col("graft_c"),
+        explode(expr(s"sequence(0, ${k - 1})")).as("graft_j"))
+      .withColumn("graft_s",
+        when(conv(substring(md5(concat_ws("_", lit("ams"), col("graft_j"),
+          col("graft_k"))), 1, 1), 16, 10).cast("int") % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)))
+    val z = signed.groupBy(col(strataCol), col("graft_j"))
+      .agg(sum(col("graft_s") * col("graft_c")).as("graft_z"))
+    val est = z.groupBy(col(strataCol))
+      .agg(sum(col("graft_z").cast(big) * col("graft_z").cast(big))
+        .cast(big).as("est_sum"),
+        count(lit(1)).as("n_sketches"))
+    exact.join(est, Seq(strataCol))
+      .select(col(strataCol), col("n_rows"), col("f2_exact"),
+        col("est_sum"), col("n_sketches"),
+        ExactRound.halfAwayDiv(col("est_sum") * lit(1000000L).cast(big),
+          col("n_sketches")).as("f2_est_micro"))
+      .orderBy(col(strataCol))
+  }
 }

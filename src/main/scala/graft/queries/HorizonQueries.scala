@@ -440,4 +440,77 @@ object HorizonQueries {
        |    AS fertility_micro
        |FROM lw5 GROUP BY lang ORDER BY lang""".stripMargin
   }
+
+  // ── q308: iterative proportional fitting (raking) ──────────────────────
+
+  /** q308: IPF raking ([[graft.operators.Sampling.ipfRake]], Deming &
+    * Stephan 1940) of the (lang, source) table to uniform marginals on
+    * BOTH axes — 2 sweeps in exact integer ppm fixed point; the
+    * balancing a single-axis mixer cannot do. */
+  def q308IpfRake(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.ipfRake(Sources.documents(s, dir),
+      "lang", "source", sweeps = 2)
+
+  val q308Sql: String = {
+    def half(i: Int, prev: String, axis: String, axisSize: String) =
+      s"""s$i AS (SELECT $axis, SUM(n_docs::HUGEINT * w_ppm::HUGEINT)
+         |          AS sm FROM $prev GROUP BY $axis),
+         |c$i AS (SELECT p.lang, p.source, p.n_docs,
+         |  CAST((2 * p.w_ppm::HUGEINT * t.nn::HUGEINT * 1000000
+         |        + $axisSize::HUGEINT * s$i.sm)
+         |    // (2 * $axisSize::HUGEINT * s$i.sm) AS BIGINT) AS w_ppm
+         |  FROM $prev p JOIN s$i USING ($axis) CROSS JOIN t)""".stripMargin
+    s"""WITH c0 AS (SELECT lang, source, count(*) AS n_docs,
+       |    1000000::BIGINT AS w_ppm
+       |  FROM documents GROUP BY lang, source),
+       |t AS (SELECT SUM(n_docs) AS nn, COUNT(DISTINCT lang) AS nr,
+       |        COUNT(DISTINCT source) AS nc FROM c0),
+       |${half(1, "c0", "lang", "t.nr")},
+       |${half(2, "c1", "source", "t.nc")},
+       |${half(3, "c2", "lang", "t.nr")},
+       |${half(4, "c3", "source", "t.nc")}
+       |SELECT lang, source, n_docs, w_ppm FROM c4
+       |ORDER BY lang, source""".stripMargin
+  }
+
+  // ── q309: AMS second-moment (F2) sketch ────────────────────────────────
+
+  /** q309: the AMS tug-of-war F₂ sketch
+    * ([[graft.operators.Sketches.amsF2]], Alon–Matias–Szegedy 1996)
+    * over per-source event user keys — self-join size estimated from
+    * 32 ±1 estimators, exact F₂ alongside so the gate pins the
+    * observed error; all integer arithmetic. */
+  def q309AmsF2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.amsF2(
+      Sources.events(s, dir).select(col("event_type").as("stratum"),
+        col("user_id")),
+      "stratum", "user_id", k = 32)
+
+  val q309Sql: String =
+    """WITH c AS (SELECT event_type AS stratum, user_id AS k,
+      |    count(*) AS c FROM events GROUP BY 1, 2),
+      |ex AS (SELECT stratum,
+      |         CAST(SUM(c::HUGEINT * c::HUGEINT) AS DECIMAL(38,0))
+      |           AS f2_exact,
+      |         CAST(SUM(c) AS BIGINT) AS n_rows
+      |       FROM c GROUP BY stratum),
+      |sg AS (SELECT stratum, k, c, j,
+      |         CASE WHEN (strpos('0123456789abcdef',
+      |             substr(md5('ams_' || CAST(j AS VARCHAR) || '_'
+      |               || CAST(k AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+      |           THEN 1 ELSE -1 END AS s
+      |       FROM c CROSS JOIN range(0, 32) t(j)),
+      |z AS (SELECT stratum, j, CAST(SUM(s * c) AS BIGINT) AS z
+      |      FROM sg GROUP BY stratum, j),
+      |est AS (SELECT stratum,
+      |          CAST(SUM(z::HUGEINT * z::HUGEINT) AS DECIMAL(38,0))
+      |            AS est_sum,
+      |          COUNT(*) AS n_sketches
+      |        FROM z GROUP BY stratum)
+      |SELECT ex.stratum, ex.n_rows, ex.f2_exact, est.est_sum,
+      |  CAST(est.n_sketches AS BIGINT) AS n_sketches,
+      |  CAST((2 * est.est_sum::HUGEINT * 1000000 + est.n_sketches)
+      |    // (2 * est.n_sketches::HUGEINT) AS BIGINT) AS f2_est_micro
+      |FROM ex JOIN est USING (stratum)
+      |ORDER BY ex.stratum""".stripMargin
 }

@@ -121,4 +121,61 @@ class Horizon2OpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("aa", 3L, 3L, 1000000L), ("bb", 1L, 2L, 2000000L)))
   }
+
+  // ── IPF raking ──────────────────────────────────────────────────────────
+
+  test("ipfRake: hand-computed 2x2 fixed-point sweep") {
+    // counts [[2,2],[3,1]]: rows already balanced (mass 4e6 each), so
+    // sweep 1's row step is identity; col step: c1 mass 5e6 -> 800000,
+    // c2 mass 3e6 -> 1333333 (half-away)
+    val rows =
+      Seq.fill(2)(("r1", "c1")) ++ Seq.fill(2)(("r1", "c2")) ++
+      Seq.fill(3)(("r2", "c1")) ++ Seq.fill(1)(("r2", "c2"))
+    val df = rows.toDF("lang", "source")
+    val got = Sampling.ipfRake(df, "lang", "source", sweeps = 1)
+      .select("lang", "source", "n_docs", "w_ppm")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("r1", "c1", 2L, 800000L), ("r1", "c2", 2L, 1333333L),
+      ("r2", "c1", 3L, 800000L), ("r2", "c2", 1L, 1333333L)))
+  }
+
+  test("ipfRake converges both marginals toward the uniform target") {
+    val rows = (1 to 240).map { i =>
+      (s"r${i % 3}", s"c${(i * 7) % 4}")
+    }
+    val df = rows.toDF("lang", "source")
+    val out = Sampling.ipfRake(df, "lang", "source", sweeps = 4)
+      .select("lang", "source", "n_docs", "w_ppm")
+      .as[(String, String, Long, Long)].collect()
+    val n = out.map(_._3).sum
+    def masses(key: ((String, String, Long, Long)) => String) =
+      out.groupBy(key).values.map(_.map(r => r._3 * r._4).sum).toSeq
+    val rowTarget = n.toDouble / 3 * 1e6
+    val colTarget = n.toDouble / 4 * 1e6
+    masses(_._1).foreach(m =>
+      assert(math.abs(m - rowTarget) / rowTarget < 0.001, s"row mass $m"))
+    masses(_._2).foreach(m =>
+      assert(math.abs(m - colTarget) / colTarget < 0.001, s"col mass $m"))
+  }
+
+  // ── AMS F2 sketch ───────────────────────────────────────────────────────
+
+  test("amsF2: single-key stratum is estimated exactly; counts exact") {
+    import graft.operators.Sketches
+    // stratum A: one key repeated 7 times -> Z_j = ±7, Z² = 49 = F2
+    // stratum B: keys {1,2,3} once each -> F2 = 3
+    val df = (Seq.fill(7)(("A", 1L)) ++
+      Seq(("B", 1L), ("B", 2L), ("B", 3L))).toDF("stratum", "user_id")
+    val got = Sketches.amsF2(df, "stratum", "user_id", k = 8)
+      .orderBy("stratum")
+      .select(col("stratum"), col("n_rows"),
+        col("f2_exact").cast("long"), col("n_sketches"),
+        col("f2_est_micro"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val a = got.head
+    assert(a == (("A", 7L, 49L, 8L, 49000000L)))
+    val b = got(1)
+    assert(b._2 == 3L && b._3 == 3L && b._4 == 8L && b._5 >= 0L)
+  }
 }
