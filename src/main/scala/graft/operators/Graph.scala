@@ -700,8 +700,11 @@ object Graph {
     var deg = cur.groupBy(col("a")).agg(count(lit(1)).as("graft_d"))
       .withColumnRenamed("a", "node").localCheckpoint()
     while (!done) {
-      val weak = deg.filter(col("graft_d") < k)
-        .select(col("node")).localCheckpoint()
+      // weak is a trivial filter over the CHECKPOINTED degree table —
+      // left lazy on purpose: re-evaluating it per consumer is a cheap
+      // in-memory scan, while checkpointing it would cost one more job
+      // per round (job-launch overhead dominates at small rounds)
+      val weak = deg.filter(col("graft_d") < k).select(col("node"))
       if (weak.isEmpty) done = true
       else {
         if (round > maxRounds) throw new IllegalStateException(

@@ -920,14 +920,16 @@ object MiningQueries {
       .filter(col("src_id") =!= col("tgt_id"))
       .select(col("src_id"), col("tgt_id"),
         round(Similarity.cosine(col("graft_av"), col("graft_bv")), 6)
-          .cast(org.apache.spark.sql.types.DecimalType(18, 6))
           .as("graft_c"))
     // exact 3-NN via the bounded-priority-queue aggregate: (−cos, tgt)
     // ascending ≡ (cos desc, tgt asc) — same selection as a window
     // top-k, but O(k) state per src and a k·|src| shuffle instead of
     // shuffling + sorting the full |src|² candidate fan-out
     // (operators.TopK: the map-side combine emits ≤k rows per src per
-    // task, so the wire carries the RESULT, not the candidates).
+    // task, so the wire carries the RESULT, not the candidates). The
+    // key stays a 6-dp-rounded DOUBLE: distinct 6-dp values order
+    // exactly like their decimals, and the queue's interpreted
+    // comparator is much cheaper on primitive doubles.
     val knn = graft.operators.TopK.kSmallest(pairs, Seq(col("src_id")),
         Seq("nc" -> (-col("graft_c")), "tgt_id" -> col("tgt_id")), 3)
       .select(col("src_id").as("a"), col("tgt_id").as("b"))
