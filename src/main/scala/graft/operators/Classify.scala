@@ -262,6 +262,14 @@ object Classify {
    * products stay inside DECIMAL(38,0) through ~10⁹ docs with bounded
    * integer features (r2_den ~ n⁴·x⁴·y²); center features first beyond
    * that.
+   *
+   * Output types: every reported column is BIGINT — internals stay
+   * DECIMAL(38,0), but the FINAL values are narrowed so the gate's
+   * hashed surface never carries a DECIMAL wider than 18 digits (the
+   * r11 comparator class: wide-decimal outputs hash divergently across
+   * engines even when values are equal). A final value that genuinely
+   * exceeds int64 nulls on the cast (non-ANSI) rather than wrapping —
+   * visible, never silently corrupt.
    */
   def linearProbeTrainExact(df: DataFrame, yCol: String, x1Col: String,
                             x2Col: String): DataFrame = {
@@ -283,11 +291,12 @@ object Classify {
     val r2den = col("graft_det") * sstNum
     val ok = col("graft_det") =!= 0 && sstNum > 0
     withDet.select(col("n"),
-      col("graft_det").cast(big).as("det"),
-      ppm("graft_d0").as("beta0_ppm"), ppm("graft_d1").as("beta1_ppm"),
-      ppm("graft_d2").as("beta2_ppm"),
-      when(ok, r2num.cast(big)).as("r2_num"),
-      when(ok, r2den.cast(big)).as("r2_den"))
+      col("graft_det").cast(big).cast(LongType).as("det"),
+      ppm("graft_d0").cast(LongType).as("beta0_ppm"),
+      ppm("graft_d1").cast(LongType).as("beta1_ppm"),
+      ppm("graft_d2").cast(LongType).as("beta2_ppm"),
+      when(ok, r2num.cast(big)).cast(LongType).as("r2_num"),
+      when(ok, r2den.cast(big)).cast(LongType).as("r2_den"))
   }
 
   /**

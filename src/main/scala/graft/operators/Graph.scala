@@ -941,7 +941,9 @@ object Graph {
       .distinct().localCheckpoint(eager = false)
     val nodes = sym.select(col("a").as("node")).distinct()
       .localCheckpoint(eager = false)
-    var visited = seeds.select(col(seedCol).as("graft_seed"))
+    // dedupe seeds: a duplicated seed id would seed two identical BFS
+    // states and double-count its 1/d contributions in score_micro
+    var visited = seeds.select(col(seedCol).as("graft_seed")).distinct()
       .withColumn("node", col("graft_seed"))
       .withColumn("graft_d", lit(0))
       .localCheckpoint()

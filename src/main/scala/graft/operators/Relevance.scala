@@ -1052,9 +1052,14 @@ object Relevance {
     val lcmK = (1 to k).foldLeft(1L)((a, b) =>
       a / BigInt(a).gcd(BigInt(b)).toLong * b)
     val g = gradeBits
+    // clamp rel into [0, gradeBits] INSIDE the operator: rel > g makes
+    // the continuation factor 2^g − 2^rel + 1 negative (nonsense ERR
+    // terms) and rel ≥ 63 silently overflows shiftleft — neither may
+    // depend on the call site remembering to clamp
     val sel = TopK.kSmallest(
       df.select(col(groupCol), col(scoreCol), col(tieCol),
-        col(relCol).cast(LongType).as("graft_rel")),
+        greatest(lit(0L), least(lit(g.toLong),
+          col(relCol).cast(LongType))).as("graft_rel")),
       Seq(col(groupCol)),
       Seq("ns" -> -col(scoreCol), "tie" -> col(tieCol),
         "rel" -> col("graft_rel")), k)

@@ -603,12 +603,18 @@ object Sampling {
   def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
                      salt: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    val big = DecimalType(38, 0)
     val h48 = conv(
       substring(md5(concat_ws("_", lit(salt), col(keyCol))), 1, 12), 16, 10)
       .cast(LongType)
+    // the priority numerator w·2^48 and the τ cross-multiplication run
+    // in DECIMAL(38,0): in LongType any w ≥ 2^15 silently wraps under
+    // non-ANSI semantics, corrupting priorities and HT prices with no
+    // error. Ordering still uses the double quotient (same value).
     val base = df.select(col(keyCol), col(weightCol).cast(LongType).as("w"),
         h48.as("graft_h"))
-      .withColumn("graft_qn", col("w") * lit(281474976710656L))
+      .withColumn("graft_qn",
+        col("w").cast(big) * lit(281474976710656L).cast(big))
       .withColumn("graft_qd", col("graft_h") + lit(1L))
       .withColumn("graft_q", col("graft_qn").cast(DoubleType) /
         col("graft_qd").cast(DoubleType))
@@ -622,17 +628,17 @@ object Sampling {
       .select(col("graft_qn").as("graft_tn"), col("graft_qd").as("graft_td"))
     val kept = top.filter(col("rn") <= k)
       .join(broadcast(tau), lit(true), "left")
-    val big = DecimalType(38, 0)
-    val htNum = when(col("graft_tn").isNull ||
-        col("w") * col("graft_td") >= col("graft_tn"), col("w"))
+    val keepOwn = col("graft_tn").isNull ||
+      col("w").cast(big) * col("graft_td").cast(big) >= col("graft_tn")
+    // ht_num ≤ w·2^48 — reported as BIGINT (the r11 wide-decimal gate
+    // rule); a value past int64 nulls on the cast instead of wrapping
+    val htNum = when(keepOwn, col("w").cast(big))
       .otherwise(col("graft_tn"))
-    val htDen = when(col("graft_tn").isNull ||
-        col("w") * col("graft_td") >= col("graft_tn"), lit(1L))
-      .otherwise(col("graft_td"))
+    val htDen = when(keepOwn, lit(1L)).otherwise(col("graft_td"))
     kept.select(col(keyCol), col("w"), col("rn"),
-      htNum.as("ht_num"), htDen.as("ht_den"),
+      htNum.cast(LongType).as("ht_num"), htDen.as("ht_den"),
       ExactRound.halfAwayDiv(
-        htNum.cast(big) * lit(1000000L), htDen).as("ht_micro"))
+        htNum * lit(1000000L).cast(big), htDen).as("ht_micro"))
   }
 
   /**

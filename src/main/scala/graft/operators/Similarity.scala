@@ -592,26 +592,53 @@ object Similarity {
    * N_k = 0. Cosines are the 6-dp DECIMAL portable surface; kNN
    * membership breaks ties on id.
    *
-   * Scale shape: exact all-pairs baseline (the q41/q247 contract — at
-   * corpus scale the identical in-degree count runs over LSH/IVF
-   * candidate lists from [[annTopK]]); the per-source k-cut rides
-   * WindowGroupLimit and the in-degree is ONE map-side-combinable
-   * count keyed by target id.
+   * Scale shape: the candidate-pair source is a PARAMETER
+   * ([[hubnessAuditFrom]], the [[dbscanClustersFrom]] contract): this
+   * entry point feeds it the exact all-pairs baseline (the q41/q247
+   * oracle contract); at corpus scale call [[hubnessAuditFrom]] with
+   * [[cosineNearDupPairsBucketed]]'s LSH-collided candidates (gated as
+   * q310, plan-asserted cartesian-free). Either way the per-source
+   * k-cut rides WindowGroupLimit and the in-degree is ONE
+   * map-side-combinable count keyed by target id.
    */
   def hubnessAudit(df: DataFrame, idCol: String, vecCol: String,
-                   k: Int): DataFrame = {
+                   k: Int): DataFrame =
+    // threshold −2 keeps every pair: the audit wants the full kNN
+    // graph, not a near-dup cut
+    hubnessAuditFrom(
+      cosineNearDupPairs(df, idCol, vecCol, threshold = -2.0),
+      df.select(col(idCol)), idCol, k)
+
+  /**
+   * [[hubnessAudit]] over a caller-supplied candidate-pair frame:
+   * `candPairs` must hold one (d1, d2, cosine) row per unordered
+   * candidate pair (d1 < d2, each pair once, 6-dp-rounded cosine) —
+   * any generator with that contract plugs in (exact all-pairs,
+   * [[cosineNearDupPairsBucketed]], a pre-built ANN index dump).
+   * `points` is the full id universe, so vectors with NO candidate
+   * edges still report n_k = 0 (they are precisely the anti-hubs the
+   * audit exists to find). N_k is computed within the candidate graph —
+   * the standard practice when the kNN lists themselves come from an
+   * index rather than brute force.
+   *
+   * Scale shape: one symmetrization union (no vector payloads — only
+   * (id, id, cosine) rows), a per-source WindowGroupLimit k-cut, ONE
+   * map-side-combinable in-degree count, one id-keyed left join. No
+   * cartesian anywhere; volume is the candidate collision rate.
+   */
+  def hubnessAuditFrom(candPairs: DataFrame, points: DataFrame,
+                       idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k=$k out of range")
-    val a = df.select(col(idCol).as("src_id"), col(vecCol).as("graft_av"))
-    val b = df.select(col(idCol).as("tgt_id"), col(vecCol).as("graft_bv"))
-    val pairs = a.crossJoin(b)
-      .filter(col("src_id") =!= col("tgt_id"))
-      .select(col("src_id"), col("tgt_id"),
-        round(cosine(col("graft_av"), col("graft_bv")), 6)
-          .cast(DecimalType(18, 6)).as("graft_c"))
-    val knn = LatestSnapshot.topK(pairs, Seq("src_id"),
+    val p = candPairs.select(col("d1"), col("d2"),
+      col("cosine").cast(DecimalType(18, 6)).as("graft_c"))
+    val sym = p.select(col("d1").as("src_id"), col("d2").as("tgt_id"),
+        col("graft_c"))
+      .union(p.select(col("d2").as("src_id"), col("d1").as("tgt_id"),
+        col("graft_c")))
+    val knn = LatestSnapshot.topK(sym, Seq("src_id"),
       col("graft_c").desc, Seq(col("tgt_id").asc), k)
     val indeg = knn.groupBy(col("tgt_id")).agg(count(lit(1)).as("n_k"))
-    df.select(col(idCol).as("tgt_id"))
+    points.select(col(idCol).as("tgt_id"))
       .join(indeg, Seq("tgt_id"), "left")
       .na.fill(0L, Seq("n_k"))
       .select(col("tgt_id").as(idCol), col("n_k"),

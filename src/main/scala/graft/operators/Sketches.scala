@@ -409,9 +409,14 @@ object Sketches {
       .agg(sum(col("graft_z").cast(big) * col("graft_z").cast(big))
         .cast(big).as("est_sum"),
         count(lit(1)).as("n_sketches"))
+    // sums accumulate in DECIMAL(38,0) but REPORT as BIGINT (the r11
+    // gate rule: no hashed output wider than DECIMAL(18)); F₂ ≈ n²
+    // per stratum fits int64 through ~3·10⁹ rows, past which the cast
+    // nulls (non-ANSI) rather than wrapping
     exact.join(est, Seq(strataCol))
-      .select(col(strataCol), col("n_rows"), col("f2_exact"),
-        col("est_sum"), col("n_sketches"),
+      .select(col(strataCol), col("n_rows"),
+        col("f2_exact").cast(LongType).as("f2_exact"),
+        col("est_sum").cast(LongType).as("est_sum"), col("n_sketches"),
         ExactRound.halfAwayDiv(col("est_sum") * lit(1000000L).cast(big),
           col("n_sketches")).as("f2_est_micro"))
       .orderBy(col(strataCol))

@@ -382,11 +382,18 @@ object Standardize {
     val d = col("graft_nn") * (col("graft_nn") - 1)     // D_e denominator
     val a = b - col("graft_do_num0")                    // D_o numerator
     val c = d - col("graft_de_num0")                    // D_e numerator
+    // D_o/D_e rationals are computed in DECIMAL(38,0) but REPORTED as
+    // BIGINT — the r11 gate rule: no hashed output column wider than
+    // DECIMAL(18). The rationals are O(n_units·r²) and O(n_labels²), so
+    // they fit int64 through ~10⁹ labels; past that the cast nulls
+    // (non-ANSI) rather than silently wrapping.
     doAgg.crossJoin(deAgg)
       .select(col("n_units"), r.as("n_raters"),
         (col("graft_rmax") === col("graft_rmin")).as("complete"),
-        a.cast(big).as("do_num"), b.cast(big).as("do_den"),
-        c.cast(big).as("de_num"), d.cast(big).as("de_den"),
+        a.cast(big).cast(LongType).as("do_num"),
+        b.cast(big).cast(LongType).as("do_den"),
+        c.cast(big).cast(LongType).as("de_num"),
+        d.cast(big).cast(LongType).as("de_den"),
         when(c =!= 0, ExactRound.halfAwayDiv(
           ((b.cast(big) * c.cast(big) - a.cast(big) * d.cast(big)) *
             lit(1000000L)).cast(big),

@@ -1034,6 +1034,11 @@ object VectorAggs {
             .as("graft_cov"))
         .localCheckpoint()
     }
-    picked.select(col("sel_rank"), col("graft_c").as(idCol), col("gain"))
+    // each round's gain is a sum of 6-dp decimals, so it is an exact
+    // multiple of 10⁻⁶ — reported ×10⁶ as BIGINT (the r11 gate rule:
+    // no hashed output wider than DECIMAL(18); internals stay decimal)
+    picked.select(col("sel_rank"), col("graft_c").as(idCol),
+      (col("gain") * lit(1000000L))
+        .cast(org.apache.spark.sql.types.LongType).as("gain_micro"))
   }
 }

@@ -163,10 +163,10 @@ object HorizonQueries {
       |      FROM da CROSS JOIN de)
       |SELECT CAST(n_units AS BIGINT) AS n_units,
       |  CAST(n_raters AS BIGINT) AS n_raters, complete,
-      |  CAST(a AS DECIMAL(38,0)) AS do_num,
-      |  CAST(b AS DECIMAL(38,0)) AS do_den,
-      |  CAST(c AS DECIMAL(38,0)) AS de_num,
-      |  CAST(d AS DECIMAL(38,0)) AS de_den,
+      |  CAST(a AS BIGINT) AS do_num,
+      |  CAST(b AS BIGINT) AS do_den,
+      |  CAST(c AS BIGINT) AS de_num,
+      |  CAST(d AS BIGINT) AS de_den,
       |  CASE WHEN c <> 0 THEN
       |    CASE WHEN (b * c - a * d) < 0
       |      THEN -CAST(((2 * (-(b * c - a * d)) * 1000000 + b * c)
@@ -250,7 +250,8 @@ object HorizonQueries {
          |  JOIN s$i ON sims.c = s$i.c)""".stripMargin
     }.mkString(",\n")
     val out = (1 to 5).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS sel_rank, c AS vec_id, gain FROM s$i")
+      s"SELECT CAST($i AS BIGINT) AS sel_rank, c AS vec_id, " +
+        s"CAST(gain * 1000000 AS BIGINT) AS gain_micro FROM s$i")
       .mkString("\nUNION ALL ")
     s"""WITH cands AS (SELECT vec_id AS c, embedding AS cv
        |  FROM embeddings WHERE vec_id < 16),
@@ -490,7 +491,7 @@ object HorizonQueries {
     """WITH c AS (SELECT event_type AS stratum, user_id AS k,
       |    count(*) AS c FROM events GROUP BY 1, 2),
       |ex AS (SELECT stratum,
-      |         CAST(SUM(c::HUGEINT * c::HUGEINT) AS DECIMAL(38,0))
+      |         CAST(SUM(c::HUGEINT * c::HUGEINT) AS BIGINT)
       |           AS f2_exact,
       |         CAST(SUM(c) AS BIGINT) AS n_rows
       |       FROM c GROUP BY stratum),
@@ -503,7 +504,7 @@ object HorizonQueries {
       |z AS (SELECT stratum, j, CAST(SUM(s * c) AS BIGINT) AS z
       |      FROM sg GROUP BY stratum, j),
       |est AS (SELECT stratum,
-      |          CAST(SUM(z::HUGEINT * z::HUGEINT) AS DECIMAL(38,0))
+      |          CAST(SUM(z::HUGEINT * z::HUGEINT) AS BIGINT)
       |            AS est_sum,
       |          COUNT(*) AS n_sketches
       |        FROM z GROUP BY stratum)

@@ -731,26 +731,26 @@ object MiningQueries {
 
   val q260Sql: String =
     s"""WITH $probeFeatureSql
-      |SELECT n, det::DECIMAL(38,0) AS det,
-      |  CASE WHEN det <> 0 THEN
+      |SELECT n, CAST(det AS BIGINT) AS det,
+      |  CAST(CASE WHEN det <> 0 THEN
       |    (CASE WHEN (d0 < 0) <> (det < 0) THEN -1 ELSE 1 END)::HUGEINT
       |      * ((1000000::HUGEINT * abs(d0)) // abs(det))
-      |    END::DECIMAL(38,0) AS beta0_ppm,
-      |  CASE WHEN det <> 0 THEN
+      |    END AS BIGINT) AS beta0_ppm,
+      |  CAST(CASE WHEN det <> 0 THEN
       |    (CASE WHEN (d1 < 0) <> (det < 0) THEN -1 ELSE 1 END)::HUGEINT
       |      * ((1000000::HUGEINT * abs(d1)) // abs(det))
-      |    END::DECIMAL(38,0) AS beta1_ppm,
-      |  CASE WHEN det <> 0 THEN
+      |    END AS BIGINT) AS beta1_ppm,
+      |  CAST(CASE WHEN det <> 0 THEN
       |    (CASE WHEN (d2 < 0) <> (det < 0) THEN -1 ELSE 1 END)::HUGEINT
       |      * ((1000000::HUGEINT * abs(d2)) // abs(det))
-      |    END::DECIMAL(38,0) AS beta2_ppm,
-      |  CASE WHEN det <> 0 AND n::HUGEINT * syy - sy::HUGEINT * sy > 0
+      |    END AS BIGINT) AS beta2_ppm,
+      |  CAST(CASE WHEN det <> 0 AND n::HUGEINT * syy - sy::HUGEINT * sy > 0
       |    THEN n::HUGEINT * (d0 * sy::HUGEINT + d1 * s1y::HUGEINT
       |        + d2 * s2y::HUGEINT) - det * (sy::HUGEINT * sy)
-      |    END::DECIMAL(38,0) AS r2_num,
-      |  CASE WHEN det <> 0 AND n::HUGEINT * syy - sy::HUGEINT * sy > 0
+      |    END AS BIGINT) AS r2_num,
+      |  CAST(CASE WHEN det <> 0 AND n::HUGEINT * syy - sy::HUGEINT * sy > 0
       |    THEN det * (n::HUGEINT * syy - sy::HUGEINT * sy)
-      |    END::DECIMAL(38,0) AS r2_den
+      |    END AS BIGINT) AS r2_den
       |FROM dd""".stripMargin
 
   /** q261: per-source confusion matrix of the trained probe at the 0.5
@@ -990,10 +990,19 @@ object MiningQueries {
 
   /** q266: per-source multiset content digest of (doc_id, text, lang)
     * ([[Profiling.contentDigest]]) — the layout/order-invariant dataset
-    * identity two snapshot copies must share row-for-row. */
+    * identity two snapshot copies must share row-for-row. The mod-2⁶⁴
+    * digest doesn't fit int64, so the GATE surface splits it into two
+    * exact 32-bit BIGINT halves (hi = digest div 2³², lo = digest mod
+    * 2³²) — the r11 rule that no hashed gate column may be a DECIMAL
+    * wider than 18 digits; the operator itself keeps the one-column
+    * DECIMAL(38,0) digest for programmatic use. */
   def q266ContentDigest(s: SparkSession, dir: String): DataFrame =
     Profiling.contentDigest(Sources.documents(s, dir), "source",
         Seq("doc_id", "text", "lang"))
+      .select(col("source"), col("n_rows"),
+        expr("CAST(digest div 4294967296 AS BIGINT)").as("digest_hi32"),
+        pmod(col("digest"), lit(4294967296L))
+          .cast(org.apache.spark.sql.types.LongType).as("digest_lo32"))
       .orderBy(col("source"))
 
   /** Exact integer decode of 8 hex chars of md5 column `m` starting at
@@ -1018,8 +1027,10 @@ object MiningQueries {
       |    (${hex8Sql(8)}) AS hv
       |  FROM h)
       |SELECT source, COUNT(*) AS n_rows,
-      |  CAST(SUM(hv) % 18446744073709551616::HUGEINT AS DECIMAL(38,0))
-      |    AS digest
+      |  CAST((SUM(hv) % 18446744073709551616::HUGEINT)
+      |    // 4294967296::HUGEINT AS BIGINT) AS digest_hi32,
+      |  CAST((SUM(hv) % 18446744073709551616::HUGEINT)
+      |    % 4294967296::HUGEINT AS BIGINT) AS digest_lo32
       |FROM v GROUP BY source ORDER BY source""".stripMargin
 
   // ── q267: Apriori frequent trigram mining ──────────────────────────────

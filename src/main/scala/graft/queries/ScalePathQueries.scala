@@ -146,4 +146,43 @@ object ScalePathQueries {
       |        ORDER BY margin DESC, tgt_id) AS rn FROM m)
       |SELECT src_id, tgt_id, CAST(c AS DOUBLE) AS cosine, margin
       |FROM r WHERE rn = 1 AND margin >= 1.05 ORDER BY src_id""".stripMargin
+
+  // ── q310: hubness audit over LSH-bucketed candidate lists ──────────────
+
+  /** q310: [[Similarity.hubnessAuditFrom]] over
+    * [[Similarity.cosineNearDupPairsBucketed]] candidates (4 tables ×
+    * 4 planes, threshold −2 so every collided pair stays, k = 3) —
+    * q264's k-occurrence N_k(x) computed within the candidate graph a
+    * real ANN index would supply, which is exactly where hubness
+    * corrupts recall measurements in production. The oracle reproduces
+    * the identical candidate generation, so the gate is bit-exact. */
+  def q310HubnessBucketed(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    Similarity.hubnessAuditFrom(
+        Similarity.cosineNearDupPairsBucketed(emb, "vec_id", "embedding",
+          threshold = -2.0, nTables = 4, planesPerTable = 4, dims = 64),
+        emb.select(col("vec_id")), "vec_id", k = 3)
+      .orderBy(col("vec_id"))
+  }
+
+  val q310Sql: String =
+    s"""WITH $sigSql,
+      |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      |         FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig
+      |         WHERE a.vec_id < b.vec_id),
+      |p AS (SELECT c.d1, c.d2,
+      |        CAST($cosSql AS DECIMAL(18,6)) AS c
+      |      FROM cand c JOIN embeddings a ON a.vec_id = c.d1
+      |                  JOIN embeddings b ON b.vec_id = c.d2),
+      |sym AS (SELECT d1 AS src_id, d2 AS tgt_id, c FROM p
+      |        UNION ALL SELECT d2, d1, c FROM p),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
+      |        ORDER BY c DESC, tgt_id) AS rn FROM sym),
+      |ind AS (SELECT tgt_id, COUNT(*) AS n_k FROM r
+      |        WHERE rn <= 3 GROUP BY tgt_id)
+      |SELECT e.vec_id, COALESCE(ind.n_k, 0) AS n_k,
+      |  COALESCE(ind.n_k, 0) >= 6 AS is_hub,
+      |  COALESCE(ind.n_k, 0) = 0 AS is_antihub
+      |FROM embeddings e LEFT JOIN ind ON ind.tgt_id = e.vec_id
+      |ORDER BY e.vec_id""".stripMargin
 }

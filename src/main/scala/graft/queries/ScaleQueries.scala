@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, LongType, StringType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Chunking, ExactRound => Exact, Graph, LatestSnapshot, Layout, Multimodal, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
@@ -529,20 +529,25 @@ object ScaleQueries {
   // ── q74: winsorized aggregation (outlier-robust rollup) ────────────────
 
   /** q74: per-group winsorization — clamp prices into the group's
-    * [p05, p95] band, then aggregate. The percentile band is computed as
-    * an EXACT decimal order statistic (linear interpolation with the
-    * integer remainder r = p·(n−1) mod 100, all values ×100 so no
-    * division ever happens): an interpolated double percentile can land
-    * within an ulp of a cent midpoint, flipping `round(clamped, 2)` for
-    * every clamped row at once across engines. All hashed values are
-    * exact decimals/integers. The band rides a broadcast join; sums are
-    * decimal (order-independent). */
+    * [p05, p95] band, then aggregate. Prices enter as integer CENTS via
+    * `floor(l_extendedprice · 100)`: the double multiply is the
+    * IEEE-754 correctly-rounded product (bit-identical in every
+    * engine — no libm) and floor of a double is exact, so the
+    * quantization is deterministic by construction — unlike
+    * `round(double, 2)`, whose shortest-repr-vs-binary-scaling
+    * semantics genuinely diverge across engines (reproduced at sf0.1 in
+    * r11). The percentile band is an EXACT integer order statistic
+    * (linear interpolation with the remainder r = p·(n−1) mod 100, all
+    * values ×100 so no division ever happens). Every hashed value is
+    * int64; the clamped sum accumulates in DECIMAL(38,0)
+    * (order-independent, overflow-safe) and reports as BIGINT. The
+    * band rides a broadcast join. */
   def q74Winsorize(s: SparkSession, dir: String): DataFrame = {
     val li = Sources.lineitem(s, dir)
       .select(col("l_returnflag"),
-        round(col("l_extendedprice"), 2).cast(DecimalType(18, 2)).as("pd"))
+        floor(col("l_extendedprice") * lit(100)).cast(LongType).as("pc"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_returnflag")).orderBy(col("pd"))
+      .partitionBy(col("l_returnflag")).orderBy(col("pc"))
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_returnflag"))
     val ranked = li
@@ -552,26 +557,25 @@ object ScaleQueries {
       val i0 = call_function("div", lit(p) * (col("n") - 1), lit(100L)) + 1
       val r = (lit(p) * (col("n") - 1)) % 100
       Seq(
-        max(when(col("rn") === i0, col("pd"))).as(s"${pfx}1"),
-        max(when(col("rn") === i0 + 1, col("pd"))).as(s"${pfx}2"),
+        max(when(col("rn") === i0, col("pc"))).as(s"${pfx}1"),
+        max(when(col("rn") === i0 + 1, col("pc"))).as(s"${pfx}2"),
         max(r).as(s"${pfx}r"))
     }
     val bands = ranked.groupBy(col("l_returnflag"))
       .agg((bandCols(5, "lo") ++ bandCols(95, "hi")).head,
         (bandCols(5, "lo") ++ bandCols(95, "hi")).tail: _*)
       .select(col("l_returnflag"),
-        ((lit(100) - col("lor")) * col("lo1") +
+        ((lit(100L) - col("lor")) * col("lo1") +
           col("lor") * coalesce(col("lo2"), col("lo1"))).as("lo100"),
-        ((lit(100) - col("hir")) * col("hi1") +
+        ((lit(100L) - col("hir")) * col("hi1") +
           col("hir") * coalesce(col("hi2"), col("hi1"))).as("hi100"))
     li.join(broadcast(bands), "l_returnflag")
-      .withColumn("p100", (col("pd") * lit(100)).cast(DecimalType(24, 2)))
+      .withColumn("p100", col("pc") * lit(100L))
       .withColumn("clamped100",
-        least(greatest(col("p100"), col("lo100").cast(DecimalType(24, 2))),
-          col("hi100").cast(DecimalType(24, 2))))
+        least(greatest(col("p100"), col("lo100")), col("hi100")))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        sum(col("clamped100")).cast(DecimalType(38, 2))
+        sum(col("clamped100").cast(DecimalType(38, 0))).cast(LongType)
           .as("winsorized_sum_e4"),
         sum(when(col("p100") < col("lo100"), 1L).otherwise(0L))
           .as("n_clamped_low"),
@@ -582,33 +586,31 @@ object ScaleQueries {
 
   val q74Sql: String =
     """WITH p AS (SELECT l_returnflag,
-      |    CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS pd
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS pc
       |  FROM lineitem),
-      |r AS (SELECT l_returnflag, pd,
-      |        row_number() OVER (PARTITION BY l_returnflag ORDER BY pd)
+      |r AS (SELECT l_returnflag, pc,
+      |        row_number() OVER (PARTITION BY l_returnflag ORDER BY pc)
       |          AS rn,
       |        count(*) OVER (PARTITION BY l_returnflag) AS n
       |      FROM p),
       |b AS (SELECT l_returnflag,
-      |        MAX(CASE WHEN rn = (5*(n-1))//100 + 1 THEN pd END) AS lo1,
-      |        MAX(CASE WHEN rn = (5*(n-1))//100 + 2 THEN pd END) AS lo2,
+      |        MAX(CASE WHEN rn = (5*(n-1))//100 + 1 THEN pc END) AS lo1,
+      |        MAX(CASE WHEN rn = (5*(n-1))//100 + 2 THEN pc END) AS lo2,
       |        MAX((5*(n-1)) % 100) AS lor,
-      |        MAX(CASE WHEN rn = (95*(n-1))//100 + 1 THEN pd END) AS hi1,
-      |        MAX(CASE WHEN rn = (95*(n-1))//100 + 2 THEN pd END) AS hi2,
+      |        MAX(CASE WHEN rn = (95*(n-1))//100 + 1 THEN pc END) AS hi1,
+      |        MAX(CASE WHEN rn = (95*(n-1))//100 + 2 THEN pc END) AS hi2,
       |        MAX((95*(n-1)) % 100) AS hir
       |      FROM r GROUP BY l_returnflag),
       |bb AS (SELECT l_returnflag,
-      |         CAST((100-lor)*lo1 + lor*COALESCE(lo2, lo1)
-      |           AS DECIMAL(24,2)) AS lo100,
-      |         CAST((100-hir)*hi1 + hir*COALESCE(hi2, hi1)
-      |           AS DECIMAL(24,2)) AS hi100
+      |         (100-lor)*lo1 + lor*COALESCE(lo2, lo1) AS lo100,
+      |         (100-hir)*hi1 + hir*COALESCE(hi2, hi1) AS hi100
       |       FROM b)
       |SELECT p.l_returnflag, count(*) AS n,
-      |  CAST(SUM(least(greatest(CAST(p.pd * 100 AS DECIMAL(24,2)),
-      |    bb.lo100), bb.hi100)) AS DECIMAL(38,2)) AS winsorized_sum_e4,
-      |  CAST(SUM(CASE WHEN CAST(p.pd * 100 AS DECIMAL(24,2)) < bb.lo100
+      |  CAST(SUM(least(greatest(p.pc * 100, bb.lo100), bb.hi100)::HUGEINT)
+      |    AS BIGINT) AS winsorized_sum_e4,
+      |  CAST(SUM(CASE WHEN p.pc * 100 < bb.lo100
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
-      |  CAST(SUM(CASE WHEN CAST(p.pd * 100 AS DECIMAL(24,2)) > bb.hi100
+      |  CAST(SUM(CASE WHEN p.pc * 100 > bb.hi100
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high
       |FROM p JOIN bb USING (l_returnflag)
       |GROUP BY p.l_returnflag ORDER BY p.l_returnflag""".stripMargin

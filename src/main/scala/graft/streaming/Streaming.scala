@@ -854,19 +854,25 @@ object Streaming {
   def prioritySampleStream(docStream: DataFrame, keyCol: String,
                            weightCol: String, salt: String,
                            k: Int): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     require(k >= 1, s"k must be >= 1: $k")
+    val big = DecimalType(38, 0)
     val h48 = conv(
       substring(md5(concat_ws("_", lit(salt), col(keyCol))), 1, 12), 16, 10)
       .cast(LongType)
+    // qn = w·2^48 in DECIMAL(38,0), mirroring the batch operator: a
+    // LongType product silently wraps for any w ≥ 2^15 (non-ANSI),
+    // corrupting both the rank order and the carried τ rational
     val item = docStream
       .select(col(keyCol).as("graft_key"),
         col(weightCol).cast(LongType).as("graft_w"), h48.as("graft_h"))
       .select(struct(
-        (-(col("graft_w") * lit(281474976710656L)).cast(DoubleType) /
+        (-(col("graft_w").cast(big) * lit(281474976710656L).cast(big))
+          .cast(DoubleType) /
           (col("graft_h") + lit(1L)).cast(DoubleType)).as("nq"),
         col("graft_key").as("key"), col("graft_w").as("w"),
-        (col("graft_w") * lit(281474976710656L)).as("qn"),
+        (col("graft_w").cast(big) * lit(281474976710656L).cast(big))
+          .as("qn"),
         (col("graft_h") + lit(1L)).as("qd")).as("graft_item"))
     item.agg(call_function("collect_top_k",
       col("graft_item"), lit(k + 1), lit(true)).as("topk"))

@@ -70,10 +70,9 @@ class Horizon2OpsSpec extends SparkSpec {
     val got = VectorAggs.facilityLocationGreedy(df, "vec_id", "embedding",
         col("vec_id") < 2, k = 2)
       .orderBy("sel_rank")
-      .select(col("sel_rank"), col("vec_id"),
-        col("gain").cast("string"))
-      .as[(Long, Long, String)].collect().toSeq
-    assert(got == Seq((1L, 0L, "2.600000"), (2L, 1L, "1.200000")))
+      .select(col("sel_rank"), col("vec_id"), col("gain_micro"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 2600000L), (2L, 1L, 1200000L)))
   }
 
   test("facilityLocationGreedy: second pick ignores already-covered mass") {

@@ -643,6 +643,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(violations.isEmpty, violations.mkString(", "))
   }
 
+  test("whole-surface audit: no gate output column wider than DECIMAL(18)") {
+    // The r11 root cause of the three-round red-row saga: the driver's
+    // comparator diverges on DECIMAL(precision > 18) OUTPUT columns even
+    // when the values are bit-identical (6/6 red rows had a wide-decimal
+    // output; 0/303 green ones did). Internals may use DECIMAL(38,x)
+    // freely — but every REPORTED column of every registered gate query
+    // must fit int64 / DECIMAL(18). PORTABILITY.md rule: a new gate
+    // registers only after this audit and the perturbation audit pass.
+    import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType,
+      StructType}
+    def wideIn(path: String, dt: DataType): Seq[String] = dt match {
+      case d: DecimalType if d.precision > 18 => Seq(s"$path:$d")
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => wideIn(s"$path.${f.name}", f.dataType))
+      case a: ArrayType => wideIn(s"$path[]", a.elementType)
+      case _ => Nil
+    }
+    val wide = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sf).schema.fields.toSeq.flatMap(f =>
+          wideIn(s"$name.${f.name}", f.dataType))
+    }
+    assert(wide.isEmpty,
+      s"wide-decimal gate outputs (driver-comparator hazard): " +
+        wide.mkString(", "))
+  }
+
   test("prefix filter's df-attach: hot shingles broadcast, cold join skew-free") {
     // q142's one skewable stage: attaching global document frequencies
     // shuffles the shingle slice BY SHINGLE, so a boilerplate shingle
