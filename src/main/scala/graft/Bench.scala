@@ -31,7 +31,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      def runOnce(): (Double, Option[String]) = {
         // measure each query from a quiesced heap: accumulated broadcast /
         // shuffle state from earlier queries otherwise taxes the later
         // ones with GC pauses that aren't part of the query's own cost
@@ -47,6 +47,18 @@ object Bench {
         }
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      val base = (1 to reps).map(_ => runOnce())
+      // adaptive extra rep: at the default reps=2 the min still moved
+      // ±15% median round-over-round (r11's 129-query tail) — when the
+      // two base reps of a non-trivial query disagree by >10%, take ONE
+      // more sample so the ambiguous rows get min-of-3 without tripling
+      // the whole run's wall clock. Sub-200ms rows skip it: their
+      // absolute noise can't masquerade as a regression.
+      val baseOk = base.collect { case (t, None) => t }
+      val times = base ++ (
+        if (reps == 2 && baseOk.size == 2 && baseOk.min > 0.2 &&
+            baseOk.max - baseOk.min > 0.10 * baseOk.min) Seq(runOnce())
+        else Nil)
       // headline continuity: first-rep seconds (what r≤7 measured);
       // stability: min across SUCCESSFUL reps — a fast-failing rep's
       // tiny latency must not pose as the query's stable time. Only

@@ -614,6 +614,41 @@ object Profiling {
    * two-phase on (QI, sensitive) with map-side partials, so a hot
    * group never concentrates raw rows in one task.
    */
+  /**
+   * Gini–Simpson diversity index per stratum (Simpson 1949, the
+   * unbiased finite-sample form): 1 − Σ nᵢ(nᵢ−1)/(N(N−1)) — the
+   * probability that two documents drawn WITHOUT replacement from the
+   * stratum differ on the category (language, domain, topic tag). The
+   * single-number "is this source a monoculture" read a mixture report
+   * compresses to: 0 = all one category, →1 = evenly spread over many.
+   * Complements entropy-style diversity with an exactly-computable
+   * rational (no logs anywhere).
+   *
+   * Hashed surface: N, the category count, and
+   * `gini_simpson_micro = half-away(10⁶·(N(N−1) − Σnᵢ(nᵢ−1)) / N(N−1))`
+   * — exact integers end to end; N < 2 reports NULL, never 0/0.
+   *
+   * Scale shape: ONE (stratum, category) count agg (map-side
+   * combinable) + one |strata|-key reduce. The corpus shuffles once.
+   */
+  def giniSimpson(df: DataFrame, strataCol: String,
+                  catCol: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cc = df.groupBy(col(strataCol), col(catCol))
+      .agg(count(lit(1)).as("graft_n"))
+    cc.groupBy(col(strataCol))
+      .agg(sum(col("graft_n")).as("n_rows"),
+        count(lit(1)).as("n_categories"),
+        sum(col("graft_n").cast(big) * (col("graft_n").cast(big) - 1))
+          .cast(big).as("graft_same"))
+      .select(col(strataCol), col("n_rows"), col("n_categories"),
+        when(col("n_rows") >= 2, ExactRound.halfAwayDiv(
+          ((col("n_rows").cast(big) * (col("n_rows").cast(big) - 1) -
+            col("graft_same")) * lit(1000000L).cast(big)).cast(big),
+          (col("n_rows").cast(big) * (col("n_rows").cast(big) - 1))
+            .cast(big))).as("gini_simpson_micro"))
+  }
+
   def privacyAudit(df: DataFrame, qiCols: Seq[String],
                    sensitiveCol: String, k: Long, l: Long): DataFrame = {
     require(qiCols.nonEmpty, "need at least one quasi-identifier")

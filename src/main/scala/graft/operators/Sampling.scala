@@ -691,4 +691,85 @@ object Sampling {
     }
     cells.orderBy(col(rowVar), col(colVar))
   }
+
+  /** Cumulative Poisson(1) CDF scaled to 2⁴⁸ and floored — SHARED
+    * LITERALS between the Spark expression and the oracle SQL (the
+    * portability contract: e⁻¹ is transcendental, so the thresholds
+    * must be pinned constants, never recomputed through libm at
+    * runtime). t(k) = ⌊2⁴⁸·P(X ≤ k)⌋ for X ~ Poisson(1), k = 0..8;
+    * residual mass past k = 8 is < 1.2e-9 — weight clamps at 9. */
+  private[graft] val poissonThresholds48: Seq[Long] = Seq(
+    103548857136060L, 207097714272121L, 258872142840152L,
+    276130285696162L, 280444821410164L, 281307728552965L,
+    281451546410098L, 281472091818260L, 281474659994280L)
+
+  /**
+   * Hashed Poisson bootstrap confidence interval for a per-stratum mean
+   * (the one-pass bootstrap of Chamandy et al., "Estimating Uncertainty
+   * for Massive Data Streams", Google 2012; Owen & Eckles 2012 analyze
+   * the Poisson approximation): each of `reps` replicates reweights
+   * every row by an independent Poisson(1) count DRAWN DETERMINISTICALLY
+   * from a salted 48-bit hash against pinned CDF thresholds — no RNG
+   * state, any executor recomputes the same replicate, and resampling
+   * the corpus never rescans it (all replicates ride ONE pass). The
+   * spread of the replicate means is the sampling-uncertainty read a
+   * point estimate hides: "is src A really longer-form than src B, or
+   * is that 25-doc noise?"
+   *
+   * Hashed surface: exact integers only — the point-estimate mean and
+   * the trimmed replicate order statistics (5%-trimmed low/high) are
+   * [[ExactRound]] micro rationals; replicate means are exact rationals
+   * before rounding; the Poisson draw is integer threshold comparisons.
+   *
+   * Scale shape: one narrow (stratum, key, value) projection fanned out
+   * ×reps (a constant), one (stratum, replicate) map-side-combinable
+   * agg → |strata|·reps rows, then a |strata|-key rollup whose
+   * collect_list is bounded at reps elements (metadata). The corpus is
+   * read once; nothing data-scale is sorted or collected.
+   */
+  def poissonBootstrapMean(df: DataFrame, keyCol: String,
+                           strataCol: String, valueCol: String,
+                           salt: String, reps: Int = 20): DataFrame = {
+    require(reps >= 2 && reps <= 64, s"reps=$reps out of range (2..64)")
+    val big = DecimalType(38, 0)
+    val thresholds = array(poissonThresholds48.map(lit): _*)
+    val rows = df.select(col(strataCol), col(keyCol).as("graft_k"),
+        col(valueCol).cast(LongType).as("graft_v"))
+      .withColumn("graft_r", explode(expr(s"sequence(0, ${reps - 1})")))
+    val h48 = conv(substring(md5(concat_ws("_", lit(salt), col("graft_r"),
+      col("graft_k"))), 1, 12), 16, 10).cast(LongType)
+    val weighted = rows.withColumn("graft_w",
+      size(filter(thresholds, t => h48 >= t)).cast(LongType))
+    val repMeans = weighted.groupBy(col(strataCol), col("graft_r"))
+      .agg(sum((col("graft_w") * col("graft_v")).cast(big)).as("graft_sv"),
+        sum(col("graft_w")).as("graft_sw"))
+      .select(col(strataCol),
+        when(col("graft_sw") > 0, ExactRound.halfAwayDiv(
+          col("graft_sv").cast(big) * lit(1000000L).cast(big),
+          col("graft_sw"))).as("graft_m"))
+    val point = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_rows"),
+        ExactRound.halfAwayDiv(
+          sum(col(valueCol).cast(LongType)).cast(big) *
+            lit(1000000L).cast(big),
+          count(lit(1))).as("mean_micro"))
+    val trim = repMeans.groupBy(col(strataCol))
+      .agg(sort_array(collect_list(col("graft_m"))).as("graft_ms"))
+      // 5%-trimmed bounds: with m replicate means, lo = the
+      // (⌊m/20⌋+1)-th smallest, hi = the (m−⌊m/20⌋)-th — at the
+      // default reps=20 that is the 2nd and 19th order statistic.
+      // `div`, not `/`: Column./ is ALWAYS double division in Spark
+      .withColumn("graft_mn", size(col("graft_ms")))
+      .withColumn("graft_tr", expr("graft_mn div 20").cast("int"))
+      .select(col(strataCol),
+        col("graft_mn").cast(LongType).as("n_reps"),
+        element_at(col("graft_ms"), col("graft_tr") + 1)
+          .as("boot_lo_micro"),
+        element_at(col("graft_ms"), col("graft_mn") - col("graft_tr"))
+          .as("boot_hi_micro"))
+    point.join(trim, Seq(strataCol))
+      .select(col(strataCol), col("n_rows"), col("mean_micro"),
+        col("n_reps"), col("boot_lo_micro"), col("boot_hi_micro"))
+      .orderBy(col(strataCol))
+  }
 }

@@ -399,4 +399,106 @@ object Standardize {
             lit(1000000L)).cast(big),
           (b.cast(big) * c.cast(big)).cast(big))).as("alpha_micro"))
   }
+
+  /** The shared two-sample scaffold behind [[mannWhitneyU]] and
+    * [[ksTwoSample]]: collapse both samples to ONE row per distinct
+    * value with per-group counts and running cumulative counts. The
+    * corpus is touched once (a (value, group) hash-agg); the window
+    * runs UNPARTITIONED but over the |distinct values|-row table only —
+    * metadata-scale when the metric is a bounded integer (lengths,
+    * scores, bucket ids), which is the operator's documented contract. */
+  private def twoSampleValueTable(df: DataFrame, valueCol: String,
+                                  groupCol: String, groupA: String,
+                                  groupB: String): DataFrame = {
+    val byValue = df
+      .filter(col(groupCol).isInCollection(Seq(groupA, groupB)))
+      .groupBy(col(valueCol).cast(LongType).as("graft_v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("graft_ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("graft_cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("graft_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byValue
+      .withColumn("graft_cuma", sum(col("graft_ca")).over(w))
+      .withColumn("graft_cumb", sum(col("graft_cb")).over(w))
+  }
+
+  /**
+   * Mann–Whitney U / two-sample rank statistic (Mann & Whitney 1947),
+   * reported with its exact AUC interpretation: U_A counts (a, b) pairs
+   * with a > b, ties at ½ — and U_A/(n_A·n_B) is literally P(A > B)
+   * plus half the tie mass, the common-language effect size / ROC-AUC
+   * between the two samples. The distribution-free "is source A's
+   * metric stochastically larger than source B's" answer that a mean
+   * comparison (q249's W1) cannot give under heavy tails.
+   *
+   * Exactness: everything is counts. Doubling clears the half-ties:
+   * u2_a = Σ_v ca(v)·(2·cumb(v−) + cb(v)) is the EXACT 2·U_A integer,
+   * and auc_micro = half-away(u2_a·10⁶ / (2·n_a·n_b)). No rank midpoint
+   * ever materializes as a fraction.
+   *
+   * Scale shape: one (value, group) hash-agg collapses the corpus; the
+   * cumulative window runs on the |distinct values|-row table (the
+   * contract: a bounded integer metric — doc lengths, scores). One
+   * final 1-row aggregate. Corpus rows are touched exactly once.
+   */
+  def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
+                   groupA: String, groupB: String): DataFrame = {
+    val vt = twoSampleValueTable(df, valueCol, groupCol, groupA, groupB)
+    val big = DecimalType(38, 0)
+    vt.agg(
+        sum(col("graft_ca")).as("n_a"),
+        sum(col("graft_cb")).as("n_b"),
+        sum(col("graft_ca") *
+          (lit(2L) * (col("graft_cumb") - col("graft_cb")) +
+            col("graft_cb"))).as("u2_a"))
+      .select(col("n_a"), col("n_b"), col("u2_a"),
+        when(col("n_a") > 0 && col("n_b") > 0, ExactRound.halfAwayDiv(
+          col("u2_a").cast(big) * lit(1000000L).cast(big),
+          (lit(2L).cast(big) * col("n_a").cast(big) *
+            col("n_b").cast(big)).cast(big))).as("auc_micro"))
+  }
+
+  /**
+   * Two-sample Kolmogorov–Smirnov statistic D = sup_v |F_A(v) − F_B(v)|
+   * (Smirnov 1939) as an EXACT integer rational: at every distinct
+   * value, |cumA·n_B − cumB·n_A| is an integer and D = max over values
+   * of that numerator over the constant n_A·n_B. The whole-distribution
+   * drift test that complements q188's chi² (categorical) and q249's W1
+   * (mean shift): KS sees shape changes a mean can hide, with a
+   * distribution-free null.
+   *
+   * Hashed surface: n_a, n_b, the exact (d_num, d_den) pair and the
+   * half-away micro — no floating point anywhere. Scale shape: same as
+   * [[mannWhitneyU]] (one corpus hash-agg + the metadata-scale value
+   * table + one 1-row aggregate).
+   */
+  def ksTwoSample(df: DataFrame, valueCol: String, groupCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    // two consumers (totals + the max scan) — cut lineage so the
+    // corpus agg behind the value table runs once, not per branch
+    val vt = twoSampleValueTable(df, valueCol, groupCol, groupA, groupB)
+      .localCheckpoint(eager = false)
+    val big = DecimalType(38, 0)
+    val withTotals = vt
+      .crossJoin(broadcast(vt.agg(sum(col("graft_ca")).as("graft_na"),
+        sum(col("graft_cb")).as("graft_nb"))))
+    withTotals
+      .select(col("graft_na"), col("graft_nb"),
+        abs(col("graft_cuma").cast(big) * col("graft_nb").cast(big) -
+          col("graft_cumb").cast(big) * col("graft_na").cast(big))
+          .as("graft_dn"))
+      .groupBy(col("graft_na"), col("graft_nb"))
+      .agg(max(col("graft_dn")).as("graft_dmax"))
+      .select(col("graft_na").as("n_a"), col("graft_nb").as("n_b"),
+        col("graft_dmax").cast(LongType).as("d_num"),
+        (col("graft_na").cast(big) * col("graft_nb").cast(big))
+          .cast(LongType).as("d_den"),
+        when(col("graft_na") > 0 && col("graft_nb") > 0,
+          ExactRound.halfAwayDiv(
+            col("graft_dmax").cast(big) * lit(1000000L).cast(big),
+            (col("graft_na").cast(big) * col("graft_nb").cast(big))
+              .cast(big))).as("d_micro"))
+  }
 }

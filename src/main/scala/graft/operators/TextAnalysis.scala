@@ -851,6 +851,45 @@ object TextAnalysis {
   }
 
   /**
+   * Chao1 species-richness estimate per stratum (Chao 1984, the
+   * bias-corrected form): V̂ = V + f₁(f₁−1)/(2(f₂+1)) — a LOWER BOUND
+   * on the stratum's true vocabulary size from the observed type count
+   * V and the singleton/doubleton counts f₁, f₂. The budgeting twin of
+   * [[missingMassAudit]]: Good–Turing says how much probability mass is
+   * unseen, Chao1 says how many TYPES are still unseen — the number a
+   * tokenizer-vocab or coverage plan actually needs. The +1 in the
+   * denominator (Chao's bias correction) also makes f₂ = 0 well-defined
+   * — no special case.
+   *
+   * Hashed surface: exact counts (V, N, f₁, f₂) plus
+   * `chao1_micro = half-away(10⁶·(2V(f₂+1) + f₁(f₁−1)) / (2(f₂+1)))` —
+   * the estimate as one exact rational, no floating point.
+   *
+   * Scale shape: identical to [[missingMassAudit]] — ONE (stratum, word)
+   * count agg, one |strata|-key reduce over count-of-counts. The corpus
+   * shuffles once, on word keys, map-side combined.
+   */
+  def chao1Richness(docs: DataFrame, textCol: String,
+                    strataCol: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val wc = docs
+      .select(col(strataCol), explode(split(col(textCol), " ")).as("graft_w"))
+      .groupBy(col(strataCol), col("graft_w"))
+      .agg(count(lit(1)).as("graft_c"))
+    wc.groupBy(col(strataCol))
+      .agg(sum(col("graft_c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("graft_c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("graft_c") === 2, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1_micro", ExactRound.halfAwayDiv(
+        ((lit(2L).cast(big) * col("n_types").cast(big) *
+          (col("f2").cast(big) + lit(1L)) +
+          col("f1").cast(big) * (col("f1").cast(big) - lit(1L))) *
+          lit(1000000L).cast(big)).cast(big),
+        (lit(2L).cast(big) * (col("f2").cast(big) + lit(1L))).cast(big)))
+  }
+
+  /**
    * Heaps-law vocabulary growth curve (Heaps 1978): cumulative distinct
    * vocabulary after each equal-count document tranche, in document-id
    * order — the empirical V(n) curve whose flattening says when more of

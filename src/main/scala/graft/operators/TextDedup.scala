@@ -1393,4 +1393,45 @@ object TextDedup {
           coalesce(col("h"), lit(0L)) + coalesce(col("r"), lit(0L)))
           .as("f1_micro"))
   }
+
+  /**
+   * Benchmark n-gram decontamination (the GPT-3 appendix-C / PaLM
+   * practice, Brown et al. 2020: remove any training document sharing a
+   * 13-gram with an evaluation set): per corpus document, how many of
+   * its distinct n-word shingles also occur anywhere in `benchmark` —
+   * n_contaminated ≥ 1 is the standard removal trigger. Run BEFORE any
+   * eval is trusted; leakage this audit misses becomes inflated
+   * benchmark numbers downstream.
+   *
+   * Output: one row per corpus document (documents shorter than n words
+   * report n_grams = 0 — never silently dropped) with exact counts and
+   * the flag.
+   *
+   * Scale shape: the benchmark side is an EVAL SET — bounded by
+   * contract — so its distinct-shingle set broadcasts; the corpus
+   * contributes one [[shingles]] projection (distinct n-grams per doc,
+   * exploded) and two doc-keyed map-side-combinable counts. The corpus
+   * shingle frame feeds both counts through one lazy lineage cut.
+   * Nothing corpus² anywhere; if the benchmark ever outgrows broadcast
+   * range the join degrades to a shingle-keyed equi-join (drop the
+   * broadcast hint), not a different algorithm.
+   */
+  def ngramDecontamination(corpus: DataFrame, benchmark: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 13): DataFrame = {
+    require(n >= 2 && n <= 50, s"n=$n out of range (2..50)")
+    val cs = shingles(corpus, idCol, textCol, n)
+      .localCheckpoint(eager = false)
+    val bs = shingles(benchmark, idCol, textCol, n)
+      .select(col("s")).distinct()
+    val totals = cs.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val hits = cs.join(broadcast(bs), Seq("s"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    corpus.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_grams", "n_contaminated"))
+      .select(col(idCol), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated") >= 1L).as("is_contaminated"))
+  }
 }

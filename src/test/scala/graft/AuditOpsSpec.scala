@@ -1,75 +1,149 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Profiling
+import graft.operators.{Profiling, Sampling, Standardize, TextDedup,
+  TextAnalysis}
 
-/** Hand-computed expectations for the round-7 audit operators
-  * (Benford, χ² homogeneity). */
+/** Hand-computed examples for the round-12 statistical-audit operators
+  * (Chao1, Gini–Simpson, n-gram decontamination, Poisson bootstrap,
+  * Mann–Whitney, Kolmogorov–Smirnov). */
 class AuditOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  // ── benfordAudit ────────────────────────────────────────────────────────
+  // ── Chao1 richness ──────────────────────────────────────────────────────
 
-  test("benford: digits from cents, spine keeps zero rows") {
-    // values 1.23 (123 → digit 1), 0.45 (45 → 4), 9.99 (999 → 9),
-    // 1.00 (100 → 1): digit 1 has 2 obs; digits 2,3,5..8 have 0
-    val df = Seq(1.23, 0.45, 9.99, 1.00).toDF("v")
-      .withColumn("g", lit("a"))
-    val got = Profiling.benfordAudit(df, "v", "g")
-      .orderBy("digit")
-      .select("digit", "n", "n_obs")
-      .as[(Long, Long, Long)].collect().toSeq
-    assert(got.size == 9)
-    assert(got.map(_._2).forall(_ == 4L))
-    assert(got.map(t => t._1 -> t._3).toMap ==
-      Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L, 6L -> 0L,
-        7L -> 0L, 8L -> 0L, 9L -> 1L))
+  test("chao1Richness: hand-computed singleton/doubleton cases") {
+    // stratum A: "a a b" → V=2, N=3, f1=1, f2=1 → chao1 = V + 0 = 2
+    // stratum B: "x y"   → V=2, N=2, f1=2, f2=0 → chao1 = 2 + 2·1/2 = 3
+    val docs = Seq(("A", "a a b"), ("B", "x y")).toDF("lang", "text")
+    val got = TextAnalysis.chao1Richness(docs, "text", "lang")
+      .orderBy("lang")
+      .select("lang", "n_tokens", "n_types", "f1", "f2", "chao1_micro")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 3L, 2L, 1L, 1L, 2000000L),
+      ("B", 2L, 2L, 2L, 0L, 3000000L)))
   }
 
-  test("benford: zero and negative values stay out of the population") {
-    // 0.0 has no leading digit; -1.23 audits as |v| → digit 1; totals
-    // must cover only the digit-bearing rows (n = 2, not 3)
-    val df = Seq(0.0, -1.23, 4.5).toDF("v").withColumn("g", lit("a"))
-    val got = Profiling.benfordAudit(df, "v", "g")
-      .orderBy("digit").select("digit", "n", "n_obs")
-      .as[(Long, Long, Long)].collect().toSeq
-    assert(got.map(_._2).forall(_ == 2L))
-    assert(got.map(t => t._1 -> t._3).toMap.filter(_._2 > 0) ==
-      Map(1L -> 1L, 4L -> 1L))
+  test("chao1Richness: no singletons collapses to the observed count") {
+    val docs = Seq(("A", "a a b b c c")).toDF("lang", "text")
+    val got = TextAnalysis.chao1Richness(docs, "text", "lang")
+      .select("n_types", "f1", "f2", "chao1_micro")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((3L, 0L, 3L, 3000000L)))
   }
 
-  test("benford: expected counts follow log10(1 + 1/d)") {
-    val df = Seq.fill(1000)(1.0).toDF("v").withColumn("g", lit("a"))
-    val e1 = Profiling.benfordAudit(df, "v", "g")
-      .filter(col("digit") === 1).select("n_expected").as[Double].head()
-    assert(e1 == 301.029996) // 1000·log10(2)
+  // ── Gini–Simpson diversity ──────────────────────────────────────────────
+
+  test("giniSimpson: even two-category split gives 2/3 without replacement") {
+    // {a,a,b,b}: 1 − (2·1 + 2·1)/(4·3) = 1 − 4/12 = 2/3
+    val df = Seq(("S", "a"), ("S", "a"), ("S", "b"), ("S", "b"))
+      .toDF("source", "lang")
+    val got = Profiling.giniSimpson(df, "source", "lang")
+      .select("n_rows", "n_categories", "gini_simpson_micro")
+      .as[(Long, Long, Long)].head()
+    assert(got == ((4L, 2L, 666667L)))
   }
 
-  // ── chiSquareDrift ──────────────────────────────────────────────────────
-
-  test("chi2 drift: identical distributions score zero") {
-    // both strata 2:1 over categories x:y — expected == observed
-    val df = Seq(
-      ("s1", "x"), ("s1", "x"), ("s1", "y"),
-      ("s2", "x"), ("s2", "x"), ("s2", "y")
-    ).toDF("strat", "c")
-    val got = Profiling.chiSquareDrift(df, "strat", "c")
-      .orderBy("strat").select("n", "dof", "chi2")
-      .as[(Long, Long, Double)].collect().toSeq
-    assert(got == Seq((3L, 1L, 0.0), (3L, 1L, 0.0)))
+  test("giniSimpson: monoculture is 0; a single row is NULL, not 0/0") {
+    val df = Seq(("M", "a"), ("M", "a"), ("M", "a"), ("1", "z"))
+      .toDF("source", "lang")
+    val got = Profiling.giniSimpson(df, "source", "lang")
+      .orderBy("source")
+      .select(col("source"), col("gini_simpson_micro"))
+      .as[(String, Option[Long])].collect().toSeq
+    assert(got == Seq(("1", None), ("M", Some(0L))))
   }
 
-  test("chi2 drift: a missing category contributes its expectation") {
-    // s1: 4×x; s2: 2×x, 2×y. Globals: x=6, y=2, n=8.
-    // s1 expected: x=3, y=1 → terms (4−3)²/3 + (0−1)²/1 = 1.333333
-    // s2 expected: x=3, y=1 → (2−3)²/3 + (2−1)²/1 = 1.333334 (rounded
-    // terms 0.333333+1.0 vs 0.333333+1.0 — recompute: (1/3 → 0.333333)
-    // both strata: 0.333333 + 1.0 = 1.333333
-    val df = Seq.fill(4)(("s1", "x")) ++
-      Seq(("s2", "x"), ("s2", "x"), ("s2", "y"), ("s2", "y"))
-    val got = Profiling.chiSquareDrift(df.toDF("strat", "c"), "strat", "c")
-      .orderBy("strat").select("dof", "chi2")
-      .as[(Long, Double)].collect().toSeq
-    assert(got == Seq((1L, 1.333333), (1L, 1.333333)))
+  // ── n-gram decontamination ──────────────────────────────────────────────
+
+  test("ngramDecontamination flags shared n-grams, keeps short docs") {
+    // bench doc: "the quick brown fox"; corpus doc 1 shares the 3-gram
+    // "quick brown fox"; doc 2 shares nothing; doc 3 is too short (2
+    // words < n=3) and must still emit with n_grams = 0
+    val bench = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a quick brown fox ran"),
+      (2L, "entirely different words here"),
+      (3L, "too short")).toDF("doc_id", "text")
+    val got = TextDedup.ngramDecontamination(corpus, bench,
+        "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_contaminated", "is_contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1L, true), (2L, 2L, 0L, false),
+      (3L, 0L, 0L, false)))
+  }
+
+  // ── Poisson bootstrap ───────────────────────────────────────────────────
+
+  test("poissonBootstrapMean: exact point mean, ordered CI, deterministic") {
+    val df = (1L to 40L).map(i => (i, "L", 10L + (i % 5)))
+      .toDF("doc_id", "lang", "n_chars")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.poissonBootstrapMean(d, "doc_id", "lang", "n_chars",
+          salt = "t", reps = 20)
+        .select("n_rows", "mean_micro", "n_reps", "boot_lo_micro",
+          "boot_hi_micro")
+        .as[(Long, Long, Long, Long, Long)].head()
+    val got = run(df)
+    // point estimate is the exact mean: Σ(10 + i%5)/40 = 12·10⁶ exactly
+    assert(got._1 == 40L && got._2 == 12000000L)
+    assert(got._3 <= 20L && got._4 <= got._5)
+    // the replicate band brackets the point estimate for a stable mean
+    assert(got._4 <= got._2 && got._2 <= got._5)
+    // hash draws are seedless: partitioning cannot move the interval
+    assert(run(df.repartition(7)) == got)
+  }
+
+  // ── Mann–Whitney U / AUC ────────────────────────────────────────────────
+
+  test("mannWhitneyU: hand-computed pairs with and without ties") {
+    // A={1,3}, B={2}: pairs (1<2)=0, (3>2)=1 → U_A=1 → u2=2, AUC=1/2
+    val df = Seq((1L, "A"), (3L, "A"), (2L, "B")).toDF("v", "g")
+    val got = Standardize.mannWhitneyU(df, "v", "g", "A", "B")
+      .select("n_a", "n_b", "u2_a", "auc_micro")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((2L, 1L, 2L, 500000L)))
+    // pure tie: A={2}, B={2} → u2 = 1 (half a pair), AUC = 1/2
+    val tie = Seq((2L, "A"), (2L, "B")).toDF("v", "g")
+    val got2 = Standardize.mannWhitneyU(tie, "v", "g", "A", "B")
+      .select("u2_a", "auc_micro").as[(Long, Long)].head()
+    assert(got2 == ((1L, 500000L)))
+    // complete dominance: A all above B → AUC = 1
+    val dom = Seq((10L, "A"), (11L, "A"), (1L, "B")).toDF("v", "g")
+    val got3 = Standardize.mannWhitneyU(dom, "v", "g", "A", "B")
+      .select("u2_a", "auc_micro").as[(Long, Long)].head()
+    assert(got3 == ((4L, 1000000L)))
+  }
+
+  test("mannWhitneyU ignores rows outside the two groups") {
+    val df = Seq((1L, "A"), (100L, "C"), (2L, "B")).toDF("v", "g")
+    val got = Standardize.mannWhitneyU(df, "v", "g", "A", "B")
+      .select("n_a", "n_b").as[(Long, Long)].head()
+    assert(got == ((1L, 1L)))
+  }
+
+  // ── Kolmogorov–Smirnov ──────────────────────────────────────────────────
+
+  test("ksTwoSample: disjoint supports give D = 1 exactly") {
+    val df = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B")).toDF("v", "g")
+    val got = Standardize.ksTwoSample(df, "v", "g", "A", "B")
+      .select("n_a", "n_b", "d_num", "d_den", "d_micro")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == ((2L, 2L, 4L, 4L, 1000000L)))
+  }
+
+  test("ksTwoSample: identical samples give D = 0; shift gives exact D") {
+    val same = Seq((1L, "A"), (2L, "A"), (1L, "B"), (2L, "B")).toDF("v", "g")
+    val g0 = Standardize.ksTwoSample(same, "v", "g", "A", "B")
+      .select("d_num", "d_micro").as[(Long, Long)].head()
+    assert(g0 == ((0L, 0L)))
+    // A={1,2}, B={2,3}: at v=1 |1·2−0·2|=2, at v=2 |2·2−1·2|=2 → D=1/2
+    val shift = Seq((1L, "A"), (2L, "A"), (2L, "B"), (3L, "B"))
+      .toDF("v", "g")
+    val g1 = Standardize.ksTwoSample(shift, "v", "g", "A", "B")
+      .select("d_num", "d_den", "d_micro")
+      .as[(Long, Long, Long)].head()
+    assert(g1 == ((2L, 4L, 500000L)))
   }
 }

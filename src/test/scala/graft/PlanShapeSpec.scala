@@ -629,7 +629,10 @@ class PlanShapeSpec extends SparkSpec {
       "q304_priority_sample",
       // q306: centroidScores' |labels|-row (≤64) candidate-grid
       // broadcast — the q233 classifier shape
-      "q306_confident_joint")
+      "q306_confident_joint",
+      // q316: ksTwoSample's 1-row (n_a, n_b) totals broadcast onto the
+      // metadata-scale distinct-value table (the q285/q296 shape)
+      "q316_ks_drift")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
@@ -978,7 +981,11 @@ class PlanShapeSpec extends SparkSpec {
       "q251_vocab_growth",
       // q288: rank windows over the two ALREADY-CUT top-20 lists plus
       // the D-row RBO running sum (the q129 retrieval-list shape)
-      "q288_rbo_agreement")
+      "q288_rbo_agreement",
+      // q315/q316: cumulative counts over the |distinct metric values|-
+      // row two-sample value table — metadata by the operators'
+      // bounded-integer-metric contract (twoSampleValueTable)
+      "q315_mann_whitney", "q316_ks_drift")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan
