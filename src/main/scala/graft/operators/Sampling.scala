@@ -772,4 +772,79 @@ object Sampling {
         col("n_reps"), col("boot_lo_micro"), col("boot_hi_micro"))
       .orderBy(col(strataCol))
   }
+
+  /**
+   * Deterministic train/val/test hash split: each row lands in the
+   * bucket whose cumulative integer-percent band contains
+   * h48(salt, key) mod 100 — the standard leakage-safe split rule
+   * (split BY KEY, not by row position: the same document id lands in
+   * the same split on every engine, every rerun, every shard layout,
+   * so no eval example can drift into training between pipeline runs).
+   * Percents must sum to 100; assignment is a narrow codegen'd
+   * projection — zero shuffle, zero state.
+   */
+  def hashSplit(df: DataFrame, keyCol: String, salt: String,
+                splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100 &&
+      splits.forall(_._2 > 0), s"split percents must be positive and " +
+      s"sum to 100: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"duplicate split names: $splits")
+    val h48 = conv(
+      substring(md5(concat_ws("_", lit(salt), col(keyCol))), 1, 12), 16, 10)
+      .cast(LongType)
+    val p = pmod(h48, lit(100L))
+    val cums = splits.scanLeft(0)(_ + _._2).tail
+    val assign = splits.zip(cums).init.foldRight(
+      lit(splits.last._1): Column) { case (((name, _), cum), rest) =>
+      when(p < cum, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /**
+   * Per-stratum balance audit of [[hashSplit]]: every (stratum, split)
+   * cell with its exact count, observed share, target share, and the
+   * signed deviation — the pre-training check that a hash split did not
+   * leave a small language/domain underrepresented in validation (a
+   * 100-doc stratum CAN land 0 val docs; this is where that surfaces,
+   * not in a mid-training eval surprise). Shares are floor-ppm exact
+   * integers; empty cells emit explicitly with n_rows = 0 (absence is
+   * the finding — a join-dropped row would hide it).
+   *
+   * Scale shape: one narrow split projection + ONE (stratum, split)
+   * map-side-combinable count agg; the cell grid re-spines against the
+   * |strata|×|splits| frame (metadata broadcast).
+   */
+  def hashSplitAudit(df: DataFrame, keyCol: String, strataCol: String,
+                     salt: String, splits: Seq[(String, Int)]): DataFrame = {
+    val big = DecimalType(38, 0)
+    // cells feeds both the grid join and the totals rollup — cut
+    // lineage so the corpus agg runs once
+    val cells = hashSplit(df, keyCol, salt, splits)
+      .groupBy(col(strataCol), col("split"))
+      .agg(count(lit(1)).as("graft_n"))
+      .localCheckpoint(eager = false)
+    val strata = df.select(col(strataCol)).distinct()
+      .localCheckpoint(eager = false)
+    val splitSpine = df.sparkSession
+      .createDataFrame(splits.map(s => (s._1, s._2.toLong)))
+      .toDF("split", "graft_pct")
+    val spine = strata.crossJoin(broadcast(splitSpine))
+    val totals = cells.groupBy(col(strataCol))
+      .agg(sum(col("graft_n")).as("graft_tot"))
+    spine
+      .join(cells, Seq(strataCol, "split"), "left")
+      .join(broadcast(totals), Seq(strataCol), "left")
+      .na.fill(0L, Seq("graft_n"))
+      .select(col(strataCol), col("split"),
+        col("graft_n").as("n_rows"),
+        expr("cast(graft_n * 1000000 as decimal(38,0)) div " +
+          "cast(graft_tot as decimal(38,0))").cast(LongType)
+          .as("share_ppm"),
+        (col("graft_pct") * lit(10000L)).as("target_ppm"),
+        (expr("cast(graft_n * 1000000 as decimal(38,0)) div " +
+          "cast(graft_tot as decimal(38,0))").cast(LongType) -
+          col("graft_pct") * lit(10000L)).as("dev_ppm"))
+  }
 }

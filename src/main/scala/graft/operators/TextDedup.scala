@@ -1434,4 +1434,53 @@ object TextDedup {
       .select(col(idCol), col("n_grams"), col("n_contaminated"),
         (col("n_contaminated") >= 1L).as("is_contaminated"))
   }
+
+  /**
+   * Cross-stratum n-gram leakage matrix — [[ngramDecontamination]]
+   * lifted from "corpus vs one benchmark" to EVERY unordered stratum
+   * pair: for sources (a, b), how many distinct n-word shingles occur
+   * in both, plus each side's containment share. The source-level
+   * leakage triage that decides which crawl pairs need document-level
+   * decontamination at all — the exact-overlap complement of q203's
+   * KMV estimate and q93's near-dup matrix (those see similarity; this
+   * sees verbatim n-gram leakage).
+   *
+   * Hashed surface: exact counts and floor-ppm containments.
+   *
+   * Scale shape: one shingle projection collapsed to DISTINCT
+   * (stratum, shingle) rows; the pair count is a shingle-keyed
+   * self-join whose per-shingle fan-out is bounded by |strata|² — a
+   * boilerplate shingle present everywhere contributes a CONSTANT
+   * ≤ C(|strata|, 2) rows, never corpus². Totals ride a |strata|-row
+   * broadcast.
+   */
+  def ngramLeakageMatrix(docs: DataFrame, idCol: String, textCol: String,
+                         strataCol: String, n: Int = 13): DataFrame = {
+    require(n >= 2 && n <= 50, s"n=$n out of range (2..50)")
+    val ss = shingles(docs, idCol, textCol, n)
+      .join(docs.select(col(idCol), col(strataCol)), Seq(idCol))
+      .select(col(strataCol).as("graft_src"), col("s")).distinct()
+      .localCheckpoint(eager = false)
+    val totals = ss.groupBy(col("graft_src"))
+      .agg(count(lit(1)).as("graft_tot"))
+    val shared = ss.select(col("graft_src").as("src_a"), col("s"))
+      .join(ss.select(col("graft_src").as("src_b"), col("s"))
+        .hint("shuffle_hash"), Seq("s"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    shared
+      .join(broadcast(totals.select(col("graft_src").as("src_a"),
+        col("graft_tot").as("graft_ta"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("graft_src").as("src_b"),
+        col("graft_tot").as("graft_tb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared_grams"),
+        col("graft_ta").as("n_grams_a"), col("graft_tb").as("n_grams_b"),
+        expr("cast(n_shared_grams * 1000000 as decimal(38,0)) div " +
+          "cast(graft_ta as decimal(38,0))").cast(LongType)
+          .as("contain_a_ppm"),
+        expr("cast(n_shared_grams * 1000000 as decimal(38,0)) div " +
+          "cast(graft_tb as decimal(38,0))").cast(LongType)
+          .as("contain_b_ppm"))
+  }
 }

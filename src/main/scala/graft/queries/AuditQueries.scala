@@ -217,4 +217,81 @@ object AuditQueries {
       |      // (2 * t.na::HUGEINT * t.nb) AS BIGINT)
       |  END AS d_micro
       |FROM m CROSS JOIN t""".stripMargin
+
+  // ── q317: cross-source 13-gram leakage matrix ──────────────────────────
+
+  /** q317: [[TextDedup.ngramLeakageMatrix]] over all source pairs — the
+    * source-level triage of q313's document-level rule: which crawl
+    * pairs share verbatim 13-grams at all, with exact counts and
+    * containment shares. Only pairs with ≥ 1 shared gram emit (the
+    * finding set). */
+  def q317NgramLeakage(s: SparkSession, dir: String): DataFrame =
+    TextDedup.ngramLeakageMatrix(Sources.documents(s, dir), "doc_id",
+        "text", "source", n = 13)
+      .orderBy(col("src_a"), col("src_b"))
+
+  val q317Sql: String =
+    """WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w
+      |            FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, source,
+      |         array_to_string(w[i:i+12], ' ') AS s
+      |       FROM (SELECT doc_id, source, w,
+      |               unnest(range(1, len(w) - 11)) AS i
+      |             FROM ws WHERE len(w) >= 13)),
+      |ss AS (SELECT DISTINCT source, s FROM sh),
+      |tot AS (SELECT source, COUNT(*) AS t FROM ss GROUP BY 1),
+      |m AS (SELECT a.source AS src_a, b.source AS src_b,
+      |        CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+      |      FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+      |      GROUP BY 1, 2)
+      |SELECT m.src_a, m.src_b, m.n_shared_grams,
+      |  CAST(ta.t AS BIGINT) AS n_grams_a,
+      |  CAST(tb.t AS BIGINT) AS n_grams_b,
+      |  CAST((m.n_shared_grams::HUGEINT * 1000000) // ta.t AS BIGINT)
+      |    AS contain_a_ppm,
+      |  CAST((m.n_shared_grams::HUGEINT * 1000000) // tb.t AS BIGINT)
+      |    AS contain_b_ppm
+      |FROM m JOIN tot ta ON ta.source = m.src_a
+      |       JOIN tot tb ON tb.source = m.src_b
+      |ORDER BY m.src_a, m.src_b""".stripMargin
+
+  // ── q318: deterministic hash-split balance audit ───────────────────────
+
+  /** q318: [[Sampling.hashSplitAudit]] of an 80/10/10 train/val/test
+    * hash split against language strata — every (lang, split) cell with
+    * exact counts and signed ppm deviation from target; empty cells
+    * emit explicitly (a small stratum landing 0 val docs IS the
+    * finding). */
+  def q318SplitAudit(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSplitAudit(Sources.documents(s, dir), "doc_id", "lang",
+        salt = "hs12",
+        splits = Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .orderBy(col("lang"), col("split"))
+
+  val q318Sql: String =
+    """WITH h AS (SELECT doc_id, lang,
+      |    CAST(list_sum(list_transform(range(1, 13), j ->
+      |      (strpos('0123456789abcdef',
+      |         substr(md5('hs12_' || CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+      |        * (1::BIGINT << (4 * (12 - j))))) AS BIGINT) AS h48
+      |  FROM documents),
+      |a AS (SELECT lang, CASE WHEN h48 % 100 < 80 THEN 'train'
+      |        WHEN h48 % 100 < 90 THEN 'val' ELSE 'test' END AS split
+      |      FROM h),
+      |c AS (SELECT lang, split, COUNT(*) AS n FROM a GROUP BY 1, 2),
+      |sp AS (SELECT * FROM (VALUES ('train', 80), ('val', 10),
+      |         ('test', 10)) AS t(split, pct)),
+      |st AS (SELECT DISTINCT lang FROM documents),
+      |tot AS (SELECT lang, SUM(n) AS t FROM c GROUP BY 1)
+      |SELECT st.lang, sp.split,
+      |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_rows,
+      |  CAST((COALESCE(c.n, 0)::HUGEINT * 1000000) // tot.t AS BIGINT)
+      |    AS share_ppm,
+      |  CAST(sp.pct * 10000 AS BIGINT) AS target_ppm,
+      |  CAST((COALESCE(c.n, 0)::HUGEINT * 1000000) // tot.t
+      |    - sp.pct * 10000 AS BIGINT) AS dev_ppm
+      |FROM st CROSS JOIN sp
+      |LEFT JOIN c ON c.lang = st.lang AND c.split = sp.split
+      |JOIN tot ON tot.lang = st.lang
+      |ORDER BY st.lang, sp.split""".stripMargin
 }

@@ -728,6 +728,52 @@ object Streaming {
         col("pq6_mean"), col("tier"))
   }
 
+  /** Snapshot row of [[giniSimpsonStream]]: the running diversity read
+    * per stratum — identical surface to the batch operator. */
+  final case class GiniSnapshot(stratum: String, n_rows: Long,
+                                n_categories: Long,
+                                gini_simpson_micro: Option[Long])
+
+  /**
+   * Streaming maintenance of [[graft.operators.Profiling.giniSimpson]]:
+   * per stratum, a category→count map folds each arriving row, and the
+   * emitted snapshot carries the EXACT same integers the batch operator
+   * reports over everything ingested so far (spec-asserted) — the live
+   * "is this source drifting toward a monoculture" monitor.
+   *
+   * State: one Map[category, Long] per stratum — O(|categories|), sized
+   * by the label vocabulary (languages, domains, topic tags), never the
+   * corpus; watermark-free by design (a composition ledger is
+   * corpus-lifetime, the [[urlClaimStream]] note). The Gini–Simpson
+   * rational is recomputed per snapshot from the counts in exact BigInt
+   * arithmetic — the identical half-away rounding batch uses.
+   */
+  def giniSimpsonStream(docStream: DataFrame, strataCol: String,
+                        catCol: String): Dataset[GiniSnapshot] = {
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    val rows = docStream.select(col(strataCol).cast("string").as("stratum"),
+        col(catCol).cast("string").as("cat"))
+      .as[(String, String)]
+    rows.groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState[Map[String, Long], GiniSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (stratum: String, batch: Iterator[(String, String)],
+         state: GroupState[Map[String, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, Long])
+          batch.foreach { case (_, c) => m = m.updated(c, m.getOrElse(c, 0L) + 1L) }
+          state.update(m)
+          val n = m.valuesIterator.sum
+          val same = m.valuesIterator.map(v => BigInt(v) * (v - 1)).sum
+          val micro = if (n >= 2) {
+            val den = BigInt(n) * (n - 1)
+            val num = (den - same) * 1000000
+            Some(((num * 2 + den) / (den * 2)).toLong)
+          } else None
+          GiniSnapshot(stratum, n, m.size.toLong, micro)
+      }
+  }
+
   /** Snapshot row of [[contentDigestStream]]: the running multiset
     * digest (decimal string — exact 64-bit value) per stratum. */
   final case class DigestSnapshot(stratum: String, n_rows: Long,

@@ -74,6 +74,61 @@ class AuditOpsSpec extends SparkSpec {
       (3L, 0L, 0L, false)))
   }
 
+  // ── cross-stratum n-gram leakage matrix ─────────────────────────────────
+
+  test("ngramLeakageMatrix: shared shingles counted once per source pair") {
+    // s1 and s2 share "a b c" (via two s1 docs — still ONE distinct
+    // shingle); s3 shares nothing with anyone
+    val docs = Seq(
+      (1L, "a b c d", "s1"), (2L, "x a b c", "s1"),
+      (3L, "a b c", "s2"), (4L, "q r s", "s3"))
+      .toDF("doc_id", "text", "source")
+    val got = TextDedup.ngramLeakageMatrix(docs, "doc_id", "text",
+        "source", n = 3)
+      .orderBy("src_a", "src_b")
+      .select("src_a", "src_b", "n_shared_grams", "n_grams_a",
+        "n_grams_b", "contain_a_ppm", "contain_b_ppm")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    // s1 shingles: {abc, bcd, xab} (3 distinct); s2: {abc} (1)
+    assert(got == Seq(("s1", "s2", 1L, 3L, 1L, 333333L, 1000000L)))
+  }
+
+  // ── deterministic hash split ────────────────────────────────────────────
+
+  test("hashSplit: percents partition, assignment is key-deterministic") {
+    val df = (1L to 200L).map(i => (i, "L")).toDF("doc_id", "lang")
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val a = Sampling.hashSplit(df, "doc_id", "s12", splits)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(a.values.sum == 200L && a.keySet.subsetOf(
+      Set("train", "val", "test")))
+    // same keys → same assignment regardless of partitioning
+    val b = Sampling.hashSplit(df.repartition(7), "doc_id", "s12", splits)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "doc_id", "s", Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
+  test("hashSplitAudit: empty cells emit with zero count and -target dev") {
+    // 1-row stratum: two of the three splits MUST be empty cells
+    val df = Seq((1L, "tiny")).toDF("doc_id", "lang")
+    val got = Sampling.hashSplitAudit(df, "doc_id", "lang", "s12",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .orderBy("split")
+      .select("split", "n_rows", "share_ppm", "target_ppm", "dev_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.length == 3)
+    assert(got.map(_._2).sum == 1L)
+    got.filter(_._2 == 0L).foreach { r =>
+      assert(r._3 == 0L && r._5 == -r._4)
+    }
+    got.filter(_._2 == 1L).foreach { r =>
+      assert(r._3 == 1000000L && r._5 == 1000000L - r._4)
+    }
+  }
+
   // ── Poisson bootstrap ───────────────────────────────────────────────────
 
   test("poissonBootstrapMean: exact point mean, ordered CI, deterministic") {

@@ -632,7 +632,10 @@ class PlanShapeSpec extends SparkSpec {
       "q306_confident_joint",
       // q316: ksTwoSample's 1-row (n_a, n_b) totals broadcast onto the
       // metadata-scale distinct-value table (the q285/q296 shape)
-      "q316_ks_drift")
+      "q316_ks_drift",
+      // q318: the |strata|×|splits| spine crossJoin — both sides
+      // metadata-scale by construction (the q111/q249 grid shape)
+      "q318_split_audit")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

@@ -1051,6 +1051,35 @@ class StreamingSpec extends SparkSpec {
       s"stream ${last.size} strata vs batch ${expected.size}")
   }
 
+  test("streaming Gini-Simpson converges to the batch diversity read") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val expected = Profiling.giniSimpson(docs, "source", "lang")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val streamDir = tmpDir("gini-src")
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$streamDir/b1")
+    docs.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$streamDir/b2")
+    val last =
+      scala.collection.mutable.Map[String, (Long, Long, Option[Long])]()
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/b*")
+      .transform(s =>
+        Streaming.giniSimpsonStream(s, "source", "lang").toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(String, Long, Long, Option[Long])].collect()
+          .foreach(r => last(r._1) = (r._2, r._3, r._4))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(last.toMap == expected,
+      s"stream ${last.size} strata vs batch ${expected.size}")
+  }
+
   test("vocab novelty stream matches a sequential JVM replay (one batch)") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
