@@ -436,4 +436,44 @@ object Classify {
       .select(col(labelCol), col("predicted"), col("n_confident"),
         col("n_labeled"))
   }
+
+  /**
+   * McNemar paired-filter disagreement (McNemar 1947): for two boolean
+   * admission rules evaluated on the SAME documents, the per-stratum
+   * 2×2 contingency (n11 both admit … n00 both reject) and the McNemar
+   * statistic (b−c)²/(b+c) over the discordant cells — the correct
+   * paired test for "does the new quality filter actually differ from
+   * the old one, or do they disagree symmetrically" (marginal admit
+   * rates alone can be identical while the filters disagree on half the
+   * corpus; the discordant cells are the whole story).
+   *
+   * Hashed surface: the four exact cell counts and
+   * `mcnemar_micro = half-away(10⁶·(b−c)²/(b+c))`; b + c = 0 (the
+   * filters agree everywhere) reports NULL, never 0/0.
+   *
+   * Scale shape: ONE stratum-keyed map-side-combinable agg over a
+   * narrow two-flag projection. The filters are arbitrary `Column`
+   * predicates, so any scored signal plugs in without materializing an
+   * intermediate table.
+   */
+  def mcnemarFilters(df: DataFrame, strataCol: String, flagA: Column,
+                     flagB: Column): DataFrame = {
+    val big = DecimalType(38, 0)
+    val a = flagA.cast(BooleanType)
+    val b = flagB.cast(BooleanType)
+    val agg = df.groupBy(col(strataCol))
+      .agg(
+        sum(when(a && b, 1L).otherwise(0L)).as("n11"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n01"),
+        sum(when(!a && !b, 1L).otherwise(0L)).as("n00"))
+    val disc = col("n10") + col("n01")
+    val diff = col("n10") - col("n01")
+    agg.select(col(strataCol), col("n11"), col("n10"), col("n01"),
+      col("n00"),
+      when(disc > 0, ExactRound.halfAwayDiv(
+        (diff.cast(big) * diff.cast(big) * lit(1000000L).cast(big))
+          .cast(big),
+        disc)).as("mcnemar_micro"))
+  }
 }

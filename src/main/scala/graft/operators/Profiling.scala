@@ -589,6 +589,56 @@ object Profiling {
     hi.cast(big) * lit(4294967296L).cast(big) + lo.cast(big)
   }
 
+  /**
+   * Snapshot diff audit — the row-level companion to [[contentDigest]]:
+   * [[contentDigest]] says WHETHER two snapshot copies differ; this
+   * says HOW — per key, was the row added, removed, changed, or
+   * unchanged between the old and new snapshot, rolled up to the four
+   * counts. The reconciliation report every history/current dual-write
+   * ([[graft.sources.Sinks]]) owes its consumers before a "current"
+   * overwrite is trusted.
+   *
+   * Rows compare by the md5 of the same null-safe column repr the
+   * digest uses, so diff and digest can never disagree about equality.
+   * A duplicate-key snapshot is a CONTRACT VIOLATION and throws
+   * (silently joining dup keys would miscount every class).
+   *
+   * Scale shape: two narrow (key, hash) projections, ONE full outer
+   * join keyed by id, one 1-row aggregate. The dup guard rides the same
+   * aggregate — no extra pass.
+   */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "diff needs >= 1 compared column")
+    def hashed(df: DataFrame, side: String) =
+      df.select(col(idCol),
+        md5(concat_ws("|",
+          cols.map(c => coalesce(col(c).cast(StringType), lit(" "))): _*))
+          .as(s"graft_h$side"))
+    val joined = hashed(oldDf, "o")
+      .join(hashed(newDf, "n"), Seq(idCol), "full_outer")
+    val agg = joined.agg(
+      count(lit(1)).as("graft_rows"),
+      countDistinct(col(idCol)).as("graft_keys"),
+      sum(when(col("graft_ho").isNull, 1L).otherwise(0L)).as("n_added"),
+      sum(when(col("graft_hn").isNull, 1L).otherwise(0L)).as("n_removed"),
+      sum(when(col("graft_ho").isNotNull && col("graft_hn").isNotNull &&
+        col("graft_ho") =!= col("graft_hn"), 1L).otherwise(0L))
+        .as("n_changed"),
+      sum(when(col("graft_ho") === col("graft_hn"), 1L).otherwise(0L))
+        .as("n_unchanged"))
+    agg.select(
+      when(col("graft_rows") === col("graft_keys"),
+        col("graft_rows")).as("n_keys"),
+      col("n_added"), col("n_removed"), col("n_changed"),
+      col("n_unchanged"))
+      .withColumn("n_keys", coalesce(col("n_keys"),
+        raise_error(lit("snapshotDiff: duplicate keys in a snapshot " +
+          "side — key column must be unique per snapshot"))))
+      .select(col("n_keys"), col("n_added"), col("n_removed"),
+        col("n_changed"), col("n_unchanged"))
+  }
+
   def contentDigest(df: DataFrame, strataCol: String,
                     cols: Seq[String]): DataFrame = {
     val big = DecimalType(38, 0)

@@ -774,6 +774,69 @@ object Sampling {
   }
 
   /**
+   * Neyman optimal allocation (Neyman 1934; the Cochran-textbook
+   * stratified-sampling design): split a sampling budget across strata
+   * ∝ N_h·S_h — bigger AND more variable strata get more of the budget,
+   * which minimizes the variance of the stratified mean for a fixed
+   * total n. The design step that turns "sample 10k docs for human
+   * eval" into per-language quotas that weight a noisy long-tail
+   * language above an equally-sized uniform one.
+   *
+   * Determinism: N_h·S_h = √(N_h·Σv² − (Σv)²) exactly (population SD
+   * times N_h collapses to one square root of an exact integer), and
+   * √ is IEEE-correctly-rounded — identical doubles both engines; the
+   * integer weight is its floor. The allocation itself is the
+   * largest-remainder (Hamilton) method of [[proportionalQuota]] over
+   * those integer weights — int64 div/mod, remainder ties by stratum
+   * name. Degenerate all-zero-variance corpora fall back to equal-split
+   * weights (weight 1 per stratum) rather than 0/0.
+   *
+   * Scale shape: ONE map-side-combinable moment agg (n, Σv, Σv²) keyed
+   * by stratum; every allocation window runs over |strata| rows —
+   * metadata. The corpus is touched once.
+   */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+                       totalN: Long): DataFrame = {
+    require(totalN >= 0, s"totalN must be non-negative: $totalN")
+    val big = DecimalType(38, 0)
+    val v = col(valueCol).cast(LongType)
+    val moments = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(v.cast(big)).as("graft_s1"),
+        sum((v * v).cast(big)).as("graft_s2"))
+    val varNum = col("n_rows").cast(big) * col("graft_s2") -
+      col("graft_s1") * col("graft_s1")
+    val weighted = moments
+      .withColumn("weight",
+        floor(sqrt(varNum.cast(DoubleType))).cast(LongType))
+      .localCheckpoint(eager = false)
+    val allZero = weighted.agg(max(col("weight")).as("graft_wmax"))
+    val wEff = weighted.crossJoin(broadcast(allZero))
+      .withColumn("graft_w",
+        when(col("graft_wmax") === 0L, lit(1L)).otherwise(col("weight")))
+    val tot = wEff.agg(sum(col("graft_w")).as("graft_wt"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy(col("graft_rem").desc, col(strataCol).asc)
+    // budget·weight runs in DECIMAL(38,0): the long product wraps for
+    // weights past 2^63/totalN under non-ANSI semantics
+    wEff.crossJoin(broadcast(tot))
+      .withColumn("graft_base",
+        call_function("div", lit(totalN).cast(big) * col("graft_w").cast(big),
+          col("graft_wt").cast(big)))
+      .withColumn("graft_rem",
+        pmod(lit(totalN).cast(big) * col("graft_w").cast(big),
+          col("graft_wt").cast(big)))
+      .withColumn("graft_rk", row_number().over(wAll))
+      .withColumn("graft_slots",
+        lit(totalN) - sum(col("graft_base")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col(strataCol), col("n_rows"), col("weight"),
+        (col("graft_base") +
+          when(col("graft_rk") <= col("graft_slots"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
+  /**
    * Deterministic train/val/test hash split: each row lands in the
    * bucket whose cumulative integer-percent band contains
    * h48(salt, key) mod 100 — the standard leakage-safe split rule

@@ -294,4 +294,156 @@ object AuditQueries {
       |LEFT JOIN c ON c.lang = st.lang AND c.split = sp.split
       |JOIN tot ON tot.lang = st.lang
       |ORDER BY st.lang, sp.split""".stripMargin
+
+  // ── q319: Neyman optimal sampling allocation ───────────────────────────
+
+  /** q319: [[Sampling.neymanAllocation]] of a 1000-doc eval budget
+    * across languages by n_chars variability (Neyman 1934) — bigger AND
+    * noisier strata get more budget; the design step before q120's
+    * proportional fill. */
+  def q319Neyman(s: SparkSession, dir: String): DataFrame =
+    Sampling.neymanAllocation(Sources.documents(s, dir), "lang",
+        "n_chars", totalN = 1000L)
+      .orderBy(col("lang"))
+
+  val q319Sql: String =
+    """WITH m AS (SELECT lang, COUNT(*) AS n_rows,
+      |    SUM(n_chars)::HUGEINT AS s1,
+      |    SUM(n_chars * n_chars)::HUGEINT AS s2
+      |  FROM documents GROUP BY lang),
+      |w AS (SELECT lang, n_rows,
+      |    CAST(floor(sqrt(CAST(n_rows::HUGEINT * s2 - s1 * s1 AS DOUBLE)))
+      |      AS BIGINT) AS weight
+      |  FROM m),
+      |wm AS (SELECT MAX(weight) AS wmax FROM w),
+      |we AS (SELECT w.lang, w.n_rows, w.weight,
+      |    CASE WHEN wm.wmax = 0 THEN 1 ELSE w.weight END AS w2
+      |  FROM w CROSS JOIN wm),
+      |t AS (SELECT SUM(w2)::HUGEINT AS wt FROM we),
+      |q AS (SELECT we.lang, we.n_rows, we.weight,
+      |    (1000::HUGEINT * we.w2) // t.wt AS base,
+      |    (1000::HUGEINT * we.w2) % t.wt AS rem
+      |  FROM we CROSS JOIN t),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang ASC)
+      |        AS rk,
+      |      (SELECT 1000 - SUM(base) FROM q) AS slots
+      |  FROM q)
+      |SELECT lang, CAST(n_rows AS BIGINT) AS n_rows, weight,
+      |  CAST(base + CASE WHEN rk <= slots THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc
+      |FROM r ORDER BY lang""".stripMargin
+
+  // ── q320: McNemar paired-filter disagreement ───────────────────────────
+
+  /** q320: [[graft.operators.Classify.mcnemarFilters]] per source of
+    * the alpha-ratio quality rule (≥ 0.70) against the length rule
+    * (≥ 600 chars) — the paired test of whether the two admission rules
+    * genuinely disagree, from the discordant cells only. */
+  def q320Mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val alphaPpm = graft.operators.ExactRound.halfAwayDiv(
+      length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+        .cast(org.apache.spark.sql.types.LongType) * lit(1000000L),
+      length(col("text")).cast(org.apache.spark.sql.types.LongType))
+    graft.operators.Classify.mcnemarFilters(Sources.documents(s, dir),
+        "source", alphaPpm >= 700000L, col("n_chars") >= 600L)
+      .orderBy(col("source"))
+  }
+
+  val q320Sql: String =
+    """WITH l AS (SELECT source,
+      |    (2 * 1000000 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+      |      + length(text)) // (2 * length(text)) AS ppm,
+      |    n_chars
+      |  FROM documents),
+      |f AS (SELECT source, ppm >= 700000 AS a, n_chars >= 600 AS b FROM l),
+      |g AS (SELECT source,
+      |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n10,
+      |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n01,
+      |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n00
+      |  FROM f GROUP BY source)
+      |SELECT source, n11, n10, n01, n00,
+      |  CASE WHEN n10 + n01 > 0 THEN
+      |    CAST((2 * ((n10 - n01)::HUGEINT * (n10 - n01)) * 1000000
+      |        + (n10 + n01))
+      |      // (2 * (n10 + n01)::HUGEINT) AS BIGINT)
+      |  END AS mcnemar_micro
+      |FROM g ORDER BY source""".stripMargin
+
+  // ── q321: snapshot diff audit ──────────────────────────────────────────
+
+  /** q321: [[Profiling.snapshotDiff]] between two synthetic snapshot
+    * cuts of the documents table (old = id mod 7 ≠ 1, new = id mod 11
+    * ≠ 2 with every id mod 13 = 3 text revised) — the row-level
+    * added/removed/changed reconciliation a history/current dual-write
+    * owes before an overwrite is trusted. */
+  def q321SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val oldSnap = docs.filter(col("doc_id") % 7 =!= 1)
+    val newSnap = docs.filter(col("doc_id") % 11 =!= 2)
+      .withColumn("text", when(col("doc_id") % 13 === 3,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    Profiling.snapshotDiff(oldSnap, newSnap, "doc_id",
+      Seq("text", "lang"))
+  }
+
+  val q321Sql: String =
+    """WITH o AS (SELECT doc_id,
+      |    md5(concat_ws('|', COALESCE(text, ' '), COALESCE(lang, ' ')))
+      |      AS h
+      |  FROM documents WHERE doc_id % 7 <> 1),
+      |n AS (SELECT doc_id,
+      |    md5(concat_ws('|',
+      |      COALESCE(CASE WHEN doc_id % 13 = 3 THEN text || ' v2'
+      |        ELSE text END, ' '),
+      |      COALESCE(lang, ' '))) AS h
+      |  FROM documents WHERE doc_id % 11 <> 2),
+      |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS id, o.h AS ho,
+      |        n.h AS hn
+      |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(CASE WHEN ho IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_added,
+      |  CAST(SUM(CASE WHEN hn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removed,
+      |  CAST(SUM(CASE WHEN ho IS NOT NULL AND hn IS NOT NULL
+      |    AND ho <> hn THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(SUM(CASE WHEN ho = hn THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unchanged
+      |FROM j""".stripMargin
+
+  // ── q322: SCD2 validity intervals from the event log ───────────────────
+
+  /** q322: [[graft.operators.History.scd2Intervals]] of each user's
+    * event_type timeline — the Kimball type-2 interval table (one row
+    * per run of consecutive equal values, valid_to open on the last)
+    * that makes "status at time T" one lookup instead of a log scan. */
+  def q322Scd2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.History.scd2Intervals(Sources.events(s, dir),
+        "user_id", "event_type", "ts", "event_id")
+      .orderBy(col("user_id"), col("version"))
+
+  val q322Sql: String =
+    """WITH e AS (SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |m AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+      |        THEN 1 ELSE 0 END AS nw FROM e),
+      |r AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |      FROM m),
+      |g AS (SELECT user_id, run, MAX(event_type) AS event_type,
+      |        MIN(ts) AS valid_from, COUNT(*) AS n_events
+      |      FROM r GROUP BY 1, 2)
+      |SELECT user_id, CAST(run AS BIGINT) AS version, event_type,
+      |  valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+      |    AS valid_to,
+      |  CAST(n_events AS BIGINT) AS n_events
+      |FROM g ORDER BY user_id, version""".stripMargin
 }

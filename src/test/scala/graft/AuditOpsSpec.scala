@@ -178,6 +178,96 @@ class AuditOpsSpec extends SparkSpec {
     assert(got == ((1L, 1L)))
   }
 
+  // ── Neyman allocation ───────────────────────────────────────────────────
+
+  test("neymanAllocation: variable stratum outweighs an equal-size flat one") {
+    // A: {0, 10} twice → varNum = 4·200 − 400 = 400 → weight 20
+    // B: {5,5,5,5}     → varNum = 0              → weight 0
+    val df = Seq(("A", 0L), ("A", 10L), ("A", 0L), ("A", 10L),
+      ("B", 5L), ("B", 5L), ("B", 5L), ("B", 5L)).toDF("g", "v")
+    val got = Sampling.neymanAllocation(df, "g", "v", totalN = 10L)
+      .orderBy("g").select("g", "n_rows", "weight", "alloc")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 4L, 20L, 10L), ("B", 4L, 0L, 0L)))
+  }
+
+  test("neymanAllocation: all-flat corpus falls back to equal split") {
+    val df = Seq(("A", 5L), ("A", 5L), ("B", 7L), ("B", 7L))
+      .toDF("g", "v")
+    val got = Sampling.neymanAllocation(df, "g", "v", totalN = 9L)
+      .orderBy("g").select("g", "alloc")
+      .as[(String, Long)].collect().toSeq
+    // weights fall back to 1 each; largest-remainder gives 5/4 (tie →
+    // lexicographic: A gets the extra slot)
+    assert(got.map(_._2).sum == 9L && got == Seq(("A", 5L), ("B", 4L)))
+  }
+
+  // ── McNemar paired filters ──────────────────────────────────────────────
+
+  test("mcnemarFilters: hand-computed discordant cells") {
+    import graft.operators.Classify
+    // rows: (a,b) = (T,T), (T,F), (T,F), (F,T), (F,F)
+    // n11=1 n10=2 n01=1 n00=1 → (b−c)²/(b+c) = 1/3 → 333333 micro
+    val df = Seq((1L, true, true), (2L, true, false), (3L, true, false),
+      (4L, false, true), (5L, false, false))
+      .toDF("id", "fa", "fb").withColumn("g", lit("s"))
+    val got = Classify.mcnemarFilters(df, "g", col("fa"), col("fb"))
+      .select("n11", "n10", "n01", "n00", "mcnemar_micro")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == ((1L, 2L, 1L, 1L, 333333L)))
+  }
+
+  test("mcnemarFilters: perfect agreement reports NULL, not 0/0") {
+    import graft.operators.Classify
+    val df = Seq((1L, true, true), (2L, false, false))
+      .toDF("id", "fa", "fb").withColumn("g", lit("s"))
+    val got = Classify.mcnemarFilters(df, "g", col("fa"), col("fb"))
+      .select(col("mcnemar_micro")).as[Option[Long]].head()
+    assert(got.isEmpty)
+  }
+
+  // ── snapshot diff ───────────────────────────────────────────────────────
+
+  test("snapshotDiff: added/removed/changed/unchanged partition the keys") {
+    import graft.operators.Profiling
+    val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
+    val newS = Seq((2L, "b"), (3L, "C!"), (4L, "d")).toDF("id", "t")
+    val got = Profiling.snapshotDiff(oldS, newS, "id", Seq("t"))
+      .select("n_keys", "n_added", "n_removed", "n_changed", "n_unchanged")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == ((4L, 1L, 1L, 1L, 1L)))
+  }
+
+  test("snapshotDiff: duplicate keys in a snapshot throw, never miscount") {
+    import graft.operators.Profiling
+    val dup = Seq((1L, "a"), (1L, "a2")).toDF("id", "t")
+    val clean = Seq((1L, "a")).toDF("id", "t")
+    val e = intercept[Exception] {
+      Profiling.snapshotDiff(dup, clean, "id", Seq("t")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  // ── SCD2 intervals ──────────────────────────────────────────────────────
+
+  test("scd2Intervals: runs collapse, intervals chain, last stays open") {
+    import graft.operators.History
+    val ev = Seq(
+      (1L, "x", 10L, 1L), (1L, "x", 20L, 2L), (1L, "y", 30L, 3L),
+      (1L, "x", 40L, 4L), (2L, "z", 5L, 5L))
+      .toDF("u", "attr", "ts", "eid")
+    val got = History.scd2Intervals(ev, "u", "attr", "ts", "eid")
+      .orderBy("u", "version")
+      .select(col("u"), col("version"), col("attr"), col("valid_from"),
+        col("valid_to"), col("n_events"))
+      .as[(Long, Long, String, Long, Option[Long], Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, "x", 10L, Some(30L), 2L),
+      (1L, 2L, "y", 30L, Some(40L), 1L),
+      (1L, 3L, "x", 40L, None, 1L),
+      (2L, 1L, "z", 5L, None, 1L)))
+  }
+
   // ── Kolmogorov–Smirnov ──────────────────────────────────────────────────
 
   test("ksTwoSample: disjoint supports give D = 1 exactly") {

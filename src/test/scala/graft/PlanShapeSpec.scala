@@ -635,7 +635,10 @@ class PlanShapeSpec extends SparkSpec {
       "q316_ks_drift",
       // q318: the |strata|×|splits| spine crossJoin — both sides
       // metadata-scale by construction (the q111/q249 grid shape)
-      "q318_split_audit")
+      "q318_split_audit",
+      // q319: two 1-row broadcasts (max weight, weight total) onto the
+      // |strata|-row moment table (the q120 allocation shape)
+      "q319_neyman_alloc")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
@@ -988,7 +991,10 @@ class PlanShapeSpec extends SparkSpec {
       // q315/q316: cumulative counts over the |distinct metric values|-
       // row two-sample value table — metadata by the operators'
       // bounded-integer-metric contract (twoSampleValueTable)
-      "q315_mann_whitney", "q316_ks_drift")
+      "q315_mann_whitney", "q316_ks_drift",
+      // q319: largest-remainder rank + slot sum over the |strata|-row
+      // weight table (the q120 proportionalQuota allocation shape)
+      "q319_neyman_alloc")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan
