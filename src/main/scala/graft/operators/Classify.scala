@@ -454,13 +454,19 @@ object Classify {
    * Scale shape: ONE stratum-keyed map-side-combinable agg over a
    * narrow two-flag projection. The filters are arbitrary `Column`
    * predicates, so any scored signal plugs in without materializing an
-   * intermediate table.
+   * intermediate table. A flag that evaluates to NULL counts as a
+   * rejection (coalesced to false), so the four cells always partition
+   * the stratum: n11 + n10 + n01 + n00 = row count.
    */
   def mcnemarFilters(df: DataFrame, strataCol: String, flagA: Column,
                      flagB: Column): DataFrame = {
     val big = DecimalType(38, 0)
-    val a = flagA.cast(BooleanType)
-    val b = flagB.cast(BooleanType)
+    // coalesce to false AFTER the Boolean cast: a NULL flag would fall
+    // into NONE of the four cells (NULL AND x → otherwise(0) in every
+    // when), silently undercounting its stratum — a filter that cannot
+    // evaluate a document has, for this paired test, rejected it
+    val a = coalesce(flagA.cast(BooleanType), lit(false))
+    val b = coalesce(flagB.cast(BooleanType), lit(false))
     val agg = df.groupBy(col(strataCol))
       .agg(
         sum(when(a && b, 1L).otherwise(0L)).as("n11"),

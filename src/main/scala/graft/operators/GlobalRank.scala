@@ -53,6 +53,51 @@ object GlobalRank {
       .drop("graft_pid", "graft_lrn", "graft_off")
   }
 
+  /** `df` plus `outCol` = exact 1-based row number WITHIN each group of
+    * `groupCols`, ordered by `sortCols` — the per-stratum analogue of
+    * [[globalRowNumber]]. `Window.partitionBy(group).orderBy(...)` funnels
+    * each group through ONE task, which is invisible when the group key
+    * has thousands of values and fatal when it has three (a 100 TB corpus
+    * with a 3-value stratum key full-sorts in ≤ 3 tasks — the q74-class
+    * scale-killer). Here the range shuffle runs on (groupCols ++
+    * sortCols), so every group spreads over MANY partitions; local ranks
+    * are per-(pid, group) windows and the offsets table is
+    * n_partitions·n_groups rows — metadata-scale, broadcast.
+    *
+    * Contract: group columns must be non-null (the offset attach joins by
+    * name — a NULL group key would drop its rows) and `sortCols` must be
+    * the same expressions the caller would put in the window's orderBy
+    * (callers needing determinism of WHICH tied row takes which rank must
+    * make the order total; value-at-rank is deterministic regardless).
+    */
+  def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
+                       sortCols: Seq[Column],
+                       outCol: String = "rn"): DataFrame = {
+    require(groupCols.nonEmpty, "need >= 1 group column (else use " +
+      "globalRowNumber)")
+    val gcols = groupCols.map(col)
+    val parted = df.repartitionByRange((gcols ++ sortCols): _*)
+      .withColumn("graft_pid", spark_partition_id())
+    val localW = Window.partitionBy((col("graft_pid") +: gcols): _*)
+      .orderBy(sortCols: _*)
+    val local = parted.withColumn("graft_lrn", row_number().over(localW))
+    val counts = local.groupBy((col("graft_pid") +: gcols): _*)
+      .agg(max(col("graft_lrn")).as("graft_n"))
+    // rows-before-(partition p, group g) = Σ counts of partitions < p for
+    // the SAME group; the range partitioner orders pids consistently with
+    // (group, sort) order, so the sum is exactly the group's head count
+    val offsets = counts.as("a")
+      .join(counts.as("b"),
+        groupCols.map(g => col(s"a.$g") === col(s"b.$g")).reduce(_ && _) &&
+          col("b.graft_pid") < col("a.graft_pid"), "left")
+      .groupBy((col("a.graft_pid").as("graft_pid") +:
+        groupCols.map(g => col(s"a.$g").as(g))): _*)
+      .agg(coalesce(sum(col("b.graft_n")), lit(0L)).as("graft_off"))
+    local.join(broadcast(offsets), "graft_pid" +: groupCols)
+      .withColumn(outCol, (col("graft_lrn") + col("graft_off")).cast("long"))
+      .drop("graft_pid", "graft_lrn", "graft_off")
+  }
+
   /** Exact `ntile(buckets)` over the total order `sortCols` with SQL-window
     * semantics (first `n mod buckets` buckets get one extra row), computed
     * from the distributed global rank — no single-partition exchange. */

@@ -34,6 +34,13 @@ object History {
    * sum + lead) over ONE shuffle on the key — no self-join, no global
    * sort. Per-key timelines are the unit of work; skewed keys are
    * bounded by per-user event counts, not corpus size.
+   *
+   * vs [[Snapshot.scd2]] (the q126 twin): use THIS one when version
+   * numbers, per-run event counts, and raw-timestamp bounds matter;
+   * use Snapshot.scd2 when the caller wants epoch-micro bounds keyed
+   * by a unique row id. Same interval semantics, different surfaced
+   * columns and tie contracts — the difference is deliberate, not
+   * drift.
    */
   def scd2Intervals(events: DataFrame, keyCol: String, attrCol: String,
                     tsCol: String, tieCol: String): DataFrame = {

@@ -601,7 +601,12 @@ object Profiling {
    * Rows compare by the md5 of the same null-safe column repr the
    * digest uses, so diff and digest can never disagree about equality.
    * A duplicate-key snapshot is a CONTRACT VIOLATION and throws
-   * (silently joining dup keys would miscount every class).
+   * (silently joining dup keys would miscount every class). So is a
+   * NULL key: NULL ids never match in the full_outer join but DO count
+   * in count(*) while countDistinct excludes them — one NULL-keyed row
+   * would spuriously trip the dup guard and two would miscount as
+   * added+removed — so NULL keys throw their own explicit error at
+   * scan time instead of masquerading as either.
    *
    * Scale shape: two narrow (key, hash) projections, ONE full outer
    * join keyed by id, one 1-row aggregate. The dup guard rides the same
@@ -610,11 +615,17 @@ object Profiling {
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                    cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "diff needs >= 1 compared column")
-    def hashed(df: DataFrame, side: String) =
-      df.select(col(idCol),
+    def hashed(df: DataFrame, side: String) = {
+      val sideName = if (side == "o") "old" else "new"
+      df.select(
+        coalesce(col(idCol), raise_error(lit(
+          s"snapshotDiff: NULL key in the $sideName snapshot — the key " +
+            "column must be non-null (NULL keys never join and would " +
+            "corrupt every diff class)"))).as(idCol),
         md5(concat_ws("|",
           cols.map(c => coalesce(col(c).cast(StringType), lit(" "))): _*))
           .as(s"graft_h$side"))
+    }
     val joined = hashed(oldDf, "o")
       .join(hashed(newDf, "n"), Seq(idCol), "full_outer")
     val agg = joined.agg(

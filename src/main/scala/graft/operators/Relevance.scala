@@ -1055,11 +1055,14 @@ object Relevance {
     // clamp rel into [0, gradeBits] INSIDE the operator: rel > g makes
     // the continuation factor 2^g − 2^rel + 1 negative (nonsense ERR
     // terms) and rel ≥ 63 silently overflows shiftleft — neither may
-    // depend on the call site remembering to clamp
+    // depend on the call site remembering to clamp. coalesce FIRST:
+    // least/greatest skip NULLs, so without it a NULL relevance would
+    // sail through least(g, NULL) = g and score as MAXIMALLY relevant —
+    // a missing judgment must count as rel 0 (non-relevant), never g
     val sel = TopK.kSmallest(
       df.select(col(groupCol), col(scoreCol), col(tieCol),
         greatest(lit(0L), least(lit(g.toLong),
-          col(relCol).cast(LongType))).as("graft_rel")),
+          coalesce(col(relCol).cast(LongType), lit(0L)))).as("graft_rel")),
       Seq(col(groupCol)),
       Seq("ns" -> -col(scoreCol), "tie" -> col(tieCol),
         "rel" -> col("graft_rel")), k)

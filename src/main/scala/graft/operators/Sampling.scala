@@ -845,6 +845,15 @@ object Sampling {
    * so no eval example can drift into training between pipeline runs).
    * Percents must sum to 100; assignment is a narrow codegen'd
    * projection — zero shuffle, zero state.
+   *
+   * Known, intentional bias: pmod(h48, 100) over a 2⁴⁸ hash space is
+   * not perfectly uniform — 100 ∤ 2⁴⁸, so 48 residues occur one extra
+   * time in 2⁴⁸, a relative skew of ~4·10⁻¹³ (≲ 1 row per 2.4 trillion
+   * per percent). That is the design: exact-integer determinism across
+   * engines is worth infinitely more here than 13 decimal places of
+   * uniformity. Do not "fix" this with rejection sampling or a wider
+   * modulus — both break the cross-engine gate (q318's oracle computes
+   * the identical pmod).
    */
   def hashSplit(df: DataFrame, keyCol: String, salt: String,
                 splits: Seq[(String, Int)]): DataFrame = {

@@ -52,6 +52,14 @@ object Snapshot {
    * key-partitioned ordering, so the plan is one shuffle and two window
    * evaluations sharing that exchange. Timestamps are surfaced as epoch
    * micros (engine-portable; NULL upper bound = current).
+   *
+   * vs [[History.scd2Intervals]] (the q322 twin): use THIS one when the
+   * caller needs epoch-micro bounds and a plain lag-collapse keyed by a
+   * distinct row id; use History.scd2Intervals when the caller needs
+   * 1-based VERSION numbers, per-run event counts, and raw-timestamp
+   * bounds. Tie handling differs on purpose: here same-timestamp order
+   * is broken by `idCol` (a unique row id must exist); there the caller
+   * names an explicit `tieCol` and runs carry their event count.
    */
   def scd2(df: DataFrame, keyCol: String, attrCol: String, tsCol: String,
            idCol: String): DataFrame = {

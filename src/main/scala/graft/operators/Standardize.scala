@@ -447,15 +447,22 @@ object Standardize {
                    groupA: String, groupB: String): DataFrame = {
     val vt = twoSampleValueTable(df, valueCol, groupCol, groupA, groupB)
     val big = DecimalType(38, 0)
+    // u2_a ≈ 2·n_a·n_b: a LongType sum would silently WRAP under
+    // non-ANSI Spark once n_a·n_b reaches ~2^62 (~2.1e9 rows per side) —
+    // accumulate every term in DECIMAL(38,0) and cast the REPORTED
+    // column to BIGINT, so a genuine int64 overflow surfaces as a NULL
+    // instead of a plausible wrong integer (the r12 prioritySample /
+    // neymanAllocation pattern)
     vt.agg(
         sum(col("graft_ca")).as("n_a"),
         sum(col("graft_cb")).as("n_b"),
-        sum(col("graft_ca") *
+        sum(col("graft_ca").cast(big) *
           (lit(2L) * (col("graft_cumb") - col("graft_cb")) +
-            col("graft_cb"))).as("u2_a"))
-      .select(col("n_a"), col("n_b"), col("u2_a"),
+            col("graft_cb")).cast(big)).cast(big).as("graft_u2"))
+      .select(col("n_a"), col("n_b"),
+        col("graft_u2").cast(LongType).as("u2_a"),
         when(col("n_a") > 0 && col("n_b") > 0, ExactRound.halfAwayDiv(
-          col("u2_a").cast(big) * lit(1000000L).cast(big),
+          col("graft_u2") * lit(1000000L).cast(big),
           (lit(2L).cast(big) * col("n_a").cast(big) *
             col("n_b").cast(big)).cast(big))).as("auc_micro"))
   }

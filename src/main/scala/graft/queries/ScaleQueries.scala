@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, LongType, StringType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Chunking, ExactRound => Exact, Graph, LatestSnapshot, Layout, Multimodal, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
+import graft.operators.{Chunking, ExactRound => Exact, GlobalRank, Graph, LatestSnapshot, Layout, Multimodal, Relevance, Sampling, TextAnalysis, TextDedup, VectorAggs}
 import graft.sources.Sources
 
 /** Round-4 widening of the training-pipeline surface: duplicate CLUSTERS
@@ -541,18 +541,28 @@ object ScaleQueries {
     * values ×100 so no division ever happens). Every hashed value is
     * int64; the clamped sum accumulates in DECIMAL(38,0)
     * (order-independent, overflow-safe) and reports as BIGINT. The
-    * band rides a broadcast join. */
+    * band rides a broadcast join.
+    *
+    * Scale shape (r13): ranks come from [[GlobalRank.groupedRowNumber]]'s
+    * range-shuffle construction, NOT a `Window.partitionBy(l_returnflag)`
+    * — a window partitioned by the 3-value flag would funnel the whole
+    * corpus through ≤ 3 sort tasks at 100 TB (the r12 verdict's one new
+    * scale-killer). Group sizes are max(rn) per flag (map-side
+    * combinable), broadcast back onto the ranked rows; the plan has no
+    * window whose partition spec is just the 3-value key (asserted in
+    * PlanShapeSpec). */
   def q74Winsorize(s: SparkSession, dir: String): DataFrame = {
     val li = Sources.lineitem(s, dir)
       .select(col("l_returnflag"),
         floor(col("l_extendedprice") * lit(100)).cast(LongType).as("pc"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_returnflag")).orderBy(col("pc"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_returnflag"))
-    val ranked = li
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wAll))
+    // two consumers (group sizes + the band agg) — cut lineage so the
+    // range shuffle + rank run once
+    val grn = GlobalRank.groupedRowNumber(li, Seq("l_returnflag"),
+        Seq(col("pc")), "rn")
+      .localCheckpoint(eager = false)
+    val ns = grn.groupBy(col("l_returnflag"))
+      .agg(max(col("rn")).as("n"))
+    val ranked = grn.join(broadcast(ns), "l_returnflag")
     def bandCols(p: Int, pfx: String) = {
       val i0 = call_function("div", lit(p) * (col("n") - 1), lit(100L)) + 1
       val r = (lit(p) * (col("n") - 1)) % 100

@@ -226,6 +226,21 @@ class AuditOpsSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("mcnemarFilters: NULL flags count as rejections, cells stay a partition") {
+    import graft.operators.Classify
+    // NULL fa on id 3: without the coalesce it would fall into NO cell
+    // (NULL AND x → otherwise-0 everywhere) and the stratum would
+    // undercount; the contract is NULL = rejection → cell n01 (fb true)
+    val df = Seq((1L, Some(true), true), (2L, Some(false), false),
+        (3L, None: Option[Boolean], true))
+      .toDF("id", "fa", "fb").withColumn("g", lit("s"))
+    val got = Classify.mcnemarFilters(df, "g", col("fa"), col("fb"))
+      .select("n11", "n10", "n01", "n00")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((1L, 0L, 1L, 1L)))
+    assert(got._1 + got._2 + got._3 + got._4 == 3L)
+  }
+
   // ── snapshot diff ───────────────────────────────────────────────────────
 
   test("snapshotDiff: added/removed/changed/unchanged partition the keys") {
@@ -246,6 +261,20 @@ class AuditOpsSpec extends SparkSpec {
       Profiling.snapshotDiff(dup, clean, "id", Seq("t")).collect()
     }
     assert(e.getMessage != null)
+  }
+
+  test("snapshotDiff: a NULL key throws its own error, never trips the dup guard") {
+    import graft.operators.Profiling
+    // one NULL-keyed row: it would never join (count(*) > countDistinct)
+    // and spuriously read as duplicate keys — the operator must name the
+    // real contract violation instead
+    val withNull = Seq((Some(1L), "a"), (None: Option[Long], "b"))
+      .toDF("id", "t")
+    val clean = Seq((1L, "a")).toDF("id", "t")
+    val e = intercept[Exception] {
+      Profiling.snapshotDiff(withNull, clean, "id", Seq("t")).collect()
+    }
+    assert(e.getMessage.contains("NULL key"), e.getMessage)
   }
 
   // ── SCD2 intervals ──────────────────────────────────────────────────────

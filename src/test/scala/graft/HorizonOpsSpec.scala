@@ -22,6 +22,24 @@ class HorizonOpsSpec extends SparkSpec {
     assert(got._4 == 875000L)
   }
 
+  test("errAtK: NULL relevance scores as zero, never as the max grade") {
+    // least/greatest skip NULLs, so an unguarded clamp would turn a NULL
+    // judgment into rel = gradeBits (maximally relevant) — the coalesce
+    // must pin it to 0: same ERR as an explicit rel-0 second hit
+    val withNull = Seq(("g", 100L, 1L, Some(3L)),
+        ("g", 50L, 2L, None: Option[Long]))
+      .toDF("grp", "score", "id", "rel")
+    val explicit0 = Seq(("g", 100L, 1L, 3L), ("g", 50L, 2L, 0L))
+      .toDF("grp", "score", "id", "rel")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Relevance.errAtK(df, "grp", "score", "id", "rel",
+          k = 10, gradeBits = 3)
+        .select("err_num", "err_den", "err_micro")
+        .as[(Long, Long, Long)].head()
+    assert(run(withNull) == run(explicit0))
+    assert(run(withNull)._3 == 875000L)
+  }
+
   test("errAtK: cascade discounts a second hit by the first's satisfaction") {
     // rel 3, rel 3: ERR = 7/8 + (1/2)·(7/8)·(1/8) = 7/8 + 7/128
     val df = Seq(("g", 9L, 1L, 3L), ("g", 8L, 2L, 3L))

@@ -116,6 +116,39 @@ class PlanShapeSpec extends SparkSpec {
       "missing range repartition")
   }
 
+  test("grouped rank: no window partitioned by the low-cardinality group key") {
+    // the r12 scale-shape regression: q74's band ranks rode
+    // Window.partitionBy(l_returnflag) — 3 key values, so the whole
+    // corpus sorted in <= 3 tasks. groupedRowNumber must range-shuffle
+    // on (group, sort) and window per (pid, group); any window whose
+    // partition spec is the bare group column is the regression back.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.operators.GlobalRank
+    val li = graft.sources.Sources.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * lit(100)).cast("long").as("pc"))
+    val df = GlobalRank.groupedRowNumber(li, Seq("l_returnflag"),
+      Seq(col("pc")), "rn")
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec => w.partitionSpec
+    }
+    assert(windows.nonEmpty, "expected the per-(pid, group) rank window")
+    windows.foreach(spec => assert(spec.size >= 2,
+      s"window partitioned by the bare group key (spec=$spec) — " +
+        "the <=3-task corpus sort is back"))
+    assert(physicalPlan(df).toLowerCase.contains("rangepartitioning"),
+      "missing the (group, sort) range repartition")
+    // and value-at-rank agrees with the single-task window definition
+    val got = df.select(col("l_returnflag"), col("rn"), col("pc"))
+      .as[(String, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("pc"))
+    val want = li.withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("l_returnflag"), col("rn"), col("pc"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("per-language top-k stacks features in one scan — no self-join") {
     val plan = physicalPlan(
       graft.queries.CurationQueries.q60TopQuality(spark, sf))
