@@ -49,15 +49,20 @@ object Bench {
       }
       val base = (1 to reps).map(_ => runOnce())
       // adaptive extra rep: at the default reps=2 the min still moved
-      // ±15% median round-over-round (r11's 129-query tail) — when the
-      // two base reps of a non-trivial query disagree by >10%, take ONE
-      // more sample so the ambiguous rows get min-of-3 without tripling
-      // the whole run's wall clock. Sub-200ms rows skip it: their
-      // absolute noise can't masquerade as a regression.
+      // ±15% median round-over-round (r11's 129-query tail, r12's q89) —
+      // take ONE more sample when (a) the two base reps of a non-trivial
+      // query disagree by >10%, or (b) the query is HEAVY (>1 s): heavy
+      // rows are exactly where a ±15% wobble reads as a real regression,
+      // so they get min-of-3 unconditionally (r12 verdict item 3) while
+      // the sub-second tail keeps the cheap 2-rep path. Sub-200ms rows
+      // never re-run: their absolute noise can't masquerade as a
+      // regression.
       val baseOk = base.collect { case (t, None) => t }
       val times = base ++ (
-        if (reps == 2 && baseOk.size == 2 && baseOk.min > 0.2 &&
-            baseOk.max - baseOk.min > 0.10 * baseOk.min) Seq(runOnce())
+        if (reps == 2 && baseOk.size == 2 &&
+            (baseOk.min > 1.0 ||
+              (baseOk.min > 0.2 &&
+                baseOk.max - baseOk.min > 0.10 * baseOk.min))) Seq(runOnce())
         else Nil)
       // headline continuity: first-rep seconds (what r≤7 measured);
       // stability: min across SUCCESSFUL reps — a fast-failing rep's

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 /**
  * Pairwise-preference modeling — the ranking side of an RLHF /
@@ -11,11 +11,75 @@ import org.apache.spark.sql.types.{DecimalType, LongType, StringType}
  * by raw deltas (gold top/bottom movers, 3-spark…py:86-105); preference
  * data needs the latent-strength model instead because raw win RATES are
  * incomparable across items with different opponent mixes.
+ *
+ * Why Bradley–Terry / Rank Centrality and not Elo: Elo is an ONLINE
+ * update — each game mutates both players' ratings, so the result
+ * depends on game ORDER and the computation is inherently sequential
+ * (a single driver-side fold at 100 TB). Over a static eval log the
+ * order is an artifact, and BT is exactly the order-free batch
+ * estimator of the same paired-comparison model (Elo's expected-score
+ * curve IS the BT logistic) — so this layer ships BT + the spectral
+ * Rank Centrality instead of a distributed Elo that would be wrong by
+ * construction.
  */
 object Preference {
 
   private val big = DecimalType(38, 0)
   private val S = 1000000L // strength fixed-point scale (micro)
+
+  /** Cleaned (winner, loser) projection: strings, non-null, no self-play. */
+  private def cleanGames(comparisons: DataFrame, winnerCol: String,
+                         loserCol: String): DataFrame =
+    comparisons
+      .select(col(winnerCol).cast(StringType).as("graft_w"),
+        col(loserCol).cast(StringType).as("graft_l"))
+      .filter(col("graft_w").isNotNull && col("graft_l").isNotNull &&
+        col("graft_w") =!= col("graft_l"))
+
+  /** Directed win counts (graft_w, graft_l, graft_c) — the ONLY
+    * corpus-scale pass any operator here makes; everything downstream is
+    * |items|²-bounded metadata. */
+  private def directedWins(games: DataFrame): DataFrame =
+    games.groupBy(col("graft_w"), col("graft_l"))
+      .agg(count(lit(1)).as("graft_c"))
+
+  /** Smoothed symmetric pair table (i, j, graft_wij, graft_nij): every
+    * OBSERVED unordered pair in both directions with one virtual win
+    * added each way (w_ij += 1, n_ij += 2) — the Beta-prior pseudo-count
+    * shared by [[bradleyTerry]] and [[rankCentrality]] that keeps
+    * never-winning items at finite strength and every denominator
+    * positive. */
+  private def smoothedPairTable(wd: DataFrame): DataFrame = {
+    val und = wd.select(least(col("graft_w"), col("graft_l")).as("a"),
+        greatest(col("graft_w"), col("graft_l")).as("b"))
+      .distinct()
+    val dirs = und.select(col("a").as("i"), col("b").as("j"))
+      .union(und.select(col("b").as("i"), col("a").as("j")))
+    val wsm = dirs
+      .join(wd, dirs("i") === wd("graft_w") && dirs("j") === wd("graft_l"),
+        "left")
+      .select(col("i"), col("j"),
+        (coalesce(col("graft_c"), lit(0L)) + lit(1L)).as("graft_wij"))
+    wsm.as("x")
+      .join(wsm.as("y"),
+        col("x.i") === col("y.j") && col("x.j") === col("y.i"))
+      .select(col("x.i").as("i"), col("x.j").as("j"),
+        col("x.graft_wij").as("graft_wij"),
+        (col("x.graft_wij") + col("y.graft_wij")).as("graft_nij"))
+  }
+
+  /** Raw per-item (item, n_wins, n_games) attach used by the rating
+    * operators' outputs (unsmoothed — the reader sees the real record). */
+  private def rawRecord(wd: DataFrame): DataFrame = {
+    val rawW = wd.groupBy(col("graft_w").as("item"))
+      .agg(sum(col("graft_c")).as("n_wins"))
+    val rawG = wd.select(col("graft_w").as("item"), col("graft_c"))
+      .union(wd.select(col("graft_l").as("item"), col("graft_c")))
+      .groupBy(col("item")).agg(sum(col("graft_c")).as("n_games"))
+    rawG.join(rawW, Seq("item"), "left")
+      .select(col("item"), coalesce(col("n_wins"), lit(0L)).as("n_wins"),
+        col("n_games"))
+  }
 
   /**
    * Bradley–Terry strength estimation (Bradley & Terry 1952) via the
@@ -53,33 +117,10 @@ object Preference {
   def bradleyTerry(comparisons: DataFrame, winnerCol: String,
                    loserCol: String, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 10, s"iters=$iters out of range")
-    val games = comparisons
-      .select(col(winnerCol).cast(StringType).as("graft_w"),
-        col(loserCol).cast(StringType).as("graft_l"))
-      .filter(col("graft_w").isNotNull && col("graft_l").isNotNull &&
-        col("graft_w") =!= col("graft_l"))
+    val games = cleanGames(comparisons, winnerCol, loserCol)
     // raw directed win counts: the ONLY corpus-scale pass
-    val wd = games.groupBy(col("graft_w"), col("graft_l"))
-      .agg(count(lit(1)).as("graft_c"))
-      .localCheckpoint(eager = false)
-    // observed unordered pairs -> both directions, +1 virtual win each
-    val und = wd.select(least(col("graft_w"), col("graft_l")).as("a"),
-        greatest(col("graft_w"), col("graft_l")).as("b"))
-      .distinct()
-    val dirs = und.select(col("a").as("i"), col("b").as("j"))
-      .union(und.select(col("b").as("i"), col("a").as("j")))
-    val wsm = dirs
-      .join(wd, dirs("i") === wd("graft_w") && dirs("j") === wd("graft_l"),
-        "left")
-      .select(col("i"), col("j"),
-        (coalesce(col("graft_c"), lit(0L)) + lit(1L)).as("graft_wij"))
-    val pairTbl = wsm.as("x")
-      .join(wsm.as("y"),
-        col("x.i") === col("y.j") && col("x.j") === col("y.i"))
-      .select(col("x.i").as("i"), col("x.j").as("j"),
-        col("x.graft_wij").as("graft_wij"),
-        (col("x.graft_wij") + col("y.graft_wij")).as("graft_nij"))
-      .localCheckpoint(eager = false)
+    val wd = directedWins(games).localCheckpoint(eager = false)
+    val pairTbl = smoothedPairTable(wd).localCheckpoint(eager = false)
     val totals = pairTbl.groupBy(col("i").as("item"))
       .agg(sum(col("graft_wij").cast(big)).as("graft_wt"))
       .localCheckpoint(eager = false)
@@ -102,14 +143,315 @@ object Preference {
               .cast(big),
             col("graft_d"))).as("graft_bt"))
     }
-    val rawW = wd.groupBy(col("graft_w").as("item"))
-      .agg(sum(col("graft_c")).as("n_wins"))
-    val rawG = wd.select(col("graft_w").as("item"), col("graft_c"))
-      .union(wd.select(col("graft_l").as("item"), col("graft_c")))
-      .groupBy(col("item")).agg(sum(col("graft_c")).as("n_games"))
-    p.join(rawG, Seq("item"))
-      .join(rawW, Seq("item"), "left")
-      .select(col("item"), coalesce(col("n_wins"), lit(0L)).as("n_wins"),
-        col("n_games"), col("graft_bt").cast(LongType).as("bt_scaled"))
+    p.join(rawRecord(wd), Seq("item"))
+      .select(col("item"), col("n_wins"), col("n_games"),
+        col("graft_bt").cast(LongType).as("bt_scaled"))
+  }
+
+  /**
+   * Pairwise win-rate matrix: one row per OBSERVED unordered item pair
+   * (item_a < item_b lexically) with both directed win counts, the game
+   * total, and item_a's exact win rate in micros — the raw eval-log
+   * scoreboard ("model A beats model B 62% of the time") that the
+   * latent-strength models ([[bradleyTerry]], [[rankCentrality]])
+   * summarize, and the table a human reads to sanity-check them.
+   *
+   * Hashed surface: exact int64 counts and a half-away micro ratio —
+   * no floating point. Scale shape: ONE (winner, loser) map-side-
+   * combinable hash-agg over the comparison log, then a fold to
+   * unordered pairs — output ≤ |items|² rows, items being
+   * models/policies/sources (metadata-scale by the layer's contract).
+   */
+  def winRateMatrix(comparisons: DataFrame, winnerCol: String,
+                    loserCol: String): DataFrame = {
+    val wd = directedWins(cleanGames(comparisons, winnerCol, loserCol))
+    wd.select(
+        least(col("graft_w"), col("graft_l")).as("item_a"),
+        greatest(col("graft_w"), col("graft_l")).as("item_b"),
+        when(col("graft_w") < col("graft_l"), col("graft_c"))
+          .otherwise(0L).as("graft_ca"),
+        when(col("graft_w") > col("graft_l"), col("graft_c"))
+          .otherwise(0L).as("graft_cb"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(col("graft_ca")).as("wins_a"),
+        sum(col("graft_cb")).as("wins_b"))
+      .select(col("item_a"), col("item_b"), col("wins_a"), col("wins_b"),
+        (col("wins_a") + col("wins_b")).as("n_games"),
+        ExactRound.halfAwayDiv(
+          col("wins_a").cast(big) * lit(1000000L).cast(big),
+          (col("wins_a") + col("wins_b")).cast(big))
+          .as("winrate_a_micro"))
+  }
+
+  /** Exact integer floor-sqrt: floor(sqrt(double(x))) is within ±1 of
+    * ⌊√x⌋ for any int64 x (cast and sqrt are IEEE-correctly-rounded in
+    * every engine, and the propagated relative error ~2⁻⁵² keeps the
+    * absolute error of √x ≤ 3·10⁹ · 5·10⁻⁷ < 1), so one downward and one
+    * upward integer correction make it EXACT — the only way to put a
+    * square root on a hashed surface (PORTABILITY.md rule 2/4: the
+    * double seed is identical cross-engine, the corrections are integer
+    * comparisons). */
+  private def isqrt(x: Column): Column = {
+    val y0 = floor(sqrt(x.cast(DoubleType))).cast(LongType)
+    val y1 = y0 - when(y0.cast(big) * y0.cast(big) > x.cast(big), 1L)
+      .otherwise(0L)
+    y1 + when((y1 + 1).cast(big) * (y1 + 1).cast(big) <= x.cast(big), 1L)
+      .otherwise(0L)
+  }
+
+  /**
+   * [[winRateMatrix]] plus the Wilson score interval (Wilson 1927) at
+   * z = 2 (~95.45%) for item_a's true win probability — the
+   * leaderboard-grade version of the raw matrix: a 2/2 record stops
+   * reading as "100%, same as 200/200" (lower bounds 1/3 vs ~0.98
+   * at z = 2). With z² = 4 the interval is
+   * ((w+2)·n ∓ 2·√(n·(w(n−w)+n))) / (n(n+4)) — rational except the
+   * root, which goes through [[isqrt]] (exact ⌊√X⌋, cross-engine
+   * deterministic); both bounds sit within 2/(n(n+4)) of the
+   * real-valued Wilson bounds, identically on every engine. All other
+   * arithmetic is exact int64/decimal; bounds are half-away micros.
+   *
+   * Scale shape: identical to [[winRateMatrix]] (one corpus hash-agg,
+   * ≤ |items|² output rows); the interval is a per-row projection.
+   */
+  def wilsonWinRates(comparisons: DataFrame, winnerCol: String,
+                     loserCol: String): DataFrame = {
+    val m = winRateMatrix(comparisons, winnerCol, loserCol)
+    val w = col("wins_a"); val n = col("n_games")
+    // X = n·(w(n−w) + n); bounds = ((w+2)n ∓ 2√X) / (n(n+4))
+    val x = n.cast(big) * (w.cast(big) * (n - w).cast(big) + n.cast(big))
+    val s = isqrt(x)
+    val den = (n.cast(big) * (n + 4).cast(big)).cast(big)
+    m.select(col("item_a"), col("item_b"), col("wins_a"), col("wins_b"),
+      col("n_games"), col("winrate_a_micro"),
+      ExactRound.halfAwayDiv(
+        ((w + 2).cast(big) * n.cast(big) - lit(2L).cast(big) * s.cast(big))
+          .cast(big) * lit(1000000L).cast(big), den)
+        .as("wilson_lb_a_micro"),
+      ExactRound.halfAwayDiv(
+        ((w + 2).cast(big) * n.cast(big) + lit(2L).cast(big) * s.cast(big))
+          .cast(big) * lit(1000000L).cast(big), den)
+        .as("wilson_ub_a_micro"))
+  }
+
+  /**
+   * Copeland scores (Copeland 1951): each item's count of opponents it
+   * beats by strict MAJORITY of head-to-head games, ties counted half —
+   * the voting-theory ranking that, unlike raw win rate, cannot be
+   * gamed by feasting on one weak opponent many times (each opponent
+   * contributes at most one majority point regardless of game count).
+   * A Condorcet winner (beats every opponent head-to-head) is exactly
+   * an item with maj_wins = n_opponents.
+   *
+   * `copeland2` doubles the classic score so ties stay integral:
+   * 2·maj_wins + maj_ties. Exact integers throughout; shape = the
+   * [[winRateMatrix]] pass plus an |items|-row re-agg.
+   */
+  def copelandScores(comparisons: DataFrame, winnerCol: String,
+                     loserCol: String): DataFrame = {
+    val m = winRateMatrix(comparisons, winnerCol, loserCol)
+    val dirViews = m.select(col("item_a").as("item"),
+        col("wins_a").as("graft_wf"), col("wins_b").as("graft_wa"))
+      .union(m.select(col("item_b").as("item"),
+        col("wins_b").as("graft_wf"), col("wins_a").as("graft_wa")))
+    dirViews.groupBy(col("item"))
+      .agg(count(lit(1)).as("n_opponents"),
+        sum(when(col("graft_wf") > col("graft_wa"), 1L).otherwise(0L))
+          .as("maj_wins"),
+        sum(when(col("graft_wf") === col("graft_wa"), 1L).otherwise(0L))
+          .as("maj_ties"),
+        sum(when(col("graft_wf") < col("graft_wa"), 1L).otherwise(0L))
+          .as("maj_losses"))
+      .withColumn("copeland2",
+        lit(2L) * col("maj_wins") + col("maj_ties"))
+  }
+
+  /**
+   * Rank Centrality (Negahban, Oh & Shah, NeurIPS 2012 / Op. Res.
+   * 2017): the stationary distribution of a random walk that moves from
+   * item i to item j with probability proportional to the fraction of
+   * games j WON against i — walkers pile up on items that beat strong
+   * opponents. The spectral counterpart of [[bradleyTerry]] (provably
+   * consistent for the same BTL model); running both and comparing
+   * ranks is the standard robustness check on preference data.
+   *
+   * Same smoothing as BT (one virtual win each way per observed pair).
+   * Transition mass out of i toward j in one step:
+   * term(i→j) = (π_i · w_ji_smoothed) // (n_ij · d), with d = max
+   * observed opponent count (the walk's degree normalizer — rows stay
+   * substochastic, the remainder is the self-loop). Each term is ONE
+   * integral division over DECIMAL(38,0) products (per-term flooring is
+   * part of the definition — any engine reproduces it bit-exactly), and
+   * π'_j = π_j − Σ_k term(j→k) + Σ_i term(i→j): the same floored terms
+   * move out of one item and into another, so total mass is conserved
+   * EXACTLY — no renormalization, no drift, π stays O(S) from the
+   * uniform start π⁰ = S.
+   *
+   * Scale shape: identical to [[bradleyTerry]] — one corpus hash-agg,
+   * then every iteration runs over the |observed pairs|-row table
+   * (localCheckpointed once); d is a 1-row broadcast.
+   */
+  def rankCentrality(comparisons: DataFrame, winnerCol: String,
+                     loserCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters=$iters out of range")
+    val games = cleanGames(comparisons, winnerCol, loserCol)
+    val wd = directedWins(games).localCheckpoint(eager = false)
+    val pairTbl = smoothedPairTable(wd).localCheckpoint(eager = false)
+    val deg = pairTbl.groupBy(col("i").as("item"))
+      .agg(count(lit(1)).as("graft_deg"))
+      .localCheckpoint(eager = false)
+    val dmax = deg.agg(max(col("graft_deg")).as("graft_d"))
+    var p = deg.select(col("item"), lit(S).as("graft_rc"))
+    for (_ <- 1 to iters) {
+      val flows = pairTbl
+        .join(p.select(col("item").as("i"), col("graft_rc").as("graft_pi")),
+          Seq("i"))
+        .crossJoin(broadcast(dmax))
+        .select(col("i"), col("j"),
+          call_function("div",
+            (col("graft_pi").cast(big) *
+              (col("graft_nij") - col("graft_wij")).cast(big)).cast(big),
+            (col("graft_nij").cast(big) * col("graft_d").cast(big))
+              .cast(big)).as("graft_t"))
+        .localCheckpoint(eager = false) // two consumers: out + in
+      val out = flows.groupBy(col("i").as("item"))
+        .agg(sum(col("graft_t").cast(big)).as("graft_out"))
+      val inn = flows.groupBy(col("j").as("item"))
+        .agg(sum(col("graft_t").cast(big)).as("graft_in"))
+      p = p.join(out, Seq("item"), "left").join(inn, Seq("item"), "left")
+        .select(col("item"),
+          (col("graft_rc").cast(big) -
+            coalesce(col("graft_out"), lit(0L).cast(big)) +
+            coalesce(col("graft_in"), lit(0L).cast(big))).as("graft_rc"))
+    }
+    p.join(rawRecord(wd), Seq("item"))
+      .select(col("item"), col("n_wins"), col("n_games"),
+        col("graft_rc").cast(LongType).as("rc_scaled"))
+  }
+
+  /**
+   * Per-item win-rate with a hashed Poisson-bootstrap band (Chamandy
+   * 2012's one-pass bootstrap, the [[Sampling.poissonBootstrapMean]]
+   * machinery applied to GAMES): each replicate resamples whole games —
+   * one deterministic hash weight per (rep, game id), shared by both
+   * participants, so a replicate sees a coherent alternative eval log —
+   * and reports the 5%-trimmed replicate band around each item's win
+   * rate. The error bars a leaderboard owes its readers: item ranks
+   * whose bands overlap are not decided by this log.
+   *
+   * Determinism: Poisson(1) weights from the pinned integer CDF
+   * thresholds over h48(salt, rep, id) — no RNG state; replicate rates
+   * are half-away micros; band endpoints are order statistics of those
+   * exact integers. Any engine reproduces the identical band.
+   *
+   * Scale shape: the corpus is touched twice (the ×reps weighted pass —
+   * narrow, map-side-combinable per (item, rep) — and the raw-record
+   * pass), both corpus-linear; per-item state is the reps-bounded
+   * replicate list.
+   */
+  def bootstrapWinRate(comparisons: DataFrame, idCol: String,
+                       winnerCol: String, loserCol: String, salt: String,
+                       reps: Int = 20): DataFrame = {
+    require(reps >= 2 && reps <= 64, s"reps=$reps out of range (2..64)")
+    val games = comparisons
+      .select(col(idCol).as("graft_id"),
+        col(winnerCol).cast(StringType).as("graft_w"),
+        col(loserCol).cast(StringType).as("graft_l"))
+      .filter(col("graft_id").isNotNull && col("graft_w").isNotNull &&
+        col("graft_l").isNotNull && col("graft_w") =!= col("graft_l"))
+      .localCheckpoint(eager = false) // weighted pass + raw record
+    val thresholds = array(Sampling.poissonThresholds48.map(lit): _*)
+    val rows = games
+      .withColumn("graft_r", explode(expr(s"sequence(0, ${reps - 1})")))
+    val h48 = conv(substring(md5(concat_ws("_", lit(salt), col("graft_r"),
+      col("graft_id"))), 1, 12), 16, 10).cast(LongType)
+    val weighted = rows.withColumn("graft_wt",
+      size(filter(thresholds, t => h48 >= t)).cast(LongType))
+    val dirViews = weighted.select(col("graft_w").as("item"),
+        col("graft_r"), col("graft_wt"), lit(1L).as("graft_win"))
+      .union(weighted.select(col("graft_l").as("item"),
+        col("graft_r"), col("graft_wt"), lit(0L).as("graft_win")))
+    val repRates = dirViews.groupBy(col("item"), col("graft_r"))
+      .agg(sum((col("graft_wt") * col("graft_win")).cast(big))
+          .as("graft_sw"),
+        sum(col("graft_wt")).as("graft_sg"))
+      .select(col("item"), when(col("graft_sg") > 0,
+        ExactRound.halfAwayDiv(
+          col("graft_sw").cast(big) * lit(1000000L).cast(big),
+          col("graft_sg"))).as("graft_m"))
+    val point = rawRecord(directedWins(
+        games.select(col("graft_w"), col("graft_l"))))
+      .select(col("item"), col("n_wins"), col("n_games"),
+        ExactRound.halfAwayDiv(
+          col("n_wins").cast(big) * lit(1000000L).cast(big),
+          col("n_games")).as("winrate_micro"))
+    val trim = repRates.groupBy(col("item"))
+      .agg(sort_array(collect_list(col("graft_m"))).as("graft_ms"))
+      .withColumn("graft_mn", size(col("graft_ms")))
+      .withColumn("graft_tr", expr("graft_mn div 20").cast("int"))
+      .select(col("item"), col("graft_mn").cast(LongType).as("n_reps"),
+        element_at(col("graft_ms"), col("graft_tr") + 1)
+          .as("boot_lo_micro"),
+        element_at(col("graft_ms"), col("graft_mn") - col("graft_tr"))
+          .as("boot_hi_micro"))
+    point.join(trim, Seq("item"))
+      .select(col("item"), col("n_wins"), col("n_games"),
+        col("winrate_micro"), col("n_reps"), col("boot_lo_micro"),
+        col("boot_hi_micro"))
+  }
+
+  /**
+   * Preference-transitivity audit: among all item triples where every
+   * pair has a STRICT head-to-head majority, how many are cyclic
+   * (A beats B beats C beats A — the rock-paper-scissors triads that
+   * make any single ranking of the items a lie) versus transitive. A
+   * high cyclic share means the comparison data does not support a
+   * total order — report it BEFORE publishing a [[bradleyTerry]] /
+   * [[copelandScores]] leaderboard, not after someone notices the
+   * "best" model losing to the 5th.
+   *
+   * One summary row: item/edge/triangle counts, the cyclic and
+   * transitive split, and the cyclic share in micros (NULL when no
+   * triangle exists — never 0/0). Exact integers; the triangle join is
+   * |majority edges|³-bounded on the ≤|items|² edge table
+   * (metadata-scale by the layer's contract — items are models /
+   * policies / sources, not documents).
+   */
+  def cyclicTriads(comparisons: DataFrame, winnerCol: String,
+                   loserCol: String): DataFrame = {
+    val m = winRateMatrix(comparisons, winnerCol, loserCol)
+      .localCheckpoint(eager = false) // consumers: items agg + edges
+    val items = m.select(col("item_a").as("item"))
+      .union(m.select(col("item_b").as("item"))).distinct()
+      .agg(count(lit(1)).as("n_items"))
+    // strict-majority edges over unordered pairs (a < b), with the
+    // orientation flag f = 1 iff the lexically-lower item wins
+    val und = m.filter(col("wins_a") =!= col("wins_b"))
+      .select(col("item_a").as("a"), col("item_b").as("b"),
+        when(col("wins_a") > col("wins_b"), 1L).otherwise(0L).as("f"))
+      .localCheckpoint(eager = false) // three-way self-join below
+    // connected triples a < b < c; cyclic iff the orientations chain:
+    // (a→b, b→c, c→a) = (1,1,0) or its mirror (0,0,1)
+    val tri = und.as("x")
+      .join(und.as("y"), col("x.b") === col("y.a"))
+      .join(und.as("z"),
+        col("z.a") === col("x.a") && col("z.b") === col("y.b"))
+      .select(col("x.f").as("fab"), col("y.f").as("fbc"),
+        col("z.f").as("fac"))
+    val cyc = (col("fab") === 1L && col("fbc") === 1L && col("fac") === 0L) ||
+      (col("fab") === 0L && col("fbc") === 0L && col("fac") === 1L)
+    val triAgg = tri.agg(
+      count(lit(1)).as("n_triangles"),
+      // coalesce: an empty triangle set sums to NULL, and the counts
+      // must stay a partition (0 triangles -> 0 cyclic, 0 transitive)
+      coalesce(sum(when(cyc, 1L).otherwise(0L)), lit(0L)).as("n_cyclic"))
+    val edges = und.agg(count(lit(1)).as("n_majority_pairs"))
+    items.crossJoin(broadcast(edges)).crossJoin(broadcast(triAgg))
+      .select(col("n_items"), col("n_majority_pairs"),
+        col("n_triangles"), col("n_cyclic"),
+        (col("n_triangles") - col("n_cyclic")).as("n_transitive"),
+        when(col("n_triangles") > 0, ExactRound.halfAwayDiv(
+          col("n_cyclic").cast(big) * lit(1000000L).cast(big),
+          col("n_triangles").cast(big))).as("cyclic_share_micro"))
   }
 }

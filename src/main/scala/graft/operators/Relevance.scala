@@ -1097,4 +1097,45 @@ object Relevance {
         col("err_num").cast(DecimalType(38, 0)) * lit(1000000L),
         col("err_den")))
   }
+
+  /**
+   * Unbiased pass@k (Chen et al. 2021, "Evaluating LLMs Trained on
+   * Code", eq. 1): per task with n attempts and c successes,
+   * pass@k = 1 − C(n−c, k)/C(n, k) — the probability that a random
+   * k-subset of the attempts contains at least one success. THE
+   * correctness headline of every code/agent eval; computing it as
+   * (c/n)·k or 1 − (1 − c/n)^k is the biased estimator the paper
+   * explicitly warns against.
+   *
+   * Exactness: 1 − ∏_{i<k} (n−c−i)/(n−i) as ONE exact rational —
+   * num = ∏ max(n−c−i, 0) and den = ∏ (n−i) in DECIMAL(38,0) (k ≤ 10
+   * and n ≤ 10⁹ keep the products inside 38 digits), reported as
+   * half-away micros of (den − num)/den. n−c < k makes some factor 0,
+   * so pass@k = 1 exactly (any k-subset must hit a success). n < k is
+   * reported as NULL (the estimator is undefined; Chen et al. drop
+   * those tasks) — never a silently-clamped number.
+   *
+   * Scale shape: ONE task-keyed map-side-combinable count agg over the
+   * attempt log; the product is a fixed k-term per-row projection.
+   */
+  def passAtK(df: DataFrame, taskCol: String, successCol: Column,
+              k: Int): DataFrame = {
+    require(k >= 1 && k <= 10, s"k=$k out of range (1..10)")
+    val big = DecimalType(38, 0)
+    val agg = df.groupBy(col(taskCol))
+      .agg(count(lit(1)).as("n_attempts"),
+        sum(when(coalesce(successCol.cast("boolean"), lit(false)), 1L)
+          .otherwise(0L)).as("n_success"))
+    val n = col("n_attempts"); val c = col("n_success")
+    val num = (0 until k)
+      .map(i => greatest(n - c - lit(i.toLong), lit(0L)).cast(big))
+      .reduce((a, b) => (a * b).cast(big))
+    val den = (0 until k)
+      .map(i => (n - lit(i.toLong)).cast(big))
+      .reduce((a, b) => (a * b).cast(big))
+    agg.select(col(taskCol), col("n_attempts"), col("n_success"),
+      when(n >= k, ExactRound.halfAwayDiv(
+        ((den - num) * lit(1000000L).cast(big)).cast(big), den))
+        .as(s"pass_at_${k}_micro"))
+  }
 }

@@ -337,6 +337,57 @@ object Standardize {
   }
 
   /**
+   * Kendall's τ_a rank correlation (Kendall 1938) as exact pair counts:
+   * over all C(n,2) item pairs, concordant (both metrics order the pair
+   * the same way), discordant (opposite), and the three tie classes —
+   * with τ_a = (C − D)/C(n,2) reported in half-away micros. The
+   * pair-level complement of [[spearmanRho]]: τ IS the probability a
+   * random pair is ordered consistently (minus the inverse), so a
+   * leaderboard consumer can read it directly as "how often do the two
+   * scores agree on who's better", which ρ's squared-rank-distance
+   * can't give. Ties are first-class here (reported, not broken), where
+   * spearmanRho's contract tie-breaks by id.
+   *
+   * Scale contract: ITEM-scale input (models, sources, strata — the
+   * self-join is C(n,2); this is the documented contract, like the
+   * two-sample tests' bounded-metric contract), with everything exact
+   * int64. The input is localCheckpointed once — its lineage is
+   * typically a corpus-scale aggregate that must not run twice.
+   */
+  def kendallTauA(df: DataFrame, idCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val t = df.select(col(idCol).cast(StringType).as("graft_id"),
+        col(xCol).cast(LongType).as("graft_x"),
+        col(yCol).cast(LongType).as("graft_y"))
+      .localCheckpoint(eager = false) // self-join + the n_items agg
+    val ax = col("a.graft_x"); val bx = col("b.graft_x")
+    val ay = col("a.graft_y"); val by = col("b.graft_y")
+    val pairs = t.as("a")
+      .join(t.as("b"), col("a.graft_id") < col("b.graft_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(when((ax < bx && ay < by) || (ax > bx && ay > by),
+          1L).otherwise(0L)), lit(0L)).as("n_concordant"),
+        coalesce(sum(when((ax < bx && ay > by) || (ax > bx && ay < by),
+          1L).otherwise(0L)), lit(0L)).as("n_discordant"),
+        coalesce(sum(when(ax === bx && ay =!= by, 1L).otherwise(0L)),
+          lit(0L)).as("n_tied_x"),
+        coalesce(sum(when(ay === by && ax =!= bx, 1L).otherwise(0L)),
+          lit(0L)).as("n_tied_y"),
+        coalesce(sum(when(ax === bx && ay === by, 1L).otherwise(0L)),
+          lit(0L)).as("n_tied_both"))
+    t.agg(count(lit(1)).as("n_items")).crossJoin(broadcast(pairs))
+      .select(col("n_items"), col("n_pairs"), col("n_concordant"),
+        col("n_discordant"), col("n_tied_x"), col("n_tied_y"),
+        col("n_tied_both"),
+        when(col("n_pairs") > 0, ExactRound.halfAwayDiv(
+          ((col("n_concordant") - col("n_discordant")).cast(big) *
+            lit(1000000L).cast(big)).cast(big),
+          col("n_pairs").cast(big))).as("tau_a_micro"))
+  }
+
+  /**
    * Krippendorff's alpha, nominal data, complete ratings (Krippendorff
    * 1970; the content-analysis reliability standard that generalizes
    * Cohen's kappa to any number of raters): with n units, r raters per

@@ -1,0 +1,411 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Preference, Standardize}
+import graft.sources.Sources
+
+/** Round-13 widening: the preference/eval layer an RLHF-era pipeline runs
+  * over pairwise comparison logs — latent strengths (Bradley–Terry MM and
+  * the spectral Rank Centrality), the raw win-rate matrix, Copeland
+  * majority scores, the transitivity (cyclic-triad) audit, and Kendall τ
+  * rank agreement between scoring signals. Every hashed surface is exact
+  * int64/micro fixed-point by construction (PORTABILITY.md rules 5–6);
+  * the comparison "eval log" is derived deterministically from `orders`:
+  * per customer, the priority of their most expensive order beats the
+  * priority of their cheapest (ties in price broken by order key, same
+  * priority ⇒ no game). Items are the 5 priority labels — metadata-scale,
+  * as the layer's contract requires (models/policies/sources, never
+  * documents). */
+object EvalQueries {
+
+  /** The shared comparisons fixture: one (winner, loser) row per customer
+    * whose cheapest and priciest orders carry different priorities. The
+    * (cents·10⁸ + orderkey) key is unique per order and int64-safe
+    * (price < 10⁹), so argmax/argmin are deterministic on any engine. */
+  private def comparisons(s: SparkSession, dir: String): DataFrame = {
+    val key = (floor(col("o_totalprice") * lit(100)).cast(LongType) *
+      lit(100000000L) + col("o_orderkey")).as("graft_k")
+    Sources.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority").as("graft_p"), key)
+      .groupBy(col("o_custkey"))
+      .agg(max_by(col("graft_p"), col("graft_k")).as("winner"),
+        min_by(col("graft_p"), col("graft_k")).as("loser"))
+      .filter(col("winner") =!= col("loser"))
+  }
+
+  /** The identical fixture in DuckDB — prefix of every oracle here. */
+  private val comparisonsSql: String =
+    """c AS (SELECT o_custkey,
+      |    arg_max(o_orderpriority,
+      |      CAST(floor(o_totalprice * 100) AS BIGINT) * 100000000
+      |        + o_orderkey) AS winner,
+      |    arg_min(o_orderpriority,
+      |      CAST(floor(o_totalprice * 100) AS BIGINT) * 100000000
+      |        + o_orderkey) AS loser
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT winner, loser FROM c WHERE winner <> loser),
+      |wd AS (SELECT winner AS w, loser AS l, COUNT(*) AS cnt
+      |       FROM g GROUP BY 1, 2)""".stripMargin
+
+  /** Smoothed symmetric pair table — mirrors Preference.smoothedPairTable
+    * (+1 virtual win each direction per observed unordered pair). */
+  private val pairSql: String =
+    """und AS (SELECT DISTINCT least(w, l) AS a, greatest(w, l) AS b
+      |        FROM wd),
+      |dirs AS (SELECT a AS i, b AS j FROM und
+      |         UNION ALL SELECT b, a FROM und),
+      |wsm AS (SELECT i, j, COALESCE(cnt, 0) + 1 AS wij
+      |        FROM dirs LEFT JOIN wd ON i = w AND j = l),
+      |pair AS (SELECT x.i, x.j, x.wij, x.wij + y.wij AS nij
+      |         FROM wsm x JOIN wsm y ON x.i = y.j AND x.j = y.i)""".stripMargin
+
+  /** Raw per-item record — mirrors Preference.rawRecord. */
+  private val rawSql: String =
+    """raww AS (SELECT w AS item, SUM(cnt) AS n_wins FROM wd GROUP BY 1),
+      |rawg AS (SELECT item, SUM(cnt) AS n_games FROM (
+      |           SELECT w AS item, cnt FROM wd
+      |           UNION ALL SELECT l, cnt FROM wd) GROUP BY 1)""".stripMargin
+
+  // ── q323: Bradley–Terry strengths ──────────────────────────────────────
+
+  /** q323: [[Preference.bradleyTerry]] over the order-priority eval log —
+    * 3 MM rounds of integral-division fixed point; the oracle replays the
+    * identical rounds in HUGEINT (`//` = floor = Spark's `div` on the
+    * all-positive operands). */
+  def q323BradleyTerry(s: SparkSession, dir: String): DataFrame =
+    Preference.bradleyTerry(comparisons(s, dir), "winner", "loser",
+        iters = 3)
+      .orderBy(col("item"))
+
+  val q323Sql: String = {
+    def iter(n: Int): String =
+      s"""d$n AS (SELECT p.i AS item,
+         |  SUM((p.nij::HUGEINT * 1000000 * 1000000)
+         |      // (pi.bt + pj.bt)) AS d
+         |  FROM pair p
+         |  JOIN p${n - 1} pi ON p.i = pi.item
+         |  JOIN p${n - 1} pj ON p.j = pj.item GROUP BY 1),
+         |p$n AS (SELECT t.item,
+         |  GREATEST(1, (t.wt * 1000000 * 1000000) // d$n.d) AS bt
+         |  FROM tot t JOIN d$n USING (item))""".stripMargin
+    s"""WITH $comparisonsSql,
+       |$pairSql,
+       |tot AS (SELECT i AS item, SUM(wij)::HUGEINT AS wt
+       |        FROM pair GROUP BY 1),
+       |p0 AS (SELECT item, 1000000::HUGEINT AS bt FROM tot),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |$rawSql
+       |SELECT p3.item, COALESCE(raww.n_wins, 0)::BIGINT AS n_wins,
+       |  rawg.n_games::BIGINT AS n_games, p3.bt::BIGINT AS bt_scaled
+       |FROM p3 JOIN rawg USING (item) LEFT JOIN raww USING (item)
+       |ORDER BY item""".stripMargin
+  }
+
+  // ── q324: pairwise win-rate matrix ─────────────────────────────────────
+
+  /** q324: [[Preference.winRateMatrix]] — the raw head-to-head
+    * scoreboard the strength models summarize; exact counts + half-away
+    * micro win rate. */
+  def q324WinRateMatrix(s: SparkSession, dir: String): DataFrame =
+    Preference.winRateMatrix(comparisons(s, dir), "winner", "loser")
+      .orderBy(col("item_a"), col("item_b"))
+
+  val q324Sql: String =
+    s"""WITH $comparisonsSql,
+       |m AS (SELECT least(w, l) AS item_a, greatest(w, l) AS item_b,
+       |        SUM(CASE WHEN w < l THEN cnt ELSE 0 END) AS wins_a,
+       |        SUM(CASE WHEN w > l THEN cnt ELSE 0 END) AS wins_b
+       |      FROM wd GROUP BY 1, 2)
+       |SELECT item_a, item_b, wins_a::BIGINT AS wins_a,
+       |  wins_b::BIGINT AS wins_b,
+       |  (wins_a + wins_b)::BIGINT AS n_games,
+       |  CAST((2 * wins_a::HUGEINT * 1000000 + (wins_a + wins_b))
+       |    // (2 * (wins_a + wins_b)::HUGEINT) AS BIGINT)
+       |    AS winrate_a_micro
+       |FROM m ORDER BY item_a, item_b""".stripMargin
+
+  // ── q325: Copeland majority scores ─────────────────────────────────────
+
+  /** q325: [[Preference.copelandScores]] — each item's strict-majority
+    * wins/ties/losses over opponents; copeland2 = 2·wins + ties keeps the
+    * classic half-point-per-tie score integral. */
+  def q325Copeland(s: SparkSession, dir: String): DataFrame =
+    Preference.copelandScores(comparisons(s, dir), "winner", "loser")
+      .orderBy(col("item"))
+
+  val q325Sql: String =
+    s"""WITH $comparisonsSql,
+       |m AS (SELECT least(w, l) AS item_a, greatest(w, l) AS item_b,
+       |        SUM(CASE WHEN w < l THEN cnt ELSE 0 END) AS wins_a,
+       |        SUM(CASE WHEN w > l THEN cnt ELSE 0 END) AS wins_b
+       |      FROM wd GROUP BY 1, 2),
+       |dv AS (SELECT item_a AS item, wins_a AS wf, wins_b AS wa FROM m
+       |       UNION ALL
+       |       SELECT item_b, wins_b, wins_a FROM m)
+       |SELECT item, COUNT(*)::BIGINT AS n_opponents,
+       |  SUM(CASE WHEN wf > wa THEN 1 ELSE 0 END)::BIGINT AS maj_wins,
+       |  SUM(CASE WHEN wf = wa THEN 1 ELSE 0 END)::BIGINT AS maj_ties,
+       |  SUM(CASE WHEN wf < wa THEN 1 ELSE 0 END)::BIGINT AS maj_losses,
+       |  (2 * SUM(CASE WHEN wf > wa THEN 1 ELSE 0 END)
+       |    + SUM(CASE WHEN wf = wa THEN 1 ELSE 0 END))::BIGINT
+       |    AS copeland2
+       |FROM dv GROUP BY item ORDER BY item""".stripMargin
+
+  // ── q326: Rank Centrality (spectral ranking) ───────────────────────────
+
+  /** q326: [[Preference.rankCentrality]] — stationary mass of the
+    * beats-me random walk, 3 exactly-mass-conserving integer iterations;
+    * the oracle replays the identical floored flow terms. */
+  def q326RankCentrality(s: SparkSession, dir: String): DataFrame =
+    Preference.rankCentrality(comparisons(s, dir), "winner", "loser",
+        iters = 3)
+      .orderBy(col("item"))
+
+  val q326Sql: String = {
+    def iter(n: Int): String =
+      s"""f$n AS (SELECT p.i, p.j,
+         |    (pi.rc * (p.nij - p.wij)::HUGEINT)
+         |      // (p.nij::HUGEINT * (SELECT d FROM dmax)) AS t
+         |  FROM pair p JOIN r${n - 1} pi ON p.i = pi.item),
+         |r$n AS (SELECT r.item,
+         |    r.rc - COALESCE(o.s, 0) + COALESCE(nn.s, 0) AS rc
+         |  FROM r${n - 1} r
+         |  LEFT JOIN (SELECT i AS item, SUM(t) AS s FROM f$n GROUP BY 1) o
+         |    USING (item)
+         |  LEFT JOIN (SELECT j AS item, SUM(t) AS s FROM f$n GROUP BY 1) nn
+         |    USING (item))""".stripMargin
+    s"""WITH $comparisonsSql,
+       |$pairSql,
+       |deg AS (SELECT i AS item, COUNT(*) AS dg FROM pair GROUP BY 1),
+       |dmax AS (SELECT MAX(dg) AS d FROM deg),
+       |r0 AS (SELECT item, 1000000::HUGEINT AS rc FROM deg),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |$rawSql
+       |SELECT r3.item, COALESCE(raww.n_wins, 0)::BIGINT AS n_wins,
+       |  rawg.n_games::BIGINT AS n_games, r3.rc::BIGINT AS rc_scaled
+       |FROM r3 JOIN rawg USING (item) LEFT JOIN raww USING (item)
+       |ORDER BY item""".stripMargin
+  }
+
+  // ── q327: Kendall τ_a between two ranking signals ──────────────────────
+
+  /** q327: [[Standardize.kendallTauA]] between two orderings of the
+    * document sources — by doc count and by total chars. The exact
+    * concordant/discordant/tie pair counts plus τ_a in micros. */
+  def q327KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val src = Sources.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+    Standardize.kendallTauA(src, "source", "n_docs", "total_chars")
+  }
+
+  val q327Sql: String =
+    """WITH src AS (SELECT source, COUNT(*) AS n_docs,
+      |    SUM(n_chars) AS total_chars FROM documents GROUP BY 1),
+      |p AS (SELECT a.n_docs AS ax, b.n_docs AS bx,
+      |        a.total_chars AS ay, b.total_chars AS by
+      |      FROM src a JOIN src b ON a.source < b.source),
+      |agg AS (SELECT COUNT(*) AS n_pairs,
+      |    COALESCE(SUM(CASE WHEN (ax < bx AND ay < by)
+      |      OR (ax > bx AND ay > by) THEN 1 ELSE 0 END), 0)
+      |      AS n_concordant,
+      |    COALESCE(SUM(CASE WHEN (ax < bx AND ay > by)
+      |      OR (ax > bx AND ay < by) THEN 1 ELSE 0 END), 0)
+      |      AS n_discordant,
+      |    COALESCE(SUM(CASE WHEN ax = bx AND ay <> by THEN 1 ELSE 0 END),
+      |      0) AS n_tied_x,
+      |    COALESCE(SUM(CASE WHEN ay = by AND ax <> bx THEN 1 ELSE 0 END),
+      |      0) AS n_tied_y,
+      |    COALESCE(SUM(CASE WHEN ax = bx AND ay = by THEN 1 ELSE 0 END),
+      |      0) AS n_tied_both
+      |  FROM p),
+      |n AS (SELECT COUNT(*) AS n_items FROM src)
+      |SELECT n_items::BIGINT AS n_items, n_pairs::BIGINT AS n_pairs,
+      |  n_concordant::BIGINT AS n_concordant,
+      |  n_discordant::BIGINT AS n_discordant,
+      |  n_tied_x::BIGINT AS n_tied_x, n_tied_y::BIGINT AS n_tied_y,
+      |  n_tied_both::BIGINT AS n_tied_both,
+      |  CASE WHEN n_pairs > 0 THEN
+      |    CASE WHEN n_concordant < n_discordant THEN
+      |      -CAST((2 * (n_discordant - n_concordant)::HUGEINT * 1000000
+      |          + n_pairs) // (2 * n_pairs::HUGEINT) AS BIGINT)
+      |    ELSE
+      |      CAST((2 * (n_concordant - n_discordant)::HUGEINT * 1000000
+      |          + n_pairs) // (2 * n_pairs::HUGEINT) AS BIGINT)
+      |    END
+      |  END AS tau_a_micro
+      |FROM n CROSS JOIN agg""".stripMargin
+
+  // ── q329: Wilson-bound win rates ───────────────────────────────────────
+
+  /** q329: [[Preference.wilsonWinRates]] — the win-rate matrix with the
+    * z = 2 Wilson interval for item_a's true win probability; the exact
+    * integer floor-sqrt makes the root hashable (PORTABILITY rule 4). */
+  def q329WilsonWinRates(s: SparkSession, dir: String): DataFrame =
+    Preference.wilsonWinRates(comparisons(s, dir), "winner", "loser")
+      .orderBy(col("item_a"), col("item_b"))
+
+  val q329Sql: String =
+    s"""WITH $comparisonsSql,
+       |m AS (SELECT least(w, l) AS item_a, greatest(w, l) AS item_b,
+       |        SUM(CASE WHEN w < l THEN cnt ELSE 0 END) AS wa,
+       |        SUM(CASE WHEN w > l THEN cnt ELSE 0 END) AS wb
+       |      FROM wd GROUP BY 1, 2),
+       |b AS (SELECT item_a, item_b, wa, wb, wa + wb AS n,
+       |        (wa + wb)::HUGEINT
+       |          * (wa::HUGEINT * (wb) + (wa + wb)) AS x
+       |      FROM m),
+       |s0 AS (SELECT *, CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT)
+       |         AS y0 FROM b),
+       |s1 AS (SELECT *, y0 - CASE WHEN y0::HUGEINT * y0 > x
+       |         THEN 1 ELSE 0 END AS y1 FROM s0),
+       |s2 AS (SELECT *, y1 + CASE WHEN (y1 + 1)::HUGEINT * (y1 + 1) <= x
+       |         THEN 1 ELSE 0 END AS isq FROM s1)
+       |SELECT item_a, item_b, wa::BIGINT AS wins_a, wb::BIGINT AS wins_b,
+       |  n::BIGINT AS n_games,
+       |  CAST((2 * wa::HUGEINT * 1000000 + n) // (2 * n::HUGEINT)
+       |    AS BIGINT) AS winrate_a_micro,
+       |  CAST((2 * ((wa + 2)::HUGEINT * n - 2 * isq) * 1000000
+       |      + n::HUGEINT * (n + 4))
+       |    // (2 * n::HUGEINT * (n + 4)) AS BIGINT) AS wilson_lb_a_micro,
+       |  CAST((2 * ((wa + 2)::HUGEINT * n + 2 * isq) * 1000000
+       |      + n::HUGEINT * (n + 4))
+       |    // (2 * n::HUGEINT * (n + 4)) AS BIGINT) AS wilson_ub_a_micro
+       |FROM s2 ORDER BY item_a, item_b""".stripMargin
+
+  // ── q330: unbiased pass@k over the event log ───────────────────────────
+
+  /** q330: [[graft.operators.Relevance.passAtK]] with k = 5 — per user
+    * ("task"), the probability a random 5-subset of their events
+    * contains a purchase ("success"); the Chen et al. 2021 unbiased
+    * code-eval estimator as one exact rational. */
+  def q330PassAtK(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relevance.passAtK(Sources.events(s, dir), "user_id",
+        col("event_type") === "purchase", k = 5)
+      .orderBy(col("user_id"))
+
+  val q330Sql: String =
+    """WITH a AS (SELECT user_id, COUNT(*) AS n_attempts,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS n_success
+      |  FROM events GROUP BY 1),
+      |p AS (SELECT user_id, n_attempts, n_success,
+      |    GREATEST(n_attempts - n_success - 0, 0)::HUGEINT
+      |      * GREATEST(n_attempts - n_success - 1, 0)
+      |      * GREATEST(n_attempts - n_success - 2, 0)
+      |      * GREATEST(n_attempts - n_success - 3, 0)
+      |      * GREATEST(n_attempts - n_success - 4, 0) AS num,
+      |    n_attempts::HUGEINT * (n_attempts - 1) * (n_attempts - 2)
+      |      * (n_attempts - 3) * (n_attempts - 4) AS den
+      |  FROM a)
+      |SELECT user_id, n_attempts::BIGINT AS n_attempts,
+      |  n_success::BIGINT AS n_success,
+      |  CASE WHEN n_attempts >= 5 THEN
+      |    CAST((2 * (den - num) * 1000000 + den) // (2 * den) AS BIGINT)
+      |  END AS pass_at_5_micro
+      |FROM p ORDER BY user_id""".stripMargin
+
+  // ── q331: bootstrap win-rate bands ─────────────────────────────────────
+
+  /** q331: [[Preference.bootstrapWinRate]] — each priority's win rate
+    * with the 20-replicate hashed-Poisson 5%-trimmed band; whole GAMES
+    * resample (one weight per (rep, customer), shared by both sides), so
+    * overlapping bands mean the log doesn't decide the rank. */
+  def q331BootstrapWinRate(s: SparkSession, dir: String): DataFrame =
+    Preference.bootstrapWinRate(comparisons(s, dir), "o_custkey",
+        "winner", "loser", salt = "bw13", reps = 20)
+      .orderBy(col("item"))
+
+  val q331Sql: String = {
+    val thresholds =
+      graft.operators.Sampling.poissonThresholds48.mkString("[", ", ", "]")
+    s"""WITH $comparisonsSql,
+       |gi AS (SELECT o_custkey AS id, winner AS w, loser AS l FROM c
+       |       WHERE winner <> loser),
+       |r AS (SELECT id, w, l, unnest(range(0, 20)) AS rep FROM gi),
+       |h AS (SELECT w, l, rep,
+       |    CAST(list_sum(list_transform(range(1, 13), j ->
+       |      (strpos('0123456789abcdef',
+       |         substr(md5('bw13_' || CAST(rep AS VARCHAR) || '_'
+       |           || CAST(id AS VARCHAR)), j, 1)) - 1)
+       |        * (1::BIGINT << (4 * (12 - j))))) AS BIGINT) AS h48
+       |  FROM r),
+       |wt AS (SELECT w, l, rep,
+       |    len(list_filter($thresholds, t -> h48 >= t)) AS wgt
+       |  FROM h),
+       |dv AS (SELECT w AS item, rep, wgt, 1 AS win FROM wt
+       |       UNION ALL SELECT l, rep, wgt, 0 FROM wt),
+       |rm AS (SELECT item, rep,
+       |    CASE WHEN SUM(wgt) > 0 THEN
+       |      CAST((2 * SUM(wgt::HUGEINT * win) * 1000000
+       |          + SUM(wgt)::HUGEINT)
+       |        // (2 * SUM(wgt)::HUGEINT) AS BIGINT) END AS m
+       |  FROM dv GROUP BY 1, 2),
+       |$rawSql,
+       |pt AS (SELECT item, COALESCE(raww.n_wins, 0)::BIGINT AS n_wins,
+       |    rawg.n_games::BIGINT AS n_games,
+       |    CAST((2 * COALESCE(raww.n_wins, 0)::HUGEINT * 1000000
+       |        + rawg.n_games)
+       |      // (2 * rawg.n_games::HUGEINT) AS BIGINT) AS winrate_micro
+       |  FROM rawg LEFT JOIN raww USING (item)),
+       |os AS (SELECT item, m,
+       |    row_number() OVER (PARTITION BY item ORDER BY m) AS rn,
+       |    COUNT(*) OVER (PARTITION BY item) AS mn
+       |  FROM rm WHERE m IS NOT NULL),
+       |tr AS (SELECT item, CAST(MAX(mn) AS BIGINT) AS n_reps,
+       |    MAX(CASE WHEN rn = mn // 20 + 1 THEN m END) AS boot_lo_micro,
+       |    MAX(CASE WHEN rn = mn - mn // 20 THEN m END) AS boot_hi_micro
+       |  FROM os GROUP BY item)
+       |SELECT pt.item, pt.n_wins, pt.n_games, pt.winrate_micro,
+       |  tr.n_reps, tr.boot_lo_micro, tr.boot_hi_micro
+       |FROM pt JOIN tr USING (item)
+       |ORDER BY pt.item""".stripMargin
+  }
+
+  // ── q328: cyclic-triad transitivity audit ──────────────────────────────
+
+  /** q328: [[Preference.cyclicTriads]] — rock-paper-scissors triads in
+    * the strict-majority digraph; the "does a total order even exist"
+    * check that must precede any leaderboard built from q323/q325/q326. */
+  def q328CyclicTriads(s: SparkSession, dir: String): DataFrame =
+    Preference.cyclicTriads(comparisons(s, dir), "winner", "loser")
+
+  val q328Sql: String =
+    s"""WITH $comparisonsSql,
+       |m AS (SELECT least(w, l) AS item_a, greatest(w, l) AS item_b,
+       |        SUM(CASE WHEN w < l THEN cnt ELSE 0 END) AS wins_a,
+       |        SUM(CASE WHEN w > l THEN cnt ELSE 0 END) AS wins_b
+       |      FROM wd GROUP BY 1, 2),
+       |items AS (SELECT COUNT(*) AS n_items FROM (
+       |    SELECT item_a AS item FROM m
+       |    UNION SELECT item_b FROM m)),
+       |und AS (SELECT item_a AS a, item_b AS b,
+       |          CASE WHEN wins_a > wins_b THEN 1 ELSE 0 END AS f
+       |        FROM m WHERE wins_a <> wins_b),
+       |tri AS (SELECT x.f AS fab, y.f AS fbc, z.f AS fac
+       |        FROM und x
+       |        JOIN und y ON x.b = y.a
+       |        JOIN und z ON z.a = x.a AND z.b = y.b),
+       |t AS (SELECT COUNT(*) AS n_triangles,
+       |        COALESCE(SUM(CASE WHEN (fab = 1 AND fbc = 1 AND fac = 0)
+       |          OR (fab = 0 AND fbc = 0 AND fac = 1) THEN 1 ELSE 0 END),
+       |          0) AS n_cyclic
+       |      FROM tri),
+       |e AS (SELECT COUNT(*) AS n_majority_pairs FROM und)
+       |SELECT n_items::BIGINT AS n_items,
+       |  n_majority_pairs::BIGINT AS n_majority_pairs,
+       |  n_triangles::BIGINT AS n_triangles, n_cyclic::BIGINT AS n_cyclic,
+       |  (n_triangles - n_cyclic)::BIGINT AS n_transitive,
+       |  CASE WHEN n_triangles > 0 THEN
+       |    CAST((2 * n_cyclic::HUGEINT * 1000000 + n_triangles)
+       |      // (2 * n_triangles::HUGEINT) AS BIGINT)
+       |  END AS cyclic_share_micro
+       |FROM items CROSS JOIN e CROSS JOIN t""".stripMargin
+}

@@ -671,7 +671,14 @@ class PlanShapeSpec extends SparkSpec {
       "q318_split_audit",
       // q319: two 1-row broadcasts (max weight, weight total) onto the
       // |strata|-row moment table (the q120 allocation shape)
-      "q319_neyman_alloc")
+      "q319_neyman_alloc",
+      // q327: the 1-row pair-class aggregate crossJoined onto the 1-row
+      // n_items count (the q285/q296 shape); the C(n,2) self-join is
+      // item-scale by the operator's documented contract
+      "q327_kendall_tau",
+      // q328: two 1-row aggregates (edge count, triangle counts)
+      // crossJoined onto the 1-row item count — metadata by construction
+      "q328_cyclic_triads")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
