@@ -251,25 +251,27 @@ object Classify {
    *    every engine; the sign is reapplied explicitly, pinning
    *    truncation-toward-zero without relying on either engine's
    *    negative-division convention);
-   *  - `r2_num` / `r2_den` — in-sample R² as an exact integer rational:
-   *    R² = [n·(d₀·Sy + d₁·S1y + d₂·S2y) − det·Sy²] / [det·(n·Σy² − Sy²)],
-   *    the algebraic clearing of 1 − SSE/SST over the common
-   *    denominators det and n. No division is performed at all, so no
-   *    rounding boundary exists to diverge on.
+   *  - `r2_ppm` — in-sample R² in exact parts-per-million: the rational
+   *    R² = [n·(d₀·Sy + d₁·S1y + d₂·S2y) − det·Sy²] / [det·(n·Σy² − Sy²)]
+   *    (the algebraic clearing of 1 − SSE/SST over the common
+   *    denominators det and n) pushed through one half-away integral
+   *    division of its ABSOLUTE parts — R² ∈ [0, 1], so the report is
+   *    always ≤ 10⁶. The raw numerator/denominator pair was the r13
+   *    sf0.1-audit finding: it grows ~n³·x⁴·y² and blew past int64 at a
+   *    mere 600k rows — Spark's non-ANSI cast nulled while DuckDB's
+   *    HUGEINT→BIGINT cast ERRORED, a genuine cross-engine divergence.
+   *    A bounded ratio cannot outgrow its type at any corpus size.
    *
    * Singular XᵀX (det = 0) or zero label variance (SST ≤ 0) yields NULL
    * coefficients / R², matching [[linearProbeTrain]]. Exactness bound:
-   * products stay inside DECIMAL(38,0) through ~10⁹ docs with bounded
-   * integer features (r2_den ~ n⁴·x⁴·y²); center features first beyond
-   * that.
+   * DECIMAL(38,0) holds the internal products through ~10⁹ docs with
+   * bounded integer features; center features first beyond that.
    *
    * Output types: every reported column is BIGINT — internals stay
    * DECIMAL(38,0), but the FINAL values are narrowed so the gate's
    * hashed surface never carries a DECIMAL wider than 18 digits (the
    * r11 comparator class: wide-decimal outputs hash divergently across
-   * engines even when values are equal). A final value that genuinely
-   * exceeds int64 nulls on the cast (non-ANSI) rather than wrapping —
-   * visible, never silently corrupt.
+   * engines even when values are equal).
    */
   def linearProbeTrainExact(df: DataFrame, yCol: String, x1Col: String,
                             x2Col: String): DataFrame = {
@@ -295,8 +297,12 @@ object Classify {
       ppm("graft_d0").cast(LongType).as("beta0_ppm"),
       ppm("graft_d1").cast(LongType).as("beta1_ppm"),
       ppm("graft_d2").cast(LongType).as("beta2_ppm"),
-      when(ok, r2num.cast(big)).cast(LongType).as("r2_num"),
-      when(ok, r2den.cast(big)).cast(LongType).as("r2_den"))
+      // R² ∈ [0,1]: |num|/|den| through ONE half-away division (the
+      // rational's sign cancels — det appears in both) keeps the report
+      // ≤ 10⁶ at any corpus size; the raw pair overflowed int64 at sf0.1
+      when(ok, ExactRound.halfAwayDiv(
+        (abs(r2num.cast(big)) * lit(1000000L).cast(big)).cast(big),
+        abs(r2den.cast(big)).cast(big))).as("r2_ppm"))
   }
 
   /**

@@ -123,8 +123,11 @@ object Packing {
    * assembly is deterministic and reproducible across runs/engines.
    *
    * Returns one row per batch: (batch_id, n_docs, max_len, total_tokens,
-   * padded_tokens, padding_tokens, padding_frac). The final
+   * padded_tokens, padding_tokens, padding_ppm). The final
    * (smallest-length) batch may be ragged (< batchSize docs).
+   * padding_ppm is the waste fraction in exact half-away ppm — the
+   * former `round(double, 6)` of this exact rational sat on a half-tie
+   * at sf0.1 (r13 audit finding; PORTABILITY rule 1).
    */
   def lengthGroupedBatches(docs: DataFrame, idCol: String,
                            lenCol: org.apache.spark.sql.Column,
@@ -142,9 +145,11 @@ object Packing {
       .withColumn("padded_tokens", col("n_docs") * col("max_len"))
       .withColumn("padding_tokens",
         col("padded_tokens") - col("total_tokens"))
-      .withColumn("padding_frac",
-        when(col("padded_tokens") > 0,
-          round(col("padding_tokens").cast("double") /
-            col("padded_tokens").cast("double"), 6)).otherwise(lit(0.0)))
+      .withColumn("padding_ppm",
+        when(col("padded_tokens") > 0, ExactRound.halfAwayDiv(
+          col("padding_tokens")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            lit(1000000L),
+          col("padded_tokens"))).otherwise(lit(0L)))
   }
 }

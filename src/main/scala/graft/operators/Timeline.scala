@@ -313,7 +313,13 @@ object Timeline {
     val r = col("graft_r")
     val returns = closes
       .withColumn("graft_prev", lag(col("graft_close"), 1).over(wLag))
-      .filter(col("graft_prev").isNotNull)
+      // a log return is UNDEFINED off a non-positive close (ln(0) is
+      // -inf here and an ERROR in DuckDB — the sf0.1 audit caught a
+      // 0-value close): both endpoints must be > 0, and the filter runs
+      // AFTER the lag so the zero close still separates its neighbors'
+      // returns identically in both engines
+      .filter(col("graft_prev").isNotNull &&
+        col("graft_prev") > 0 && col("graft_close") > 0)
       .withColumn("graft_r", log(col("graft_close") / col("graft_prev")))
     val mean = col("graft_s1").cast(DoubleType) / col("n_returns")
     val variance = greatest(

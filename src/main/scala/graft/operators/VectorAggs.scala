@@ -952,7 +952,19 @@ object VectorAggs {
                      vecCol: String, pruneNum: Int, pruneDen: Int): DataFrame = {
     require(pruneDen >= 1 && pruneNum >= 0 && pruneNum <= pruneDen,
       s"prune fraction $pruneNum/$pruneDen outside [0, 1]")
-    val cent = centroidVectors(assigned, clusterCol, vecCol)
+    // micro-exact centroid components (r13 sf0.1-audit fix): the former
+    // round(Σx̂/n, 6) centroid is an exact rational through round() —
+    // PORTABILITY rule 1's forbidden shape — and at sf0.1 one survivor
+    // centroid coordinate landed on a half-micro tie, flipping ranks
+    // under 1-ulp drift. micro/10⁶ back to double is correctly rounded
+    // identically in every engine, so the scored cosine's inputs are
+    // bit-identical by construction.
+    val cent = centroidsMicro(assigned, clusterCol, vecCol)
+      .groupBy(col(clusterCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("centroid_micro")))),
+        s => s.getField("centroid_micro").cast(DoubleType) / lit(1000000.0))
+        .as("centroid_vec"))
       .select(col(clusterCol), col("centroid_vec"))
     val scored = assigned.join(broadcast(cent), Seq(clusterCol))
       .withColumn("proto_cos",

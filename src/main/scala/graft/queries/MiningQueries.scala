@@ -721,9 +721,10 @@ object MiningQueries {
   /** q260: the least-squares English-ness probe fit by exact normal
     * equations ([[Classify.linearProbeTrainExact]]) — ŷ = β₀ + β₁·n_stop
     * + β₂·n_words against is_en; one row with the exact determinant,
-    * exact-ppm coefficients, and in-sample R² as an exact integer
-    * rational. The hashed surface is all-integer (the portable variant;
-    * r10's red row hashed 6-dp double quotients, which round
+    * exact-ppm coefficients, and in-sample R² in exact ppm (bounded
+    * ≤ 10⁶ — the raw num/den rational outgrew int64 at sf0.1, the r13
+    * audit finding). The hashed surface is all-integer (the portable
+    * variant; r10's red row hashed 6-dp double quotients, which round
     * differently across DuckDB libm builds). */
   def q260ProbeTrain(s: SparkSession, dir: String): DataFrame =
     Classify.linearProbeTrainExact(probeFeatures(s, dir), "is_en",
@@ -745,12 +746,12 @@ object MiningQueries {
       |      * ((1000000::HUGEINT * abs(d2)) // abs(det))
       |    END AS BIGINT) AS beta2_ppm,
       |  CAST(CASE WHEN det <> 0 AND n::HUGEINT * syy - sy::HUGEINT * sy > 0
-      |    THEN n::HUGEINT * (d0 * sy::HUGEINT + d1 * s1y::HUGEINT
-      |        + d2 * s2y::HUGEINT) - det * (sy::HUGEINT * sy)
-      |    END AS BIGINT) AS r2_num,
-      |  CAST(CASE WHEN det <> 0 AND n::HUGEINT * syy - sy::HUGEINT * sy > 0
-      |    THEN det * (n::HUGEINT * syy - sy::HUGEINT * sy)
-      |    END AS BIGINT) AS r2_den
+      |    THEN (2 * 1000000::HUGEINT
+      |        * abs(n::HUGEINT * (d0 * sy::HUGEINT + d1 * s1y::HUGEINT
+      |            + d2 * s2y::HUGEINT) - det * (sy::HUGEINT * sy))
+      |        + abs(det * (n::HUGEINT * syy - sy::HUGEINT * sy)))
+      |      // (2 * abs(det * (n::HUGEINT * syy - sy::HUGEINT * sy)))
+      |    END AS BIGINT) AS r2_ppm
       |FROM dd""".stripMargin
 
   /** q261: per-source confusion matrix of the trained probe at the 0.5

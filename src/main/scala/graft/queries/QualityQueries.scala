@@ -245,9 +245,10 @@ object QualityQueries {
       |  n_docs * max_len AS padded_tokens,
       |  n_docs * max_len - total_tokens AS padding_tokens,
       |  CASE WHEN n_docs * max_len > 0 THEN
-      |    round(CAST(n_docs * max_len - total_tokens AS DOUBLE) /
-      |      CAST(n_docs * max_len AS DOUBLE), 6) ELSE 0.0 END
-      |    AS padding_frac
+      |    CAST((2 * (n_docs * max_len - total_tokens)::HUGEINT * 1000000
+      |        + n_docs * max_len)
+      |      // (2 * (n_docs * max_len)::HUGEINT) AS BIGINT)
+      |  ELSE 0 END AS padding_ppm
       |FROM b ORDER BY batch_id""".stripMargin
 
   // ── q206: KMV θ-intersection across sources ────────────────────────────

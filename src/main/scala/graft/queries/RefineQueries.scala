@@ -479,11 +479,18 @@ object RefineQueries {
        |       FROM a2 LEFT JOIN dup USING (vec_id)
        |       WHERE dup.dup_of IS NULL),
        |c2 AS (
-       |  SELECT cluster, d, round(CAST(SUM(CAST(round(embedding[d]::DOUBLE, 6)
-       |      AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS c
+       |  SELECT cluster, d,
+       |    CAST(SUM(CAST(round(embedding[d]::DOUBLE, 6)
+       |      AS DECIMAL(38,6))) * 1000000 AS HUGEINT) AS s6,
+       |    COUNT(*)::HUGEINT AS nc
        |  FROM sv CROSS JOIN range(1, 65) t(d) GROUP BY cluster, d),
-       |c2v AS (SELECT cluster, array_agg(c ORDER BY d) AS cv
-       |        FROM c2 GROUP BY cluster),
+       |c2m AS (SELECT cluster, d,
+       |    CASE WHEN s6 < 0 THEN -((2 * (-s6) + nc) // (2 * nc))
+       |         ELSE (2 * s6 + nc) // (2 * nc) END AS cm
+       |  FROM c2),
+       |c2v AS (SELECT cluster, array_agg(cm::DOUBLE / 1000000 ORDER BY d)
+       |          AS cv
+       |        FROM c2m GROUP BY cluster),
        |sc AS (SELECT sv.vec_id, sv.cluster,
        |         ${CurationQueries.cosSql("sv.embedding", "c2v.cv")} AS pc
        |       FROM sv JOIN c2v USING (cluster)),

@@ -181,29 +181,42 @@ object ScaleQueries {
     * running total attached. The global prefix sum uses the GlobalRank
     * construction: no single-partition window. */
   def q100BudgetSelect(s: SparkSession, dir: String): DataFrame = {
-    val alpha = TextAnalysis.qualityCols(col("text")).toMap.apply("alpha_ratio")
+    // alpha ratio as EXACT half-away micros (r13 sf0.1-audit fix): the
+    // former round(double, 6) hashed AND ORDERED a rounded exact
+    // rational — PORTABILITY rule 1's forbidden shape — and at sf0.1 a
+    // document's n_alpha/n_chars landed on a half-micro tie, flipping
+    // both the hash and the budget cut under 1-ulp drift. Integer
+    // micros cannot tie-break differently anywhere.
+    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      .cast(LongType)
+    val nChars = length(col("text")).cast(LongType)
     val scored = Sources.documents(s, dir).select(col("doc_id"),
-      round(alpha, 6).as("alpha_ratio"),
+      when(nChars > 0, Exact.halfAwayDiv(
+        nAlpha.cast(DecimalType(38, 0)) * lit(1000000L),
+        nChars)).otherwise(0L).as("alpha_micro"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
     graft.operators.Selection.underBudget(scored, "n_tokens",
-        Seq(col("alpha_ratio").desc, col("doc_id").asc), budget = 10000L)
-      .select(col("doc_id"), col("alpha_ratio"), col("n_tokens"),
+        Seq(col("alpha_micro").desc, col("doc_id").asc), budget = 10000L)
+      .select(col("doc_id"), col("alpha_micro"), col("n_tokens"),
         col("cum_before"))
       .orderBy(col("doc_id"))
   }
 
   val q100Sql: String =
     """WITH q AS (SELECT doc_id,
-      |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-      |      AS DOUBLE) / length(text), 6) AS alpha_ratio,
+      |    CASE WHEN length(text) > 0 THEN
+      |      CAST((2 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+      |          ::HUGEINT * 1000000 + length(text))
+      |        // (2 * length(text)::HUGEINT) AS BIGINT)
+      |    ELSE 0 END AS alpha_micro,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM documents),
       |o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
-      |        ORDER BY alpha_ratio DESC, doc_id
+      |        ORDER BY alpha_micro DESC, doc_id
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       |      AS BIGINT) AS cum_before
       |  FROM q)
-      |SELECT doc_id, alpha_ratio, n_tokens, cum_before FROM o
+      |SELECT doc_id, alpha_micro, n_tokens, cum_before FROM o
       |WHERE cum_before + n_tokens <= 10000
       |ORDER BY doc_id""".stripMargin
 

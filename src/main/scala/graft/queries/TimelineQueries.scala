@@ -242,7 +242,7 @@ object TimelineQueries {
       |          AS prev
       |      FROM c),
       |r AS (SELECT user_id, ln(close / prev) AS r FROM p
-      |      WHERE prev IS NOT NULL),
+      |      WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
       |s AS (SELECT user_id, count(*) AS n_returns,
       |        SUM(CAST(round(r, 6) AS DECIMAL(18,6))) AS s1,
       |        SUM(CAST(round(r * r, 6) AS DECIMAL(28,6))) AS s2

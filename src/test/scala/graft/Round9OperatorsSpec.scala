@@ -329,12 +329,12 @@ class Round9OperatorsSpec extends SparkSpec {
       .orderBy("batch_id").collect()
       .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("n_docs"),
         r.getAs[Long]("max_len"), r.getAs[Long]("total_tokens"),
-        r.getAs[Long]("padding_tokens"), r.getAs[Double]("padding_frac")))
+        r.getAs[Long]("padding_tokens"), r.getAs[Long]("padding_ppm")))
+    // ppm: 2/18 = 111111.1… → 111111; 2/10 = 200000 exactly
     assert(out.toSeq == Seq(
-      (0L, 2L, 9L, 16L, 2L, BigDecimal(2.0 / 18.0)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
-      (1L, 2L, 5L, 8L, 2L, 0.2),
-      (2L, 1L, 3L, 3L, 0L, 0.0)))
+      (0L, 2L, 9L, 16L, 2L, 111111L),
+      (1L, 2L, 5L, 8L, 2L, 200000L),
+      (2L, 1L, 3L, 3L, 0L, 0L)))
   }
 
   // ── perplexityMixtureWeights ────────────────────────────────────────────

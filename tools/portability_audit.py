@@ -106,8 +106,29 @@ def rows_equal(sa, sb):
     return True
 
 
+def timed_surface(con, sql, budget):
+    """surface() with a wall-clock budget: DuckDB is interrupted from a
+    timer thread and the timeout surfaces as an exception. Needed at the
+    bench SF, where a handful of recursive-CTE oracles (transitive
+    closures) are minutes-to-hours slow — a skipped-with-reason row beats
+    an audit that never terminates."""
+    import threading
+    timer = None
+    if budget:
+        timer = threading.Timer(budget, con.interrupt)
+        timer.start()
+    try:
+        return surface(con, sql)
+    finally:
+        if timer:
+            timer.cancel()
+
+
 def main():
     import duckdb
+    # optional per-query wall budget in seconds (0 = unlimited); each
+    # audited query runs up to 3 statements (baseline + 2 signs)
+    budget = float(os.environ.get("AUDIT_QUERY_BUDGET_S", "0"))
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
     base_con = duckdb.connect()
@@ -126,24 +147,35 @@ def main():
         macros(con, sign)
         cons[sign] = con
 
-    fragile, clean, exact = [], [], []
+    fragile, clean, exact, skipped = [], [], [], []
+    import time
     for name, sql in sorted(oracle.items()):
         psql = rewrite(sql, 0)
         if psql == sql:
             exact.append(name)          # no transcendental, no round()
             continue
+        t0 = time.time()
         try:
-            base = surface(base_con, sql)
+            base = timed_surface(base_con, sql, budget)
         except Exception as e:
-            print(f"ERR  {name}: baseline failed: {e}")
-            fragile.append(name)
+            if budget and time.time() - t0 >= budget:
+                print(f"SKIP {name}: baseline over {budget:.0f}s budget")
+                skipped.append(name)
+            else:
+                print(f"ERR  {name}: baseline failed: {e}")
+                fragile.append(name)
             continue
         bad = None
+        timeout = False
         for sign in (+1, -1):
+            t1 = time.time()
             try:
-                pert = surface(cons[sign], psql)
+                pert = timed_surface(cons[sign], psql, budget)
             except Exception as e:
-                bad = f"sign {sign:+d} errored: {e}"
+                if budget and time.time() - t1 >= budget:
+                    timeout = True
+                else:
+                    bad = f"sign {sign:+d} errored: {e}"
                 break
             if not rows_equal(base, pert):
                 diffs = sum(1 for ra, rb in zip(base, pert)
@@ -151,15 +183,23 @@ def main():
                             if not loosely_equal(ca, cb))
                 bad = f"sign {sign:+d}: {diffs} cell(s) moved"
                 break
-        if bad:
+        if timeout:
+            print(f"SKIP {name}: perturbed run over {budget:.0f}s budget")
+            skipped.append(name)
+        elif bad:
             print(f"FRAGILE {name}: {bad}")
             fragile.append(name)
         else:
             clean.append(name)
+            dt = time.time() - t0
+            if dt > 10:
+                print(f"ok   {name}: invariant ({dt:.0f}s)")
 
     print(f"\n{len(exact)} exact-integer surfaces (no round/transcendental "
           f"in oracle), {len(clean)} perturbation-invariant, "
-          f"{len(fragile)} fragile")
+          f"{len(fragile)} fragile, {len(skipped)} skipped-over-budget")
+    if skipped:
+        print("skipped:", ", ".join(skipped))
     if fragile:
         print("fragile:", ", ".join(fragile))
         sys.exit(1)
