@@ -444,6 +444,84 @@ object Classify {
   }
 
   /**
+   * Brier score with Murphy's decomposition (Brier 1950; Murphy 1973):
+   * for a probabilistic judge whose predictions arrive as integer
+   * PERCENT bins (0..100) with a boolean outcome, per stratum:
+   * Brier = REL − RES + UNC, where reliability REL = Σnₖ(pₖ−ōₖ)²/N
+   * (calibration error — the judge says 80% and is right 60% of the
+   * time), resolution RES = Σnₖ(ōₖ−ō)²/N (how much the judge separates
+   * outcomes), uncertainty UNC = ō(1−ō) (the task's own entropy). THE
+   * audit an LLM-judge's confidence scores get before anyone trusts
+   * them as probabilities — accuracy alone can't see an overconfident
+   * judge.
+   *
+   * Exactness: pₖ is an integer percent, so every component is a sum of
+   * exact rationals; each per-bin term is ONE floored integral division
+   * to micro units (per-term flooring is part of the definition — both
+   * engines sum the same integers), UNC and the raw Brier are single
+   * half-away divisions. brier_micro is computed directly from
+   * Σ(pₖ−100y)² — the identity Brier = REL − RES + UNC holds up to the
+   * documented per-term flooring (≤ 1 micro × bins).
+   *
+   * Bound: the RES term's denominator carries N³ — exact through
+   * N ≈ 10⁸ rows per stratum in DECIMAL(38,0); shard strata beyond
+   * that. Scale shape: ONE (stratum, bin) count agg, a |strata|-row
+   * re-agg, and a broadcast join back onto the ≤ 101-bin grid.
+   */
+  def brierDecomposition(df: DataFrame, strataCol: String,
+                         pctCol: String, outcomeCol: Column): DataFrame = {
+    val big = DecimalType(38, 0)
+    val p = col("graft_p")
+    val rows = df.select(col(strataCol),
+        col(pctCol).cast(LongType).as("graft_p"),
+        when(coalesce(outcomeCol.cast(BooleanType), lit(false)), 1L)
+          .otherwise(0L).as("graft_y"))
+      .filter(p.isNotNull && p >= 0 && p <= 100)
+    val bins = rows.groupBy(col(strataCol), p)
+      .agg(count(lit(1)).as("graft_nk"), sum(col("graft_y")).as("graft_ok"),
+        sum((p - lit(100L) * col("graft_y")) *
+          (p - lit(100L) * col("graft_y"))).as("graft_sq"))
+    val tot = bins.groupBy(col(strataCol))
+      .agg(sum(col("graft_nk")).as("graft_n"),
+        sum(col("graft_ok")).as("graft_o"),
+        sum(col("graft_sq")).as("graft_sqs"),
+        count(lit(1)).as("n_bins"))
+    def d(c: Column): Column = c.cast(big)
+    val withTot = bins.join(tot, Seq(strataCol))
+    // REL term: (pₖnₖ − 100oₖ)² / (10⁴·nₖ·N) in floored micros
+    val relT = call_function("div",
+      (d(p * col("graft_nk") - lit(100L) * col("graft_ok")) *
+        d(p * col("graft_nk") - lit(100L) * col("graft_ok")) *
+        lit(1000000L).cast(big)).cast(big),
+      (lit(10000L).cast(big) * d(col("graft_nk")) * d(col("graft_n")))
+        .cast(big))
+    // RES term: (oₖN − Onₖ)² / (nₖ·N³) in floored micros
+    val resT = call_function("div",
+      (d(col("graft_ok") * col("graft_n") -
+          col("graft_o") * col("graft_nk")) *
+        d(col("graft_ok") * col("graft_n") -
+          col("graft_o") * col("graft_nk")) *
+        lit(1000000L).cast(big)).cast(big),
+      (d(col("graft_nk")) * d(col("graft_n")) * d(col("graft_n")) *
+        d(col("graft_n"))).cast(big))
+    withTot.groupBy(col(strataCol))
+      .agg(max(col("graft_n")).as("n_rows"),
+        max(col("graft_o")).as("n_positive"),
+        max(col("n_bins")).as("n_bins"),
+        sum(relT.cast(big)).cast(LongType).as("reliability_micro"),
+        sum(resT.cast(big)).cast(LongType).as("resolution_micro"),
+        max(ExactRound.halfAwayDiv(
+          (d(col("graft_o")) * d(col("graft_n") - col("graft_o")) *
+            lit(1000000L).cast(big)).cast(big),
+          (d(col("graft_n")) * d(col("graft_n"))).cast(big)))
+          .as("uncertainty_micro"),
+        max(ExactRound.halfAwayDiv(
+          (d(col("graft_sqs")) * lit(1000000L).cast(big)).cast(big),
+          (lit(10000L).cast(big) * d(col("graft_n"))).cast(big)))
+          .as("brier_micro"))
+  }
+
+  /**
    * McNemar paired-filter disagreement (McNemar 1947): for two boolean
    * admission rules evaluated on the SAME documents, the per-stratum
    * 2×2 contingency (n11 both admit … n00 both reject) and the McNemar

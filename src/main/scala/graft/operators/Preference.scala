@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DecimalType, DoubleType, LongType, StringType}
 
 /**
  * Pairwise-preference modeling — the ranking side of an RLHF /
@@ -398,6 +398,120 @@ object Preference {
       .select(col("item"), col("n_wins"), col("n_games"),
         col("winrate_micro"), col("n_reps"), col("boot_lo_micro"),
         col("boot_hi_micro"))
+  }
+
+  /**
+   * In-sample fit audit of [[bradleyTerry]]: replay every game against
+   * the fitted strengths and report how well the model explains its own
+   * training log — the mean Brier term (1 − P̂(winner))² with
+   * P̂(winner) = p_w/(p_w + p_l) (the BT/Elo win-probability curve),
+   * and the upset mass (games the fitted model calls for the LOSER).
+   * A leaderboard whose BT fit shows ~25% Brier and half the mass in
+   * upsets is noise wearing a ranking; this is the goodness-of-fit
+   * number to publish next to the strengths.
+   *
+   * Exactness: P̂ per game is an exact rational of the micro strengths;
+   * each game's Brier term is ONE floored integral division
+   * ⌊10⁶·p_l²/(p_w+p_l)²⌋ weighted by the game count (per-term flooring
+   * is the definition; both engines sum identical integers), the mean
+   * is one half-away division. Upsets double-count so strength TIES
+   * stay integral: upset2 = 2·(mass with p_w < p_l) + (mass tied).
+   *
+   * Scale shape: the [[bradleyTerry]] passes plus one |observed
+   * pairs|-row join of the directed win counts onto the (broadcast-
+   * sized) strengths — no extra corpus pass.
+   */
+  def btFitAudit(comparisons: DataFrame, winnerCol: String,
+                 loserCol: String, iters: Int = 3): DataFrame = {
+    val bt = bradleyTerry(comparisons, winnerCol, loserCol, iters)
+      .select(col("item"), col("bt_scaled"))
+      .localCheckpoint(eager = false) // two strength attaches
+    val wd = directedWins(cleanGames(comparisons, winnerCol, loserCol))
+    val scored = wd
+      .join(bt.select(col("item").as("graft_w2"),
+        col("bt_scaled").as("graft_pw")),
+        col("graft_w") === col("graft_w2"))
+      .join(bt.select(col("item").as("graft_l2"),
+        col("bt_scaled").as("graft_pl")),
+        col("graft_l") === col("graft_l2"))
+    val pw = col("graft_pw").cast(big)
+    val pl = col("graft_pl").cast(big)
+    val term = call_function("div",
+      (pl * pl * lit(1000000L).cast(big)).cast(big),
+      ((pw + pl) * (pw + pl)).cast(big))
+    scored.agg(
+        sum(col("graft_c")).as("n_games"),
+        sum(when(col("graft_pw") < col("graft_pl"),
+          lit(2L) * col("graft_c")).otherwise(0L)).as("graft_u2a"),
+        sum(when(col("graft_pw") === col("graft_pl"), col("graft_c"))
+          .otherwise(0L)).as("graft_u2b"),
+        sum((term * col("graft_c").cast(big)).cast(big)).as("graft_bsum"))
+      .select(col("n_games"),
+        (col("graft_u2a") + col("graft_u2b")).as("upset2"),
+        ExactRound.halfAwayDiv(
+          ((col("graft_u2a") + col("graft_u2b")).cast(big) *
+            lit(1000000L).cast(big)).cast(big),
+          (lit(2L).cast(big) * col("n_games").cast(big)).cast(big))
+          .as("upset_micro"),
+        ExactRound.halfAwayDiv(col("graft_bsum").cast(big),
+          col("n_games").cast(big)).as("brier_micro"))
+  }
+
+  /**
+   * Judge position-bias audit (the MT-Bench check, Zheng et al. 2023
+   * §3.1: pairwise LLM judges measurably favor the FIRST-presented
+   * answer): per item, its win rate when presented first vs when
+   * presented second, and the signed gap. `winnerFirstCol` is a boolean
+   * column on the comparison log — "the winner of this game was the
+   * first-presented side" (the log's presentation metadata). A clean
+   * judge shows gaps near 0; systematic positive gaps across items mean
+   * the comparisons need position-balanced re-judging before any
+   * [[bradleyTerry]]/[[copelandScores]] leaderboard is trusted.
+   *
+   * Per item: games/wins split by the item's own position (its position
+   * in a game it WON is `winnerFirstCol`; in a game it LOST, the
+   * negation), exact half-away micro rates, and
+   * bias_micro = rate_first − rate_second (NULL if either side has no
+   * games — a one-sided item has no measurable bias). A NULL
+   * winnerFirstCol drops the game (unknown presentation can't enter a
+   * position split).
+   *
+   * Scale shape: ONE corpus pass folded to two directed views, one
+   * item-keyed map-side-combinable agg.
+   */
+  def judgePositionBias(comparisons: DataFrame, winnerCol: String,
+                        loserCol: String,
+                        winnerFirstCol: Column): DataFrame = {
+    val games = comparisons
+      .select(col(winnerCol).cast(StringType).as("graft_w"),
+        col(loserCol).cast(StringType).as("graft_l"),
+        winnerFirstCol.cast(BooleanType).as("graft_wf"))
+      .filter(col("graft_w").isNotNull && col("graft_l").isNotNull &&
+        col("graft_w") =!= col("graft_l") && col("graft_wf").isNotNull)
+    // item view: (item, was_first, won)
+    val views = games.select(col("graft_w").as("item"),
+        col("graft_wf").as("graft_first"), lit(1L).as("graft_win"))
+      .union(games.select(col("graft_l").as("item"),
+        (!col("graft_wf")).as("graft_first"), lit(0L).as("graft_win")))
+    val agg = views.groupBy(col("item"))
+      .agg(
+        sum(when(col("graft_first"), 1L).otherwise(0L)).as("games_first"),
+        sum(when(col("graft_first"), col("graft_win")).otherwise(0L))
+          .as("wins_first"),
+        sum(when(!col("graft_first"), 1L).otherwise(0L))
+          .as("games_second"),
+        sum(when(!col("graft_first"), col("graft_win")).otherwise(0L))
+          .as("wins_second"))
+    def rate(w: Column, g: Column): Column =
+      when(g > 0, ExactRound.halfAwayDiv(
+        w.cast(big) * lit(1000000L).cast(big), g.cast(big)))
+    agg.select(col("item"), col("games_first"), col("wins_first"),
+      col("games_second"), col("wins_second"),
+      rate(col("wins_first"), col("games_first")).as("rate_first_micro"),
+      rate(col("wins_second"), col("games_second"))
+        .as("rate_second_micro"),
+      (rate(col("wins_first"), col("games_first")) -
+        rate(col("wins_second"), col("games_second"))).as("bias_micro"))
   }
 
   /**

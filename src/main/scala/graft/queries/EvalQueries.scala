@@ -369,6 +369,182 @@ object EvalQueries {
        |ORDER BY pt.item""".stripMargin
   }
 
+  // ── q332: Bradley–Terry in-sample fit audit ────────────────────────────
+
+  /** q332: [[Preference.btFitAudit]] — replay the eval log against the
+    * q323 strengths: mean Brier term of P̂(winner) = p_w/(p_w+p_l) and
+    * the upset mass; the goodness-of-fit number a BT leaderboard owes
+    * its readers. The oracle re-runs the identical 3 MM rounds and
+    * scores with the same floored terms. */
+  def q332BtFit(s: SparkSession, dir: String): DataFrame =
+    Preference.btFitAudit(comparisons(s, dir), "winner", "loser",
+      iters = 3)
+
+  val q332Sql: String = {
+    def iter(n: Int): String =
+      s"""d$n AS (SELECT p.i AS item,
+         |  SUM((p.nij::HUGEINT * 1000000 * 1000000)
+         |      // (pi.bt + pj.bt)) AS d
+         |  FROM pair p
+         |  JOIN p${n - 1} pi ON p.i = pi.item
+         |  JOIN p${n - 1} pj ON p.j = pj.item GROUP BY 1),
+         |p$n AS (SELECT t.item,
+         |  GREATEST(1, (t.wt * 1000000 * 1000000) // d$n.d) AS bt
+         |  FROM tot t JOIN d$n USING (item))""".stripMargin
+    s"""WITH $comparisonsSql,
+       |$pairSql,
+       |tot AS (SELECT i AS item, SUM(wij)::HUGEINT AS wt
+       |        FROM pair GROUP BY 1),
+       |p0 AS (SELECT item, 1000000::HUGEINT AS bt FROM tot),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |sc AS (SELECT wd.cnt, pw.bt AS pw, pl.bt AS pl
+       |       FROM wd
+       |       JOIN p3 pw ON wd.w = pw.item
+       |       JOIN p3 pl ON wd.l = pl.item),
+       |a AS (SELECT SUM(cnt) AS n_games,
+       |        SUM(CASE WHEN pw < pl THEN 2 * cnt ELSE 0 END)
+       |          + SUM(CASE WHEN pw = pl THEN cnt ELSE 0 END) AS u2,
+       |        SUM(((pl * pl * 1000000) // ((pw + pl) * (pw + pl)))
+       |          * cnt) AS bsum
+       |      FROM sc)
+       |SELECT n_games::BIGINT AS n_games, u2::BIGINT AS upset2,
+       |  CAST((2 * u2::HUGEINT * 1000000 + 2 * n_games)
+       |    // (2 * 2 * n_games::HUGEINT) AS BIGINT) AS upset_micro,
+       |  CAST((2 * bsum::HUGEINT + n_games) // (2 * n_games::HUGEINT)
+       |    AS BIGINT) AS brier_micro
+       |FROM a""".stripMargin
+  }
+
+  // ── q333: Brier decomposition of a probabilistic signal ───────────────
+
+  /** q333: [[graft.operators.Classify.brierDecomposition]] per source —
+    * alpha-ratio percent (exact half-away 0..100) read as an
+    * "English-ness probability" against the lang = 'en' outcome; the
+    * Murphy REL/RES/UNC split says whether the signal is calibrated,
+    * not merely correlated. */
+  def q333Brier(s: SparkSession, dir: String): DataFrame = {
+    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      .cast(LongType)
+    val nChars = length(col("text")).cast(LongType)
+    val pct = when(nChars > 0, least(lit(100L),
+      graft.operators.ExactRound.halfAwayDiv(
+        nAlpha.cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          lit(100L), nChars))).otherwise(0L)
+    val docs = Sources.documents(s, dir)
+      .select(col("source"), col("lang"), pct.as("pct"))
+    graft.operators.Classify.brierDecomposition(docs, "source", "pct",
+        col("lang") === "en")
+      .orderBy(col("source"))
+  }
+
+  val q333Sql: String =
+    """WITH r AS (SELECT source,
+      |    CASE WHEN length(text) > 0 THEN LEAST(100,
+      |      (2 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+      |        ::HUGEINT * 100 + length(text))
+      |      // (2 * length(text)::HUGEINT)) ELSE 0 END AS p,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |b AS (SELECT source, p, COUNT(*) AS nk, SUM(y) AS ok,
+      |        SUM((p - 100 * y) * (p - 100 * y)) AS sq
+      |      FROM r GROUP BY 1, 2),
+      |t AS (SELECT source, SUM(nk) AS n, SUM(ok) AS o, SUM(sq) AS sqs,
+      |        COUNT(*) AS n_bins
+      |      FROM b GROUP BY 1),
+      |terms AS (SELECT b.source,
+      |    ((p * nk - 100 * ok)::HUGEINT * (p * nk - 100 * ok) * 1000000)
+      |      // (10000::HUGEINT * nk * n) AS relt,
+      |    ((ok * n - o * nk)::HUGEINT * (ok * n - o * nk) * 1000000)
+      |      // (nk::HUGEINT * n * n * n) AS rest
+      |  FROM b JOIN t USING (source))
+      |SELECT t.source, n::BIGINT AS n_rows, o::BIGINT AS n_positive,
+      |  n_bins::BIGINT AS n_bins,
+      |  (SELECT SUM(relt) FROM terms x WHERE x.source = t.source)::BIGINT
+      |    AS reliability_micro,
+      |  (SELECT SUM(rest) FROM terms x WHERE x.source = t.source)::BIGINT
+      |    AS resolution_micro,
+      |  CAST((2 * o::HUGEINT * (n - o) * 1000000 + n::HUGEINT * n)
+      |    // (2 * n::HUGEINT * n) AS BIGINT) AS uncertainty_micro,
+      |  CAST((2 * sqs::HUGEINT * 1000000 + 10000::HUGEINT * n)
+      |    // (2 * 10000::HUGEINT * n) AS BIGINT) AS brier_micro
+      |FROM t ORDER BY t.source""".stripMargin
+
+  // ── q334: judge position-bias audit ────────────────────────────────────
+
+  /** q334: [[Preference.judgePositionBias]] — per priority, the win
+    * rate when presented first vs second (presentation order derived
+    * deterministically from the customer key's parity), the MT-Bench
+    * §3.1 sanity check run before trusting any pairwise judge. */
+  def q334PositionBias(s: SparkSession, dir: String): DataFrame =
+    Preference.judgePositionBias(
+        comparisons(s, dir), "winner", "loser",
+        pmod(col("o_custkey"), lit(2L)) === 0L)
+      .orderBy(col("item"))
+
+  val q334Sql: String =
+    s"""WITH $comparisonsSql,
+       |gi AS (SELECT winner AS w, loser AS l,
+       |         (o_custkey % 2 = 0) AS wf
+       |       FROM c WHERE winner <> loser),
+       |v AS (SELECT w AS item, wf AS fst, 1 AS win FROM gi
+       |      UNION ALL SELECT l, NOT wf, 0 FROM gi),
+       |a AS (SELECT item,
+       |        SUM(CASE WHEN fst THEN 1 ELSE 0 END) AS gf,
+       |        SUM(CASE WHEN fst THEN win ELSE 0 END) AS wfst,
+       |        SUM(CASE WHEN NOT fst THEN 1 ELSE 0 END) AS gs,
+       |        SUM(CASE WHEN NOT fst THEN win ELSE 0 END) AS ws
+       |      FROM v GROUP BY 1),
+       |m AS (SELECT item, gf, wfst, gs, ws,
+       |        CASE WHEN gf > 0 THEN
+       |          CAST((2 * wfst::HUGEINT * 1000000 + gf)
+       |            // (2 * gf::HUGEINT) AS BIGINT) END AS rf,
+       |        CASE WHEN gs > 0 THEN
+       |          CAST((2 * ws::HUGEINT * 1000000 + gs)
+       |            // (2 * gs::HUGEINT) AS BIGINT) END AS rs
+       |      FROM a)
+       |SELECT item, gf::BIGINT AS games_first, wfst::BIGINT AS wins_first,
+       |  gs::BIGINT AS games_second, ws::BIGINT AS wins_second,
+       |  rf AS rate_first_micro, rs AS rate_second_micro,
+       |  rf - rs AS bias_micro
+       |FROM m ORDER BY item""".stripMargin
+
+  // ── q335: conversation turn-structure audit ────────────────────────────
+
+  /** q335: [[graft.operators.Sessionize.conversationTurnAudit]] — the
+    * event stream read as conversations (user = conversation, event
+    * type = role): message/turn counts, longest same-role run,
+    * alternation breaks, first/last roles; the chat-template schema
+    * check. */
+  def q335TurnAudit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.conversationTurnAudit(
+        Sources.events(s, dir), "user_id", "event_type", "ts", "event_id")
+      .orderBy(col("user_id"))
+
+  val q335Sql: String =
+    """WITH m AS (SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |rr AS (SELECT user_id, event_type,
+      |    SUM(CASE WHEN prev IS NULL OR prev <> event_type THEN 1
+      |        ELSE 0 END) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM m),
+      |runs AS (SELECT user_id, run, MAX(event_type) AS role,
+      |        COUNT(*) AS len
+      |      FROM rr GROUP BY 1, 2)
+      |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_messages,
+      |  CAST(MAX(run) AS BIGINT) AS n_turns,
+      |  CAST(SUM(len) - MAX(run) AS BIGINT) AS n_alternation_breaks,
+      |  CAST(MAX(len) AS BIGINT) AS max_run,
+      |  CAST(COUNT(DISTINCT role) AS BIGINT) AS n_roles,
+      |  MAX(CASE WHEN run = 1 THEN role END) AS first_role,
+      |  arg_max(role, run) AS last_role
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ── q328: cyclic-triad transitivity audit ──────────────────────────────
 
   /** q328: [[Preference.cyclicTriads]] — rock-paper-scissors triads in

@@ -210,6 +210,105 @@ class PreferenceOpsSpec extends SparkSpec {
     }
   }
 
+  // ── btFitAudit ──────────────────────────────────────────────────────────
+
+  test("btFitAudit: hand-computed Brier of the fitted strengths, no upsets") {
+    // A beats B 3x -> strengths (1.6e6, 0.4e6) [the fixed point above];
+    // P(A) = 0.8, per-game term = (0.4e6)^2*1e6/(2e6)^2 = 40000 -> mean
+    val g = games(("A", "B"), ("A", "B"), ("A", "B"))
+    val got = Preference.btFitAudit(g, "winner", "loser", iters = 3)
+      .select("n_games", "upset2", "upset_micro", "brier_micro")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((3L, 0L, 0L, 40000L)))
+  }
+
+  test("btFitAudit: an incoherent log shows upset mass") {
+    // A and B split 1-1: symmetric strengths, every game is a tie call
+    // (p_w = p_l) -> upset2 = 2 (both games at half weight), rate 50%
+    val g = games(("A", "B"), ("B", "A"))
+    val got = Preference.btFitAudit(g, "winner", "loser")
+      .select("n_games", "upset2", "upset_micro", "brier_micro")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got._1 == 2L && got._2 == 2L && got._3 == 500000L)
+    assert(got._4 == 250000L) // P = 1/2 -> (1/2)^2 Brier term
+  }
+
+  // ── judgePositionBias ───────────────────────────────────────────────────
+
+  test("judgePositionBias: per-item split by own position, hand-computed") {
+    // g1 (A>B, winner first), g2 (A>B, winner second), g3 (B>A, winner
+    // first): A first in {g1}: 1/1; A second in {g2 win, g3 loss}: 1/2
+    val g = Seq(("A", "B", true), ("A", "B", false), ("B", "A", true))
+      .toDF("winner", "loser", "wf")
+    val got = Preference.judgePositionBias(g, "winner", "loser", col("wf"))
+      .orderBy("item")
+      .select("item", "games_first", "wins_first", "games_second",
+        "wins_second", "rate_first_micro", "rate_second_micro",
+        "bias_micro")
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect().toSeq
+    assert(got == Seq(
+      ("A", 1L, 1L, 2L, 1L, Some(1000000L), Some(500000L), Some(500000L)),
+      ("B", 2L, 1L, 1L, 0L, Some(500000L), Some(0L), Some(500000L))))
+  }
+
+  test("judgePositionBias: one-sided items report NULL bias, unknown order drops") {
+    val g = Seq(("A", "B", Some(true)), ("A", "B", Some(true)),
+        ("A", "C", None: Option[Boolean]))
+      .toDF("winner", "loser", "wf")
+    val got = Preference.judgePositionBias(g, "winner", "loser", col("wf"))
+      .orderBy("item")
+      .select("item", "games_first", "games_second", "bias_micro")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    // the unknown-order game vanishes entirely (no C row, A has 2 games)
+    assert(got == Seq(("A", 2L, 0L, None), ("B", 0L, 2L, None)))
+  }
+
+  // ── brierDecomposition ──────────────────────────────────────────────────
+
+  test("brierDecomposition: perfect sharp judge has REL 0, RES = UNC") {
+    import graft.operators.Classify
+    val df = Seq((100L, true), (100L, true), (0L, false), (0L, false))
+      .toDF("p", "y").withColumn("g", lit("s"))
+    val got = Classify.brierDecomposition(df, "g", "p", col("y"))
+      .select("n_rows", "n_positive", "n_bins", "reliability_micro",
+        "resolution_micro", "uncertainty_micro", "brier_micro")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got == ((4L, 2L, 2L, 0L, 250000L, 250000L, 0L)))
+  }
+
+  test("brierDecomposition: maximally overconfident judge scores Brier 1") {
+    import graft.operators.Classify
+    val df = Seq((100L, false)).toDF("p", "y").withColumn("g", lit("s"))
+    val got = Classify.brierDecomposition(df, "g", "p", col("y"))
+      .select("reliability_micro", "resolution_micro",
+        "uncertainty_micro", "brier_micro")
+      .as[(Long, Long, Long, Long)].head()
+    // single bin: REL = 1, RES = 0, UNC = 0, Brier = 1 (all micros)
+    assert(got == ((1000000L, 0L, 0L, 1000000L)))
+  }
+
+  // ── conversationTurnAudit ───────────────────────────────────────────────
+
+  test("conversationTurnAudit: runs, breaks, first/last roles hand-computed") {
+    import graft.operators.Sessionize
+    val ev = Seq(
+      (1L, "user", 1L, 1L), (1L, "assistant", 2L, 2L), (1L, "user", 3L, 3L),
+      (1L, "user", 4L, 4L), (1L, "assistant", 5L, 5L),
+      (2L, "user", 1L, 6L))
+      .toDF("conv", "role", "ts", "eid")
+    val got = Sessionize.conversationTurnAudit(ev, "conv", "role", "ts",
+        "eid")
+      .orderBy("conv")
+      .select("conv", "n_messages", "n_turns", "n_alternation_breaks",
+        "max_run", "n_roles", "first_role", "last_role")
+      .as[(Long, Long, Long, Long, Long, Long, String, String)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 4L, 1L, 2L, 2L, "user", "assistant"),
+      (2L, 1L, 1L, 0L, 1L, 1L, "user", "user")))
+  }
+
   // ── kendallTauA ─────────────────────────────────────────────────────────
 
   test("kendallTauA: hand-computed pair classes with an x-tie") {
