@@ -626,6 +626,29 @@ object Similarity {
    * map-side-combinable in-degree count, one id-keyed left join. No
    * cartesian anywhere; volume is the candidate collision rate.
    */
+  /** Symmetrized k-NN EDGES from a candidate-pair table (`d1`, `d2`,
+    * `cosine` — [[cosineNearDupPairsBucketed]]'s shape): per source, the
+    * top-k candidates by (6-dp cosine desc, id asc) as directed (a, b)
+    * rows — the graph-construction half of [[hubnessAuditFrom]] exposed
+    * for graph consumers ([[graft.operators.Graph.kCorePeel]] et al.).
+    * The all-pairs crossJoin kNN (q265's baseline) is quadratic BY
+    * DESIGN; this is its 100 TB path: candidates come from the LSH
+    * bucket join, the per-source cut rides WindowGroupLimit. A point
+    * with no candidate simply emits no edge (its k-NN is undefined
+    * under the index — callers decide the isolated-node semantics). */
+  def knnEdgesFrom(candPairs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k out of range")
+    val p = candPairs.select(col("d1"), col("d2"),
+      col("cosine").cast(DecimalType(18, 6)).as("graft_c"))
+    val sym = p.select(col("d1").as("src_id"), col("d2").as("tgt_id"),
+        col("graft_c"))
+      .union(p.select(col("d2").as("src_id"), col("d1").as("tgt_id"),
+        col("graft_c")))
+    LatestSnapshot.topK(sym, Seq("src_id"),
+        col("graft_c").desc, Seq(col("tgt_id").asc), k)
+      .select(col("src_id").as("a"), col("tgt_id").as("b"))
+  }
+
   def hubnessAuditFrom(candPairs: DataFrame, points: DataFrame,
                        idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k=$k out of range")

@@ -185,4 +185,78 @@ object ScalePathQueries {
       |  COALESCE(ind.n_k, 0) = 0 AS is_antihub
       |FROM embeddings e LEFT JOIN ind ON ind.tgt_id = e.vec_id
       |ORDER BY e.vec_id""".stripMargin
+
+  // ── q336: onion layers over LSH-candidate 3-NN (q265's twin) ──────────
+
+  /** q336: [[graft.operators.Graph.kCorePeel]] over the 3-NN graph built
+    * from LSH candidate pairs ([[Similarity.knnEdgesFrom]]) — q265's
+    * exact all-pairs kNN stayed quadratic by design (the r13 weak-
+    * scaling bench measured it at ×13.6 for 5× rows); this is its
+    * cartesian-free 100 TB path, completing the baseline-twin set
+    * (q41→q58, q247→q298, q289→q297, q264→q310, q265→q336). A vector
+    * with NO candidate is isolated under the index and reports
+    * (layer 0, in_core false) — peeled before round 1, degree 0. */
+  def q336OnionBucketed(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    val knn = Similarity.knnEdgesFrom(
+      Similarity.cosineNearDupPairsBucketed(emb, "vec_id", "embedding",
+        threshold = -2.0, nTables = 4, planesPerTable = 4, dims = 64),
+      k = 3)
+    val peel = graft.operators.Graph.kCorePeel(knn, "a", "b", k = 4)
+    emb.select(col("vec_id"))
+      .join(peel.select(col("node").as("vec_id"), col("layer"),
+        col("in_core")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("in_core").isNull, lit(0L)).otherwise(col("layer"))
+          .as("layer"),
+        coalesce(col("in_core"), lit(false)).as("in_core"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q336Sql: String = {
+    // q265's simultaneous-peel round, verbatim, over the candidate graph
+    def peel(i: Int): String =
+      s"""w$i AS MATERIALIZED (SELECT v.node FROM v${i - 1} v
+         |  LEFT JOIN (SELECT a, COUNT(*) AS d FROM e${i - 1} GROUP BY a) g
+         |    ON g.a = v.node
+         |  WHERE COALESCE(g.d, 0) < 4),
+         |l$i AS (SELECT node, $i AS layer FROM w$i),
+         |v$i AS MATERIALIZED (SELECT v.node FROM v${i - 1} v
+         |  LEFT JOIN w$i w ON w.node = v.node WHERE w.node IS NULL),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |  LEFT JOIN w$i wa ON wa.node = e.a
+         |  LEFT JOIN w$i wb ON wb.node = e.b
+         |  WHERE wa.node IS NULL AND wb.node IS NULL)""".stripMargin
+    val rounds = (1 to 10).map(peel).mkString(",\n")
+    val layerUnion = (1 to 10)
+      .map(i => s"SELECT * FROM l$i").mkString(" UNION ALL ")
+    s"""WITH $sigSql,
+      |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      |         FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig
+      |         WHERE a.vec_id < b.vec_id),
+      |p AS (SELECT c.d1, c.d2,
+      |        CAST($cosSql AS DECIMAL(18,6)) AS c
+      |      FROM cand c JOIN embeddings a ON a.vec_id = c.d1
+      |                  JOIN embeddings b ON b.vec_id = c.d2),
+      |sym AS (SELECT d1 AS src_id, d2 AS tgt_id, c FROM p
+      |        UNION ALL SELECT d2, d1, c FROM p),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
+      |        ORDER BY c DESC, tgt_id) AS rn FROM sym),
+      |d0 AS (SELECT src_id AS a, tgt_id AS b FROM r WHERE rn <= 3),
+      |e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+      |        SELECT a, b FROM d0 UNION ALL SELECT b, a FROM d0)
+      |       WHERE a <> b),
+      |v0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM e0),
+      |$rounds,
+      |ly AS ($layerUnion)
+      |SELECT emb.vec_id,
+      |  CASE WHEN v0.node IS NULL THEN 0
+      |       ELSE CAST(ly.layer AS BIGINT) END AS layer,
+      |  CASE WHEN v0.node IS NULL THEN FALSE
+      |       ELSE ly.layer IS NULL END AS in_core
+      |FROM embeddings emb
+      |LEFT JOIN v0 ON v0.node = emb.vec_id
+      |LEFT JOIN ly ON ly.node = emb.vec_id
+      |ORDER BY emb.vec_id""".stripMargin
+  }
 }

@@ -556,6 +556,20 @@ class MiningOpsSpec extends SparkSpec {
       Graph.kCorePeel(longPath, "a", "b", k = 2, maxRounds = 2).collect()
     }
   }
+  // ── knnEdgesFrom ─────────────────────────────────────────────────────────
+
+  test("knnEdgesFrom: per-source top-k over symmetrized candidates, ties by id") {
+    import graft.operators.Similarity
+    // candidates touching node 1: (1,2,.9) (1,3,.9) (1,4,.5); k = 2 keeps
+    // the two .9 edges with the id tiebreak; node 4 still gets ITS best
+    // (the mirrored 4->1); a node absent from candidates emits nothing
+    val cand = Seq((1L, 2L, 0.9), (1L, 3L, 0.9), (1L, 4L, 0.5))
+      .toDF("d1", "d2", "cosine")
+    val got = graft.operators.Similarity.knnEdgesFrom(cand, k = 2)
+      .orderBy("a", "b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
   // ── contentDigest ───────────────────────────────────────────────────────
 
   test("contentDigest is layout-invariant, content- and count-sensitive") {
