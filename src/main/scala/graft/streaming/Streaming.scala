@@ -923,4 +923,59 @@ object Streaming {
     item.agg(call_function("collect_top_k",
       col("graft_item"), lit(k + 1), lit(true)).as("topk"))
   }
+
+  /** Snapshot row of [[winRateStream]]: the running head-to-head record
+    * per unordered item pair — identical surface to the batch
+    * [[graft.operators.Preference.winRateMatrix]]. */
+  final case class WinRateSnapshot(item_a: String, item_b: String,
+                                   wins_a: Long, wins_b: Long,
+                                   n_games: Long, winrate_a_micro: Long)
+
+  /**
+   * Streaming maintenance of [[graft.operators.Preference
+   * .winRateMatrix]]: the live eval-log scoreboard. Each arriving
+   * (winner, loser) comparison folds into its unordered pair's
+   * (wins_a, wins_b) counters; the emitted snapshot carries the EXACT
+   * integers and half-away micro rate the batch operator reports over
+   * everything ingested so far (spec-asserted) — a leaderboard that
+   * updates as judge verdicts land, without re-scanning the log.
+   *
+   * State: one (Long, Long) pair per OBSERVED item pair —
+   * O(|items|²) worst case, items being models/policies (the
+   * preference layer's metadata-scale contract); watermark-free by
+   * design (a win-loss ledger is corpus-lifetime, the
+   * [[giniSimpsonStream]] note). The micro rate is recomputed per
+   * snapshot in exact BigInt arithmetic — the identical half-away
+   * rounding batch uses. Self-play and NULL items drop, matching the
+   * batch cleaner.
+   */
+  def winRateStream(compStream: DataFrame, winnerCol: String,
+                    loserCol: String): Dataset[WinRateSnapshot] = {
+    val spark = compStream.sparkSession
+    import spark.implicits._
+    val rows = compStream
+      .select(col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"))
+      .filter(col("w").isNotNull && col("l").isNotNull &&
+        col("w") =!= col("l"))
+      .select(least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"),
+        (col("w") < col("l")).as("win_is_a"))
+      .as[(String, String, Boolean)]
+    rows.groupByKey(t => (t._1, t._2))
+      .mapGroupsWithState[(Long, Long), WinRateSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (pair: (String, String), batch: Iterator[(String, String, Boolean)],
+         state: GroupState[(Long, Long)]) =>
+          var (wa, wb) = state.getOption.getOrElse((0L, 0L))
+          batch.foreach { case (_, _, isA) =>
+            if (isA) wa += 1L else wb += 1L
+          }
+          state.update((wa, wb))
+          val n = wa + wb
+          val micro =
+            ((BigInt(wa) * 2000000 + n) / (BigInt(n) * 2)).toLong
+          WinRateSnapshot(pair._1, pair._2, wa, wb, n, micro)
+      }
+  }
 }

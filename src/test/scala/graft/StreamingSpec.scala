@@ -1051,6 +1051,39 @@ class StreamingSpec extends SparkSpec {
       s"stream ${last.size} strata vs batch ${expected.size}")
   }
 
+  test("streaming win-rate matrix converges to the batch scoreboard") {
+    import spark.implicits._
+    import graft.operators.Preference
+    // a 5-item comparison log with repeats, reversals, self-play and a
+    // NULL (both dropped identically on each side)
+    val rows: Seq[(String, String)] = (1 to 60).map(i =>
+        (s"m${i % 5}", s"m${(i + 1 + i % 3) % 5}")) ++
+      Seq(("m1", "m1"), (null, "m2"))
+    val comps = rows.toDF("winner", "loser")
+    val expected = Preference.winRateMatrix(comps, "winner", "loser")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    val streamDir = tmpDir("winrate-src")
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    h1.toDF("winner", "loser").write.parquet(s"$streamDir/b1")
+    h2.toDF("winner", "loser").write.parquet(s"$streamDir/b2")
+    val last = scala.collection.mutable
+      .Map[(String, String), (Long, Long, Long, Long)]()
+    val q = spark.readStream.schema(comps.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/b*")
+      .transform(s => Streaming.winRateStream(s, "winner", "loser").toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(String, String, Long, Long, Long, Long)].collect()
+          .foreach(r => last((r._1, r._2)) = (r._3, r._4, r._5, r._6))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(last.toMap == expected,
+      s"stream ${last.size} pairs vs batch ${expected.size}")
+  }
+
   test("streaming Gini-Simpson converges to the batch diversity read") {
     import spark.implicits._
     import graft.operators.Profiling
