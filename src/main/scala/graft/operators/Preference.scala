@@ -401,6 +401,113 @@ object Preference {
   }
 
   /**
+   * Plackett–Luce strength estimation over RANKED LISTS (Plackett 1975;
+   * Luce 1959) via Hunter's MM update (Annals of Statistics 2004, §5) —
+   * the listwise generalization of [[bradleyTerry]]: annotators that
+   * rank k responses per prompt (the RLHF listwise case) carry strictly
+   * more signal than their pairwise projection, and PL consumes the
+   * list directly. Model: a ranking is built by repeatedly sampling the
+   * next item ∝ its strength from the remaining pool; the MM update is
+   *   p_i ← W_i / Σ_{(list, stage): i in the stage's pool} 1/D_stage,
+   * with W_i = i's non-last-place appearances and D_stage the pool's
+   * strength sum.
+   *
+   * Input: one row per (list id, item, 1-based position); items must be
+   * DISTINCT within a list, must not contain '|' (the internal pattern
+   * separator), and lists of length < 2 are ignored (a 1-item list
+   * carries no choice). No smoothing is applied: an item
+   * that never beats anything decays to the 1-micro floor (unlike BT's
+   * virtual-win prior, a virtual RANKING would have to invent an order;
+   * regularize upstream if the comparison graph is weakly connected).
+   *
+   * Determinism contract (the [[bradleyTerry]] discipline): strengths
+   * in micro fixed point, every stage reciprocal is ONE integral
+   * division ⌊S²/D⌋, every division over DECIMAL(38,0), floor of 1
+   * micro — bit-identical on any engine.
+   *
+   * Scale shape: lists collapse to DISTINCT ranking PATTERNS with
+   * counts in ONE corpus pass (patterns ≤ Σ_m |items|^m — metadata for
+   * the layer's model/policy-scale items); every iteration runs two
+   * pattern-partitioned windows (suffix strength sums, prefix
+   * reciprocal sums — bounded by list length) plus item-keyed aggs over
+   * the pattern rows. The corpus is never touched again.
+   */
+  def plackettLuce(rankings: DataFrame, listCol: String, itemCol: String,
+                   posCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters=$iters out of range")
+    val rows = rankings
+      .select(col(listCol).as("graft_rid"),
+        col(itemCol).cast(StringType).as("graft_item"),
+        col(posCol).cast(LongType).as("graft_pos"))
+      .filter(col("graft_rid").isNotNull && col("graft_item").isNotNull &&
+        col("graft_pos").isNotNull)
+    // ONE corpus pass: each list -> its pattern string; then pattern
+    // counts + one exemplar row set per pattern (metadata-scale)
+    val pats = rows.groupBy(col("graft_rid"))
+      .agg(concat_ws("|", transform(
+          array_sort(collect_list(struct(col("graft_pos"),
+            col("graft_item")))),
+          s => s.getField("graft_item"))).as("graft_pat"),
+        count(lit(1)).as("graft_m"))
+      .filter(col("graft_m") >= 2)
+      .groupBy(col("graft_pat"), col("graft_m"))
+      .agg(count(lit(1)).as("graft_cnt"))
+    val stage = pats
+      .select(col("graft_pat"), col("graft_m"), col("graft_cnt"),
+        posexplode(split(col("graft_pat"), "\\|"))
+          .as(Seq("graft_p0", "graft_item")))
+      .select(col("graft_pat"), col("graft_m"), col("graft_cnt"),
+        (col("graft_p0") + 1).cast(LongType).as("graft_pos"),
+        col("graft_item"))
+      .localCheckpoint(eager = false) // reused every iteration
+    val w = stage.filter(col("graft_pos") < col("graft_m"))
+      .groupBy(col("graft_item").as("item"))
+      .agg(sum(col("graft_cnt")).as("graft_w"))
+    val appearances = stage.groupBy(col("graft_item").as("item"))
+      .agg(sum(col("graft_cnt")).as("n_lists"))
+    val wSuf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("graft_pat")).orderBy(col("graft_pos").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wPre = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("graft_pat")).orderBy(col("graft_pos").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    var p = appearances.select(col("item"), lit(S).cast(big).as("graft_pl"))
+    for (_ <- 1 to iters) {
+      val joined = stage
+        .join(p.select(col("item").as("graft_item"),
+          col("graft_pl")), Seq("graft_item"))
+      val d = joined
+        .withColumn("graft_dsuf", sum(col("graft_pl")).over(wSuf))
+        .withColumn("graft_term",
+          when(col("graft_pos") < col("graft_m"), call_function("div",
+            (lit(S).cast(big) * lit(S).cast(big)).cast(big),
+            col("graft_dsuf").cast(big))).otherwise(lit(0L).cast(big)))
+        .withColumn("graft_cum", sum(col("graft_term")).over(wPre))
+        .groupBy(col("graft_item").as("item"))
+        .agg(sum((col("graft_cnt").cast(big) * col("graft_cum")).cast(big))
+          .as("graft_d"))
+      // d covers EVERY item in an m>=2 pattern (each stage row feeds its
+      // item's cum) — iterate over d, not w: an always-last item (W = 0)
+      // must KEEP its floored strength row, because it still sits in
+      // other items' pool denominators next round
+      p = d.join(w, Seq("item"), "left")
+        .select(col("item"),
+          greatest(lit(1L).cast(big), call_function("div",
+            (coalesce(col("graft_w"), lit(0L)).cast(big) *
+              lit(S).cast(big) * lit(S).cast(big)).cast(big),
+            col("graft_d"))).as("graft_pl"))
+    }
+    appearances
+      .join(w, Seq("item"), "left")
+      .join(p, Seq("item"))
+      .select(col("item"), col("n_lists"),
+        coalesce(col("graft_w"), lit(0L)).as("n_wins"),
+        col("graft_pl").cast(LongType).as("pl_scaled"))
+  }
+
+  /**
    * In-sample fit audit of [[bradleyTerry]]: replay every game against
    * the fitted strengths and report how well the model explains its own
    * training log — the mean Brier term (1 − P̂(winner))² with

@@ -545,6 +545,79 @@ object EvalQueries {
       |  arg_max(role, run) AS last_role
       |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ── q337: Plackett–Luce listwise strengths ─────────────────────────────
+
+  /** q337: [[Preference.plackettLuce]] over per-customer priority
+    * RANKINGS (distinct priorities ordered by each one's best order
+    * key) — the listwise eval log the pairwise q323 projects down from;
+    * 3 MM rounds of integral-division fixed point, oracle-replayed. */
+  def q337PlackettLuce(s: SparkSession, dir: String): DataFrame = {
+    val key = (floor(col("o_totalprice") * lit(100)).cast(LongType) *
+      lit(100000000L) + col("o_orderkey")).as("graft_k")
+    val best = Sources.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority").as("graft_pri"),
+        key)
+      .groupBy(col("o_custkey"), col("graft_pri"))
+      .agg(max(col("graft_k")).as("graft_bk"))
+    val ranked = best.withColumn("graft_pos",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("graft_bk").desc, col("graft_pri").asc)))
+    Preference.plackettLuce(ranked, "o_custkey", "graft_pri",
+        "graft_pos", iters = 3)
+      .orderBy(col("item"))
+  }
+
+  val q337Sql: String = {
+    def iter(n: Int): String =
+      s"""j$n AS (SELECT st.pat, st.m, st.cnt, st.pos, st.item, p.pl
+         |  FROM st JOIN p${n - 1} p USING (item)),
+         |a$n AS (SELECT *, SUM(pl) OVER (PARTITION BY pat ORDER BY pos
+         |    DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS dsuf FROM j$n),
+         |b$n AS (SELECT *, CASE WHEN pos < m THEN
+         |    (1000000::HUGEINT * 1000000) // dsuf
+         |    ELSE 0::HUGEINT END AS term FROM a$n),
+         |c$n AS (SELECT *, SUM(term) OVER (PARTITION BY pat ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM b$n),
+         |d$n AS (SELECT item, SUM(cnt::HUGEINT * cum) AS d FROM c$n
+         |        GROUP BY 1),
+         |p$n AS (SELECT d.item, GREATEST(1,
+         |    (COALESCE(w.wv, 0)::HUGEINT * 1000000 * 1000000) // d.d)
+         |    AS pl
+         |  FROM d$n d LEFT JOIN wtb w USING (item))""".stripMargin
+    s"""WITH o AS (SELECT o_custkey, o_orderpriority AS pri,
+       |    CAST(floor(o_totalprice * 100) AS BIGINT) * 100000000
+       |      + o_orderkey AS k
+       |  FROM orders),
+       |best AS (SELECT o_custkey, pri, MAX(k) AS bk FROM o GROUP BY 1, 2),
+       |rk AS (SELECT o_custkey, pri, row_number() OVER (
+       |    PARTITION BY o_custkey ORDER BY bk DESC, pri) AS pos
+       |  FROM best),
+       |pat0 AS (SELECT o_custkey, string_agg(pri, '|' ORDER BY pos)
+       |    AS pat, COUNT(*) AS m FROM rk GROUP BY 1),
+       |pats AS (SELECT pat, m, COUNT(*) AS cnt FROM pat0 WHERE m >= 2
+       |         GROUP BY 1, 2),
+       |sp AS (SELECT pat, m, cnt, string_split(pat, '|') AS parts
+       |       FROM pats),
+       |ex AS (SELECT pat, m, cnt, parts,
+       |         unnest(range(1, len(parts) + 1)) AS pos FROM sp),
+       |st AS (SELECT pat, m, cnt, CAST(pos AS BIGINT) AS pos,
+       |         parts[pos] AS item FROM ex),
+       |wtb AS (SELECT item, SUM(cnt) AS wv FROM st WHERE pos < m
+       |        GROUP BY 1),
+       |app AS (SELECT item, SUM(cnt) AS n_lists FROM st GROUP BY 1),
+       |p0 AS (SELECT DISTINCT item, 1000000::HUGEINT AS pl FROM st),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT app.item, app.n_lists::BIGINT AS n_lists,
+       |  COALESCE(w.wv, 0)::BIGINT AS n_wins, p3.pl::BIGINT AS pl_scaled
+       |FROM app LEFT JOIN wtb w USING (item) JOIN p3 USING (item)
+       |ORDER BY app.item""".stripMargin
+  }
+
   // ── q328: cyclic-triad transitivity audit ──────────────────────────────
 
   /** q328: [[Preference.cyclicTriads]] — rock-paper-scissors triads in

@@ -563,7 +563,10 @@ object ScaleQueries {
     * scale-killer). Group sizes are max(rn) per flag (map-side
     * combinable), broadcast back onto the ranked rows; the plan has no
     * window whose partition spec is just the 3-value key (asserted in
-    * PlanShapeSpec). */
+    * PlanShapeSpec). Known cost: ~5× slower at sf0.1 (0.4 → 2.1 s) than
+    * the 3-task window it replaces — the deliberate trade: the window's
+    * speed at small SF IS the funnel that dies at 1000×, and this shape
+    * scales with the executor count instead. */
   def q74Winsorize(s: SparkSession, dir: String): DataFrame = {
     val li = Sources.lineitem(s, dir)
       .select(col("l_returnflag"),

@@ -210,6 +210,40 @@ class PreferenceOpsSpec extends SparkSpec {
     }
   }
 
+  // ── plackettLuce ────────────────────────────────────────────────────────
+
+  test("plackettLuce: two-item lists reach the hand-computed fixed point") {
+    // [A, B] x3: iter1 p_A = (3*10^12) div 1.5e6 = 2,000,000, B floors
+    // to 1; iter2 term = 10^12 div 2,000,001 = 499,999 -> p_A =
+    // 3e12 div 1,499,997 = 2,000,004; iter3 -> 2,000,008 (exact floors)
+    val r = (1 to 3).flatMap(i =>
+        Seq((i.toLong, "A", 1L), (i.toLong, "B", 2L)))
+      .toDF("rid", "item", "pos")
+    val got = Preference.plackettLuce(r, "rid", "item", "pos", iters = 3)
+      .orderBy("item")
+      .select("item", "n_lists", "n_wins", "pl_scaled")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 3L, 3L, 2000008L), ("B", 3L, 0L, 1L)))
+  }
+
+  test("plackettLuce: strengths follow a clean listwise dominance order") {
+    val r = (1 to 10).flatMap(i => Seq((i.toLong, "A", 1L),
+      (i.toLong, "B", 2L), (i.toLong, "C", 3L))).toDF("rid", "item", "pos")
+    val pl = Preference.plackettLuce(r, "rid", "item", "pos")
+      .select("item", "pl_scaled").as[(String, Long)].collect().toMap
+    assert(pl("A") > pl("B") && pl("B") > pl("C"), s"order broken: $pl")
+    assert(pl("C") >= 1L)
+  }
+
+  test("plackettLuce: 1-item lists carry no choice and are ignored") {
+    val r = Seq((1L, "A", 1L), (2L, "A", 1L), (2L, "B", 2L))
+      .toDF("rid", "item", "pos")
+    val got = Preference.plackettLuce(r, "rid", "item", "pos")
+      .select("item", "n_lists").as[(String, Long)].collect().toMap
+    // rid 1 (a lone A) contributes nothing; only rid 2's list counts
+    assert(got == Map("A" -> 1L, "B" -> 1L))
+  }
+
   // ── btFitAudit ──────────────────────────────────────────────────────────
 
   test("btFitAudit: hand-computed Brier of the fitted strengths, no upsets") {
