@@ -453,7 +453,10 @@ object Classify {
    * outcomes), uncertainty UNC = ō(1−ō) (the task's own entropy). THE
    * audit an LLM-judge's confidence scores get before anyone trusts
    * them as probabilities — accuracy alone can't see an overconfident
-   * judge.
+   * judge. `ece_micro` reports the binned Expected Calibration Error
+   * (Guo et al., ICML 2017) alongside: ECE = Σₖ (nₖ/N)·|pₖ − ōₖ| — the
+   * single calibration number most LLM evals quote, exact here because
+   * Σₖ|pₖnₖ − 100oₖ| is one integer sum.
    *
    * Exactness: pₖ is an integer percent, so every component is a sum of
    * exact rationals; each per-bin term is ONE floored integral division
@@ -485,6 +488,11 @@ object Classify {
       .agg(sum(col("graft_nk")).as("graft_n"),
         sum(col("graft_ok")).as("graft_o"),
         sum(col("graft_sq")).as("graft_sqs"),
+        // ECE numerator: Σₖ nₖ·|pₖ/100 − ōₖ| = Σₖ |pₖnₖ − 100oₖ| / 100
+        // — ONE exact integer sum (Guo et al. 2017's binned expected
+        // calibration error, the headline LLM-calibration number)
+        sum(abs(p * col("graft_nk") - lit(100L) * col("graft_ok")))
+          .as("graft_adev"),
         count(lit(1)).as("n_bins"))
     def d(c: Column): Column = c.cast(big)
     val withTot = bins.join(tot, Seq(strataCol))
@@ -518,7 +526,11 @@ object Classify {
         max(ExactRound.halfAwayDiv(
           (d(col("graft_sqs")) * lit(1000000L).cast(big)).cast(big),
           (lit(10000L).cast(big) * d(col("graft_n"))).cast(big)))
-          .as("brier_micro"))
+          .as("brier_micro"),
+        max(ExactRound.halfAwayDiv(
+          (d(col("graft_adev")) * lit(1000000L).cast(big)).cast(big),
+          (lit(100L).cast(big) * d(col("graft_n"))).cast(big)))
+          .as("ece_micro"))
   }
 
   /**

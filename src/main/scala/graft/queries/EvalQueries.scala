@@ -451,6 +451,7 @@ object EvalQueries {
       |        SUM((p - 100 * y) * (p - 100 * y)) AS sq
       |      FROM r GROUP BY 1, 2),
       |t AS (SELECT source, SUM(nk) AS n, SUM(ok) AS o, SUM(sq) AS sqs,
+      |        SUM(ABS(p * nk - 100 * ok)) AS adev,
       |        COUNT(*) AS n_bins
       |      FROM b GROUP BY 1),
       |terms AS (SELECT b.source,
@@ -468,7 +469,9 @@ object EvalQueries {
       |  CAST((2 * o::HUGEINT * (n - o) * 1000000 + n::HUGEINT * n)
       |    // (2 * n::HUGEINT * n) AS BIGINT) AS uncertainty_micro,
       |  CAST((2 * sqs::HUGEINT * 1000000 + 10000::HUGEINT * n)
-      |    // (2 * 10000::HUGEINT * n) AS BIGINT) AS brier_micro
+      |    // (2 * 10000::HUGEINT * n) AS BIGINT) AS brier_micro,
+      |  CAST((2 * adev::HUGEINT * 1000000 + 100::HUGEINT * n)
+      |    // (2 * 100::HUGEINT * n) AS BIGINT) AS ece_micro
       |FROM t ORDER BY t.source""".stripMargin
 
   // ── q334: judge position-bias audit ────────────────────────────────────

@@ -306,9 +306,10 @@ class PreferenceOpsSpec extends SparkSpec {
       .toDF("p", "y").withColumn("g", lit("s"))
     val got = Classify.brierDecomposition(df, "g", "p", col("y"))
       .select("n_rows", "n_positive", "n_bins", "reliability_micro",
-        "resolution_micro", "uncertainty_micro", "brier_micro")
-      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
-    assert(got == ((4L, 2L, 2L, 0L, 250000L, 250000L, 0L)))
+        "resolution_micro", "uncertainty_micro", "brier_micro",
+        "ece_micro")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got == ((4L, 2L, 2L, 0L, 250000L, 250000L, 0L, 0L)))
   }
 
   test("brierDecomposition: maximally overconfident judge scores Brier 1") {
@@ -316,10 +317,10 @@ class PreferenceOpsSpec extends SparkSpec {
     val df = Seq((100L, false)).toDF("p", "y").withColumn("g", lit("s"))
     val got = Classify.brierDecomposition(df, "g", "p", col("y"))
       .select("reliability_micro", "resolution_micro",
-        "uncertainty_micro", "brier_micro")
-      .as[(Long, Long, Long, Long)].head()
-    // single bin: REL = 1, RES = 0, UNC = 0, Brier = 1 (all micros)
-    assert(got == ((1000000L, 0L, 0L, 1000000L)))
+        "uncertainty_micro", "brier_micro", "ece_micro")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // single bin: REL = 1, RES = 0, UNC = 0, Brier = 1, ECE = 1 (micros)
+    assert(got == ((1000000L, 0L, 0L, 1000000L, 1000000L)))
   }
 
   // ── conversationTurnAudit ───────────────────────────────────────────────
