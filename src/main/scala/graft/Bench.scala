@@ -71,7 +71,7 @@ object Bench {
       val okTimes = times.collect { case (t, None) => t }
       (name, times.head._1,
         if (okTimes.nonEmpty) okTimes.min else times.map(_._1).min,
-        times.flatMap(_._2).headOption)
+        times.flatMap(_._2).headOption, times.size)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -93,14 +93,19 @@ object Bench {
     // a duplicate JSON key
     require(results.map(r => short(r._1)).distinct.size == results.size,
       "bench query keys collide after qNN truncation")
-    val qs = results.map { case (k, v, _, _) =>
+    val qs = results.map { case (k, v, _, _, _) =>
       "\"" + short(k) + "\":" + sec(v) }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, m, _) =>
+    val qsMin = results.map { case (k, _, m, _, _) =>
       "\"" + short(k) + "\":" + sec(m) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(m)) =>
+    val errs = results.collect { case (k, _, _, Some(m), _) =>
       "\"" + short(k) + "\":" + jstr(m.take(200)) }.mkString("{", ",", "}")
+    // per-query rep-count provenance (r13 verdict item 6): the adaptive
+    // third rep means "reps":2 in the headline is only the BASE count —
+    // min-of-N triage needs to know which N each min came from
+    val repsUsed = results.map { case (k, _, _, _, n) =>
+      "\"" + short(k) + "\":" + n }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalMin = if (results.nonEmpty) results.map(_._3).sum else 0.0
     // The driver captures a BOUNDED tail of stdout; at 191 queries the
@@ -115,6 +120,7 @@ object Bench {
     // silently break them; a consumer that aggregates every line
     // dedups on the extra "copy" discriminator instead.
     val nErr = results.count(_._4.isDefined)
+    val totalReps = results.map(_._5).sum
     // machine-state fields: round-over-round totals drift ±16% with zero
     // code changes on a shared host; recording the 1-min load average and
     // heap ceiling in the SAME line lets the next reader attribute drift
@@ -133,6 +139,10 @@ object Bench {
     // min-of-reps per query on its own line (reps >= 2 is the default):
     // the stable number regressions are judged against
     println(s"""{"metric":"detail_min","reps":$reps,"queries":$qsMin,"sf":"$sfDir"}""")
+    // rep provenance on its own line (same bounded-stdout discipline):
+    // "reps" in the other lines is the BASE rep count; this map is the
+    // ACTUAL per-query count after the adaptive third rep
+    println(s"""{"metric":"reps_used","reps_base":$reps,"reps_total":$totalReps,"queries":$repsUsed,"sf":"$sfDir"}""")
     println(compact("tail"))
     spark.stop()
   }

@@ -126,8 +126,13 @@ object Preference {
       .localCheckpoint(eager = false)
     var p = totals.select(col("item"), lit(S).as("graft_bt"))
     for (_ <- 1 to iters) {
-      val pi = p.select(col("item").as("i"), col("graft_bt").as("graft_pi"))
-      val pj = p.select(col("item").as("j"), col("graft_bt").as("graft_pj"))
+      // |items|-row strength attaches: broadcast by contract (items are
+      // models/policies, metadata-scale) — the plan must say so instead
+      // of leaning on AQE thresholds (r13 verdict item 5)
+      val pi = broadcast(
+        p.select(col("item").as("i"), col("graft_bt").as("graft_pi")))
+      val pj = broadcast(
+        p.select(col("item").as("j"), col("graft_bt").as("graft_pj")))
       val d = pairTbl.join(pi, Seq("i")).join(pj, Seq("j"))
         .select(col("i").as("item"),
           call_function("div",
@@ -184,13 +189,15 @@ object Preference {
   }
 
   /** Exact integer floor-sqrt: floor(sqrt(double(x))) is within ±1 of
-    * ⌊√x⌋ for any int64 x (cast and sqrt are IEEE-correctly-rounded in
-    * every engine, and the propagated relative error ~2⁻⁵² keeps the
-    * absolute error of √x ≤ 3·10⁹ · 5·10⁻⁷ < 1), so one downward and one
+    * ⌊√x⌋ (cast and sqrt are IEEE-correctly-rounded in every engine, so
+    * the seed's absolute error is ≈ √x · 2⁻⁵², which stays < 1 for
+    * x < ~2·10³¹ — for [[wilsonWinRates]]' x ≈ n³/4 that is n ≲ 4·10¹⁰
+    * games per pair, far past any eval log), so one downward and one
     * upward integer correction make it EXACT — the only way to put a
     * square root on a hashed surface (PORTABILITY.md rule 2/4: the
     * double seed is identical cross-engine, the corrections are integer
-    * comparisons). */
+    * comparisons). Callers must keep x below ~2·10³¹ for the ±1-wide
+    * seed guarantee to hold. */
   private def isqrt(x: Column): Column = {
     val y0 = floor(sqrt(x.cast(DoubleType))).cast(LongType)
     val y1 = y0 - when(y0.cast(big) * y0.cast(big) > x.cast(big), 1L)
@@ -304,8 +311,8 @@ object Preference {
     var p = deg.select(col("item"), lit(S).as("graft_rc"))
     for (_ <- 1 to iters) {
       val flows = pairTbl
-        .join(p.select(col("item").as("i"), col("graft_rc").as("graft_pi")),
-          Seq("i"))
+        .join(broadcast(p.select(col("item").as("i"),
+          col("graft_rc").as("graft_pi"))), Seq("i"))
         .crossJoin(broadcast(dmax))
         .select(col("i"), col("j"),
           call_function("div",
@@ -476,8 +483,8 @@ object Preference {
     var p = appearances.select(col("item"), lit(S).cast(big).as("graft_pl"))
     for (_ <- 1 to iters) {
       val joined = stage
-        .join(p.select(col("item").as("graft_item"),
-          col("graft_pl")), Seq("graft_item"))
+        .join(broadcast(p.select(col("item").as("graft_item"),
+          col("graft_pl"))), Seq("graft_item"))
       val d = joined
         .withColumn("graft_dsuf", sum(col("graft_pl")).over(wSuf))
         .withColumn("graft_term",
@@ -534,12 +541,15 @@ object Preference {
       .select(col("item"), col("bt_scaled"))
       .localCheckpoint(eager = false) // two strength attaches
     val wd = directedWins(cleanGames(comparisons, winnerCol, loserCol))
+    // both strength attaches broadcast explicitly: bt is |items| rows by
+    // the layer's contract, and the plan should show BroadcastHashJoin
+    // without depending on AQE size estimation (r13 verdict item 5)
     val scored = wd
-      .join(bt.select(col("item").as("graft_w2"),
-        col("bt_scaled").as("graft_pw")),
+      .join(broadcast(bt.select(col("item").as("graft_w2"),
+        col("bt_scaled").as("graft_pw"))),
         col("graft_w") === col("graft_w2"))
-      .join(bt.select(col("item").as("graft_l2"),
-        col("bt_scaled").as("graft_pl")),
+      .join(broadcast(bt.select(col("item").as("graft_l2"),
+        col("bt_scaled").as("graft_pl"))),
         col("graft_l") === col("graft_l2"))
     val pw = col("graft_pw").cast(big)
     val pl = col("graft_pl").cast(big)
@@ -652,10 +662,12 @@ object Preference {
         when(col("wins_a") > col("wins_b"), 1L).otherwise(0L).as("f"))
       .localCheckpoint(eager = false) // three-way self-join below
     // connected triples a < b < c; cyclic iff the orientations chain:
-    // (a→b, b→c, c→a) = (1,1,0) or its mirror (0,0,1)
+    // (a→b, b→c, c→a) = (1,1,0) or its mirror (0,0,1). The edge table is
+    // ≤|items|² metadata by contract — broadcast the probe sides so the
+    // triangle join is two BroadcastHashJoins regardless of AQE stats.
     val tri = und.as("x")
-      .join(und.as("y"), col("x.b") === col("y.a"))
-      .join(und.as("z"),
+      .join(broadcast(und.as("y")), col("x.b") === col("y.a"))
+      .join(broadcast(und.as("z")),
         col("z.a") === col("x.a") && col("z.b") === col("y.b"))
       .select(col("x.f").as("fab"), col("y.f").as("fbc"),
         col("z.f").as("fac"))

@@ -202,13 +202,29 @@ object Similarity {
    * split probability is arccos(c)/π, so per-table survival is
    * p^planesPerTable and overall recall 1 − (1 − p^k)^L — the standard
    * OR-of-tables trade (more tables → recall, more planes → precision).
+   *
+   * UNCAPPED: a bucket of size B still emits B² candidates — at corpus
+   * scale use [[cosineNearDupPairsBucketedCapped]] (the production
+   * default) unless lossless candidate recall against a fixed exact
+   * baseline is the point. The gates that ride this uncapped path
+   * (q58/q297/q298/q310/q336) opt out DELIBERATELY: each is the
+   * bit-exact twin of an exact all-pairs baseline gate, and capping
+   * would change which pairs the twin sees.
    */
   def cosineNearDupPairsBucketed(embeddings: DataFrame, idCol: String,
                                  vecCol: String, threshold: Double,
                                  nTables: Int = 4, planesPerTable: Int = 4,
-                                 dims: Int = 64): DataFrame = {
-    val sigs = lshSignaturesMulti(embeddings, idCol, vecCol, nTables,
-      planesPerTable, dims)
+                                 dims: Int = 64): DataFrame =
+    verifiedPairsFromSigs(embeddings, idCol, vecCol, threshold,
+      lshSignaturesMulti(embeddings, idCol, vecCol, nTables, planesPerTable,
+        dims))
+
+  /** Candidate self-join + exact-cosine verify over a prepared
+    * (id, tbl, sig) signature table — shared by the uncapped and capped
+    * bucketed paths so both ride the identical plan machinery. */
+  private def verifiedPairsFromSigs(embeddings: DataFrame, idCol: String,
+                                    vecCol: String, threshold: Double,
+                                    sigs: DataFrame): DataFrame = {
     // shuffle_hash: both sides are |corpus|×L signature rows keyed by
     // (tbl, sig) — partition-local hash join, never a broadcast
     val cand = sigs.select(col(idCol).as("d1"), col("tbl"), col("sig"))
@@ -224,6 +240,79 @@ object Similarity {
       .withColumn("cosine", round(cosine(col("v1"), col("v2")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("d1"), col("d2"), col("cosine"))
+  }
+
+  /** Occupied-bucket census for [[lshSignaturesMulti]]: one
+    * (tbl, sig, bucket_size) row per occupied bucket — at most
+    * nTables · 2^planesPerTable rows regardless of corpus size (ONE
+    * map-side-combinable hash-agg over the signature rows), so the
+    * census is always broadcastable and the capped path's bucket filter
+    * never adds a corpus-scale shuffle. */
+  def lshBucketSizes(embeddings: DataFrame, idCol: String, vecCol: String,
+                     nTables: Int = 4, planesPerTable: Int = 4,
+                     dims: Int = 64): DataFrame =
+    lshSignaturesMulti(embeddings, idCol, vecCol, nTables, planesPerTable,
+        dims)
+      // tbl widened to BIGINT: the census is a REPORTED surface and the
+      // oracle's integer-division table index is 64-bit
+      .groupBy(col("tbl").cast(LongType).as("tbl"), col("sig"))
+      .agg(count(lit(1)).as("bucket_size"))
+
+  /** The EXPLICIT exclusion report for
+    * [[cosineNearDupPairsBucketedCapped]]: every (tbl, sig) bucket the
+    * cap drops, with its size — exclusions must be visible rows, never
+    * silent (the q20 maxDf / q196 hot-gram-exclusion discipline). A
+    * pair losing its only shared bucket here is a RECALL loss the
+    * operator's caller audits with exactly this table. */
+  def lshExcludedBuckets(embeddings: DataFrame, idCol: String,
+                         vecCol: String, maxBucket: Long,
+                         nTables: Int = 4, planesPerTable: Int = 4,
+                         dims: Int = 64): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket=$maxBucket must be >= 1")
+    lshBucketSizes(embeddings, idCol, vecCol, nTables, planesPerTable, dims)
+      .filter(col("bucket_size") > maxBucket)
+  }
+
+  /**
+   * [[cosineNearDupPairsBucketed]] with a hot-bucket cap — the r13
+   * verdict's one remaining scale hazard closed: a (tbl, sig) bucket of
+   * size B contributes B² candidate rows before the verify filter, and
+   * a 100 TB web corpus has hot LSH buckets BY DEFINITION (exact/near
+   * copies concentrate; the r13 weak-scaling bench measured ×7.16 at
+   * 5× rows on the uncapped path). AQE skew-split can rebalance the
+   * shuffle but cannot reduce the B² fan-out — only refusing the bucket
+   * does. Buckets with more than `maxBucket` members are dropped from
+   * candidate generation ENTIRELY and DETERMINISTICALLY (no sampling —
+   * the same corpus always excludes the same buckets), the maxDf-cap
+   * pattern of [[TextDedup.ngramJaccardPairs]] applied to signatures.
+   *
+   * Exclusions are never silent: [[lshExcludedBuckets]] (same
+   * parameters) is the report — run it alongside and publish the count.
+   * Recall: a pair sharing ONLY capped buckets is lost; pairs also
+   * colliding in any uncapped table survive (the OR-of-tables union is
+   * per-pair). An over-cap bucket at k planes is exactly the population
+   * an index would split with more planes — cap + report + re-band is
+   * the production loop.
+   *
+   * Scale shape: the census is ≤ nTables·2^planesPerTable rows
+   * (broadcast); the only corpus-scale work is the signature projection
+   * (narrow) and the capped self-join, whose per-bucket fan-out is now
+   * ≤ maxBucket² by construction.
+   */
+  def cosineNearDupPairsBucketedCapped(embeddings: DataFrame, idCol: String,
+                                       vecCol: String, threshold: Double,
+                                       maxBucket: Long, nTables: Int = 4,
+                                       planesPerTable: Int = 4,
+                                       dims: Int = 64): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket=$maxBucket must be >= 1")
+    val sigs = lshSignaturesMulti(embeddings, idCol, vecCol, nTables,
+      planesPerTable, dims)
+    val keep = sigs.groupBy(col("tbl"), col("sig"))
+      .agg(count(lit(1)).as("graft_bs"))
+      .filter(col("graft_bs") <= maxBucket)
+      .select(col("tbl"), col("sig"))
+    val kept = sigs.join(broadcast(keep), Seq("tbl", "sig"))
+    verifiedPairsFromSigs(embeddings, idCol, vecCol, threshold, kept)
   }
 
   /**

@@ -360,6 +360,13 @@ object Standardize {
     val t = df.select(col(idCol).cast(StringType).as("graft_id"),
         col(xCol).cast(LongType).as("graft_x"),
         col(yCol).cast(LongType).as("graft_y"))
+      // NULL id/x/y (or a failed Long cast) would count in
+      // n_pairs/n_items but in NONE of the five pair classes, silently
+      // deflating tau_a instead of erroring — drop such rows up front
+      // (the cleanGames pattern) so concordant + discordant + ties
+      // always partition n_pairs exactly.
+      .filter(col("graft_id").isNotNull && col("graft_x").isNotNull &&
+        col("graft_y").isNotNull)
       .localCheckpoint(eager = false) // self-join + the n_items agg
     val ax = col("a.graft_x"); val bx = col("b.graft_x")
     val ay = col("a.graft_y"); val by = col("b.graft_y")

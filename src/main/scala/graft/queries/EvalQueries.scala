@@ -22,11 +22,14 @@ object EvalQueries {
 
   /** The shared comparisons fixture: one (winner, loser) row per customer
     * whose cheapest and priciest orders carry different priorities. The
-    * (cents·10⁸ + orderkey) key is unique per order and int64-safe
-    * (price < 10⁹), so argmax/argmin are deterministic on any engine. */
+    * (cents·10¹⁰ + orderkey) key is unique per order and int64-safe
+    * (cents < 10⁸ ⇒ key < 10¹⁸), and stays injective for any orderkey
+    * < 10¹⁰ — which covers the weak-scaling corpus's +r·10⁹ replica
+    * shift (r ≤ 9) that the old 10⁸ multiplier collided with (r13
+    * ADVICE). */
   private def comparisons(s: SparkSession, dir: String): DataFrame = {
     val key = (floor(col("o_totalprice") * lit(100)).cast(LongType) *
-      lit(100000000L) + col("o_orderkey")).as("graft_k")
+      lit(10000000000L) + col("o_orderkey")).as("graft_k")
     Sources.orders(s, dir)
       .select(col("o_custkey"), col("o_orderpriority").as("graft_p"), key)
       .groupBy(col("o_custkey"))
@@ -39,10 +42,10 @@ object EvalQueries {
   private val comparisonsSql: String =
     """c AS (SELECT o_custkey,
       |    arg_max(o_orderpriority,
-      |      CAST(floor(o_totalprice * 100) AS BIGINT) * 100000000
+      |      CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
       |        + o_orderkey) AS winner,
       |    arg_min(o_orderpriority,
-      |      CAST(floor(o_totalprice * 100) AS BIGINT) * 100000000
+      |      CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
       |        + o_orderkey) AS loser
       |  FROM orders GROUP BY 1),
       |g AS (SELECT winner, loser FROM c WHERE winner <> loser),
@@ -556,7 +559,7 @@ object EvalQueries {
     * 3 MM rounds of integral-division fixed point, oracle-replayed. */
   def q337PlackettLuce(s: SparkSession, dir: String): DataFrame = {
     val key = (floor(col("o_totalprice") * lit(100)).cast(LongType) *
-      lit(100000000L) + col("o_orderkey")).as("graft_k")
+      lit(10000000000L) + col("o_orderkey")).as("graft_k")
     val best = Sources.orders(s, dir)
       .select(col("o_custkey"), col("o_orderpriority").as("graft_pri"),
         key)
@@ -591,7 +594,7 @@ object EvalQueries {
          |    AS pl
          |  FROM d$n d LEFT JOIN wtb w USING (item))""".stripMargin
     s"""WITH o AS (SELECT o_custkey, o_orderpriority AS pri,
-       |    CAST(floor(o_totalprice * 100) AS BIGINT) * 100000000
+       |    CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
        |      + o_orderkey AS k
        |  FROM orders),
        |best AS (SELECT o_custkey, pri, MAX(k) AS bk FROM o GROUP BY 1, 2),

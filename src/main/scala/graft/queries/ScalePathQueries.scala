@@ -213,6 +213,54 @@ object ScalePathQueries {
       .orderBy(col("vec_id"))
   }
 
+  // ── q338: hot-bucket-capped LSH near-dup pairs (the capped scale path) ──
+
+  /** q338: [[Similarity.cosineNearDupPairsBucketedCapped]] — q58's
+    * candidate generator with the r13-verdict hot-bucket cap
+    * (maxBucket = 40: at sf0.01 that excludes the densest buckets, so
+    * the gate exercises the exclusion rule, not just the happy path).
+    * The oracle replays the identical census + cap, so the DETERMINISTIC
+    * exclusion semantics are hash-verified, and the per-bucket candidate
+    * fan-out is ≤ 40² by construction regardless of corpus density. */
+  def q338CappedDupBucketed(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairsBucketedCapped(Sources.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.45, maxBucket = 40L,
+        nTables = 4, planesPerTable = 4, dims = 64)
+      .orderBy(col("d1"), col("d2"))
+
+  val q338Sql: String =
+    s"""WITH $sigSql,
+      |sizes AS (SELECT tbl, sig, COUNT(*) AS bs FROM sig GROUP BY 1, 2),
+      |keep AS (SELECT tbl, sig FROM sizes WHERE bs <= 40),
+      |ksig AS (SELECT s.vec_id, s.tbl, s.sig
+      |         FROM sig s JOIN keep USING (tbl, sig)),
+      |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      |         FROM ksig a JOIN ksig b ON a.tbl = b.tbl AND a.sig = b.sig
+      |         WHERE a.vec_id < b.vec_id),
+      |pairs AS (SELECT c.d1, c.d2, $cosSql AS cosine
+      |  FROM cand c JOIN embeddings a ON a.vec_id = c.d1
+      |              JOIN embeddings b ON b.vec_id = c.d2)
+      |SELECT d1, d2, cosine FROM pairs WHERE cosine >= 0.45
+      |ORDER BY d1, d2""".stripMargin
+
+  // ── q339: the cap's explicit exclusion report ──────────────────────────
+
+  /** q339: [[Similarity.lshExcludedBuckets]] — the buckets q338's cap
+    * drops, as visible rows (tbl, sig, bucket_size). Exclusion must
+    * never be silent: this is the table a dedup run publishes next to
+    * its pair count so a reader can audit the recall trade. */
+  def q339ExcludedBuckets(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshExcludedBuckets(Sources.embeddings(s, dir),
+        "vec_id", "embedding", maxBucket = 40L,
+        nTables = 4, planesPerTable = 4, dims = 64)
+      .orderBy(col("tbl"), col("sig"))
+
+  val q339Sql: String =
+    s"""WITH $sigSql
+      |SELECT tbl, sig, COUNT(*) AS bucket_size
+      |FROM sig GROUP BY 1, 2 HAVING COUNT(*) > 40
+      |ORDER BY tbl, sig""".stripMargin
+
   val q336Sql: String = {
     // q265's simultaneous-peel round, verbatim, over the candidate graph
     def peel(i: Int): String =
@@ -230,6 +278,17 @@ object ScalePathQueries {
     val rounds = (1 to 10).map(peel).mkString(",\n")
     val layerUnion = (1 to 10)
       .map(i => s"SELECT * FROM l$i").mkString(" UNION ALL ")
+    // Convergence guard (r13 ADVICE): the oracle unrolls 10 peel rounds
+    // while Spark's kCorePeel runs to convergence (≤ 50) — a fixture
+    // needing an 11th round would silently report still-falling nodes as
+    // in-core. g11 is what round 11 WOULD peel; if non-empty, error()
+    // aborts the oracle with an explicit message (a loud err row in the
+    // gate, not a confusing hash red). CASE guarantees lazy evaluation.
+    val guard =
+      """g11 AS (SELECT v.node FROM v10 v
+        |  LEFT JOIN (SELECT a, COUNT(*) AS d FROM e10 GROUP BY a) g
+        |    ON g.a = v.node
+        |  WHERE COALESCE(g.d, 0) < 4)""".stripMargin
     s"""WITH $sigSql,
       |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
       |         FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig
@@ -248,6 +307,7 @@ object ScalePathQueries {
       |       WHERE a <> b),
       |v0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM e0),
       |$rounds,
+      |$guard,
       |ly AS ($layerUnion)
       |SELECT emb.vec_id,
       |  CASE WHEN v0.node IS NULL THEN 0
@@ -257,6 +317,8 @@ object ScalePathQueries {
       |FROM embeddings emb
       |LEFT JOIN v0 ON v0.node = emb.vec_id
       |LEFT JOIN ly ON ly.node = emb.vec_id
+      |WHERE CASE WHEN (SELECT COUNT(*) FROM g11) = 0 THEN TRUE
+      |  ELSE error('q336 oracle: peel needs >10 rounds') IS NOT NULL END
       |ORDER BY emb.vec_id""".stripMargin
   }
 }

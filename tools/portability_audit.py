@@ -111,16 +111,32 @@ def timed_surface(con, sql, budget):
     timer thread and the timeout surfaces as an exception. Needed at the
     bench SF, where a handful of recursive-CTE oracles (transitive
     closures) are minutes-to-hours slow — a skipped-with-reason row beats
-    an audit that never terminates."""
+    an audit that never terminates.
+
+    Race guard (r13 ADVICE): Timer.cancel() after the statement completes
+    does NOT stop a timer whose callback is already running — a late
+    interrupt would then poison the shared connection and abort the NEXT
+    audited query, misclassifying it as fragile/skipped. The callback
+    checks a done-flag under a lock, and cancel-side code sets the flag
+    under the same lock, so a timer that lost the race is a no-op."""
     import threading
     timer = None
     if budget:
-        timer = threading.Timer(budget, con.interrupt)
+        lock = threading.Lock()
+        state = {"done": False}
+
+        def fire():
+            with lock:
+                if not state["done"]:
+                    con.interrupt()
+        timer = threading.Timer(budget, fire)
         timer.start()
     try:
         return surface(con, sql)
     finally:
         if timer:
+            with lock:
+                state["done"] = True
             timer.cancel()
 
 
@@ -129,6 +145,16 @@ def main():
     # optional per-query wall budget in seconds (0 = unlimited); each
     # audited query runs up to 3 statements (baseline + 2 signs)
     budget = float(os.environ.get("AUDIT_QUERY_BUDGET_S", "0"))
+    # per-query overrides ("name=seconds,name=seconds"): the recursive-CTE
+    # closure oracles (q289/q297 at sf0.1) legitimately need minutes where
+    # the global default stays tight — two permanently-skipped rows at the
+    # bench SF were a hole the next fragile surface could hide in (r13
+    # verdict item 3).
+    overrides = {}
+    for kv in os.environ.get("AUDIT_QUERY_BUDGET_OVERRIDES", "").split(","):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            overrides[k.strip()] = float(v)
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
     base_con = duckdb.connect()
@@ -154,12 +180,13 @@ def main():
         if psql == sql:
             exact.append(name)          # no transcendental, no round()
             continue
+        qbudget = overrides.get(name, budget)
         t0 = time.time()
         try:
-            base = timed_surface(base_con, sql, budget)
+            base = timed_surface(base_con, sql, qbudget)
         except Exception as e:
-            if budget and time.time() - t0 >= budget:
-                print(f"SKIP {name}: baseline over {budget:.0f}s budget")
+            if qbudget and time.time() - t0 >= qbudget:
+                print(f"SKIP {name}: baseline over {qbudget:.0f}s budget")
                 skipped.append(name)
             else:
                 print(f"ERR  {name}: baseline failed: {e}")
@@ -170,9 +197,9 @@ def main():
         for sign in (+1, -1):
             t1 = time.time()
             try:
-                pert = timed_surface(cons[sign], psql, budget)
+                pert = timed_surface(cons[sign], psql, qbudget)
             except Exception as e:
-                if budget and time.time() - t1 >= budget:
+                if qbudget and time.time() - t1 >= qbudget:
                     timeout = True
                 else:
                     bad = f"sign {sign:+d} errored: {e}"
@@ -184,7 +211,7 @@ def main():
                 bad = f"sign {sign:+d}: {diffs} cell(s) moved"
                 break
         if timeout:
-            print(f"SKIP {name}: perturbed run over {budget:.0f}s budget")
+            print(f"SKIP {name}: perturbed run over {qbudget:.0f}s budget")
             skipped.append(name)
         elif bad:
             print(f"FRAGILE {name}: {bad}")
