@@ -687,4 +687,343 @@ object Preference {
           col("n_cyclic").cast(big) * lit(1000000L).cast(big),
           col("n_triangles").cast(big))).as("cyclic_share_micro"))
   }
+
+  /**
+   * Per-judge self-consistency / verdict-flip audit — [[judgePositionBias]]'s
+   * sibling for REPEATED judgments: when the same judge sees the same
+   * unordered item pair more than once, how often do the verdicts agree
+   * with themselves? A judge whose repeated pairs flip half the time is
+   * a coin, and its games should be down-weighted (or re-collected)
+   * before any [[bradleyTerry]] fit. The per-judge generalization of the
+   * MT-Bench self-consistency re-run check (Zheng et al. 2023 §3).
+   *
+   * Per judge: pair/game counts, the REPEATED subset (pairs the judge
+   * saw ≥ 2 times), flip pairs (both directions observed), and
+   * consistency = Σ majority-direction games / Σ games over repeated
+   * pairs, in half-away micros (NULL when the judge has no repeated
+   * pair — consistency is unmeasurable, not perfect).
+   *
+   * Scale shape: ONE (judge, winner, loser) map-side-combinable
+   * hash-agg over the comparison log; everything downstream is keyed by
+   * (judge, pair) — ≤ |judges|·|items|² metadata rows.
+   */
+  def judgeConsistency(comparisons: DataFrame, judgeCol: String,
+                       winnerCol: String, loserCol: String): DataFrame = {
+    val games = comparisons
+      .select(col(judgeCol).cast(StringType).as("graft_j"),
+        col(winnerCol).cast(StringType).as("graft_w"),
+        col(loserCol).cast(StringType).as("graft_l"))
+      .filter(col("graft_j").isNotNull && col("graft_w").isNotNull &&
+        col("graft_l").isNotNull && col("graft_w") =!= col("graft_l"))
+    val pairs = games
+      .groupBy(col("graft_j"),
+        least(col("graft_w"), col("graft_l")).as("graft_a"),
+        greatest(col("graft_w"), col("graft_l")).as("graft_b"))
+      .agg(
+        sum(when(col("graft_w") < col("graft_l"), 1L).otherwise(0L))
+          .as("graft_wlo"),
+        sum(when(col("graft_w") > col("graft_l"), 1L).otherwise(0L))
+          .as("graft_whi"))
+      .select(col("graft_j"),
+        (col("graft_wlo") + col("graft_whi")).as("graft_n"),
+        greatest(col("graft_wlo"), col("graft_whi")).as("graft_maj"),
+        (col("graft_wlo") > 0 && col("graft_whi") > 0).as("graft_flip"))
+    pairs.groupBy(col("graft_j").as("judge"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("graft_n")).as("n_games"),
+        sum(when(col("graft_n") >= 2, 1L).otherwise(0L))
+          .as("n_pairs_repeated"),
+        sum(when(col("graft_n") >= 2, col("graft_n")).otherwise(0L))
+          .as("n_games_repeated"),
+        sum(when(col("graft_flip"), 1L).otherwise(0L)).as("n_flip_pairs"),
+        sum(when(col("graft_n") >= 2, col("graft_maj")).otherwise(0L))
+          .as("graft_majsum"))
+      .select(col("judge"), col("n_pairs"), col("n_games"),
+        col("n_pairs_repeated"), col("n_games_repeated"),
+        col("n_flip_pairs"),
+        when(col("n_games_repeated") > 0, ExactRound.halfAwayDiv(
+          col("graft_majsum").cast(big) * lit(1000000L).cast(big),
+          col("n_games_repeated").cast(big))).as("consistency_micro"))
+  }
+
+  /**
+   * Verbosity-bias audit (Zheng et al. 2023 §3.2: pairwise LLM judges
+   * measurably favor the LONGER answer): across the game log, how often
+   * does the longer response win? `winnerLenCol`/`loserLenCol` are the
+   * responses' length metadata on the comparison log (tokens, chars —
+   * any consistent unit). Reports the longer-side win share among
+   * length-decided games with the z = 2 Wilson interval ([[isqrt]] —
+   * exact, hashable): a lower bound comfortably above 500000 micros
+   * means the judge (or the population of judges) rewards length
+   * itself, and win rates need length-controlled re-reading.
+   *
+   * One summary row, exact integers + half-away micros; games with NULL
+   * lengths are dropped VISIBLY via n_games vs the caller's count.
+   * Scale shape: one map-side-combinable global agg — one corpus pass.
+   */
+  def verbosityBias(comparisons: DataFrame, winnerLenCol: String,
+                    loserLenCol: String): DataFrame = {
+    val games = comparisons
+      .select(col(winnerLenCol).cast(LongType).as("graft_wl"),
+        col(loserLenCol).cast(LongType).as("graft_ll"))
+      .filter(col("graft_wl").isNotNull && col("graft_ll").isNotNull)
+    val agg = games.agg(
+      count(lit(1)).as("n_games"),
+      sum(when(col("graft_wl") > col("graft_ll"), 1L).otherwise(0L))
+        .as("n_longer_won"),
+      sum(when(col("graft_wl") < col("graft_ll"), 1L).otherwise(0L))
+        .as("n_shorter_won"),
+      sum(when(col("graft_wl") === col("graft_ll"), 1L).otherwise(0L))
+        .as("n_equal_len"))
+    val w = col("n_longer_won"); val n = col("graft_nd")
+    val x = n.cast(big) * (w.cast(big) * (n - w).cast(big) + n.cast(big))
+    val s = isqrt(x)
+    val den = (n.cast(big) * (n + 4).cast(big)).cast(big)
+    agg
+      .withColumn("graft_nd", col("n_longer_won") + col("n_shorter_won"))
+      .select(col("n_games"), col("n_longer_won"), col("n_shorter_won"),
+        col("n_equal_len"),
+        when(n > 0, ExactRound.halfAwayDiv(
+          w.cast(big) * lit(1000000L).cast(big), n.cast(big)))
+          .as("longer_win_micro"),
+        when(n > 0, ExactRound.halfAwayDiv(
+          ((w + 2).cast(big) * n.cast(big) -
+            lit(2L).cast(big) * s.cast(big)).cast(big) *
+            lit(1000000L).cast(big), den)).as("wilson_lb_micro"),
+        when(n > 0, ExactRound.halfAwayDiv(
+          ((w + 2).cast(big) * n.cast(big) +
+            lit(2L).cast(big) * s.cast(big)).cast(big) *
+            lit(1000000L).cast(big), den)).as("wilson_ub_micro"))
+  }
+
+  /** Min-label connected components over a metadata-scale STRING item
+    * graph: labels start as the item itself and each round takes the
+    * min over the closed neighborhood, converging in diameter rounds
+    * (checked exactly — a round that changes nothing ends the loop; the
+    * per-round convergence probe is an action on |items|-row frames,
+    * cheap because `edges` must be localCheckpointed by the caller).
+    * For int64 node ids at corpus scale use [[Graph.connectedComponents]]
+    * (HashMin / two-phase); this one exists because eval items are
+    * strings and ≤ metadata-scale by the layer's contract. */
+  private def minLabelComponents(edges: DataFrame, maxRounds: Int)
+      : DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var labels = sym.select(col("a").as("item")).distinct()
+      .withColumn("graft_comp", col("item"))
+      .localCheckpoint(eager = false)
+    var round = 0
+    var changed = 1L
+    while (round < maxRounds && changed > 0) {
+      val nbrMin = sym
+        .join(broadcast(labels.select(col("item").as("b"),
+          col("graft_comp").as("graft_nc"))), Seq("b"))
+        .groupBy(col("a").as("item"))
+        .agg(min(col("graft_nc")).as("graft_nmin"))
+      val next = labels.join(nbrMin, Seq("item"), "left")
+        .select(col("item"),
+          least(col("graft_comp"),
+            coalesce(col("graft_nmin"), col("graft_comp")))
+            .as("graft_comp"))
+        .localCheckpoint(eager = false)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.item") === col("o.item"))
+        .filter(col("n.graft_comp") =!= col("o.graft_comp"))
+        .count()
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
+  /**
+   * Comparison-graph identifiability audit — the check that must pass
+   * BEFORE any [[bradleyTerry]] / [[rankCentrality]] leaderboard is
+   * read: BT strengths are only jointly identifiable within a CONNECTED
+   * component of the comparison graph (Ford 1957's condition — across
+   * components the relative scale is pure prior), and an item that
+   * never lost (or never won) sits on the MLE boundary (the smoothing
+   * keeps it finite but the data alone says "∞"). One summary row:
+   * item/pair counts, pair coverage vs C(n,2), component count and the
+   * largest component's size, and the undefeated/winless boundary
+   * counts. n_components > 1 ⇒ the leaderboard is n separate
+   * leaderboards wearing one table.
+   *
+   * Exact integers; components via min-label propagation over the
+   * OBSERVED unordered pair graph (items are models/policies —
+   * metadata-scale by the layer's contract; the corpus is touched once
+   * in the directed-wins agg).
+   */
+  def comparisonGraphAudit(comparisons: DataFrame, winnerCol: String,
+                           loserCol: String,
+                           maxRounds: Int = 50): DataFrame = {
+    val wd = directedWins(cleanGames(comparisons, winnerCol, loserCol))
+      .localCheckpoint(eager = false) // edges + boundary counts
+    val und = wd.select(least(col("graft_w"), col("graft_l")).as("a"),
+        greatest(col("graft_w"), col("graft_l")).as("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val comps = minLabelComponents(und, maxRounds)
+      .localCheckpoint(eager = false) // component agg reads it twice
+    val compAgg = comps.groupBy(col("graft_comp"))
+      .agg(count(lit(1)).as("graft_cs"))
+      .agg(count(lit(1)).as("n_components"),
+        max(col("graft_cs")).as("largest_component"))
+    val items = comps.agg(count(lit(1)).as("n_items"))
+    val pairCnt = und.agg(count(lit(1)).as("n_observed_pairs"))
+    // boundary items: winless = never a winner; undefeated = never a
+    // loser (each is one anti-join of the item list vs a win/loss side)
+    val winners = wd.select(col("graft_w").as("item")).distinct()
+    val losers = wd.select(col("graft_l").as("item")).distinct()
+    val boundary = comps.select(col("item"))
+      .join(winners.withColumn("graft_won", lit(1L)), Seq("item"), "left")
+      .join(losers.withColumn("graft_lost", lit(1L)), Seq("item"), "left")
+      .agg(sum(when(col("graft_won").isNull, 1L).otherwise(0L))
+          .as("n_winless"),
+        sum(when(col("graft_lost").isNull, 1L).otherwise(0L))
+          .as("n_undefeated"))
+    val n = col("n_items")
+    items.crossJoin(broadcast(pairCnt))
+      .crossJoin(broadcast(compAgg))
+      .crossJoin(broadcast(boundary))
+      .select(col("n_items"), col("n_observed_pairs"),
+        when(n > 1, ExactRound.halfAwayDiv(
+          (col("n_observed_pairs").cast(big) * lit(2000000L).cast(big))
+            .cast(big),
+          (n.cast(big) * (n - 1).cast(big)).cast(big)))
+          .as("pair_coverage_micro"),
+        col("n_components"), col("largest_component"),
+        col("n_undefeated"), col("n_winless"))
+  }
+
+  /**
+   * Schulze beatpath ranking (Schulze 2011; the most widely deployed
+   * Condorcet completion — Debian/Wikimedia elections): item i beats j
+   * if the STRONGEST PATH from i to j (path strength = its weakest
+   * edge; edges = head-to-head winning-vote counts where i out-won j)
+   * is stronger than the strongest path back. Unlike [[copelandScores]]
+   * it resolves cyclic triads by how DECISIVELY each leg was won, and
+   * it is cloneproof — the property leaderboards with many near-equal
+   * model variants actually need.
+   *
+   * Widest paths by repeated max–min squaring: `iters` rounds cover
+   * path lengths ≤ 2^iters edges, so iters ≥ ⌈log₂(n−1)⌉ is exact
+   * convergence (fixed iteration count, bit-identical on any engine —
+   * extra rounds are no-ops past the fixed point, so the count only
+   * needs to be ≥ the bound, not equal on both sides). Default 3 covers
+   * 8-hop paths / 9 items; raise for bigger ladders.
+   *
+   * Output per item: path win/tie/loss counts vs the other n−1 items
+   * (unreachable ⇒ strength 0) and schulze2 = 2·wins + ties (the
+   * [[copelandScores]] integral-tie convention). Exact int64 counts.
+   *
+   * Scale shape: one corpus hash-agg; the path closure runs on
+   * ≤ |items|² metadata rows with broadcast self-joins.
+   */
+  def schulzeRanking(comparisons: DataFrame, winnerCol: String,
+                     loserCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters=$iters out of range (1..8)")
+    val wd = directedWins(cleanGames(comparisons, winnerCol, loserCol))
+      .localCheckpoint(eager = false)
+    // winning-votes edge: i→j carries c_ij iff i out-won j head-to-head
+    val cBoth = wd.as("x")
+      .join(wd.as("y"),
+        col("x.graft_w") === col("y.graft_l") &&
+          col("x.graft_l") === col("y.graft_w"), "left")
+      .select(col("x.graft_w").as("i"), col("x.graft_l").as("j"),
+        col("x.graft_c").as("graft_cij"),
+        coalesce(col("y.graft_c"), lit(0L)).as("graft_cji"))
+    var p = cBoth.filter(col("graft_cij") > col("graft_cji"))
+      .select(col("i"), col("j"), col("graft_cij").as("graft_s"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      val twoStep = p.as("x")
+        .join(broadcast(p.as("y")),
+          col("x.j") === col("y.i") && col("x.i") =!= col("y.j"))
+        .select(col("x.i").as("i"), col("y.j").as("j"),
+          least(col("x.graft_s"), col("y.graft_s")).as("graft_s"))
+      p = p.union(twoStep)
+        .groupBy(col("i"), col("j"))
+        .agg(max(col("graft_s")).as("graft_s"))
+        .localCheckpoint(eager = false)
+    }
+    val items = cBoth.select(col("i").as("item"))
+      .union(cBoth.select(col("j").as("item"))).distinct()
+      .localCheckpoint(eager = false)
+    val nItems = items.agg(count(lit(1)).as("graft_n"))
+    // P(i,j) vs P(j,i): full outer join of the closure with its
+    // transpose — pairs unreachable BOTH ways are ties by absence and
+    // recovered arithmetically from n−1
+    val versus = p.select(col("i"), col("j"), col("graft_s"))
+      .join(p.select(col("j").as("i"), col("i").as("j"),
+        col("graft_s").as("graft_st")), Seq("i", "j"), "full")
+      .select(col("i"),
+        coalesce(col("graft_s"), lit(0L)).as("graft_s"),
+        coalesce(col("graft_st"), lit(0L)).as("graft_st"))
+    val scored = versus.groupBy(col("i").as("item"))
+      .agg(sum(when(col("graft_s") > col("graft_st"), 1L).otherwise(0L))
+          .as("path_wins"),
+        sum(when(col("graft_s") < col("graft_st"), 1L).otherwise(0L))
+          .as("path_losses"),
+        sum(when(col("graft_s") === col("graft_st"), 1L).otherwise(0L))
+          .as("graft_reach_ties"))
+    items.join(scored, Seq("item"), "left")
+      .crossJoin(broadcast(nItems))
+      .select(col("item"), (col("graft_n") - 1).as("n_rivals"),
+        coalesce(col("path_wins"), lit(0L)).as("path_wins"),
+        coalesce(col("path_losses"), lit(0L)).as("path_losses"),
+        (col("graft_n") - 1 - coalesce(col("path_wins"), lit(0L)) -
+          coalesce(col("path_losses"), lit(0L))).as("path_ties"),
+        (lit(2L) * coalesce(col("path_wins"), lit(0L)) +
+          (col("graft_n") - 1 - coalesce(col("path_wins"), lit(0L)) -
+            coalesce(col("path_losses"), lit(0L)))).as("schulze2"))
+  }
+
+  /**
+   * Borda count over ranked lists (Borda 1781) — the positional voting
+   * baseline for the [[plackettLuce]] fixture: an item at position p in
+   * an m-item list scores m − p points (first = m−1, last = 0). The
+   * model-free sanity companion to PL strengths: when Borda order and
+   * PL order disagree, the lists are position-biased or the MM hasn't
+   * converged — either way, look before publishing.
+   *
+   * Input contract = [[plackettLuce]]'s (one row per (list, item,
+   * 1-based position); items distinct within a list; lists of length
+   * < 2 are ignored — no choice, no points). Output per item: list
+   * count, exact integer borda_score, and the mean NORMALIZED score in
+   * micros (per-list term = ⌊(m−p)·10⁶/(m−1)⌋ — per-term flooring is
+   * part of the definition, the [[bradleyTerry]] discipline).
+   *
+   * Scale shape: one list-partitioned count window (list id is the
+   * high-cardinality corpus key) + one item-keyed map-side-combinable
+   * agg — corpus touched once.
+   */
+  def bordaCount(rankings: DataFrame, listCol: String, itemCol: String,
+                 posCol: String): DataFrame = {
+    val rows = rankings
+      .select(col(listCol).as("graft_rid"),
+        col(itemCol).cast(StringType).as("graft_item"),
+        col(posCol).cast(LongType).as("graft_pos"))
+      .filter(col("graft_rid").isNotNull && col("graft_item").isNotNull &&
+        col("graft_pos").isNotNull)
+    val wList = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("graft_rid"))
+    val withM = rows.withColumn("graft_m", count(lit(1)).over(wList))
+      .filter(col("graft_m") >= 2)
+    withM
+      .withColumn("graft_pts", col("graft_m") - col("graft_pos"))
+      .withColumn("graft_norm", call_function("div",
+        (col("graft_pts").cast(big) * lit(1000000L).cast(big)).cast(big),
+        (col("graft_m") - 1).cast(big)))
+      .groupBy(col("graft_item").as("item"))
+      .agg(count(lit(1)).as("n_lists"),
+        sum(col("graft_pts")).as("borda_score"),
+        sum(col("graft_norm").cast(big)).as("graft_nsum"))
+      .select(col("item"), col("n_lists"), col("borda_score"),
+        ExactRound.halfAwayDiv(col("graft_nsum").cast(big),
+          col("n_lists").cast(big)).as("borda_mean_micro"))
+  }
 }

@@ -458,6 +458,76 @@ object Standardize {
           (b.cast(big) * c.cast(big)).cast(big))).as("alpha_micro"))
   }
 
+  /**
+   * Fleiss' kappa, nominal data, fixed rater count (Fleiss 1971) — the
+   * multi-rater generalization of Cohen's kappa (the gated pairwise
+   * q164): with n units each rated by exactly r raters into nominal
+   * categories, n_uc the per-unit category counts and n_c the global
+   * counts (N = n·r),
+   *
+   *   P̄  = (Σ_u Σ_c n_uc² − N) / (n·r(r−1))     observed agreement
+   *   P̄e = Σ_c (n_c/N)² = Σ_c n_c² / N²          chance agreement
+   *   κ  = (P̄ − P̄e)/(1 − P̄e)
+   *
+   * The LLM-eval use: r judges label the same prompts — κ near 0 means
+   * the "ground truth" is judge noise, and no leaderboard built on the
+   * labels survives re-judging. Differs from [[krippendorffAlpha]] in
+   * the chance model (α's is sampled-without-replacement from the
+   * pooled values; Fleiss' is independent raters with the marginal
+   * category distribution) — the two are the standard cross-check pair.
+   *
+   * Exactness: with A = Σ n_uc² − N, B = n·r(r−1), C = Σ n_c², D = N²,
+   * κ = (A·D − C·B) / (B·(D − C)) — one exact integer rational; P̄/P̄e/κ
+   * are half-away micros over DECIMAL(38,0) products (safe through
+   * ~10⁹ units at r ≤ 30). One global category ⇒ D = C ⇒ NULL kappa
+   * (never 0/0). `complete` flags the fixed-r precondition (min = max
+   * observed rater count); κ is computed with r = min.
+   *
+   * Scale shape: one (unit, category) hash-agg over the ratings, one
+   * unit-keyed and one category-keyed re-agg, two 1-row frames
+   * cross-joined — corpus touched once, all map-side combinable.
+   */
+  def fleissKappa(df: DataFrame, unitCol: String,
+                  labelCol: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val uc = df.groupBy(col(unitCol), col(labelCol).as("graft_c"))
+      .agg(count(lit(1)).as("graft_nuc"))
+    val perUnit = uc.groupBy(col(unitCol))
+      .agg(sum(col("graft_nuc")).as("graft_r"),
+        sum(col("graft_nuc") * col("graft_nuc")).as("graft_sq"))
+    val unitAgg = perUnit.agg(
+      count(lit(1)).as("n_units"),
+      min(col("graft_r")).as("graft_rmin"),
+      max(col("graft_r")).as("graft_rmax"),
+      sum(col("graft_sq")).as("graft_sqsum"))
+    val catAgg = uc.groupBy(col("graft_c"))
+      .agg(sum(col("graft_nuc")).as("graft_nc"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("graft_nc").cast(big) * col("graft_nc").cast(big))
+          .as("graft_csum"))
+    val r = col("graft_rmin")
+    val nTot = (col("n_units") * r).cast(big)            // N = n·r
+    val aNum = col("graft_sqsum").cast(big) - nTot       // A
+    val bDen = (col("n_units") * r * (r - 1)).cast(big)  // B
+    val cSum = col("graft_csum").cast(big)               // C
+    val dDen = (nTot * nTot).cast(big)                   // D
+    // r = 1 has no within-unit pairs: P̄'s denominator is 0 — report
+    // NULL agreement (visible), never a 0-division that one engine
+    // NULLs and the other errors on
+    unitAgg.crossJoin(catAgg)
+      .select(col("n_units"), r.as("n_raters"), col("n_categories"),
+        (col("graft_rmax") === col("graft_rmin")).as("complete"),
+        when(r > 1, ExactRound.halfAwayDiv(
+          (aNum * lit(1000000L).cast(big)).cast(big), bDen))
+          .as("p_bar_micro"),
+        ExactRound.halfAwayDiv((cSum * lit(1000000L).cast(big)).cast(big),
+          dDen).as("p_e_micro"),
+        when(r > 1 && dDen =!= cSum, ExactRound.halfAwayDiv(
+          ((aNum * dDen - cSum * bDen) * lit(1000000L).cast(big))
+            .cast(big),
+          (bDen * (dDen - cSum)).cast(big))).as("kappa_micro"))
+  }
+
   /** The shared two-sample scaffold behind [[mannWhitneyU]] and
     * [[ksTwoSample]]: collapse both samples to ONE row per distinct
     * value with per-group counts and running cumulative counts. The

@@ -1,0 +1,352 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Preference, Standardize}
+import graft.sources.Sources
+
+/** Round-14 widening of the preference/eval layer (the r13 verdict's
+  * item-7 continuations): multi-judge agreement (Fleiss' kappa), the
+  * per-judge self-consistency / verdict-flip audit, the verbosity-bias
+  * audit, the comparison-graph identifiability audit, Schulze beatpath
+  * ranking, and the Borda positional baseline for the q337 listwise
+  * fixture. Same discipline as EvalQueries: items are metadata-scale by
+  * contract, every hashed surface is exact int64/micro fixed point, and
+  * each oracle replays the operator's arithmetic verbatim. */
+object Eval2Queries {
+
+  // ── q340: Fleiss' kappa over repeated ratings ──────────────────────────
+
+  /** q340: [[Standardize.fleissKappa]] — "units" are customers with ≥ 3
+    * orders, their first three orders' priorities (by order key) acting
+    * as 3 raters assigning a nominal label; the multi-rater
+    * generalization of the gated pairwise Cohen kappa (q164). */
+  def q340FleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_custkey"))
+    val ratings = Sources.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority").as("graft_lbl"),
+        col("o_orderkey"))
+      .withColumn("graft_rn", row_number().over(wOrd))
+      .withColumn("graft_cnt", count(lit(1)).over(wAll))
+      .filter(col("graft_cnt") >= 3 && col("graft_rn") <= 3)
+    Standardize.fleissKappa(ratings, "o_custkey", "graft_lbl")
+  }
+
+  val q340Sql: String =
+    """WITH rk AS (SELECT o_custkey, o_orderpriority AS lbl,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+      |  FROM orders),
+      |r AS (SELECT o_custkey, lbl FROM rk WHERE cnt >= 3 AND rn <= 3),
+      |uc AS (SELECT o_custkey, lbl, COUNT(*) AS nuc FROM r GROUP BY 1, 2),
+      |pu AS (SELECT o_custkey, SUM(nuc) AS rr, SUM(nuc * nuc) AS sq
+      |       FROM uc GROUP BY 1),
+      |ua AS (SELECT COUNT(*) AS n_units, MIN(rr) AS rmin, MAX(rr) AS rmax,
+      |         SUM(sq) AS sqsum FROM pu),
+      |ca AS (SELECT COUNT(*) AS n_categories,
+      |         SUM(nc::HUGEINT * nc) AS csum
+      |       FROM (SELECT lbl, SUM(nuc) AS nc FROM uc GROUP BY 1)),
+      |t AS (SELECT n_units, rmin, rmax, n_categories,
+      |        (sqsum - n_units * rmin)::HUGEINT AS a,
+      |        (n_units * rmin * (rmin - 1))::HUGEINT AS b,
+      |        csum::HUGEINT AS c,
+      |        (n_units::HUGEINT * rmin * n_units * rmin) AS d
+      |      FROM ua CROSS JOIN ca)
+      |SELECT n_units::BIGINT AS n_units, rmin::BIGINT AS n_raters,
+      |  n_categories::BIGINT AS n_categories,
+      |  (rmax = rmin) AS complete,
+      |  CAST((2 * a * 1000000 + b) // (2 * b) AS BIGINT) AS p_bar_micro,
+      |  CAST((2 * c * 1000000 + d) // (2 * d) AS BIGINT) AS p_e_micro,
+      |  CASE WHEN a * d >= c * b THEN
+      |    CAST((2 * (a * d - c * b) * 1000000 + b * (d - c))
+      |      // (2 * b * (d - c)) AS BIGINT)
+      |  ELSE
+      |    -CAST((2 * (c * b - a * d) * 1000000 + b * (d - c))
+      |      // (2 * b * (d - c)) AS BIGINT)
+      |  END AS kappa_micro
+      |FROM t""".stripMargin
+
+  // ── q341: per-judge self-consistency / verdict-flip audit ──────────────
+
+  /** The per-judge comparisons fixture: one game per (customer, order
+    * YEAR) — the year acts as the judge, so every judge re-judges the
+    * same priority pairs across many customers and the repeated-pair
+    * consistency is measurable. Same argmax/argmin key discipline as
+    * [[EvalQueries.comparisons]]. */
+  private def judgedComparisons(s: SparkSession, dir: String): DataFrame = {
+    val key = (floor(col("o_totalprice") * lit(100)).cast(LongType) *
+      lit(10000000000L) + col("o_orderkey")).as("graft_k")
+    Sources.orders(s, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("judge"),
+        col("o_orderpriority").as("graft_p"), key)
+      .groupBy(col("o_custkey"), col("judge"))
+      .agg(max_by(col("graft_p"), col("graft_k")).as("winner"),
+        min_by(col("graft_p"), col("graft_k")).as("loser"))
+      .filter(col("winner") =!= col("loser"))
+  }
+
+  private val judgedSql: String =
+    """jc AS (SELECT o_custkey, year(o_orderdate) AS judge,
+      |    arg_max(o_orderpriority,
+      |      CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
+      |        + o_orderkey) AS winner,
+      |    arg_min(o_orderpriority,
+      |      CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
+      |        + o_orderkey) AS loser
+      |  FROM orders GROUP BY 1, 2),
+      |jg AS (SELECT CAST(judge AS VARCHAR) AS judge, winner, loser
+      |       FROM jc WHERE winner <> loser)""".stripMargin
+
+  /** q341: [[Preference.judgeConsistency]] — each order-year "judge"
+    * re-judges the same priority pairs across customers; the audit
+    * reports how often the repeated verdicts agree with themselves
+    * (flip pairs + majority-direction consistency). */
+  def q341JudgeConsistency(s: SparkSession, dir: String): DataFrame =
+    Preference.judgeConsistency(judgedComparisons(s, dir), "judge",
+        "winner", "loser")
+      .orderBy(col("judge"))
+
+  val q341Sql: String =
+    s"""WITH $judgedSql,
+       |pr AS (SELECT judge, least(winner, loser) AS a,
+       |         greatest(winner, loser) AS b,
+       |         SUM(CASE WHEN winner < loser THEN 1 ELSE 0 END) AS wlo,
+       |         SUM(CASE WHEN winner > loser THEN 1 ELSE 0 END) AS whi
+       |       FROM jg GROUP BY 1, 2, 3),
+       |px AS (SELECT judge, wlo + whi AS n, GREATEST(wlo, whi) AS maj,
+       |         (wlo > 0 AND whi > 0) AS flip
+       |       FROM pr)
+       |SELECT judge, COUNT(*)::BIGINT AS n_pairs,
+       |  SUM(n)::BIGINT AS n_games,
+       |  SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_pairs_repeated,
+       |  SUM(CASE WHEN n >= 2 THEN n ELSE 0 END)::BIGINT
+       |    AS n_games_repeated,
+       |  SUM(CASE WHEN flip THEN 1 ELSE 0 END)::BIGINT AS n_flip_pairs,
+       |  CASE WHEN SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) > 0 THEN
+       |    CAST((2 * SUM(CASE WHEN n >= 2 THEN maj ELSE 0 END)::HUGEINT
+       |        * 1000000 + SUM(CASE WHEN n >= 2 THEN n ELSE 0 END))
+       |      // (2 * SUM(CASE WHEN n >= 2 THEN n ELSE 0 END)::HUGEINT)
+       |      AS BIGINT)
+       |  END AS consistency_micro
+       |FROM px GROUP BY judge ORDER BY judge""".stripMargin
+
+  // ── q342: verbosity-bias audit ─────────────────────────────────────────
+
+  /** q342: [[Preference.verbosityBias]] — response "length" is the
+    * line-item count of each side's order, so the audit asks whether the
+    * bigger order's priority wins; the Zheng et al. 2023 §3.2 check with
+    * the Wilson interval making a small decided-game count visible. */
+  def q342VerbosityBias(s: SparkSession, dir: String): DataFrame = {
+    val key = (floor(col("o_totalprice") * lit(100)).cast(LongType) *
+      lit(10000000000L) + col("o_orderkey")).as("graft_k")
+    val games = Sources.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority").as("graft_p"), key)
+      .groupBy(col("o_custkey"))
+      .agg(max_by(col("graft_p"), col("graft_k")).as("winner"),
+        min_by(col("graft_p"), col("graft_k")).as("loser"),
+        (max(col("graft_k")) % lit(10000000000L)).as("graft_wok"),
+        (min(col("graft_k")) % lit(10000000000L)).as("graft_lok"))
+      .filter(col("winner") =!= col("loser"))
+    val lc = Sources.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("graft_n"))
+    val withLens = games
+      .join(lc.select(col("l_orderkey").as("graft_wok"),
+        col("graft_n").as("graft_wn")), Seq("graft_wok"), "left")
+      .join(lc.select(col("l_orderkey").as("graft_lok"),
+        col("graft_n").as("graft_ln")), Seq("graft_lok"), "left")
+      .select(coalesce(col("graft_wn"), lit(0L)).as("winner_len"),
+        coalesce(col("graft_ln"), lit(0L)).as("loser_len"))
+    Preference.verbosityBias(withLens, "winner_len", "loser_len")
+  }
+
+  val q342Sql: String =
+    """WITH c AS (SELECT o_custkey,
+      |    arg_max(o_orderpriority,
+      |      CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
+      |        + o_orderkey) AS winner,
+      |    arg_min(o_orderpriority,
+      |      CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
+      |        + o_orderkey) AS loser,
+      |    MAX(CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
+      |        + o_orderkey) % 10000000000 AS wok,
+      |    MIN(CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
+      |        + o_orderkey) % 10000000000 AS lok
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT wok, lok FROM c WHERE winner <> loser),
+      |lc AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+      |lens AS (SELECT COALESCE(w.n, 0) AS wl, COALESCE(l.n, 0) AS ll
+      |         FROM g LEFT JOIN lc w ON w.l_orderkey = g.wok
+      |                LEFT JOIN lc l ON l.l_orderkey = g.lok),
+      |a AS (SELECT COUNT(*) AS n_games,
+      |        SUM(CASE WHEN wl > ll THEN 1 ELSE 0 END) AS nl,
+      |        SUM(CASE WHEN wl < ll THEN 1 ELSE 0 END) AS ns,
+      |        SUM(CASE WHEN wl = ll THEN 1 ELSE 0 END) AS ne
+      |      FROM lens),
+      |b AS (SELECT *, nl + ns AS nd,
+      |        (nl + ns)::HUGEINT
+      |          * (nl::HUGEINT * ns + (nl + ns)) AS x
+      |      FROM a),
+      |s0 AS (SELECT *, CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT)
+      |         AS y0 FROM b),
+      |s1 AS (SELECT *, y0 - CASE WHEN y0::HUGEINT * y0 > x
+      |         THEN 1 ELSE 0 END AS y1 FROM s0),
+      |s2 AS (SELECT *, y1 + CASE WHEN (y1 + 1)::HUGEINT * (y1 + 1) <= x
+      |         THEN 1 ELSE 0 END AS isq FROM s1)
+      |SELECT n_games::BIGINT AS n_games, nl::BIGINT AS n_longer_won,
+      |  ns::BIGINT AS n_shorter_won, ne::BIGINT AS n_equal_len,
+      |  CASE WHEN nd > 0 THEN
+      |    CAST((2 * nl::HUGEINT * 1000000 + nd) // (2 * nd::HUGEINT)
+      |      AS BIGINT) END AS longer_win_micro,
+      |  CASE WHEN nd > 0 THEN
+      |    CAST((2 * ((nl + 2)::HUGEINT * nd - 2 * isq) * 1000000
+      |        + nd::HUGEINT * (nd + 4))
+      |      // (2 * nd::HUGEINT * (nd + 4)) AS BIGINT)
+      |  END AS wilson_lb_micro,
+      |  CASE WHEN nd > 0 THEN
+      |    CAST((2 * ((nl + 2)::HUGEINT * nd + 2 * isq) * 1000000
+      |        + nd::HUGEINT * (nd + 4))
+      |      // (2 * nd::HUGEINT * (nd + 4)) AS BIGINT)
+      |  END AS wilson_ub_micro
+      |FROM s2""".stripMargin
+
+  // ── q343: comparison-graph identifiability audit ───────────────────────
+
+  /** q343: [[Preference.comparisonGraphAudit]] — connectivity, pair
+    * coverage, and the undefeated/winless MLE-boundary counts of the
+    * q323 comparison graph; the Ford-1957 precondition check that must
+    * pass before any BT/RC leaderboard is read as one ranking. */
+  def q343GraphAudit(s: SparkSession, dir: String): DataFrame =
+    Preference.comparisonGraphAudit(EvalQueries.comparisons(s, dir),
+      "winner", "loser")
+
+  val q343Sql: String =
+    s"""WITH RECURSIVE ${EvalQueries.comparisonsSql},
+       |und AS (SELECT DISTINCT least(w, l) AS a, greatest(w, l) AS b
+       |        FROM wd),
+       |sym AS (SELECT a, b FROM und UNION SELECT b, a FROM und),
+       |reach(n, m) AS (
+       |  SELECT a AS n, a AS m FROM sym
+       |  UNION
+       |  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a),
+       |comp AS (SELECT n AS item, MIN(m) AS c FROM reach GROUP BY 1),
+       |cagg AS (SELECT COUNT(*) AS n_components,
+       |           MAX(cs) AS largest_component
+       |         FROM (SELECT c, COUNT(*) AS cs FROM comp GROUP BY 1)),
+       |it AS (SELECT COUNT(*) AS n_items FROM comp),
+       |pc AS (SELECT COUNT(*) AS n_observed_pairs FROM und),
+       |bnd AS (SELECT
+       |    SUM(CASE WHEN item NOT IN (SELECT w FROM wd) THEN 1 ELSE 0
+       |      END) AS n_winless,
+       |    SUM(CASE WHEN item NOT IN (SELECT l FROM wd) THEN 1 ELSE 0
+       |      END) AS n_undefeated
+       |  FROM comp)
+       |SELECT n_items::BIGINT AS n_items,
+       |  n_observed_pairs::BIGINT AS n_observed_pairs,
+       |  CASE WHEN n_items > 1 THEN
+       |    CAST((2 * n_observed_pairs::HUGEINT * 2000000
+       |        + n_items::HUGEINT * (n_items - 1))
+       |      // (2 * n_items::HUGEINT * (n_items - 1)) AS BIGINT)
+       |  END AS pair_coverage_micro,
+       |  n_components::BIGINT AS n_components,
+       |  largest_component::BIGINT AS largest_component,
+       |  n_undefeated::BIGINT AS n_undefeated,
+       |  n_winless::BIGINT AS n_winless
+       |FROM it CROSS JOIN pc CROSS JOIN cagg CROSS JOIN bnd""".stripMargin
+
+  // ── q344: Schulze beatpath ranking ─────────────────────────────────────
+
+  /** q344: [[Preference.schulzeRanking]] — widest-path (beatpath) wins
+    * over the q323 comparison log, 3 max–min squaring rounds (covers
+    * 8-hop paths ≫ the 5-item fixture's 4-hop bound); the Condorcet
+    * completion that resolves q328's cyclic triads by decisiveness. */
+  def q344Schulze(s: SparkSession, dir: String): DataFrame =
+    Preference.schulzeRanking(EvalQueries.comparisons(s, dir), "winner",
+        "loser", iters = 3)
+      .orderBy(col("item"))
+
+  val q344Sql: String = {
+    def sq(n: Int): String =
+      s"""p$n AS (SELECT i, j, MAX(s) AS s FROM (
+         |    SELECT i, j, s FROM p${n - 1}
+         |    UNION ALL
+         |    SELECT x.i, y.j, LEAST(x.s, y.s)
+         |    FROM p${n - 1} x JOIN p${n - 1} y
+         |      ON x.j = y.i AND x.i <> y.j)
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH ${EvalQueries.comparisonsSql},
+       |cb AS (SELECT x.w AS i, x.l AS j, x.cnt AS cij,
+       |         COALESCE(y.cnt, 0) AS cji
+       |       FROM wd x LEFT JOIN wd y ON x.w = y.l AND x.l = y.w),
+       |p0 AS (SELECT i, j, cij AS s FROM cb WHERE cij > cji),
+       |${sq(1)},
+       |${sq(2)},
+       |${sq(3)},
+       |items AS (SELECT i AS item FROM cb
+       |          UNION SELECT j FROM cb),
+       |nn AS (SELECT COUNT(*) AS n FROM items),
+       |vs AS (SELECT i, COALESCE(a.s, 0) AS s, COALESCE(b.st, 0) AS st
+       |       FROM p3 a
+       |       FULL JOIN (SELECT j AS i, i AS j, s AS st FROM p3) b
+       |         USING (i, j)),
+       |sc AS (SELECT i AS item,
+       |         SUM(CASE WHEN s > st THEN 1 ELSE 0 END) AS pw,
+       |         SUM(CASE WHEN s < st THEN 1 ELSE 0 END) AS plo
+       |       FROM vs GROUP BY 1)
+       |SELECT items.item, (n - 1)::BIGINT AS n_rivals,
+       |  COALESCE(pw, 0)::BIGINT AS path_wins,
+       |  COALESCE(plo, 0)::BIGINT AS path_losses,
+       |  (n - 1 - COALESCE(pw, 0) - COALESCE(plo, 0))::BIGINT
+       |    AS path_ties,
+       |  (2 * COALESCE(pw, 0) + n - 1 - COALESCE(pw, 0)
+       |    - COALESCE(plo, 0))::BIGINT AS schulze2
+       |FROM items LEFT JOIN sc USING (item) CROSS JOIN nn
+       |ORDER BY items.item""".stripMargin
+  }
+
+  // ── q345: Borda count over the listwise fixture ────────────────────────
+
+  /** q345: [[Preference.bordaCount]] over q337's per-customer priority
+    * rankings — the positional baseline whose disagreement with the PL
+    * strengths flags position bias before a leaderboard ships. */
+  def q345Borda(s: SparkSession, dir: String): DataFrame = {
+    val key = (floor(col("o_totalprice") * lit(100)).cast(LongType) *
+      lit(10000000000L) + col("o_orderkey")).as("graft_k")
+    val best = Sources.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority").as("graft_pri"),
+        key)
+      .groupBy(col("o_custkey"), col("graft_pri"))
+      .agg(max(col("graft_k")).as("graft_bk"))
+    val ranked = best.withColumn("graft_pos",
+      row_number().over(Window.partitionBy(col("o_custkey"))
+        .orderBy(col("graft_bk").desc, col("graft_pri").asc)))
+    Preference.bordaCount(ranked, "o_custkey", "graft_pri", "graft_pos")
+      .orderBy(col("item"))
+  }
+
+  val q345Sql: String =
+    """WITH o AS (SELECT o_custkey, o_orderpriority AS pri,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
+      |      + o_orderkey AS k
+      |  FROM orders),
+      |best AS (SELECT o_custkey, pri, MAX(k) AS bk FROM o GROUP BY 1, 2),
+      |rk AS (SELECT o_custkey, pri, row_number() OVER (
+      |    PARTITION BY o_custkey ORDER BY bk DESC, pri) AS pos
+      |  FROM best),
+      |wm AS (SELECT o_custkey, pri, pos,
+      |         COUNT(*) OVER (PARTITION BY o_custkey) AS m
+      |       FROM rk),
+      |f AS (SELECT pri AS item, m - pos AS pts,
+      |        ((m - pos)::HUGEINT * 1000000) // (m - 1) AS norm
+      |      FROM wm WHERE m >= 2)
+      |SELECT item, COUNT(*)::BIGINT AS n_lists,
+      |  SUM(pts)::BIGINT AS borda_score,
+      |  CAST((2 * SUM(norm) + COUNT(*)) // (2 * COUNT(*)::HUGEINT)
+      |    AS BIGINT) AS borda_mean_micro
+      |FROM f GROUP BY 1 ORDER BY item""".stripMargin
+}

@@ -27,7 +27,7 @@ object EvalQueries {
     * < 10¹⁰ — which covers the weak-scaling corpus's +r·10⁹ replica
     * shift (r ≤ 9) that the old 10⁸ multiplier collided with (r13
     * ADVICE). */
-  private def comparisons(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def comparisons(s: SparkSession, dir: String): DataFrame = {
     val key = (floor(col("o_totalprice") * lit(100)).cast(LongType) *
       lit(10000000000L) + col("o_orderkey")).as("graft_k")
     Sources.orders(s, dir)
@@ -39,7 +39,7 @@ object EvalQueries {
   }
 
   /** The identical fixture in DuckDB — prefix of every oracle here. */
-  private val comparisonsSql: String =
+  private[queries] val comparisonsSql: String =
     """c AS (SELECT o_custkey,
       |    arg_max(o_orderpriority,
       |      CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000

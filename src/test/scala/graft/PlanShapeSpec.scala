@@ -102,6 +102,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"max_by must not window:\n$plan")
   }
 
+  test("bt fit audit: both strength attaches are BroadcastHashJoins") {
+    // r13 verdict item 5: the |items|-row strength table must broadcast
+    // by PLAN, not by AQE size estimation — a SortMergeJoin here would
+    // shuffle the |pairs| table twice for a 5-row attach (and at real
+    // eval scale, shuffle the game log for a |models|-row table).
+    val plan = physicalPlan(
+      graft.queries.EvalQueries.q332BtFit(spark, sf))
+    val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBhj >= 2,
+      s"expected >=2 BroadcastHashJoins for the strength attaches, " +
+        s"got $nBhj:\n${plan.take(3000)}")
+  }
+
   test("distributed ntile: every window is partitioned (no single-partition funnel)") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = graft.queries.AnalyticsQueries.q57Ntile(spark, sf)
@@ -678,7 +691,18 @@ class PlanShapeSpec extends SparkSpec {
       "q327_kendall_tau",
       // q328: two 1-row aggregates (edge count, triangle counts)
       // crossJoined onto the 1-row item count — metadata by construction
-      "q328_cyclic_triads")
+      "q328_cyclic_triads",
+      // q340: fleissKappa's two 1-row aggregates (unit stats × category
+      // stats) crossJoined into the single kappa row — the q301
+      // krippendorff shape
+      "q340_fleiss_kappa",
+      // q343: four 1-row aggregates (items, pair count, component agg,
+      // boundary counts) crossJoined into the one audit row — the q328
+      // shape
+      "q343_graph_audit",
+      // q344: the 1-row item-count broadcast onto the |items|-row score
+      // table (the q145/q268 node-count shape)
+      "q344_schulze")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

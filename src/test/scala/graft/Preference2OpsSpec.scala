@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Preference, Similarity, Standardize}
+
+/** Hand-computed expectations for the round-14 preference/eval widening
+  * (Fleiss' kappa, judge self-consistency, verbosity bias, the
+  * comparison-graph identifiability audit, Schulze beatpath, Borda) and
+  * the hot-bucket-capped LSH candidate path. */
+class Preference2OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def games(rows: (String, String)*) =
+    rows.toSeq.toDF("winner", "loser")
+
+  // ── fleissKappa ─────────────────────────────────────────────────────────
+
+  test("fleissKappa: hand-computed kappa on 3 units × 2 raters") {
+    // u1:(A,A) u2:(A,B) u3:(B,B) — Σn_uc² = 4+1+1+4 = 10, N = 6,
+    // A = 10−6 = 4, B = 3·2·1 = 6 → P̄ = 4/6 → 666667 micros.
+    // n_A = n_B = 3 → C = 18, D = 36 → P̄e = 1/2 → 500000.
+    // κ = (A·D − C·B)/(B·(D−C)) = 36/108 = 1/3 → 333333.
+    val r = Seq(("u1", "A"), ("u1", "A"), ("u2", "A"), ("u2", "B"),
+      ("u3", "B"), ("u3", "B")).toDF("unit", "label")
+    val got = Standardize.fleissKappa(r, "unit", "label")
+      .select("n_units", "n_raters", "n_categories", "complete",
+        "p_bar_micro", "p_e_micro", "kappa_micro")
+      .as[(Long, Long, Long, Boolean, Long, Long, Long)].head()
+    assert(got == ((3L, 2L, 2L, true, 666667L, 500000L, 333333L)))
+  }
+
+  test("fleissKappa: perfect agreement is exactly 10^6; one category is NULL") {
+    val perfect = Seq(("u1", "A"), ("u1", "A"), ("u2", "B"), ("u2", "B"))
+      .toDF("unit", "label")
+    val k1 = Standardize.fleissKappa(perfect, "unit", "label")
+      .select("kappa_micro").as[Long].head()
+    assert(k1 == 1000000L)
+    // every rating the same category: P̄e = 1 ⇒ κ undefined, NULL not 0/0
+    val mono = Seq(("u1", "A"), ("u1", "A"), ("u2", "A"), ("u2", "A"))
+      .toDF("unit", "label")
+    val k2 = Standardize.fleissKappa(mono, "unit", "label")
+      .select(col("kappa_micro")).collect().head
+    assert(k2.isNullAt(0))
+  }
+
+  test("fleissKappa: unequal rater counts flag complete=false") {
+    val r = Seq(("u1", "A"), ("u1", "B"), ("u2", "A"))
+      .toDF("unit", "label")
+    val got = Standardize.fleissKappa(r, "unit", "label")
+      .select("complete", "n_raters").as[(Boolean, Long)].head()
+    assert(got == ((false, 1L)))
+  }
+
+  // ── judgeConsistency ────────────────────────────────────────────────────
+
+  test("judgeConsistency: flips and majority share, hand-computed") {
+    // J1 judges (A,B) four times — 3× A wins, 1× B wins (a flip pair,
+    // majority 3/4) — plus one unrepeated (A,C) game.
+    // J2 has only single games: consistency must be NULL, not 10^6.
+    val g = Seq(
+      ("J1", "A", "B"), ("J1", "A", "B"), ("J1", "A", "B"),
+      ("J1", "B", "A"), ("J1", "A", "C"),
+      ("J2", "A", "B"), ("J2", "B", "C"))
+      .toDF("judge", "winner", "loser")
+    val got = Preference.judgeConsistency(g, "judge", "winner", "loser")
+      .orderBy("judge")
+      .select("judge", "n_pairs", "n_games", "n_pairs_repeated",
+        "n_games_repeated", "n_flip_pairs", "consistency_micro")
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("J1", 2L, 5L, 1L, 4L, 1L, Some(750000L)),
+      ("J2", 2L, 2L, 0L, 0L, 0L, None)))
+  }
+
+  test("judgeConsistency: a perfectly self-consistent judge scores 10^6") {
+    val g = Seq.fill(5)(("J", "A", "B")).toDF("judge", "winner", "loser")
+    val got = Preference.judgeConsistency(g, "judge", "winner", "loser")
+      .select("n_flip_pairs", "consistency_micro")
+      .as[(Long, Long)].head()
+    assert(got == ((0L, 1000000L)))
+  }
+
+  // ── verbosityBias ───────────────────────────────────────────────────────
+
+  test("verbosityBias: counts, rate and z=2 Wilson interval, hand-computed") {
+    // (5,3) longer won; (4,1) longer won; (2,2) equal; (1,6) shorter won
+    // decided n = 3, w = 2 → rate 2/3 → 666667.
+    // x = 3·(2·1 + 3) = 15, ⌊√15⌋ = 3; den = 3·7 = 21
+    // lb = (4·3 − 2·3)·10⁶/21 = 285714.29 → 285714
+    // ub = (4·3 + 2·3)·10⁶/21 = 857142.86 → 857143
+    val g = Seq((5L, 3L), (4L, 1L), (2L, 2L), (1L, 6L))
+      .toDF("winner_len", "loser_len")
+    val got = Preference.verbosityBias(g, "winner_len", "loser_len")
+      .select("n_games", "n_longer_won", "n_shorter_won", "n_equal_len",
+        "longer_win_micro", "wilson_lb_micro", "wilson_ub_micro")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got == ((4L, 2L, 1L, 1L, 666667L, 285714L, 857143L)))
+  }
+
+  test("verbosityBias: NULL lengths drop visibly; all-equal yields NULL rate") {
+    val g = Seq((Some(3L), Some(3L)), (None, Some(2L)), (Some(1L), None))
+      .toDF("winner_len", "loser_len")
+    val row = Preference.verbosityBias(g, "winner_len", "loser_len")
+      .collect().head
+    assert(row.getLong(row.fieldIndex("n_games")) == 1L)
+    assert(row.isNullAt(row.fieldIndex("longer_win_micro")))
+  }
+
+  // ── comparisonGraphAudit ────────────────────────────────────────────────
+
+  test("comparisonGraphAudit: two components, boundary items, coverage") {
+    // A<->B in one component; C>D in another. 4 items, 2 observed pairs
+    // of C(4,2)=6 → coverage 2/6 → 333333. C never lost, D never won.
+    val g = games(("A", "B"), ("B", "A"), ("C", "D"))
+    val got = Preference.comparisonGraphAudit(g, "winner", "loser")
+      .select("n_items", "n_observed_pairs", "pair_coverage_micro",
+        "n_components", "largest_component", "n_undefeated", "n_winless")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got == ((4L, 2L, 333333L, 2L, 2L, 1L, 1L)))
+  }
+
+  test("comparisonGraphAudit: a 5-chain closes into one component") {
+    // path A>B>C>D>E needs multiple min-label rounds — convergence, not
+    // a fixed round count, must decide
+    val g = games(("A", "B"), ("B", "C"), ("C", "D"), ("D", "E"))
+    val got = Preference.comparisonGraphAudit(g, "winner", "loser")
+      .select("n_components", "largest_component", "n_undefeated",
+        "n_winless")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((1L, 5L, 1L, 1L)))
+  }
+
+  // ── schulzeRanking ──────────────────────────────────────────────────────
+
+  test("schulzeRanking: beatpath resolves the cycle Copeland cannot") {
+    // A>B ×3, B>C ×3, C>A ×2 — a perfect cyclic triad: Copeland scores
+    // tie 1-1-1, but beatpaths break it by decisiveness:
+    // P(A,B)=3 vs P(B,A)=min(3,2)=2 → A wins; P(B,C)=3 vs 2 → B wins;
+    // P(A,C)=min(3,3)=3 vs P(C,A)=2 → A wins. Order A > B > C.
+    val g = games(Seq.fill(3)(("A", "B")) ++ Seq.fill(3)(("B", "C")) ++
+      Seq.fill(2)(("C", "A")): _*)
+    val cope = Preference.copelandScores(g, "winner", "loser")
+      .select("item", "copeland2").as[(String, Long)].collect().toMap
+    assert(cope.values.toSet.size == 1, s"triad should tie Copeland: $cope")
+    val got = Preference.schulzeRanking(g, "winner", "loser")
+      .orderBy("item")
+      .select("item", "n_rivals", "path_wins", "path_losses", "path_ties",
+        "schulze2")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 2L, 2L, 0L, 0L, 4L),
+      ("B", 2L, 1L, 1L, 0L, 2L),
+      ("C", 2L, 0L, 2L, 0L, 0L)))
+  }
+
+  test("schulzeRanking: unconnected rivals count as beatpath ties") {
+    // A beats B; C plays only D: P(A,C)=P(C,A)=0 → tie by absence
+    val g = games(("A", "B"), ("C", "D"))
+    val got = Preference.schulzeRanking(g, "winner", "loser")
+      .filter(col("item") === "A")
+      .select("n_rivals", "path_wins", "path_ties")
+      .as[(Long, Long, Long)].head()
+    assert(got == ((3L, 1L, 2L))) // beats B; ties C and D by absence
+  }
+
+  // ── bordaCount ──────────────────────────────────────────────────────────
+
+  test("bordaCount: positional points and per-term-floored normalized mean") {
+    // L1: A>B>C (m=3): pts 2/1/0, norms 10⁶ / 500000 / 0
+    // L2: B>A (m=2): pts 1/0, norms 10⁶ / 0
+    // L3: a singleton — ignored
+    val r = Seq(
+      ("L1", "A", 1L), ("L1", "B", 2L), ("L1", "C", 3L),
+      ("L2", "B", 1L), ("L2", "A", 2L),
+      ("L3", "A", 1L)).toDF("list", "item", "pos")
+    val got = Preference.bordaCount(r, "list", "item", "pos")
+      .orderBy("item")
+      .select("item", "n_lists", "borda_score", "borda_mean_micro")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 2L, 2L, 500000L),
+      ("B", 2L, 2L, 750000L),
+      ("C", 1L, 0L, 0L)))
+  }
+
+  // ── capped LSH candidate path ───────────────────────────────────────────
+
+  test("capped LSH: generous cap reproduces the uncapped pairs exactly") {
+    val emb = (0L until 30L)
+      .map(i => (i, Array.fill(8)(if (i % 2 == 0) 1.0f else -1.0f)
+        .zipWithIndex.map { case (v, d) => v * (1.0f + d * 0.01f) }.toSeq))
+      .toDF("vec_id", "embedding")
+    val uncapped = Similarity.cosineNearDupPairsBucketed(
+        emb, "vec_id", "embedding", 0.9, nTables = 2, planesPerTable = 3,
+        dims = 8)
+      .orderBy("d1", "d2").collect().toSeq
+    val capped = Similarity.cosineNearDupPairsBucketedCapped(
+        emb, "vec_id", "embedding", 0.9, maxBucket = 1000L, nTables = 2,
+        planesPerTable = 3, dims = 8)
+      .orderBy("d1", "d2").collect().toSeq
+    assert(uncapped.nonEmpty && capped == uncapped)
+  }
+
+  test("capped LSH: identical vectors bust the cap; exclusion is reported") {
+    // 20 verbatim copies land in the same bucket of every table — the
+    // exact-copy hot-bucket case the cap exists for. With maxBucket = 5
+    // every bucket they occupy is over-cap: zero candidate pairs, and
+    // the exclusion report names each dropped (tbl, sig) bucket.
+    val emb = (0L until 20L)
+      .map(i => (i, Seq.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairsBucketedCapped(
+      emb, "vec_id", "embedding", 0.9, maxBucket = 5L, nTables = 2,
+      planesPerTable = 3, dims = 8)
+    assert(pairs.count() == 0L)
+    val excl = Similarity.lshExcludedBuckets(emb, "vec_id", "embedding",
+        maxBucket = 5L, nTables = 2, planesPerTable = 3, dims = 8)
+      .select("bucket_size").as[Long].collect().toSeq
+    assert(excl == Seq(20L, 20L)) // one hot bucket per table
+    // and the uncapped path would have emitted all C(20,2) pairs
+    val uncapped = Similarity.cosineNearDupPairsBucketed(
+      emb, "vec_id", "embedding", 0.9, nTables = 2, planesPerTable = 3,
+      dims = 8)
+    assert(uncapped.count() == 190L)
+  }
+}
