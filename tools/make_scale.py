@@ -16,13 +16,21 @@ Replica construction, per table:
     corpora (replicating text verbatim would instead make every doc a
     5-way exact duplicate and quadratically inflate the pair stage,
     measuring the data, not the engine). n_chars is recomputed.
-  - embeddings: vec_id shifted; vectors kept verbatim (cosine workloads
-    see a 5x-denser corpus; exact all-pairs baselines are O(n^2) in count
-    regardless of content). Noted caveat: IVF bucket histograms scale in
-    density, not spread.
+  - embeddings: vec_id shifted; by default vectors are kept verbatim
+    (cosine workloads see a 5x-denser corpus; exact all-pairs baselines
+    are O(n^2) in count regardless of content). Verbatim replication
+    makes every replicated vector an EXACT copy, so LSH buckets densify
+    maximally — that measures exact-copy physics. The optional JITTER
+    mode (r13 verdict item 4) instead multiplies every component of a
+    replica-r>0 vector by (1 + eps*u), u in [-1, ~0.992] derived
+    deterministically from md5(r, vec_id, dim) — near-dup physics with a
+    documented epsilon, separating "the corpus is 5x denser" from "the
+    corpus is 5 exact copies". Noted caveat: IVF bucket histograms scale
+    in density, not spread.
   - region/nation: single copy (fixed dimensions).
 
-Usage: python3 tools/make_scale.py <dstDir> [K]
+Usage: python3 tools/make_scale.py <dstDir> [K] [jitterEps]
+  jitterEps > 0 (e.g. 0.02) enables the jittered-embedding mode.
 """
 import os
 import sys
@@ -32,6 +40,7 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf0.5"
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+JITTER = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
 OFF = 1_000_000_000
 
 # table -> list of BIGINT key columns to shift per replica
@@ -53,6 +62,21 @@ def replica_select(table, cols, r):
     for name, typ in cols:
         if name in SHIFTS.get(table, []):
             parts.append(f"{name} + {r * OFF} AS {name}")
+        elif (table == "embeddings" and name == "embedding" and r > 0
+              and JITTER > 0):
+            # deterministic per-(replica, vec, dim) jitter: two md5 hex
+            # digits -> h in 0..255 -> u = (h-128)/128 in [-1, ~0.992];
+            # component *= 1 + eps*u. No RNG state - the same corpus
+            # always builds bit-identically.
+            parts.append(
+                "CAST(list_transform(range(1, len(embedding) + 1), d -> "
+                "embedding[d] * (1.0 + "
+                f"{JITTER!r} * (((strpos('0123456789abcdef', "
+                f"substr(md5({r}::VARCHAR || '_' || vec_id::VARCHAR || "
+                "'_' || d::VARCHAR), 1, 1)) - 1) * 16 + "
+                f"strpos('0123456789abcdef', substr(md5({r}::VARCHAR || "
+                "'_' || vec_id::VARCHAR || '_' || d::VARCHAR), 2, 1)) - 1 "
+                "- 128) / 128.0))) AS FLOAT[]) AS embedding")
         elif table == "documents" and name == "text" and r > 0:
             parts.append(
                 "array_to_string(list_transform(string_split(text, ' '),"
