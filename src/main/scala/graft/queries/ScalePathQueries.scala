@@ -243,6 +243,39 @@ object ScalePathQueries {
       |SELECT d1, d2, cosine FROM pairs WHERE cosine >= 0.45
       |ORDER BY d1, d2""".stripMargin
 
+  // ── q346: the production-configured cap (engages only under density) ──
+
+  /** q346: [[Similarity.cosineNearDupPairsBucketedCapped]] at the
+    * production configuration — maxBucket = 200, ABOVE every bucket at
+    * the test SFs (sf0.01 max 49, sf0.1 max 177), so here the output
+    * equals q58's and the oracle hash-verifies that an inactive cap is
+    * a no-op. The cap exists for densification: on the 5× weak-scaling
+    * corpus buckets reach ~600–900 members and the cap bounds the
+    * pair-stage fan-out at 200² per bucket where the uncapped q58 path
+    * grows as (5B)² — the BENCH_SCALING row that demonstrates the
+    * insurance engaging (r13 verdict item 1's ≤ ~×3 criterion), while
+    * q338's aggressive cap gates the exclusion RULE itself. */
+  def q346CappedDupScaled(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairsBucketedCapped(Sources.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.45, maxBucket = 200L,
+        nTables = 4, planesPerTable = 4, dims = 64)
+      .orderBy(col("d1"), col("d2"))
+
+  val q346Sql: String =
+    s"""WITH $sigSql,
+      |sizes AS (SELECT tbl, sig, COUNT(*) AS bs FROM sig GROUP BY 1, 2),
+      |keep AS (SELECT tbl, sig FROM sizes WHERE bs <= 200),
+      |ksig AS (SELECT s.vec_id, s.tbl, s.sig
+      |         FROM sig s JOIN keep USING (tbl, sig)),
+      |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      |         FROM ksig a JOIN ksig b ON a.tbl = b.tbl AND a.sig = b.sig
+      |         WHERE a.vec_id < b.vec_id),
+      |pairs AS (SELECT c.d1, c.d2, $cosSql AS cosine
+      |  FROM cand c JOIN embeddings a ON a.vec_id = c.d1
+      |              JOIN embeddings b ON b.vec_id = c.d2)
+      |SELECT d1, d2, cosine FROM pairs WHERE cosine >= 0.45
+      |ORDER BY d1, d2""".stripMargin
+
   // ── q339: the cap's explicit exclusion report ──────────────────────────
 
   /** q339: [[Similarity.lshExcludedBuckets]] — the buckets q338's cap
