@@ -689,6 +689,122 @@ object Preference {
   }
 
   /**
+   * Bootstrap confidence bands on [[bradleyTerry]] strengths — the
+   * Chatbot-Arena leaderboard practice (Chiang et al. 2024 report BT
+   * ratings WITH bootstrap CIs; a strength without a band invites
+   * overreading): each of `reps` replicates resamples whole GAMES with
+   * the hashed-Poisson weights of [[bootstrapWinRate]] (one weight per
+   * (rep, game id) — both participants see the same coherent alternative
+   * log), refits the full MM fixed point on the reweighted counts, and
+   * the per-item band is the 5%-trimmed order statistics of the
+   * replicate strengths. Items whose bands overlap are not separated by
+   * this eval log — the caveat the point estimate cannot carry.
+   *
+   * Smoothing note: the +1-virtual-win prior applies to the FULL log's
+   * observed pair set in every replicate (the prior is part of the
+   * model, not the data — a replicate that zero-weights a pair's games
+   * keeps the pair at its prior). Determinism: the weights are pinned
+   * integer CDF thresholds over md5 (no RNG state), every MM division
+   * is the same ⌊·⌋ over DECIMAL(38,0) as [[bradleyTerry]], and the
+   * band endpoints are order statistics of exact integers — any engine
+   * reproduces the identical bands.
+   *
+   * Scale shape: the corpus is touched twice (the point-estimate pass
+   * and the ×reps weighted hash-agg — narrow, map-side-combinable per
+   * (rep, winner, loser)); every MM iteration then runs over the
+   * reps·|observed pairs| metadata table with broadcast strength
+   * attaches. reps ≤ 64 by contract.
+   */
+  def bradleyTerryBootstrap(comparisons: DataFrame, idCol: String,
+                            winnerCol: String, loserCol: String,
+                            salt: String, reps: Int = 20,
+                            iters: Int = 3): DataFrame = {
+    require(reps >= 2 && reps <= 64, s"reps=$reps out of range (2..64)")
+    require(iters >= 1 && iters <= 10, s"iters=$iters out of range")
+    val games = comparisons
+      .select(col(idCol).as("graft_id"),
+        col(winnerCol).cast(StringType).as("graft_w"),
+        col(loserCol).cast(StringType).as("graft_l"))
+      .filter(col("graft_id").isNotNull && col("graft_w").isNotNull &&
+        col("graft_l").isNotNull && col("graft_w") =!= col("graft_l"))
+      .localCheckpoint(eager = false) // point pass + weighted pass
+    val point = bradleyTerry(games, "graft_w", "graft_l", iters)
+    // replicate-weighted directed counts: ONE corpus pass, ×reps narrow
+    val thresholds = array(Sampling.poissonThresholds48.map(lit): _*)
+    val rows = games
+      .withColumn("graft_r", explode(expr(s"sequence(0, ${reps - 1})")))
+    val h48 = conv(substring(md5(concat_ws("_", lit(salt), col("graft_r"),
+      col("graft_id"))), 1, 12), 16, 10).cast(LongType)
+    val wdR = rows
+      .withColumn("graft_wt",
+        size(filter(thresholds, t => h48 >= t)).cast(LongType))
+      .groupBy(col("graft_r"), col("graft_w"), col("graft_l"))
+      .agg(sum(col("graft_wt")).as("graft_c"))
+    // full-log pair spine × reps (metadata fan-out), smoothed per rep
+    val und = games.select(least(col("graft_w"), col("graft_l")).as("a"),
+        greatest(col("graft_w"), col("graft_l")).as("b"))
+      .distinct()
+    val dirsR = und.select(col("a").as("i"), col("b").as("j"))
+      .union(und.select(col("b").as("i"), col("a").as("j")))
+      .withColumn("graft_r", explode(expr(s"sequence(0, ${reps - 1})")))
+    val wsmR = dirsR
+      .join(wdR, dirsR("graft_r") === wdR("graft_r") &&
+        dirsR("i") === wdR("graft_w") && dirsR("j") === wdR("graft_l"),
+        "left")
+      .select(dirsR("graft_r").as("graft_r"), col("i"), col("j"),
+        (coalesce(col("graft_c"), lit(0L)) + lit(1L)).as("graft_wij"))
+    val pairR = wsmR.as("x")
+      .join(wsmR.as("y"),
+        col("x.graft_r") === col("y.graft_r") &&
+          col("x.i") === col("y.j") && col("x.j") === col("y.i"))
+      .select(col("x.graft_r").as("graft_r"), col("x.i").as("i"),
+        col("x.j").as("j"), col("x.graft_wij").as("graft_wij"),
+        (col("x.graft_wij") + col("y.graft_wij")).as("graft_nij"))
+      .localCheckpoint(eager = false) // reused every MM round
+    val totR = pairR.groupBy(col("graft_r"), col("i").as("item"))
+      .agg(sum(col("graft_wij").cast(big)).as("graft_wt"))
+      .localCheckpoint(eager = false)
+    var p = totR.select(col("graft_r"), col("item"), lit(S).as("graft_bt"))
+    for (_ <- 1 to iters) {
+      val pi = broadcast(p.select(col("graft_r"), col("item").as("i"),
+        col("graft_bt").as("graft_pi")))
+      val pj = broadcast(p.select(col("graft_r"), col("item").as("j"),
+        col("graft_bt").as("graft_pj")))
+      val d = pairR.join(pi, Seq("graft_r", "i"))
+        .join(pj, Seq("graft_r", "j"))
+        .select(col("graft_r"), col("i").as("item"),
+          call_function("div",
+            (col("graft_nij").cast(big) * lit(S).cast(big) *
+              lit(S).cast(big)).cast(big),
+            (col("graft_pi") + col("graft_pj")).cast(big)).as("graft_t"))
+        .groupBy(col("graft_r"), col("item"))
+        .agg(sum(col("graft_t").cast(big)).as("graft_d"))
+      p = totR.join(d, Seq("graft_r", "item"))
+        .select(col("graft_r"), col("item"),
+          greatest(lit(1L), call_function("div",
+            (col("graft_wt") * lit(S).cast(big) * lit(S).cast(big))
+              .cast(big),
+            col("graft_d"))).as("graft_bt"))
+    }
+    // 5%-trimmed band of the replicate strengths (exact order stats)
+    val trim = p.select(col("item"), col("graft_bt").cast(LongType)
+        .as("graft_bt"))
+      .groupBy(col("item"))
+      .agg(sort_array(collect_list(col("graft_bt"))).as("graft_bs"))
+      .withColumn("graft_mn", size(col("graft_bs")))
+      .withColumn("graft_tr", expr("graft_mn div 20").cast("int"))
+      .select(col("item"), col("graft_mn").cast(LongType).as("n_reps"),
+        element_at(col("graft_bs"), col("graft_tr") + 1)
+          .as("bt_lo_scaled"),
+        element_at(col("graft_bs"), col("graft_mn") - col("graft_tr"))
+          .as("bt_hi_scaled"))
+    point.join(trim, Seq("item"))
+      .select(col("item"), col("n_wins"), col("n_games"),
+        col("bt_scaled"), col("n_reps"), col("bt_lo_scaled"),
+        col("bt_hi_scaled"))
+  }
+
+  /**
    * Per-judge self-consistency / verdict-flip audit — [[judgePositionBias]]'s
    * sibling for REPEATED judgments: when the same judge sees the same
    * unordered item pair more than once, how often do the verdicts agree

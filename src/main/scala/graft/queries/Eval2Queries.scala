@@ -309,6 +309,97 @@ object Eval2Queries {
        |ORDER BY items.item""".stripMargin
   }
 
+  // ── q347: bootstrap bands on Bradley–Terry strengths ───────────────────
+
+  /** q347: [[Preference.bradleyTerryBootstrap]] — the Chatbot-Arena
+    * leaderboard shape: the q323 BT point strengths with a 20-replicate
+    * hashed-Poisson 5%-trimmed band from refitting the full MM fixed
+    * point on whole-game resamples; overlapping bands mean the log does
+    * not separate the items. The oracle replays all 20 replicates ×
+    * 3 MM rounds with the rep key carried through every join. */
+  def q347BtBootstrap(s: SparkSession, dir: String): DataFrame =
+    Preference.bradleyTerryBootstrap(EvalQueries.comparisons(s, dir),
+        "o_custkey", "winner", "loser", salt = "btb14", reps = 20,
+        iters = 3)
+      .orderBy(col("item"))
+
+  val q347Sql: String = {
+    def iter(n: Int): String =
+      s"""d$n AS (SELECT p.i AS item,
+         |  SUM((p.nij::HUGEINT * 1000000 * 1000000)
+         |      // (pi.bt + pj.bt)) AS d
+         |  FROM pair p
+         |  JOIN p${n - 1} pi ON p.i = pi.item
+         |  JOIN p${n - 1} pj ON p.j = pj.item GROUP BY 1),
+         |p$n AS (SELECT t.item,
+         |  GREATEST(1, (t.wt * 1000000 * 1000000) // d$n.d) AS bt
+         |  FROM tot t JOIN d$n USING (item))""".stripMargin
+    def riter(n: Int): String =
+      s"""bd$n AS (SELECT p.rep, p.i AS item,
+         |  SUM((p.nij::HUGEINT * 1000000 * 1000000)
+         |      // (pi.bt + pj.bt)) AS d
+         |  FROM pairr p
+         |  JOIN b${n - 1} pi ON p.rep = pi.rep AND p.i = pi.item
+         |  JOIN b${n - 1} pj ON p.rep = pj.rep AND p.j = pj.item
+         |  GROUP BY 1, 2),
+         |b$n AS (SELECT t.rep, t.item,
+         |  GREATEST(1, (t.wt * 1000000 * 1000000) // d.d) AS bt
+         |  FROM totr t JOIN bd$n d ON t.rep = d.rep AND t.item = d.item)"""
+        .stripMargin
+    val thresholds =
+      graft.operators.Sampling.poissonThresholds48.mkString("[", ", ", "]")
+    s"""WITH ${EvalQueries.comparisonsSql},
+       |${EvalQueries.pairSql},
+       |tot AS (SELECT i AS item, SUM(wij)::HUGEINT AS wt
+       |        FROM pair GROUP BY 1),
+       |p0 AS (SELECT item, 1000000::HUGEINT AS bt FROM tot),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |${EvalQueries.rawSql},
+       |gi AS (SELECT o_custkey AS id, winner AS w, loser AS l FROM c
+       |       WHERE winner <> loser),
+       |rr AS (SELECT id, w, l, unnest(range(0, 20)) AS rep FROM gi),
+       |hh AS (SELECT w, l, rep,
+       |    CAST(list_sum(list_transform(range(1, 13), j ->
+       |      (strpos('0123456789abcdef',
+       |         substr(md5('btb14_' || CAST(rep AS VARCHAR) || '_'
+       |           || CAST(id AS VARCHAR)), j, 1)) - 1)
+       |        * (1::BIGINT << (4 * (12 - j))))) AS BIGINT) AS h48
+       |  FROM rr),
+       |wdr AS (SELECT rep, w, l,
+       |    SUM(len(list_filter($thresholds, t -> h48 >= t))) AS cnt
+       |  FROM hh GROUP BY 1, 2, 3),
+       |dirsr AS (SELECT i, j, unnest(range(0, 20)) AS rep FROM dirs),
+       |wsmr AS (SELECT dirsr.rep, i, j, COALESCE(cnt, 0) + 1 AS wij
+       |         FROM dirsr LEFT JOIN wdr
+       |           ON dirsr.rep = wdr.rep AND i = w AND j = l),
+       |pairr AS (SELECT x.rep, x.i, x.j, x.wij, x.wij + y.wij AS nij
+       |          FROM wsmr x JOIN wsmr y
+       |            ON x.rep = y.rep AND x.i = y.j AND x.j = y.i),
+       |totr AS (SELECT rep, i AS item, SUM(wij)::HUGEINT AS wt
+       |         FROM pairr GROUP BY 1, 2),
+       |b0 AS (SELECT rep, item, 1000000::HUGEINT AS bt FROM totr),
+       |${riter(1)},
+       |${riter(2)},
+       |${riter(3)},
+       |os AS (SELECT item, bt,
+       |    row_number() OVER (PARTITION BY item ORDER BY bt) AS rn,
+       |    COUNT(*) OVER (PARTITION BY item) AS mn
+       |  FROM b3),
+       |trm AS (SELECT item, CAST(MAX(mn) AS BIGINT) AS n_reps,
+       |    MAX(CASE WHEN rn = mn // 20 + 1 THEN bt END) AS lo,
+       |    MAX(CASE WHEN rn = mn - mn // 20 THEN bt END) AS hi
+       |  FROM os GROUP BY item)
+       |SELECT p3.item, COALESCE(raww.n_wins, 0)::BIGINT AS n_wins,
+       |  rawg.n_games::BIGINT AS n_games, p3.bt::BIGINT AS bt_scaled,
+       |  trm.n_reps, trm.lo::BIGINT AS bt_lo_scaled,
+       |  trm.hi::BIGINT AS bt_hi_scaled
+       |FROM p3 JOIN rawg USING (item) LEFT JOIN raww USING (item)
+       |JOIN trm USING (item)
+       |ORDER BY p3.item""".stripMargin
+  }
+
   // ── q345: Borda count over the listwise fixture ────────────────────────
 
   /** q345: [[Preference.bordaCount]] over q337's per-customer priority

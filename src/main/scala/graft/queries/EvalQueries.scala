@@ -54,7 +54,7 @@ object EvalQueries {
 
   /** Smoothed symmetric pair table — mirrors Preference.smoothedPairTable
     * (+1 virtual win each direction per observed unordered pair). */
-  private val pairSql: String =
+  private[queries] val pairSql: String =
     """und AS (SELECT DISTINCT least(w, l) AS a, greatest(w, l) AS b
       |        FROM wd),
       |dirs AS (SELECT a AS i, b AS j FROM und
@@ -65,7 +65,7 @@ object EvalQueries {
       |         FROM wsm x JOIN wsm y ON x.i = y.j AND x.j = y.i)""".stripMargin
 
   /** Raw per-item record — mirrors Preference.rawRecord. */
-  private val rawSql: String =
+  private[queries] val rawSql: String =
     """raww AS (SELECT w AS item, SUM(cnt) AS n_wins FROM wd GROUP BY 1),
       |rawg AS (SELECT item, SUM(cnt) AS n_games FROM (
       |           SELECT w AS item, cnt FROM wd

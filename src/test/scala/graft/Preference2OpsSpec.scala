@@ -184,6 +184,47 @@ class Preference2OpsSpec extends SparkSpec {
       ("C", 1L, 0L, 0L)))
   }
 
+  // ── bradleyTerryBootstrap ───────────────────────────────────────────────
+
+  test("bradleyTerryBootstrap: point parity, band order, per-rep dominance") {
+    // A beats B in every game: every replicate reweights the SAME
+    // direction, so per replicate p_A >= p_B (elementwise), which makes
+    // both band endpoints of A dominate B's. The point estimate must
+    // equal the plain bradleyTerry fit (2-item fixed point: 1.6e6/4e5).
+    val g = Seq((1L, "A", "B"), (2L, "A", "B"), (3L, "A", "B"))
+      .toDF("gid", "winner", "loser")
+    val got = Preference.bradleyTerryBootstrap(g, "gid", "winner",
+        "loser", salt = "t14", reps = 20, iters = 3)
+      .orderBy("item")
+      .select("item", "n_wins", "n_games", "bt_scaled", "n_reps",
+        "bt_lo_scaled", "bt_hi_scaled")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val a = got.head; val b = got(1)
+    assert(a._1 == "A" && b._1 == "B")
+    assert(a._4 == 1600000L && b._4 == 400000L) // point = plain BT
+    assert(a._5 == 20L && b._5 == 20L)
+    assert(a._6 <= a._7 && b._6 <= b._7)        // lo <= hi
+    assert(a._6 >= b._6 && a._7 >= b._7)        // per-rep dominance
+    // strengths stay in the fixed-point range (1 micro .. 2S)
+    assert(b._6 >= 1L && a._7 <= 2000000L)
+  }
+
+  test("bradleyTerryBootstrap: a decisive log separates the bands") {
+    // 40 A>B games vs 2 B>C: A vs B is decided overwhelmingly — A's
+    // lower band end must sit above B's upper end (non-overlap is the
+    // operator's whole point)
+    val g = ((1L to 40L).map(i => (i, "A", "B")) ++
+      Seq((41L, "B", "C"), (42L, "B", "C")))
+      .toDF("gid", "winner", "loser")
+    val bands = Preference.bradleyTerryBootstrap(g, "gid", "winner",
+        "loser", salt = "t14b", reps = 20, iters = 3)
+      .select("item", "bt_lo_scaled", "bt_hi_scaled")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(bands("A")._1 > bands("B")._2,
+      s"A's band must clear B's entirely: $bands")
+  }
+
   // ── capped LSH candidate path ───────────────────────────────────────────
 
   test("capped LSH: generous cap reproduces the uncapped pairs exactly") {
