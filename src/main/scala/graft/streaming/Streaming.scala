@@ -949,6 +949,81 @@ object Streaming {
    * rounding batch uses. Self-play and NULL items drop, matching the
    * batch cleaner.
    */
+  /** Snapshot row of [[judgeConsistencyStream]]: the running per-judge
+    * self-consistency record — identical surface to the batch
+    * [[graft.operators.Preference.judgeConsistency]]. */
+  final case class JudgeConsistencySnapshot(
+      judge: String, n_pairs: Long, n_games: Long, n_pairs_repeated: Long,
+      n_games_repeated: Long, n_flip_pairs: Long,
+      consistency_micro: Option[Long])
+
+  /**
+   * Streaming maintenance of [[graft.operators.Preference
+   * .judgeConsistency]]: as judge verdicts land, each judge's
+   * per-unordered-pair (lo-wins, hi-wins) counters fold into state and
+   * the emitted snapshot carries the EXACT per-judge record the batch
+   * operator reports over everything ingested so far (spec-asserted) —
+   * flip pairs and the repeated-pair majority share update live, so a
+   * coin-flipping judge is caught while the eval run is still paying
+   * for its verdicts.
+   *
+   * State: one (Long, Long) counter pair per (judge, observed pair) —
+   * ≤ |items|² per judge, items being models/policies (the preference
+   * layer's metadata-scale contract); watermark-free by design (a
+   * consistency ledger is corpus-lifetime). Pair keys join the two item
+   * names with the \\u0001 control char — item names must not contain it
+   * (they are model/policy identifiers by contract). The micro share is
+   * recomputed per snapshot in exact BigInt arithmetic — the identical
+   * half-away rounding batch uses. Self-play and NULLs drop, matching
+   * the batch cleaner.
+   */
+  def judgeConsistencyStream(compStream: DataFrame, judgeCol: String,
+                             winnerCol: String, loserCol: String)
+      : Dataset[JudgeConsistencySnapshot] = {
+    val spark = compStream.sparkSession
+    import spark.implicits._
+    val rows = compStream
+      .select(col(judgeCol).cast("string").as("j"),
+        col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"))
+      .filter(col("j").isNotNull && col("w").isNotNull &&
+        col("l").isNotNull && col("w") =!= col("l"))
+      .select(col("j"),
+        concat_ws("\u0001", least(col("w"), col("l")),
+          greatest(col("w"), col("l"))).as("pair"),
+        (col("w") < col("l")).as("win_is_lo"))
+      .as[(String, String, Boolean)]
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[Map[String, (Long, Long)],
+        JudgeConsistencySnapshot](GroupStateTimeout.NoTimeout) {
+        (judge: String, batch: Iterator[(String, String, Boolean)],
+         state: GroupState[Map[String, (Long, Long)]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, (Long, Long)])
+          batch.foreach { case (_, pair, isLo) =>
+            val (lo, hi) = m.getOrElse(pair, (0L, 0L))
+            m = m.updated(pair, if (isLo) (lo + 1L, hi) else (lo, hi + 1L))
+          }
+          state.update(m)
+          var (nPairs, nGames, nRep, gamesRep, flips, majSum) =
+            (0L, 0L, 0L, 0L, 0L, 0L)
+          m.valuesIterator.foreach { case (lo, hi) =>
+            val n = lo + hi
+            nPairs += 1L; nGames += n
+            if (n >= 2L) {
+              nRep += 1L; gamesRep += n; majSum += math.max(lo, hi)
+            }
+            if (lo > 0L && hi > 0L) flips += 1L
+          }
+          val micro =
+            if (gamesRep > 0L)
+              Some(((BigInt(majSum) * 2000000 + gamesRep) /
+                (BigInt(gamesRep) * 2)).toLong)
+            else None
+          JudgeConsistencySnapshot(judge, nPairs, nGames, nRep, gamesRep,
+            flips, micro)
+      }
+  }
+
   def winRateStream(compStream: DataFrame, winnerCol: String,
                     loserCol: String): Dataset[WinRateSnapshot] = {
     val spark = compStream.sparkSession

@@ -1084,6 +1084,42 @@ class StreamingSpec extends SparkSpec {
       s"stream ${last.size} pairs vs batch ${expected.size}")
   }
 
+  test("streaming judge consistency converges to the batch audit") {
+    import spark.implicits._
+    import graft.operators.Preference
+    // 3 judges with repeated pairs, reversals (flip pairs), self-play
+    // and NULLs — dropped identically on each side
+    val rows: Seq[(String, String, String)] = (1 to 48).map(i =>
+        (s"j${i % 3}", s"m${i % 4}", s"m${(i + 1 + i % 2) % 4}")) ++
+      Seq(("j0", "m1", "m1"), (null, "m1", "m2"), ("j1", null, "m2"))
+    val comps = rows.toDF("judge", "winner", "loser")
+    val expected = Preference.judgeConsistency(comps, "judge", "winner",
+        "loser")
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    val streamDir = tmpDir("judgecons-src")
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    h1.toDF("judge", "winner", "loser").write.parquet(s"$streamDir/b1")
+    h2.toDF("judge", "winner", "loser").write.parquet(s"$streamDir/b2")
+    val last = scala.collection.mutable
+      .Map[String, (Long, Long, Long, Long, Long, Option[Long])]()
+    val q = spark.readStream.schema(comps.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/b*")
+      .transform(s => Streaming.judgeConsistencyStream(s, "judge",
+        "winner", "loser").toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(String, Long, Long, Long, Long, Long, Option[Long])]
+          .collect()
+          .foreach(r => last(r._1) = (r._2, r._3, r._4, r._5, r._6, r._7))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(last.toMap == expected,
+      s"stream ${last.size} judges vs batch ${expected.size}")
+  }
+
   test("streaming Gini-Simpson converges to the batch diversity read") {
     import spark.implicits._
     import graft.operators.Profiling
