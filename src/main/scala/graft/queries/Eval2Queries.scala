@@ -400,6 +400,92 @@ object Eval2Queries {
        |ORDER BY p3.item""".stripMargin
   }
 
+  // ── q348: rating-system rank agreement (BT vs Copeland) ────────────────
+
+  /** q348: [[Standardize.kendallTauA]] between the q323 Bradley–Terry
+    * strengths and the q325 Copeland scores over the same log — the
+    * "run two rating systems and compare ranks" robustness check the
+    * preference layer's own docs prescribe; τ_a near 10⁶ means the
+    * leaderboard is stable across model families, τ near 0 means the
+    * ranking is an artifact of the estimator. */
+  def q348RatingAgreement(s: SparkSession, dir: String): DataFrame = {
+    val comps = EvalQueries.comparisons(s, dir)
+      .localCheckpoint(eager = false) // feeds both rating fits
+    val bt = Preference.bradleyTerry(comps, "winner", "loser", iters = 3)
+      .select(col("item"), col("bt_scaled"))
+    val cope = Preference.copelandScores(comps, "winner", "loser")
+      .select(col("item"), col("copeland2"))
+    Standardize.kendallTauA(bt.join(cope, Seq("item")), "item",
+      "bt_scaled", "copeland2")
+  }
+
+  val q348Sql: String = {
+    def iter(n: Int): String =
+      s"""d$n AS (SELECT p.i AS item,
+         |  SUM((p.nij::HUGEINT * 1000000 * 1000000)
+         |      // (pi.bt + pj.bt)) AS d
+         |  FROM pair p
+         |  JOIN p${n - 1} pi ON p.i = pi.item
+         |  JOIN p${n - 1} pj ON p.j = pj.item GROUP BY 1),
+         |p$n AS (SELECT t.item,
+         |  GREATEST(1, (t.wt * 1000000 * 1000000) // d$n.d) AS bt
+         |  FROM tot t JOIN d$n USING (item))""".stripMargin
+    s"""WITH ${EvalQueries.comparisonsSql},
+       |${EvalQueries.pairSql},
+       |tot AS (SELECT i AS item, SUM(wij)::HUGEINT AS wt
+       |        FROM pair GROUP BY 1),
+       |p0 AS (SELECT item, 1000000::HUGEINT AS bt FROM tot),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |m AS (SELECT least(w, l) AS item_a, greatest(w, l) AS item_b,
+       |        SUM(CASE WHEN w < l THEN cnt ELSE 0 END) AS wins_a,
+       |        SUM(CASE WHEN w > l THEN cnt ELSE 0 END) AS wins_b
+       |      FROM wd GROUP BY 1, 2),
+       |dv AS (SELECT item_a AS item, wins_a AS wf, wins_b AS wa FROM m
+       |       UNION ALL
+       |       SELECT item_b, wins_b, wins_a FROM m),
+       |cope AS (SELECT item,
+       |    2 * SUM(CASE WHEN wf > wa THEN 1 ELSE 0 END)
+       |      + SUM(CASE WHEN wf = wa THEN 1 ELSE 0 END) AS c2
+       |  FROM dv GROUP BY item),
+       |t AS (SELECT p3.item AS id, p3.bt::BIGINT AS x, cope.c2::BIGINT
+       |        AS y
+       |      FROM p3 JOIN cope USING (item)),
+       |pp AS (SELECT a.x AS ax, b.x AS bx, a.y AS ay, b.y AS "by"
+       |       FROM t a JOIN t b ON a.id < b.id),
+       |agg AS (SELECT COUNT(*) AS n_pairs,
+       |    COALESCE(SUM(CASE WHEN (ax < bx AND ay < "by")
+       |      OR (ax > bx AND ay > "by") THEN 1 ELSE 0 END), 0)
+       |      AS n_concordant,
+       |    COALESCE(SUM(CASE WHEN (ax < bx AND ay > "by")
+       |      OR (ax > bx AND ay < "by") THEN 1 ELSE 0 END), 0)
+       |      AS n_discordant,
+       |    COALESCE(SUM(CASE WHEN ax = bx AND ay <> "by" THEN 1 ELSE 0
+       |      END), 0) AS n_tied_x,
+       |    COALESCE(SUM(CASE WHEN ay = "by" AND ax <> bx THEN 1 ELSE 0
+       |      END), 0) AS n_tied_y,
+       |    COALESCE(SUM(CASE WHEN ax = bx AND ay = "by" THEN 1 ELSE 0
+       |      END), 0) AS n_tied_both
+       |  FROM pp),
+       |nn AS (SELECT COUNT(*) AS n_items FROM t)
+       |SELECT n_items::BIGINT AS n_items, n_pairs::BIGINT AS n_pairs,
+       |  n_concordant::BIGINT AS n_concordant,
+       |  n_discordant::BIGINT AS n_discordant,
+       |  n_tied_x::BIGINT AS n_tied_x, n_tied_y::BIGINT AS n_tied_y,
+       |  n_tied_both::BIGINT AS n_tied_both,
+       |  CASE WHEN n_pairs > 0 THEN
+       |    CASE WHEN n_concordant < n_discordant THEN
+       |      -CAST((2 * (n_discordant - n_concordant)::HUGEINT * 1000000
+       |          + n_pairs) // (2 * n_pairs::HUGEINT) AS BIGINT)
+       |    ELSE
+       |      CAST((2 * (n_concordant - n_discordant)::HUGEINT * 1000000
+       |          + n_pairs) // (2 * n_pairs::HUGEINT) AS BIGINT)
+       |    END
+       |  END AS tau_a_micro
+       |FROM nn CROSS JOIN agg""".stripMargin
+  }
+
   // ── q345: Borda count over the listwise fixture ────────────────────────
 
   /** q345: [[Preference.bordaCount]] over q337's per-customer priority

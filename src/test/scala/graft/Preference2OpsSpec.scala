@@ -164,6 +164,24 @@ class Preference2OpsSpec extends SparkSpec {
     assert(got == ((3L, 1L, 2L))) // beats B; ties C and D by absence
   }
 
+  // ── rating-system agreement composition ─────────────────────────────────
+
+  test("kendallTauA(bradleyTerry, copeland): clean dominance agrees at 10^6") {
+    // A>B, B>C, A>C (2 games each): both systems order A > B > C —
+    // every item pair concordant, tau_a = 10^6
+    val g = games(Seq.fill(2)(("A", "B")) ++ Seq.fill(2)(("B", "C")) ++
+      Seq.fill(2)(("A", "C")): _*)
+    val bt = Preference.bradleyTerry(g, "winner", "loser")
+      .select(col("item"), col("bt_scaled"))
+    val cope = Preference.copelandScores(g, "winner", "loser")
+      .select(col("item"), col("copeland2"))
+    val got = Standardize.kendallTauA(bt.join(cope, Seq("item")), "item",
+        "bt_scaled", "copeland2")
+      .select("n_items", "n_pairs", "n_concordant", "tau_a_micro")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((3L, 3L, 3L, 1000000L)))
+  }
+
   // ── bordaCount ──────────────────────────────────────────────────────────
 
   test("bordaCount: positional points and per-term-floored normalized mean") {
