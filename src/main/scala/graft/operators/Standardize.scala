@@ -370,8 +370,13 @@ object Standardize {
       .localCheckpoint(eager = false) // self-join + the n_items agg
     val ax = col("a.graft_x"); val bx = col("b.graft_x")
     val ay = col("a.graft_y"); val by = col("b.graft_y")
+    // ITEM-scale input by documented contract: broadcast one side so the
+    // inequality self-join is a BroadcastNestedLoopJoin regardless of
+    // upstream size estimates — without the hint, an input whose stats
+    // Spark cannot estimate (e.g. a join of two fitted rating tables)
+    // falls back to CartesianProduct with both sides shuffled.
     val pairs = t.as("a")
-      .join(t.as("b"), col("a.graft_id") < col("b.graft_id"))
+      .join(broadcast(t.as("b")), col("a.graft_id") < col("b.graft_id"))
       .agg(
         count(lit(1)).as("n_pairs"),
         coalesce(sum(when((ax < bx && ay < by) || (ax > bx && ay > by),

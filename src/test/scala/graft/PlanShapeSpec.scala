@@ -692,6 +692,10 @@ class PlanShapeSpec extends SparkSpec {
       // q328: two 1-row aggregates (edge count, triangle counts)
       // crossJoined onto the 1-row item count — metadata by construction
       "q328_cyclic_triads",
+      // q348: kendallTauA's item-contract C(n,2) self-join (the q327
+      // shape) over the two fitted |items|-row rating tables, plus its
+      // 1-row pair-class × n_items crossJoin
+      "q348_rating_agreement",
       // q340: fleissKappa's two 1-row aggregates (unit stats × category
       // stats) crossJoined into the single kappa row — the q301
       // krippendorff shape
