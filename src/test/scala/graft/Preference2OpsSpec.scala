@@ -43,6 +43,17 @@ class Preference2OpsSpec extends SparkSpec {
     assert(k2.isNullAt(0))
   }
 
+  test("fleissKappa: below-chance agreement is exactly -10^6") {
+    // every unit splits (A,B): P̄ = 0; balanced marginals give P̄e = 1/2;
+    // κ = (0 − 1/2)/(1 − 1/2) = −1 — the signed half-away path
+    val r = Seq(("u1", "A"), ("u1", "B"), ("u2", "A"), ("u2", "B"),
+      ("u3", "A"), ("u3", "B")).toDF("unit", "label")
+    val got = Standardize.fleissKappa(r, "unit", "label")
+      .select("p_bar_micro", "p_e_micro", "kappa_micro")
+      .as[(Long, Long, Long)].head()
+    assert(got == ((0L, 500000L, -1000000L)))
+  }
+
   test("fleissKappa: unequal rater counts flag complete=false") {
     val r = Seq(("u1", "A"), ("u1", "B"), ("u2", "A"))
       .toDF("unit", "label")
