@@ -321,4 +321,92 @@ object CurationQueries {
        |SELECT a.vec_id, a.cluster, d.dup_of
        |FROM a2 a LEFT JOIN d USING (vec_id)
        |ORDER BY a.vec_id""".stripMargin
+
+  // ── q349: split-leakage audit (near-dups straddling the split) ─────────
+
+  /** q349: the eval-integrity check a split owes its users — verified
+    * MinHash near-dup pairs (the q19 machinery) joined against the
+    * deterministic 80/10/10 hash split (the q59 machinery), folded to
+    * unordered split-pair counts. A `train/test` row with n_pairs > 0
+    * means the held-out set contains near-copies of training documents
+    * and every eval number on it is inflated; dedup must run BEFORE the
+    * split (or the split must respect near-dup clusters). Composition of
+    * two gated operators; exact integer counts.
+    *
+    * Scale shape: the split label is a narrow md5 projection (no
+    * shuffle); the near-dup pairs are the banded LSH path; the two
+    * label attaches are doc-keyed equi-joins on the (small) pair table. */
+  def q349SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val d = Sources.documents(s, dir)
+    val split = Sampling.deterministicSplit(
+        d.select(col("doc_id")), "doc_id", "split",
+        Seq(("train", 204), ("val", 230), ("test", 256)))
+      .select(col("doc_id"), col("split"))
+    val pairs = TextDedup.minHashLshPairs(d, "doc_id", "text",
+      k = 16, r = 4, w = 3, threshold = 0.5)
+    pairs
+      .join(split.select(col("doc_id").as("d1"),
+        col("split").as("graft_s1")), Seq("d1"))
+      .join(split.select(col("doc_id").as("d2"),
+        col("split").as("graft_s2")), Seq("d2"))
+      .groupBy(least(col("graft_s1"), col("graft_s2")).as("split_a"),
+        greatest(col("graft_s1"), col("graft_s2")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        (col("split_a") =!= col("split_b")).as("is_crossing"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  val q349Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |hw AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h1,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h2
+      |       FROM sh),
+      |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+      |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band,
+      |            md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bh
+      |          FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |         WHERE a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.d1, c.d2, count(*) AS inter
+      |          FROM cand c
+      |          JOIN sh a ON a.doc_id = c.d1
+      |          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+      |          GROUP BY c.d1, c.d2),
+      |dup AS (SELECT i.d1, i.d2
+      |        FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
+      |                     JOIN sz s2 ON i.d2 = s2.doc_id
+      |        WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter)
+      |          >= 0.5),
+      |b AS (SELECT doc_id,
+      |        (strpos('0123456789abcdef',
+      |           substr(md5('split_' || doc_id), 1, 1)) - 1) * 16
+      |        + strpos('0123456789abcdef',
+      |           substr(md5('split_' || doc_id), 2, 1)) - 1 AS bucket
+      |      FROM documents),
+      |sp AS (SELECT doc_id,
+      |         CASE WHEN bucket < 204 THEN 'train'
+      |              WHEN bucket < 230 THEN 'val'
+      |              ELSE 'test' END AS split
+      |       FROM b)
+      |SELECT least(s1.split, s2.split) AS split_a,
+      |  greatest(s1.split, s2.split) AS split_b,
+      |  COUNT(*) AS n_pairs,
+      |  least(s1.split, s2.split) <> greatest(s1.split, s2.split)
+      |    AS is_crossing
+      |FROM dup d JOIN sp s1 ON d.d1 = s1.doc_id
+      |           JOIN sp s2 ON d.d2 = s2.doc_id
+      |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
 }
