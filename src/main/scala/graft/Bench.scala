@@ -136,13 +136,16 @@ object Bench {
       s""""n_queries":${results.size},"n_errors":$nErr,$env,"sf":"$sfDir"}"""
     println(compact("head"))
     println(s"""{"metric":"detail","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // rep provenance (same bounded-stdout discipline): "reps" in the
+    // other lines is the BASE rep count; this map is the ACTUAL per-query
+    // count after the adaptive third rep. Printed BEFORE detail_min: the
+    // driver keeps only a bounded stdout TAIL, and in r14/r15 this ~4 KB
+    // line displaced the per-query mins from the capture — detail_min is
+    // the line drift triage needs, so it must be the penultimate line.
+    println(s"""{"metric":"reps_used","reps_base":$reps,"reps_total":$totalReps,"queries":$repsUsed,"sf":"$sfDir"}""")
     // min-of-reps per query on its own line (reps >= 2 is the default):
     // the stable number regressions are judged against
     println(s"""{"metric":"detail_min","reps":$reps,"queries":$qsMin,"sf":"$sfDir"}""")
-    // rep provenance on its own line (same bounded-stdout discipline):
-    // "reps" in the other lines is the BASE rep count; this map is the
-    // ACTUAL per-query count after the adaptive third rep
-    println(s"""{"metric":"reps_used","reps_base":$reps,"reps_total":$totalReps,"queries":$repsUsed,"sf":"$sfDir"}""")
     println(compact("tail"))
     spark.stop()
   }

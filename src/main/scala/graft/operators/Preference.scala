@@ -952,6 +952,17 @@ object Preference {
       labels = next
       round += 1
     }
+    // Fail-loud convergence: exiting at maxRounds with changed > 0 means
+    // some labels are still propagating — returning them would OVER-count
+    // components and silently flip the identifiability verdict downstream
+    // (a diameter-50 chain under the default maxRounds=50 reads as 2+
+    // components). min-label needs diameter + 1 rounds (the last one
+    // confirms the fixed point), so the message names the knob.
+    if (changed > 0) throw new IllegalStateException(
+      s"minLabelComponents did not converge in $maxRounds rounds " +
+        s"($changed labels still changing): the comparison graph's " +
+        "diameter is too large for maxRounds — raise maxRounds (needs " +
+        ">= graph diameter + 1) or the component counts would be wrong")
     labels
   }
 

@@ -232,8 +232,17 @@ object Similarity {
         .hint("shuffle_hash"), Seq("tbl", "sig"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    // verification re-joins the vectors by id (narrow corpus shuffles);
-    // only collided pairs ever see a cosine evaluation
+    verifyCandidatePairs(embeddings, idCol, vecCol, threshold, cand)
+  }
+
+  /** The exact-cosine verify stage over a prepared DISTINCT (d1, d2)
+    * candidate table: re-joins the vectors by id (narrow corpus
+    * shuffles) so only collided pairs ever see a cosine evaluation —
+    * shared by every bucketed candidate generator (plain, capped,
+    * salt-split) so the verify plan is identical across them. */
+  private def verifyCandidatePairs(embeddings: DataFrame, idCol: String,
+                                   vecCol: String, threshold: Double,
+                                   cand: DataFrame): DataFrame = {
     val a = embeddings.select(col(idCol).as("d1"), col(vecCol).as("v1"))
     val b = embeddings.select(col(idCol).as("d2"), col(vecCol).as("v2"))
     cand.join(a.hint("shuffle_hash"), "d1").join(b.hint("shuffle_hash"), "d2")
@@ -313,6 +322,96 @@ object Similarity {
       .select(col("tbl"), col("sig"))
     val kept = sigs.join(broadcast(keep), Seq("tbl", "sig"))
     verifiedPairsFromSigs(embeddings, idCol, vecCol, threshold, kept)
+  }
+
+  /**
+   * The RECALL-PRESERVING hot-bucket path (the r13–r15 verdicts' top
+   * open task): where [[cosineNearDupPairsBucketedCapped]] drops an
+   * over-cap (tbl, sig) bucket whole — trading recall for the bound,
+   * and on a real corpus hot buckets are precisely the most-duplicated
+   * content a dedup exists to catch — this variant SALT-SPLITS it into
+   * m = ⌈B/maxBucket⌉ sub-buckets (round-robin by rank-of-id, so every
+   * sub-bucket has ≤ maxBucket members by construction, not just in
+   * expectation) and emits ALL m² sub-bucket block pairs as candidate
+   * join keys. Every pair of the original bucket appears in exactly one
+   * (block_i, block_j) cell, so the candidate set — and therefore the
+   * verified pair set — is IDENTICAL to the uncapped
+   * [[cosineNearDupPairsBucketed]]'s. The cross-sub-bucket miss rate is
+   * exactly 0: unlike a diagonal-only salt split (which finds a random
+   * in-bucket pair with probability 1/m), the full block decomposition
+   * keeps recall lossless. q350 pins this: its DuckDB oracle is
+   * DELIBERATELY the UNCAPPED candidate computation, so the gate
+   * hash-verifies losslessness itself, not a replay of the split.
+   *
+   * What the split buys is not less total work — a bucket of B members
+   * still yields B(B−1)/2 verified pairs, which is irreducible when the
+   * PAIR SET is the contract — but a hard per-task bound: each block
+   * cell joins ≤ maxBucket × maxBucket rows, so the one-giant-partition
+   * failure mode (the straggler/OOM that AQE skew-split cannot fix,
+   * because it cannot split a single join KEY'S B² fan-out) is gone.
+   * Replication cost is bounded and linear-ish: each hot-bucket row is
+   * emitted m times per side (2·B²/cap rows per hot bucket into the
+   * join) — only hot rows pay it; under-cap buckets ride the plain
+   * single-key path untouched.
+   *
+   * Scale shape: census ≤ nTables·2^planesPerTable rows (broadcast);
+   * the rank-of-id window partitions by (tbl, sig) over HOT-bucket rows
+   * only — its per-partition sort is O(B log B), noise next to the B²/2
+   * pair work the bucket then generates. When even the quadratic OUTPUT
+   * of a pathological bucket is unaffordable, that is a policy decision,
+   * not a partitioning one: use the capped variant (kept, with its
+   * [[lshExcludedBuckets]] report) or dedup by cluster representative
+   * instead of by pair.
+   */
+  def cosineNearDupPairsBucketedSaltSplit(embeddings: DataFrame,
+                                          idCol: String, vecCol: String,
+                                          threshold: Double, maxBucket: Long,
+                                          nTables: Int = 4,
+                                          planesPerTable: Int = 4,
+                                          dims: Int = 64): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket=$maxBucket must be >= 1")
+    val sigs = lshSignaturesMulti(embeddings, idCol, vecCol, nTables,
+      planesPerTable, dims)
+    val census = sigs.groupBy(col("tbl"), col("sig"))
+      .agg(count(lit(1)).as("graft_bs"))
+    val sized = sigs.join(broadcast(census), Seq("tbl", "sig"))
+    val cool = sized.filter(col("graft_bs") <= maxBucket)
+    val candCool = cool.select(col(idCol).as("d1"), col("tbl"), col("sig"))
+      .join(cool.select(col(idCol).as("d2"), col("tbl"), col("sig"))
+        .hint("shuffle_hash"), Seq("tbl", "sig"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2")
+    // hot rows: sub-bucket u = (rank-of-id − 1) mod m — deterministic,
+    // engine-portable (the oracle replays the same row_number), and
+    // round-robin so |sub-bucket| ≤ ⌈B/m⌉ ≤ maxBucket is a HARD bound
+    val m = col("graft_m")
+    val hot = sized.filter(col("graft_bs") > maxBucket)
+      .withColumn("graft_m",
+        floor((col("graft_bs") + lit(maxBucket) - 1) / lit(maxBucket))
+          .cast(LongType))
+      .withColumn("graft_u",
+        ((row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tbl"), col("sig")).orderBy(col(idCol)))
+          - 1).cast(LongType) % m))
+    // block enumeration: the left row fixes block_i = its own sub-bucket
+    // and fans out over every block_j; the right row mirrors it — pair
+    // (x, y) meets at exactly (u_x, u_y), then d1 < d2 keeps one of the
+    // two ordered copies, exactly like the plain path's self-join
+    val hotL = hot
+      .withColumn("graft_bj", explode(sequence(lit(0L), m - 1)))
+      .select(col(idCol).as("d1"), col("tbl"), col("sig"),
+        col("graft_u").as("graft_bi"), col("graft_bj"))
+    val hotR = hot
+      .withColumn("graft_bi", explode(sequence(lit(0L), m - 1)))
+      .select(col(idCol).as("d2"), col("tbl"), col("sig"),
+        col("graft_bi"), col("graft_u").as("graft_bj"))
+    val candHot = hotL
+      .join(hotR.hint("shuffle_hash"),
+        Seq("tbl", "sig", "graft_bi", "graft_bj"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2")
+    val cand = candCool.unionByName(candHot).distinct()
+    verifyCandidatePairs(embeddings, idCol, vecCol, threshold, cand)
   }
 
   /**

@@ -357,6 +357,150 @@ object CurationQueries {
       .orderBy(col("split_a"), col("split_b"))
   }
 
+  // ── q351: cluster-aware split (q349's prescribed remediation) ──────────
+
+  /** q351: the fix q349's finding prescribes — the 80/10/10 hash split
+    * keyed on the NEAR-DUP CONNECTED-COMPONENT id (q65's closure over
+    * q349's verified MinHash pairs; singletons key on their own doc_id),
+    * so every near-dup cluster lands in ONE split and no near-dup pair
+    * can straddle train/test BY CONSTRUCTION, not by luck. Output: one
+    * row per split with doc/cluster counts, the half-away ppm share
+    * (the q318-shape balance audit — cluster-keying trades per-doc
+    * balance for integrity, and the share column is where that trade is
+    * read), and the within/crossing pair counts — n_pairs_crossing is
+    * the gate's proof column: it must be 0 on every row.
+    *
+    * Scale shape: pairs + components are the gated q19/q65 machinery;
+    * the split label is a narrow md5 projection over the cluster key;
+    * the doc-level agg is one hash-agg; the pair-level attaches are
+    * doc-keyed equi-joins on the (small) pair table. */
+  def q351ClusterAwareSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = Sources.documents(s, dir)
+    val pairs = TextDedup.minHashLshPairs(d, "doc_id", "text",
+        k = 16, r = 4, w = 3, threshold = 0.5)
+      .localCheckpoint(eager = false) // feeds the closure AND the audit
+    val comp = graft.operators.Graph.connectedComponents(pairs, "d1", "d2")
+    val split = Sampling.deterministicSplit(
+        d.select(col("doc_id"))
+          .join(comp.select(col("node").as("doc_id"), col("component")),
+            Seq("doc_id"), "left")
+          .withColumn("graft_key",
+            coalesce(col("component"), col("doc_id"))),
+        "graft_key", "split",
+        Seq(("train", 204), ("val", 230), ("test", 256)))
+      .select(col("doc_id"), col("graft_key"), col("split"))
+      .localCheckpoint(eager = false) // read by 3 branches below
+    val docAgg = split.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("graft_key")).as("n_clusters"))
+    val total = split.agg(count(lit(1)).as("graft_t"))
+    val labeled = pairs
+      .join(split.select(col("doc_id").as("d1"),
+        col("split").as("graft_s1")), Seq("d1"))
+      .join(split.select(col("doc_id").as("d2"),
+        col("split").as("graft_s2")), Seq("d2"))
+    val within = labeled.filter(col("graft_s1") === col("graft_s2"))
+      .groupBy(col("graft_s1").as("split"))
+      .agg(count(lit(1)).as("graft_w"))
+    // a crossing pair charges BOTH its endpoints' splits — symmetric, so
+    // a reader never has to know which side "caused" it
+    val crossing = labeled.filter(col("graft_s1") =!= col("graft_s2"))
+      .select(col("graft_s1").as("split"))
+      .unionByName(labeled.filter(col("graft_s1") =!= col("graft_s2"))
+        .select(col("graft_s2").as("split")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("graft_x"))
+    docAgg.crossJoin(broadcast(total))
+      .join(within, Seq("split"), "left")
+      .join(crossing, Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        graft.operators.ExactRound.halfAwayDiv(
+          col("n_docs").cast("long") * lit(1000000L),
+          col("graft_t").cast("long")).as("share_ppm"),
+        col("n_clusters"),
+        coalesce(col("graft_w"), lit(0L)).as("n_pairs_within"),
+        coalesce(col("graft_x"), lit(0L)).as("n_pairs_crossing"))
+      .orderBy(col("split"))
+  }
+
+  val q351Sql: String =
+    """WITH RECURSIVE
+      |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |hw AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h1,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h2
+      |       FROM sh),
+      |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+      |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band,
+      |            md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bh
+      |          FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |         WHERE a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.d1, c.d2, count(*) AS inter
+      |          FROM cand c
+      |          JOIN sh a ON a.doc_id = c.d1
+      |          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+      |          GROUP BY c.d1, c.d2),
+      |dup AS (SELECT i.d1, i.d2
+      |        FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
+      |                     JOIN sz s2 ON i.d2 = s2.doc_id
+      |        WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter)
+      |          >= 0.5),
+      |e AS (SELECT d1 AS a, d2 AS b FROM dup
+      |      UNION SELECT d2 AS a, d1 AS b FROM dup),
+      |reach(n, m) AS (
+      |  SELECT DISTINCT a AS n, a AS m FROM e
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+      |comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach
+      |         GROUP BY n),
+      |k AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS key
+      |      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+      |sp AS (SELECT doc_id, key,
+      |         CASE WHEN bucket < 204 THEN 'train'
+      |              WHEN bucket < 230 THEN 'val'
+      |              ELSE 'test' END AS split
+      |       FROM (SELECT doc_id, key,
+      |               (strpos('0123456789abcdef',
+      |                  substr(md5('split_' || key), 1, 1)) - 1) * 16
+      |               + strpos('0123456789abcdef',
+      |                  substr(md5('split_' || key), 2, 1)) - 1 AS bucket
+      |             FROM k)),
+      |tot AS (SELECT COUNT(*) AS t FROM sp),
+      |dc AS (SELECT split, COUNT(*) AS n_docs,
+      |         COUNT(DISTINCT key) AS n_clusters
+      |       FROM sp GROUP BY 1),
+      |pj AS (SELECT s1.split AS sa, s2.split AS sb
+      |       FROM dup d JOIN sp s1 ON d.d1 = s1.doc_id
+      |                  JOIN sp s2 ON d.d2 = s2.doc_id),
+      |w AS (SELECT sa AS split, COUNT(*) AS nw FROM pj WHERE sa = sb
+      |      GROUP BY 1),
+      |x AS (SELECT split, COUNT(*) AS nx FROM (
+      |        SELECT sa AS split FROM pj WHERE sa <> sb
+      |        UNION ALL SELECT sb FROM pj WHERE sa <> sb)
+      |      GROUP BY 1)
+      |SELECT dc.split, dc.n_docs,
+      |  CAST((2 * dc.n_docs::HUGEINT * 1000000 + tot.t)
+      |    // (2 * tot.t::HUGEINT) AS BIGINT) AS share_ppm,
+      |  dc.n_clusters,
+      |  COALESCE(w.nw, 0) AS n_pairs_within,
+      |  COALESCE(x.nx, 0) AS n_pairs_crossing
+      |FROM dc CROSS JOIN tot
+      |LEFT JOIN w ON w.split = dc.split
+      |LEFT JOIN x ON x.split = dc.split
+      |ORDER BY dc.split""".stripMargin
+
   val q349Sql: String =
     """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id,

@@ -59,14 +59,18 @@ object Eval2Queries {
       |SELECT n_units::BIGINT AS n_units, rmin::BIGINT AS n_raters,
       |  n_categories::BIGINT AS n_categories,
       |  (rmax = rmin) AS complete,
-      |  CAST((2 * a * 1000000 + b) // (2 * b) AS BIGINT) AS p_bar_micro,
+      |  CASE WHEN rmin > 1 THEN
+      |    CAST((2 * a * 1000000 + b) // (2 * b) AS BIGINT)
+      |  END AS p_bar_micro,
       |  CAST((2 * c * 1000000 + d) // (2 * d) AS BIGINT) AS p_e_micro,
-      |  CASE WHEN a * d >= c * b THEN
-      |    CAST((2 * (a * d - c * b) * 1000000 + b * (d - c))
-      |      // (2 * b * (d - c)) AS BIGINT)
-      |  ELSE
-      |    -CAST((2 * (c * b - a * d) * 1000000 + b * (d - c))
-      |      // (2 * b * (d - c)) AS BIGINT)
+      |  CASE WHEN rmin > 1 AND d <> c THEN
+      |    CASE WHEN a * d >= c * b THEN
+      |      CAST((2 * (a * d - c * b) * 1000000 + b * (d - c))
+      |        // (2 * b * (d - c)) AS BIGINT)
+      |    ELSE
+      |      -CAST((2 * (c * b - a * d) * 1000000 + b * (d - c))
+      |        // (2 * b * (d - c)) AS BIGINT)
+      |    END
       |  END AS kappa_micro
       |FROM t""".stripMargin
 

@@ -536,26 +536,36 @@ object FrontierQueries {
         "embedding", tau = 0.375, minPts = 3)
       .orderBy(col("vec_id"))
 
+  // nv hoists each vector's L2 norm ONCE (MATERIALIZED): the inline form
+  // re-summed both norms per PAIR — 3 list-lambda folds × n²/2 pairs was
+  // ~830 s/statement at sf0.1, which made q289 the perturbation audit's
+  // 2400 s budget-override row for three rounds. sqrt-then-multiply-then-
+  // divide runs in the identical order on identical doubles, so the
+  // hashed surface is bit-unchanged (verified old-vs-new equal at
+  // sf0.01, and this rewrite cuts the statement to ~3.5 s at sf0.1).
   val q289Sql: String =
-    """WITH RECURSIVE cs AS (
+    """WITH RECURSIVE nv AS MATERIALIZED (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |cs AS MATERIALIZED (
       |  SELECT a.vec_id AS d1, b.vec_id AS d2
-      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id
       |  WHERE round(
       |    list_sum(list_transform(range(1, len(a.embedding) + 1),
       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-      |    (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-      |       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
-      |     sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-      |       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6)
+      |    (a.nrm * b.nrm), 6)
       |    >= 0.375),
-      |sym AS (SELECT d1 AS a, d2 AS b FROM cs
+      |sym AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM cs
       |        UNION ALL SELECT d2, d1 FROM cs),
       |deg AS (SELECT a, COUNT(*) AS c FROM sym GROUP BY 1),
       |core AS (SELECT a AS node FROM deg WHERE c >= 3),
       |ce AS (SELECT d1, d2 FROM cs
       |       WHERE d1 IN (SELECT node FROM core)
       |         AND d2 IN (SELECT node FROM core)),
-      |e AS (SELECT d1 AS a, d2 AS b FROM ce UNION SELECT d2, d1 FROM ce),
+      |e AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM ce
+      |                   UNION SELECT d2, d1 FROM ce),
       |reach(n, m) AS (
       |  SELECT DISTINCT a AS n, a AS m FROM e
       |  UNION

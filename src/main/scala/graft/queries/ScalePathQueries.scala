@@ -34,14 +34,25 @@ object ScalePathQueries {
       |            ELSE 0 END) AS BIGINT) AS sig
       |        FROM proj GROUP BY vec_id, p // 4)""".stripMargin
 
+  // Per-vector L2 norms hoisted ONCE (MATERIALIZED): the inline form
+  // re-summed both norms per candidate PAIR, which put q297 on the
+  // perturbation audit's 900 s budget-override list. sqrt → multiply →
+  // divide runs in the identical order on identical doubles, so every
+  // hashed cosine is bit-unchanged (same rewrite as q289Sql, verified
+  // old-vs-new equal there).
+  private val nvSql: String =
+    """nv AS MATERIALIZED (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  // pair cosine over nv rows a, b (requires $nvSql in the WITH chain)
   private val cosSql: String =
     """round(
       |    list_sum(list_transform(range(1, len(a.embedding) + 1),
       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-      |    (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-      |       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
-      |     sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-      |       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6)""".stripMargin
+      |    (a.nrm * b.nrm), 6)""".stripMargin
 
   // ── q297: DBSCAN over the LSH-bucketed ε-graph ─────────────────────────
 
@@ -64,12 +75,13 @@ object ScalePathQueries {
 
   val q297Sql: String =
     s"""WITH RECURSIVE $sigSql,
+      |$nvSql,
       |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
       |         FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig
       |         WHERE a.vec_id < b.vec_id),
       |cs AS (SELECT c.d1, c.d2
-      |       FROM cand c JOIN embeddings a ON a.vec_id = c.d1
-      |                   JOIN embeddings b ON b.vec_id = c.d2
+      |       FROM cand c JOIN nv a ON a.vec_id = c.d1
+      |                   JOIN nv b ON b.vec_id = c.d2
       |       WHERE $cosSql >= 0.375),
       |sym AS (SELECT d1 AS a, d2 AS b FROM cs
       |        UNION ALL SELECT d2, d1 FROM cs),
@@ -121,13 +133,14 @@ object ScalePathQueries {
 
   val q298Sql: String =
     s"""WITH $sigSql,
+      |$nvSql,
       |cand AS (SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS tgt_id
       |         FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig
       |         WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
       |p AS (SELECT c.src_id, c.tgt_id,
       |        CAST($cosSql AS DECIMAL(18,6)) AS c
-      |      FROM cand c JOIN embeddings a ON a.vec_id = c.src_id
-      |                  JOIN embeddings b ON b.vec_id = c.tgt_id),
+      |      FROM cand c JOIN nv a ON a.vec_id = c.src_id
+      |                  JOIN nv b ON b.vec_id = c.tgt_id),
       |ra AS (SELECT *, row_number() OVER (PARTITION BY src_id
       |         ORDER BY c DESC, tgt_id) AS rna FROM p),
       |sa AS (SELECT src_id, SUM(c) AS sa, COUNT(*) AS ka
@@ -167,13 +180,14 @@ object ScalePathQueries {
 
   val q310Sql: String =
     s"""WITH $sigSql,
+      |$nvSql,
       |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
       |         FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig
       |         WHERE a.vec_id < b.vec_id),
       |p AS (SELECT c.d1, c.d2,
       |        CAST($cosSql AS DECIMAL(18,6)) AS c
-      |      FROM cand c JOIN embeddings a ON a.vec_id = c.d1
-      |                  JOIN embeddings b ON b.vec_id = c.d2),
+      |      FROM cand c JOIN nv a ON a.vec_id = c.d1
+      |                  JOIN nv b ON b.vec_id = c.d2),
       |sym AS (SELECT d1 AS src_id, d2 AS tgt_id, c FROM p
       |        UNION ALL SELECT d2, d1, c FROM p),
       |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
@@ -230,6 +244,7 @@ object ScalePathQueries {
 
   val q338Sql: String =
     s"""WITH $sigSql,
+      |$nvSql,
       |sizes AS (SELECT tbl, sig, COUNT(*) AS bs FROM sig GROUP BY 1, 2),
       |keep AS (SELECT tbl, sig FROM sizes WHERE bs <= 40),
       |ksig AS (SELECT s.vec_id, s.tbl, s.sig
@@ -238,8 +253,8 @@ object ScalePathQueries {
       |         FROM ksig a JOIN ksig b ON a.tbl = b.tbl AND a.sig = b.sig
       |         WHERE a.vec_id < b.vec_id),
       |pairs AS (SELECT c.d1, c.d2, $cosSql AS cosine
-      |  FROM cand c JOIN embeddings a ON a.vec_id = c.d1
-      |              JOIN embeddings b ON b.vec_id = c.d2)
+      |  FROM cand c JOIN nv a ON a.vec_id = c.d1
+      |              JOIN nv b ON b.vec_id = c.d2)
       |SELECT d1, d2, cosine FROM pairs WHERE cosine >= 0.45
       |ORDER BY d1, d2""".stripMargin
 
@@ -263,6 +278,7 @@ object ScalePathQueries {
 
   val q346Sql: String =
     s"""WITH $sigSql,
+      |$nvSql,
       |sizes AS (SELECT tbl, sig, COUNT(*) AS bs FROM sig GROUP BY 1, 2),
       |keep AS (SELECT tbl, sig FROM sizes WHERE bs <= 200),
       |ksig AS (SELECT s.vec_id, s.tbl, s.sig
@@ -271,8 +287,42 @@ object ScalePathQueries {
       |         FROM ksig a JOIN ksig b ON a.tbl = b.tbl AND a.sig = b.sig
       |         WHERE a.vec_id < b.vec_id),
       |pairs AS (SELECT c.d1, c.d2, $cosSql AS cosine
-      |  FROM cand c JOIN embeddings a ON a.vec_id = c.d1
-      |              JOIN embeddings b ON b.vec_id = c.d2)
+      |  FROM cand c JOIN nv a ON a.vec_id = c.d1
+      |              JOIN nv b ON b.vec_id = c.d2)
+      |SELECT d1, d2, cosine FROM pairs WHERE cosine >= 0.45
+      |ORDER BY d1, d2""".stripMargin
+
+  // ── q350: salt-split hot buckets — the recall-preserving cap ──────────
+
+  /** q350: [[Similarity.cosineNearDupPairsBucketedSaltSplit]] at q338's
+    * exact configuration (maxBucket = 40, which ENGAGES at both test
+    * SFs: sf0.01 max bucket 49, sf0.1 max 177) — over-cap buckets are
+    * round-robin split into ⌈B/40⌉ sub-buckets and ALL sub-bucket block
+    * pairs are joined, so every pair of the original bucket is still
+    * generated while no single join cell exceeds 40² rows.
+    *
+    * The oracle is DELIBERATELY the UNCAPPED q58 computation (verbatim
+    * candidate join, no split replay): hash-green here IS the proof
+    * that the salt-split pair set equals the uncapped pair set on a
+    * fixture where the cap engages — the r13–r15 verdicts' done-bar.
+    * A split replay in the oracle could mask a dropped cross-block
+    * pair; the uncapped oracle cannot. */
+  def q350SaltSplitDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairsBucketedSaltSplit(
+        Sources.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.45, maxBucket = 40L,
+        nTables = 4, planesPerTable = 4, dims = 64)
+      .orderBy(col("d1"), col("d2"))
+
+  val q350Sql: String =
+    s"""WITH $sigSql,
+      |$nvSql,
+      |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      |         FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig
+      |         WHERE a.vec_id < b.vec_id),
+      |pairs AS (SELECT c.d1, c.d2, $cosSql AS cosine
+      |  FROM cand c JOIN nv a ON a.vec_id = c.d1
+      |              JOIN nv b ON b.vec_id = c.d2)
       |SELECT d1, d2, cosine FROM pairs WHERE cosine >= 0.45
       |ORDER BY d1, d2""".stripMargin
 
@@ -323,13 +373,14 @@ object ScalePathQueries {
         |    ON g.a = v.node
         |  WHERE COALESCE(g.d, 0) < 4)""".stripMargin
     s"""WITH $sigSql,
+      |$nvSql,
       |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
       |         FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig
       |         WHERE a.vec_id < b.vec_id),
       |p AS (SELECT c.d1, c.d2,
       |        CAST($cosSql AS DECIMAL(18,6)) AS c
-      |      FROM cand c JOIN embeddings a ON a.vec_id = c.d1
-      |                  JOIN embeddings b ON b.vec_id = c.d2),
+      |      FROM cand c JOIN nv a ON a.vec_id = c.d1
+      |                  JOIN nv b ON b.vec_id = c.d2),
       |sym AS (SELECT d1 AS src_id, d2 AS tgt_id, c FROM p
       |        UNION ALL SELECT d2, d1, c FROM p),
       |r AS (SELECT *, row_number() OVER (PARTITION BY src_id

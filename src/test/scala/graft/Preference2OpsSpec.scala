@@ -60,6 +60,12 @@ class Preference2OpsSpec extends SparkSpec {
     val got = Standardize.fleissKappa(r, "unit", "label")
       .select("complete", "n_raters").as[(Boolean, Long)].head()
     assert(got == ((false, 1L)))
+    // rmin = 1 ⇒ no within-unit pairs: P̄ and κ are NULL, never 0/0 —
+    // the q340 DuckDB oracle CASE-guards the same two columns (rmin>1;
+    // rmin>1 AND d≠c) so both surfaces NULL identically on this edge
+    val row = Standardize.fleissKappa(r, "unit", "label")
+      .select(col("p_bar_micro"), col("kappa_micro")).collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1))
   }
 
   // ── judgeConsistency ────────────────────────────────────────────────────
@@ -140,6 +146,28 @@ class Preference2OpsSpec extends SparkSpec {
         "n_winless")
       .as[(Long, Long, Long, Long)].head()
     assert(got == ((1L, 5L, 1L, 1L)))
+  }
+
+  test("comparisonGraphAudit: diameter > maxRounds fails loud, not wrong") {
+    // 8-chain A>B>…>H has diameter 7; min-label needs up to 7 rounds.
+    // With maxRounds=3 the loop exits with labels still changing —
+    // returning them would report >1 components for a connected graph,
+    // so the contract is an exception naming the knob.
+    val g = games(("A", "B"), ("B", "C"), ("C", "D"), ("D", "E"),
+      ("E", "F"), ("F", "G"), ("G", "H"))
+    val ex = intercept[IllegalStateException] {
+      Preference.comparisonGraphAudit(g, "winner", "loser", maxRounds = 3)
+        .collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    assert(ex.getMessage.contains("maxRounds"))
+    // the same graph with enough rounds (diameter 7 + the confirming
+    // round) closes into one component
+    val ok = Preference.comparisonGraphAudit(g, "winner", "loser",
+        maxRounds = 8)
+      .select("n_components", "largest_component")
+      .as[(Long, Long)].head()
+    assert(ok == ((1L, 8L)))
   }
 
   // ── schulzeRanking ──────────────────────────────────────────────────────
@@ -293,5 +321,66 @@ class Preference2OpsSpec extends SparkSpec {
       emb, "vec_id", "embedding", 0.9, nTables = 2, planesPerTable = 3,
       dims = 8)
     assert(uncapped.count() == 190L)
+  }
+
+  // ── salt-split LSH candidate path (recall-preserving cap) ──────────────
+
+  test("salt-split LSH: exact-copy hot bucket keeps ALL pairs the drop-cap loses") {
+    // The same 20-verbatim-copies fixture the drop-cap test zeroes out
+    // on: maxBucket = 5 splits the 20-member bucket into m = 4
+    // sub-buckets; the full 4×4 block decomposition must recover every
+    // one of the C(20,2) = 190 pairs — including the cross-sub-bucket
+    // ones a diagonal-only salt split would miss (a diagonal-only split
+    // would keep just 4·C(5,2) = 40 of them).
+    val emb = (0L until 20L)
+      .map(i => (i, Seq.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val split = Similarity.cosineNearDupPairsBucketedSaltSplit(
+      emb, "vec_id", "embedding", 0.9, maxBucket = 5L, nTables = 2,
+      planesPerTable = 3, dims = 8)
+    assert(split.count() == 190L)
+  }
+
+  test("salt-split LSH: hash-equal to the uncapped pair set while the cap engages") {
+    // mixed fixture: two antipodal near-dup families of 15 — with
+    // maxBucket = 4 both families' buckets are over-cap (m = 4), so the
+    // blocked path is exercised on EVERY candidate-producing bucket,
+    // and the pair set must still equal the uncapped one exactly
+    // (d1, d2, and the 6-dp cosine)
+    val emb = (0L until 30L)
+      .map(i => (i, Array.fill(8)(if (i % 2 == 0) 1.0f else -1.0f)
+        .zipWithIndex.map { case (v, d) => v * (1.0f + d * 0.01f) }.toSeq))
+      .toDF("vec_id", "embedding")
+    val uncapped = Similarity.cosineNearDupPairsBucketed(
+        emb, "vec_id", "embedding", 0.9, nTables = 2, planesPerTable = 3,
+        dims = 8)
+      .orderBy("d1", "d2").collect().toSeq
+    val split = Similarity.cosineNearDupPairsBucketedSaltSplit(
+        emb, "vec_id", "embedding", 0.9, maxBucket = 4L, nTables = 2,
+        planesPerTable = 3, dims = 8)
+      .orderBy("d1", "d2").collect().toSeq
+    assert(uncapped.nonEmpty && split == uncapped)
+    // while the drop-cap variant at the same cap loses them all (every
+    // bucket is hot) — the recall gap q350 exists to close
+    val dropped = Similarity.cosineNearDupPairsBucketedCapped(
+      emb, "vec_id", "embedding", 0.9, maxBucket = 4L, nTables = 2,
+      planesPerTable = 3, dims = 8)
+    assert(dropped.count() == 0L)
+  }
+
+  test("salt-split LSH: inactive cap rides the plain path unchanged") {
+    val emb = (0L until 30L)
+      .map(i => (i, Array.fill(8)(if (i % 2 == 0) 1.0f else -1.0f)
+        .zipWithIndex.map { case (v, d) => v * (1.0f + d * 0.01f) }.toSeq))
+      .toDF("vec_id", "embedding")
+    val uncapped = Similarity.cosineNearDupPairsBucketed(
+        emb, "vec_id", "embedding", 0.9, nTables = 2, planesPerTable = 3,
+        dims = 8)
+      .orderBy("d1", "d2").collect().toSeq
+    val split = Similarity.cosineNearDupPairsBucketedSaltSplit(
+        emb, "vec_id", "embedding", 0.9, maxBucket = 1000L, nTables = 2,
+        planesPerTable = 3, dims = 8)
+      .orderBy("d1", "d2").collect().toSeq
+    assert(split == uncapped)
   }
 }

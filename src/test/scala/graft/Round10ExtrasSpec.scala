@@ -281,6 +281,30 @@ class Round10ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("cluster-aware split admits zero crossing near-dup pairs by construction") {
+    // q351 keys the hash split on the near-dup component id: crossing
+    // pairs must be structurally impossible, docs conserved, and the
+    // per-split pair counts must account for every verified pair
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.CurationQueries.q351ClusterAwareSplit(spark, sf)
+      .select("split", "n_docs", "share_ppm", "n_clusters",
+        "n_pairs_within", "n_pairs_crossing")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    out.foreach { r =>
+      assert(r._6 == 0L, s"split ${r._1} has ${r._6} crossing pairs")
+      assert(r._4 <= r._2, "more clusters than docs")
+    }
+    val nDocs = spark.read
+      .parquet(s"$sf/documents.parquet").count()
+    assert(out.map(_._2).sum == nDocs, "docs not conserved across splits")
+    val nPairs = graft.operators.TextDedup.minHashLshPairs(
+      spark.read.parquet(s"$sf/documents.parquet"),
+      "doc_id", "text", k = 16, r = 4, w = 3, threshold = 0.5).count()
+    assert(out.map(_._5).sum == nPairs,
+      "within-split pair counts must cover every verified near-dup pair")
+  }
+
   // ── Spearman rank correlation ───────────────────────────────────────────
 
   test("spearmanRho is 1 on agreement, -1 on reversal, exact in between") {

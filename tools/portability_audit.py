@@ -113,31 +113,47 @@ def timed_surface(con, sql, budget):
     closures) are minutes-to-hours slow — a skipped-with-reason row beats
     an audit that never terminates.
 
-    Race guard (r13 ADVICE): Timer.cancel() after the statement completes
-    does NOT stop a timer whose callback is already running — a late
-    interrupt would then poison the shared connection and abort the NEXT
-    audited query, misclassifying it as fragile/skipped. The callback
-    checks a done-flag under a lock, and cancel-side code sets the flag
-    under the same lock, so a timer that lost the race is a no-op."""
+    Race guard (r13/r15 ADVICE): Timer.cancel() after the statement
+    completes does NOT stop a timer whose callback is already running —
+    a late interrupt would then poison the shared connection and abort
+    the NEXT audited query, misclassifying it as fragile/skipped. Two
+    layers close it: (a) the callback checks a done-flag under a lock,
+    set as the FIRST thing after the statement returns, so the window is
+    as small as Python can make it; (b) the callback records that it
+    fired, and if it did — whether it hit the statement or lost the race
+    — a throwaway `SELECT 1` drains any interrupt left pending on the
+    connection before the next audited query runs."""
     import threading
-    timer = None
-    if budget:
-        lock = threading.Lock()
-        state = {"done": False}
-
-        def fire():
-            with lock:
-                if not state["done"]:
-                    con.interrupt()
-        timer = threading.Timer(budget, fire)
-        timer.start()
-    try:
+    if not budget:
         return surface(con, sql)
+    lock = threading.Lock()
+    state = {"done": False, "fired": False}
+
+    def fire():
+        with lock:
+            if not state["done"]:
+                state["fired"] = True
+                con.interrupt()
+    timer = threading.Timer(budget, fire)
+    timer.start()
+    try:
+        res = surface(con, sql)
+        with lock:
+            state["done"] = True
+        return res
     finally:
-        if timer:
-            with lock:
-                state["done"] = True
-            timer.cancel()
+        with lock:
+            state["done"] = True
+            fired = state["fired"]
+        timer.cancel()
+        if fired:
+            # an interrupt that landed after the statement finished sits
+            # pending on the connection — consume it here so it cannot
+            # abort the next audited query
+            try:
+                con.execute("SELECT 1").fetchall()
+            except Exception:
+                pass
 
 
 def main():
