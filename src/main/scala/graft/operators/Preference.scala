@@ -913,6 +913,215 @@ object Preference {
             lit(1000000L).cast(big), den)).as("wilson_ub_micro"))
   }
 
+  /**
+   * Length-controlled win-rate audit (the AlpacaEval-2.0 lens, Dubois
+   * et al. 2024, applied as stratification): [[verbosityBias]] asks
+   * whether the longer side wins GLOBALLY — one rate that confounds
+   * "judges reward length" with "this log's length gaps are huge". This
+   * operator stratifies the decided games by the LENGTH GAP
+   * |winner_len − loser_len| into fixed-width buckets and reports the
+   * longer-side win share per bucket with its own z = 2 Wilson band
+   * (the exact [[isqrt]] machinery of q329/q342): a length-biased judge
+   * shows bands sitting above 50% that RISE with the gap; a clean judge
+   * shows bands straddling 50% at every gap. Equal-length games carry
+   * no longer-side signal and are excluded (bucket b covers gaps
+   * [b·width+1, (b+1)·width]).
+   *
+   * Exactness: counts, one exact isqrt per BUCKET row, half-away
+   * micros — no floating point. Buckets must stay under ~4·10¹⁰ games
+   * for the isqrt ±1 window (the [[wilsonWinRates]] bound). Scale
+   * shape: ONE map-side-combinable hash-agg over the comparison log;
+   * the Wilson arithmetic runs on the |buckets|-row aggregate.
+   */
+  def lengthControlledWinRate(comparisons: DataFrame, winnerLenCol: String,
+                              loserLenCol: String,
+                              gapWidth: Long = 5L): DataFrame = {
+    require(gapWidth >= 1, s"gapWidth=$gapWidth must be >= 1")
+    val games = comparisons
+      .select(col(winnerLenCol).cast(LongType).as("graft_wl"),
+        col(loserLenCol).cast(LongType).as("graft_ll"))
+      .filter(col("graft_wl").isNotNull && col("graft_ll").isNotNull &&
+        col("graft_wl") =!= col("graft_ll"))
+      .withColumn("gap_bucket", call_function("div",
+        (abs(col("graft_wl") - col("graft_ll")) - 1).cast(big),
+        lit(gapWidth).cast(big)).cast(LongType))
+    val agg = games.groupBy(col("gap_bucket"))
+      .agg(count(lit(1)).as("n_games"),
+        sum(when(col("graft_wl") > col("graft_ll"), 1L).otherwise(0L))
+          .as("n_longer_won"),
+        sum(when(col("graft_wl") < col("graft_ll"), 1L).otherwise(0L))
+          .as("n_shorter_won"))
+    val wv = col("n_longer_won"); val n = col("n_games")
+    val x = n.cast(big) * (wv.cast(big) * (n - wv).cast(big) + n.cast(big))
+    val s = isqrt(x)
+    val den = (n.cast(big) * (n + 4).cast(big)).cast(big)
+    agg.select(col("gap_bucket"),
+      (col("gap_bucket") * gapWidth + 1).as("gap_lo"),
+      ((col("gap_bucket") + 1) * gapWidth).as("gap_hi"),
+      col("n_games"), col("n_longer_won"), col("n_shorter_won"),
+      ExactRound.halfAwayDiv(
+        wv.cast(big) * lit(1000000L).cast(big), n.cast(big))
+        .as("longer_win_micro"),
+      ExactRound.halfAwayDiv(
+        ((wv + 2).cast(big) * n.cast(big) -
+          lit(2L).cast(big) * s.cast(big)).cast(big) *
+          lit(1000000L).cast(big), den).as("wilson_lb_micro"),
+      ExactRound.halfAwayDiv(
+        ((wv + 2).cast(big) * n.cast(big) +
+          lit(2L).cast(big) * s.cast(big)).cast(big) *
+          lit(1000000L).cast(big), den).as("wilson_ub_micro"))
+  }
+
+  /**
+   * Dawid–Skene judge-reliability EM (Dawid & Skene 1979, the canonical
+   * crowd/judge confusion-matrix model): units each carry a latent true
+   * class; every judge j gets a per-class confusion row π_j(c, l) =
+   * P(j says l | truth c), and the EM alternates posterior class
+   * weights T_u(c) with confusion/prior re-estimates. The LLM-eval use:
+   * κ (q340) says WHETHER judges disagree; this says WHO is unreliable
+   * and HOW (which classes they confuse) — the table that decides which
+   * judge's labels get down-weighted before a leaderboard ships.
+   *
+   * Determinism contract (the [[bradleyTerry]] MM discipline): micro
+   * fixed point end-to-end, every division half-away over DECIMAL(38,0)
+   * products, a FIXED iteration count, add-one (1-micro-pseudo-count)
+   * Laplace smoothing on π and priors with a floor of 1 micro — no
+   * libm, bit-identical on any engine. T₀ is the majority-vote
+   * fraction n_uc/r. One EM cycle = M-step (π, priors from T) then
+   * E-step (T ∝ prior · Π_k π); the returned table is the M-step of
+   * the final T, so `iters = 0` is exactly the majority-vote-weighted
+   * confusion matrix.
+   *
+   * Completeness contract: every unit has EXACTLY r ratings (the Fleiss
+   * fixed-r precondition, q340's `complete` flag) — units with any
+   * other count are dropped before the fit; r ≤ 5 keeps the E-step
+   * product (prior · π^r ≤ 10^(6(r+1))) inside DECIMAL(38,0) with the
+   * ×10⁶ division headroom. The label vocabulary is collected once
+   * (metadata-scale by the layer's contract — classes are rating
+   * categories, not corpus rows; the TextAnalysis vocab precedent).
+   *
+   * Scale shape: per cycle, ONE corpus-scale ratings×T equi-join for
+   * the M-step sums and one explode-by-classes projection + r broadcast
+   * π attaches + a unit-partitioned window for the E-step — unit
+   * cardinality is corpus-high, so the window partitions are C rows
+   * each. π/priors are judges·C² metadata, broadcast EXPLICITLY.
+   *
+   * Output: (judge, true_class, label, pi_micro, n_ratings) — π rows
+   * for EVERY (judge, class, label) combination (smoothing fills the
+   * unobserved cells; Σ_l pi_micro ≈ 10⁶ up to rounding), n_ratings the
+   * raw observed (judge, label) count, unsmoothed.
+   */
+  def dawidSkeneConfusion(ratings: DataFrame, unitCol: String,
+                          judgeCol: String, labelCol: String, r: Int,
+                          iters: Int = 2): DataFrame = {
+    require(r >= 2 && r <= 5, s"r=$r out of range (2..5)")
+    require(iters >= 0 && iters <= 5, s"iters=$iters out of range (0..5)")
+    val w = org.apache.spark.sql.expressions.Window
+    val base = ratings.select(col(unitCol).cast(StringType).as("graft_u"),
+        col(judgeCol).cast(StringType).as("graft_j"),
+        col(labelCol).cast(StringType).as("graft_l"))
+      .filter(col("graft_u").isNotNull && col("graft_j").isNotNull &&
+        col("graft_l").isNotNull)
+    // fixed-r completeness: exactly r ratings per unit or the unit is out
+    val rt = base
+      .withColumn("graft_cnt", count(lit(1)).over(
+        w.partitionBy(col("graft_u"))))
+      .filter(col("graft_cnt") === r)
+      .withColumn("graft_rn", row_number().over(
+        w.partitionBy(col("graft_u"))
+          .orderBy(col("graft_j"), col("graft_l"))))
+      .select(col("graft_u"), col("graft_j"), col("graft_l"),
+        col("graft_rn"))
+      .localCheckpoint(eager = false) // read every cycle + pivot + output
+    // label vocabulary: rating categories — metadata-scale by contract
+    val classes: Seq[String] = rt.select(col("graft_l")).distinct()
+      .orderBy(col("graft_l")).collect().map(_.getString(0)).toSeq
+    val nC = classes.size
+    val classArr = array(classes.map(lit): _*)
+    // T0: majority-vote fraction in micros (sparse — absent classes = 0)
+    var t = rt.groupBy(col("graft_u"), col("graft_l").as("graft_c"))
+      .agg(count(lit(1)).as("graft_n"))
+      .select(col("graft_u"), col("graft_c"),
+        ExactRound.halfAwayDiv(col("graft_n").cast(big) * lit(S).cast(big),
+          lit(r.toLong).cast(big)).as("graft_t"))
+    // all (judge, class, label) cells — explodes, not joins, so the plan
+    // stays cartesian-free
+    val combos = rt.select(col("graft_j")).distinct()
+      .withColumn("graft_tc", explode(classArr))
+      .withColumn("graft_lbl", explode(classArr))
+    def mStep(tCur: DataFrame): (DataFrame, DataFrame) = {
+      val joined = rt.join(tCur, Seq("graft_u"))
+      val num = joined.groupBy(col("graft_j"), col("graft_c"),
+          col("graft_l").as("graft_lbl"))
+        .agg(sum(col("graft_t").cast(big)).as("graft_s"))
+      val den = num.groupBy(col("graft_j"), col("graft_c"))
+        .agg(sum(col("graft_s")).as("graft_d"))
+      val pi = combos
+        .join(num.withColumnRenamed("graft_c", "graft_tc"),
+          Seq("graft_j", "graft_tc", "graft_lbl"), "left")
+        .join(den.withColumnRenamed("graft_c", "graft_tc"),
+          Seq("graft_j", "graft_tc"), "left")
+        .select(col("graft_j"), col("graft_tc"), col("graft_lbl"),
+          greatest(lit(1L), ExactRound.halfAwayDiv(
+            ((coalesce(col("graft_s"), lit(0L).cast(big)) +
+              lit(S).cast(big)) * lit(S).cast(big)).cast(big),
+            (coalesce(col("graft_d"), lit(0L).cast(big)) +
+              lit(S * nC).cast(big)).cast(big))).as("graft_p"))
+      val byClass = tCur.groupBy(col("graft_c"))
+        .agg(sum(col("graft_t").cast(big)).as("graft_s"))
+      val tot = byClass.agg(sum(col("graft_s")).as("graft_tot"))
+      val prior = byClass.crossJoin(broadcast(tot))
+        .select(col("graft_c"),
+          greatest(lit(1L), ExactRound.halfAwayDiv(
+            ((col("graft_s") + lit(S).cast(big)) * lit(S).cast(big))
+              .cast(big),
+            (col("graft_tot") + lit(S * nC).cast(big)).cast(big)))
+            .as("graft_pr"))
+      (pi, prior)
+    }
+    for (_ <- 1 to iters) {
+      val (pi, prior) = mStep(t)
+      // E-step: pivot the unit's r (judge, label) slots, score every
+      // candidate class with prior · Π_k π_k, renormalize per unit
+      val pivotCols = (1 to r).flatMap { k =>
+        Seq(max(when(col("graft_rn") === k, col("graft_j")))
+            .as(s"graft_j$k"),
+          max(when(col("graft_rn") === k, col("graft_l")))
+            .as(s"graft_l$k"))
+      }
+      var scored = rt.groupBy(col("graft_u"))
+        .agg(pivotCols.head, pivotCols.tail: _*)
+        .withColumn("graft_c", explode(classArr))
+        .join(broadcast(prior), Seq("graft_c"))
+        .withColumn("graft_num", col("graft_pr").cast(big))
+      for (k <- 1 to r) {
+        scored = scored.join(broadcast(pi.select(
+            col("graft_j").as(s"graft_j$k"), col("graft_tc").as("graft_c"),
+            col("graft_lbl").as(s"graft_l$k"),
+            col("graft_p").as(s"graft_p$k"))),
+          Seq(s"graft_j$k", "graft_c", s"graft_l$k"))
+          .withColumn("graft_num",
+            (col("graft_num") * col(s"graft_p$k").cast(big)).cast(big))
+      }
+      t = scored
+        .withColumn("graft_den", sum(col("graft_num")).over(
+          w.partitionBy(col("graft_u"))))
+        .select(col("graft_u"), col("graft_c"),
+          ExactRound.halfAwayDiv(
+            (col("graft_num") * lit(S).cast(big)).cast(big),
+            col("graft_den")).as("graft_t"))
+        .localCheckpoint(eager = false)
+    }
+    val (piOut, _) = mStep(t)
+    val nr = rt.groupBy(col("graft_j"), col("graft_l").as("graft_lbl"))
+      .agg(count(lit(1)).as("graft_nr"))
+    piOut.join(nr, Seq("graft_j", "graft_lbl"), "left")
+      .select(col("graft_j").as("judge"), col("graft_tc").as("true_class"),
+        col("graft_lbl").as("label"),
+        col("graft_p").cast(LongType).as("pi_micro"),
+        coalesce(col("graft_nr"), lit(0L)).as("n_ratings"))
+  }
+
   /** Min-label connected components over a metadata-scale STRING item
     * graph: labels start as the item itself and each round takes the
     * min over the closed neighborhood, converging in diameter rounds

@@ -490,6 +490,186 @@ object Eval2Queries {
        |FROM nn CROSS JOIN agg""".stripMargin
   }
 
+  // ── q353: length-controlled win rate (per-gap-bucket Wilson bands) ─────
+
+  /** q353: [[Preference.lengthControlledWinRate]] over q342's exact
+    * fixture (line-item counts as response lengths) with gapWidth = 2 —
+    * the AlpacaEval-2.0-style stratification that separates "judges
+    * reward length" from "this log has huge length gaps": the
+    * longer-side win share per |len gap| bucket, each with its own
+    * z = 2 Wilson band via the exact isqrt. */
+  def q353LengthControlled(s: SparkSession, dir: String): DataFrame = {
+    val key = (floor(col("o_totalprice") * lit(100)).cast(LongType) *
+      lit(10000000000L) + col("o_orderkey")).as("graft_k")
+    val games = Sources.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority").as("graft_p"), key)
+      .groupBy(col("o_custkey"))
+      .agg(max_by(col("graft_p"), col("graft_k")).as("winner"),
+        min_by(col("graft_p"), col("graft_k")).as("loser"),
+        (max(col("graft_k")) % lit(10000000000L)).as("graft_wok"),
+        (min(col("graft_k")) % lit(10000000000L)).as("graft_lok"))
+      .filter(col("winner") =!= col("loser"))
+    val lc = Sources.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("graft_n"))
+    val withLens = games
+      .join(lc.select(col("l_orderkey").as("graft_wok"),
+        col("graft_n").as("graft_wn")), Seq("graft_wok"), "left")
+      .join(lc.select(col("l_orderkey").as("graft_lok"),
+        col("graft_n").as("graft_ln")), Seq("graft_lok"), "left")
+      .select(coalesce(col("graft_wn"), lit(0L)).as("winner_len"),
+        coalesce(col("graft_ln"), lit(0L)).as("loser_len"))
+    Preference.lengthControlledWinRate(withLens, "winner_len",
+        "loser_len", gapWidth = 2L)
+      .orderBy(col("gap_bucket"))
+  }
+
+  val q353Sql: String =
+    """WITH c AS (SELECT o_custkey,
+      |    arg_max(o_orderpriority,
+      |      CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
+      |        + o_orderkey) AS winner,
+      |    arg_min(o_orderpriority,
+      |      CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
+      |        + o_orderkey) AS loser,
+      |    MAX(CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
+      |        + o_orderkey) % 10000000000 AS wok,
+      |    MIN(CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
+      |        + o_orderkey) % 10000000000 AS lok
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT wok, lok FROM c WHERE winner <> loser),
+      |lc AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+      |lens AS (SELECT COALESCE(w.n, 0) AS wl, COALESCE(l.n, 0) AS ll
+      |         FROM g LEFT JOIN lc w ON w.l_orderkey = g.wok
+      |                LEFT JOIN lc l ON l.l_orderkey = g.lok),
+      |a AS (SELECT (ABS(wl - ll) - 1) // 2 AS gb, COUNT(*) AS n,
+      |        SUM(CASE WHEN wl > ll THEN 1 ELSE 0 END) AS w
+      |      FROM lens WHERE wl <> ll GROUP BY 1),
+      |b AS (SELECT gb, n, w, n - w AS ns,
+      |        n::HUGEINT * (w::HUGEINT * (n - w) + n) AS x
+      |      FROM a),
+      |s0 AS (SELECT *, CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT)
+      |         AS y0 FROM b),
+      |s1 AS (SELECT *, y0 - CASE WHEN y0::HUGEINT * y0 > x
+      |         THEN 1 ELSE 0 END AS y1 FROM s0),
+      |s2 AS (SELECT *, y1 + CASE WHEN (y1 + 1)::HUGEINT * (y1 + 1) <= x
+      |         THEN 1 ELSE 0 END AS isq FROM s1)
+      |SELECT gb::BIGINT AS gap_bucket, (gb * 2 + 1)::BIGINT AS gap_lo,
+      |  ((gb + 1) * 2)::BIGINT AS gap_hi, n::BIGINT AS n_games,
+      |  w::BIGINT AS n_longer_won, ns::BIGINT AS n_shorter_won,
+      |  CAST((2 * w::HUGEINT * 1000000 + n) // (2 * n::HUGEINT)
+      |    AS BIGINT) AS longer_win_micro,
+      |  CAST((2 * ((w + 2)::HUGEINT * n - 2 * isq) * 1000000
+      |      + n::HUGEINT * (n + 4))
+      |    // (2 * n::HUGEINT * (n + 4)) AS BIGINT) AS wilson_lb_micro,
+      |  CAST((2 * ((w + 2)::HUGEINT * n + 2 * isq) * 1000000
+      |      + n::HUGEINT * (n + 4))
+      |    // (2 * n::HUGEINT * (n + 4)) AS BIGINT) AS wilson_ub_micro
+      |FROM s2 ORDER BY gap_bucket""".stripMargin
+
+  // ── q352: Dawid–Skene judge confusion matrices ─────────────────────────
+
+  /** q352: [[Preference.dawidSkeneConfusion]] — the q341 judge fixture
+    * (order YEARS as judges, one deterministic priority label per
+    * (customer, year)) folded to each customer's first 3 judge-years,
+    * so every unit has exactly r = 3 ratings (the operator's Fleiss
+    * completeness contract); 2 EM cycles + closing M-step. κ (q340)
+    * said WHETHER the judges disagree; this table says WHO confuses
+    * WHICH classes. */
+  def q352DawidSkene(s: SparkSession, dir: String): DataFrame = {
+    val key = (floor(col("o_totalprice") * lit(100)).cast(LongType) *
+      lit(10000000000L) + col("o_orderkey")).as("graft_k")
+    val perJudge = Sources.orders(s, dir)
+      .select(col("o_custkey"),
+        year(col("o_orderdate")).cast("string").as("judge"),
+        col("o_orderpriority").as("graft_p"), key)
+      .groupBy(col("o_custkey"), col("judge"))
+      .agg(max_by(col("graft_p"), col("graft_k")).as("graft_lbl"))
+    val wOrd = Window.partitionBy(col("o_custkey")).orderBy(col("judge"))
+    val wAll = Window.partitionBy(col("o_custkey"))
+    val rated = perJudge
+      .withColumn("graft_rn", row_number().over(wOrd))
+      .withColumn("graft_cnt", count(lit(1)).over(wAll))
+      .filter(col("graft_cnt") >= 3 && col("graft_rn") <= 3)
+    Preference.dawidSkeneConfusion(rated, "o_custkey", "judge",
+        "graft_lbl", r = 3, iters = 2)
+      .orderBy(col("judge"), col("true_class"), col("label"))
+  }
+
+  val q352Sql: String = {
+    // one M-step: π and priors from t{i-1} (add-one smoothing in micros,
+    // half-away division, 1-micro floor — the operator's exact formulas)
+    def m(i: Int): String =
+      s"""m${i}n AS (SELECT r.j, t.c AS tc, r.l AS lbl, SUM(t.t) AS s
+         |  FROM rt r JOIN t${i - 1} t ON t.u = r.u GROUP BY 1, 2, 3),
+         |m${i}d AS (SELECT j, tc, SUM(s) AS d FROM m${i}n GROUP BY 1, 2),
+         |pi$i AS (SELECT cb.j, cb.tc, cb.lbl,
+         |  GREATEST(1, (2 * (COALESCE(n.s, 0) + 1000000)::HUGEINT * 1000000
+         |      + COALESCE(d.d, 0) + nc.k * 1000000)
+         |    // (2 * (COALESCE(d.d, 0) + nc.k * 1000000)::HUGEINT)) AS p
+         |  FROM cb CROSS JOIN nc
+         |  LEFT JOIN m${i}n n ON n.j = cb.j AND n.tc = cb.tc
+         |    AND n.lbl = cb.lbl
+         |  LEFT JOIN m${i}d d ON d.j = cb.j AND d.tc = cb.tc),
+         |pc$i AS (SELECT c, SUM(t) AS s FROM t${i - 1} GROUP BY 1),
+         |pt$i AS (SELECT SUM(t) AS tot FROM t${i - 1}),
+         |pr$i AS (SELECT c, GREATEST(1,
+         |    (2 * (s + 1000000)::HUGEINT * 1000000 + tot + nc.k * 1000000)
+         |    // (2 * (tot + nc.k * 1000000)::HUGEINT)) AS p
+         |  FROM pc$i CROSS JOIN pt$i CROSS JOIN nc)""".stripMargin
+    // one E-step: score every class as prior · Π π over the unit's 3
+    // rating slots, renormalize per unit
+    def e(i: Int): String =
+      s"""e$i AS (SELECT pv.u, cls.c,
+         |    pr.p::HUGEINT * p1.p * p2.p * p3.p AS num
+         |  FROM pv CROSS JOIN cls
+         |  JOIN pr$i pr ON pr.c = cls.c
+         |  JOIN pi$i p1 ON p1.j = pv.j1 AND p1.tc = cls.c
+         |    AND p1.lbl = pv.l1
+         |  JOIN pi$i p2 ON p2.j = pv.j2 AND p2.tc = cls.c
+         |    AND p2.lbl = pv.l2
+         |  JOIN pi$i p3 ON p3.j = pv.j3 AND p3.tc = cls.c
+         |    AND p3.lbl = pv.l3),
+         |t$i AS (SELECT u, c, (2 * num * 1000000 + den) // (2 * den) AS t
+         |  FROM (SELECT u, c, num, SUM(num) OVER (PARTITION BY u) AS den
+         |        FROM e$i))""".stripMargin
+    s"""WITH o AS (SELECT o_custkey AS u,
+       |    CAST(year(o_orderdate) AS VARCHAR) AS j,
+       |    arg_max(o_orderpriority,
+       |      CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
+       |        + o_orderkey) AS l
+       |  FROM orders GROUP BY 1, 2),
+       |rk AS (SELECT u, j, l,
+       |    row_number() OVER (PARTITION BY u ORDER BY j, l) AS rn,
+       |    COUNT(*) OVER (PARTITION BY u) AS cnt FROM o),
+       |rt AS (SELECT u, j, l, rn FROM rk WHERE cnt >= 3 AND rn <= 3),
+       |cls AS (SELECT DISTINCT l AS c FROM rt),
+       |nc AS (SELECT COUNT(*) AS k FROM cls),
+       |jd AS (SELECT DISTINCT j FROM rt),
+       |cb AS (SELECT jd.j, a.c AS tc, b.c AS lbl
+       |       FROM jd CROSS JOIN cls a CROSS JOIN cls b),
+       |pv AS (SELECT u, MAX(CASE WHEN rn = 1 THEN j END) AS j1,
+       |         MAX(CASE WHEN rn = 1 THEN l END) AS l1,
+       |         MAX(CASE WHEN rn = 2 THEN j END) AS j2,
+       |         MAX(CASE WHEN rn = 2 THEN l END) AS l2,
+       |         MAX(CASE WHEN rn = 3 THEN j END) AS j3,
+       |         MAX(CASE WHEN rn = 3 THEN l END) AS l3
+       |       FROM rt GROUP BY u),
+       |t0 AS (SELECT u, l AS c,
+       |         (2 * COUNT(*)::HUGEINT * 1000000 + 3) // 6 AS t
+       |       FROM rt GROUP BY u, l),
+       |${m(1)},
+       |${e(1)},
+       |${m(2)},
+       |${e(2)},
+       |${m(3)},
+       |nr AS (SELECT j, l AS lbl, COUNT(*) AS n FROM rt GROUP BY 1, 2)
+       |SELECT p.j AS judge, p.tc AS true_class, p.lbl AS label,
+       |  p.p::BIGINT AS pi_micro, COALESCE(nr.n, 0)::BIGINT AS n_ratings
+       |FROM pi3 p LEFT JOIN nr ON nr.j = p.j AND nr.lbl = p.lbl
+       |ORDER BY judge, true_class, label""".stripMargin
+  }
+
   // ── q345: Borda count over the listwise fixture ────────────────────────
 
   /** q345: [[Preference.bordaCount]] over q337's per-customer priority

@@ -323,6 +323,104 @@ class Preference2OpsSpec extends SparkSpec {
     assert(uncapped.count() == 190L)
   }
 
+  // ── dawidSkeneConfusion ─────────────────────────────────────────────────
+
+  test("dawidSkeneConfusion: iters = 0 is the hand-computed majority-weighted M-step") {
+    // r = 2: u1 rated (J1:A, J2:A), u2 rated (J1:A, J2:B).
+    // T0: u1 {A: 10^6}, u2 {A: 5·10^5, B: 5·10^5}. Add-one smoothing,
+    // L = 2. J1 rates A on both units:
+    //   π_J1(A,A) = (1.5e6+1e6)/(1.5e6+2e6) = 2.5/3.5 → 714286
+    //   π_J1(A,B) = (0+1e6)/3.5e6 → 285714
+    //   π_J1(B,·): mass 5e5 (u2 only, label A):
+    //     (B,A) = 1.5e6/2.5e6 → 600000, (B,B) = 1e6/2.5e6 → 400000
+    // J2 rates u1:A, u2:B:
+    //   (A,A) = 2e6/3.5e6 → 571429, (A,B) = 1.5e6/3.5e6 → 428571
+    //   (B,A) = 1e6/2.5e6 → 400000, (B,B) = 1.5e6/2.5e6 → 600000
+    val r = Seq(("u1", "J1", "A"), ("u1", "J2", "A"),
+      ("u2", "J1", "A"), ("u2", "J2", "B"))
+      .toDF("unit", "judge", "label")
+    val got = Preference.dawidSkeneConfusion(r, "unit", "judge", "label",
+        r = 2, iters = 0)
+      .orderBy("judge", "true_class", "label")
+      .select("judge", "true_class", "label", "pi_micro", "n_ratings")
+      .as[(String, String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("J1", "A", "A", 714286L, 2L), ("J1", "A", "B", 285714L, 0L),
+      ("J1", "B", "A", 600000L, 2L), ("J1", "B", "B", 400000L, 0L),
+      ("J2", "A", "A", 571429L, 1L), ("J2", "A", "B", 428571L, 1L),
+      ("J2", "B", "A", 400000L, 1L), ("J2", "B", "B", 600000L, 1L)))
+  }
+
+  test("dawidSkeneConfusion: EM sharpens a consistent majority against one dissenter") {
+    // 3 judges, 4 units; J1/J2 always agree, J3 always dissents on
+    // B-units. After an EM cycle the agreeing judges' diagonal must
+    // dominate and every (judge, class) row still sums to ~10^6.
+    val r = Seq(
+      ("u1", "J1", "A"), ("u1", "J2", "A"), ("u1", "J3", "A"),
+      ("u2", "J1", "B"), ("u2", "J2", "B"), ("u2", "J3", "A"),
+      ("u3", "J1", "B"), ("u3", "J2", "B"), ("u3", "J3", "A"),
+      ("u4", "J1", "A"), ("u4", "J2", "A"), ("u4", "J3", "A"))
+      .toDF("unit", "judge", "label")
+    val got = Preference.dawidSkeneConfusion(r, "unit", "judge", "label",
+        r = 3, iters = 2)
+      .select("judge", "true_class", "label", "pi_micro")
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got.size == 12) // 3 judges × 2 classes × 2 labels
+    assert(got.forall(x => x._4 >= 1L && x._4 <= 1000000L))
+    // rows sum to 10^6 up to per-cell rounding
+    got.groupBy(x => (x._1, x._2)).foreach { case (k, rows) =>
+      val s = rows.map(_._4).sum
+      assert(math.abs(s - 1000000L) <= rows.size, s"row $k sums to $s")
+    }
+    val pi = got.map(x => (x._1, x._2, x._3) -> x._4).toMap
+    // agreeing judges: diagonal beats off-diagonal on both classes
+    for (j <- Seq("J1", "J2"); c <- Seq("A", "B")) {
+      val other = if (c == "A") "B" else "A"
+      assert(pi((j, c, c)) > pi((j, c, other)),
+        s"$j should look reliable on class $c: $pi")
+    }
+    // the dissenter's B row must show the A-confusion
+    assert(pi(("J3", "B", "A")) > pi(("J3", "B", "B")),
+      s"J3's B-confusion must surface: $pi")
+  }
+
+  test("dawidSkeneConfusion: units without exactly r ratings are dropped") {
+    val r = Seq(("u1", "J1", "A"), ("u1", "J2", "A"),
+      ("u2", "J1", "A")) // u2 has 1 rating, r = 2 — dropped
+      .toDF("unit", "judge", "label")
+    val got = Preference.dawidSkeneConfusion(r, "unit", "judge", "label",
+        r = 2, iters = 1)
+      .select("judge", "n_ratings").as[(String, Long)].collect().toSeq
+    // only u1's ratings survive: J1 and J2 each carry 1 rating, and the
+    // single observed class A yields a 1×1 confusion cell per judge
+    assert(got.toSet == Set(("J1", 1L), ("J2", 1L)))
+  }
+
+  // ── lengthControlledWinRate ─────────────────────────────────────────────
+
+  test("lengthControlledWinRate: hand-computed buckets, Wilson per bucket") {
+    // gapWidth = 2: bucket 0 = gaps {1,2}, bucket 1 = gaps {3,4}.
+    // bucket 0: gaps 1,2,2 — longer won 2 of 3; bucket 1: gap 3 — longer
+    // won 1 of 1. Equal-length game dropped.
+    // b0: w=2, n=3: x = 3·(2·1+3) = 15, isq = 3; den = 3·7 = 21
+    //   win = 2/3 → 666667; lb = (4·3−2·3)/21 → 285714; ub → 857143
+    // b1: w=1, n=1: x = 1·(0+1) = 1, isq = 1; den = 1·5 = 5
+    //   win → 10^6; lb = (3·1−2)/5 → 200000; ub = 5/5 → 10^6
+    val g = Seq((5L, 4L), (4L, 2L), (1L, 3L), (6L, 3L), (2L, 2L))
+      .toDF("winner_len", "loser_len")
+    val got = Preference.lengthControlledWinRate(g, "winner_len",
+        "loser_len", gapWidth = 2L)
+      .orderBy("gap_bucket")
+      .select("gap_bucket", "gap_lo", "gap_hi", "n_games", "n_longer_won",
+        "n_shorter_won", "longer_win_micro", "wilson_lb_micro",
+        "wilson_ub_micro")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 2L, 3L, 2L, 1L, 666667L, 285714L, 857143L),
+      (1L, 3L, 4L, 1L, 1L, 0L, 1000000L, 200000L, 1000000L)))
+  }
+
   // ── salt-split LSH candidate path (recall-preserving cap) ──────────────
 
   test("salt-split LSH: exact-copy hot bucket keeps ALL pairs the drop-cap loses") {
