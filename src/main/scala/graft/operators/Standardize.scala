@@ -533,6 +533,73 @@ object Standardize {
           (bDen * (dDen - cSum)).cast(big))).as("kappa_micro"))
   }
 
+  /**
+   * Gwet's AC1 (Gwet, Brit. J. Math. Stat. Psych. 2008) — the
+   * chance-corrected multi-rater agreement statistic that survives the
+   * KAPPA PARADOX: on a skewed label distribution (one category
+   * dominating, the usual shape of LLM-judge verdicts) Fleiss' κ can go
+   * NEGATIVE while raters agree on nearly every unit, because κ's
+   * chance model charges the marginal imbalance to the raters. AC1's
+   * chance model P̄e = Σ_c π_c(1−π_c)/(C−1) instead asks how often
+   * RANDOM raters would agree on a randomly-chosen category, so
+   * near-universal agreement scores near 1 regardless of skew. Run it
+   * NEXT TO [[fleissKappa]] (same input shape): κ ≪ AC1 is the
+   * signature of marginal skew, not of unreliable judges.
+   *
+   * Exactness: with A = Σ n_uc² − N, B = n·r(r−1), C = Σ n_c², D = N²,
+   * K = |categories|: P̄ = A/B, P̄e = (D − C)/((K−1)·D), and
+   * AC1 = (A·(K−1)·D − B·(D−C)) / (B·((K−2)·D + C)) — one exact signed
+   * integer rational over DECIMAL(38,0) products (safe through ~10⁹
+   * units at r ≤ 30, the [[fleissKappa]] bound). Guards: r = 1 ⇒ P̄ and
+   * AC1 NULL (no within-unit pairs); K = 1 ⇒ P̄e and AC1 NULL (chance
+   * agreement undefined on one category — never 0/0). κ is computed
+   * with r = min; `complete` flags the fixed-r precondition.
+   *
+   * Scale shape: identical to [[fleissKappa]] — one (unit, category)
+   * hash-agg, one unit-keyed and one category-keyed re-agg, two 1-row
+   * frames cross-joined; the corpus is touched once.
+   */
+  def gwetAC1(df: DataFrame, unitCol: String,
+              labelCol: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val uc = df.groupBy(col(unitCol), col(labelCol).as("graft_c"))
+      .agg(count(lit(1)).as("graft_nuc"))
+    val perUnit = uc.groupBy(col(unitCol))
+      .agg(sum(col("graft_nuc")).as("graft_r"),
+        sum(col("graft_nuc") * col("graft_nuc")).as("graft_sq"))
+    val unitAgg = perUnit.agg(
+      count(lit(1)).as("n_units"),
+      min(col("graft_r")).as("graft_rmin"),
+      max(col("graft_r")).as("graft_rmax"),
+      sum(col("graft_sq")).as("graft_sqsum"))
+    val catAgg = uc.groupBy(col("graft_c"))
+      .agg(sum(col("graft_nuc")).as("graft_nc"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("graft_nc").cast(big) * col("graft_nc").cast(big))
+          .as("graft_csum"))
+    val r = col("graft_rmin")
+    val k = col("n_categories")
+    val nTot = (col("n_units") * r).cast(big)            // N = n·r
+    val aNum = col("graft_sqsum").cast(big) - nTot       // A
+    val bDen = (col("n_units") * r * (r - 1)).cast(big)  // B
+    val cSum = col("graft_csum").cast(big)               // C
+    val dDen = (nTot * nTot).cast(big)                   // D
+    unitAgg.crossJoin(catAgg)
+      .select(col("n_units"), r.as("n_raters"), col("n_categories"),
+        (col("graft_rmax") === col("graft_rmin")).as("complete"),
+        when(r > 1, ExactRound.halfAwayDiv(
+          (aNum * lit(1000000L).cast(big)).cast(big), bDen))
+          .as("p_bar_micro"),
+        when(k > 1, ExactRound.halfAwayDiv(
+          ((dDen - cSum) * lit(1000000L).cast(big)).cast(big),
+          ((k - 1).cast(big) * dDen).cast(big))).as("p_e_ac1_micro"),
+        when(r > 1 && k > 1, ExactRound.halfAwayDiv(
+          ((aNum * (k - 1).cast(big) * dDen - bDen * (dDen - cSum)) *
+            lit(1000000L).cast(big)).cast(big),
+          (bDen * ((k - 2).cast(big) * dDen + cSum)).cast(big)))
+          .as("ac1_micro"))
+  }
+
   /** The shared two-sample scaffold behind [[mannWhitneyU]] and
     * [[ksTwoSample]]: collapse both samples to ONE row per distinct
     * value with per-group counts and running cumulative counts. The

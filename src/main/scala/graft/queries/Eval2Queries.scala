@@ -74,6 +74,67 @@ object Eval2Queries {
       |  END AS kappa_micro
       |FROM t""".stripMargin
 
+  // ── q354: Gwet's AC1 over the same repeated-ratings fixture ───────────
+
+  /** q354: [[Standardize.gwetAC1]] on q340's exact fixture — the
+    * paradox-resistant twin read NEXT TO the kappa: κ ≪ AC1 flags
+    * marginal skew (one dominant priority), not unreliable raters. */
+  def q354GwetAC1(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_custkey"))
+    val ratings = Sources.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority").as("graft_lbl"),
+        col("o_orderkey"))
+      .withColumn("graft_rn", row_number().over(wOrd))
+      .withColumn("graft_cnt", count(lit(1)).over(wAll))
+      .filter(col("graft_cnt") >= 3 && col("graft_rn") <= 3)
+    Standardize.gwetAC1(ratings, "o_custkey", "graft_lbl")
+  }
+
+  val q354Sql: String =
+    """WITH rk AS (SELECT o_custkey, o_orderpriority AS lbl,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+      |  FROM orders),
+      |r AS (SELECT o_custkey, lbl FROM rk WHERE cnt >= 3 AND rn <= 3),
+      |uc AS (SELECT o_custkey, lbl, COUNT(*) AS nuc FROM r GROUP BY 1, 2),
+      |pu AS (SELECT o_custkey, SUM(nuc) AS rr, SUM(nuc * nuc) AS sq
+      |       FROM uc GROUP BY 1),
+      |ua AS (SELECT COUNT(*) AS n_units, MIN(rr) AS rmin, MAX(rr) AS rmax,
+      |         SUM(sq) AS sqsum FROM pu),
+      |ca AS (SELECT COUNT(*) AS n_categories,
+      |         SUM(nc::HUGEINT * nc) AS csum
+      |       FROM (SELECT lbl, SUM(nuc) AS nc FROM uc GROUP BY 1)),
+      |t AS (SELECT n_units, rmin, rmax, n_categories AS k,
+      |        (sqsum - n_units * rmin)::HUGEINT AS a,
+      |        (n_units * rmin * (rmin - 1))::HUGEINT AS b,
+      |        csum::HUGEINT AS c,
+      |        (n_units::HUGEINT * rmin * n_units * rmin) AS d
+      |      FROM ua CROSS JOIN ca)
+      |SELECT n_units::BIGINT AS n_units, rmin::BIGINT AS n_raters,
+      |  k::BIGINT AS n_categories,
+      |  (rmax = rmin) AS complete,
+      |  CASE WHEN rmin > 1 THEN
+      |    CAST((2 * a * 1000000 + b) // (2 * b) AS BIGINT)
+      |  END AS p_bar_micro,
+      |  CASE WHEN k > 1 THEN
+      |    CAST((2 * (d - c) * 1000000 + (k - 1) * d)
+      |      // (2 * (k - 1) * d) AS BIGINT)
+      |  END AS p_e_ac1_micro,
+      |  CASE WHEN rmin > 1 AND k > 1 THEN
+      |    CASE WHEN a * (k - 1) * d >= b * (d - c) THEN
+      |      CAST((2 * (a * (k - 1) * d - b * (d - c)) * 1000000
+      |          + b * ((k - 2) * d + c))
+      |        // (2 * b * ((k - 2) * d + c)) AS BIGINT)
+      |    ELSE
+      |      -CAST((2 * (b * (d - c) - a * (k - 1) * d) * 1000000
+      |          + b * ((k - 2) * d + c))
+      |        // (2 * b * ((k - 2) * d + c)) AS BIGINT)
+      |    END
+      |  END AS ac1_micro
+      |FROM t""".stripMargin
+
   // ── q341: per-judge self-consistency / verdict-flip audit ──────────────
 
   /** The per-judge comparisons fixture: one game per (customer, order

@@ -706,7 +706,15 @@ class PlanShapeSpec extends SparkSpec {
       "q343_graph_audit",
       // q344: the 1-row item-count broadcast onto the |items|-row score
       // table (the q145/q268 node-count shape)
-      "q344_schulze")
+      "q344_schulze",
+      // q351: the 1-row total-doc-count broadcast crossJoined onto the
+      // 3-row per-split aggregate for share_ppm — metadata by
+      // construction (the q296/q319 shape)
+      "q351_cluster_aware_split",
+      // q354: gwetAC1's two 1-row aggregates (unit stats × category
+      // stats) crossJoined into the single AC1 row — the q340
+      // fleissKappa shape exactly
+      "q354_gwet_ac1")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

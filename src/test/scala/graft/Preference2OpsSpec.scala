@@ -68,6 +68,46 @@ class Preference2OpsSpec extends SparkSpec {
     assert(row.isNullAt(0) && row.isNullAt(1))
   }
 
+  // ── gwetAC1 ─────────────────────────────────────────────────────────────
+
+  test("gwetAC1: the kappa paradox — skewed agreement, negative kappa, high AC1") {
+    // u1..u3 rated (A,A), u4 rated (A,B): raters agree on 3 of 4 units,
+    // but the A-heavy marginal makes Fleiss' κ NEGATIVE — the paradox.
+    // n = 4, r = 2: Σn_uc² = 4+4+4+2 = 14, N = 8 → A = 6, B = 8,
+    // P̄ = 6/8 → 750000. n_A = 7, n_B = 1 → C = 50, D = 64.
+    // κ: P̄e = 50/64 → κ = (6·64 − 50·8)/(8·14) = −16/112 → −142857.
+    // AC1: P̄e = (64−50)/(1·64) = 14/64 → 218750;
+    //   AC1 = (6·1·64 − 8·14)/(8·(0·64+50)) = 272/400 → 680000.
+    val r = Seq(("u1", "A"), ("u1", "A"), ("u2", "A"), ("u2", "A"),
+      ("u3", "A"), ("u3", "A"), ("u4", "A"), ("u4", "B"))
+      .toDF("unit", "label")
+    val kap = Standardize.fleissKappa(r, "unit", "label")
+      .select("p_bar_micro", "p_e_micro", "kappa_micro")
+      .as[(Long, Long, Long)].head()
+    assert(kap == ((750000L, 781250L, -142857L)))
+    val ac1 = Standardize.gwetAC1(r, "unit", "label")
+      .select("n_units", "n_raters", "n_categories", "complete",
+        "p_bar_micro", "p_e_ac1_micro", "ac1_micro")
+      .as[(Long, Long, Long, Boolean, Long, Long, Long)].head()
+    assert(ac1 == ((4L, 2L, 2L, true, 750000L, 218750L, 680000L)))
+  }
+
+  test("gwetAC1: balanced marginals agree with kappa; one category is NULL") {
+    // the q164/q340 balanced fixture: κ = AC1 = 1/3 exactly
+    val r = Seq(("u1", "A"), ("u1", "A"), ("u2", "A"), ("u2", "B"),
+      ("u3", "B"), ("u3", "B")).toDF("unit", "label")
+    val got = Standardize.gwetAC1(r, "unit", "label")
+      .select("p_bar_micro", "p_e_ac1_micro", "ac1_micro")
+      .as[(Long, Long, Long)].head()
+    assert(got == ((666667L, 500000L, 333333L)))
+    // single global category: chance agreement undefined → NULL, not 0/0
+    val mono = Seq(("u1", "A"), ("u1", "A"), ("u2", "A"), ("u2", "A"))
+      .toDF("unit", "label")
+    val row = Standardize.gwetAC1(mono, "unit", "label")
+      .select(col("p_e_ac1_micro"), col("ac1_micro")).collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
   // ── judgeConsistency ────────────────────────────────────────────────────
 
   test("judgeConsistency: flips and majority share, hand-computed") {
