@@ -600,6 +600,83 @@ object Standardize {
           .as("ac1_micro"))
   }
 
+  /**
+   * Krippendorff's alpha with the INTERVAL metric (Krippendorff 1970,
+   * §metric differences) — the ordinal/graded-rating reliability
+   * statistic [[krippendorffAlpha]]'s nominal metric cannot express:
+   * nominal α charges "4 vs 5" and "1 vs 5" identically, but on Likert
+   * rating scales (the universal LLM-judge output shape) disagreeing by
+   * one notch and disagreeing across the whole scale are different
+   * findings. Interval δ(c,k) = (x_c − x_k)² weighs each disagreement
+   * by its squared distance on the integer-coded scale.
+   *
+   * Exactness: with fixed r (complete design; computed with r = min
+   * and flagged by `complete`, the [[krippendorffAlpha]] contract),
+   *   DO = Σ_u Σ_{c≠k} n_uc·n_uk·(x_c−x_k)²   (ordered pairs)
+   *   DE = Σ_{c≠k} n_c·n_k·(x_c−x_k)²
+   *   α  = ((r−1)·DE − (N−1)·DO) / ((r−1)·DE),  N = n·r
+   * — one exact signed integer rational; DO/DE are REPORTED as the
+   * exact int64 scaled surfaces. Value codes must be integers; the
+   * int64 bound on the reported surfaces is n·r²·range² (10⁹ units at
+   * r ≤ 3 and range ≤ 10⁴ fits). Guards: r = 1 ⇒ NULL (no within-unit
+   * pairs); DE = 0 (every rating the same value) ⇒ NULL, never 0/0.
+   *
+   * Scale shape: one (unit, value) hash-agg, a unit-keyed self-join
+   * with ≤ C² fan-out per unit (C = distinct values, metadata by the
+   * rating-scale contract), one value-keyed re-agg, 1-row frames
+   * cross-joined. Corpus touched once.
+   */
+  def krippendorffAlphaInterval(df: DataFrame, unitCol: String,
+                                valueCol: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val uv = df.groupBy(col(unitCol),
+        col(valueCol).cast(LongType).as("graft_v"))
+      .agg(count(lit(1)).as("graft_n"))
+    val perUnit = uv.groupBy(col(unitCol))
+      .agg(sum(col("graft_n")).as("graft_r"))
+    val unitAgg = perUnit.agg(
+      count(lit(1)).as("n_units"),
+      min(col("graft_r")).as("graft_rmin"),
+      max(col("graft_r")).as("graft_rmax"))
+    val doAgg = uv.as("a")
+      .join(uv.as("b"), Seq(unitCol))
+      .filter(col("a.graft_v") =!= col("b.graft_v"))
+      .select((col("a.graft_n").cast(big) * col("b.graft_n").cast(big) *
+        (col("a.graft_v") - col("b.graft_v")).cast(big) *
+        (col("a.graft_v") - col("b.graft_v")).cast(big)).as("graft_t"))
+      .agg(coalesce(sum(col("graft_t")), lit(0L).cast(big))
+        .as("graft_do"))
+    val marg = uv.groupBy(col("graft_v"))
+      .agg(sum(col("graft_n")).as("graft_nc"))
+      .localCheckpoint(eager = false) // self-joined + re-aggregated
+    // inequality-only self-join over the C-row marginal table: broadcast
+    // EXPLICITLY (the kendallTauA lesson — Spark can't size-estimate an
+    // aggregated side and would fall back to CartesianProduct)
+    val deAgg = marg.as("a")
+      .join(broadcast(marg.as("b")),
+        col("a.graft_v") =!= col("b.graft_v"))
+      .select((col("a.graft_nc").cast(big) * col("b.graft_nc").cast(big) *
+        (col("a.graft_v") - col("b.graft_v")).cast(big) *
+        (col("a.graft_v") - col("b.graft_v")).cast(big)).as("graft_t"))
+      .agg(coalesce(sum(col("graft_t")), lit(0L).cast(big))
+        .as("graft_de"))
+    val catAgg = marg.agg(count(lit(1)).as("n_categories"),
+      sum(col("graft_nc")).as("graft_nn"))
+    val r = col("graft_rmin")
+    val nTot = col("graft_nn").cast(big)                 // N = n·r
+    unitAgg.crossJoin(doAgg).crossJoin(deAgg).crossJoin(catAgg)
+      .select(col("n_units"), r.as("n_raters"), col("n_categories"),
+        (col("graft_rmax") === col("graft_rmin")).as("complete"),
+        col("graft_do").cast(LongType).as("do_scaled"),
+        col("graft_de").cast(LongType).as("de_scaled"),
+        when(r > 1 && col("graft_de") =!= 0, ExactRound.halfAwayDiv(
+          (((r - 1).cast(big) * col("graft_de") -
+            (nTot - 1) * col("graft_do")) *
+            lit(1000000L).cast(big)).cast(big),
+          ((r - 1).cast(big) * col("graft_de")).cast(big)))
+          .as("alpha_micro"))
+  }
+
   /** The shared two-sample scaffold behind [[mannWhitneyU]] and
     * [[ksTwoSample]]: collapse both samples to ONE row per distinct
     * value with per-group counts and running cumulative counts. The

@@ -135,6 +135,66 @@ object Eval2Queries {
       |  END AS ac1_micro
       |FROM t""".stripMargin
 
+  // ── q355: interval-metric Krippendorff alpha (ordinal ratings) ─────────
+
+  /** q355: [[Standardize.krippendorffAlphaInterval]] on q340's fixture
+    * with the priority's leading DIGIT as the integer-coded ordinal
+    * value — nominal agreement (q301/q340/q354) charges "4 vs 5" and
+    * "1 vs 5" identically; the interval metric weighs each disagreement
+    * by its squared scale distance, the right lens for Likert-style
+    * judge ratings. */
+  def q355AlphaInterval(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_custkey"))
+    val ratings = Sources.orders(s, dir)
+      .select(col("o_custkey"),
+        substring(col("o_orderpriority"), 1, 1).cast(LongType)
+          .as("graft_v"),
+        col("o_orderkey"))
+      .withColumn("graft_rn", row_number().over(wOrd))
+      .withColumn("graft_cnt", count(lit(1)).over(wAll))
+      .filter(col("graft_cnt") >= 3 && col("graft_rn") <= 3)
+    Standardize.krippendorffAlphaInterval(ratings, "o_custkey", "graft_v")
+  }
+
+  val q355Sql: String =
+    """WITH rk AS (SELECT o_custkey,
+      |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+      |  FROM orders),
+      |r AS (SELECT o_custkey, v FROM rk WHERE cnt >= 3 AND rn <= 3),
+      |uv AS (SELECT o_custkey, v, COUNT(*) AS n FROM r GROUP BY 1, 2),
+      |pu AS (SELECT o_custkey, SUM(n) AS rr FROM uv GROUP BY 1),
+      |ua AS (SELECT COUNT(*) AS n_units, MIN(rr) AS rmin, MAX(rr) AS rmax
+      |       FROM pu),
+      |dp AS (SELECT COALESCE(SUM(a.n::HUGEINT * b.n
+      |           * (a.v - b.v) * (a.v - b.v)), 0) AS do_s
+      |       FROM uv a JOIN uv b
+      |         ON a.o_custkey = b.o_custkey AND a.v <> b.v),
+      |mg AS (SELECT v, SUM(n) AS nc FROM uv GROUP BY 1),
+      |de AS (SELECT COALESCE(SUM(a.nc::HUGEINT * b.nc
+      |           * (a.v - b.v) * (a.v - b.v)), 0) AS de_s
+      |       FROM mg a JOIN mg b ON a.v <> b.v),
+      |ca AS (SELECT COUNT(*) AS n_categories, SUM(nc) AS nn FROM mg)
+      |SELECT n_units::BIGINT AS n_units, rmin::BIGINT AS n_raters,
+      |  n_categories::BIGINT AS n_categories,
+      |  (rmax = rmin) AS complete,
+      |  do_s::BIGINT AS do_scaled, de_s::BIGINT AS de_scaled,
+      |  CASE WHEN rmin > 1 AND de_s <> 0 THEN
+      |    CASE WHEN (rmin - 1) * de_s >= (nn - 1) * do_s THEN
+      |      CAST((2 * ((rmin - 1)::HUGEINT * de_s - (nn - 1) * do_s)
+      |          * 1000000 + (rmin - 1) * de_s)
+      |        // (2 * (rmin - 1)::HUGEINT * de_s) AS BIGINT)
+      |    ELSE
+      |      -CAST((2 * ((nn - 1)::HUGEINT * do_s - (rmin - 1) * de_s)
+      |          * 1000000 + (rmin - 1) * de_s)
+      |        // (2 * (rmin - 1)::HUGEINT * de_s) AS BIGINT)
+      |    END
+      |  END AS alpha_micro
+      |FROM ua CROSS JOIN dp CROSS JOIN de CROSS JOIN ca""".stripMargin
+
   // ── q341: per-judge self-consistency / verdict-flip audit ──────────────
 
   /** The per-judge comparisons fixture: one game per (customer, order

@@ -326,6 +326,58 @@ object ScalePathQueries {
       |SELECT d1, d2, cosine FROM pairs WHERE cosine >= 0.45
       |ORDER BY d1, d2""".stripMargin
 
+  // ── q356: embedding dedup survivors over the salt-split path ──────────
+
+  /** q356: the production embedding-dedup decision end-to-end on the
+    * q350 machinery — salt-split LSH pairs (lossless, bounded cells) →
+    * [[graft.operators.Graph.connectedComponents]] (HashMin: the
+    * component label IS the min member id, i.e. the survivor) → one
+    * decision row per duplicate cluster. This is the path that sidesteps
+    * the quadratic-pair-output concern entirely: at 100 TB the pair set
+    * is an intermediate, the CLUSTER table is the deliverable, and the
+    * q83 keep-best discipline applies on top. The oracle replays the
+    * uncapped candidates + full reachability, so the salt-split's
+    * losslessness is hash-proven through the CLUSTER level too. */
+  def q356EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    val pairs = Similarity.cosineNearDupPairsBucketedSaltSplit(emb,
+      "vec_id", "embedding", threshold = 0.45, maxBucket = 40L,
+      nTables = 4, planesPerTable = 4, dims = 64)
+    val comp = graft.operators.Graph.connectedComponents(
+      pairs.select(col("d1"), col("d2")), "d1", "d2")
+    comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("component").as("cluster"),
+        col("component").as("survivor_id"),
+        col("n_members"),
+        (col("n_members") - 1).as("n_removed"))
+      .orderBy(col("cluster"))
+  }
+
+  val q356Sql: String =
+    s"""WITH RECURSIVE $sigSql,
+      |$nvSql,
+      |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      |         FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig
+      |         WHERE a.vec_id < b.vec_id),
+      |cs AS (SELECT c.d1, c.d2
+      |       FROM cand c JOIN nv a ON a.vec_id = c.d1
+      |                   JOIN nv b ON b.vec_id = c.d2
+      |       WHERE $cosSql >= 0.45),
+      |e AS (SELECT d1 AS a, d2 AS b FROM cs
+      |      UNION SELECT d2, d1 FROM cs),
+      |reach(n, m) AS (
+      |  SELECT DISTINCT a AS n, a AS m FROM e
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+      |comp AS (SELECT n AS node, MIN(m) AS component FROM reach
+      |         GROUP BY n),
+      |sz AS (SELECT component, COUNT(*) AS n_members FROM comp
+      |       GROUP BY 1)
+      |SELECT component AS cluster, component AS survivor_id,
+      |  n_members, n_members - 1 AS n_removed
+      |FROM sz ORDER BY cluster""".stripMargin
+
   // ── q339: the cap's explicit exclusion report ──────────────────────────
 
   /** q339: [[Similarity.lshExcludedBuckets]] — the buckets q338's cap

@@ -714,7 +714,11 @@ class PlanShapeSpec extends SparkSpec {
       // q354: gwetAC1's two 1-row aggregates (unit stats × category
       // stats) crossJoined into the single AC1 row — the q340
       // fleissKappa shape exactly
-      "q354_gwet_ac1")
+      "q354_gwet_ac1",
+      // q355: the C-row marginal inequality self-join broadcast
+      // EXPLICITLY (the kendallTauA q327 lesson) + the 1-row summary
+      // crossJoins — all metadata by the rating-scale contract
+      "q355_alpha_interval")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

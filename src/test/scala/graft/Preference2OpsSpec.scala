@@ -108,6 +108,75 @@ class Preference2OpsSpec extends SparkSpec {
     assert(row.isNullAt(0) && row.isNullAt(1))
   }
 
+  // ── krippendorffAlphaInterval ───────────────────────────────────────────
+
+  test("krippendorffAlphaInterval: hand-computed signed alpha, guards") {
+    // u1:(1,2), u2:(1,3), r = 2: DO = 2·1 + 2·4 = 10 (ordered pairs);
+    // marginals 1:2, 2:1, 3:1 → DE = 2·(2·1·1) + 2·(2·1·4) + 2·(1·1·1)
+    // = 22; N = 4 → α = (1·22 − 3·10)/22 = −8/22 → −363636
+    val a = Seq(("u1", 1L), ("u1", 2L), ("u2", 1L), ("u2", 3L))
+      .toDF("unit", "value")
+    val gotA = Standardize.krippendorffAlphaInterval(a, "unit", "value")
+      .select("n_units", "n_raters", "n_categories", "complete",
+        "do_scaled", "de_scaled", "alpha_micro")
+      .as[(Long, Long, Long, Boolean, Long, Long, Long)].head()
+    assert(gotA == ((2L, 2L, 3L, true, 10L, 22L, -363636L)))
+    // perfect within-unit agreement across different values → exactly 1
+    val b = Seq(("u1", 2L), ("u1", 2L), ("u2", 5L), ("u2", 5L))
+      .toDF("unit", "value")
+    val gotB = Standardize.krippendorffAlphaInterval(b, "unit", "value")
+      .select("do_scaled", "de_scaled", "alpha_micro")
+      .as[(Long, Long, Long)].head()
+    assert(gotB == ((0L, 72L, 1000000L)))
+    // every rating the same value: DE = 0 → NULL, never 0/0
+    val c = Seq(("u1", 3L), ("u1", 3L), ("u2", 3L), ("u2", 3L))
+      .toDF("unit", "value")
+    val rowC = Standardize.krippendorffAlphaInterval(c, "unit", "value")
+      .select(col("alpha_micro")).collect().head
+    assert(rowC.isNullAt(0))
+  }
+
+  test("krippendorffAlphaInterval: one-notch misses score above whole-scale misses") {
+    // the ordinal point nominal agreement cannot express: every unit
+    // disagrees in BOTH fixtures, but adjacent-notch disagreement
+    // (1 vs 2, 2 vs 3) stays positive while whole-scale disagreement
+    // (1 vs 5) goes sharply negative
+    val near = Seq(("u1", 1L), ("u1", 2L), ("u2", 2L), ("u2", 3L))
+      .toDF("unit", "value")
+    val aNear = Standardize.krippendorffAlphaInterval(near, "unit", "value")
+      .select("alpha_micro").as[Long].head()
+    assert(aNear == 250000L) // (16 − 3·4)/16
+    val far = Seq(("u1", 1L), ("u1", 5L), ("u2", 5L), ("u2", 1L))
+      .toDF("unit", "value")
+    val aFar = Standardize.krippendorffAlphaInterval(far, "unit", "value")
+      .select("alpha_micro").as[Long].head()
+    assert(aFar == -500000L) // (128 − 3·64)/128
+    assert(aNear > 0 && aFar < 0)
+  }
+
+  // ── salt-split-fed embedding dedup (q356 composition) ──────────────────
+
+  test("embedding dedup clusters are identical through the salt-split path") {
+    // the q350 losslessness carried to the CLUSTER level: components
+    // over salt-split pairs == components over uncapped pairs, on a
+    // fixture where the cap engages on every candidate bucket
+    val emb = (0L until 30L)
+      .map(i => (i, Array.fill(8)(if (i % 2 == 0) 1.0f else -1.0f)
+        .zipWithIndex.map { case (v, d) => v * (1.0f + d * 0.01f) }.toSeq))
+      .toDF("vec_id", "embedding")
+    def clusters(pairs: org.apache.spark.sql.DataFrame) =
+      graft.operators.Graph.connectedComponents(
+          pairs.select(col("d1"), col("d2")), "d1", "d2")
+        .select("node", "component").as[(Long, Long)].collect().toSet
+    val viaSplit = clusters(Similarity.cosineNearDupPairsBucketedSaltSplit(
+      emb, "vec_id", "embedding", 0.9, maxBucket = 4L, nTables = 2,
+      planesPerTable = 3, dims = 8))
+    val viaUncapped = clusters(Similarity.cosineNearDupPairsBucketed(
+      emb, "vec_id", "embedding", 0.9, nTables = 2, planesPerTable = 3,
+      dims = 8))
+    assert(viaSplit.nonEmpty && viaSplit == viaUncapped)
+  }
+
   // ── judgeConsistency ────────────────────────────────────────────────────
 
   test("judgeConsistency: flips and majority share, hand-computed") {
