@@ -1014,8 +1014,67 @@ object Preference {
   def dawidSkeneConfusion(ratings: DataFrame, unitCol: String,
                           judgeCol: String, labelCol: String, r: Int,
                           iters: Int = 2): DataFrame = {
-    require(r >= 2 && r <= 5, s"r=$r out of range (2..5)")
     require(iters >= 0 && iters <= 5, s"iters=$iters out of range (0..5)")
+    val (rt, classes) = dsPrepare(ratings, unitCol, judgeCol, labelCol, r)
+    val nC = classes.size
+    val classArr = array(classes.map(lit): _*)
+    val combos = dsCombos(rt, classArr)
+    val t = dsFit(rt, classArr, combos, nC, r, iters)
+    val (piOut, _) = dsMStep(rt, combos, nC, t)
+    val nr = rt.groupBy(col("graft_j"), col("graft_l").as("graft_lbl"))
+      .agg(count(lit(1)).as("graft_nr"))
+    piOut.join(nr, Seq("graft_j", "graft_lbl"), "left")
+      .select(col("graft_j").as("judge"), col("graft_tc").as("true_class"),
+        col("graft_lbl").as("label"),
+        col("graft_p").cast(LongType).as("pi_micro"),
+        coalesce(col("graft_nr"), lit(0L)).as("n_ratings"))
+  }
+
+  /**
+   * The OTHER half of [[dawidSkeneConfusion]]'s EM: the per-unit class
+   * posteriors T_u(c) after `iters` cycles — i.e. the RELABELED corpus.
+   * The confusion table says who to distrust; this table IS the
+   * consensus label set a pipeline trains on: `is_map` marks each
+   * unit's maximum-a-posteriori class (largest t, smallest class at
+   * ties — deterministic), and units where the MAP class disagrees
+   * with the raw majority vote are exactly the rows Dawid–Skene
+   * re-decided by down-weighting unreliable judges.
+   *
+   * Same determinism/completeness contract as the confusion side
+   * (micro fixed point, fixed iterations, exactly-r units); `iters` ≥ 1
+   * so the output is the DENSE posterior over every class (iters = 0
+   * would be the sparse majority vote, which needs no EM). Output:
+   * (unit, true_class, t_micro, is_map), one row per kept unit per
+   * class; Σ_c t_micro ≈ 10⁶ per unit up to rounding.
+   *
+   * Scale shape: the EM cycles as in [[dawidSkeneConfusion]]; the MAP
+   * flag is one unit-partitioned C-row window on the final posteriors.
+   */
+  def dawidSkenePosteriors(ratings: DataFrame, unitCol: String,
+                           judgeCol: String, labelCol: String, r: Int,
+                           iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 5, s"iters=$iters out of range (1..5)")
+    val w = org.apache.spark.sql.expressions.Window
+    val (rt, classes) = dsPrepare(ratings, unitCol, judgeCol, labelCol, r)
+    val nC = classes.size
+    val classArr = array(classes.map(lit): _*)
+    val combos = dsCombos(rt, classArr)
+    val t = dsFit(rt, classArr, combos, nC, r, iters)
+    t.withColumn("graft_rnk", row_number().over(
+        w.partitionBy(col("graft_u"))
+          .orderBy(col("graft_t").desc, col("graft_c").asc)))
+      .select(col("graft_u").as("unit"), col("graft_c").as("true_class"),
+        col("graft_t").cast(LongType).as("t_micro"),
+        (col("graft_rnk") === 1).as("is_map"))
+  }
+
+  /** Shared Dawid–Skene scaffold: cleaned STRING ratings restricted to
+    * exactly-r units, with the per-unit slot index, plus the collected
+    * label vocabulary (metadata-scale by the layer's contract). */
+  private def dsPrepare(ratings: DataFrame, unitCol: String,
+                        judgeCol: String, labelCol: String,
+                        r: Int): (DataFrame, Seq[String]) = {
+    require(r >= 2 && r <= 5, s"r=$r out of range (2..5)")
     val w = org.apache.spark.sql.expressions.Window
     val base = ratings.select(col(unitCol).cast(StringType).as("graft_u"),
         col(judgeCol).cast(StringType).as("graft_j"),
@@ -1033,54 +1092,64 @@ object Preference {
       .select(col("graft_u"), col("graft_j"), col("graft_l"),
         col("graft_rn"))
       .localCheckpoint(eager = false) // read every cycle + pivot + output
-    // label vocabulary: rating categories — metadata-scale by contract
     val classes: Seq[String] = rt.select(col("graft_l")).distinct()
       .orderBy(col("graft_l")).collect().map(_.getString(0)).toSeq
-    val nC = classes.size
-    val classArr = array(classes.map(lit): _*)
+    (rt, classes)
+  }
+
+  /** All (judge, class, label) confusion cells — explodes, not joins,
+    * so the plan stays cartesian-free. */
+  private def dsCombos(rt: DataFrame, classArr: Column): DataFrame =
+    rt.select(col("graft_j")).distinct()
+      .withColumn("graft_tc", explode(classArr))
+      .withColumn("graft_lbl", explode(classArr))
+
+  /** One M-step: (π, priors) from the current posteriors — add-one
+    * smoothing in micros, half-away division, 1-micro floor. */
+  private def dsMStep(rt: DataFrame, combos: DataFrame, nC: Int,
+                      tCur: DataFrame): (DataFrame, DataFrame) = {
+    val joined = rt.join(tCur, Seq("graft_u"))
+    val num = joined.groupBy(col("graft_j"), col("graft_c"),
+        col("graft_l").as("graft_lbl"))
+      .agg(sum(col("graft_t").cast(big)).as("graft_s"))
+    val den = num.groupBy(col("graft_j"), col("graft_c"))
+      .agg(sum(col("graft_s")).as("graft_d"))
+    val pi = combos
+      .join(num.withColumnRenamed("graft_c", "graft_tc"),
+        Seq("graft_j", "graft_tc", "graft_lbl"), "left")
+      .join(den.withColumnRenamed("graft_c", "graft_tc"),
+        Seq("graft_j", "graft_tc"), "left")
+      .select(col("graft_j"), col("graft_tc"), col("graft_lbl"),
+        greatest(lit(1L), ExactRound.halfAwayDiv(
+          ((coalesce(col("graft_s"), lit(0L).cast(big)) +
+            lit(S).cast(big)) * lit(S).cast(big)).cast(big),
+          (coalesce(col("graft_d"), lit(0L).cast(big)) +
+            lit(S * nC).cast(big)).cast(big))).as("graft_p"))
+    val byClass = tCur.groupBy(col("graft_c"))
+      .agg(sum(col("graft_t").cast(big)).as("graft_s"))
+    val tot = byClass.agg(sum(col("graft_s")).as("graft_tot"))
+    val prior = byClass.crossJoin(broadcast(tot))
+      .select(col("graft_c"),
+        greatest(lit(1L), ExactRound.halfAwayDiv(
+          ((col("graft_s") + lit(S).cast(big)) * lit(S).cast(big))
+            .cast(big),
+          (col("graft_tot") + lit(S * nC).cast(big)).cast(big)))
+          .as("graft_pr"))
+    (pi, prior)
+  }
+
+  /** T after `iters` (M, E) cycles from the majority-vote start. */
+  private def dsFit(rt: DataFrame, classArr: Column, combos: DataFrame,
+                    nC: Int, r: Int, iters: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     // T0: majority-vote fraction in micros (sparse — absent classes = 0)
     var t = rt.groupBy(col("graft_u"), col("graft_l").as("graft_c"))
       .agg(count(lit(1)).as("graft_n"))
       .select(col("graft_u"), col("graft_c"),
         ExactRound.halfAwayDiv(col("graft_n").cast(big) * lit(S).cast(big),
           lit(r.toLong).cast(big)).as("graft_t"))
-    // all (judge, class, label) cells — explodes, not joins, so the plan
-    // stays cartesian-free
-    val combos = rt.select(col("graft_j")).distinct()
-      .withColumn("graft_tc", explode(classArr))
-      .withColumn("graft_lbl", explode(classArr))
-    def mStep(tCur: DataFrame): (DataFrame, DataFrame) = {
-      val joined = rt.join(tCur, Seq("graft_u"))
-      val num = joined.groupBy(col("graft_j"), col("graft_c"),
-          col("graft_l").as("graft_lbl"))
-        .agg(sum(col("graft_t").cast(big)).as("graft_s"))
-      val den = num.groupBy(col("graft_j"), col("graft_c"))
-        .agg(sum(col("graft_s")).as("graft_d"))
-      val pi = combos
-        .join(num.withColumnRenamed("graft_c", "graft_tc"),
-          Seq("graft_j", "graft_tc", "graft_lbl"), "left")
-        .join(den.withColumnRenamed("graft_c", "graft_tc"),
-          Seq("graft_j", "graft_tc"), "left")
-        .select(col("graft_j"), col("graft_tc"), col("graft_lbl"),
-          greatest(lit(1L), ExactRound.halfAwayDiv(
-            ((coalesce(col("graft_s"), lit(0L).cast(big)) +
-              lit(S).cast(big)) * lit(S).cast(big)).cast(big),
-            (coalesce(col("graft_d"), lit(0L).cast(big)) +
-              lit(S * nC).cast(big)).cast(big))).as("graft_p"))
-      val byClass = tCur.groupBy(col("graft_c"))
-        .agg(sum(col("graft_t").cast(big)).as("graft_s"))
-      val tot = byClass.agg(sum(col("graft_s")).as("graft_tot"))
-      val prior = byClass.crossJoin(broadcast(tot))
-        .select(col("graft_c"),
-          greatest(lit(1L), ExactRound.halfAwayDiv(
-            ((col("graft_s") + lit(S).cast(big)) * lit(S).cast(big))
-              .cast(big),
-            (col("graft_tot") + lit(S * nC).cast(big)).cast(big)))
-            .as("graft_pr"))
-      (pi, prior)
-    }
     for (_ <- 1 to iters) {
-      val (pi, prior) = mStep(t)
+      val (pi, prior) = dsMStep(rt, combos, nC, t)
       // E-step: pivot the unit's r (judge, label) slots, score every
       // candidate class with prior · Π_k π_k, renormalize per unit
       val pivotCols = (1 to r).flatMap { k =>
@@ -1112,14 +1181,7 @@ object Preference {
             col("graft_den")).as("graft_t"))
         .localCheckpoint(eager = false)
     }
-    val (piOut, _) = mStep(t)
-    val nr = rt.groupBy(col("graft_j"), col("graft_l").as("graft_lbl"))
-      .agg(count(lit(1)).as("graft_nr"))
-    piOut.join(nr, Seq("graft_j", "graft_lbl"), "left")
-      .select(col("graft_j").as("judge"), col("graft_tc").as("true_class"),
-        col("graft_lbl").as("label"),
-        col("graft_p").cast(LongType).as("pi_micro"),
-        coalesce(col("graft_nr"), lit(0L)).as("n_ratings"))
+    t
   }
 
   /** Min-label connected components over a metadata-scale STRING item

@@ -717,79 +717,127 @@ object Eval2Queries {
       .orderBy(col("judge"), col("true_class"), col("label"))
   }
 
-  val q352Sql: String = {
-    // one M-step: π and priors from t{i-1} (add-one smoothing in micros,
-    // half-away division, 1-micro floor — the operator's exact formulas)
-    def m(i: Int): String =
-      s"""m${i}n AS (SELECT r.j, t.c AS tc, r.l AS lbl, SUM(t.t) AS s
-         |  FROM rt r JOIN t${i - 1} t ON t.u = r.u GROUP BY 1, 2, 3),
-         |m${i}d AS (SELECT j, tc, SUM(s) AS d FROM m${i}n GROUP BY 1, 2),
-         |pi$i AS (SELECT cb.j, cb.tc, cb.lbl,
-         |  GREATEST(1, (2 * (COALESCE(n.s, 0) + 1000000)::HUGEINT * 1000000
-         |      + COALESCE(d.d, 0) + nc.k * 1000000)
-         |    // (2 * (COALESCE(d.d, 0) + nc.k * 1000000)::HUGEINT)) AS p
-         |  FROM cb CROSS JOIN nc
-         |  LEFT JOIN m${i}n n ON n.j = cb.j AND n.tc = cb.tc
-         |    AND n.lbl = cb.lbl
-         |  LEFT JOIN m${i}d d ON d.j = cb.j AND d.tc = cb.tc),
-         |pc$i AS (SELECT c, SUM(t) AS s FROM t${i - 1} GROUP BY 1),
-         |pt$i AS (SELECT SUM(t) AS tot FROM t${i - 1}),
-         |pr$i AS (SELECT c, GREATEST(1,
-         |    (2 * (s + 1000000)::HUGEINT * 1000000 + tot + nc.k * 1000000)
-         |    // (2 * (tot + nc.k * 1000000)::HUGEINT)) AS p
-         |  FROM pc$i CROSS JOIN pt$i CROSS JOIN nc)""".stripMargin
-    // one E-step: score every class as prior · Π π over the unit's 3
-    // rating slots, renormalize per unit
-    def e(i: Int): String =
-      s"""e$i AS (SELECT pv.u, cls.c,
-         |    pr.p::HUGEINT * p1.p * p2.p * p3.p AS num
-         |  FROM pv CROSS JOIN cls
-         |  JOIN pr$i pr ON pr.c = cls.c
-         |  JOIN pi$i p1 ON p1.j = pv.j1 AND p1.tc = cls.c
-         |    AND p1.lbl = pv.l1
-         |  JOIN pi$i p2 ON p2.j = pv.j2 AND p2.tc = cls.c
-         |    AND p2.lbl = pv.l2
-         |  JOIN pi$i p3 ON p3.j = pv.j3 AND p3.tc = cls.c
-         |    AND p3.lbl = pv.l3),
-         |t$i AS (SELECT u, c, (2 * num * 1000000 + den) // (2 * den) AS t
-         |  FROM (SELECT u, c, num, SUM(num) OVER (PARTITION BY u) AS den
-         |        FROM e$i))""".stripMargin
-    s"""WITH o AS (SELECT o_custkey AS u,
-       |    CAST(year(o_orderdate) AS VARCHAR) AS j,
-       |    arg_max(o_orderpriority,
-       |      CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
-       |        + o_orderkey) AS l
-       |  FROM orders GROUP BY 1, 2),
-       |rk AS (SELECT u, j, l,
-       |    row_number() OVER (PARTITION BY u ORDER BY j, l) AS rn,
-       |    COUNT(*) OVER (PARTITION BY u) AS cnt FROM o),
-       |rt AS (SELECT u, j, l, rn FROM rk WHERE cnt >= 3 AND rn <= 3),
-       |cls AS (SELECT DISTINCT l AS c FROM rt),
-       |nc AS (SELECT COUNT(*) AS k FROM cls),
-       |jd AS (SELECT DISTINCT j FROM rt),
-       |cb AS (SELECT jd.j, a.c AS tc, b.c AS lbl
-       |       FROM jd CROSS JOIN cls a CROSS JOIN cls b),
-       |pv AS (SELECT u, MAX(CASE WHEN rn = 1 THEN j END) AS j1,
-       |         MAX(CASE WHEN rn = 1 THEN l END) AS l1,
-       |         MAX(CASE WHEN rn = 2 THEN j END) AS j2,
-       |         MAX(CASE WHEN rn = 2 THEN l END) AS l2,
-       |         MAX(CASE WHEN rn = 3 THEN j END) AS j3,
-       |         MAX(CASE WHEN rn = 3 THEN l END) AS l3
-       |       FROM rt GROUP BY u),
-       |t0 AS (SELECT u, l AS c,
-       |         (2 * COUNT(*)::HUGEINT * 1000000 + 3) // 6 AS t
-       |       FROM rt GROUP BY u, l),
-       |${m(1)},
-       |${e(1)},
-       |${m(2)},
-       |${e(2)},
-       |${m(3)},
+  // ── shared Dawid–Skene oracle scaffolding (q352 + q357) ────────────────
+
+  /** The q352/q357 fixture + T0 as WITH-chain members: per-(customer,
+    * year) deterministic label, first 3 judge-years, exactly-r units,
+    * classes/judges/combos, the pivot, and the majority-vote start. */
+  private val dsBaseSql: String =
+    """o AS (SELECT o_custkey AS u,
+      |    CAST(year(o_orderdate) AS VARCHAR) AS j,
+      |    arg_max(o_orderpriority,
+      |      CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
+      |        + o_orderkey) AS l
+      |  FROM orders GROUP BY 1, 2),
+      |rk AS (SELECT u, j, l,
+      |    row_number() OVER (PARTITION BY u ORDER BY j, l) AS rn,
+      |    COUNT(*) OVER (PARTITION BY u) AS cnt FROM o),
+      |rt AS (SELECT u, j, l, rn FROM rk WHERE cnt >= 3 AND rn <= 3),
+      |cls AS (SELECT DISTINCT l AS c FROM rt),
+      |nc AS (SELECT COUNT(*) AS k FROM cls),
+      |jd AS (SELECT DISTINCT j FROM rt),
+      |cb AS (SELECT jd.j, a.c AS tc, b.c AS lbl
+      |       FROM jd CROSS JOIN cls a CROSS JOIN cls b),
+      |pv AS (SELECT u, MAX(CASE WHEN rn = 1 THEN j END) AS j1,
+      |         MAX(CASE WHEN rn = 1 THEN l END) AS l1,
+      |         MAX(CASE WHEN rn = 2 THEN j END) AS j2,
+      |         MAX(CASE WHEN rn = 2 THEN l END) AS l2,
+      |         MAX(CASE WHEN rn = 3 THEN j END) AS j3,
+      |         MAX(CASE WHEN rn = 3 THEN l END) AS l3
+      |       FROM rt GROUP BY u),
+      |t0 AS (SELECT u, l AS c,
+      |         (2 * COUNT(*)::HUGEINT * 1000000 + 3) // 6 AS t
+      |       FROM rt GROUP BY u, l)""".stripMargin
+
+  // one M-step: π and priors from t{i-1} (add-one smoothing in micros,
+  // half-away division, 1-micro floor — the operator's exact formulas)
+  private def dsMSql(i: Int): String =
+    s"""m${i}n AS (SELECT r.j, t.c AS tc, r.l AS lbl, SUM(t.t) AS s
+       |  FROM rt r JOIN t${i - 1} t ON t.u = r.u GROUP BY 1, 2, 3),
+       |m${i}d AS (SELECT j, tc, SUM(s) AS d FROM m${i}n GROUP BY 1, 2),
+       |pi$i AS (SELECT cb.j, cb.tc, cb.lbl,
+       |  GREATEST(1, (2 * (COALESCE(n.s, 0) + 1000000)::HUGEINT * 1000000
+       |      + COALESCE(d.d, 0) + nc.k * 1000000)
+       |    // (2 * (COALESCE(d.d, 0) + nc.k * 1000000)::HUGEINT)) AS p
+       |  FROM cb CROSS JOIN nc
+       |  LEFT JOIN m${i}n n ON n.j = cb.j AND n.tc = cb.tc
+       |    AND n.lbl = cb.lbl
+       |  LEFT JOIN m${i}d d ON d.j = cb.j AND d.tc = cb.tc),
+       |pc$i AS (SELECT c, SUM(t) AS s FROM t${i - 1} GROUP BY 1),
+       |pt$i AS (SELECT SUM(t) AS tot FROM t${i - 1}),
+       |pr$i AS (SELECT c, GREATEST(1,
+       |    (2 * (s + 1000000)::HUGEINT * 1000000 + tot + nc.k * 1000000)
+       |    // (2 * (tot + nc.k * 1000000)::HUGEINT)) AS p
+       |  FROM pc$i CROSS JOIN pt$i CROSS JOIN nc)""".stripMargin
+
+  // one E-step: score every class as prior · Π π over the unit's 3
+  // rating slots, renormalize per unit
+  private def dsESql(i: Int): String =
+    s"""e$i AS (SELECT pv.u, cls.c,
+       |    pr.p::HUGEINT * p1.p * p2.p * p3.p AS num
+       |  FROM pv CROSS JOIN cls
+       |  JOIN pr$i pr ON pr.c = cls.c
+       |  JOIN pi$i p1 ON p1.j = pv.j1 AND p1.tc = cls.c
+       |    AND p1.lbl = pv.l1
+       |  JOIN pi$i p2 ON p2.j = pv.j2 AND p2.tc = cls.c
+       |    AND p2.lbl = pv.l2
+       |  JOIN pi$i p3 ON p3.j = pv.j3 AND p3.tc = cls.c
+       |    AND p3.lbl = pv.l3),
+       |t$i AS (SELECT u, c, (2 * num * 1000000 + den) // (2 * den) AS t
+       |  FROM (SELECT u, c, num, SUM(num) OVER (PARTITION BY u) AS den
+       |        FROM e$i))""".stripMargin
+
+  val q352Sql: String =
+    s"""WITH $dsBaseSql,
+       |${dsMSql(1)},
+       |${dsESql(1)},
+       |${dsMSql(2)},
+       |${dsESql(2)},
+       |${dsMSql(3)},
        |nr AS (SELECT j, l AS lbl, COUNT(*) AS n FROM rt GROUP BY 1, 2)
        |SELECT p.j AS judge, p.tc AS true_class, p.lbl AS label,
        |  p.p::BIGINT AS pi_micro, COALESCE(nr.n, 0)::BIGINT AS n_ratings
        |FROM pi3 p LEFT JOIN nr ON nr.j = p.j AND nr.lbl = p.lbl
        |ORDER BY judge, true_class, label""".stripMargin
+
+  // ── q357: Dawid–Skene posterior labels (the relabeled corpus) ──────────
+
+  /** q357: [[Preference.dawidSkenePosteriors]] on the q352 fixture —
+    * the EM's OTHER deliverable: per-unit class posteriors after 2
+    * cycles with the MAP flag; units where the MAP class disagrees with
+    * the raw majority vote are the rows Dawid–Skene re-decided by
+    * down-weighting unreliable judge-years. */
+  def q357DsPosteriors(s: SparkSession, dir: String): DataFrame = {
+    val key = (floor(col("o_totalprice") * lit(100)).cast(LongType) *
+      lit(10000000000L) + col("o_orderkey")).as("graft_k")
+    val perJudge = Sources.orders(s, dir)
+      .select(col("o_custkey"),
+        year(col("o_orderdate")).cast("string").as("judge"),
+        col("o_orderpriority").as("graft_p"), key)
+      .groupBy(col("o_custkey"), col("judge"))
+      .agg(max_by(col("graft_p"), col("graft_k")).as("graft_lbl"))
+    val wOrd = Window.partitionBy(col("o_custkey")).orderBy(col("judge"))
+    val wAll = Window.partitionBy(col("o_custkey"))
+    val rated = perJudge
+      .withColumn("graft_rn", row_number().over(wOrd))
+      .withColumn("graft_cnt", count(lit(1)).over(wAll))
+      .filter(col("graft_cnt") >= 3 && col("graft_rn") <= 3)
+    Preference.dawidSkenePosteriors(rated, "o_custkey", "judge",
+        "graft_lbl", r = 3, iters = 2)
+      .orderBy(col("unit"), col("true_class"))
   }
+
+  val q357Sql: String =
+    s"""WITH $dsBaseSql,
+       |${dsMSql(1)},
+       |${dsESql(1)},
+       |${dsMSql(2)},
+       |${dsESql(2)}
+       |SELECT CAST(u AS VARCHAR) AS unit, c AS true_class,
+       |  t::BIGINT AS t_micro, (rnk = 1) AS is_map
+       |FROM (SELECT u, c, t, row_number() OVER (
+       |        PARTITION BY u ORDER BY t DESC, c) AS rnk FROM t2)
+       |ORDER BY unit, true_class""".stripMargin
 
   // ── q345: Borda count over the listwise fixture ────────────────────────
 

@@ -493,6 +493,54 @@ class Preference2OpsSpec extends SparkSpec {
       s"J3's B-confusion must surface: $pi")
   }
 
+  test("dawidSkenePosteriors: hand-computed one-cycle posteriors + MAP flag") {
+    // Same fixture as the iters = 0 confusion spec; after ONE (M, E)
+    // cycle with the hand-computed π/priors (p(A) = 625000,
+    // p(B) = 375000):
+    //   u1 (J1:A, J2:A): num(A) = 625000·714286·571429,
+    //     num(B) = 375000·600000·400000 → T = 739208 / 260792
+    //   u2 (J1:A, J2:B): num(A) = 625000·714286·428571,
+    //     num(B) = 375000·600000·600000 → T = 586304 / 413696
+    val r = Seq(("u1", "J1", "A"), ("u1", "J2", "A"),
+      ("u2", "J1", "A"), ("u2", "J2", "B"))
+      .toDF("unit", "judge", "label")
+    val got = Preference.dawidSkenePosteriors(r, "unit", "judge", "label",
+        r = 2, iters = 1)
+      .orderBy("unit", "true_class")
+      .select("unit", "true_class", "t_micro", "is_map")
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("u1", "A", 739208L, true), ("u1", "B", 260792L, false),
+      ("u2", "A", 586304L, true), ("u2", "B", 413696L, false)))
+  }
+
+  test("dawidSkenePosteriors: EM overturns a majority the reliable judges contradict") {
+    // u5 is rated (B, B, A) — raw majority B — but J1/J2 are the judges
+    // who always agree elsewhere while J3 always says A; with judge
+    // reliability learned from u1..u4, u5's MAP must STAY with the
+    // reliable majority B (and the posterior must be dense, 2 rows per
+    // unit summing to ~10^6)
+    val r = Seq(
+      ("u1", "J1", "A"), ("u1", "J2", "A"), ("u1", "J3", "A"),
+      ("u2", "J1", "B"), ("u2", "J2", "B"), ("u2", "J3", "A"),
+      ("u3", "J1", "B"), ("u3", "J2", "B"), ("u3", "J3", "A"),
+      ("u4", "J1", "A"), ("u4", "J2", "A"), ("u4", "J3", "A"),
+      ("u5", "J1", "B"), ("u5", "J2", "B"), ("u5", "J3", "A"))
+      .toDF("unit", "judge", "label")
+    val got = Preference.dawidSkenePosteriors(r, "unit", "judge", "label",
+        r = 3, iters = 2)
+      .select("unit", "true_class", "t_micro", "is_map")
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(got.size == 10) // 5 units × 2 classes, dense
+    got.groupBy(_._1).foreach { case (u, rows) =>
+      assert(rows.count(_._4) == 1, s"$u needs exactly one MAP row")
+      val s = rows.map(_._3).sum
+      assert(math.abs(s - 1000000L) <= rows.size, s"$u sums to $s")
+    }
+    val map5 = got.filter(x => x._1 == "u5" && x._4).head._2
+    assert(map5 == "B", s"u5's MAP should follow the reliable judges: $got")
+  }
+
   test("dawidSkeneConfusion: units without exactly r ratings are dropped") {
     val r = Seq(("u1", "J1", "A"), ("u1", "J2", "A"),
       ("u2", "J1", "A")) // u2 has 1 rating, r = 2 — dropped
