@@ -1024,6 +1024,87 @@ object Streaming {
       }
   }
 
+  /** Snapshot row of [[lengthGapWinRateStream]]: the running per-gap-
+    * bucket verbosity record — identical surface to the batch
+    * [[graft.operators.Preference.lengthControlledWinRate]]. */
+  final case class LenGapSnapshot(
+      gap_bucket: Long, gap_lo: Long, gap_hi: Long, n_games: Long,
+      n_longer_won: Long, n_shorter_won: Long, longer_win_micro: Long,
+      wilson_lb_micro: Long, wilson_ub_micro: Long)
+
+  /** Exact floor-sqrt on BigInt: Newton from a double seed, then the
+    * two integer corrections — the driver-side sibling of the batch
+    * isqrt Expression pattern (corrections make the seed's error
+    * irrelevant, so the value is engine/seed-independent). */
+  private def isqrtBig(x: BigInt): BigInt = {
+    if (x <= 0) BigInt(0)
+    else {
+      var g = BigInt(math.max(1L, math.sqrt(x.toDouble).toLong))
+      var next = (g + x / g) / 2
+      while (next < g) { g = next; next = (g + x / g) / 2 }
+      while (g * g > x) g -= 1
+      while ((g + 1) * (g + 1) <= x) g += 1
+      g
+    }
+  }
+
+  /**
+   * Streaming maintenance of [[graft.operators.Preference
+   * .lengthControlledWinRate]]: as judged games land, each decided
+   * game folds into its |length gap| bucket's (longer-won, shorter-won)
+   * counters, and the emitted snapshot carries the EXACT per-bucket
+   * record — counts, half-away micro win share, and the z = 2 Wilson
+   * band via the exact integer sqrt — that the batch operator reports
+   * over everything ingested so far (spec-asserted). The length-bias
+   * audit updates live: bands rising above 50% as gaps grow is caught
+   * while the judge is still being paid.
+   *
+   * State: one (Long, Long) counter pair per OCCUPIED gap bucket —
+   * bounded by the length range over gapWidth (metadata-scale);
+   * watermark-free by design (a bias ledger is corpus-lifetime).
+   * Equal-length games drop, matching the batch operator.
+   */
+  def lengthGapWinRateStream(games: DataFrame, winnerLenCol: String,
+                             loserLenCol: String,
+                             gapWidth: Long): Dataset[LenGapSnapshot] = {
+    require(gapWidth >= 1, s"gapWidth=$gapWidth must be >= 1")
+    val spark = games.sparkSession
+    import spark.implicits._
+    val rows = games
+      .select(col(winnerLenCol).cast("long").as("wl"),
+        col(loserLenCol).cast("long").as("ll"))
+      .filter(col("wl").isNotNull && col("ll").isNotNull &&
+        col("wl") =!= col("ll"))
+      .select(((abs(col("wl") - col("ll")) - 1) - ((abs(col("wl") -
+          col("ll")) - 1) % gapWidth)).as("gap0"),
+        (col("wl") > col("ll")).as("longer_won"))
+      .select((col("gap0") / gapWidth).cast("long").as("gb"),
+        col("longer_won"))
+      .as[(Long, Boolean)]
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), LenGapSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (gb: Long, batch: Iterator[(Long, Boolean)],
+         state: GroupState[(Long, Long)]) =>
+          var (w, s) = state.getOption.getOrElse((0L, 0L))
+          batch.foreach { case (_, longerWon) =>
+            if (longerWon) w += 1L else s += 1L
+          }
+          state.update((w, s))
+          val n = w + s
+          val x = BigInt(n) * (BigInt(w) * (n - w) + n)
+          val sq = isqrtBig(x)
+          val den = BigInt(n) * (n + 4)
+          def ha(num: BigInt, d: BigInt): Long =
+            ((num.abs * 2 + d) / (d * 2)).toLong * (if (num < 0) -1 else 1)
+          LenGapSnapshot(gb, gb * gapWidth + 1, (gb + 1) * gapWidth,
+            n, w, s,
+            ha(BigInt(w) * 1000000, BigInt(n)),
+            ha((BigInt(w + 2) * n - 2 * sq) * 1000000, den),
+            ha((BigInt(w + 2) * n + 2 * sq) * 1000000, den))
+      }
+  }
+
   def winRateStream(compStream: DataFrame, winnerCol: String,
                     loserCol: String): Dataset[WinRateSnapshot] = {
     val spark = compStream.sparkSession

@@ -1084,6 +1084,45 @@ class StreamingSpec extends SparkSpec {
       s"stream ${last.size} pairs vs batch ${expected.size}")
   }
 
+  test("streaming length-gap win rate converges to the batch bands") {
+    import spark.implicits._
+    import graft.operators.Preference
+    // varied gaps incl. equal-length games (dropped identically on
+    // both sides); gapWidth = 2 spreads them over several buckets
+    val rows: Seq[(Long, Long)] = (1 to 40).map(i =>
+        ((i % 7 + 1).toLong, ((i * 3) % 7 + 1).toLong)) ++
+      Seq((4L, 4L), (1L, 7L))
+    val games = rows.toDF("winner_len", "loser_len")
+    val expected = Preference.lengthControlledWinRate(games,
+        "winner_len", "loser_len", gapWidth = 2L)
+      .select("gap_bucket", "gap_lo", "gap_hi", "n_games", "n_longer_won",
+        "n_shorter_won", "longer_win_micro", "wilson_lb_micro",
+        "wilson_ub_micro")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(expected.size >= 3, s"fixture too narrow: ${expected.keySet}")
+    val streamDir = tmpDir("lengap-src")
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    h1.toDF("winner_len", "loser_len").write.parquet(s"$streamDir/b1")
+    h2.toDF("winner_len", "loser_len").write.parquet(s"$streamDir/b2")
+    val last = scala.collection.mutable.Map[Long,
+      (Long, Long, Long, Long, Long, Long, Long, Long, Long)]()
+    val q = spark.readStream.schema(games.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/b*")
+      .transform(s => Streaming.lengthGapWinRateStream(s, "winner_len",
+        "loser_len", gapWidth = 2L).toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+          .collect().foreach(r => last(r._1) = r)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(last.toMap == expected,
+      s"stream ${last.size} buckets vs batch ${expected.size}")
+  }
+
   test("streaming judge consistency converges to the batch audit") {
     import spark.implicits._
     import graft.operators.Preference
