@@ -264,6 +264,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("salt-split LSH equals the uncapped pair set for ANY corpus and cap") {
+    // the q350 losslessness LAW, not just its three fixtures: over random
+    // vector corpora (clustered near-dup families + noise, so buckets of
+    // every size appear) and random caps — including caps of 1 and 2
+    // that force maximal splitting — the salt-split candidate
+    // decomposition must reproduce the uncapped verified pair set
+    // exactly (ids AND 6-dp cosines)
+    val vec: Gen[(Long, Seq[Float])] = for {
+      id <- Gen.choose(0L, 10000L)
+      family <- Gen.choose(0, 2)
+      jitter <- Gen.choose(0, 9)
+    } yield (id, (0 until 8).map(d =>
+      (if (family == 0) 1.0f else if (family == 1) -1.0f
+       else if (d % 2 == 0) 1.0f else -1.0f) *
+        (1.0f + 0.003f * ((id + jitter + d) % 7))))
+    val corpus: Gen[(List[(Long, Seq[Float])], Long)] = for {
+      n <- Gen.choose(8, 28)
+      vs <- Gen.listOfN(n, vec)
+      cap <- Gen.choose(1L, 6L)
+    } yield (vs, cap)
+    forAll(corpus) { case (vs, cap) =>
+      // dedup ids: the generators may collide, and duplicate ids would
+      // make the pair sets ill-defined on both sides identically anyway
+      val emb = vs.toMap.toSeq.toDF("vec_id", "embedding")
+      val uncapped = graft.operators.Similarity
+        .cosineNearDupPairsBucketed(emb, "vec_id", "embedding", 0.8,
+          nTables = 2, planesPerTable = 2, dims = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val split = graft.operators.Similarity
+        .cosineNearDupPairsBucketedSaltSplit(emb, "vec_id", "embedding",
+          0.8, maxBucket = cap, nTables = 2, planesPerTable = 2, dims = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(split == uncapped,
+        s"cap=$cap n=${vs.size}: split ${split.size} vs uncapped " +
+          s"${uncapped.size}")
+    }
+  }
+
   test("distributed pareto frontier equals the brute-force skyline") {
     // guards the range-partitioned staircase rewrite: the undominated
     // set must match the O(n²) definition on arbitrary (x, y) multisets,
