@@ -304,6 +304,67 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cluster-keyed split admits zero crossing near-dup pairs for ANY corpus") {
+    // q351's structural guarantee as a law: whatever the near-dup pair
+    // graph looks like, a hash split keyed on the connected-component
+    // id cannot put two paired docs in different splits
+    val pair: Gen[(Long, Long)] = for {
+      a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    forAll(Gen.listOfN(25, pair)) { ps =>
+      val pairs = ps.distinct.toDF("d1", "d2")
+      val docs = (0L to 30L).toDF("doc_id")
+      val comp = graft.operators.Graph.connectedComponents(pairs, "d1", "d2")
+      val keyed = docs
+        .join(comp.select(col("node").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .withColumn("graft_key", coalesce(col("component"), col("doc_id")))
+      val split = Sampling.deterministicSplit(keyed, "graft_key", "split",
+          Seq(("train", 204), ("val", 230), ("test", 256)))
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      ps.foreach { case (a, b) =>
+        assert(split(a) == split(b),
+          s"pair ($a, $b) straddles ${split(a)}/${split(b)}")
+      }
+    }
+  }
+
+  test("Dawid-Skene invariants: rows sum to ~10^6, bounds, one MAP per unit") {
+    // structural laws over random complete rating tables: every
+    // (judge, class) confusion row and every unit's posterior sums to
+    // 10^6 up to per-cell rounding, all cells in [1, 10^6] (posteriors
+    // in [0, 10^6]), and exactly one MAP row per unit
+    val rating: Gen[String] = Gen.oneOf("A", "B", "C")
+    val table: Gen[List[((Int, Int), String)]] = for {
+      nU <- Gen.choose(2, 6)
+      cells <- Gen.listOfN(nU * 2, rating)
+    } yield cells.zipWithIndex.map { case (l, i) => ((i / 2, i % 2), l) }
+    forAll(table) { cells =>
+      val df = cells.map { case ((u, j), l) => (s"u$u", s"J$j", l) }
+        .toDF("unit", "judge", "label")
+      val conf = graft.operators.Preference
+        .dawidSkeneConfusion(df, "unit", "judge", "label", r = 2, iters = 1)
+        .select("judge", "true_class", "pi_micro")
+        .as[(String, String, Long)].collect().toSeq
+      conf.groupBy(x => (x._1, x._2)).foreach { case (k, rows) =>
+        val s = rows.map(_._3).sum
+        assert(math.abs(s - 1000000L) <= rows.size, s"pi row $k sums $s")
+        rows.foreach(x => assert(x._3 >= 1L && x._3 <= 1000000L))
+      }
+      val post = graft.operators.Preference
+        .dawidSkenePosteriors(df, "unit", "judge", "label", r = 2,
+          iters = 1)
+        .select("unit", "t_micro", "is_map")
+        .as[(String, Long, Boolean)].collect().toSeq
+      post.groupBy(_._1).foreach { case (u, rows) =>
+        val s = rows.map(_._2).sum
+        assert(math.abs(s - 1000000L) <= rows.size, s"posterior $u sums $s")
+        assert(rows.count(_._3) == 1, s"$u MAP count != 1")
+        rows.foreach(x => assert(x._2 >= 0L && x._2 <= 1000000L))
+      }
+    }
+  }
+
   test("distributed pareto frontier equals the brute-force skyline") {
     // guards the range-partitioned staircase rewrite: the undominated
     // set must match the O(n²) definition on arbitrary (x, y) multisets,
