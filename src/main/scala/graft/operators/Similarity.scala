@@ -387,8 +387,8 @@ object Similarity {
     val m = col("graft_m")
     val hot = sized.filter(col("graft_bs") > maxBucket)
       .withColumn("graft_m",
-        floor((col("graft_bs") + lit(maxBucket) - 1) / lit(maxBucket))
-          .cast(LongType))
+        call_function("div", col("graft_bs") + lit(maxBucket) - 1,
+          lit(maxBucket)).cast(LongType))
       .withColumn("graft_u",
         ((row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("tbl"), col("sig")).orderBy(col(idCol)))

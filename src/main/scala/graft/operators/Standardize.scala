@@ -549,8 +549,13 @@ object Standardize {
    * Exactness: with A = Σ n_uc² − N, B = n·r(r−1), C = Σ n_c², D = N²,
    * K = |categories|: P̄ = A/B, P̄e = (D − C)/((K−1)·D), and
    * AC1 = (A·(K−1)·D − B·(D−C)) / (B·((K−2)·D + C)) — one exact signed
-   * integer rational over DECIMAL(38,0) products (safe through ~10⁹
-   * units at r ≤ 30, the [[fleissKappa]] bound). Guards: r = 1 ⇒ P̄ and
+   * integer rational over DECIMAL(38,0) products. The headroom is
+   * TIGHTER than [[fleissKappa]]'s ~10⁹-unit bound: AC1's numerator
+   * carries an extra (K−1)·D = (K−1)·n²r² factor, so the half-away
+   * divide holds 2·(K−1)·n³r⁴·10⁶, which caps n at ~1.8·10⁸ units for
+   * r ≤ 30, K = 2 (shrinking ∛(K−1)-fold with more categories; at
+   * n = 10⁹, r = 30 the product is ~10³⁹ and the non-ANSI decimal
+   * overflow would NULL the verdict). Guards: r = 1 ⇒ P̄ and
    * AC1 NULL (no within-unit pairs); K = 1 ⇒ P̄e and AC1 NULL (chance
    * agreement undefined on one category — never 0/0). κ is computed
    * with r = min; `complete` flags the fixed-r precondition.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Similarity
+import graft.operators.{Similarity, TextDedup}
 import graft.sources.Sources
 
 /**
@@ -377,6 +377,26 @@ object ScalePathQueries {
       |SELECT component AS cluster, component AS survivor_id,
       |  n_members, n_members - 1 AS n_removed
       |FROM sz ORDER BY cluster""".stripMargin
+
+  // ── q358: salt-split hot buckets on the TEXT MinHash-LSH path ─────────
+
+  /** q358: [[TextDedup.minHashLshPairs]] at q19's exact configuration
+    * (k = 16, r = 4, w = 3, threshold 0.5) with the r17 hot-bucket
+    * policy ENGAGED: `maxBucket = 2`, which bites at both test SFs
+    * (band-bucket max is 3 at sf0.01, 4 at sf0.1 — measured via the
+    * oracle's own band CTE), so over-cap band buckets really do take
+    * the salt-split block-join path here, not the plain single-key
+    * join. The oracle is DELIBERATELY q19's UNCAPPED chain verbatim:
+    * hash-green IS the proof that the text salt split loses no pair
+    * (the q350 done-bar applied to the text twin — a split replay in
+    * the oracle could mask a dropped cross-block pair; the uncapped
+    * oracle cannot). PropertySpec holds the any-corpus/any-cap law. */
+  def q358SaltSplitText(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minHashLshPairs(Sources.documents(s, dir), "doc_id", "text",
+        k = 16, r = 4, w = 3, threshold = 0.5, maxBucket = Some(2L))
+      .orderBy(col("d1"), col("d2"))
+
+  val q358Sql: String = PipelineQueries.q19Sql
 
   // ── q339: the cap's explicit exclusion report ──────────────────────────
 

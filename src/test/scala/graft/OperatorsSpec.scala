@@ -72,6 +72,38 @@ class TextDedupSpec extends SparkSpec {
     assert(!m.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("text salt-split: hot exact-dup band buckets keep every pair") {
+    // 6 verbatim copies + the near-dup + the unrelated doc: every band
+    // bucket the copies share has 6 members, so maxBucket = 2 splits
+    // each into m = 3 sub-buckets and the 3×3 block join must still
+    // produce all C(6,2) = 15 exact-dup pairs plus the near-dup pairs —
+    // identical to the uncapped path (ids AND jaccard)
+    val many = docs.union(Seq(
+      (5L, "the quick brown fox jumps over the lazy dog today"),
+      (6L, "the quick brown fox jumps over the lazy dog today"),
+      (7L, "the quick brown fox jumps over the lazy dog today"),
+      (8L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text"))
+    val uncapped = TextDedup.minHashLshPairs(many, "doc_id", "text",
+        k = 16, r = 2, threshold = 0.3)
+      .orderBy("d1", "d2").collect().toSeq
+    val split = TextDedup.minHashLshPairs(many, "doc_id", "text",
+        k = 16, r = 2, threshold = 0.3, maxBucket = Some(2L))
+      .orderBy("d1", "d2").collect().toSeq
+    assert(uncapped.count(r => r.getDouble(2) == 1.0) == 15)
+    assert(split == uncapped)
+  }
+
+  test("text salt-split: inactive cap rides the plain path unchanged") {
+    val uncapped = TextDedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 16, r = 2, threshold = 0.3)
+      .orderBy("d1", "d2").collect().toSeq
+    val split = TextDedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 16, r = 2, threshold = 0.3, maxBucket = Some(1000L))
+      .orderBy("d1", "d2").collect().toSeq
+    assert(split == uncapped && uncapped.nonEmpty)
+  }
+
   test("ngram jaccard ground truth matches hand computation") {
     // doc1/doc2 differ in word 9 of 10 → trigram sets: 8 each, 6 shared
     // jaccard = 6 / (8 + 8 - 6) = 0.6

@@ -304,6 +304,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("text salt-split LSH equals the uncapped pair set for ANY corpus and cap") {
+    // the q358 losslessness LAW (the q350 law's text twin): over random
+    // duplicate-heavy corpora — documents drawn from a few base
+    // sentences, so identical texts share EVERY band bucket and hot
+    // buckets of every size appear — and random caps including 1 and 2
+    // (maximal splitting), minHashLshPairs with the salt-split policy
+    // must reproduce the uncapped verified pair set exactly (ids AND
+    // jaccard values)
+    val base = Vector(
+      "the quick brown fox jumps over the lazy dog",
+      "spark shuffles hash joins across the cluster tonight",
+      "window sort batch scan join hash spark the")
+    val doc: Gen[String] = for {
+      fam <- Gen.choose(0, 2)
+      extra <- Gen.choose(0, 3)
+    } yield if (extra == 0) base(fam) else base(fam) + " tail" + extra
+    val corpus: Gen[(List[String], Long)] = for {
+      n <- Gen.choose(6, 16)
+      ds <- Gen.listOfN(n, doc)
+      cap <- Gen.choose(1L, 4L)
+    } yield (ds, cap)
+    forAll(corpus) { case (ds, cap) =>
+      val docs = ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val uncapped = TextDedup.minHashLshPairs(docs, "doc_id", "text",
+          k = 8, r = 2, w = 2, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val split = TextDedup.minHashLshPairs(docs, "doc_id", "text",
+          k = 8, r = 2, w = 2, threshold = 0.5, maxBucket = Some(cap))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(split == uncapped,
+        s"cap=$cap n=${ds.size}: split ${split.size} vs uncapped " +
+          s"${uncapped.size}")
+    }
+  }
+
   test("cluster-keyed split admits zero crossing near-dup pairs for ANY corpus") {
     // q351's structural guarantee as a law: whatever the near-dup pair
     // graph looks like, a hash split keyed on the connected-component

@@ -29,8 +29,19 @@ Replica construction, per table:
     in density, not spread.
   - region/nation: single copy (fixed dimensions).
 
-Usage: python3 tools/make_scale.py <dstDir> [K] [jitterEps]
-  jitterEps > 0 (e.g. 0.02) enables the jittered-embedding mode.
+  - sharedBands mode (r16 verdict item 1's done-bar): documents are
+    replicated VERBATIM (ids shifted, text untouched), so every replica
+    of a doc shares EVERY MinHash band bucket with its copies — band
+    buckets grow K-fold and the text-LSH candidate join's hot-bucket
+    physics (one key carrying a B² fan-out) actually materializes. The
+    default word-salted mode structurally CANNOT surface it (replicas
+    share zero shingles), which is exactly how the un-capped text path
+    stayed invisible to the scaling bench through r16. Embeddings stay
+    verbatim in this mode.
+
+Usage: python3 tools/make_scale.py <dstDir> [K] [jitterEps|sharedBands]
+  jitterEps > 0 (e.g. 0.02) enables the jittered-embedding mode;
+  the literal string `sharedBands` enables verbatim-text replication.
 """
 import os
 import sys
@@ -40,7 +51,9 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf0.5"
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-JITTER = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
+SHARED_BANDS = len(sys.argv) > 3 and sys.argv[3] == "sharedBands"
+JITTER = (float(sys.argv[3])
+          if len(sys.argv) > 3 and not SHARED_BANDS else 0.0)
 OFF = 1_000_000_000
 
 # table -> list of BIGINT key columns to shift per replica
@@ -77,11 +90,13 @@ def replica_select(table, cols, r):
                 f"strpos('0123456789abcdef', substr(md5({r}::VARCHAR || "
                 "'_' || vec_id::VARCHAR || '_' || d::VARCHAR), 2, 1)) - 1 "
                 "- 128) / 128.0))) AS FLOAT[]) AS embedding")
-        elif table == "documents" and name == "text" and r > 0:
+        elif (table == "documents" and name == "text" and r > 0
+              and not SHARED_BANDS):
             parts.append(
                 "array_to_string(list_transform(string_split(text, ' '),"
                 f" x -> x || '_r{r}'), ' ') AS text")
-        elif table == "documents" and name == "n_chars" and r > 0:
+        elif (table == "documents" and name == "n_chars" and r > 0
+              and not SHARED_BANDS):
             parts.append(
                 "CAST(length(array_to_string(list_transform("
                 "string_split(text, ' '),"
