@@ -994,9 +994,13 @@ object Preference {
    *
    * Completeness contract: every unit has EXACTLY r ratings (the Fleiss
    * fixed-r precondition, q340's `complete` flag) — units with any
-   * other count are dropped before the fit; r ≤ 5 keeps the E-step
-   * product (prior · π^r ≤ 10^(6(r+1))) inside DECIMAL(38,0) with the
-   * ×10⁶ division headroom. The label vocabulary is collected once
+   * other count are dropped before the fit; r ≤ 4 keeps the E-step
+   * product (prior · π^r ≤ 10^(6(r+1)), i.e. ≤ 10^30) inside
+   * DECIMAL(38,0) WITH the ×10⁶ half-away division headroom (the
+   * divide computes 2·num·10⁶ + den ≈ 10^37) — r = 5 would push that
+   * to ~10^43 and Spark's non-ANSI decimal overflow silently NULLs
+   * the dominant class, so it is rejected, not documented away. The
+   * label vocabulary is collected once
    * (metadata-scale by the layer's contract — classes are rating
    * categories, not corpus rows; the TextAnalysis vocab precedent).
    *
@@ -1006,28 +1010,60 @@ object Preference {
    * cardinality is corpus-high, so the window partitions are C rows
    * each. π/priors are judges·C² metadata, broadcast EXPLICITLY.
    *
-   * Output: (judge, true_class, label, pi_micro, n_ratings) — π rows
-   * for EVERY (judge, class, label) combination (smoothing fills the
-   * unobserved cells; Σ_l pi_micro ≈ 10⁶ up to rounding), n_ratings the
-   * raw observed (judge, label) count, unsmoothed.
+   * Output: (judge, true_class, label, pi_micro, n_ratings,
+   * n_units_excluded) — π rows for EVERY (judge, class, label)
+   * combination (smoothing fills the unobserved cells; Σ_l pi_micro ≈
+   * 10⁶ up to rounding), n_ratings the raw observed (judge, label)
+   * count, unsmoothed. n_units_excluded (constant across rows) is the
+   * LOUD count of units the completeness filter dropped — the q339
+   * exclusion-is-never-silent convention: a log where 30% of units
+   * carry r−1 ratings now announces that its confusion matrices cover
+   * 70% of the data. For keeping those units instead, see
+   * [[dawidSkeneConfusionRagged]].
    */
   def dawidSkeneConfusion(ratings: DataFrame, unitCol: String,
                           judgeCol: String, labelCol: String, r: Int,
-                          iters: Int = 2): DataFrame = {
+                          iters: Int = 2): DataFrame =
+    dsConfusion(ratings, unitCol, judgeCol, labelCol, r, r, iters)
+
+  /**
+   * Ragged-rating-count Dawid–Skene confusion matrices: real judge logs
+   * are RAGGED — units carry anywhere from 2 to rMax ratings — and the
+   * fixed-r [[dawidSkeneConfusion]] silently-no-longer-silently drops
+   * every incomplete unit (30% of a real log, easily). This variant
+   * keeps every unit with 2..rMax ratings: T₀ divides by the unit's own
+   * r_u, and the E-step's missing tail slots contribute a neutral ×1
+   * factor (per-unit renormalization absorbs the scale difference).
+   * Units with a single rating stay excluded (one rating carries no
+   * agreement signal and would only echo its judge's smoothed prior) —
+   * counted in n_units_excluded like every other drop. rMax ≤ 4 is the
+   * same DECIMAL(38,0) product bound as the fixed path's r ≤ 4.
+   */
+  def dawidSkeneConfusionRagged(ratings: DataFrame, unitCol: String,
+                                judgeCol: String, labelCol: String,
+                                rMax: Int = 4, iters: Int = 2): DataFrame =
+    dsConfusion(ratings, unitCol, judgeCol, labelCol, 2, rMax, iters)
+
+  private def dsConfusion(ratings: DataFrame, unitCol: String,
+                          judgeCol: String, labelCol: String,
+                          minR: Int, rMax: Int, iters: Int): DataFrame = {
     require(iters >= 0 && iters <= 5, s"iters=$iters out of range (0..5)")
-    val (rt, classes) = dsPrepare(ratings, unitCol, judgeCol, labelCol, r)
+    val (rt, classes, excluded) =
+      dsPrepare(ratings, unitCol, judgeCol, labelCol, minR, rMax)
     val nC = classes.size
     val classArr = array(classes.map(lit): _*)
     val combos = dsCombos(rt, classArr)
-    val t = dsFit(rt, classArr, combos, nC, r, iters)
+    val t = dsFit(rt, classArr, combos, nC, rMax, iters)
     val (piOut, _) = dsMStep(rt, combos, nC, t)
     val nr = rt.groupBy(col("graft_j"), col("graft_l").as("graft_lbl"))
       .agg(count(lit(1)).as("graft_nr"))
     piOut.join(nr, Seq("graft_j", "graft_lbl"), "left")
+      .crossJoin(broadcast(excluded))
       .select(col("graft_j").as("judge"), col("graft_tc").as("true_class"),
         col("graft_lbl").as("label"),
         col("graft_p").cast(LongType).as("pi_micro"),
-        coalesce(col("graft_nr"), lit(0L)).as("n_ratings"))
+        coalesce(col("graft_nr"), lit(0L)).as("n_ratings"),
+        col("n_units_excluded"))
   }
 
   /**
@@ -1041,60 +1077,107 @@ object Preference {
    * re-decided by down-weighting unreliable judges.
    *
    * Same determinism/completeness contract as the confusion side
-   * (micro fixed point, fixed iterations, exactly-r units); `iters` ≥ 1
-   * so the output is the DENSE posterior over every class (iters = 0
-   * would be the sparse majority vote, which needs no EM). Output:
-   * (unit, true_class, t_micro, is_map), one row per kept unit per
-   * class; Σ_c t_micro ≈ 10⁶ per unit up to rounding.
+   * (micro fixed point, fixed iterations, exactly-r units, loud
+   * n_units_excluded); `iters` ≥ 1 so the output is the DENSE posterior
+   * over every class (iters = 0 would be the sparse majority vote,
+   * which needs no EM). Output: (unit, true_class, t_micro, is_map,
+   * n_units_excluded), one row per kept unit per class; Σ_c t_micro ≈
+   * 10⁶ per unit up to rounding.
    *
    * Scale shape: the EM cycles as in [[dawidSkeneConfusion]]; the MAP
    * flag is one unit-partitioned C-row window on the final posteriors.
    */
   def dawidSkenePosteriors(ratings: DataFrame, unitCol: String,
                            judgeCol: String, labelCol: String, r: Int,
-                           iters: Int = 2): DataFrame = {
+                           iters: Int = 2): DataFrame =
+    dsPosteriors(ratings, unitCol, judgeCol, labelCol, r, r, iters,
+      withRu = false)
+
+  /**
+   * Ragged-rating-count twin of [[dawidSkenePosteriors]] (see
+   * [[dawidSkeneConfusionRagged]] for the keep/exclude contract):
+   * every unit with 2..rMax ratings gets its dense posterior + MAP
+   * flag, plus its own n_ratings (r_u — the per-unit evidence count a
+   * downstream consumer should weight by) and the loud exclusion count.
+   */
+  def dawidSkenePosteriorsRagged(ratings: DataFrame, unitCol: String,
+                                 judgeCol: String, labelCol: String,
+                                 rMax: Int = 4, iters: Int = 2): DataFrame =
+    dsPosteriors(ratings, unitCol, judgeCol, labelCol, 2, rMax, iters,
+      withRu = true)
+
+  private def dsPosteriors(ratings: DataFrame, unitCol: String,
+                           judgeCol: String, labelCol: String,
+                           minR: Int, rMax: Int, iters: Int,
+                           withRu: Boolean): DataFrame = {
     require(iters >= 1 && iters <= 5, s"iters=$iters out of range (1..5)")
     val w = org.apache.spark.sql.expressions.Window
-    val (rt, classes) = dsPrepare(ratings, unitCol, judgeCol, labelCol, r)
+    val (rt, classes, excluded) =
+      dsPrepare(ratings, unitCol, judgeCol, labelCol, minR, rMax)
     val nC = classes.size
     val classArr = array(classes.map(lit): _*)
     val combos = dsCombos(rt, classArr)
-    val t = dsFit(rt, classArr, combos, nC, r, iters)
-    t.withColumn("graft_rnk", row_number().over(
+    val t = dsFit(rt, classArr, combos, nC, rMax, iters)
+    val flagged = t.withColumn("graft_rnk", row_number().over(
         w.partitionBy(col("graft_u"))
           .orderBy(col("graft_t").desc, col("graft_c").asc)))
+      .crossJoin(broadcast(excluded))
+    val out = flagged
       .select(col("graft_u").as("unit"), col("graft_c").as("true_class"),
         col("graft_t").cast(LongType).as("t_micro"),
-        (col("graft_rnk") === 1).as("is_map"))
+        (col("graft_rnk") === 1).as("is_map"),
+        col("n_units_excluded"))
+    if (!withRu) out
+    else {
+      val ru = rt.groupBy(col("graft_u").as("unit"))
+        .agg(max(col("graft_cnt")).as("n_ratings"))
+      out.join(ru, Seq("unit"))
+        .select(col("unit"), col("true_class"), col("t_micro"),
+          col("is_map"), col("n_ratings"), col("n_units_excluded"))
+    }
   }
 
   /** Shared Dawid–Skene scaffold: cleaned STRING ratings restricted to
-    * exactly-r units, with the per-unit slot index, plus the collected
-    * label vocabulary (metadata-scale by the layer's contract). */
+    * units with minR..maxR ratings (fixed-r callers pass minR = maxR),
+    * with the per-unit slot index AND per-unit rating count (graft_cnt,
+    * constant within a unit — the ragged path's r_u), plus the collected
+    * label vocabulary (metadata-scale by the layer's contract), plus the
+    * LOUD exclusion ledger: a 1-row frame counting the units the
+    * completeness filter dropped — exclusion is never silent (the q339
+    * convention; the r16 verdict's item 2). */
   private def dsPrepare(ratings: DataFrame, unitCol: String,
                         judgeCol: String, labelCol: String,
-                        r: Int): (DataFrame, Seq[String]) = {
-    require(r >= 2 && r <= 5, s"r=$r out of range (2..5)")
+                        minR: Int, maxR: Int)
+      : (DataFrame, Seq[String], DataFrame) = {
+    require(minR >= 2 && maxR <= 4 && minR <= maxR,
+      s"rating-count range ($minR..$maxR) out of bounds (2..4): " +
+        "r = 5 overflows the DECIMAL(38,0) E-step product " +
+        "(prior*pi^5*10^6 ~ 10^42) and Spark's non-ANSI decimal " +
+        "overflow would NULL it silently")
     val w = org.apache.spark.sql.expressions.Window
     val base = ratings.select(col(unitCol).cast(StringType).as("graft_u"),
         col(judgeCol).cast(StringType).as("graft_j"),
         col(labelCol).cast(StringType).as("graft_l"))
       .filter(col("graft_u").isNotNull && col("graft_j").isNotNull &&
         col("graft_l").isNotNull)
-    // fixed-r completeness: exactly r ratings per unit or the unit is out
-    val rt = base
-      .withColumn("graft_cnt", count(lit(1)).over(
-        w.partitionBy(col("graft_u"))))
-      .filter(col("graft_cnt") === r)
+    val counted = base.withColumn("graft_cnt", count(lit(1)).over(
+      w.partitionBy(col("graft_u"))))
+    // completeness: minR..maxR ratings per unit or the unit is out —
+    // and the drop is COUNTED, not silent
+    val rt = counted
+      .filter(col("graft_cnt") >= minR && col("graft_cnt") <= maxR)
       .withColumn("graft_rn", row_number().over(
         w.partitionBy(col("graft_u"))
           .orderBy(col("graft_j"), col("graft_l"))))
       .select(col("graft_u"), col("graft_j"), col("graft_l"),
-        col("graft_rn"))
+        col("graft_rn"), col("graft_cnt"))
       .localCheckpoint(eager = false) // read every cycle + pivot + output
+    val excluded = counted
+      .filter(col("graft_cnt") < minR || col("graft_cnt") > maxR)
+      .agg(count_distinct(col("graft_u")).as("n_units_excluded"))
     val classes: Seq[String] = rt.select(col("graft_l")).distinct()
       .orderBy(col("graft_l")).collect().map(_.getString(0)).toSeq
-    (rt, classes)
+    (rt, classes, excluded)
   }
 
   /** All (judge, class, label) confusion cells — explodes, not joins,
@@ -1138,21 +1221,29 @@ object Preference {
     (pi, prior)
   }
 
-  /** T after `iters` (M, E) cycles from the majority-vote start. */
+  /** T after `iters` (M, E) cycles from the majority-vote start. `rMax`
+    * bounds the per-unit slot count; units with fewer ratings (the
+    * ragged path) pivot to NULL tail slots, whose π attach LEFT-misses
+    * and contributes a neutral ×1 factor — per-unit renormalization
+    * makes the per-unit scale difference irrelevant. For fixed-r input
+    * every slot matches, so the LEFT joins are value-identical to the
+    * pre-r17 inner joins. */
   private def dsFit(rt: DataFrame, classArr: Column, combos: DataFrame,
-                    nC: Int, r: Int, iters: Int): DataFrame = {
+                    nC: Int, rMax: Int, iters: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    // T0: majority-vote fraction in micros (sparse — absent classes = 0)
+    // T0: majority-vote fraction n_uc / r_u in micros (sparse — absent
+    // classes = 0); r_u = graft_cnt, constant within the unit
     var t = rt.groupBy(col("graft_u"), col("graft_l").as("graft_c"))
-      .agg(count(lit(1)).as("graft_n"))
+      .agg(count(lit(1)).as("graft_n"),
+        max(col("graft_cnt")).as("graft_ru"))
       .select(col("graft_u"), col("graft_c"),
         ExactRound.halfAwayDiv(col("graft_n").cast(big) * lit(S).cast(big),
-          lit(r.toLong).cast(big)).as("graft_t"))
+          col("graft_ru").cast(big)).as("graft_t"))
     for (_ <- 1 to iters) {
       val (pi, prior) = dsMStep(rt, combos, nC, t)
-      // E-step: pivot the unit's r (judge, label) slots, score every
-      // candidate class with prior · Π_k π_k, renormalize per unit
-      val pivotCols = (1 to r).flatMap { k =>
+      // E-step: pivot the unit's ≤ rMax (judge, label) slots, score
+      // every candidate class with prior · Π_k π_k, renormalize per unit
+      val pivotCols = (1 to rMax).flatMap { k =>
         Seq(max(when(col("graft_rn") === k, col("graft_j")))
             .as(s"graft_j$k"),
           max(when(col("graft_rn") === k, col("graft_l")))
@@ -1163,14 +1254,15 @@ object Preference {
         .withColumn("graft_c", explode(classArr))
         .join(broadcast(prior), Seq("graft_c"))
         .withColumn("graft_num", col("graft_pr").cast(big))
-      for (k <- 1 to r) {
+      for (k <- 1 to rMax) {
         scored = scored.join(broadcast(pi.select(
             col("graft_j").as(s"graft_j$k"), col("graft_tc").as("graft_c"),
             col("graft_lbl").as(s"graft_l$k"),
             col("graft_p").as(s"graft_p$k"))),
-          Seq(s"graft_j$k", "graft_c", s"graft_l$k"))
+          Seq(s"graft_j$k", "graft_c", s"graft_l$k"), "left")
           .withColumn("graft_num",
-            (col("graft_num") * col(s"graft_p$k").cast(big)).cast(big))
+            (col("graft_num") *
+              coalesce(col(s"graft_p$k"), lit(1L)).cast(big)).cast(big))
       }
       t = scored
         .withColumn("graft_den", sum(col("graft_num")).over(

@@ -697,7 +697,14 @@ object Eval2Queries {
     * completeness contract); 2 EM cycles + closing M-step. κ (q340)
     * said WHETHER the judges disagree; this table says WHO confuses
     * WHICH classes. */
-  def q352DawidSkene(s: SparkSession, dir: String): DataFrame = {
+  /** The shared q352/q357/q359/q360 judge fixture: order YEARS as
+    * judges, one deterministic priority label per (customer, year),
+    * TRUNCATED to each customer's first 3 judge-years — truncation
+    * only; the completeness exclusion (exactly-3 for the fixed gates,
+    * ≥ 2 for the ragged ones) is the OPERATOR's and surfaces in
+    * n_units_excluded. Kept units and their π under the fixed-r path
+    * are identical to the pre-r17 pre-filtered fixture. */
+  private def dsFixture(s: SparkSession, dir: String): DataFrame = {
     val key = (floor(col("o_totalprice") * lit(100)).cast(LongType) *
       lit(10000000000L) + col("o_orderkey")).as("graft_k")
     val perJudge = Sources.orders(s, dir)
@@ -707,23 +714,26 @@ object Eval2Queries {
       .groupBy(col("o_custkey"), col("judge"))
       .agg(max_by(col("graft_p"), col("graft_k")).as("graft_lbl"))
     val wOrd = Window.partitionBy(col("o_custkey")).orderBy(col("judge"))
-    val wAll = Window.partitionBy(col("o_custkey"))
-    val rated = perJudge
+    perJudge
       .withColumn("graft_rn", row_number().over(wOrd))
-      .withColumn("graft_cnt", count(lit(1)).over(wAll))
-      .filter(col("graft_cnt") >= 3 && col("graft_rn") <= 3)
-    Preference.dawidSkeneConfusion(rated, "o_custkey", "judge",
-        "graft_lbl", r = 3, iters = 2)
-      .orderBy(col("judge"), col("true_class"), col("label"))
+      .filter(col("graft_rn") <= 3)
   }
+
+  def q352DawidSkene(s: SparkSession, dir: String): DataFrame =
+    Preference.dawidSkeneConfusion(dsFixture(s, dir), "o_custkey",
+        "judge", "graft_lbl", r = 3, iters = 2)
+      .orderBy(col("judge"), col("true_class"), col("label"))
 
   // ── shared Dawid–Skene oracle scaffolding (q352 + q357) ────────────────
 
-  /** The q352/q357 fixture + T0 as WITH-chain members: per-(customer,
-    * year) deterministic label, first 3 judge-years, exactly-r units,
-    * classes/judges/combos, the pivot, and the majority-vote start. */
-  private val dsBaseSql: String =
-    """o AS (SELECT o_custkey AS u,
+  /** The q352/q357/q359/q360 fixture + T0 as WITH-chain members:
+    * per-(customer, year) deterministic label, first 3 judge-years,
+    * the kept-unit table `rt` (with per-unit ru) and loud exclusion
+    * count `excl` per the given completeness predicates, classes/
+    * judges/combos, the pivot (tail slots NULL for ragged units), and
+    * the majority-vote start n_uc/r_u. */
+  private def dsBaseSql(keepPred: String, exclPred: String): String =
+    s"""o AS (SELECT o_custkey AS u,
       |    CAST(year(o_orderdate) AS VARCHAR) AS j,
       |    arg_max(o_orderpriority,
       |      CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
@@ -732,7 +742,9 @@ object Eval2Queries {
       |rk AS (SELECT u, j, l,
       |    row_number() OVER (PARTITION BY u ORDER BY j, l) AS rn,
       |    COUNT(*) OVER (PARTITION BY u) AS cnt FROM o),
-      |rt AS (SELECT u, j, l, rn FROM rk WHERE cnt >= 3 AND rn <= 3),
+      |rt AS (SELECT u, j, l, rn, LEAST(cnt, 3) AS ru
+      |       FROM rk WHERE $keepPred AND rn <= 3),
+      |excl AS (SELECT COUNT(DISTINCT u) AS nx FROM rk WHERE $exclPred),
       |cls AS (SELECT DISTINCT l AS c FROM rt),
       |nc AS (SELECT COUNT(*) AS k FROM cls),
       |jd AS (SELECT DISTINCT j FROM rt),
@@ -746,8 +758,18 @@ object Eval2Queries {
       |         MAX(CASE WHEN rn = 3 THEN l END) AS l3
       |       FROM rt GROUP BY u),
       |t0 AS (SELECT u, l AS c,
-      |         (2 * COUNT(*)::HUGEINT * 1000000 + 3) // 6 AS t
+      |         (2 * COUNT(*)::HUGEINT * 1000000 + MAX(ru))
+      |           // (2 * MAX(ru)) AS t
       |       FROM rt GROUP BY u, l)""".stripMargin
+
+  /** Fixed-r chain (q352/q357): the operator keeps exactly-3 units —
+    * the fixture truncates to 3, so kept = cnt >= 3, excluded = the
+    * units left with fewer than 3 ratings. */
+  private val dsFixedBase: String = dsBaseSql("cnt >= 3", "cnt < 3")
+
+  /** Ragged chain (q359/q360): units keep their own r_u ∈ 2..3; only
+    * single-rating units are excluded. */
+  private val dsRaggedBase: String = dsBaseSql("cnt >= 2", "cnt < 2")
 
   // one M-step: π and priors from t{i-1} (add-one smoothing in micros,
   // half-away division, 1-micro floor — the operator's exact formulas)
@@ -770,25 +792,29 @@ object Eval2Queries {
        |    // (2 * (tot + nc.k * 1000000)::HUGEINT)) AS p
        |  FROM pc$i CROSS JOIN pt$i CROSS JOIN nc)""".stripMargin
 
-  // one E-step: score every class as prior · Π π over the unit's 3
-  // rating slots, renormalize per unit
+  // one E-step: score every class as prior · Π π over the unit's ≤ 3
+  // rating slots (ragged tail slots LEFT-miss and contribute ×1 — for
+  // complete units the LEFT joins match every slot, value-identical to
+  // inner), renormalize per unit
   private def dsESql(i: Int): String =
     s"""e$i AS (SELECT pv.u, cls.c,
-       |    pr.p::HUGEINT * p1.p * p2.p * p3.p AS num
+       |    pr.p::HUGEINT * COALESCE(p1.p, 1) * COALESCE(p2.p, 1)
+       |      * COALESCE(p3.p, 1) AS num
        |  FROM pv CROSS JOIN cls
        |  JOIN pr$i pr ON pr.c = cls.c
-       |  JOIN pi$i p1 ON p1.j = pv.j1 AND p1.tc = cls.c
+       |  LEFT JOIN pi$i p1 ON p1.j = pv.j1 AND p1.tc = cls.c
        |    AND p1.lbl = pv.l1
-       |  JOIN pi$i p2 ON p2.j = pv.j2 AND p2.tc = cls.c
+       |  LEFT JOIN pi$i p2 ON p2.j = pv.j2 AND p2.tc = cls.c
        |    AND p2.lbl = pv.l2
-       |  JOIN pi$i p3 ON p3.j = pv.j3 AND p3.tc = cls.c
+       |  LEFT JOIN pi$i p3 ON p3.j = pv.j3 AND p3.tc = cls.c
        |    AND p3.lbl = pv.l3),
        |t$i AS (SELECT u, c, (2 * num * 1000000 + den) // (2 * den) AS t
        |  FROM (SELECT u, c, num, SUM(num) OVER (PARTITION BY u) AS den
        |        FROM e$i))""".stripMargin
 
-  val q352Sql: String =
-    s"""WITH $dsBaseSql,
+  // the shared confusion-output SELECT over a 3-cycle chain
+  private def dsConfusionSql(base: String): String =
+    s"""WITH $base,
        |${dsMSql(1)},
        |${dsESql(1)},
        |${dsMSql(2)},
@@ -796,9 +822,13 @@ object Eval2Queries {
        |${dsMSql(3)},
        |nr AS (SELECT j, l AS lbl, COUNT(*) AS n FROM rt GROUP BY 1, 2)
        |SELECT p.j AS judge, p.tc AS true_class, p.lbl AS label,
-       |  p.p::BIGINT AS pi_micro, COALESCE(nr.n, 0)::BIGINT AS n_ratings
+       |  p.p::BIGINT AS pi_micro, COALESCE(nr.n, 0)::BIGINT AS n_ratings,
+       |  excl.nx::BIGINT AS n_units_excluded
        |FROM pi3 p LEFT JOIN nr ON nr.j = p.j AND nr.lbl = p.lbl
+       |CROSS JOIN excl
        |ORDER BY judge, true_class, label""".stripMargin
+
+  val q352Sql: String = dsConfusionSql(dsFixedBase)
 
   // ── q357: Dawid–Skene posterior labels (the relabeled corpus) ──────────
 
@@ -807,36 +837,66 @@ object Eval2Queries {
     * cycles with the MAP flag; units where the MAP class disagrees with
     * the raw majority vote are the rows Dawid–Skene re-decided by
     * down-weighting unreliable judge-years. */
-  def q357DsPosteriors(s: SparkSession, dir: String): DataFrame = {
-    val key = (floor(col("o_totalprice") * lit(100)).cast(LongType) *
-      lit(10000000000L) + col("o_orderkey")).as("graft_k")
-    val perJudge = Sources.orders(s, dir)
-      .select(col("o_custkey"),
-        year(col("o_orderdate")).cast("string").as("judge"),
-        col("o_orderpriority").as("graft_p"), key)
-      .groupBy(col("o_custkey"), col("judge"))
-      .agg(max_by(col("graft_p"), col("graft_k")).as("graft_lbl"))
-    val wOrd = Window.partitionBy(col("o_custkey")).orderBy(col("judge"))
-    val wAll = Window.partitionBy(col("o_custkey"))
-    val rated = perJudge
-      .withColumn("graft_rn", row_number().over(wOrd))
-      .withColumn("graft_cnt", count(lit(1)).over(wAll))
-      .filter(col("graft_cnt") >= 3 && col("graft_rn") <= 3)
-    Preference.dawidSkenePosteriors(rated, "o_custkey", "judge",
-        "graft_lbl", r = 3, iters = 2)
+  def q357DsPosteriors(s: SparkSession, dir: String): DataFrame =
+    Preference.dawidSkenePosteriors(dsFixture(s, dir), "o_custkey",
+        "judge", "graft_lbl", r = 3, iters = 2)
       .orderBy(col("unit"), col("true_class"))
-  }
 
   val q357Sql: String =
-    s"""WITH $dsBaseSql,
+    s"""WITH $dsFixedBase,
        |${dsMSql(1)},
        |${dsESql(1)},
        |${dsMSql(2)},
        |${dsESql(2)}
        |SELECT CAST(u AS VARCHAR) AS unit, c AS true_class,
-       |  t::BIGINT AS t_micro, (rnk = 1) AS is_map
+       |  t::BIGINT AS t_micro, (rnk = 1) AS is_map,
+       |  excl.nx::BIGINT AS n_units_excluded
        |FROM (SELECT u, c, t, row_number() OVER (
        |        PARTITION BY u ORDER BY t DESC, c) AS rnk FROM t2)
+       |CROSS JOIN excl
+       |ORDER BY unit, true_class""".stripMargin
+
+  // ── q359/q360: RAGGED Dawid–Skene (per-unit rating counts) ─────────────
+
+  /** q359: [[Preference.dawidSkeneConfusionRagged]] on the UNTRUNCATED
+    * completeness spectrum of the q352 fixture — customers with 2 OR 3
+    * judge-years all contribute (T₀ divides by each unit's own r_u; the
+    * E-step's missing third slot is a neutral ×1 factor), only
+    * single-year customers are excluded (loudly). The judge set — and
+    * therefore the confusion table itself — now covers the incomplete
+    * units the fixed-r gate drops. */
+  def q359DsRaggedConfusion(s: SparkSession, dir: String): DataFrame = {
+    Preference.dawidSkeneConfusionRagged(dsFixture(s, dir), "o_custkey",
+        "judge", "graft_lbl", rMax = 3, iters = 2)
+      .orderBy(col("judge"), col("true_class"), col("label"))
+  }
+
+  val q359Sql: String = dsConfusionSql(dsRaggedBase)
+
+  /** q360: [[Preference.dawidSkenePosteriorsRagged]] — the relabeled
+    * corpus over ALL units with ≥ 2 judge-years, each row carrying the
+    * unit's own evidence count r_u (n_ratings) next to the posterior. */
+  def q360DsRaggedPosteriors(s: SparkSession, dir: String): DataFrame = {
+    Preference.dawidSkenePosteriorsRagged(dsFixture(s, dir), "o_custkey",
+        "judge", "graft_lbl", rMax = 3, iters = 2)
+      .orderBy(col("unit"), col("true_class"))
+  }
+
+  val q360Sql: String =
+    s"""WITH $dsRaggedBase,
+       |${dsMSql(1)},
+       |${dsESql(1)},
+       |${dsMSql(2)},
+       |${dsESql(2)},
+       |ru AS (SELECT u, MAX(ru) AS r FROM rt GROUP BY u)
+       |SELECT CAST(t2.u AS VARCHAR) AS unit, c AS true_class,
+       |  t::BIGINT AS t_micro, (rnk = 1) AS is_map,
+       |  ru.r::BIGINT AS n_ratings,
+       |  excl.nx::BIGINT AS n_units_excluded
+       |FROM (SELECT u, c, t, row_number() OVER (
+       |        PARTITION BY u ORDER BY t DESC, c) AS rnk FROM t2) t2
+       |JOIN ru ON ru.u = t2.u
+       |CROSS JOIN excl
        |ORDER BY unit, true_class""".stripMargin
 
   // ── q345: Borda count over the listwise fixture ────────────────────────

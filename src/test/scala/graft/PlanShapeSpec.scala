@@ -718,7 +718,12 @@ class PlanShapeSpec extends SparkSpec {
       // q355: the C-row marginal inequality self-join broadcast
       // EXPLICITLY (the kendallTauA q327 lesson) + the 1-row summary
       // crossJoins — all metadata by the rating-scale contract
-      "q355_alpha_interval")
+      "q355_alpha_interval",
+      // q352/q357/q359/q360: the 1-row n_units_excluded ledger
+      // broadcast-crossJoined onto the output (the q339
+      // exclusion-is-never-silent convention; metadata by construction)
+      "q352_dawid_skene", "q357_ds_posteriors",
+      "q359_ds_ragged", "q360_ds_ragged_post")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

@@ -541,16 +541,99 @@ class Preference2OpsSpec extends SparkSpec {
     assert(map5 == "B", s"u5's MAP should follow the reliable judges: $got")
   }
 
-  test("dawidSkeneConfusion: units without exactly r ratings are dropped") {
+  test("dawidSkeneConfusion: units without exactly r ratings are dropped LOUDLY") {
     val r = Seq(("u1", "J1", "A"), ("u1", "J2", "A"),
-      ("u2", "J1", "A")) // u2 has 1 rating, r = 2 — dropped
+      ("u2", "J1", "A")) // u2 has 1 rating, r = 2 — dropped, counted
       .toDF("unit", "judge", "label")
     val got = Preference.dawidSkeneConfusion(r, "unit", "judge", "label",
         r = 2, iters = 1)
-      .select("judge", "n_ratings").as[(String, Long)].collect().toSeq
+      .select("judge", "n_ratings", "n_units_excluded")
+      .as[(String, Long, Long)].collect().toSeq
     // only u1's ratings survive: J1 and J2 each carry 1 rating, and the
-    // single observed class A yields a 1×1 confusion cell per judge
-    assert(got.toSet == Set(("J1", 1L), ("J2", 1L)))
+    // single observed class A yields a 1×1 confusion cell per judge —
+    // and EVERY row announces the one dropped unit (q339 convention)
+    assert(got.toSet == Set(("J1", 1L, 1L), ("J2", 1L, 1L)))
+    // posteriors carry the same ledger
+    val post = Preference.dawidSkenePosteriors(r, "unit", "judge",
+        "label", r = 2, iters = 1)
+      .select("unit", "n_units_excluded").as[(String, Long)]
+      .collect().toSeq
+    assert(post.toSet == Set(("u1", 1L)))
+    // complete input → ledger reads 0
+    val full = Preference.dawidSkeneConfusion(
+        r.filter($"unit" === "u1"), "unit", "judge", "label",
+        r = 2, iters = 1)
+      .select("n_units_excluded").as[Long].collect().toSet
+    assert(full == Set(0L))
+  }
+
+  test("ragged Dawid-Skene: complete input reproduces the fixed-r fit exactly") {
+    val r = Seq(
+      ("u1", "J1", "A"), ("u1", "J2", "A"), ("u1", "J3", "A"),
+      ("u2", "J1", "B"), ("u2", "J2", "B"), ("u2", "J3", "A"),
+      ("u3", "J1", "B"), ("u3", "J2", "B"), ("u3", "J3", "A"),
+      ("u4", "J1", "A"), ("u4", "J2", "A"), ("u4", "J3", "A"))
+      .toDF("unit", "judge", "label")
+    val fixed = Preference.dawidSkeneConfusion(r, "unit", "judge",
+        "label", r = 3, iters = 2)
+      .orderBy("judge", "true_class", "label")
+      .select("judge", "true_class", "label", "pi_micro", "n_ratings")
+      .collect().toSeq
+    val ragged = Preference.dawidSkeneConfusionRagged(r, "unit", "judge",
+        "label", rMax = 3, iters = 2)
+      .orderBy("judge", "true_class", "label")
+      .select("judge", "true_class", "label", "pi_micro", "n_ratings")
+      .collect().toSeq
+    assert(ragged == fixed)
+    val fixedPost = Preference.dawidSkenePosteriors(r, "unit", "judge",
+        "label", r = 3, iters = 2)
+      .orderBy("unit", "true_class")
+      .select("unit", "true_class", "t_micro", "is_map").collect().toSeq
+    val raggedPost = Preference.dawidSkenePosteriorsRagged(r, "unit",
+        "judge", "label", rMax = 3, iters = 2)
+      .orderBy("unit", "true_class")
+      .select("unit", "true_class", "t_micro", "is_map").collect().toSeq
+    assert(raggedPost == fixedPost)
+  }
+
+  test("ragged Dawid-Skene: mixed-r units all contribute, r_u reported") {
+    // u5 has only 2 of 3 ratings — the fixed-r fit drops it; the ragged
+    // fit keeps it (T0 = n_uc/2, E-step third slot neutral) and reports
+    // its own r_u. u6 has 1 rating — excluded (and counted) even ragged.
+    val r = Seq(
+      ("u1", "J1", "A"), ("u1", "J2", "A"), ("u1", "J3", "A"),
+      ("u2", "J1", "B"), ("u2", "J2", "B"), ("u2", "J3", "A"),
+      ("u3", "J1", "B"), ("u3", "J2", "B"), ("u3", "J3", "A"),
+      ("u4", "J1", "A"), ("u4", "J2", "A"), ("u4", "J3", "A"),
+      ("u5", "J1", "B"), ("u5", "J2", "B"),
+      ("u6", "J3", "A"))
+      .toDF("unit", "judge", "label")
+    val post = Preference.dawidSkenePosteriorsRagged(r, "unit", "judge",
+        "label", rMax = 3, iters = 2)
+      .select("unit", "true_class", "t_micro", "is_map", "n_ratings",
+        "n_units_excluded")
+      .as[(String, String, Long, Boolean, Long, Long)].collect().toSeq
+    // 5 kept units × 2 classes, dense; u6 excluded and announced
+    assert(post.size == 10)
+    assert(post.forall(_._6 == 1L))
+    val byUnit = post.groupBy(_._1)
+    assert(byUnit.keySet == Set("u1", "u2", "u3", "u4", "u5"))
+    byUnit.foreach { case (u, rows) =>
+      assert(rows.count(_._4) == 1, s"$u needs exactly one MAP row")
+      val s = rows.map(_._3).sum
+      assert(math.abs(s - 1000000L) <= rows.size, s"$u sums to $s")
+      val ru = rows.map(_._5).toSet
+      assert(ru == Set(if (u == "u5") 2L else 3L), s"$u r_u=$ru")
+    }
+    // u5 was rated B by the two reliable judges: its MAP must be B
+    assert(post.find(x => x._1 == "u5" && x._4).get._2 == "B")
+    // the confusion side counts u5's ratings into the (judge, label)
+    // evidence: J1 carries 5 ratings now (4 complete units + u5)
+    val conf = Preference.dawidSkeneConfusionRagged(r, "unit", "judge",
+        "label", rMax = 3, iters = 2)
+      .filter($"judge" === "J1" && $"true_class" === "A")
+      .select("label", "n_ratings").as[(String, Long)].collect().toMap
+    assert(conf("A") + conf("B") == 5L)
   }
 
   // ── lengthControlledWinRate ─────────────────────────────────────────────
