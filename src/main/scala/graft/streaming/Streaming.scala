@@ -298,6 +298,84 @@ object Streaming {
       }
   }
 
+  /**
+   * One micro-batch advance of the ONLINE cluster-aware train/val/test
+   * split — the streaming twin of the q351 batch decision
+   * ([[graft.operators.Graph.incrementalComponents]] ∘
+   * [[graft.operators.Sampling.deterministicSplit]], the r16 verdict's
+   * item 6): an arriving document joins its near-dup cluster's EXISTING
+   * split, so online ingestion can never place a new near-duplicate of
+   * a frozen-split doc on the other side of the split boundary. Drive
+   * it from `foreachBatch` (the histogram-maintenance pattern): feed
+   * each batch's arriving doc ids plus the DELTA near-dup pairs (batch
+   * vs corpus-so-far — [[graft.operators.TextDedup.dedupAgainstIndex]]
+   * against the running LSH index, plus within-batch pairs) and carry
+   * the returned state table (localCheckpointed) to the next call.
+   *
+   * Claim semantics (the [[urlClaimStream]] first-wins contract lifted
+   * from keys to COMPONENT LABELS): a component that already owns a
+   * split keeps it forever — new members inherit it; a merge of prior
+   * components adopts the split of the SMALLEST merged prior label
+   * (deterministic, replay-stable), and if the merged components had
+   * DIFFERENT splits the conflict is flagged LOUDLY (`split_conflict`,
+   * sticky — those are exactly the docs that shipped to both sides
+   * before the bridge pair was known; a curation run quarantines them).
+   * Brand-new components draw `deterministicSplit(component)` — the
+   * batch operator's own assignment, so for an ascending-id replay
+   * (every component's eventual min-id label arrives first) the final
+   * state table is BIT-IDENTICAL to the batch q351 assignment
+   * (spec-asserted incl. cross-batch merges); out-of-order arrival
+   * keeps the online contract with batch as retroactive ground truth.
+   *
+   * Scale shape: the delta edges drive [[graft.operators.Graph
+   * .incrementalComponents]] (one delta-endpoint lookup + one
+   * prior-scale remap scan); the ledger carry is one more prior-scale
+   * join (node → old label) feeding a components-count aggregation —
+   * two prior scans per micro-batch total, no corpus rescan, no
+   * collect. State is the (doc, component, split) table itself —
+   * corpus-lifetime by design (the [[urlClaimStream]] note).
+   *
+   * @param prior     state from the previous advance: (doc_id,
+   *                  component, split, split_conflict) — pass an empty
+   *                  frame with that schema for the first batch
+   * @param batchDocs arriving doc ids, one column `doc_id`
+   * @param newPairs  delta verified near-dup pairs (d1, d2) touching
+   *                  this batch
+   */
+  def clusterSplitAdvance(prior: DataFrame, batchDocs: DataFrame,
+                          newPairs: DataFrame, salt: String,
+                          cuts: Seq[(String, Int)]): DataFrame = {
+    val labels = prior.select(col("doc_id").as("graft_n"),
+      col("component"))
+    val afterEdges = graft.operators.Graph.incrementalComponents(
+      labels, "graft_n", "component", newPairs, "d1", "d2")
+    // isolated arrivals (no near-dup pair yet): own-id singleton cluster
+    val withNew = afterEdges.unionByName(
+      batchDocs.select(col("doc_id").as("graft_n"))
+        .join(afterEdges.select("graft_n"), Seq("graft_n"), "left_anti")
+        .withColumn("component", col("graft_n")))
+    // carry the frozen splits across the relabel: old component → new
+    // component via any member node; merges resolve to the SMALLEST
+    // merged prior label's split, conflicts flagged and sticky
+    val remapped = prior
+      .select(col("doc_id").as("graft_n"), col("component").as("graft_oc"),
+        col("split").as("graft_os"), col("split_conflict"))
+      .join(withNew, Seq("graft_n"))
+      .select(col("component"), col("graft_oc"), col("graft_os"),
+        col("split_conflict")).distinct()
+    val carried = remapped.groupBy(col("component"))
+      .agg(min_by(col("graft_os"), col("graft_oc")).as("graft_cs"),
+        count_distinct(col("graft_os")).as("graft_ns"),
+        max(col("split_conflict")).as("graft_pc"))
+    val assigned = graft.operators.Sampling.deterministicSplit(
+      withNew.join(carried, Seq("component"), "left"),
+      "component", salt, cuts, "graft_fresh")
+    assigned.select(col("graft_n").as("doc_id"), col("component"),
+      coalesce(col("graft_cs"), col("graft_fresh")).as("split"),
+      (coalesce(col("graft_ns") > 1, lit(false)) ||
+        coalesce(col("graft_pc"), lit(false))).as("split_conflict"))
+  }
+
   /** Output row of [[hllRegisterStream]]: the NEW value of a register
     * after a micro-batch raised it (registers only ever grow; unchanged
     * registers emit nothing). */
@@ -1075,11 +1153,9 @@ object Streaming {
         col(loserLenCol).cast("long").as("ll"))
       .filter(col("wl").isNotNull && col("ll").isNotNull &&
         col("wl") =!= col("ll"))
-      .select(((abs(col("wl") - col("ll")) - 1) - ((abs(col("wl") -
-          col("ll")) - 1) % gapWidth)).as("gap0"),
+      .select(call_function("div",
+          abs(col("wl") - col("ll")) - 1, lit(gapWidth)).as("gb"),
         (col("wl") > col("ll")).as("longer_won"))
-      .select((col("gap0") / gapWidth).cast("long").as("gb"),
-        col("longer_won"))
       .as[(Long, Boolean)]
     rows.groupByKey(_._1)
       .mapGroupsWithState[(Long, Long), LenGapSnapshot](

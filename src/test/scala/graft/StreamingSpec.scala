@@ -511,6 +511,113 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
   }
 
+  test("online cluster-aware split replays to the batch q351 assignment") {
+    // ascending-id replay in 3 micro-batches: every component's eventual
+    // min-id label arrives first, so the final streaming state table
+    // must be BIT-IDENTICAL to the batch assignment (components via
+    // full CC, splits via deterministicSplit on the component key) —
+    // including clusters whose pairs span micro-batches
+    import graft.operators.{Graph, Sampling, TextDedup}
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cuts = Seq(("train", 204), ("val", 230), ("test", 256))
+    val pairs = TextDedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 16, r = 4, w = 3, threshold = 0.5)
+      .select("d1", "d2").localCheckpoint()
+    assert(pairs.count() > 0, "fixture needs >=1 near-dup pair")
+    val expected = Sampling.deterministicSplit(
+        docs.select("doc_id")
+          .join(Graph.connectedComponents(pairs, "d1", "d2")
+            .select(col("node").as("doc_id"), col("component")),
+            Seq("doc_id"), "left")
+          .withColumn("component",
+            coalesce(col("component"), col("doc_id"))),
+        "component", "split", cuts)
+      .select("doc_id", "component", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val dir = tmpDir("cluster-split")
+    docs.filter(col("doc_id") < 150).select("doc_id")
+      .coalesce(1).write.parquet(s"$dir/a")
+    docs.filter(col("doc_id") >= 150 && col("doc_id") < 350)
+      .select("doc_id").coalesce(1).write.parquet(s"$dir/b")
+    docs.filter(col("doc_id") >= 350).select("doc_id")
+      .coalesce(1).write.parquet(s"$dir/c")
+    var state = Seq.empty[(Long, Long, String, Boolean)]
+      .toDF("doc_id", "component", "split", "split_conflict")
+    var batches = 0
+    val q = spark.readStream
+      .schema(docs.select("doc_id").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        val ids = batch.select("doc_id").localCheckpoint()
+        // delta edges: a pair is revealed when its LATER endpoint
+        // arrives (ascending replay — the earlier one is already known)
+        val delta = pairs
+          .withColumn("graft_gm", greatest(col("d1"), col("d2")))
+          .join(ids.select(col("doc_id").as("graft_gm")), "graft_gm")
+          .select("d1", "d2")
+        state = graft.streaming.Streaming.clusterSplitAdvance(
+          state, ids, delta, "split", cuts).localCheckpoint()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+    val got = state.select("doc_id", "component", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == expected)
+  }
+
+  test("online cluster split: frozen first-wins on cross-batch merge, conflict loud") {
+    // out-of-order arrival: two singleton docs ship to (possibly
+    // different) splits; a later bridge doc merges them — the merged
+    // cluster must FREEZE on the smallest prior label's split (never
+    // relabel shipped docs toward the batch ground truth) and flag the
+    // conflict iff the merged splits disagreed
+    import graft.operators.Sampling
+    import spark.implicits._
+    val cuts = Seq(("train", 128), ("test", 256))
+    // pick two ids the deterministic hash sends to DIFFERENT splits
+    val probe = Sampling.deterministicSplit(
+        (2L to 60L).toDF("component"), "component", "split", cuts)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val (aId, aSplit) = probe.head
+    val (bId, bSplit) = probe.find(_._2 != aSplit).get
+    val empty = Seq.empty[(Long, Long, String, Boolean)]
+      .toDF("doc_id", "component", "split", "split_conflict")
+    val s1 = graft.streaming.Streaming.clusterSplitAdvance(
+      empty, Seq(aId, bId).toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("d1", "d2"), "split", cuts)
+      .localCheckpoint()
+    assert(s1.collect().map(r =>
+      (r.getLong(0), r.getString(2), r.getBoolean(3))).toSet ==
+      Set((aId, aSplit, false), (bId, bSplit, false)))
+    // bridge doc 1 (smaller than both): batch label would be 1, but the
+    // frozen claim keeps min(aId, bId)'s split
+    val s2 = graft.streaming.Streaming.clusterSplitAdvance(
+      s1, Seq(1L).toDF("doc_id"),
+      Seq((1L, aId), (1L, bId)).toDF("d1", "d2"), "split", cuts)
+    val rows = s2.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3))).toSet
+    val frozen = if (math.min(aId, bId) == aId) aSplit else bSplit
+    assert(rows == Set(
+      (1L, 1L, frozen, true), (aId, 1L, frozen, true),
+      (bId, 1L, frozen, true)))
+    // same-split merge is NOT a conflict
+    val (cId, _) = probe.find(p => p._2 == aSplit && p._1 != aId).get
+    val t1 = graft.streaming.Streaming.clusterSplitAdvance(
+      empty, Seq(aId, cId).toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("d1", "d2"), "split", cuts)
+      .localCheckpoint()
+    val t2 = graft.streaming.Streaming.clusterSplitAdvance(
+      t1, Seq(1L).toDF("doc_id"),
+      Seq((1L, aId), (1L, cId)).toDF("d1", "d2"), "split", cuts)
+    assert(t2.collect().map(r =>
+      (r.getString(2), r.getBoolean(3))).toSet == Set((aSplit, false)))
+  }
+
   test("streaming histogram maintenance merges partials to the batch result") {
     // Histogram.bucketCounts' fixed domain is what makes micro-batch
     // partials addable: each batch histograms independently and
