@@ -374,10 +374,23 @@ object CurationQueries {
     * the split label is a narrow md5 projection over the cluster key;
     * the doc-level agg is one hash-agg; the pair-level attaches are
     * doc-keyed equi-joins on the (small) pair table. */
-  def q351ClusterAwareSplit(s: SparkSession, dir: String): DataFrame = {
+  def q351ClusterAwareSplit(s: SparkSession, dir: String): DataFrame =
+    clusterAwareSplit(s, dir, maxBucket = None)
+
+  /** q361: the q351 composition end-to-end over the CAPPED text-LSH
+    * candidate path (q358's salt-split, maxBucket = 2 — engaging at
+    * both test SFs). The oracle is q351's UNCAPPED chain verbatim:
+    * hash-green proves the salt split is lossless through the whole
+    * production composition — pairs → components → split → leak audit —
+    * not just at the pair table (the q356 precedent on the text side). */
+  def q361ClusterSplitCapped(s: SparkSession, dir: String): DataFrame =
+    clusterAwareSplit(s, dir, maxBucket = Some(2L))
+
+  private def clusterAwareSplit(s: SparkSession, dir: String,
+                                maxBucket: Option[Long]): DataFrame = {
     val d = Sources.documents(s, dir)
     val pairs = TextDedup.minHashLshPairs(d, "doc_id", "text",
-        k = 16, r = 4, w = 3, threshold = 0.5)
+        k = 16, r = 4, w = 3, threshold = 0.5, maxBucket = maxBucket)
       .localCheckpoint(eager = false) // feeds the closure AND the audit
     val comp = graft.operators.Graph.connectedComponents(pairs, "d1", "d2")
     val split = Sampling.deterministicSplit(

@@ -723,7 +723,9 @@ class PlanShapeSpec extends SparkSpec {
       // broadcast-crossJoined onto the output (the q339
       // exclusion-is-never-silent convention; metadata by construction)
       "q352_dawid_skene", "q357_ds_posteriors",
-      "q359_ds_ragged", "q360_ds_ragged_post")
+      "q359_ds_ragged", "q360_ds_ragged_post",
+      // q361: q351's 1-row total-doc-count crossJoin, identical shape
+      "q361_cluster_split_capped")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

@@ -367,6 +367,79 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("online cluster split: ascending replay ≡ batch; any order never leaks") {
+    // two laws over random pair graphs and random batchings:
+    // (1) ascending-id replay (delta pair revealed when its later
+    //     endpoint arrives) folds to EXACTLY the batch assignment —
+    //     components from full CC, splits from deterministicSplit on
+    //     the component key;
+    // (2) for ANY arrival order, the final state has exactly one split
+    //     per component and components equal to the full CC — i.e. a
+    //     near-dup pair can never straddle a split boundary, by
+    //     construction, online
+    val cuts = Seq(("train", 128), ("test", 256))
+    val pair: Gen[(Long, Long)] = for {
+      a <- Gen.choose(0L, 19L); b0 <- Gen.choose(0L, 18L)
+    } yield {
+      val b = if (b0 >= a) b0 + 1 else b0
+      (math.min(a, b), math.max(a, b))
+    }
+    val fixture: Gen[(List[(Long, Long)], Int, Boolean)] = for {
+      ps <- Gen.listOfN(10, pair)
+      nBatches <- Gen.choose(2, 4)
+      shuffledOrder <- Gen.oneOf(false, true)
+    } yield (ps.distinct, nBatches, shuffledOrder)
+    forAll(fixture) { case (ps, nBatches, shuffled) =>
+      val allIds = (0L to 19L).toSeq
+      val order = if (shuffled) allIds.reverse else allIds
+      val batches = order.grouped(
+        math.max(1, (order.size + nBatches - 1) / nBatches)).toSeq
+      var state = Seq.empty[(Long, Long, String, Boolean)]
+        .toDF("doc_id", "component", "split", "split_conflict")
+      var seen = Set.empty[Long]
+      batches.foreach { ids =>
+        seen ++= ids
+        val delta = ps.filter { case (a, b) =>
+          seen.contains(a) && seen.contains(b) &&
+            (ids.contains(a) || ids.contains(b))
+        }
+        state = graft.streaming.Streaming.clusterSplitAdvance(
+          state, ids.toDF("doc_id"),
+          delta.toDF("d1", "d2"), "split", cuts).localCheckpoint()
+      }
+      val got = state.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      // law 2 (any order): components ≡ full CC, one split per component
+      val comp = graft.operators.Graph
+        .connectedComponents(ps.toDF("d1", "d2"), "d1", "d2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got.foreach { case (d, c, _) =>
+        assert(c == comp.getOrElse(d, d), s"doc $d component")
+      }
+      assert(got.groupBy(_._2).forall(_._2.map(_._3).distinct.size == 1),
+        "one split per component")
+      if (!shuffled) {
+        // law 1 (ascending): bit-identical to the batch assignment
+        val expected = graft.operators.Sampling.deterministicSplit(
+            allIds.toDF("doc_id")
+              .join(ps.toDF("d1", "d2")
+                .select(col("d1").as("doc_id")).union(ps.toDF("d1", "d2")
+                  .select(col("d2").as("doc_id"))).distinct()
+                .join(graft.operators.Graph.connectedComponents(
+                  ps.toDF("d1", "d2"), "d1", "d2")
+                  .select(col("node").as("doc_id"), col("component")),
+                  Seq("doc_id")),
+                Seq("doc_id"), "left")
+              .withColumn("component",
+                coalesce(col("component"), col("doc_id"))),
+            "component", "split", cuts)
+          .select("doc_id", "component", "split").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+        assert(got.toSet == expected)
+      }
+    }
+  }
+
   test("Dawid-Skene invariants: rows sum to ~10^6, bounds, one MAP per unit") {
     // structural laws over random complete rating tables: every
     // (judge, class) confusion row and every unit's posterior sums to

@@ -78,7 +78,12 @@ def main():
             "jitter": "same replicas with every replica-vector component "
                       "multiplied by (1 + eps*u), u deterministic from "
                       "md5(r, vec_id, dim) — near-dup physics "
-                      "(make_scale.py jitterEps arg)"},
+                      "(make_scale.py jitterEps arg)",
+            "sharedBands": "replicas with documents replicated VERBATIM "
+                           "(ids shifted, text untouched) — cross-replica "
+                           "copies share every MinHash band bucket, so "
+                           "text band buckets densify K-fold "
+                           "(make_scale.py sharedBands arg)"},
         "reps": "min-of-reps per graft.Bench (heavy queries min-of-3)",
         "linear_expectation": 5.0,
         "queries": rows,
