@@ -404,12 +404,13 @@ object TextDedup {
    */
   def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                            k: Int = 16, r: Int = 4, w: Int = 3,
-                           minPpm: Long = 0L): DataFrame = {
+                           minPpm: Long = 0L,
+                           maxBucket: Option[Long] = None): DataFrame = {
     val bags = shingleBags(docs, idCol, textCol, w)
     val bands = lshBandsFromWide(
       minHashSignaturesWide(bags.select(col(idCol), col("s")), idCol, k),
       idCol, k, r)
-    val cand = lshCandidates(bands, idCol)
+    val cand = lshCandidates(bands, idCol, maxBucket)
     val minSums = cand
       .join(bags.select(col(idCol).as("d1"), col("s"), col("tf").as("tf1"))
         .hint("shuffle_hash"), "d1")
@@ -670,11 +671,12 @@ object TextDedup {
    */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         maxDist: Int, k: Int = 16, r: Int = 4,
-                        w: Int = 3): DataFrame = {
+                        w: Int = 3,
+                        maxBucket: Option[Long] = None): DataFrame = {
     val bands = lshBandsFromWide(
       minHashSignaturesWide(shingles(docs, idCol, textCol, w), idCol, k),
       idCol, k, r)
-    val cand = lshCandidates(bands, idCol)
+    val cand = lshCandidates(bands, idCol, maxBucket)
     val t = docs.select(col(idCol), col(textCol))
     cand
       .join(t.select(col(idCol).as("d1"), col(textCol).as("graft_t1")), "d1")
@@ -1063,15 +1065,44 @@ object TextDedup {
     * count, computed ONCE at index-build time (one window pass, amortized
     * over every future batch). That lets `dedupAgainstIndex` read the old
     * doc's set size off the collision rows themselves — no per-batch
-    * corpus-sized aggregation, no second pass over the candidate join. */
+    * corpus-sized aggregation, no second pass over the candidate join.
+    *
+    * `maxBucket` pre-splits hot index band buckets AT BUILD TIME (the
+    * q358 salt-split carried to the incremental path): each band row
+    * gains its sub-bucket id `graft_u` = (rank-of-id − 1) mod m and the
+    * bucket's split count `graft_m` = ⌈B/cap⌉, so every (band, bh,
+    * graft_u) key holds ≤ cap index rows. The index a 100 TB corpus
+    * stores is exactly the table whose hot buckets are the
+    * most-duplicated content — pre-splitting once at build time bounds
+    * EVERY future batch's collision-join cells (see
+    * [[dedupAgainstIndex]] for the query-side block join and its
+    * losslessness argument; q362 hash-proves it against the uncapped
+    * q64 oracle). The window cost is one (band, bh) pass at build,
+    * amortized like `n_old`. */
   def lshIndex(docs: DataFrame, idCol: String, textCol: String,
-               k: Int = 16, r: Int = 4,
-               w: Int = 3): (DataFrame, DataFrame) = {
+               k: Int = 16, r: Int = 4, w: Int = 3,
+               maxBucket: Option[Long] = None): (DataFrame, DataFrame) = {
     val sh = shingles(docs, idCol, textCol, w)
     val withN = sh.withColumn("n_old", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
-    (lshBandsFromWide(minHashSignaturesWide(sh, idCol, k), idCol, k, r),
-      withN)
+    val bands = lshBandsFromWide(minHashSignaturesWide(sh, idCol, k),
+      idCol, k, r)
+    val ib = maxBucket match {
+      case None => bands
+      case Some(cap) =>
+        require(cap >= 1, s"maxBucket=$cap must be >= 1")
+        val wspec = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bh"))
+        bands
+          .withColumn("graft_m",
+            call_function("div",
+              count(lit(1)).over(wspec) + lit(cap) - 1, lit(cap))
+              .cast(LongType))
+          .withColumn("graft_u",
+            (row_number().over(wspec.orderBy(col(idCol))) - 1)
+              .cast(LongType) % col("graft_m"))
+    }
+    (ib, withN)
   }
 
   /**
@@ -1093,10 +1124,34 @@ object TextDedup {
     val nsh = shingles(newDocs, idCol, textCol, w)
     val nbands = lshBandsFromWide(minHashSignaturesWide(nsh, idCol, k),
       idCol, k, r)
-    val cand = nbands.select(col(idCol).as("d_new"), col("band"), col("bh"))
-      .join(indexBands.select(col(idCol).as("d_old"), col("band"), col("bh"))
-        .hint("shuffle_hash"), Seq("band", "bh"))
-      .select("d_new", "d_old").distinct()
+    val nb = nbands.select(col(idCol).as("d_new"), col("band"), col("bh"))
+    // A [[lshIndex]] built with maxBucket carries (graft_u, graft_m):
+    // the collision join then runs as the q358 block decomposition —
+    // each new band row first picks up the bucket's m from the 1-row-
+    // per-bucket census (a join with NO fan-out: exactly one census row
+    // per key), explodes over the m sub-buckets, and meets the index on
+    // (band, bh, graft_u), where the index side holds ≤ cap rows by
+    // build-time construction. Every colliding (new, old) pair meets
+    // exactly once per shared band (the old row has ONE graft_u; the
+    // new row covers all of them), so the candidate set is IDENTICAL
+    // to the uncapped join's — q362's oracle is the uncapped q64 chain,
+    // hash-green = losslessness. Cell bound: cap × |batch bucket| —
+    // the batch side is micro-batch-bounded by the operator's contract
+    // (the corpus-scale side is the index, and that is the split one).
+    val cand = (if (!indexBands.columns.contains("graft_m")) {
+      nb.join(indexBands
+          .select(col(idCol).as("d_old"), col("band"), col("bh"))
+          .hint("shuffle_hash"), Seq("band", "bh"))
+    } else {
+      val census = indexBands.select(col("band"), col("bh"), col("graft_m"))
+        .distinct()
+      nb.join(census.hint("shuffle_hash"), Seq("band", "bh"))
+        .withColumn("graft_u",
+          explode(sequence(lit(0L), col("graft_m") - 1)))
+        .join(indexBands.select(col(idCol).as("d_old"), col("band"),
+            col("bh"), col("graft_u")).hint("shuffle_hash"),
+          Seq("band", "bh", "graft_u"))
+    }).select("d_new", "d_old").distinct()
     // Old-doc set sizes: read off the index's precomputed `n_old` column
     // when present (lshIndex stores it at build time) — the size lookup
     // then rides the collision join itself: no per-batch corpus

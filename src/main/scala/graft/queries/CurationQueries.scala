@@ -214,6 +214,25 @@ object CurationQueries {
       .orderBy(col("d_new"), col("d_old"))
   }
 
+  /** q362: q64's incremental dedup with the index built CAP-SPLIT
+    * (`lshIndex(maxBucket = 1)`, engaging at both SFs — the even-id
+    * index has 19 multi-member band buckets at sf0.01, 238 at sf0.1):
+    * the collision join runs census → explode → block join with ≤ 1
+    * index row per cell. The oracle is q64's UNCAPPED chain verbatim,
+    * so hash-green proves the build-time split loses no (new, old)
+    * pair — the q358 done-bar applied to the production incremental
+    * path, where the stored index's hot buckets are exactly the
+    * most-duplicated corpus content. */
+  def q362IncrementalDedupCapped(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val (idxBands, idxShingles) = TextDedup.lshIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      maxBucket = Some(1L))
+    TextDedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", idxBands, idxShingles, threshold = 0.5)
+      .orderBy(col("d_new"), col("d_old"))
+  }
+
   val q64Sql: String =
     """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id,

@@ -104,6 +104,37 @@ class TextDedupSpec extends SparkSpec {
     assert(split == uncapped && uncapped.nonEmpty)
   }
 
+  test("cap-split index: incremental dedup equals the uncapped index exactly") {
+    // 4 verbatim copies indexed (every shared band bucket has 4 members;
+    // cap = 1 splits each into m = 4) + the unrelated doc; the incoming
+    // batch holds another copy and an unrelated doc — the block join
+    // must find all 4 (new, old) pairs, identical to the uncapped index
+    import spark.implicits._
+    val indexed = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "the quick brown fox jumps over the lazy dog today"),
+      (6L, "the quick brown fox jumps over the lazy dog today"),
+      (8L, "the quick brown fox jumps over the lazy dog today"),
+      (10L, "completely different words appear within this unrelated document body")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "nothing here collides with anything stored in that index at all")
+    ).toDF("doc_id", "text")
+    val (b0, s0) = TextDedup.lshIndex(indexed, "doc_id", "text")
+    val uncapped = TextDedup.dedupAgainstIndex(batch, "doc_id", "text",
+        b0, s0, threshold = 0.5)
+      .orderBy("d_new", "d_old").collect().toSeq
+    val (b1, s1) = TextDedup.lshIndex(indexed, "doc_id", "text",
+      maxBucket = Some(1L))
+    val capped = TextDedup.dedupAgainstIndex(batch, "doc_id", "text",
+        b1, s1, threshold = 0.5)
+      .orderBy("d_new", "d_old").collect().toSeq
+    assert(uncapped.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((1L, 2L), (1L, 4L), (1L, 6L), (1L, 8L)))
+    assert(capped == uncapped)
+  }
+
   test("ngram jaccard ground truth matches hand computation") {
     // doc1/doc2 differ in word 9 of 10 → trigram sets: 8 each, 6 shared
     // jaccard = 6 / (8 + 8 - 6) = 0.6
