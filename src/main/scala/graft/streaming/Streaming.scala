@@ -85,10 +85,30 @@ object Streaming {
    */
   def nearDupCandidates(docStream: DataFrame, idCol: String, textCol: String,
                         indexBands: DataFrame, k: Int = 16, r: Int = 4,
-                        w: Int = 3): DataFrame =
-    graft.operators.TextDedup.bandsPerRow(docStream, idCol, textCol, k, r, w)
-      .join(indexBands.select(col(idCol).as("d_old"), col("band"), col("bh")),
+                        w: Int = 3): DataFrame = {
+    val sb = graft.operators.TextDedup
+      .bandsPerRow(docStream, idCol, textCol, k, r, w)
+    // a cap-split index (lshIndex(maxBucket) — carries graft_u/graft_m)
+    // is exploited transparently with the q362 block join: census (one
+    // row per bucket, no fan-out) → explode ≤ m → (band, bh, u) cells
+    // of ≤ cap index rows; the candidate set is identical (the old row
+    // has ONE u, the arriving row covers all of them)
+    if (!indexBands.columns.contains("graft_m"))
+      sb.join(indexBands
+          .select(col(idCol).as("d_old"), col("band"), col("bh")),
         Seq("band", "bh"))
+    else {
+      val census = indexBands.select(col("band"), col("bh"), col("graft_m"))
+        .distinct()
+      sb.join(census, Seq("band", "bh"))
+        .withColumn("graft_u",
+          explode(sequence(lit(0L), col("graft_m") - 1)))
+        .join(indexBands.select(col(idCol).as("d_old"), col("band"),
+            col("bh"), col("graft_u")),
+          Seq("band", "bh", "graft_u"))
+        .drop("graft_u", "graft_m")
+    }
+  }
 
   /**
    * Streaming semantic decontamination — the online half of

@@ -205,6 +205,20 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination()
     assert(spark.table("neardup").select("doc_id", "d_old")
       .distinct().collect().toSet === expected)
+    // a cap-split index (q362's build) yields the IDENTICAL candidate
+    // set through the block join — the capped index is transparent to
+    // the streaming consumer too
+    val (cappedBands, _) = TextDedup.lshIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      maxBucket = Some(1L))
+    val q2 = Streaming.nearDupCandidates(
+        spark.readStream.schema(docs.schema).parquet(s"$streamDir/docs"),
+        "doc_id", "text", cappedBands)
+      .writeStream.format("memory").queryName("neardup_capped")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("neardup_capped").select("doc_id", "d_old")
+      .distinct().collect().toSet === expected)
   }
 
   test("streaming decontamination matches the batch semantic filter") {
