@@ -698,8 +698,27 @@ object TextDedup {
    * on (slice, value); verification is one codegen'd bit_count(xor) per
    * candidate — no pairwise scan anywhere.
    */
+  /** `maxBucket` applies the q358 salt-split to the (slice, value)
+    * self-join — an over-cap pigeonhole bucket (identical or
+    * near-identical signatures: precisely the dup-heavy content) is
+    * round-robin split and ALL block cells joined, pair set IDENTICAL
+    * to uncapped (q363's oracle is the uncapped q109 chain; the cap
+    * engages on the fixture). Default `None` is byte-identical to the
+    * pre-r17 path.
+    *
+    * WHEN TO USE IT (measured, BENCH_SCALING_r17): the split is a SKEW
+    * remedy — a few giant buckets among many (one boilerplate cluster
+    * dominating a slice value). A pigeonhole space that is UNIFORMLY
+    * dense (small sliceBits ⇒ few distinct values, every bucket ~n/2^s
+    * members) has no skew to fix: the keys already saturate the
+    * cluster's parallelism and the split pays ⌈B/cap⌉× row replication
+    * for nothing (q363 measured ×33 vs uncapped ×20 at 5× on exactly
+    * that shape). There, widen the slices (more bits per band ⇒
+    * exponentially more values), or cap by DROPPING with an exclusion
+    * report, or dedup by cluster representative. */
   def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
-                   bits: Int, bands: Int, maxDist: Int): DataFrame = {
+                   bits: Int, bands: Int, maxDist: Int,
+                   maxBucket: Option[Long] = None): DataFrame = {
     require(bands >= 2 && bits % bands == 0,
       s"bits=$bits must split evenly into bands=$bands")
     require(maxDist <= bands - 1,
@@ -712,12 +731,52 @@ object TextDedup {
         explode(array(slices: _*)).as("s"))
       .select(col(idCol), col(hashCol),
         col("s.sl").as("sl"), col("s.sv").as("sv"))
-    val cand = sl.select(col(idCol).as("d1"), col(hashCol).as("graft_h1"),
-        col("sl"), col("sv"))
-      .join(sl.select(col(idCol).as("d2"), col(hashCol).as("graft_h2"),
-        col("sl"), col("sv")).hint("shuffle_hash"), Seq("sl", "sv"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2", "graft_h1", "graft_h2").distinct()
+    val cand = (maxBucket match {
+      case None =>
+        sl.select(col(idCol).as("d1"), col(hashCol).as("graft_h1"),
+            col("sl"), col("sv"))
+          .join(sl.select(col(idCol).as("d2"), col(hashCol).as("graft_h2"),
+            col("sl"), col("sv")).hint("shuffle_hash"), Seq("sl", "sv"))
+          .filter(col("d1") < col("d2"))
+      case Some(cap) =>
+        require(cap >= 1, s"maxBucket=$cap must be >= 1")
+        val wspec = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sl"), col("sv"))
+        val sized = sl
+          .withColumn("graft_bs", count(lit(1)).over(wspec))
+          .withColumn("graft_rn",
+            row_number().over(wspec.orderBy(col(idCol))))
+        val cool = sized.filter(col("graft_bs") <= cap)
+        val candCool = cool.select(col(idCol).as("d1"),
+            col(hashCol).as("graft_h1"), col("sl"), col("sv"))
+          .join(cool.select(col(idCol).as("d2"),
+            col(hashCol).as("graft_h2"), col("sl"), col("sv"))
+            .hint("shuffle_hash"), Seq("sl", "sv"))
+          .filter(col("d1") < col("d2"))
+        val m = col("graft_m")
+        val hot = sized.filter(col("graft_bs") > cap)
+          .withColumn("graft_m",
+            call_function("div", col("graft_bs") + lit(cap) - 1, lit(cap))
+              .cast(LongType))
+          .withColumn("graft_u", (col("graft_rn") - 1).cast(LongType) % m)
+        val hotL = hot
+          .withColumn("graft_bj", explode(sequence(lit(0L), m - 1)))
+          .select(col(idCol).as("d1"), col(hashCol).as("graft_h1"),
+            col("sl"), col("sv"),
+            col("graft_u").as("graft_bi"), col("graft_bj"))
+        val hotR = hot
+          .withColumn("graft_bi", explode(sequence(lit(0L), m - 1)))
+          .select(col(idCol).as("d2"), col(hashCol).as("graft_h2"),
+            col("sl"), col("sv"),
+            col("graft_bi"), col("graft_u").as("graft_bj"))
+        val candHot = hotL
+          .join(hotR.hint("shuffle_hash"),
+            Seq("sl", "sv", "graft_bi", "graft_bj"))
+          .filter(col("d1") < col("d2"))
+          .select("d1", "d2", "graft_h1", "graft_h2")
+        candCool.select("d1", "d2", "graft_h1", "graft_h2")
+          .unionByName(candHot)
+    }).select("d1", "d2", "graft_h1", "graft_h2").distinct()
     cand
       .withColumn("hamming",
         bit_count(col("graft_h1").bitwiseXOR(col("graft_h2"))))

@@ -286,6 +286,21 @@ object PipelineQueries {
         "doc_id", "simhash", bits = 32, bands = 4, maxDist = 3)
       .orderBy(col("d1"), col("d2"))
 
+  /** q363: q109's pigeonhole Hamming search with the salt-split cap
+    * ENGAGED (maxBucket = 8): the 4×8-bit slice space holds only 1024
+    * buckets, so at ~1.9k docs (sf0.01) buckets average ~7.5 members
+    * and at ~19k (sf0.1) ~75 — the (slice, value) self-join is the
+    * DENSEST single-key shape in the dedup layer, far hotter than the
+    * text band join, and identical signatures (exact dups) pile onto
+    * all four of their slices. The oracle is q109's UNCAPPED chain:
+    * hash-green = losslessness with the cap engaging hard at both SFs. */
+  def q363HammingCapped(s: SparkSession, dir: String): DataFrame =
+    TextDedup.hammingPairs(
+        TextDedup.simHash(docs(s, dir), "doc_id", "text"),
+        "doc_id", "simhash", bits = 32, bands = 4, maxDist = 3,
+        maxBucket = Some(8L))
+      .orderBy(col("d1"), col("d2"))
+
   val q109Sql: String =
     """WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
       |               FROM documents),

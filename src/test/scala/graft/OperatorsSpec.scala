@@ -104,6 +104,27 @@ class TextDedupSpec extends SparkSpec {
     assert(split == uncapped && uncapped.nonEmpty)
   }
 
+  test("hamming salt-split: dense pigeonhole buckets keep every pair") {
+    import spark.implicits._
+    // 12 identical hashes (every slice bucket holds all 12; cap = 3
+    // splits each into m = 4) + near hashes + a far one: capped pairs
+    // must equal uncapped exactly, including the hamming values
+    val hashes = ((0L until 12L).map(i => (i, 0x0F0F0F0FL)) ++ Seq(
+      (20L, 0x0F0F0F0EL), (21L, 0x0F0F0F1FL), (30L, 0x70F0F0F0L)))
+      .toDF("doc_id", "h")
+    val uncapped = TextDedup.hammingPairs(hashes, "doc_id", "h",
+        bits = 32, bands = 4, maxDist = 3)
+      .orderBy("d1", "d2").collect().toSeq
+    val capped = TextDedup.hammingPairs(hashes, "doc_id", "h",
+        bits = 32, bands = 4, maxDist = 3, maxBucket = Some(3L))
+      .orderBy("d1", "d2").collect().toSeq
+    // 12 identical → C(12,2)=66 zero-distance pairs, plus each of the
+    // two near hashes pairs with all 12 and with each other
+    assert(uncapped.count(_.get(2) == 0) == 66)
+    assert(uncapped.size == 66 + 12 + 12 + 1)
+    assert(capped == uncapped)
+  }
+
   test("cap-split index: incremental dedup equals the uncapped index exactly") {
     // 4 verbatim copies indexed (every shared band bucket has 4 members;
     // cap = 1 splits each into m = 4) + the unrelated doc; the incoming
