@@ -342,6 +342,74 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hamming salt-split equals the uncapped pair set for ANY hashes and cap") {
+    // the q363 losslessness LAW: random 16-bit signatures drawn from a
+    // few dup-heavy centers (so pigeonhole buckets of every size
+    // appear) and random caps — the block decomposition must reproduce
+    // the uncapped verified pair set exactly (ids AND distances)
+    val center = Vector(0x0F0FL, 0xF0F0L, 0x3C3CL)
+    val hash: Gen[Long] = for {
+      c <- Gen.choose(0, 2)
+      flip <- Gen.choose(0, 16)
+    } yield if (flip > 15) center(c) else center(c) ^ (1L << flip)
+    val fixture: Gen[(List[Long], Long)] = for {
+      n <- Gen.choose(6, 18)
+      hs <- Gen.listOfN(n, hash)
+      cap <- Gen.choose(1L, 5L)
+    } yield (hs, cap)
+    forAll(fixture) { case (hs, cap) =>
+      val df = hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+        .toDF("doc_id", "h")
+      val uncapped = TextDedup.hammingPairs(df, "doc_id", "h",
+          bits = 16, bands = 4, maxDist = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val capped = TextDedup.hammingPairs(df, "doc_id", "h",
+          bits = 16, bands = 4, maxDist = 3, maxBucket = Some(cap))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(capped == uncapped, s"cap=$cap n=${hs.size}")
+    }
+  }
+
+  test("cap-split index dedup equals the uncapped index for ANY corpus and cap") {
+    // the q362 losslessness LAW: random duplicate-heavy corpora split
+    // into an indexed half and an incoming half, random caps — the
+    // build-time block decomposition must reproduce the uncapped
+    // index's verified (new, old) pair set exactly
+    val base = Vector(
+      "the quick brown fox jumps over the lazy dog",
+      "spark shuffles hash joins across the cluster tonight")
+    val doc: Gen[String] = for {
+      fam <- Gen.choose(0, 1)
+      extra <- Gen.choose(0, 2)
+    } yield if (extra == 0) base(fam) else base(fam) + " tail" + extra
+    val fixture: Gen[(List[String], Long)] = for {
+      n <- Gen.choose(6, 14)
+      ds <- Gen.listOfN(n, doc)
+      cap <- Gen.choose(1L, 3L)
+    } yield (ds, cap)
+    forAll(fixture) { case (ds, cap) =>
+      val docs = ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val indexed = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val (b0, s0) = TextDedup.lshIndex(indexed, "doc_id", "text",
+        k = 8, r = 2, w = 2)
+      val uncapped = TextDedup.dedupAgainstIndex(batch, "doc_id", "text",
+          b0, s0, k = 8, r = 2, w = 2, threshold = 0.5)
+        .select("d_new", "d_old").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (b1, s1) = TextDedup.lshIndex(indexed, "doc_id", "text",
+        k = 8, r = 2, w = 2, maxBucket = Some(cap))
+      val capped = TextDedup.dedupAgainstIndex(batch, "doc_id", "text",
+          b1, s1, k = 8, r = 2, w = 2, threshold = 0.5)
+        .select("d_new", "d_old").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped == uncapped, s"cap=$cap n=${ds.size}")
+    }
+  }
+
   test("cluster-keyed split admits zero crossing near-dup pairs for ANY corpus") {
     // q351's structural guarantee as a law: whatever the near-dup pair
     // graph looks like, a hash split keyed on the connected-component
