@@ -1034,22 +1034,32 @@ object Preference {
    * keeps every unit with 2..rMax ratings: T₀ divides by the unit's own
    * r_u, and the E-step's missing tail slots contribute a neutral ×1
    * factor (per-unit renormalization absorbs the scale difference).
-   * Units with a single rating stay excluded (one rating carries no
-   * agreement signal and would only echo its judge's smoothed prior) —
-   * counted in n_units_excluded like every other drop. rMax ≤ 4 is the
-   * same DECIMAL(38,0) product bound as the fixed path's r ≤ 4.
+   *
+   * CONTRACT — what still gets dropped, and the opt-out: by default
+   * units with MORE than `rMax` ratings are EXCLUDED (loudly, in
+   * n_units_excluded), not truncated — on a log where most units carry
+   * rMax+1 or more ratings that is most of the data. Pass
+   * `truncate = true` to instead keep every such unit on its first
+   * `rMax` ratings in deterministic (judge, label) order (exactly the
+   * q352 fixture's row_number ≤ r rule), so only single-rating units
+   * are ever excluded (one rating carries no agreement signal and
+   * would only echo its judge's smoothed prior). rMax ≤ 4 is the same
+   * DECIMAL(38,0) product bound as the fixed path's r ≤ 4.
    */
   def dawidSkeneConfusionRagged(ratings: DataFrame, unitCol: String,
                                 judgeCol: String, labelCol: String,
-                                rMax: Int = 4, iters: Int = 2): DataFrame =
-    dsConfusion(ratings, unitCol, judgeCol, labelCol, 2, rMax, iters)
+                                rMax: Int = 4, iters: Int = 2,
+                                truncate: Boolean = false): DataFrame =
+    dsConfusion(ratings, unitCol, judgeCol, labelCol, 2, rMax, iters,
+      truncate)
 
   private def dsConfusion(ratings: DataFrame, unitCol: String,
                           judgeCol: String, labelCol: String,
-                          minR: Int, rMax: Int, iters: Int): DataFrame = {
+                          minR: Int, rMax: Int, iters: Int,
+                          truncate: Boolean = false): DataFrame = {
     require(iters >= 0 && iters <= 5, s"iters=$iters out of range (0..5)")
     val (rt, classes, excluded) =
-      dsPrepare(ratings, unitCol, judgeCol, labelCol, minR, rMax)
+      dsPrepare(ratings, unitCol, judgeCol, labelCol, minR, rMax, truncate)
     val nC = classes.size
     val classArr = array(classes.map(lit): _*)
     val combos = dsCombos(rt, classArr)
@@ -1099,21 +1109,26 @@ object Preference {
    * every unit with 2..rMax ratings gets its dense posterior + MAP
    * flag, plus its own n_ratings (r_u — the per-unit evidence count a
    * downstream consumer should weight by) and the loud exclusion count.
+   * `truncate = true` keeps >rMax-rating units on their first rMax
+   * ratings instead of excluding them — the same opt-out as
+   * [[dawidSkeneConfusionRagged]]'s contract paragraph.
    */
   def dawidSkenePosteriorsRagged(ratings: DataFrame, unitCol: String,
                                  judgeCol: String, labelCol: String,
-                                 rMax: Int = 4, iters: Int = 2): DataFrame =
+                                 rMax: Int = 4, iters: Int = 2,
+                                 truncate: Boolean = false): DataFrame =
     dsPosteriors(ratings, unitCol, judgeCol, labelCol, 2, rMax, iters,
-      withRu = true)
+      withRu = true, truncate = truncate)
 
   private def dsPosteriors(ratings: DataFrame, unitCol: String,
                            judgeCol: String, labelCol: String,
                            minR: Int, rMax: Int, iters: Int,
-                           withRu: Boolean): DataFrame = {
+                           withRu: Boolean,
+                           truncate: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 5, s"iters=$iters out of range (1..5)")
     val w = org.apache.spark.sql.expressions.Window
     val (rt, classes, excluded) =
-      dsPrepare(ratings, unitCol, judgeCol, labelCol, minR, rMax)
+      dsPrepare(ratings, unitCol, judgeCol, labelCol, minR, rMax, truncate)
     val nC = classes.size
     val classArr = array(classes.map(lit): _*)
     val combos = dsCombos(rt, classArr)
@@ -1147,7 +1162,8 @@ object Preference {
     * convention; the r16 verdict's item 2). */
   private def dsPrepare(ratings: DataFrame, unitCol: String,
                         judgeCol: String, labelCol: String,
-                        minR: Int, maxR: Int)
+                        minR: Int, maxR: Int,
+                        truncate: Boolean = false)
       : (DataFrame, Seq[String], DataFrame) = {
     require(minR >= 2 && maxR <= 4 && minR <= maxR,
       s"rating-count range ($minR..$maxR) out of bounds (2..4): " +
@@ -1160,20 +1176,32 @@ object Preference {
         col(labelCol).cast(StringType).as("graft_l"))
       .filter(col("graft_u").isNotNull && col("graft_j").isNotNull &&
         col("graft_l").isNotNull)
+    // checkpointed so the corpus-scale per-unit window count runs ONCE
+    // for BOTH branches (kept rt + the exclusion ledger) — rt's own
+    // checkpoint below covers the EM cycles but not `excluded`
     val counted = base.withColumn("graft_cnt", count(lit(1)).over(
-      w.partitionBy(col("graft_u"))))
-    // completeness: minR..maxR ratings per unit or the unit is out —
-    // and the drop is COUNTED, not silent
+        w.partitionBy(col("graft_u"))))
+      .localCheckpoint(eager = false)
+    // completeness: minR..maxR ratings per unit or the unit is out
+    // (with truncate, over-maxR units are KEPT on their first maxR
+    // ratings in (judge, label) order) — drops are COUNTED, not silent
+    val keep =
+      if (truncate) col("graft_cnt") >= minR
+      else col("graft_cnt") >= minR && col("graft_cnt") <= maxR
     val rt = counted
-      .filter(col("graft_cnt") >= minR && col("graft_cnt") <= maxR)
+      .filter(keep)
       .withColumn("graft_rn", row_number().over(
         w.partitionBy(col("graft_u"))
           .orderBy(col("graft_j"), col("graft_l"))))
+      .filter(if (truncate) col("graft_rn") <= maxR else lit(true))
       .select(col("graft_u"), col("graft_j"), col("graft_l"),
-        col("graft_rn"), col("graft_cnt"))
+        col("graft_rn"),
+        (if (truncate) least(col("graft_cnt"), lit(maxR.toLong))
+         else col("graft_cnt")).as("graft_cnt"))
       .localCheckpoint(eager = false) // read every cycle + pivot + output
     val excluded = counted
-      .filter(col("graft_cnt") < minR || col("graft_cnt") > maxR)
+      .filter(if (truncate) col("graft_cnt") < minR
+        else col("graft_cnt") < minR || col("graft_cnt") > maxR)
       .agg(count_distinct(col("graft_u")).as("n_units_excluded"))
     val classes: Seq[String] = rt.select(col("graft_l")).distinct()
       .orderBy(col("graft_l")).collect().map(_.getString(0)).toSeq

@@ -705,18 +705,26 @@ object Eval2Queries {
     * n_units_excluded. Kept units and their π under the fixed-r path
     * are identical to the pre-r17 pre-filtered fixture. */
   private def dsFixture(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("o_custkey")).orderBy(col("judge"))
+    dsFixtureFull(s, dir)
+      .withColumn("graft_rn", row_number().over(wOrd))
+      .filter(col("graft_rn") <= 3)
+  }
+
+  /** The UNTRUNCATED judge fixture — every (customer, judge-year) row,
+    * however many years a customer ordered in. q369/q370 feed this raw
+    * completeness spectrum to the ragged operators' `truncate = true`
+    * path; the fixed/ragged default gates keep consuming the
+    * pre-truncated [[dsFixture]]. */
+  private def dsFixtureFull(s: SparkSession, dir: String): DataFrame = {
     val key = (floor(col("o_totalprice") * lit(100)).cast(LongType) *
       lit(10000000000L) + col("o_orderkey")).as("graft_k")
-    val perJudge = Sources.orders(s, dir)
+    Sources.orders(s, dir)
       .select(col("o_custkey"),
         year(col("o_orderdate")).cast("string").as("judge"),
         col("o_orderpriority").as("graft_p"), key)
       .groupBy(col("o_custkey"), col("judge"))
       .agg(max_by(col("graft_p"), col("graft_k")).as("graft_lbl"))
-    val wOrd = Window.partitionBy(col("o_custkey")).orderBy(col("judge"))
-    perJudge
-      .withColumn("graft_rn", row_number().over(wOrd))
-      .filter(col("graft_rn") <= 3)
   }
 
   def q352DawidSkene(s: SparkSession, dir: String): DataFrame =
@@ -881,6 +889,36 @@ object Eval2Queries {
         "judge", "graft_lbl", rMax = 3, iters = 2)
       .orderBy(col("unit"), col("true_class"))
   }
+
+  // ── q369/q370: ragged Dawid–Skene with TRUNCATION (the keep-everything
+  //    path) ────────────────────────────────────────────────────────────
+
+  /** q369: [[Preference.dawidSkeneConfusionRagged]] with
+    * `truncate = true` over the UNTRUNCATED fixture — customers with
+    * MORE than rMax judge-years are no longer excluded but kept on
+    * their first rMax ratings in deterministic (judge, label) order
+    * (r17 ADVICE: the default >rMax exclusion can drop most of a real
+    * judge log). The oracle is DELIBERATELY q359's chain verbatim: its
+    * base CTE truncates the raw spectrum with the identical
+    * row_number ≤ 3 rule, so hash-green proves the operator's internal
+    * truncation reproduces the external pre-truncation exactly —
+    * confusion tables, n_ratings and the (now smaller) exclusion
+    * ledger all bit-identical. */
+  def q369DsRaggedTruncate(s: SparkSession, dir: String): DataFrame =
+    Preference.dawidSkeneConfusionRagged(dsFixtureFull(s, dir), "o_custkey",
+        "judge", "graft_lbl", rMax = 3, iters = 2, truncate = true)
+      .orderBy(col("judge"), col("true_class"), col("label"))
+
+  val q369Sql: String = dsConfusionSql(dsRaggedBase)
+
+  /** q370: [[Preference.dawidSkenePosteriorsRagged]] with
+    * `truncate = true` — q369's posterior twin: every multi-year
+    * customer keeps a posterior (truncated units report
+    * n_ratings = rMax), oracle = q360's chain verbatim. */
+  def q370DsRaggedPostTruncate(s: SparkSession, dir: String): DataFrame =
+    Preference.dawidSkenePosteriorsRagged(dsFixtureFull(s, dir), "o_custkey",
+        "judge", "graft_lbl", rMax = 3, iters = 2, truncate = true)
+      .orderBy(col("unit"), col("true_class"))
 
   val q360Sql: String =
     s"""WITH $dsRaggedBase,

@@ -98,8 +98,13 @@ object Streaming {
           .select(col(idCol).as("d_old"), col("band"), col("bh")),
         Seq("band", "bh"))
     else {
+      // the census is a corpus-scale distinct over the STATIC index —
+      // localCheckpoint it eagerly at stream construction so every
+      // micro-batch joins the materialized (band, bh, m) rows instead
+      // of re-running the distinct per trigger (r17 ADVICE)
       val census = indexBands.select(col("band"), col("bh"), col("graft_m"))
         .distinct()
+        .localCheckpoint(eager = true)
       sb.join(census, Seq("band", "bh"))
         .withColumn("graft_u",
           explode(sequence(lit(0L), col("graft_m") - 1)))

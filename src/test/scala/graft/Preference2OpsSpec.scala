@@ -636,6 +636,49 @@ class Preference2OpsSpec extends SparkSpec {
     assert(conf("A") + conf("B") == 5L)
   }
 
+  test("ragged Dawid-Skene truncate=true: over-rMax units kept on first rMax ratings") {
+    // u7 carries 4 ratings at rMax = 3: default EXCLUDES it (counted);
+    // truncate = true keeps its first 3 in (judge, label) order —
+    // identical to pre-truncating the input by row_number <= 3.
+    val r = Seq(
+      ("u1", "J1", "A"), ("u1", "J2", "A"), ("u1", "J3", "A"),
+      ("u2", "J1", "B"), ("u2", "J2", "B"), ("u2", "J3", "A"),
+      ("u3", "J1", "B"), ("u3", "J2", "B"), ("u3", "J3", "A"),
+      ("u7", "J1", "A"), ("u7", "J2", "A"), ("u7", "J3", "B"),
+      ("u7", "J4", "B"),
+      ("u6", "J3", "A"))
+      .toDF("unit", "judge", "label")
+    // default: u7 excluded alongside single-rating u6
+    val defConf = Preference.dawidSkeneConfusionRagged(r, "unit", "judge",
+        "label", rMax = 3, iters = 1)
+      .select("n_units_excluded").as[Long].collect().toSet
+    assert(defConf == Set(2L))
+    // truncate: only u6 excluded; result identical to external pre-cut
+    val pre = r.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"unit").orderBy($"judge", $"label")))
+      .filter($"rn" <= 3).drop("rn")
+    val gotTrunc = Preference.dawidSkeneConfusionRagged(r, "unit", "judge",
+        "label", rMax = 3, iters = 1, truncate = true)
+      .orderBy("judge", "true_class", "label")
+      .select("judge", "true_class", "label", "pi_micro", "n_ratings",
+        "n_units_excluded").collect().toSeq
+    val gotPre = Preference.dawidSkeneConfusionRagged(pre, "unit", "judge",
+        "label", rMax = 3, iters = 1)
+      .orderBy("judge", "true_class", "label")
+      .select("judge", "true_class", "label", "pi_micro", "n_ratings",
+        "n_units_excluded").collect().toSeq
+    assert(gotTrunc == gotPre)
+    assert(gotTrunc.forall(_.getLong(5) == 1L))
+    // posteriors twin: u7 reports n_ratings = rMax after truncation
+    val post = Preference.dawidSkenePosteriorsRagged(r, "unit", "judge",
+        "label", rMax = 3, iters = 1, truncate = true)
+      .select("unit", "n_ratings", "n_units_excluded")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(post.filter(_._1 == "u7").forall(x => x._2 == 3L && x._3 == 1L))
+    assert(post.map(_._1).toSet == Set("u1", "u2", "u3", "u7"))
+  }
+
   // ── lengthControlledWinRate ─────────────────────────────────────────────
 
   test("lengthControlledWinRate: hand-computed buckets, Wilson per bucket") {
