@@ -103,17 +103,33 @@ object Multimodal {
    * longs ever shuffle.
    */
   def perceptualHash(df: DataFrame, idCol: String,
-                     payloadCol: String): DataFrame = {
-    val pixels = (0 until 32).map { i =>
+                     payloadCol: String): DataFrame =
+    perceptualHashWide(df, idCol, payloadCol, 32)
+
+  /** `bits`-wide perceptual hash (the [[perceptualHash]] formulas at any
+    * width up to 60): more fake "pixels" from more salted digests
+    * (pixel i reads byte i%16 of digest `_px{i/16}`), bit i set iff
+    * pixel_i·bits > Σ pixels — still integer-exact and engine-portable.
+    * The width knob exists for the SAME reason as
+    * [[TextDedup.simHashWide]]: a wider hash widens each pigeonhole
+    * band slice, so the downstream [[TextDedup.hammingPairs]] join
+    * keeps a collision-driven bucket space at corpus scale (q374 gates
+    * the 60-bit ⇒ 2¹⁵-buckets-per-band configuration end-to-end; the
+    * 32-bit default saturates its 256-value slices on ~10⁵ images).
+    * `bits ≤ 60` keeps every `1L << i` term sign-free in BIGINT. */
+  def perceptualHashWide(df: DataFrame, idCol: String,
+                         payloadCol: String, bits: Int): DataFrame = {
+    require(bits >= 4 && bits <= 60, s"bits=$bits out of range (4..60)")
+    val pixels = (0 until bits).map { i =>
       val (b, j) = (i / 16, i % 16)
       expr(s"cast(conv(substring(md5(concat($payloadCol, " +
         s"cast('_px$b' as binary))), ${2 * j + 1}, 2), 16, 10) as bigint)")
     }
     val total = pixels.reduce(_ + _)
-    val bits = pixels.zipWithIndex.map { case (p, i) =>
-      when(p * 32 > total, lit(1L << i)).otherwise(lit(0L))
+    val bitTerms = pixels.zipWithIndex.map { case (p, i) =>
+      when(p * bits > total, lit(1L << i)).otherwise(lit(0L))
     }
-    df.select(col(idCol), bits.reduce(_ + _).as("phash"))
+    df.select(col(idCol), bitTerms.reduce(_ + _).as("phash"))
   }
 
   /** Frame sampling plan for video-like media: every `stride`-th frame

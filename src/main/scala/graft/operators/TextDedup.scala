@@ -713,24 +713,35 @@ object TextDedup {
     * members) has no skew to fix: the keys already saturate the
     * cluster's parallelism and the split pays ⌈B/cap⌉× row replication
     * for nothing (q363 measured ×33 vs uncapped ×20 at 5× on exactly
-    * that shape). There, widen the slices (more bits per band ⇒
-    * exponentially more values), or cap by DROPPING with an exclusion
-    * report, or dedup by cluster representative. */
-  def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
-                   bits: Int, bands: Int, maxDist: Int,
-                   maxBucket: Option[Long] = None): DataFrame = {
+    * that shape). There, widen the slices — [[simHashWide]] at 60 bits
+    * gives 2¹⁵ values per band vs 2⁸, gated as q371 — or cap by
+    * DROPPING with an exclusion report
+    * ([[hammingPairsDropCap]]/[[hammingExcludedBuckets]], q372/q373),
+    * or dedup by cluster representative. */
+  /** One row per (id, hash, slice, slice-value): the pigeonhole banding
+    * shared by [[hammingPairs]], [[hammingPairsDropCap]] and
+    * [[hammingExcludedBuckets]]. */
+  private def hammingSliceRows(df: DataFrame, idCol: String,
+                               hashCol: String, bits: Int,
+                               bands: Int): DataFrame = {
     require(bands >= 2 && bits % bands == 0,
       s"bits=$bits must split evenly into bands=$bands")
-    require(maxDist <= bands - 1,
-      s"pigeonhole recall needs maxDist <= bands-1 (= ${bands - 1})")
     val sliceBits = bits / bands
     val mask = (1L << sliceBits) - 1
     val slices = (0 until bands).map(b => struct(lit(b).as("sl"),
       shiftright(col(hashCol), b * sliceBits).bitwiseAND(lit(mask)).as("sv")))
-    val sl = df.select(col(idCol), col(hashCol),
+    df.select(col(idCol), col(hashCol),
         explode(array(slices: _*)).as("s"))
       .select(col(idCol), col(hashCol),
         col("s.sl").as("sl"), col("s.sv").as("sv"))
+  }
+
+  def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
+                   bits: Int, bands: Int, maxDist: Int,
+                   maxBucket: Option[Long] = None): DataFrame = {
+    require(maxDist <= bands - 1,
+      s"pigeonhole recall needs maxDist <= bands-1 (= ${bands - 1})")
+    val sl = hammingSliceRows(df, idCol, hashCol, bits, bands)
     val cand = (maxBucket match {
       case None =>
         sl.select(col(idCol).as("d1"), col(hashCol).as("graft_h1"),
@@ -782,6 +793,64 @@ object TextDedup {
         bit_count(col("graft_h1").bitwiseXOR(col("graft_h2"))))
       .filter(col("hamming") <= maxDist)
       .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  /**
+   * Drop-cap Hamming pairs — the BOUNDED-VOLUME policy for the
+   * pigeonhole join (the q338/q346 embedding pattern on (slice, value)):
+   * slice buckets holding more than `maxBucket` members are EXCLUDED
+   * from candidate generation entirely, so per-bucket fan-out is ≤ cap²
+   * by construction and total candidate volume is bounded regardless of
+   * signature density. This is the [[hammingPairs]] scale doc's remedy
+   * for a UNIFORMLY dense slice space, where the lossless salt-split is
+   * pure replication (q363's measured negative): a near-saturated
+   * bucket pairs everything with everything — precisely the candidates
+   * a Hamming verifier then rejects almost wholesale (members agree on
+   * ONE slice by bucket construction; with the space saturated that
+   * agreement is chance, not similarity).
+   *
+   * Recall contract (deterministic, replayed by the q372 oracle): a
+   * pair is emitted iff it verifies AND agrees on at least one
+   * UNDER-cap slice. Pigeonhole still guarantees ≤ maxDist pairs agree
+   * somewhere; only pairs whose EVERY agreeing slice is over-cap are
+   * lost — and those buckets are published loudly by
+   * [[hammingExcludedBuckets]] (exclusion is never silent).
+   */
+  def hammingPairsDropCap(df: DataFrame, idCol: String, hashCol: String,
+                          bits: Int, bands: Int, maxDist: Int,
+                          maxBucket: Long): DataFrame = {
+    require(maxDist <= bands - 1,
+      s"pigeonhole recall needs maxDist <= bands-1 (= ${bands - 1})")
+    require(maxBucket >= 1, s"maxBucket=$maxBucket must be >= 1")
+    val sl = hammingSliceRows(df, idCol, hashCol, bits, bands)
+    val sized = sl.withColumn("graft_bs", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sl"), col("sv"))))
+    val cool = sized.filter(col("graft_bs") <= maxBucket)
+    cool.select(col(idCol).as("d1"), col(hashCol).as("graft_h1"),
+        col("sl"), col("sv"))
+      .join(cool.select(col(idCol).as("d2"), col(hashCol).as("graft_h2"),
+        col("sl"), col("sv")).hint("shuffle_hash"), Seq("sl", "sv"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2", "graft_h1", "graft_h2").distinct()
+      .withColumn("hamming",
+        bit_count(col("graft_h1").bitwiseXOR(col("graft_h2"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  /** The slice buckets [[hammingPairsDropCap]] drops, as visible rows
+    * (sl, sv, bucket_size) — the audit table a capped Hamming dedup run
+    * publishes next to its pair count (the q339 convention: exclusion
+    * is never silent). */
+  def hammingExcludedBuckets(df: DataFrame, idCol: String,
+                             hashCol: String, bits: Int, bands: Int,
+                             maxBucket: Long): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket=$maxBucket must be >= 1")
+    hammingSliceRows(df, idCol, hashCol, bits, bands)
+      .groupBy(col("sl"), col("sv"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
   }
 
   /**
@@ -1094,22 +1163,44 @@ object TextDedup {
    * aggregation reduces the shuffle to |docs| × 32 ints. Values are
    * bit-identical to the per-(doc, bit) long form the oracle computes.
    */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHashWide(docs, idCol, textCol, 32)
+
+  /**
+   * `bits`-wide SimHash (the [[simHash]] formulas at any nibble-aligned
+   * width up to 60): the knob the [[hammingPairs]] scale doc prescribes
+   * for UNIFORMLY dense pigeonhole spaces — widening the signature
+   * widens each band slice (bits/bands per slice), growing the bucket
+   * space EXPONENTIALLY (e.g. 60 bits / 4 bands ⇒ 2¹⁵ = 32,768 values
+   * per slice vs 2⁸ = 256 at 32 bits) so the (slice, value) self-join
+   * stays collision-driven at corpus scale instead of saturating a
+   * few-hundred-bucket space. Pigeonhole exactness is unchanged
+   * (maxDist ≤ bands − 1 over the WIDER hash — a finer near-dup notion,
+   * strictly harder to collide by chance). `bits ≤ 60` keeps every
+   * `1L << b` term positive, so the hash is sign-free in both engines'
+   * BIGINT arithmetic; nibble alignment keeps the md5 hex mapping
+   * engine-portable.
+   */
+  def simHashWide(docs: DataFrame, idCol: String, textCol: String,
+                  bits: Int): DataFrame = {
+    require(bits % 4 == 0 && bits >= 4 && bits <= 60,
+      s"bits=$bits must be nibble-aligned in 4..60 (md5 hex mapping; " +
+        "sign-safe BIGINT)")
     val words = docs.select(col(idCol),
         explode(array_distinct(split(col(textCol), " "))).as("w"))
       .select(col(idCol), md5(col("w")).as("h"))
     // bit b lives in hex digit b div 4, at offset 3 - b%4 within the nibble
-    val contribs = (0 until 32).map { b =>
+    val contribs = (0 until bits).map { b =>
       val nib = conv(substring(col("h"), b / 4 + 1, 1), 16, 10)
         .cast(IntegerType)
       (shiftright(nib, 3 - b % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"c_$b")
     }
-    val sums = (0 until 32).map(b => sum(col(s"c_$b")).as(s"s_$b"))
+    val sums = (0 until bits).map(b => sum(col(s"c_$b")).as(s"s_$b"))
     words.select(col(idCol) +: contribs: _*)
       .groupBy(col(idCol))
       .agg(sums.head, sums.tail: _*)
       .select(col(idCol),
-        (0 until 32).map(b =>
+        (0 until bits).map(b =>
           when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }

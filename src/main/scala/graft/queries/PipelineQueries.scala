@@ -301,13 +301,17 @@ object PipelineQueries {
         maxBucket = Some(8L))
       .orderBy(col("d1"), col("d2"))
 
-  val q109Sql: String =
-    """WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  /** The q109/q363/q371/q372/q373 simhash + pigeonhole-slice WITH-chain
+    * members at any (bits, sliceBits): words → ±1 bit sums → `bits`-wide
+    * simhash → (slice, value) rows over 4 bands. */
+  private def simHashSliceSql(bits: Int, sliceBits: Int): String = {
+    val mask = (1L << sliceBits) - 1
+    s"""words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
       |               FROM documents),
       |bits AS (SELECT doc_id, b,
       |           (strpos('0123456789abcdef',
       |              substr(md5(w), (b // 4) + 1, 1)) - 1) AS nib
-      |         FROM words CROSS JOIN range(0, 32) t(b)),
+      |         FROM words CROSS JOIN range(0, $bits) t(b)),
       |bsum AS (SELECT doc_id, b,
       |           sum(((nib >> (3 - (b % 4))) & 1) * 2 - 1) AS bsum
       |         FROM bits GROUP BY doc_id, b),
@@ -316,8 +320,12 @@ object PipelineQueries {
       |    AS simhash
       |  FROM bsum GROUP BY doc_id),
       |sl AS (SELECT doc_id, simhash, t.sl,
-      |         (simhash >> (t.sl * 8)) & 255 AS sv
-      |       FROM sh CROSS JOIN range(0, 4) t(sl)),
+      |         (simhash >> (t.sl * $sliceBits)) & $mask AS sv
+      |       FROM sh CROSS JOIN range(0, 4) t(sl))""".stripMargin
+  }
+
+  val q109Sql: String =
+    s"""WITH ${simHashSliceSql(32, 8)},
       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
       |           a.simhash AS h1, b.simhash AS h2
       |         FROM sl a JOIN sl b ON a.sl = b.sl AND a.sv = b.sv
@@ -326,6 +334,87 @@ object PipelineQueries {
       |  CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
       |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
       |ORDER BY d1, d2""".stripMargin
+
+  // ── q371/q372/q373: the Hamming family's dense-space scale path ───────
+
+  /** q371: [[TextDedup.hammingPairs]] over a WIDENED signature —
+    * [[TextDedup.simHashWide]] at 60 bits, 4 bands ⇒ 15-bit slices,
+    * 2¹⁵ = 32,768 values per band vs the 32-bit config's 256 (q109) —
+    * the scale remedy the q363 honest-negative prescribed for uniformly
+    * dense pigeonhole spaces. Measured on this corpus the widening cuts
+    * bucket density ~10× at the median (sf0.1: median 1 vs 5, p99 69
+    * vs 538) but the text's boilerplate clusters STILL pile identical
+    * wide signatures into hot buckets (max 1582 at sf0.1) — which is
+    * why the ≤~×3 sharedBands row belongs to q372's widened+drop-cap
+    * composition, not to any uncapped generator (verbatim replicas
+    * share every slice at any width, so uncapped pair output is
+    * quadratic in replication BY CONSTRUCTION). Pigeonhole recall stays
+    * EXACT (maxDist 3 ≤ bands − 1) over the finer 60-bit near-dup
+    * notion; the oracle replays the full chain. */
+  def q371HammingWide(s: SparkSession, dir: String): DataFrame =
+    TextDedup.hammingPairs(
+        TextDedup.simHashWide(docs(s, dir), "doc_id", "text", 60),
+        "doc_id", "simhash", bits = 60, bands = 4, maxDist = 3)
+      .orderBy(col("d1"), col("d2"))
+
+  val q371Sql: String =
+    s"""WITH ${simHashSliceSql(60, 15)},
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |           a.simhash AS h1, b.simhash AS h2
+      |         FROM sl a JOIN sl b ON a.sl = b.sl AND a.sv = b.sv
+      |         WHERE a.doc_id < b.doc_id)
+      |SELECT d1, d2,
+      |  CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+      |ORDER BY d1, d2""".stripMargin
+
+  /** q372: [[TextDedup.hammingPairsDropCap]] — widened slices AND the
+    * bounded-volume drop-cap composed: 60-bit simhash, 4×15-bit bands,
+    * maxBucket = 12, which ENGAGES at both SFs (over-cap buckets: 18 at
+    * sf0.01, 186 at sf0.1 — the boilerplate signature clusters). Per
+    *-bucket fan-out is ≤ 12² by construction and total candidate volume
+    * stays bounded under densification (the sharedBands weak-scaling
+    * row), which no lossless generator can promise — its pair OUTPUT is
+    * quadratic in bucket density. The recall trade is deterministic
+    * (kept pair ⟺ some under-cap agreeing slice), replayed exactly by
+    * the oracle's census + cap, and published loudly by q373. */
+  def q372HammingDropCap(s: SparkSession, dir: String): DataFrame =
+    TextDedup.hammingPairsDropCap(
+        TextDedup.simHashWide(docs(s, dir), "doc_id", "text", 60),
+        "doc_id", "simhash", bits = 60, bands = 4, maxDist = 3,
+        maxBucket = 12L)
+      .orderBy(col("d1"), col("d2"))
+
+  val q372Sql: String =
+    s"""WITH ${simHashSliceSql(60, 15)},
+      |sz AS (SELECT sl, sv, COUNT(*) AS bs FROM sl GROUP BY 1, 2),
+      |ksl AS (SELECT s.doc_id, s.simhash, s.sl, s.sv
+      |        FROM sl s JOIN sz ON sz.sl = s.sl AND sz.sv = s.sv
+      |        WHERE sz.bs <= 12),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |           a.simhash AS h1, b.simhash AS h2
+      |         FROM ksl a JOIN ksl b ON a.sl = b.sl AND a.sv = b.sv
+      |         WHERE a.doc_id < b.doc_id)
+      |SELECT d1, d2,
+      |  CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+      |ORDER BY d1, d2""".stripMargin
+
+  /** q373: [[TextDedup.hammingExcludedBuckets]] at q372's exact
+    * configuration — the dropped slice buckets as visible rows
+    * (sl, sv, bucket_size): the audit table a capped Hamming dedup run
+    * publishes next to its pair count (the q339 convention). */
+  def q373HammingExcluded(s: SparkSession, dir: String): DataFrame =
+    TextDedup.hammingExcludedBuckets(
+        TextDedup.simHashWide(docs(s, dir), "doc_id", "text", 60),
+        "doc_id", "simhash", bits = 60, bands = 4, maxBucket = 12L)
+      .orderBy(col("sl"), col("sv"))
+
+  val q373Sql: String =
+    s"""WITH ${simHashSliceSql(60, 15)}
+      |SELECT sl, sv, COUNT(*) AS bucket_size
+      |FROM sl GROUP BY 1, 2 HAVING COUNT(*) > 12
+      |ORDER BY sl, sv""".stripMargin
 
   // ── Similarity search ──────────────────────────────────────────────────
 

@@ -358,6 +358,61 @@ object QualityQueries {
       |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
       |ORDER BY d1, d2""".stripMargin
 
+  // ── q374: perceptual-hash dedup on the SCALE config (wide + drop-cap) ──
+
+  /** q374: q207's image near-dup pipeline rewired onto the Hamming
+    * family's scale configuration (the r17 verdict's "wire the chosen
+    * config through the Multimodal call site"):
+    * [[Multimodal.perceptualHashWide]] at 60 bits feeds
+    * [[TextDedup.hammingPairsDropCap]] (4×15-bit bands — 2¹⁵ values per
+    * slice vs q207's 2⁸ — with maxBucket = 4). On this corpus the wide
+    * phash space is collision-driven (bucket max 4 at sf0.01, 8 at
+    * sf0.1: exact-dup twin piles), so the cap is inactive at sf0.01 and
+    * engages only on sf0.1's hottest piles — both facts hash-verified
+    * by the oracle's replayed census. The exact-dup twins (doc, −doc−1)
+    * collide in ALL four slices, so a dropped hot slice alone doesn't
+    * lose them. */
+  def q374PhashWideDropCap(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Sources.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val doubled = payloads.union(
+      payloads.select(-col("doc_id") - 1, col("payload")))
+    TextDedup.hammingPairsDropCap(
+        Multimodal.perceptualHashWide(doubled, "doc_id", "payload", 60),
+        "doc_id", "phash", bits = 60, bands = 4, maxDist = 3,
+        maxBucket = 4L)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val q374Sql: String =
+    """WITH u AS (SELECT doc_id, text FROM documents
+      |           UNION ALL SELECT -doc_id - 1, text FROM documents),
+      |px AS (SELECT doc_id, i,
+      |    (strpos('0123456789abcdef', substr(md5(text || '_px' ||
+      |       (i // 16)::VARCHAR), 2 * (i % 16) + 1, 1)) - 1) * 16 +
+      |    (strpos('0123456789abcdef', substr(md5(text || '_px' ||
+      |       (i // 16)::VARCHAR), 2 * (i % 16) + 2, 1)) - 1) AS v
+      |  FROM u CROSS JOIN range(0, 60) t(i)),
+      |ps AS (SELECT doc_id, SUM(v) AS s FROM px GROUP BY doc_id),
+      |ph AS (SELECT px.doc_id,
+      |    CAST(SUM(CASE WHEN px.v * 60 > ps.s THEN (1::BIGINT << px.i)
+      |      ELSE 0 END) AS BIGINT) AS phash
+      |  FROM px JOIN ps USING (doc_id) GROUP BY px.doc_id),
+      |sl AS (SELECT doc_id, phash, t.sl,
+      |         (phash >> (t.sl * 15)) & 32767 AS sv
+      |       FROM ph CROSS JOIN range(0, 4) t(sl)),
+      |sz AS (SELECT sl, sv, COUNT(*) AS bs FROM sl GROUP BY 1, 2),
+      |ksl AS (SELECT s.doc_id, s.phash, s.sl, s.sv
+      |        FROM sl s JOIN sz ON sz.sl = s.sl AND sz.sv = s.sv
+      |        WHERE sz.bs <= 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |           a.phash AS h1, b.phash AS h2
+      |         FROM ksl a JOIN ksl b ON a.sl = b.sl AND a.sv = b.sv
+      |         WHERE a.doc_id < b.doc_id)
+      |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+      |ORDER BY d1, d2""".stripMargin
+
   // ── q208: boilerplate n-gram audit ─────────────────────────────────────
 
   /** q208: per-document boilerplate fraction —

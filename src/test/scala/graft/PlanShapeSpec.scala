@@ -724,6 +724,9 @@ class PlanShapeSpec extends SparkSpec {
       // exclusion-is-never-silent convention; metadata by construction)
       "q352_dawid_skene", "q357_ds_posteriors",
       "q359_ds_ragged", "q360_ds_ragged_post",
+      // q369/q370: the same 1-row exclusion ledger on the ragged
+      // truncate=true path — identical shape to q359/q360
+      "q369_ds_ragged_trunc", "q370_ds_ragged_post_trunc",
       // q361: q351's 1-row total-doc-count crossJoin, identical shape
       "q361_cluster_split_capped")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

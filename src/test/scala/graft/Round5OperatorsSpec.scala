@@ -514,6 +514,89 @@ class Round5OperatorsSpec extends SparkSpec {
       .as[(Long, Long, Int)].head() == ((1L, 2L, 0)))
   }
 
+  test("hammingPairs wide slices: 60-bit/15-bit-slice pigeonhole stays exact") {
+    // the q371 config: 4 bands × 15-bit slices. h2 flips 3 bits inside
+    // slice 1 (bits 15..29) — slices 0, 2, 3 agree; h3 flips one bit in
+    // every slice — invisible to banding AND 4 > maxDist.
+    val h1 = 0x0ABCDEF012345L    // < 2^60
+    val h2 = h1 ^ (0x7L << 16)
+    val h3 = h1 ^ ((1L << 3) | (1L << 17) | (1L << 33) | (1L << 48))
+    val df = Seq((1L, h1), (2L, h2), (3L, h3)).toDF("id", "h")
+    val got = TextDedup.hammingPairs(df, "id", "h",
+        bits = 60, bands = 4, maxDist = 3)
+      .orderBy("d1", "d2").as[(Long, Long, Int)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 3)))
+    // simHashWide is sign-free and nibble-mapped like the 32-bit hash:
+    // its low 32 bits over the same corpus EQUAL simHash (bit b of the
+    // wide hash reads the same md5 nibble)
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"),
+      (3L, "epsilon zeta eta")).toDF("doc_id", "text")
+    val wide = TextDedup.simHashWide(docs, "doc_id", "text", 60)
+      .select($"doc_id", ($"simhash".bitwiseAND(lit(0xFFFFFFFFL))).as("lo"))
+      .as[(Long, Long)].collect().toMap
+    val narrow = TextDedup.simHash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(wide == narrow)
+  }
+
+  test("hammingPairsDropCap: over-cap buckets dropped, pairs via cool slices survive") {
+    // ids 1..5 share an identical hash → every slice bucket holds 5.
+    // id 6 is h ^ 7 (slice 0 differs, slices 1-3 shared with the pile).
+    // cap = 4: ALL the pile's buckets are over-cap → no pairs survive;
+    // cap = 5: slices are exactly at cap → full pair set emitted.
+    val h = 0x0F0F0F0F0F0F0L
+    val pile = (1L to 5L).map(i => (i, h)) :+ ((6L, h ^ 0x7L))
+    val df = pile.toDF("id", "h")
+    val at4 = TextDedup.hammingPairsDropCap(df, "id", "h",
+        bits = 60, bands = 4, maxDist = 3, maxBucket = 4L)
+      .as[(Long, Long, Int)].collect().toSeq
+    // slices 1..3 hold all 6 ids (over cap); slice 0 splits 5 vs 1 —
+    // the 5-pile is still over cap at 4, so nothing survives
+    assert(at4.isEmpty)
+    val at5 = TextDedup.hammingPairsDropCap(df, "id", "h",
+        bits = 60, bands = 4, maxDist = 3, maxBucket = 5L)
+      .orderBy("d1", "d2").as[(Long, Long, Int)].collect().toSeq
+    // slice 0's 5-bucket is at cap → the pile's 10 exact-dup pairs
+    // survive through slice 0; id 6 only agrees on over-cap slices → out
+    assert(at5 == (1L to 5L).combinations(2)
+      .map(p => (p(0), p(1), 0)).toSeq)
+    // the exclusion report publishes exactly the over-cap buckets
+    val excl = TextDedup.hammingExcludedBuckets(df, "id", "h",
+        bits = 60, bands = 4, maxBucket = 5L)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(excl.map(_._1).sorted == Seq(1, 2, 3) &&
+      excl.forall(_._3 == 6L))
+    // parity: drop-cap at a cap no bucket exceeds == uncapped
+    val unc = TextDedup.hammingPairs(df, "id", "h", 60, 4, 3)
+      .orderBy("d1", "d2").as[(Long, Long, Int)].collect().toSeq
+    val capped = TextDedup.hammingPairsDropCap(df, "id", "h", 60, 4, 3,
+        maxBucket = 100L)
+      .orderBy("d1", "d2").as[(Long, Long, Int)].collect().toSeq
+    assert(capped == unc)
+  }
+
+  test("perceptualHashWide: 32-bit form equals perceptualHash; 60-bit twins collide") {
+    import graft.operators.Multimodal
+    val df = Seq((1L, "payload one"), (2L, "payload two"),
+      (3L, "payload one")).toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val narrow = Multimodal.perceptualHash(df, "doc_id", "payload")
+      .as[(Long, Long)].collect().toMap
+    val wide32 = Multimodal.perceptualHashWide(df, "doc_id", "payload", 32)
+      .as[(Long, Long)].collect().toMap
+    assert(narrow == wide32)
+    val wide60 = Multimodal.perceptualHashWide(df, "doc_id", "payload", 60)
+      .as[(Long, Long)].collect().toMap
+    assert(wide60(1L) == wide60(3L) && wide60(1L) != wide60(2L))
+    assert(wide60.values.forall(v => v >= 0L && v < (1L << 60)))
+    // identical payloads land at hamming 0 through the drop-cap path
+    val pairs = TextDedup.hammingPairsDropCap(
+        Multimodal.perceptualHashWide(df, "doc_id", "payload", 60),
+        "doc_id", "phash", 60, 4, 3, maxBucket = 4L)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((1L, 3L, 0)))
+  }
+
   // ── snapshot diff ───────────────────────────────────────────────────────
 
   test("snapshot diff classifies added/removed/changed/unchanged") {
