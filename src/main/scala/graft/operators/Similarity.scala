@@ -414,6 +414,104 @@ object Similarity {
     verifyCandidatePairs(embeddings, idCol, vecCol, threshold, cand)
   }
 
+  // ── stored ANN signature index (incremental embedding dedup) ──────────
+
+  /**
+   * Persisted ANN signature index for incremental embedding dedup — the
+   * embedding-side twin of [[graft.operators.TextDedup.lshIndex]] (the
+   * q362 precedent): one (id, tbl, sig) row per (vector, hash table)
+   * from [[lshSignaturesMulti]], written once when the corpus is
+   * indexed. On a real deployment the table is stored bucketed on
+   * (tbl, sig) so incremental batches shuffle only themselves, never
+   * the indexed corpus; the corpus embedding table itself is the other
+   * stored half (verification joins it by id).
+   *
+   * `maxBucket` pre-splits hot signature buckets AT BUILD TIME: each
+   * index row gains its sub-bucket id `graft_u` = (rank-of-id − 1) mod
+   * m and the bucket's split count `graft_m` = ⌈B/cap⌉, so every
+   * (tbl, sig, graft_u) cell holds ≤ cap index rows — the hot buckets
+   * of a 100 TB embedding index are exactly its most-duplicated
+   * content, and splitting once at build time bounds EVERY future
+   * batch's collision join ([[dedupAgainstAnnIndex]] runs the census →
+   * explode ≤ m → block join; candidates IDENTICAL to uncapped —
+   * q375's oracle is the uncapped chain).
+   */
+  def annIndex(corpus: DataFrame, idCol: String, vecCol: String,
+               nTables: Int = 4, planesPerTable: Int = 4,
+               dims: Int = 64,
+               maxBucket: Option[Long] = None): DataFrame = {
+    val sigs = lshSignaturesMulti(corpus, idCol, vecCol, nTables,
+      planesPerTable, dims)
+    maxBucket match {
+      case None => sigs
+      case Some(cap) =>
+        require(cap >= 1, s"maxBucket=$cap must be >= 1")
+        val wspec = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tbl"), col("sig"))
+        sigs
+          .withColumn("graft_m",
+            call_function("div",
+              count(lit(1)).over(wspec) + lit(cap) - 1, lit(cap))
+              .cast(LongType))
+          .withColumn("graft_u",
+            (row_number().over(wspec.orderBy(col(idCol))) - 1)
+              .cast(LongType) % col("graft_m"))
+    }
+  }
+
+  /**
+   * Incremental embedding near-dup detection against a stored
+   * [[annIndex]]: candidates are NEW-batch signature rows colliding
+   * with INDEX rows (never index×index — the corpus was already deduped
+   * when indexed), verified at exact cosine between the batch vector
+   * and the indexed vector. The production serving shape: a 100 TB
+   * corpus is indexed once and each arriving batch costs
+   * O(|batch| + collisions), bit-identical to what a batch-global run
+   * reports for the same (new, old) pairs.
+   *
+   * A cap-split index (annIndex(maxBucket) — carries graft_u/graft_m)
+   * is exploited transparently with the q362 block join: the batch row
+   * picks up the bucket's m from the census — which here is METADATA by
+   * construction (≤ nTables · 2^planesPerTable occupied buckets,
+   * unlike the text path's corpus-scale band-hash census) so it rides a
+   * broadcast — explodes over the m sub-buckets, and meets the index on
+   * (tbl, sig, graft_u) where the index side holds ≤ cap rows per cell
+   * by build-time construction. Every colliding (new, old) pair meets
+   * exactly once per shared table, so the candidate set is IDENTICAL to
+   * the uncapped join's — q375's oracle is the UNCAPPED chain,
+   * hash-green = losslessness.
+   */
+  def dedupAgainstAnnIndex(batch: DataFrame, idCol: String, vecCol: String,
+                           indexSigs: DataFrame, corpus: DataFrame,
+                           threshold: Double,
+                           nTables: Int = 4, planesPerTable: Int = 4,
+                           dims: Int = 64): DataFrame = {
+    val nb = lshSignaturesMulti(batch, idCol, vecCol, nTables,
+        planesPerTable, dims)
+      .select(col(idCol).as("d_new"), col("tbl"), col("sig"))
+    val cand = (if (!indexSigs.columns.contains("graft_m")) {
+      nb.join(indexSigs.select(col(idCol).as("d_old"), col("tbl"),
+          col("sig")).hint("shuffle_hash"), Seq("tbl", "sig"))
+    } else {
+      val census = indexSigs.select(col("tbl"), col("sig"), col("graft_m"))
+        .distinct()
+      nb.join(broadcast(census), Seq("tbl", "sig"))
+        .withColumn("graft_u",
+          explode(sequence(lit(0L), col("graft_m") - 1)))
+        .join(indexSigs.select(col(idCol).as("d_old"), col("tbl"),
+            col("sig"), col("graft_u")).hint("shuffle_hash"),
+          Seq("tbl", "sig", "graft_u"))
+    }).select("d_new", "d_old").distinct()
+    val a = batch.select(col(idCol).as("d_new"), col(vecCol).as("graft_v1"))
+    val b = corpus.select(col(idCol).as("d_old"), col(vecCol).as("graft_v2"))
+    cand.join(a.hint("shuffle_hash"), "d_new")
+      .join(b.hint("shuffle_hash"), "d_old")
+      .withColumn("cosine",
+        round(cosine(col("graft_v1"), col("graft_v2")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("d_new"), col("d_old"), col("cosine"))
+  }
+
   /**
    * ANN quality evaluation: recall@k of [[annTopK]] against the exact
    * brute-force top-k, per query — the measurement that tunes nPlanes

@@ -416,6 +416,38 @@ object PipelineQueries {
       |FROM sl GROUP BY 1, 2 HAVING COUNT(*) > 12
       |ORDER BY sl, sv""".stripMargin
 
+  /** q376: q372's widened+drop-cap pipeline at the TIGHT production cap
+    * (maxBucket = 8): the knob positioned BELOW the expected duplication
+    * multiplicity, so under K-fold corpus densification every
+    * replicated bucket (≥ K members per original doc) is dropped
+    * outright and the run degrades to census + small-bucket joins —
+    * the configuration whose weak-scaling ratio stays ≤ ~×3 under
+    * sharedBands where q372's cap = 12 pays the (≤ cap)² pair output on
+    * kept replicated buckets (measured ×4.46: lossless-within-cap
+    * physics, sub-linear but quadratic in kept-bucket density). Same
+    * deterministic recall contract, oracle replays census + cap at 8. */
+  def q376HammingTightCap(s: SparkSession, dir: String): DataFrame =
+    TextDedup.hammingPairsDropCap(
+        TextDedup.simHashWide(docs(s, dir), "doc_id", "text", 60),
+        "doc_id", "simhash", bits = 60, bands = 4, maxDist = 3,
+        maxBucket = 8L)
+      .orderBy(col("d1"), col("d2"))
+
+  val q376Sql: String =
+    s"""WITH ${simHashSliceSql(60, 15)},
+      |sz AS (SELECT sl, sv, COUNT(*) AS bs FROM sl GROUP BY 1, 2),
+      |ksl AS (SELECT s.doc_id, s.simhash, s.sl, s.sv
+      |        FROM sl s JOIN sz ON sz.sl = s.sl AND sz.sv = s.sv
+      |        WHERE sz.bs <= 8),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |           a.simhash AS h1, b.simhash AS h2
+      |         FROM ksl a JOIN ksl b ON a.sl = b.sl AND a.sv = b.sv
+      |         WHERE a.doc_id < b.doc_id)
+      |SELECT d1, d2,
+      |  CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+      |ORDER BY d1, d2""".stripMargin
+
   // ── Similarity search ──────────────────────────────────────────────────
 
   /** q22: brute-force cosine top-10 to vec 0 (exact baseline; the scan is

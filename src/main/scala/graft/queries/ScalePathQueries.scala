@@ -398,6 +398,44 @@ object ScalePathQueries {
 
   val q358Sql: String = PipelineQueries.q19Sql
 
+  // ── q375: incremental embedding dedup vs the cap-split stored index ────
+
+  /** q375: [[Similarity.annIndex]] (maxBucket = 1 — the cap bites in
+    * EVERY multi-member bucket) + [[Similarity.dedupAgainstAnnIndex]] —
+    * the q362 pattern on the embedding side (the r17 verdict's item 2):
+    * the even-id half is indexed with build-time cap-split, the odd-id
+    * half arrives as the batch, candidates run census (METADATA here:
+    * ≤ nTables·2^planes buckets, broadcast) → explode ≤ m → block join
+    * with ≤ cap index rows per cell, then exact cosine ≥ 0.45 verifies.
+    * The oracle is the UNCAPPED new×old collision chain (q338's
+    * scaffolding restricted to even×odd), so hash-green proves the
+    * build-time split loses no candidate — incremental ANN dedup of an
+    * arriving batch against a 100 TB corpus index is the production
+    * serving shape, and the index's hot buckets (its most-duplicated
+    * content) are pre-split ONCE for every future batch. */
+  def q375EmbIndexDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val idx = Similarity.annIndex(corpus, "vec_id", "embedding",
+      nTables = 4, planesPerTable = 4, dims = 64, maxBucket = Some(1L))
+    Similarity.dedupAgainstAnnIndex(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", idx, corpus, threshold = 0.45,
+        nTables = 4, planesPerTable = 4, dims = 64)
+      .orderBy(col("d_new"), col("d_old"))
+  }
+
+  val q375Sql: String =
+    s"""WITH $sigSql,
+      |$nvSql,
+      |cand AS (SELECT DISTINCT y.vec_id AS d_new, x.vec_id AS d_old
+      |         FROM sig x JOIN sig y ON x.tbl = y.tbl AND x.sig = y.sig
+      |         WHERE x.vec_id % 2 = 0 AND y.vec_id % 2 = 1),
+      |pairs AS (SELECT c.d_new, c.d_old, $cosSql AS cosine
+      |  FROM cand c JOIN nv a ON a.vec_id = c.d_new
+      |              JOIN nv b ON b.vec_id = c.d_old)
+      |SELECT d_new, d_old, cosine FROM pairs WHERE cosine >= 0.45
+      |ORDER BY d_new, d_old""".stripMargin
+
   // ── q339: the cap's explicit exclusion report ──────────────────────────
 
   /** q339: [[Similarity.lshExcludedBuckets]] — the buckets q338's cap

@@ -116,6 +116,47 @@ object Streaming {
   }
 
   /**
+   * Streaming incremental EMBEDDING near-dup detection: the stream-side
+   * half of [[graft.operators.Similarity.dedupAgainstAnnIndex]] —
+   * arriving vectors are hyperplane-signed PER ROW
+   * ([[graft.operators.Similarity.lshSignaturesMulti]]: a narrow
+   * stateless projection, no stateful aggregation) and stream-static
+   * joined against the stored [[graft.operators.Similarity.annIndex]]
+   * signature table. Emits (idCol, tbl, sig, d_old) — one row per table
+   * collision; exact-cosine verification belongs to the downstream
+   * micro-batch (`foreachBatch` running `dedupAgainstAnnIndex` on the
+   * flagged ids), which pays O(collisions), not O(stream).
+   *
+   * A cap-split index (annIndex(maxBucket) — carries graft_u/graft_m)
+   * is exploited transparently with the q362/q375 block join. Unlike
+   * the text path, the census here is METADATA by construction
+   * (≤ nTables·2^planesPerTable occupied buckets), so it is
+   * materialized ONCE at stream construction (eager localCheckpoint —
+   * the r17 ADVICE lesson) and broadcast per micro-batch.
+   */
+  def nearDupEmbCandidates(vecStream: DataFrame, idCol: String,
+                           vecCol: String, indexSigs: DataFrame,
+                           nTables: Int = 4, planesPerTable: Int = 4,
+                           dims: Int = 64): DataFrame = {
+    val sb = graft.operators.Similarity.lshSignaturesMulti(vecStream,
+      idCol, vecCol, nTables, planesPerTable, dims)
+    if (!indexSigs.columns.contains("graft_m"))
+      sb.join(indexSigs.select(col(idCol).as("d_old"), col("tbl"),
+        col("sig")), Seq("tbl", "sig"))
+    else {
+      val census = indexSigs.select(col("tbl"), col("sig"), col("graft_m"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      sb.join(broadcast(census), Seq("tbl", "sig"))
+        .withColumn("graft_u",
+          explode(sequence(lit(0L), col("graft_m") - 1)))
+        .join(indexSigs.select(col(idCol).as("d_old"), col("tbl"),
+            col("sig"), col("graft_u")), Seq("tbl", "sig", "graft_u"))
+        .drop("graft_u", "graft_m")
+    }
+  }
+
+  /**
    * Streaming semantic decontamination — the online half of
    * [[graft.operators.Decontamination.semanticContaminated]]: every
    * ARRIVING training vector is checked against the static eval/benchmark

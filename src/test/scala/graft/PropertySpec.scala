@@ -410,6 +410,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cap-split ANN index dedup equals the uncapped index for ANY corpus and cap") {
+    // the q375 losslessness LAW — the q362 law on the embedding side:
+    // random clustered corpora split into an indexed half and an
+    // arriving half, random caps (1 forces maximal splitting) — the
+    // build-time block decomposition must reproduce the uncapped
+    // index's verified (new, old, cosine) set exactly
+    val vec: Gen[(Long, Seq[Float])] = for {
+      id <- Gen.choose(0L, 10000L)
+      family <- Gen.choose(0, 2)
+      jitter <- Gen.choose(0, 9)
+    } yield (id, (0 until 8).map(d =>
+      (if (family == 0) 1.0f else if (family == 1) -1.0f
+       else if (d % 2 == 0) 1.0f else -1.0f) *
+        (1.0f + 0.003f * ((id + jitter + d) % 7))))
+    val corpus: Gen[(List[(Long, Seq[Float])], Long)] = for {
+      n <- Gen.choose(8, 24)
+      vs <- Gen.listOfN(n, vec)
+      cap <- Gen.choose(1L, 4L)
+    } yield (vs, cap)
+    forAll(corpus) { case (vs, cap) =>
+      val emb = vs.toMap.toSeq.toDF("vec_id", "embedding")
+      val indexed = emb.filter(col("vec_id") % 2 === 0)
+      val batch = emb.filter(col("vec_id") % 2 === 1)
+      def run(mb: Option[Long]): Set[(Long, Long, Double)] = {
+        val idx = graft.operators.Similarity.annIndex(indexed, "vec_id",
+          "embedding", nTables = 2, planesPerTable = 2, dims = 8,
+          maxBucket = mb)
+        graft.operators.Similarity.dedupAgainstAnnIndex(batch, "vec_id",
+            "embedding", idx, indexed, threshold = 0.8,
+            nTables = 2, planesPerTable = 2, dims = 8)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      }
+      val uncapped = run(None)
+      val capped = run(Some(cap))
+      assert(capped == uncapped,
+        s"cap=$cap n=${vs.size}: capped ${capped.size} vs uncapped " +
+          s"${uncapped.size}")
+    }
+  }
+
   test("cluster-keyed split admits zero crossing near-dup pairs for ANY corpus") {
     // q351's structural guarantee as a law: whatever the near-dup pair
     // graph looks like, a hash split keyed on the connected-component

@@ -221,6 +221,44 @@ class StreamingSpec extends SparkSpec {
       .distinct().collect().toSet === expected)
   }
 
+  test("streaming embedding near-dup candidates match batch index collisions") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // index the even half; stream the odd half (the q375 split)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val idx = Similarity.annIndex(corpus, "vec_id", "embedding")
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val expected = Similarity.lshSignaturesMulti(batch, "vec_id",
+        "embedding", 4, 4, 64)
+      .join(idx.select(col("vec_id").as("d_old"), col("tbl"), col("sig")),
+        Seq("tbl", "sig"))
+      .select("vec_id", "d_old").distinct().collect().toSet
+    assert(expected.nonEmpty, "fixture should produce ≥1 collision")
+    val streamDir = tmpDir("embdup-src")
+    batch.write.parquet(s"$streamDir/vecs")
+    val q = Streaming.nearDupEmbCandidates(
+        spark.readStream.schema(emb.schema).parquet(s"$streamDir/vecs"),
+        "vec_id", "embedding", idx)
+      .writeStream.format("memory").queryName("embdup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("embdup").select("vec_id", "d_old")
+      .distinct().collect().toSet === expected)
+    // a cap-split index (q375's build) yields the IDENTICAL candidate
+    // set through the block join — transparent to the streaming consumer
+    val capped = Similarity.annIndex(corpus, "vec_id", "embedding",
+      maxBucket = Some(1L))
+    val q2 = Streaming.nearDupEmbCandidates(
+        spark.readStream.schema(emb.schema).parquet(s"$streamDir/vecs"),
+        "vec_id", "embedding", capped)
+      .writeStream.format("memory").queryName("embdup_capped")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("embdup_capped").select("vec_id", "d_old")
+      .distinct().collect().toSet === expected)
+  }
+
   test("streaming decontamination matches the batch semantic filter") {
     import graft.operators.Decontamination
     val sf = "/root/testdata/sf0.001"
