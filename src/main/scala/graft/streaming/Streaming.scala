@@ -305,6 +305,98 @@ object Streaming {
       }
   }
 
+  /** Output row of [[lshBucketClaimStreamSplit]] level 1: one row per
+    * (document, band) with the SUB-bucket's current owner. */
+  case class SubBucketClaim(doc_id: Long, band: Int, bh: String,
+                            u: Long, owner: Long, is_dup: Boolean)
+
+  /**
+   * Hot-bucket-bounded streaming LSH self-dedup — the capped variant of
+   * [[lshBucketClaimStream]] (r17 verdict item 6). The uncapped stream
+   * funnels EVERY member of a (band, bh) bucket into one state task per
+   * micro-batch: correct (claims are B-linear, never B²) but a
+   * boilerplate storm can put a whole micro-batch's hot bucket into a
+   * single task. This variant splits each bucket into `splits`
+   * deterministic sub-buckets (u = xxhash64(id) mod splits — arrival-
+   * order-independent; expected per-task group B/splits; the q358 HARD
+   * ≤ cap bound needs the bucket census, which online would itself be
+   * a stateful pass) and consolidates ownership with a SECOND stateful
+   * level over the ≤ `splits` sub-owner ANNOUNCEMENTS per bucket —
+   * legal in one query because both operators run in append mode.
+   *
+   * Output contract (spec-asserted parity with the uncapped stream):
+   *  - a doc that loses its SUB-bucket claim emits (doc, band, bh,
+   *    owner = sub-owner, is_dup = true) — owner points one hop up the
+   *    claim chain, exactly a union-find parent pointer;
+   *  - a doc that WINS its sub-bucket emits through level 2 as
+   *    (doc, band, bh, owner = bucket owner, is_dup = doc ≠ owner).
+   * Every arriving (doc, band) appears exactly once, and the FLAG set
+   * is bit-identical to [[lshBucketClaimStream]]'s: flagged ⟺ the doc
+   * is not the bucket's first-wins owner (within a batch the bucket
+   * min is the min over sub-bucket minima; across batches a later doc
+   * either loses its sub-bucket or announces into an owned bucket —
+   * the stored claim is never displaced at either level). Owner
+   * attribution resolves in ≤ 2 hops (dup → sub-owner → owner), both
+   * hops present in the stream.
+   *
+   * State: one Long per DISTINCT (band, bh, u) plus one per (band, bh)
+   * — at most (splits + 1)× the uncapped stream's entries, all Longs.
+   */
+  def lshBucketClaimStreamSplit(docs: DataFrame, idCol: String,
+                                textCol: String, splits: Int,
+                                k: Int = 16, r: Int = 4,
+                                w: Int = 3): Dataset[BucketClaim] = {
+    require(splits >= 2, s"splits=$splits must be >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = graft.operators.TextDedup
+      .bandsPerRow(docs, idCol, textCol, k, r, w)
+      .select(col(idCol).cast("long").as("doc_id"), col("band"), col("bh"),
+        pmod(xxhash64(col(idCol)), lit(splits.toLong)).as("u"))
+      .as[(Long, Int, String, Long)]
+    val level1 = bands
+      .groupByKey { case (_, band, bh, u) => (band, bh, u) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, String, Long), rows: Iterator[(Long, Int, String, Long)],
+         state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toArray.sorted
+          val owner = state.getOption.getOrElse(ids.head)
+          state.update(owner)
+          ids.iterator.map(id =>
+            SubBucketClaim(id, key._1, key._2, key._3, owner, id != owner))
+      }
+    // level 2: sub-owner announcements (the doc that holds its
+    // sub-bucket) consolidate per (band, bh); level-1 dups pass through
+    // on singleton keys so ONE chained operator carries both row kinds
+    // (each sub-bucket announces exactly once, ever — its first claim)
+    level1
+      .groupByKey(c =>
+        // announcements share ONE group per bucket; dups ride singleton
+        // pass-through groups — the boolean keeps any doc id (negative
+        // ids included) collision-free with the announcement key
+        if (c.is_dup) (c.band, c.bh, false, c.doc_id)
+        else (c.band, c.bh, true, 0L))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, String, Boolean, Long),
+         rows: Iterator[SubBucketClaim],
+         state: GroupState[Long]) =>
+          if (!key._3)
+            // pass-through: already-flagged sub-bucket dups (stateless)
+            rows.map(c =>
+              BucketClaim(c.doc_id, c.band, c.bh, c.owner, is_dup = true))
+          else {
+            val anns = rows.toArray.sortBy(_.doc_id) // ≤ splits per batch
+            val owner = state.getOption.getOrElse(anns.head.doc_id)
+            state.update(owner)
+            anns.iterator.map(c =>
+              BucketClaim(c.doc_id, c.band, c.bh, owner,
+                c.doc_id != owner))
+          }
+      }
+  }
+
   /** Output row of [[paragraphClaimStream]]: one row per arriving
     * (document, paragraph position); `is_dup` marks paragraphs whose
     * content was already claimed — by an earlier batch, an earlier doc

@@ -395,6 +395,92 @@ class StreamingSpec extends SparkSpec {
     assert(byDoc(12L).forall(r => r._4 == 10L && r._5))
   }
 
+  test("split claim stream: flag set matches the uncapped stream, owners resolve") {
+    import spark.implicits._
+    import graft.operators.TextDedup
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // uncapped ground truth: flagged ⟺ doc is not the bucket min-id
+    val bands = TextDedup.bandsPerRow(docs, "doc_id", "text")
+      .select(col("doc_id"), col("band"), col("bh"))
+    val owners = bands.groupBy("band", "bh")
+      .agg(min(col("doc_id")).as("g_owner"))
+    val expected = bands.join(owners, Seq("band", "bh"))
+      .select(col("doc_id"), col("band"), col("bh"),
+        (col("doc_id") =!= col("g_owner")).as("is_dup"), col("g_owner"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getString(2)),
+        (r.getBoolean(3), r.getLong(4)))).toMap
+    assert(expected.values.exists(_._1), "fixture should have ≥1 dup")
+    val streamDir = tmpDir("claimsplit-src")
+    docs.write.parquet(s"$streamDir/docs")
+    val q = Streaming.lshBucketClaimStreamSplit(
+        spark.readStream.schema(docs.schema).parquet(s"$streamDir/docs"),
+        "doc_id", "text", splits = 3)
+      .writeStream.format("memory").queryName("claimsplit")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("claimsplit")
+      .as[(Long, Int, String, Long, Boolean)].collect().toSeq
+    // every arriving (doc, band) appears exactly once
+    assert(got.map(r => (r._1, r._2, r._3)).toSet == expected.keySet)
+    assert(got.size == expected.size)
+    // flag parity with the uncapped contract
+    got.foreach { case (doc, band, bh, _, dup) =>
+      assert(dup == expected((doc, band, bh))._1,
+        s"flag mismatch for ($doc, $band)") }
+    // owner attribution resolves to the bucket owner in ≤ 2 hops
+    val ownerOf = got.map(r => ((r._2, r._3, r._1), r._4)).toMap
+    got.foreach { case (doc, band, bh, own, _) =>
+      val resolved =
+        if (own == doc) doc
+        else ownerOf.getOrElse((band, bh, own), own) match {
+          case o if o == own => own
+          case o => o
+        }
+      assert(resolved == expected((doc, band, bh))._2,
+        s"owner chain for ($doc, $band): $own -> $resolved") }
+  }
+
+  test("split claim stream is first-wins across micro-batches") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val streamDir = tmpDir("claimsplit2-src")
+    // batch 1: doc 10 owns the bucket; batch 2: smaller id 5 arrives
+    // late — whatever sub-bucket it hashes into, it must be flagged
+    // (either its sub-bucket is owned, or it announces into the owned
+    // bucket at level 2) and 10's claim is never retracted
+    Seq((10L, "x y z")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$streamDir/b1")
+    Seq((5L, "x y z"), (12L, "x y z")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$streamDir/b2")
+    def stamp(dir: String, epochSec: Long): Unit = {
+      val d = Paths.get(s"$streamDir/$dir")
+      Files.list(d).forEach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(epochSec * 1000)))
+    }
+    stamp("b1", 1000000000L)
+    stamp("b2", 1000000100L)
+    val schema = spark.read.parquet(s"$streamDir/b1").schema
+    val q = Streaming.lshBucketClaimStreamSplit(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/b*"),
+        "doc_id", "text", splits = 3)
+      .writeStream.format("memory").queryName("claimsplit2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val byDoc = spark.table("claimsplit2")
+      .as[(Long, Int, String, Long, Boolean)].collect().toSeq.groupBy(_._1)
+    assert(byDoc.keySet == Set(5L, 10L, 12L))
+    // doc 10 claimed first: never flagged
+    assert(byDoc(10L).forall(r => r._4 == 10L && !r._5))
+    // late smaller id 5 and doc 12: flagged, owner chain ends at 10
+    Seq(5L, 12L).foreach { d =>
+      assert(byDoc(d).forall(_._5), s"doc $d must be flagged")
+      assert(byDoc(d).forall(r => r._4 == 10L || r._4 == 5L),
+        s"doc $d owner must chain toward the original claim") }
+  }
+
   test("URL claim stream matches batch dedupByUrl ownership in one batch") {
     import spark.implicits._
     val docs = Seq(
