@@ -321,6 +321,11 @@ object QualityQueries {
     * The twin lives at −doc_id − 1 — a disjoint id space at ANY corpus
     * size (a fixed +10000 shift collided with real ids once the corpus
     * reached 10000 documents). */
+  /** NOTE (r18): this 32-bit/4×8-bit-slice configuration saturates its
+    * 256-value slice space at corpus scale — q374 is the same pipeline
+    * on the scale configuration (perceptualHashWide 60-bit, 15-bit
+    * slices, drop-cap) and is the config a production deployment should
+    * pin; this gate remains as the 32-bit baseline. */
   def q207PhashPairs(s: SparkSession, dir: String): DataFrame = {
     val payloads = Sources.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
