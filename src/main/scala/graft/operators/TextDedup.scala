@@ -714,10 +714,16 @@ object TextDedup {
     * cluster's parallelism and the split pays ⌈B/cap⌉× row replication
     * for nothing (q363 measured ×33 vs uncapped ×20 at 5× on exactly
     * that shape). There, widen the slices — [[simHashWide]] at 60 bits
-    * gives 2¹⁵ values per band vs 2⁸, gated as q371 — or cap by
+    * gives 2¹⁵ values per band vs 2⁸, gated as q371 — AND cap by
     * DROPPING with an exclusion report
     * ([[hammingPairsDropCap]]/[[hammingExcludedBuckets]], q372/q373),
-    * or dedup by cluster representative. */
+    * or dedup by cluster representative. Measured (BENCH_SCALING_r18,
+    * sharedBands, vs ×5/×10 linear): widening alone ×7.46 (output still
+    * quadratic in replication — any lossless generator's floor);
+    * widened + drop-cap ×2.35–×3.3 at both densification points ONCE
+    * THE CAP SITS BELOW THE DUPLICATION MULTIPLICITY (cap 12 at 5×
+    * replication read ×4.46 — kept ≤ cap buckets still pay their
+    * (5B)² pair output; cap 8 read ×2.35). */
   /** One row per (id, hash, slice, slice-value): the pigeonhole banding
     * shared by [[hammingPairs]], [[hammingPairsDropCap]] and
     * [[hammingExcludedBuckets]]. */
