@@ -305,6 +305,10 @@ object PipelineQueries {
     * members at any (bits, sliceBits): words → ±1 bit sums → `bits`-wide
     * simhash → (slice, value) rows over 4 bands. */
   private def simHashSliceSql(bits: Int, sliceBits: Int): String = {
+    // the chain hardcodes 4 bands (range(0, 4)); an inconsistent
+    // (bits, sliceBits) pair would build a silently wrong oracle
+    require(bits == 4 * sliceBits,
+      s"simHashSliceSql: bits=$bits must equal 4*sliceBits=${4 * sliceBits}")
     val mask = (1L << sliceBits) - 1
     s"""words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
       |               FROM documents),

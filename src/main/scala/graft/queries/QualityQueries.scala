@@ -374,9 +374,14 @@ object QualityQueries {
     * phash space is collision-driven (bucket max 4 at sf0.01, 8 at
     * sf0.1: exact-dup twin piles), so the cap is inactive at sf0.01 and
     * engages only on sf0.1's hottest piles — both facts hash-verified
-    * by the oracle's replayed census. The exact-dup twins (doc, −doc−1)
-    * collide in ALL four slices, so a dropped hot slice alone doesn't
-    * lose them. */
+    * by the oracle's replayed census. Recall trade, stated honestly
+    * (r18 ADVICE): exact-dup twins share an IDENTICAL phash, so a
+    * twin pile's four agreeing slice buckets all contain the whole
+    * pile — a pile larger than maxBucket is over-cap on ALL four
+    * slices at once and its pairs ARE dropped (the deterministic
+    * drop-cap trade; sf0.1's bucket max 8 > cap 4 means this bites
+    * here). The loss is published, never silent: q377 gates
+    * [[TextDedup.hammingExcludedBuckets]] at exactly this config. */
   def q374PhashWideDropCap(s: SparkSession, dir: String): DataFrame = {
     val payloads = Sources.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -417,6 +422,50 @@ object QualityQueries {
       |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
       |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
       |ORDER BY d1, d2""".stripMargin
+
+  // ── q377: q374's exclusion table — the drop-cap loss, published ───────
+
+  /** q377: [[TextDedup.hammingExcludedBuckets]] at EXACTLY q374's
+    * configuration (60-bit wide phash over the doubled corpus, 4 bands,
+    * maxBucket = 4) — the audit table a capped dedup run publishes next
+    * to its pair count (the q339/q373 convention: exclusion is never
+    * silent; r18 ADVICE asked for it at this call site specifically
+    * because over-cap identical-hash twin piles lose their pairs on all
+    * four slices at once). Two claims become hash-verified here: the
+    * result is EMPTY at sf0.01 (bucket max 4 = cap — q374's "cap
+    * inactive at sf0.01" claim) and non-empty at sf0.1 (the hottest
+    * twin piles, the rows whose pairs q374 drops). */
+  def q377PhashExcludedBuckets(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Sources.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val doubled = payloads.union(
+      payloads.select(-col("doc_id") - 1, col("payload")))
+    TextDedup.hammingExcludedBuckets(
+        Multimodal.perceptualHashWide(doubled, "doc_id", "payload", 60),
+        "doc_id", "phash", bits = 60, bands = 4, maxBucket = 4L)
+      .orderBy(col("sl"), col("sv"))
+  }
+
+  val q377Sql: String =
+    """WITH u AS (SELECT doc_id, text FROM documents
+      |           UNION ALL SELECT -doc_id - 1, text FROM documents),
+      |px AS (SELECT doc_id, i,
+      |    (strpos('0123456789abcdef', substr(md5(text || '_px' ||
+      |       (i // 16)::VARCHAR), 2 * (i % 16) + 1, 1)) - 1) * 16 +
+      |    (strpos('0123456789abcdef', substr(md5(text || '_px' ||
+      |       (i // 16)::VARCHAR), 2 * (i % 16) + 2, 1)) - 1) AS v
+      |  FROM u CROSS JOIN range(0, 60) t(i)),
+      |ps AS (SELECT doc_id, SUM(v) AS s FROM px GROUP BY doc_id),
+      |ph AS (SELECT px.doc_id,
+      |    CAST(SUM(CASE WHEN px.v * 60 > ps.s THEN (1::BIGINT << px.i)
+      |      ELSE 0 END) AS BIGINT) AS phash
+      |  FROM px JOIN ps USING (doc_id) GROUP BY px.doc_id),
+      |sl AS (SELECT doc_id, phash, t.sl,
+      |         (phash >> (t.sl * 15)) & 32767 AS sv
+      |       FROM ph CROSS JOIN range(0, 4) t(sl))
+      |SELECT sl, sv, COUNT(*) AS bucket_size
+      |FROM sl GROUP BY 1, 2 HAVING COUNT(*) > 4
+      |ORDER BY sl, sv""".stripMargin
 
   // ── q208: boilerplate n-gram audit ─────────────────────────────────────
 

@@ -101,7 +101,13 @@ object Streaming {
       // the census is a corpus-scale distinct over the STATIC index —
       // localCheckpoint it eagerly at stream construction so every
       // micro-batch joins the materialized (band, bh, m) rows instead
-      // of re-running the distinct per trigger (r17 ADVICE)
+      // of re-running the distinct per trigger (r17 ADVICE). Caveat
+      // (r18 ADVICE): localCheckpoint truncates lineage and pins blocks
+      // to executor storage, so in a LONG-RUNNING query an executor
+      // loss makes the blocks unrecoverable and fails the query instead
+      // of recomputing; a deployment that must survive executor churn
+      // should persist(MEMORY_AND_DISK) + count() (keeps lineage) or
+      // read the census from a table refreshed out-of-band.
       val census = indexBands.select(col("band"), col("bh"), col("graft_m"))
         .distinct()
         .localCheckpoint(eager = true)
@@ -132,7 +138,12 @@ object Streaming {
    * the text path, the census here is METADATA by construction
    * (≤ nTables·2^planesPerTable occupied buckets), so it is
    * materialized ONCE at stream construction (eager localCheckpoint —
-   * the r17 ADVICE lesson) and broadcast per micro-batch.
+   * the r17 ADVICE lesson) and broadcast per micro-batch. Caveat (r18
+   * ADVICE): localCheckpoint pins the materialized blocks to executor
+   * storage with lineage truncated — in a long-running query an
+   * executor loss makes them unrecoverable and fails the query rather
+   * than recomputing; a churn-tolerant deployment should
+   * persist(MEMORY_AND_DISK) + count() (keeps lineage) instead.
    */
   def nearDupEmbCandidates(vecStream: DataFrame, idCol: String,
                            vecCol: String, indexSigs: DataFrame,
