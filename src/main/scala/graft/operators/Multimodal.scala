@@ -120,16 +120,35 @@ object Multimodal {
   def perceptualHashWide(df: DataFrame, idCol: String,
                          payloadCol: String, bits: Int): DataFrame = {
     require(bits >= 4 && bits <= 60, s"bits=$bits out of range (4..60)")
+    // Staged projections, NOT one flat expression tree (r18 verdict
+    // item 4): inlining the `bits`-term pixel total into every bit term
+    // compiles O(bits²) md5 subtrees (60 bits ⇒ ~3600 — a ~10 MiB task
+    // binary and a >10 s janino constant that dominated q374/q377
+    // regardless of data size). Each stage materializes its value as an
+    // attribute the next stage references cheaply; the producers are
+    // non-cheap, so CollapseProject provably keeps the stage boundaries
+    // and generated code stays LINEAR in bits. Values are arithmetic-
+    // identical to the flat form (same md5/conv/substring terms).
+    val nDigests = (bits + 15) / 16
+    // stage 1: one md5 per 16-pixel digest block, computed once each
+    val digests = df.select(col(idCol),
+      array((0 until nDigests).map(b =>
+        expr(s"md5(concat($payloadCol, cast('_px$b' as binary)))")): _*)
+        .as("graft_pxd"))
+    // stage 2: pixel array + pixel total over digest-attribute refs
     val pixels = (0 until bits).map { i =>
       val (b, j) = (i / 16, i % 16)
-      expr(s"cast(conv(substring(md5(concat($payloadCol, " +
-        s"cast('_px$b' as binary))), ${2 * j + 1}, 2), 16, 10) as bigint)")
+      expr(s"cast(conv(substring(graft_pxd[$b], ${2 * j + 1}, 2), " +
+        "16, 10) as bigint)")
     }
-    val total = pixels.reduce(_ + _)
-    val bitTerms = pixels.zipWithIndex.map { case (p, i) =>
-      when(p * bits > total, lit(1L << i)).otherwise(lit(0L))
+    val px = digests.select(col(idCol), array(pixels: _*).as("graft_px"),
+      pixels.reduce(_ + _).as("graft_pxs"))
+    // stage 3: bit fold — element_at and the total are attribute refs
+    val bitTerms = (0 until bits).map { i =>
+      when(element_at(col("graft_px"), i + 1) * bits > col("graft_pxs"),
+        lit(1L << i)).otherwise(lit(0L))
     }
-    df.select(col(idCol), bitTerms.reduce(_ + _).as("phash"))
+    px.select(col(idCol), bitTerms.reduce(_ + _).as("phash"))
   }
 
   /** Frame sampling plan for video-like media: every `stride`-th frame
