@@ -427,6 +427,102 @@ object Profiling {
   }
 
   /**
+   * Dedup-policy audit — the census→configuration prescription of the
+   * r16–r18 scale rounds encoded as a first-class operator (r18 verdict
+   * item 3), so choosing between the lossless salt-split and the
+   * bounded drop-cap is a GATED decision row, not prose a user must
+   * find in operator docs. Input is any bucket census (one row per
+   * occupied bucket with its member count — `TextDedup` band censuses,
+   * `hammingSliceRows` slice censuses, `Similarity.lshBucketSizes`);
+   * output is ONE row:
+   *
+   *   (n_buckets, n_rows, space_size, max_bucket, p50_bucket,
+   *    p99_bucket, multiplicity_est, rec_cap, policy)
+   *
+   * Decision rule (the measured r17/r18 evidence, mechanized):
+   *  - `max_bucket <= capTarget` → '''uncapped''' (rec_cap 0): no
+   *    bucket exceeds the volume target; the plain collision join is
+   *    already bounded.
+   *  - space SATURATED (`spaceSize` given and n_rows >= spaceSize,
+   *    i.e. expected occupancy >= 1 per possible bucket value — chance
+   *    collisions dominate, q363's measured negative) →
+   *    '''widen+drop-cap''': widen the signature to de-saturate
+   *    (q371), then cap BELOW the duplication multiplicity so
+   *    replicated piles drop outright instead of paying their
+   *    (≤ cap)² pair output (the q376 rule; measured ×2.35 vs ×4.46
+   *    at 5× densification). rec_cap = multiplicity_est − 1.
+   *  - otherwise (hot buckets in a roomy space — density comes from
+   *    content replication, not hash saturation) → '''salt-split'''
+   *    (rec_cap = capTarget): the lossless ⌈B/cap⌉ sub-bucket split
+   *    (q350/q358/q361/q362) bounds per-task fan-out with zero recall
+   *    loss. Pass `spaceSize = None` for hash-valued buckets (md5 band
+   *    hashes — effectively unbounded space, reported as 0).
+   *
+   * `multiplicity_est` is the lower-median bucket size among buckets
+   * holding ≥ 2 members — the typical identical-signature pile; on the
+   * 32-bit slice census at sf0.1 this reads 9, mechanically
+   * reproducing q376's hand-chosen cap 8. p50/p99/max are published so
+   * the skew ratio is readable; every emitted measure is an exact
+   * integer (no ratio columns — the hashed surface stays trivially
+   * engine-portable).
+   *
+   * Scale shape: the corpus-scale census collapses to a SIZE HISTOGRAM
+   * in one map-side-combinable hash-agg (≤ max_bucket rows — metadata);
+   * the exact rank picks (smallest size with 2·cum ≥ n, etc.) run as
+   * cumulative windows over that metadata table, and the final row
+   * assembles from 1-row broadcasts (the q285 shape).
+   */
+  def dedupPolicyAudit(census: DataFrame, sizeCol: String,
+                       capTarget: Long,
+                       spaceSize: Option[Long] = None): DataFrame = {
+    require(capTarget >= 1, s"capTarget=$capTarget must be >= 1")
+    spaceSize.foreach(s => require(s >= 1, s"spaceSize=$s must be >= 1"))
+    val hist = census
+      .groupBy(col(sizeCol).cast(LongType).as("graft_sz"))
+      .agg(count(lit(1)).as("graft_nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("graft_sz"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = hist.withColumn("graft_cum", sum(col("graft_nb")).over(w))
+    val tot = hist.agg(
+      coalesce(sum(col("graft_nb")), lit(0L)).as("n_buckets"),
+      coalesce(sum(col("graft_sz") * col("graft_nb")), lit(0L))
+        .as("n_rows"),
+      coalesce(max(col("graft_sz")), lit(0L)).as("max_bucket"))
+    val nOnly = tot.select(col("n_buckets").as("graft_n"))
+    val p50 = cum.crossJoin(broadcast(nOnly))
+      .filter(col("graft_cum") * 2 >= col("graft_n"))
+      .agg(coalesce(min(col("graft_sz")), lit(0L)).as("p50_bucket"))
+    val p99 = cum.crossJoin(broadcast(nOnly))
+      .filter(col("graft_cum") * 100 >= col("graft_n") * 99)
+      .agg(coalesce(min(col("graft_sz")), lit(0L)).as("p99_bucket"))
+    val dhist = hist.filter(col("graft_sz") >= 2)
+    val dcum = dhist.withColumn("graft_cum", sum(col("graft_nb")).over(w))
+    val dtot = dhist.agg(
+      coalesce(sum(col("graft_nb")), lit(0L)).as("graft_dn"))
+    val mult = dcum.crossJoin(broadcast(dtot))
+      .filter(col("graft_cum") * 2 >= col("graft_dn"))
+      .agg(coalesce(min(col("graft_sz")), lit(0L))
+        .as("multiplicity_est"))
+    val saturated = spaceSize
+      .map(s => col("n_rows") >= lit(s)).getOrElse(lit(false))
+    tot.crossJoin(broadcast(p50)).crossJoin(broadcast(p99))
+      .crossJoin(broadcast(mult))
+      .select(
+        col("n_buckets"), col("n_rows"),
+        lit(spaceSize.getOrElse(0L)).as("space_size"),
+        col("max_bucket"), col("p50_bucket"), col("p99_bucket"),
+        col("multiplicity_est"),
+        when(col("max_bucket") <= capTarget, lit(0L))
+          .when(saturated, col("multiplicity_est") - 1)
+          .otherwise(lit(capTarget)).as("rec_cap"),
+        when(col("max_bucket") <= capTarget, lit("uncapped"))
+          .when(saturated, lit("widen+drop-cap"))
+          .otherwise(lit("salt-split")).as("policy"))
+  }
+
+  /**
    * Per-source data card — the datasheet row a corpus release publishes
    * for every source (Datasheets for Datasets, Gebru et al. 2021, §composition;
    * the per-dump tables of the Pile / RefinedWeb / Dolma reports): doc

@@ -845,6 +845,28 @@ object TextDedup {
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
+  /** Full slice-bucket census (sl, sv, bucket_size) — the measurement
+    * behind the Hamming family's config choice, published un-filtered
+    * (the ≥ 2 tail feeds [[graft.operators.Profiling.dedupPolicyAudit]];
+    * [[hammingExcludedBuckets]] is this census cut at the cap). One
+    * map-side-combinable hash-agg over the slice rows. */
+  def hammingBucketSizes(df: DataFrame, idCol: String, hashCol: String,
+                         bits: Int, bands: Int): DataFrame =
+    hammingSliceRows(df, idCol, hashCol, bits, bands)
+      .groupBy(col("sl"), col("sv"))
+      .agg(count(lit(1)).as("bucket_size"))
+
+  /** Band-bucket census (band, bh, bucket_size) for the MinHash LSH
+    * path — the text-side input to
+    * [[graft.operators.Profiling.dedupPolicyAudit]] (band hashes live
+    * in md5 space, so pass spaceSize = None there: density here can
+    * only come from content replication, never hash saturation). */
+  def lshBandBucketSizes(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 16, r: Int = 4, w: Int = 3): DataFrame =
+    bandsPerRow(docs, idCol, textCol, k, r, w)
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bucket_size"))
+
   /** The slice buckets [[hammingPairsDropCap]] drops, as visible rows
     * (sl, sv, bucket_size) — the audit table a capped Hamming dedup run
     * publishes next to its pair count (the q339 convention: exclusion

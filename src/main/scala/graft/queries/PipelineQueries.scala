@@ -304,7 +304,7 @@ object PipelineQueries {
   /** The q109/q363/q371/q372/q373 simhash + pigeonhole-slice WITH-chain
     * members at any (bits, sliceBits): words → ±1 bit sums → `bits`-wide
     * simhash → (slice, value) rows over 4 bands. */
-  private def simHashSliceSql(bits: Int, sliceBits: Int): String = {
+  private[queries] def simHashSliceSql(bits: Int, sliceBits: Int): String = {
     // the chain hardcodes 4 bands (range(0, 4)); an inconsistent
     // (bits, sliceBits) pair would build a silently wrong oracle
     require(bits == 4 * sliceBits,

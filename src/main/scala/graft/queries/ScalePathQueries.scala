@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Similarity, TextDedup}
+import graft.operators.{Profiling, Similarity, TextDedup}
 import graft.sources.Sources
 
 /**
@@ -435,6 +435,101 @@ object ScalePathQueries {
       |              JOIN nv b ON b.vec_id = c.d_old)
       |SELECT d_new, d_old, cosine FROM pairs WHERE cosine >= 0.45
       |ORDER BY d_new, d_old""".stripMargin
+
+  // ── q378/q379: the census→config prescription, gated ───────────────────
+
+  /** The [[Profiling.dedupPolicyAudit]] decision chain over any CTE
+    * prefix ending in `census(bs)`: size histogram → exact rank picks
+    * (lower median, p99, dup-bucket lower median) → decision CASE with
+    * the Scala side's literals replayed. */
+  private def policyAuditSql(censusCtes: String, capTarget: Long,
+                             spaceSize: Option[Long]): String = {
+    val sat = spaceSize.map(s => s"n_rows >= $s").getOrElse("FALSE")
+    val space = spaceSize.getOrElse(0L)
+    s"""WITH $censusCtes,
+      |hist AS (SELECT bs AS sz, COUNT(*) AS nb FROM census GROUP BY 1),
+      |cum AS (SELECT sz, SUM(nb) OVER (ORDER BY sz) AS c FROM hist),
+      |tot AS (SELECT CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS n_buckets,
+      |               CAST(COALESCE(SUM(sz * nb), 0) AS BIGINT) AS n_rows,
+      |               CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_bucket
+      |        FROM hist),
+      |p50 AS (SELECT CAST(COALESCE(MIN(sz), 0) AS BIGINT) AS p50_bucket
+      |        FROM cum, tot WHERE c * 2 >= n_buckets),
+      |p99 AS (SELECT CAST(COALESCE(MIN(sz), 0) AS BIGINT) AS p99_bucket
+      |        FROM cum, tot WHERE c * 100 >= n_buckets * 99),
+      |dcum AS (SELECT sz, SUM(nb) OVER (ORDER BY sz) AS c FROM hist
+      |         WHERE sz >= 2),
+      |dtot AS (SELECT COALESCE(SUM(nb), 0) AS dn FROM hist WHERE sz >= 2),
+      |mult AS (SELECT CAST(COALESCE(MIN(sz), 0) AS BIGINT)
+      |           AS multiplicity_est
+      |         FROM dcum, dtot WHERE c * 2 >= dn)
+      |SELECT n_buckets, n_rows, CAST($space AS BIGINT) AS space_size,
+      |  max_bucket, p50_bucket, p99_bucket, multiplicity_est,
+      |  CAST(CASE WHEN max_bucket <= $capTarget THEN 0
+      |            WHEN $sat THEN multiplicity_est - 1
+      |            ELSE $capTarget END AS BIGINT) AS rec_cap,
+      |  CASE WHEN max_bucket <= $capTarget THEN 'uncapped'
+      |       WHEN $sat THEN 'widen+drop-cap'
+      |       ELSE 'salt-split' END AS policy
+      |FROM tot, p50, p99, mult""".stripMargin
+  }
+
+  /** q378: [[Profiling.dedupPolicyAudit]] on the SKEWED-fixture shape —
+    * the MinHash band census ([[TextDedup.lshBandBucketSizes]], q19's
+    * config) at capTarget = 2 (q358's gated salt-split cap). Band
+    * hashes live in md5 space (spaceSize = None: saturation is
+    * impossible, density can only be content replication), so the hot
+    * tail (max 3 at sf0.01, 4 at sf0.1, over a p50 of 1) prescribes the
+    * LOSSLESS salt-split — the q350/q358/q361/q362 configuration choice,
+    * now a gated decision row instead of prose. */
+  def q378PolicyAuditSkew(s: SparkSession, dir: String): DataFrame =
+    Profiling.dedupPolicyAudit(
+      TextDedup.lshBandBucketSizes(Sources.documents(s, dir),
+        "doc_id", "text", k = 16, r = 4, w = 3),
+      "bucket_size", capTarget = 2L, spaceSize = None)
+
+  val q378Sql: String = policyAuditSql(
+    """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |hw AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h1,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h2
+      |       FROM sh),
+      |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+      |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band,
+      |            md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bh
+      |          FROM sig GROUP BY doc_id, i // 4),
+      |census AS (SELECT COUNT(*) AS bs FROM bands GROUP BY band, bh)""".stripMargin,
+    capTarget = 2L, spaceSize = None)
+
+  /** q379: [[Profiling.dedupPolicyAudit]] on the DENSE-fixture shape —
+    * the 32-bit SimHash slice census ([[TextDedup.hammingBucketSizes]],
+    * q109's config) at capTarget = 12 (q372's original cap) with the
+    * slice space's true size (4 bands × 2⁸ = 1024). n_rows ≥ spaceSize
+    * at both SFs (expected occupancy ≥ 1 — chance collisions dominate,
+    * q363's measured negative), so the audit prescribes widen+drop-cap
+    * with rec_cap = multiplicity − 1 — at sf0.1 that is cap 8,
+    * mechanically reproducing q376's hand-chosen tight cap from the
+    * census alone. */
+  def q379PolicyAuditDense(s: SparkSession, dir: String): DataFrame =
+    Profiling.dedupPolicyAudit(
+      TextDedup.hammingBucketSizes(
+        TextDedup.simHash(Sources.documents(s, dir), "doc_id", "text"),
+        "doc_id", "simhash", bits = 32, bands = 4),
+      "bucket_size", capTarget = 12L, spaceSize = Some(1024L))
+
+  val q379Sql: String = policyAuditSql(
+    PipelineQueries.simHashSliceSql(32, 8) +
+      ",\ncensus AS (SELECT COUNT(*) AS bs FROM sl GROUP BY sl, sv)",
+    capTarget = 12L, spaceSize = Some(1024L))
 
   // ── q339: the cap's explicit exclusion report ──────────────────────────
 
