@@ -408,6 +408,136 @@ object Streaming {
       }
   }
 
+  /** Output row of [[embBucketClaimStream]]: one row per arriving
+    * (vector, hash table) with the signature bucket's current owner. */
+  case class EmbBucketClaim(vec_id: Long, tbl: Int, sig: Long,
+                            owner: Long, is_dup: Boolean)
+
+  /**
+   * Streaming EMBEDDING self-dedup via first-wins signature-bucket
+   * claims — [[lshBucketClaimStream]]'s pattern on the embedding side
+   * (r18 verdict item 5): the fresh-corpus BOOTSTRAP shape, where no
+   * [[graft.operators.Similarity.annIndex]] exists yet and the stream
+   * is its own index ([[nearDupEmbCandidates]] covers the stream-vs-
+   * stored-index half). Arriving vectors are hyperplane-signed PER ROW
+   * ([[graft.operators.Similarity.lshSignaturesMulti]], stateless);
+   * every (tbl, sig) bucket keeps ONE Long of state — the smallest
+   * vector id seen. Any-table collision → candidate, exact-cosine
+   * verified in `foreachBatch` downstream, exactly the batch
+   * [[graft.operators.Similarity.cosineNearDupPairsBucketed]] contract.
+   *
+   * Arrival-order semantics are [[lshBucketClaimStream]]'s, verbatim:
+   * first-wins ACROSS micro-batches, min-id WITHIN one, claims never
+   * displaced or retracted.
+   *
+   * Scale shape: state is ≤ nTables · 2^planesPerTable Longs — METADATA
+   * by construction (the signature space is intentionally coarse for
+   * recall). The flip side: bucket POPULATIONS are corpus/2^planes, so
+   * each micro-batch funnels a hot bucket's whole share into one state
+   * task — at scale use [[embBucketClaimStreamSplit]], which spreads
+   * every bucket over `splits` deterministic sub-tasks.
+   */
+  def embBucketClaimStream(vecs: DataFrame, idCol: String, vecCol: String,
+                           nTables: Int = 4, planesPerTable: Int = 4,
+                           dims: Int = 64): Dataset[EmbBucketClaim] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val sigs = graft.operators.Similarity
+      .lshSignaturesMulti(vecs, idCol, vecCol, nTables, planesPerTable,
+        dims)
+      .select(col(idCol).cast("long").as("vec_id"), col("tbl"), col("sig"))
+      .as[(Long, Int, Long)]
+    sigs.groupByKey { case (_, tbl, sig) => (tbl, sig) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[(Long, Int, Long)],
+         state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toArray.sorted
+          // stored claim wins (the lshBucketClaimStream rationale)
+          val owner = state.getOption.getOrElse(ids.head)
+          state.update(owner)
+          ids.iterator.map(id =>
+            EmbBucketClaim(id, key._1, key._2, owner, id != owner))
+      }
+  }
+
+  /** Output row of [[embBucketClaimStreamSplit]] level 1: one row per
+    * (vector, table) with the SUB-bucket's current owner. */
+  case class EmbSubBucketClaim(vec_id: Long, tbl: Int, sig: Long,
+                               u: Long, owner: Long, is_dup: Boolean)
+
+  /**
+   * Hot-bucket-bounded streaming embedding self-dedup — the
+   * [[lshBucketClaimStreamSplit]] two-level pattern over
+   * [[graft.operators.Similarity.lshSignaturesMulti]] buckets. More
+   * load-bearing here than on the text side: the signature space is
+   * COARSE by design (≤ nTables · 2^planesPerTable buckets — 64 at the
+   * default config), so every bucket's micro-batch share is
+   * corpus/2^planes rows and the uncapped stream concentrates them in
+   * ≤ 64 state tasks. Level 1 claims per deterministic sub-bucket
+   * (u = xxhash64(id) mod splits, expected group B/splits); level 2
+   * consolidates the ≤ `splits` sub-owner announcements per bucket —
+   * both append-mode, legal chained in one query.
+   *
+   * Output contract is [[lshBucketClaimStreamSplit]]'s, verbatim: every
+   * arriving (vector, table) appears exactly once; the FLAG set is
+   * bit-identical to [[embBucketClaimStream]]'s; a flagged row's owner
+   * points ≤ 2 hops up the claim chain (dup → sub-owner → owner), both
+   * hops present in the stream. State ≤ (splits + 1) Longs per bucket.
+   */
+  def embBucketClaimStreamSplit(vecs: DataFrame, idCol: String,
+                                vecCol: String, splits: Int,
+                                nTables: Int = 4, planesPerTable: Int = 4,
+                                dims: Int = 64): Dataset[EmbBucketClaim] = {
+    require(splits >= 2, s"splits=$splits must be >= 2")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val sigs = graft.operators.Similarity
+      .lshSignaturesMulti(vecs, idCol, vecCol, nTables, planesPerTable,
+        dims)
+      .select(col(idCol).cast("long").as("vec_id"), col("tbl"), col("sig"),
+        pmod(xxhash64(col(idCol)), lit(splits.toLong)).as("u"))
+      .as[(Long, Int, Long, Long)]
+    val level1 = sigs
+      .groupByKey { case (_, tbl, sig, u) => (tbl, sig, u) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long, Long), rows: Iterator[(Long, Int, Long, Long)],
+         state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toArray.sorted
+          val owner = state.getOption.getOrElse(ids.head)
+          state.update(owner)
+          ids.iterator.map(id =>
+            EmbSubBucketClaim(id, key._1, key._2, key._3, owner,
+              id != owner))
+      }
+    // level 2: the lshBucketClaimStreamSplit consolidation, verbatim —
+    // announcements share one group per bucket, dups ride singleton
+    // pass-through groups keyed collision-free by the boolean
+    level1
+      .groupByKey(c =>
+        if (c.is_dup) (c.tbl, c.sig, false, c.vec_id)
+        else (c.tbl, c.sig, true, 0L))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long, Boolean, Long),
+         rows: Iterator[EmbSubBucketClaim],
+         state: GroupState[Long]) =>
+          if (!key._3)
+            rows.map(c =>
+              EmbBucketClaim(c.vec_id, c.tbl, c.sig, c.owner,
+                is_dup = true))
+          else {
+            val anns = rows.toArray.sortBy(_.vec_id) // ≤ splits per batch
+            val owner = state.getOption.getOrElse(anns.head.vec_id)
+            state.update(owner)
+            anns.iterator.map(c =>
+              EmbBucketClaim(c.vec_id, c.tbl, c.sig, owner,
+                c.vec_id != owner))
+          }
+      }
+  }
+
   /** Output row of [[paragraphClaimStream]]: one row per arriving
     * (document, paragraph position); `is_dup` marks paragraphs whose
     * content was already claimed — by an earlier batch, an earlier doc

@@ -481,6 +481,144 @@ class StreamingSpec extends SparkSpec {
         s"doc $d owner must chain toward the original claim") }
   }
 
+  test("embedding bucket-claim stream matches batch min-id ownership in one batch") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val sigs = Similarity.lshSignaturesMulti(vecs, "vec_id", "embedding",
+        4, 4, 64)
+      .select(col("vec_id"), col("tbl"), col("sig"))
+    val owners = sigs.groupBy("tbl", "sig")
+      .agg(min(col("vec_id")).as("owner"))
+    val expected = sigs.join(owners, Seq("tbl", "sig"))
+      .select(col("vec_id"), col("tbl"), col("sig"), col("owner"),
+        (col("vec_id") =!= col("owner")).as("is_dup"))
+      .collect().toSet
+    assert(expected.exists(_.getBoolean(4)), "fixture should have ≥1 dup")
+    val streamDir = tmpDir("embclaim-src")
+    vecs.write.parquet(s"$streamDir/vecs")
+    val q = Streaming.embBucketClaimStream(
+        spark.readStream.schema(vecs.schema).parquet(s"$streamDir/vecs"),
+        "vec_id", "embedding")
+      .writeStream.format("memory").queryName("embclaims")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("embclaims").collect().toSet === expected)
+  }
+
+  test("embedding bucket claims are first-wins across micro-batches") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val streamDir = tmpDir("embclaim2-src")
+    // identical vectors sign identically in every table; the late,
+    // smaller id must be flagged against the stored owner
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    Seq((10L, v)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$streamDir/b1")
+    Seq((5L, v), (12L, v)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$streamDir/b2")
+    def stamp(dir: String, epochSec: Long): Unit = {
+      val d = Paths.get(s"$streamDir/$dir")
+      Files.list(d).forEach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(epochSec * 1000)))
+    }
+    stamp("b1", 1000000000L)
+    stamp("b2", 1000000100L)
+    val schema = spark.read.parquet(s"$streamDir/b1").schema
+    val q = Streaming.embBucketClaimStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/b*"),
+        "vec_id", "embedding", dims = 8)
+      .writeStream.format("memory").queryName("embclaims2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val byVec = spark.table("embclaims2")
+      .as[(Long, Int, Long, Long, Boolean)].collect().toSeq.groupBy(_._1)
+    assert(byVec.keySet == Set(5L, 10L, 12L))
+    assert(byVec(10L).forall(r => r._4 == 10L && !r._5))
+    assert(byVec(5L).forall(r => r._4 == 10L && r._5))
+    assert(byVec(12L).forall(r => r._4 == 10L && r._5))
+  }
+
+  test("embedding split claim stream: flag parity with uncapped, owners resolve") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val sigs = Similarity.lshSignaturesMulti(vecs, "vec_id", "embedding",
+        4, 4, 64)
+      .select(col("vec_id"), col("tbl"), col("sig"))
+    val owners = sigs.groupBy("tbl", "sig")
+      .agg(min(col("vec_id")).as("g_owner"))
+    val expected = sigs.join(owners, Seq("tbl", "sig"))
+      .select(col("vec_id"), col("tbl"), col("sig"),
+        (col("vec_id") =!= col("g_owner")).as("is_dup"), col("g_owner"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getLong(2)),
+        (r.getBoolean(3), r.getLong(4)))).toMap
+    assert(expected.values.exists(_._1), "fixture should have ≥1 dup")
+    val streamDir = tmpDir("embclaimsplit-src")
+    vecs.write.parquet(s"$streamDir/vecs")
+    val q = Streaming.embBucketClaimStreamSplit(
+        spark.readStream.schema(vecs.schema).parquet(s"$streamDir/vecs"),
+        "vec_id", "embedding", splits = 3)
+      .writeStream.format("memory").queryName("embclaimsplit")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("embclaimsplit")
+      .as[(Long, Int, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)).toSet == expected.keySet)
+    assert(got.size == expected.size)
+    got.foreach { case (id, tbl, sig, _, dup) =>
+      assert(dup == expected((id, tbl, sig))._1,
+        s"flag mismatch for ($id, $tbl, $sig)") }
+    val ownerOf = got.map(r => ((r._2, r._3, r._1), r._4)).toMap
+    got.foreach { case (id, tbl, sig, own, _) =>
+      val resolved =
+        if (own == id) id
+        else ownerOf.getOrElse((tbl, sig, own), own) match {
+          case o if o == own => own
+          case o => o
+        }
+      assert(resolved == expected((id, tbl, sig))._2,
+        s"owner chain for ($id, $tbl, $sig): $own -> $resolved") }
+  }
+
+  test("embedding split claim stream is first-wins across micro-batches") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val streamDir = tmpDir("embclaimsplit2-src")
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    Seq((10L, v)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$streamDir/b1")
+    Seq((5L, v), (12L, v)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$streamDir/b2")
+    def stamp(dir: String, epochSec: Long): Unit = {
+      val d = Paths.get(s"$streamDir/$dir")
+      Files.list(d).forEach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(epochSec * 1000)))
+    }
+    stamp("b1", 1000000000L)
+    stamp("b2", 1000000100L)
+    val schema = spark.read.parquet(s"$streamDir/b1").schema
+    val q = Streaming.embBucketClaimStreamSplit(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/b*"),
+        "vec_id", "embedding", splits = 3, dims = 8)
+      .writeStream.format("memory").queryName("embclaimsplit2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val byVec = spark.table("embclaimsplit2")
+      .as[(Long, Int, Long, Long, Boolean)].collect().toSeq.groupBy(_._1)
+    assert(byVec.keySet == Set(5L, 10L, 12L))
+    assert(byVec(10L).forall(r => r._4 == 10L && !r._5))
+    Seq(5L, 12L).foreach { d =>
+      assert(byVec(d).forall(_._5), s"vec $d must be flagged")
+      assert(byVec(d).forall(r => r._4 == 10L || r._4 == 5L),
+        s"vec $d owner must chain toward the original claim") }
+  }
+
   test("URL claim stream matches batch dedupByUrl ownership in one batch") {
     import spark.implicits._
     val docs = Seq(
