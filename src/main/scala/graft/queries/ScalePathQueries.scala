@@ -531,6 +531,47 @@ object ScalePathQueries {
       ",\ncensus AS (SELECT COUNT(*) AS bs FROM sl GROUP BY sl, sv)",
     capTarget = 12L, spaceSize = Some(1024L))
 
+  // ── q380/q381: the embedding index at PRODUCTION cap vs uncapped ──────
+
+  /** q380: q375's incremental-dedup chain at the PRODUCTION cap —
+    * [[Similarity.annIndex]](maxBucket = 40, q338/q350's production
+    * number) instead of q375's deliberately-maximal cap 1. The cap is
+    * inactive at sf0.01 (even-id index bucket max 26 — the q346
+    * convention: an inactive cap is hash-proven a no-op) and ENGAGES at
+    * sf0.1 (62 over-cap buckets, max 98), where hash-green against the
+    * same UNCAPPED oracle chain proves the build-time split is lossless
+    * at the cap a deployment would actually ship. The r18 verdict's
+    * missing BENCH_SCALING row (a production cap winning outright on
+    * the embedding index, the q362 text precedent) benches THIS gate
+    * against q381. */
+  def q380EmbIndexProdCap(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val idx = Similarity.annIndex(corpus, "vec_id", "embedding",
+      nTables = 4, planesPerTable = 4, dims = 64, maxBucket = Some(40L))
+    Similarity.dedupAgainstAnnIndex(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", idx, corpus, threshold = 0.45,
+        nTables = 4, planesPerTable = 4, dims = 64)
+      .orderBy(col("d_new"), col("d_old"))
+  }
+
+  /** q381: the UNCAPPED comparator — the same chain over a plain
+    * [[Similarity.annIndex]] (no build-time split; the collision join
+    * takes the single-key shuffle_hash path). Exists so the weak-
+    * scaling bench can read capped (q380) against uncapped (q381) on
+    * identical corpora — sf0.1 output is identical by losslessness,
+    * the PLANS differ. */
+  def q381EmbIndexUncapped(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val idx = Similarity.annIndex(corpus, "vec_id", "embedding",
+      nTables = 4, planesPerTable = 4, dims = 64, maxBucket = None)
+    Similarity.dedupAgainstAnnIndex(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", idx, corpus, threshold = 0.45,
+        nTables = 4, planesPerTable = 4, dims = 64)
+      .orderBy(col("d_new"), col("d_old"))
+  }
+
   // ── q339: the cap's explicit exclusion report ──────────────────────────
 
   /** q339: [[Similarity.lshExcludedBuckets]] — the buckets q338's cap
