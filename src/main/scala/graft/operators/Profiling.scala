@@ -451,12 +451,23 @@ object Profiling {
    *    replicated piles drop outright instead of paying their
    *    (≤ cap)² pair output (the q376 rule; measured ×2.35 vs ×4.46
    *    at 5× densification). rec_cap = multiplicity_est − 1.
+   *  - dominant-pile quadratic guard: max_bucket² > n_rows (the biggest
+   *    pile's pairwise OUTPUT exceeds corpus-linear work) →
+   *    '''exact-dedup+salt-split''' (rec_cap = capTarget): a lossless
+   *    pairwise stage on that pile is output-quadratic no matter how
+   *    the plan is shaped, so collapse identical content with exact
+   *    dedup FIRST (O(pile)) and salt-split the residual. This branch
+   *    is the r19 10× measurement mechanized: the text salt-split held
+   *    ×2.91 at 10× (band pile max ~40, 40² ≪ 200k rows) while the
+   *    embedding salt-split read ×19.04 (pile ~1770, 1770² ≫ 400k) —
+   *    same operator, the pile size is what flips the regime.
    *  - otherwise (hot buckets in a roomy space — density comes from
-   *    content replication, not hash saturation) → '''salt-split'''
-   *    (rec_cap = capTarget): the lossless ⌈B/cap⌉ sub-bucket split
-   *    (q350/q358/q361/q362) bounds per-task fan-out with zero recall
-   *    loss. Pass `spaceSize = None` for hash-valued buckets (md5 band
-   *    hashes — effectively unbounded space, reported as 0).
+   *    modest content replication, not hash saturation) →
+   *    '''salt-split''' (rec_cap = capTarget): the lossless ⌈B/cap⌉
+   *    sub-bucket split (q350/q358/q361/q362) bounds per-task fan-out
+   *    with zero recall loss. Pass `spaceSize = None` for hash-valued
+   *    buckets (md5 band hashes — effectively unbounded space,
+   *    reported as 0).
    *
    * `multiplicity_est` is the lower-median bucket size among buckets
    * holding ≥ 2 members — the typical identical-signature pile; on the
@@ -519,6 +530,8 @@ object Profiling {
           .otherwise(lit(capTarget)).as("rec_cap"),
         when(col("max_bucket") <= capTarget, lit("uncapped"))
           .when(saturated, lit("widen+drop-cap"))
+          .when(col("max_bucket") * col("max_bucket") > col("n_rows"),
+            lit("exact-dedup+salt-split"))
           .otherwise(lit("salt-split")).as("policy"))
   }
 

@@ -470,6 +470,8 @@ object ScalePathQueries {
       |            ELSE $capTarget END AS BIGINT) AS rec_cap,
       |  CASE WHEN max_bucket <= $capTarget THEN 'uncapped'
       |       WHEN $sat THEN 'widen+drop-cap'
+      |       WHEN max_bucket * max_bucket > n_rows
+      |         THEN 'exact-dedup+salt-split'
       |       ELSE 'salt-split' END AS policy
       |FROM tot, p50, p99, mult""".stripMargin
   }
@@ -530,6 +532,56 @@ object ScalePathQueries {
     PipelineQueries.simHashSliceSql(32, 8) +
       ",\ncensus AS (SELECT COUNT(*) AS bs FROM sl GROUP BY sl, sv)",
     capTarget = 12L, spaceSize = Some(1024L))
+
+  /** q382: [[Profiling.dedupPolicyAudit]] on the ADVERSARIAL-skew
+    * fixture the r18 verdict asked for — half the corpus collapsed onto
+    * ONE text (every even doc_id), so four band buckets each hold
+    * n_docs/2 members: the pathological pile no natural corpus slice
+    * exhibits. The dominant-pile quadratic guard (max_bucket² > n_rows
+    * — the biggest pile's pairwise output exceeds corpus-linear work)
+    * fires and the audit prescribes exact-dedup BEFORE any pairwise
+    * stage, salt-splitting only the residual. This branch is the r19
+    * 10× measurement pair mechanized: the text salt-split held ×2.91 at
+    * 10× (pile max ~40, 40² ≪ 200k slice rows) while the embedding
+    * salt-split read ×19.04 (pile ~1770, 1770² ≫ 400k) — same lossless
+    * operator, pile size flips the regime, and a lossless pairwise
+    * stage on a giant identical pile is output-quadratic no matter the
+    * plan shape. */
+  def q382PolicyAuditPile(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, lit("x y z w v"))
+        .otherwise(col("text")).as("text"))
+    Profiling.dedupPolicyAudit(
+      TextDedup.lshBandBucketSizes(docs, "doc_id", "text",
+        k = 16, r = 4, w = 3),
+      "bucket_size", capTarget = 2L, spaceSize = None)
+  }
+
+  val q382Sql: String = policyAuditSql(
+    """docs AS (SELECT doc_id,
+      |           CASE WHEN doc_id % 2 = 0 THEN 'x y z w v' ELSE text END
+      |             AS text
+      |         FROM documents),
+      |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |hw AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h1,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h2
+      |       FROM sh),
+      |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+      |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band,
+      |            md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bh
+      |          FROM sig GROUP BY doc_id, i // 4),
+      |census AS (SELECT COUNT(*) AS bs FROM bands GROUP BY band, bh)""".stripMargin,
+    capTarget = 2L, spaceSize = None)
 
   // ── q380/q381: the embedding index at PRODUCTION cap vs uncapped ──────
 

@@ -31,9 +31,21 @@ class PolicyAuditSpec extends SparkSpec {
     assert(r.getLong(7) == 0L && r.getString(8) == "uncapped")
   }
 
-  test("dedupPolicyAudit: hot buckets in a roomy space prescribe salt-split") {
+  test("dedupPolicyAudit: dominant pile (max² > n_rows) prescribes exact-dedup first") {
+    // max 10 in a 19-row census: 100 > 19 — the pile's pairwise output
+    // exceeds corpus-linear work (the q350-at-10× regime)
     val r = row(Profiling.dedupPolicyAudit(census, "bs", capTarget = 4L))
-    assert(r.getLong(7) == 4L && r.getString(8) == "salt-split")
+    assert(r.getLong(7) == 4L && r.getString(8) == "exact-dedup+salt-split")
+  }
+
+  test("dedupPolicyAudit: modest piles in a roomy space prescribe salt-split") {
+    // max 4 in a 27-row census: 16 ≤ 27 — the quadratic term stays
+    // dominated by linear work (the q358-at-10× regime)
+    val modest = (Seq.fill(20)(1L) ++ Seq(3L, 4L)).zipWithIndex
+      .map { case (bs, i) => (i.toString, bs) }
+      .toDF("bucket", "bs")
+    val r = row(Profiling.dedupPolicyAudit(modest, "bs", capTarget = 2L))
+    assert(r.getLong(7) == 2L && r.getString(8) == "salt-split")
   }
 
   test("dedupPolicyAudit: saturated space prescribes widen+drop-cap below multiplicity") {
@@ -43,10 +55,10 @@ class PolicyAuditSpec extends SparkSpec {
     assert(r.getLong(7) == 2L && r.getString(8) == "widen+drop-cap")
   }
 
-  test("dedupPolicyAudit: roomy declared space still reads salt-split") {
+  test("dedupPolicyAudit: roomy declared space skips the saturated branch") {
     val r = row(Profiling.dedupPolicyAudit(census, "bs", capTarget = 4L,
-      spaceSize = Some(1000L))) // 19 < 1000 → not saturated
-    assert(r.getString(8) == "salt-split" && r.getLong(7) == 4L)
+      spaceSize = Some(1000L))) // 19 < 1000 → not saturated; pile guard fires
+    assert(r.getString(8) == "exact-dedup+salt-split" && r.getLong(7) == 4L)
   }
 
   test("dedupPolicyAudit: empty census emits the all-zero uncapped row") {
