@@ -18,7 +18,12 @@ class AllQueriesSpec extends SparkSpec {
     "q55_ivf_ann", "q58_cosine_dup_bucketed", "q64_incremental_dedup",
     // q133: at sf0.001 no user pair shares >=2 capped fingerprints —
     // the threshold legitimately empties on tiny data (47 pairs at sf0.01)
-    "q133_entity_pairs")
+    "q133_entity_pairs",
+    // q377: the drop-cap exclusion table at q374's config is empty
+    // WHEREVER the cap doesn't engage — sf0.001 and sf0.01 by design
+    // (emptiness there is itself a hash-verified claim; 72 rows at
+    // sf0.1 where the twin piles exceed the cap)
+    "q377_phash_excluded")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
