@@ -457,6 +457,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("cap-split ANN index dedup: census broadcasts, index side stays shuffled") {
+    // the q380 posture claim: the (tbl, sig, m) census is METADATA
+    // (≤ nTables·2^planes rows) and must ride a BroadcastHashJoin; the
+    // corpus-scale index table must NOT be broadcast — it meets the
+    // exploded batch side in a ShuffledHashJoin (the shuffle_hash hint)
+    val plan = physicalPlan(
+      graft.queries.ScalePathQueries.q380EmbIndexProdCap(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"census must broadcast:\n${plan.take(3000)}")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"index join must be shuffled, not broadcast:\n${plan.take(3000)}")
+  }
+
   test("whole-surface audit: no unintended nested-loop/cartesian joins") {
     // Every BroadcastNestedLoopJoin in the surface is a deliberate
     // broadcast of a metadata-scale table (k centroids / 1-row total) or
