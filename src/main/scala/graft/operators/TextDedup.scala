@@ -727,9 +727,9 @@ object TextDedup {
   /** One row per (id, hash, slice, slice-value): the pigeonhole banding
     * shared by [[hammingPairs]], [[hammingPairsDropCap]] and
     * [[hammingExcludedBuckets]]. */
-  private def hammingSliceRows(df: DataFrame, idCol: String,
-                               hashCol: String, bits: Int,
-                               bands: Int): DataFrame = {
+  private[graft] def hammingSliceRows(df: DataFrame, idCol: String,
+                                      hashCol: String, bits: Int,
+                                      bands: Int): DataFrame = {
     require(bands >= 2 && bits % bands == 0,
       s"bits=$bits must split evenly into bands=$bands")
     val sliceBits = bits / bands
@@ -879,6 +879,98 @@ object TextDedup {
       .groupBy(col("sl"), col("sv"))
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
+  }
+
+  /**
+   * Persisted slice index for incremental HAMMING dedup — the family's
+   * missing stored-index member (text has [[lshIndex]], embeddings have
+   * [[graft.operators.Similarity.annIndex]]; the Hamming/phash path had
+   * only self-join forms). One (id, hash, sl, sv) row per (signature,
+   * band slice), written once when the corpus is indexed; the full hash
+   * rides along because Hamming verification is a pure function of the
+   * two hashes (no second table needed, unlike text/embedding verify).
+   * On a real deployment the table is stored bucketed on (sl, sv) so
+   * incremental batches shuffle only themselves.
+   *
+   * `maxBucket` pre-splits hot slice buckets AT BUILD TIME (the
+   * q362/q375 pattern): graft_u = (rank-of-id − 1) mod m round-robin,
+   * graft_m = ⌈B/cap⌉, so every (sl, sv, graft_u) cell holds ≤ cap
+   * index rows — a 100 TB index's hot slices are its exact-dup piles,
+   * split once for every future batch.
+   */
+  def hammingIndex(corpus: DataFrame, idCol: String, hashCol: String,
+                   bits: Int, bands: Int,
+                   maxBucket: Option[Long] = None): DataFrame = {
+    val sl = hammingSliceRows(corpus, idCol, hashCol, bits, bands)
+    maxBucket match {
+      case None => sl
+      case Some(cap) =>
+        require(cap >= 1, s"maxBucket=$cap must be >= 1")
+        val wspec = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sl"), col("sv"))
+        sl.withColumn("graft_m",
+            call_function("div",
+              count(lit(1)).over(wspec) + lit(cap) - 1, lit(cap))
+              .cast(LongType))
+          .withColumn("graft_u",
+            (row_number().over(wspec.orderBy(col(idCol))) - 1)
+              .cast(LongType) % col("graft_m"))
+    }
+  }
+
+  /**
+   * Incremental Hamming near-dup detection against a stored
+   * [[hammingIndex]]: candidates are NEW-batch slice rows colliding
+   * with INDEX rows (never index×index — the corpus was deduped when
+   * indexed), verified at exact Hamming distance between the two
+   * hashes carried on the rows. Pigeonhole recall is EXACT for
+   * `maxDist ≤ bands − 1` over (new, old) pairs: any pair within
+   * maxDist agrees on at least one slice, and both sides slice the
+   * same way.
+   *
+   * A cap-split index (hammingIndex(maxBucket) — carries
+   * graft_u/graft_m) is exploited transparently with the q375 block
+   * join: the batch row picks up the bucket's m from the census —
+   * which is METADATA BY THE SPACE ITSELF here (occupied buckets
+   * ≤ bands · 2^(bits/bands): 1024 at the 32-bit config, ≤ 131k at
+   * 60-bit — bounded regardless of corpus size, the embedding-side
+   * asymmetry, NOT the text side's corpus-scale band census) so it
+   * rides a broadcast — explodes over the m sub-buckets, and meets the
+   * index on (sl, sv, graft_u) where the index holds ≤ cap rows per
+   * cell by build-time construction. Every colliding (new, old) pair
+   * meets exactly once per shared slice, so the candidate set is
+   * IDENTICAL to the uncapped join's — q383's oracle is the UNCAPPED
+   * chain, hash-green = losslessness.
+   */
+  def dedupAgainstHammingIndex(batch: DataFrame, idCol: String,
+                               hashCol: String, indexSlices: DataFrame,
+                               bits: Int, bands: Int,
+                               maxDist: Int): DataFrame = {
+    require(maxDist <= bands - 1,
+      s"pigeonhole recall needs maxDist <= bands-1 (= ${bands - 1})")
+    val nb = hammingSliceRows(batch, idCol, hashCol, bits, bands)
+      .select(col(idCol).as("d_new"), col(hashCol).as("graft_h1"),
+        col("sl"), col("sv"))
+    val cand = (if (!indexSlices.columns.contains("graft_m")) {
+      nb.join(indexSlices.select(col(idCol).as("d_old"),
+          col(hashCol).as("graft_h2"), col("sl"), col("sv"))
+          .hint("shuffle_hash"), Seq("sl", "sv"))
+    } else {
+      val census = indexSlices.select(col("sl"), col("sv"), col("graft_m"))
+        .distinct()
+      nb.join(broadcast(census), Seq("sl", "sv"))
+        .withColumn("graft_u",
+          explode(sequence(lit(0L), col("graft_m") - 1)))
+        .join(indexSlices.select(col(idCol).as("d_old"),
+            col(hashCol).as("graft_h2"), col("sl"), col("sv"),
+            col("graft_u")).hint("shuffle_hash"),
+          Seq("sl", "sv", "graft_u"))
+    }).select("d_new", "d_old", "graft_h1", "graft_h2").distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("graft_h1").bitwiseXOR(col("graft_h2"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("d_new"), col("d_old"), col("hamming"))
   }
 
   /**

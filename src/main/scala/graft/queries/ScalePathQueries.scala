@@ -624,6 +624,45 @@ object ScalePathQueries {
       .orderBy(col("d_new"), col("d_old"))
   }
 
+  // ── q383: incremental Hamming dedup vs the cap-split stored index ─────
+
+  /** q383: [[TextDedup.hammingIndex]] (maxBucket = 1 — the cap bites in
+    * EVERY multi-member slice bucket) + [[TextDedup
+    * .dedupAgainstHammingIndex]] — the stored-index serving shape
+    * completed for the THIRD dedup family (text q64/q362, embeddings
+    * q375/q380; Hamming/phash previously had only self-join forms), on
+    * the family's scale config (simHashWide 60-bit, 4×15-bit slices,
+    * maxDist 3 — exact pigeonhole recall). Even ids are indexed with
+    * build-time cap-split, odd ids arrive as the batch; the census is
+    * metadata BY THE SPACE ITSELF (≤ 4·2¹⁵ occupied buckets regardless
+    * of corpus size) so it broadcasts, then explode ≤ m → block join
+    * with ≤ cap index rows per cell. Verification is a pure function of
+    * the two hashes riding the rows — no second verify table. The
+    * oracle is the UNCAPPED new×old slice-collision chain: hash-green
+    * IS the losslessness proof (the q375 convention). */
+  def q383HammingIndexDedup(s: SparkSession, dir: String): DataFrame = {
+    val hashed = TextDedup.simHashWide(
+      Sources.documents(s, dir), "doc_id", "text", 60)
+    val idx = TextDedup.hammingIndex(
+      hashed.filter(col("doc_id") % 2 === 0), "doc_id", "simhash",
+      bits = 60, bands = 4, maxBucket = Some(1L))
+    TextDedup.dedupAgainstHammingIndex(
+        hashed.filter(col("doc_id") % 2 === 1), "doc_id", "simhash",
+        idx, bits = 60, bands = 4, maxDist = 3)
+      .orderBy(col("d_new"), col("d_old"))
+  }
+
+  val q383Sql: String =
+    s"""WITH ${PipelineQueries.simHashSliceSql(60, 15)},
+      |cand AS (SELECT DISTINCT y.doc_id AS d_new, x.doc_id AS d_old,
+      |           y.simhash AS h1, x.simhash AS h2
+      |         FROM sl x JOIN sl y ON x.sl = y.sl AND x.sv = y.sv
+      |         WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1)
+      |SELECT d_new, d_old,
+      |  CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+      |ORDER BY d_new, d_old""".stripMargin
+
   // ── q339: the cap's explicit exclusion report ──────────────────────────
 
   /** q339: [[Similarity.lshExcludedBuckets]] — the buckets q338's cap

@@ -168,6 +168,69 @@ object Streaming {
   }
 
   /**
+   * Streaming incremental HAMMING near-dup detection — the stream-side
+   * half of [[graft.operators.TextDedup.dedupAgainstHammingIndex]],
+   * completing the stored-index streaming matrix for the third dedup
+   * family (text [[nearDupCandidates]], embeddings
+   * [[nearDupEmbCandidates]]). The arriving stream carries an ALREADY
+   * COMPUTED hash column — e.g. [[graft.operators.Multimodal
+   * .perceptualHashWide]], a stateless projection that composes
+   * directly on a stream (SimHash does NOT: it needs a word-level
+   * aggregation, so text simhashes are indexed in batch and arrive
+   * here as columns). Each row is sliced per band (stateless), joined
+   * stream-static against the stored [[graft.operators.TextDedup
+   * .hammingIndex]], and — unlike the text/embedding twins, whose
+   * verification needs a second corpus table — VERIFIED IN-STREAM:
+   * Hamming distance is a pure function of the two hashes riding the
+   * joined row. Emits one row per agreeing under-`maxDist` slice
+   * (idCol, sl, sv, d_old, hamming); a pair agreeing on several slices
+   * emits once per slice — the downstream `foreachBatch` dedups ids,
+   * exactly the other twins' contract.
+   *
+   * A cap-split index (hammingIndex(maxBucket) — graft_u/graft_m) is
+   * exploited transparently: the census is metadata BY THE SPACE
+   * ITSELF (≤ bands · 2^(bits/bands) occupied buckets regardless of
+   * corpus size), materialized once at stream construction (eager
+   * localCheckpoint — see [[nearDupEmbCandidates]]'s executor-loss
+   * caveat) and broadcast per micro-batch, then explode ≤ m → block
+   * join with ≤ cap index rows per cell.
+   */
+  def nearDupHammingCandidates(hashStream: DataFrame, idCol: String,
+                               hashCol: String, indexSlices: DataFrame,
+                               bits: Int, bands: Int,
+                               maxDist: Int): DataFrame = {
+    require(maxDist <= bands - 1,
+      s"pigeonhole recall needs maxDist <= bands-1 (= ${bands - 1})")
+    val sb = graft.operators.TextDedup
+      .hammingSliceRows(hashStream, idCol, hashCol, bits, bands)
+      .select(col(idCol), col(hashCol).as("graft_h1"), col("sl"),
+        col("sv"))
+    val joined =
+      if (!indexSlices.columns.contains("graft_m"))
+        sb.join(indexSlices.select(col(idCol).as("d_old"),
+          col(hashCol).as("graft_h2"), col("sl"), col("sv")),
+          Seq("sl", "sv"))
+      else {
+        val census = indexSlices
+          .select(col("sl"), col("sv"), col("graft_m"))
+          .distinct()
+          .localCheckpoint(eager = true)
+        sb.join(broadcast(census), Seq("sl", "sv"))
+          .withColumn("graft_u",
+            explode(sequence(lit(0L), col("graft_m") - 1)))
+          .join(indexSlices.select(col(idCol).as("d_old"),
+              col(hashCol).as("graft_h2"), col("sl"), col("sv"),
+              col("graft_u")), Seq("sl", "sv", "graft_u"))
+      }
+    joined
+      .withColumn("hamming",
+        bit_count(col("graft_h1").bitwiseXOR(col("graft_h2"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col(idCol), col("sl"), col("sv"), col("d_old"),
+        col("hamming"))
+  }
+
+  /**
    * Streaming semantic decontamination — the online half of
    * [[graft.operators.Decontamination.semanticContaminated]]: every
    * ARRIVING training vector is checked against the static eval/benchmark

@@ -451,6 +451,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cap-split Hamming index dedup equals the uncapped index for ANY corpus and cap") {
+    // the q383 losslessness LAW — the q362/q375 law on the Hamming
+    // side: random hashes with forced near-dup piles, random caps;
+    // the build-time slice-bucket split must reproduce the uncapped
+    // index's verified (new, old, hamming) set exactly
+    val hash: Gen[(Long, Long)] = for {
+      id <- Gen.choose(0L, 10000L)
+      base <- Gen.oneOf(0x0F0F0F0FL, 0x35353535L, 0x7A7A7A7AL)
+      flip <- Gen.choose(0, 31)
+      near <- Gen.prob(0.7)
+    } yield (id, if (near) base ^ (1L << flip) else base ^ (0xFFL << (flip % 24)))
+    val corpus: Gen[(List[(Long, Long)], Long)] = for {
+      n <- Gen.choose(8, 24)
+      hs <- Gen.listOfN(n, hash)
+      cap <- Gen.choose(1L, 4L)
+    } yield (hs, cap)
+    forAll(corpus) { case (hs, cap) =>
+      val df = hs.toMap.toSeq.toDF("doc_id", "h")
+      val indexed = df.filter(col("doc_id") % 2 === 0)
+      val batch = df.filter(col("doc_id") % 2 === 1)
+      def run(mb: Option[Long]): Set[(Long, Long, Int)] = {
+        val idx = graft.operators.TextDedup.hammingIndex(indexed,
+          "doc_id", "h", bits = 32, bands = 4, maxBucket = mb)
+        graft.operators.TextDedup.dedupAgainstHammingIndex(batch,
+            "doc_id", "h", idx, bits = 32, bands = 4, maxDist = 3)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      }
+      val uncapped = run(None)
+      val capped = run(Some(cap))
+      assert(capped == uncapped,
+        s"cap=$cap n=${hs.size}: capped ${capped.size} vs uncapped " +
+          s"${uncapped.size}")
+    }
+  }
+
   test("cluster-keyed split admits zero crossing near-dup pairs for ANY corpus") {
     // q351's structural guarantee as a law: whatever the near-dup pair
     // graph looks like, a hash split keyed on the connected-component

@@ -619,6 +619,38 @@ class StreamingSpec extends SparkSpec {
         s"vec $d owner must chain toward the original claim") }
   }
 
+  test("streaming Hamming index dedup matches the batch operator's verified pairs") {
+    import spark.implicits._
+    import graft.operators.TextDedup
+    val sf = "/root/testdata/sf0.001"
+    val hashed = TextDedup.simHashWide(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 60)
+    val idx = TextDedup.hammingIndex(
+      hashed.filter(col("doc_id") % 2 === 0), "doc_id", "simhash",
+      bits = 60, bands = 4, maxBucket = Some(1L))
+      .localCheckpoint() // freeze: the index is the STORED side
+    val batch = hashed.filter(col("doc_id") % 2 === 1)
+    val expected = TextDedup.dedupAgainstHammingIndex(batch, "doc_id",
+        "simhash", idx, bits = 60, bands = 4, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(expected.nonEmpty, "fixture should have ≥1 verified pair")
+    val streamDir = tmpDir("hamidx-src")
+    batch.write.parquet(s"$streamDir/hashes")
+    val q = Streaming.nearDupHammingCandidates(
+        spark.readStream.schema(batch.schema)
+          .parquet(s"$streamDir/hashes"),
+        "doc_id", "simhash", idx, bits = 60, bands = 4, maxDist = 3)
+      .writeStream.format("memory").queryName("hamidx")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the stream emits one row per agreeing slice; collapsing to
+    // (id, d_old, hamming) must equal the batch operator's pair set
+    val got = spark.table("hamidx")
+      .select(col("doc_id"), col("d_old"), col("hamming"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === expected)
+  }
+
   test("URL claim stream matches batch dedupByUrl ownership in one batch") {
     import spark.implicits._
     val docs = Seq(
