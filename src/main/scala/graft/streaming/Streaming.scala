@@ -601,6 +601,119 @@ object Streaming {
       }
   }
 
+  /** Output row of [[hammingBucketClaimStream]]: one row per arriving
+    * (signature, band slice) with the slice bucket's current owner. */
+  case class HamBucketClaim(doc_id: Long, sl: Int, sv: Long,
+                            owner: Long, is_dup: Boolean)
+
+  /**
+   * Streaming HAMMING self-dedup via first-wins slice-bucket claims —
+   * [[lshBucketClaimStream]]'s contract on the pigeonhole slice space,
+   * completing the claim-stream matrix for the third dedup family
+   * (text bands, embedding signatures, now Hamming slices). The
+   * arriving stream carries a pre-computed hash column (the
+   * [[nearDupHammingCandidates]] rationale: `perceptualHashWide` is a
+   * stateless projection; SimHash needs a word-level agg, so text
+   * hashes arrive as columns); each row is sliced per band (stateless)
+   * and every (sl, sv) bucket keeps ONE Long of state — the smallest
+   * id seen. Any-slice collision → candidate; exact Hamming verify in
+   * `foreachBatch` downstream (pigeonhole: a true ≤ maxDist pair
+   * collides on some slice).
+   *
+   * Arrival-order semantics are [[lshBucketClaimStream]]'s verbatim:
+   * first-wins across micro-batches, min-id within one, claims never
+   * displaced or retracted.
+   *
+   * Scale shape: state ≤ bands · 2^(bits/bands) Longs — metadata BY
+   * THE SPACE ITSELF. Like the embedding side, bucket POPULATIONS are
+   * therefore corpus/2^sliceBits at saturation, so at scale use
+   * [[hammingBucketClaimStreamSplit]] to spread each bucket's
+   * micro-batch share over `splits` state tasks.
+   */
+  def hammingBucketClaimStream(hashStream: DataFrame, idCol: String,
+                               hashCol: String, bits: Int,
+                               bands: Int): Dataset[HamBucketClaim] = {
+    val spark = hashStream.sparkSession
+    import spark.implicits._
+    val slices = graft.operators.TextDedup
+      .hammingSliceRows(hashStream, idCol, hashCol, bits, bands)
+      .select(col(idCol).cast("long").as("doc_id"), col("sl"), col("sv"))
+      .as[(Long, Int, Long)]
+    slices.groupByKey { case (_, sl, sv) => (sl, sv) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[(Long, Int, Long)],
+         state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toArray.sorted
+          val owner = state.getOption.getOrElse(ids.head)
+          state.update(owner)
+          ids.iterator.map(id =>
+            HamBucketClaim(id, key._1, key._2, owner, id != owner))
+      }
+  }
+
+  /** Output row of [[hammingBucketClaimStreamSplit]] level 1. */
+  case class HamSubBucketClaim(doc_id: Long, sl: Int, sv: Long,
+                               u: Long, owner: Long, is_dup: Boolean)
+
+  /**
+   * Hot-bucket-bounded streaming Hamming self-dedup — the
+   * [[lshBucketClaimStreamSplit]] two-level pattern over slice
+   * buckets: level-1 claims per deterministic sub-bucket
+   * (u = xxhash64(id) mod splits), level-2 consolidates the ≤ `splits`
+   * sub-owner announcements per bucket; both append-mode, chained in
+   * one query. Flag set spec-proven bit-identical to
+   * [[hammingBucketClaimStream]]; owners resolve in ≤ 2 hops; state
+   * ≤ (splits + 1) Longs per occupied slice bucket.
+   */
+  def hammingBucketClaimStreamSplit(hashStream: DataFrame, idCol: String,
+                                    hashCol: String, bits: Int,
+                                    bands: Int,
+                                    splits: Int): Dataset[HamBucketClaim] = {
+    require(splits >= 2, s"splits=$splits must be >= 2")
+    val spark = hashStream.sparkSession
+    import spark.implicits._
+    val slices = graft.operators.TextDedup
+      .hammingSliceRows(hashStream, idCol, hashCol, bits, bands)
+      .select(col(idCol).cast("long").as("doc_id"), col("sl"), col("sv"),
+        pmod(xxhash64(col(idCol)), lit(splits.toLong)).as("u"))
+      .as[(Long, Int, Long, Long)]
+    val level1 = slices
+      .groupByKey { case (_, sl, sv, u) => (sl, sv, u) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long, Long), rows: Iterator[(Long, Int, Long, Long)],
+         state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toArray.sorted
+          val owner = state.getOption.getOrElse(ids.head)
+          state.update(owner)
+          ids.iterator.map(id =>
+            HamSubBucketClaim(id, key._1, key._2, key._3, owner,
+              id != owner))
+      }
+    level1
+      .groupByKey(c =>
+        if (c.is_dup) (c.sl, c.sv, false, c.doc_id)
+        else (c.sl, c.sv, true, 0L))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long, Boolean, Long),
+         rows: Iterator[HamSubBucketClaim],
+         state: GroupState[Long]) =>
+          if (!key._3)
+            rows.map(c =>
+              HamBucketClaim(c.doc_id, c.sl, c.sv, c.owner, is_dup = true))
+          else {
+            val anns = rows.toArray.sortBy(_.doc_id) // ≤ splits per batch
+            val owner = state.getOption.getOrElse(anns.head.doc_id)
+            state.update(owner)
+            anns.iterator.map(c =>
+              HamBucketClaim(c.doc_id, c.sl, c.sv, owner,
+                c.doc_id != owner))
+          }
+      }
+  }
+
   /** Output row of [[paragraphClaimStream]]: one row per arriving
     * (document, paragraph position); `is_dup` marks paragraphs whose
     * content was already claimed — by an earlier batch, an earlier doc

@@ -619,6 +619,122 @@ class StreamingSpec extends SparkSpec {
         s"vec $d owner must chain toward the original claim") }
   }
 
+  test("Hamming bucket-claim stream matches batch min-id slice ownership in one batch") {
+    import graft.operators.TextDedup
+    val sf = "/root/testdata/sf0.001"
+    val hashed = TextDedup.simHashWide(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 60)
+      .localCheckpoint()
+    val slices = TextDedup.hammingSliceRows(hashed, "doc_id", "simhash",
+        60, 4)
+      .select(col("doc_id"), col("sl"), col("sv"))
+    val owners = slices.groupBy("sl", "sv")
+      .agg(min(col("doc_id")).as("owner"))
+    val expected = slices.join(owners, Seq("sl", "sv"))
+      .select(col("doc_id"), col("sl"), col("sv"), col("owner"),
+        (col("doc_id") =!= col("owner")).as("is_dup"))
+      .collect().toSet
+    assert(expected.exists(_.getBoolean(4)), "fixture should have ≥1 dup")
+    val streamDir = tmpDir("hamclaim-src")
+    hashed.write.parquet(s"$streamDir/hashes")
+    val q = Streaming.hammingBucketClaimStream(
+        spark.readStream.schema(hashed.schema).parquet(s"$streamDir/hashes"),
+        "doc_id", "simhash", bits = 60, bands = 4)
+      .writeStream.format("memory").queryName("hamclaims")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("hamclaims").collect().toSet === expected)
+  }
+
+  test("Hamming split claim stream: flag parity with uncapped, owners resolve") {
+    import spark.implicits._
+    import graft.operators.TextDedup
+    val sf = "/root/testdata/sf0.001"
+    val hashed = TextDedup.simHashWide(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 60)
+      .localCheckpoint()
+    val slices = TextDedup.hammingSliceRows(hashed, "doc_id", "simhash",
+        60, 4)
+      .select(col("doc_id"), col("sl"), col("sv"))
+    val owners = slices.groupBy("sl", "sv")
+      .agg(min(col("doc_id")).as("g_owner"))
+    val expected = slices.join(owners, Seq("sl", "sv"))
+      .select(col("doc_id"), col("sl"), col("sv"),
+        (col("doc_id") =!= col("g_owner")).as("is_dup"), col("g_owner"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getLong(2)),
+        (r.getBoolean(3), r.getLong(4)))).toMap
+    assert(expected.values.exists(_._1), "fixture should have ≥1 dup")
+    val streamDir = tmpDir("hamclaimsplit-src")
+    hashed.write.parquet(s"$streamDir/hashes")
+    val q = Streaming.hammingBucketClaimStreamSplit(
+        spark.readStream.schema(hashed.schema).parquet(s"$streamDir/hashes"),
+        "doc_id", "simhash", bits = 60, bands = 4, splits = 3)
+      .writeStream.format("memory").queryName("hamclaimsplit")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("hamclaimsplit")
+      .as[(Long, Int, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)).toSet == expected.keySet)
+    assert(got.size == expected.size)
+    got.foreach { case (id, sl, sv, _, dup) =>
+      assert(dup == expected((id, sl, sv))._1,
+        s"flag mismatch for ($id, $sl, $sv)") }
+    val ownerOf = got.map(r => ((r._2, r._3, r._1), r._4)).toMap
+    got.foreach { case (id, sl, sv, own, _) =>
+      val resolved =
+        if (own == id) id
+        else ownerOf.getOrElse((sl, sv, own), own) match {
+          case o if o == own => own
+          case o => o
+        }
+      assert(resolved == expected((id, sl, sv))._2,
+        s"owner chain for ($id, $sl, $sv): $own -> $resolved") }
+  }
+
+  test("Hamming claims are first-wins across micro-batches") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val streamDir = tmpDir("hamclaim2-src")
+    // identical hashes share every slice; the late smaller id must be
+    // flagged against the stored owner at both levels of the split too
+    Seq((10L, 0x0F0F0F0FL)).toDF("doc_id", "h")
+      .coalesce(1).write.parquet(s"$streamDir/b1")
+    Seq((5L, 0x0F0F0F0FL), (12L, 0x0F0F0F0FL)).toDF("doc_id", "h")
+      .coalesce(1).write.parquet(s"$streamDir/b2")
+    def stamp(dir: String, epochSec: Long): Unit = {
+      val d = Paths.get(s"$streamDir/$dir")
+      Files.list(d).forEach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(epochSec * 1000)))
+    }
+    stamp("b1", 1000000000L)
+    stamp("b2", 1000000100L)
+    val schema = spark.read.parquet(s"$streamDir/b1").schema
+    Seq(
+      ("hamclaims2", Streaming.hammingBucketClaimStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/b*"),
+        "doc_id", "h", bits = 32, bands = 4)),
+      ("hamclaimsplit2", Streaming.hammingBucketClaimStreamSplit(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/b*"),
+        "doc_id", "h", bits = 32, bands = 4, splits = 3))
+    ).foreach { case (name, stream) =>
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val byDoc = spark.table(name)
+        .as[(Long, Int, Long, Long, Boolean)].collect().toSeq.groupBy(_._1)
+      assert(byDoc.keySet == Set(5L, 10L, 12L), s"$name doc set")
+      assert(byDoc(10L).forall(r => r._4 == 10L && !r._5),
+        s"$name: first claim must stand")
+      Seq(5L, 12L).foreach { d =>
+        assert(byDoc(d).forall(_._5), s"$name: doc $d must be flagged")
+        assert(byDoc(d).forall(r => r._4 == 10L || r._4 == 5L),
+          s"$name: doc $d owner must chain toward the original claim") }
+    }
+  }
+
   test("streaming Hamming index dedup matches the batch operator's verified pairs") {
     import spark.implicits._
     import graft.operators.TextDedup
