@@ -624,6 +624,30 @@ object ScalePathQueries {
       .orderBy(col("d_new"), col("d_old"))
   }
 
+  /** q384: [[Profiling.dedupPolicyAudit]] on the fourth census family —
+    * the EMBEDDING signature census ([[Similarity.lshBucketSizes]],
+    * q58's 4×4-plane config) at capTarget = 40 (q338's production cap)
+    * with the true space size (4 tables × 2⁴ = 64). The space is FULLY
+    * saturated at both SFs (all 64 buckets occupied; n_rows 2000/8000 ≫
+    * 64; max 49/177 — hash-pinning the exact numbers q350's scaladoc
+    * quotes) so the audit reads widen+drop-cap: more planes per table
+    * is the widen knob here (bucket space grows 2^planes), after which
+    * the cap is RE-DERIVED by re-running the audit on the widened
+    * census — in a saturated space multiplicity_est measures the
+    * saturation level, not pile size, so rec_cap from THIS census is a
+    * pre-widening reading (the audit→widen→re-audit→cap workflow q379
+    * established; the post-widening production cap is q338/q380's 40). */
+  def q384PolicyAuditEmb(s: SparkSession, dir: String): DataFrame =
+    Profiling.dedupPolicyAudit(
+      Similarity.lshBucketSizes(Sources.embeddings(s, dir),
+        "vec_id", "embedding", nTables = 4, planesPerTable = 4,
+        dims = 64),
+      "bucket_size", capTarget = 40L, spaceSize = Some(64L))
+
+  val q384Sql: String = policyAuditSql(
+    sigSql + ",\ncensus AS (SELECT COUNT(*) AS bs FROM sig GROUP BY tbl, sig)",
+    capTarget = 40L, spaceSize = Some(64L))
+
   // ── q383: incremental Hamming dedup vs the cap-split stored index ─────
 
   /** q383: [[TextDedup.hammingIndex]] (maxBucket = 1 — the cap bites in

@@ -671,7 +671,7 @@ class PlanShapeSpec extends SparkSpec {
       // assembles from 1-row aggregate broadcasts plus a metadata-scale
       // size HISTOGRAM (≤ max_bucket rows) — the q285 shape
       "q378_policy_audit_skew", "q379_policy_audit_dense",
-      "q382_policy_audit_pile",
+      "q382_policy_audit_pile", "q384_policy_audit_emb",
       // q288: the D-row depth grid broadcast onto two top-k lists
       "q288_rbo_agreement",
       // q289: DBSCAN's ε-graph uses the documented exact all-pairs
@@ -1105,7 +1105,7 @@ class PlanShapeSpec extends SparkSpec {
       // the census→histogram hash-agg collapse (documented in
       // dedupPolicyAudit's scale-shape note)
       "q378_policy_audit_skew", "q379_policy_audit_dense",
-      "q382_policy_audit_pile",
+      "q382_policy_audit_pile", "q384_policy_audit_emb",
       // q319: largest-remainder rank + slot sum over the |strata|-row
       // weight table (the q120 proportionalQuota allocation shape)
       "q319_neyman_alloc")
