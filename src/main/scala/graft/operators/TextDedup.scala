@@ -948,29 +948,71 @@ object TextDedup {
                                maxDist: Int): DataFrame = {
     require(maxDist <= bands - 1,
       s"pigeonhole recall needs maxDist <= bands-1 (= ${bands - 1})")
-    val nb = hammingSliceRows(batch, idCol, hashCol, bits, bands)
-      .select(col(idCol).as("d_new"), col(hashCol).as("graft_h1"),
-        col("sl"), col("sv"))
-    val cand = (if (!indexSlices.columns.contains("graft_m")) {
-      nb.join(indexSlices.select(col(idCol).as("d_old"),
-          col(hashCol).as("graft_h2"), col("sl"), col("sv"))
-          .hint("shuffle_hash"), Seq("sl", "sv"))
-    } else {
-      val census = indexSlices.select(col("sl"), col("sv"), col("graft_m"))
-        .distinct()
-      nb.join(broadcast(census), Seq("sl", "sv"))
-        .withColumn("graft_u",
-          explode(sequence(lit(0L), col("graft_m") - 1)))
-        .join(indexSlices.select(col(idCol).as("d_old"),
-            col(hashCol).as("graft_h2"), col("sl"), col("sv"),
-            col("graft_u")).hint("shuffle_hash"),
-          Seq("sl", "sv", "graft_u"))
-    }).select("d_new", "d_old", "graft_h1", "graft_h2").distinct()
-    cand
+    hammingCandidateJoin(batch, idCol, hashCol, indexSlices, bits, bands,
+        indexHint = Some("shuffle_hash"), checkpointCensus = false)
+      .select(col(idCol).as("d_new"), col("d_old"),
+        col("graft_h1"), col("graft_h2"))
+      .distinct()
       .withColumn("hamming",
         bit_count(col("graft_h1").bitwiseXOR(col("graft_h2"))))
       .filter(col("hamming") <= maxDist)
       .select(col("d_new"), col("d_old"), col("hamming"))
+  }
+
+  /**
+   * The ONE copy of the new-side-vs-stored-Hamming-index candidate join,
+   * shared by [[dedupAgainstHammingIndex]] (batch) and
+   * [[graft.streaming.Streaming.nearDupHammingCandidates]] (stream) so
+   * the cap-split join semantics cannot drift between the twins (r19
+   * ADVICE). The two contract knobs that legitimately differ are
+   * PARAMETERS, not divergent copies:
+   *
+   *  - `indexHint`: batch hints `shuffle_hash` on the corpus-scale index
+   *    join (never a broadcast HashedRelation of the index); the
+   *    stream-static join omits it and leaves micro-batch planning to
+   *    Spark.
+   *  - `checkpointCensus`: a stream materializes the space-bounded
+   *    census ONCE at stream construction (eager localCheckpoint — the
+   *    executor-loss caveat documented at the stream call site) so it is
+   *    not recomputed per micro-batch; batch recomputes it inside the
+   *    one-shot job.
+   *
+   * Slices the new side per band, then joins index rows: plain (sl, sv)
+   * equi-join for an uncapped index, or broadcast-census → explode ≤ m →
+   * (sl, sv, graft_u) block join for a cap-split [[hammingIndex]].
+   * Returns one row per colliding (new, old, slice): (`idCol`, graft_h1,
+   * sl, sv, d_old, graft_h2) — the batch caller dedups pairs and drops
+   * slices; the stream caller verifies in-stream and keeps them.
+   */
+  private[graft] def hammingCandidateJoin(newSide: DataFrame, idCol: String,
+                                          hashCol: String,
+                                          indexSlices: DataFrame,
+                                          bits: Int, bands: Int,
+                                          indexHint: Option[String],
+                                          checkpointCensus: Boolean)
+      : DataFrame = {
+    val nb = hammingSliceRows(newSide, idCol, hashCol, bits, bands)
+      .select(col(idCol), col(hashCol).as("graft_h1"),
+        col("sl"), col("sv"))
+    def hinted(df: DataFrame): DataFrame = indexHint.fold(df)(df.hint(_))
+    if (!indexSlices.columns.contains("graft_m"))
+      nb.join(hinted(indexSlices.select(col(idCol).as("d_old"),
+        col(hashCol).as("graft_h2"), col("sl"), col("sv"))),
+        Seq("sl", "sv"))
+    else {
+      val census0 = indexSlices
+        .select(col("sl"), col("sv"), col("graft_m")).distinct()
+      val census =
+        if (checkpointCensus) census0.localCheckpoint(eager = true)
+        else census0
+      nb.join(broadcast(census), Seq("sl", "sv"))
+        .withColumn("graft_u",
+          explode(sequence(lit(0L), col("graft_m") - 1)))
+        .join(hinted(indexSlices.select(col(idCol).as("d_old"),
+            col(hashCol).as("graft_h2"), col("sl"), col("sv"),
+            col("graft_u"))),
+          Seq("sl", "sv", "graft_u"))
+    }
   }
 
   /**
@@ -1466,6 +1508,7 @@ object TextDedup {
   def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
 
   /**
    * Per-document boilerplate audit: the fraction of a document's

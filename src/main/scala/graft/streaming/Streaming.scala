@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import graft.etl.BronzeToSilver
 import graft.model.Schemas
 
@@ -201,28 +201,15 @@ object Streaming {
                                maxDist: Int): DataFrame = {
     require(maxDist <= bands - 1,
       s"pigeonhole recall needs maxDist <= bands-1 (= ${bands - 1})")
-    val sb = graft.operators.TextDedup
-      .hammingSliceRows(hashStream, idCol, hashCol, bits, bands)
-      .select(col(idCol), col(hashCol).as("graft_h1"), col("sl"),
-        col("sv"))
-    val joined =
-      if (!indexSlices.columns.contains("graft_m"))
-        sb.join(indexSlices.select(col(idCol).as("d_old"),
-          col(hashCol).as("graft_h2"), col("sl"), col("sv")),
-          Seq("sl", "sv"))
-      else {
-        val census = indexSlices
-          .select(col("sl"), col("sv"), col("graft_m"))
-          .distinct()
-          .localCheckpoint(eager = true)
-        sb.join(broadcast(census), Seq("sl", "sv"))
-          .withColumn("graft_u",
-            explode(sequence(lit(0L), col("graft_m") - 1)))
-          .join(indexSlices.select(col(idCol).as("d_old"),
-              col(hashCol).as("graft_h2"), col("sl"), col("sv"),
-              col("graft_u")), Seq("sl", "sv", "graft_u"))
-      }
-    joined
+    // the candidate join is the batch operator's, by construction (one
+    // shared builder — r19 ADVICE): the stream differs ONLY in the two
+    // declared knobs — no shuffle_hash hint (stream-static planning) and
+    // a construction-time census checkpoint (the executor-loss caveat in
+    // this scaladoc) — and in verifying in-stream without a pair-level
+    // distinct (downstream foreachBatch dedups ids, the twins' contract)
+    graft.operators.TextDedup
+      .hammingCandidateJoin(hashStream, idCol, hashCol, indexSlices,
+        bits, bands, indexHint = None, checkpointCensus = true)
       .withColumn("hamming",
         bit_count(col("graft_h1").bitwiseXOR(col("graft_h2"))))
       .filter(col("hamming") <= maxDist)
@@ -326,6 +313,111 @@ object Streaming {
   }
 
   /**
+   * The ONE copy of the first-wins keyed claim machinery (r19 ADVICE:
+   * the per-family flatMapGroupsWithState blocks were near-identical
+   * copies whose invariants could drift). Generic over the bucket key's
+   * second component `B` (a band hash String for text, a signature/slice
+   * value Long for embeddings and Hamming) and the family's output row
+   * `R`; every family instantiates THIS helper, so a semantics fix —
+   * claim policy, state timeout, consolidation order — lands in one
+   * place.
+   *
+   * Claim contract (spec-asserted per family): ownership is first-wins
+   * ACROSS micro-batches and min-id WITHIN one. The STORED claim wins:
+   * min(stored, batch) would let a later, smaller id silently take
+   * ownership and pass the online filter un-flagged — both copies of
+   * the duplicate would ship. State is ONE Long per distinct (a, b)
+   * bucket. The per-batch group materializes as an in-memory array
+   * (bounded by the micro-batch's bucket share — the split variant
+   * bounds it by ~B/splits; contract documented at each public stream).
+   */
+  private def firstWinsClaims[B, R](rows: Dataset[(Long, Int, B)],
+                                    mk: (Long, Int, B, Long, Boolean) => R)
+                                   (implicit ke: Encoder[(Int, B)],
+                                    re: Encoder[R]): Dataset[R] = {
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    rows.groupByKey { case (_, a, b) => (a, b) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, B), rs: Iterator[(Long, Int, B)],
+         state: GroupState[Long]) =>
+          val ids = rs.map(_._1).toArray.sorted
+          val owner = state.getOption.getOrElse(ids.head)
+          state.update(owner)
+          ids.iterator.map(id => mk(id, key._1, key._2, owner, id != owner))
+      }
+  }
+
+  /**
+   * The split (hot-bucket-bounded) variant of [[firstWinsClaims]], the
+   * one copy of the two-level claim/consolidation machinery: level 1
+   * claims per deterministic sub-bucket (`u`, computed by the caller —
+   * xxhash64(id) mod splits at every call site); level 2 consolidates
+   * the ≤ `splits` sub-owner ANNOUNCEMENTS per bucket (each sub-bucket
+   * announces exactly once, ever — its first claim) while level-1 dups
+   * pass through on singleton keys, so ONE chained operator carries both
+   * row kinds — legal in one query because both operators run in append
+   * mode. The boolean in the level-2 key keeps any doc id (negative ids
+   * included) collision-free with the announcement key.
+   *
+   * Output contract (spec-asserted per family): every arriving (id, a)
+   * appears exactly once; the FLAG set is bit-identical to
+   * [[firstWinsClaims]]'s (within a batch the bucket min is the min over
+   * sub-bucket minima; across batches a later doc either loses its
+   * sub-bucket or announces into an owned bucket — the stored claim is
+   * never displaced at either level); a flagged row's owner points ≤ 2
+   * hops up the claim chain (dup → sub-owner → owner), both hops present
+   * in the stream — exactly a union-find parent pointer. State: one Long
+   * per distinct (a, b, u) plus one per (a, b) — ≤ (splits + 1)× the
+   * unsplit stream's entries.
+   */
+  private def firstWinsClaimsSplit[B, R](
+      rows: Dataset[(Long, Int, B, Long)],
+      mk: (Long, Int, B, Long, Boolean) => R)
+     (implicit k1: Encoder[(Int, B, Long)],
+      // level-1 rows are (id, a, b, sub-owner, is_dup) TUPLES, not a
+      // dedicated case class: janino cannot compile the deserializer of
+      // a GENERIC case class (erased accessor lookup fails — measured,
+      // r20), while tuple encoders with a generic component are the
+      // same machinery the keys already use
+      se: Encoder[(Long, Int, B, Long, Boolean)],
+      k2: Encoder[(Int, B, Boolean, Long)], re: Encoder[R]): Dataset[R] = {
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    val level1 = rows
+      .groupByKey { case (_, a, b, u) => (a, b, u) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, B, Long), rs: Iterator[(Long, Int, B, Long)],
+         state: GroupState[Long]) =>
+          val ids = rs.map(_._1).toArray.sorted
+          val owner = state.getOption.getOrElse(ids.head)
+          state.update(owner)
+          ids.iterator.map(id =>
+            (id, key._1, key._2, owner, id != owner))
+      }
+    level1
+      .groupByKey(c =>
+        if (c._5) (c._2, c._3, false, c._1)
+        else (c._2, c._3, true, 0L))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, B, Boolean, Long),
+         rs: Iterator[(Long, Int, B, Long, Boolean)],
+         state: GroupState[Long]) =>
+          if (!key._3)
+            // pass-through: already-flagged sub-bucket dups (stateless)
+            rs.map(c => mk(c._1, c._2, c._3, c._4, true))
+          else {
+            val anns = rs.toArray.sortBy(_._1) // ≤ splits per batch
+            val owner = state.getOption.getOrElse(anns.head._1)
+            state.update(owner)
+            anns.iterator.map(c =>
+              mk(c._1, c._2, c._3, owner, c._1 != owner))
+          }
+      }
+  }
+
+  /**
    * Streaming SELF-dedup via first-wins LSH bucket claims — the
    * stateful complement of [[nearDupCandidates]] (which checks a stream
    * against a STATIC index): here the stream is its own index. Each
@@ -363,26 +455,8 @@ object Streaming {
       .bandsPerRow(docs, idCol, textCol, k, r, w)
       .select(col(idCol).cast("long").as("doc_id"), col("band"), col("bh"))
       .as[(Long, Int, String)]
-    bands.groupByKey { case (_, band, bh) => (band, bh) }
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (key: (Int, String), rows: Iterator[(Long, Int, String)],
-         state: GroupState[Long]) =>
-          val ids = rows.map(_._1).toArray.sorted
-          // the STORED claim wins: min(stored, batch) would let a later,
-          // smaller id silently take ownership and pass the online
-          // filter un-flagged — both copies of the duplicate would ship
-          val owner = state.getOption.getOrElse(ids.head)
-          state.update(owner)
-          ids.iterator.map(id =>
-            BucketClaim(id, key._1, key._2, owner, id != owner))
-      }
+    firstWinsClaims(bands, BucketClaim.apply)
   }
-
-  /** Output row of [[lshBucketClaimStreamSplit]] level 1: one row per
-    * (document, band) with the SUB-bucket's current owner. */
-  case class SubBucketClaim(doc_id: Long, band: Int, bh: String,
-                            u: Long, owner: Long, is_dup: Boolean)
 
   /**
    * Hot-bucket-bounded streaming LSH self-dedup — the capped variant of
@@ -428,47 +502,7 @@ object Streaming {
       .select(col(idCol).cast("long").as("doc_id"), col("band"), col("bh"),
         pmod(xxhash64(col(idCol)), lit(splits.toLong)).as("u"))
       .as[(Long, Int, String, Long)]
-    val level1 = bands
-      .groupByKey { case (_, band, bh, u) => (band, bh, u) }
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (key: (Int, String, Long), rows: Iterator[(Long, Int, String, Long)],
-         state: GroupState[Long]) =>
-          val ids = rows.map(_._1).toArray.sorted
-          val owner = state.getOption.getOrElse(ids.head)
-          state.update(owner)
-          ids.iterator.map(id =>
-            SubBucketClaim(id, key._1, key._2, key._3, owner, id != owner))
-      }
-    // level 2: sub-owner announcements (the doc that holds its
-    // sub-bucket) consolidate per (band, bh); level-1 dups pass through
-    // on singleton keys so ONE chained operator carries both row kinds
-    // (each sub-bucket announces exactly once, ever — its first claim)
-    level1
-      .groupByKey(c =>
-        // announcements share ONE group per bucket; dups ride singleton
-        // pass-through groups — the boolean keeps any doc id (negative
-        // ids included) collision-free with the announcement key
-        if (c.is_dup) (c.band, c.bh, false, c.doc_id)
-        else (c.band, c.bh, true, 0L))
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (key: (Int, String, Boolean, Long),
-         rows: Iterator[SubBucketClaim],
-         state: GroupState[Long]) =>
-          if (!key._3)
-            // pass-through: already-flagged sub-bucket dups (stateless)
-            rows.map(c =>
-              BucketClaim(c.doc_id, c.band, c.bh, c.owner, is_dup = true))
-          else {
-            val anns = rows.toArray.sortBy(_.doc_id) // ≤ splits per batch
-            val owner = state.getOption.getOrElse(anns.head.doc_id)
-            state.update(owner)
-            anns.iterator.map(c =>
-              BucketClaim(c.doc_id, c.band, c.bh, owner,
-                c.doc_id != owner))
-          }
-      }
+    firstWinsClaimsSplit(bands, BucketClaim.apply)
   }
 
   /** Output row of [[embBucketClaimStream]]: one row per arriving
@@ -510,24 +544,8 @@ object Streaming {
         dims)
       .select(col(idCol).cast("long").as("vec_id"), col("tbl"), col("sig"))
       .as[(Long, Int, Long)]
-    sigs.groupByKey { case (_, tbl, sig) => (tbl, sig) }
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (key: (Int, Long), rows: Iterator[(Long, Int, Long)],
-         state: GroupState[Long]) =>
-          val ids = rows.map(_._1).toArray.sorted
-          // stored claim wins (the lshBucketClaimStream rationale)
-          val owner = state.getOption.getOrElse(ids.head)
-          state.update(owner)
-          ids.iterator.map(id =>
-            EmbBucketClaim(id, key._1, key._2, owner, id != owner))
-      }
+    firstWinsClaims(sigs, EmbBucketClaim.apply)
   }
-
-  /** Output row of [[embBucketClaimStreamSplit]] level 1: one row per
-    * (vector, table) with the SUB-bucket's current owner. */
-  case class EmbSubBucketClaim(vec_id: Long, tbl: Int, sig: Long,
-                               u: Long, owner: Long, is_dup: Boolean)
 
   /**
    * Hot-bucket-bounded streaming embedding self-dedup — the
@@ -561,44 +579,7 @@ object Streaming {
       .select(col(idCol).cast("long").as("vec_id"), col("tbl"), col("sig"),
         pmod(xxhash64(col(idCol)), lit(splits.toLong)).as("u"))
       .as[(Long, Int, Long, Long)]
-    val level1 = sigs
-      .groupByKey { case (_, tbl, sig, u) => (tbl, sig, u) }
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (key: (Int, Long, Long), rows: Iterator[(Long, Int, Long, Long)],
-         state: GroupState[Long]) =>
-          val ids = rows.map(_._1).toArray.sorted
-          val owner = state.getOption.getOrElse(ids.head)
-          state.update(owner)
-          ids.iterator.map(id =>
-            EmbSubBucketClaim(id, key._1, key._2, key._3, owner,
-              id != owner))
-      }
-    // level 2: the lshBucketClaimStreamSplit consolidation, verbatim —
-    // announcements share one group per bucket, dups ride singleton
-    // pass-through groups keyed collision-free by the boolean
-    level1
-      .groupByKey(c =>
-        if (c.is_dup) (c.tbl, c.sig, false, c.vec_id)
-        else (c.tbl, c.sig, true, 0L))
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (key: (Int, Long, Boolean, Long),
-         rows: Iterator[EmbSubBucketClaim],
-         state: GroupState[Long]) =>
-          if (!key._3)
-            rows.map(c =>
-              EmbBucketClaim(c.vec_id, c.tbl, c.sig, c.owner,
-                is_dup = true))
-          else {
-            val anns = rows.toArray.sortBy(_.vec_id) // ≤ splits per batch
-            val owner = state.getOption.getOrElse(anns.head.vec_id)
-            state.update(owner)
-            anns.iterator.map(c =>
-              EmbBucketClaim(c.vec_id, c.tbl, c.sig, owner,
-                c.vec_id != owner))
-          }
-      }
+    firstWinsClaimsSplit(sigs, EmbBucketClaim.apply)
   }
 
   /** Output row of [[hammingBucketClaimStream]]: one row per arriving
@@ -639,22 +620,8 @@ object Streaming {
       .hammingSliceRows(hashStream, idCol, hashCol, bits, bands)
       .select(col(idCol).cast("long").as("doc_id"), col("sl"), col("sv"))
       .as[(Long, Int, Long)]
-    slices.groupByKey { case (_, sl, sv) => (sl, sv) }
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (key: (Int, Long), rows: Iterator[(Long, Int, Long)],
-         state: GroupState[Long]) =>
-          val ids = rows.map(_._1).toArray.sorted
-          val owner = state.getOption.getOrElse(ids.head)
-          state.update(owner)
-          ids.iterator.map(id =>
-            HamBucketClaim(id, key._1, key._2, owner, id != owner))
-      }
+    firstWinsClaims(slices, HamBucketClaim.apply)
   }
-
-  /** Output row of [[hammingBucketClaimStreamSplit]] level 1. */
-  case class HamSubBucketClaim(doc_id: Long, sl: Int, sv: Long,
-                               u: Long, owner: Long, is_dup: Boolean)
 
   /**
    * Hot-bucket-bounded streaming Hamming self-dedup — the
@@ -678,40 +645,7 @@ object Streaming {
       .select(col(idCol).cast("long").as("doc_id"), col("sl"), col("sv"),
         pmod(xxhash64(col(idCol)), lit(splits.toLong)).as("u"))
       .as[(Long, Int, Long, Long)]
-    val level1 = slices
-      .groupByKey { case (_, sl, sv, u) => (sl, sv, u) }
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (key: (Int, Long, Long), rows: Iterator[(Long, Int, Long, Long)],
-         state: GroupState[Long]) =>
-          val ids = rows.map(_._1).toArray.sorted
-          val owner = state.getOption.getOrElse(ids.head)
-          state.update(owner)
-          ids.iterator.map(id =>
-            HamSubBucketClaim(id, key._1, key._2, key._3, owner,
-              id != owner))
-      }
-    level1
-      .groupByKey(c =>
-        if (c.is_dup) (c.sl, c.sv, false, c.doc_id)
-        else (c.sl, c.sv, true, 0L))
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (key: (Int, Long, Boolean, Long),
-         rows: Iterator[HamSubBucketClaim],
-         state: GroupState[Long]) =>
-          if (!key._3)
-            rows.map(c =>
-              HamBucketClaim(c.doc_id, c.sl, c.sv, c.owner, is_dup = true))
-          else {
-            val anns = rows.toArray.sortBy(_.doc_id) // ≤ splits per batch
-            val owner = state.getOption.getOrElse(anns.head.doc_id)
-            state.update(owner)
-            anns.iterator.map(c =>
-              HamBucketClaim(c.doc_id, c.sl, c.sv, owner,
-                c.doc_id != owner))
-          }
-      }
+    firstWinsClaimsSplit(slices, HamBucketClaim.apply)
   }
 
   /** Output row of [[paragraphClaimStream]]: one row per arriving
