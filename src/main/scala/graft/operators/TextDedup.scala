@@ -1509,6 +1509,61 @@ object TextDedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /**
+   * The dominant-pile PRESCRIPTION of [[graft.operators.Profiling
+   * .dedupPolicyAudit]] run END-TO-END (r19 verdict item 1): when one
+   * bucket's pairwise output exceeds corpus-linear work (max_bucket² >
+   * n_rows — a giant exact-copy pile), a lossless pairwise stage is
+   * OUTPUT-quadratic no matter the plan shape, so the audit routes to
+   * [[exactDedup]] FIRST and runs the salt-split LSH
+   * ([[minHashLshPairs]] with `maxBucket`) only over the RESIDUAL —
+   * one survivor per distinct text.
+   *
+   * Output is the lossless result in its pile-compressed form, one
+   * DataFrame with a `kind` discriminator:
+   *  - `kind = "exact"`: (d1 = group survivor [min id], d2 = member,
+   *    jaccard = 1.0) for every non-survivor member — the member map a
+   *    full lossless pair chain's within-group pairs collapse to
+   *    (identical texts ⇒ identical shingle sets ⇒ identical band
+   *    signatures ⇒ every within-group pair is a candidate with
+   *    Jaccard exactly 1.0, so the B(B−1)/2 pair rows carry no more
+   *    information than the B−1 map rows);
+   *  - `kind = "near"`: (d1 < d2, jaccard) over the residual survivors
+   *    — one row per near-dup GROUP pair, where the full chain emits
+   *    one row per member pair with the identical jaccard (a pure
+   *    function of the two texts).
+   * Any full-chain pair is mechanically recoverable: expand each near
+   * row over its two groups' members, each exact group over its member
+   * pairs — q386's naive comparator gate performs exactly that collapse
+   * on the full chain and hashes identical (losslessness, machine-
+   * checked), while THIS chain's pairwise stage only ever sees the
+   * residual (the quadratic bend flattens — BENCH_SCALING q385 vs
+   * q386).
+   *
+   * Scale shape: [[exactDedup]]'s hash-groupBy keys the shuffle by
+   * |distinct texts|; the member-map join re-shuffles the corpus by the
+   * same key. Both key on the raw text here — at 100 TB pre-project a
+   * fixed-width digest (e.g. md5(text)) as the group key to keep
+   * shuffle rows narrow; the operator takes the text column as given so
+   * the caller owns that trade (a digest key makes the result exact
+   * only up to hash collisions).
+   */
+  def exactThenLshDedup(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16, r: Int = 4, w: Int = 3,
+                        threshold: Double = 0.5,
+                        maxBucket: Option[Long] = None): DataFrame = {
+    val ex = exactDedup(docs, idCol, Seq(textCol))
+    val exactRows = docs.select(col(idCol).as("d2"), col(textCol))
+      .join(ex.select(col(textCol), col(idCol).as("d1")), Seq(textCol))
+      .filter(col("d2") =!= col("d1"))
+      .select(col("d1"), col("d2"), lit(1.0).as("jaccard"),
+        lit("exact").as("kind"))
+    val near = minHashLshPairs(ex.select(col(idCol), col(textCol)),
+        idCol, textCol, k, r, w, threshold, maxBucket)
+      .select(col("d1"), col("d2"), col("jaccard"),
+        lit("near").as("kind"))
+    exactRows.unionByName(near)
+  }
 
   /**
    * Per-document boilerplate audit: the fraction of a document's

@@ -547,21 +547,30 @@ object ScalePathQueries {
     * operator, pile size flips the regime, and a lossless pairwise
     * stage on a giant identical pile is output-quadratic no matter the
     * plan shape. */
-  def q382PolicyAuditPile(s: SparkSession, dir: String): DataFrame = {
-    val docs = Sources.documents(s, dir).select(col("doc_id"),
-      when(col("doc_id") % 2 === 0, lit("x y z w v"))
-        .otherwise(col("text")).as("text"))
+  def q382PolicyAuditPile(s: SparkSession, dir: String): DataFrame =
     Profiling.dedupPolicyAudit(
-      TextDedup.lshBandBucketSizes(docs, "doc_id", "text",
+      TextDedup.lshBandBucketSizes(pileDocs(s, dir), "doc_id", "text",
         k = 16, r = 4, w = 3),
       "bucket_size", capTarget = 2L, spaceSize = None)
-  }
 
-  val q382Sql: String = policyAuditSql(
+  /** The adversarial-pile fixture shared by q382 (the audit's DECISION)
+    * and q385/q386 (the prescription's VALUE): half the corpus collapsed
+    * onto ONE text — every even doc_id — so four band buckets each hold
+    * n_docs/2 members. */
+  private def pileDocs(s: SparkSession, dir: String): DataFrame =
+    Sources.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, lit("x y z w v"))
+        .otherwise(col("text")).as("text"))
+
+  /** SQL twin of [[pileDocs]] (CTE named `docs`). */
+  private val pileDocsSql: String =
     """docs AS (SELECT doc_id,
       |           CASE WHEN doc_id % 2 = 0 THEN 'x y z w v' ELSE text END
       |             AS text
-      |         FROM documents),
+      |         FROM documents)""".stripMargin
+
+  val q382Sql: String = policyAuditSql(
+    s"""$pileDocsSql,
       |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
       |sh AS (SELECT DISTINCT doc_id,
       |         unnest(list_transform(range(1, len(w) - 1),
@@ -648,6 +657,172 @@ object ScalePathQueries {
     sigSql + ",\ncensus AS (SELECT COUNT(*) AS bs FROM sig GROUP BY tbl, sig)",
     capTarget = 40L, spaceSize = Some(64L))
 
+  /** q387: the audit→WIDEN→re-audit→cap loop closed (r19 verdict item
+    * 2). q384 reads the 4×4-plane embedding census as SATURATED (n_rows
+    * ≥ space 64), where `multiplicity_est` measures the saturation
+    * level, not pile size — its rec_cap is knowingly a pre-widening
+    * reading and the policy row says `widen+drop-cap`. THIS gate
+    * performs the widen — planesPerTable 4 → 16, bucket space 4·2¹⁶ =
+    * 262,144 ≫ n_rows 8,000/32,000 — and re-runs [[Profiling
+    * .dedupPolicyAudit]] at the same capTarget on the WIDENED census
+    * ([[Similarity.lshBucketSizes]] — still ONE map-side-combinable
+    * hash-agg; the census stays ≤ min(corpus·tables, space) rows),
+    * emitting the USABLE post-widening prescription. What it reveals on
+    * the base corpus: the apparent piles (max 49/177 in the 16-value
+    * space, hash-pinned by q384) were chance saturation collisions, not
+    * content piles — the widened census reads max_bucket 2/4 ≤
+    * capTarget, policy `uncapped`, rec_cap 0 at BOTH SFs (there are no
+    * duplicate embedding vectors in the base corpora). On a pile-bearing
+    * corpus the same re-audit reads the pile instead: identical vectors
+    * sign identically in ANY widened space, so the verbatim scale
+    * corpora's exact-copy piles become the widened max_bucket and the
+    * salt-split/dominant-pile branches take over (the q338/q380 cap-40
+    * regime — BENCH_NOTES_r20 carries the measured widened-audit row on
+    * the 5× verbatim corpus). */
+  def q387PolicyReauditWidened(s: SparkSession, dir: String): DataFrame =
+    Profiling.dedupPolicyAudit(
+      Similarity.lshBucketSizes(Sources.embeddings(s, dir),
+        "vec_id", "embedding", nTables = 4, planesPerTable = 16,
+        dims = 64),
+      "bucket_size", capTarget = 40L, spaceSize = Some(262144L))
+
+  val q387Sql: String = policyAuditSql(
+    """proj AS (
+      |  SELECT vec_id, p,
+      |    list_sum(list_transform(range(1, len(embedding) + 1),
+      |      d -> embedding[d]::DOUBLE *
+      |        ((strpos('0123456789abcdef',
+      |            substr(md5(p::VARCHAR || '_' || (d - 1)::VARCHAR), 1, 1)) - 1)
+      |          % 2 * 2 - 1))) AS proj
+      |  FROM embeddings CROSS JOIN range(0, 64) t(p)),
+      |sig AS (SELECT vec_id, p // 16 AS tbl,
+      |          CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << (p % 16))
+      |            ELSE 0 END) AS BIGINT) AS sig
+      |        FROM proj GROUP BY vec_id, p // 16),
+      |census AS (SELECT COUNT(*) AS bs FROM sig GROUP BY tbl, sig)""".stripMargin,
+    capTarget = 40L, spaceSize = Some(262144L))
+
+  // ── q385/q386: the dominant-pile prescription run END-TO-END ──────────
+
+  /** q385: [[TextDedup.exactThenLshDedup]] on q382's adversarial-pile
+    * fixture — the exact chain q382's gated decision row prescribes
+    * ("exact-dedup+salt-split"), run end-to-end so the audit's
+    * highest-value branch has machine-checked VALUE, not just a
+    * machine-checked decision (r19 verdict item 1). [[TextDedup
+    * .exactDedup]] collapses the n/2-member pile (and sf0.1's natural
+    * duplicate texts) to one survivor each; the q358 salt-split LSH
+    * (maxBucket = 2 — engaging on the residual, whose natural band
+    * buckets reach 3/4 at the test SFs) runs over survivors only, so
+    * the pairwise stage never sees the pile. The oracle is the FULL
+    * lossless UNCAPPED chain over the whole fixture corpus — q19's
+    * computation, paying the B(B−1)/2 within-pile pairs in DuckDB —
+    * collapsed to the prescription's pile-compressed form, with an
+    * in-oracle `error()` guard (the q336 convention) proving the
+    * collapse lossless: every same-text pair IS a full-chain candidate
+    * (identical texts ⇒ identical bands), counted and compared to
+    * Σ c(c−1)/2. Hash-green = the cheap chain carries exactly the
+    * lossless chain's information. */
+  def q385PilePrescribed(s: SparkSession, dir: String): DataFrame =
+    TextDedup.exactThenLshDedup(pileDocs(s, dir), "doc_id", "text",
+        k = 16, r = 4, w = 3, threshold = 0.5, maxBucket = Some(2L))
+      .orderBy(col("kind"), col("d1"), col("d2"))
+
+  /** q386: the NAIVE lossless comparator — the full uncapped
+    * [[TextDedup.minHashLshPairs]] over the pile corpus (deliberately
+    * paying the B²/2 within-pile candidate AND verify rows the
+    * prescription avoids), collapsed AFTERWARDS to q385's output form:
+    * within-group pairs with d1 = the group's min id ARE the member
+    * map; cross-group pairs map to survivor pairs (jaccard is a pure
+    * function of the two texts, so the collapse dedups bit-identical
+    * rows). Shares q385's oracle — both hash-green proves prescribed ≡
+    * naive ≡ the DuckDB lossless chain; BENCH_SCALING reads THIS gate
+    * against q385 at 5×/10× for the quadratic-bend-flattened evidence
+    * (the q380-vs-q381 shape, on the pile). */
+  def q386PileNaive(s: SparkSession, dir: String): DataFrame = {
+    val docs = pileDocs(s, dir)
+    val pairs = TextDedup.minHashLshPairs(docs, "doc_id", "text",
+      k = 16, r = 4, w = 3, threshold = 0.5, maxBucket = None)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+    val groups = docs.select(col("doc_id"),
+      min(col("doc_id")).over(w).as("graft_surv"))
+    val j = pairs
+      .join(groups.select(col("doc_id").as("d1"),
+        col("graft_surv").as("graft_s1")), "d1")
+      .join(groups.select(col("doc_id").as("d2"),
+        col("graft_surv").as("graft_s2")), "d2")
+    val exact = j
+      .filter(col("graft_s1") === col("graft_s2") &&
+        col("d1") === col("graft_s1"))
+      .select(col("d1"), col("d2"), col("jaccard"), lit("exact").as("kind"))
+    val near = j.filter(col("graft_s1") =!= col("graft_s2"))
+      .select(least(col("graft_s1"), col("graft_s2")).as("d1"),
+        greatest(col("graft_s1"), col("graft_s2")).as("d2"),
+        col("jaccard"), lit("near").as("kind"))
+      .distinct()
+    exact.unionByName(near).orderBy(col("kind"), col("d1"), col("d2"))
+  }
+
+  /** q385/q386's shared oracle: the full-corpus UNCAPPED q19 chain over
+    * the pile fixture, collapsed to the prescription's output form.
+    * The `wg`-vs-`expect` guard machine-checks the collapse theorem
+    * inside the oracle itself (riding the always-non-empty exact rows,
+    * lazily via CASE — the q336 guard convention). */
+  val q385Sql: String =
+    s"""WITH $pileDocsSql,
+      |g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS surv
+      |      FROM docs),
+      |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |hw AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('a_' || s), j, 1)) - 1)
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h1,
+      |         CAST(list_sum(list_transform(range(1, 9), j ->
+      |           (strpos('0123456789abcdef', substr(md5('b_' || s), j, 1)) - 1)
+      |             * (1::BIGINT << (4 * (8 - j))))) AS BIGINT) AS h2
+      |       FROM sh),
+      |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS sig
+      |        FROM hw CROSS JOIN range(0, 16) t(i) GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band,
+      |            md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bh
+      |          FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |         WHERE a.doc_id < b.doc_id),
+      |wg AS (SELECT COUNT(*) AS n FROM cand c
+      |       JOIN g g1 ON g1.doc_id = c.d1
+      |       JOIN g g2 ON g2.doc_id = c.d2
+      |       WHERE g1.surv = g2.surv),
+      |expect AS (SELECT COALESCE(SUM(c * (c - 1) // 2), 0) AS n
+      |           FROM (SELECT COUNT(*) AS c FROM docs GROUP BY text)),
+      |nearc AS (SELECT DISTINCT least(g1.surv, g2.surv) AS d1,
+      |            greatest(g1.surv, g2.surv) AS d2
+      |          FROM cand c JOIN g g1 ON g1.doc_id = c.d1
+      |                      JOIN g g2 ON g2.doc_id = c.d2
+      |          WHERE g1.surv <> g2.surv),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.d1, c.d2, count(*) AS inter FROM nearc c
+      |          JOIN sh a ON a.doc_id = c.d1
+      |          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+      |          GROUP BY c.d1, c.d2)
+      |SELECT d1, d2, jaccard, kind FROM (
+      |  SELECT surv AS d1, doc_id AS d2, CAST(1.0 AS DOUBLE) AS jaccard,
+      |    CASE WHEN (SELECT n FROM wg) <> (SELECT n FROM expect)
+      |         THEN error('within-group LSH candidate set incomplete: the member-map collapse would be lossy')
+      |         ELSE 'exact' END AS kind
+      |  FROM g WHERE doc_id <> surv
+      |  UNION ALL
+      |  SELECT i.d1, i.d2,
+      |    CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) AS jaccard,
+      |    'near' AS kind
+      |  FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
+      |               JOIN sz s2 ON i.d2 = s2.doc_id
+      |  WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= 0.5)
+      |ORDER BY kind, d1, d2""".stripMargin
+
   // ── q383: incremental Hamming dedup vs the cap-split stored index ─────
 
   /** q383: [[TextDedup.hammingIndex]] (maxBucket = 1 — the cap bites in
@@ -664,17 +839,48 @@ object ScalePathQueries {
     * the two hashes riding the rows — no second verify table. The
     * oracle is the UNCAPPED new×old slice-collision chain: hash-green
     * IS the losslessness proof (the q375 convention). */
-  def q383HammingIndexDedup(s: SparkSession, dir: String): DataFrame = {
+  def q383HammingIndexDedup(s: SparkSession, dir: String): DataFrame =
+    hammingIndexDedupAt(s, dir, maxBucket = Some(1L))
+
+  /** The q383 chain with the index cap as the only knob — q383 gates
+    * the deliberately-maximal split (cap 1), q388 the production cap,
+    * q389 the uncapped comparator; all three share the UNCAPPED oracle
+    * (the cap parameter is hash-proven lossless at every setting). */
+  private def hammingIndexDedupAt(s: SparkSession, dir: String,
+                                  maxBucket: Option[Long]): DataFrame = {
     val hashed = TextDedup.simHashWide(
       Sources.documents(s, dir), "doc_id", "text", 60)
     val idx = TextDedup.hammingIndex(
       hashed.filter(col("doc_id") % 2 === 0), "doc_id", "simhash",
-      bits = 60, bands = 4, maxBucket = Some(1L))
+      bits = 60, bands = 4, maxBucket = maxBucket)
     TextDedup.dedupAgainstHammingIndex(
         hashed.filter(col("doc_id") % 2 === 1), "doc_id", "simhash",
         idx, bits = 60, bands = 4, maxDist = 3)
       .orderBy(col("d_new"), col("d_old"))
   }
+
+  /** q388: the Hamming stored index at a PRODUCTION cap (r19 verdict
+    * item 5 — the q380 precedent on the Hamming column): maxBucket = 16
+    * ≈ the census's hot-tail knee, ENGAGING at both SFs (even-id slice
+    * buckets reach 78 at sf0.01 and 788 at sf0.1 — measured via the
+    * oracle's own slice CTE), so over-cap buckets really take the
+    * build-time round-robin split (m up to ⌈788/16⌉ = 50 cells) while
+    * the under-cap tail rides the plain join. Same UNCAPPED oracle as
+    * q383: hash-green IS the losslessness proof at the cap a deployment
+    * would ship; BENCH_SCALING reads this gate against q389 for the
+    * production-cap-wins-outright row. */
+  def q388HammingIndexProdCap(s: SparkSession, dir: String): DataFrame =
+    hammingIndexDedupAt(s, dir, maxBucket = Some(16L))
+
+  /** q389: the UNCAPPED comparator — the same chain over a plain
+    * [[TextDedup.hammingIndex]] (no build-time split; the collision
+    * join takes the single-key shuffle_hash path, funnelling each hot
+    * slice bucket through one join cell). Exists so the weak-scaling
+    * bench can read capped (q383/q388) against uncapped on identical
+    * corpora — output identical by losslessness, the PLANS differ
+    * (q380-vs-q381, third family). */
+  def q389HammingIndexUncapped(s: SparkSession, dir: String): DataFrame =
+    hammingIndexDedupAt(s, dir, maxBucket = None)
 
   val q383Sql: String =
     s"""WITH ${PipelineQueries.simHashSliceSql(60, 15)},

@@ -667,11 +667,13 @@ class PlanShapeSpec extends SparkSpec {
       // q285: four 1-row count aggregates crossJoined into the single
       // summary row — metadata by construction
       "q285_blocking_quality",
-      // q378/q379/q382: the dedupPolicyAudit single decision row
-      // assembles from 1-row aggregate broadcasts plus a metadata-scale
-      // size HISTOGRAM (≤ max_bucket rows) — the q285 shape
+      // q378/q379/q382/q384/q387: the dedupPolicyAudit single decision
+      // row assembles from 1-row aggregate broadcasts plus a
+      // metadata-scale size HISTOGRAM (≤ max_bucket rows) — the q285
+      // shape (q387 audits the WIDENED census: still ≤ space rows)
       "q378_policy_audit_skew", "q379_policy_audit_dense",
       "q382_policy_audit_pile", "q384_policy_audit_emb",
+      "q387_policy_reaudit_widened",
       // q288: the D-row depth grid broadcast onto two top-k lists
       "q288_rbo_agreement",
       // q289: DBSCAN's ε-graph uses the documented exact all-pairs
@@ -1100,12 +1102,14 @@ class PlanShapeSpec extends SparkSpec {
       // row two-sample value table — metadata by the operators'
       // bounded-integer-metric contract (twoSampleValueTable)
       "q315_mann_whitney", "q316_ks_drift",
-      // q378/q379/q382: exact rank picks run as cumulative windows
-      // over the bucket-size HISTOGRAM — ≤ max_bucket rows, metadata by
-      // the census→histogram hash-agg collapse (documented in
-      // dedupPolicyAudit's scale-shape note)
+      // q378/q379/q382/q384/q387: exact rank picks run as cumulative
+      // windows over the bucket-size HISTOGRAM — ≤ max_bucket rows,
+      // metadata by the census→histogram hash-agg collapse (documented
+      // in dedupPolicyAudit's scale-shape note; q387's widened census
+      // still collapses to the same ≤ max_bucket-row histogram)
       "q378_policy_audit_skew", "q379_policy_audit_dense",
       "q382_policy_audit_pile", "q384_policy_audit_emb",
+      "q387_policy_reaudit_widened",
       // q319: largest-remainder rank + slot sum over the |strata|-row
       // weight table (the q120 proportionalQuota allocation shape)
       "q319_neyman_alloc")
