@@ -1788,4 +1788,110 @@ class StreamingSpec extends SparkSpec {
     assert(byDoc(3L) == ((3L, "en", 3L, 1L)))
     assert(byDoc(4L) == ((4L, "de", 1L, 1L)))
   }
+
+  test("split claim stream bounds per-task group size on an adversarial hot bucket (text)") {
+    import spark.implicits._
+    import graft.operators.TextDedup
+    // the q382 pile shape AT INGEST: 30 of 60 docs share ONE text, so
+    // every pile band bucket holds half the micro-batch — exactly the
+    // concentration the plain stream funnels into one state task per
+    // bucket and the split stream spreads over (band, bh, u) sub-tasks
+    val streamDir = tmpDir("hotbucket-text-src")
+    val docs = (0L until 60L).map(i =>
+      (i, if (i % 2 == 0) "x y z w v"
+          else s"w${i}a w${i}b w${i}c w${i}d w${i}e"))
+      .toDF("doc_id", "text")
+    docs.coalesce(1).write.parquet(s"$streamDir/b1")
+    // fixture validity: the pile really concentrates — all 30 members in
+    // ONE (band, bh) bucket per band
+    val pileBuckets = TextDedup.bandsPerRow(docs, "doc_id", "text", 16, 4, 3)
+      .filter(col("doc_id") % 2 === 0)
+      .groupBy("band", "bh").count().collect()
+    assert(pileBuckets.length == 4 && pileBuckets.forall(_.getLong(2) == 30L),
+      "every pile band bucket must hold all 30 pile members")
+    val schema = spark.read.parquet(s"$streamDir/b1").schema
+    val splits = 4
+    def run(name: String,
+            mkStream: org.apache.spark.sql.DataFrame =>
+              org.apache.spark.sql.Dataset[Streaming.BucketClaim])
+        : Map[(Long, Int, String), Boolean] = {
+      val q = mkStream(spark.readStream.schema(schema)
+          .parquet(s"$streamDir/b*"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).as[(Long, Int, String, Long, Boolean)].collect()
+        .map(r => ((r._1, r._2, r._3), r._5)).toMap
+    }
+    val plain = run("hottextplain",
+      df => Streaming.lshBucketClaimStream(df, "doc_id", "text"))
+    val split = run("hottextsplit",
+      df => Streaming.lshBucketClaimStreamSplit(df, "doc_id", "text", splits))
+    // flag parity holds ON THE SKEWED FIXTURE (the StreamingSpec analogue
+    // of q382's adversarial gate)
+    assert(split.keySet == plain.keySet)
+    split.foreach { case (k, dup) =>
+      assert(dup == plain(k), s"flag mismatch at $k") }
+    // per-task bound: the split stream's level-1 state groups are keyed
+    // (band, bh, u = xxhash64(id) mod splits) BY CONSTRUCTION — recompute
+    // u for the pile and assert its micro-batch share spreads over
+    // sub-tasks (the documented ~B/splits contract) instead of the plain
+    // stream's single 30-member group
+    val cells = docs.filter(col("doc_id") % 2 === 0)
+      .select(pmod(xxhash64(col("doc_id")), lit(splits.toLong)).as("u"))
+      .groupBy("u").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.size == splits, s"pile must spread over all sub-buckets: $cells")
+    assert(cells.values.max < 30L, s"no sub-bucket may hold the whole pile: $cells")
+    assert(cells.values.max <= 2L * ((30 + splits - 1) / splits),
+      s"sub-bucket sizes should track ~B/splits: $cells")
+  }
+
+  test("split claim stream bounds per-task group size on an adversarial hot bucket (Hamming)") {
+    import spark.implicits._
+    import graft.operators.TextDedup
+    // same adversarial shape on the slice space: 30 of 60 hashes are ONE
+    // value, so each of the 4 slice buckets holds half the micro-batch
+    val streamDir = tmpDir("hotbucket-ham-src")
+    val hashes = (0L until 60L).map(i =>
+      (i, if (i % 2 == 0) 0x0F0F0F0FL else 0x10000000L + i * 1048583L))
+      .toDF("doc_id", "h")
+    hashes.coalesce(1).write.parquet(s"$streamDir/b1")
+    val pileBuckets = TextDedup.hammingSliceRows(hashes, "doc_id", "h", 32, 4)
+      .filter(col("doc_id") % 2 === 0)
+      .groupBy("sl", "sv").count().collect()
+    assert(pileBuckets.length == 4 && pileBuckets.forall(_.getLong(2) == 30L),
+      "every pile slice bucket must hold all 30 pile members")
+    val schema = spark.read.parquet(s"$streamDir/b1").schema
+    val splits = 4
+    def run(name: String,
+            mkStream: org.apache.spark.sql.DataFrame =>
+              org.apache.spark.sql.Dataset[Streaming.HamBucketClaim])
+        : Map[(Long, Int, Long), Boolean] = {
+      val q = mkStream(spark.readStream.schema(schema)
+          .parquet(s"$streamDir/b*"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).as[(Long, Int, Long, Long, Boolean)].collect()
+        .map(r => ((r._1, r._2, r._3), r._5)).toMap
+    }
+    val plain = run("hothamplain",
+      df => Streaming.hammingBucketClaimStream(df, "doc_id", "h",
+        bits = 32, bands = 4))
+    val split = run("hothamsplit",
+      df => Streaming.hammingBucketClaimStreamSplit(df, "doc_id", "h",
+        bits = 32, bands = 4, splits = splits))
+    assert(split.keySet == plain.keySet)
+    split.foreach { case (k, dup) =>
+      assert(dup == plain(k), s"flag mismatch at $k") }
+    val cells = hashes.filter(col("doc_id") % 2 === 0)
+      .select(pmod(xxhash64(col("doc_id")), lit(splits.toLong)).as("u"))
+      .groupBy("u").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.size == splits, s"pile must spread over all sub-buckets: $cells")
+    assert(cells.values.max < 30L, s"no sub-bucket may hold the whole pile: $cells")
+    assert(cells.values.max <= 2L * ((30 + splits - 1) / splits),
+      s"sub-bucket sizes should track ~B/splits: $cells")
+  }
 }
