@@ -675,10 +675,13 @@ object ScalePathQueries {
     * duplicate embedding vectors in the base corpora). On a pile-bearing
     * corpus the same re-audit reads the pile instead: identical vectors
     * sign identically in ANY widened space, so the verbatim scale
-    * corpora's exact-copy piles become the widened max_bucket and the
-    * salt-split/dominant-pile branches take over (the q338/q380 cap-40
-    * regime — BENCH_NOTES_r20 carries the measured widened-audit row on
-    * the 5× verbatim corpus). */
+    * corpora's exact-copy piles become the widened max_bucket —
+    * measured (BENCH_NOTES_r20): max_bucket = base-max × K exactly
+    * (20/40/80 at 5×/10×/20×) with multiplicity_est = K (the verbatim
+    * pile signature), and the policy flips to `salt-split` with
+    * rec_cap 40 at 20×, the densification where piles exceed the cap —
+    * the audit→widen→re-audit loop mechanically re-deriving q338/q380's
+    * hand-chosen production cap. */
   def q387PolicyReauditWidened(s: SparkSession, dir: String): DataFrame =
     Profiling.dedupPolicyAudit(
       Similarity.lshBucketSizes(Sources.embeddings(s, dir),
