@@ -147,6 +147,10 @@ object Preference {
             (col("graft_wt") * lit(S).cast(big) * lit(S).cast(big))
               .cast(big),
             col("graft_d"))).as("graft_bt"))
+        // r20: same cut as the bootstrap loop — p is broadcast twice
+        // next round; without the cut each broadcast re-ran the round's
+        // MM update (metadata-scale rows, so the cut is ~free)
+        .localCheckpoint(eager = false)
     }
     p.join(rawRecord(wd), Seq("item"))
       .select(col("item"), col("n_wins"), col("n_games"),
@@ -785,6 +789,11 @@ object Preference {
             (col("graft_wt") * lit(S).cast(big) * lit(S).cast(big))
               .cast(big),
             col("graft_d"))).as("graft_bt"))
+        // r20: p is broadcast TWICE next round (pi and pj) and each
+        // broadcast re-ran this round's whole MM update from the
+        // checkpointed pairR/totR — lineage-cut the (reps·|items|)-row
+        // strength table once per round so both broadcasts read blocks.
+        .localCheckpoint(eager = false)
     }
     // 5%-trimmed band of the replicate strengths (exact order stats)
     val trim = p.select(col("item"), col("graft_bt").cast(LongType)
@@ -1268,7 +1277,16 @@ object Preference {
         ExactRound.halfAwayDiv(col("graft_n").cast(big) * lit(S).cast(big),
           col("graft_ru").cast(big)).as("graft_t"))
     for (_ <- 1 to iters) {
-      val (pi, prior) = dsMStep(rt, combos, nC, t)
+      val (pi0, prior) = dsMStep(rt, combos, nC, t)
+      // r20: π is broadcast rMax times below (one join per rating slot)
+      // and each broadcast's child plan re-ran the WHOLE M-step subtree
+      // (the corpus-scale rt⋈T join + two aggregations) — the per-slot
+      // column renames defeat ReusedExchange's canonical match. π is
+      // metadata-scale (|judges|·C² rows); cutting its lineage once per
+      // cycle makes the rMax broadcasts read materialized blocks instead
+      // of re-running the M-step rMax times. (The prior is consumed
+      // once — no cut needed.)
+      val pi = pi0.localCheckpoint(eager = false)
       // E-step: pivot the unit's ≤ rMax (judge, label) slots, score
       // every candidate class with prior · Π_k π_k, renormalize per unit
       val pivotCols = (1 to rMax).flatMap { k =>

@@ -162,10 +162,32 @@ object Similarity {
    */
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
-    val a = embeddings.select(col(idCol).as("d1"), col(vecCol).as("v1"))
-    val b = embeddings.select(col(idCol).as("d2"), col(vecCol).as("v2"))
-    a.join(b, col("d1") < col("d2"))
-      .withColumn("cosine", round(cosine(col("v1"), col("v2")), 6))
+    // r20 optimization, two independent fixes to the O(n²) loop:
+    //  - PARALLELISM: the corpus parquet is a handful of input splits
+    //    (locally: one), so the nested-loop stream side ran the whole
+    //    quadratic loop on as many cores as there were files; AQE's
+    //    byte-based coalescing cannot help (a few MB of vectors "fit" in
+    //    one partition — the loop is compute-bound, not byte-bound). An
+    //    explicit numPartitions pins the exchange against coalescing and
+    //    scales with the cluster, not a local constant.
+    //  - FLOPS: each pair paid cosine_sim's fused 3-accumulator pass
+    //    (dot + both self-norms). The self-norms are per-VECTOR values:
+    //    hoist them to the two inputs (same left-to-right Σx·x fold,
+    //    |v1| = |v2| corpus-wide), so the inner loop is ONE dot product;
+    //    dot/(√na·√nb) is the identical IEEE expression tree either way
+    //    — the 6-dp surface is bit-unchanged (oracle hoists identically).
+    val np = embeddings.sparkSession.sparkContext.defaultParallelism
+    val a = embeddings.repartition(np, col(idCol))
+      .select(col(idCol).as("d1"), col(vecCol).as("v1"),
+        sqrt(VectorFunctions.dotProduct(col(vecCol), col(vecCol)))
+          .as("graft_n1"))
+    val b = embeddings.select(col(idCol).as("d2"), col(vecCol).as("v2"),
+      sqrt(VectorFunctions.dotProduct(col(vecCol), col(vecCol)))
+        .as("graft_n2"))
+    a.join(broadcast(b), col("d1") < col("d2"))
+      .withColumn("cosine",
+        round(VectorFunctions.dotProduct(col("v1"), col("v2")) /
+          (col("graft_n1") * col("graft_n2")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("d1"), col("d2"), col("cosine"))
   }
@@ -780,14 +802,26 @@ object Similarity {
    * argmax rides WindowGroupLimit).
    */
   def marginMining(src: DataFrame, tgt: DataFrame, idCol: String,
-                   vecCol: String, k: Int, tau: Double): DataFrame =
-    marginMiningFrom(src
-      .select(col(idCol).as("src_id"), col(vecCol).as("graft_sv"))
-      .crossJoin(tgt.select(col(idCol).as("tgt_id"),
-        col(vecCol).as("graft_tv")))
+                   vecCol: String, k: Int, tau: Double): DataFrame = {
+    // r20: same two all-pairs fixes as [[cosineNearDupPairs]] — spread
+    // the |S|·|T| loop's stream side over the cluster (the scan is
+    // input-split-bound otherwise) and hoist the per-vector self-norms
+    // so each pair pays one dot product; dot/(√na·√nb) is bit-identical
+    // to the fused cosine_sim at corpus-constant dims.
+    val np = src.sparkSession.sparkContext.defaultParallelism
+    marginMiningFrom(src.repartition(np, col(idCol))
+      .select(col(idCol).as("src_id"), col(vecCol).as("graft_sv"),
+        sqrt(VectorFunctions.dotProduct(col(vecCol), col(vecCol)))
+          .as("graft_sn"))
+      .crossJoin(broadcast(tgt.select(col(idCol).as("tgt_id"),
+        col(vecCol).as("graft_tv"),
+        sqrt(VectorFunctions.dotProduct(col(vecCol), col(vecCol)))
+          .as("graft_tn"))))
       .select(col("src_id"), col("tgt_id"),
-        round(cosine(col("graft_sv"), col("graft_tv")), 6)
+        round(VectorFunctions.dotProduct(col("graft_sv"), col("graft_tv")) /
+          (col("graft_sn") * col("graft_tn")), 6)
           .cast(DecimalType(18, 6)).as("graft_c")), k, tau)
+  }
 
   /**
    * [[marginMining]] over a caller-supplied candidate-pair frame:

@@ -914,13 +914,25 @@ object MiningQueries {
     * ANN graph. */
   def q265OnionLayers(s: SparkSession, dir: String): DataFrame = {
     val emb = Sources.embeddings(s, dir)
-    val pairs = emb.select(col("vec_id").as("src_id"),
-        col("embedding").as("graft_av"))
-      .crossJoin(emb.select(col("vec_id").as("tgt_id"),
-        col("embedding").as("graft_bv")))
+    // r20: the all-pairs loop fixes of Similarity.cosineNearDupPairs —
+    // spread the stream side over the cluster (single-split scan ⇒ the
+    // quadratic loop otherwise runs on one core) and hoist the
+    // per-vector self-norms so each pair pays one dot product;
+    // dot/(√na·√nb) is bit-identical to the fused cosine_sim.
+    val np = s.sparkContext.defaultParallelism
+    val pairs = emb.repartition(np, col("vec_id"))
+      .select(col("vec_id").as("src_id"), col("embedding").as("graft_av"),
+        sqrt(graft.functions.VectorFunctions.dotProduct(
+          col("embedding"), col("embedding"))).as("graft_an"))
+      .crossJoin(broadcast(emb.select(col("vec_id").as("tgt_id"),
+        col("embedding").as("graft_bv"),
+        sqrt(graft.functions.VectorFunctions.dotProduct(
+          col("embedding"), col("embedding"))).as("graft_bn"))))
       .filter(col("src_id") =!= col("tgt_id"))
       .select(col("src_id"), col("tgt_id"),
-        round(Similarity.cosine(col("graft_av"), col("graft_bv")), 6)
+        round(graft.functions.VectorFunctions.dotProduct(
+            col("graft_av"), col("graft_bv")) /
+          (col("graft_an") * col("graft_bn")), 6)
           .as("graft_c"))
     // exact 3-NN via the bounded-priority-queue aggregate: (−cos, tgt)
     // ascending ≡ (cos desc, tgt asc) — same selection as a window

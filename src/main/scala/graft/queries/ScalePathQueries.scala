@@ -748,11 +748,18 @@ object ScalePathQueries {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
     val groups = docs.select(col("doc_id"),
       min(col("doc_id")).over(w).as("graft_surv"))
+    // r20: lineage-cut — `j` feeds BOTH the exact and near branches, and
+    // without the cut each branch re-ran the ENTIRE uncapped LSH chain
+    // (the deliberately-quadratic naive path, the single most expensive
+    // subtree in the suite) — the gate was paying its evidence cost
+    // twice. The cut halves the gate without touching what it computes:
+    // the naive chain still runs, exactly once.
     val j = pairs
       .join(groups.select(col("doc_id").as("d1"),
         col("graft_surv").as("graft_s1")), "d1")
       .join(groups.select(col("doc_id").as("d2"),
         col("graft_surv").as("graft_s2")), "d2")
+      .localCheckpoint(eager = false)
     val exact = j
       .filter(col("graft_s1") === col("graft_s2") &&
         col("d1") === col("graft_s1"))

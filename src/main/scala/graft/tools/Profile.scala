@@ -12,6 +12,9 @@ import graft.sources.Sources
   *   query <dir> <name>  time a SparkEntry query (twice) + Exchange census
   *   audit <dir>         flag plans with BNL/cartesian/single-partition
   *   dedup <dir>         stage-by-stage timing of the MinHash/LSH path
+  *   explain <dir> <outDir> <suffix> <names,...>
+  *                       write each query's explain("formatted") to
+  *                       <outDir>/<name>_<suffix>.txt (r20 plan evidence)
   * }}}
   */
 object Profile {
@@ -67,7 +70,52 @@ object Profile {
             .filter(col("jaccard") >= 0.5).count())
         t("q19 full")(
           TextDedup.minHashLshPairs(docs, "doc_id", "text", 16, 4, 3, 0.5).count())
-      case other => sys.error(s"unknown mode: $other (query|audit|dedup)")
+      case "jobs" =>
+        // per-job wall/stage breakdown of one query: which of an
+        // iterative pipeline's actions the time actually goes to
+        val name = args.lift(2).getOrElse(sys.error("jobs mode needs a name"))
+        val fn = graft.SparkEntry.queries(name)
+        fn(spark, dir).count() // warm: JIT + codegen out of the numbers
+        val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(js.jobId, (js.time,
+              Option(js.properties)
+                .flatMap(p => Option(p.getProperty("callSite.short")))
+                .getOrElse("?")))
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val (t0, site) = starts.getOrDefault(je.jobId, (je.time, "?"))
+            jobs.add(f"[job] ${je.jobId}%4d ${(je.time - t0) / 1e3}%8.3f s  $site")
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // let the async listener bus drain
+        spark.sparkContext.removeSparkListener(listener)
+        jobs.forEach(println(_))
+        println(f"[jobs] $name total ${wall}%.3f s, ${jobs.size} jobs")
+      case "explain" =>
+        val outDir = args.lift(2).getOrElse(sys.error("explain needs outDir"))
+        val suffix = args.lift(3).getOrElse(sys.error("explain needs suffix"))
+        val names = args.lift(4).getOrElse(sys.error("explain needs names"))
+          .split(",").map(_.trim).filter(_.nonEmpty)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        names.foreach { name =>
+          val df = graft.SparkEntry.queries(name)(spark, dir)
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"),
+            txt.getBytes("UTF-8"))
+          println(s"[explain] wrote $name ($suffix)")
+        }
+      case other => sys.error(s"unknown mode: $other (query|audit|dedup|explain)")
     }
     spark.stop()
   }
